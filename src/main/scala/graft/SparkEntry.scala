@@ -1,13 +1,144 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Determinism rules (§6): every query ends in an explicit ORDER BY
+  * over a unique key set, double aggregates round to 6 dp on both
+  * sides, timestamps surface as epoch micros or formatted strings,
+  * hashes are md5 (identical hex in Spark and DuckDB).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q_agg_pushdown")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- A. ETL / relational core -------------------------------------
+    "q_agg_pushdown" -> ((s, dir) =>
+      Relational.pricingSummary(Tables.lineitem(s, dir))),
+    "q_transform_project" -> ((s, dir) =>
+      Relational.projectTransform(Tables.events(s, dir)).orderBy("event_id")),
+    "q_validate_filter" -> ((s, dir) =>
+      Relational
+        .validateFilter(Tables.events(s, dir), Seq("click", "purchase"), "2024-01-05", "2024-01-20")
+        .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("event_id")),
+    "q_latest_per_key" -> ((s, dir) =>
+      Relational
+        .latestPerKey(Tables.events(s, dir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_type"), col("value"))
+        .orderBy("user_id")),
+    "q_dim_join" -> ((s, dir) =>
+      Relational
+        .dimJoin(Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))
+        .orderBy("region_name", "nation_name")),
+    "q_multi_join_agg" -> ((s, dir) =>
+      Relational
+        .revenueByNation(
+          Tables.lineitem(s, dir), Tables.orders(s, dir),
+          Tables.customer(s, dir), Tables.nation(s, dir), "BUILDING")
+        .orderBy("nation_name")),
+    "q_pivot_wide" -> ((s, dir) =>
+      Relational
+        .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
+    "q_ohlc_resample" -> ((s, dir) =>
+      Relational
+        .ohlcResample(Tables.events(s, dir))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
+    "q_topn_per_group" -> ((s, dir) =>
+      Relational.topNPerGroup(Tables.orders(s, dir), 3).orderBy("o_custkey", "rnk"))
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pushdown" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 6) AS sum_qty,
+        |  round(sum(l_extendedprice), 6) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_transform_project" ->
+      """SELECT event_id, user_id AS ticker_id, event_type AS field,
+        |  round(value, 6) AS px, strftime(ts, '%Y-%m-%d') AS px_date
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_validate_filter" ->
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, round(value, 6) AS value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
+        |  AND upper(event_type) IN ('CLICK', 'PURCHASE')
+        |ORDER BY event_id""".stripMargin,
+    "q_latest_per_key" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type, round(value, 6) AS value
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_dim_join" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  count(*) AS n_customers, round(sum(c_acctbal), 6) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY region_name, nation_name""".stripMargin,
+    "q_multi_join_agg" ->
+      """SELECT n_name AS nation_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY n_name
+        |ORDER BY nation_name""".stripMargin,
+    "q_pivot_wide" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  round(sum(value) FILTER (event_type = 'click'), 6) AS click,
+        |  round(sum(value) FILTER (event_type = 'error'), 6) AS error,
+        |  round(sum(value) FILTER (event_type = 'purchase'), 6) AS purchase,
+        |  round(sum(value) FILTER (event_type = 'signup'), 6) AS signup,
+        |  round(sum(value) FILTER (event_type = 'view'), 6) AS view
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY day""".stripMargin,
+    "q_ohlc_resample" ->
+      """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  round(min_by(value, ts), 6) AS open,
+        |  round(max(value), 6) AS high,
+        |  round(min(value), 6) AS low,
+        |  round(max_by(value, ts), 6) AS close,
+        |  count(*) AS n_obs
+        |FROM events
+        |GROUP BY user_id, date_trunc('day', ts)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rnk
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders
+        |)
+        |WHERE rnk <= 3
+        |ORDER BY o_custkey, rnk""".stripMargin
+  )
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational / ETL core: the reference's extract-transform-load
+  * shape re-expressed declaratively so Catalyst pushes filters and
+  * prunes columns at the parquet scan.
+  *
+  * Reference analogs (studied, not copied):
+  *  - src/etl.py transform_stock_data (projection + date format)
+  *  - src/utils.py validate_ticker (normalize + filter)
+  *  - src/jobs/yfinance_etl/fund_comp2.py identify_peer_funds (dim join)
+  *  - src/jobs/yfinance_etl/app.py plot_graphs candlestick (OHLC resample)
+  *  - src/jobs/yfinance_etl/app.py fetch_data (wide pivot)
+  */
+object Relational {
+
+  /** Flagship pricing rollup (TPC-H Q1 shape): scan-side filter +
+    * map-side partial aggregation; one shuffle on the group keys.
+    */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String = "1998-12-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") < lit(shipBefore).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum("l_extendedprice"), 6).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ETL transform: project/rename to the reference's record shape
+    * with string-formatted date. Pure narrow projection — no shuffle.
+    */
+  def projectTransform(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      col("user_id").as("ticker_id"),
+      col("event_type").as("field"),
+      round(col("value"), 6).as("px"),
+      date_format(col("ts"), "yyyy-MM-dd").as("px_date")
+    )
+
+  /** Validation + range filter: normalize a key column and constrain
+    * the scan to a window; predicates reach PushedFilters.
+    */
+  def validateFilter(events: DataFrame, types: Seq[String], startTs: String, endTs: String): DataFrame =
+    events
+      .filter(col("ts") >= lit(startTs).cast("timestamp") && col("ts") < lit(endTs).cast("timestamp"))
+      .filter(upper(col("event_type")).isin(types.map(_.toUpperCase): _*))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), round(col("value"), 6).as("value"))
+
+  /** Latest observation per key (the reference keeps one row per
+    * ticker): single shuffle by key, window rank, filter.
+    */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"), round(col("value"), 6).as("value"))
+  }
+
+  /** Dimension enrichment (peer-group lookup analog): small dims are
+    * broadcast so the fact table never shuffles.
+    */
+  def dimJoin(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        round(sum("c_acctbal"), 6).as("total_acctbal")
+      )
+
+  /** Star-join rollup: revenue by nation for a marketsegment — joins
+    * ordered fact-first, dims broadcast, aggregation partial map-side.
+    */
+  def revenueByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      segment: String
+  ): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+        count(lit(1)).as("n_lines")
+      )
+
+  /** Wide date x key matrix (the reference's multi-ticker close-price
+    * frame): pivot over a FIXED key set so the plan stays static and
+    * the shuffle is a single groupBy.
+    */
+  def pivotWide(events: DataFrame, types: Seq[String]): DataFrame =
+    events
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .pivot("event_type", types)
+      .agg(round(sum("value"), 6))
+
+  /** Interval OHLC resample (candlestick analog): per key+day bar
+    * with deterministic open/close via arg-min/arg-max on ts —
+    * (user_id, ts) is unique so ties cannot occur.
+    */
+  def ohlcResample(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        round(min_by(col("value"), col("ts")), 6).as("open"),
+        round(max("value"), 6).as("high"),
+        round(min("value"), 6).as("low"),
+        round(max_by(col("value"), col("ts")), 6).as("close"),
+        count(lit(1)).as("n_obs")
+      )
+
+  /** Top-N per group (top holdings / peer ranking analog): rank
+    * window after a single shuffle on the group key.
+    */
+  def topNPerGroup(orders: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"), col("rnk"))
+  }
+}
