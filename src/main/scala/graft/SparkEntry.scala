@@ -56,7 +56,56 @@ object SparkEntry {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
     "q_topn_per_group" -> ((s, dir) =>
-      Relational.topNPerGroup(Tables.orders(s, dir), 3).orderBy("o_custkey", "rnk"))
+      Relational.topNPerGroup(Tables.orders(s, dir), 3).orderBy("o_custkey", "rnk")),
+
+    // ---- B. financial analytics ---------------------------------------
+    "q_daily_returns" -> ((s, dir) =>
+      TimeSeries
+        .dailyReturns(Tables.events(s, dir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), round(col("ret"), 6).as("ret"))
+        .orderBy("user_id", "ts_us")),
+    "q_metrics_summary" -> ((s, dir) =>
+      TimeSeries
+        .metricsSummary(TimeSeries.dailyReturns(Tables.events(s, dir)))
+        .orderBy("user_id")),
+    "q_ytd_return" -> ((s, dir) =>
+      TimeSeries.ytdReturn(Tables.events(s, dir)).orderBy("user_id")),
+    "q_max_drawdown" -> ((s, dir) =>
+      TimeSeries.maxDrawdown(Tables.events(s, dir)).orderBy("user_id")),
+    "q_cumulative_returns" -> ((s, dir) =>
+      TimeSeries
+        .cumulativeReturns(Tables.events(s, dir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("cum_return"))
+        .orderBy("user_id", "ts_us")),
+    "q_sma" -> ((s, dir) =>
+      TimeSeries
+        .sma(Tables.events(s, dir), 10)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("sma"))
+        .orderBy("user_id", "ts_us")),
+    "q_ema" -> ((s, dir) =>
+      TimeSeries
+        .ema(Tables.events(s, dir), 20)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ema"))
+        .orderBy("user_id", "ts_us")),
+    "q_trend_flag" -> ((s, dir) =>
+      TimeSeries
+        .trendFlag(Tables.events(s, dir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("uptrend"))
+        .orderBy("user_id", "ts_us")),
+    "q_sortino" -> ((s, dir) =>
+      TimeSeries
+        .sortino(TimeSeries.dailyReturns(Tables.events(s, dir)))
+        .orderBy("user_id")),
+    "q_tracking_error" -> ((s, dir) =>
+      TimeSeries.trackingError(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_alpha_beta" -> ((s, dir) =>
+      TimeSeries.alphaBeta(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_period_returns" -> ((s, dir) =>
+      TimeSeries
+        .periodReturn(Tables.events(s, dir), "2024-01-05", "2024-01-25")
+        .orderBy("user_id")),
+    "q_yield_ratio" -> ((s, dir) =>
+      TimeSeries.yieldRatio(Tables.events(s, dir), "purchase").orderBy("user_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -139,6 +188,106 @@ object SparkEntry {
         |  FROM orders
         |)
         |WHERE rnk <= 3
-        |ORDER BY o_custkey, rnk""".stripMargin
+        |ORDER BY o_custkey, rnk""".stripMargin,
+    "q_daily_returns" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1, 6) AS ret
+        |FROM events
+        |QUALIFY value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 IS NOT NULL
+        |ORDER BY user_id, ts_us""".stripMargin,
+    "q_metrics_summary" ->
+      """WITH r AS (
+        |  SELECT user_id, value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS ret
+        |  FROM events
+        |  QUALIFY ret IS NOT NULL
+        |)
+        |SELECT user_id,
+        |  round(avg(ret) * 252, 6) AS ann_return,
+        |  round(stddev_samp(ret) * sqrt(252), 6) AS volatility,
+        |  round((avg(ret) * 252) / (stddev_samp(ret) * sqrt(252)), 6) AS sharpe
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ytd_return" ->
+      """SELECT user_id, round(max_by(value, ts) / min_by(value, ts) - 1, 6) AS ytd_return
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_max_drawdown" ->
+      """WITH rm AS (
+        |  SELECT user_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |  FROM events
+        |)
+        |SELECT user_id, round(min(value / run_max - 1), 6) AS max_drawdown
+        |FROM rm GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_cumulative_returns" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(value / first_value(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_return
+        |FROM events ORDER BY user_id, ts_us""".stripMargin,
+    "q_sma" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS sma
+        |FROM events ORDER BY user_id, ts_us""".stripMargin,
+    "q_ema" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+        |  FROM events
+        |), g AS (
+        |  SELECT *, CASE WHEN rn = 0 THEN value ELSE (2.0/21) * value * pow(1 - 2.0/21, -rn) END AS gg
+        |  FROM o
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(pow(1 - 2.0/21, rn) * sum(gg) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema
+        |FROM g ORDER BY user_id, ts_us""".stripMargin,
+    "q_trend_flag" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CAST(value > lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS uptrend
+        |FROM events
+        |QUALIFY lag(value) OVER (PARTITION BY user_id ORDER BY ts) IS NOT NULL
+        |ORDER BY user_id, ts_us""".stripMargin,
+    "q_sortino" ->
+      """WITH r AS (
+        |  SELECT user_id, value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS ret
+        |  FROM events
+        |  QUALIFY ret IS NOT NULL
+        |)
+        |SELECT user_id,
+        |  round(avg(ret - 0.01/252) / stddev_pop(CASE WHEN ret - 0.01/252 < 0 THEN ret - 0.01/252 END), 6) AS sortino
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_tracking_error" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day, close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1 AS ret
+        |  FROM dc QUALIFY ret IS NOT NULL
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0)
+        |SELECT r.user_id,
+        |  round(stddev_pop(r.ret - b.bench_ret) * sqrt(252) * 100, 6) AS tracking_error_pct
+        |FROM r JOIN b USING (day)
+        |WHERE r.user_id != 0
+        |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
+    "q_alpha_beta" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day, close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1 AS ret
+        |  FROM dc QUALIFY ret IS NOT NULL
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0)
+        |SELECT r.user_id,
+        |  round(covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret), 6) AS beta,
+        |  round((avg(r.ret) - covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) * avg(b.bench_ret)) * 252, 6) AS alpha,
+        |  round(pow(corr(r.ret, b.bench_ret), 2), 6) AS r_squared
+        |FROM r JOIN b USING (day)
+        |WHERE r.user_id != 0
+        |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
+    "q_period_returns" ->
+      """SELECT user_id, round(max_by(value, ts) / min_by(value, ts) - 1, 6) AS period_return
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_yield_ratio" ->
+      """SELECT user_id,
+        |  round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) / max_by(value, ts) * 100, 6) AS yield_pct
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / financial analytics: the reference's metrics engine
+  * (src/jobs/yfinance_etl/app.py:254-364 calculate_metrics,
+  * app.py:444-475 cumulative returns + SMA/EMA/trend) re-expressed as
+  * per-key window + aggregate plans.
+  *
+  * Scale design: every per-key operator shares one Window spec
+  * (partitionBy key, orderBy ts) ⇒ a single shuffle by instrument
+  * key serves the whole per-key stage; aggregates are single-pass
+  * moment computations (no self-joins); benchmark comparisons
+  * broadcast the single benchmark series.
+  *
+  * ddof fidelity to the reference: pandas .std() is sample std
+  * (volatility), numpy np.std() is population std (tracking error,
+  * Sortino downside deviation) — both preserved below.
+  */
+object TimeSeries {
+
+  private val TradingDays = 252.0
+  private val RiskFree    = 0.01 // annual, as in the reference
+
+  private def wk(key: String, ts: String): org.apache.spark.sql.expressions.WindowSpec =
+    Window.partitionBy(key).orderBy(ts)
+
+  /** pct_change per key: ret_t = v_t / v_{t-1} - 1. */
+  def dailyReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.withColumn("ret", col(v) / lag(col(v), 1).over(wk(key, ts)) - 1)
+      .filter(col("ret").isNotNull)
+
+  /** Annualized mean return, volatility (sample std), Sharpe per key. */
+  def metricsSummary(returns: DataFrame, key: String = "user_id"): DataFrame =
+    returns
+      .groupBy(col(key))
+      .agg(
+        round(avg("ret") * TradingDays, 6).as("ann_return"),
+        round(stddev_samp(col("ret")) * math.sqrt(TradingDays), 6).as("volatility"),
+        round((avg("ret") * TradingDays) / (stddev_samp(col("ret")) * math.sqrt(TradingDays)), 6).as("sharpe")
+      )
+
+  /** Point-to-point return over the observed range: last/first - 1. */
+  def ytdReturn(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.groupBy(col(key))
+      .agg(round(max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1, 6).as("ytd_return"))
+
+  /** Max drawdown: running max, then min of (v/runmax - 1) per key. */
+  def maxDrawdown(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("run_max", max(col(v)).over(w))
+      .groupBy(col(key))
+      .agg(round(min(col(v) / col("run_max") - 1), 6).as("max_drawdown"))
+  }
+
+  /** Growth of $1 per key. (1+pct_change).cumprod() telescopes to
+    * v_t / v_first — exact, one window pass, no log/exp error.
+    */
+  def cumulativeReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_return", round(col(v) / first(col(v)).over(w), 6))
+  }
+
+  /** Generic compounding for a pre-computed return series (non-
+    * telescoping case): exp(Σ log1p(ret)) running per key.
+    */
+  def compoundFromReturns(returns: DataFrame, key: String = "user_id", ts: String = "ts"): DataFrame = {
+    val w = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    returns.withColumn("growth", exp(sum(log(lit(1.0) + col("ret"))).over(w)))
+  }
+
+  /** Simple moving average over the trailing n observations. */
+  def sma(df: DataFrame, n: Int, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.withColumn("sma", round(avg(col(v)).over(wk(key, ts).rowsBetween(-(n - 1), 0)), 6))
+
+  /** EMA(span, adjust=False): y_t = (1-a)^t*(x_0 + Σ_{i=1..t} a*(1-a)^{-i}*x_i),
+    * a = 2/(span+1). Expressed as one running window sum — exact for
+    * per-key series up to a few thousand points ((1-a)^{-i} stays in
+    * double range); at 100 TB with very long series this becomes a
+    * custom TypedImperativeAggregate fold (SURVEY §7 later rounds).
+    */
+  def ema(df: DataFrame, span: Int, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val a = 2.0 / (span + 1)
+    val w = wk(key, ts)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("rn", row_number().over(w) - 1)
+      .withColumn("g", when(col("rn") === 0, col(v)).otherwise(lit(a) * col(v) * pow(lit(1 - a), -col("rn"))))
+      .withColumn("ema", round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6))
+      .drop("g")
+  }
+
+  /** Up/down flag vs previous observation (trend marker analog). */
+  def trendFlag(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.withColumn("uptrend", (col(v) > lag(col(v), 1).over(wk(key, ts))).cast("int"))
+      .filter(col("uptrend").isNotNull)
+
+  /** Sortino: mean excess return over population std of negative
+    * excess returns (numpy ddof=0 as in the reference).
+    */
+  def sortino(returns: DataFrame, key: String = "user_id"): DataFrame = {
+    val dailyRf = RiskFree / TradingDays
+    val excess  = col("ret") - lit(dailyRf)
+    returns
+      .groupBy(col(key))
+      .agg(
+        round(
+          avg(excess) / stddev_pop(when(excess < 0, excess)),
+          6
+        ).as("sortino")
+      )
+  }
+
+  /** Daily close bar per key (last observation of the day) — the
+    * alignment grid for cross-series comparisons.
+    */
+  def dailyClose(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"))
+
+  /** Daily returns on the daily-close grid. */
+  def dailyCloseReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    dailyClose(df, key, ts, v)
+      .withColumn("ret", col("close") / lag(col("close"), 1).over(Window.partitionBy(key).orderBy("day")) - 1)
+      .filter(col("ret").isNotNull)
+
+  /** Annualized tracking error of every key vs a benchmark key:
+    * population std of the per-day return difference * sqrt(252).
+    * The benchmark is ONE key ⇒ its daily series is tiny ⇒ broadcast;
+    * the fact side never reshuffles for the join.
+    */
+  def trackingError(df: DataFrame, benchmarkKey: Long, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(df, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    rets
+      .filter(col(key) =!= benchmarkKey)
+      .join(bench, "day")
+      .groupBy(col(key))
+      .agg(round(stddev_pop(col("ret") - col("bench_ret")) * math.sqrt(TradingDays) * 100, 6).as("tracking_error_pct"))
+  }
+
+  /** OLS of key returns on benchmark returns, closed form:
+    * beta = covar_samp/var_samp, alpha = (mean_y - beta*mean_x)*252,
+    * r2 = corr^2 — single-pass moment aggregates, no regression loop.
+    */
+  def alphaBeta(df: DataFrame, benchmarkKey: Long, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(df, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    rets
+      .filter(col(key) =!= benchmarkKey)
+      .join(bench, "day")
+      .groupBy(col(key))
+      .agg(
+        round(covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")), 6).as("beta"),
+        round(
+          (avg(col("ret")) - covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")) * avg(col("bench_ret"))) * TradingDays,
+          6
+        ).as("alpha"),
+        round(pow(corr(col("ret"), col("bench_ret")), 2), 6).as("r_squared")
+      )
+  }
+
+  /** Point-to-point return between the first close at/after `start`
+    * and the last close at/before `end` (3Y/5Y-return analog).
+    */
+  def periodReturn(df: DataFrame, start: String, end: String, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.filter(col(ts) >= lit(start).cast("timestamp") && col(ts) < lit(end).cast("timestamp"))
+      .groupBy(col(key))
+      .agg(round(max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1, 6).as("period_return"))
+
+  /** Dividend-yield analog: total flow of one event kind over the
+    * latest observed level, as a percentage.
+    */
+  def yieldRatio(df: DataFrame, flowType: String, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    df.groupBy(col(key))
+      .agg(
+        round(
+          coalesce(sum(when(col("event_type") === flowType, col(v))), lit(0.0)) / max_by(col(v), col(ts)) * 100,
+          6
+        ).as("yield_pct")
+      )
+}
