@@ -105,7 +105,21 @@ object SparkEntry {
         .periodReturn(Tables.events(s, dir), "2024-01-05", "2024-01-25")
         .orderBy("user_id")),
     "q_yield_ratio" -> ((s, dir) =>
-      TimeSeries.yieldRatio(Tables.events(s, dir), "purchase").orderBy("user_id"))
+      TimeSeries.yieldRatio(Tables.events(s, dir), "purchase").orderBy("user_id")),
+
+    // ---- C. text analysis ---------------------------------------------
+    "q_sentiment" -> ((s, dir) =>
+      TextAnalysis.sentiment(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_quality_score" -> ((s, dir) =>
+      TextAnalysis.qualityScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_chunk_documents" -> ((s, dir) =>
+      TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -288,6 +302,59 @@ object SparkEntry {
     "q_yield_ratio" ->
       """SELECT user_id,
         |  round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) / max_by(value, ts) * 100, 6) AS yield_pct
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_sentiment" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('fast','big','gain','good','up')))::DOUBLE AS p,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('slow','small','error','bad','down')))::DOUBLE AS n
+        |  FROM documents
+        |)
+        |SELECT doc_id, CASE WHEN p + n > 0 THEN round((p - n) / (p + n), 6) ELSE 0.0 END AS polarity
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS re_tokens,
+        |  len(text) AS len_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of'))) AS hits_en,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','y','de'))) AS hits_es,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','les','et','des'))) AS hits_fr,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','von'))) AS hits_de,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('de5','shi4','le5','zai4'))) AS hits_zh
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_zh AND hits_en > 0 THEN 'en'
+        |    WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh AND hits_es > 0 THEN 'es'
+        |    WHEN hits_fr >= hits_de AND hits_fr >= hits_zh AND hits_fr > 0 THEN 'fr'
+        |    WHEN hits_de >= hits_zh AND hits_de > 0 THEN 'de'
+        |    WHEN hits_zh > 0 THEN 'zh'
+        |    ELSE 'und'
+        |  END AS lang_pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """SELECT doc_id,
+        |  round(least(len(text)::DOUBLE / 500.0, 1.0) * 0.4
+        |    + (len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','el','la','y','de','le','les','et','des','der','die','und','von','de5','shi4','le5','zai4')))::DOUBLE
+        |       / len(string_split(lower(text), ' '))::DOUBLE) * 0.3
+        |    + (len(list_filter(string_split(lower(text), ' '), x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+        |       / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp_short
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunk_documents" ->
+      """SELECT doc_id, off // 80 AS chunk_id, substr(text, CAST(off AS INT) + 1, 100) AS chunk
+        |FROM (
+        |  SELECT doc_id, text, unnest(generate_series(0, len(text) - 1, 80)) AS off
+        |  FROM documents
+        |)
+        |ORDER BY doc_id, chunk_id""".stripMargin
   )
 }

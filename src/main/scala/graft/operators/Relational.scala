@@ -132,6 +132,8 @@ object Relational {
     orders
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= n)
-      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"), col("rnk"))
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"),
+        // long to match the oracle engine's BIGINT row_number
+        col("rnk").cast("long").as("rnk"))
   }
 }

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document-level text analysis: sentiment, tokenization, language
+  * ID, quality scoring, fingerprinting, chunking. All narrow
+  * (per-row) transformations — no shuffle at any scale; the scan's
+  * column pruning keeps only (doc_id, text) in flight.
+  */
+object TextAnalysis {
+
+  val PosLexicon: Seq[String] = Seq("fast", "big", "gain", "good", "up")
+  val NegLexicon: Seq[String] = Seq("slow", "small", "error", "bad", "down")
+
+  /** Ordered language profiles: (lang, marker words). First maximal
+    * hit count wins, ties broken by list order; no hits -> "und".
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of"),
+    "es" -> Seq("el", "la", "y", "de"),
+    "fr" -> Seq("le", "les", "et", "des"),
+    "de" -> Seq("der", "die", "und", "von"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4")
+  )
+
+  def sentiment(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      sentimentPolarity(col("text"), PosLexicon, NegLexicon).as("polarity")
+    )
+
+  def tokenCounts(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      // long: oracle engines surface list lengths as BIGINT
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      regexTokenCount(lower(col("text"))).cast("long").as("re_tokens"),
+      length(col("text")).cast("long").as("len_chars")
+    )
+
+  /** N-gram-heuristic language ID: count marker-word hits per
+    * profile, pick the first profile with the maximal count.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val hitCols = LangProfiles.map { case (lang, words) =>
+      lexiconHits(col("text"), words).as(s"hits_$lang")
+    }
+    val withHits = documents.select((col("doc_id") +: col("text") +: hitCols): _*)
+    val maxHits  = greatest(LangProfiles.map { case (l, _) => col(s"hits_$l") }: _*)
+    val pick = LangProfiles
+      .foldRight(lit("und")) { case ((lang, _), acc) =>
+        when(col(s"hits_$lang") === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
+      }
+    // foldRight builds en-first precedence: en's WHEN ends up outermost.
+    withHits.select(col("doc_id"), pick.as("lang_pred"))
+  }
+
+  /** Quality score from length/word-shape/stopword ratios, in [0,1].
+    * score = 0.4*len_norm + 0.3*stop_ratio + 0.3*alpha_ratio.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val toks      = split(lower(col("text")), " ")
+    val nToks     = size(toks).cast("double")
+    val stopHits  = lexiconHits(col("text"), LangProfiles.flatMap(_._2)).cast("double")
+    val alphaOnly = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double")
+    val lenNorm   = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
+    documents.select(
+      col("doc_id"),
+      round(lenNorm * 0.4 + (stopHits / nToks) * 0.3 + (alphaOnly / nToks) * 0.3, 6).as("quality")
+    )
+  }
+
+  def fingerprints(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      substring(fingerprint(col("text")), 1, 8).as("fp_short")
+    )
+
+  /** Fixed-size/overlap chunking (RAG splitter analog): offsets are
+    * generated per row and exploded — output partitions stay
+    * proportional to input, no driver loop.
+    */
+  def chunk(documents: DataFrame, size: Int, overlap: Int): DataFrame = {
+    val stride = size - overlap
+    documents
+      .select(col("doc_id"), col("text"), explode(chunkOffsets(col("text"), size, overlap)).as("off"))
+      .select(
+        col("doc_id"),
+        (col("off") / stride).cast("long").as("chunk_id"),
+        col("text").substr(col("off") + 1, lit(size)).as("chunk")
+      )
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("polarity is bounded in [-1, 1]") {
+    import spark.implicits._
+    val s = TextAnalysis.sentiment(Tables.documents(spark, sf))
+    assert(s.filter($"polarity" < -1 || $"polarity" > 1).count() === 0)
+  }
+
+  test("chunks cover every document and respect max size") {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, sf)
+    val chunks = TextAnalysis.chunk(docs, 100, 20)
+    assert(chunks.select($"doc_id").distinct().count() === docs.count())
+    assert(chunks.filter(org.apache.spark.sql.functions.length($"chunk") > 100).count() === 0)
+    // overlap invariant: consecutive chunks share 20 chars of text
+    val c0 = chunks.filter($"doc_id" === 0).orderBy($"chunk_id").collect()
+    if (c0.length > 1) {
+      val first  = c0(0).getAs[String]("chunk")
+      val second = c0(1).getAs[String]("chunk")
+      assert(first.length < 100 || second.startsWith(first.substring(80).take(20)))
+    }
+  }
+
+  test("fingerprint is deterministic and 32 hex chars") {
+    import spark.implicits._
+    val fp = TextAnalysis.fingerprints(Tables.documents(spark, sf))
+    assert(fp.filter(!$"fp".rlike("^[0-9a-f]{32}$")).count() === 0)
+  }
+
+  test("lang_id emits only known labels") {
+    import spark.implicits._
+    val labels = TextAnalysis.langId(Tables.documents(spark, sf))
+      .select($"lang_pred").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("en", "es", "fr", "de", "zh", "und")))
+  }
+}
