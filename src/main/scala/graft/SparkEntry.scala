@@ -119,7 +119,27 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_chunk_documents" -> ((s, dir) =>
-      TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id"))
+      TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id")),
+
+    // ---- D. deduplication ---------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(Tables.documents(s, dir)).orderBy("fp")),
+    "q_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8).orderBy("da", "db")),
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshCandidates(Tables.documents(s, dir)).orderBy("da", "db")),
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- E. similarity search -----------------------------------------
+    "q_ann_bruteforce" -> ((s, dir) =>
+      Similarity
+        .bruteForceTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("qid", "rnk")),
+    "q_embed_neardup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("va", "vb")),
+    "q_ann_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -355,6 +375,80 @@ object SparkEntry {
         |  SELECT doc_id, text, unnest(generate_series(0, len(text) - 1, 80)) AS off
         |  FROM documents
         |)
-        |ORDER BY doc_id, chunk_id""".stripMargin
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(lower(text)) ORDER BY fp""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id
+        |)
+        |SELECT da, db, round(i::DOUBLE / (x.n + y.n - i), 6) AS jaccard
+        |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
+        |WHERE round(i::DOUBLE / (x.n + y.n - i), 6) >= 0.8
+        |ORDER BY da, db""".stripMargin,
+    "q_minhash_lsh" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), mh AS (
+        |  SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
+        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    md5(concat(min(CASE WHEN j % 2 = 0 THEN m END), min(CASE WHEN j % 2 = 1 THEN m END))) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |)
+        |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |ORDER BY da, db""".stripMargin,
+    "q_simhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ann_bruteforce" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    round(list_dot_product(q.v, e.v)
+        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
+        |  FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id != q.vec_id
+        |)
+        |SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v)
+        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        |ORDER BY va, vb""".stripMargin
   )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends AnyFunSuite {
+  import TestSession._
+
+  test("minhash-LSH candidates cover the high-jaccard pairs") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val truth = Dedup.ngramJaccardPairs(docs, 3, 0.9).select($"da", $"db")
+    val cand  = Dedup.minhashLshCandidates(docs).select($"da", $"db")
+    val missed = truth.except(cand).count()
+    val total  = truth.count()
+    assert(total > 0, "no ground-truth near-dup pairs in the corpus")
+    // 4 bands x 2 rows at j>=0.9: P(candidate) ~ 1-(1-j^2)^4 > 0.999
+    assert(missed <= total / 10, s"LSH missed $missed of $total high-sim pairs")
+  }
+
+  test("simhash distance small for near-dup pairs, larger for random pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val sims = Dedup.simhash(docs).cache()
+    val near = Dedup.ngramJaccardPairs(docs, 3, 0.9).select($"da", $"db")
+    val dist = near
+      .join(sims.select($"doc_id".as("da"), $"simhash".as("ha")), "da")
+      .join(sims.select($"doc_id".as("db"), $"simhash".as("hb")), "db")
+      .select(bit_count($"ha".bitwiseXOR($"hb")).as("d"))
+    val avgNear = dist.agg(avg($"d")).head().getDouble(0)
+    assert(avgNear < 12, s"near-dup avg simhash distance $avgNear too high")
+  }
+
+  test("brute-force topk returns k ranked neighbors per query") {
+    import spark.implicits._
+    val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 5)
+    assert(topk.count() === 15)
+    assert(topk.groupBy($"qid").agg(max($"rnk").as("m")).filter($"m" =!= 5).count() === 0)
+  }
+
+  test("lsh near-dup pairs are a subset of exact near-dup pairs") {
+    import spark.implicits._
+    val emb   = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.4).select($"va", $"vb")
+    val lsh   = Similarity.lshNearDupPairs(emb, 0.4, 4).select($"va", $"vb")
+    assert(lsh.except(exact).count() === 0)
+  }
+}
