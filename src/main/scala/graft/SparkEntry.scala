@@ -139,7 +139,26 @@ object SparkEntry {
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("va", "vb")),
     "q_ann_lsh_buckets" -> ((s, dir) =>
-      Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id"))
+      Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
+
+    // ---- F. streaming (batch equivalents; streaming twins in graft.streaming) --
+    "q_windowed_agg" -> ((s, dir) =>
+      graft.streaming.Streams
+        .windowedAggBatch(Tables.events(s, dir))
+        .orderBy("window_start", "event_type")),
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Streams
+        .sessionizeBatch(Tables.events(s, dir))
+        .orderBy("user_id", "session_id")),
+
+    // ---- G. multimodal plumbing (stubbed decode, real distribution) ----
+    "q_multimodal_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal
+        .extractFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .orderBy("media_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -449,6 +468,35 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_dot_product(a.v, b.v)
         |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
-        |ORDER BY va, vb""".stripMargin
+        |ORDER BY va, vb""".stripMargin,
+    "q_windowed_agg" ->
+      """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n, round(sum(value), 6) AS total
+        |FROM events
+        |GROUP BY time_bucket(INTERVAL '6 hours', ts), event_type
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x
+        |), z AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM y
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  round(sum(value), 6) AS total_value
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+        |  16 + strlen(text) % 64 AS feat_width,
+        |  16 + (strlen(text) * 7) % 64 AS feat_height,
+        |  md5(text) AS feat_hash
+        |FROM documents ORDER BY media_id""".stripMargin
   )
 }

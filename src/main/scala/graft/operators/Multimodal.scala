@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media payloads travel as opaque
+  * `binary` columns with typed metadata; feature extraction runs
+  * per-partition in fixed-size batches (the JVM analog of a
+  * vectorized mapInPandas pipeline: one decode context per batch,
+  * iterator in / iterator out, no driver involvement).
+  *
+  * The decode itself is a STUB — this container has no image/audio
+  * codecs — implemented as a deterministic fake (dims derived from
+  * the payload bytes) so the distributed plumbing (schema, encoder,
+  * partitioning, batch shape) is real and testable end-to-end.
+  */
+object Multimodal {
+
+  case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(
+      media_id: Long, n_bytes: Long, feat_width: Long, feat_height: Long, feat_hash: String)
+
+  /** STUB codec: stands in for a real image/audio decoder. Output is
+    * a pure deterministic function of the payload so oracle engines
+    * can reproduce it.
+    */
+  object StubCodec {
+    def decode(payload: Array[Byte]): (Long, Long, String) = {
+      val n  = payload.length.toLong
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(payload).map("%02x".format(_)).mkString
+      (16 + n % 64, 16 + (n * 7) % 64, hex)
+    }
+  }
+
+  /** Wrap text documents as fake media payloads (binary + metadata). */
+  def mediaFromDocuments(documents: DataFrame): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(
+        col("doc_id").as("media_id"),
+        col("source").as("kind"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition feature extraction: `batchSize` records
+    * share one (stub) decode context, mirroring how a real codec or
+    * model would be amortized across a vectorized batch.
+    */
+  def extractFeatures(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        // one decode context per batch would be opened here
+        batch.iterator.map { r =>
+          val (w, h, hash) = StubCodec.decode(r.payload)
+          MediaFeatures(r.media_id, r.payload.length.toLong, w, h, hash)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+import graft.sources.Feeds
+import graft.streaming.Streams
+
+class StreamsFeedsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("streaming windowed agg matches the batch equivalent") {
+    import spark.implicits._
+    // materialize events to a parquet dir the stream can read with a plain schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val ev  = Tables.events(spark, sf).select($"ts", $"event_type", $"value")
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    // Complete mode: on a bounded source, append mode would withhold
+    // the final windows still inside the watermark
+    val got = Streams.runToMemory(
+      spark, Streams.windowedAggStream(stream), "win_agg_test", OutputMode.Complete())
+      .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        $"event_type", $"n", round($"total", 6).as("total"))
+    val want = Streams.windowedAggBatch(Tables.events(spark, sf))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
+  test("stateful sessionization final snapshots match batch sessions") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value").as[Streams.Ev]
+    val streamed = Streams.sessionizeStream(ev, 30).toDF()
+    val batch = Streams.sessionizeBatch(Tables.events(spark, sf))
+    // single micro-batch over bounded input => streamed snapshot is each
+    // user's LAST session; compare against batch's last session per user
+    val lastBatch = batch
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("session_id").desc)))
+      .filter($"rn" === 1).drop("rn")
+    val joined = streamed.as("s").join(lastBatch.as("b"), "user_id")
+      .filter($"s.session_id" =!= $"b.session_id" || $"s.n_events" =!= $"b.n_events" ||
+        $"s.start_us" =!= $"b.start_us" || $"s.end_us" =!= $"b.end_us")
+    assert(joined.count() === 0)
+  }
+
+  test("multimodal features are deterministic and complete") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val feats = Multimodal.extractFeatures(Multimodal.mediaFromDocuments(docs))
+    assert(feats.count() === docs.count())
+    assert(feats.filter($"feat_width" < 16 || $"feat_width" >= 80).count() === 0)
+    assert(feats.filter(!$"feat_hash".rlike("^[0-9a-f]{32}$")).count() === 0)
+  }
+
+  test("synthetic feed is deterministic and respects the date range") {
+    import spark.implicits._
+    val a = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-11")
+    val b = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-11")
+    assert(a.exceptAll(b).count() === 0 && a.count() === 20)
+    assert(a.filter($"low" > $"high" || $"open" <= 0).count() === 0)
+  }
+
+  test("file feed roundtrips through csv with schema enforcement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_feed").toString
+    val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL"), "2024-01-01", "2024-01-06")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = new Feeds.FileFeed(dir, "csv").fetch(spark, Seq("AAPL"), "2024-01-01", "2024-01-06")
+    assert(back.count() === 5)
+    assert(back.schema.fieldNames.toSeq === Feeds.BarSchema.fieldNames.toSeq)
+  }
+
+  test("partitioned write produces prunable layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")
+    Feeds.writePartitioned(src, dir, Seq("symbol"))
+    assert(new java.io.File(dir).listFiles().exists(_.getName.startsWith("symbol=")))
+    val aapl = spark.read.parquet(dir).filter(col("symbol") === "AAPL")
+    assert(aapl.count() === 5)
+  }
+}
