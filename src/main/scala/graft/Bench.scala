@@ -1,23 +1,35 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every declared query on
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query
+  * seconds. Results are materialized through the noop sink so every
+  * output column is actually computed (a bare count() would let
+  * Catalyst prune the work away).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Session.local(cpus)
+
+    def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    // JVM/codegen warmup on the smallest fixture so the first timed
+    // query doesn't absorb session + JIT startup.
+    try SparkEntry.queries("q_agg_pushdown")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val names   = SparkEntry.queries.keys.toSeq.sorted
+    val results = names.map(n => n -> materialize(n))
+    val qs      = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total   = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,21 @@
+package graft
+
+/** Plan-audit main: dumps formatted physical plans for the queries
+  * whose shape matters most at scale, so pushdown/broadcast/codegen
+  * regressions are visible in review.
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = Session.local(8)
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_agg_pushdown", "q_validate_filter", "q_dim_join", "q_multi_join_agg",
+        "q_tracking_error", "q_daily_returns", "q_ann_bruteforce", "q_minhash_lsh")
+    names.foreach { n =>
+      println(s"\n===== $n =====")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

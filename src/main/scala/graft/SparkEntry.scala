@@ -27,7 +27,7 @@ object SparkEntry {
       Relational.projectTransform(Tables.events(s, dir)).orderBy("event_id")),
     "q_validate_filter" -> ((s, dir) =>
       Relational
-        .validateFilter(Tables.events(s, dir), Seq("click", "purchase"), "2024-01-05", "2024-01-20")
+        .validateFilter(Tables.eventsRange(s, dir, "2024-01-05", "2024-01-20"), Seq("click", "purchase"), "2024-01-05", "2024-01-20")
         .select(col("event_id"), col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"), col("value"))
         .orderBy("event_id")),
     "q_latest_per_key" -> ((s, dir) =>
@@ -102,7 +102,7 @@ object SparkEntry {
       TimeSeries.alphaBeta(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_period_returns" -> ((s, dir) =>
       TimeSeries
-        .periodReturn(Tables.events(s, dir), "2024-01-05", "2024-01-25")
+        .periodReturn(Tables.eventsRange(s, dir, "2024-01-05", "2024-01-25"), "2024-01-05", "2024-01-25")
         .orderBy("user_id")),
     "q_yield_ratio" -> ((s, dir) =>
       TimeSeries.yieldRatio(Tables.events(s, dir), "purchase").orderBy("user_id")),
@@ -244,23 +244,27 @@ object SparkEntry {
         |ORDER BY o_custkey, rnk""".stripMargin,
     "q_daily_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
-        |  round(value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1, 6) AS ret
+        |  round(CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END, 6) AS ret
         |FROM events
-        |QUALIFY value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 IS NOT NULL
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |QUALIFY CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END IS NOT NULL
         |ORDER BY user_id, ts_us""".stripMargin,
     "q_metrics_summary" ->
       """WITH r AS (
-        |  SELECT user_id, value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS ret
-        |  FROM events
+        |  SELECT user_id,
+        |    CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END AS ret
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |  QUALIFY ret IS NOT NULL
         |)
         |SELECT user_id,
         |  round(avg(ret) * 252, 6) AS ann_return,
         |  round(stddev_samp(ret) * sqrt(252), 6) AS volatility,
-        |  round((avg(ret) * 252) / (stddev_samp(ret) * sqrt(252)), 6) AS sharpe
+        |  round(CASE WHEN stddev_samp(ret) != 0
+        |    THEN (avg(ret) * 252) / (stddev_samp(ret) * sqrt(252)) END, 6) AS sharpe
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ytd_return" ->
-      """SELECT user_id, round(max_by(value, ts) / min_by(value, ts) - 1, 6) AS ytd_return
+      """SELECT user_id,
+        |  round(CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END, 6) AS ytd_return
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_max_drawdown" ->
       """WITH rm AS (
@@ -268,12 +272,14 @@ object SparkEntry {
         |    max(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
         |  FROM events
         |)
-        |SELECT user_id, round(min(value / run_max - 1), 6) AS max_drawdown
+        |SELECT user_id, round(min(CASE WHEN run_max != 0 THEN value / run_max - 1 END), 6) AS max_drawdown
         |FROM rm GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_cumulative_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
-        |  round(value / first_value(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS cum_return
-        |FROM events ORDER BY user_id, ts_us""".stripMargin,
+        |  round(CASE WHEN first_value(value) OVER w != 0 THEN value / first_value(value) OVER w END, 6) AS cum_return
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us""".stripMargin,
     "q_sma" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS sma
@@ -298,20 +304,24 @@ object SparkEntry {
         |ORDER BY user_id, ts_us""".stripMargin,
     "q_sortino" ->
       """WITH r AS (
-        |  SELECT user_id, value / lag(value) OVER (PARTITION BY user_id ORDER BY ts) - 1 AS ret
-        |  FROM events
+        |  SELECT user_id,
+        |    CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END AS ret
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |  QUALIFY ret IS NOT NULL
         |)
         |SELECT user_id,
-        |  round(avg(ret - 0.01/252) / stddev_pop(CASE WHEN ret - 0.01/252 < 0 THEN ret - 0.01/252 END), 6) AS sortino
+        |  round(CASE WHEN stddev_pop(CASE WHEN ret - 0.01/252 < 0 THEN ret - 0.01/252 END) != 0
+        |    THEN avg(ret - 0.01/252) / stddev_pop(CASE WHEN ret - 0.01/252 < 0 THEN ret - 0.01/252 END) END, 6) AS sortino
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_tracking_error" ->
       """WITH dc AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
         |  FROM events GROUP BY 1, 2
         |), r AS (
-        |  SELECT user_id, day, close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1 AS ret
-        |  FROM dc QUALIFY ret IS NOT NULL
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
         |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0)
         |SELECT r.user_id,
         |  round(stddev_pop(r.ret - b.bench_ret) * sqrt(252) * 100, 6) AS tracking_error_pct
@@ -323,24 +333,31 @@ object SparkEntry {
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
         |  FROM events GROUP BY 1, 2
         |), r AS (
-        |  SELECT user_id, day, close / lag(close) OVER (PARTITION BY user_id ORDER BY day) - 1 AS ret
-        |  FROM dc QUALIFY ret IS NOT NULL
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
         |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0)
         |SELECT r.user_id,
-        |  round(covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret), 6) AS beta,
-        |  round((avg(r.ret) - covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) * avg(b.bench_ret)) * 252, 6) AS alpha,
-        |  round(pow(corr(r.ret, b.bench_ret), 2), 6) AS r_squared
+        |  round(CASE WHEN var_samp(b.bench_ret) != 0
+        |    THEN covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) END, 6) AS beta,
+        |  round(CASE WHEN var_samp(b.bench_ret) != 0
+        |    THEN (avg(r.ret) - covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) * avg(b.bench_ret)) * 252 END, 6) AS alpha,
+        |  round(CASE WHEN var_samp(r.ret) != 0 AND var_samp(b.bench_ret) != 0
+        |    THEN pow(corr(r.ret, b.bench_ret), 2) END, 6) AS r_squared
         |FROM r JOIN b USING (day)
         |WHERE r.user_id != 0
         |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
     "q_period_returns" ->
-      """SELECT user_id, round(max_by(value, ts) / min_by(value, ts) - 1, 6) AS period_return
+      """SELECT user_id,
+        |  round(CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END, 6) AS period_return
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_yield_ratio" ->
       """SELECT user_id,
-        |  round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) / max_by(value, ts) * 100, 6) AS yield_pct
+        |  round(CASE WHEN max_by(value, ts) != 0
+        |    THEN coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) / max_by(value, ts) * 100 END, 6) AS yield_pct
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sentiment" ->
       """WITH t AS (
@@ -447,11 +464,12 @@ object SparkEntry {
     "q_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
         |), scored AS (
         |  SELECT q.vec_id AS qid, e.vec_id,
-        |    round(list_dot_product(q.v, e.v)
-        |      / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cos
-        |  FROM e q JOIN e ON q.vec_id < 5 AND e.vec_id != q.vec_id
+        |    round(CASE WHEN q.nn * e.nn != 0 THEN list_dot_product(q.v, e.v) / (q.nn * e.nn) END, 6) AS cos
+        |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id != q.vec_id
         |)
         |SELECT qid, vec_id, cos,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
@@ -461,13 +479,14 @@ object SparkEntry {
     "q_embed_neardup" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
         |)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(a.v, b.v)
-        |    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.45
+        |  round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE a.nn * b.nn != 0
+        |  AND round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.45
         |ORDER BY va, vb""".stripMargin,
     "q_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

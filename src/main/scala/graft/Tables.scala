@@ -28,6 +28,22 @@ object Tables {
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }
+
+  /** Range-pruned events scan: the time predicate is applied to the
+    * RAW nano long before the timestamp conversion, so it reaches the
+    * parquet scan as PushedFilters (the conversion expression would
+    * otherwise block pushdown — the difference between a pruned read
+    * and a full 100 TB scan).
+    */
+  def eventsRange(spark: SparkSession, dir: String, startIncl: String, endExcl: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def nanos(d: String): Long =
+      java.time.LocalDate.parse(d).atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(spark, dir, "events")
+      .filter(col("ts") >= nanos(startIncl) && col("ts") < nanos(endExcl))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

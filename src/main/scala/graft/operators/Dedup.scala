@@ -55,27 +55,32 @@ object Dedup {
 
   /** MinHash signatures: k independent "permutations" realized as
     * min over md5(j || ':' || shingle) strings — engine-portable and
-    * a valid uniform hash family.
+    * a valid uniform hash family. All k mins are computed in ONE
+    * groupBy pass (k agg columns), so the shingle set shuffles once
+    * instead of k times.
     */
-  def minhash(documents: DataFrame, k: Int = 8, n: Int = 3): DataFrame =
-    shingles(documents, n)
-      .crossJoin(broadcast(org.apache.spark.sql.SparkSession.active.range(k).select(col("id").as("j"))))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("m"))
+  def minhashWide(documents: DataFrame, k: Int = 8, n: Int = 3): DataFrame = {
+    val mins = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
+    shingles(documents, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
 
-  /** LSH banding (specialized to 2 minhash rows per band): signature
-    * per (doc, band) = md5 of the band's two minhash rows; docs
-    * sharing any band signature are candidates.
+  /** Narrow (doc_id, j, m) view of the signature for library users. */
+  def minhash(documents: DataFrame, k: Int = 8, n: Int = 3): DataFrame = {
+    val stackArgs = (0 until k).map(j => s"${j}L, m$j").mkString(", ")
+    minhashWide(documents, k, n)
+      .select(col("doc_id"), expr(s"stack($k, $stackArgs) as (j, m)"))
+  }
+
+  /** LSH banding (2 minhash rows per band): signature per (doc,
+    * band) = md5 of the band's two minhash columns; docs sharing any
+    * band signature are candidates. Bands come straight off the wide
+    * signature row — no extra shuffle before the bucket join.
     */
   def minhashLshCandidates(documents: DataFrame, k: Int = 8, n: Int = 3): DataFrame = {
-    val sig = minhash(documents, k, n)
-      .groupBy(col("doc_id"), (col("j") / 2).cast("long").as("band"))
-      .agg(
-        md5(concat(
-          min(when(col("j") % 2 === 0, col("m"))),
-          min(when(col("j") % 2 === 1, col("m")))
-        )).as("sig")
-      )
+    val bands = k / 2
+    val stackArgs = (0 until bands).map(b => s"${b}L, md5(concat(m${2 * b}, m${2 * b + 1}))").mkString(", ")
+    val sig = minhashWide(documents, k, n)
+      .select(col("doc_id"), expr(s"stack($bands, $stackArgs) as (band, sig)"))
     sig.as("a")
       .join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -85,21 +90,26 @@ object Dedup {
   }
 
   /** 60-bit SimHash over the token multiset, hashes from md5 hex.
-    * The per-bit explode is fine at corpus scale for verification;
-    * the 100 TB path is a custom TypedImperativeAggregate that folds
-    * tokens into the 60 counters in one pass (SURVEY §7).
+    * Single-pass: one agg per doc with 60 conditional-sum bit
+    * counters (no 60x row blowup), then the counters fold into one
+    * long — the same shape a TypedImperativeAggregate would have,
+    * expressed with codegen'd built-ins.
     */
   def simhash(documents: DataFrame): DataFrame = {
-    val toks = split(lower(col("text")), " ")
+    val toks    = split(lower(col("text")), " ")
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1).otherwise(-1)).as(s"s$b"))
     documents
       .select(col("doc_id"), explode(toks).as("t"))
       .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
-      .crossJoin(broadcast(org.apache.spark.sql.SparkSession.active.range(60).select(col("id").cast("int").as("b"))))
-      .withColumn("contrib", when(expr("shiftright(h, b) % 2") === 1, lit(1)).otherwise(lit(-1)))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum("contrib").as("s"))
       .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(lit(0L))).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col("doc_id"),
+        (0 until 60)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist —

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -8,28 +8,40 @@ import graft.functions.VectorFunctions._
 
 /** Similarity search over an embedding column (Array[Float]):
   * brute-force cosine top-k as the exact baseline (FAISS-retriever
-  * analog, reference pdf_rag_chatbot.py k=5), plus a random-
-  * hyperplane LSH bucketed variant as the 100 TB path — buckets
-  * bound the pair space, the broadcast query side never shuffles
-  * the corpus.
+  * analog, reference pdf_rag_chatbot.py k=5), a block-partitioned
+  * exact all-pairs sweep, and a random-hyperplane LSH bucketed
+  * variant as the 100 TB path.
+  *
+  * Scale notes: norms are computed once per vector, never per pair;
+  * the all-pairs sweep groups vectors into fixed-size blocks and
+  * runs a tight JVM dot-product loop per block pair (a distributed
+  * blocked GEMM — shuffle volume is O(n·d), compute is spread over
+  * block pairs, no driver-side collection); LSH bounds the candidate
+  * space when even blocked n^2 is too much.
   */
 object Similarity {
 
-  private def withVec(embeddings: DataFrame): DataFrame =
-    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+  case class IdVec(vec_id: Long, v: Array[Double])
+  case class Pair(va: Long, vb: Long, cos: Double)
+
+  private def withVecNorm(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
 
   /** Exact top-k by cosine for a set of query vectors. Ranking uses
     * the 6-dp-rounded score (ties broken by vec_id) so results are
     * stable across engines and runs.
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val e = withVec(embeddings)
+    val e = withVecNorm(embeddings)
     val q = broadcast(
       e.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").as("qid"), col("v").as("qv")))
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm")))
     val scored = e
       .join(q, col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v")), 6))
+      .withColumn("cos",
+        round(when(col("qnrm") * col("nrm") =!= 0, dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -37,17 +49,44 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
   }
 
-  /** All embedding pairs with cosine >= threshold (near-dup sweep).
-    * Exact form for verification; at scale route through lshTopK
-    * buckets first.
+  /** Exact all-pairs cosine >= threshold via blocked self-join:
+    * vectors are grouped into blocks of `blockSize`, block pairs
+    * cross-joined, and each pair of blocks scanned in a tight loop.
+    * Dot/norm accumulation is sequential in element order, so
+    * results are bit-identical to a sequential oracle.
     */
-  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double): DataFrame = {
-    val e = withVec(embeddings)
-    e.as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
-      .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, blockSize: Int = 512): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val blocks = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("blk", (col("vec_id") / blockSize).cast("long"))
+      .groupBy("blk")
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+    val pairsOfBlocks = blocks.as("a")
+      .join(blocks.as("b"), col("a.blk") <= col("b.blk"))
+      .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))
+      .as[(Seq[IdVec], Seq[IdVec])]
+    pairsOfBlocks
+      .flatMap { case (avs, bvs) =>
+        def dotd(x: Array[Double], y: Array[Double]): Double = {
+          var s = 0.0; var i = 0
+          while (i < x.length) { s += x(i) * y(i); i += 1 }
+          s
+        }
+        val an = avs.map(r => math.sqrt(dotd(r.v, r.v)))
+        val bn = bvs.map(r => math.sqrt(dotd(r.v, r.v)))
+        for {
+          (a, i) <- avs.iterator.zipWithIndex
+          (b, j) <- bvs.iterator.zipWithIndex
+          if a.vec_id < b.vec_id
+          denom = an(i) * bn(j)
+          if denom != 0
+          c = BigDecimal(dotd(a.v, b.v) / denom).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if c >= threshold
+        } yield Pair(a.vec_id, b.vec_id, c)
+      }
+      .toDF("va", "vb", "cos")
   }
 
   /** Random-hyperplane LSH bucket per vector: `planes` sign bits,
@@ -55,9 +94,9 @@ object Similarity {
     * deterministic, no stored model. Vectors sharing a bucket are
     * candidate neighbors; exact cosine runs only within buckets.
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
-    val e = withVec(embeddings)
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
       .crossJoin(broadcast(
         org.apache.spark.sql.SparkSession.active.range(planes).select(col("id").cast("int").as("p"))))
       // deterministic +-1 direction for (plane, dim) from one md5 hex char
@@ -68,16 +107,15 @@ object Similarity {
       .agg(sum(col("x") * col("dir")).as("proj"))
       .groupBy(col("vec_id"))
       .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, p)")).otherwise(lit(0L))).as("bucket"))
-    e
-  }
 
   /** Bucketed near-dup: exact cosine only within LSH buckets. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
     val b = lshBuckets(embeddings, planes)
-    val e = withVec(embeddings).join(b, "vec_id")
+    val e = withVecNorm(embeddings).join(b, "vec_id")
     e.as("a")
       .join(e.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", round(cosine(col("a.v"), col("b.v")), 6))
+      .withColumn("cos",
+        round(when(col("a.nrm") * col("b.nrm") =!= 0, dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))), 6))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
   }

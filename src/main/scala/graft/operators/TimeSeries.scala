@@ -27,10 +27,15 @@ object TimeSeries {
   private def wk(key: String, ts: String): org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(key).orderBy(ts)
 
-  /** pct_change per key: ret_t = v_t / v_{t-1} - 1. */
-  def dailyReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
-    df.withColumn("ret", col(v) / lag(col(v), 1).over(wk(key, ts)) - 1)
+  /** pct_change per key: ret_t = v_t / v_{t-1} - 1. A zero previous
+    * value has no defined return — excluded (and guarded so ANSI
+    * mode never throws on divide-by-zero).
+    */
+  def dailyReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val prev = lag(col(v), 1).over(wk(key, ts))
+    df.withColumn("ret", when(prev =!= 0, col(v) / prev - 1))
       .filter(col("ret").isNotNull)
+  }
 
   /** Annualized mean return, volatility (sample std), Sharpe per key. */
   def metricsSummary(returns: DataFrame, key: String = "user_id"): DataFrame =
@@ -39,28 +44,34 @@ object TimeSeries {
       .agg(
         round(avg("ret") * TradingDays, 6).as("ann_return"),
         round(stddev_samp(col("ret")) * math.sqrt(TradingDays), 6).as("volatility"),
-        round((avg("ret") * TradingDays) / (stddev_samp(col("ret")) * math.sqrt(TradingDays)), 6).as("sharpe")
+        round(
+          when(stddev_samp(col("ret")) =!= 0,
+            (avg("ret") * TradingDays) / (stddev_samp(col("ret")) * math.sqrt(TradingDays))),
+          6).as("sharpe")
       )
 
   /** Point-to-point return over the observed range: last/first - 1. */
   def ytdReturn(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.groupBy(col(key))
-      .agg(round(max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1, 6).as("ytd_return"))
+      .agg(round(
+        when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1),
+        6).as("ytd_return"))
 
   /** Max drawdown: running max, then min of (v/runmax - 1) per key. */
   def maxDrawdown(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val w = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("run_max", max(col(v)).over(w))
       .groupBy(col(key))
-      .agg(round(min(col(v) / col("run_max") - 1), 6).as("max_drawdown"))
+      .agg(round(min(when(col("run_max") =!= 0, col(v) / col("run_max") - 1)), 6).as("max_drawdown"))
   }
 
   /** Growth of $1 per key. (1+pct_change).cumprod() telescopes to
     * v_t / v_first — exact, one window pass, no log/exp error.
     */
   def cumulativeReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
-    val w = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("cum_return", round(col(v) / first(col(v)).over(w), 6))
+    val w  = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f0 = first(col(v)).over(w)
+    df.withColumn("cum_return", round(when(f0 =!= 0, col(v) / f0), 6))
   }
 
   /** Generic compounding for a pre-computed return series (non-
@@ -106,7 +117,8 @@ object TimeSeries {
       .groupBy(col(key))
       .agg(
         round(
-          avg(excess) / stddev_pop(when(excess < 0, excess)),
+          when(stddev_pop(when(excess < 0, excess)) =!= 0,
+            avg(excess) / stddev_pop(when(excess < 0, excess))),
           6
         ).as("sortino")
       )
@@ -120,10 +132,12 @@ object TimeSeries {
       .agg(max_by(col(v), col(ts)).as("close"))
 
   /** Daily returns on the daily-close grid. */
-  def dailyCloseReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+  def dailyCloseReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val prev = lag(col("close"), 1).over(Window.partitionBy(key).orderBy("day"))
     dailyClose(df, key, ts, v)
-      .withColumn("ret", col("close") / lag(col("close"), 1).over(Window.partitionBy(key).orderBy("day")) - 1)
+      .withColumn("ret", when(prev =!= 0, col("close") / prev - 1))
       .filter(col("ret").isNotNull)
+  }
 
   /** Annualized tracking error of every key vs a benchmark key:
     * population std of the per-day return difference * sqrt(252).
@@ -154,12 +168,14 @@ object TimeSeries {
       .join(bench, "day")
       .groupBy(col(key))
       .agg(
-        round(covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")), 6).as("beta"),
-        round(
-          (avg(col("ret")) - covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")) * avg(col("bench_ret"))) * TradingDays,
+        round(when(var_samp(col("bench_ret")) =!= 0,
+          covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret"))), 6).as("beta"),
+        round(when(var_samp(col("bench_ret")) =!= 0,
+          (avg(col("ret")) - covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")) * avg(col("bench_ret"))) * TradingDays),
           6
         ).as("alpha"),
-        round(pow(corr(col("ret"), col("bench_ret")), 2), 6).as("r_squared")
+        round(when(var_samp(col("ret")) =!= 0 && var_samp(col("bench_ret")) =!= 0,
+          pow(corr(col("ret"), col("bench_ret")), 2)), 6).as("r_squared")
       )
   }
 
@@ -169,7 +185,9 @@ object TimeSeries {
   def periodReturn(df: DataFrame, start: String, end: String, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.filter(col(ts) >= lit(start).cast("timestamp") && col(ts) < lit(end).cast("timestamp"))
       .groupBy(col(key))
-      .agg(round(max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1, 6).as("period_return"))
+      .agg(round(
+        when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1),
+        6).as("period_return"))
 
   /** Dividend-yield analog: total flow of one event kind over the
     * latest observed level, as a percentage.
@@ -178,7 +196,8 @@ object TimeSeries {
     df.groupBy(col(key))
       .agg(
         round(
-          coalesce(sum(when(col("event_type") === flowType, col(v))), lit(0.0)) / max_by(col(v), col(ts)) * 100,
+          when(max_by(col(v), col(ts)) =!= 0,
+            coalesce(sum(when(col("event_type") === flowType, col(v))), lit(0.0)) / max_by(col(v), col(ts)) * 100),
           6
         ).as("yield_pct")
       )
