@@ -57,6 +57,18 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_topn_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(Tables.orders(s, dir), 3).orderBy("o_custkey", "rnk")),
+    "q_filter_agg" -> ((s, dir) =>
+      Relational.filterAgg(Tables.lineitem(s, dir), "1996-01-01", "1997-01-01")),
+    "q_semi_join" -> ((s, dir) =>
+      Relational
+        .semiJoinPriority(Tables.orders(s, dir), Tables.lineitem(s, dir), 45)
+        .orderBy("o_orderpriority")),
+    "q_anti_join" -> ((s, dir) =>
+      Relational
+        .antiJoinIdle(Tables.customer(s, dir), Tables.orders(s, dir), 450000)
+        .orderBy("c_mktsegment")),
+    "q_json_extract" -> ((s, dir) =>
+      Relational.jsonExtractAgg(Tables.events(s, dir)).orderBy("event_type")),
 
     // ---- B. financial analytics ---------------------------------------
     "q_daily_returns" -> ((s, dir) =>
@@ -127,9 +139,9 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), 3, 0.8).orderBy("da", "db")),
     "q_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshCandidates(Tables.documents(s, dir)).orderBy("da", "db")),
+      Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)).orderBy("da", "db")),
     "q_simhash" -> ((s, dir) =>
-      Dedup.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+      Dedup.simhashFast(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ---- E. similarity search -----------------------------------------
     "q_ann_bruteforce" -> ((s, dir) =>
@@ -242,6 +254,27 @@ object SparkEntry {
         |)
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk""".stripMargin,
+    "q_filter_agg" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue, count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_idle_customers
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_daily_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  round(CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END, 6) AS ret

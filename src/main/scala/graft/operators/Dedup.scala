@@ -112,6 +112,35 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** SimHash via the custom Catalyst expression: the whole fold runs
+    * per row inside the scan stage — zero shuffle, the 100 TB path.
+    * Bit-identical to simhash() (asserted in spec).
+    */
+  def simhashFast(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
+  }
+
+  /** MinHash-LSH candidates via the custom signature expression:
+    * signatures per row in the scan stage; only the (band, sig)
+    * pairs shuffle for the bucket join.
+    */
+  def minhashLshCandidatesFast(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val bandExprs = (0 until 4)
+      .map(b => s"${b}L, md5(concat(mh[${2 * b}], mh[${2 * b + 1}]))").mkString(", ")
+    val sig = documents
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id"), expr(s"stack(4, $bandExprs) as (band, sig)"))
+    sig.as("a")
+      .join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist —
     * library-level helper (pairs all docs; use LSH bucketing on
     * simhash prefixes for the at-scale path).

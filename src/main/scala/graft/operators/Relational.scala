@@ -124,6 +124,49 @@ object Relational {
         count(lit(1)).as("n_obs")
       )
 
+  /** Q6-style single-pass filter + global aggregate: every predicate
+    * reaches the scan; no shuffle at all (partial aggs + one final
+    * reduce).
+    */
+  def filterAgg(lineitem: DataFrame, shipFrom: String, shipTo: String): DataFrame =
+    lineitem
+      .filter(
+        col("l_shipdate") >= lit(shipFrom).cast("timestamp") &&
+          col("l_shipdate") < lit(shipTo).cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  /** EXISTS-style rollup via left-semi join: orders with at least one
+    * qualifying line item, counted by priority. The semi join only
+    * ships join keys — no payload duplication.
+    */
+  def semiJoinPriority(orders: DataFrame, lineitem: DataFrame, minQty: Double): DataFrame =
+    orders
+      .join(lineitem.filter(col("l_quantity") > minQty), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** NOT-EXISTS via left-anti join: customers with no high-value
+    * order, by market segment. The price filter lands on the orders
+    * scan before the anti join ships any keys.
+    */
+  def antiJoinIdle(customer: DataFrame, orders: DataFrame, minPrice: Double): DataFrame =
+    customer
+      .join(orders.filter(col("o_totalprice") > minPrice), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_idle_customers"))
+
+  /** Semi-structured extraction: pull a typed field out of a JSON
+    * props column (codegen'd path, no UDF) and aggregate on it.
+    */
+  def jsonExtractAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+
   /** Top-N per group (top holdings / peer ranking analog): rank
     * window after a single shuffle on the group key.
     */

@@ -33,6 +33,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(avgNear < 12, s"near-dup avg simhash distance $avgNear too high")
   }
 
+  test("custom simhash expression is bit-identical to the composed plan") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val a    = Dedup.simhash(docs)
+    val b    = Dedup.simhashFast(docs)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
+  test("custom minhash expression yields the same LSH candidates as the composed plan") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val a    = Dedup.minhashLshCandidates(docs)
+    val b    = Dedup.minhashLshCandidatesFast(docs)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+  }
+
   test("brute-force topk returns k ranked neighbors per query") {
     import spark.implicits._
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 5)
