@@ -69,6 +69,21 @@ object SparkEntry {
         .orderBy("c_mktsegment")),
     "q_json_extract" -> ((s, dir) =>
       Relational.jsonExtractAgg(Tables.events(s, dir)).orderBy("event_type")),
+    "q_percentiles" -> ((s, dir) =>
+      Stats.percentiles(Tables.events(s, dir)).orderBy("event_type")),
+    "q_histogram" -> ((s, dir) =>
+      Stats.histogram(Tables.events(s, dir), 50.0).orderBy("bin")),
+    "q_rollup" -> ((s, dir) =>
+      Stats.rollupSummary(Tables.events(s, dir)).orderBy("event_type", "cohort")),
+    "q_distinct_counts" -> ((s, dir) =>
+      Stats.distinctCounts(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_clean_normalize" -> ((s, dir) =>
+      Stats.cleanNormalize(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_fill_forward" -> ((s, dir) =>
+      Stats.fillForward(Tables.events(s, dir)).orderBy("user_id", "ts_us")),
+    "q_resample_ffill" -> ((s, dir) =>
+      Stats.resampleDailyFfill(Tables.events(s, dir), "2024-01-01", "2024-01-30")
+        .orderBy("user_id", "day")),
 
     // ---- B. financial analytics ---------------------------------------
     "q_daily_returns" -> ((s, dir) =>
@@ -275,6 +290,52 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
+        |  round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+        |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(user_id % 10, -1) AS cohort,
+        |  count(*) AS n, round(sum(value), 6) AS total
+        |FROM events
+        |GROUP BY ROLLUP(event_type, user_id % 10)
+        |ORDER BY event_type, cohort""".stripMargin,
+    "q_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_clean_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fill_forward" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+        |FROM events ORDER BY user_id, ts_us""".stripMargin,
+    "q_resample_ffill" ->
+      """WITH grid AS (
+        |  SELECT user_id, unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM events)
+        |), closes AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+        |  round(last_value(c.close IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close_ffill
+        |FROM grid g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
+        |ORDER BY g.user_id, day""".stripMargin,
     "q_daily_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  round(CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END, 6) AS ret

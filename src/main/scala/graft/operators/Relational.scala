@@ -167,6 +167,30 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Skew-resistant equi-join: the fact side gets a deterministic
+    * salt in [0, nSalts) derived from a row key, the dim side is
+    * replicated once per salt, and the join runs on (key, salt) — a
+    * hot key's rows spread over nSalts reducers instead of one.
+    * Results are identical to the plain join (asserted in spec).
+    * AQE's skew-join handles the moderate cases automatically; this
+    * is the explicit tool for pathological keys.
+    */
+  def saltedJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltSource: String,
+      nSalts: Int
+  ): DataFrame = {
+    val salted = fact.withColumn("__salt", pmod(col(saltSource), lit(nSalts)))
+    val replicated = dim.crossJoin(
+      broadcast(dim.sparkSession.range(nSalts).select(col("id").as("__salt"))))
+    salted
+      .join(replicated, salted("__salt") === replicated("__salt") && col(factKey) === col(dimKey))
+      .drop("__salt")
+  }
+
   /** Top-N per group (top holdings / peer ranking analog): rank
     * window after a single shuffle on the group key.
     */

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution statistics, multi-level rollups, data cleaning and
+  * gap handling — the summary/quality layer of the analytics engine.
+  *
+  * Scale notes: percentile here is the exact single-pass aggregate
+  * (fine up to huge groups since it buffers per group key, and group
+  * count is bounded); for unbounded cardinality switch to
+  * approx_percentile (t-digest) — same plan shape. countDistinct
+  * expands to a two-level aggregate (partial distinct per partition,
+  * final merge) — the HLL sketch (approx_count_distinct) is the
+  * 100 TB default when exactness isn't required.
+  */
+object Stats {
+
+  /** Exact quantiles per group (linear interpolation — the same
+    * definition DuckDB's quantile_cont and numpy's percentile use).
+    */
+  def percentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(Array(0.25, 0.5, 0.9))).as("qs"))
+      .select(
+        col("event_type"),
+        round(element_at(col("qs"), 1), 6).as("p25"),
+        round(element_at(col("qs"), 2), 6).as("p50"),
+        round(element_at(col("qs"), 3), 6).as("p90"))
+
+  /** Fixed-width value histogram: one groupBy, bins as floor-div. */
+  def histogram(events: DataFrame, width: Double): DataFrame =
+    events
+      .groupBy(floor(col("value") / width).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min("value"), 6).as("bin_min"), round(max("value"), 6).as("bin_max"))
+
+  /** Multi-level ROLLUP summary with sentinel labels instead of the
+    * engine-dependent NULL group markers.
+    */
+  def rollupSummary(events: DataFrame): DataFrame =
+    events
+      .withColumn("cohort", pmod(col("user_id"), lit(10)))
+      .rollup(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("cohort"), lit(-1L)).as("cohort"),
+        col("n"), col("total"))
+
+  /** Exact distinct counts per group (two-level partial-distinct
+    * aggregation; HLL for the approximate path at scale).
+    */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"),
+        count(lit(1)).as("n_lines"))
+
+  /** Text cleaning pipeline: lower, strip non-alphanumerics,
+    * collapse runs of spaces, trim — all codegen'd regexes.
+    */
+  def cleanNormalize(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("norm_text"))
+      .withColumn("norm_fp", md5(col("norm_text")))
+
+  /** Forward-fill: treat one event kind as a missing observation and
+    * carry the last valid value forward per key.
+    */
+  def fillForward(events: DataFrame, missingType: String = "error"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.select(
+      col("user_id"), unix_micros(col("ts")).as("ts_us"),
+      round(last(when(col("event_type") =!= missingType, col("value")), ignoreNulls = true).over(w), 6)
+        .as("value_filled"))
+  }
+
+  /** Gap-fill to a daily grid: per key, generate every calendar day
+    * in the range, left-join the observed daily close, forward-fill
+    * the gaps. The grid explode is per key (narrow), the join is on
+    * (key, day) — one shuffle.
+    */
+  def resampleDailyFfill(events: DataFrame, start: String, end: String): DataFrame = {
+    val grid = events
+      .select(col("user_id")).distinct()
+      .withColumn("day",
+        explode(sequence(lit(start).cast("date"), lit(end).cast("date"), expr("interval 1 day"))))
+      .withColumn("day", col("day").cast("timestamp"))
+    val closes = TimeSeries.dailyClose(events)
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(closes, Seq("user_id", "day"), "left")
+      .select(
+        col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(last(col("close"), ignoreNulls = true).over(w), 6).as("close_ffill"))
+  }
+}

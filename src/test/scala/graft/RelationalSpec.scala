@@ -36,6 +36,16 @@ class RelationalSpec extends AnyFunSuite {
     assert(dup === 0)
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val o  = Tables.orders(spark, sf)
+    val plain  = li.join(o, $"l_orderkey" === $"o_orderkey").select($"l_orderkey", $"l_linenumber", $"o_totalprice")
+    val salted = Relational.saltedJoin(li, o, "l_orderkey", "o_orderkey", "l_partkey", 8)
+      .select($"l_orderkey", $"l_linenumber", $"o_totalprice")
+    assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
+  }
+
   test("topn caps group size") {
     val df = Relational.topNPerGroup(Tables.orders(spark, sf), 3)
     import spark.implicits._
