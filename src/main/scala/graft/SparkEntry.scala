@@ -89,7 +89,7 @@ object SparkEntry {
     "q_daily_returns" -> ((s, dir) =>
       TimeSeries
         .dailyReturns(Tables.events(s, dir))
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), round(col("ret"), 6).as("ret"))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ret"))
         .orderBy("user_id", "ts_us")),
     "q_metrics_summary" -> ((s, dir) =>
       TimeSeries
@@ -114,6 +114,11 @@ object SparkEntry {
         .ema(Tables.events(s, dir), 20)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ema"))
         .orderBy("user_id", "ts_us")),
+    // rows-only: recursive fold vs the closed form differ at ~1e-10,
+    // beyond what 6-dp rounding can make hash-stable; equivalence is
+    // spec-asserted against q_ema's last row instead.
+    "q_ema_fold" -> ((s, dir) =>
+      TimeSeries.emaFold(Tables.events(s, dir), 20).orderBy("user_id")),
     "q_trend_flag" -> ((s, dir) =>
       TimeSeries
         .trendFlag(Tables.events(s, dir))
@@ -194,11 +199,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
-        |  round(sum(l_quantity), 6) AS sum_qty,
-        |  round(sum(l_extendedprice), 6) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1998-12-01'
@@ -206,16 +211,16 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_transform_project" ->
       """SELECT event_id, user_id AS ticker_id, event_type AS field,
-        |  round(value, 6) AS px, strftime(ts, '%Y-%m-%d') AS px_date
+        |  value AS px, strftime(ts, '%Y-%m-%d') AS px_date
         |FROM events ORDER BY event_id""".stripMargin,
     "q_validate_filter" ->
-      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, round(value, 6) AS value
+      """SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-20'
         |  AND upper(event_type) IN ('CLICK', 'PURCHASE')
         |ORDER BY event_id""".stripMargin,
     "q_latest_per_key" ->
-      """SELECT user_id, epoch_us(ts) AS ts_us, event_type, round(value, 6) AS value
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_type, value
         |FROM (
         |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events
@@ -223,7 +228,7 @@ object SparkEntry {
         |ORDER BY user_id""".stripMargin,
     "q_dim_join" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
-        |  count(*) AS n_customers, round(sum(c_acctbal), 6) AS total_acctbal
+        |  count(*) AS n_customers, CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -231,7 +236,7 @@ object SparkEntry {
         |ORDER BY region_name, nation_name""".stripMargin,
     "q_multi_join_agg" ->
       """SELECT n_name AS nation_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         |  count(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -242,26 +247,26 @@ object SparkEntry {
         |ORDER BY nation_name""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  round(sum(value) FILTER (event_type = 'click'), 6) AS click,
-        |  round(sum(value) FILTER (event_type = 'error'), 6) AS error,
-        |  round(sum(value) FILTER (event_type = 'purchase'), 6) AS purchase,
-        |  round(sum(value) FILTER (event_type = 'signup'), 6) AS signup,
-        |  round(sum(value) FILTER (event_type = 'view'), 6) AS view
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE) AS error,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE) AS view
         |FROM events
         |GROUP BY date_trunc('day', ts)
         |ORDER BY day""".stripMargin,
     "q_ohlc_resample" ->
       """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  round(min_by(value, ts), 6) AS open,
-        |  round(max(value), 6) AS high,
-        |  round(min(value), 6) AS low,
-        |  round(max_by(value, ts), 6) AS close,
+        |  min_by(value, ts) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max_by(value, ts) AS close,
         |  count(*) AS n_obs
         |FROM events
         |GROUP BY user_id, date_trunc('day', ts)
         |ORDER BY user_id, day""".stripMargin,
     "q_topn_per_group" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rnk
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk
         |FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
@@ -270,7 +275,7 @@ object SparkEntry {
         |WHERE rnk <= 3
         |ORDER BY o_custkey, rnk""".stripMargin,
     "q_filter_agg" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue, count(*) AS n_lines
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, count(*) AS n_lines
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
@@ -298,12 +303,12 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_histogram" ->
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
-        |  round(min(value), 6) AS bin_min, round(max(value), 6) AS bin_max
+        |  min(value) AS bin_min, max(value) AS bin_max
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(user_id % 10, -1) AS cohort,
-        |  count(*) AS n, round(sum(value), 6) AS total
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY ROLLUP(event_type, user_id % 10)
         |ORDER BY event_type, cohort""".stripMargin,
@@ -320,8 +325,8 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fill_forward" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
-        |  round(last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
-        |    OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value_filled
+        |  last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
         |FROM events ORDER BY user_id, ts_us""".stripMargin,
     "q_resample_ffill" ->
       """WITH grid AS (
@@ -332,13 +337,13 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
-        |  round(last_value(c.close IGNORE NULLS)
-        |    OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS close_ffill
+        |  last_value(c.close IGNORE NULLS)
+        |    OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
         |FROM grid g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
         |ORDER BY g.user_id, day""".stripMargin,
     "q_daily_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
-        |  round(CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END, 6) AS ret
+        |  CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END AS ret
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |QUALIFY CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END IS NOT NULL
@@ -358,7 +363,7 @@ object SparkEntry {
         |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_ytd_return" ->
       """SELECT user_id,
-        |  round(CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END, 6) AS ytd_return
+        |  CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END AS ytd_return
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_max_drawdown" ->
       """WITH rm AS (
@@ -366,11 +371,11 @@ object SparkEntry {
         |    max(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
         |  FROM events
         |)
-        |SELECT user_id, round(min(CASE WHEN run_max != 0 THEN value / run_max - 1 END), 6) AS max_drawdown
+        |SELECT user_id, min(CASE WHEN run_max != 0 THEN value / run_max - 1 END) AS max_drawdown
         |FROM rm GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_cumulative_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
-        |  round(CASE WHEN first_value(value) OVER w != 0 THEN value / first_value(value) OVER w END, 6) AS cum_return
+        |  CASE WHEN first_value(value) OVER w != 0 THEN value / first_value(value) OVER w END AS cum_return
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us""".stripMargin,
@@ -444,14 +449,15 @@ object SparkEntry {
         |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
     "q_period_returns" ->
       """SELECT user_id,
-        |  round(CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END, 6) AS period_return
+        |  CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END AS period_return
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_yield_ratio" ->
       """SELECT user_id,
-        |  round(CASE WHEN max_by(value, ts) != 0
-        |    THEN coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0) / max_by(value, ts) * 100 END, 6) AS yield_pct
+        |  CASE WHEN max_by(value, ts) != 0
+        |    THEN coalesce(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,2))) AS DOUBLE), 0)
+        |      / max_by(value, ts) * 100 END AS yield_pct
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_sentiment" ->
       """WITH t AS (
@@ -460,7 +466,7 @@ object SparkEntry {
         |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('slow','small','error','bad','down')))::DOUBLE AS n
         |  FROM documents
         |)
-        |SELECT doc_id, CASE WHEN p + n > 0 THEN round((p - n) / (p + n), 6) ELSE 0.0 END AS polarity
+        |SELECT doc_id, CASE WHEN p + n > 0 THEN (p - n) / (p + n) ELSE 0.0 END AS polarity
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
@@ -490,11 +496,11 @@ object SparkEntry {
         |FROM h ORDER BY doc_id""".stripMargin,
     "q_quality_score" ->
       """SELECT doc_id,
-        |  round(least(len(text)::DOUBLE / 500.0, 1.0) * 0.4
+        |  least(len(text)::DOUBLE / 500.0, 1.0) * 0.4
         |    + (len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','el','la','y','de','le','les','et','des','der','die','und','von','de5','shi4','le5','zai4')))::DOUBLE
         |       / len(string_split(lower(text), ' '))::DOUBLE) * 0.3
         |    + (len(list_filter(string_split(lower(text), ' '), x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
-        |       / len(string_split(lower(text), ' '))::DOUBLE) * 0.3, 6) AS quality
+        |       / len(string_split(lower(text), ' '))::DOUBLE) * 0.3 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp_short
@@ -521,9 +527,9 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY a.doc_id, b.doc_id
         |)
-        |SELECT da, db, round(i::DOUBLE / (x.n + y.n - i), 6) AS jaccard
+        |SELECT da, db, i::DOUBLE / (x.n + y.n - i) AS jaccard
         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
-        |WHERE round(i::DOUBLE / (x.n + y.n - i), 6) >= 0.8
+        |WHERE i::DOUBLE / (x.n + y.n - i) >= 0.8
         |ORDER BY da, db""".stripMargin,
     "q_minhash_lsh" ->
       """WITH sh AS (
@@ -562,7 +568,7 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
         |), scored AS (
         |  SELECT q.vec_id AS qid, e.vec_id,
-        |    round(CASE WHEN q.nn * e.nn != 0 THEN list_dot_product(q.v, e.v) / (q.nn * e.nn) END, 6) AS cos
+        |    CASE WHEN q.nn * e.nn != 0 THEN list_dot_product(q.v, e.v) / (q.nn * e.nn) END AS cos
         |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id != q.vec_id
         |)
         |SELECT qid, vec_id, cos,
@@ -577,14 +583,14 @@ object SparkEntry {
         |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
         |)
         |SELECT a.vec_id AS va, b.vec_id AS vb,
-        |  round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) AS cos
+        |  list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
         |WHERE a.nn * b.nn != 0
-        |  AND round(list_dot_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.45
+        |  AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
         |ORDER BY va, vb""".stripMargin,
     "q_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, count(*) AS n, round(sum(value), 6) AS total
+        |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM events
         |GROUP BY time_bucket(INTERVAL '6 hours', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
@@ -602,7 +608,7 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
-        |  round(sum(value), 6) AS total_value
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
     "q_multimodal_features" ->

@@ -27,7 +27,7 @@ object TextFunctions {
   def sentimentPolarity(text: Column, pos: Seq[String], neg: Seq[String]): Column = {
     val p = lexiconHits(text, pos).cast("double")
     val n = lexiconHits(text, neg).cast("double")
-    when(p + n > 0, round((p - n) / (p + n), 6)).otherwise(lit(0.0))
+    when(p + n > 0, (p - n) / (p + n)).otherwise(lit(0.0))
   }
 
   /** Alphanumeric-run token count (BPE-ish regex tokenizer proxy). */

@@ -48,7 +48,7 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
       .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
-      .withColumn("jaccard", round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))
   }

@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object Relational {
 
+  /** Money columns carry exactly 2 decimal places, so summing them
+    * as DECIMAL is exact and engine/order-independent — unlike
+    * double sums, whose accumulation-order jitter outgrows any fixed
+    * rounding once groups reach millions of rows. Final cast back to
+    * double is a unique nearest-value mapping, identical everywhere.
+    */
+  private val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+  private def dsum(c: org.apache.spark.sql.Column) = sum(c.cast(Money)).cast("double")
+
   /** Flagship pricing rollup (TPC-H Q1 shape): scan-side filter +
     * map-side partial aggregation; one shuffle on the group keys.
     */
@@ -25,11 +34,12 @@ object Relational {
       .filter(col("l_shipdate") < lit(shipBefore).cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum("l_quantity"), 6).as("sum_qty"),
-        round(sum("l_extendedprice"), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money)))
+          .cast("double").as("sum_disc_price"),
+        (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order")
       )
       .orderBy("l_returnflag", "l_linestatus")
@@ -42,7 +52,7 @@ object Relational {
       col("event_id"),
       col("user_id").as("ticker_id"),
       col("event_type").as("field"),
-      round(col("value"), 6).as("px"),
+      col("value").as("px"),
       date_format(col("ts"), "yyyy-MM-dd").as("px_date")
     )
 
@@ -53,7 +63,7 @@ object Relational {
     events
       .filter(col("ts") >= lit(startTs).cast("timestamp") && col("ts") < lit(endTs).cast("timestamp"))
       .filter(upper(col("event_type")).isin(types.map(_.toUpperCase): _*))
-      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), round(col("value"), 6).as("value"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
 
   /** Latest observation per key (the reference keeps one row per
     * ticker): single shuffle by key, window rank, filter.
@@ -63,7 +73,7 @@ object Relational {
     events
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("ts"), col("event_type"), round(col("value"), 6).as("value"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
   }
 
   /** Dimension enrichment (peer-group lookup analog): small dims are
@@ -76,7 +86,7 @@ object Relational {
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(
         count(lit(1)).as("n_customers"),
-        round(sum("c_acctbal"), 6).as("total_acctbal")
+        dsum(col("c_acctbal")).as("total_acctbal")
       )
 
   /** Star-join rollup: revenue by nation for a marketsegment — joins
@@ -95,7 +105,8 @@ object Relational {
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name").as("nation_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("revenue"),
+        sum(col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money)))
+          .cast("double").as("revenue"),
         count(lit(1)).as("n_lines")
       )
 
@@ -107,7 +118,7 @@ object Relational {
     events
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .pivot("event_type", types)
-      .agg(round(sum("value"), 6))
+      .agg(sum(col("value").cast(Money)).cast("double"))
 
   /** Interval OHLC resample (candlestick analog): per key+day bar
     * with deterministic open/close via arg-min/arg-max on ts —
@@ -117,10 +128,10 @@ object Relational {
     events
       .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .agg(
-        round(min_by(col("value"), col("ts")), 6).as("open"),
-        round(max("value"), 6).as("high"),
-        round(min("value"), 6).as("low"),
-        round(max_by(col("value"), col("ts")), 6).as("close"),
+        min_by(col("value"), col("ts")).as("open"),
+        max("value").as("high"),
+        min("value").as("low"),
+        max_by(col("value"), col("ts")).as("close"),
         count(lit(1)).as("n_obs")
       )
 
@@ -134,7 +145,8 @@ object Relational {
         col("l_shipdate") >= lit(shipFrom).cast("timestamp") &&
           col("l_shipdate") < lit(shipTo).cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 6).as("revenue"),
+      .agg(sum(col("l_extendedprice").cast(Money) * col("l_discount").cast(Money))
+        .cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
 
   /** EXISTS-style rollup via left-semi join: orders with at least one
@@ -199,7 +211,7 @@ object Relational {
     orders
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= n)
-      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 6).as("o_totalprice"),
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         // long to match the oracle engine's BIGINT row_number
         col("rnk").cast("long").as("rnk"))
   }

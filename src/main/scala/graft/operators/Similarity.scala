@@ -29,9 +29,10 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Exact top-k by cosine for a set of query vectors. Ranking uses
-    * the 6-dp-rounded score (ties broken by vec_id) so results are
-    * stable across engines and runs.
+  /** Exact top-k by cosine for a set of query vectors. Scores are
+    * unrounded: dot/norm accumulate sequentially in element order in
+    * every engine, so the doubles are bit-identical and ranking on
+    * them (ties broken by vec_id) is stable.
     */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
     val e = withVecNorm(embeddings)
@@ -41,7 +42,7 @@ object Similarity {
     val scored = e
       .join(q, col("vec_id") =!= col("qid"))
       .withColumn("cos",
-        round(when(col("qnrm") * col("nrm") =!= 0, dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))), 6))
+        when(col("qnrm") * col("nrm") =!= 0, dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     scored
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -82,7 +83,7 @@ object Similarity {
           if a.vec_id < b.vec_id
           denom = an(i) * bn(j)
           if denom != 0
-          c = BigDecimal(dotd(a.v, b.v) / denom).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          c = dotd(a.v, b.v) / denom
           if c >= threshold
         } yield Pair(a.vec_id, b.vec_id, c)
       }
@@ -115,7 +116,7 @@ object Similarity {
     e.as("a")
       .join(e.as("b"), col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos",
-        round(when(col("a.nrm") * col("b.nrm") =!= 0, dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))), 6))
+        when(col("a.nrm") * col("b.nrm") =!= 0, dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))))
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
   }

@@ -34,8 +34,7 @@ object Stats {
   def histogram(events: DataFrame, width: Double): DataFrame =
     events
       .groupBy(floor(col("value") / width).cast("long").as("bin"))
-      .agg(count(lit(1)).as("n"),
-        round(min("value"), 6).as("bin_min"), round(max("value"), 6).as("bin_max"))
+      .agg(count(lit(1)).as("n"), min("value").as("bin_min"), max("value").as("bin_max"))
 
   /** Multi-level ROLLUP summary with sentinel labels instead of the
     * engine-dependent NULL group markers.
@@ -44,7 +43,8 @@ object Stats {
     events
       .withColumn("cohort", pmod(col("user_id"), lit(10)))
       .rollup(col("event_type"), col("cohort"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("total"))
       .select(
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         coalesce(col("cohort"), lit(-1L)).as("cohort"),
@@ -78,7 +78,7 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events.select(
       col("user_id"), unix_micros(col("ts")).as("ts_us"),
-      round(last(when(col("event_type") =!= missingType, col("value")), ignoreNulls = true).over(w), 6)
+      last(when(col("event_type") =!= missingType, col("value")), ignoreNulls = true).over(w)
         .as("value_filled"))
   }
 
@@ -100,6 +100,6 @@ object Stats {
       .join(closes, Seq("user_id", "day"), "left")
       .select(
         col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
-        round(last(col("close"), ignoreNulls = true).over(w), 6).as("close_ffill"))
+        last(col("close"), ignoreNulls = true).over(w).as("close_ffill"))
   }
 }

@@ -69,7 +69,7 @@ object TextAnalysis {
     val lenNorm   = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
     documents.select(
       col("doc_id"),
-      round(lenNorm * 0.4 + (stopHits / nToks) * 0.3 + (alphaOnly / nToks) * 0.3, 6).as("quality")
+      (lenNorm * 0.4 + (stopHits / nToks) * 0.3 + (alphaOnly / nToks) * 0.3).as("quality")
     )
   }
 

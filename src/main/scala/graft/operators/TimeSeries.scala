@@ -53,16 +53,16 @@ object TimeSeries {
   /** Point-to-point return over the observed range: last/first - 1. */
   def ytdReturn(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.groupBy(col(key))
-      .agg(round(
-        when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1),
-        6).as("ytd_return"))
+      .agg(
+        when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1)
+          .as("ytd_return"))
 
   /** Max drawdown: running max, then min of (v/runmax - 1) per key. */
   def maxDrawdown(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val w = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("run_max", max(col(v)).over(w))
       .groupBy(col(key))
-      .agg(round(min(when(col("run_max") =!= 0, col(v) / col("run_max") - 1)), 6).as("max_drawdown"))
+      .agg(min(when(col("run_max") =!= 0, col(v) / col("run_max") - 1)).as("max_drawdown"))
   }
 
   /** Growth of $1 per key. (1+pct_change).cumprod() telescopes to
@@ -71,7 +71,7 @@ object TimeSeries {
   def cumulativeReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val w  = wk(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val f0 = first(col(v)).over(w)
-    df.withColumn("cum_return", round(when(f0 =!= 0, col(v) / f0), 6))
+    df.withColumn("cum_return", when(f0 =!= 0, col(v) / f0))
   }
 
   /** Generic compounding for a pre-computed return series (non-
@@ -100,6 +100,17 @@ object TimeSeries {
       .withColumn("g", when(col("rn") === 0, col(v)).otherwise(lit(a) * col(v) * pow(lit(1 - a), -col("rn"))))
       .withColumn("ema", round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6))
       .drop("g")
+  }
+
+  /** Final EMA per key via the custom TypedImperativeAggregate fold
+    * (graft.plans.EmaAggregate) — order-correct across partition
+    * merges, no closed-form overflow on long series. Agrees with the
+    * last row of ema() to float precision (spec-checked).
+    */
+  def emaFold(df: DataFrame, span: Int, key: String = "user_id"): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    df.groupBy(col(key))
+      .agg(round(expr(s"graft_ema(ts, value, $span)"), 6).as("ema_final"))
   }
 
   /** Up/down flag vs previous observation (trend marker analog). */
@@ -185,20 +196,21 @@ object TimeSeries {
   def periodReturn(df: DataFrame, start: String, end: String, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.filter(col(ts) >= lit(start).cast("timestamp") && col(ts) < lit(end).cast("timestamp"))
       .groupBy(col(key))
-      .agg(round(
-        when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1),
-        6).as("period_return"))
+      .agg(
+        when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1)
+          .as("period_return"))
 
   /** Dividend-yield analog: total flow of one event kind over the
     * latest observed level, as a percentage.
     */
-  def yieldRatio(df: DataFrame, flowType: String, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+  def yieldRatio(df: DataFrame, flowType: String, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val Money   = org.apache.spark.sql.types.DecimalType(18, 2)
+    val flowSum = coalesce(
+      sum(when(col("event_type") === flowType, col(v)).cast(Money)).cast("double"), lit(0.0))
     df.groupBy(col(key))
       .agg(
-        round(
-          when(max_by(col(v), col(ts)) =!= 0,
-            coalesce(sum(when(col("event_type") === flowType, col(v))), lit(0.0)) / max_by(col(v), col(ts)) * 100),
-          6
-        ).as("yield_pct")
+        when(max_by(col(v), col(ts)) =!= 0, flowSum / max_by(col(v), col(ts)) * 100)
+          .as("yield_pct")
       )
+  }
 }

@@ -1,0 +1,84 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** Final EMA(span, adjust=False) per group as a custom
+  * TypedImperativeAggregate: y_t = a*x_t + (1-a)*y_{t-1}, a =
+  * 2/(span+1) — the true recursive fold, which no fixed-frame window
+  * can express and whose closed-form rewrite (see
+  * TimeSeries.ema) needs (1-a)^{-i} terms that overflow on very long
+  * series. The buffer holds (ts, value) pairs merged across
+  * partitions and folds in event-time order at eval — the standard
+  * shape for order-dependent aggregates (state is O(group size);
+  * for unbounded groups the streaming twin folds incrementally
+  * instead).
+  */
+case class EmaAggregate(
+    tsChild: Expression,
+    valueChild: Expression,
+    span: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[ArrayBuffer[(Long, Double)]] {
+
+  private val alpha = 2.0 / (span + 1)
+
+  override def children: Seq[Expression] = Seq(tsChild, valueChild)
+  override def nullable: Boolean         = true
+  override def dataType: DataType        = DoubleType
+  override def prettyName: String        = "graft_ema"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Long, Double)] = ArrayBuffer.empty
+
+  override def update(buf: ArrayBuffer[(Long, Double)], input: InternalRow): ArrayBuffer[(Long, Double)] = {
+    val ts = tsChild.eval(input)
+    val v  = valueChild.eval(input)
+    if (ts != null && v != null) buf += ((ts.asInstanceOf[Long], v.asInstanceOf[Double]))
+    buf
+  }
+
+  override def merge(a: ArrayBuffer[(Long, Double)], b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] =
+    a ++= b
+
+  override def eval(buf: ArrayBuffer[(Long, Double)]): Any =
+    if (buf.isEmpty) null
+    else {
+      val sorted = buf.sortBy(_._1)
+      var y      = sorted.head._2
+      var i      = 1
+      while (i < sorted.length) { y = alpha * sorted(i)._2 + (1 - alpha) * y; i += 1 }
+      y
+    }
+
+  override def serialize(buf: ArrayBuffer[(Long, Double)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (t, v) => out.writeLong(t); out.writeDouble(v) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Double)] = {
+    val in  = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n   = in.readInt()
+    val buf = new ArrayBuffer[(Long, Double)](n)
+    var i   = 0
+    while (i < n) { buf += ((in.readLong(), in.readDouble())); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): EmaAggregate =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): EmaAggregate =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): EmaAggregate =
+    copy(tsChild = newChildren(0), valueChild = newChildren(1))
+}

@@ -108,7 +108,10 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
 object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_minhash_sig", (es: Seq[Expression]) => MinHashSig(es.head, 8, 3), "returns the 8x3 minhash signature of a text"),
-    ("graft_simhash", (es: Seq[Expression]) => SimHash60(es.head), "returns the 60-bit simhash of a text")
+    ("graft_simhash", (es: Seq[Expression]) => SimHash60(es.head), "returns the 60-bit simhash of a text"),
+    ("graft_ema", (es: Seq[Expression]) =>
+      EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue()),
+      "aggregate: final EMA(span, adjust=False) of values in ts order")
   )
 
   def register(spark: SparkSession): Unit =

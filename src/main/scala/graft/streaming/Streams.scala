@@ -21,10 +21,12 @@ object Streams {
   /** Tumbling-window counts/sums per event type (epoch-aligned, as
     * Spark's window() and DuckDB's time_bucket both are).
     */
+  private val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+
   def windowedAggBatch(events: DataFrame, width: String = "6 hours"): DataFrame =
     events
       .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("total"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast(Money)).cast("double").as("total"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
@@ -47,7 +49,7 @@ object Streams {
         count(lit(1)).as("n_events"),
         unix_micros(min(col("ts"))).as("start_us"),
         unix_micros(max(col("ts"))).as("end_us"),
-        round(sum("value"), 6).as("total_value"))
+        sum(col("value").cast(Money)).cast("double").as("total_value"))
   }
 
   // ---- streaming twins ------------------------------------------------
@@ -91,6 +93,21 @@ object Streams {
           SessOut(uid, st.sessionId, st.nEvents, st.startUs, st.lastTsUs, st.total)
       }
   }
+
+  /** Streaming exactly-once dedup on a business key: state bounded
+    * by the watermark horizon (late duplicates beyond it age out of
+    * the state store).
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-to-static enrichment: the static dim is broadcast to
+    * every micro-batch; no stream-side state at all.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), "user_id")
 
   /** Drive a streaming DataFrame to completion against a bounded
     * source and return the materialized result (memory sink).

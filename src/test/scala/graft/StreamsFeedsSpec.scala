@@ -46,6 +46,34 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("streaming dedup drops a replayed batch's duplicates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    val ev  = Tables.events(spark, sf).select($"event_id", $"ts", $"user_id", $"value")
+    // write the same data twice -> every event is duplicated
+    ev.write.mode("overwrite").parquet(dir + "/a")
+    ev.write.mode("overwrite").parquet(dir + "/b")
+    val stream = spark.readStream.schema(ev.schema).parquet(dir + "/*")
+    val got = Streams.runToMemory(
+      spark, Streams.dedupStream(stream), "dedup_test", OutputMode.Append())
+    assert(got.count() === ev.count())
+    assert(got.groupBy($"event_id").count().filter($"count" > 1).count() === 0)
+  }
+
+  test("stream-to-static enrichment joins every event") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_enrich").toString
+    val ev  = Tables.events(spark, sf).select($"event_id", $"ts", $"user_id", $"value")
+    ev.write.mode("overwrite").parquet(dir)
+    val dim = Tables.events(spark, sf).select($"user_id").distinct()
+      .withColumn("cohort", org.apache.spark.sql.functions.pmod($"user_id", org.apache.spark.sql.functions.lit(10)))
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val got = Streams.runToMemory(
+      spark, Streams.enrichStream(stream, dim), "enrich_test", OutputMode.Append())
+    assert(got.count() === ev.count())
+    assert(got.filter($"cohort".isNull).count() === 0)
+  }
+
   test("multimodal features are deterministic and complete") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)

@@ -37,6 +37,20 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("EmaAggregate fold agrees with the closed-form window's last row") {
+    import spark.implicits._
+    val ev   = Tables.events(spark, sf)
+    val fold = TimeSeries.emaFold(ev, 20)
+    val closedLast = TimeSeries.ema(ev, 20)
+      .withColumn("rmax", max($"rn").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .filter($"rn" === $"rmax")
+      .select($"user_id", $"ema")
+    val joined = fold.join(closedLast, "user_id")
+    val maxErr = joined.agg(max(abs($"ema_final" - $"ema"))).head().getDouble(0)
+    assert(maxErr < 1e-4, s"fold vs closed form diverge: $maxErr")
+  }
+
   test("beta of benchmark vs itself would be 1; sanity on others") {
     import spark.implicits._
     val ab = TimeSeries.alphaBeta(Tables.events(spark, sf), 0L)
