@@ -69,6 +69,14 @@ object SparkEntry {
         .orderBy("c_mktsegment")),
     "q_json_extract" -> ((s, dir) =>
       Relational.jsonExtractAgg(Tables.events(s, dir)).orderBy("event_type")),
+    "q_asof_join" -> ((s, dir) =>
+      TimeSeries.asOfJoin(Tables.events(s, dir), "purchase", "view").orderBy("user_id", "ts_us")),
+    "q_except_keys" -> ((s, dir) =>
+      Relational.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir), "BUILDING", 450000)
+        .orderBy("c_custkey")),
+    "q_intersect_keys" -> ((s, dir) =>
+      Relational.intersectKeys(Tables.customer(s, dir), Tables.orders(s, dir), "BUILDING", 450000)
+        .orderBy("c_custkey")),
     "q_percentiles" -> ((s, dir) =>
       Stats.percentiles(Tables.events(s, dir)).orderBy("event_type")),
     "q_histogram" -> ((s, dir) =>
@@ -291,10 +299,26 @@ object SparkEntry {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+        |  avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k,
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof_join" ->
+      """SELECT t.user_id, epoch_us(t.ts) AS ts_us, t.value, q.value AS asof_val
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.user_id, ts_us""".stripMargin,
+    "q_except_keys" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect_keys" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY c_custkey""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25,

@@ -169,6 +169,20 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_idle_customers"))
 
+  /** Set difference on keys (EXCEPT DISTINCT): segment members with
+    * no qualifying order.
+    */
+  def exceptKeys(customer: DataFrame, orders: DataFrame, segment: String, minPrice: Double): DataFrame =
+    customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+      .except(orders.filter(col("o_totalprice") > minPrice).select(col("o_custkey").as("c_custkey")))
+
+  /** Set intersection on keys (INTERSECT DISTINCT): segment members
+    * who do have a qualifying order.
+    */
+  def intersectKeys(customer: DataFrame, orders: DataFrame, segment: String, minPrice: Double): DataFrame =
+    customer.filter(col("c_mktsegment") === segment).select(col("c_custkey"))
+      .intersect(orders.filter(col("o_totalprice") > minPrice).select(col("o_custkey").as("c_custkey")))
+
   /** Semi-structured extraction: pull a typed field out of a JSON
     * props column (codegen'd path, no UDF) and aggregate on it.
     */
@@ -176,7 +190,9 @@ object Relational {
     events
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), round(avg(col("k")), 6).as("avg_k"),
+      // avg over integers: the sum is exact in double (< 2^53), so
+      // the average is engine-deterministic unrounded
+      .agg(count(lit(1)).as("n"), avg(col("k")).as("avg_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
   /** Skew-resistant equi-join: the fact side gets a deterministic

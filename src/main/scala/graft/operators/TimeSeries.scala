@@ -113,6 +113,26 @@ object TimeSeries {
       .agg(round(expr(s"graft_ema(ts, value, $span)"), 6).as("ema_final"))
   }
 
+  /** As-of join (the classic operator Spark lacks natively): for
+    * each left-kind event, the most recent right-kind value at or
+    * before its timestamp, per key. Composed as union + ordered
+    * forward-fill — ONE shuffle by key, no range join, no pair
+    * blowup; the oracle cross-checks against DuckDB's native ASOF
+    * JOIN. A non-key-aligned variant (global quote stream) would
+    * range-partition time and replicate boundary quotes — SURVEY §7
+    * later rounds as a custom SparkPlan.
+    */
+  def asOfJoin(events: DataFrame, leftType: String, rightType: String, key: String = "user_id", ts: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("qv", when(col("event_type") === rightType, col("value")))
+      .withColumn("asof_val", last(col("qv"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col(key), unix_micros(col(ts)).as("ts_us"), col("value"), col("asof_val"))
+  }
+
   /** Up/down flag vs previous observation (trend marker analog). */
   def trendFlag(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.withColumn("uptrend", (col(v) > lag(col(v), 1).over(wk(key, ts))).cast("int"))
