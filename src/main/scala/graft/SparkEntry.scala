@@ -71,6 +71,17 @@ object SparkEntry {
       Relational.jsonExtractAgg(Tables.events(s, dir)).orderBy("event_type")),
     "q_asof_join" -> ((s, dir) =>
       TimeSeries.asOfJoin(Tables.events(s, dir), "purchase", "view").orderBy("user_id", "ts_us")),
+    "q_asof_global" -> ((s, dir) => {
+      val ev     = Tables.events(s, dir)
+      val trades = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val quotes = ev.filter(col("user_id") === 0 && col("event_type") === "view")
+        .select(col("ts"), col("value"))
+      graft.plans.AsOfJoinApi
+        .globalAsOfJoin(trades, quotes, "ts", "ts", "value")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"), col("asof_val"))
+        .orderBy("event_id")
+    }),
     "q_except_keys" -> ((s, dir) =>
       Relational.exceptKeys(Tables.customer(s, dir), Tables.orders(s, dir), "BUILDING", 450000)
         .orderBy("c_custkey")),
@@ -309,6 +320,12 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
         |  ON t.user_id = q.user_id AND q.ts <= t.ts
         |ORDER BY t.user_id, ts_us""".stripMargin,
+    "q_asof_global" ->
+      """SELECT t.event_id, t.user_id, epoch_us(t.ts) AS ts_us, t.value, q.value AS asof_val
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT ts, value FROM events WHERE user_id = 0 AND event_type = 'view') q
+        |  ON q.ts <= t.ts
+        |ORDER BY t.event_id""".stripMargin,
     "q_except_keys" ->
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT
