@@ -103,6 +103,22 @@ object SparkEntry {
     "q_resample_ffill" -> ((s, dir) =>
       Stats.resampleDailyFfill(Tables.events(s, dir), "2024-01-01", "2024-01-30")
         .orderBy("user_id", "day")),
+    "q_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(Tables.events(s, dir), "event_id", 10)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"), col("value"))
+        .orderBy("event_id")),
+    "q_dataset_split" -> ((s, dir) =>
+      Sampling.datasetSplit(Tables.events(s, dir), "event_id")
+        .groupBy("split", "event_type").agg(count(lit(1)).as("n"))
+        .orderBy("split", "event_type")),
+    "q_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.events(s, dir), "event_type", "event_id", 50)
+        .select(col("event_type"), col("event_id"))
+        .orderBy("event_type", "event_id")),
+    "q_time_features" -> ((s, dir) =>
+      Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
+    "q_rank_suite" -> ((s, dir) =>
+      Stats.rankSuite(Tables.events(s, dir)).orderBy("event_id")),
 
     // ---- B. financial analytics ---------------------------------------
     "q_daily_returns" -> ((s, dir) =>
@@ -382,6 +398,48 @@ object SparkEntry {
         |    OVER (PARTITION BY g.user_id ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close_ffill
         |FROM grid g LEFT JOIN closes c ON g.user_id = c.user_id AND g.day = c.day
         |ORDER BY g.user_id, day""".stripMargin,
+    "q_hash_sample" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value
+        |FROM events
+        |WHERE CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+        |ORDER BY event_id""".stripMargin,
+    "q_dataset_split" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CASE
+        |      WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+        |      WHEN CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+        |      ELSE 'test'
+        |    END AS split
+        |  FROM events
+        |)
+        |SELECT split, event_type, count(*) AS n
+        |FROM s GROUP BY split, event_type ORDER BY split, event_type""".stripMargin,
+    "q_stratified_sample" ->
+      """SELECT event_type, event_id
+        |FROM (
+        |  SELECT event_type, event_id,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) ASC, event_id ASC) AS rn
+        |  FROM events
+        |)
+        |WHERE rn <= 50
+        |ORDER BY event_type, event_id""".stripMargin,
+    "q_time_features" ->
+      """SELECT event_id, year(ts) AS yr, month(ts) AS mo, dayofweek(ts) AS dow,
+        |  dayofyear(ts) AS doy, hour(ts) AS hr
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_rank_suite" ->
+      """SELECT event_id, user_id, value,
+        |  rank() OVER wv AS rnk,
+        |  dense_rank() OVER wv AS drnk,
+        |  percent_rank() OVER wv AS prnk,
+        |  cume_dist() OVER wv AS cdist,
+        |  ntile(4) OVER wv AS quartile,
+        |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS next_value
+        |FROM events
+        |WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
     "q_daily_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END AS ret

@@ -195,6 +195,19 @@ object Relational {
       .agg(count(lit(1)).as("n"), avg(col("k")).as("avg_k"),
         min(col("k")).as("min_k"), max(col("k")).as("max_k"))
 
+  /** Calendar feature extraction for model inputs (all codegen'd
+    * datetime functions; day-of-week normalized to Sunday=0 to keep
+    * engines aligned).
+    */
+  def timeFeatures(events: DataFrame): DataFrame =
+    events.select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("yr"),
+      month(col("ts")).cast("long").as("mo"),
+      (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+      dayofyear(col("ts")).cast("long").as("doy"),
+      hour(col("ts")).cast("long").as("hr"))
+
   /** Skew-resistant equi-join: the fact side gets a deterministic
     * salt in [0, nSalts) derived from a row key, the dim side is
     * replicated once per salt, and the join runs on (key, salt) — a

@@ -61,6 +61,23 @@ object Stats {
         countDistinct(col("l_suppkey")).as("n_suppliers"),
         count(lit(1)).as("n_lines"))
 
+  /** The full ranking-function family per key (value order with a
+    * deterministic tiebreak): rank, dense_rank, percent_rank,
+    * cume_dist, ntile, lead — one shuffle, one sort.
+    */
+  def rankSuite(events: DataFrame): DataFrame = {
+    val byVal = Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id").asc)
+    val byTs  = Window.partitionBy("user_id").orderBy("ts")
+    events.select(
+      col("event_id"), col("user_id"), col("value"),
+      rank().over(byVal).cast("long").as("rnk"),
+      dense_rank().over(byVal).cast("long").as("drnk"),
+      percent_rank().over(byVal).as("prnk"),
+      cume_dist().over(byVal).as("cdist"),
+      ntile(4).over(byVal).cast("long").as("quartile"),
+      lead(col("value"), 1).over(byTs).as("next_value"))
+  }
+
   /** Text cleaning pipeline: lower, strip non-alphanumerics,
     * collapse runs of spaces, trim — all codegen'd regexes.
     */
