@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("hash sample is deterministic and near the target rate") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val a  = Sampling.hashSample(ev, "event_id", 10)
+    val b  = Sampling.hashSample(ev, "event_id", 10)
+    assert(a.exceptAll(b).count() === 0)
+    val rate = a.count().toDouble / ev.count()
+    assert(rate > 0.05 && rate < 0.15, s"sample rate $rate far from 10%")
+  }
+
+  test("dataset split covers every row exactly once with sane proportions") {
+    import spark.implicits._
+    val ev    = Tables.events(spark, sf)
+    val split = Sampling.datasetSplit(ev, "event_id")
+    assert(split.count() === ev.count())
+    val frac = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble / ev.count()).toMap
+    assert(frac("train") > 0.8 && frac.getOrElse("val", 0.0) < 0.15 && frac.getOrElse("test", 0.0) < 0.15)
+  }
+
+  test("stratified sample returns exactly n per stratum") {
+    import spark.implicits._
+    val s = Sampling.stratifiedSample(Tables.events(spark, sf), "event_type", "event_id", 20)
+    val counts = s.groupBy($"event_type").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ === 20L))
+  }
+}
