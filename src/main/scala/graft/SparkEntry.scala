@@ -149,6 +149,12 @@ object SparkEntry {
         .ema(Tables.events(s, dir), 20)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ema"))
         .orderBy("user_id", "ts_us")),
+    // rows-only: sketch internals are engine-specific; spec-checked
+    // against the exact twins instead of hash-matched
+    "q_approx_distinct" -> ((s, dir) =>
+      Stats.approxDistinctCounts(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    "q_approx_percentiles" -> ((s, dir) =>
+      Stats.approxPercentiles(Tables.events(s, dir)).orderBy("event_type")),
     // rows-only: recursive fold vs the closed form differ at ~1e-10,
     // beyond what 6-dp rounding can make hash-stable; equivalence is
     // spec-asserted against q_ema's last row instead.

@@ -50,6 +50,29 @@ object Stats {
         coalesce(col("cohort"), lit(-1L)).as("cohort"),
         col("n"), col("total"))
 
+  /** The approximate-at-scale twins of distinctCounts/percentiles:
+    * HLL++ sketch counts and t-digest quantiles — constant memory
+    * per group, one pass, mergeable across partitions. Sketches are
+    * engine-specific so these are spec-checked against the exact
+    * operators (within rsd/tolerance) rather than hash-matched.
+    */
+  def approxDistinctCounts(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd).as("n_orders"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("n_suppliers"))
+
+  def approxPercentiles(events: DataFrame, accuracy: Int = 10000): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(Array(0.25, 0.5, 0.9)), lit(accuracy)).as("qs"))
+      .select(
+        col("event_type"),
+        element_at(col("qs"), 1).as("p25"),
+        element_at(col("qs"), 2).as("p50"),
+        element_at(col("qs"), 3).as("p90"))
+
   /** Exact distinct counts per group (two-level partial-distinct
     * aggregation; HLL for the approximate path at scale).
     */

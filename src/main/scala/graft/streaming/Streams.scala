@@ -109,6 +109,24 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "user_id")
 
+  /** Stream-stream interval join: purchases matched to the same
+    * user's clicks in the preceding hour. Both sides are watermarked
+    * so the join state expires; the time-bound condition is what
+    * lets Spark drop state — an unbounded stream-stream join would
+    * accumulate forever.
+    */
+  def streamStreamJoin(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"), col("value").as("click_value"))
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        c("click_ts") <= p("purchase_ts") &&
+        c("click_ts") >= p("purchase_ts") - expr("interval 1 hour"))
+      .select(p("user_id"), col("purchase_ts"), col("purchase_value"), col("click_ts"), col("click_value"))
+  }
+
   /** Drive a streaming DataFrame to completion against a bounded
     * source and return the materialized result (memory sink).
     */

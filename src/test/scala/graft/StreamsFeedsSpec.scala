@@ -74,6 +74,29 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(got.filter($"cohort".isNull).count() === 0)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    val ev  = Tables.events(spark, sf).select($"user_id", $"ts", $"event_type", $"value")
+    ev.filter($"event_type" === "click").write.mode("overwrite").parquet(dir + "/clicks")
+    ev.filter($"event_type" === "purchase").write.mode("overwrite").parquet(dir + "/purchases")
+    val schema = ev.select($"user_id", $"ts", $"value").schema
+    val cS = spark.readStream.schema(schema).parquet(dir + "/clicks")
+    val pS = spark.readStream.schema(schema).parquet(dir + "/purchases")
+    val got = Streams.runToMemory(
+      spark, Streams.streamStreamJoin(cS, pS), "ssj_test", OutputMode.Append())
+    val cB = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("click_ts"), $"value".as("click_value"))
+    val pB = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_uid"), $"ts".as("purchase_ts"), $"value".as("purchase_value"))
+    val want = pB.join(cB,
+      pB("p_uid") === cB("user_id") &&
+        cB("click_ts") <= pB("purchase_ts") &&
+        cB("click_ts") >= pB("purchase_ts") - expr("interval 1 hour"))
+      .select($"user_id", $"purchase_ts", $"purchase_value", $"click_ts", $"click_value")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("multimodal features are deterministic and complete") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)
