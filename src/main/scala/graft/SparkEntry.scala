@@ -203,6 +203,8 @@ object SparkEntry {
       Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)).orderBy("da", "db")),
     "q_simhash" -> ((s, dir) =>
       Dedup.simhashFast(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_curation_pipeline" -> ((s, dir) =>
+      Dedup.curationPipeline(Tables.documents(s, dir), 100, 20).orderBy("chunk_fp")),
 
     // ---- E. similarity search -----------------------------------------
     "q_ann_bruteforce" -> ((s, dir) =>
@@ -620,6 +622,20 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(text)) ORDER BY fp""".stripMargin,
+    "q_curation_pipeline" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS text
+        |  FROM documents
+        |), chunks AS (
+        |  SELECT doc_id, off // 80 AS chunk_id, substr(text, CAST(off AS INT) + 1, 100) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(generate_series(0, len(text) - 1, 80)) AS off FROM cleaned)
+        |)
+        |SELECT md5(chunk) AS chunk_fp,
+        |  min(doc_id * 1000 + chunk_id) // 1000 AS canonical_doc,
+        |  min(doc_id * 1000 + chunk_id) % 1000 AS canonical_chunk,
+        |  count(*) AS n_copies
+        |FROM chunks GROUP BY md5(chunk) ORDER BY chunk_fp""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

@@ -141,6 +141,29 @@ object Dedup {
       .distinct()
   }
 
+  /** End-to-end curation pipeline composition: normalize text,
+    * chunk it, then exact-dedup the CHUNKS corpus-wide — the shape
+    * of a real pretraining-data pass (boilerplate chunks collapse
+    * across documents). Entirely narrow until the final dedup
+    * groupBy: one shuffle total.
+    */
+  def curationPipeline(documents: DataFrame, size: Int, overlap: Int): DataFrame = {
+    val cleaned = Stats.cleanNormalize(documents).select(col("doc_id"), col("norm_text").as("text"))
+    val chunks  = TextAnalysis.chunk(cleaned, size, overlap)
+    chunks
+      // encoded (doc, chunk) key: chunk_id is always < 1000, so the
+      // min of doc_id*1000+chunk_id is the lexicographic minimum
+      .groupBy(md5(col("chunk")).as("chunk_fp"))
+      .agg(
+        min(col("doc_id") * 1000 + col("chunk_id")).as("canon_key"),
+        count(lit(1)).as("n_copies"))
+      .select(
+        col("chunk_fp"),
+        expr("canon_key div 1000").as("canonical_doc"),
+        (col("canon_key") % 1000).as("canonical_chunk"),
+        col("n_copies"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist —
     * library-level helper (pairs all docs; use LSH bucketing on
     * simhash prefixes for the at-scale path).
