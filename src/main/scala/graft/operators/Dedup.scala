@@ -34,20 +34,43 @@ object Dedup {
       .groupBy(md5(lower(col("text"))).as("fp"))
       .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Near-duplicate pairs by n-gram Jaccard >= threshold. The
-    * shingle join only pairs docs sharing at least one shingle —
-    * disjoint docs never meet.
+  /** Near-duplicate pairs by n-gram Jaccard >= threshold, via exact
+    * AllPairs/PPJoin prefix filtering (Bayardo WWW'07, Xiao WWW'08):
+    * shingles get a global rarity order (document frequency asc),
+    * each doc joins only on its first `n_sh - ceil(t*n_sh) + 1`
+    * rarest shingles — any pair with J >= t must share a prefix
+    * shingle (pigeonhole: |A∩B| >= ceil(t*max(na,nb))), so candidate
+    * generation is exact while the join keys are the LEAST shared
+    * shingles in the corpus (tiny buckets, no quadratic blowup from
+    * common phrases). Candidates are then verified on the full
+    * sorted shingle arrays with array_intersect. Pairs must also
+    * satisfy the size bound na >= t*nb && nb >= t*na.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh    = shingles(documents, n).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n_sh", "na"), "da")
-      .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n_sh", "nb"), "db")
+    val sh = shingles(documents, n)
+    // one row per doc: sorted shingle set + its size (verification side)
+    val docsets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
+    // global shingle rarity = document frequency
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    val prefix = sh
+      .join(freq, "s")
+      .withColumn("rn", row_number().over(wDoc))
+      .join(docsets.select(col("doc_id"), col("n_sh")), "doc_id")
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      .select(col("doc_id"), col("s"), col("n_sh"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.n_sh") >= col("b.n_sh") * threshold &&
+          col("b.n_sh") >= col("a.n_sh") * threshold)
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    cand
+      .join(docsets.select(col("doc_id").as("da"), col("arr").as("arr_a"), col("n_sh").as("na")), "da")
+      .join(docsets.select(col("doc_id").as("db"), col("arr").as("arr_b"), col("n_sh").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("da"), col("db"), col("jaccard"))

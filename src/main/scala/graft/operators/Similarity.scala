@@ -69,23 +69,36 @@ object Similarity {
       .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))
       .as[(Seq[IdVec], Seq[IdVec])]
     pairsOfBlocks
-      .flatMap { case (avs, bvs) =>
+      .flatMap { case (avsSeq, bvsSeq) =>
+        // tight JVM loops, no iterator/closure machinery in the n^2 core
+        val avs = avsSeq.toArray
+        val bvs = bvsSeq.toArray
         def dotd(x: Array[Double], y: Array[Double]): Double = {
           var s = 0.0; var i = 0
           while (i < x.length) { s += x(i) * y(i); i += 1 }
           s
         }
-        val an = avs.map(r => math.sqrt(dotd(r.v, r.v)))
-        val bn = bvs.map(r => math.sqrt(dotd(r.v, r.v)))
-        for {
-          (a, i) <- avs.iterator.zipWithIndex
-          (b, j) <- bvs.iterator.zipWithIndex
-          if a.vec_id < b.vec_id
-          denom = an(i) * bn(j)
-          if denom != 0
-          c = dotd(a.v, b.v) / denom
-          if c >= threshold
-        } yield Pair(a.vec_id, b.vec_id, c)
+        val an  = Array.tabulate(avs.length)(i => math.sqrt(dotd(avs(i).v, avs(i).v)))
+        val bn  = Array.tabulate(bvs.length)(j => math.sqrt(dotd(bvs(j).v, bvs(j).v)))
+        val out = scala.collection.mutable.ArrayBuffer.empty[Pair]
+        var i = 0
+        while (i < avs.length) {
+          val a = avs(i)
+          var j = 0
+          while (j < bvs.length) {
+            val b = bvs(j)
+            if (a.vec_id < b.vec_id) {
+              val denom = an(i) * bn(j)
+              if (denom != 0) {
+                val c = dotd(a.v, b.v) / denom
+                if (c >= threshold) out += Pair(a.vec_id, b.vec_id, c)
+              }
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
       }
       .toDF("va", "vb", "cos")
   }
