@@ -658,13 +658,18 @@ object SparkEntry {
         |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
         |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
         |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
         |), mh AS (
-        |  SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
-        |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
         |  GROUP BY doc_id, j
         |), sig AS (
         |  SELECT doc_id, j // 2 AS band,
-        |    md5(concat(min(CASE WHEN j % 2 = 0 THEN m END), min(CASE WHEN j % 2 = 1 THEN m END))) AS sig
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
         |  FROM mh GROUP BY doc_id, j // 2
         |)
         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db

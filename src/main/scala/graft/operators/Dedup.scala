@@ -47,7 +47,11 @@ object Dedup {
     * satisfy the size bound na >= t*nb && nb >= t*na.
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(documents, n)
+    // the explode+distinct feeds three subtrees (docsets, freq,
+    // prefix); persisting it trades executor memory for a ~3x
+    // recompute of the scan+shuffle — the right trade at any scale
+    // where the distinct shingle set fits the cluster's storage tier
+    val sh = shingles(documents, n).persist()
     // one row per doc: sorted shingle set + its size (verification side)
     val docsets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
@@ -58,7 +62,11 @@ object Dedup {
       .join(freq, "s")
       .withColumn("rn", row_number().over(wDoc))
       .join(docsets.select(col("doc_id"), col("n_sh")), "doc_id")
-      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold) + 1)
+      // epsilon guards the exact-boundary case: when t*n_sh is
+      // mathematically integral, fp overshoot must not shorten the
+      // prefix and drop J == t pairs (a longer prefix is only extra
+      // candidates; verification keeps the result exact)
+      .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1)
       .select(col("doc_id"), col("s"), col("n_sh"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
@@ -76,14 +84,17 @@ object Dedup {
       .select(col("da"), col("db"), col("jaccard"))
   }
 
-  /** MinHash signatures: k independent "permutations" realized as
-    * min over md5(j || ':' || shingle) strings — engine-portable and
-    * a valid uniform hash family. All k mins are computed in ONE
-    * groupBy pass (k agg columns), so the shingle set shuffles once
-    * instead of k times.
+  /** MinHash signatures: ONE md5 per shingle, whose 128-bit digest
+    * yields two 32-bit lanes (h1, h2); "permutation" j is the
+    * Carter–Wegman multi-hash (h1 + j*h2) mod 2^32 — engine-portable
+    * (plain SQL on the md5 hex) and a valid uniform family. All k
+    * mins are computed in ONE groupBy pass (k agg columns), so the
+    * shingle set shuffles once instead of k times.
     */
   def minhashWide(documents: DataFrame, k: Int = 8, n: Int = 3): DataFrame = {
-    val mins = (0 until k).map(j => min(md5(concat(lit(s"$j:"), col("s")))).as(s"m$j"))
+    val h1   = conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long")
+    val h2   = conv(substring(md5(col("s")), 9, 8), 16, 10).cast("long")
+    val mins = (0 until k).map(j => min((h1 + lit(j.toLong) * h2) % lit(4294967296L)).as(s"m$j"))
     shingles(documents, n).groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -95,13 +106,16 @@ object Dedup {
   }
 
   /** LSH banding (2 minhash rows per band): signature per (doc,
-    * band) = md5 of the band's two minhash columns; docs sharing any
-    * band signature are candidates. Bands come straight off the wide
-    * signature row — no extra shuffle before the bucket join.
+    * band) = the band's two minhash values joined as a string; docs
+    * sharing any band signature are candidates. Bands come straight
+    * off the wide signature row — no extra shuffle before the bucket
+    * join.
     */
   def minhashLshCandidates(documents: DataFrame, k: Int = 8, n: Int = 3): DataFrame = {
     val bands = k / 2
-    val stackArgs = (0 until bands).map(b => s"${b}L, md5(concat(m${2 * b}, m${2 * b + 1}))").mkString(", ")
+    val stackArgs = (0 until bands)
+      .map(b => s"${b}L, concat(cast(m${2 * b} as string), ':', cast(m${2 * b + 1} as string))")
+      .mkString(", ")
     val sig = minhashWide(documents, k, n)
       .select(col("doc_id"), expr(s"stack($bands, $stackArgs) as (band, sig)"))
     sig.as("a")
@@ -151,7 +165,8 @@ object Dedup {
   def minhashLshCandidatesFast(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     val bandExprs = (0 until 4)
-      .map(b => s"${b}L, md5(concat(mh[${2 * b}], mh[${2 * b + 1}]))").mkString(", ")
+      .map(b => s"${b}L, concat(cast(mh[${2 * b}] as string), ':', cast(mh[${2 * b + 1}] as string))")
+      .mkString(", ")
     val sig = documents
       .select(col("doc_id"), expr("graft_minhash_sig(text)").as("mh"))
       .filter(col("mh").isNotNull)

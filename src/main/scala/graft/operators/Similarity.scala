@@ -107,20 +107,16 @@ object Similarity {
     * plane p's direction derived per-dimension from md5((p,i)) —
     * deterministic, no stored model. Vectors sharing a bucket are
     * candidate neighbors; exact cosine runs only within buckets.
+    *
+    * All projections fold per row inside the scan stage via the
+    * codegen'd LshBucket expression (graft.plans.Expressions) — zero
+    * shuffle, no row blowup: the bucketing cost is O(n·d·planes)
+    * flops in-register, not n·d·planes shuffled rows.
     */
-  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame =
-    embeddings
-      .select(col("vec_id"), posexplode(toDouble(col("embedding"))).as(Seq("i", "x")))
-      .crossJoin(broadcast(
-        org.apache.spark.sql.SparkSession.active.range(planes).select(col("id").cast("int").as("p"))))
-      // deterministic +-1 direction for (plane, dim) from one md5 hex char
-      .withColumn("dir",
-        when(conv(substring(md5(concat(col("p"), lit(":"), col("i"))), 1, 1), 16, 10).cast("int") % 2 === 0, 1.0)
-          .otherwise(-1.0))
-      .groupBy(col("vec_id"), col("p"))
-      .agg(sum(col("x") * col("dir")).as("proj"))
-      .groupBy(col("vec_id"))
-      .agg(sum(when(col("proj") > 0, expr("shiftleft(1L, p)")).otherwise(lit(0L))).as("bucket"))
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
+    graft.plans.GraftFunctions.register(embeddings.sparkSession)
+    embeddings.select(col("vec_id"), expr(s"graft_lsh_bucket(embedding, $planes)").as("bucket"))
+  }
 
   /** Bucketed near-dup: exact cosine only within LSH buckets. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {

@@ -4,9 +4,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -16,76 +17,86 @@ import org.apache.spark.unsafe.types.UTF8String
   * never shuffles raw tokens at all — output is one signature row
   * per document.
   *
+  * All three expressions implement `doGenCode` (NOT CodegenFallback):
+  * the generated code is a single static call into [[GraftHashOps]],
+  * so the enclosing stage stays inside whole-stage codegen and rows
+  * never box through the interpreted eval path.
+  *
   * Semantics are bit-identical to the composed plans in
-  * graft.operators.Dedup (asserted in DedupSimilaritySpec), which is
-  * also what the SQL oracles check.
+  * graft.operators.Dedup / Similarity (asserted in
+  * DedupSimilaritySpec), which is also what the SQL oracles check.
   */
-object GraftHash {
-  private val hexDigits = "0123456789abcdef".toCharArray
+object GraftHashOps {
 
-  def md5hex(md: MessageDigest, s: String): String = {
-    md.reset()
-    val d  = md.digest(s.getBytes("UTF-8"))
-    val sb = new java.lang.StringBuilder(32)
-    var i  = 0
-    while (i < d.length) {
-      sb.append(hexDigits((d(i) >> 4) & 0xf)); sb.append(hexDigits(d(i) & 0xf)); i += 1
-    }
-    sb.toString
-  }
-}
+  private val md5tl: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-/** k-permutation MinHash signature of a document's distinct word
-  * `n`-gram shingles; permutation j = min md5("j:" || shingle).
-  * Returns array<string> of length k, or null when the text has no
-  * shingle (fewer than n tokens).
-  */
-case class MinHashSig(child: Expression, k: Int, n: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean  = true
-  override def prettyName: String = "graft_minhash_sig"
+  /** First 4 digest bytes as the unsigned big-endian int that
+    * `CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)` yields in SQL.
+    */
+  private def lane(d: Array[Byte], off: Int): Long =
+    ((d(off) & 0xffL) << 24) | ((d(off + 1) & 0xffL) << 16) |
+      ((d(off + 2) & 0xffL) << 8) | (d(off + 3) & 0xffL)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.toLowerCase.split(" ", -1)
+  /** MinHash signature with ONE md5 per distinct shingle: the 128-bit
+    * digest provides two 32-bit lanes (h1, h2) and permutation j's
+    * value is (h1 + j*h2) mod 2^32 — the classic Carter–Wegman
+    * multi-hash, reproducible in any SQL engine as
+    * (CAST('0x'||substr(md5(s),1,8) AS BIGINT)
+    *  + j * CAST('0x'||substr(md5(s),9,8) AS BIGINT)) % 4294967296.
+    * Returns null when the text has fewer than n tokens.
+    */
+  def minhashSig(input: UTF8String, k: Int, n: Int): ArrayData = {
+    val toks = input.toString.toLowerCase.split(" ", -1)
     if (toks.length < n) return null
     val seen = new java.util.HashSet[String]()
-    val md   = MessageDigest.getInstance("MD5")
-    val mins = new Array[String](k)
+    val md   = md5tl.get()
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sb   = new java.lang.StringBuilder(64)
     var i    = 0
     while (i + n <= toks.length) {
-      val sh = toks.slice(i, i + n).mkString(" ")
+      sb.setLength(0)
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks(i + t))
+        t += 1
+      }
+      val sh = sb.toString
       if (seen.add(sh)) {
-        var j = 0
+        md.reset()
+        val d  = md.digest(sh.getBytes("UTF-8"))
+        val h1 = lane(d, 0)
+        val h2 = lane(d, 4)
+        var j  = 0
         while (j < k) {
-          val h = GraftHash.md5hex(md, j.toString + ":" + sh)
-          if (mins(j) == null || h.compareTo(mins(j)) < 0) mins(j) = h
+          val v = (h1 + j * h2) & 0xffffffffL
+          if (v < mins(j)) mins(j) = v
           j += 1
         }
       }
       i += 1
     }
-    new GenericArrayData(mins.map(UTF8String.fromString(_): Any))
+    UnsafeArrayData.fromPrimitiveArray(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(child = newChild)
-}
-
-/** 60-bit SimHash over the token multiset; token hash = first 15 hex
-  * chars of md5 parsed base-16 (= conv(substr(md5(t),1,15),16,10)).
-  */
-case class SimHash60(child: Expression) extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash"
-
-  override def nullSafeEval(input: Any): Any = {
-    val toks     = input.asInstanceOf[UTF8String].toString.toLowerCase.split(" ", -1)
-    val md       = MessageDigest.getInstance("MD5")
+  /** 60-bit SimHash over the token multiset; token hash = first 15
+    * hex chars of md5 parsed base-16 (computed straight from the
+    * digest bytes — identical to conv(substr(md5(t),1,15),16,10)).
+    */
+  def simhash60(input: UTF8String): Long = {
+    val toks     = input.toString.toLowerCase.split(" ", -1)
+    val md       = md5tl.get()
     val counters = new Array[Int](60)
     var i        = 0
     while (i < toks.length) {
-      val h = java.lang.Long.parseLong(GraftHash.md5hex(md, toks(i)).substring(0, 15), 16)
+      md.reset()
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      var h = 0L
       var b = 0
+      while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+      h = (h << 4) | ((d(7) >> 4) & 0xfL) // hex chars 0..14 = 7.5 bytes
+      b = 0
       while (b < 60) {
         if (((h >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
         b += 1
@@ -98,7 +109,130 @@ case class SimHash60(child: Expression) extends UnaryExpression with CodegenFall
     out
   }
 
+  /** Signed random-hyperplane directions for (planes x dim), derived
+    * from md5(p":"i) first-hex-char parity — deterministic, no stored
+    * model. The (planes, dim) space is tiny, so directions are
+    * computed once per JVM and cached; per row the projection is a
+    * pure in-register fold.
+    */
+  private val dirCache = new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def dirs(planes: Int, dim: Int): Array[Double] = {
+    val key = planes.toLong << 32 | dim.toLong
+    var d   = dirCache.get(key)
+    if (d == null) {
+      val md  = md5tl.get()
+      val arr = new Array[Double](planes * dim)
+      var p   = 0
+      while (p < planes) {
+        var i = 0
+        while (i < dim) {
+          md.reset()
+          val dig  = md.digest((p.toString + ":" + i.toString).getBytes("UTF-8"))
+          val even = ((dig(0) >> 4) & 1) == 0 // first hex char parity
+          arr(p * dim + i) = if (even) 1.0 else -1.0
+          i += 1
+        }
+        p += 1
+      }
+      dirCache.putIfAbsent(key, arr)
+      d = arr
+    }
+    d
+  }
+
+  /** All `planes` hyperplane sign bits of one embedding in a single
+    * per-row pass: bucket bit p = (sum_i v(i) * dir(p,i)) > 0. Zero
+    * shuffle — the 100 TB replacement for the exploded-plan variant.
+    */
+  def lshBucket(v: ArrayData, planes: Int, floatElems: Boolean): Long = {
+    val dim = v.numElements()
+    val ds  = dirs(planes, dim)
+    var bucket = 0L
+    var p      = 0
+    while (p < planes) {
+      var proj = 0.0
+      val base = p * dim
+      var i    = 0
+      while (i < dim) {
+        val x = if (floatElems) v.getFloat(i).toDouble else v.getDouble(i)
+        proj += x * ds(base + i)
+        i += 1
+      }
+      if (proj > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** k-lane MinHash signature of a document's distinct word `n`-gram
+  * shingles (see GraftHashOps.minhashSig for the hash family).
+  * Returns array<long> of length k, or null when the text has no
+  * shingle (fewer than n tokens).
+  */
+case class MinHashSig(child: Expression, k: Int, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean  = true
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.minhashSig(input.asInstanceOf[UTF8String], k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.plans.GraftHashOps.minhashSig($c, $k, $n);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
+/** 60-bit SimHash over the token multiset; token hash = first 15 hex
+  * chars of md5 parsed base-16 (= conv(substr(md5(t),1,15),16,10)).
+  */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.simhash60(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.simhash60($c)")
+
   override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(child = newChild)
+}
+
+/** Random-hyperplane LSH bucket of an embedding column (array<float>
+  * or array<double>) — all `planes` projections fold per row inside
+  * the scan stage (see GraftHashOps.lshBucket).
+  */
+case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_lsh_bucket"
+
+  private def floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_lsh_bucket needs array<float|double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.lshBucket(input.asInstanceOf[ArrayData], planes, floatElems)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.lshBucket($c, $planes, $floatElems)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket = copy(child = newChild)
 }
 
 /** Runtime registration (Verify/Bench path) and a
@@ -109,6 +243,9 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_minhash_sig", (es: Seq[Expression]) => MinHashSig(es.head, 8, 3), "returns the 8x3 minhash signature of a text"),
     ("graft_simhash", (es: Seq[Expression]) => SimHash60(es.head), "returns the 60-bit simhash of a text"),
+    ("graft_lsh_bucket", (es: Seq[Expression]) =>
+      LshBucket(es(0), es(1).eval().asInstanceOf[Number].intValue()),
+      "returns the n-plane random-hyperplane LSH bucket of an embedding"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue()),
       "aggregate: final EMA(span, adjust=False) of values in ts order")
