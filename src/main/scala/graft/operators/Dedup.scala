@@ -48,20 +48,24 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the explode+distinct feeds three subtrees (docsets, freq,
-    // prefix); persisting it trades executor memory for a ~3x
-    // recompute of the scan+shuffle — the right trade at any scale
-    // where the distinct shingle set fits the cluster's storage tier
-    val sh = shingles(documents, n).persist()
+    // prefix); its distinct() shuffle is identical in all three, so
+    // ReusedExchange shares it — no persist (a library operator must
+    // not pin executor storage for the session lifetime)
+    val sh = shingles(documents, n)
     // one row per doc: sorted shingle set + its size (verification side)
     val docsets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
     // global shingle rarity = document frequency
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df").asc, col("s").asc)
+    // n_sh via count-over-partition: rides the SAME doc_id shuffle
+    // the rank window already pays — the former docsets join here
+    // re-shuffled the entire shingle set a second time just to fetch
+    // one integer per doc
     val prefix = sh
       .join(freq, "s")
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("rn", row_number().over(wDoc))
-      .join(docsets.select(col("doc_id"), col("n_sh")), "doc_id")
       // epsilon guards the exact-boundary case: when t*n_sh is
       // mathematically integral, fp overshoot must not shorten the
       // prefix and drop J == t pairs (a longer prefix is only extra

@@ -20,6 +20,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(missed <= total / 10, s"LSH missed $missed of $total high-sim pairs")
   }
 
+  test("ppjoin prefix filter is exact: pairs identical to the naive all-shared-shingle join") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    // naive oracle: every doc pair sharing ANY shingle, jaccard from
+    // exact intersection counts — no prefix filter, no size bound
+    val sh = Dedup.shingles(docs, 3)
+    val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val naive = sh.as("a")
+      .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sz.select($"doc_id".as("da"), $"n".as("na")), "da")
+      .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
+      .select($"da", $"db", ($"i".cast("double") / ($"na" + $"nb" - $"i")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+    val fast = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    assert(naive.count() > 0, "no naive pairs — threshold too strict for this corpus")
+    assert(fast.exceptAll(naive).count() === 0 && naive.exceptAll(fast).count() === 0)
+  }
+
   test("simhash distance small for near-dup pairs, larger for random pairs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
