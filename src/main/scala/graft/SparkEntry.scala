@@ -50,6 +50,33 @@ object SparkEntry {
         .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day")),
+    "q_pivot_fill_zero" -> ((s, dir) =>
+      Relational
+        .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"), fillZero = true)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
+    "q_symbol_search" -> ((s, dir) =>
+      Relational.symbolSearch(Tables.part(s, dir), "small", "p_partkey", "p_name")
+        .orderBy("match_rank", "p_name", "p_partkey")),
+    "q_parse_percent" -> ((s, dir) => {
+      import graft.functions.ParseFunctions._
+      val k = col("o_orderkey")
+      val messy = Tables.orders(s, dir).select(
+        k,
+        when(k % 13 === 0, lit("N/A"))
+          .otherwise(concat((k % 89).cast("string"), lit("."), (k % 10).cast("string"), lit("%")))
+          .as("pct_str"),
+        when(k % 17 === 0, lit("?"))
+          .otherwise(concat(
+            lit("$"), (k % 999).cast("string"), lit("."), (k % 90 + 10).cast("string"),
+            element_at(array(lit(""), lit("K"), lit("M"), lit("B")), (k % 4 + 1).cast("int"))))
+          .as("cur_str"))
+      messy.select(
+        k, col("pct_str"), col("cur_str"),
+        parsePercent(col("pct_str")).as("pct"),
+        parseCurrency(col("cur_str")).as("cur_usd"))
+        .orderBy("o_orderkey")
+    }),
     "q_ohlc_resample" -> ((s, dir) =>
       Relational
         .ohlcResample(Tables.events(s, dir))
@@ -206,6 +233,10 @@ object SparkEntry {
     "q_curation_pipeline" -> ((s, dir) =>
       Dedup.curationPipeline(Tables.documents(s, dir), 100, 20).orderBy("chunk_fp")),
 
+    "q_rag_pipeline" -> ((s, dir) =>
+      Embedding.ragRetrieve(Tables.documents(s, dir), "fast spark query join merge")
+        .orderBy("rnk")),
+
     // ---- E. similarity search -----------------------------------------
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity
@@ -298,6 +329,69 @@ object SparkEntry {
         |FROM events
         |GROUP BY date_trunc('day', ts)
         |ORDER BY day""".stripMargin,
+    "q_pivot_fill_zero" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE), 0) AS click,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE), 0) AS error,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0) AS purchase,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE), 0) AS signup,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE), 0) AS view
+        |FROM events
+        |GROUP BY date_trunc('day', ts)
+        |ORDER BY day""".stripMargin,
+    "q_symbol_search" ->
+      """SELECT p_partkey, p_name,
+        |  CAST(CASE WHEN lower(p_name) = 'small' THEN 0
+        |            WHEN starts_with(lower(p_name), 'small') THEN 1
+        |            ELSE 2 END AS BIGINT) AS match_rank
+        |FROM part
+        |WHERE contains(lower(p_name), 'small')
+        |ORDER BY match_rank, p_name, p_partkey""".stripMargin,
+    "q_parse_percent" ->
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 13 = 0 THEN 'N/A'
+        |         ELSE CAST(o_orderkey % 89 AS VARCHAR) || '.' || CAST(o_orderkey % 10 AS VARCHAR) || '%' END AS pct_str,
+        |    CASE WHEN o_orderkey % 17 = 0 THEN '?'
+        |         ELSE '$' || CAST(o_orderkey % 999 AS VARCHAR) || '.' || CAST(o_orderkey % 90 + 10 AS VARCHAR) ||
+        |              (['','K','M','B'])[CAST(o_orderkey % 4 AS INT) + 1] END AS cur_str
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, pct_str, cur_str,
+        |  CASE WHEN regexp_matches(pct_str, '^\s*(-?[0-9]+(\.[0-9]+)?)%\s*$')
+        |       THEN CAST(regexp_extract(pct_str, '^\s*(-?[0-9]+(\.[0-9]+)?)%\s*$', 1) AS DOUBLE) END AS pct,
+        |  CASE WHEN regexp_matches(cur_str, '^\s*\$(-?[0-9]+(\.[0-9]+)?)([KMB])?\s*$')
+        |       THEN CAST(regexp_extract(cur_str, '^\s*\$(-?[0-9]+(\.[0-9]+)?)([KMB])?\s*$', 1) AS DOUBLE)
+        |            * CASE regexp_extract(cur_str, '^\s*\$(-?[0-9]+(\.[0-9]+)?)([KMB])?\s*$', 3)
+        |                WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6 WHEN 'B' THEN 1e9 ELSE 1.0 END END AS cur_usd
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    "q_rag_pipeline" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, off // 80 AS chunk_id, substr(text, CAST(off AS INT) + 1, 100) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(generate_series(0, len(text) - 1, 80)) AS off FROM documents)
+        |), emb AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_transform(generate_series(0, 15), i ->
+        |      coalesce(list_sum(list_transform(string_split(lower(chunk), ' '),
+        |        t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 = i
+        |             THEN 1.0 - 2 * (CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2) ELSE 0.0 END)), 0.0)) AS v
+        |  FROM chunks
+        |), q AS (
+        |  SELECT list_transform(generate_series(0, 15), i ->
+        |      coalesce(list_sum(list_transform(string_split('fast spark query join merge', ' '),
+        |        t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 = i
+        |             THEN 1.0 - 2 * (CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2) ELSE 0.0 END)), 0.0)) AS qv
+        |), scored AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM emb e CROSS JOIN q
+        |  WHERE sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) != 0
+        |)
+        |SELECT doc_id, chunk_id, cos,
+        |  row_number() OVER (ORDER BY cos DESC, doc_id, chunk_id) AS rnk
+        |FROM (SELECT * FROM scored ORDER BY cos DESC, doc_id, chunk_id LIMIT 5)
+        |ORDER BY rnk""".stripMargin,
     "q_ohlc_resample" ->
       """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  min_by(value, ts) AS open,

@@ -114,11 +114,34 @@ object Relational {
     * frame): pivot over a FIXED key set so the plan stays static and
     * the shuffle is a single groupBy.
     */
-  def pivotWide(events: DataFrame, types: Seq[String]): DataFrame =
-    events
+  def pivotWide(events: DataFrame, types: Seq[String], fillZero: Boolean = false): DataFrame = {
+    val wide = events
       .groupBy(date_trunc("day", col("ts")).as("day"))
       .pivot("event_type", types)
       .agg(sum(col("value").cast(Money)).cast("double"))
+    // fillZero mirrors the reference's fillna(0) on the sector matrix
+    // (app.py:596) — absent cells read as 0 contribution, not null
+    if (fillZero) wide.na.fill(0.0, types) else wide
+  }
+
+  /** Symbol/name search (reference app.py:429-436 search_stocks):
+    * case-insensitive contains filter, ranked exact < prefix <
+    * contains. The filter is a codegen'd scan predicate; ranking is
+    * a per-row CASE — no shuffle before the final order.
+    */
+  def symbolSearch(dim: DataFrame, query: String, keyCol: String, nameCol: String): DataFrame = {
+    val name = lower(col(nameCol))
+    val q    = query.toLowerCase
+    dim
+      .filter(name.contains(q))
+      .select(
+        col(keyCol),
+        col(nameCol),
+        when(name === q, 0L)
+          .when(name.startsWith(q), 1L)
+          .otherwise(2L)
+          .as("match_rank"))
+  }
 
   /** Interval OHLC resample (candlestick analog): per key+day bar
     * with deterministic open/close via arg-min/arg-max on ts —

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ParseFunctions
+import graft.operators.{Embedding, Relational, TextAnalysis}
+
+class RagSearchSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("feature-hash embedding: fixed dim, deterministic, equal text -> equal vector") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(50)
+    val emb  = Embedding.embedChunks(TextAnalysis.chunk(docs, 100, 20))
+    val row  = emb.select(size($"v").as("d")).distinct().collect()
+    assert(row.map(_.getInt(0)).toSeq === Seq(16))
+    // same text twice -> identical vectors
+    val twice = spark.createDataset(Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma")))
+      .toDF("doc_id", "chunk").withColumn("chunk_id", lit(0L))
+    val vs = Embedding.embedChunks(twice).select($"v").collect().map(_.getSeq[Double](0))
+    assert(vs(0) === vs(1))
+  }
+
+  test("rag retrieval returns k ranked chunks, scores descending") {
+    import spark.implicits._
+    val out = Embedding.ragRetrieve(Tables.documents(spark, sf), "fast spark query join merge")
+    val rows = out.orderBy($"rnk").collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    val scores = rows.map(_.getAs[Double]("cos"))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("percent/currency parsing: values and null-on-malformed") {
+    import spark.implicits._
+    val in = Seq("12.5%", " 7% ", "-3.25%", "12.5", "n/a", "%").toDF("s")
+    val pct = in.select(ParseFunctions.parsePercent($"s").as("v")).collect().map(r => Option(r.get(0)))
+    assert(pct.toSeq === Seq(Some(12.5), Some(7.0), Some(-3.25), None, None, None))
+    val cin = Seq("$1.25B", "$45M", "$2K", "$123.45", "1.25B", "$x").toDF("s")
+    val cur = cin.select(ParseFunctions.parseCurrency($"s").as("v")).collect().map(r => Option(r.get(0)))
+    assert(cur.toSeq === Seq(Some(1.25e9), Some(4.5e7), Some(2000.0), Some(123.45), None, None))
+  }
+
+  test("symbol search ranks exact < prefix < contains") {
+    import spark.implicits._
+    val dim = Seq((1L, "small"), (2L, "small widget"), (3L, "extra small bolt"), (4L, "large gear"))
+      .toDF("k", "name")
+    val out = Relational.symbolSearch(dim, "small", "k", "name")
+      .orderBy($"match_rank", $"k").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("pivot fillZero leaves no nulls and preserves non-null cells") {
+    import spark.implicits._
+    val types  = Seq("click", "error", "purchase", "signup", "view")
+    val events = Tables.events(spark, sf)
+    val plain  = Relational.pivotWide(events, types)
+    val filled = Relational.pivotWide(events, types, fillZero = true)
+    val nulls  = types.map(t => sum(when(col(t).isNull, 1).otherwise(0))).reduce(_ + _)
+    assert(filled.select(nulls.as("n")).head().getLong(0) === 0L)
+    // non-null cells unchanged
+    val joined = plain.as("p").join(filled.as("f"), col("p.day") === col("f.day"))
+    val diffs = types.map(t =>
+      sum(when(col(s"p.$t").isNotNull && col(s"p.$t") =!= col(s"f.$t"), 1).otherwise(0))).reduce(_ + _)
+    assert(joined.select(diffs.as("n")).head().getLong(0) === 0L)
+  }
+}
