@@ -54,8 +54,17 @@ case class BroadcastAsOfJoinExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val rTsOrd  = right.output.indexWhere(_.exprId == rightTs.exprId)
     val rValOrd = right.output.indexWhere(_.exprId == rightVal.exprId)
-    val quotes = right
-      .executeCollect()
+    // fail-fast guard on the broadcast premise: executeTake stops
+    // scanning at cap+1 rows, so an oversized quote side errors with
+    // a clear message instead of silently exhausting driver memory
+    val cap = BroadcastAsOfJoinExec.maxRightRows
+    val collected = right.executeTake(cap + 1)
+    if (collected.length > cap)
+      throw new IllegalStateException(
+        s"BroadcastAsOfJoin right side exceeds $cap rows " +
+          s"(${BroadcastAsOfJoinExec.MaxRowsKey}): it is not a small global series — " +
+          "use TimeSeries.asOfJoin (partitioned) instead")
+    val quotes = collected
       .map(r => (r.getLong(rTsOrd), r.getDouble(rValOrd)))
       .sortBy(_._1)
     val qTs  = quotes.map(_._1)
@@ -93,6 +102,17 @@ case class BroadcastAsOfJoinExec(
 
   override protected def withNewChildrenInternal(newLeft: SparkPlan, newRight: SparkPlan): BroadcastAsOfJoinExec =
     copy(left = newLeft, right = newRight)
+}
+
+object BroadcastAsOfJoinExec {
+  val MaxRowsKey = "graft.asof.broadcast.maxRows"
+
+  /** Driver-side row cap for the collected quote series (default
+    * 5M ~ a century of second bars; ~80 MB of (long, double) pairs).
+    */
+  def maxRightRows: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(MaxRowsKey, "5000000").toInt
 }
 
 object AsOfJoinStrategy extends Strategy {

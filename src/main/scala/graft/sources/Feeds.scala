@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,4 +82,97 @@ object Feeds {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** JDBC sink (reference src/interface/db.py analog): Spark's JDBC
+    * writer distributes inserts per partition; `batchsize` bounds
+    * round trips. Use `numPartitions` upstream to cap concurrent
+    * connections against the target DB.
+    */
+  def writeJdbc(df: DataFrame, url: String, table: String,
+                mode: String = "overwrite", batchSize: Int = 1000): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("batchsize", batchSize)
+      .mode(mode).save()
+
+  def readJdbc(spark: SparkSession, url: String, table: String): DataFrame =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  // ---- document feeds (NewsAPI analog, reference app.py:409-426) ----
+
+  val DocSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("published_ts", TimestampType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("body", StringType, nullable = false)
+  ))
+
+  trait DocumentFeed {
+    def fetch(spark: SparkSession, sources: Seq[String], start: String, end: String): DataFrame
+  }
+
+  /** Deterministic synthetic document feed: articles are a pure
+    * function of (source, doc_id) via md5 word picks — distributed
+    * generation from spark.range, no driver loop, identical across
+    * fetches. One article per source per 6h slot.
+    */
+  object SyntheticDocFeed extends DocumentFeed {
+    private val Vocab = Seq("gain", "loss", "up", "down", "fast", "slow", "big", "small",
+      "market", "stock", "fund", "rate", "growth", "risk", "good", "bad")
+
+    def fetch(spark: SparkSession, sources: Seq[String], start: String, end: String): DataFrame = {
+      val slots = (datediff(lit(end).cast("date"), lit(start).cast("date")) * 4).cast("long")
+      val srcs = spark
+        .createDataset(sources.zipWithIndex.map { case (s, i) => (s, i.toLong) })(
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.STRING, org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("source", "src_idx")
+      val vocab = array(Vocab.map(lit): _*)
+      def word(seed: Column, j: Int): Column =
+        element_at(vocab, (pmod(conv(substring(md5(concat(seed, lit(s":$j"))), 1, 8), 16, 10).cast("long"), lit(Vocab.size)) + 1).cast("int"))
+      spark.range(0, 100000)
+        .withColumnRenamed("id", "slot")
+        .where(col("slot") < slots)
+        .crossJoin(broadcast(srcs))
+        .withColumn("doc_id", col("slot") * sources.size + col("src_idx"))
+        .withColumn("published_ts",
+          timestamp_micros(unix_micros(lit(start).cast("timestamp")) + col("slot") * 21600000000L))
+        .withColumn("seed", concat(col("source"), lit("#"), col("slot")))
+        .withColumn("title", concat_ws(" ", word(col("seed"), 0), word(col("seed"), 1), word(col("seed"), 2)))
+        .withColumn("body", concat_ws(" ", (0 until 12).map(j => word(col("seed"), 10 + j)): _*))
+        .select("doc_id", "published_ts", "source", "title", "body")
+    }
+  }
+
+  /** File-backed document feed with schema enforcement + column
+    * mapping, mirroring FileFeed for the document world.
+    */
+  class FileDocFeed(path: String, format: String, mapping: Map[String, String] = Map.empty)
+      extends DocumentFeed {
+    def fetch(spark: SparkSession, sources: Seq[String], start: String, end: String): DataFrame = {
+      val reader = spark.read
+      val raw = format match {
+        case "parquet" => reader.parquet(path)
+        case "csv"     => reader.option("header", "true").schema(renamed(DocSchema, mapping)).csv(path)
+        case "json"    => reader.schema(renamed(DocSchema, mapping)).json(path)
+        case other     => throw new IllegalArgumentException(s"unsupported feed format: $other")
+      }
+      val std = mapping.foldLeft(raw) { case (df, (ours, theirs)) => df.withColumnRenamed(theirs, ours) }
+      std
+        .select(DocSchema.fieldNames.map(col): _*)
+        .where(col("source").isin(sources: _*) &&
+          col("published_ts") >= lit(start).cast("timestamp") &&
+          col("published_ts") < lit(end).cast("timestamp"))
+    }
+
+    private def renamed(schema: StructType, mapping: Map[String, String]): StructType =
+      StructType(schema.fields.map(f => f.copy(name = mapping.getOrElse(f.name, f.name))))
+  }
+
+  /** Adapter to the TextAnalysis/Dedup document shape: (doc_id,
+    * text) with title prepended to body.
+    */
+  def docsAsCorpus(feed: DataFrame): DataFrame =
+    feed.select(col("doc_id"), concat_ws(" ", col("title"), col("body")).as("text"))
 }

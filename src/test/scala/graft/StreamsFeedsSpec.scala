@@ -123,6 +123,40 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq === Feeds.BarSchema.fieldNames.toSeq)
   }
 
+  test("synthetic document feed: deterministic, ranged, unique ids, feeds text analysis") {
+    import spark.implicits._
+    val a = Feeds.SyntheticDocFeed.fetch(spark, Seq("reuters", "ap"), "2024-01-01", "2024-01-03")
+    val b = Feeds.SyntheticDocFeed.fetch(spark, Seq("reuters", "ap"), "2024-01-01", "2024-01-03")
+    assert(a.exceptAll(b).count() === 0)
+    assert(a.count() === 16) // 2 days x 4 slots x 2 sources
+    assert(a.select($"doc_id").distinct().count() === 16)
+    assert(a.schema.fieldNames.toSeq === Feeds.DocSchema.fieldNames.toSeq)
+    // the adapter output drives the sentiment operator end-to-end
+    val pol = graft.operators.TextAnalysis.sentiment(Feeds.docsAsCorpus(a))
+    assert(pol.count() === 16 && pol.filter($"polarity".isNull).count() === 0)
+  }
+
+  test("file document feed roundtrips through csv with source/time pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docfeed").toString
+    val src = Feeds.SyntheticDocFeed.fetch(spark, Seq("reuters", "ap"), "2024-01-01", "2024-01-03")
+    src.write.mode("overwrite").option("header", "true").csv(dir)
+    val back = new Feeds.FileDocFeed(dir, "csv")
+      .fetch(spark, Seq("reuters"), "2024-01-01", "2024-01-02")
+    assert(back.count() === 4) // 1 day x 4 slots x 1 source
+    assert(back.schema.fieldNames.toSeq === Feeds.DocSchema.fieldNames.toSeq)
+  }
+
+  test("jdbc sink roundtrips through embedded derby") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL"), "2024-01-01", "2024-01-06")
+    Feeds.writeJdbc(src, url, "bars")
+    val back = Feeds.readJdbc(spark, url, "bars")
+    assert(back.count() === 5)
+    assert(back.select($"symbol", $"bar_date", $"close").exceptAll(
+      src.select($"symbol", $"bar_date", $"close")).count() === 0)
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")
