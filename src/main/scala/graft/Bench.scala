@@ -42,7 +42,57 @@ object Bench {
     val results = names.map(n => n -> materialize(n))
     val qs      = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total   = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val skew    = skewBench(spark, sfDir, reps)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Skew demonstration: the same shuffle join on a pathological key
+    * distribution (~80% of fact rows on ONE key), plain vs salted
+    * (Relational.saltedJoin), plus a uniform-key control. Broadcast
+    * is disabled so both sides actually shuffle — the scenario the
+    * salt exists for. Emits {"plain":s,"salted":s,...} into the
+    * bench line.
+    */
+  private def skewBench(spark: SparkSession, sfDir: String, reps: Int): String = {
+    import org.apache.spark.sql.functions._
+    // 8x-replicated fact so the hot key's post-shuffle work is long
+    // enough to dominate a task (the situation salting exists for)
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), explode(sequence(lit(1), lit(8))).as("rep"))
+      .select((col("l_orderkey") * 8 + col("rep")).as("rowkey"), col("l_orderkey"))
+    // ~80% of rows land on key 0; md5 payload makes per-row join-side
+    // work non-trivial, as in a real enrichment
+    val skewed = li.select(
+      when(col("l_orderkey") % 10 < 8, 0L).otherwise(pmod(col("l_orderkey"), lit(1000))).as("k"),
+      col("rowkey"))
+    val uniform = li.select(
+      pmod(col("l_orderkey"), lit(1000)).as("k"),
+      col("rowkey"))
+    val dim = spark.range(0, 1000).select(col("id").as("dk"), sha2(col("id").cast("string"), 256).as("w"))
+    def work(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.select(col("rowkey"),
+        (1 to 6).foldLeft(concat(col("w"), col("rowkey").cast("string")))((c, _) => md5(c)).as("h"))
+    def time(f: () => org.apache.spark.sql.DataFrame): Double = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        f().write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runs.min
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = time(() =>
+        work(skewed.join(dim, col("k") === col("dk"))))
+      val salted = time(() =>
+        work(graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", "rowkey", 16)))
+      val plainUniform = time(() =>
+        work(uniform.join(dim, col("k") === col("dk"))))
+      val saltedUniform = time(() =>
+        work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16)))
+      s"""{"plain_skewed":$plain,"salted_skewed":$salted,"plain_uniform":$plainUniform,"salted_uniform":$saltedUniform}"""
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
