@@ -33,12 +33,45 @@ object Embedding {
         pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"), lit(dim)).as("b"),
         (lit(1.0) - lit(2.0) * pmod(conv(substring(md5(t), 9, 1), 16, 10).cast("long"), lit(2)).cast("double")).as("sg")
       ))
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      aggregate(hashed, lit(0.0), (acc, h) => acc + when(h("b") === i.cast("long"), h("sg")).otherwise(lit(0.0))))
+    // ONE pass over the tokens with an array accumulator: the
+    // per-dimension formulation (transform over sequence(0, dim-1))
+    // re-evaluated the md5 token fold dim times per row
+    aggregate(hashed, array_repeat(lit(0.0), dim), (acc, h) =>
+      transform(acc, (x, j) => x + when(h("b") === j.cast("long"), h("sg")).otherwise(lit(0.0))))
   }
 
-  /** (doc_id, chunk_id, v): embedding per chunk. */
-  def embedChunks(chunks: DataFrame, dim: Int = 16): DataFrame =
+  /** Driver-side twin of [[featureHashVec]] for embedding literal
+    * query strings: semantics mirror the column fold exactly (md5
+    * lane 1 -> bucket, lane 2 -> sign), so a query embedded here is
+    * bit-identical to the same text embedded distributed.
+    */
+  def featureHashVecLocal(text: String, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val v  = new Array[Double](dim)
+    // split limit -1 keeps trailing empty tokens, matching Spark's split
+    text.toLowerCase.split(" ", -1).foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b   = (java.lang.Long.parseLong(hex.substring(0, 8), 16) % dim).toInt
+      val sg  = 1.0 - 2.0 * (java.lang.Long.parseLong(hex.substring(8, 9), 16) % 2)
+      v(b) += sg
+    }
+    v
+  }
+
+  /** (doc_id, chunk_id, v): embedding per chunk, via the codegen'd
+    * FeatureHashEmbed expression — one md5 per token, the embed
+    * stays inside whole-stage codegen (the 100 TB path).
+    */
+  def embedChunks(chunks: DataFrame, dim: Int = 16): DataFrame = {
+    graft.plans.GraftFunctions.register(chunks.sparkSession)
+    chunks.select(col("doc_id"), col("chunk_id"), expr(s"graft_fh_embed(chunk, $dim)").as("v"))
+  }
+
+  /** Composed-plan twin of [[embedChunks]] (higher-order-function
+    * fold) — kept as the cross-checkable reference; bit-identity with
+    * the expression is asserted in spec.
+    */
+  def embedChunksComposed(chunks: DataFrame, dim: Int = 16): DataFrame =
     chunks.select(col("doc_id"), col("chunk_id"), featureHashVec(col("chunk"), dim).as("v"))
 
   /** Full RAG retrieval: chunk -> embed -> cosine top-k for a query
@@ -53,11 +86,14 @@ object Embedding {
       dim: Int = 16,
       k: Int = 5
   ): DataFrame = {
-    val emb = embedChunks(TextAnalysis.chunk(documents, size, overlap), dim)
-      .withColumn("qv", featureHashVec(lit(query), dim))
-    val scored = emb
-      .withColumn("denom", norm(col("v")) * norm(col("qv")))
-      .withColumn("cos", when(col("denom") =!= 0, dot(col("v"), col("qv")) / col("denom")))
+    // the query embeds once on the driver and rides along as a
+    // literal array — no per-row re-fold, no join
+    val qv    = featureHashVecLocal(query, dim)
+    val qnorm = math.sqrt(qv.map(x => x * x).sum)
+    val qvCol = array(qv.map(lit).toSeq: _*)
+    val scored = embedChunks(TextAnalysis.chunk(documents, size, overlap), dim)
+      .withColumn("cos",
+        when(norm(col("v")) * lit(qnorm) =!= 0, dot(col("v"), qvCol) / (norm(col("v")) * lit(qnorm))))
       .filter(col("cos").isNotNull)
       .select(col("doc_id"), col("chunk_id"), col("cos"))
     // TakeOrderedAndProject: partial top-k per partition, k-row merge

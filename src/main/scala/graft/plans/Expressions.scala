@@ -141,6 +141,30 @@ object GraftHashOps {
     d
   }
 
+  /** Feature-hash text embedding (hashing trick): token -> md5 ->
+    * bucket lane1 % dim, sign from hex char 9 parity — identical to
+    * the composed higher-order-function fold in
+    * operators/Embedding.featureHashVec and to the SQL oracle's
+    * md5-substring arithmetic. One md5 per token, one output array
+    * per row, zero shuffle.
+    */
+  def featureHash(input: UTF8String, dim: Int): ArrayData = {
+    val toks = input.toString.toLowerCase.split(" ", -1)
+    val md   = md5tl.get()
+    val v    = new Array[Double](dim)
+    var i    = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes("UTF-8"))
+      val b = (lane(d, 0) % dim).toInt
+      // hex char 9 = high nibble of byte 4; its parity is the sign
+      val sg = if ((((d(4) >> 4) & 0xf) & 1) == 0) 1.0 else -1.0
+      v(b) += sg
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(v)
+  }
+
   /** All `planes` hyperplane sign bits of one embedding in a single
     * per-row pass: bucket bit p = (sum_i v(i) * dir(p,i)) > 0. Zero
     * shuffle — the 100 TB replacement for the exploded-plan variant.
@@ -235,6 +259,22 @@ case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): LshBucket = copy(child = newChild)
 }
 
+/** Feature-hash embedding of a text column: array<double> of length
+  * `dim` (see GraftHashOps.featureHash).
+  */
+case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_fh_embed"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.featureHash(input.asInstanceOf[UTF8String], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.featureHash($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed = copy(child = newChild)
+}
+
 /** Runtime registration (Verify/Bench path) and a
   * SparkSessionExtensions hook for cluster deployments
   * (--conf spark.sql.extensions=graft.plans.GraftExtensions).
@@ -246,6 +286,9 @@ object GraftFunctions {
     ("graft_lsh_bucket", (es: Seq[Expression]) =>
       LshBucket(es(0), es(1).eval().asInstanceOf[Number].intValue()),
       "returns the n-plane random-hyperplane LSH bucket of an embedding"),
+    ("graft_fh_embed", (es: Seq[Expression]) =>
+      FeatureHashEmbed(es(0), es(1).eval().asInstanceOf[Number].intValue()),
+      "returns the dim-bucket feature-hash embedding of a text"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue()),
       "aggregate: final EMA(span, adjust=False) of values in ts order")

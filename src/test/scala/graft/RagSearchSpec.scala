@@ -22,6 +22,20 @@ class RagSearchSpec extends AnyFunSuite {
     assert(vs(0) === vs(1))
   }
 
+  test("codegen'd feature-hash expression is bit-identical to the composed fold") {
+    import spark.implicits._
+    val chunks = TextAnalysis.chunk(Tables.documents(spark, sf), 100, 20)
+    val fast     = Embedding.embedChunks(chunks)
+    val composed = Embedding.embedChunksComposed(chunks)
+    assert(fast.exceptAll(composed).count() === 0 && composed.exceptAll(fast).count() === 0)
+    // and to the driver-side literal twin
+    val local = Embedding.featureHashVecLocal("alpha beta gamma", 16).toSeq
+    val dist = Embedding.embedChunks(
+      Seq((0L, 0L, "alpha beta gamma")).toDF("doc_id", "chunk_id", "chunk"))
+      .select($"v").head().getSeq[Double](0)
+    assert(dist === local)
+  }
+
   test("rag retrieval returns k ranked chunks, scores descending") {
     import spark.implicits._
     val out = Embedding.ragRetrieve(Tables.documents(spark, sf), "fast spark query join merge")
