@@ -808,6 +808,19 @@ object SparkEntry {
         |WHERE a.nn * b.nn != 0
         |  AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
         |ORDER BY va, vb""".stripMargin,
+    "q_ann_lsh_buckets" ->
+      """WITH dirs AS (
+        |  SELECT p, list_transform(generate_series(0, 63), i ->
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS d
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS p)
+        |), proj AS (
+        |  SELECT e.vec_id, dirs.p,
+        |    list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), dirs.d) AS pr
+        |  FROM embeddings e CROSS JOIN dirs
+        |)
+        |SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
