@@ -101,4 +101,33 @@ object Embedding {
     topk.withColumn("rnk",
       row_number().over(Window.orderBy(col("cos").desc, col("doc_id").asc, col("chunk_id").asc)).cast("long"))
   }
+
+  /** Batch retrieval — the retrieval-service shape: a (qid, query)
+    * table of text queries answered in ONE pass over the corpus.
+    * Queries embed distributed, broadcast to every chunk partition,
+    * and the per-qid top-k comes from a rank window — the corpus is
+    * scanned once regardless of query count.
+    */
+  def ragRetrieveBatch(
+      documents: DataFrame,
+      queries: DataFrame, // (qid, query)
+      size: Int = 100,
+      overlap: Int = 20,
+      dim: Int = 16,
+      k: Int = 5
+  ): DataFrame = {
+    val q = broadcast(
+      queries.select(col("qid"), featureHashVec(col("query"), dim).as("qv"))
+        .withColumn("qnrm", norm(col("qv"))))
+    val emb = embedChunks(TextAnalysis.chunk(documents, size, overlap), dim)
+      .withColumn("nrm", norm(col("v")))
+    val scored = emb
+      .join(q, col("nrm") * col("qnrm") =!= 0)
+      .withColumn("cos", dot(col("v"), col("qv")) / (col("nrm") * col("qnrm")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("doc_id").asc, col("chunk_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("doc_id"), col("chunk_id"), col("cos"), col("rnk"))
+  }
 }

@@ -130,6 +130,42 @@ object Streams {
   /** Drive a streaming DataFrame to completion against a bounded
     * source and return the materialized result (memory sink).
     */
+  /** Streaming document-feed analytics: per-source windowed count +
+    * mean sentiment over an unbounded article stream (DocSchema
+    * shape, graft.sources.Feeds) — the real-time news dashboard
+    * path. Sentiment is a narrow per-row fold; only the windowed
+    * per-source agg keeps state, bounded by the watermark.
+    */
+  def docSentimentStream(docs: DataFrame, width: String = "6 hours", watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("text", concat_ws(" ", col("title"), col("body")))
+      .withColumn("polarity",
+        graft.functions.TextFunctions.sentimentPolarity(
+          col("text"),
+          graft.operators.TextAnalysis.PosLexicon,
+          graft.operators.TextAnalysis.NegLexicon))
+      .withWatermark("published_ts", watermark)
+      .groupBy(window(col("published_ts"), width).as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("polarity")), 6).as("avg_polarity"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("source"), col("n_docs"), col("avg_polarity"))
+
+  /** Batch equivalent of [[docSentimentStream]] for spec checks. */
+  def docSentimentBatch(docs: DataFrame, width: String = "6 hours"): DataFrame =
+    docs
+      .withColumn("text", concat_ws(" ", col("title"), col("body")))
+      .withColumn("polarity",
+        graft.functions.TextFunctions.sentimentPolarity(
+          col("text"),
+          graft.operators.TextAnalysis.PosLexicon,
+          graft.operators.TextAnalysis.NegLexicon))
+      .groupBy(window(col("published_ts"), width).as("w"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), round(avg(col("polarity")), 6).as("avg_polarity"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("source"), col("n_docs"), col("avg_polarity"))
+
   def runToMemory(spark: SparkSession, stream: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = stream.writeStream.format("memory").queryName(name).outputMode(mode).start()
     q.processAllAvailable()

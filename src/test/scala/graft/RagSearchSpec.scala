@@ -46,6 +46,21 @@ class RagSearchSpec extends AnyFunSuite {
     assert(scores.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("batch retrieval with one query matches the single-query path") {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, sf)
+    val single = Embedding.ragRetrieve(docs, "fast spark query join merge")
+      .select($"doc_id", $"chunk_id", $"cos", $"rnk")
+    val batch = Embedding.ragRetrieveBatch(
+      docs, Seq((7L, "fast spark query join merge")).toDF("qid", "query"))
+      .select($"doc_id", $"chunk_id", $"cos", $"rnk")
+    assert(single.exceptAll(batch).count() === 0 && batch.exceptAll(single).count() === 0)
+    // multi-query: k rows per qid, ranks 1..k
+    val multi = Embedding.ragRetrieveBatch(
+      docs, Seq((1L, "gain up good"), (2L, "slow error bad")).toDF("qid", "query"))
+    assert(multi.groupBy($"qid").count().collect().map(_.getLong(1)).toSeq === Seq(5L, 5L))
+  }
+
   test("percent/currency parsing: values and null-on-malformed") {
     import spark.implicits._
     val in = Seq("12.5%", " 7% ", "-3.25%", "12.5", "n/a", "%").toDF("s")

@@ -146,6 +146,18 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq === Feeds.DocSchema.fieldNames.toSeq)
   }
 
+  test("streaming doc-feed sentiment matches the batch equivalent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_docstream").toString
+    val docs = Feeds.SyntheticDocFeed.fetch(spark, Seq("reuters", "ap"), "2024-01-01", "2024-01-04")
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val got = Streams.runToMemory(
+      spark, Streams.docSentimentStream(stream), "doc_sent_test", OutputMode.Complete())
+    val want = Streams.docSentimentBatch(docs)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("jdbc sink roundtrips through embedded derby") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbc;create=true"
