@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ParseFunctions
+import graft.operators.{Dedup, Embedding}
+
+/** Randomized (seeded, deterministic) exactness checks over
+  * generated corpora — the structured complement to the fixed-corpus
+  * specs: mutation-heavy documents stress the PPJoin prefix bound at
+  * and around the threshold boundary, and generated numbers stress
+  * the parsers' round-trip.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSession._
+
+  private val rnd   = new scala.util.Random(20260812L)
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta",
+    "iota", "kappa", "lam", "mu", "nu", "xi", "omi", "pi")
+
+  /** Corpus of base docs + near-duplicate mutations (token swaps at
+    * varying rates), engineered to produce pairs straddling J = 0.8.
+    */
+  private def mutatedCorpus(nBase: Int, mutsPerBase: Int): Seq[(Long, String)] = {
+    var id = -1L
+    (0 until nBase).flatMap { _ =>
+      val base = Vector.fill(12 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+      val docs = base +: Vector.fill(mutsPerBase) {
+        base.map(t => if (rnd.nextDouble() < 0.08) vocab(rnd.nextInt(vocab.size)) else t)
+      }
+      docs.map { toks => id += 1; (id, toks.mkString(" ")) }
+    }
+  }
+
+  test("ppjoin equals the naive join on a mutation-heavy random corpus, at two thresholds") {
+    import spark.implicits._
+    val docs = mutatedCorpus(25, 3).toDF("doc_id", "text").repartition(8)
+    for (t <- Seq(0.6, 0.8)) {
+      val sh = Dedup.shingles(docs, 3)
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val naive = sh.as("a")
+        .join(sh.as("b"), $"a.s" === $"b.s" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("i"))
+        .join(sz.select($"doc_id".as("da"), $"n".as("na")), "da")
+        .join(sz.select($"doc_id".as("db"), $"n".as("nb")), "db")
+        .select($"da", $"db", ($"i".cast("double") / ($"na" + $"nb" - $"i")).as("jaccard"))
+        .filter($"jaccard" >= t)
+      val fast = Dedup.ngramJaccardPairs(docs, 3, t)
+      assert(naive.count() > 0, s"threshold $t produced no ground-truth pairs")
+      assert(fast.exceptAll(naive).count() === 0 && naive.exceptAll(fast).count() === 0,
+        s"ppjoin != naive at threshold $t")
+    }
+  }
+
+  test("ppjoin keeps exact-boundary pairs (J == t with t*n_sh integral)") {
+    import spark.implicits._
+    // both docs: 14 tokens -> 12 distinct shingles; 8 shared =>
+    // J = 8/16 = 0.5 and t*n_sh = 0.5*12 = 6 is mathematically
+    // integral — the fp-ceil boundary the epsilon guard exists for
+    val base = Vector.tabulate(14)(i => vocab(i % vocab.size) + i)
+    val docA = base.mkString(" ")
+    val docB = (base.take(10) ++ Vector("zz1", "zz2", "zz3", "zz4")).mkString(" ")
+    val docs = Seq((0L, docA), (1L, docB)).toDF("doc_id", "text")
+    val sh = Dedup.shingles(docs, 3)
+    val inter = sh.filter($"doc_id" === 0).select($"s")
+      .intersect(sh.filter($"doc_id" === 1).select($"s")).count().toDouble
+    assert(inter === 8.0, s"corpus construction drifted: inter=$inter")
+    val pairs = Dedup.ngramJaccardPairs(docs, 3, 0.5) // threshold == exact J
+    assert(pairs.count() === 1, "boundary pair J=t=0.5 dropped")
+  }
+
+  test("parsers round-trip generated values and reject generated garbage") {
+    import spark.implicits._
+    val pcts = (1 to 200).map { _ =>
+      val v = math.round(rnd.nextDouble() * 20000 - 10000) / 100.0
+      (s"$v%", v)
+    }
+    val got = pcts.toDF("s", "want")
+      .select(ParseFunctions.parsePercent($"s").as("got"), $"want")
+      .filter($"got" =!= $"want" || $"got".isNull)
+    assert(got.count() === 0)
+    val curs = (1 to 200).map { _ =>
+      val base = math.round(rnd.nextDouble() * 99900 + 100) / 100.0
+      val (suf, mult) = Seq(("", 1.0), ("K", 1e3), ("M", 1e6), ("B", 1e9))(rnd.nextInt(4))
+      (s"$$$base$suf", base * mult)
+    }
+    val gotC = curs.toDF("s", "want")
+      .select(ParseFunctions.parseCurrency($"s").as("got"), $"want")
+      .filter($"got" =!= $"want" || $"got".isNull)
+    assert(gotC.count() === 0)
+    val junk = Seq("", "%", "$", "abc", "1.2.3%", "$1B2", "12%%", "--5%", "$-1Q").toDF("s")
+    assert(junk.select(ParseFunctions.parsePercent($"s").as("p")).filter($"p".isNotNull).count() === 0)
+    assert(junk.select(ParseFunctions.parseCurrency($"s").as("c")).filter($"c".isNotNull).count() === 0)
+  }
+
+  test("driver-side embedding twin agrees with the codegen'd expression on random texts") {
+    import spark.implicits._
+    val texts = (0 until 100).map { i =>
+      (i.toLong, Vector.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dist = Embedding.embedChunks(
+      texts.toDF("doc_id", "chunk").withColumn("chunk_id", lit(0L)))
+      .select($"doc_id", $"v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    texts.foreach { case (id, s) =>
+      assert(dist(id) === Embedding.featureHashVecLocal(s, 16).toSeq, s"mismatch on doc $id")
+    }
+  }
+}
