@@ -200,6 +200,10 @@ object SparkEntry {
       TimeSeries.trackingError(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_alpha_beta" -> ((s, dir) =>
       TimeSeries.alphaBeta(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_rolling_stats" -> ((s, dir) =>
+      TimeSeries.rollingStats(Tables.events(s, dir), 0L, 30)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
     "q_period_returns" -> ((s, dir) =>
       TimeSeries
         .periodReturn(Tables.eventsRange(s, dir, "2024-01-05", "2024-01-25"), "2024-01-05", "2024-01-25")
@@ -648,6 +652,29 @@ object SparkEntry {
         |FROM r JOIN b USING (day)
         |WHERE r.user_id != 0
         |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
+    "q_rolling_stats" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0),
+        |j AS (
+        |  SELECT r.user_id, r.day, r.ret, b.bench_ret
+        |  FROM r JOIN b USING (day) WHERE r.user_id != 0
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  round(CASE WHEN count(*) OVER w2 >= 2
+        |    THEN stddev_samp(ret) OVER w2 * sqrt(252) END, 6) AS roll_vol,
+        |  round(CASE WHEN count(*) OVER w2 >= 2
+        |      AND stddev_samp(ret) OVER w2 != 0 AND stddev_samp(bench_ret) OVER w2 != 0
+        |    THEN corr(ret, bench_ret) OVER w2 END, 6) AS roll_corr
+        |FROM j
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
     "q_period_returns" ->
       """SELECT user_id,
         |  CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END AS period_return

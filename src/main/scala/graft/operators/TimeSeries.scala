@@ -210,6 +210,34 @@ object TimeSeries {
       )
   }
 
+  /** Rolling window stats vs a benchmark (fund-comparison rolling
+    * panel): per key+day over the trailing `win` daily returns,
+    * annualized volatility and Pearson correlation with the
+    * benchmark's return. One shuffle (the per-key window); the
+    * benchmark series is one key ⇒ broadcast join by day.
+    * Correlation guards zero-variance windows (engines disagree on
+    * NaN vs null there).
+    */
+  def rollingStats(df: DataFrame, benchmarkKey: Long, win: Int = 30, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(df, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    val w   = Window.partitionBy(key).orderBy("day").rowsBetween(-(win - 1), 0)
+    val cnt = count(lit(1)).over(w)
+    // n>=2 guard BEFORE the stddev!=0 checks: a 1-row sample stddev
+    // is NaN in Spark (and NaN != 0 is true) but NULL in SQL engines
+    rets
+      .filter(col(key) =!= benchmarkKey)
+      .join(bench, "day")
+      .withColumn("roll_vol",
+        round(when(cnt >= 2, stddev_samp(col("ret")).over(w) * math.sqrt(TradingDays)), 6))
+      .withColumn("roll_corr",
+        round(when(cnt >= 2 &&
+          stddev_samp(col("ret")).over(w) =!= 0 && stddev_samp(col("bench_ret")).over(w) =!= 0,
+          corr(col("ret"), col("bench_ret")).over(w)), 6))
+      .select(col(key), col("day"), col("roll_vol"), col("roll_corr"))
+  }
+
   /** Point-to-point return between the first close at/after `start`
     * and the last close at/before `end` (3Y/5Y-return analog).
     */
