@@ -236,6 +236,9 @@ object SparkEntry {
       Dedup.simhashFast(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_curation_pipeline" -> ((s, dir) =>
       Dedup.curationPipeline(Tables.documents(s, dir), 100, 20).orderBy("chunk_fp")),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
 
     "q_rag_pipeline" -> ((s, dir) =>
       Embedding.ragRetrieve(Tables.documents(s, dir), "fast spark query join merge")
@@ -796,6 +799,37 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM cand UNION SELECT db, da FROM cand
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b != r.a
+        |)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents

@@ -206,6 +206,36 @@ object Dedup {
         col("n_copies"))
   }
 
+  /** Connected components over near-dup candidate pairs — the last
+    * step of a real dedup pass: pairs -> clusters -> one canonical
+    * doc (the min id) per cluster. Min-label propagation: each
+    * iteration is one shuffle join + a min-aggregate, converging in
+    * O(cluster diameter) rounds; near-dup clusters are clique-ish so
+    * 1-2 rounds dominate. `localCheckpoint` truncates lineage each
+    * round so the plan doesn't grow with iterations. For adversarial
+    * long-chain graphs swap in large-star/small-star (Kiveris+ '14);
+    * the row shape here is identical.
+    */
+  def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint()
+    var changed = 1L
+    var iter    = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = labels.join(edges, labels("node") === edges("a"))
+        .select(col("b").as("node"), col("label"))
+      val next = labels.union(prop).groupBy("node").agg(min("label").as("label")).localCheckpoint()
+      changed = next.as("n").join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist —
     * library-level helper (pairs all docs; use LSH bucketing on
     * simhash prefixes for the at-scale path).

@@ -69,6 +69,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("cluster resolution matches a local union-find on the candidate graph") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshCandidates(Tables.documents(spark, sf))
+    val got = Dedup.clusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // local union-find ground truth
+    val edges  = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(n => n -> find(n)).toMap
+    assert(edges.nonEmpty && got === want)
+    // every cluster id is the min member of its cluster
+    assert(got.groupBy(_._2).forall { case (cid, ms) => ms.keys.min == cid })
+  }
+
   test("brute-force topk returns k ranked neighbors per query") {
     import spark.implicits._
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 5)
