@@ -200,6 +200,11 @@ object SparkEntry {
       TimeSeries.trackingError(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_alpha_beta" -> ((s, dir) =>
       TimeSeries.alphaBeta(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_bollinger" -> ((s, dir) =>
+      TimeSeries.bollinger(Tables.events(s, dir), 20, 2.0)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("mid"), col("upper"), col("lower"))
+        .orderBy("user_id", "ts_us")),
     "q_rolling_stats" -> ((s, dir) =>
       TimeSeries.rollingStats(Tables.events(s, dir), 0L, 30)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -224,6 +229,8 @@ object SparkEntry {
       TextAnalysis.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_chunk_documents" -> ((s, dir) =>
       TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id")),
+    "q_tfidf_topterms" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 5).orderBy("doc_id", "rnk")),
 
     // ---- D. deduplication ---------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -655,6 +662,27 @@ object SparkEntry {
         |FROM r JOIN b USING (day)
         |WHERE r.user_id != 0
         |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
+    "q_tfidf_topterms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t
+        |), dfx AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, t AS term, round(tf * ln(n_docs / df), 6) AS tfidf,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY round(tf * ln(n_docs / df), 6) DESC, t ASC) AS rnk
+        |FROM tf JOIN dfx USING (t) CROSS JOIN n
+        |QUALIFY rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
+    "q_bollinger" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(avg(value) OVER w, 6) AS mid,
+        |  round(avg(value) OVER w + 2.0 * (CASE WHEN count(*) OVER w >= 2 THEN stddev_samp(value) OVER w END), 6) AS upper,
+        |  round(avg(value) OVER w - 2.0 * (CASE WHEN count(*) OVER w >= 2 THEN stddev_samp(value) OVER w END), 6) AS lower
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us""".stripMargin,
     "q_rolling_stats" ->
       """WITH dc AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -93,5 +94,27 @@ object TextAnalysis {
         (col("off") / stride).cast("long").as("chunk_id"),
         col("text").substr(col("off") + 1, lit(size)).as("chunk")
       )
+  }
+
+  /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
+    * ln(N/df). Two key-partitioned aggregations (term counts per doc,
+    * then document frequency over the already-distinct (doc, term)
+    * rows) + the corpus size as a broadcast 1-row frame — no driver
+    * collect, no second corpus scan.
+    */
+  def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
+    val tf = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n  = documents.agg(count(lit(1)).as("n_docs"))
+    val w  = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("t").asc)
+    tf.join(df, "t")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n_docs") / col("df")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("t").as("term"), col("tfidf"), col("rnk"))
   }
 }

@@ -86,6 +86,21 @@ object TimeSeries {
   def sma(df: DataFrame, n: Int, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.withColumn("sma", round(avg(col(v)).over(wk(key, ts).rowsBetween(-(n - 1), 0)), 6))
 
+  /** Bollinger bands: n-period SMA ± band·(n-period sample std) —
+    * one window spec, four derived columns, single per-key shuffle.
+    * The n>=2 count guard keeps the 1-row sample std NULL (not NaN)
+    * for engine parity.
+    */
+  def bollinger(df: DataFrame, n: Int = 20, band: Double = 2.0, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w   = wk(key, ts).rowsBetween(-(n - 1), 0)
+    val mid = avg(col(v)).over(w)
+    val sd  = when(count(lit(1)).over(w) >= 2, stddev_samp(col(v)).over(w))
+    df
+      .withColumn("mid", round(mid, 6))
+      .withColumn("upper", round(mid + lit(band) * sd, 6))
+      .withColumn("lower", round(mid - lit(band) * sd, 6))
+  }
+
   /** EMA(span, adjust=False): y_t = (1-a)^t*(x_0 + Σ_{i=1..t} a*(1-a)^{-i}*x_i),
     * a = 2/(span+1). Expressed as one running window sum — exact for
     * per-key series up to a few thousand points ((1-a)^{-i} stays in

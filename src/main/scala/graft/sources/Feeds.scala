@@ -61,6 +61,7 @@ object Feeds {
       val reader = spark.read
       val raw = format match {
         case "parquet" => reader.parquet(path)
+        case "orc"     => reader.orc(path)
         case "csv"     => reader.option("header", "true").schema(renamed(BarSchema, mapping)).csv(path)
         case "json"    => reader.schema(renamed(BarSchema, mapping)).json(path)
         case other     => throw new IllegalArgumentException(s"unsupported feed format: $other")
@@ -154,6 +155,7 @@ object Feeds {
       val reader = spark.read
       val raw = format match {
         case "parquet" => reader.parquet(path)
+        case "orc"     => reader.orc(path)
         case "csv"     => reader.option("header", "true").schema(renamed(DocSchema, mapping)).csv(path)
         case "json"    => reader.schema(renamed(DocSchema, mapping)).json(path)
         case other     => throw new IllegalArgumentException(s"unsupported feed format: $other")

@@ -158,6 +158,15 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
+  test("file feed roundtrips through orc") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")
+    src.write.mode("overwrite").orc(dir)
+    val back = new Feeds.FileFeed(dir, "orc").fetch(spark, Seq("MSFT"), "2024-01-01", "2024-01-06")
+    assert(back.count() === 5)
+    assert(back.schema.fieldNames.toSeq === Feeds.BarSchema.fieldNames.toSeq)
+  }
+
   test("jdbc sink roundtrips through embedded derby") {
     import spark.implicits._
     val url = "jdbc:derby:memory:graftjdbc;create=true"
