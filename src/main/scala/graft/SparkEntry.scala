@@ -200,6 +200,11 @@ object SparkEntry {
       TimeSeries.trackingError(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_alpha_beta" -> ((s, dir) =>
       TimeSeries.alphaBeta(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_macd" -> ((s, dir) =>
+      TimeSeries.macd(Tables.events(s, dir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("macd"), col("signal"), col("hist"))
+        .orderBy("user_id", "ts_us")),
     "q_bollinger" -> ((s, dir) =>
       TimeSeries.bollinger(Tables.events(s, dir), 20, 2.0)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -675,6 +680,34 @@ object SparkEntry {
         |FROM tf JOIN dfx USING (t) CROSS JOIN n
         |QUALIFY rnk <= 5
         |ORDER BY doc_id, rnk""".stripMargin,
+    "q_macd" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+        |  FROM events
+        |), f AS (
+        |  SELECT *,
+        |    CASE WHEN rn = 0 THEN value ELSE (2.0/13) * value * pow(1 - 2.0/13, -rn) END AS gf,
+        |    CASE WHEN rn = 0 THEN value ELSE (2.0/27) * value * pow(1 - 2.0/27, -rn) END AS gs
+        |  FROM o
+        |), e AS (
+        |  SELECT user_id, ts, rn,
+        |    pow(1 - 2.0/13, rn) * sum(gf) OVER wr AS ema_fast,
+        |    pow(1 - 2.0/27, rn) * sum(gs) OVER wr AS ema_slow
+        |  FROM f
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), m AS (
+        |  SELECT *, ema_fast - ema_slow AS macd FROM e
+        |), g AS (
+        |  SELECT *, CASE WHEN rn = 0 THEN macd ELSE (2.0/10) * macd * pow(1 - 2.0/10, -rn) END AS gm
+        |  FROM m
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, round(macd, 6) AS macd,
+        |  round(pow(1 - 2.0/10, rn) * sum(gm) OVER wr, 6) AS signal,
+        |  round(macd - pow(1 - 2.0/10, rn) * sum(gm) OVER wr, 6) AS hist
+        |FROM g
+        |WINDOW wr AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us""".stripMargin,
     "q_bollinger" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  round(avg(value) OVER w, 6) AS mid,

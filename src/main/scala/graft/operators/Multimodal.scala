@@ -62,4 +62,49 @@ object Multimodal {
       }
     }
   }
+
+  /** Binary -> binary batch transform (image-resize analog): the
+    * STUB "resample" takes every k-th byte to hit the target size —
+    * deterministic, payload-derived; a real codec drops in at the
+    * marked line with the same iterator shape.
+    */
+  def resize(media: Dataset[MediaRecord], targetBytes: Int, batchSize: Int = 64): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        // one resize context per batch would be opened here
+        batch.iterator.map { r =>
+          val n   = r.payload.length
+          val out = if (n <= targetBytes) r.payload
+          else Array.tabulate(targetBytes)(i => r.payload((i.toLong * n / targetBytes).toInt))
+          MediaRecord(r.media_id, r.kind, out)
+        }
+      }
+    }
+  }
+
+  case class FrameRecord(media_id: Long, frame_no: Long, frame: Array[Byte])
+
+  /** Frame sampling (video analog): the payload is treated as a
+    * sequence of `frameBytes` frames; every `everyN`-th frame is
+    * emitted as its own row. Row count stays proportional to input
+    * (len/frameBytes/everyN) and the explode happens per partition —
+    * no driver involvement, no skew beyond payload-size skew.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], frameBytes: Int = 256, everyN: Int = 4, batchSize: Int = 64): Dataset[FrameRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { iter =>
+      iter.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          // a demuxer context per batch would be opened here
+          r.payload.grouped(frameBytes).zipWithIndex.collect {
+            case (frame, idx) if idx % everyN == 0 =>
+              FrameRecord(r.media_id, idx.toLong, frame)
+          }
+        }
+      }
+    }
+  }
 }

@@ -117,6 +117,33 @@ object TimeSeries {
       .drop("g")
   }
 
+  /** MACD(fast, slow, signal): EMA(fast) − EMA(slow), the signal
+    * line as EMA(signal) of the MACD series, and the histogram.
+    * All three EMAs use the same closed form as [[ema]] over ONE
+    * per-key shuffle (stacked window ops share the sort); rounding
+    * happens only at the output so the derived series compose
+    * exactly as the oracle does.
+    */
+  def macd(df: DataFrame, fastSpan: Int = 12, slowSpan: Int = 26, signalSpan: Int = 9, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val (af, as, am) = (2.0 / (fastSpan + 1), 2.0 / (slowSpan + 1), 2.0 / (signalSpan + 1))
+    val w    = wk(key, ts)
+    val wRun = Window.partitionBy(key).orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def g(src: Column, a: Double): Column =
+      when(col("rn") === 0, src).otherwise(lit(a) * src * pow(lit(1 - a), -col("rn")))
+    df.withColumn("rn", row_number().over(w) - 1)
+      .withColumn("gf", g(col(v), af))
+      .withColumn("gs", g(col(v), as))
+      .withColumn("ema_fast", pow(lit(1 - af), col("rn")) * sum(col("gf")).over(wRun))
+      .withColumn("ema_slow", pow(lit(1 - as), col("rn")) * sum(col("gs")).over(wRun))
+      .withColumn("macd", col("ema_fast") - col("ema_slow"))
+      .withColumn("gm", g(col("macd"), am))
+      .withColumn("sig", pow(lit(1 - am), col("rn")) * sum(col("gm")).over(wRun))
+      .select(col(key), col(ts),
+        round(col("macd"), 6).as("macd"),
+        round(col("sig"), 6).as("signal"),
+        round(col("macd") - col("sig"), 6).as("hist"))
+  }
+
   /** Final EMA per key via the custom TypedImperativeAggregate fold
     * (graft.plans.EmaAggregate) — order-correct across partition
     * merges, no closed-form overflow on long series. Agrees with the

@@ -106,6 +106,28 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(feats.filter(!$"feat_hash".rlike("^[0-9a-f]{32}$")).count() === 0)
   }
 
+  test("multimodal resize and frame sampling are deterministic with expected shapes") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
+    val small = Multimodal.resize(media, 128)
+    assert(small.filter(r => r.payload.length > 128).count() === 0)
+    assert(small.count() === media.count())
+    // determinism: same input -> same resized bytes
+    val h1 = Multimodal.extractFeatures(small).select($"feat_hash").orderBy($"feat_hash").collect()
+    val h2 = Multimodal.extractFeatures(Multimodal.resize(media, 128))
+      .select($"feat_hash").orderBy($"feat_hash").collect()
+    assert(h1.toSeq === h2.toSeq)
+    // frame sampling: every 4th 256-byte frame
+    val frames = Multimodal.sampleFrames(media, 256, 4)
+    val wantPerDoc = media.collect().map { r =>
+      r.media_id -> (0 until (r.payload.length + 255) / 256).count(_ % 4 == 0).toLong
+    }.toMap
+    val gotPerDoc = frames.groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPerDoc === wantPerDoc)
+    assert(frames.filter($"frame_no" % 4 =!= 0).count() === 0)
+  }
+
   test("synthetic feed is deterministic and respects the date range") {
     import spark.implicits._
     val a = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-11")
