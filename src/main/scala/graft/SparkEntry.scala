@@ -214,6 +214,8 @@ object SparkEntry {
       TimeSeries.rollingStats(Tables.events(s, dir), 0L, 30)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
+    "q_corr_matrix" -> ((s, dir) =>
+      TimeSeries.correlationMatrix(Tables.events(s, dir)).orderBy("ka", "kb")),
     "q_period_returns" -> ((s, dir) =>
       TimeSeries
         .periodReturn(Tables.eventsRange(s, dir, "2024-01-05", "2024-01-25"), "2024-01-05", "2024-01-25")
@@ -739,6 +741,23 @@ object SparkEntry {
         |FROM j
         |WINDOW w2 AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin,
+    "q_corr_matrix" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |)
+        |SELECT a.user_id AS ka, b.user_id AS kb,
+        |  round(CASE WHEN count(*) >= 2
+        |      AND stddev_samp(a.ret) != 0 AND stddev_samp(b.ret) != 0
+        |    THEN corr(a.ret, b.ret) END, 6) AS corr_ret
+        |FROM r a JOIN r b ON a.day = b.day AND a.user_id < b.user_id
+        |GROUP BY a.user_id, b.user_id
+        |ORDER BY ka, kb""".stripMargin,
     "q_period_returns" ->
       """SELECT user_id,
         |  CASE WHEN min_by(value, ts) != 0 THEN max_by(value, ts) / min_by(value, ts) - 1 END AS period_return

@@ -280,6 +280,28 @@ object TimeSeries {
       .select(col(key), col("day"), col("roll_vol"), col("roll_corr"))
   }
 
+  /** Pairwise return-correlation matrix over all keys (fund-
+    * comparison heatmap analog): daily-close returns self-joined on
+    * the day grid (ka < kb upper triangle), one matrix aggregation.
+    * The join key is the DAY, so the pair space never materializes
+    * outside the per-day blocks — at large key cardinality swap in
+    * per-block pairing or a sketch; for instrument universes (10^2..
+    * 10^4 keys) this shape is the standard one.
+    */
+  def correlationMatrix(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = dailyCloseReturns(df, key, ts, v)
+    val a = rets.select(col(key).as("ka"), col("day"), col("ret").as("ra"))
+    val b = rets.select(col(key).as("kb"), col("day"), col("ret").as("rb"))
+    a.join(b, Seq("day"))
+      .filter(col("ka") < col("kb"))
+      .groupBy(col("ka"), col("kb"))
+      // n>=2 before the stddev!=0 checks: 1-row sample stddev is NaN
+      // in Spark (NaN != 0 is true) but NULL in SQL engines
+      .agg(round(when(count(lit(1)) >= 2 &&
+        stddev_samp(col("ra")) =!= 0 && stddev_samp(col("rb")) =!= 0,
+        corr(col("ra"), col("rb"))), 6).as("corr_ret"))
+  }
+
   /** Point-to-point return between the first close at/after `start`
     * and the last close at/before `end` (3Y/5Y-return analog).
     */
