@@ -751,12 +751,18 @@ object SparkEntry {
         |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
         |  QUALIFY ret IS NOT NULL
         |)
-        |SELECT a.user_id AS ka, b.user_id AS kb,
-        |  round(CASE WHEN count(*) >= 2
-        |      AND stddev_samp(a.ret) != 0 AND stddev_samp(b.ret) != 0
-        |    THEN corr(a.ret, b.ret) END, 6) AS corr_ret
-        |FROM r a JOIN r b ON a.day = b.day AND a.user_id < b.user_id
-        |GROUP BY a.user_id, b.user_id
+        |, s AS (
+        |  SELECT a.user_id AS ka, b.user_id AS kb,
+        |    count(*) AS n, sum(a.ret) AS sx, sum(b.ret) AS sy,
+        |    sum(a.ret * a.ret) AS sxx, sum(b.ret * b.ret) AS syy,
+        |    sum(a.ret * b.ret) AS sxy
+        |  FROM r a JOIN r b ON a.day = b.day AND a.user_id < b.user_id
+        |  GROUP BY a.user_id, b.user_id
+        |)
+        |SELECT ka, kb,
+        |  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6) AS corr_ret
+        |FROM s
         |ORDER BY ka, kb""".stripMargin,
     "q_period_returns" ->
       """SELECT user_id,
