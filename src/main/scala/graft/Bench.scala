@@ -38,11 +38,13 @@ object Bench {
 
     // optional comma-separated subset for local iteration
     val only    = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // skew section runs FIRST: after the 70-query sweep the heap/GC
+    // state made its timings swing 4x between runs
+    val skew    = skewBench(spark, sfDir, reps)
     val names   = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> materialize(n))
     val qs      = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total   = results.map(_._2).filter(_ >= 0).sum
-    val skew    = skewBench(spark, sfDir, reps)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skew,"sf":"$sfDir"}""")
     spark.stop()
   }
