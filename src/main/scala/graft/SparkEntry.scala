@@ -146,6 +146,12 @@ object SparkEntry {
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
     "q_rank_suite" -> ((s, dir) =>
       Stats.rankSuite(Tables.events(s, dir)).orderBy("event_id")),
+    "q_winsorize" -> ((s, dir) =>
+      Stats.winsorize(Tables.events(s, dir), "event_type", 0.05, 0.95).orderBy("event_id")),
+    "q_monthly_returns" -> ((s, dir) =>
+      TimeSeries.monthlyReturns(Tables.events(s, dir))
+        .withColumn("month", date_format(col("month"), "yyyy-MM"))
+        .orderBy("user_id", "month")),
 
     // ---- B. financial analytics ---------------------------------------
     "q_daily_returns" -> ((s, dir) =>
@@ -563,6 +569,26 @@ object SparkEntry {
         |FROM events
         |WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
         |ORDER BY event_id""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT event_id, e.event_type,
+        |  round(greatest(b.lo, least(b.hi, e.value)), 6) AS value_w
+        |FROM events e JOIN b ON e.event_type = b.event_type
+        |ORDER BY event_id""".stripMargin,
+    "q_monthly_returns" ->
+      """WITH m AS (
+        |  SELECT user_id, date_trunc('month', ts) AS month, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, strftime(month, '%Y-%m') AS month,
+        |  round(close, 6) AS close,
+        |  round(CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END, 6) AS mret
+        |FROM m WINDOW w AS (PARTITION BY user_id ORDER BY month)
+        |ORDER BY user_id, month""".stripMargin,
     "q_daily_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  CASE WHEN lag(value) OVER w != 0 THEN value / lag(value) OVER w - 1 END AS ret

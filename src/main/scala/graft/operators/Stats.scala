@@ -30,6 +30,23 @@ object Stats {
         round(element_at(col("qs"), 2), 6).as("p50"),
         round(element_at(col("qs"), 3), 6).as("p90"))
 
+  /** Winsorize values to per-group [pLo, pHi] quantile bounds — the
+    * standard outlier-clipping step before model features. Bounds
+    * come from one per-group aggregate broadcast back onto the row
+    * stream; the clip itself is a narrow least/greatest.
+    */
+  def winsorize(events: DataFrame, groupCol: String, pLo: Double, pHi: Double): DataFrame = {
+    val bounds = events
+      .groupBy(col(groupCol))
+      .agg(percentile(col("value"), lit(Array(pLo, pHi))).as("qs"))
+      .select(col(groupCol), element_at(col("qs"), 1).as("lo"), element_at(col("qs"), 2).as("hi"))
+    events
+      .join(org.apache.spark.sql.functions.broadcast(bounds), groupCol)
+      .select(
+        col("event_id"), col(groupCol),
+        round(greatest(col("lo"), least(col("hi"), col("value"))), 6).as("value_w"))
+  }
+
   /** Fixed-width value histogram: one groupBy, bins as floor-div. */
   def histogram(events: DataFrame, width: Double): DataFrame =
     events

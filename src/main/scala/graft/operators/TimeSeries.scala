@@ -204,6 +204,19 @@ object TimeSeries {
     df.groupBy(col(key), date_trunc("day", col(ts)).as("day"))
       .agg(max_by(col(v), col(ts)).as("close"))
 
+  /** Month-end resample + month-over-month return per key: one
+    * groupBy for the month bars, one lag window for the return.
+    */
+  def monthlyReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val monthly = df
+      .groupBy(col(key), date_trunc("month", col(ts)).as("month"))
+      .agg(max_by(col(v), col(ts)).as("close"))
+    val prev = lag(col("close"), 1).over(Window.partitionBy(key).orderBy("month"))
+    monthly
+      .withColumn("mret", round(when(prev =!= 0, col("close") / prev - 1), 6))
+      .select(col(key), col("month"), round(col("close"), 6).as("close"), col("mret"))
+  }
+
   /** Daily returns on the daily-close grid. */
   def dailyCloseReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val prev = lag(col("close"), 1).over(Window.partitionBy(key).orderBy("day"))
