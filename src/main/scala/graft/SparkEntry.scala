@@ -206,6 +206,10 @@ object SparkEntry {
       TimeSeries.trackingError(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_alpha_beta" -> ((s, dir) =>
       TimeSeries.alphaBeta(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_rsi" -> ((s, dir) =>
+      TimeSeries.rsi(Tables.events(s, dir), 14)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("rsi"))
+        .orderBy("user_id", "ts_us")),
     "q_macd" -> ((s, dir) =>
       TimeSeries.macd(Tables.events(s, dir))
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
@@ -708,6 +712,31 @@ object SparkEntry {
         |FROM tf JOIN dfx USING (t) CROSS JOIN n
         |QUALIFY rnk <= 5
         |ORDER BY doc_id, rnk""".stripMargin,
+    "q_rsi" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+        |  FROM events
+        |  QUALIFY delta IS NOT NULL
+        |), o AS (
+        |  SELECT user_id, ts, delta,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+        |  FROM d
+        |), g AS (
+        |  SELECT *,
+        |    CASE WHEN rn = 0 THEN greatest(delta, 0) ELSE (1.0/14) * greatest(delta, 0) * pow(1 - 1.0/14, -rn) END AS gg,
+        |    CASE WHEN rn = 0 THEN greatest(-delta, 0) ELSE (1.0/14) * greatest(-delta, 0) * pow(1 - 1.0/14, -rn) END AS gl
+        |  FROM o
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    pow(1 - 1.0/14, rn) * sum(gg) OVER wr AS avg_gain,
+        |    pow(1 - 1.0/14, rn) * sum(gl) OVER wr AS avg_loss
+        |  FROM g
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |  round(CASE WHEN avg_loss != 0 THEN 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) ELSE 100.0 END, 6) AS rsi
+        |FROM s ORDER BY user_id, ts_us""".stripMargin,
     "q_macd" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,

@@ -144,6 +144,31 @@ object TimeSeries {
         round(col("macd") - col("sig"), 6).as("hist"))
   }
 
+  /** RSI(n), EMA-smoothed (alpha = 1/n, adjust=False, seeded at the
+    * first delta): gains/losses from per-key deltas, both smoothed
+    * with the same closed form as [[ema]] on ONE shuffle, then
+    * RSI = 100 − 100/(1+RS). avg_loss == 0 (all-gain prefix) maps to
+    * RSI 100 — both engines classify exactly since the smoothed loss
+    * is identically zero iff every loss term is zero.
+    */
+  def rsi(df: DataFrame, n: Int = 14, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val a = 1.0 / n
+    val w = wk(key, ts)
+    def smooth(src: Column): Column =
+      pow(lit(1 - a), col("rn")) * sum(
+        when(col("rn") === 0, src).otherwise(lit(a) * src * pow(lit(1 - a), -col("rn"))))
+        .over(Window.partitionBy(key).orderBy("rn").rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("delta", col(v) - lag(col(v), 1).over(w))
+      .filter(col("delta").isNotNull)
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("avg_gain", smooth(greatest(col("delta"), lit(0.0))))
+      .withColumn("avg_loss", smooth(greatest(-col("delta"), lit(0.0))))
+      .select(col(key), col(ts),
+        round(when(col("avg_loss") =!= 0,
+          lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss")))
+          .otherwise(lit(100.0)), 6).as("rsi"))
+  }
+
   /** Final EMA per key via the custom TypedImperativeAggregate fold
     * (graft.plans.EmaAggregate) — order-correct across partition
     * merges, no closed-form overflow on long series. Agrees with the
