@@ -260,6 +260,8 @@ object SparkEntry {
       Dedup.simhashFast(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_curation_pipeline" -> ((s, dir) =>
       Dedup.curationPipeline(Tables.documents(s, dir), 100, 20).orderBy("chunk_fp")),
+    "q_simhash_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, dir), 4).orderBy("da", "db")),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
         .orderBy("doc_id")),
@@ -983,6 +985,24 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_simhash_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY doc_id, b
+        |), sh2 AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+        |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        |ORDER BY da, db""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

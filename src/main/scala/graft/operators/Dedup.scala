@@ -237,8 +237,8 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash hamming distance <= maxDist —
-    * library-level helper (pairs all docs; use LSH bucketing on
-    * simhash prefixes for the at-scale path).
+    * library-level helper (pairs all docs; use simhashNearDupPairs,
+    * the banded variant, at scale).
     */
   def simhashPairs(sims: DataFrame, maxDist: Int): DataFrame =
     sims.as("a")
@@ -246,4 +246,33 @@ object Dedup {
       .withColumn("dist", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
       .filter(col("dist") <= maxDist)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"), col("dist"))
+
+  /** EXACT banded hamming join: the 60-bit simhash splits into
+    * `bands` 12-bit bands; by pigeonhole any pair with at most
+    * bands-1 differing bits matches on at least one whole band, so
+    * the band-equality self-join is an exact candidate generator for
+    * maxDist <= bands-1 — candidates verify on the full XOR
+    * popcount. The corpus never pairs all-vs-all: only docs sharing
+    * a 12-bit band value meet, which is the 100 TB replacement for
+    * the quadratic simhashPairs sweep.
+    */
+  def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 4, bands: Int = 5): DataFrame = {
+    require(maxDist <= bands - 1, s"banding is only exact for maxDist <= ${bands - 1}")
+    val sims = simhashFast(documents)
+    val stackArgs = (0 until bands)
+      .map(b => s"${b}L, cast(shiftright(simhash, ${12 * b}) & 4095 as long)")
+      .mkString(", ")
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      expr(s"stack($bands, $stackArgs) as (band, bv)"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("da"), col("db"), col("dist"))
+  }
 }

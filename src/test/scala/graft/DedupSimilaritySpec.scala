@@ -69,6 +69,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
   }
 
+  test("banded hamming join is exact: identical to the all-pairs simhash sweep") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val naive = Dedup.simhashPairs(Dedup.simhash(docs), 4)
+      .select($"da", $"db", $"dist".cast("long").as("dist"))
+    val banded = Dedup.simhashNearDupPairs(docs, 4)
+    assert(naive.count() > 0, "no dist<=4 pairs in the corpus")
+    assert(banded.exceptAll(naive).count() === 0 && naive.exceptAll(banded).count() === 0)
+  }
+
   test("cluster resolution matches a local union-find on the candidate graph") {
     import spark.implicits._
     val pairs = Dedup.minhashLshCandidates(Tables.documents(spark, sf))
