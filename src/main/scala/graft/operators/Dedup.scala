@@ -71,10 +71,15 @@ object Dedup {
       // prefix and drop J == t pairs (a longer prefix is only extra
       // candidates; verification keeps the result exact)
       .filter(col("rn") <= col("n_sh") - ceil(col("n_sh") * threshold - 1e-9) + 1)
-      .select(col("doc_id"), col("s"), col("n_sh"))
+      // candidate join keys on a 64-bit shingle hash, not the string:
+      // shuffle width drops to fixed 8 bytes/row and the equality is
+      // a long compare. A hash collision can only ADD candidates
+      // (verification on the exact string arrays filters them), never
+      // drop one — equal strings always hash equal — so exactness holds
+      .select(col("doc_id"), xxhash64(col("s")).as("sh64"), col("n_sh"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.sh64") === col("b.sh64") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") >= col("b.n_sh") * threshold &&
           col("b.n_sh") >= col("a.n_sh") * threshold)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
