@@ -84,6 +84,17 @@ object Feeds {
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed + sorted table sink: co-locates join keys at WRITE
+    * time so repeated joins/aggregations on `keyCol` skip the
+    * shuffle entirely (the scan reports bucketed distribution to the
+    * planner). The 100 TB pattern for fact tables joined every day
+    * on the same key. Registers `table` in the session catalog with
+    * data at `path`.
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String, buckets: Int, keyCol: String): Unit =
+    df.write.mode("overwrite").format("parquet").option("path", path)
+      .bucketBy(buckets, keyCol).sortBy(keyCol).saveAsTable(table)
+
   /** JDBC sink (reference src/interface/db.py analog): Spark's JDBC
     * writer distributes inserts per partition; `batchsize` bounds
     * round trips. Use `numPartitions` upstream to cap concurrent

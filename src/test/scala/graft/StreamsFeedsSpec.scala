@@ -200,6 +200,33 @@ class StreamsFeedsSpec extends AnyFunSuite {
       src.select($"symbol", $"bar_date", $"close")).count() === 0)
   }
 
+  test("bucketed tables join without a shuffle and match the plain join") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val orders   = Tables.orders(spark, sf)
+    val customer = Tables.customer(spark, sf)
+    Feeds.writeBucketed(orders, "b_orders", s"$dir/o", 8, "o_custkey")
+    Feeds.writeBucketed(customer, "b_customer", s"$dir/c", 8, "c_custkey")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"), $"o_custkey" === $"c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      val want = orders.join(customer, $"o_custkey" === $"c_custkey").count()
+      assert(joined.count() === want)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")
