@@ -146,6 +146,12 @@ object SparkEntry {
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
     "q_rank_suite" -> ((s, dir) =>
       Stats.rankSuite(Tables.events(s, dir)).orderBy("event_id")),
+    "q_scd2_intervals" -> ((s, dir) =>
+      Relational.scd2Intervals(Tables.events(s, dir))
+        .select(col("user_id"), col("value"),
+          unix_micros(col("valid_from")).as("from_us"),
+          unix_micros(col("valid_to")).as("to_us"), col("event_id"))
+        .orderBy("user_id", "from_us", "event_id")),
     "q_winsorize" -> ((s, dir) =>
       Stats.winsorize(Tables.events(s, dir), "event_type", 0.05, 0.95).orderBy("event_id")),
     "q_monthly_returns" -> ((s, dir) =>
@@ -575,6 +581,13 @@ object SparkEntry {
         |FROM events
         |WINDOW wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
         |ORDER BY event_id""".stripMargin,
+    "q_scd2_intervals" ->
+      """SELECT user_id, value,
+        |  epoch_us(ts) AS from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS to_us,
+        |  event_id
+        |FROM events
+        |ORDER BY user_id, from_us, event_id""".stripMargin,
     "q_winsorize" ->
       """WITH b AS (
         |  SELECT event_type,

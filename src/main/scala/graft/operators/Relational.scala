@@ -255,6 +255,21 @@ object Relational {
       .drop("__salt")
   }
 
+  /** SCD2-style validity intervals from a change stream: each
+    * observation's value is valid from its own timestamp until the
+    * next observation of the same key (null = still current). One
+    * lead window per key — the standard dimension-history build.
+    */
+  def scd2Intervals(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events.select(
+      col("user_id"),
+      col("value"),
+      col("ts").as("valid_from"),
+      lead(col("ts"), 1).over(w).as("valid_to"),
+      col("event_id"))
+  }
+
   /** Top-N per group (top holdings / peer ranking analog): rank
     * window after a single shuffle on the group key.
     */
