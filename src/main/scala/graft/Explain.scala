@@ -11,7 +11,9 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_agg_pushdown", "q_validate_filter", "q_dim_join", "q_multi_join_agg",
-        "q_tracking_error", "q_daily_returns", "q_ann_bruteforce", "q_minhash_lsh")
+        "q_tracking_error", "q_daily_returns", "q_ann_bruteforce", "q_minhash_lsh",
+        "q_ngram_jaccard", "q_rag_pipeline", "q_corr_matrix", "q_dedup_clusters",
+        "q_simhash_neardup")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

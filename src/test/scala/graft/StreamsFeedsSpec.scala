@@ -46,6 +46,26 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(joined.count() === 0)
   }
 
+  test("watermark drops late events in append mode") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Streams.windowedAggStream(mem.toDF().toDF("ts", "event_type", "value"), "1 hour", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("late_test").outputMode("append").start()
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:30:00")
+    mem.addData((t(1), "click", 1.0)); q.processAllAvailable()
+    mem.addData((t(10), "click", 1.0)); q.processAllAvailable() // watermark -> 09:30
+    mem.addData((t(2), "click", 5.0)); q.processAllAvailable()  // late: window [02:00,03:00) expired
+    mem.addData((t(12), "click", 1.0)); q.processAllAvailable() // close the 10:00 window
+    q.stop()
+    val out = spark.table("late_test")
+    assert(out.filter(date_format($"window.start", "HH:mm") === "02:00").count() === 0,
+      "late event should have been dropped by the watermark")
+    assert(out.filter(date_format($"window.start", "HH:mm") === "01:00").count() === 1)
+    assert(out.filter(date_format($"window.start", "HH:mm") === "10:00").count() === 1)
+  }
+
   test("streaming dedup drops a replayed batch's duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
