@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TimeSeries
+
+/** The EMA-family operators and their SQL oracles share one closed
+  * form, so a formula error would pass the oracle gate. This spec is
+  * the independent check: the textbook RECURSIVE definitions computed
+  * locally on a small series must agree with the operators.
+  */
+class IndicatorSpec extends AnyFunSuite {
+  import TestSession._
+
+  private val xs = Vector(10.0, 11.0, 9.5, 12.0, 12.5, 11.8, 13.0, 12.2, 12.9, 14.0)
+
+  private def df = {
+    import spark.implicits._
+    xs.zipWithIndex
+      .map { case (x, i) => (1L, i.toLong, 1000L + i * 60L, x) }
+      .toDF("user_id", "event_id", "t_us", "value")
+      .withColumn("ts", timestamp_micros($"t_us" * 1000000L))
+  }
+
+  private def emaRec(vals: Seq[Double], a: Double): Seq[Double] =
+    vals.tail.scanLeft(vals.head)((prev, x) => (1 - a) * prev + a * x)
+
+  test("ema closed form equals the recursive definition") {
+    import spark.implicits._
+    val got = TimeSeries.ema(df, 20).orderBy($"ts").select($"ema").collect().map(_.getDouble(0))
+    val want = emaRec(xs, 2.0 / 21)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-6, s"$g vs $w") }
+  }
+
+  test("macd closed forms equal the recursive definitions") {
+    import spark.implicits._
+    val rows = TimeSeries.macd(df).orderBy($"ts")
+      .select($"macd", $"signal", $"hist").collect()
+    val macdW   = emaRec(xs, 2.0 / 13).zip(emaRec(xs, 2.0 / 27)).map { case (f, s) => f - s }
+    val signalW = emaRec(macdW, 2.0 / 10)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(0) - macdW(i)) < 1e-6)
+      assert(math.abs(r.getDouble(1) - signalW(i)) < 1e-6)
+      assert(math.abs(r.getDouble(2) - (macdW(i) - signalW(i))) < 1e-6)
+    }
+  }
+
+  test("rsi closed form equals the recursive definition") {
+    import spark.implicits._
+    val got = TimeSeries.rsi(df, 14).orderBy($"ts").select($"rsi").collect().map(_.getDouble(0))
+    val deltas = xs.sliding(2).map(p => p(1) - p(0)).toVector
+    val gains  = deltas.map(d => math.max(d, 0.0))
+    val losses = deltas.map(d => math.max(-d, 0.0))
+    val ag = emaRec(gains, 1.0 / 14)
+    val al = emaRec(losses, 1.0 / 14)
+    val want = ag.zip(al).map { case (g, l) => if (l != 0) 100.0 - 100.0 / (1 + g / l) else 100.0 }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-6, s"$g vs $w") }
+  }
+
+  test("rolling stats equal direct window computations") {
+    import spark.implicits._
+    // benchmark = user 0, fund = user 1, same days
+    val both = (0L to 1L).flatMap(u => xs.zipWithIndex.map { case (x, i) =>
+      (u, u * 100 + i.toLong, i.toLong, if (u == 0) x else x * 1.5 + i)
+    }).toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.rollingStats(both, 0L, 3).orderBy($"day").collect()
+    // direct: returns of each series on the daily grid
+    def rets(vals: Seq[Double]) = vals.sliding(2).map(p => p(1) / p(0) - 1).toVector
+    val fundR  = rets(xs.zipWithIndex.map { case (x, i) => x * 1.5 + i })
+    val benchR = rets(xs)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val lo = math.max(0, i - 2)
+      val fw = fundR.slice(lo, i + 1)
+      val bw = benchR.slice(lo, i + 1)
+      val n  = fw.size
+      if (n >= 2) {
+        val mean = fw.sum / n
+        val sd   = math.sqrt(fw.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+        val vol  = r.getAs[Double]("roll_vol")
+        assert(math.abs(vol - sd * math.sqrt(252)) < 1e-5, s"row $i vol $vol vs ${sd * math.sqrt(252)}")
+        val bm   = bw.sum / n
+        val cov  = fw.zip(bw).map { case (x, y) => (x - mean) * (y - bm) }.sum / (n - 1)
+        val bsd  = math.sqrt(bw.map(y => (y - bm) * (y - bm)).sum / (n - 1))
+        if (sd > 0 && bsd > 0) {
+          val corrW = cov / (sd * bsd)
+          assert(math.abs(r.getAs[Double]("roll_corr") - corrW) < 1e-5, s"row $i corr")
+        }
+      }
+    }
+  }
+}
