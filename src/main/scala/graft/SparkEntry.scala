@@ -275,6 +275,13 @@ object SparkEntry {
     "q_rag_pipeline" -> ((s, dir) =>
       Embedding.ragRetrieve(Tables.documents(s, dir), "fast spark query join merge")
         .orderBy("rnk")),
+    "q_rag_batch" -> ((s, dir) => {
+      import s.implicits._
+      val queries = Seq((1L, "gain up good value"), (2L, "slow error bad join"), (3L, "spark table scan"))
+        .toDF("qid", "query")
+      Embedding.ragRetrieveBatch(Tables.documents(s, dir), queries, k = 3)
+        .orderBy("qid", "rnk")
+    }),
 
     // ---- E. similarity search -----------------------------------------
     "q_ann_bruteforce" -> ((s, dir) =>
@@ -431,6 +438,36 @@ object SparkEntry {
         |  row_number() OVER (ORDER BY cos DESC, doc_id, chunk_id) AS rnk
         |FROM (SELECT * FROM scored ORDER BY cos DESC, doc_id, chunk_id LIMIT 5)
         |ORDER BY rnk""".stripMargin,
+    "q_rag_batch" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, off // 80 AS chunk_id, substr(text, CAST(off AS INT) + 1, 100) AS chunk
+        |  FROM (SELECT doc_id, text, unnest(generate_series(0, len(text) - 1, 80)) AS off FROM documents)
+        |), emb AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_transform(generate_series(0, 15), i ->
+        |      coalesce(list_sum(list_transform(string_split(lower(chunk), ' '),
+        |        t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 = i
+        |             THEN 1.0 - 2 * (CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2) ELSE 0.0 END)), 0.0)) AS v
+        |  FROM chunks
+        |), q AS (
+        |  SELECT CAST(qid AS BIGINT) AS qid,
+        |    list_transform(generate_series(0, 15), i ->
+        |      coalesce(list_sum(list_transform(string_split(lower(query), ' '),
+        |        t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 = i
+        |             THEN 1.0 - 2 * (CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2) ELSE 0.0 END)), 0.0)) AS qv
+        |  FROM (VALUES (1, 'gain up good value'), (2, 'slow error bad join'), (3, 'spark table scan')) AS vq(qid, query)
+        |), scored AS (
+        |  SELECT q.qid, e.doc_id, e.chunk_id,
+        |    list_dot_product(e.v, q.qv)
+        |      / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+        |  FROM emb e CROSS JOIN q
+        |  WHERE sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)) != 0
+        |)
+        |SELECT qid, doc_id, chunk_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, doc_id, chunk_id) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
     "q_ohlc_resample" ->
       """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  min_by(value, ts) AS open,

@@ -238,6 +238,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // propagation needs O(cluster diameter) rounds; silently wrong
+    // clusters would poison every downstream canonical-id choice
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedup cluster propagation did not converge in $maxIters rounds " +
+          "(cluster diameter exceeds the cap) — raise maxIters or use large-star/small-star")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
