@@ -271,7 +271,27 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    "q_corpus_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dropNearDuplicates(docs, Dedup.minhashLshCandidatesFast(docs))
+        .select(col("doc_id"), md5(col("text")).as("text_fp"))
+        .orderBy("doc_id")
+    }),
 
+    "q_redact_pii" -> ((s, dir) => {
+      import graft.functions.ParseFunctions.redactPii
+      val k = col("o_orderkey")
+      // synthesize contact-card strings so the scrub has real targets
+      val messy = Tables.orders(s, dir).select(
+        k,
+        concat(
+          lit("order "), k.cast("string"),
+          lit(" contact user"), (k % 97).cast("string"), lit("@mail"), (k % 7).cast("string"), lit(".com"),
+          lit(" ph +"), (k % 9 + 1).cast("string"), lit("-"), (k % 900 + 100).cast("string"), lit("-"), (k % 9000 + 1000).cast("string"),
+          lit(" acct "), (k * 137 + 10000000).cast("string")).as("contact"))
+      messy.select(k, col("contact"), redactPii(col("contact")).as("redacted"))
+        .orderBy("o_orderkey")
+    }),
     "q_rag_pipeline" -> ((s, dir) =>
       Embedding.ragRetrieve(Tables.documents(s, dir), "fast spark query join merge")
         .orderBy("rnk")),
@@ -410,6 +430,22 @@ object SparkEntry {
         |       THEN CAST(regexp_extract(cur_str, '^\s*\$(-?[0-9]+(\.[0-9]+)?)([KMB])?\s*$', 1) AS DOUBLE)
         |            * CASE regexp_extract(cur_str, '^\s*\$(-?[0-9]+(\.[0-9]+)?)([KMB])?\s*$', 3)
         |                WHEN 'K' THEN 1e3 WHEN 'M' THEN 1e6 WHEN 'B' THEN 1e9 ELSE 1.0 END END AS cur_usd
+        |FROM m ORDER BY o_orderkey""".stripMargin,
+    "q_redact_pii" ->
+      """WITH m AS (
+        |  SELECT o_orderkey,
+        |    'order ' || CAST(o_orderkey AS VARCHAR) ||
+        |    ' contact user' || CAST(o_orderkey % 97 AS VARCHAR) || '@mail' || CAST(o_orderkey % 7 AS VARCHAR) || '.com' ||
+        |    ' ph +' || CAST(o_orderkey % 9 + 1 AS VARCHAR) || '-' || CAST(o_orderkey % 900 + 100 AS VARCHAR) || '-' || CAST(o_orderkey % 9000 + 1000 AS VARCHAR) ||
+        |    ' acct ' || CAST(o_orderkey * 137 + 10000000 AS VARCHAR) AS contact
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, contact,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
+        |    '[0-9]{8,}', '<ID>', 'g') AS redacted
         |FROM m ORDER BY o_orderkey""".stripMargin,
     "q_rag_pipeline" ->
       """WITH chunks AS (
@@ -1023,6 +1059,41 @@ object SparkEntry {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q_corpus_dedup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM cand UNION SELECT db, da FROM cand
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b != r.a
+        |), labels AS (
+        |  SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |)
+        |SELECT doc_id, md5(text) AS text_fp
+        |FROM documents
+        |WHERE doc_id NOT IN (SELECT node FROM labels WHERE cluster_id != node)
+        |ORDER BY doc_id""".stripMargin,
     "q_simhash" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents

@@ -20,6 +20,17 @@ object ParseFunctions {
   def parsePercent(c: Column): Column =
     when(c.rlike(PctPat), regexp_extract(c, PctPat, 1).cast("double"))
 
+  /** PII scrub for corpus curation: emails, international-ish phone
+    * numbers, and long digit runs (account/card ids) replaced with
+    * typed placeholder tokens. Chained codegen'd regexp_replace —
+    * narrow, scan-stage work.
+    */
+  def redactPii(c: Column): Column = {
+    val email = regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val phone = regexp_replace(email, "\\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{4}", "<PHONE>")
+    regexp_replace(phone, "[0-9]{8,}", "<ID>")
+  }
+
   /** "$1.25B" -> 1.25e9, "$45.10M" -> 4.51e7, "$123.45" -> 123.45;
     * malformed -> null.
     */

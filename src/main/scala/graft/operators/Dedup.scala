@@ -247,6 +247,16 @@ object Dedup {
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** End of the dedup pipeline: the cleaned corpus. Near-dup
+    * candidates -> connected components -> drop every non-canonical
+    * cluster member (anti join keeps the corpus scan streaming; only
+    * the small drop-list shuffles).
+    */
+  def dropNearDuplicates(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val drop = clusters(pairs).filter(col("cluster_id") =!= col("doc_id")).select(col("doc_id"))
+    documents.join(drop, Seq("doc_id"), "left_anti")
+  }
+
   /** Near-dup pairs by SimHash hamming distance <= maxDist —
     * library-level helper (pairs all docs; use simhashNearDupPairs,
     * the banded variant, at scale).
