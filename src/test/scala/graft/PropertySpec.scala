@@ -71,6 +71,16 @@ class PropertySpec extends AnyFunSuite {
     assert(pairs.count() === 1, "boundary pair J=t=0.5 dropped")
   }
 
+  test("banded hamming join equals the all-pairs sweep on a mutation-heavy random corpus") {
+    import spark.implicits._
+    val docs = mutatedCorpus(20, 4).toDF("doc_id", "text").repartition(8)
+    val naive = Dedup.simhashPairs(Dedup.simhash(docs), 4)
+      .select($"da", $"db", $"dist".cast("long").as("dist"))
+    val banded = Dedup.simhashNearDupPairs(docs, 4)
+    assert(naive.count() > 0, "mutated corpus produced no dist<=4 pairs")
+    assert(banded.exceptAll(naive).count() === 0 && naive.exceptAll(banded).count() === 0)
+  }
+
   test("parsers round-trip generated values and reject generated garbage") {
     import spark.implicits._
     val pcts = (1 to 200).map { _ =>
