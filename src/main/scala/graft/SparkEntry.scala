@@ -173,6 +173,8 @@ object SparkEntry {
       TimeSeries.ytdReturn(Tables.events(s, dir)).orderBy("user_id")),
     "q_max_drawdown" -> ((s, dir) =>
       TimeSeries.maxDrawdown(Tables.events(s, dir)).orderBy("user_id")),
+    "q_drawdown_duration" -> ((s, dir) =>
+      TimeSeries.drawdownDuration(Tables.events(s, dir)).orderBy("user_id")),
     "q_cumulative_returns" -> ((s, dir) =>
       TimeSeries
         .cumulativeReturns(Tables.events(s, dir))
@@ -713,6 +715,25 @@ object SparkEntry {
         |)
         |SELECT user_id, min(CASE WHEN run_max != 0 THEN value / run_max - 1 END) AS max_drawdown
         |FROM rm GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_drawdown_duration" ->
+      """WITH rm AS (
+        |  SELECT user_id, ts, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |  FROM events
+        |), u AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN value < run_max THEN 1 ELSE 0 END AS under
+        |  FROM rm
+        |), s AS (
+        |  SELECT user_id, under,
+        |    sum(1 - under) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+        |  FROM u
+        |), l AS (
+        |  SELECT user_id, streak_id, CAST(sum(under) AS BIGINT) AS streak_len
+        |  FROM s GROUP BY user_id, streak_id
+        |)
+        |SELECT user_id, max(streak_len) AS max_underwater_run
+        |FROM l GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_cumulative_returns" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  CASE WHEN first_value(value) OVER w != 0 THEN value / first_value(value) OVER w END AS cum_return

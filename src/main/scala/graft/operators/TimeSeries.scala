@@ -229,6 +229,25 @@ object TimeSeries {
     df.groupBy(col(key), date_trunc("day", col(ts)).as("day"))
       .agg(max_by(col(v), col(ts)).as("close"))
 
+  /** Longest underwater streak per key (drawdown-duration companion
+    * to maxDrawdown): an observation is underwater while below the
+    * running peak; streaks segment by a running count of at-peak
+    * rows, then one groupBy takes the longest. Same single per-key
+    * shuffle as every window op here.
+    */
+  def drawdownDuration(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w    = wk(key, ts)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df
+      .withColumn("run_max", max(col(v)).over(wRun))
+      .withColumn("under", when(col(v) < col("run_max"), 1L).otherwise(0L))
+      .withColumn("streak_id", sum(lit(1L) - col("under")).over(wRun))
+      .groupBy(col(key), col("streak_id"))
+      .agg(sum(col("under")).as("streak_len"))
+      .groupBy(col(key))
+      .agg(max(col("streak_len")).as("max_underwater_run"))
+  }
+
   /** Month-end resample + month-over-month return per key: one
     * groupBy for the month bars, one lag window for the return.
     */
