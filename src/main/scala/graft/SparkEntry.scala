@@ -256,6 +256,10 @@ object SparkEntry {
       TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id")),
     "q_tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 5).orderBy("doc_id", "rnk")),
+    "q_top_bigrams" -> ((s, dir) =>
+      TextAnalysis.topBigrams(Tables.documents(s, dir), 20)),
+    "q_corpus_stats" -> ((s, dir) =>
+      TextAnalysis.corpusStats(Tables.documents(s, dir)).orderBy("lang_pred")),
 
     // ---- D. deduplication ---------------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -986,6 +990,44 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp_short
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_top_bigrams" ->
+      """WITH bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 1, 0)),
+        |    i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' '))) AS bigram
+        |  FROM documents
+        |)
+        |SELECT bigram, count(*) AS n
+        |FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of'))) AS hits_en,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','y','de'))) AS hits_es,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','les','et','des'))) AS hits_fr,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','von'))) AS hits_de,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('de5','shi4','le5','zai4'))) AS hits_zh
+        |  FROM documents
+        |), l AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_zh AND hits_en > 0 THEN 'en'
+        |      WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh AND hits_es > 0 THEN 'es'
+        |      WHEN hits_fr >= hits_de AND hits_fr >= hits_zh AND hits_fr > 0 THEN 'fr'
+        |      WHEN hits_de >= hits_zh AND hits_de > 0 THEN 'de'
+        |      WHEN hits_zh > 0 THEN 'zh'
+        |      ELSE 'und'
+        |    END AS lang_pred,
+        |    len(string_split(text, ' ')) AS n_toks,
+        |    len(text) AS n_chars
+        |  FROM h
+        |)
+        |SELECT lang_pred, count(*) AS n_docs,
+        |  round(avg(n_toks), 6) AS avg_tokens,
+        |  max(n_toks) AS max_tokens,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
+        |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,
     "q_chunk_documents" ->
       """SELECT doc_id, off // 80 AS chunk_id, substr(text, CAST(off AS INT) + 1, 100) AS chunk
         |FROM (

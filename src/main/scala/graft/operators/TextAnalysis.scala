@@ -96,6 +96,41 @@ object TextAnalysis {
       )
   }
 
+  /** Global top-k bigrams (corpus n-gram statistics): explode ->
+    * count -> TakeOrdered. The groupBy partial-aggregates map-side,
+    * so only distinct bigram partials shuffle; the top-k is a k-row
+    * driver merge, never a global sort.
+    */
+  def topBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
+    val toks   = split(lower(col("text")), " ")
+    val last   = size(toks) - 1
+    val starts = when(last >= 1, sequence(lit(1), last)).otherwise(array())
+    documents
+      .select(explode(transform(starts, i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Per-language corpus profile (the know-your-data dashboard):
+    * doc counts, token-length moments, and char-length median per
+    * predicted language. Language-ID is a narrow projection; one
+    * aggregate pass.
+    */
+  def corpusStats(documents: DataFrame): DataFrame = {
+    val withLang = langId(documents).join(documents, "doc_id")
+    withLang
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_toks")), 6).as("avg_tokens"),
+        max(col("n_toks")).as("max_tokens"),
+        round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"))
+  }
+
   /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
     * ln(N/df). Two key-partitioned aggregations (term counts per doc,
     * then document frequency over the already-distinct (doc, term)
