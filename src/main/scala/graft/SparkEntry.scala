@@ -175,6 +175,10 @@ object SparkEntry {
       TimeSeries.maxDrawdown(Tables.events(s, dir)).orderBy("user_id")),
     "q_drawdown_duration" -> ((s, dir) =>
       TimeSeries.drawdownDuration(Tables.events(s, dir)).orderBy("user_id")),
+    "q_portfolio_return" -> ((s, dir) =>
+      TimeSeries.portfolioReturn(Tables.events(s, dir))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day")),
     "q_cumulative_returns" -> ((s, dir) =>
       TimeSeries
         .cumulativeReturns(Tables.events(s, dir))
@@ -719,6 +723,26 @@ object SparkEntry {
         |)
         |SELECT user_id, min(CASE WHEN run_max != 0 THEN value / run_max - 1 END) AS max_drawdown
         |FROM rm GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_portfolio_return" ->
+      """WITH latest AS (
+        |  SELECT user_id, max_by(value, ts) AS level FROM events GROUP BY user_id
+        |), tot AS (
+        |  SELECT CAST(sum(CAST(level AS DECIMAL(18,2))) AS DOUBLE) AS total_level FROM latest
+        |), w AS (
+        |  SELECT user_id, level / total_level AS w FROM latest CROSS JOIN tot
+        |), dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER win != 0 THEN close / lag(close) OVER win - 1 END AS ret
+        |  FROM dc WINDOW win AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |)
+        |SELECT strftime(r.day, '%Y-%m-%d') AS day,
+        |  round(sum(w.w * r.ret), 6) AS port_ret
+        |FROM r JOIN w USING (user_id)
+        |GROUP BY r.day ORDER BY day""".stripMargin,
     "q_drawdown_duration" ->
       """WITH rm AS (
         |  SELECT user_id, ts, value,

@@ -229,6 +229,28 @@ object TimeSeries {
     df.groupBy(col(key), date_trunc("day", col(ts)).as("day"))
       .agg(max_by(col(v), col(ts)).as("close"))
 
+  /** Value-weighted portfolio return series: weights are each key's
+    * latest observed level normalized over the universe (allocation
+    * snapshot), the portfolio's daily return is Σ w_i·r_i(day).
+    * The weight table is one row per key — broadcast; the fact-side
+    * daily returns never reshuffle for the join.
+    */
+  def portfolioReturn(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val latest = df
+      .groupBy(col(key))
+      .agg(max_by(col(v), col(ts)).as("level"))
+    // levels carry <=2dp (events money column): DECIMAL sum is exact
+    // and order-independent, so the weights are engine-identical
+    val total = latest.agg(
+      sum(col("level").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("total_level"))
+    val weights = broadcast(latest.crossJoin(broadcast(total))
+      .select(col(key), (col("level") / col("total_level")).as("w")))
+    dailyCloseReturns(df, key, ts, v)
+      .join(weights, key)
+      .groupBy(col("day"))
+      .agg(round(sum(col("w") * col("ret")), 6).as("port_ret"))
+  }
+
   /** Longest underwater streak per key (drawdown-duration companion
     * to maxDrawdown): an observation is underwater while below the
     * running peak; streaks segment by a running count of at-peak
