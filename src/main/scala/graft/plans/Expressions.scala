@@ -301,11 +301,15 @@ object GraftFunctions {
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder, _) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.plans.Expressions", name),
         builder))
     }
+    // cluster deploys get the custom as-of physical strategy without
+    // the call-site experimental-strategies registration
+    e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+  }
 }
