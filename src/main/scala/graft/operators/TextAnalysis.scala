@@ -45,7 +45,16 @@ object TextAnalysis {
   /** N-gram-heuristic language ID: count marker-word hits per
     * profile, pick the first profile with the maximal count.
     */
-  def langId(documents: DataFrame): DataFrame = {
+  def langId(documents: DataFrame): DataFrame =
+    langIdWithText(documents).select(col("doc_id"), col("lang_pred"))
+
+  /** Language prediction with `text` retained: the score is a narrow
+    * projection, so keeping the payload costs nothing and lets
+    * downstream profiling stay a single corpus scan (projecting text
+    * away and re-joining documents would scan + shuffle the corpus
+    * twice).
+    */
+  private[operators] def langIdWithText(documents: DataFrame): DataFrame = {
     val hitCols = LangProfiles.map { case (lang, words) =>
       lexiconHits(col("text"), words).as(s"hits_$lang")
     }
@@ -56,7 +65,7 @@ object TextAnalysis {
         when(col(s"hits_$lang") === maxHits && maxHits > 0, lit(lang)).otherwise(acc)
       }
     // foldRight builds en-first precedence: en's WHEN ends up outermost.
-    withHits.select(col("doc_id"), pick.as("lang_pred"))
+    withHits.select(col("doc_id"), col("text"), pick.as("lang_pred"))
   }
 
   /** Quality score from length/word-shape/stopword ratios, in [0,1].
@@ -115,12 +124,12 @@ object TextAnalysis {
 
   /** Per-language corpus profile (the know-your-data dashboard):
     * doc counts, token-length moments, and char-length median per
-    * predicted language. Language-ID is a narrow projection; one
-    * aggregate pass.
+    * predicted language. ONE corpus scan: language-ID is a narrow
+    * projection that keeps `text`, so the whole profile is scan +
+    * aggregate — no corpus self-join.
     */
-  def corpusStats(documents: DataFrame): DataFrame = {
-    val withLang = langId(documents).join(documents, "doc_id")
-    withLang
+  def corpusStats(documents: DataFrame): DataFrame =
+    langIdWithText(documents)
       .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .groupBy(col("lang_pred"))
@@ -129,7 +138,6 @@ object TextAnalysis {
         round(avg(col("n_toks")), 6).as("avg_tokens"),
         max(col("n_toks")).as("max_tokens"),
         round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"))
-  }
 
   /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
     * ln(N/df). Two key-partitioned aggregations (term counts per doc,
