@@ -279,6 +279,10 @@ object Dedup {
     */
   def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 4, bands: Int = 5): DataFrame = {
     require(maxDist <= bands - 1, s"banding is only exact for maxDist <= ${bands - 1}")
+    // bands beyond the 60-bit signature would all read the zero bits
+    // past bit 59 — every doc matches on them, silently degrading the
+    // join to all-pairs
+    require(12 * bands <= 60, s"$bands 12-bit bands exceed the 60-bit simhash (max 5)")
     val sims = simhashFast(documents)
     val stackArgs = (0 until bands)
       .map(b => s"${b}L, cast(shiftright(simhash, ${12 * b}) & 4095 as long)")

@@ -134,7 +134,11 @@ object Feeds {
       "market", "stock", "fund", "rate", "growth", "risk", "good", "bad")
 
     def fetch(spark: SparkSession, sources: Seq[String], start: String, end: String): DataFrame = {
-      val slots = (datediff(lit(end).cast("date"), lit(start).cast("date")) * 4).cast("long")
+      // slot count computed driver-side from the literal range, so the
+      // feed covers ANY span (no silent truncation at a range cap)
+      val nSlots =
+        (java.time.LocalDate.parse(end).toEpochDay - java.time.LocalDate.parse(start).toEpochDay) * 4
+      require(nSlots >= 0, s"document feed range is inverted: $start > $end")
       val srcs = spark
         .createDataset(sources.zipWithIndex.map { case (s, i) => (s, i.toLong) })(
           org.apache.spark.sql.Encoders.tuple(
@@ -143,9 +147,8 @@ object Feeds {
       val vocab = array(Vocab.map(lit): _*)
       def word(seed: Column, j: Int): Column =
         element_at(vocab, (pmod(conv(substring(md5(concat(seed, lit(s":$j"))), 1, 8), 16, 10).cast("long"), lit(Vocab.size)) + 1).cast("int"))
-      spark.range(0, 100000)
+      spark.range(0, nSlots)
         .withColumnRenamed("id", "slot")
-        .where(col("slot") < slots)
         .crossJoin(broadcast(srcs))
         .withColumn("doc_id", col("slot") * sources.size + col("src_idx"))
         .withColumn("published_ts",
