@@ -27,6 +27,22 @@ object TimeSeries {
   private def wk(key: String, ts: String): org.apache.spark.sql.expressions.WindowSpec =
     Window.partitionBy(key).orderBy(ts)
 
+  /** Fail-loudly guard for the closed-form EMA family: the
+    * (1-a)^(-rn) term exceeds double range past a span-dependent row
+    * count and the running sum silently saturates to Inf/NaN. Wraps
+    * the OUTPUT column (so pruning can't drop the check) and raises
+    * before any corrupted value escapes, pointing at the fold
+    * ([[emaFold]] / graft_ema) which has no horizon. 700/-ln(1-a)
+    * keeps the largest term under ~1e304.
+    */
+  private def closedFormGuard(out: Column, alpha: Double): Column = {
+    val safeRn = (700.0 / -math.log1p(-alpha)).toLong
+    when(col("rn") <= lit(safeRn), out).otherwise(raise_error(concat(
+      lit(s"closed-form EMA overflows past $safeRn rows per key (alpha=$alpha); " +
+        "use emaFold/graft_ema for long series — got rn="),
+      col("rn").cast("string"))))
+  }
+
   /** pct_change per key: ret_t = v_t / v_{t-1} - 1. A zero previous
     * value has no defined return — excluded (and guarded so ANSI
     * mode never throws on divide-by-zero).
@@ -103,9 +119,9 @@ object TimeSeries {
 
   /** EMA(span, adjust=False): y_t = (1-a)^t*(x_0 + Σ_{i=1..t} a*(1-a)^{-i}*x_i),
     * a = 2/(span+1). Expressed as one running window sum — exact for
-    * per-key series up to a few thousand points ((1-a)^{-i} stays in
-    * double range); at 100 TB with very long series this becomes a
-    * custom TypedImperativeAggregate fold (SURVEY §7 later rounds).
+    * per-key series up to the guarded horizon ((1-a)^{-i} must stay
+    * in double range); longer series raise via [[closedFormGuard]]
+    * and should use the [[emaFold]] TypedImperativeAggregate instead.
     */
   def ema(df: DataFrame, span: Int, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val a = 2.0 / (span + 1)
@@ -113,7 +129,7 @@ object TimeSeries {
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("rn", row_number().over(w) - 1)
       .withColumn("g", when(col("rn") === 0, col(v)).otherwise(lit(a) * col(v) * pow(lit(1 - a), -col("rn"))))
-      .withColumn("ema", round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6))
+      .withColumn("ema", closedFormGuard(round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6), a))
       .drop("g")
   }
 
@@ -139,7 +155,9 @@ object TimeSeries {
       .withColumn("gm", g(col("macd"), am))
       .withColumn("sig", pow(lit(1 - am), col("rn")) * sum(col("gm")).over(wRun))
       .select(col(key), col(ts),
-        round(col("macd"), 6).as("macd"),
+        // guard at the strictest horizon (largest alpha overflows
+        // first); one guarded column fails the whole row loudly
+        closedFormGuard(round(col("macd"), 6), Seq(af, as, am).max).as("macd"),
         round(col("sig"), 6).as("signal"),
         round(col("macd") - col("sig"), 6).as("hist"))
   }
@@ -164,9 +182,10 @@ object TimeSeries {
       .withColumn("avg_gain", smooth(greatest(col("delta"), lit(0.0))))
       .withColumn("avg_loss", smooth(greatest(-col("delta"), lit(0.0))))
       .select(col(key), col(ts),
-        round(when(col("avg_loss") =!= 0,
-          lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss")))
-          .otherwise(lit(100.0)), 6).as("rsi"))
+        closedFormGuard(
+          round(when(col("avg_loss") =!= 0,
+            lit(100.0) - lit(100.0) / (lit(1.0) + col("avg_gain") / col("avg_loss")))
+            .otherwise(lit(100.0)), 6), a).as("rsi"))
   }
 
   /** Final EMA per key via the custom TypedImperativeAggregate fold

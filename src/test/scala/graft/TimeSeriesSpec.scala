@@ -51,6 +51,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(maxErr < 1e-4, s"fold vs closed form diverge: $maxErr")
   }
 
+  test("closed-form EMA fails loudly past the overflow horizon; the fold does not") {
+    import spark.implicits._
+    // 10k points on one key: (1-a)^(-rn) for span 20 overflows past
+    // rn ~ 7000 — the guard must raise instead of returning Inf/NaN
+    val long = spark.range(10000).select(
+      lit(1L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
+      (pmod($"id", lit(100)).cast("double") + 1.0).as("value"))
+    val e = intercept[Exception] {
+      TimeSeries.ema(long, 20).write.format("noop").mode("overwrite").save()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("emaFold"), s"guard did not fire: ${chain(e)}")
+    // macd and rsi carry the same guard
+    val em = intercept[Exception] {
+      TimeSeries.macd(long).write.format("noop").mode("overwrite").save()
+    }
+    assert(chain(em).contains("emaFold"))
+    // the fold path has no horizon: finite result on the same series
+    val folded = TimeSeries.emaFold(long, 20).head()
+    assert(!folded.isNullAt(1) && !folded.getDouble(1).isNaN && !folded.getDouble(1).isInfinite)
+  }
+
   test("beta of benchmark vs itself would be 1; sanity on others") {
     import spark.implicits._
     val ab = TimeSeries.alphaBeta(Tables.events(spark, sf), 0L)
