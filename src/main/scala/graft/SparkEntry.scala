@@ -80,8 +80,13 @@ object SparkEntry {
     "q_ohlc_resample" -> ((s, dir) =>
       Relational
         .ohlcResample(Tables.events(s, dir))
-        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
-        .orderBy("user_id", "day")),
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_ohlc_weekly" -> ((s, dir) =>
+      Relational
+        .ohlcResample(Tables.events(s, dir), "week")
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
     "q_topn_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(Tables.orders(s, dir), 3).orderBy("o_custkey", "rnk")),
     "q_filter_agg" -> ((s, dir) =>
@@ -158,6 +163,8 @@ object SparkEntry {
       TimeSeries.monthlyReturns(Tables.events(s, dir))
         .withColumn("month", date_format(col("month"), "yyyy-MM"))
         .orderBy("user_id", "month")),
+    "q_concentration" -> ((s, dir) =>
+      TimeSeries.concentration(Tables.events(s, dir), 10, 10).orderBy("portfolio")),
 
     // ---- B. financial analytics ---------------------------------------
     "q_daily_returns" -> ((s, dir) =>
@@ -200,9 +207,6 @@ object SparkEntry {
       Stats.approxDistinctCounts(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_approx_percentiles" -> ((s, dir) =>
       Stats.approxPercentiles(Tables.events(s, dir)).orderBy("event_type")),
-    // rows-only: recursive fold vs the closed form differ at ~1e-10,
-    // beyond what 6-dp rounding can make hash-stable; equivalence is
-    // spec-asserted against q_ema's last row instead.
     "q_ema_fold" -> ((s, dir) =>
       TimeSeries.emaFold(Tables.events(s, dir), 20).orderBy("user_id")),
     "q_trend_flag" -> ((s, dir) =>
@@ -515,7 +519,7 @@ object SparkEntry {
         |QUALIFY rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
     "q_ohlc_resample" ->
-      """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_start,
         |  min_by(value, ts) AS open,
         |  max(value) AS high,
         |  min(value) AS low,
@@ -523,7 +527,17 @@ object SparkEntry {
         |  count(*) AS n_obs
         |FROM events
         |GROUP BY user_id, date_trunc('day', ts)
-        |ORDER BY user_id, day""".stripMargin,
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_ohlc_weekly" ->
+      """SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS bar_start,
+        |  min_by(value, ts) AS open,
+        |  max(value) AS high,
+        |  min(value) AS low,
+        |  max_by(value, ts) AS close,
+        |  count(*) AS n_obs
+        |FROM events
+        |GROUP BY user_id, date_trunc('week', ts)
+        |ORDER BY user_id, bar_start""".stripMargin,
     "q_topn_per_group" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rnk
         |FROM (
@@ -743,6 +757,20 @@ object SparkEntry {
         |  round(sum(w.w * r.ret), 6) AS port_ret
         |FROM r JOIN w USING (user_id)
         |GROUP BY r.day ORDER BY day""".stripMargin,
+    "q_concentration" ->
+      """WITH latest AS (
+        |  SELECT user_id, CAST(max_by(value, ts) AS DECIMAL(18,2)) AS level,
+        |    user_id % 10 AS portfolio
+        |  FROM events GROUP BY user_id
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY portfolio ORDER BY level DESC, user_id ASC) AS rnk
+        |  FROM latest
+        |)
+        |SELECT portfolio, count(*) AS n_holdings,
+        |  round(CAST(sum(CASE WHEN rnk <= 10 THEN level END) AS DOUBLE) / CAST(sum(level) AS DOUBLE), 6) AS top_share,
+        |  round(CAST(max(level) AS DOUBLE) / CAST(sum(level) AS DOUBLE), 6) AS max_weight,
+        |  round(CAST(sum(level * level) AS DOUBLE) / (CAST(sum(level) AS DOUBLE) * CAST(sum(level) AS DOUBLE)), 6) AS hhi
+        |FROM r GROUP BY portfolio ORDER BY portfolio""".stripMargin,
     "q_drawdown_duration" ->
       """WITH rm AS (
         |  SELECT user_id, ts, value,
@@ -784,6 +812,13 @@ object SparkEntry {
         |SELECT user_id, epoch_us(ts) AS ts_us,
         |  round(pow(1 - 2.0/21, rn) * sum(gg) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema
         |FROM g ORDER BY user_id, ts_us""".stripMargin,
+    // DuckDB list_reduce folds left seeded with the first element —
+    // the exact arithmetic of EmaAggregate.eval (y = a*x + (1-a)*y in
+    // ts order), so the doubles are bit-identical, not just close
+    "q_ema_fold" ->
+      """SELECT user_id,
+        |  round(list_reduce(list(value ORDER BY ts), (y, x) -> (2.0/21)*x + (1 - 2.0/21)*y), 6) AS ema_final
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_trend_flag" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  CAST(value > lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS uptrend

@@ -143,13 +143,16 @@ object Relational {
           .as("match_rank"))
   }
 
-  /** Interval OHLC resample (candlestick analog): per key+day bar
-    * with deterministic open/close via arg-min/arg-max on ts —
-    * (user_id, ts) is unique so ties cannot occur.
+  /** Interval OHLC resample (candlestick analog): per key+interval
+    * bar with deterministic open/close via arg-min/arg-max on ts —
+    * (user_id, ts) is unique so ties cannot occur. `truncUnit` is any
+    * date_trunc grain (day/week/month/quarter/year), honoring the
+    * user-selected chart interval; week starts Monday in both Spark
+    * and ANSI engines.
     */
-  def ohlcResample(events: DataFrame): DataFrame =
+  def ohlcResample(events: DataFrame, truncUnit: String = "day"): DataFrame =
     events
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .groupBy(col("user_id"), date_trunc(truncUnit, col("ts")).as("bar_start"))
       .agg(
         min_by(col("value"), col("ts")).as("open"),
         max("value").as("high"),

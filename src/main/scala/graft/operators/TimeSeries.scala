@@ -270,6 +270,38 @@ object TimeSeries {
       .agg(round(sum(col("w") * col("ret")), 6).as("port_ret"))
   }
 
+  /** Portfolio concentration metrics (the fund-composition
+    * concentration/liquidity panel): keys group into portfolios and
+    * each holding's weight is its latest observed level over the
+    * portfolio total. Reports holdings count, top-N weight share,
+    * max single-holding weight, and the Herfindahl–Hirschman index
+    * per portfolio.
+    *
+    * Determinism: levels carry <=2dp, so every sum (total, top-N,
+    * sum of squares) accumulates in DECIMAL space — exact and
+    * order-independent — and each metric is a ratio of two exact
+    * doubles. One rank window + one aggregate on the same
+    * per-portfolio shuffle; at 100 TB the holdings table is one row
+    * per key, tiny next to the fact data that produced it.
+    */
+  def concentration(df: DataFrame, topN: Int = 10, nPortfolios: Int = 10, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val latest = df
+      .groupBy(col(key))
+      .agg(max_by(col(v), col(ts)).cast(Money).as("level"))
+      .withColumn("portfolio", pmod(col(key), lit(nPortfolios.toLong)))
+    val wRank = Window.partitionBy("portfolio").orderBy(col("level").desc, col(key).asc)
+    val total = sum(col("level")).cast("double")
+    latest
+      .withColumn("rnk", row_number().over(wRank))
+      .groupBy(col("portfolio"))
+      .agg(
+        count(lit(1)).as("n_holdings"),
+        round(sum(when(col("rnk") <= topN, col("level"))).cast("double") / total, 6).as("top_share"),
+        round(max(col("level")).cast("double") / total, 6).as("max_weight"),
+        round(sum(col("level") * col("level")).cast("double") / (total * total), 6).as("hhi"))
+  }
+
   /** Longest underwater streak per key (drawdown-duration companion
     * to maxDrawdown): an observation is underwater while below the
     * running peak; streaks segment by a running count of at-peak
