@@ -218,8 +218,9 @@ object Dedup {
     * O(cluster diameter) rounds; near-dup clusters are clique-ish so
     * 1-2 rounds dominate. `localCheckpoint` truncates lineage each
     * round so the plan doesn't grow with iterations. For adversarial
-    * long-chain graphs swap in large-star/small-star (Kiveris+ '14);
-    * the row shape here is identical.
+    * long-chain graphs use [[clustersBigStar]] (Kiveris+ '14), which
+    * converges in O(log^2 n) rounds regardless of diameter; the
+    * output shape is identical.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.select(col("da").as("a"), col("db").as("b"))
@@ -245,6 +246,61 @@ object Dedup {
         s"dedup cluster propagation did not converge in $maxIters rounds " +
           "(cluster diameter exceeds the cap) — raise maxIters or use large-star/small-star")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star connected components
+    * (Kiveris+ '14, "Connected Components in MapReduce and Beyond"):
+    * converges in O(log^2 n) rounds on ANY graph shape — the drop-in
+    * for adversarial long-chain graphs where [[clusters]]' min-label
+    * propagation needs O(diameter) rounds. Both half-steps are pure
+    * relational plans — a per-node min aggregate joined back to the
+    * edge list, never a materialized neighborhood per row — so each
+    * round is a bounded number of shuffles regardless of degree
+    * distribution, and high-degree hubs can't blow up a single task.
+    * Output matches [[clusters]]: (doc_id, cluster_id = component
+    * min), one row per node that appears in any pair.
+    */
+  def clustersBigStar(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // large-star: every node links its LARGER neighbors to the min of
+    // its neighborhood (incl. itself) — long chains contract toward
+    // small ids without ever disconnecting a component
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym  = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mins = sym.groupBy("a").agg(min("b").as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      sym.join(mins, "a")
+        .filter(col("b") > col("a") && col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star: every node links its smaller-or-equal neighbors
+    // (edges oriented high->low) to the neighborhood min
+    def smallStar(e: DataFrame): DataFrame = {
+      val or   = e.select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val mins = or.groupBy("u").agg(min("v").as("m"))
+      or.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    var edges = pairs.select(col("da").as("a"), col("db").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIters) {
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // both sides are distinct sets: fixpoint iff same size, no diff
+      done = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"large-star/small-star did not converge in $maxIters rounds")
+    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+      .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")))
+      .distinct()
   }
 
   /** End of the dedup pipeline: the cleaned corpus. Near-dup

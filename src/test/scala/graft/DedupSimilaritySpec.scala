@@ -101,6 +101,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.groupBy(_._2).forall { case (cid, ms) => ms.keys.min == cid })
   }
 
+  test("large-star/small-star converges on a long path where min-label propagation's cap trips") {
+    import spark.implicits._
+    // path graph 0-1-2-...-63: diameter 63, the adversarial shape for
+    // O(diameter) label propagation
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("da", "db")
+    intercept[IllegalStateException] {
+      Dedup.clusters(path, maxIters = 4).count()
+    }
+    val got = Dedup.clustersBigStar(path).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 64)
+    assert(got.forall(_._2 === 0L), "every path node must label to the component min")
+  }
+
+  test("large-star/small-star agrees with min-label propagation on real near-dup pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashLshCandidatesFast(Tables.documents(spark, sf))
+    val a = Dedup.clusters(pairs).orderBy("doc_id").collect().toSeq
+    val b = Dedup.clustersBigStar(pairs).orderBy("doc_id").collect().toSeq
+    assert(a.nonEmpty && a === b)
+  }
+
   test("brute-force topk returns k ranked neighbors per query") {
     import spark.implicits._
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 5)
