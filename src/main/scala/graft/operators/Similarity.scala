@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -116,6 +116,94 @@ object Similarity {
   def lshBuckets(embeddings: DataFrame, planes: Int = 8): DataFrame = {
     graft.plans.GraftFunctions.register(embeddings.sparkSession)
     embeddings.select(col("vec_id"), expr(s"graft_lsh_bucket(embedding, $planes)").as("bucket"))
+  }
+
+  // ---- IVF (inverted-file) ANN: k-means coarse quantizer ------------
+
+  /** Per-row (d2, cell) scores against a literal centroid table —
+    * a narrow projection, no join and no shuffle: the quantizer is
+    * nlist*dim doubles and rides the plan as a literal array (the
+    * same tiny-literal pattern as the RAG query embedding). The
+    * interpreted HOF cost is nlist*dim flops/row; the 100 TB path
+    * swaps this for a codegen'd expression like FeatureHashEmbed.
+    */
+  private def cellScores(cents: Array[(Int, Array[Double])])(v: Column): Column = {
+    val cArr = array(cents.map { case (cid, c) =>
+      struct(lit(cid).as("cell"), array(c.map(lit): _*).as("c"))
+    }: _*)
+    transform(cArr, s =>
+      struct(
+        aggregate(zip_with(v, s("c"), (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x).as("d2"),
+        s("cell").as("cell")))
+  }
+
+  /** Nearest cell per vector (ties to the lowest cell id): struct
+    * ordering makes array_min an argmin — still narrow, still
+    * shuffle-free.
+    */
+  private def assignCells(e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    e.withColumn("cell", array_min(cellScores(cents)(col("v")))("cell"))
+
+  /** Lloyd k-means with deterministic init (the first nlist vectors
+    * by vec_id): each iteration is one narrow assignment pass + one
+    * element-wise mean (posexplode → per-dimension avg), and only the
+    * nlist centroid rows return to the driver. Cells that go empty
+    * keep their previous centroid. At 100 TB the quantizer trains on
+    * a sample — this same loop over `embeddings.sample(...)` — and
+    * full-corpus assignment stays a single broadcast-literal scan.
+    */
+  def ivfTrain(embeddings: DataFrame, nlist: Int = 16, iters: Int = 5): Array[(Int, Array[Double])] = {
+    val e = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    var cents: Array[(Int, Array[Double])] = e
+      .orderBy("vec_id").limit(nlist).collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    require(cents.length == nlist, s"need at least $nlist vectors to seed $nlist cells")
+    for (_ <- 0 until iters) {
+      val means = assignCells(e, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("i"), col("m")))).as("sm"))
+        .select(col("cell"), transform(col("sm"), s => s("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** IVF-Flat search (FAISS analog, the scale path past brute
+    * force): probe only the `nprobe` cells nearest each query and
+    * rank exactly (cosine) within them — the corpus side touches
+    * ~nprobe/nlist of the data, and the probe table (queries ×
+    * nprobe) broadcasts so the corpus never reshuffles. With
+    * nprobe == nlist this is EXACTLY bruteForceTopK (spec-asserted);
+    * smaller nprobe trades recall for scan fraction.
+    */
+  def ivfSearch(embeddings: DataFrame, cents: Array[(Int, Array[Double])], queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val e = assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
+      .withColumn("nrm", norm(col("v")))
+    val qCells = e
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qnrm"),
+        explode(cellScores(cents)(col("v"))).as("sc"))
+      .withColumn("prb", row_number().over(
+        Window.partitionBy("qid").orderBy(col("sc.d2").asc, col("sc.cell").asc)))
+      .filter(col("prb") <= nprobe)
+      .select(col("qid"), col("qv"), col("qnrm"), col("sc.cell").as("cell"))
+    val scored = e
+      .join(broadcast(qCells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos",
+        when(col("qnrm") * col("nrm") =!= 0, dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
   }
 
   /** Bucketed near-dup: exact cosine only within LSH buckets. */

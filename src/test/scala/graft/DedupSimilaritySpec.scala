@@ -129,6 +129,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.groupBy($"qid").agg(max($"rnk").as("m")).filter($"m" =!= 5).count() === 0)
   }
 
+  test("IVF: full probe equals brute force exactly; half probe keeps useful recall") {
+    val emb   = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfTrain(emb, nlist = 8, iters = 3)
+    val qids  = Seq(0L, 1L, 2L, 3L, 4L)
+    def keyed(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val bf   = keyed(Similarity.bruteForceTopK(emb, qids, 5))
+    val full = keyed(Similarity.ivfSearch(emb, cents, qids, 5, nprobe = 8))
+    assert(full === bf, "probing every cell must reduce to exact brute force")
+    val part   = Similarity.ivfSearch(emb, cents, qids, 5, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bfIds  = bf.map(t => (t._1, t._2))
+    val recall = (part & bfIds).size.toDouble / bfIds.size
+    assert(recall >= 0.4, s"recall@5 with half the cells probed: $recall")
+  }
+
   test("lsh near-dup pairs are a subset of exact near-dup pairs") {
     import spark.implicits._
     val emb   = Tables.embeddings(spark, sf)
