@@ -264,6 +264,10 @@ object SparkEntry {
       TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id")),
     "q_tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 5).orderBy("doc_id", "rnk")),
+    "q_repetition_score" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_quality_gate" -> ((s, dir) =>
+      TextAnalysis.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(Tables.documents(s, dir), 20)),
     "q_corpus_stats" -> ((s, dir) =>
@@ -1049,6 +1053,33 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(lower(text)) AS fp, substr(md5(lower(text)), 1, 8) AS fp_short
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_repetition_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+        |    list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 1, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' ')) AS bg
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  round(CASE WHEN len(toks) > 0 THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END, 6) AS dup_word_ratio,
+        |  round(CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE END, 6) AS dup_bigram_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(toks) AS n_words,
+        |    list_sum(list_transform(toks, t -> len(t)))::DOUBLE / len(toks)::DOUBLE AS mean_word_len,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE / len(toks)::DOUBLE AS alpha_frac,
+        |    len(list_filter(toks, t -> t IN ('the','a','and','of','el','la','y','de','le','les','et','des','der','die','und','von','de5','shi4','le5','zai4'))) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+        |  round(alpha_frac, 6) AS alpha_frac, stop_hits,
+        |  CAST(n_words BETWEEN 5 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
+        |    AND alpha_frac >= 0.7 AND stop_hits >= 1 AS INT) AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_top_bigrams" ->
       """WITH bg AS (
         |  SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 1, 0)),

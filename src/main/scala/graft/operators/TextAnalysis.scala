@@ -105,6 +105,55 @@ object TextAnalysis {
       )
   }
 
+  /** Repetition signal (pretraining-corpus quality filter in the
+    * Gopher/C4 family): the fraction of duplicated words and word
+    * bigrams per document — high values flag boilerplate and spam.
+    * Pure per-row array math: scan-stage at any scale, no shuffle.
+    */
+  def repetitionScore(documents: DataFrame): DataFrame = {
+    val toks    = split(lower(col("text")), " ")
+    val last    = size(toks) - 1
+    val starts  = when(last >= 1, sequence(lit(1), last)).otherwise(array())
+    val bigrams = transform(starts, i => concat_ws(" ", slice(toks, i, lit(2))))
+    val dupW = when(size(toks) > 0,
+      lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+    val dupB = when(size(bigrams) > 0,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double"))
+    documents.select(
+      col("doc_id"),
+      round(dupW, 6).as("dup_word_ratio"),
+      round(dupB, 6).as("dup_bigram_ratio"))
+  }
+
+  /** Composite heuristic quality gate (the Gopher-rules family,
+    * Rae+ '21 appendix A1.1 document filters): keep/drop per document
+    * from word count, mean word length, alphabetic-word fraction,
+    * and stopword presence, with each signal surfaced for auditing.
+    * The keep decision compares UNROUNDED ratios (exact int-ratio
+    * doubles, engine-identical); rounding is display-only. All
+    * narrow per-row work — at 100 TB this is a scan-stage predicate
+    * feeding the curation pipeline's drop step.
+    */
+  def qualityGate(documents: DataFrame,
+                  minWords: Long = 5, maxWords: Long = 100000,
+                  minMeanLen: Double = 2.0, maxMeanLen: Double = 12.0,
+                  minAlphaFrac: Double = 0.7): DataFrame = {
+    val toks      = split(lower(col("text")), " ")
+    val n         = size(toks).cast("long")
+    val meanLen   = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+      .cast("double") / n.cast("double")
+    val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n.cast("double")
+    val stops     = lexiconHits(col("text"), LangProfiles.flatMap(_._2)).cast("long")
+    documents.select(
+      col("doc_id"),
+      n.as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stops.as("stop_hits"),
+      (n.between(minWords, maxWords) && meanLen.between(minMeanLen, maxMeanLen) &&
+        alphaFrac >= minAlphaFrac && stops >= 1).cast("int").as("keep"))
+  }
+
   /** Global top-k bigrams (corpus n-gram statistics): explode ->
     * count -> TakeOrdered. The groupBy partial-aggregates map-side,
     * so only distinct bigram partials shuffle; the top-k is a k-row
