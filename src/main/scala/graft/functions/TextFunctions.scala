@@ -30,6 +30,24 @@ object TextFunctions {
     when(p + n > 0, (p - n) / (p + n)).otherwise(lit(0.0))
   }
 
+  /** Space-joined word n-grams as a per-row array, built by zipping
+    * the token array against its k-shifted slices. The lambda bodies
+    * reference ONLY lambda variables, so the token expression
+    * evaluates once per row in argument position — the
+    * transform(sequence(...), i => slice(toks, i, n)) formulation
+    * embeds the tokenizer inside the lambda and re-evaluates it per
+    * ELEMENT (O(tokens²) per row; it measured 5x slower on the
+    * bigram corpus sweep). zip_with null-pads the shorter side; the
+    * trailing partial grams are filtered out.
+    */
+  def ngrams(toks: Column, n: Int): Column =
+    (2 to n).foldLeft(toks) { (acc, k) =>
+      val shifted = slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0)))
+      filter(
+        zip_with(acc, shifted, (a, w) => when(a.isNotNull && w.isNotNull, concat(a, lit(" "), w))),
+        x => x.isNotNull)
+    }
+
   /** Alphanumeric-run token count (BPE-ish regex tokenizer proxy). */
   def regexTokenCount(text: Column): Column = regexp_count(text, lit("[a-z0-9]+"))
 

@@ -15,18 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word shingles of width `n` per document. */
-  def shingles(documents: DataFrame, n: Int = 3): DataFrame = {
-    val toks   = split(lower(col("text")), " ")
-    val last   = size(toks) - (n - 1)
-    val starts = when(last >= 1, sequence(lit(1), last)).otherwise(array())
+  /** Distinct word shingles of width `n` per document. Shingle
+    * arrays come from the zip_with-based n-gram builder
+    * (TextFunctions.ngrams) — the tokenizer evaluates once per row,
+    * not once per shingle.
+    */
+  def shingles(documents: DataFrame, n: Int = 3): DataFrame =
     documents
       .select(
         col("doc_id"),
-        explode(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n))))).as("s")
-      )
+        explode(graft.functions.TextFunctions.ngrams(split(lower(col("text")), " "), n)).as("s"))
       .distinct()
-  }
 
   /** Exact dedup: canonical id + copy count per normalized-text hash. */
   def exact(documents: DataFrame): DataFrame =

@@ -112,9 +112,7 @@ object TextAnalysis {
     */
   def repetitionScore(documents: DataFrame): DataFrame = {
     val toks    = split(lower(col("text")), " ")
-    val last    = size(toks) - 1
-    val starts  = when(last >= 1, sequence(lit(1), last)).otherwise(array())
-    val bigrams = transform(starts, i => concat_ws(" ", slice(toks, i, lit(2))))
+    val bigrams = ngrams(toks, 2)
     val dupW = when(size(toks) > 0,
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
     val dupB = when(size(bigrams) > 0,
@@ -160,11 +158,9 @@ object TextAnalysis {
     * driver merge, never a global sort.
     */
   def topBigrams(documents: DataFrame, k: Int = 20): DataFrame = {
-    val toks   = split(lower(col("text")), " ")
-    val last   = size(toks) - 1
-    val starts = when(last >= 1, sequence(lit(1), last)).otherwise(array())
+    val toks = split(lower(col("text")), " ")
     documents
-      .select(explode(transform(starts, i => concat_ws(" ", slice(toks, i, lit(2))))).as("bigram"))
+      .select(explode(ngrams(toks, 2)).as("bigram"))
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram").asc)
