@@ -89,6 +89,14 @@ object Relational {
         dsum(col("c_acctbal")).as("total_acctbal")
       )
 
+  /** Per-symbol metadata enrichment (ETF expense-ratio/AUM/category
+    * analog): left-join a metadata dim onto any fact/bar frame. The
+    * dim is one row per symbol — broadcast unconditionally, so the
+    * fact side never shuffles, and rows without metadata survive.
+    */
+  def enrichWithMeta(fact: DataFrame, meta: DataFrame, key: String = "symbol"): DataFrame =
+    fact.join(broadcast(meta), Seq(key), "left")
+
   /** Star-join rollup: revenue by nation for a marketsegment — joins
     * ordered fact-first, dims broadcast, aggregation partial map-side.
     */

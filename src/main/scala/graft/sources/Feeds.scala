@@ -51,6 +51,33 @@ object Feeds {
     }
   }
 
+  /** Instrument-metadata dimension schema (the ETF expense-ratio/
+    * AUM/category enrichment surface): one row per symbol, so the
+    * table is O(symbols) and always broadcastable regardless of
+    * fact-side scale.
+    */
+  val InstrumentMetaSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("expense_ratio", DoubleType, nullable = true),
+    StructField("aum_usd", DoubleType, nullable = true),
+    StructField("category", StringType, nullable = true)
+  ))
+
+  /** Deterministic synthetic metadata dim on [[InstrumentMetaSchema]]
+    * (md5-derived like every synthetic feed here; a vendor file lands
+    * on the same schema through FileFeed-style mapping).
+    */
+  def syntheticInstrumentMeta(spark: SparkSession, symbols: Seq[String]): DataFrame = {
+    val syms = spark.createDataset(symbols)(org.apache.spark.sql.Encoders.STRING).toDF("symbol")
+    val seed = conv(substring(md5(col("symbol")), 1, 8), 16, 10).cast("double")
+    syms
+      .withColumn("expense_ratio", round((seed % 100) / 10000.0, 6))
+      .withColumn("aum_usd", round((seed % 100000) * 1e6, 2))
+      .withColumn("category",
+        element_at(array(lit("equity"), lit("bond"), lit("commodity"), lit("mixed")),
+          (seed % 4 + 1).cast("int")))
+  }
+
   /** File-backed feed with schema enforcement; format is parquet,
     * csv (with header) or json. Column mapping lets arbitrary
     * vendor files land on BarSchema.

@@ -148,6 +148,22 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(frames.filter($"frame_no" % 4 =!= 0).count() === 0)
   }
 
+  test("instrument-metadata enrichment broadcasts the dim and keeps every fact row") {
+    import spark.implicits._
+    val syms = Seq("AAA", "BBB", "CCC")
+    val bars = Feeds.SyntheticFeed.fetch(spark, syms, "2024-01-01", "2024-01-15")
+    val meta = Feeds.syntheticInstrumentMeta(spark, syms :+ "UNUSED")
+    val enriched = graft.operators.Relational.enrichWithMeta(bars, meta)
+    assert(enriched.count() === bars.count(), "left join must preserve the fact side")
+    assert(enriched.filter($"expense_ratio".isNull || $"category".isNull).count() === 0)
+    // metadata is deterministic across fetches
+    val again = Feeds.syntheticInstrumentMeta(spark, syms :+ "UNUSED")
+    assert(meta.collect().toSet === again.collect().toSet)
+    // the dim must broadcast: the fact side never reshuffles for it
+    val plan = enriched.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("synthetic feed is deterministic and respects the date range") {
     import spark.implicits._
     val a = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-11")
