@@ -33,6 +33,24 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("zip_with ngrams equal the transform(sequence) formulation on random docs, n=2..4") {
+    import spark.implicits._
+    // include degenerate docs shorter than n
+    val texts = Seq("", "solo", "two words") ++
+      (0 until 40).map(_ => Vector.fill(1 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val toks = split(lower(col("text")), " ")
+    for (n <- 2 to 4) {
+      val naiveStarts = when(size(toks) - (n - 1) >= 1, sequence(lit(1), size(toks) - (n - 1))).otherwise(array())
+      val naive = docs.select(col("doc_id"),
+        transform(naiveStarts, i => concat_ws(" ", slice(toks, i, lit(n)))).as("g"))
+      val fast  = docs.select(col("doc_id"), graft.functions.TextFunctions.ngrams(toks, n).as("g"))
+      val diff = naive.join(fast.withColumnRenamed("g", "g2"), "doc_id")
+        .filter(not(col("g") <=> col("g2"))).count()
+      assert(diff === 0, s"ngrams(n=$n) diverges from the naive formulation")
+    }
+  }
+
   test("ppjoin equals the naive join on a mutation-heavy random corpus, at two thresholds") {
     import spark.implicits._
     val docs = mutatedCorpus(25, 3).toDF("doc_id", "text").repartition(8)
