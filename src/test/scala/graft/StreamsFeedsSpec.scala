@@ -66,6 +66,26 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(out.filter(date_format($"window.start", "HH:mm") === "10:00").count() === 1)
   }
 
+  test("narrow curation ops (quality gate, repetition score) run unchanged on a stream") {
+    import spark.implicits._
+    // every per-row curation op is stateless, so the same operator
+    // call works on an unbounded source in append mode — the
+    // document feed becomes a curation stream with zero code change
+    val docs = Tables.documents(spark, sf)
+    val dir  = java.nio.file.Files.createTempDirectory("graft_curate").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val gated = Streams.runToMemory(
+      spark, graft.operators.TextAnalysis.qualityGate(stream), "curate_gate", OutputMode.Append())
+    val gatedBatch = graft.operators.TextAnalysis.qualityGate(docs)
+    assert(gated.count() === docs.count())
+    assert(gated.except(gatedBatch).count() === 0 && gatedBatch.except(gated).count() === 0)
+    val rep = Streams.runToMemory(
+      spark, graft.operators.TextAnalysis.repetitionScore(stream), "curate_rep", OutputMode.Append())
+    val repBatch = graft.operators.TextAnalysis.repetitionScore(docs)
+    assert(rep.except(repBatch).count() === 0 && repBatch.except(rep).count() === 0)
+  }
+
   test("streaming dedup drops a replayed batch's duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
