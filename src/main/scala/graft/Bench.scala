@@ -55,12 +55,17 @@ object Bench {
     val line    = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skew,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the stdout capture has been truncated
-    // mid-JSON by the harness before — the on-disk copy is the record
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(outPath),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }
+    // mid-JSON by the harness before — the on-disk copy is the
+    // record. Subset runs (BENCH_ONLY) don't clobber the committed
+    // full-sweep record unless an explicit path is given.
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_out.json") else None)
+    outPath.foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable => System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
+    }
     spark.stop()
   }
 

@@ -285,13 +285,17 @@ object Dedup {
     }
     var edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var edgeCount = edges.count()
     var iter = 0
     var done = false
     while (!done && iter < maxIters) {
-      val next = smallStar(largeStar(edges)).localCheckpoint()
+      val next      = smallStar(largeStar(edges)).localCheckpoint()
+      val nextCount = next.count()
       // both sides are distinct sets: fixpoint iff same size, no diff
-      done = next.count() == edges.count() && next.except(edges).isEmpty
+      // (prior round's count is carried — no redundant recount job)
+      done = nextCount == edgeCount && next.except(edges).isEmpty
       edges = next
+      edgeCount = nextCount
       iter += 1
     }
     if (!done)

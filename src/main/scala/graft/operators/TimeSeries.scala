@@ -31,16 +31,21 @@ object TimeSeries {
     * (1-a)^(-rn) term exceeds double range past a span-dependent row
     * count and the running sum silently saturates to Inf/NaN. Wraps
     * the OUTPUT column (so pruning can't drop the check) and raises
-    * before any corrupted value escapes, pointing at the fold
-    * ([[emaFold]] / graft_ema) which has no horizon. 700/-ln(1-a)
-    * keeps the largest term under ~1e304.
+    * before a corrupted value escapes, pointing at the fold
+    * ([[emaFold]] / graft_ema) which has no horizon. Two conditions:
+    * the rn horizon (700/-ln(1-a) keeps the largest weight under
+    * ~1e304) AND a non-finite check on the value itself, because
+    * large |value| can push the running sum past double range while
+    * rn is still inside the horizon. NULL outputs pass through (a
+    * null is absent data, not overflow).
     */
   private def closedFormGuard(out: Column, alpha: Double): Column = {
     val safeRn = (700.0 / -math.log1p(-alpha)).toLong
-    when(col("rn") <= lit(safeRn), out).otherwise(raise_error(concat(
-      lit(s"closed-form EMA overflows past $safeRn rows per key (alpha=$alpha); " +
-        "use emaFold/graft_ema for long series — got rn="),
-      col("rn").cast("string"))))
+    val bad = col("rn") > lit(safeRn) || isnan(out) || abs(out) === lit(Double.PositiveInfinity)
+    when(bad, raise_error(concat(
+      lit(s"closed-form EMA overflow (alpha=$alpha, safe horizon $safeRn rows/key); " +
+        "use emaFold/graft_ema for long or large-magnitude series — rn="),
+      col("rn").cast("string")))).otherwise(out)
   }
 
   /** pct_change per key: ret_t = v_t / v_{t-1} - 1. A zero previous
@@ -155,11 +160,12 @@ object TimeSeries {
       .withColumn("gm", g(col("macd"), am))
       .withColumn("sig", pow(lit(1 - am), col("rn")) * sum(col("gm")).over(wRun))
       .select(col(key), col(ts),
-        // guard at the strictest horizon (largest alpha overflows
-        // first); one guarded column fails the whole row loudly
+        // every output column carries the guard (at the strictest
+        // horizon — the largest alpha overflows first): column
+        // pruning of any subset must not drop the check
         closedFormGuard(round(col("macd"), 6), Seq(af, as, am).max).as("macd"),
-        round(col("sig"), 6).as("signal"),
-        round(col("macd") - col("sig"), 6).as("hist"))
+        closedFormGuard(round(col("sig"), 6), Seq(af, as, am).max).as("signal"),
+        closedFormGuard(round(col("macd") - col("sig"), 6), Seq(af, as, am).max).as("hist"))
   }
 
   /** RSI(n), EMA-smoothed (alpha = 1/n, adjust=False, seeded at the

@@ -162,10 +162,14 @@ object Feeds {
 
     def fetch(spark: SparkSession, sources: Seq[String], start: String, end: String): DataFrame = {
       // slot count computed driver-side from the literal range, so the
-      // feed covers ANY span (no silent truncation at a range cap)
-      val nSlots =
-        (java.time.LocalDate.parse(end).toEpochDay - java.time.LocalDate.parse(start).toEpochDay) * 4
+      // feed covers ANY span (no silent truncation at a range cap).
+      // ONE parser for both the slot count and the timestamp base —
+      // ISO dates only, rejected loudly otherwise
+      val startDay = java.time.LocalDate.parse(start)
+      val endDay   = java.time.LocalDate.parse(end)
+      val nSlots   = (endDay.toEpochDay - startDay.toEpochDay) * 4
       require(nSlots >= 0, s"document feed range is inverted: $start > $end")
+      val startMicros = startDay.toEpochDay * 86400L * 1000000L
       val srcs = spark
         .createDataset(sources.zipWithIndex.map { case (s, i) => (s, i.toLong) })(
           org.apache.spark.sql.Encoders.tuple(
@@ -179,7 +183,7 @@ object Feeds {
         .crossJoin(broadcast(srcs))
         .withColumn("doc_id", col("slot") * sources.size + col("src_idx"))
         .withColumn("published_ts",
-          timestamp_micros(unix_micros(lit(start).cast("timestamp")) + col("slot") * 21600000000L))
+          timestamp_micros(lit(startMicros) + col("slot") * 21600000000L))
         .withColumn("seed", concat(col("source"), lit("#"), col("slot")))
         .withColumn("title", concat_ws(" ", word(col("seed"), 0), word(col("seed"), 1), word(col("seed"), 2)))
         .withColumn("body", concat_ws(" ", (0 until 12).map(j => word(col("seed"), 10 + j)): _*))

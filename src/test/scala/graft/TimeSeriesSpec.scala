@@ -65,11 +65,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
     assert(chain(e).contains("emaFold"), s"guard did not fire: ${chain(e)}")
-    // macd and rsi carry the same guard
+    // macd and rsi carry the same guard — on EVERY output column, so
+    // pruning a subset (just the signal line) cannot drop the check
     val em = intercept[Exception] {
-      TimeSeries.macd(long).write.format("noop").mode("overwrite").save()
+      TimeSeries.macd(long).select("user_id", "ts", "signal")
+        .write.format("noop").mode("overwrite").save()
     }
     assert(chain(em).contains("emaFold"))
+    // value magnitude alone can overflow the running sum INSIDE the
+    // rn horizon (6950 rows < safeRn ~6994 for span 20, but values
+    // ~1e10 overflow the weighted sum around rn ~6860) — the
+    // non-finite check must still raise
+    val big = spark.range(6950).select(
+      lit(1L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
+      ((pmod($"id", lit(100)).cast("double") + 1.0) * 1e8).as("value"))
+    val eb = intercept[Exception] {
+      TimeSeries.ema(big, 20).write.format("noop").mode("overwrite").save()
+    }
+    assert(chain(eb).contains("emaFold"))
     // the fold path has no horizon: finite result on the same series
     val folded = TimeSeries.emaFold(long, 20).head()
     assert(!folded.isNullAt(1) && !folded.getDouble(1).isNaN && !folded.getDouble(1).isInfinite)
