@@ -90,7 +90,8 @@ object Relational {
       )
 
   /** Per-symbol metadata enrichment (ETF expense-ratio/AUM/category
-    * analog): left-join a metadata dim onto any fact/bar frame. The
+    * analog, reference app.py:381-407 fetch_etf_metadata): left-join
+    * a metadata dim onto any fact/bar frame. The
     * dim is one row per symbol — broadcast unconditionally, so the
     * fact side never shuffles, and rows without metadata survive.
     */
@@ -155,8 +156,9 @@ object Relational {
     * bar with deterministic open/close via arg-min/arg-max on ts —
     * (user_id, ts) is unique so ties cannot occur. `truncUnit` is any
     * date_trunc grain (day/week/month/quarter/year), honoring the
-    * user-selected chart interval; week starts Monday in both Spark
-    * and ANSI engines.
+    * user-selected chart interval (reference app.py:470-475
+    * candlestick, streamlit_app.py:280-290 interval fetch); week
+    * starts Monday in both Spark and ANSI engines.
     */
   def ohlcResample(events: DataFrame, truncUnit: String = "day"): DataFrame =
     events

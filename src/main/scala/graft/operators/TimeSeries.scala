@@ -277,7 +277,9 @@ object TimeSeries {
   }
 
   /** Portfolio concentration metrics (the fund-composition
-    * concentration/liquidity panel): keys group into portfolios and
+    * concentration/liquidity panel, reference fund_comp2.py:375-446
+    * generate_concentration_liquidity_data): keys group into
+    * portfolios and
     * each holding's weight is its latest observed level over the
     * portfolio total. Reports holdings count, top-N weight share,
     * max single-holding weight, and the Herfindahl–Hirschman index
