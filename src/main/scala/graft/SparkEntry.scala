@@ -248,6 +248,12 @@ object SparkEntry {
         .orderBy("user_id")),
     "q_yield_ratio" -> ((s, dir) =>
       TimeSeries.yieldRatio(Tables.events(s, dir), "purchase").orderBy("user_id")),
+    "q_vwap" -> ((s, dir) =>
+      TimeSeries.vwap(Tables.events(s, dir))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
+    "q_info_ratio" -> ((s, dir) =>
+      TimeSeries.informationRatio(Tables.events(s, dir), 0L).orderBy("user_id")),
 
     // ---- C. text analysis ---------------------------------------------
     "q_sentiment" -> ((s, dir) =>
@@ -1007,6 +1013,33 @@ object SparkEntry {
         |    THEN coalesce(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,2))) AS DOUBLE), 0)
         |      / max_by(value, ts) * 100 END AS yield_pct
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_vwap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |  FROM events
+        |)
+        |SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+        |  CAST(sum(vol) AS BIGINT) AS volume,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(vol AS DECIMAL(10,0))) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS vwap
+        |FROM e WHERE vol IS NOT NULL AND vol > 0
+        |GROUP BY user_id, date_trunc('day', ts)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_info_ratio" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0)
+        |SELECT r.user_id,
+        |  round(CASE WHEN stddev_samp(r.ret - b.bench_ret) != 0
+        |    THEN (avg(r.ret - b.bench_ret) * 252) / (stddev_samp(r.ret - b.bench_ret) * sqrt(252)) END, 6) AS info_ratio
+        |FROM r JOIN b USING (day)
+        |WHERE r.user_id != 0
+        |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
     "q_sentiment" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -507,6 +507,55 @@ object TimeSeries {
         when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1)
           .as("period_return"))
 
+  /** Daily VWAP per key (OHLCV volume-weighted average price; volume
+    * rides the events' JSON props like jsonExtractAgg). Determinism:
+    * price carries <=2dp and volume is integral, so both the
+    * turnover sum (DECIMAL price x volume) and the volume sum are
+    * exact and order-independent; VWAP is a ratio of two exact
+    * doubles and is emitted UNROUNDED — the quotient is already
+    * bit-deterministic, and 6-dp rounding would reintroduce
+    * engine skew because decimal/integer quotients often terminate
+    * exactly on the tie digit (x.xxx0625), where Spark rounds the
+    * decimal string and other engines round the binary double.
+    * One groupBy — same single shuffle as the OHLC bar.
+    */
+  def vwap(events: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+    // volume as DECIMAL(10,0), NOT long: a long promotes to
+    // DECIMAL(20,0) and (18,2)x(20,0) overflows precision 38, where
+    // Spark reduces scale (precision loss rounds the products) —
+    // (18,2)x(10,0) stays exact at DECIMAL(29,2) in every engine
+    val Vol = org.apache.spark.sql.types.DecimalType(10, 0)
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    events
+      .withColumn("vol", vol)
+      .filter(col("vol").isNotNull && col("vol") > 0)
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(
+        sum(col("vol")).as("volume"),
+        (sum(col(v).cast(Money) * col("vol").cast(Vol)).cast("double") / sum(col("vol")).cast("double")).as("vwap"))
+  }
+
+  /** Information ratio vs a benchmark key: annualized mean active
+    * return over annualized tracking error (sample std of the active
+    * return). Same broadcast-benchmark join as [[trackingError]] —
+    * the fact side never reshuffles.
+    */
+  def informationRatio(df: DataFrame, benchmarkKey: Long, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(df, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    val active = col("ret") - col("bench_ret")
+    rets
+      .filter(col(key) =!= benchmarkKey)
+      .join(bench, "day")
+      .groupBy(col(key))
+      .agg(round(
+        when(stddev_samp(active) =!= 0,
+          (avg(active) * TradingDays) / (stddev_samp(active) * math.sqrt(TradingDays))),
+        6).as("info_ratio"))
+  }
+
   /** Dividend-yield analog: total flow of one event kind over the
     * latest observed level, as a percentage.
     */
