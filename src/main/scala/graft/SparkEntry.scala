@@ -254,6 +254,10 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_info_ratio" -> ((s, dir) =>
       TimeSeries.informationRatio(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_momentum_rank" -> ((s, dir) =>
+      TimeSeries.momentumRank(Tables.events(s, dir), 10)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("day", "mom_rank")),
 
     // ---- C. text analysis ---------------------------------------------
     "q_sentiment" -> ((s, dir) =>
@@ -1013,6 +1017,19 @@ object SparkEntry {
         |    THEN coalesce(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,2))) AS DOUBLE), 0)
         |      / max_by(value, ts) * 100 END AS yield_pct
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_momentum_rank" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close, 10) OVER w != 0 THEN close / lag(close, 10) OVER w - 1 END AS trail_ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY trail_ret IS NOT NULL
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, trail_ret,
+        |  row_number() OVER (PARTITION BY day ORDER BY trail_ret DESC, user_id ASC) AS mom_rank
+        |FROM t ORDER BY day, mom_rank""".stripMargin,
     "q_vwap" ->
       """WITH e AS (
         |  SELECT user_id, ts, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol

@@ -507,6 +507,25 @@ object TimeSeries {
         when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1)
           .as("period_return"))
 
+  /** Cross-sectional momentum rank (screener/leaderboard analog):
+    * each key's trailing `lookback`-bar return on the daily-close
+    * grid, ranked across keys WITHIN each day. Two shuffles by
+    * design — the trailing return partitions by key, the rank
+    * partitions by day; that axis flip is inherent to any
+    * cross-sectional statistic. Returns are unrounded ratios of raw
+    * close doubles (bit-identical across engines), so ranking on
+    * them is stable; ties break by key.
+    */
+  def momentumRank(df: DataFrame, lookback: Int = 10, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val prev  = lag(col("close"), lookback).over(Window.partitionBy(key).orderBy("day"))
+    val wRank = Window.partitionBy("day").orderBy(col("trail_ret").desc, col(key).asc)
+    dailyClose(df, key, ts, v)
+      .withColumn("trail_ret", when(prev =!= 0, col("close") / prev - 1))
+      .filter(col("trail_ret").isNotNull)
+      .withColumn("mom_rank", row_number().over(wRank).cast("long"))
+      .select(col(key), col("day"), col("trail_ret"), col("mom_rank"))
+  }
+
   /** Daily VWAP per key (OHLCV volume-weighted average price; volume
     * rides the events' JSON props like jsonExtractAgg). Determinism:
     * price carries <=2dp and volume is integral, so both the
