@@ -781,9 +781,9 @@ object SparkEntry {
         |  FROM latest
         |)
         |SELECT portfolio, count(*) AS n_holdings,
-        |  round(CAST(sum(CASE WHEN rnk <= 10 THEN level END) AS DOUBLE) / CAST(sum(level) AS DOUBLE), 6) AS top_share,
-        |  round(CAST(max(level) AS DOUBLE) / CAST(sum(level) AS DOUBLE), 6) AS max_weight,
-        |  round(CAST(sum(level * level) AS DOUBLE) / (CAST(sum(level) AS DOUBLE) * CAST(sum(level) AS DOUBLE)), 6) AS hhi
+        |  CAST(sum(CASE WHEN rnk <= 10 THEN level END) AS DOUBLE) / CAST(sum(level) AS DOUBLE) AS top_share,
+        |  CAST(max(level) AS DOUBLE) / CAST(sum(level) AS DOUBLE) AS max_weight,
+        |  CAST(sum(level * level) AS DOUBLE) / (CAST(sum(level) AS DOUBLE) * CAST(sum(level) AS DOUBLE)) AS hhi
         |FROM r GROUP BY portfolio ORDER BY portfolio""".stripMargin,
     "q_drawdown_duration" ->
       """WITH rm AS (
@@ -1111,8 +1111,8 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT doc_id,
-        |  round(CASE WHEN len(toks) > 0 THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END, 6) AS dup_word_ratio,
-        |  round(CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE END, 6) AS dup_bigram_ratio
+        |  CASE WHEN len(toks) > 0 THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE END AS dup_word_ratio,
+        |  CASE WHEN len(bg) > 0 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)::DOUBLE END AS dup_bigram_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_quality_gate" ->
       """WITH t AS (
@@ -1125,8 +1125,8 @@ object SparkEntry {
         |    len(list_filter(toks, t -> t IN ('the','a','and','of','el','la','y','de','le','les','et','des','der','die','und','von','de5','shi4','le5','zai4'))) AS stop_hits
         |  FROM t
         |)
-        |SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
-        |  round(alpha_frac, 6) AS alpha_frac, stop_hits,
+        |SELECT doc_id, n_words, mean_word_len,
+        |  alpha_frac, stop_hits,
         |  CAST(n_words BETWEEN 5 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
         |    AND alpha_frac >= 0.7 AND stop_hits >= 1 AS INT) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,

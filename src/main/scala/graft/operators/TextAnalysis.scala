@@ -117,20 +117,23 @@ object TextAnalysis {
       lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
     val dupB = when(size(bigrams) > 0,
       lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams).cast("double"))
+    // unrounded: int-ratio quotients can terminate exactly on the
+    // 6-dp tie digit where engines' round() disagree; the raw
+    // quotient is bit-identical everywhere
     documents.select(
       col("doc_id"),
-      round(dupW, 6).as("dup_word_ratio"),
-      round(dupB, 6).as("dup_bigram_ratio"))
+      dupW.as("dup_word_ratio"),
+      dupB.as("dup_bigram_ratio"))
   }
 
   /** Composite heuristic quality gate (the Gopher-rules family,
     * Rae+ '21 appendix A1.1 document filters): keep/drop per document
     * from word count, mean word length, alphabetic-word fraction,
     * and stopword presence, with each signal surfaced for auditing.
-    * The keep decision compares UNROUNDED ratios (exact int-ratio
-    * doubles, engine-identical); rounding is display-only. All
-    * narrow per-row work — at 100 TB this is a scan-stage predicate
-    * feeding the curation pipeline's drop step.
+    * Both the keep decision and the surfaced ratios use UNROUNDED
+    * exact int-ratio doubles (engine-identical). All narrow per-row
+    * work — at 100 TB this is a scan-stage predicate feeding the
+    * curation pipeline's drop step.
     */
   def qualityGate(documents: DataFrame,
                   minWords: Long = 5, maxWords: Long = 100000,
@@ -142,11 +145,14 @@ object TextAnalysis {
       .cast("double") / n.cast("double")
     val alphaFrac = size(filter(toks, t => t.rlike("[a-z]"))).cast("double") / n.cast("double")
     val stops     = lexiconHits(col("text"), LangProfiles.flatMap(_._2)).cast("long")
+    // ratios emitted unrounded: exact-int quotients hit 6-dp
+    // rounding ties where engines disagree; raw doubles are
+    // bit-identical
     documents.select(
       col("doc_id"),
       n.as("n_words"),
-      round(meanLen, 6).as("mean_word_len"),
-      round(alphaFrac, 6).as("alpha_frac"),
+      meanLen.as("mean_word_len"),
+      alphaFrac.as("alpha_frac"),
       stops.as("stop_hits"),
       (n.between(minWords, maxWords) && meanLen.between(minMeanLen, maxMeanLen) &&
         alphaFrac >= minAlphaFrac && stops >= 1).cast("int").as("keep"))

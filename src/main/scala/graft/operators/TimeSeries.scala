@@ -288,9 +288,12 @@ object TimeSeries {
     * Determinism: levels carry <=2dp, so every sum (total, top-N,
     * sum of squares) accumulates in DECIMAL space — exact and
     * order-independent — and each metric is a ratio of two exact
-    * doubles. One rank window + one aggregate on the same
-    * per-portfolio shuffle; at 100 TB the holdings table is one row
-    * per key, tiny next to the fact data that produced it.
+    * doubles, emitted UNROUNDED (ratios of exact decimals can
+    * terminate on the 6-dp tie digit, where engines' round()
+    * disagree; the raw quotient is bit-identical everywhere). One
+    * rank window + one aggregate on the same per-portfolio shuffle;
+    * at 100 TB the holdings table is one row per key, tiny next to
+    * the fact data that produced it.
     */
   def concentration(df: DataFrame, topN: Int = 10, nPortfolios: Int = 10, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val Money = org.apache.spark.sql.types.DecimalType(18, 2)
@@ -305,9 +308,9 @@ object TimeSeries {
       .groupBy(col("portfolio"))
       .agg(
         count(lit(1)).as("n_holdings"),
-        round(sum(when(col("rnk") <= topN, col("level"))).cast("double") / total, 6).as("top_share"),
-        round(max(col("level")).cast("double") / total, 6).as("max_weight"),
-        round(sum(col("level") * col("level")).cast("double") / (total * total), 6).as("hhi"))
+        (sum(when(col("rnk") <= topN, col("level"))).cast("double") / total).as("top_share"),
+        (max(col("level")).cast("double") / total).as("max_weight"),
+        (sum(col("level") * col("level")).cast("double") / (total * total)).as("hhi"))
   }
 
   /** Longest underwater streak per key (drawdown-duration companion
