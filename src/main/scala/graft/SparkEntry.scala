@@ -715,8 +715,8 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT user_id, strftime(month, '%Y-%m') AS month,
-        |  round(close, 6) AS close,
-        |  round(CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END, 6) AS mret
+        |  close,
+        |  CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS mret
         |FROM m WINDOW w AS (PARTITION BY user_id ORDER BY month)
         |ORDER BY user_id, month""".stripMargin,
     "q_daily_returns" ->
@@ -1164,7 +1164,7 @@ object SparkEntry {
         |  FROM h
         |)
         |SELECT lang_pred, count(*) AS n_docs,
-        |  round(avg(n_toks), 6) AS avg_tokens,
+        |  avg(n_toks) AS avg_tokens,
         |  max(n_toks) AS max_tokens,
         |  round(quantile_cont(n_chars, 0.5), 6) AS p50_chars
         |FROM l GROUP BY lang_pred ORDER BY lang_pred""".stripMargin,

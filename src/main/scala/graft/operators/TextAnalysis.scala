@@ -186,7 +186,10 @@ object TextAnalysis {
       .groupBy(col("lang_pred"))
       .agg(
         count(lit(1)).as("n_docs"),
-        round(avg(col("n_toks")), 6).as("avg_tokens"),
+        // unrounded: an int-sum/count quotient can land exactly on
+        // the 6-dp rounding tie (counts with 2^7 factors); the raw
+        // quotient is engine-identical
+        avg(col("n_toks")).as("avg_tokens"),
         max(col("n_toks")).as("max_tokens"),
         round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"))
 

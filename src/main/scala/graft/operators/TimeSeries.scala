@@ -333,7 +333,10 @@ object TimeSeries {
   }
 
   /** Month-end resample + month-over-month return per key: one
-    * groupBy for the month bars, one lag window for the return.
+    * groupBy for the month bars, one lag window for the return. The
+    * return is emitted unrounded: a quotient of two 2-dp closes can
+    * terminate exactly on the 6-dp rounding tie where engines'
+    * round() disagree, while the raw quotient is bit-identical.
     */
   def monthlyReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val monthly = df
@@ -341,8 +344,8 @@ object TimeSeries {
       .agg(max_by(col(v), col(ts)).as("close"))
     val prev = lag(col("close"), 1).over(Window.partitionBy(key).orderBy("month"))
     monthly
-      .withColumn("mret", round(when(prev =!= 0, col("close") / prev - 1), 6))
-      .select(col(key), col("month"), round(col("close"), 6).as("close"), col("mret"))
+      .withColumn("mret", when(prev =!= 0, col("close") / prev - 1))
+      .select(col(key), col("month"), col("close"), col("mret"))
   }
 
   /** Daily returns on the daily-close grid. */
