@@ -254,6 +254,13 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_info_ratio" -> ((s, dir) =>
       TimeSeries.informationRatio(Tables.events(s, dir), 0L).orderBy("user_id")),
+    // thresholds sized to the synthetic series' dispersion (the
+    // operator defaults keep the reference's real-fund values) so
+    // the gate genuinely splits the population
+    "q_benchmark_check" -> ((s, dir) =>
+      TimeSeries.benchmarkValidation(Tables.events(s, dir), 0L,
+        minCorr = 0.3, minR2 = 0.1, maxTePct = 100000.0, betaLo = 0.0, betaHi = 2.0)
+        .orderBy("user_id")),
     "q_momentum_rank" -> ((s, dir) =>
       TimeSeries.momentumRank(Tables.events(s, dir), 10)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -1017,6 +1024,34 @@ object SparkEntry {
         |    THEN coalesce(CAST(sum(CAST(CASE WHEN event_type = 'purchase' THEN value END AS DECIMAL(18,2))) AS DOUBLE), 0)
         |      / max_by(value, ts) * 100 END AS yield_pct
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_benchmark_check" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0)
+        |SELECT r.user_id,
+        |  round(corr(r.ret, b.bench_ret), 6) AS corr_test,
+        |  round(pow(corr(r.ret, b.bench_ret), 2), 6) AS r_squared,
+        |  round(stddev_pop(r.ret - b.bench_ret) * sqrt(252) * 100, 6) AS tracking_error_pct,
+        |  round(CASE WHEN var_samp(b.bench_ret) != 0
+        |    THEN covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) END, 6) AS beta,
+        |  CAST(corr(r.ret, b.bench_ret) > 0.3 AS INT) AS corr_pass,
+        |  CAST(pow(corr(r.ret, b.bench_ret), 2) > 0.1 AS INT) AS r2_pass,
+        |  CAST(stddev_pop(r.ret - b.bench_ret) * sqrt(252) * 100 < 100000.0 AS INT) AS te_pass,
+        |  CAST(CASE WHEN var_samp(b.bench_ret) != 0
+        |    THEN covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) END BETWEEN 0.0 AND 2.0 AS INT) AS beta_pass,
+        |  CAST(corr(r.ret, b.bench_ret) > 0.3 AND pow(corr(r.ret, b.bench_ret), 2) > 0.1
+        |    AND stddev_pop(r.ret - b.bench_ret) * sqrt(252) * 100 < 100000.0
+        |    AND (CASE WHEN var_samp(b.bench_ret) != 0
+        |      THEN covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) END BETWEEN 0.0 AND 2.0) AS INT) AS all_pass
+        |FROM r JOIN b USING (day)
+        |WHERE r.user_id != 0
+        |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
     "q_momentum_rank" ->
       """WITH dc AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

@@ -513,6 +513,44 @@ object TimeSeries {
         when(min_by(col(v), col(ts)) =!= 0, max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1)
           .as("period_return"))
 
+  /** Benchmark-validation compliance panel (reference
+    * fund_comp2.py:156-215 generate_benchmark_validation_data — the
+    * correlation / R² / tracking-error / beta-stability test table,
+    * computed from actual returns instead of scaffolded text): per
+    * key vs the benchmark, each metric with its pass flag against the
+    * reference's thresholds, plus the overall verdict. Same single
+    * broadcast-benchmark join + one aggregate as [[alphaBeta]];
+    * threshold comparisons run on UNROUNDED metrics (rounding is
+    * display-only on these non-terminating moment statistics).
+    */
+  def benchmarkValidation(df: DataFrame, benchmarkKey: Long,
+                          minCorr: Double = 0.8, minR2: Double = 0.75, maxTePct: Double = 4.0,
+                          betaLo: Double = 0.8, betaHi: Double = 1.2,
+                          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(df, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    val corrC = corr(col("ret"), col("bench_ret"))
+    val betaC = when(var_samp(col("bench_ret")) =!= 0,
+      covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")))
+    val teC   = stddev_pop(col("ret") - col("bench_ret")) * math.sqrt(TradingDays) * 100
+    rets
+      .filter(col(key) =!= benchmarkKey)
+      .join(bench, "day")
+      .groupBy(col(key))
+      .agg(
+        round(corrC, 6).as("corr_test"),
+        round(pow(corrC, 2), 6).as("r_squared"),
+        round(teC, 6).as("tracking_error_pct"),
+        round(betaC, 6).as("beta"),
+        (corrC > minCorr).cast("int").as("corr_pass"),
+        (pow(corrC, 2) > minR2).cast("int").as("r2_pass"),
+        (teC < maxTePct).cast("int").as("te_pass"),
+        (betaC >= betaLo && betaC <= betaHi).cast("int").as("beta_pass"),
+        (corrC > minCorr && pow(corrC, 2) > minR2 && teC < maxTePct &&
+          betaC >= betaLo && betaC <= betaHi).cast("int").as("all_pass"))
+  }
+
   /** Cross-sectional momentum rank (screener/leaderboard analog):
     * each key's trailing `lookback`-bar return on the daily-close
     * grid, ranked across keys WITHIN each day. Two shuffles by
