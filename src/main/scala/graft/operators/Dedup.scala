@@ -227,20 +227,32 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
-    var changed = 1L
+    // convergence via the label-sum: every step takes a min against
+    // the previous label, so per-node labels are monotone
+    // non-increasing over a fixed node set — the sum is unchanged
+    // iff NO node changed. One cheap aggregate per round instead of
+    // a join+count job. DECIMAL sum: overflow-proof at any id scale.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0))),
+        lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"))
+      .head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var changed = true
     var iter    = 0
-    while (changed > 0 && iter < maxIters) {
+    while (changed && iter < maxIters) {
       val prop = labels.join(edges, labels("node") === edges("a"))
         .select(col("b").as("node"), col("label"))
       val next = labels.union(prop).groupBy("node").agg(min("label").as("label")).localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label")).count()
+      val nextSum = labelSum(next)
+      changed = nextSum.compareTo(prevSum) != 0
       labels = next
+      prevSum = nextSum
       iter += 1
     }
     // propagation needs O(cluster diameter) rounds; silently wrong
     // clusters would poison every downstream canonical-id choice
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"dedup cluster propagation did not converge in $maxIters rounds " +
           "(cluster diameter exceeds the cap) — raise maxIters or use large-star/small-star")
