@@ -128,8 +128,8 @@ object Similarity {
     * swaps this for a codegen'd expression like FeatureHashEmbed.
     */
   private def cellScores(cents: Array[(Int, Array[Double])])(v: Column): Column = {
-    val cArr = array(cents.map { case (cid, c) =>
-      struct(lit(cid).as("cell"), array(c.map(lit): _*).as("c"))
+    val cArr = array(cents.toSeq.map { case (cid, c) =>
+      struct(lit(cid).as("cell"), array(c.toSeq.map(lit): _*).as("c"))
     }: _*)
     transform(cArr, s =>
       struct(

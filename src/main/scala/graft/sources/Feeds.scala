@@ -95,7 +95,7 @@ object Feeds {
       }
       val std = mapping.foldLeft(raw) { case (df, (ours, theirs)) => df.withColumnRenamed(theirs, ours) }
       std
-        .select(BarSchema.fieldNames.map(col): _*)
+        .select(BarSchema.fieldNames.toSeq.map(col): _*)
         .where(col("symbol").isin(symbols: _*) &&
           col("bar_date") >= lit(start).cast("date") && col("bar_date") < lit(end).cast("date"))
     }
@@ -207,7 +207,7 @@ object Feeds {
       }
       val std = mapping.foldLeft(raw) { case (df, (ours, theirs)) => df.withColumnRenamed(theirs, ours) }
       std
-        .select(DocSchema.fieldNames.map(col): _*)
+        .select(DocSchema.fieldNames.toSeq.map(col): _*)
         .where(col("source").isin(sources: _*) &&
           col("published_ts") >= lit(start).cast("timestamp") &&
           col("published_ts") < lit(end).cast("timestamp"))
