@@ -94,6 +94,26 @@ object Streams {
       }
   }
 
+  /** Streaming VWAP per key + event-time window: the real-time twin
+    * of TimeSeries.vwap. The DECIMAL turnover and integral volume
+    * sums are associative, so incremental micro-batch aggregation is
+    * exactly the batch result once a window closes; watermark bounds
+    * the state. Same one-shuffle shape as the batch bar.
+    */
+  def vwapStream(events: DataFrame, width: String = "1 day", watermark: String = "1 hour"): DataFrame = {
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("vol", vol)
+      .filter(col("vol").isNotNull && col("vol") > 0)
+      .groupBy(window(col("ts"), width).as("w"), col("user_id"))
+      .agg(
+        sum(col("vol")).as("volume"),
+        (sum(col("value").cast(Money) * col("vol").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+          .cast("double") / sum(col("vol")).cast("double")).as("vwap"))
+      .select(col("w.start").as("bar_start"), col("user_id"), col("volume"), col("vwap"))
+  }
+
   /** Streaming exactly-once dedup on a business key: state bounded
     * by the watermark horizon (late duplicates beyond it age out of
     * the state store).

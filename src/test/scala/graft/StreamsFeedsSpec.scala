@@ -86,6 +86,22 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(rep.except(repBatch).count() === 0 && repBatch.except(rep).count() === 0)
   }
 
+  test("streaming vwap matches the batch operator once windows close") {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vwap").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val streamed = Streams.runToMemory(
+      spark, Streams.vwapStream(stream, "1 day"), "vwap_test", OutputMode.Complete())
+      .select(date_format($"bar_start", "yyyy-MM-dd").as("day"), $"user_id", $"volume", $"vwap")
+    val batch = graft.operators.TimeSeries.vwap(ev)
+      .withColumn("day", date_format($"day", "yyyy-MM-dd"))
+      .select($"day", $"user_id", $"volume", $"vwap")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+  }
+
   test("streaming dedup drops a replayed batch's duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
