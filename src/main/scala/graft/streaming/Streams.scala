@@ -61,36 +61,77 @@ object Streams {
       .groupBy(window(col("ts"), width), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("value").as("total"))
 
-  /** ts_us: epoch micros — full event-time precision (Timestamp
-    * round-trips through ms in the JVM and would truncate).
+  /** Event shape for the stateful sessionizer. `ts` is a
+    * TimestampType column (java.time.Instant encodes at full
+    * microsecond precision) so the stream can carry a watermark —
+    * the event-time timeout below is driven by it.
     */
-  case class Ev(user_id: Long, ts_us: Long, value: Double)
-  case class SessState(sessionId: Long, lastTsUs: Long, nEvents: Long, startUs: Long, total: Double)
-  case class SessOut(user_id: Long, session_id: Long, n_events: Long, start_us: Long, end_us: Long, total_value: Double)
+  case class SEv(user_id: Long, ts: java.time.Instant, value: Double)
+  /** `totalCents`: the running value sum as exact 2-dp cents — the
+    * same DECIMAL(18,2) arithmetic as [[sessionizeBatch]], so the
+    * emitted total is bit-equal to the batch sum no matter how the
+    * events split across micro-batches (a raw double accumulation
+    * would drift with arrival order).
+    */
+  case class OpenSession(startUs: Long, lastUs: Long, nEvents: Long, totalCents: Long)
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long, n_events: Long, total_value: Double)
 
-  /** Stateful sessionization with mapGroupsWithState: emits the
-    * CURRENT session snapshot per user on every trigger (update
-    * mode). State is one small record per user, bounded by timeout.
+  private def cents(v: Double): Long = math.rint(v * 100.0).toLong
+
+  private def instantMicros(i: java.time.Instant): Long =
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+
+  /** Stateful sessionization with flatMapGroupsWithState +
+    * EventTimeTimeout: a session is emitted when a later event
+    * closes it (gap exceeded) OR when the watermark passes its
+    * last-event time + gap — at which point no in-watermark event
+    * can ever extend it, so the session is final and its state is
+    * REMOVED. State is therefore one small record per ACTIVE user,
+    * genuinely bounded by the timeout: idle users' state is evicted
+    * (spec-asserted via the state-store row count), not retained
+    * forever as a NoTimeout sessionizer would.
+    *
+    * Emitted (start_us, end_us, n_events, total_value) tuples match
+    * [[sessionizeBatch]] exactly; the per-user session ordinal is
+    * deliberately not carried — it cannot survive state eviction,
+    * and the session's start time is its identity.
     */
-  def sessionizeStream(events: Dataset[Ev], gapMin: Int = 30): Dataset[SessOut] = {
+  def sessionizeStream(events: Dataset[SEv], gapMin: Int = 30, watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMin * 60L * 1000000L
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
-        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.value))
-          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue, 0L, 0L, 0.0))
-          sorted.foreach { e =>
-            val tsUs = e.ts_us
-            st =
-              if (st.nEvents == 0L || tsUs - st.lastTsUs > gapUs)
-                SessState(st.sessionId + 1, tsUs, 1L, tsUs, e.value)
-              else
-                SessState(st.sessionId, tsUs, st.nEvents + 1, st.startUs, st.total + e.value)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[OpenSession]) =>
+          def emit(st: OpenSession) = SessionOut(uid, st.startUs, st.lastUs, st.nEvents, st.totalCents / 100.0)
+          if (state.hasTimedOut) {
+            // watermark > last event + gap: nothing can extend this
+            // session any more — emit it as final and DROP the state
+            val st = state.get
+            state.remove()
+            Iterator.single(emit(st))
+          } else {
+            val sorted = evs.toArray.sortBy(e => (instantMicros(e.ts), e.value))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var st     = state.getOption.orNull
+            sorted.foreach { e =>
+              val us = instantMicros(e.ts)
+              st =
+                if (st == null) OpenSession(us, us, 1L, cents(e.value))
+                else if (us - st.lastUs > gapUs) {
+                  closed += emit(st)
+                  OpenSession(us, us, 1L, cents(e.value))
+                } else OpenSession(st.startUs, us, st.nEvents + 1, st.totalCents + cents(e.value))
+            }
+            if (st != null) {
+              state.update(st)
+              // timeout timestamps are millisecond-grained: +1 ms so
+              // truncation can't fire the timeout one event too early
+              state.setTimeoutTimestamp(st.lastUs / 1000L + gapMin * 60000L + 1L)
+            }
+            closed.iterator
           }
-          state.update(st)
-          SessOut(uid, st.sessionId, st.nEvents, st.startUs, st.lastTsUs, st.total)
       }
   }
 
@@ -109,7 +150,9 @@ object Streams {
       .groupBy(window(col("ts"), width).as("w"), col("user_id"))
       .agg(
         sum(col("vol")).as("volume"),
-        (sum(col("value").cast(Money) * col("vol").cast(org.apache.spark.sql.types.DecimalType(10, 0)))
+        // DECIMAL(14,0) matches TimeSeries.vwap: wide enough that a
+        // >=1e10 volume can't overflow the cast to NULL
+        (sum(col("value").cast(Money) * col("vol").cast(org.apache.spark.sql.types.DecimalType(14, 0)))
           .cast("double") / sum(col("vol")).cast("double")).as("vwap"))
       .select(col("w.start").as("bar_start"), col("user_id"), col("volume"), col("vwap"))
   }

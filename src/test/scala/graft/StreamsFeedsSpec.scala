@@ -28,22 +28,70 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
-  test("stateful sessionization final snapshots match batch sessions") {
+  test("stateful sessionization emits exactly the batch sessions (minus still-open tails)") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
-      .select($"user_id", unix_micros($"ts").as("ts_us"), $"value").as[Streams.Ev]
+      .select($"user_id", $"ts", $"value").as[Streams.SEv]
+    // batch execution of the stateful function: no timeouts fire, so
+    // the emitted set is every session CLOSED by a later event — i.e.
+    // all batch sessions except each user's last (still open at EOF)
     val streamed = Streams.sessionizeStream(ev, 30).toDF()
     val batch = Streams.sessionizeBatch(Tables.events(spark, sf))
-    // single micro-batch over bounded input => streamed snapshot is each
-    // user's LAST session; compare against batch's last session per user
-    val lastBatch = batch
+    val lastPerUser = batch
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy(col("session_id").desc)))
-      .filter($"rn" === 1).drop("rn")
-    val joined = streamed.as("s").join(lastBatch.as("b"), "user_id")
-      .filter($"s.session_id" =!= $"b.session_id" || $"s.n_events" =!= $"b.n_events" ||
-        $"s.start_us" =!= $"b.start_us" || $"s.end_us" =!= $"b.end_us")
-    assert(joined.count() === 0)
+      .filter($"rn" === 1)
+    val want = batch.join(
+        lastPerUser.select($"user_id", $"session_id"), Seq("user_id", "session_id"), "left_anti")
+      .select($"user_id", $"start_us", $"end_us", $"n_events", $"total_value")
+    val got = streamed.select($"user_id", $"start_us", $"end_us", $"n_events", $"total_value")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
+  test("sessionize stream evicts idle users' state on event-time timeout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.sessionizeStream(mem.toDS(), gapMin = 30, watermark = "1 minute")
+    val q = out.writeStream.format("memory").queryName("sess_evict_test").outputMode("append").start()
+    def at(h: Int, m: Int) = java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z")
+    def stateRows: Long = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+    try {
+      // b1: A has two events, B one — both users get open state;
+      // watermark is still behind either timeout, nothing emitted
+      mem.addData(Streams.SEv(1L, at(10, 0), 1.0), Streams.SEv(1L, at(10, 5), 2.0), Streams.SEv(2L, at(10, 0), 7.0))
+      q.processAllAvailable()
+      assert(stateRows === 2)
+      assert(spark.table("sess_evict_test").count() === 0)
+      // b2: A returns after the gap — closes A's s1 inline; the
+      // 12:00 event then advances the watermark to 11:59, and the
+      // follow-up timeout batch (processAllAvailable runs it) fires
+      // B's 10:30 timeout: B's session flushes as final and B's
+      // state row is REMOVED — only A's open s2 remains
+      mem.addData(Streams.SEv(1L, at(12, 0), 3.0))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sess_evict_test").as[Streams.SessionOut].collect().toSet
+      assert(afterB2 === Set(
+        Streams.SessionOut(1L, at(10, 0).toEpochMilli * 1000, at(10, 5).toEpochMilli * 1000, 2L, 3.0),
+        Streams.SessionOut(2L, at(10, 0).toEpochMilli * 1000, at(10, 0).toEpochMilli * 1000, 1L, 7.0)))
+      assert(stateRows === 1)
+      // b3: an unrelated user far ahead pushes the watermark past
+      // A's 12:30 timeout -> A's open session flushes and its state
+      // is dropped; only user 3's fresh state remains
+      mem.addData(Streams.SEv(3L, at(15, 0), 9.0))
+      q.processAllAvailable()
+      val flushed = spark.table("sess_evict_test").as[Streams.SessionOut].collect().toSet
+      assert(flushed.contains(Streams.SessionOut(1L, at(12, 0).toEpochMilli * 1000, at(12, 0).toEpochMilli * 1000, 1L, 3.0)))
+      assert(stateRows === 1)
+      // b4: B returns — state was evicted, so a brand-new session
+      // opens (state row count grows again): eviction, not retention
+      mem.addData(Streams.SEv(2L, at(15, 30), 4.0))
+      q.processAllAvailable()
+      assert(stateRows === 2)
+    } finally q.stop()
   }
 
   test("watermark drops late events in append mode") {
