@@ -124,8 +124,10 @@ object Similarity {
     * a narrow projection, no join and no shuffle: the quantizer is
     * nlist*dim doubles and rides the plan as a literal array (the
     * same tiny-literal pattern as the RAG query embedding). The
-    * interpreted HOF cost is nlist*dim flops/row; the 100 TB path
-    * swaps this for a codegen'd expression like FeatureHashEmbed.
+    * interpreted HOF cost is nlist*dim flops/row — fine for the
+    * QUERY side (a handful of rows needs the full per-cell score
+    * list to pick its nprobe cells); the corpus-side hot path uses
+    * the codegen'd [[graft.plans.IvfAssign]] instead.
     */
   private def cellScores(cents: Array[(Int, Array[Double])])(v: Column): Column = {
     val cArr = array(cents.toSeq.map { case (cid, c) =>
@@ -137,11 +139,33 @@ object Similarity {
         s("cell").as("cell")))
   }
 
-  /** Nearest cell per vector (ties to the lowest cell id): struct
-    * ordering makes array_min an argmin — still narrow, still
-    * shuffle-free.
+  /** Nearest cell per vector (ties to the lowest cell id) via the
+    * codegen'd IvfAssign expression: the whole nlist x dim argmin is
+    * one static JVM call per row inside whole-stage codegen — still
+    * narrow, still shuffle-free, and ~an order of magnitude faster
+    * than the interpreted HOF fold it replaced (the nested
+    * transform/aggregate pattern measured 65x slower on the
+    * embedding fold; bit-identity with the HOF argmin is
+    * spec-asserted in RagSearchSpec).
     */
-  private def assignCells(e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+  private[graft] def assignCells(e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
+    e.withColumn("cell", ivfAssignCol(col("v"), cents))
+
+  /** Public column form of the IVF cell assignment. */
+  def ivfAssignCol(v: Column, cents: Array[(Int, Array[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "ivfAssign: centroid ids must be contiguous from 0 (positional cell ids)")
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.plans.IvfAssign(
+        org.apache.spark.sql.graftshim.GraftShim.expression(v),
+        sorted.map(_._2.toSeq).toSeq))
+  }
+
+  /** The interpreted HOF argmin (array_min over the per-cell score
+    * structs) — kept as the spec/bench twin of [[assignCells]].
+    */
+  private[graft] def assignCellsInterpreted(e: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame =
     e.withColumn("cell", array_min(cellScores(cents)(col("v")))("cell"))
 
   /** Lloyd k-means with deterministic init (the first nlist vectors

@@ -165,6 +165,40 @@ object GraftHashOps {
     UnsafeArrayData.fromPrimitiveArray(v)
   }
 
+  /** Nearest-centroid cell id for one embedding: squared-L2 against
+    * every centroid (flattened row-major, nlist x dim), ties to the
+    * LOWEST cell id. The d2 accumulation is sequential in element
+    * order and the scan ascends cell ids with a strict `<`, so the
+    * result is bit-identical to the interpreted HOF argmin
+    * (array_min over struct(d2, cell)) it replaces: same sums, same
+    * lexicographic tie-break. Per row this is nlist*dim fused flops
+    * inside whole-stage codegen — the 65x-slower interpreted
+    * transform/aggregate fold never runs on the corpus scan.
+    */
+  def ivfAssign(v: ArrayData, cents: Array[Double]): Int = {
+    val dim = v.numElements()
+    if (dim == 0 || cents.length % dim != 0)
+      throw new IllegalArgumentException(
+        s"graft_ivf_assign: vector dim $dim does not divide centroid table of ${cents.length} doubles")
+    val nlist    = cents.length / dim
+    var best     = Double.PositiveInfinity
+    var bestCell = -1
+    var c        = 0
+    while (c < nlist) {
+      var d2   = 0.0
+      val base = c * dim
+      var i    = 0
+      while (i < dim) {
+        val d = v.getDouble(i) - cents(base + i)
+        d2 += d * d
+        i += 1
+      }
+      if (d2 < best) { best = d2; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
   /** All `planes` hyperplane sign bits of one embedding in a single
     * per-row pass: bucket bit p = (sum_i v(i) * dir(p,i)) > 0. Zero
     * shuffle — the 100 TB replacement for the exploded-plan variant.
@@ -259,6 +293,42 @@ case class LshBucket(child: Expression, planes: Int) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): LshBucket = copy(child = newChild)
 }
 
+/** IVF coarse-quantizer cell assignment: nearest centroid by squared
+  * L2, ties to the lowest cell id (see GraftHashOps.ivfAssign). The
+  * centroid table is expression state (a few KB), embedded in the
+  * generated code via a reference object — per row the whole argmin
+  * runs as one static JVM call inside whole-stage codegen, bit-equal
+  * to the interpreted HOF fold it replaces (spec-asserted).
+  */
+case class IvfAssign(child: Expression, cents: Seq[Seq[Double]]) extends UnaryExpression {
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "graft_ivf_assign needs a non-empty rectangular centroid table")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign"
+
+  @transient private lazy val flat: Array[Double] = cents.flatten.toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_assign needs array<double>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.ivfAssign(input.asInstanceOf[ArrayData], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("ivfCents", flat, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.ivfAssign($c, $centsRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssign = copy(child = newChild)
+}
+
 /** Feature-hash embedding of a text column: array<double> of length
   * `dim` (see GraftHashOps.featureHash).
   */
@@ -289,8 +359,14 @@ object GraftFunctions {
     ("graft_fh_embed", (es: Seq[Expression]) =>
       FeatureHashEmbed(es(0), es(1).eval().asInstanceOf[Number].intValue()),
       "returns the dim-bucket feature-hash embedding of a text"),
+    ("graft_ivf_assign", (es: Seq[Expression]) => {
+      val ad = es(1).eval().asInstanceOf[ArrayData]
+      val cents = (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray().toSeq)
+      IvfAssign(es(0), cents)
+    }, "returns the nearest IVF cell id of an embedding against a literal centroid table"),
     ("graft_ema", (es: Seq[Expression]) =>
-      EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue()),
+      EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
+        maxBufferRows = EmaAggregate.confMaxBufferRows),
       "aggregate: final EMA(span, adjust=False) of values in ts order")
   )
 

@@ -145,6 +145,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@5 with half the cells probed: $recall")
   }
 
+  test("codegen'd IVF cell assignment is bit-identical to the interpreted HOF argmin") {
+    import spark.implicits._
+    val emb   = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfTrain(emb, nlist = 8, iters = 3)
+    val e = emb.select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
+    val fast = Similarity.assignCells(e, cents).select($"vec_id", $"cell")
+    val slow = Similarity.assignCellsInterpreted(e, cents).select($"vec_id", $"cell")
+    assert(fast.count() > 0)
+    assert(fast.except(slow).count() === 0 && slow.except(fast).count() === 0)
+    // the registered SQL surface resolves to the same expression
+    graft.plans.GraftFunctions.register(spark)
+    val centsSql = cents.sortBy(_._1)
+      .map(_._2.map(d => s"${d}D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+    val viaSql = e.selectExpr("vec_id", s"graft_ivf_assign(v, $centsSql) AS cell")
+    assert(viaSql.except(fast).count() === 0 && fast.except(viaSql).count() === 0)
+  }
+
+  test("bigstar emits self-pair-only nodes as singletons, like clusters()") {
+    import spark.implicits._
+    // node 99 appears ONLY in a self-pair; 1-2-3 is a chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (99L, 99L)).toDF("da", "db")
+    val a = Dedup.clusters(pairs).orderBy("doc_id").collect().toSeq
+    val b = Dedup.clustersBigStar(pairs).orderBy("doc_id").collect().toSeq
+    assert(a === b)
+    assert(b.exists(r => r.getLong(0) == 99L && r.getLong(1) == 99L))
+  }
+
   test("lsh near-dup pairs are a subset of exact near-dup pairs") {
     import spark.implicits._
     val emb   = Tables.embeddings(spark, sf)
