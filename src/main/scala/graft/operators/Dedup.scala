@@ -295,6 +295,13 @@ object Dedup {
         .union(mins.select(col("u").as("a"), col("m").as("b")))
         .distinct()
     }
+    // self-pairs carry no connectivity and are dropped from the edge
+    // iteration — but a node whose ONLY pairs are self-pairs must
+    // still surface as a singleton (clusters() emits it; the output
+    // contract is identical), so remember the full node set up front
+    val allNodes = pairs.select(col("da").as("node"))
+      .union(pairs.select(col("db").as("node")))
+      .distinct().localCheckpoint()
     var edges = pairs.select(col("da").as("a"), col("db").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var edgeCount = edges.count()
@@ -313,9 +320,13 @@ object Dedup {
     if (!done)
       throw new IllegalStateException(
         s"large-star/small-star did not converge in $maxIters rounds")
-    edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
+    val labeled = edges.select(col("a").as("doc_id"), col("b").as("cluster_id"))
       .union(edges.select(col("b").as("doc_id"), col("b").as("cluster_id")))
       .distinct()
+    // singleton rows (self-pair-only nodes) — tiny anti join
+    labeled.union(
+      allNodes.join(labeled, allNodes("node") === labeled("doc_id"), "left_anti")
+        .select(col("node").as("doc_id"), col("node").as("cluster_id")))
   }
 
   /** End of the dedup pipeline: the cleaned corpus. Near-dup
