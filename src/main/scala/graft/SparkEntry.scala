@@ -1072,7 +1072,7 @@ object SparkEntry {
         |)
         |SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(vol) AS BIGINT) AS volume,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(vol AS DECIMAL(10,0))) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS vwap
+        |  CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(vol AS DECIMAL(14,0))) AS DOUBLE) / CAST(sum(vol) AS DOUBLE) AS vwap
         |FROM e WHERE vol IS NOT NULL AND vol > 0
         |GROUP BY user_id, date_trunc('day', ts)
         |ORDER BY user_id, day""".stripMargin,

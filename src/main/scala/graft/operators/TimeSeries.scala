@@ -160,10 +160,13 @@ object TimeSeries {
       .withColumn("gm", g(col("macd"), am))
       .withColumn("sig", pow(lit(1 - am), col("rn")) * sum(col("gm")).over(wRun))
       .select(col(key), col(ts),
-        // every output column carries the guard (at the strictest
-        // horizon — the largest alpha overflows first): column
-        // pruning of any subset must not drop the check
-        closedFormGuard(round(col("macd"), 6), Seq(af, as, am).max).as("macd"),
+        // every output column carries the guard (so pruning any
+        // subset can't drop the check), each at the strictest horizon
+        // among the alphas IT depends on: the macd column uses only
+        // the fast/slow EMAs, so guarding it at the signal EMA's
+        // (larger) alpha would raise spuriously on series still exact
+        // for it; signal/hist also fold the signal EMA in
+        closedFormGuard(round(col("macd"), 6), math.max(af, as)).as("macd"),
         closedFormGuard(round(col("sig"), 6), Seq(af, as, am).max).as("signal"),
         closedFormGuard(round(col("macd") - col("sig"), 6), Seq(af, as, am).max).as("hist"))
   }
@@ -584,11 +587,14 @@ object TimeSeries {
     */
   def vwap(events: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val Money = org.apache.spark.sql.types.DecimalType(18, 2)
-    // volume as DECIMAL(10,0), NOT long: a long promotes to
+    // volume as DECIMAL(14,0), NOT long: a long promotes to
     // DECIMAL(20,0) and (18,2)x(20,0) overflows precision 38, where
     // Spark reduces scale (precision loss rounds the products) —
-    // (18,2)x(10,0) stays exact at DECIMAL(29,2) in every engine
-    val Vol = org.apache.spark.sql.types.DecimalType(10, 0)
+    // (18,2)x(14,0) stays exact at DECIMAL(33,2) in every engine.
+    // Width 14 (not 10): a daily volume >= 1e10 would overflow a
+    // (10,0) cast to NULL (non-ANSI), silently dropping the row from
+    // the turnover numerator while sum(vol) still counted it
+    val Vol = org.apache.spark.sql.types.DecimalType(14, 0)
     val vol = get_json_object(col("props"), "$.k").cast("long")
     events
       .withColumn("vol", vol)

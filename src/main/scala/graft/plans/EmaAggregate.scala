@@ -19,16 +19,33 @@ import org.apache.spark.sql.types._
   * shape for order-dependent aggregates (state is O(group size);
   * for unbounded groups the streaming twin folds incrementally
   * instead).
+  *
+  * The buffer is CAPPED at `maxBufferRows` per group (default
+  * [[EmaAggregate.DefaultMaxBufferRows]], override with spark conf
+  * `graft.ema.maxBufferRows`): a mis-aimed groupBy on a 100 TB fact
+  * table would otherwise OOM an executor with no actionable error —
+  * the guard raises first, naming the key and the fix, in the same
+  * fail-loudly style as the closed-form overflow guard.
   */
 case class EmaAggregate(
     tsChild: Expression,
     valueChild: Expression,
     span: Int,
+    maxBufferRows: Int = EmaAggregate.DefaultMaxBufferRows,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0
 ) extends TypedImperativeAggregate[ArrayBuffer[(Long, Double)]] {
 
   private val alpha = 2.0 / (span + 1)
+
+  private def capCheck(n: Int): Unit =
+    if (n > maxBufferRows)
+      throw new IllegalStateException(
+        s"graft_ema buffer exceeded $maxBufferRows rows in ONE group: this aggregate " +
+          "materializes each group's (ts, value) series to fold it in event-time order, " +
+          "so a group this large points at a mis-aimed groupBy key (or a series that " +
+          "belongs in the streaming fold). Re-key the aggregation, pre-resample the " +
+          s"series, or raise spark conf ${EmaAggregate.MaxBufferRowsKey}.")
 
   override def children: Seq[Expression] = Seq(tsChild, valueChild)
   override def nullable: Boolean         = true
@@ -40,12 +57,18 @@ case class EmaAggregate(
   override def update(buf: ArrayBuffer[(Long, Double)], input: InternalRow): ArrayBuffer[(Long, Double)] = {
     val ts = tsChild.eval(input)
     val v  = valueChild.eval(input)
-    if (ts != null && v != null) buf += ((ts.asInstanceOf[Long], v.asInstanceOf[Double]))
+    if (ts != null && v != null) {
+      buf += ((ts.asInstanceOf[Long], v.asInstanceOf[Double]))
+      capCheck(buf.length)
+    }
     buf
   }
 
-  override def merge(a: ArrayBuffer[(Long, Double)], b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] =
+  override def merge(a: ArrayBuffer[(Long, Double)], b: ArrayBuffer[(Long, Double)]): ArrayBuffer[(Long, Double)] = {
     a ++= b
+    capCheck(a.length)
+    a
+  }
 
   override def eval(buf: ArrayBuffer[(Long, Double)]): Any =
     if (buf.isEmpty) null
@@ -81,4 +104,18 @@ case class EmaAggregate(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): EmaAggregate =
     copy(tsChild = newChildren(0), valueChild = newChildren(1))
+}
+
+object EmaAggregate {
+  val MaxBufferRowsKey = "graft.ema.maxBufferRows"
+
+  /** 10M (ts, value) pairs ≈ 160 MB per group — far past any sane
+    * per-key series, well under executor OOM territory.
+    */
+  val DefaultMaxBufferRows: Int = 10000000
+
+  /** Conf-driven cap, read driver-side at expression build. */
+  def confMaxBufferRows: Int =
+    org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(MaxBufferRowsKey, DefaultMaxBufferRows.toString).toInt
 }

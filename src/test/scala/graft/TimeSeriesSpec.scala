@@ -89,6 +89,45 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!folded.isNullAt(1) && !folded.getDouble(1).isNaN && !folded.getDouble(1).isInfinite)
   }
 
+  test("macd column's guard uses only the alphas it depends on") {
+    import spark.implicits._
+    // 4000 rows: past the signal EMA's horizon (~3138 for span 9) but
+    // inside the fast EMA's (~4190 for span 12) — the macd column is
+    // still exact and must NOT raise; signal (and hist) must raise
+    val series = spark.range(4000).select(
+      lit(1L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
+      (pmod($"id", lit(100)).cast("double") + 1.0).as("value"))
+    TimeSeries.macd(series).select("user_id", "ts", "macd")
+      .write.format("noop").mode("overwrite").save()
+    val e = intercept[Exception] {
+      TimeSeries.macd(series).select("user_id", "ts", "signal")
+        .write.format("noop").mode("overwrite").save()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(e).contains("emaFold"))
+  }
+
+  test("EmaAggregate buffer cap raises an actionable error on an oversized group") {
+    import spark.implicits._
+    val series = spark.range(200).select(
+      lit(1L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
+      ($"id" % 7).cast("double").as("value"))
+    spark.conf.set(graft.plans.EmaAggregate.MaxBufferRowsKey, "100")
+    try {
+      val e = intercept[Exception] {
+        TimeSeries.emaFold(series, 20).write.format("noop").mode("overwrite").save()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+      assert(chain(e).contains("graft_ema buffer exceeded"), s"wrong error: ${chain(e)}")
+    } finally spark.conf.unset(graft.plans.EmaAggregate.MaxBufferRowsKey)
+    // default cap: same series folds fine
+    assert(TimeSeries.emaFold(series, 20).count() === 1)
+  }
+
   test("beta of benchmark vs itself would be 1; sanity on others") {
     import spark.implicits._
     val ab = TimeSeries.alphaBeta(Tables.events(spark, sf), 0L)
