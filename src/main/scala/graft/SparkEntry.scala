@@ -265,6 +265,21 @@ object SparkEntry {
       TimeSeries.momentumRank(Tables.events(s, dir), 10)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("day", "mom_rank")),
+    // periods are QTD/YTD/1Y/… buckets in production; here scaled to
+    // the one-month fixture (trailing week / fortnight / month-to-date)
+    "q_peer_performance" -> ((s, dir) =>
+      TimeSeries.peerPerformance(Tables.events(s, dir),
+        Seq(("mtd", "2024-01-01", "2024-02-01"),
+            ("p1w", "2024-01-24", "2024-02-01"),
+            ("p2w", "2024-01-17", "2024-02-01")), 0L)
+        .orderBy("period", "user_id")),
+    // quarter bars in production; week grain here so the one-month
+    // fixture has real bar-over-bar deltas (thresholds at the weekly
+    // volatility quartiles so the alert genuinely splits)
+    "q_indicator_trends" -> ((s, dir) =>
+      TimeSeries.indicatorTrends(Tables.events(s, dir), "week", 40.0, 55.0)
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
 
     // ---- C. text analysis ---------------------------------------------
     "q_sentiment" -> ((s, dir) =>
@@ -787,11 +802,21 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY portfolio ORDER BY level DESC, user_id ASC) AS rnk
         |  FROM latest
         |)
-        |SELECT portfolio, count(*) AS n_holdings,
-        |  CAST(sum(CASE WHEN rnk <= 10 THEN level END) AS DOUBLE) / CAST(sum(level) AS DOUBLE) AS top_share,
-        |  CAST(max(level) AS DOUBLE) / CAST(sum(level) AS DOUBLE) AS max_weight,
-        |  CAST(sum(level * level) AS DOUBLE) / (CAST(sum(level) AS DOUBLE) * CAST(sum(level) AS DOUBLE)) AS hhi
-        |FROM r GROUP BY portfolio ORDER BY portfolio""".stripMargin,
+        |, m AS (
+        |  SELECT portfolio, count(*) AS n_holdings,
+        |    CAST(sum(CASE WHEN rnk <= 10 THEN level END) AS DOUBLE) / CAST(sum(level) AS DOUBLE) AS top_share,
+        |    CAST(max(level) AS DOUBLE) / CAST(sum(level) AS DOUBLE) AS max_weight,
+        |    CAST(sum(level * level) AS DOUBLE) / (CAST(sum(level) AS DOUBLE) * CAST(sum(level) AS DOUBLE)) AS hhi
+        |  FROM r GROUP BY portfolio
+        |)
+        |SELECT portfolio, n_holdings,
+        |  top_share,
+        |  CASE WHEN top_share > 0.5 THEN 'exceeds' WHEN top_share > 0.5 * 0.9 THEN 'approaching' ELSE 'within' END AS top_share_status,
+        |  max_weight,
+        |  CASE WHEN max_weight > 0.25 THEN 'exceeds' WHEN max_weight > 0.25 * 0.9 THEN 'approaching' ELSE 'within' END AS max_weight_status,
+        |  hhi,
+        |  CASE WHEN hhi > 0.15 THEN 'exceeds' WHEN hhi > 0.15 * 0.9 THEN 'approaching' ELSE 'within' END AS hhi_status
+        |FROM m ORDER BY portfolio""".stripMargin,
     "q_drawdown_duration" ->
       """WITH rm AS (
         |  SELECT user_id, ts, value,
@@ -1065,6 +1090,58 @@ object SparkEntry {
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, trail_ret,
         |  row_number() OVER (PARTITION BY day ORDER BY trail_ret DESC, user_id ASC) AS mom_rank
         |FROM t ORDER BY day, mom_rank""".stripMargin,
+    "q_peer_performance" ->
+      """WITH p(period, p_start, p_end) AS (VALUES
+        |  ('mtd', TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01'),
+        |  ('p1w', TIMESTAMP '2024-01-24', TIMESTAMP '2024-02-01'),
+        |  ('p2w', TIMESTAMP '2024-01-17', TIMESTAMP '2024-02-01')
+        |), r AS (
+        |  SELECT p.period, e.user_id,
+        |    CASE WHEN min_by(e.value, e.ts) != 0
+        |      THEN max_by(e.value, e.ts) / min_by(e.value, e.ts) - 1 END AS period_return
+        |  FROM events e JOIN p ON e.ts >= p.p_start AND e.ts < p.p_end
+        |  GROUP BY p.period, e.user_id
+        |), rr AS (SELECT * FROM r WHERE period_return IS NOT NULL
+        |), b AS (SELECT period, period_return AS bench_return FROM rr WHERE user_id = 0
+        |), pe AS (
+        |  SELECT period, user_id, period_return,
+        |    row_number() OVER (PARTITION BY period ORDER BY period_return DESC, user_id ASC) AS peer_rank,
+        |    row_number() OVER (PARTITION BY period ORDER BY period_return ASC, user_id ASC) AS rna,
+        |    count(*) OVER (PARTITION BY period) AS n
+        |  FROM rr WHERE user_id != 0
+        |), m AS (
+        |  SELECT period, avg(period_return) AS peer_median FROM pe
+        |  WHERE rna = CAST(floor((n + 1) / 2.0) AS BIGINT) OR rna = CAST(floor(n / 2.0) AS BIGINT) + 1
+        |  GROUP BY period
+        |)
+        |SELECT pe.period, pe.user_id, pe.period_return, b.bench_return, m.peer_median,
+        |  pe.peer_rank,
+        |  CAST(pe.peer_rank AS VARCHAR) || '/' || CAST(pe.n AS VARCHAR) AS peer_ranking
+        |FROM pe JOIN m USING (period) LEFT JOIN b USING (period)
+        |ORDER BY period, user_id""".stripMargin,
+    "q_indicator_trends" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol
+        |  FROM events
+        |), bars AS (
+        |  SELECT user_id, date_trunc('week', ts) AS bar_start,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS nav,
+        |    CAST(sum(vol) AS BIGINT) AS volume,
+        |    round(stddev_samp(value), 6) AS volatility
+        |  FROM e GROUP BY 1, 2
+        |), d AS (
+        |  SELECT user_id, bar_start, nav, nav - lag(nav) OVER w AS d_nav,
+        |    volume, volume - lag(volume) OVER w AS d_volume, volatility
+        |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_start)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
+        |  nav, d_nav,
+        |  CASE WHEN d_nav IS NULL THEN NULL WHEN d_nav > 0 THEN 'up' WHEN d_nav < 0 THEN 'down' ELSE 'flat' END AS nav_trend,
+        |  volume, d_volume,
+        |  CASE WHEN d_volume IS NULL THEN NULL WHEN d_volume > 0 THEN 'up' WHEN d_volume < 0 THEN 'down' ELSE 'flat' END AS volume_trend,
+        |  volatility,
+        |  CASE WHEN volatility > 55.0 THEN 'red' WHEN volatility > 40.0 THEN 'yellow' ELSE 'green' END AS alert
+        |FROM d ORDER BY user_id, bar_start""".stripMargin,
     "q_vwap" ->
       """WITH e AS (
         |  SELECT user_id, ts, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol

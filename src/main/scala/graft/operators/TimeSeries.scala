@@ -297,9 +297,22 @@ object TimeSeries {
     * rank window + one aggregate on the same per-portfolio shuffle;
     * at 100 TB the holdings table is one row per key, tiny next to
     * the fact data that produced it.
+    *
+    * Each metric also carries its policy-limit status (the
+    * reference's "Within Limit / Approaching Limit / Exceeds Limit"
+    * column): exceeds above the limit, approaching above
+    * `approach`x the limit, within otherwise. The classification
+    * compares the UNROUNDED exact-ratio metrics, so both engines
+    * branch on bit-identical doubles.
     */
-  def concentration(df: DataFrame, topN: Int = 10, nPortfolios: Int = 10, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+  def concentration(df: DataFrame, topN: Int = 10, nPortfolios: Int = 10,
+                    topShareLimit: Double = 0.5, maxWeightLimit: Double = 0.25,
+                    hhiLimit: Double = 0.15, approach: Double = 0.9,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+    def status(metric: Column, limit: Double): Column =
+      when(metric > limit, "exceeds")
+        .when(metric > limit * approach, "approaching").otherwise("within")
     val latest = df
       .groupBy(col(key))
       .agg(max_by(col(v), col(ts)).cast(Money).as("level"))
@@ -314,6 +327,10 @@ object TimeSeries {
         (sum(when(col("rnk") <= topN, col("level"))).cast("double") / total).as("top_share"),
         (max(col("level")).cast("double") / total).as("max_weight"),
         (sum(col("level") * col("level")).cast("double") / (total * total)).as("hhi"))
+      .select(col("portfolio"), col("n_holdings"),
+        col("top_share"), status(col("top_share"), topShareLimit).as("top_share_status"),
+        col("max_weight"), status(col("max_weight"), maxWeightLimit).as("max_weight_status"),
+        col("hhi"), status(col("hhi"), hhiLimit).as("hhi_status"))
   }
 
   /** Longest underwater streak per key (drawdown-duration companion
@@ -571,6 +588,123 @@ object TimeSeries {
       .filter(col("trail_ret").isNotNull)
       .withColumn("mom_rank", row_number().over(wRank).cast("long"))
       .select(col(key), col("day"), col("trail_ret"), col("mom_rank"))
+  }
+
+  /** Peer-relative performance panel (reference fund_comp2.py:227-374
+    * generate_performance_data — the "Fund vs Benchmark vs Peer
+    * Median + Peer Ranking XX/NN" table per period, computed from the
+    * actual series instead of scaffolded text). `periods` is a tiny
+    * (label, start, end) list — QTD/YTD/1Y/… buckets in production,
+    * scaled to the data range in the tests; it rides the plan as a
+    * broadcast literal, so tagging each event with its periods is a
+    * narrow map (an event may land in several overlapping periods —
+    * that multiplicity IS the panel's semantics).
+    *
+    * Per (period, key): the point-to-point return ([[periodReturn]]
+    * semantics), the benchmark key's return (broadcast — one row per
+    * period), the cross-sectional PEER median, and the key's rank
+    * "k/N" among peers (ties by key). The median is deliberately the
+    * average of the two middle order statistics rather than an
+    * interpolating quantile: plain arithmetic on identical doubles is
+    * bit-equal in every engine, where quantile interpolation formulas
+    * can differ in the last bit. Returns are unrounded ratios of raw
+    * doubles — bit-identical across engines — so ranking on them is
+    * stable.
+    *
+    * Scale: one shuffle to the (period, key) grain (the period table
+    * is broadcast), then the rank/median windows repartition by
+    * period — the same cross-sectional axis flip as
+    * [[momentumRank]]; the median join is one row per period,
+    * broadcast.
+    */
+  def peerPerformance(df: DataFrame, periods: Seq[(String, String, String)], benchmarkKey: Long = 0L,
+                      key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pdf = broadcast(periods.toDF("period", "p_start", "p_end")
+      .select(col("period"),
+        col("p_start").cast("timestamp").as("p_start"),
+        col("p_end").cast("timestamp").as("p_end")))
+    val rets = df
+      .join(pdf, col(ts) >= col("p_start") && col(ts) < col("p_end"))
+      .groupBy(col("period"), col(key))
+      .agg(when(min_by(col(v), col(ts)) =!= 0,
+        max_by(col(v), col(ts)) / min_by(col(v), col(ts)) - 1).as("period_return"))
+      .filter(col("period_return").isNotNull)
+    val bench = broadcast(rets.filter(col(key) === benchmarkKey)
+      .select(col("period"), col("period_return").as("bench_return")))
+    val peers = rets.filter(col(key) =!= benchmarkKey)
+    val wP    = Window.partitionBy("period")
+    // two-middle-order-statistics median: rows floor((n+1)/2) and
+    // floor(n/2)+1 of the ascending sort (the same row twice for odd
+    // n) — avg of one or two doubles, no interpolation formula
+    val med = broadcast(peers
+      .withColumn("rna", row_number().over(wP.orderBy(col("period_return").asc, col(key).asc)))
+      .withColumn("n", count(lit(1)).over(wP))
+      .filter(col("rna") === floor((col("n") + 1) / 2.0).cast("long") ||
+        col("rna") === floor(col("n") / 2.0).cast("long") + 1)
+      .groupBy("period").agg(avg("period_return").as("peer_median")))
+    peers
+      .withColumn("peer_rank", row_number().over(
+        wP.orderBy(col("period_return").desc, col(key).asc)).cast("long"))
+      .withColumn("n_peers", count(lit(1)).over(wP))
+      .join(med, "period")
+      .join(bench, Seq("period"), "left")
+      .select(col("period"), col(key), col("period_return"), col("bench_return"),
+        col("peer_median"), col("peer_rank"),
+        concat(col("peer_rank").cast("string"), lit("/"), col("n_peers").cast("string"))
+          .as("peer_ranking"))
+  }
+
+  /** Key-indicator trend panel (reference fund_comp2.py:446-521
+    * generate_key_indicator_trends — the quarter-over-quarter
+    * indicator table with ↑/↓/→ trend arrows and a threshold alert,
+    * computed from the events instead of scaffolded text). Bars are
+    * `truncUnit` grain (quarter in production; the one-month test
+    * fixture uses week so the panel has real bar-over-bar deltas —
+    * same code path, spec-covered at quarter grain). Indicators per
+    * (key, bar): `nav` (average level — net-assets analog),
+    * `volume` (total traded volume off the JSON props — turnover
+    * analog), `volatility` (sample std of the level — risk analog).
+    *
+    * Determinism: nav is a ratio of an exact DECIMAL sum and a
+    * count — bit-identical everywhere, so its bar-over-bar delta and
+    * trend comparisons are too; volume is integral; volatility is a
+    * non-terminating moment statistic, rounded to 6dp BEFORE the
+    * delta/alert comparisons so both engines compare identical
+    * doubles. Trend is up/down/flat on the delta sign (NULL for a
+    * key's first bar); the alert classifies volatility against
+    * (volLo, volHi].
+    *
+    * Scale: one shuffle to the (key, bar) grain, then the lag
+    * windows ride a key-partition — bars per key are few (one row
+    * per quarter), so the window state is trivially bounded.
+    */
+  def indicatorTrends(df: DataFrame, truncUnit: String = "quarter",
+                      volLo: Double = 1000.0, volHi: Double = 2000.0,
+                      key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val vol   = get_json_object(col("props"), "$.k").cast("long")
+    val wKey  = Window.partitionBy(key).orderBy("bar_start")
+    def trend(d: Column): Column =
+      when(d.isNull, lit(null).cast("string"))
+        .when(d > 0, "up").when(d < 0, "down").otherwise("flat")
+    val bars = df
+      .withColumn("vol", vol)
+      .groupBy(col(key), date_trunc(truncUnit, col(ts)).as("bar_start"))
+      .agg(
+        (sum(col(v).cast(Money)).cast("double") / count(col(v)).cast("double")).as("nav"),
+        sum(col("vol")).as("volume"),
+        round(stddev_samp(col(v)), 6).as("volatility"))
+    bars
+      .withColumn("d_nav", col("nav") - lag(col("nav"), 1).over(wKey))
+      .withColumn("d_volume", col("volume") - lag(col("volume"), 1).over(wKey))
+      .select(col(key), col("bar_start"),
+        col("nav"), col("d_nav"), trend(col("d_nav")).as("nav_trend"),
+        col("volume"), col("d_volume"), trend(col("d_volume")).as("volume_trend"),
+        col("volatility"),
+        when(col("volatility") > volHi, "red")
+          .when(col("volatility") > volLo, "yellow").otherwise("green").as("alert"))
   }
 
   /** Daily VWAP per key (OHLCV volume-weighted average price; volume

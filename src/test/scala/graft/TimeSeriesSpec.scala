@@ -128,6 +128,52 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.emaFold(series, 20).count() === 1)
   }
 
+  test("peerPerformance: benchmark excluded, ranks a permutation, median inside the peer range") {
+    import spark.implicits._
+    val periods = Seq(("mtd", "2024-01-01", "2024-02-01"), ("p1w", "2024-01-24", "2024-02-01"))
+    val pp = TimeSeries.peerPerformance(Tables.events(spark, sf), periods, 0L)
+    assert(pp.count() > 0)
+    assert(pp.filter($"user_id" === 0L).count() === 0)
+    val badRank = pp.groupBy("period")
+      .agg(count(lit(1)).as("n"), min("peer_rank").as("mn"),
+        max("peer_rank").as("mx"), countDistinct("peer_rank").as("d"))
+      .filter($"mn" =!= 1L || $"mx" =!= $"n" || $"d" =!= $"n")
+    assert(badRank.count() === 0, "peer_rank is not a 1..n permutation per period")
+    val badMed = pp.groupBy("period")
+      .agg(min("period_return").as("lo"), max("period_return").as("hi"),
+        first("peer_median").as("med"))
+      .filter($"med" < $"lo" || $"med" > $"hi")
+    assert(badMed.count() === 0, "peer_median outside the peer return range")
+    // rank 1 carries the period's best return
+    val top = pp.filter($"peer_rank" === 1L).select("period", "period_return")
+      .withColumnRenamed("period_return", "top_ret")
+    val above = pp.join(top, "period").filter($"period_return" > $"top_ret")
+    assert(above.count() === 0)
+  }
+
+  test("indicatorTrends at quarter grain: trends and alerts follow the deltas") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "2024-01-15", 10.0, """{"k":100}"""),
+      (1L, "2024-02-15", 20.0, """{"k":50}"""),
+      (1L, "2024-04-10", 30.0, """{"k":200}"""),
+      (1L, "2024-05-10", 40.0, """{"k":10}"""),
+      (1L, "2024-07-05", 5.0, """{"k":300}"""))
+      .toDF("user_id", "d", "value", "props")
+      .select($"user_id", to_timestamp($"d").as("ts"), $"value", $"props")
+    val t = TimeSeries.indicatorTrends(df, "quarter", volLo = 5.0, volHi = 7.0)
+      .orderBy("bar_start").collect()
+    assert(t.length === 3)
+    val navs = t.map(_.getAs[Double]("nav")).toSeq
+    assert(navs === Seq(15.0, 35.0, 5.0))
+    assert(t.map(_.getAs[String]("nav_trend")).toSeq === Seq(null, "up", "down"))
+    assert(t.map(_.getAs[Long]("volume")).toSeq === Seq(150L, 210L, 300L))
+    assert(t.map(_.getAs[String]("volume_trend")).toSeq === Seq(null, "up", "up"))
+    // Q1/Q2 sample std of two points 10 apart = 7.071068 > volHi;
+    // Q3 is a single observation → null volatility → green
+    assert(t.map(_.getAs[String]("alert")).toSeq === Seq("red", "red", "green"))
+  }
+
   test("beta of benchmark vs itself would be 1; sanity on others") {
     import spark.implicits._
     val ab = TimeSeries.alphaBeta(Tables.events(spark, sf), 0L)
