@@ -48,11 +48,20 @@ object Bench {
       case None      => only.isEmpty
     }
     val skew    = if (runSkew) skewBench(spark, sfDir, reps) else "{}"
+    val runIvf = sys.env.get("SPARK_GRAFT_IVF") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      => only.isEmpty
+    }
+    val ivf     = if (runIvf) ivfBench(spark, sfDir, reps) else "{}"
     val names   = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     val results = names.map(n => n -> materialize(n))
-    val qs      = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // 4dp is ample timing resolution and keeps the stdout line short
+    // enough that tail-capture truncation stays unlikely
+    def fmt(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
+    val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total   = results.map(_._2).filter(_ >= 0).sum
-    val line    = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"skew":$skew,"sf":"$sfDir"}"""
+    val line    = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"skew":$skew,"ivf":$ivf,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the stdout capture has been truncated
     // mid-JSON by the harness before — the on-disk copy is the
@@ -67,6 +76,36 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }
     spark.stop()
+  }
+
+  /** IVF cell-assignment throughput: the codegen'd IvfAssign
+    * expression vs the interpreted HOF argmin it replaced, on the
+    * embeddings table replicated to a measurable row count (the raw
+    * fixture is a few thousand rows — noise). Both scans compute the
+    * identical nlist x dim argmin per row; the delta is pure
+    * expression-evaluation machinery. Emits
+    * {"codegen":s,"interpreted":s,"rows":n} into the bench line.
+    */
+  private def ivfBench(spark: SparkSession, sfDir: String, reps: Int): String = {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb   = Tables.embeddings(spark, sfDir)
+    val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 2)
+    val e = emb
+      .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
+      .withColumn("rep", explode(sequence(lit(1), lit(200))))
+    val rows = e.count()
+    def time(f: () => org.apache.spark.sql.DataFrame): Double = {
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+        catch { case ex: Throwable => System.err.println(s"[bench] ivf cell failed: ${ex.getMessage}"); -1.0 }
+      }
+      if (runs.contains(-1.0)) -1.0 else runs.min
+    }
+    val codegen     = time(() => Similarity.assignCells(e, cents).select("vec_id", "rep", "cell"))
+    val interpreted = time(() => Similarity.assignCellsInterpreted(e, cents).select("vec_id", "rep", "cell"))
+    s"""{"codegen":$codegen,"interpreted":$interpreted,"rows":$rows}"""
   }
 
   /** Skew demonstration: the same shuffle join on a pathological key
