@@ -273,6 +273,8 @@ object SparkEntry {
             ("p1w", "2024-01-24", "2024-02-01"),
             ("p2w", "2024-01-17", "2024-02-01")), 0L)
         .orderBy("period", "user_id")),
+    "q_risk_snapshot" -> ((s, dir) =>
+      TimeSeries.riskSnapshot(Tables.events(s, dir), 0L).orderBy("metric", "user_id")),
     // quarter bars in production; week grain here so the one-month
     // fixture has real bar-over-bar deltas (thresholds at the weekly
     // volatility quartiles so the alert genuinely splits)
@@ -1119,6 +1121,65 @@ object SparkEntry {
         |  CAST(pe.peer_rank AS VARCHAR) || '/' || CAST(pe.n AS VARCHAR) AS peer_ranking
         |FROM pe JOIN m USING (period) LEFT JOIN b USING (period)
         |ORDER BY period, user_id""".stripMargin,
+    "q_risk_snapshot" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), base AS (
+        |  SELECT user_id,
+        |    round(stddev_samp(ret) * sqrt(252), 6) AS volatility,
+        |    round(CASE WHEN stddev_samp(ret) != 0 THEN (avg(ret) * 252) / (stddev_samp(ret) * sqrt(252)) END, 6) AS sharpe
+        |  FROM r GROUP BY user_id
+        |), rm AS (
+        |  SELECT user_id, value,
+        |    max(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+        |  FROM events
+        |), mdd AS (
+        |  SELECT user_id, min(CASE WHEN run_max != 0 THEN value / run_max - 1 END) AS max_drawdown
+        |  FROM rm GROUP BY user_id
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0
+        |), ab AS (
+        |  SELECT r.user_id,
+        |    round(CASE WHEN var_samp(b.bench_ret) != 0
+        |      THEN covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) END, 6) AS beta,
+        |    round(CASE WHEN var_samp(b.bench_ret) != 0
+        |      THEN (avg(r.ret) - covar_samp(r.ret, b.bench_ret) / var_samp(b.bench_ret) * avg(b.bench_ret)) * 252 END, 6) AS alpha
+        |  FROM r JOIN b USING (day) WHERE r.user_id != 0 GROUP BY r.user_id
+        |), wide AS (
+        |  SELECT base.user_id, volatility, sharpe, max_drawdown, beta, alpha
+        |  FROM base JOIN mdd USING (user_id) LEFT JOIN ab USING (user_id)
+        |), funds AS (
+        |  SELECT user_id, metric, fund_value FROM (
+        |    SELECT user_id, 'alpha' AS metric, alpha AS fund_value FROM wide WHERE user_id != 0
+        |    UNION ALL SELECT user_id, 'beta', beta FROM wide WHERE user_id != 0
+        |    UNION ALL SELECT user_id, 'max_drawdown', max_drawdown FROM wide WHERE user_id != 0
+        |    UNION ALL SELECT user_id, 'sharpe', sharpe FROM wide WHERE user_id != 0
+        |    UNION ALL SELECT user_id, 'volatility', volatility FROM wide WHERE user_id != 0
+        |  ) WHERE fund_value IS NOT NULL
+        |), bl AS (
+        |  SELECT 'alpha' AS metric, CAST(0.0 AS DOUBLE) AS bench_value FROM wide WHERE user_id = 0
+        |  UNION ALL SELECT 'beta', CAST(1.0 AS DOUBLE) FROM wide WHERE user_id = 0
+        |  UNION ALL SELECT 'max_drawdown', max_drawdown FROM wide WHERE user_id = 0
+        |  UNION ALL SELECT 'sharpe', sharpe FROM wide WHERE user_id = 0
+        |  UNION ALL SELECT 'volatility', volatility FROM wide WHERE user_id = 0
+        |), fr AS (
+        |  SELECT user_id, metric, fund_value,
+        |    row_number() OVER (PARTITION BY metric ORDER BY fund_value ASC, user_id ASC) AS rna,
+        |    count(*) OVER (PARTITION BY metric) AS n
+        |  FROM funds
+        |), m AS (
+        |  SELECT metric, avg(fund_value) AS peer_median FROM fr
+        |  WHERE rna = CAST(floor((n + 1) / 2.0) AS BIGINT) OR rna = CAST(floor(n / 2.0) AS BIGINT) + 1
+        |  GROUP BY metric
+        |)
+        |SELECT f.metric, f.user_id, f.fund_value, bl.bench_value, m.peer_median
+        |FROM funds f LEFT JOIN bl USING (metric) JOIN m USING (metric)
+        |ORDER BY metric, user_id""".stripMargin,
     "q_indicator_trends" ->
       """WITH e AS (
         |  SELECT user_id, ts, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol

@@ -656,6 +656,67 @@ object TimeSeries {
           .as("peer_ranking"))
   }
 
+  /** Risk-snapshot panel (the SECOND table of reference
+    * fund_comp2.py:227-374 generate_performance_data: Standard
+    * Deviation / Sharpe / Max Drawdown / Beta / Alpha, each as fund
+    * vs benchmark vs peer median — computed from the series instead
+    * of scaffolded text). Long output: one row per (metric, key)
+    * with the fund's value, the benchmark's value, and the
+    * cross-sectional peer median.
+    *
+    * The metric formulas are exactly [[metricsSummary]] /
+    * [[maxDrawdown]] / [[alphaBeta]]'s; the benchmark's beta and
+    * alpha are BY DEFINITION 1 and 0 (as in the reference table) —
+    * computing cov(x,x)/var(x) numerically would land within 1e-15
+    * of 1 but is not guaranteed bit-equal across engines, while the
+    * definition is. The peer median is the two-middle-order-
+    * statistics average over ROUNDED metric values (same rationale
+    * as [[peerPerformance]]); rows whose metric is undefined
+    * (zero-variance guards) are dropped before the median.
+    *
+    * Scale: one per-key aggregate for vol/sharpe, one for drawdown
+    * (both on the same key shuffle), the benchmark day-series
+    * broadcast for beta/alpha, then a 5-metric unpivot and a
+    * per-metric median window over one row per key — trivially
+    * small next to the fact scans that fed it.
+    */
+  def riskSnapshot(df: DataFrame, benchmarkKey: Long,
+                   key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(df, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    val volC = stddev_samp(col("ret")) * math.sqrt(TradingDays)
+    val base = rets.groupBy(col(key)).agg(
+      round(volC, 6).as("volatility"),
+      round(when(stddev_samp(col("ret")) =!= 0, (avg("ret") * TradingDays) / volC), 6).as("sharpe"))
+    val mdd = maxDrawdown(df, key, ts, v)
+    val ab = rets.filter(col(key) =!= benchmarkKey).join(bench, "day").groupBy(col(key)).agg(
+      round(when(var_samp(col("bench_ret")) =!= 0,
+        covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret"))), 6).as("beta"),
+      round(when(var_samp(col("bench_ret")) =!= 0,
+        (avg(col("ret")) - covar_samp(col("ret"), col("bench_ret")) / var_samp(col("bench_ret")) * avg(col("bench_ret"))) * TradingDays),
+        6).as("alpha"))
+    val wide  = base.join(mdd, Seq(key)).join(ab, Seq(key), "left")
+    val funds = wide.filter(col(key) =!= benchmarkKey).select(col(key), expr(
+      "stack(5, 'alpha', alpha, 'beta', beta, 'max_drawdown', max_drawdown, " +
+        "'sharpe', sharpe, 'volatility', volatility) AS (metric, fund_value)"))
+      .filter(col("fund_value").isNotNull)
+    val benchLong = broadcast(wide.filter(col(key) === benchmarkKey).select(expr(
+      "stack(5, 'alpha', CAST(0.0 AS DOUBLE), 'beta', CAST(1.0 AS DOUBLE), " +
+        "'max_drawdown', max_drawdown, 'sharpe', sharpe, 'volatility', volatility) AS (metric, bench_value)")))
+    val wM = Window.partitionBy("metric")
+    val med = broadcast(funds
+      .withColumn("rna", row_number().over(wM.orderBy(col("fund_value").asc, col(key).asc)))
+      .withColumn("n", count(lit(1)).over(wM))
+      .filter(col("rna") === floor((col("n") + 1) / 2.0).cast("long") ||
+        col("rna") === floor(col("n") / 2.0).cast("long") + 1)
+      .groupBy("metric").agg(avg("fund_value").as("peer_median")))
+    funds
+      .join(benchLong, Seq("metric"), "left")
+      .join(med, "metric")
+      .select(col("metric"), col(key), col("fund_value"), col("bench_value"), col("peer_median"))
+  }
+
   /** Key-indicator trend panel (reference fund_comp2.py:446-521
     * generate_key_indicator_trends — the quarter-over-quarter
     * indicator table with ↑/↓/→ trend arrows and a threshold alert,

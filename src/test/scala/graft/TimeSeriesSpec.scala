@@ -151,6 +151,23 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(above.count() === 0)
   }
 
+  test("riskSnapshot: five metrics per fund, definitional benchmark beta/alpha, median in range") {
+    import spark.implicits._
+    val rs = TimeSeries.riskSnapshot(Tables.events(spark, sf), 0L)
+    assert(rs.count() > 0)
+    assert(rs.filter($"user_id" === 0L).count() === 0)
+    assert(rs.select("metric").distinct().count() === 5)
+    val defs = rs.select("metric", "bench_value").distinct()
+      .filter($"metric" === "beta" && $"bench_value" =!= 1.0 ||
+        $"metric" === "alpha" && $"bench_value" =!= 0.0)
+    assert(defs.count() === 0, "benchmark beta/alpha must be definitional 1/0")
+    val badMed = rs.groupBy("metric")
+      .agg(min("fund_value").as("lo"), max("fund_value").as("hi"),
+        first("peer_median").as("med"))
+      .filter($"med" < $"lo" || $"med" > $"hi")
+    assert(badMed.count() === 0)
+  }
+
   test("indicatorTrends at quarter grain: trends and alerts follow the deltas") {
     import spark.implicits._
     val df = Seq(
