@@ -329,6 +329,14 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_fp"))
         .orderBy("doc_id")
     }),
+    // eval set = docs 0-4 (13-grams in production; 3 on the short
+    // synthetic texts so overlap genuinely splits the corpus)
+    "q_decontaminate" -> ((s, dir) =>
+      Dedup.decontaminate(Tables.documents(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 3)
+        .orderBy("doc_id")),
+    "q_pack_sequences" -> ((s, dir) =>
+      TextAnalysis.packSequences(Tables.documents(s, dir), 256, 8)
+        .orderBy("doc_id")),
 
     "q_redact_pii" -> ((s, dir) => {
       import graft.functions.ParseFunctions.redactPii
@@ -1381,6 +1389,38 @@ object SparkEntry {
         |FROM inter JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id
         |WHERE i::DOUBLE / (x.n + y.n - i) >= 0.8
         |ORDER BY da, db""".stripMargin,
+    "q_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), ev AS (SELECT DISTINCT s FROM sh WHERE doc_id IN (0, 1, 2, 3, 4)
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_overlap FROM sh JOIN ev USING (s)
+        |  WHERE doc_id NOT IN (0, 1, 2, 3, 4) GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id NOT IN (0, 1, 2, 3, 4)
+        |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_tokens,
+        |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
+        |  cum_before % 256 AS offset_in_bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_minhash_lsh" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

@@ -27,6 +27,34 @@ object Dedup {
         explode(graft.functions.TextFunctions.ngrams(split(lower(col("text")), " "), n)).as("s"))
       .distinct()
 
+  /** Benchmark decontamination (the eval-overlap pass every
+    * training-data pipeline runs before a model sees the corpus):
+    * flag corpus documents that share ANY word `n`-gram with the
+    * held-out eval set, with the count of distinct overlapping
+    * shingles as evidence. Production uses 13-grams (the GPT-3/PaLM
+    * convention); the short synthetic fixtures use the default 3.
+    *
+    * Scale: the eval side is a benchmark suite — thousands of
+    * documents, not billions — so its distinct shingle set rides the
+    * join as a BROADCAST; the corpus side is one narrow
+    * shingle-explode scan + one groupBy(doc_id), and clean documents
+    * rejoin via a left join on the same doc_id shuffle. No pair
+    * space, no corpus self-join; cost is O(corpus shingles).
+    */
+  def decontaminate(documents: DataFrame, evalIds: Seq[Long], n: Int = 3): DataFrame = {
+    val sh     = shingles(documents, n)
+    val evalSh = broadcast(sh.filter(col("doc_id").isin(evalIds: _*)).select("s").distinct())
+    val hits = sh.filter(!col("doc_id").isin(evalIds: _*))
+      .join(evalSh, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+    documents.filter(!col("doc_id").isin(evalIds: _*)).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
   /** Exact dedup: canonical id + copy count per normalized-text hash. */
   def exact(documents: DataFrame): DataFrame =
     documents

@@ -105,6 +105,33 @@ object TextAnalysis {
       )
   }
 
+  /** Sequence packing bookkeeping (the concat-and-chunk step that
+    * turns a document corpus into fixed-`window` training sequences):
+    * documents are concatenated in doc_id order within a shard and
+    * the stream is cut every `window` tokens — each document reports
+    * its token count, the training sequence (`bin`) its first token
+    * lands in, and its offset inside that bin. Per-shard concat
+    * order is the standard distributed approximation of global
+    * packing: bins never cross shards, so shards pack independently.
+    *
+    * Scale: one shuffle to `nShards` partitions and one running-sum
+    * window per shard — the cumulative token count is exact integer
+    * arithmetic, so the layout is deterministic and engine-identical
+    * at any scale or cluster size.
+    */
+  def packSequences(documents: DataFrame, window: Int = 256, nShards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / lit(window.toDouble)).cast("long").as("bin"),
+        (col("cum_before") % window).as("offset_in_bin"))
+  }
+
   /** Repetition signal (pretraining-corpus quality filter in the
     * Gopher/C4 family): the fraction of duplicated words and word
     * bigrams per document — high values flag boilerplate and spam.

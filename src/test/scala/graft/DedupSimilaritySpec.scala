@@ -163,6 +163,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaSql.except(fast).count() === 0 && fast.except(viaSql).count() === 0)
   }
 
+  test("decontaminate flags eval-overlapping docs and keeps eval docs out") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "zeta eta theta iota"),
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "completely different words entirely here")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(docs, Seq(0L, 1L), 3).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(10L, 11L))
+    val m = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    // doc 10 shares "alpha beta gamma" and "beta gamma delta" with eval doc 0
+    assert(m(10L) === ((2L, 1)))
+    assert(m(11L) === ((0L, 0)))
+  }
+
   test("bigstar emits self-pair-only nodes as singletons, like clusters()") {
     import spark.implicits._
     // node 99 appears ONLY in a self-pair; 1-2-3 is a chain

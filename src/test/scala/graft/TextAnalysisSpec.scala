@@ -7,6 +7,24 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends AnyFunSuite {
   import TestSession._
 
+  test("packSequences tiles each shard's token stream exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    val docs = Tables.documents(spark, sf)
+    val out  = TextAnalysis.packSequences(docs, 256, 8)
+    assert(out.count() === docs.count())
+    assert(out.filter($"offset_in_bin" < 0 || $"offset_in_bin" >= 256).count() === 0)
+    // bin*window + offset must reconstruct the prefix token sum of
+    // the shard — the layout tiles with no gaps or overlaps
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chk = out
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter($"bin" * 256 + $"offset_in_bin" =!= $"cum")
+    assert(chk.count() === 0)
+  }
+
   test("polarity is bounded in [-1, 1]") {
     import spark.implicits._
     val s = TextAnalysis.sentiment(Tables.documents(spark, sf))
