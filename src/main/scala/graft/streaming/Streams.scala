@@ -96,6 +96,51 @@ object Streams {
     * deliberately not carried — it cannot survive state eviction,
     * and the session's start time is its identity.
     */
+  case class EmaSt(lastUs: Long, ema: Double)
+  case class EmaOut(user_id: Long, ts_us: Long, ema: Double)
+
+  /** Streaming EMA(span, adjust=False) per key — the incremental
+    * twin the batch fold ([[graft.plans.EmaAggregate]]) points
+    * unbounded series at: where the batch aggregate buffers a whole
+    * group to sort it (O(group) memory, capped), this folds each
+    * event into ONE (lastTs, ema) record per key — O(1) state
+    * however long the series runs, which is the whole point of the
+    * streaming form.
+    *
+    * Arithmetic is EmaAggregate's exactly (seed = first value, then
+    * y = α·x + (1−α)·y in event-time order), so on in-order arrival
+    * the emitted value is bit-equal to the batch fold
+    * (spec-asserted). Within a micro-batch events sort by event
+    * time; an event older than the fold point (cross-batch late
+    * data past the watermark) cannot be folded retroactively by ANY
+    * O(1) recurrence — it is dropped, the same contract as
+    * watermarked dedup. State is one 16-byte record per key with no
+    * timeout BY DESIGN: an instrument universe is bounded (contrast
+    * [[sessionizeStream]], whose user universe is not and which
+    * therefore evicts on timeout); emit-and-evict would instead
+    * restart every idle key's EMA from scratch.
+    */
+  def emaStream(events: Dataset[SEv], span: Int, watermark: String = "10 minutes"): Dataset[EmaOut] = {
+    import events.sparkSession.implicits._
+    val alpha = 2.0 / (span + 1)
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[EmaSt]) =>
+          val sorted = evs.toArray.sortBy(e => (instantMicros(e.ts), e.value))
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            val us = instantMicros(e.ts)
+            if (st == null) st = EmaSt(us, e.value)
+            else if (us > st.lastUs) st = EmaSt(us, alpha * e.value + (1 - alpha) * st.ema)
+            // us <= lastUs: behind the fold point — dropped by contract
+          }
+          state.update(st)
+          EmaOut(uid, st.lastUs, st.ema)
+      }
+  }
+
   def sessionizeStream(events: Dataset[SEv], gapMin: Int = 30, watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapUs = gapMin * 60L * 1000000L

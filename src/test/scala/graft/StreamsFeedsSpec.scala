@@ -49,6 +49,37 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
   }
 
+  test("streaming EMA matches the batch fold bit-exactly and drops late data") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch execution of the stateful fold: one pass per key == the
+    // aggregate's sorted fold, so values must be bit-equal
+    val ev  = Tables.events(spark, sf).select($"user_id", $"ts", $"value").as[Streams.SEv]
+    val got = Streams.emaStream(ev, 20).toDF().select($"user_id", $"ema")
+    graft.plans.GraftFunctions.register(spark)
+    val want = Tables.events(spark, sf).groupBy($"user_id")
+      .agg(expr("graft_ema(ts, value, 20)").as("ema"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // multi-batch: the fold continues across batches from O(1) state;
+    // an event behind the fold point is dropped by contract
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.emaStream(mem.toDS(), span = 3, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("ema_stream_test").outputMode("update").start()
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    try {
+      mem.addData(Streams.SEv(1L, at(0), 10.0), Streams.SEv(1L, at(1), 20.0))
+      q.processAllAvailable()
+      mem.addData(Streams.SEv(1L, at(2), 30.0), Streams.SEv(1L, at(0), 999.0))
+      q.processAllAvailable()
+      val last = spark.table("ema_stream_test").as[Streams.EmaOut].collect().maxBy(_.ts_us)
+      // alpha = 0.5: 10 -> 15 -> 22.5; the late 999 never folds
+      assert(last.ema === 22.5)
+      assert(last.ts_us === at(2).toEpochMilli * 1000)
+    } finally q.stop()
+  }
+
   test("sessionize stream evicts idle users' state on event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
