@@ -90,6 +90,27 @@ object Stats {
         element_at(col("qs"), 2).as("p50"),
         element_at(col("qs"), 3).as("p90"))
 
+  /** The incremental half of the sketch story: per-shard DataSketches
+    * HLL sketches that persist as binary columns and merge later —
+    * the canonical 100 TB pattern where each ingest batch/partition
+    * sketches once and the global estimate is a cheap union over
+    * sketch rows instead of a re-scan of history. [[mergeSketches]]
+    * reduces a shard-sketch table to final estimates; the spec
+    * asserts the shard-union estimate tracks the direct sketch
+    * closely (union promotes the sketch representation, so the two
+    * are near- but not bit-identical) and lands within rsd of exact.
+    */
+  def sketchDistinctByShard(lineitem: DataFrame, nShards: Int = 8): DataFrame =
+    lineitem
+      .withColumn("shard", pmod(col("l_orderkey"), lit(nShards.toLong)))
+      .groupBy(col("l_returnflag"), col("shard"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("orders_sketch"))
+
+  def mergeSketches(shardSketches: DataFrame): DataFrame =
+    shardSketches
+      .groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("orders_sketch"))).as("n_orders_est"))
+
   /** Exact distinct counts per group (two-level partial-distinct
     * aggregation; HLL for the approximate path at scale).
     */

@@ -19,6 +19,26 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("per-shard HLL sketches merge to the direct sketch's estimates") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val merged = Stats.mergeSketches(Stats.sketchDistinctByShard(li, 8))
+    val direct = li.groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"l_orderkey")).as("direct_est"))
+    // union of shard sketches tracks one sketch over everything
+    // (union promotes the HLL representation, so estimates are
+    // near- but not bit-identical) — the incremental path loses
+    // nothing material
+    val diff = merged.join(direct, "l_returnflag")
+      .filter(abs($"n_orders_est" - $"direct_est") > $"direct_est" * 0.02).count()
+    assert(diff === 0)
+    // and the estimate is an estimate of the right thing
+    val exact = Stats.distinctCounts(li).select($"l_returnflag", $"n_orders")
+    val bad = merged.join(exact, "l_returnflag")
+      .filter(abs($"n_orders_est" - $"n_orders") > $"n_orders" * 0.1).count()
+    assert(bad === 0)
+  }
+
   test("t-digest percentiles land near exact quantiles") {
     import spark.implicits._
     val ev    = Tables.events(spark, sf)
