@@ -117,7 +117,11 @@ object TextAnalysis {
     * Scale: one shuffle to `nShards` partitions and one running-sum
     * window per shard — the cumulative token count is exact integer
     * arithmetic, so the layout is deterministic and engine-identical
-    * at any scale or cluster size.
+    * at any scale or cluster size. PARALLELISM EQUALS nShards (each
+    * shard is one sorted window partition): the fixture default of 8
+    * is for a 500-doc table — at corpus scale set nShards to a few
+    * multiples of the executor-core count (thousands), which also
+    * keeps each shard's sort in-memory.
     */
   def packSequences(documents: DataFrame, window: Int = 256, nShards: Int = 8): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

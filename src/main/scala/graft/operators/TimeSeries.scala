@@ -615,7 +615,10 @@ object TimeSeries {
     * is broadcast), then the rank/median windows repartition by
     * period — the same cross-sectional axis flip as
     * [[momentumRank]]; the median join is one row per period,
-    * broadcast.
+    * broadcast. The peers/median/benchmark branches share the same
+    * (period, key) aggregate subtree, so AQE's exchange reuse runs
+    * the fact scan + aggregate once at runtime (the benchmark branch
+    * scans only its pushed-down single-key slice).
     */
   def peerPerformance(df: DataFrame, periods: Seq[(String, String, String)], benchmarkKey: Long = 0L,
                       key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
