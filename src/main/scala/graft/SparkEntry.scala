@@ -149,6 +149,18 @@ object SparkEntry {
         .orderBy("event_type", "event_id")),
     "q_time_features" -> ((s, dir) =>
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
+    // 2-hour promo windows opened by purchase events (fixed duration
+    // => start-monotone; per-tick dedupe via max) — each event picks
+    // up the active window's level
+    "q_interval_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val ivl = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("ivl_val"))
+        .select(col("user_id"), col("ts").as("ivl_from"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("ivl_to"), col("ivl_val"))
+      Relational.intervalJoin(ev, ivl).orderBy("user_id", "ts_us", "event_id")
+    }),
     "q_rank_suite" -> ((s, dir) =>
       Stats.rankSuite(Tables.events(s, dir)).orderBy("event_id")),
     "q_scd2_intervals" -> ((s, dir) =>
@@ -709,6 +721,16 @@ object SparkEntry {
         |)
         |WHERE rn <= 50
         |ORDER BY event_type, event_id""".stripMargin,
+    "q_interval_join" ->
+      """WITH ivl AS (
+        |  SELECT user_id, ts AS f, ts + INTERVAL 2 HOUR AS u, max(value) AS ivl_val
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        |)
+        |SELECT e.user_id, epoch_us(e.ts) AS ts_us, e.event_id, e.value,
+        |  epoch_us(i.f) AS ivl_from_us, i.ivl_val
+        |FROM events e JOIN ivl i ON e.user_id = i.user_id AND e.ts >= i.f AND e.ts < i.u
+        |QUALIFY row_number() OVER (PARTITION BY e.event_id ORDER BY i.f DESC) = 1
+        |ORDER BY e.user_id, ts_us, e.event_id""".stripMargin,
     "q_time_features" ->
       """SELECT event_id, year(ts) AS yr, month(ts) AS mo, dayofweek(ts) AS dow,
         |  dayofyear(ts) AS doy, hour(ts) AS hr

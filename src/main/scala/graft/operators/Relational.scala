@@ -283,6 +283,45 @@ object Relational {
       col("event_id"))
   }
 
+  /** Point-in-interval (range) join: each fact row picks up the
+    * interval containing its timestamp, per key. Spark plans a naive
+    * `BETWEEN` join as a nested loop — O(facts × intervals) per key;
+    * this instead unions interval-open markers into the fact stream
+    * and forward-fills the current interval along ONE per-key sort
+    * (the TimeSeries.asOfJoin shape), then keeps facts that fall
+    * before their interval's end: O((n+m) log(n+m)) on one shuffle.
+    *
+    * Match semantics: the LATEST-STARTING interval containing the
+    * fact wins, and intervals must be start-monotone per key (ends
+    * non-decreasing in starts — e.g. fixed-duration or
+    * non-overlapping): forward-fill tracks only the latest-started
+    * interval, so an earlier interval that outlives a later one
+    * would be unreachable. Interval starts must be unique per key
+    * (dedupe upstream) — two intervals opening on the same tick
+    * would fill nondeterministically. Boundary: `[from, to)` —
+    * interval markers sort before facts on the same tick.
+    */
+  def intervalJoin(facts: DataFrame, intervals: DataFrame,
+                   key: String = "user_id", ts: String = "ts",
+                   from: String = "ivl_from", to: String = "ivl_to",
+                   ivlVal: String = "ivl_val"): DataFrame = {
+    val ivlStruct = struct(col(from).as("f"), col(to).as("u"), col(ivlVal).as("v"))
+    val d = intervals.select(
+      col(key), col(from).as("__t"), lit(0L).as("__ord"), ivlStruct.as("__ivl"),
+      lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+    val f = facts.select(
+      col(key), col(ts).as("__t"), lit(1L).as("__ord"),
+      lit(null).cast(d.schema("__ivl").dataType).as("__ivl"),
+      col("event_id"), col("value"))
+    val w = Window.partitionBy(key).orderBy(col("__t"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.unionByName(f)
+      .withColumn("__cur", last(col("__ivl"), ignoreNulls = true).over(w))
+      .filter(col("__ord") === 1L && col("__cur").isNotNull && col("__t") < col("__cur")("u"))
+      .select(col(key), unix_micros(col("__t")).as("ts_us"), col("event_id"), col("value"),
+        unix_micros(col("__cur")("f")).as("ivl_from_us"), col("__cur")("v").as("ivl_val"))
+  }
+
   /** Top-N per group (top holdings / peer ranking analog): rank
     * window after a single shuffle on the group key.
     */

@@ -52,4 +52,23 @@ class RelationalSpec extends AnyFunSuite {
     val over = df.groupBy($"o_custkey").count().filter($"count" > 3).count()
     assert(over === 0)
   }
+
+  test("interval join: containment, boundaries, latest-start-wins") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.from(java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z"))
+    val facts = Seq(
+      (1L, t(0), 100L, 1.0),  // on open boundary of I1 -> matches I1
+      (1L, t(5), 101L, 2.0),  // inside I1 and I2; I2 started later -> I2
+      (1L, t(20), 102L, 3.0), // past both ends -> no match
+      (2L, t(5), 103L, 4.0))  // other key, no intervals -> no match
+      .toDF("user_id", "ts", "event_id", "value")
+    val ivls = Seq(
+      (1L, t(0), t(10), 10.0),  // I1
+      (1L, t(4), t(14), 20.0))  // I2
+      .toDF("user_id", "ivl_from", "ivl_to", "ivl_val")
+    val got = Relational.intervalJoin(facts, ivls)
+      .select($"event_id", $"ivl_val").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === Seq((100L, 10.0), (101L, 20.0)))
+  }
 }
