@@ -287,6 +287,9 @@ object SparkEntry {
         .orderBy("period", "user_id")),
     "q_risk_snapshot" -> ((s, dir) =>
       TimeSeries.riskSnapshot(Tables.events(s, dir), 0L).orderBy("metric", "user_id")),
+    "q_portfolio_turnover" -> ((s, dir) =>
+      TimeSeries.portfolioTurnover(Tables.events(s, dir), "2024-01-15", 10)
+        .orderBy("portfolio")),
     // quarter bars in production; week grain here so the one-month
     // fixture has real bar-over-bar deltas (thresholds at the weekly
     // volatility quartiles so the alert genuinely splits)
@@ -1210,6 +1213,30 @@ object SparkEntry {
         |SELECT f.metric, f.user_id, f.fund_value, bl.bench_value, m.peer_median
         |FROM funds f LEFT JOIN bl USING (metric) JOIN m USING (metric)
         |ORDER BY metric, user_id""".stripMargin,
+    "q_portfolio_turnover" ->
+      """WITH s1 AS (
+        |  SELECT user_id, CAST(max_by(value, ts) AS DECIMAL(12,2)) AS l1, user_id % 10 AS portfolio
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT user_id, CAST(max_by(value, ts) AS DECIMAL(12,2)) AS l2, user_id % 10 AS portfolio
+        |  FROM events GROUP BY user_id
+        |), t1 AS (SELECT portfolio, CAST(sum(l1) AS DECIMAL(18,2)) AS t1 FROM s1 GROUP BY portfolio
+        |), t2 AS (SELECT portfolio, CAST(sum(l2) AS DECIMAL(18,2)) AS t2 FROM s2 GROUP BY portfolio
+        |), j AS (
+        |  SELECT coalesce(s1.portfolio, s2.portfolio) AS portfolio,
+        |    coalesce(l1, CAST(0 AS DECIMAL(12,2))) AS l1,
+        |    coalesce(l2, CAST(0 AS DECIMAL(12,2))) AS l2
+        |  FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id AND s1.portfolio = s2.portfolio
+        |), a AS (
+        |  SELECT j.portfolio, sum(abs(j.l1 * t2.t2 - j.l2 * t1.t1)) AS sd
+        |  FROM j JOIN t1 USING (portfolio) JOIN t2 USING (portfolio)
+        |  GROUP BY j.portfolio
+        |)
+        |SELECT a.portfolio,
+        |  CASE WHEN CAST(t1.t1 * t2.t2 AS DOUBLE) != 0.0
+        |    THEN 0.5 * (CAST(a.sd AS DOUBLE) / CAST(t1.t1 * t2.t2 AS DOUBLE)) END AS turnover
+        |FROM a JOIN t1 USING (portfolio) JOIN t2 USING (portfolio)
+        |ORDER BY portfolio""".stripMargin,
     "q_indicator_trends" ->
       """WITH e AS (
         |  SELECT user_id, ts, value, CAST(json_extract_string(props, '$.k') AS BIGINT) AS vol

@@ -333,6 +333,48 @@ object TimeSeries {
         col("hhi"), status(col("hhi"), hhiLimit).as("hhi_status"))
   }
 
+  /** Portfolio turnover between two allocation snapshots (the
+    * "Portfolio Turnover (%)" indicator of the reference trend
+    * panel, computed from weight changes instead of scaffolded
+    * text): 0.5 * Σ_keys |w_before - w_now| per portfolio, where
+    * weights are each key's latest level at/before the cutoff (resp.
+    * now) over the portfolio total, and keys missing from a snapshot
+    * count at weight 0.
+    *
+    * Determinism: a naive Σ|w1-w2| is an order-dependent double sum
+    * that no two engines reduce identically. Instead the difference
+    * is cross-multiplied into DECIMAL space — |l1*T2 - l2*T1| with
+    * exact DECIMAL levels and totals — so the per-portfolio sum is
+    * exact and order-independent, and only the FINAL quotient
+    * (/(T1*T2), one IEEE division on bit-identical operands) is
+    * floating point. Same one-row-per-key scale shape as
+    * [[concentration]].
+    */
+  def portfolioTurnover(df: DataFrame, cutoff: String, nPortfolios: Int = 10,
+                        key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val L  = org.apache.spark.sql.types.DecimalType(12, 2)
+    val T  = org.apache.spark.sql.types.DecimalType(18, 2)
+    val Z  = lit(0).cast(L)
+    def snap(d: DataFrame, lvl: String) = d.groupBy(col(key))
+      .agg(max_by(col(v), col(ts)).cast(L).as(lvl))
+      .withColumn("portfolio", pmod(col(key), lit(nPortfolios.toLong)))
+    val s1 = snap(df.filter(col(ts) < lit(cutoff).cast("timestamp")), "l1")
+    val s2 = snap(df, "l2")
+    val t1 = s1.groupBy("portfolio").agg(sum("l1").cast(T).as("t1"))
+    val t2 = s2.groupBy("portfolio").agg(sum("l2").cast(T).as("t2"))
+    s1.join(s2, Seq(key, "portfolio"), "full_outer")
+      .join(broadcast(t1), "portfolio")
+      .join(broadcast(t2), "portfolio")
+      .groupBy(col("portfolio"))
+      .agg(
+        sum(abs(coalesce(col("l1"), Z) * col("t2") - coalesce(col("l2"), Z) * col("t1"))).as("sd"),
+        first(col("t1")).as("ft1"), first(col("t2")).as("ft2"))
+      .select(col("portfolio"),
+        when((col("ft1") * col("ft2")).cast("double") =!= 0.0,
+          lit(0.5) * (col("sd").cast("double") / (col("ft1") * col("ft2")).cast("double")))
+          .as("turnover"))
+  }
+
   /** Longest underwater streak per key (drawdown-duration companion
     * to maxDrawdown): an observation is underwater while below the
     * running peak; streaks segment by a running count of at-peak

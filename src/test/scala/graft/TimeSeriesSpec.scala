@@ -151,6 +151,17 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(above.count() === 0)
   }
 
+  test("portfolioTurnover: bounded in [0,1], zero for identical snapshots") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val to = TimeSeries.portfolioTurnover(ev, "2024-01-15", 10)
+    assert(to.count() === 10)
+    assert(to.filter($"turnover" < 0.0 || $"turnover" > 1.0).count() === 0)
+    // cutoff past the data's end: both snapshots identical -> exactly 0
+    val same = TimeSeries.portfolioTurnover(ev, "2025-01-01", 10)
+    assert(same.filter($"turnover" =!= 0.0).count() === 0)
+  }
+
   test("riskSnapshot: five metrics per fund, definitional benchmark beta/alpha, median in range") {
     import spark.implicits._
     val rs = TimeSeries.riskSnapshot(Tables.events(spark, sf), 0L)
