@@ -147,6 +147,12 @@ object SparkEntry {
       Sampling.stratifiedSample(Tables.events(s, dir), "event_type", "event_id", 50)
         .select(col("event_type"), col("event_id"))
         .orderBy("event_type", "event_id")),
+    // downweight four sources to a target mixture; the rest pass through
+    "q_domain_mix" -> ((s, dir) =>
+      Sampling.domainMix(Tables.documents(s, dir),
+        Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 75))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")),
     "q_time_features" -> ((s, dir) =>
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
     // 2-hour promo windows opened by purchase events (fixed duration
@@ -714,6 +720,12 @@ object SparkEntry {
         |)
         |SELECT split, event_type, count(*) AS n
         |FROM s GROUP BY split, event_type ORDER BY split, event_type""".stripMargin,
+    "q_domain_mix" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
+        |  CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25 WHEN 'src2' THEN 50 WHEN 'src3' THEN 75 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, event_id
         |FROM (

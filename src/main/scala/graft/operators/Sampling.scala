@@ -31,6 +31,24 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Domain-mix resampling (the corpus-reweighting step that turns
+    * raw web-scrape proportions into a target training mixture —
+    * DoReMi/Pile-style source weighting): keep ~`rates(source)`% of
+    * each source's documents (default `defaultPct` for unlisted
+    * sources), drawn by the same md5 rule as [[hashSample]] so the
+    * mixture is reproducible across engines, runs, and cluster
+    * sizes. The rate table is a handful of literals compiled into
+    * one CASE — purely per-row, zero shuffle, zero coordination.
+    */
+  def domainMix(df: DataFrame, rates: Map[String, Int], defaultPct: Int = 100,
+                sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPct)) {
+      case (acc, (s, p)) => when(col(sourceCol) === s, lit(p)).otherwise(acc)
+    }
+    df.filter(
+      conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long") % 100 < rateCol)
+  }
+
   /** Stratified sample: exactly `n` rows per stratum, chosen by the
     * deterministic hash order (rank window per stratum — one shuffle
     * on the stratum key).

@@ -28,6 +28,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(frac("train") > 0.8 && frac.getOrElse("val", 0.0) < 0.15 && frac.getOrElse("test", 0.0) < 0.15)
   }
 
+  test("domain mix hits each source's target rate and passes others through") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mixed = Sampling.domainMix(docs, Map("src0" -> 0, "src1" -> 30))
+    // rate 0 removes the source entirely; unlisted sources untouched
+    assert(mixed.filter($"source" === "src0").count() === 0)
+    val others     = docs.filter($"source" =!= "src0" && $"source" =!= "src1").count()
+    val othersKept = mixed.filter($"source" =!= "src0" && $"source" =!= "src1").count()
+    assert(othersKept === others)
+    // the sampled source lands near its target rate
+    val s1      = docs.filter($"source" === "src1").count().toDouble
+    val s1kept  = mixed.filter($"source" === "src1").count().toDouble
+    assert(s1kept / s1 > 0.05 && s1kept / s1 < 0.6, s"src1 keep rate ${s1kept / s1}")
+    // deterministic: same call, same sample
+    assert(Sampling.domainMix(docs, Map("src0" -> 0, "src1" -> 30))
+      .exceptAll(mixed).count() === 0)
+  }
+
   test("stratified sample returns exactly n per stratum") {
     import spark.implicits._
     val s = Sampling.stratifiedSample(Tables.events(spark, sf), "event_type", "event_id", 20)
