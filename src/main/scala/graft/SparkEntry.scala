@@ -350,6 +350,11 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_fp"))
         .orderBy("doc_id")
     }),
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.keepBest(docs, Dedup.minhashLshCandidatesFast(docs),
+        TextAnalysis.qualityScore(docs)).orderBy("cluster_id")
+    }),
     // eval set = docs 0-4 (13-grams in production; 3 on the short
     // synthetic texts so overlap genuinely splits the corpus)
     "q_decontaminate" -> ((s, dir) =>
@@ -1536,6 +1541,52 @@ object SparkEntry {
         |)
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM cand UNION SELECT db, da FROM cand
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b != r.a
+        |), labels AS (
+        |  SELECT a AS node, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |), q AS (
+        |  SELECT doc_id,
+        |    least(len(text)::DOUBLE / 500.0, 1.0) * 0.4
+        |      + (len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of','el','la','y','de','le','les','et','des','der','die','und','von','de5','shi4','le5','zai4')))::DOUBLE
+        |         / len(string_split(lower(text), ' '))::DOUBLE) * 0.3
+        |      + (len(list_filter(string_split(lower(text), ' '), x -> regexp_full_match(x, '[a-z]+')))::DOUBLE
+        |         / len(string_split(lower(text), ' '))::DOUBLE) * 0.3 AS quality
+        |  FROM documents
+        |), lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id, q.quality
+        |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node JOIN q USING (doc_id)
+        |)
+        |SELECT cluster_id, doc_id AS keep_id, quality
+        |FROM lab
+        |QUALIFY row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC) = 1
+        |ORDER BY cluster_id""".stripMargin,
     "q_corpus_dedup" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id,

@@ -357,6 +357,26 @@ object Dedup {
         .select(col("node").as("doc_id"), col("node").as("cluster_id")))
   }
 
+  /** Quality-aware canonical selection: per near-duplicate cluster,
+    * keep the HIGHEST-quality member (ties by doc_id) instead of the
+    * arbitrary min-id — what curation pipelines actually ship, since
+    * the best copy of a duplicated page is rarely the one with the
+    * smallest id. Documents in no cluster are their own canonical.
+    * One rank window on the cluster key after the label join; the
+    * quality table is one row per doc riding the same shuffle.
+    * Quality values are exact unrounded ratio sums (engine-
+    * identical), so the argmax is deterministic everywhere.
+    */
+  def keepBest(documents: DataFrame, pairs: DataFrame, quality: DataFrame): DataFrame = {
+    val labeled = documents.select(col("doc_id"))
+      .join(clusters(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(quality, "doc_id")
+    val w = Window.partitionBy("cluster_id").orderBy(col("quality").desc, col("doc_id").asc)
+    labeled.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"), col("quality"))
+  }
+
   /** End of the dedup pipeline: the cleaned corpus. Near-dup
     * candidates -> connected components -> drop every non-canonical
     * cluster member (anti join keeps the corpus scan streaming; only

@@ -163,6 +163,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaSql.except(fast).count() === 0 && fast.except(viaSql).count() === 0)
   }
 
+  test("keepBest picks the max-quality member per cluster, one keeper per cluster") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val pairs = Dedup.minhashLshCandidatesFast(docs)
+    val q     = graft.operators.TextAnalysis.qualityScore(docs)
+    val best  = Dedup.keepBest(docs, pairs, q)
+    val members = docs.select("doc_id")
+      .join(Dedup.clusters(pairs), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      .join(q, "doc_id")
+    val mx = members.groupBy("cluster_id").agg(max("quality").as("mq"))
+    assert(best.count() > 0)
+    assert(best.join(mx, "cluster_id").filter($"quality" =!= $"mq").count() === 0)
+    assert(best.select("cluster_id").distinct().count() === best.count())
+    assert(best.count() === mx.count())
+  }
+
   test("decontaminate flags eval-overlapping docs and keeps eval docs out") {
     import spark.implicits._
     val docs = Seq(
