@@ -103,6 +103,9 @@ object SparkEntry {
       Relational.jsonExtractAgg(Tables.events(s, dir)).orderBy("event_type")),
     "q_asof_join" -> ((s, dir) =>
       TimeSeries.asOfJoin(Tables.events(s, dir), "purchase", "view").orderBy("user_id", "ts_us")),
+    "q_asof_tolerance" -> ((s, dir) =>
+      TimeSeries.asOfJoinTolerance(Tables.events(s, dir), "purchase", "view", 120)
+        .orderBy("user_id", "ts_us")),
     "q_asof_global" -> ((s, dir) => {
       val ev     = Tables.events(s, dir)
       val trades = ev.filter(col("event_type") === "purchase")
@@ -642,6 +645,14 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_asof_join" ->
       """SELECT t.user_id, epoch_us(t.ts) AS ts_us, t.value, q.value AS asof_val
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
+        |  ON t.user_id = q.user_id AND q.ts <= t.ts
+        |ORDER BY t.user_id, ts_us""".stripMargin,
+    "q_asof_tolerance" ->
+      """SELECT t.user_id, epoch_us(t.ts) AS ts_us, t.value,
+        |  CASE WHEN epoch_us(t.ts) - epoch_us(q.ts) <= 7200000000 THEN q.value END AS asof_val,
+        |  CASE WHEN epoch_us(t.ts) - epoch_us(q.ts) <= 7200000000 THEN epoch_us(t.ts) - epoch_us(q.ts) END AS asof_age_us
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') t
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') q
         |  ON t.user_id = q.user_id AND q.ts <= t.ts

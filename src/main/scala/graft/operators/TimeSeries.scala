@@ -228,6 +228,32 @@ object TimeSeries {
       .select(col(key), unix_micros(col(ts)).as("ts_us"), col("value"), col("asof_val"))
   }
 
+  /** As-of join with a staleness tolerance (the market-data variant:
+    * a quote older than `toleranceMin` minutes must not price a
+    * trade). Same single-shuffle union + ordered forward-fill as
+    * [[asOfJoin]], additionally filling the matched quote's
+    * timestamp so the age check is a narrow per-row predicate —
+    * stale or absent quotes yield a null value and null age rather
+    * than silently pricing off old data.
+    */
+  def asOfJoinTolerance(events: DataFrame, leftType: String, rightType: String,
+                        toleranceMin: Int, key: String = "user_id", ts: String = "ts"): DataFrame = {
+    val tolUs = toleranceMin * 60L * 1000000L
+    val w = Window.partitionBy(key).orderBy(ts)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val age = unix_micros(col(ts)) - unix_micros(col("last_qt"))
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("qv", when(col("event_type") === rightType, col("value")))
+      .withColumn("qt", when(col("event_type") === rightType, col(ts)))
+      .withColumn("last_qv", last(col("qv"), ignoreNulls = true).over(w))
+      .withColumn("last_qt", last(col("qt"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col(key), unix_micros(col(ts)).as("ts_us"), col("value"),
+        when(age <= tolUs, col("last_qv")).as("asof_val"),
+        when(age <= tolUs, age).as("asof_age_us"))
+  }
+
   /** Up/down flag vs previous observation (trend marker analog). */
   def trendFlag(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
     df.withColumn("uptrend", (col(v) > lag(col(v), 1).over(wk(key, ts))).cast("int"))

@@ -151,6 +151,18 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(above.count() === 0)
   }
 
+  test("tolerance as-of: infinite tolerance reduces to plain as-of; the staleness gate bites") {
+    import spark.implicits._
+    val ev    = Tables.events(spark, sf)
+    val plain = TimeSeries.asOfJoin(ev, "purchase", "view")
+    val inf   = TimeSeries.asOfJoinTolerance(ev, "purchase", "view", Int.MaxValue)
+      .drop("asof_age_us")
+    assert(inf.exceptAll(plain).count() === 0 && plain.exceptAll(inf).count() === 0)
+    val tight = TimeSeries.asOfJoinTolerance(ev, "purchase", "view", 120)
+    assert(tight.filter($"asof_age_us" > 120L * 60L * 1000000L).count() === 0)
+    assert(tight.filter($"asof_val".isNull).count() > plain.filter($"asof_val".isNull).count())
+  }
+
   test("portfolioTurnover: bounded in [0,1], zero for identical snapshots") {
     import spark.implicits._
     val ev = Tables.events(spark, sf)
