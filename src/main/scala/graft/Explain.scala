@@ -16,7 +16,8 @@ object Explain {
         "q_simhash_neardup", "q_concentration", "q_ohlc_weekly", "q_repetition_score",
         "q_quality_gate", "q_corpus_stats", "q_top_bigrams", "q_ema_fold",
         "q_peer_performance", "q_indicator_trends", "q_risk_snapshot",
-        "q_decontaminate", "q_pack_sequences", "q_interval_join")
+        "q_decontaminate", "q_pack_sequences", "q_interval_join",
+        "q_dedup_keep_best", "q_domain_mix", "q_asof_tolerance")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
