@@ -299,6 +299,10 @@ object SparkEntry {
     "q_portfolio_turnover" -> ((s, dir) =>
       TimeSeries.portfolioTurnover(Tables.events(s, dir), "2024-01-15", 10)
         .orderBy("portfolio")),
+    "q_var_historical" -> ((s, dir) =>
+      TimeSeries.varHistorical(Tables.events(s, dir), 0.05).orderBy("user_id")),
+    "q_dow_returns" -> ((s, dir) =>
+      TimeSeries.dowReturns(Tables.events(s, dir)).orderBy("user_id", "dow")),
     // quarter bars in production; week grain here so the one-month
     // fixture has real bar-over-bar deltas (thresholds at the weekly
     // volatility quartiles so the alert genuinely splits)
@@ -1241,6 +1245,38 @@ object SparkEntry {
         |SELECT f.metric, f.user_id, f.fund_value, bl.bench_value, m.peer_median
         |FROM funds f LEFT JOIN bl USING (metric) JOIN m USING (metric)
         |ORDER BY metric, user_id""".stripMargin,
+    "q_var_historical" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), x AS (
+        |  SELECT user_id, ret,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ret ASC, day ASC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM r
+        |)
+        |SELECT user_id, ret AS var_ret, rn AS k, n
+        |FROM x WHERE rn = CAST(ceil(n * 0.05) AS BIGINT)
+        |ORDER BY user_id""".stripMargin,
+    "q_dow_returns" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |)
+        |SELECT user_id, CAST(dayofweek(day) AS BIGINT) AS dow,
+        |  round(avg(ret), 6) AS avg_ret, count(*) AS n_days
+        |FROM r GROUP BY 1, 2
+        |ORDER BY user_id, dow""".stripMargin,
     "q_portfolio_turnover" ->
       """WITH s1 AS (
         |  SELECT user_id, CAST(max_by(value, ts) AS DECIMAL(12,2)) AS l1, user_id % 10 AS portfolio

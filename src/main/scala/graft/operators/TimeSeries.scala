@@ -639,6 +639,35 @@ object TimeSeries {
           betaC >= betaLo && betaC <= betaHi).cast("int").as("all_pass"))
   }
 
+  /** Historical Value-at-Risk as an EXACT order statistic: the
+    * k-th worst daily return with k = ceil(alpha * n) — the
+    * empirical-quantile VaR definition that needs no interpolation,
+    * so the reported value is an actual observed return and
+    * bit-identical in every engine (interpolated quantiles differ in
+    * the last bit across implementations). One rank window on the
+    * per-key shuffle; k and n ride along for auditability.
+    */
+  def varHistorical(df: DataFrame, alpha: Double = 0.05,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val wP = Window.partitionBy(key)
+    dailyCloseReturns(df, key, ts, v)
+      .withColumn("rn", row_number().over(wP.orderBy(col("ret").asc, col("day").asc)))
+      .withColumn("n", count(lit(1)).over(wP))
+      .filter(col("rn") === ceil(col("n") * alpha).cast("long"))
+      .select(col(key), col("ret").as("var_ret"), col("rn").cast("long").as("k"), col("n"))
+  }
+
+  /** Day-of-week return profile (calendar-effects panel): average
+    * daily return and observation count per (key, weekday). Rounding
+    * convention as [[metricsSummary]]: the mean is a non-terminating
+    * moment statistic, rounded to 6dp. dow is 0=Sunday (the proven
+    * cross-engine normalization from timeFeatures).
+    */
+  def dowReturns(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    dailyCloseReturns(df, key, ts, v)
+      .groupBy(col(key), (dayofweek(col("day")) - 1).cast("long").as("dow"))
+      .agg(round(avg(col("ret")), 6).as("avg_ret"), count(lit(1)).as("n_days"))
+
   /** Cross-sectional momentum rank (screener/leaderboard analog):
     * each key's trailing `lookback`-bar return on the daily-close
     * grid, ranked across keys WITHIN each day. Two shuffles by

@@ -151,6 +151,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(above.count() === 0)
   }
 
+  test("historical VaR is the k-th worst observed return") {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sf)
+    val va  = TimeSeries.varHistorical(ev, 0.05)
+    val ret = TimeSeries.dailyCloseReturns(ev)
+    assert(va.count() > 0)
+    // exactly one row per key, k = ceil(0.05 n), and the VaR value is
+    // an actual observed return with exactly k returns at or below it
+    assert(va.groupBy("user_id").count().filter($"count" =!= 1L).count() === 0)
+    val chk = va.join(ret, "user_id")
+      .groupBy($"user_id", $"var_ret", $"k")
+      .agg(sum(when($"ret" <= $"var_ret", 1L).otherwise(0L)).as("n_at_or_below"))
+      .filter($"n_at_or_below" < $"k")
+    assert(chk.count() === 0)
+  }
+
   test("tolerance as-of: infinite tolerance reduces to plain as-of; the staleness gate bites") {
     import spark.implicits._
     val ev    = Tables.events(spark, sf)
