@@ -95,25 +95,42 @@ object Bench {
       .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
       .withColumn("rep", explode(sequence(lit(1), lit(200))))
     val rows = e.count()
-    def time(f: () => org.apache.spark.sql.DataFrame): Double = {
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-        catch { case ex: Throwable => System.err.println(s"[bench] ivf cell failed: ${ex.getMessage}"); -1.0 }
-      }
-      if (runs.contains(-1.0)) -1.0 else runs.min
+    def once(f: () => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+      catch { case ex: Throwable => System.err.println(s"[bench] ivf cell failed: ${ex.getMessage}"); -1.0 }
     }
-    val codegen     = time(() => Similarity.assignCells(e, cents).select("vec_id", "rep", "cell"))
-    val interpreted = time(() => Similarity.assignCellsInterpreted(e, cents).select("vec_id", "rep", "cell"))
-    s"""{"codegen":$codegen,"interpreted":$interpreted,"rows":$rows}"""
+    // interleaved rep-major order + per-rep arrays, same rationale as
+    // skewBench: ambient drift must not poison one cell's min-of-N
+    val cells: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "codegen"     -> (() => Similarity.assignCells(e, cents).select("vec_id", "rep", "cell")),
+      "interpreted" -> (() => Similarity.assignCellsInterpreted(e, cents).select("vec_id", "rep", "cell")))
+    val runs: Map[String, Seq[Double]] =
+      (1 to reps).flatMap(_ => cells.map { case (n, f) => n -> once(f) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
+    def minOf(n: String): String = {
+      val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
+    }
+    val repJson = cells.map { case (n, _) =>
+      "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    s"""{"codegen":${minOf("codegen")},"interpreted":${minOf("interpreted")},"rows":$rows,"reps":$repJson}"""
   }
 
   /** Skew demonstration: the same shuffle join on a pathological key
     * distribution (~80% of fact rows on ONE key), plain vs salted
     * (Relational.saltedJoin), plus a uniform-key control. Broadcast
     * is disabled so both sides actually shuffle — the scenario the
-    * salt exists for. Emits {"plain":s,"salted":s,...} into the
-    * bench line.
+    * salt exists for.
+    *
+    * Reps are INTERLEAVED across cells (plain, salted, plain, …)
+    * rather than run back-to-back per cell: three rounds in a row the
+    * committed artifact misstated the salted win because a GC /
+    * page-cache drift landed entirely on one cell's contiguous reps.
+    * Interleaving spreads ambient drift across all cells, and the
+    * emitted per-rep arrays make a poisoned run self-diagnosing.
+    * Emits {"plain_skewed":min,…,"reps":{"plain_skewed":[r1,r2,…],…}}.
     */
   private def skewBench(spark: SparkSession, sfDir: String, reps: Int): String = {
     import org.apache.spark.sql.functions._
@@ -134,28 +151,36 @@ object Bench {
     def work(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.select(col("rowkey"),
         (1 to 6).foldLeft(concat(col("w"), col("rowkey").cast("string")))((c, _) => md5(c)).as("h"))
-    def time(f: () => org.apache.spark.sql.DataFrame): Double = {
-      // same failure convention as once(): a broken cell reads -1.0
-      // instead of aborting the whole bench with no JSON emitted
-      val runs = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => System.err.println(s"[bench] skew cell failed: ${e.getMessage}"); -1.0 }
-      }
-      if (runs.contains(-1.0)) -1.0 else runs.min
+    def once(f: () => org.apache.spark.sql.DataFrame): Double = {
+      // same failure convention as the sweep: a broken cell reads
+      // -1.0 instead of aborting the whole bench with no JSON emitted
+      val t0 = System.nanoTime()
+      try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable => System.err.println(s"[bench] skew cell failed: ${e.getMessage}"); -1.0 }
     }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val plain = time(() =>
-        work(skewed.join(dim, col("k") === col("dk"))))
-      val salted = time(() =>
-        work(graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", "rowkey", 16)))
-      val plainUniform = time(() =>
-        work(uniform.join(dim, col("k") === col("dk"))))
-      val saltedUniform = time(() =>
-        work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16)))
-      s"""{"plain_skewed":$plain,"salted_skewed":$salted,"plain_uniform":$plainUniform,"salted_uniform":$saltedUniform}"""
+      val cells: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "plain_skewed"   -> (() => work(skewed.join(dim, col("k") === col("dk")))),
+        "salted_skewed"  -> (() => work(graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", "rowkey", 16))),
+        "plain_uniform"  -> (() => work(uniform.join(dim, col("k") === col("dk")))),
+        "salted_uniform" -> (() => work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16))))
+      // rep-major order: every rep visits every cell before any cell
+      // sees its next rep, so a transient slowdown is spread across
+      // cells instead of poisoning one cell's entire min-of-N
+      val runs: Map[String, Seq[Double]] =
+        (1 to reps).flatMap(_ => cells.map { case (n, f) => n -> once(f) })
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
+      def minOf(n: String): String = {
+        val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
+      }
+      val mins    = cells.map { case (n, _) => "\"" + n + "\":" + minOf(n) }.mkString(",")
+      val repJson = cells.map { case (n, _) =>
+        "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{$mins,"reps":$repJson}"""
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
