@@ -222,12 +222,13 @@ object SparkEntry {
         .ema(Tables.events(s, dir), 20)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ema"))
         .orderBy("user_id", "ts_us")),
-    // rows-only: sketch internals are engine-specific; spec-checked
-    // against the exact twins instead of hash-matched
+    // sketch estimates are engine-specific, so the query surface is
+    // the checked twin: exact values hash-matched, sketch quality as
+    // engine-deterministic within-bound booleans (oracle says TRUE)
     "q_approx_distinct" -> ((s, dir) =>
-      Stats.approxDistinctCounts(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+      Stats.approxDistinctChecked(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_approx_percentiles" -> ((s, dir) =>
-      Stats.approxPercentiles(Tables.events(s, dir)).orderBy("event_type")),
+      Stats.approxPercentilesChecked(Tables.events(s, dir)).orderBy("event_type")),
     "q_ema_fold" -> ((s, dir) =>
       TimeSeries.emaFold(Tables.events(s, dir), 20).orderBy("user_id")),
     "q_trend_flag" -> ((s, dir) =>
@@ -700,6 +701,24 @@ object SparkEntry {
         |  count(DISTINCT l_suppkey) AS n_suppliers,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // the within_bound flags are engine-deterministic (HLL++/GK are
+    // deterministic given the data) — the oracle asserts they hold
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_suppkey) AS n_suppliers,
+        |  TRUE AS orders_within_bound,
+        |  TRUE AS suppliers_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_approx_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.25), 6) AS p25_exact,
+        |  round(quantile_cont(value, 0.5), 6) AS p50_exact,
+        |  round(quantile_cont(value, 0.9), 6) AS p90_exact,
+        |  TRUE AS p25_within_bound,
+        |  TRUE AS p50_within_bound,
+        |  TRUE AS p90_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_clean_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,

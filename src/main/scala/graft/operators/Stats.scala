@@ -90,6 +90,59 @@ object Stats {
         element_at(col("qs"), 2).as("p50"),
         element_at(col("qs"), 3).as("p90"))
 
+  /** Oracle-checkable twin of [[approxDistinctCounts]]: emits the
+    * EXACT distinct counts (hash-matched against the oracle) plus
+    * within-bound booleans asserting the HLL++ estimate landed inside
+    * 3*rsd of exact. The sketch is a deterministic algorithm given
+    * the data, so the booleans are engine-deterministic: the oracle
+    * emits literal TRUE, and a sketch regression flips a flag and
+    * fails the hash match instead of hiding behind "approx".
+    */
+  def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd).as("orders_approx"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("suppliers_approx"),
+        countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .select(
+        col("l_returnflag"), col("n_orders"), col("n_suppliers"),
+        (abs(col("orders_approx") - col("n_orders")) <= col("n_orders") * (3 * rsd))
+          .as("orders_within_bound"),
+        (abs(col("suppliers_approx") - col("n_suppliers")) <= col("n_suppliers") * (3 * rsd))
+          .as("suppliers_within_bound"))
+
+  /** Oracle-checkable twin of [[approxPercentiles]]: emits the exact
+    * interpolated quantiles (hash-matched) plus rank-error flags for
+    * the Greenwald-Khanna approximation. percentile_approx guarantees
+    * the returned value's RANK is within n/accuracy of the target
+    * rank, so the check computes the realized rank fraction of each
+    * approximate value (an exact integer count — engine-stable) and
+    * asserts |rank - q| <= 1/accuracy + 2/n, the guarantee plus the
+    * discreteness slack of a finite group.
+    */
+  def approxPercentilesChecked(events: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val eps = 1.0 / accuracy
+    events
+      .join(broadcast(approxPercentiles(events, accuracy)), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("value") <= col("p25")).cast("long")).as("le25"),
+        sum((col("value") <= col("p50")).cast("long")).as("le50"),
+        sum((col("value") <= col("p90")).cast("long")).as("le90"),
+        percentile(col("value"), lit(Array(0.25, 0.5, 0.9))).as("qs"))
+      .select(
+        col("event_type"),
+        round(element_at(col("qs"), 1), 6).as("p25_exact"),
+        round(element_at(col("qs"), 2), 6).as("p50_exact"),
+        round(element_at(col("qs"), 3), 6).as("p90_exact"),
+        (abs(col("le25") / col("n") - 0.25) <= lit(eps) + lit(2.0) / col("n")).as("p25_within_bound"),
+        (abs(col("le50") / col("n") - 0.50) <= lit(eps) + lit(2.0) / col("n")).as("p50_within_bound"),
+        (abs(col("le90") / col("n") - 0.90) <= lit(eps) + lit(2.0) / col("n")).as("p90_within_bound"))
+  }
+
   /** The incremental half of the sketch story: per-shard DataSketches
     * HLL sketches that persist as binary columns and merge later —
     * the canonical 100 TB pattern where each ingest batch/partition

@@ -39,6 +39,25 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(bad === 0)
   }
 
+  test("checked twins: all within_bound flags hold and exact columns match the exact operators") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val d  = Stats.approxDistinctChecked(li)
+    assert(d.filter(!$"orders_within_bound" || !$"suppliers_within_bound").count() === 0)
+    // exact columns are the countDistinct path, bit-equal to distinctCounts
+    val mism = d.select($"l_returnflag", $"n_orders", $"n_suppliers")
+      .exceptAll(Stats.distinctCounts(li).select($"l_returnflag", $"n_orders", $"n_suppliers"))
+      .count()
+    assert(mism === 0)
+
+    val p = Stats.approxPercentilesChecked(Tables.events(spark, sf))
+    assert(p.filter(!$"p25_within_bound" || !$"p50_within_bound" || !$"p90_within_bound").count() === 0)
+    val pm = p.select($"event_type", $"p25_exact".as("p25"), $"p50_exact".as("p50"), $"p90_exact".as("p90"))
+      .exceptAll(Stats.percentiles(Tables.events(spark, sf)))
+      .count()
+    assert(pm === 0)
+  }
+
   test("t-digest percentiles land near exact quantiles") {
     import spark.implicits._
     val ev    = Tables.events(spark, sf)
