@@ -92,9 +92,15 @@ object Streams {
     * forever as a NoTimeout sessionizer would.
     *
     * Emitted (start_us, end_us, n_events, total_value) tuples match
-    * [[sessionizeBatch]] exactly; the per-user session ordinal is
-    * deliberately not carried — it cannot survive state eviction,
-    * and the session's start time is its identity.
+    * [[sessionizeBatch]] exactly on in-order arrival; the per-user
+    * session ordinal is deliberately not carried — it cannot survive
+    * state eviction, and the session's start time is its identity.
+    * A cross-batch out-of-order event still inside the watermark is
+    * folded into the open session with a MONOTONE end (max of old
+    * and new event time), so it can never shrink the session or
+    * re-arm the timeout earlier; arrival before the session's start
+    * is approximated by folding into the open session rather than
+    * retro-splitting (the one divergence from the batch ordering).
     */
   case class EmaSt(lastUs: Long, ema: Double)
   case class EmaOut(user_id: Long, ts_us: Long, ema: Double)
@@ -167,7 +173,19 @@ object Streams {
                 else if (us - st.lastUs > gapUs) {
                   closed += emit(st)
                   OpenSession(us, us, 1L, cents(e.value))
-                } else OpenSession(st.startUs, us, st.nEvents + 1, st.totalCents + cents(e.value))
+                } else
+                  // max, not us: a cross-batch out-of-order event that
+                  // is still inside the watermark arrives with
+                  // us < lastUs — taking us unconditionally would move
+                  // the session end BACKWARD, re-register the timeout
+                  // too early, and let a following event split a
+                  // session that sessionizeBatch keeps whole. The end
+                  // and timeout must be monotone. (Such an event also
+                  // can't retro-extend a session's start: in-watermark
+                  // arrival earlier than start_us is folded into the
+                  // open session — the documented approximation.)
+                  OpenSession(st.startUs, math.max(st.lastUs, us), st.nEvents + 1,
+                    st.totalCents + cents(e.value))
             }
             if (st != null) {
               state.update(st)

@@ -125,6 +125,32 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cross-batch in-watermark out-of-order event cannot shrink or split a session") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.sessionizeStream(mem.toDS(), gapMin = 30, watermark = "2 hours")
+    val q = out.writeStream.format("memory").queryName("sess_ooo_test").outputMode("append").start()
+    def at(h: Int, m: Int) = java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z")
+    try {
+      mem.addData(Streams.SEv(1L, at(10, 0), 1.0), Streams.SEv(1L, at(10, 20), 2.0))
+      q.processAllAvailable()
+      // 10:10 arrives a batch late but inside the watermark: it folds
+      // into the open session and must NOT move its end back to 10:10
+      // — otherwise the 10:45 event (25 min after the TRUE end) would
+      // read as gap-exceeded and split a session sessionizeBatch
+      // keeps whole
+      mem.addData(Streams.SEv(1L, at(10, 10), 4.0), Streams.SEv(1L, at(10, 45), 8.0))
+      q.processAllAvailable()
+      mem.addData(Streams.SEv(1L, at(12, 0), 16.0)) // gap exceeded: closes the session inline
+      q.processAllAvailable()
+      val got = spark.table("sess_ooo_test").as[Streams.SessionOut].collect().toSet
+      assert(got === Set(Streams.SessionOut(
+        1L, at(10, 0).toEpochMilli * 1000, at(10, 45).toEpochMilli * 1000, 4L, 15.0)))
+    } finally q.stop()
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
