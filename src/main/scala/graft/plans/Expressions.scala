@@ -175,11 +175,25 @@ object GraftHashOps {
     * inside whole-stage codegen — the 65x-slower interpreted
     * transform/aggregate fold never runs on the corpus scan.
     */
-  def ivfAssign(v: ArrayData, cents: Array[Double]): Int = {
-    val dim = v.numElements()
-    if (dim == 0 || cents.length % dim != 0)
+  def ivfAssign(v: ArrayData, cents: Array[Double], dim: Int, checkNulls: Boolean): Int = {
+    // dim is the TRUE centroid dimension (cents.length / nlist), not
+    // a factorization guess from the row: a vector of any other
+    // length fails loudly instead of silently argmin-ing a garbage
+    // (nlist', dim') reslicing of the flat table
+    if (v.numElements() != dim)
       throw new IllegalArgumentException(
-        s"graft_ivf_assign: vector dim $dim does not divide centroid table of ${cents.length} doubles")
+        s"graft_ivf_assign: vector has ${v.numElements()} elements, centroids have dim $dim")
+    if (checkNulls) {
+      // only reached when the array schema admits nulls — getDouble
+      // would read a null slot as 0.0 and corrupt the distance
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_ivf_assign: embedding contains a null element at index $i")
+        i += 1
+      }
+    }
     val nlist    = cents.length / dim
     var best     = Double.PositiveInfinity
     var bestCell = -1
@@ -309,6 +323,16 @@ case class IvfAssign(child: Expression, cents: Seq[Seq[Double]]) extends UnaryEx
 
   @transient private lazy val flat: Array[Double] = cents.flatten.toArray
 
+  private def dim: Int = cents.head.length
+
+  // the null-element scan only compiles in when the array schema
+  // admits nulls; on the common containsNull=false schema the hot
+  // loop carries no per-element branch
+  private def checkNulls: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => true
+  }
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(DoubleType, _) =>
@@ -319,11 +343,11 @@ case class IvfAssign(child: Expression, cents: Seq[Seq[Double]]) extends UnaryEx
     }
 
   override def nullSafeEval(input: Any): Any =
-    GraftHashOps.ivfAssign(input.asInstanceOf[ArrayData], flat)
+    GraftHashOps.ivfAssign(input.asInstanceOf[ArrayData], flat, dim, checkNulls)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val centsRef = ctx.addReferenceObj("ivfCents", flat, "double[]")
-    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.ivfAssign($c, $centsRef)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.ivfAssign($c, $centsRef, $dim, $checkNulls)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): IvfAssign = copy(child = newChild)

@@ -163,6 +163,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(viaSql.except(fast).count() === 0 && fast.except(viaSql).count() === 0)
   }
 
+  test("IVF assignment rejects wrong-dimension vectors and null elements loudly") {
+    import spark.implicits._
+    val cents = Array(0 -> Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)) // one dim-8 centroid
+    // dim-4 vectors divide the flat table (8 doubles) — the old
+    // %-only check accepted them and argmin'd a garbage (2,4) slice
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val bad = Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("vec_id", "v")
+    val e1 = intercept[Exception] {
+      graft.operators.Similarity.assignCells(bad, cents).collect()
+    }
+    assert(messages(e1).exists(_.contains("4 elements")), messages(e1).mkString(" | "))
+    // a null element would read as 0.0 and corrupt the distance
+    val withNull = Seq((1L, Seq[java.lang.Double](1.0, null, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)))
+      .toDF("vec_id", "v")
+    val e2 = intercept[Exception] {
+      graft.operators.Similarity.assignCells(withNull, cents).collect()
+    }
+    assert(messages(e2).exists(_.contains("null element")), messages(e2).mkString(" | "))
+  }
+
   test("keepBest picks the max-quality member per cluster, one keeper per cluster") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)
