@@ -300,13 +300,39 @@ object Relational {
     * (dedupe upstream) — two intervals opening on the same tick
     * would fill nondeterministically. Boundary: `[from, to)` —
     * interval markers sort before facts on the same tick.
+    *
+    * `validate = true` enforces both preconditions inline (one extra
+    * per-key window over the INTERVALS side only): a duplicate start
+    * or a regressing interval end raises a task error naming the key
+    * instead of silently dropping facts or filling
+    * nondeterministically — the same fail-loudly contract as
+    * EmaAggregate's buffer cap. Off by default: the check costs a
+    * second sort of the (typically small) interval side.
     */
   def intervalJoin(facts: DataFrame, intervals: DataFrame,
                    key: String = "user_id", ts: String = "ts",
                    from: String = "ivl_from", to: String = "ivl_to",
-                   ivlVal: String = "ivl_val"): DataFrame = {
+                   ivlVal: String = "ivl_val",
+                   validate: Boolean = false): DataFrame = {
+    val checked = if (!validate) intervals else {
+      val wk       = Window.partitionBy(key).orderBy(col(from), col(to))
+      val prevFrom = lag(col(from), 1).over(wk)
+      val prevTo   = lag(col(to), 1).over(wk)
+      // the guard replaces `from`, which downstream uses — so column
+      // pruning can never drop the check out of the plan
+      intervals.withColumn(from,
+        when(prevFrom.isNotNull && col(from) === prevFrom,
+          raise_error(format_string(
+            "intervalJoin: duplicate interval start for key %s at %s",
+            col(key).cast("string"), col(from).cast("string"))))
+          .when(prevTo.isNotNull && col(to) < prevTo,
+            raise_error(format_string(
+              "intervalJoin: interval end regresses in start order for key %s at %s",
+              col(key).cast("string"), col(from).cast("string"))))
+          .otherwise(col(from)))
+    }
     val ivlStruct = struct(col(from).as("f"), col(to).as("u"), col(ivlVal).as("v"))
-    val d = intervals.select(
+    val d = checked.select(
       col(key), col(from).as("__t"), lit(0L).as("__ord"), ivlStruct.as("__ivl"),
       lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
     val f = facts.select(

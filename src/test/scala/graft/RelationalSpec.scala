@@ -70,5 +70,37 @@ class RelationalSpec extends AnyFunSuite {
       .select($"event_id", $"ivl_val").orderBy("event_id").collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got === Seq((100L, 10.0), (101L, 20.0)))
+    // validation mode passes conforming input through unchanged
+    val checked = Relational.intervalJoin(facts, ivls, validate = true)
+      .select($"event_id", $"ivl_val").orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(checked === got)
+  }
+
+  test("interval join validation raises on duplicate starts and regressing ends") {
+    import spark.implicits._
+    def t(m: Int) = java.sql.Timestamp.from(java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z"))
+    val facts = Seq((1L, t(5), 100L, 1.0)).toDF("user_id", "ts", "event_id", "value")
+    def messages(x: Throwable): Seq[String] =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    // duplicate starts: two intervals open on the same tick
+    val dup = Seq((1L, t(0), t(10), 10.0), (1L, t(0), t(12), 20.0))
+      .toDF("user_id", "ivl_from", "ivl_to", "ivl_val")
+    val e1 = intercept[Exception] {
+      Relational.intervalJoin(facts, dup, validate = true).collect()
+    }
+    assert(messages(e1).exists(_.contains("duplicate interval start")), messages(e1).mkString(" | "))
+    // regressing end: an earlier interval outlives a later one —
+    // forward-fill would silently drop facts it still covers
+    val regress = Seq((1L, t(0), t(14), 10.0), (1L, t(4), t(10), 20.0))
+      .toDF("user_id", "ivl_from", "ivl_to", "ivl_val")
+    val e2 = intercept[Exception] {
+      Relational.intervalJoin(facts, regress, validate = true).collect()
+    }
+    assert(messages(e2).exists(_.contains("interval end regresses")), messages(e2).mkString(" | "))
+    // the silent behavior the guard exists for: without validation the
+    // non-conforming input drops the fact an open interval still covers
+    assert(Relational.intervalJoin(
+      facts.withColumn("ts", org.apache.spark.sql.functions.lit(t(12))), regress).count() === 0)
   }
 }
