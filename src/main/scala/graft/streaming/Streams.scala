@@ -113,6 +113,11 @@ object Streams {
     * however long the series runs, which is the whole point of the
     * streaming form.
     *
+    * The bounded-universe assumption is enforceable, not just
+    * documented: set `graft.emaStream.maxKeys` (or pass a cap) and
+    * call [[checkStateBound]] on the running query — it fails loudly
+    * from real state-store metrics when the key universe explodes.
+    *
     * Arithmetic is EmaAggregate's exactly (seed = first value, then
     * y = α·x + (1−α)·y in event-time order), so on in-order arrival
     * the emitted value is bit-equal to the batch fold
@@ -145,6 +150,40 @@ object Streams {
           state.update(st)
           EmaOut(uid, st.lastUs, st.ema)
       }
+  }
+
+  /** Enforce [[emaStream]]'s bounded-key-universe contract. The
+    * operator keeps one 16-byte record per key with NO timeout by
+    * design (eviction would restart idle instruments' EMA), which is
+    * a silent leak if pointed at an unbounded key stream. A
+    * mapGroupsWithState function has no global view of the store, so
+    * the sound enforcement point is the query's own state metrics:
+    * this reads numRowsTotal from the last progress and fails the
+    * driver loudly — stopping the query first — when it exceeds the
+    * cap, mirroring EmaAggregate's buffer cap on the batch side.
+    *
+    * The cap comes from the explicit argument or the
+    * `graft.emaStream.maxKeys` session conf; with neither set the
+    * check is a no-op (contract documented but unenforced). Call it
+    * after processAllAvailable() in harnesses, or periodically /
+    * from a StreamingQueryListener.onQueryProgress in a long-running
+    * driver — progress fires once per micro-batch, so a violation
+    * surfaces within one batch of the explosion.
+    */
+  def checkStateBound(q: org.apache.spark.sql.streaming.StreamingQuery,
+                      maxKeys: Option[Long] = None): Unit = {
+    val cap = maxKeys.orElse(
+      q.sparkSession.conf.getOption("graft.emaStream.maxKeys").map(_.toLong))
+    cap.foreach { mk =>
+      val rows = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+      if (rows > mk) {
+        q.stop()
+        throw new IllegalStateException(
+          s"streaming state holds $rows keys, exceeding maxKeys=$mk: the key universe is not " +
+            "bounded as emaStream's contract assumes — evict with timeouts (see sessionizeStream) " +
+            "or raise graft.emaStream.maxKeys")
+      }
+    }
   }
 
   def sessionizeStream(events: Dataset[SEv], gapMin: Int = 30, watermark: String = "10 minutes"): Dataset[SessionOut] = {

@@ -125,6 +125,34 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("emaStream state guard fires on a key explosion and stays silent on a bounded universe") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.emaStream(mem.toDS(), span = 3)
+    val q = out.writeStream.format("memory").queryName("ema_guard_test").outputMode("update").start()
+    try {
+      // bounded universe: 5 instruments, cap 10 — silent
+      mem.addData((1L to 5L).map(k => Streams.SEv(k, at(0), 1.0)): _*)
+      q.processAllAvailable()
+      Streams.checkStateBound(q, Some(10L))
+      // no cap configured anywhere: no-op even over the cap
+      mem.addData((6L to 50L).map(k => Streams.SEv(k, at(1), 1.0)): _*)
+      q.processAllAvailable()
+      Streams.checkStateBound(q, None)
+      // explosion past the cap (via the session conf): fails loudly
+      spark.conf.set("graft.emaStream.maxKeys", "10")
+      val e = intercept[IllegalStateException] { Streams.checkStateBound(q) }
+      assert(e.getMessage.contains("exceeding maxKeys=10"), e.getMessage)
+      assert(!q.isActive, "the guard must stop the leaking query")
+    } finally {
+      spark.conf.unset("graft.emaStream.maxKeys")
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("cross-batch in-watermark out-of-order event cannot shrink or split a session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
