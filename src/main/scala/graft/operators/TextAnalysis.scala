@@ -118,17 +118,21 @@ object TextAnalysis {
     * window per shard — the cumulative token count is exact integer
     * arithmetic, so the layout is deterministic and engine-identical
     * at any scale or cluster size. PARALLELISM EQUALS nShards (each
-    * shard is one sorted window partition): the fixture default of 8
-    * is for a 500-doc table — at corpus scale set nShards to a few
-    * multiples of the executor-core count (thousands), which also
-    * keeps each shard's sort in-memory.
+    * shard is one sorted window partition): the default derives from
+    * the cluster — defaultParallelism x 4, so a 1000-executor job
+    * packs in thousands of independent shards and each shard's sort
+    * stays in-memory — while oracle-checked/reproducible layouts pin
+    * nShards explicitly (the shard count is part of the layout).
     */
-  def packSequences(documents: DataFrame, window: Int = 256, nShards: Int = 8): DataFrame = {
+  def packSequences(documents: DataFrame, window: Int = 256, nShards: Int = -1): DataFrame = {
+    val shards =
+      if (nShards > 0) nShards
+      else documents.sparkSession.sparkContext.defaultParallelism * 4
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     documents
-      .select(col("doc_id"), pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
         size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
       .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tokens"),

@@ -23,6 +23,13 @@ class TextAnalysisSpec extends AnyFunSuite {
       .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
       .filter($"bin" * 256 + $"offset_in_bin" =!= $"cum")
     assert(chk.count() === 0)
+    // default shard count scales with the cluster, not a constant
+    val auto = TextAnalysis.packSequences(docs, 256)
+    val wantShards = spark.sparkContext.defaultParallelism * 4
+    assert(auto.count() === docs.count())
+    assert(auto.filter($"shard" < 0 || $"shard" >= wantShards).count() === 0)
+    assert(auto.select($"shard").distinct().count() > 8,
+      "auto default should spread wider than the old fixed 8 shards")
   }
 
   test("polarity is bounded in [-1, 1]") {
