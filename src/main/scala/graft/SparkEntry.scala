@@ -406,6 +406,20 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("va", "vb")),
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    // IVF search end-to-end on the driver gate: codegen'd cell
+    // assignment + nprobe probing + exact in-cell cosine rank. The
+    // quantizer is the deterministic SEED (first nlist vectors by
+    // vec_id, zero Lloyd iterations): iterated centroids are float
+    // MEANS, whose partial-sum order differs between engines, so
+    // they cannot be hash-matched bit-exactly — the Lloyd-trained
+    // path keeps its spec coverage (full-probe == brute force,
+    // codegen/HOF bit-identity) in DedupSimilaritySpec instead.
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
+      Similarity.ivfSearch(emb, cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 4)
+        .orderBy("qid", "rnk")
+    }),
 
     // ---- F. streaming (batch equivalents; streaming twins in graft.streaming) --
     "q_windowed_agg" -> ((s, dir) =>
@@ -1758,6 +1772,47 @@ object SparkEntry {
         |)
         |SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // mirrors ivfSearch exactly: seed quantizer = first 16 vectors
+    // (bit-identical float->double casts in both engines), d2 as a
+    // self-dot-product of the difference list (the same sequential
+    // multiply-accumulate list_dot_product is proven to share with
+    // Spark's fold in q_ann_bruteforce), argmin and probe ranked
+    // (d2 ASC, cell ASC), cosine rank (cos DESC, vec_id ASC)
+    "q_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16
+        |), d AS (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d QUALIFY rn = 1
+        |), n AS (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM assigned
+        |), qc AS (
+        |  SELECT vec_id AS qid, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS prb
+        |  FROM d WHERE vec_id < 5 QUALIFY prb <= 4
+        |), scored AS (
+        |  SELECT qc.qid, n.vec_id,
+        |    CASE WHEN qn.nn * n.nn != 0
+        |         THEN list_dot_product(qn.v, n.v) / (qn.nn * n.nn) END AS cos
+        |  FROM qc
+        |  JOIN n ON n.cell = qc.cell
+        |  JOIN n qn ON qn.vec_id = qc.qid
+        |  WHERE n.vec_id != qc.qid
+        |)
+        |SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "q_windowed_agg" ->
       """SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
