@@ -45,6 +45,17 @@ object SparkEntry {
           Tables.lineitem(s, dir), Tables.orders(s, dir),
           Tables.customer(s, dir), Tables.nation(s, dir), "BUILDING")
         .orderBy("nation_name")),
+    "q_shipping_priority" -> ((s, dir) =>
+      Relational
+        .shippingPriority(
+          Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir),
+          "BUILDING", "1998-06-01", 10)
+        .orderBy("rnk")),
+    "q_large_volume_cust" -> ((s, dir) =>
+      Relational
+        .largeVolumeCustomers(
+          Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), 300.0)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)),
     "q_pivot_wide" -> ((s, dir) =>
       Relational
         .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
@@ -493,6 +504,37 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY n_name
         |ORDER BY nation_name""".stripMargin,
+    "q_shipping_priority" ->
+      """WITH agg AS (
+        |  SELECT l_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_orderpriority,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |)
+        |SELECT l_orderkey, order_date, o_orderpriority, revenue,
+        |  row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rnk
+        |FROM agg
+        |QUALIFY rnk <= 10
+        |ORDER BY rnk""".stripMargin,
+    "q_large_volume_cust" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_totalprice, CAST(qty AS DOUBLE) AS order_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,

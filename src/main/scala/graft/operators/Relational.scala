@@ -119,6 +119,65 @@ object Relational {
         count(lit(1)).as("n_lines")
       )
 
+  /** TPC-H Q3-shaped shipping-priority scan: segment-filtered
+    * customers joined to date-bounded orders and lineitems, exact
+    * DECIMAL revenue per order, global top-N. The date cutoffs push
+    * into BOTH fact scans (PushedFilters on o_orderdate AND
+    * l_shipdate — asserted in PlanAuditSpec), the segment filter
+    * prunes customer before its join, and the top-N is
+    * orderBy+limit with a total order (revenue desc, orderkey), so
+    * Spark plans TakeOrderedAndProject — per-partition heaps merged
+    * on the driver, never a single-partition global sort of the
+    * per-order aggregate (which at 100 TB is itself a big table).
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String, cutoff: String, n: Int = 10): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    val c   = customer.filter(col("c_mktsegment") === segment).select("c_custkey")
+    val o   = orders.filter(col("o_orderdate") < cut)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = lineitem.filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money)))
+          .as("rev"))
+    val top = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(n)
+    // rnk over the already-reduced n rows only
+    top
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("revenue").desc, col("l_orderkey").asc)).cast("long"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"), col("revenue"), col("rnk"))
+  }
+
+  /** TPC-H Q18-shaped large-volume customers: orders whose total
+    * line quantity exceeds `minQty`, with their customer. The HAVING
+    * aggregate doubles as the semi-join side AND the quantity
+    * payload: lineitem is scanned ONCE, reduced to one row per
+    * qualifying order (exact DECIMAL sum), and the tiny survivor set
+    * joins orders/customer — where classic Q18 rejoins and
+    * re-aggregates lineitem a second time. AQE broadcasts the
+    * survivor side at runtime.
+    */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                           minQty: Double): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(Money)).as("qty"))
+      .filter(col("qty") > minQty)
+    orders
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_totalprice"), col("qty").cast("double").as("order_qty"))
+  }
+
   /** Wide date x key matrix (the reference's multi-ticker close-price
     * frame): pivot over a FIXED key set so the plan stays static and
     * the shuffle is a single groupBy.

@@ -64,6 +64,27 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("Q3-style topN pushes date cutoffs into BOTH fact scans and avoids a global sort") {
+    val p = planOf("q_shipping_priority")
+    // each date filter must reach its own parquet scan
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"o_orderdate cutoff stopped reaching the orders scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_shipdate[^\\]]*\\].*"),
+      s"l_shipdate cutoff stopped reaching the lineitem scan:\n$p")
+    // the top-10 must be the distributed heap-merge operator, never a
+    // single-partition sort of the whole per-order aggregate
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_shipping_priority lost TakeOrderedAndProject:\n$p")
+  }
+
+  test("Q18-style large-volume query scans lineitem once") {
+    val p = planOf("q_large_volume_cust")
+    // classic Q18 rejoins lineitem to re-aggregate quantities; this
+    // shape carries the HAVING aggregate as the join payload instead
+    val scans = "lineitem\\.parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected exactly one lineitem scan, found $scans:\n$p")
+  }
+
   test("the salted join keeps both sides hash-partitioned (no broadcast fallback)") {
     // the skew remedy only matters when both sides genuinely shuffle;
     // with broadcast disabled the salted plan must be a shuffle join
