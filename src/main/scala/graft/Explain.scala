@@ -17,7 +17,9 @@ object Explain {
         "q_quality_gate", "q_corpus_stats", "q_top_bigrams", "q_ema_fold",
         "q_peer_performance", "q_indicator_trends", "q_risk_snapshot",
         "q_decontaminate", "q_pack_sequences", "q_interval_join",
-        "q_dedup_keep_best", "q_domain_mix", "q_asof_tolerance")
+        "q_dedup_keep_best", "q_domain_mix", "q_asof_tolerance",
+        "q_ann_ivf", "q_shipping_priority", "q_large_volume_cust",
+        "q_approx_distinct", "q_approx_percentiles")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic x`factor` replication of a driver fixture dir, used
+  * ONLY for throughput-scaling measurements (never oracle-checked):
+  * every fact table is replicated with consistent key-space offsets
+  * (rep 0 is the identity, so the scaled dir contains the base dir),
+  * dims (region/nation) pass through, and content columns are
+  * perturbed so replicas do not collapse into degenerate workloads:
+  *
+  *  - document text is token-ROTATED per replica — replicas share a
+  *    vocabulary but almost no shingles, so near-dup candidate
+  *    volume scales ~linearly instead of every replica pairing with
+  *    its original (x factor^2 pairs);
+  *  - embeddings get a small deterministic per-(rep, index) additive
+  *    perturbation for the same reason (a pure scalar multiple would
+  *    keep cosine == 1 with the original);
+  *  - events keep ts as the raw NANOS long the driver writes, so
+  *    Tables.events/eventsRange read the scaled dir unchanged.
+  *
+  * All transforms are closed-form column expressions: the output is
+  * a pure function of (input, factor), reproducible on any run or
+  * cluster, and generation is one narrow scan per table.
+  */
+object GenScale {
+
+  /** Key offset per replica: larger than any base key space. */
+  val Off = 1000000000L
+
+  private def reps(factor: Int) =
+    explode(sequence(lit(0L), lit(factor.toLong - 1))).as("rep")
+
+  private def shift(c: String) = (col(c) + col("rep") * Off).as(c)
+
+  /** Generate `outDir` from `inDir` if not already present (marker
+    * file), returning whether a generation ran.
+    */
+  def ensure(spark: SparkSession, inDir: String, outDir: String, factor: Int): Boolean = {
+    val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
+    val want   = s"factor=$factor from=$inDir\n"
+    // regenerate when the cached dir was built from different inputs
+    if (java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false
+    generate(spark, inDir, outDir, factor)
+    java.nio.file.Files.createDirectories(marker.getParent)
+    java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
+    true
+  }
+
+  def generate(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    def rawEvents = {
+      // ts is TIMESTAMP(NANOS) in the fixture; read it as the raw
+      // long and write it back as a plain int64 — Tables.events'
+      // `ts div 1000` works identically on both
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.load(spark, inDir, "events")
+    }
+
+    // dims pass through
+    write(Tables.region(spark, inDir), "region")
+    write(Tables.nation(spark, inDir), "nation")
+
+    write(
+      Tables.customer(spark, inDir).withColumn("rep", reps(factor))
+        .select(shift("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+      "customer")
+    write(
+      Tables.supplier(spark, inDir).withColumn("rep", reps(factor))
+        .select(shift("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
+      "supplier")
+    write(
+      Tables.part(spark, inDir).withColumn("rep", reps(factor))
+        .select(shift("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
+      "part")
+    write(
+      Tables.orders(spark, inDir).withColumn("rep", reps(factor))
+        .select(shift("o_orderkey"), shift("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
+      "orders")
+    write(
+      Tables.lineitem(spark, inDir).withColumn("rep", reps(factor))
+        .select(shift("l_orderkey"), shift("l_partkey"), shift("l_suppkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
+      "lineitem")
+    write(
+      rawEvents.withColumn("rep", reps(factor))
+        .select(shift("event_id"), col("ts"), shift("user_id"), col("event_type"), col("value"), col("props")),
+      "events")
+    write(
+      Tables.documents(spark, inDir).withColumn("rep", reps(factor))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("r", pmod(col("rep") * 7, greatest(size(col("toks")), lit(1))).cast("int"))
+        .select(
+          shift("doc_id"),
+          array_join(
+            concat(slice(col("toks"), col("r") + 1, size(col("toks")) - col("r")),
+              slice(col("toks"), lit(1), col("r"))), " ").as("text"),
+          col("lang"), col("source"), col("n_chars")),
+      "documents")
+    write(
+      Tables.embeddings(spark, inDir).withColumn("rep", reps(factor))
+        .select(
+          shift("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x + ((pmod(col("rep") * 31 + i * 17, lit(13)) - 6) * 0.01).cast("float")).cast("float"))
+            .as("embedding"),
+          col("label")),
+      "embeddings")
+  }
+
+  /** CLI: GenScale <inDir> <outDir> [factor]. */
+  def main(args: Array[String]): Unit = {
+    val inDir  = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark  = Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    generate(spark, inDir, outDir, factor)
+    println(s"generated $outDir at x$factor from $inDir")
+    spark.stop()
+  }
+}

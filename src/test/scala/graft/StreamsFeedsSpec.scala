@@ -179,6 +179,55 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful twins are state-store-provider agnostic (RocksDB == default HDFS-backed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(h: Int, m: Int) = java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z")
+    // the same multi-batch scenarios the provider-default tests run;
+    // the operators must not depend on the in-memory provider's
+    // semantics (RocksDB is the at-scale store: state spills to disk
+    // instead of growing the executor heap)
+    def runScenarios(): (Set[Streams.SessionOut], Double) = {
+      val smem = MemoryStream[Streams.SEv]
+      val sq1 = Streams.sessionizeStream(smem.toDS(), gapMin = 30, watermark = "1 minute")
+        .writeStream.format("memory").queryName("rocks_sess").outputMode("append").start()
+      try {
+        smem.addData(Streams.SEv(1L, at(10, 0), 1.0), Streams.SEv(1L, at(10, 5), 2.0), Streams.SEv(2L, at(10, 0), 7.0))
+        sq1.processAllAvailable()
+        smem.addData(Streams.SEv(1L, at(12, 0), 3.0))
+        sq1.processAllAvailable()
+      } finally sq1.stop()
+      val emem = MemoryStream[Streams.SEv]
+      val eq = Streams.emaStream(emem.toDS(), span = 3, watermark = "0 seconds")
+        .writeStream.format("memory").queryName("rocks_ema").outputMode("update").start()
+      try {
+        emem.addData(Streams.SEv(1L, at(10, 0), 10.0), Streams.SEv(1L, at(10, 1), 20.0))
+        eq.processAllAvailable()
+        emem.addData(Streams.SEv(1L, at(10, 2), 30.0))
+        eq.processAllAvailable()
+      } finally eq.stop()
+      (spark.table("rocks_sess").as[Streams.SessionOut].collect().toSet,
+        spark.table("rocks_ema").as[Streams.EmaOut].collect().maxBy(_.ts_us).ema)
+    }
+    val conf = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(conf)
+    spark.conf.set(conf,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (sessions, ema) = runScenarios()
+      assert(sessions === Set(
+        Streams.SessionOut(1L, at(10, 0).toEpochMilli * 1000, at(10, 5).toEpochMilli * 1000, 2L, 3.0),
+        Streams.SessionOut(2L, at(10, 0).toEpochMilli * 1000, at(10, 0).toEpochMilli * 1000, 1L, 7.0)))
+      assert(ema === 22.5) // alpha=0.5: 10 -> 15 -> 22.5, bit-exact on RocksDB too
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(conf, v)
+        case None    => spark.conf.unset(conf)
+      }
+    }
+  }
+
   test("watermark drops late events in append mode") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
