@@ -117,16 +117,28 @@ object Bench {
         return "{}"
     }
     def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
+    // wall-clock budget for the whole section: a query that has gone
+    // pathological at x10 must not eat the driver's bench run. A
+    // skipped query is REPORTED skipped — a silently missing cell
+    // would read as covered
+    val budget  = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "300").toDouble
+    val started = System.nanoTime()
+    def elapsed = (System.nanoTime() - started) / 1e9
     val cells = ScaleQueries.filter(baseTimes.contains).map { name =>
-      val t0 = System.nanoTime()
-      val t =
-        try { SparkEntry.queries(name)(spark, scaleDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable => System.err.println(s"[bench] scale $name failed: ${e.getMessage}"); -1.0 }
-      val base  = baseTimes(name)
-      val ratio = if (t > 0 && base > 0) t / base else -1.0
-      "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + "}"
+      val base = baseTimes(name)
+      if (elapsed > budget) {
+        System.err.println(s"[bench] scale $name skipped: section budget ${budget}s exhausted")
+        "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"skipped\":true}"
+      } else {
+        val t0 = System.nanoTime()
+        val t =
+          try { SparkEntry.queries(name)(spark, scaleDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable => System.err.println(s"[bench] scale $name failed: ${e.getMessage}"); -1.0 }
+        val ratio = if (t > 0 && base > 0) t / base else -1.0
+        "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + "}"
+      }
     }
-    s"""{"factor":$factor,"dir":"$scaleDir","queries":${cells.mkString("{", ",", "}")}}"""
+    s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"queries":${cells.mkString("{", ",", "}")}}"""
   }
 
   /** IVF cell-assignment throughput: the codegen'd IvfAssign
