@@ -238,6 +238,18 @@ object SparkEntry {
     // engine-deterministic within-bound booleans (oracle says TRUE)
     "q_approx_distinct" -> ((s, dir) =>
       Stats.approxDistinctChecked(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    // the incremental 100 TB sketch pattern (per-shard HLL -> union)
+    // on the driver gate, same checked-twin design
+    "q_sketch_merge" -> ((s, dir) =>
+      Stats.sketchMergeChecked(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
+    // the skew remedy's RESULT equivalence on the driver gate (the
+    // bench's skew section carries its throughput story)
+    "q_salted_join" -> ((s, dir) =>
+      Relational
+        .saltedJoin(Tables.lineitem(s, dir), Tables.orders(s, dir),
+          "l_orderkey", "o_orderkey", "l_partkey", 8)
+        .select(col("l_orderkey"), col("l_linenumber"), col("o_totalprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "q_approx_percentiles" -> ((s, dir) =>
       Stats.approxPercentilesChecked(Tables.events(s, dir)).orderBy("event_type")),
     "q_ema_fold" -> ((s, dir) =>
@@ -363,6 +375,11 @@ object SparkEntry {
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    // the adversarial-diameter fallback on the driver gate: identical
+    // output contract to clusters(), same recursive-CTE oracle
+    "q_dedup_clusters_bigstar" -> ((s, dir) =>
+      Dedup.clustersBigStar(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
     "q_corpus_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dropNearDuplicates(docs, Dedup.minhashLshCandidatesFast(docs))
@@ -455,7 +472,14 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    // big-star emits the identical (doc_id, cluster_id) contract as
+    // min-label propagation — one oracle, two implementations checked
+    base + ("q_dedup_clusters_bigstar" -> base("q_dedup_clusters"))
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -766,6 +790,15 @@ object SparkEntry {
         |  TRUE AS orders_within_bound,
         |  TRUE AS suppliers_within_bound
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_sketch_merge" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  TRUE AS merge_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_salted_join" ->
+      """SELECT l_orderkey, l_linenumber, o_totalprice
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_approx_percentiles" ->
       """SELECT event_type,
         |  round(quantile_cont(value, 0.25), 6) AS p25_exact,

@@ -164,6 +164,25 @@ object Stats {
       .groupBy(col("l_returnflag"))
       .agg(hll_sketch_estimate(hll_union_agg(col("orders_sketch"))).as("n_orders_est"))
 
+  /** Oracle-checkable face of the shard-sketch-merge pattern, same
+    * design as [[approxDistinctChecked]]: the exact count is
+    * hash-matched, and the shard-union estimate's accuracy is an
+    * engine-deterministic boolean the oracle asserts TRUE (HLL
+    * registers are per-value hashes combined by max — insertion- and
+    * merge-order independent, so the estimate is a pure function of
+    * the data and shard rule).
+    */
+  def sketchMergeChecked(lineitem: DataFrame, nShards: Int = 8): DataFrame = {
+    val merged = mergeSketches(sketchDistinctByShard(lineitem, nShards))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+      .join(merged, "l_returnflag")
+      .select(col("l_returnflag"), col("n_orders"),
+        (abs(col("n_orders_est") - col("n_orders")) <= col("n_orders") * 0.1)
+          .as("merge_within_bound"))
+  }
+
   /** Exact distinct counts per group (two-level partial-distinct
     * aggregation; HLL for the approximate path at scale).
     */
