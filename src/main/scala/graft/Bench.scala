@@ -214,33 +214,49 @@ object Bench {
     def work(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
       df.select(col("rowkey"),
         (1 to 6).foldLeft(concat(col("w"), col("rowkey").cast("string")))((c, _) => md5(c)).as("h"))
-    def once(f: () => org.apache.spark.sql.DataFrame): Double = {
+    // per-cell conf overrides, reverted after each run: the
+    // aqe_tuned cell answers "would AQE's skew-join make the manual
+    // salt unnecessary?" with measurements instead of doctrine —
+    // default AQE skew handling is ALREADY on in the plain cell
+    // (Session enables it), so the tuned cell lowers the skew
+    // detection thresholds as far as they go
+    val aqeTuned = Map(
+      "spark.sql.adaptive.skewJoin.enabled"                         -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor"           -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "8m",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin"                  -> "true")
+    def once(f: () => org.apache.spark.sql.DataFrame, confs: Map[String, String]): Double = {
+      val prevC = confs.keys.map(k => k -> spark.conf.get(k)).toMap
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
       // same failure convention as the sweep: a broken cell reads
       // -1.0 instead of aborting the whole bench with no JSON emitted
       val t0 = System.nanoTime()
       try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
       catch { case e: Throwable => System.err.println(s"[bench] skew cell failed: ${e.getMessage}"); -1.0 }
+      finally prevC.foreach { case (k, v) => spark.conf.set(k, v) }
     }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val cells: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
-        "plain_skewed"   -> (() => work(skewed.join(dim, col("k") === col("dk")))),
-        "salted_skewed"  -> (() => work(graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", "rowkey", 16))),
-        "plain_uniform"  -> (() => work(uniform.join(dim, col("k") === col("dk")))),
-        "salted_uniform" -> (() => work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16))))
+      val cells: Seq[(String, () => org.apache.spark.sql.DataFrame, Map[String, String])] = Seq(
+        ("plain_skewed", () => work(skewed.join(dim, col("k") === col("dk"))), Map.empty),
+        ("aqe_tuned_skewed", () => work(skewed.join(dim, col("k") === col("dk"))), aqeTuned),
+        ("salted_skewed", () => work(graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", "rowkey", 16)), Map.empty),
+        ("plain_uniform", () => work(uniform.join(dim, col("k") === col("dk"))), Map.empty),
+        ("salted_uniform", () => work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16)), Map.empty))
       // rep-major order: every rep visits every cell before any cell
       // sees its next rep, so a transient slowdown is spread across
       // cells instead of poisoning one cell's entire min-of-N
       val runs: Map[String, Seq[Double]] =
-        (1 to reps).flatMap(_ => cells.map { case (n, f) => n -> once(f) })
+        (1 to reps).flatMap(_ => cells.map { case (n, f, c) => n -> once(f, c) })
           .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
       def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
       def minOf(n: String): String = {
         val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
       }
-      val mins    = cells.map { case (n, _) => "\"" + n + "\":" + minOf(n) }.mkString(",")
-      val repJson = cells.map { case (n, _) =>
+      val mins    = cells.map { case (n, _, _) => "\"" + n + "\":" + minOf(n) }.mkString(",")
+      val repJson = cells.map { case (n, _, _) =>
         "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
       }.mkString("{", ",", "}")
       s"""{$mins,"reps":$repJson}"""
