@@ -380,6 +380,8 @@ object SparkEntry {
     "q_dedup_clusters_bigstar" -> ((s, dir) =>
       Dedup.clustersBigStar(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
         .orderBy("doc_id")),
+    "q_repeated_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(Tables.documents(s, dir)).orderBy("span_fp")),
     "q_corpus_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dropNearDuplicates(docs, Dedup.minhashLshCandidatesFast(docs))
@@ -1665,6 +1667,17 @@ object SparkEntry {
         |SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         |FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
         |ORDER BY da, db""".stripMargin,
+    "q_repeated_spans" ->
+      """WITH sp AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS span
+        |  FROM documents
+        |)
+        |SELECT md5(span) AS span_fp, min(span) AS span,
+        |  count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM sp GROUP BY md5(span) HAVING count(*) >= 2
+        |ORDER BY span_fp""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id,

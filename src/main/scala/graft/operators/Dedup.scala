@@ -238,6 +238,26 @@ object Dedup {
         col("n_copies"))
   }
 
+  /** Cross-document repeated n-token spans — the sub-document dedup
+    * granularity of the C4/RefinedWeb family ("remove spans seen in
+    * more than one document"): whole-doc dedup misses boilerplate
+    * shared by otherwise-distinct pages; this inventories it. One
+    * shuffle: per-doc DISTINCT spans explode in the scan stage
+    * (zip_with n-gram builder, no raw-token shuffle), then a
+    * fingerprint groupBy counts the documents carrying each span.
+    * Group keys are md5 fingerprints (fixed 32 bytes however long
+    * the span); the span text rides along as min() so the output is
+    * deterministic.
+    */
+  def repeatedSpans(documents: DataFrame, n: Int = 3, minDocs: Int = 2): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextFunctions.ngrams(split(lower(col("text")), " "), n)))
+          .as("span"))
+      .groupBy(md5(col("span")).as("span_fp"))
+      .agg(min(col("span")).as("span"), count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= minDocs)
+
   /** Connected components over near-dup candidate pairs — the last
     * step of a real dedup pass: pairs -> clusters -> one canonical
     * doc (the min id) per cluster. Min-label propagation: each

@@ -122,6 +122,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(a.nonEmpty && a === b)
   }
 
+  test("repeatedSpans finds cross-document spans whole-doc dedup cannot see") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val spans = Dedup.repeatedSpans(docs, n = 3, minDocs = 2)
+    assert(spans.count() > 0)
+    assert(spans.filter($"n_docs" < 2).count() === 0)
+    // first_doc really carries the span (re-derive that doc's 3-grams)
+    val tok = graft.functions.TextFunctions
+    val docSpans = docs.select($"doc_id".as("first_doc"),
+      explode(array_distinct(tok.ngrams(split(lower($"text"), " "), 3))).as("span"))
+    assert(spans.join(docSpans, Seq("first_doc", "span"), "left_anti").count() === 0)
+    // the granularity claim: these docs are NOT exact duplicates of
+    // each other, yet they share spans — doc-level dedup keeps both
+    val exactDupDocs = docs.groupBy(md5($"text")).count().filter($"count" > 1).count()
+    assert(exactDupDocs === 0 || spans.count() > exactDupDocs)
+  }
+
   test("brute-force topk returns k ranked neighbors per query") {
     import spark.implicits._
     val topk = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L), 5)
