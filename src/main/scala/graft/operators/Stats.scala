@@ -98,20 +98,31 @@ object Stats {
     * emits literal TRUE, and a sketch regression flips a flag and
     * fails the hash match instead of hiding behind "approx".
     */
-  def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
-    lineitem
+  def approxDistinctChecked(lineitem: DataFrame, rsd: Double = 0.02): DataFrame = {
+    // two aggregates joined on the tiny group key, NOT one: mixing
+    // countDistinct with the HLLs in a single agg makes Catalyst
+    // expand every row once per distinct column (measured ~4x the
+    // cost in the sweep); separately, the sketch pass is a plain
+    // single-scan agg and the exact pass is the standard
+    // partial-distinct shape
+    val approx = lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd).as("orders_approx"),
+        approx_count_distinct(col("l_suppkey"), rsd).as("suppliers_approx"))
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(
         countDistinct(col("l_orderkey")).as("n_orders"),
-        approx_count_distinct(col("l_suppkey"), rsd).as("suppliers_approx"),
         countDistinct(col("l_suppkey")).as("n_suppliers"))
+      .join(approx, "l_returnflag")
       .select(
         col("l_returnflag"), col("n_orders"), col("n_suppliers"),
         (abs(col("orders_approx") - col("n_orders")) <= col("n_orders") * (3 * rsd))
           .as("orders_within_bound"),
         (abs(col("suppliers_approx") - col("n_suppliers")) <= col("n_suppliers") * (3 * rsd))
           .as("suppliers_within_bound"))
+  }
 
   /** Oracle-checkable twin of [[approxPercentiles]]: emits the exact
     * interpolated quantiles (hash-matched) plus rank-error flags for
