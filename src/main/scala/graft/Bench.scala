@@ -9,6 +9,18 @@ import org.apache.spark.sql.SparkSession
   * Catalyst prune the work away).
   */
 object Bench {
+
+  // 4dp is ample timing resolution and keeps the stdout line short
+  // enough that tail-capture truncation stays unlikely; -1.0 is the
+  // shared broken-cell sentinel — one definition so the failure
+  // convention and precision cannot drift between bench sections
+  private def fmtD(v: Double): String =
+    if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
+
+  private def minOf(runs: Map[String, Seq[Double]], n: String): String = {
+    val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -65,12 +77,9 @@ object Bench {
       case None      => only.isEmpty
     }
     val scale = if (runScale) scaleBench(spark, sfDir, results.toMap) else "{}"
-    // 4dp is ample timing resolution and keeps the stdout line short
-    // enough that tail-capture truncation stays unlikely
-    def fmt(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
-    val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmtD(v) }.mkString("{", ",", "}")
     val total   = results.map(_._2).filter(_ >= 0).sum
-    val line    = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"skew":$skew,"ivf":$ivf,"scale":$scale,"sf":"$sfDir"}"""
+    val line    = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","queries":$qs,"skew":$skew,"ivf":$ivf,"scale":$scale,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the stdout capture has been truncated
     // mid-JSON by the harness before — the on-disk copy is the
@@ -116,7 +125,6 @@ object Bench {
         System.err.println(s"[bench] scale generation failed: ${e.getMessage}")
         return "{}"
     }
-    def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
     // wall-clock budget for the whole section: a query that has gone
     // pathological at x10 must not eat the driver's bench run. A
     // skipped query is REPORTED skipped — a silently missing cell
@@ -171,14 +179,10 @@ object Bench {
     val runs: Map[String, Seq[Double]] =
       (1 to reps).flatMap(_ => cells.map { case (n, f) => n -> once(f) })
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
-    def minOf(n: String): String = {
-      val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
-    }
     val repJson = cells.map { case (n, _) =>
       "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    s"""{"codegen":${minOf("codegen")},"interpreted":${minOf("interpreted")},"rows":$rows,"reps":$repJson}"""
+    s"""{"codegen":${minOf(runs, "codegen")},"interpreted":${minOf(runs, "interpreted")},"rows":$rows,"reps":$repJson}"""
   }
 
   /** Skew demonstration: the same shuffle join on a pathological key
@@ -251,11 +255,7 @@ object Bench {
       val runs: Map[String, Seq[Double]] =
         (1 to reps).flatMap(_ => cells.map { case (n, f, c) => n -> once(f, c) })
           .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-      def fmtD(v: Double): String = if (v < 0) "-1.0" else (math.rint(v * 10000) / 10000).toString
-      def minOf(n: String): String = {
-        val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
-      }
-      val mins    = cells.map { case (n, _, _) => "\"" + n + "\":" + minOf(n) }.mkString(",")
+      val mins    = cells.map { case (n, _, _) => "\"" + n + "\":" + minOf(runs, n) }.mkString(",")
       val repJson = cells.map { case (n, _, _) =>
         "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
       }.mkString("{", ",", "}")

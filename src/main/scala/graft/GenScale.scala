@@ -39,8 +39,17 @@ object GenScale {
     */
   def ensure(spark: SparkSession, inDir: String, outDir: String, factor: Int): Boolean = {
     val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
-    val want   = s"factor=$factor from=$inDir\n"
-    // regenerate when the cached dir was built from different inputs
+    // the marker fingerprints the base fixture's CONTENT (row count +
+    // lineitem footprint), not just its path: a regenerated fixture
+    // at the same path must invalidate the cache, or the scale
+    // section would divide new base times by stale scaled times
+    val liFiles = new java.io.File(s"$inDir/lineitem.parquet")
+    val fp =
+      if (liFiles.isFile) liFiles.length()
+      else if (liFiles.isDirectory)
+        liFiles.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      else Tables.lineitem(spark, inDir).count()
+    val want = s"factor=$factor from=$inDir fp=$fp\n"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false
     generate(spark, inDir, outDir, factor)
@@ -107,8 +116,12 @@ object GenScale {
       Tables.embeddings(spark, inDir).withColumn("rep", reps(factor))
         .select(
           shift("vec_id"),
+          // least(rep, 1) zeroes the perturbation at rep 0 so the
+          // scaled dir genuinely CONTAINS the base dir (the doc
+          // rotation is already identity at rep 0: r = 0)
           transform(col("embedding"), (x, i) =>
-            (x + ((pmod(col("rep") * 31 + i * 17, lit(13)) - 6) * 0.01).cast("float")).cast("float"))
+            (x + (least(col("rep"), lit(1L)) *
+              (pmod(col("rep") * 31 + i * 17, lit(13)) - 6) * 0.01).cast("float")).cast("float"))
             .as("embedding"),
           col("label")),
       "embeddings")

@@ -127,21 +127,30 @@ object Stats {
   /** Oracle-checkable twin of [[approxPercentiles]]: emits the exact
     * interpolated quantiles (hash-matched) plus rank-error flags for
     * the Greenwald-Khanna approximation. percentile_approx guarantees
-    * the returned value's RANK is within n/accuracy of the target
-    * rank, so the check computes the realized rank fraction of each
-    * approximate value (an exact integer count — engine-stable) and
-    * asserts |rank - q| <= 1/accuracy + 2/n, the guarantee plus the
-    * discreteness slack of a finite group.
+    * SOME rank of the returned value lies within n/accuracy of the
+    * target rank; a duplicated value occupies the whole rank interval
+    * [count(<v)+1, count(<=v)], so the check asserts that INTERVAL
+    * intersects [q-eps, q+eps] (+2/n discreteness slack) — a
+    * one-sided count(<=v)/n test would overstate the realized rank on
+    * tie-heavy data and false-flag an in-contract answer. Counts are
+    * exact integers, so the flags are engine-stable.
     */
   def approxPercentilesChecked(events: DataFrame, accuracy: Int = 10000): DataFrame = {
     val eps = 1.0 / accuracy
+    def ok(q: Double, lt: org.apache.spark.sql.Column, le: org.apache.spark.sql.Column,
+           n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lt / n <= lit(q) + lit(eps) + lit(2.0) / n) &&
+        (le / n >= lit(q) - lit(eps) - lit(2.0) / n)
     events
       .join(broadcast(approxPercentiles(events, accuracy)), "event_type")
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
+        sum((col("value") < col("p25")).cast("long")).as("lt25"),
         sum((col("value") <= col("p25")).cast("long")).as("le25"),
+        sum((col("value") < col("p50")).cast("long")).as("lt50"),
         sum((col("value") <= col("p50")).cast("long")).as("le50"),
+        sum((col("value") < col("p90")).cast("long")).as("lt90"),
         sum((col("value") <= col("p90")).cast("long")).as("le90"),
         percentile(col("value"), lit(Array(0.25, 0.5, 0.9))).as("qs"))
       .select(
@@ -149,9 +158,9 @@ object Stats {
         round(element_at(col("qs"), 1), 6).as("p25_exact"),
         round(element_at(col("qs"), 2), 6).as("p50_exact"),
         round(element_at(col("qs"), 3), 6).as("p90_exact"),
-        (abs(col("le25") / col("n") - 0.25) <= lit(eps) + lit(2.0) / col("n")).as("p25_within_bound"),
-        (abs(col("le50") / col("n") - 0.50) <= lit(eps) + lit(2.0) / col("n")).as("p50_within_bound"),
-        (abs(col("le90") / col("n") - 0.90) <= lit(eps) + lit(2.0) / col("n")).as("p90_within_bound"))
+        ok(0.25, col("lt25"), col("le25"), col("n")).as("p25_within_bound"),
+        ok(0.50, col("lt50"), col("le50"), col("n")).as("p50_within_bound"),
+        ok(0.90, col("lt90"), col("le90"), col("n")).as("p90_within_bound"))
   }
 
   /** The incremental half of the sketch story: per-shard DataSketches

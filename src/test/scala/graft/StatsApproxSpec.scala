@@ -58,6 +58,20 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(pm === 0)
   }
 
+  test("rank-interval bound holds on tie-heavy data where a one-sided count would false-flag") {
+    import spark.implicits._
+    // 40% of rows share the minimum value, so percentile_approx(0.25)
+    // legitimately returns it and count(<=v)/n = 0.40: a one-sided
+    // rank check reads that as a 15pp error and false-flags an
+    // in-contract answer; the interval check sees the value's rank
+    // RANGE [0, 0.40] covering 0.25 and passes
+    val vals = Seq.fill(400)(1.0) ++ (1 to 600).map(i => 1.0 + i / 100.0)
+    val df   = vals.map(v => ("tie", v)).toDF("event_type", "value")
+    val out  = Stats.approxPercentilesChecked(df)
+    assert(out.filter(!$"p25_within_bound" || !$"p50_within_bound" || !$"p90_within_bound")
+      .count() === 0)
+  }
+
   test("t-digest percentiles land near exact quantiles") {
     import spark.implicits._
     val ev    = Tables.events(spark, sf)

@@ -28,8 +28,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     val wantShards = spark.sparkContext.defaultParallelism * 4
     assert(auto.count() === docs.count())
     assert(auto.filter($"shard" < 0 || $"shard" >= wantShards).count() === 0)
-    assert(auto.select($"shard").distinct().count() > 8,
-      "auto default should spread wider than the old fixed 8 shards")
+    // on a tiny runner (defaultParallelism <= 2) the auto default is
+    // legitimately <= 8 — only assert the wider spread when the
+    // derived count actually exceeds the old fixed 8
+    if (wantShards > 8 && docs.count() >= wantShards)
+      assert(auto.select($"shard").distinct().count() > 8,
+        "auto default should spread wider than the old fixed 8 shards")
   }
 
   test("polarity is bounded in [-1, 1]") {
