@@ -39,16 +39,23 @@ object GenScale {
     */
   def ensure(spark: SparkSession, inDir: String, outDir: String, factor: Int): Boolean = {
     val marker = java.nio.file.Paths.get(outDir, "_GRAFT_SCALE_OK")
-    // the marker fingerprints the base fixture's CONTENT (row count +
-    // lineitem footprint), not just its path: a regenerated fixture
+    // the marker fingerprints the base fixture's CONTENT (per-table
+    // parquet footprints), not just its path: a regenerated fixture
     // at the same path must invalidate the cache, or the scale
-    // section would divide new base times by stale scaled times
-    val liFiles = new java.io.File(s"$inDir/lineitem.parquet")
-    val fp =
-      if (liFiles.isFile) liFiles.length()
-      else if (liFiles.isDirectory)
-        liFiles.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
-      else Tables.lineitem(spark, inDir).count()
+    // section would divide new base times by stale scaled times.
+    // EVERY replicated table participates — a regeneration that
+    // changes documents/events/embeddings but leaves lineitem the
+    // same size must still invalidate
+    def footprint(table: String): Long = {
+      val f = new java.io.File(s"$inDir/$table.parquet")
+      if (f.isFile) f.length()
+      else if (f.isDirectory)
+        f.listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      else -1L
+    }
+    val fp = Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings")
+      .map(t => s"$t=${footprint(t)}").mkString(",")
     val want = s"factor=$factor from=$inDir fp=$fp\n"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false

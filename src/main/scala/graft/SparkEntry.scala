@@ -405,14 +405,22 @@ object SparkEntry {
     "q_redact_pii" -> ((s, dir) => {
       import graft.functions.ParseFunctions.redactPii
       val k = col("o_orderkey")
-      // synthesize contact-card strings so the scrub has real targets
+      // synthesize contact-card strings so the scrub has real
+      // targets. Card digits derive from kid = key mod 1e9 (the
+      // pre-offset id under GenScale's +rep*1e9 replica shift, and
+      // the identity on any driver fixture), NOT the raw key: the
+      // synthesized per-row text must keep a key-magnitude-
+      // independent length, or a scaled fixture would inflate the
+      // regex work per row and the scale bench would measure the
+      // fixture instead of the operator
+      val kid = k % GenScale.Off
       val messy = Tables.orders(s, dir).select(
         k,
         concat(
-          lit("order "), k.cast("string"),
-          lit(" contact user"), (k % 97).cast("string"), lit("@mail"), (k % 7).cast("string"), lit(".com"),
-          lit(" ph +"), (k % 9 + 1).cast("string"), lit("-"), (k % 900 + 100).cast("string"), lit("-"), (k % 9000 + 1000).cast("string"),
-          lit(" acct "), (k * 137 + 10000000).cast("string")).as("contact"))
+          lit("order "), kid.cast("string"),
+          lit(" contact user"), (kid % 97).cast("string"), lit("@mail"), (kid % 7).cast("string"), lit(".com"),
+          lit(" ph +"), (kid % 9 + 1).cast("string"), lit("-"), (kid % 900 + 100).cast("string"), lit("-"), (kid % 9000 + 1000).cast("string"),
+          lit(" acct "), (kid * 137 + 10000000).cast("string")).as("contact"))
       messy.select(k, col("contact"), redactPii(col("contact")).as("redacted"))
         .orderBy("o_orderkey")
     }),
@@ -609,12 +617,15 @@ object SparkEntry {
         |FROM m ORDER BY o_orderkey""".stripMargin,
     "q_redact_pii" ->
       """WITH m AS (
-        |  SELECT o_orderkey,
-        |    'order ' || CAST(o_orderkey AS VARCHAR) ||
-        |    ' contact user' || CAST(o_orderkey % 97 AS VARCHAR) || '@mail' || CAST(o_orderkey % 7 AS VARCHAR) || '.com' ||
-        |    ' ph +' || CAST(o_orderkey % 9 + 1 AS VARCHAR) || '-' || CAST(o_orderkey % 900 + 100 AS VARCHAR) || '-' || CAST(o_orderkey % 9000 + 1000 AS VARCHAR) ||
-        |    ' acct ' || CAST(o_orderkey * 137 + 10000000 AS VARCHAR) AS contact
+        |  SELECT o_orderkey, o_orderkey % 1000000000 AS kid
         |  FROM orders
+        |), c AS (
+        |  SELECT o_orderkey,
+        |    'order ' || CAST(kid AS VARCHAR) ||
+        |    ' contact user' || CAST(kid % 97 AS VARCHAR) || '@mail' || CAST(kid % 7 AS VARCHAR) || '.com' ||
+        |    ' ph +' || CAST(kid % 9 + 1 AS VARCHAR) || '-' || CAST(kid % 900 + 100 AS VARCHAR) || '-' || CAST(kid % 9000 + 1000 AS VARCHAR) ||
+        |    ' acct ' || CAST(kid * 137 + 10000000 AS VARCHAR) AS contact
+        |  FROM m
         |)
         |SELECT o_orderkey, contact,
         |  regexp_replace(
@@ -622,7 +633,7 @@ object SparkEntry {
         |      regexp_replace(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |      '\+?[0-9]{1,3}[- .][0-9]{3}[- .][0-9]{4}', '<PHONE>', 'g'),
         |    '[0-9]{8,}', '<ID>', 'g') AS redacted
-        |FROM m ORDER BY o_orderkey""".stripMargin,
+        |FROM c ORDER BY o_orderkey""".stripMargin,
     "q_rag_pipeline" ->
       """WITH chunks AS (
         |  SELECT doc_id, off // 80 AS chunk_id, substr(text, CAST(off AS INT) + 1, 100) AS chunk
@@ -1861,7 +1872,10 @@ object SparkEntry {
         |SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     // mirrors ivfSearch exactly: seed quantizer = first 16 vectors
-    // (bit-identical float->double casts in both engines), d2 as a
+    // BY RANK (row_number over vec_id, cell = rank - 1 — the same
+    // orderBy/limit + positional-id semantics as ivfTrain, so the
+    // mirror holds even if vec_ids stop being contiguous from 0),
+    // bit-identical float->double casts in both engines, d2 as a
     // self-dot-product of the difference list (the same sequential
     // multiply-accumulate list_dot_product is proven to share with
     // Spark's fold in q_ann_bruteforce), argmin and probe ranked
@@ -1870,7 +1884,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), cents AS (
-        |  SELECT vec_id AS cell, v AS c FROM e WHERE vec_id < 16
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16
         |), d AS (
         |  SELECT e.vec_id, e.v, cents.cell,
         |    list_dot_product(
@@ -1886,7 +1901,7 @@ object SparkEntry {
         |), qc AS (
         |  SELECT vec_id AS qid, cell,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS prb
-        |  FROM d WHERE vec_id < 5 QUALIFY prb <= 4
+        |  FROM d WHERE vec_id IN (0, 1, 2, 3, 4) QUALIFY prb <= 4
         |), scored AS (
         |  SELECT qc.qid, n.vec_id,
         |    CASE WHEN qn.nn * n.nn != 0
