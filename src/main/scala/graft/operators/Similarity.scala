@@ -55,12 +55,20 @@ object Similarity {
     * cross-joined, and each pair of blocks scanned in a tight loop.
     * Dot/norm accumulation is sequential in element order, so
     * results are bit-identical to a sequential oracle.
+    *
+    * Quadratic in VECTORS by declared semantics (the exact sweep a
+    * bounded corpus slice or re-ranking stage wants; LSH/IVF are the
+    * open-ended paths). Set `graft.pairSweep.maxKeys` to turn a
+    * misrouted unbounded input into an immediate error instead of an
+    * O(n²) job ([[Guards.checkPairKeyCap]]).
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, blockSize: Int = 512): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val blocks = embeddings
+    val vecs = embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    Guards.checkPairKeyCap(vecs.select(col("vec_id")), "cosineNearDupPairs")
+    val blocks = vecs
       .withColumn("blk", (col("vec_id") / blockSize).cast("long"))
       .groupBy("blk")
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
@@ -153,6 +161,7 @@ object Similarity {
 
   /** Public column form of the IVF cell assignment. */
   def ivfAssignCol(v: Column, cents: Array[(Int, Array[Double])]): Column = {
+    require(cents.nonEmpty, "ivfAssign: centroid table is empty — train or seed a quantizer first")
     val sorted = cents.sortBy(_._1)
     require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
       "ivfAssign: centroid ids must be contiguous from 0 (positional cell ids)")

@@ -105,17 +105,20 @@ object Stats {
     // cost in the sweep); separately, the sketch pass is a plain
     // single-scan agg and the exact pass is the standard
     // partial-distinct shape
+    // null-safe join key (<=>): the single-scan oracle keeps a
+    // NULL-key group, so an inner equi-join would silently drop it
     val approx = lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey"), rsd).as("orders_approx"),
         approx_count_distinct(col("l_suppkey"), rsd).as("suppliers_approx"))
+      .withColumnRenamed("l_returnflag", "rf_approx")
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("n_orders"),
         countDistinct(col("l_suppkey")).as("n_suppliers"))
-      .join(approx, "l_returnflag")
+      .join(approx, col("l_returnflag") <=> col("rf_approx"))
       .select(
         col("l_returnflag"), col("n_orders"), col("n_suppliers"),
         (abs(col("orders_approx") - col("n_orders")) <= col("n_orders") * (3 * rsd))
@@ -141,8 +144,12 @@ object Stats {
            n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       (lt / n <= lit(q) + lit(eps) + lit(2.0) / n) &&
         (le / n >= lit(q) - lit(eps) - lit(2.0) / n)
+    // null-safe join key (<=>): a NULL event_type group must survive
+    // the broadcast join as it would the oracle's single scan
     events
-      .join(broadcast(approxPercentiles(events, accuracy)), "event_type")
+      .join(
+        broadcast(approxPercentiles(events, accuracy).withColumnRenamed("event_type", "et_approx")),
+        col("event_type") <=> col("et_approx"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
@@ -193,11 +200,13 @@ object Stats {
     * the data and shard rule).
     */
   def sketchMergeChecked(lineitem: DataFrame, nShards: Int = 8): DataFrame = {
+    // null-safe join key (<=>), same rationale as approxDistinctChecked
     val merged = mergeSketches(sketchDistinctByShard(lineitem, nShards))
+      .withColumnRenamed("l_returnflag", "rf_merged")
     lineitem
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n_orders"))
-      .join(merged, "l_returnflag")
+      .join(merged, col("l_returnflag") <=> col("rf_merged"))
       .select(col("l_returnflag"), col("n_orders"),
         (abs(col("n_orders_est") - col("n_orders")) <= col("n_orders") * 0.1)
           .as("merge_within_bound"))

@@ -527,6 +527,11 @@ object TimeSeries {
     * (14s -> ~1s at sf0.1 with 1500 keys). Closed-form corr from
     * sums, identical expression in the oracle; round semantics
     * mirror Spark's round() (HALF_UP).
+    *
+    * Quadratic in KEYS by declared semantics — a bounded instrument
+    * panel, not an open-ended key stream. Set
+    * `graft.pairSweep.maxKeys` to enforce that contract loudly
+    * ([[Guards.checkPairKeyCap]]).
     */
   def correlationMatrix(df: DataFrame, blockSize: Int = 64, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val spark = df.sparkSession
@@ -543,6 +548,7 @@ object TimeSeries {
         transform(col("sv"), s => s("slot")).as("slots"),
         transform(col("sv"), s => s("ret")).as("vals"))
       .withColumn("blk", (col("k") / blockSize).cast("long"))
+    Guards.checkPairKeyCap(vecs.select(col("k")), "correlationMatrix")
     val blocks = vecs.groupBy("blk")
       .agg(collect_list(struct(col("k"), col("slots"), col("vals"))).as("vs"))
     val pairsOfBlocks = blocks.as("x")

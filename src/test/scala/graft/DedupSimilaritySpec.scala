@@ -8,6 +8,27 @@ import graft.operators.{Dedup, Similarity}
 class DedupSimilaritySpec extends AnyFunSuite {
   import TestSession._
 
+  test("pair-sweep key cap: fires on a wide key universe, silent on the fixture, off by default") {
+    import graft.operators.{Guards, TimeSeries}
+    val emb = Tables.embeddings(spark, sf)
+    try {
+      // cap far above the fixture's vector count: silent
+      spark.conf.set(Guards.PairSweepMaxKeys, "1000000")
+      assert(Similarity.cosineNearDupPairs(emb, 0.45).limit(1).count() >= 0)
+      // cap below it: the sweep must fail loudly at build time,
+      // naming the quadratic semantics — not launch an O(n^2) job
+      spark.conf.set(Guards.PairSweepMaxKeys, "10")
+      val e1 = intercept[IllegalArgumentException] { Similarity.cosineNearDupPairs(emb, 0.45) }
+      assert(e1.getMessage.contains("O(keys^2)") && e1.getMessage.contains("cosineNearDupPairs"))
+      val e2 = intercept[IllegalArgumentException] {
+        TimeSeries.correlationMatrix(Tables.events(spark, sf))
+      }
+      assert(e2.getMessage.contains("O(keys^2)") && e2.getMessage.contains("correlationMatrix"))
+    } finally spark.conf.unset(Guards.PairSweepMaxKeys)
+    // conf unset (the default): contract documented but unenforced
+    assert(Similarity.cosineNearDupPairs(emb, 0.45).limit(1).count() >= 0)
+  }
+
   test("minhash-LSH candidates cover the high-jaccard pairs") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)
