@@ -165,10 +165,10 @@ object Streams {
     * The cap comes from the explicit argument or the
     * `graft.emaStream.maxKeys` session conf; with neither set the
     * check is a no-op (contract documented but unenforced). Call it
-    * after processAllAvailable() in harnesses, or periodically /
-    * from a StreamingQueryListener.onQueryProgress in a long-running
-    * driver — progress fires once per micro-batch, so a violation
-    * surfaces within one batch of the explosion.
+    * after processAllAvailable() in harnesses; a long-running driver
+    * should instead register [[enforceStateBound]] once — the
+    * listener applies this same rule to every query's every
+    * micro-batch with no per-call opt-in plumbing.
     */
   def checkStateBound(q: org.apache.spark.sql.streaming.StreamingQuery,
                       maxKeys: Option[Long] = None): Unit = {
@@ -184,6 +184,73 @@ object Streams {
             "or raise graft.emaStream.maxKeys")
       }
     }
+  }
+
+  /** Push-based wiring for [[checkStateBound]]: a
+    * StreamingQueryListener that applies the same rule to EVERY
+    * progress event in the session, so a long-running driver gets
+    * per-micro-batch enforcement without remembering to call the
+    * pull-based check. Progress fires once per micro-batch, so a key
+    * explosion is caught within one batch of happening.
+    *
+    * The listener bus swallows exceptions thrown by listeners, so
+    * the enforcement ACTION is: stop the offending query (its
+    * termination is the production alarm — a pipeline that should be
+    * running is now provably not) and record the violation;
+    * [[StateBoundEnforcer.raise]] / [[StateBoundEnforcer.violation]]
+    * surface it to harness code as the loud exception. The cap comes
+    * from the `graft.emaStream.maxKeys` session conf, same as the
+    * pull-based check; with it unset the listener is inert.
+    */
+  final class StateBoundEnforcer(spark: SparkSession)
+      extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+    private val violations =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+
+    override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+
+    override def onQueryProgress(event: QueryProgressEvent): Unit =
+      spark.conf.getOption("graft.emaStream.maxKeys").map(_.toLong).foreach { mk =>
+        val p    = event.progress
+        val rows = p.stateOperators.map(_.numRowsTotal).sum
+        if (rows > mk && !violations.containsKey(p.id)) {
+          violations.put(p.id,
+            s"streaming state of query ${p.id} holds $rows keys, exceeding maxKeys=$mk: the key " +
+              "universe is not bounded as emaStream's contract assumes — evict with timeouts " +
+              "(see sessionizeStream) or raise graft.emaStream.maxKeys")
+          // stop only the offender; we are on the listener-bus
+          // thread, not the query's execution thread, so stop() here
+          // cannot deadlock
+          Option(spark.streams.get(p.id)).filter(_.isActive).foreach(_.stop())
+          System.err.println(s"[graft] ${violations.get(p.id)}")
+        }
+      }
+
+    /** The recorded violation for `q`, if its state bound was blown. */
+    def violation(q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
+      Option(violations.get(q.id))
+
+    /** Throw the first recorded violation, if any — the loud face
+      * for harnesses that drive queries synchronously.
+      */
+    def raise(): Unit =
+      if (!violations.isEmpty)
+        throw new IllegalStateException(violations.values().iterator().next())
+
+    /** Deregister from the session's listener bus. */
+    def close(): Unit = spark.streams.removeListener(this)
+  }
+
+  /** Register a [[StateBoundEnforcer]] on the session and return it
+    * (call `close()` to deregister).
+    */
+  def enforceStateBound(spark: SparkSession): StateBoundEnforcer = {
+    val l = new StateBoundEnforcer(spark)
+    spark.streams.addListener(l)
+    l
   }
 
   def sessionizeStream(events: Dataset[SEv], gapMin: Int = 30, watermark: String = "10 minutes"): Dataset[SessionOut] = {

@@ -153,6 +153,41 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("state-bound listener kills a key explosion within one micro-batch, no explicit check call") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    val enforcer = Streams.enforceStateBound(spark)
+    spark.conf.set("graft.emaStream.maxKeys", "10")
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.emaStream(mem.toDS(), span = 3)
+    val q = out.writeStream.format("memory").queryName("ema_listener_test").outputMode("update").start()
+    try {
+      // bounded universe: the listener sees every progress event and
+      // stays silent under the cap
+      mem.addData((1L to 5L).map(k => Streams.SEv(k, at(0), 1.0)): _*)
+      q.processAllAvailable()
+      Thread.sleep(500) // listener bus is async
+      assert(q.isActive && enforcer.violation(q).isEmpty)
+      // key explosion: the harness only feeds data — NO checkStateBound
+      // call anywhere. The listener must stop the query itself.
+      mem.addData((6L to 50L).map(k => Streams.SEv(k, at(1), 1.0)): _*)
+      q.processAllAvailable()
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (q.isActive && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(!q.isActive, "listener must stop the leaking query within one micro-batch")
+      val v = enforcer.violation(q)
+      assert(v.exists(_.contains("exceeding maxKeys=10")), s"violation not recorded: $v")
+      val e = intercept[IllegalStateException] { enforcer.raise() }
+      assert(e.getMessage.contains("exceeding maxKeys=10"))
+    } finally {
+      enforcer.close()
+      spark.conf.unset("graft.emaStream.maxKeys")
+      if (q.isActive) q.stop()
+    }
+  }
+
   test("cross-batch in-watermark out-of-order event cannot shrink or split a session") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -179,19 +214,24 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("stateful twins are state-store-provider agnostic (RocksDB == default HDFS-backed)") {
+  test("all five stateful twins are state-store-provider agnostic (RocksDB == default HDFS-backed)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     def at(h: Int, m: Int) = java.time.Instant.parse(f"2024-01-01T$h%02d:$m%02d:00Z")
-    // the same multi-batch scenarios the provider-default tests run;
-    // the operators must not depend on the in-memory provider's
-    // semantics (RocksDB is the at-scale store: state spills to disk
-    // instead of growing the executor heap)
-    def runScenarios(): (Set[Streams.SessionOut], Double) = {
+    def ts(h: Int, m: Int) = java.sql.Timestamp.from(at(h, m))
+    // the same multi-batch scenarios the provider-default tests run,
+    // once per provider; the operators must not depend on the
+    // in-memory provider's semantics (RocksDB is the at-scale store:
+    // state spills to disk instead of growing the executor heap).
+    // Every stateful twin is covered: sessionizer + EMA
+    // (mapGroupsWithState), vwap (windowed agg state), dedup
+    // (dropDuplicatesWithinWatermark state), stream-stream join
+    // (join state).
+    def runScenarios(tag: String): (Set[Streams.SessionOut], Double, Set[String], Set[Long], Set[String]) = {
       val smem = MemoryStream[Streams.SEv]
       val sq1 = Streams.sessionizeStream(smem.toDS(), gapMin = 30, watermark = "1 minute")
-        .writeStream.format("memory").queryName("rocks_sess").outputMode("append").start()
+        .writeStream.format("memory").queryName(s"prov_sess_$tag").outputMode("append").start()
       try {
         smem.addData(Streams.SEv(1L, at(10, 0), 1.0), Streams.SEv(1L, at(10, 5), 2.0), Streams.SEv(2L, at(10, 0), 7.0))
         sq1.processAllAvailable()
@@ -200,32 +240,76 @@ class StreamsFeedsSpec extends AnyFunSuite {
       } finally sq1.stop()
       val emem = MemoryStream[Streams.SEv]
       val eq = Streams.emaStream(emem.toDS(), span = 3, watermark = "0 seconds")
-        .writeStream.format("memory").queryName("rocks_ema").outputMode("update").start()
+        .writeStream.format("memory").queryName(s"prov_ema_$tag").outputMode("update").start()
       try {
         emem.addData(Streams.SEv(1L, at(10, 0), 10.0), Streams.SEv(1L, at(10, 1), 20.0))
         eq.processAllAvailable()
         emem.addData(Streams.SEv(1L, at(10, 2), 30.0))
         eq.processAllAvailable()
       } finally eq.stop()
-      (spark.table("rocks_sess").as[Streams.SessionOut].collect().toSet,
-        spark.table("rocks_ema").as[Streams.EmaOut].collect().maxBy(_.ts_us).ema)
+      val vmem = MemoryStream[(java.sql.Timestamp, Long, Double, String)]
+      val vq = Streams.vwapStream(vmem.toDF().toDF("ts", "user_id", "value", "props"), "1 day", "1 hour")
+        .writeStream.format("memory").queryName(s"prov_vwap_$tag").outputMode("complete").start()
+      try {
+        vmem.addData((ts(10, 0), 1L, 100.0, """{"k":10}"""), (ts(11, 0), 1L, 110.0, """{"k":30}"""))
+        vq.processAllAvailable()
+        vmem.addData((ts(12, 0), 1L, 120.0, """{"k":60}"""), (ts(10, 30), 2L, 50.0, """{"k":5}"""))
+        vq.processAllAvailable()
+      } finally vq.stop()
+      val dmem = MemoryStream[(Long, java.sql.Timestamp)]
+      val dq = Streams.dedupStream(dmem.toDF().toDF("event_id", "ts"), "1 hour")
+        .writeStream.format("memory").queryName(s"prov_dedup_$tag").outputMode("append").start()
+      try {
+        dmem.addData((1L, ts(10, 0)), (2L, ts(10, 1)))
+        dq.processAllAvailable()
+        // replay across a batch boundary: state must drop them
+        dmem.addData((1L, ts(10, 0)), (2L, ts(10, 1)), (3L, ts(10, 2)))
+        dq.processAllAvailable()
+      } finally dq.stop()
+      val cmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val pmem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+      val jq = Streams.streamStreamJoin(
+        cmem.toDF().toDF("user_id", "ts", "value"),
+        pmem.toDF().toDF("user_id", "ts", "value"))
+        .writeStream.format("memory").queryName(s"prov_ssj_$tag").outputMode("append").start()
+      try {
+        cmem.addData((1L, ts(10, 0), 1.0), (1L, ts(10, 30), 2.0), (2L, ts(10, 0), 3.0))
+        jq.processAllAvailable()
+        // purchase arrives a batch later: the click state must match it
+        pmem.addData((1L, ts(10, 45), 99.0))
+        jq.processAllAvailable()
+      } finally jq.stop()
+      (spark.table(s"prov_sess_$tag").as[Streams.SessionOut].collect().toSet,
+        spark.table(s"prov_ema_$tag").as[Streams.EmaOut].collect().maxBy(_.ts_us).ema,
+        spark.table(s"prov_vwap_$tag").collect().map(_.toString).toSet,
+        spark.table(s"prov_dedup_$tag").select($"event_id").as[Long].collect().toSet,
+        spark.table(s"prov_ssj_$tag").collect().map(_.toString).toSet)
     }
     val conf = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(conf)
-    spark.conf.set(conf,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val (sessions, ema) = runScenarios()
-      assert(sessions === Set(
-        Streams.SessionOut(1L, at(10, 0).toEpochMilli * 1000, at(10, 5).toEpochMilli * 1000, 2L, 3.0),
-        Streams.SessionOut(2L, at(10, 0).toEpochMilli * 1000, at(10, 0).toEpochMilli * 1000, 1L, 7.0)))
-      assert(ema === 22.5) // alpha=0.5: 10 -> 15 -> 22.5, bit-exact on RocksDB too
-    } finally {
-      prev match {
+    def under(provider: Option[String], tag: String) = {
+      provider match {
+        case Some(p) => spark.conf.set(conf, p)
+        case None    => spark.conf.unset(conf)
+      }
+      try runScenarios(tag)
+      finally prev match {
         case Some(v) => spark.conf.set(conf, v)
         case None    => spark.conf.unset(conf)
       }
     }
+    val base  = under(None, "hdfs")
+    val rocks = under(
+      Some("org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"), "rocks")
+    assert(base === rocks, "every stateful twin must produce identical results on both providers")
+    val (sessions, ema, vwap, dedup, ssj) = rocks
+    assert(sessions === Set(
+      Streams.SessionOut(1L, at(10, 0).toEpochMilli * 1000, at(10, 5).toEpochMilli * 1000, 2L, 3.0),
+      Streams.SessionOut(2L, at(10, 0).toEpochMilli * 1000, at(10, 0).toEpochMilli * 1000, 1L, 7.0)))
+    assert(ema === 22.5) // alpha=0.5: 10 -> 15 -> 22.5, bit-exact on RocksDB too
+    // cross-provider equality alone could pass vacuously on empty
+    // sinks — pin the expected cardinalities
+    assert(vwap.size === 2 && dedup === Set(1L, 2L, 3L) && ssj.size === 2)
   }
 
   test("watermark drops late events in append mode") {
