@@ -21,6 +21,17 @@ object Bench {
     val rs = runs(n); if (rs.contains(-1.0)) "-1.0" else fmtD(rs.min)
   }
 
+  /** Cumulative stop-the-world GC time of this JVM. Per-rep deltas
+    * ride next to the per-rep timings so a drifted rep is
+    * self-explaining (GC pause vs genuinely slow plan) instead of a
+    * debate — the last step of the interleaved-reps protocol.
+    */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -125,25 +136,53 @@ object Bench {
         System.err.println(s"[bench] scale generation failed: ${e.getMessage}")
         return "{}"
     }
-    // wall-clock budget for the whole section: a query that has gone
-    // pathological at x10 must not eat the driver's bench run. A
-    // skipped query is REPORTED skipped — a silently missing cell
-    // would read as covered
+    // wall-clock budget for the whole section, enforced PER QUERY:
+    // each scaled run executes under a job group and is awaited for
+    // at most the section's remaining budget — a query that goes
+    // pathological at x10 is cancelled and REPORTED timed-out (a
+    // silently missing cell would read as covered), and queries that
+    // never get to start are reported skipped. SPARK_GRAFT_SCALE_FULL=1
+    // widens the query list to the whole inventory (the 100x-readiness
+    // audit); the default is the curated headliner set.
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
     val budget  = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "300").toDouble
+    val names   =
+      if (sys.env.get("SPARK_GRAFT_SCALE_FULL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
+      else ScaleQueries
     val started = System.nanoTime()
     def elapsed = (System.nanoTime() - started) / 1e9
-    val cells = ScaleQueries.filter(baseTimes.contains).map { name =>
-      val base = baseTimes(name)
-      if (elapsed > budget) {
+    val cells = names.filter(baseTimes.contains).map { name =>
+      val base      = baseTimes(name)
+      val remaining = budget - elapsed
+      if (remaining <= 0) {
         System.err.println(s"[bench] scale $name skipped: section budget ${budget}s exhausted")
         "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"skipped\":true}"
       } else {
-        val t0 = System.nanoTime()
-        val t =
+        val tag = s"graft-scale-$name"
+        val fut = Future {
+          // job group must be set on the thread that SUBMITS the jobs
+          spark.sparkContext.setJobGroup(tag, s"scale $name", interruptOnCancel = true)
+          val t0 = System.nanoTime()
           try { SparkEntry.queries(name)(spark, scaleDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable => System.err.println(s"[bench] scale $name failed: ${e.getMessage}"); -1.0 }
-        val ratio = if (t > 0 && base > 0) t / base else -1.0
-        "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + "}"
+          finally spark.sparkContext.clearJobGroup()
+        }
+        val t =
+          try Await.result(fut, remaining.seconds)
+          catch {
+            case _: TimeoutException =>
+              spark.sparkContext.cancelJobGroup(tag)
+              System.err.println(s"[bench] scale $name cancelled after ${fmtD(remaining)}s (budget)")
+              -2.0
+          }
+        if (t == -2.0)
+          "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"timed_out_after_sec\":" + fmtD(remaining) + "}"
+        else {
+          val ratio = if (t > 0 && base > 0) t / base else -1.0
+          "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + "}"
+        }
       }
     }
     s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"queries":${cells.mkString("{", ",", "}")}}"""
@@ -166,23 +205,28 @@ object Bench {
       .select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v"))
       .withColumn("rep", explode(sequence(lit(1), lit(200))))
     val rows = e.count()
-    def once(f: () => org.apache.spark.sql.DataFrame): Double = {
+    def once(f: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-      catch { case ex: Throwable => System.err.println(s"[bench] ivf cell failed: ${ex.getMessage}"); -1.0 }
+      try { f().write.format("noop").mode("overwrite").save(); ((System.nanoTime() - t0) / 1e9, gcMillis() - g0) }
+      catch { case ex: Throwable => System.err.println(s"[bench] ivf cell failed: ${ex.getMessage}"); (-1.0, gcMillis() - g0) }
     }
     // interleaved rep-major order + per-rep arrays, same rationale as
     // skewBench: ambient drift must not poison one cell's min-of-N
     val cells: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "codegen"     -> (() => Similarity.assignCells(e, cents).select("vec_id", "rep", "cell")),
       "interpreted" -> (() => Similarity.assignCellsInterpreted(e, cents).select("vec_id", "rep", "cell")))
-    val runs: Map[String, Seq[Double]] =
+    val raw: Map[String, Seq[(Double, Long)]] =
       (1 to reps).flatMap(_ => cells.map { case (n, f) => n -> once(f) })
         .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val runs = raw.view.mapValues(_.map(_._1)).toMap
     val repJson = cells.map { case (n, _) =>
       "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    s"""{"codegen":${minOf(runs, "codegen")},"interpreted":${minOf(runs, "interpreted")},"rows":$rows,"reps":$repJson}"""
+    val gcJson = cells.map { case (n, _) =>
+      "\"" + n + "\":[" + raw(n).map(_._2.toString).mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    s"""{"codegen":${minOf(runs, "codegen")},"interpreted":${minOf(runs, "interpreted")},"rows":$rows,"reps":$repJson,"reps_gc_ms":$gcJson}"""
   }
 
   /** Skew demonstration: the same shuffle join on a pathological key
@@ -230,14 +274,15 @@ object Bench {
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8m",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes"             -> "8m",
       "spark.sql.adaptive.forceOptimizeSkewedJoin"                  -> "true")
-    def once(f: () => org.apache.spark.sql.DataFrame, confs: Map[String, String]): Double = {
+    def once(f: () => org.apache.spark.sql.DataFrame, confs: Map[String, String]): (Double, Long) = {
       val prevC = confs.keys.map(k => k -> spark.conf.get(k)).toMap
       confs.foreach { case (k, v) => spark.conf.set(k, v) }
       // same failure convention as the sweep: a broken cell reads
       // -1.0 instead of aborting the whole bench with no JSON emitted
+      val g0 = gcMillis()
       val t0 = System.nanoTime()
-      try { f().write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-      catch { case e: Throwable => System.err.println(s"[bench] skew cell failed: ${e.getMessage}"); -1.0 }
+      try { f().write.format("noop").mode("overwrite").save(); ((System.nanoTime() - t0) / 1e9, gcMillis() - g0) }
+      catch { case e: Throwable => System.err.println(s"[bench] skew cell failed: ${e.getMessage}"); (-1.0, gcMillis() - g0) }
       finally prevC.foreach { case (k, v) => spark.conf.set(k, v) }
     }
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -252,14 +297,18 @@ object Bench {
       // rep-major order: every rep visits every cell before any cell
       // sees its next rep, so a transient slowdown is spread across
       // cells instead of poisoning one cell's entire min-of-N
-      val runs: Map[String, Seq[Double]] =
+      val raw: Map[String, Seq[(Double, Long)]] =
         (1 to reps).flatMap(_ => cells.map { case (n, f, c) => n -> once(f, c) })
           .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+      val runs    = raw.view.mapValues(_.map(_._1)).toMap
       val mins    = cells.map { case (n, _, _) => "\"" + n + "\":" + minOf(runs, n) }.mkString(",")
       val repJson = cells.map { case (n, _, _) =>
         "\"" + n + "\":[" + runs(n).map(fmtD).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      s"""{$mins,"reps":$repJson}"""
+      val gcJson = cells.map { case (n, _, _) =>
+        "\"" + n + "\":[" + raw(n).map(_._2.toString).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      s"""{$mins,"reps":$repJson,"reps_gc_ms":$gcJson}"""
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }
