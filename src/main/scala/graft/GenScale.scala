@@ -22,7 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * All transforms are closed-form column expressions: the output is
   * a pure function of (input, factor), reproducible on any run or
-  * cluster, and generation is one narrow scan per table.
+  * cluster. Each fact table is written as one file per replica
+  * (range-partition on the rep id) so the scaled fixture keeps the
+  * base fixture's bytes-per-file — i.e. 10x data means 10x scan
+  * tasks, the way a real 10x dataset lays out, not one 10x-size
+  * row group that serializes every scan (see write()).
   */
 object GenScale {
 
@@ -56,7 +60,10 @@ object GenScale {
     val fp = Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .map(t => s"$t=${footprint(t)}").mkString(",")
-    val want = s"factor=$factor from=$inDir fp=$fp\n"
+    // layout= is the generator's OUTPUT-SHAPE version: bump it when
+    // the written file layout changes, or a cached fixture keeps the
+    // old physical characteristics under an unchanged content hash
+    val want = s"factor=$factor from=$inDir layout=rep-files-v2 fp=$fp\n"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false
     generate(spark, inDir, outDir, factor)
@@ -66,8 +73,24 @@ object GenScale {
   }
 
   def generate(spark: SparkSession, inDir: String, outDir: String, factor: Int): Unit = {
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    // one output file PER REPLICA, not one per input task: the base
+    // fixture is a single small file per table, so a naive write
+    // produced ONE ~10x-size file = ONE parquet row group = ONE scan
+    // task — every scan-stage-heavy query then measured serial
+    // execution, not 10x data (q_redact_pii read 18x, q_filter_agg
+    // 23x, both artifacts of the layout). A real 10x dataset has ~10x
+    // the files at the same bytes/file; range-partitioning on the
+    // literal rep id reproduces exactly that (and file i IS replica
+    // i, so per-file key stats stay as tight as the base file's).
+    def write(df: DataFrame, name: String, sortKeys: String*): Unit = {
+      val out =
+        if (df.columns.contains("rep"))
+          df.repartitionByRange(factor, col("rep"))
+            .sortWithinPartitions(("rep" +: sortKeys).map(col): _*)
+            .drop("rep")
+        else df
+      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
 
     def rawEvents = {
       // ts is TIMESTAMP(NANOS) in the fixture; read it as the raw
@@ -83,31 +106,31 @@ object GenScale {
 
     write(
       Tables.customer(spark, inDir).withColumn("rep", reps(factor))
-        .select(shift("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
-      "customer")
+        .select(shift("c_custkey"), col("c_name"), col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"), col("rep")),
+      "customer", "c_custkey")
     write(
       Tables.supplier(spark, inDir).withColumn("rep", reps(factor))
-        .select(shift("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal")),
-      "supplier")
+        .select(shift("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"), col("rep")),
+      "supplier", "s_suppkey")
     write(
       Tables.part(spark, inDir).withColumn("rep", reps(factor))
-        .select(shift("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice")),
-      "part")
+        .select(shift("p_partkey"), col("p_name"), col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"), col("rep")),
+      "part", "p_partkey")
     write(
       Tables.orders(spark, inDir).withColumn("rep", reps(factor))
         .select(shift("o_orderkey"), shift("o_custkey"), col("o_orderstatus"),
-          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority")),
-      "orders")
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"), col("rep")),
+      "orders", "o_orderkey")
     write(
       Tables.lineitem(spark, inDir).withColumn("rep", reps(factor))
         .select(shift("l_orderkey"), shift("l_partkey"), shift("l_suppkey"), col("l_linenumber"),
           col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
-          col("l_returnflag"), col("l_linestatus"), col("l_shipdate")),
-      "lineitem")
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"), col("rep")),
+      "lineitem", "l_orderkey", "l_linenumber")
     write(
       rawEvents.withColumn("rep", reps(factor))
-        .select(shift("event_id"), col("ts"), shift("user_id"), col("event_type"), col("value"), col("props")),
-      "events")
+        .select(shift("event_id"), col("ts"), shift("user_id"), col("event_type"), col("value"), col("props"), col("rep")),
+      "events", "event_id")
     write(
       Tables.documents(spark, inDir).withColumn("rep", reps(factor))
         .withColumn("toks", split(col("text"), " "))
@@ -117,8 +140,8 @@ object GenScale {
           array_join(
             concat(slice(col("toks"), col("r") + 1, size(col("toks")) - col("r")),
               slice(col("toks"), lit(1), col("r"))), " ").as("text"),
-          col("lang"), col("source"), col("n_chars")),
-      "documents")
+          col("lang"), col("source"), col("n_chars"), col("rep")),
+      "documents", "doc_id")
     write(
       Tables.embeddings(spark, inDir).withColumn("rep", reps(factor))
         .select(
@@ -130,8 +153,8 @@ object GenScale {
             (x + (least(col("rep"), lit(1L)) *
               (pmod(col("rep") * 31 + i * 17, lit(13)) - 6) * 0.01).cast("float")).cast("float"))
             .as("embedding"),
-          col("label")),
-      "embeddings")
+          col("label"), col("rep")),
+      "embeddings", "vec_id")
   }
 
   /** CLI: GenScale <inDir> <outDir> [factor]. */

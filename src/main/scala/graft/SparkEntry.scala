@@ -458,6 +458,34 @@ object SparkEntry {
       Similarity.ivfSearch(emb, cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 4)
         .orderBy("qid", "rnk")
     }),
+    // the TRAINED IVF path on the gate: Lloyd centroids are float
+    // MEANS (partial-sum order differs across engines and runs), so
+    // the trained quantizer itself can never hash-match — but with
+    // nprobe == nlist the search output is EXACTLY brute force no
+    // matter where the centroids landed (the quantizer only
+    // partitions the candidate space, and a full probe visits all of
+    // it). So the query runs train -> codegen'd assign -> full probe
+    // -> exact rank, which hash-matches the brute-force oracle and
+    // drives the trained pipeline end-to-end; the half-probe recall
+    // rides as a margin-safe boolean the oracle asserts TRUE — the
+    // checked-twin pattern applied to training (the spec pins the
+    // tighter aggregate bound; this flag guards per-qid collapse)
+    "q_ann_ivf_trained" -> ((s, dir) => {
+      val emb   = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 3)
+      val qids  = Seq(0L, 1L, 2L, 3L, 4L)
+      val full  = Similarity.ivfSearch(emb, cents, qids, 5, nprobe = 16)
+      val half  = Similarity.ivfSearch(emb, cents, qids, 5, nprobe = 8)
+      val hits = full.select(col("qid"), col("vec_id"))
+        .join(half.select(col("qid").as("hq"), col("vec_id").as("hv")),
+          col("qid") === col("hq") && col("vec_id") === col("hv"))
+        .groupBy(col("qid")).agg(count(lit(1)).as("hits"))
+        .select(col("qid").as("hq2"), col("hits"))
+      full.join(hits, col("qid") === col("hq2"), "left")
+        .select(col("qid"), col("vec_id"), col("cos"), col("rnk"),
+          (coalesce(col("hits"), lit(0L)) >= 2L).as("half_recall_ok"))
+        .orderBy("qid", "rnk")
+    }),
 
     // ---- F. streaming (batch equivalents; streaming twins in graft.streaming) --
     "q_windowed_agg" -> ((s, dir) =>
@@ -1913,6 +1941,25 @@ object SparkEntry {
         |)
         |SELECT qid, vec_id, cos,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    // the trained-path gate: full-probe trained IVF == brute force
+    // exactly (the quantizer only partitions candidates), so the
+    // oracle is the brute-force ranking + a literal-TRUE recall flag
+    "q_ann_ivf_trained" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    CASE WHEN q.nn * e.nn != 0 THEN list_dot_product(q.v, e.v) / (q.nn * e.nn) END AS cos
+        |  FROM n q JOIN n e ON q.vec_id IN (0, 1, 2, 3, 4) AND e.vec_id != q.vec_id
+        |)
+        |SELECT qid, vec_id, cos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk,
+        |  TRUE AS half_recall_ok
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,

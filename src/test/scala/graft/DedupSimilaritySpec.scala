@@ -183,6 +183,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@5 with half the cells probed: $recall")
   }
 
+  test("trained-IVF gate query: full probe hash-safe, half-probe recall bound holds with margin") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_ann_ivf_trained")(spark, sf)
+    // full-probe trained output must BE the brute-force ranking —
+    // that is what makes the trained path oracle-checkable at all
+    val bf = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L, 1L, 2L, 3L, 4L), 5)
+    assert(got.select($"qid", $"vec_id", $"cos", $"rnk")
+      .exceptAll(bf.select($"qid", $"vec_id", $"cos", $"rnk")).count() === 0)
+    assert(got.count() === 25)
+    // the gate flag asserts hits >= 2 of 5; CI pins the real margin
+    // (training is run-nondeterministic, so the gate bound must sit
+    // well under what a healthy quantizer delivers)
+    assert(got.filter(!$"half_recall_ok").count() === 0, "half-probe recall below the gate bound")
+    val cents = Similarity.ivfTrain(Tables.embeddings(spark, sf), nlist = 16, iters = 3)
+    val full  = Similarity.ivfSearch(Tables.embeddings(spark, sf), cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 16)
+    val half  = Similarity.ivfSearch(Tables.embeddings(spark, sf), cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 8)
+    val perQid = full.select($"qid", $"vec_id")
+      .join(half.select($"qid", $"vec_id"), Seq("qid", "vec_id"))
+      .groupBy($"qid").count().select($"count").as[Long].collect()
+    assert(perQid.length === 5 && perQid.forall(_ >= 3L),
+      s"per-qid half-probe hits ${perQid.mkString(",")} leave <1 hit of margin over the gate's >=2")
+  }
+
   test("codegen'd IVF cell assignment is bit-identical to the interpreted HOF argmin") {
     import spark.implicits._
     val emb   = Tables.embeddings(spark, sf)
