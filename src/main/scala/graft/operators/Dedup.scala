@@ -426,6 +426,17 @@ object Dedup {
     * popcount. The corpus never pairs all-vs-all: only docs sharing
     * a 12-bit band value meet, which is the 100 TB replacement for
     * the quadratic simhashPairs sweep.
+    *
+    * Scale characteristic (measured in the x10 audit, SCALE_FULL
+    * r8: 19.6x for 10x docs): each 12-bit band has 4096 possible
+    * values, so once the corpus is large enough to saturate them
+    * the within-bucket candidate space grows quadratically in
+    * corpus size — the measured ratio is sublinear in CANDIDATES
+    * (100x here) but superlinear in rows. The knob at production
+    * corpus sizes is a wider signature (e.g. 128-bit) with wider
+    * bands, which keeps the same pigeonhole guarantee while holding
+    * bucket occupancy flat; for this 60-bit signature the bound
+    * 12*bands <= 60 pins the trade.
     */
   def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 4, bands: Int = 5): DataFrame = {
     require(maxDist <= bands - 1, s"banding is only exact for maxDist <= ${bands - 1}")
