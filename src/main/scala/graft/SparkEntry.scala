@@ -372,6 +372,10 @@ object SparkEntry {
       Dedup.curationPipeline(Tables.documents(s, dir), 100, 20).orderBy("chunk_fp")),
     "q_simhash_neardup" -> ((s, dir) =>
       Dedup.simhashNearDupPairs(Tables.documents(s, dir), 4).orderBy("da", "db")),
+    "q_simhash_wide" -> ((s, dir) =>
+      Dedup.simhashWide(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_simhash_wide_neardup" -> ((s, dir) =>
+      Dedup.simhashNearDupPairsWide(Tables.documents(s, dir)).orderBy("da", "db")),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
         .orderBy("doc_id")),
@@ -1858,6 +1862,54 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
         |FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+        |ORDER BY da, db""".stripMargin,
+    // both 60-bit lanes from one md5: lane 0 = hex chars 1-15 (the
+    // 60-bit simhash exactly), lane 1 = chars 16-30
+    "q_simhash_wide" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+        |    sum(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh_lo,
+        |  CAST(sum(CASE WHEN s2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh_hi
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the banded join is an exact candidate generator (pigeonhole),
+    // so the oracle is the quadratic sweep over the same signature
+    "q_simhash_wide_neardup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+        |), h AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(t), 16, 15) AS BIGINT) AS h2
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (h1 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s1,
+        |    sum(CASE WHEN (h2 >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s2
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY doc_id, b
+        |), sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s1 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh_lo,
+        |    CAST(sum(CASE WHEN s2 > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh_hi
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS da, b.doc_id AS db,
+        |  CAST(bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) AS BIGINT) AS dist
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh_lo, b.sh_lo)) + bit_count(xor(a.sh_hi, b.sh_hi)) <= 4
         |ORDER BY da, db""".stripMargin,
     "q_ann_bruteforce" ->
       """WITH e AS (

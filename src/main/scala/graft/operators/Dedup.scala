@@ -168,13 +168,13 @@ object Dedup {
     * long — the same shape a TypedImperativeAggregate would have,
     * expressed with codegen'd built-ins.
     */
-  def simhash(documents: DataFrame): DataFrame = {
+  def simhash(documents: DataFrame, hexOff: Int = 1): DataFrame = {
     val toks    = split(lower(col("text")), " ")
     val bitSums = (0 until 60).map(b =>
       sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1).otherwise(-1)).as(s"s$b"))
     documents
       .select(col("doc_id"), explode(toks).as("t"))
-      .withColumn("h", conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", conv(substring(md5(col("t")), hexOff, 15), 16, 10).cast("long"))
       .groupBy(col("doc_id"))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
@@ -192,6 +192,20 @@ object Dedup {
   def simhashFast(documents: DataFrame): DataFrame = {
     graft.plans.GraftFunctions.register(documents.sparkSession)
     documents.select(col("doc_id"), expr("graft_simhash(text)").as("simhash"))
+  }
+
+  /** 120-bit SimHash as two 60-bit lane columns via the codegen'd
+    * SimHash120 expression: lane 0 is bit-identical to the 60-bit
+    * simhash (same md5 hex chars 1-15), lane 1 folds chars 16-30 of
+    * the SAME digest — one md5 per token, so the wide signature
+    * costs what the narrow one does. Exists for banding headroom at
+    * corpus scale (see [[simhashNearDupPairsWide]]).
+    */
+  def simhashWide(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("doc_id"), expr("graft_simhash_wide(text)").as("sh"))
+      .select(col("doc_id"), col("sh")(0).as("sh_lo"), col("sh")(1).as("sh_hi"))
   }
 
   /** MinHash-LSH candidates via the custom signature expression:
@@ -432,11 +446,12 @@ object Dedup {
     * values, so once the corpus is large enough to saturate them
     * the within-bucket candidate space grows quadratically in
     * corpus size — the measured ratio is sublinear in CANDIDATES
-    * (100x here) but superlinear in rows. The knob at production
-    * corpus sizes is a wider signature (e.g. 128-bit) with wider
-    * bands, which keeps the same pigeonhole guarantee while holding
-    * bucket occupancy flat; for this 60-bit signature the bound
-    * 12*bands <= 60 pins the trade.
+    * (100x here) but superlinear in rows. The shipped knob for
+    * production corpus sizes is [[simhashNearDupPairsWide]]: a
+    * 120-bit signature with 20-bit bands — same pigeonhole
+    * guarantee, 256x the bucket space, same one-md5-per-token cost;
+    * for this 60-bit signature the bound 12*bands <= 60 pins the
+    * trade.
     */
   def simhashNearDupPairs(documents: DataFrame, maxDist: Int = 4, bands: Int = 5): DataFrame = {
     require(maxDist <= bands - 1, s"banding is only exact for maxDist <= ${bands - 1}")
@@ -458,6 +473,51 @@ object Dedup {
         col("a.simhash").as("ha"), col("b.simhash").as("hb"))
       .distinct()
       .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("da"), col("db"), col("dist"))
+  }
+
+  /** EXACT banded hamming join over the 120-bit signature — the
+    * corpus-scale answer to the 12-bit bands' bucket saturation:
+    * `bands` equal-width bands tile all 120 bits, so the pigeonhole
+    * guarantee (any pair with dist <= bands-1 shares a whole band)
+    * is unchanged, but each band has 2^(120/bands) possible values —
+    * at the default 6 bands that is 2^20 per band, 256x the 12-bit
+    * bucket space, which pushes the occupancy point where
+    * within-bucket candidates go quadratic out by the same factor.
+    * Distance is the full 120-bit hamming distance (popcount of
+    * both lane XORs).
+    *
+    * Band widths are constrained to divide 60 so no band straddles
+    * the two lane longs — each band value is a single shift+mask on
+    * one lane, and the SQL oracle mirrors it operator by operator.
+    */
+  def simhashNearDupPairsWide(documents: DataFrame, maxDist: Int = 4, bands: Int = 6): DataFrame = {
+    require(maxDist <= bands - 1, s"banding is only exact for maxDist <= ${bands - 1}")
+    require(bands > 0 && 120 % bands == 0, s"$bands bands must tile the 120-bit signature")
+    val width = 120 / bands
+    require(60 % width == 0, s"band width $width would straddle the two 60-bit lanes")
+    val mask    = (1L << width) - 1
+    val perLane = 60 / width
+    val sims    = simhashWide(documents)
+    val stackArgs = (0 until bands).map { b =>
+      val (lane, off) =
+        if (b < perLane) ("sh_lo", width * b) else ("sh_hi", width * (b - perLane))
+      s"${b}L, cast(shiftright($lane, $off) & $mask as long)"
+    }.mkString(", ")
+    val banded = sims.select(col("doc_id"), col("sh_lo"), col("sh_hi"),
+      expr(s"stack($bands, $stackArgs) as (band, bv)"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sh_lo").as("alo"), col("a.sh_hi").as("ahi"),
+        col("b.sh_lo").as("blo"), col("b.sh_hi").as("bhi"))
+      .distinct()
+      .withColumn("dist",
+        (bit_count(col("alo").bitwiseXOR(col("blo"))) +
+          bit_count(col("ahi").bitwiseXOR(col("bhi")))).cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("da"), col("db"), col("dist"))
   }

@@ -109,6 +109,52 @@ object GraftHashOps {
     out
   }
 
+  /** 120-bit SimHash as two 60-bit lanes from ONE md5 per token:
+    * lane 0 = hex chars 1-15 (bit-identical to [[simhash60]]), lane
+    * 1 = hex chars 16-30 — both reproducible in SQL as
+    * conv(substr(md5(t), off, 15), 16, 10). The wide signature
+    * exists for BANDING HEADROOM at corpus scale: equal-width bands
+    * over 120 bits are 2x wider than over 60 at the same pigeonhole
+    * guarantee, so each band has quadratically more values and the
+    * bucket-saturation point (where within-bucket candidates go
+    * quadratic — measured 19.6x at x10 on the 12-bit bands) moves
+    * out by 2^12 = 4096x for 24-wide vs 12-wide bands. One digest
+    * serves both lanes, so the per-token cost equals the 60-bit
+    * version's.
+    */
+  def simhash120(input: UTF8String): ArrayData = {
+    val toks     = input.toString.toLowerCase.split(" ", -1)
+    val md       = md5tl.get()
+    val counters = new Array[Int](120)
+    var i        = 0
+    while (i < toks.length) {
+      md.reset()
+      val d  = md.digest(toks(i).getBytes("UTF-8"))
+      var h1 = 0L
+      var b  = 0
+      while (b < 7) { h1 = (h1 << 8) | (d(b) & 0xffL); b += 1 }
+      h1 = (h1 << 4) | ((d(7) >> 4) & 0xfL) // hex chars 0..14 = 7.5 bytes
+      var h2 = d(7) & 0xfL                  // hex char 15 = low nibble of byte 7
+      b = 8
+      while (b < 15) { h2 = (h2 << 8) | (d(b) & 0xffL); b += 1 }
+      b = 0
+      while (b < 60) {
+        if (((h1 >> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+        if (((h2 >> b) & 1L) == 1L) counters(60 + b) += 1 else counters(60 + b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](2)
+    var b   = 0
+    while (b < 60) {
+      if (counters(b) > 0) out(0) |= (1L << b)
+      if (counters(60 + b) > 0) out(1) |= (1L << b)
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Signed random-hyperplane directions for (planes x dim), derived
     * from md5(p":"i) first-hex-char parity — deterministic, no stored
     * model. The (planes, dim) space is tiny, so directions are
@@ -276,6 +322,22 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash60 = copy(child = newChild)
 }
 
+/** 120-bit SimHash as array(lane0, lane1) of 60-bit longs — one md5
+  * per token serves both lanes (see GraftHashOps.simhash120).
+  */
+case class SimHash120(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_simhash_wide"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.simhash120(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.simhash120($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash120 = copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket of an embedding column (array<float>
   * or array<double>) — all `planes` projections fold per row inside
   * the scan stage (see GraftHashOps.lshBucket).
@@ -377,6 +439,7 @@ object GraftFunctions {
   val all: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
     ("graft_minhash_sig", (es: Seq[Expression]) => MinHashSig(es.head, 8, 3), "returns the 8x3 minhash signature of a text"),
     ("graft_simhash", (es: Seq[Expression]) => SimHash60(es.head), "returns the 60-bit simhash of a text"),
+    ("graft_simhash_wide", (es: Seq[Expression]) => SimHash120(es.head), "returns the 120-bit simhash of a text as two 60-bit lanes"),
     ("graft_lsh_bucket", (es: Seq[Expression]) =>
       LshBucket(es(0), es(1).eval().asInstanceOf[Number].intValue()),
       "returns the n-plane random-hyperplane LSH bucket of an embedding"),

@@ -183,6 +183,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@5 with half the cells probed: $recall")
   }
 
+  test("wide simhash: lane identity, composed-plan bit-identity, banding exact vs quadratic sweep") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val wide = Dedup.simhashWide(docs)
+    // lane 0 IS the 60-bit simhash (same md5 hex chars, same votes)
+    val lane0 = wide.select($"doc_id", $"sh_lo".as("simhash"))
+    val nar   = Dedup.simhashFast(docs)
+    assert(lane0.except(nar).count() === 0 && nar.except(lane0).count() === 0)
+    // lane 1 matches the composed-plan fold over hex chars 16-30
+    val lane1 = wide.select($"doc_id", $"sh_hi".as("simhash"))
+    val comp1 = Dedup.simhash(docs, hexOff = 16)
+    assert(lane1.except(comp1).count() === 0 && comp1.except(lane1).count() === 0)
+    // banded candidates are EXACT: identical to the quadratic sweep
+    // over the same 120-bit signature
+    val fast = Dedup.simhashNearDupPairsWide(docs, maxDist = 4, bands = 6)
+    val quad = wide.as("a").join(wide.as("b"), $"a.doc_id" < $"b.doc_id")
+      .withColumn("dist",
+        (bit_count($"a.sh_lo".bitwiseXOR($"b.sh_lo")) +
+          bit_count($"a.sh_hi".bitwiseXOR($"b.sh_hi"))).cast("long"))
+      .filter($"dist" <= 4)
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"), $"dist")
+    assert(fast.exceptAll(quad).count() === 0 && quad.exceptAll(fast).count() === 0)
+    // invalid band layouts fail loudly, not degrade
+    intercept[IllegalArgumentException] { Dedup.simhashNearDupPairsWide(docs, 6, 6) }
+    intercept[IllegalArgumentException] { Dedup.simhashNearDupPairsWide(docs, 4, 7) }
+    // bands=5 tiles 120 but its 24-bit width straddles the lane longs
+    intercept[IllegalArgumentException] { Dedup.simhashNearDupPairsWide(docs, 4, 5) }
+  }
+
   test("trained-IVF gate query: full probe hash-safe, half-probe recall bound holds with margin") {
     import spark.implicits._
     val got = SparkEntry.queries("q_ann_ivf_trained")(spark, sf)
