@@ -54,7 +54,7 @@ class PlanAuditSpec extends AnyFunSuite {
       // in q_quality_gate) are CodegenFallback by Spark design and
       // can never carry a span — only scalar/custom-doGenCode
       // pipelines are asserted here
-      for (q <- Seq("q_transform_project", "q_simhash", "q_redact_pii")) {
+      for (q <- Seq("q_transform_project", "q_simhash", "q_simhash_wide", "q_redact_pii")) {
         val p = planOf(q)
         // codegen'd operators print with a `*(stageId)` prefix; the
         // Project doing the per-row work must carry one
@@ -83,6 +83,18 @@ class PlanAuditSpec extends AnyFunSuite {
     // shape carries the HAVING aggregate as the join payload instead
     val scans = "lineitem\\.parquet".r.findAllIn(p).size
     assert(scans == 1, s"expected exactly one lineitem scan, found $scans:\n$p")
+  }
+
+  test("wide-simhash banding joins on the band bucket, not an all-pairs shape") {
+    val p = planOf("q_simhash_wide_neardup")
+    // the candidate generator must be an equi-join keyed on the
+    // (band, band-value) pair — the whole point of banding is that
+    // the corpus never meets itself outside shared buckets
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"banded join lost its equi-join shape:\n$p")
+    assert(p.matches("(?s).*Join [^\\n]*band.*") || p.matches("(?s).*\\[band.*"),
+      s"join is not keyed on the band columns:\n$p")
   }
 
   test("the salted join keeps both sides hash-partitioned (no broadcast fallback)") {
