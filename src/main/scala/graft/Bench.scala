@@ -151,6 +151,12 @@ object Bench {
     val names   =
       if (sys.env.get("SPARK_GRAFT_SCALE_FULL").contains("1")) SparkEntry.queries.keys.toSeq.sorted
       else ScaleQueries
+    // a query with no sweep base time (subset run) cannot produce a
+    // ratio — but it must be REPORTED missing, not silently vanish
+    // from an audit that reads as complete
+    val missingBase = names.filterNot(baseTimes.contains)
+    if (missingBase.nonEmpty)
+      System.err.println(s"[bench] scale: no base time for ${missingBase.size} queries (subset run): ${missingBase.mkString(",")}")
     val started = System.nanoTime()
     def elapsed = (System.nanoTime() - started) / 1e9
     val cells = names.filter(baseTimes.contains).map { name =>
@@ -173,7 +179,12 @@ object Bench {
           try Await.result(fut, remaining.seconds)
           catch {
             case _: TimeoutException =>
-              spark.sparkContext.cancelJobGroup(tag)
+              // AndFutureJobs, not cancelJobGroup: a multi-job query
+              // (AQE stages, iterative collects) can time out BETWEEN
+              // jobs, and plain cancelJobGroup only kills active jobs
+              // — the orphaned thread would keep submitting and run
+              // concurrently with every later cell's measurement
+              spark.sparkContext.cancelJobGroupAndFutureJobs(tag)
               System.err.println(s"[bench] scale $name cancelled after ${fmtD(remaining)}s (budget)")
               -2.0
           }
@@ -185,7 +196,10 @@ object Bench {
         }
       }
     }
-    s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"queries":${cells.mkString("{", ",", "}")}}"""
+    val missingJson =
+      if (missingBase.isEmpty) ""
+      else s""","missing_base":[${missingBase.map("\"" + _ + "\"").mkString(",")}]"""
+    s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"queries":${cells.mkString("{", ",", "}")}$missingJson}"""
   }
 
   /** IVF cell-assignment throughput: the codegen'd IvfAssign

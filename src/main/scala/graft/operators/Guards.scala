@@ -19,9 +19,13 @@ object Guards {
 
   /** Enforce the pair-sweep key cap on the operator's already-built
     * per-key frame (one row per key, so the count IS the pair-space
-    * root). Costs one bounded extra job (limit cap+1) and only runs
-    * when the conf is set — the sweep itself is O(keys²) by declared
-    * semantics, so the guard's scan is noise whenever it matters.
+    * root). Runs only when the conf is set, and then it EAGERLY
+    * executes the per-key frame's plan once more at operator-build
+    * time: the limit bounds the rows returned, not the upstream
+    * aggregation work (a groupBy cannot be pruned by a limit), so
+    * enabling the cap costs one extra pass over the operator's
+    * pre-pair phase — noise next to the O(keys²) sweep it guards,
+    * but a laziness change callers should know about.
     */
   def checkPairKeyCap(perKey: DataFrame, op: String): Unit =
     perKey.sparkSession.conf.getOption(PairSweepMaxKeys).map(_.toLong).foreach { cap =>

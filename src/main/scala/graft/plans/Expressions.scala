@@ -114,13 +114,14 @@ object GraftHashOps {
     * 1 = hex chars 16-30 — both reproducible in SQL as
     * conv(substr(md5(t), off, 15), 16, 10). The wide signature
     * exists for BANDING HEADROOM at corpus scale: equal-width bands
-    * over 120 bits are 2x wider than over 60 at the same pigeonhole
-    * guarantee, so each band has quadratically more values and the
+    * over 120 bits are wider than over 60 at the same pigeonhole
+    * guarantee, so each band has exponentially more values and the
     * bucket-saturation point (where within-bucket candidates go
     * quadratic — measured 19.6x at x10 on the 12-bit bands) moves
-    * out by 2^12 = 4096x for 24-wide vs 12-wide bands. One digest
-    * serves both lanes, so the per-token cost equals the 60-bit
-    * version's.
+    * out accordingly: the shipped 20-wide bands
+    * (Dedup.simhashNearDupPairsWide, widths must divide 60) give
+    * 2^8 = 256x the 12-wide bucket space. One digest serves both
+    * lanes, so the per-token cost equals the 60-bit version's.
     */
   def simhash120(input: UTF8String): ArrayData = {
     val toks     = input.toString.toLowerCase.split(" ", -1)

@@ -208,37 +208,67 @@ object Streams {
 
     private val violations =
       new java.util.concurrent.ConcurrentHashMap[java.util.UUID, String]()
+    // first violation in arrival order: raise() must be
+    // deterministic, not whatever a hash map iterates first
+    @volatile private var first: String = null
 
     override def onQueryStarted(event: QueryStartedEvent): Unit = ()
     override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
 
-    override def onQueryProgress(event: QueryProgressEvent): Unit =
-      spark.conf.getOption("graft.emaStream.maxKeys").map(_.toLong).foreach { mk =>
+    override def onQueryProgress(event: QueryProgressEvent): Unit = {
+      // a malformed cap must not silently disable enforcement: the
+      // listener bus swallows exceptions, so a bad toLong here would
+      // no-op every batch while the user believes the bound is live.
+      // Record it as a violation (raise()/violation() surface it).
+      val cap = spark.conf.getOption("graft.emaStream.maxKeys").flatMap { raw =>
+        try Some(java.lang.Long.parseLong(raw))
+        catch {
+          case _: NumberFormatException =>
+            record(event.progress.id,
+              s"graft.emaStream.maxKeys='$raw' is not a number — state-bound enforcement " +
+                "is OFF until it is fixed")
+            None
+        }
+      }
+      cap.foreach { mk =>
         val p    = event.progress
         val rows = p.stateOperators.map(_.numRowsTotal).sum
-        if (rows > mk && !violations.containsKey(p.id)) {
-          violations.put(p.id,
+        if (rows > mk) {
+          record(p.id,
             s"streaming state of query ${p.id} holds $rows keys, exceeding maxKeys=$mk: the key " +
               "universe is not bounded as emaStream's contract assumes — evict with timeouts " +
               "(see sessionizeStream) or raise graft.emaStream.maxKeys")
-          // stop only the offender; we are on the listener-bus
-          // thread, not the query's execution thread, so stop() here
-          // cannot deadlock
+          // stop the offender EVERY time the bound is blown — a
+          // supervisor may restart the query (same persistent id)
+          // with the same unbounded input, and a recorded prior
+          // violation must not grant it immunity. We are on the
+          // listener-bus thread, not the query's execution thread,
+          // so stop() here cannot deadlock.
           Option(spark.streams.get(p.id)).filter(_.isActive).foreach(_.stop())
-          System.err.println(s"[graft] ${violations.get(p.id)}")
         }
       }
+    }
+
+    private def record(id: java.util.UUID, msg: String): Unit = {
+      val isNew = violations.put(id, msg) == null
+      if (first == null) first = msg
+      if (isNew) System.err.println(s"[graft] $msg")
+    }
 
     /** The recorded violation for `q`, if its state bound was blown. */
     def violation(q: org.apache.spark.sql.streaming.StreamingQuery): Option[String] =
       Option(violations.get(q.id))
 
-    /** Throw the first recorded violation, if any — the loud face
+    /** Throw the FIRST recorded violation, if any — the loud face
       * for harnesses that drive queries synchronously.
       */
     def raise(): Unit =
-      if (!violations.isEmpty)
-        throw new IllegalStateException(violations.values().iterator().next())
+      if (first != null) throw new IllegalStateException(first)
+
+    /** Acknowledge recorded violations (e.g. between harness
+      * scenarios) so a later raise() reflects only new ones.
+      */
+    def clear(): Unit = { violations.clear(); first = null }
 
     /** Deregister from the session's listener bus. */
     def close(): Unit = spark.streams.removeListener(this)

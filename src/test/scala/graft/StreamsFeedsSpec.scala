@@ -181,6 +181,24 @@ class StreamsFeedsSpec extends AnyFunSuite {
       assert(v.exists(_.contains("exceeding maxKeys=10")), s"violation not recorded: $v")
       val e = intercept[IllegalStateException] { enforcer.raise() }
       assert(e.getMessage.contains("exceeding maxKeys=10"))
+      // acknowledged violations don't haunt later healthy scenarios
+      enforcer.clear()
+      enforcer.raise()
+      assert(enforcer.violation(q).isEmpty)
+      // a malformed cap must surface as a violation, not silently
+      // disable enforcement (the listener bus swallows exceptions)
+      spark.conf.set("graft.emaStream.maxKeys", "10k")
+      val mem2 = MemoryStream[Streams.SEv]
+      val q2 = Streams.emaStream(mem2.toDS(), span = 3)
+        .writeStream.format("memory").queryName("ema_listener_badconf").outputMode("update").start()
+      try {
+        mem2.addData(Streams.SEv(1L, at(2), 1.0))
+        q2.processAllAvailable()
+        val deadline2 = System.nanoTime() + 15L * 1000000000L
+        while (enforcer.violation(q2).isEmpty && System.nanoTime() < deadline2) Thread.sleep(100)
+        assert(enforcer.violation(q2).exists(_.contains("not a number")),
+          "malformed maxKeys must be recorded loudly")
+      } finally if (q2.isActive) q2.stop()
     } finally {
       enforcer.close()
       spark.conf.unset("graft.emaStream.maxKeys")
