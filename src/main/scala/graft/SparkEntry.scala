@@ -446,6 +446,15 @@ object SparkEntry {
         .orderBy("qid", "rnk")),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("va", "vb")),
+    // SemDeDup shape: exact cosine only within IVF cells. Seed
+    // quantizer for the same reason as q_ann_ivf (deterministic,
+    // cross-engine hashable); same threshold as q_embed_neardup so
+    // the within-cell pairs are a direct subset of the exact sweep
+    "q_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
+      Similarity.ivfNearDupPairs(emb, 0.45, cents).orderBy("va", "vb")
+    }),
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
     // IVF search end-to-end on the driver gate: codegen'd cell
@@ -1935,6 +1944,34 @@ object SparkEntry {
         |SELECT a.vec_id AS va, b.vec_id AS vb,
         |  list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE a.nn * b.nn != 0
+        |  AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
+        |ORDER BY va, vb""".stripMargin,
+    // mirrors ivfNearDupPairs: rank-seeded quantizer + d2 argmin
+    // assignment (the q_ann_ivf pattern), then the q_embed_neardup
+    // cosine restricted to same-cell pairs
+    "q_semantic_dedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16
+        |), d AS (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d QUALIFY rn = 1
+        |), n AS (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM assigned
+        |)
+        |SELECT a.vec_id AS va, b.vec_id AS vb,
+        |  list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id < b.vec_id
         |WHERE a.nn * b.nn != 0
         |  AND list_dot_product(a.v, b.v) / (a.nn * b.nn) >= 0.45
         |ORDER BY va, vb""".stripMargin,

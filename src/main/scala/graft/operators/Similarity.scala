@@ -239,6 +239,33 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** SemDeDup-style semantic near-dup: assign every vector to its
+    * IVF cell (broadcast-literal codegen'd argmin — narrow, zero
+    * shuffle on the corpus side), then exact cosine only WITHIN
+    * cells. Candidate volume is bounded by cell occupancy
+    * (~corpus/nlist per cell), not corpus²: this is the shape
+    * semantic dedup runs at billion-document scale, where even the
+    * blocked exact sweep is unaffordable and a cross-cell near-dup
+    * is an accepted miss. With nlist=1 the operator IS the exact
+    * sweep (spec-asserted); raising nlist divides the candidate
+    * volume by ~nlist at the cost of recall. The recall trade is
+    * threshold-dependent: dedup-grade pairs (cos >= ~0.9, near-
+    * parallel) co-locate in a trained quantizer's cells, while
+    * moderate-similarity pairs (cos ~0.5 is a 60° angle) do not —
+    * pick nlist against the threshold regime, not just the corpus
+    * size.
+    */
+  def ivfNearDupPairs(embeddings: DataFrame, threshold: Double, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val e = assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
+      .withColumn("nrm", norm(col("v")))
+    e.as("a")
+      .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        when(col("a.nrm") * col("b.nrm") =!= 0, dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))))
+      .filter(col("cos") >= threshold)
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
+  }
+
   /** Bucketed near-dup: exact cosine only within LSH buckets. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
     val b = lshBuckets(embeddings, planes)

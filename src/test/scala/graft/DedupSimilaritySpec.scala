@@ -235,6 +235,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"per-qid half-probe hits ${perQid.mkString(",")} leave <1 hit of margin over the gate's >=2")
   }
 
+  test("semantic dedup (within-IVF-cell pairs): subset of exact, identical at nlist=1, useful recall") {
+    import spark.implicits._
+    val emb   = Tables.embeddings(spark, sf)
+    val exact = Similarity.cosineNearDupPairs(emb, 0.45)
+    // nlist=1: every vector in the one cell — the operator must BE
+    // the exact sweep (same pairs, bit-equal cos)
+    val one = Similarity.ivfTrain(emb, nlist = 1, iters = 0)
+    val all = Similarity.ivfNearDupPairs(emb, 0.45, one)
+    assert(all.exceptAll(exact).count() === 0 && exact.exceptAll(all).count() === 0)
+    // nlist=16: pairs are a strict SUBSET with bit-equal cos values
+    val cents  = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
+    val within = Similarity.ivfNearDupPairs(emb, 0.45, cents)
+    assert(within.exceptAll(exact).count() === 0,
+      "within-cell pairs must all be exact near-dup pairs with identical scores")
+    // the operator's purpose is bounded CANDIDATE VOLUME: the pair
+    // space examined must collapse from n²/2 to ~n²/(2·nlist).
+    // (A recall bound is NOT asserted on this fixture: its exact
+    // pairs top out near cos 0.45-0.6 — vectors ~60° apart, which no
+    // coarse quantizer co-locates; semantic dedup's recall story is
+    // about near-parallel pairs at dedup-grade thresholds.)
+    val trained = Similarity.ivfTrain(emb, nlist = 16, iters = 3)
+    assert(Similarity.ivfNearDupPairs(emb, 0.45, trained).exceptAll(exact).count() === 0)
+    val occ = Similarity.assignCells(
+        emb.select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v")), trained)
+      .groupBy($"cell").count().select($"count").as[Long].collect()
+    val n          = occ.sum
+    val candidates = occ.map(c => c * (c - 1) / 2).sum
+    val allPairs   = n * (n - 1) / 2
+    assert(candidates * 4 <= allPairs,
+      s"within-cell candidate volume $candidates/$allPairs — cells too skewed to bound the sweep")
+  }
+
   test("codegen'd IVF cell assignment is bit-identical to the interpreted HOF argmin") {
     import spark.implicits._
     val emb   = Tables.embeddings(spark, sf)
