@@ -21,7 +21,8 @@ object Explain {
         "q_ann_ivf", "q_shipping_priority", "q_large_volume_cust",
         "q_approx_distinct", "q_approx_percentiles",
         "q_sketch_merge", "q_salted_join", "q_repeated_spans",
-        "q_ann_ivf_trained", "q_redact_pii")
+        "q_ann_ivf_trained", "q_redact_pii",
+        "q_simhash_wide_neardup", "q_semantic_dedup")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
