@@ -76,9 +76,20 @@ object Similarity {
       .join(blocks.as("b"), col("a.blk") <= col("b.blk"))
       .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))
       .as[(Seq[IdVec], Seq[IdVec])]
+    sweepBlockPairs(pairsOfBlocks, threshold)
+  }
+
+  /** The shared n² kernel of the exact sweeps: for each pair of
+    * vector blocks, score every (a < b) pair in a tight JVM loop —
+    * no iterator/closure machinery, dot/norm accumulated
+    * sequentially in element order (bit-equal to the SQL oracles'
+    * list_dot_product), pairs emitted only at/above the threshold.
+    */
+  private def sweepBlockPairs(
+      pairsOfBlocks: Dataset[(Seq[IdVec], Seq[IdVec])], threshold: Double): DataFrame = {
+    import pairsOfBlocks.sparkSession.implicits._
     pairsOfBlocks
       .flatMap { case (avsSeq, bvsSeq) =>
-        // tight JVM loops, no iterator/closure machinery in the n^2 core
         val avs = avsSeq.toArray
         val bvs = bvsSeq.toArray
         def dotd(x: Array[Double], y: Array[Double]): Double = {
@@ -255,15 +266,21 @@ object Similarity {
     * pick nlist against the threshold regime, not just the corpus
     * size.
     */
-  def ivfNearDupPairs(embeddings: DataFrame, threshold: Double, cents: Array[(Int, Array[Double])]): DataFrame = {
-    val e = assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
-      .withColumn("nrm", norm(col("v")))
-    e.as("a")
-      .join(e.as("b"), col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos",
-        when(col("a.nrm") * col("b.nrm") =!= 0, dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))))
-      .filter(col("cos") >= threshold)
-      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
+  def ivfNearDupPairs(embeddings: DataFrame, threshold: Double, cents: Array[(Int, Array[Double])], blockSize: Int = 512): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // blocked WITHIN each cell, same kernel as the exact sweep: the
+    // per-pair work runs as a tight JVM loop, and a hot cell splits
+    // across (cell, blk) block pairs instead of one giant task
+    val blocks = assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
+      .withColumn("blk", (col("vec_id") / blockSize).cast("long"))
+      .groupBy(col("cell"), col("blk"))
+      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+    val pairsOfBlocks = blocks.as("a")
+      .join(blocks.as("b"), col("a.cell") === col("b.cell") && col("a.blk") <= col("b.blk"))
+      .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))
+      .as[(Seq[IdVec], Seq[IdVec])]
+    sweepBlockPairs(pairsOfBlocks, threshold)
   }
 
   /** Bucketed near-dup: exact cosine only within LSH buckets. */
