@@ -118,7 +118,10 @@ object Bench {
   private val ScaleQueries = Seq(
     "q_redact_pii", "q_repetition_score", "q_corr_matrix", "q_risk_snapshot",
     "q_ngram_jaccard", "q_ema", "q_corpus_dedup", "q_dedup_keep_best",
-    "q_dedup_clusters", "q_bollinger", "q_shipping_priority", "q_large_volume_cust")
+    "q_dedup_clusters", "q_bollinger", "q_shipping_priority", "q_large_volume_cust",
+    // r8: the banding-saturation contrast (narrow vs wide bands on
+    // the same corpus) and the blocked within-cell semantic dedup
+    "q_simhash_neardup", "q_simhash_wide_neardup", "q_semantic_dedup")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next
