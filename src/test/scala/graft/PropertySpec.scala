@@ -99,6 +99,32 @@ class PropertySpec extends AnyFunSuite {
     assert(banded.exceptAll(naive).count() === 0 && naive.exceptAll(banded).count() === 0)
   }
 
+  test("wide simhash on random corpora: token-order invariant, banding equals all-pairs sweep") {
+    import spark.implicits._
+    val docs = mutatedCorpus(20, 4).toDF("doc_id", "text").repartition(8)
+    // SimHash is a fold over the token MULTISET: shuffling tokens
+    // must leave both lanes bit-identical (the property banding and
+    // chunked ingestion both lean on)
+    val shuffled = docs.select($"doc_id",
+      concat_ws(" ", shuffle(split(lower($"text"), " "), lit(7L))).as("text"))
+    val a = Dedup.simhashWide(docs)
+    val b = Dedup.simhashWide(shuffled)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "wide simhash is not token-order invariant")
+    // 120-bit banding is exact on random corpora too, not just the
+    // fixture: identical to the quadratic sweep over both lanes
+    val wide = a
+    val naive = wide.as("x").join(wide.as("y"), $"x.doc_id" < $"y.doc_id")
+      .withColumn("dist",
+        (bit_count($"x.sh_lo".bitwiseXOR($"y.sh_lo")) +
+          bit_count($"x.sh_hi".bitwiseXOR($"y.sh_hi"))).cast("long"))
+      .filter($"dist" <= 4)
+      .select($"x.doc_id".as("da"), $"y.doc_id".as("db"), $"dist")
+    val banded = Dedup.simhashNearDupPairsWide(docs, 4, 6)
+    assert(naive.count() > 0, "mutated corpus produced no wide dist<=4 pairs")
+    assert(banded.exceptAll(naive).count() === 0 && naive.exceptAll(banded).count() === 0)
+  }
+
   test("parsers round-trip generated values and reject generated garbage") {
     import spark.implicits._
     val pcts = (1 to 200).map { _ =>
