@@ -38,4 +38,25 @@ object Guards {
             s"panel operator. Use the LSH/banded candidate paths for unbounded universes, or " +
             s"raise/unset $PairSweepMaxKeys")
     }
+
+  /** The bucketed-sweep variant of [[checkPairKeyCap]]: for
+    * operators whose pair space is per-BUCKET quadratic
+    * (ivfNearDupPairs' cells), the quadratic dimension is the
+    * largest bucket's occupancy, not total keys — a degenerate
+    * quantizer that drops the corpus into one cell silently reverts
+    * to the full sweep. Same opt-in conf; same eager-extra-pass
+    * caveat as the key cap.
+    */
+  def checkCellOccupancyCap(assigned: DataFrame, op: String): Unit =
+    assigned.sparkSession.conf.getOption(PairSweepMaxKeys).map(_.toLong).foreach { cap =>
+      import org.apache.spark.sql.functions.{count, lit, max}
+      val occ = assigned.groupBy("cell").agg(count(lit(1)).as("n"))
+        .agg(max("n")).collect()(0).getLong(0)
+      if (occ > cap)
+        throw new IllegalArgumentException(
+          s"$op is O(occupancy^2) per cell and its largest cell holds $occ vectors, " +
+            s"exceeding $PairSweepMaxKeys=$cap: the quantizer is not spreading the corpus " +
+            s"(degenerate centroids, or nlist far too small for this corpus). Retrain with " +
+            s"more cells, or raise/unset $PairSweepMaxKeys")
+    }
 }

@@ -269,11 +269,23 @@ object Similarity {
   def ivfNearDupPairs(embeddings: DataFrame, threshold: Double, cents: Array[(Int, Array[Double])], blockSize: Int = 512): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // blocked WITHIN each cell, same kernel as the exact sweep: the
-    // per-pair work runs as a tight JVM loop, and a hot cell splits
-    // across (cell, blk) block pairs instead of one giant task
-    val blocks = assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
-      .withColumn("blk", (col("vec_id") / blockSize).cast("long"))
+    val assigned =
+      assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
+    // opt-in guard, same conf as the exact sweep: here the quadratic
+    // dimension is CELL OCCUPANCY — a degenerate quantizer that
+    // drops the corpus into one cell silently reverts to n²/2 pairs
+    Guards.checkCellOccupancyCap(assigned, "ivfNearDupPairs")
+    // blocked WITHIN each cell with a DENSE per-cell block index
+    // (row_number over vec_id inside the cell, not vec_id/blockSize
+    // globally): cells scatter across global id space, so a global
+    // block id would leave ~blockSize/nlist vectors per group and
+    // the join row count would stay at the unrestricted sweep's —
+    // dense blocks hold ~blockSize vectors regardless of nlist. The
+    // index is monotone in vec_id within the cell, so blk(a) <=
+    // blk(b) still covers every ordered pair exactly once.
+    val w = Window.partitionBy("cell").orderBy("vec_id")
+    val blocks = assigned
+      .withColumn("blk", ((row_number().over(w) - 1) / blockSize).cast("long"))
       .groupBy(col("cell"), col("blk"))
       .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
     val pairsOfBlocks = blocks.as("a")

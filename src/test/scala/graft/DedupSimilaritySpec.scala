@@ -24,6 +24,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
         TimeSeries.correlationMatrix(Tables.events(spark, sf))
       }
       assert(e2.getMessage.contains("O(keys^2)") && e2.getMessage.contains("correlationMatrix"))
+      // the bucketed sweep's variant: a degenerate one-cell quantizer
+      // holds the whole corpus in one bucket and must fail the same way
+      val e3 = intercept[IllegalArgumentException] {
+        Similarity.ivfNearDupPairs(emb, 0.45, Similarity.ivfTrain(emb, nlist = 1, iters = 0))
+      }
+      assert(e3.getMessage.contains("O(occupancy^2)") && e3.getMessage.contains("ivfNearDupPairs"))
     } finally spark.conf.unset(Guards.PairSweepMaxKeys)
     // conf unset (the default): contract documented but unenforced
     assert(Similarity.cosineNearDupPairs(emb, 0.45).limit(1).count() >= 0)
@@ -245,8 +251,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val all = Similarity.ivfNearDupPairs(emb, 0.45, one)
     assert(all.exceptAll(exact).count() === 0 && exact.exceptAll(all).count() === 0)
     // nlist=16: pairs are a strict SUBSET with bit-equal cos values
+    // — and NON-EMPTY, or the subset check (and the driver gate's
+    // oracle compare, which runs this same configuration) would pass
+    // vacuously on a regression that drops every within-cell pair
     val cents  = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
     val within = Similarity.ivfNearDupPairs(emb, 0.45, cents)
+    assert(within.count() > 0, "seed-quantizer within-cell pairs vanished — vacuous gate")
     assert(within.exceptAll(exact).count() === 0,
       "within-cell pairs must all be exact near-dup pairs with identical scores")
     // the operator's purpose is bounded CANDIDATE VOLUME: the pair
