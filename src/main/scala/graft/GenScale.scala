@@ -63,7 +63,7 @@ object GenScale {
     // layout= is the generator's OUTPUT-SHAPE version: bump it when
     // the written file layout changes, or a cached fixture keeps the
     // old physical characteristics under an unchanged content hash
-    val want = s"factor=$factor from=$inDir layout=rep-files-v2 fp=$fp\n"
+    val want = s"factor=$factor from=$inDir layout=rep-files-v3 fp=$fp\n"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false
     generate(spark, inDir, outDir, factor)
@@ -79,17 +79,23 @@ object GenScale {
     // task — every scan-stage-heavy query then measured serial
     // execution, not 10x data (q_redact_pii read 18x, q_filter_agg
     // 23x, both artifacts of the layout). A real 10x dataset has ~10x
-    // the files at the same bytes/file; range-partitioning on the
-    // literal rep id reproduces exactly that (and file i IS replica
-    // i, so per-file key stats stay as tight as the base file's).
+    // the files at the same bytes/file; one filtered single-partition
+    // write per replica reproduces exactly that. The per-rep loop is
+    // DETERMINISTIC (rep r is exactly file r's content, every run) —
+    // repartitionByRange picked bounds by sampling, which could merge
+    // two reps into one file and leave another empty. Generation is
+    // one-time (cache marker), so factor sequential writes per table
+    // is cheap where a sampling surprise in the measured layout is not.
     def write(df: DataFrame, name: String, sortKeys: String*): Unit = {
-      val out =
-        if (df.columns.contains("rep"))
-          df.repartitionByRange(factor, col("rep"))
-            .sortWithinPartitions(("rep" +: sortKeys).map(col): _*)
-            .drop("rep")
-        else df
-      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      val path = s"$outDir/$name.parquet"
+      if (df.columns.contains("rep"))
+        (0L until factor.toLong).foreach { r =>
+          df.filter(col("rep") === r).drop("rep")
+            .coalesce(1)
+            .sortWithinPartitions(sortKeys.map(col): _*)
+            .write.mode(if (r == 0L) "overwrite" else "append").parquet(path)
+        }
+      else df.write.mode("overwrite").parquet(path)
     }
 
     def rawEvents = {

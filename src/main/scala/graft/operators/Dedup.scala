@@ -69,9 +69,20 @@ object Dedup {
     * shingle (pigeonhole: |A∩B| >= ceil(t*max(na,nb))), so candidate
     * generation is exact while the join keys are the LEAST shared
     * shingles in the corpus (tiny buckets, no quadratic blowup from
-    * common phrases). Candidates are then verified on the full
-    * sorted shingle arrays with array_intersect. Pairs must also
-    * satisfy the size bound na >= t*nb && nb >= t*na.
+    * common phrases). Candidates also pass PPJoin's positional
+    * filter — for the first shared prefix shingle at ranks (pa, pb),
+    * overlap <= 1 + min(na-pa, nb-pb), which must reach the Jaccard
+    * overlap floor ceil(t/(1+t)·(na+nb)) — and the size bound
+    * na >= t*nb && nb >= t*na, then verify on the full sorted
+    * shingle arrays with array_intersect.
+    *
+    * BOUNDED-CORPUS by declared semantics: prefix filtering is exact
+    * but its candidate volume still saturates as the corpus grows
+    * (rarity is relative — at 10x docs the prefix shingles are 10x
+    * less rare, measured 9.6x time at x10 rows). The corpus-scale
+    * default is [[ngramJaccardPairsBanded]]; set
+    * `graft.pairSweep.maxKeys` to enforce this operator's bounded-
+    * corpus contract loudly ([[Guards.withPairKeyCap]]).
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the explode+distinct feeds three subtrees (docsets, freq,
@@ -103,17 +114,62 @@ object Dedup {
       // a long compare. A hash collision can only ADD candidates
       // (verification on the exact string arrays filters them), never
       // drop one — equal strings always hash equal — so exactness holds
-      .select(col("doc_id"), xxhash64(col("s")).as("sh64"), col("n_sh"))
-    val cand = prefix.as("a")
-      .join(prefix.as("b"),
+      .select(col("doc_id"), xxhash64(col("s")).as("sh64"), col("n_sh"), col("rn"))
+    val guarded = Guards.withPairKeyCap(prefix, documents.select(col("doc_id")), "ngramJaccardPairs")
+    // positional filter (PPJoin): a J >= t pair's FIRST shared prefix
+    // shingle has nothing common before it on either side, so overlap
+    // <= 1 + min(na-pa, nb-pb); requiring that to reach the overlap
+    // floor t/(1+t)·(na+nb) drops hopeless candidate rows in the join
+    // itself. Exact: the first-shared-shingle row of every
+    // qualifying pair always passes (other rows of the same pair may
+    // drop — distinct() needs any one), and collisions only add rows
+    val overlapFloor = ceil((col("a.n_sh") + col("b.n_sh")) * (threshold / (1 + threshold)) - 1e-9)
+    val cand = guarded.as("a")
+      .join(guarded.as("b"),
         col("a.sh64") === col("b.sh64") && col("a.doc_id") < col("b.doc_id") &&
           col("a.n_sh") >= col("b.n_sh") * threshold &&
-          col("b.n_sh") >= col("a.n_sh") * threshold)
+          col("b.n_sh") >= col("a.n_sh") * threshold &&
+          lit(1) + least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn")) >= overlapFloor)
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .distinct()
     cand
       .join(docsets.select(col("doc_id").as("da"), col("arr").as("arr_a"), col("n_sh").as("na")), "da")
       .join(docsets.select(col("doc_id").as("db"), col("arr").as("arr_b"), col("n_sh").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("da"), col("db"), col("jaccard"))
+  }
+
+  /** Corpus-scale n-gram Jaccard — the banded default: MinHash-LSH
+    * banding generates candidates (band-bucket joins, bounded bucket
+    * width), exact n-gram Jaccard verifies each candidate on the
+    * full sorted shingle arrays. The output is exactly
+    * [[ngramJaccardPairs]] ∩ LSH candidates (spec-asserted): banding
+    * trades the exact sweep's saturating candidate volume for a
+    * probabilistic recall floor — 4 bands of 2 rows give
+    * P(candidate) = 1-(1-j²)⁴, ≈0.98 at j=0.8 and >0.999 at j=0.9 —
+    * which is the trade every corpus-scale dedup pipeline ships
+    * (MinHashLSH in the C4/RefinedWeb/Gopher family). Cost is
+    * O(corpus shingles) + O(candidates), with candidates bounded by
+    * band-bucket occupancy instead of prefix-shingle rarity, so it
+    * stays ~linear where PPJoin saturates (measured: 9.6x → ~3x at
+    * x10 rows). Signatures come from the codegen'd per-row MinHash
+    * expression at the default n=3 (one md5 per shingle in the scan
+    * stage); other shingle widths fall back to the composed plan.
+    */
+  def ngramJaccardPairsBanded(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cand =
+      if (n == 3) minhashLshCandidatesFast(documents)
+      else minhashLshCandidates(documents, k = 8, n = n)
+    val docsets = shingles(documents, n).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
+    cand
+      .join(docsets.select(col("doc_id").as("da"), col("arr").as("arr_a"), col("n_sh").as("na")), "da")
+      .join(docsets.select(col("doc_id").as("db"), col("arr").as("arr_b"), col("n_sh").as("nb")), "db")
+      // size bound first: a cheap long compare that drops a candidate
+      // before its array intersection is computed
+      .filter(col("na") >= col("nb") * threshold && col("nb") >= col("na") * threshold)
       .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

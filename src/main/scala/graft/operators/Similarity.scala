@@ -59,19 +59,21 @@ object Similarity {
     * Quadratic in VECTORS by declared semantics (the exact sweep a
     * bounded corpus slice or re-ranking stage wants; LSH/IVF are the
     * open-ended paths). Set `graft.pairSweep.maxKeys` to turn a
-    * misrouted unbounded input into an immediate error instead of an
-    * O(n²) job ([[Guards.checkPairKeyCap]]).
+    * misrouted unbounded input into a named in-plan error on the
+    * operator's own action, before the O(n²) sweep runs
+    * ([[Guards.withPairKeyCap]]).
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double, blockSize: Int = 512): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val vecs = embeddings
       .select(col("vec_id"), toDouble(col("embedding")).as("v"))
-    Guards.checkPairKeyCap(vecs.select(col("vec_id")), "cosineNearDupPairs")
-    val blocks = vecs
-      .withColumn("blk", (col("vec_id") / blockSize).cast("long"))
-      .groupBy("blk")
-      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+    val blocks = Guards.withPairKeyCap(
+      vecs
+        .withColumn("blk", (col("vec_id") / blockSize).cast("long"))
+        .groupBy("blk")
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs")),
+      vecs.select(col("vec_id")), "cosineNearDupPairs")
     val pairsOfBlocks = blocks.as("a")
       .join(blocks.as("b"), col("a.blk") <= col("b.blk"))
       .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))
@@ -271,10 +273,6 @@ object Similarity {
     import spark.implicits._
     val assigned =
       assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
-    // opt-in guard, same conf as the exact sweep: here the quadratic
-    // dimension is CELL OCCUPANCY — a degenerate quantizer that
-    // drops the corpus into one cell silently reverts to n²/2 pairs
-    Guards.checkCellOccupancyCap(assigned, "ivfNearDupPairs")
     // blocked WITHIN each cell with a DENSE per-cell block index
     // (row_number over vec_id inside the cell, not vec_id/blockSize
     // globally): cells scatter across global id space, so a global
@@ -284,10 +282,17 @@ object Similarity {
     // index is monotone in vec_id within the cell, so blk(a) <=
     // blk(b) still covers every ordered pair exactly once.
     val w = Window.partitionBy("cell").orderBy("vec_id")
-    val blocks = assigned
-      .withColumn("blk", ((row_number().over(w) - 1) / blockSize).cast("long"))
-      .groupBy(col("cell"), col("blk"))
-      .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs"))
+    // opt-in guard, same conf as the exact sweep: here the quadratic
+    // dimension is CELL OCCUPANCY — a degenerate quantizer that
+    // drops the corpus into one cell silently reverts to n²/2 pairs.
+    // The dense block index makes the check free (no counting pass:
+    // blk*blockSize + size(vs) IS the cell's occupancy at that block)
+    val blocks = Guards.withCellOccupancyCap(
+      assigned
+        .withColumn("blk", ((row_number().over(w) - 1) / blockSize).cast("long"))
+        .groupBy(col("cell"), col("blk"))
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs")),
+      blockSize, "ivfNearDupPairs")
     val pairsOfBlocks = blocks.as("a")
       .join(blocks.as("b"), col("a.cell") === col("b.cell") && col("a.blk") <= col("b.blk"))
       .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))

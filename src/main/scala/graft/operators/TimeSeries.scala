@@ -531,7 +531,7 @@ object TimeSeries {
     * Quadratic in KEYS by declared semantics — a bounded instrument
     * panel, not an open-ended key stream. Set
     * `graft.pairSweep.maxKeys` to enforce that contract loudly
-    * ([[Guards.checkPairKeyCap]]).
+    * ([[Guards.withPairKeyCap]]).
     */
   def correlationMatrix(df: DataFrame, blockSize: Int = 64, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val spark = df.sparkSession
@@ -548,9 +548,10 @@ object TimeSeries {
         transform(col("sv"), s => s("slot")).as("slots"),
         transform(col("sv"), s => s("ret")).as("vals"))
       .withColumn("blk", (col("k") / blockSize).cast("long"))
-    Guards.checkPairKeyCap(vecs.select(col("k")), "correlationMatrix")
-    val blocks = vecs.groupBy("blk")
-      .agg(collect_list(struct(col("k"), col("slots"), col("vals"))).as("vs"))
+    val blocks = Guards.withPairKeyCap(
+      vecs.groupBy("blk")
+        .agg(collect_list(struct(col("k"), col("slots"), col("vals"))).as("vs")),
+      vecs.select(col("k")), "correlationMatrix")
     val pairsOfBlocks = blocks.as("x")
       .join(blocks.as("y"), col("x.blk") <= col("y.blk"))
       .select(col("x.vs").as("avs"), col("y.vs").as("bvs"))

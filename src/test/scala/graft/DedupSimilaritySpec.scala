@@ -11,25 +11,37 @@ class DedupSimilaritySpec extends AnyFunSuite {
   test("pair-sweep key cap: fires on a wide key universe, silent on the fixture, off by default") {
     import graft.operators.{Guards, TimeSeries}
     val emb = Tables.embeddings(spark, sf)
+    // the guard is IN-PLAN (that is what makes it free — no extra
+    // Spark job at operator-build time), so the violation surfaces at
+    // action time wrapped in Spark's task-failure chain: walk causes
+    // for the named message
+    def guardMessage(body: => Unit): String = {
+      val t = intercept[Throwable] { body }
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    }
     try {
       // cap far above the fixture's vector count: silent
       spark.conf.set(Guards.PairSweepMaxKeys, "1000000")
       assert(Similarity.cosineNearDupPairs(emb, 0.45).limit(1).count() >= 0)
-      // cap below it: the sweep must fail loudly at build time,
-      // naming the quadratic semantics — not launch an O(n^2) job
+      // cap below it: the sweep must fail loudly on its own action,
+      // naming the quadratic semantics — before the O(n^2) sweep runs
       spark.conf.set(Guards.PairSweepMaxKeys, "10")
-      val e1 = intercept[IllegalArgumentException] { Similarity.cosineNearDupPairs(emb, 0.45) }
-      assert(e1.getMessage.contains("O(keys^2)") && e1.getMessage.contains("cosineNearDupPairs"))
-      val e2 = intercept[IllegalArgumentException] {
-        TimeSeries.correlationMatrix(Tables.events(spark, sf))
-      }
-      assert(e2.getMessage.contains("O(keys^2)") && e2.getMessage.contains("correlationMatrix"))
+      val m1 = guardMessage { Similarity.cosineNearDupPairs(emb, 0.45).collect() }
+      assert(m1.contains("O(keys^2)") && m1.contains("cosineNearDupPairs"), m1)
+      val m2 = guardMessage { TimeSeries.correlationMatrix(Tables.events(spark, sf)).collect() }
+      assert(m2.contains("O(keys^2)") && m2.contains("correlationMatrix"), m2)
       // the bucketed sweep's variant: a degenerate one-cell quantizer
       // holds the whole corpus in one bucket and must fail the same way
-      val e3 = intercept[IllegalArgumentException] {
-        Similarity.ivfNearDupPairs(emb, 0.45, Similarity.ivfTrain(emb, nlist = 1, iters = 0))
+      val m3 = guardMessage {
+        Similarity.ivfNearDupPairs(emb, 0.45, Similarity.ivfTrain(emb, nlist = 1, iters = 0)).collect()
       }
-      assert(e3.getMessage.contains("O(occupancy^2)") && e3.getMessage.contains("ivfNearDupPairs"))
+      assert(m3.contains("O(occupancy^2)") && m3.contains("ivfNearDupPairs"), m3)
+      // an empty frame under an enabled cap is a pass, not an NPE
+      // (zero occupancy cannot exceed any cap)
+      import spark.implicits._
+      val none = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+      assert(Similarity.cosineNearDupPairs(none, 0.45).count() === 0)
     } finally spark.conf.unset(Guards.PairSweepMaxKeys)
     // conf unset (the default): contract documented but unenforced
     assert(Similarity.cosineNearDupPairs(emb, 0.45).limit(1).count() >= 0)
@@ -65,6 +77,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val fast = Dedup.ngramJaccardPairs(docs, 3, 0.8)
     assert(naive.count() > 0, "no naive pairs — threshold too strict for this corpus")
     assert(fast.exceptAll(naive).count() === 0 && naive.exceptAll(fast).count() === 0)
+  }
+
+  test("banded jaccard IS the exact sweep restricted to LSH candidates, with bit-equal scores") {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, sf)
+    val banded = Dedup.ngramJaccardPairsBanded(docs, 3, 0.8)
+    val exact  = Dedup.ngramJaccardPairs(docs, 3, 0.8)
+    val cand   = Dedup.minhashLshCandidatesFast(docs)
+    // the subset-exactness argument (same as simhash banding):
+    // banded = exact ∩ candidates, scores INCLUDED — banding decides
+    // which pairs are examined, never what a pair scores
+    val want = exact.join(cand, Seq("da", "db"))
+    assert(banded.count() > 0, "no banded pairs — vacuous check")
+    assert(banded.exceptAll(want).count() === 0 && want.exceptAll(banded).count() === 0)
+    // recall on the fixture: 4 bands x 2 rows at j>=0.8 gives
+    // P(candidate) ~ 1-(1-j^2)^4 ~ 0.98 — the banded result must
+    // carry nearly all exact pairs, or banding is not a usable default
+    val total  = exact.count()
+    val missed = exact.select($"da", $"db").except(banded.select($"da", $"db")).count()
+    assert(missed <= total / 5, s"banded jaccard missed $missed of $total exact pairs")
+  }
+
+  test("trained semantic dedup gate: subset/score/volume invariants hold end-to-end") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_semantic_dedup_trained")(spark, sf).collect()
+    assert(got.length === 1)
+    val r = got.head
+    val nExact = Similarity.cosineNearDupPairs(Tables.embeddings(spark, sf), 0.45).count()
+    assert(r.getLong(0) === nExact)
+    assert(r.getBoolean(1), "within-cell pairs escaped the exact sweep")
+    assert(r.getBoolean(2), "within-cell scores diverged from the exact sweep")
+    assert(r.getBoolean(3), "trained cells left more than half the full pair space")
   }
 
   test("simhash distance small for near-dup pairs, larger for random pairs") {
@@ -227,9 +271,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got.select($"qid", $"vec_id", $"cos", $"rnk")
       .exceptAll(bf.select($"qid", $"vec_id", $"cos", $"rnk")).count() === 0)
     assert(got.count() === 25)
-    // the gate flag asserts hits >= 2 of 5; CI pins the real margin
-    // (training is run-nondeterministic, so the gate bound must sit
-    // well under what a healthy quantizer delivers)
+    // the gate flag asserts hits >= 1 of 5 (guards total collapse
+    // only); CI pins the real margin here — training is run-
+    // nondeterministic, so the gate bound must sit well under what a
+    // healthy quantizer delivers
     assert(got.filter(!$"half_recall_ok").count() === 0, "half-probe recall below the gate bound")
     val cents = Similarity.ivfTrain(Tables.embeddings(spark, sf), nlist = 16, iters = 3)
     val full  = Similarity.ivfSearch(Tables.embeddings(spark, sf), cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 16)
@@ -238,7 +283,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .join(half.select($"qid", $"vec_id"), Seq("qid", "vec_id"))
       .groupBy($"qid").count().select($"count").as[Long].collect()
     assert(perQid.length === 5 && perQid.forall(_ >= 3L),
-      s"per-qid half-probe hits ${perQid.mkString(",")} leave <1 hit of margin over the gate's >=2")
+      s"per-qid half-probe hits ${perQid.mkString(",")} leave <2 hits of margin over the gate's >=1")
   }
 
   test("semantic dedup (within-IVF-cell pairs): subset of exact, identical at nlist=1, useful recall") {

@@ -97,6 +97,42 @@ class PlanAuditSpec extends AnyFunSuite {
       s"join is not keyed on the band columns:\n$p")
   }
 
+  test("semantic dedup assigns cells in a codegen'd scan-stage projection and joins on the cell") {
+    // the 100 TB shape: the corpus side's cell assignment is the
+    // codegen'd broadcast-literal argmin riding the scan stage (no
+    // join, no shuffle to pick a cell), and the pair space is an
+    // equi-join on the cell — never an all-pairs product
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val p = planOf("q_semantic_dedup")
+      assert(p.contains("graft_ivf_assign"),
+        s"cell assignment no longer uses the codegen'd IvfAssign expression:\n$p")
+      assert(p.matches("(?s).*\\*\\(\\d+\\) Project \\[[^\\n]*graft_ivf_assign.*"),
+        s"the IvfAssign projection fell out of whole-stage codegen:\n$p")
+      assert(p.matches("(?s).*Join [^\\n]*cell[^\\n]*.*") ||
+        p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*cell[^\\]]*\\].*"),
+        s"the within-cell pair join is not keyed on the cell:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"semantic dedup degenerated to an all-pairs join shape:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("banded jaccard generates candidates via a band-bucket equi-join on scan-stage signatures") {
+    val p = planOf("q_ngram_jaccard_banded")
+    // candidates must come from the (band, sig) bucket join — the
+    // property that keeps corpus-scale Jaccard off the PPJoin
+    // saturation curve — with signatures from the codegen'd
+    // per-row MinHash expression, not a shingle shuffle
+    assert(p.contains("graft_minhash_sig"),
+      s"banded jaccard lost the codegen'd MinHash signature expression:\n$p")
+    assert(p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*(band|sig)[^\\]]*\\].*") ||
+      p.matches("(?s).*Join [^\\n]*(band|sig).*"),
+      s"candidate join is not keyed on the band bucket:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"banded jaccard degenerated to a product:\n$p")
+  }
+
   test("the salted join keeps both sides hash-partitioned (no broadcast fallback)") {
     // the skew remedy only matters when both sides genuinely shuffle;
     // with broadcast disabled the salted plan must be a shuffle join
