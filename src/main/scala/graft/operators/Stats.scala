@@ -241,9 +241,26 @@ object Stats {
   }
 
   /** Text cleaning pipeline: lower, strip non-alphanumerics,
-    * collapse runs of spaces, trim — all codegen'd regexes.
+    * collapse runs of spaces, trim — ONE codegen'd byte pass
+    * (graft.plans.CleanText), not a chain of java.util.regex
+    * passes: the regex chain measured ~16x slower per char, and on
+    * the bench host's JVM concurrent regex tasks additionally
+    * collapse ~20x (thread-scaling pathology, reproduced Spark-free
+    * — the root cause of q_clean_normalize's former 9x-at-x10
+    * ratio). [[cleanNormalizeRegex]] is the composed twin the spec
+    * asserts bit-identity against.
     */
-  def cleanNormalize(documents: DataFrame): DataFrame =
+  def cleanNormalize(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    documents.select(col("doc_id"), expr("graft_clean_text(text)").as("norm_text"))
+      .withColumn("norm_fp", md5(col("norm_text")))
+  }
+
+  /** The chained-regex twin of [[cleanNormalize]] — same output bit
+    * for bit (spec-asserted); kept as the cross-engine-readable
+    * specification of the cleaning semantics.
+    */
+  def cleanNormalizeRegex(documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id"),
       trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " ")).as("norm_text"))

@@ -8,6 +8,27 @@ import graft.operators.Stats
 class StatsApproxSpec extends AnyFunSuite {
   import TestSession._
 
+  test("codegen'd cleanText is bit-identical to the chained-regex twin, fixture and edge cases") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val fast = Stats.cleanNormalize(docs)
+    val slow = Stats.cleanNormalizeRegex(docs)
+    assert(fast.count() > 0)
+    assert(fast.exceptAll(slow).count() === 0 && slow.exceptAll(fast).count() === 0)
+    // adversarial shapes: empty, all-punct, runs of spaces around
+    // dropped chars, leading/trailing space, multi-byte chars (every
+    // UTF-8 continuation byte is >= 0x80, so byte filtering must drop
+    // whole characters), digits, tabs/newlines (dropped, NOT spaces)
+    val edge = Seq(
+      (1L, ""), (2L, "!!! ??? ..."), (3L, "  a  !  b  "), (4L, "a!b"),
+      (5L, "Héllo Wörld écho"), (6L, "MiXeD 123 CaSe"), (7L, " \t a \n b \t "),
+      (8L, "ça va? 日本語 ok"), (9L, "   "), (10L, "a" * 5000 + "!" + "b" * 5000))
+      .toDF("doc_id", "text")
+    val ef = Stats.cleanNormalize(edge)
+    val es = Stats.cleanNormalizeRegex(edge)
+    assert(ef.exceptAll(es).count() === 0 && es.exceptAll(ef).count() === 0)
+  }
+
   test("HLL distinct counts land within the configured error of exact") {
     import spark.implicits._
     val li    = Tables.lineitem(spark, sf)
