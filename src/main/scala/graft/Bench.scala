@@ -163,8 +163,12 @@ object Bench {
     * min-of-N milliseconds. Emits per-query base/scaled/ratio.
     */
   private def scaleBench(spark: SparkSession, baseDir: String, baseTimes: Map[String, Double]): String = {
-    val factor   = 10
-    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "testdata_sf1")
+    // factor and dir are env-tunable so a second scale point (x30
+    // extrapolation check) can reuse the section verbatim; the
+    // default x10 artifact is what the driver reads
+    val factor   = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      if (factor == 10) "testdata_sf1" else s"testdata_x$factor")
     try GenScale.ensure(spark, baseDir, scaleDir, factor)
     catch {
       case e: Throwable =>

@@ -63,7 +63,7 @@ object GenScale {
     // layout= is the generator's OUTPUT-SHAPE version: bump it when
     // the written file layout changes, or a cached fixture keeps the
     // old physical characteristics under an unchanged content hash
-    val want = s"factor=$factor from=$inDir layout=rep-files-v3 fp=$fp\n"
+    val want = s"factor=$factor from=$inDir layout=rep-files-v5 fp=$fp\n"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false
     generate(spark, inDir, outDir, factor)
@@ -137,15 +137,48 @@ object GenScale {
       rawEvents.withColumn("rep", reps(factor))
         .select(shift("event_id"), col("ts"), shift("user_id"), col("event_type"), col("value"), col("props"), col("rep")),
       "events", "event_id")
+    // Replica documents must be genuinely DIFFERENT texts, or the
+    // scaled corpus measures pair-density growth instead of operator
+    // scaling: the original token ROTATION preserved (a) almost the
+    // whole shingle set (a cyclic shift keeps every n-gram not
+    // crossing the wrap point — J ~ (L-6)/L ~ 0.86 at the median
+    // L=54, well above the 0.8 dedup threshold) and (b) the exact
+    // token MULTISET (so SimHash distance was 0 between replicas).
+    // Result: all C(factor,2) replica pairs of every doc were
+    // genuine near-dups — 223k pairs at x10 vs 256 in the base, a
+    // quadratic clique blowup that inflated every near-dup family's
+    // x10 ratio (r8's simhash_neardup 12.0x most of all). Now HALF
+    // the tokens (alternating positions, parity shifted per replica)
+    // get a replica suffix: shingle overlap collapses to ~(1/2)^3
+    // (J ~ 0.07, far under every threshold; LSH band-collision
+    // probability ~2%), the token multiset differs in half its
+    // members (SimHash distance >> 4), and within-replica structure
+    // is preserved (both members of a base near-dup pair transform
+    // consistently, so each replica keeps ~the base's internal
+    // pairs: near-dup volume scales ~linearly with the factor, as a
+    // real 10x corpus does). rep 0 stays the identity: the scaled
+    // dir genuinely contains the base dir. Rotation is kept (nonzero
+    // offset 1+(rep-1) mod (len-1) — the old rep*7 mod len was the
+    // identity for 851 replicas) so exact-dedup sees distinct bytes
+    // even on the positions the suffix pass leaves alone.
     write(
       Tables.documents(spark, inDir).withColumn("rep", reps(factor))
         .withColumn("toks", split(col("text"), " "))
-        .withColumn("r", pmod(col("rep") * 7, greatest(size(col("toks")), lit(1))).cast("int"))
+        .withColumn("r",
+          when(col("rep") === 0, lit(0))
+            .otherwise(lit(1) + pmod(col("rep") - 1, greatest(size(col("toks")) - 1, lit(1))))
+            .cast("int"))
+        .withColumn("rot",
+          concat(slice(col("toks"), col("r") + 1, size(col("toks")) - col("r")),
+            slice(col("toks"), lit(1), col("r"))))
         .select(
           shift("doc_id"),
-          array_join(
-            concat(slice(col("toks"), col("r") + 1, size(col("toks")) - col("r")),
-              slice(col("toks"), lit(1), col("r"))), " ").as("text"),
+          when(col("rep") === 0, col("text"))
+            .otherwise(array_join(
+              transform(col("rot"), (t, i) =>
+                when(pmod(i + col("rep"), lit(2)) === 0,
+                  concat(t, lit("r"), col("rep").cast("string"))).otherwise(t)),
+              " ")).as("text"),
           col("lang"), col("source"), col("n_chars"), col("rep")),
       "documents", "doc_id")
     write(
@@ -163,14 +196,17 @@ object GenScale {
       "embeddings", "vec_id")
   }
 
-  /** CLI: GenScale <inDir> <outDir> [factor]. */
+  /** CLI: GenScale <inDir> <outDir> [factor]. Marker-aware like the
+    * bench path (a fixture the CLI generated must not be regenerated
+    * by the next bench run, and vice versa).
+    */
   def main(args: Array[String]): Unit = {
     val inDir  = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val spark  = Session.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    generate(spark, inDir, outDir, factor)
-    println(s"generated $outDir at x$factor from $inDir")
+    val ran    = ensure(spark, inDir, outDir, factor)
+    println(s"${if (ran) "generated" else "cache hit:"} $outDir at x$factor from $inDir")
     spark.stop()
   }
 }
