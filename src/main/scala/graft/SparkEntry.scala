@@ -167,6 +167,16 @@ object SparkEntry {
         Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 75))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")),
+    // cap every source at an 800-token contribution, exact running-
+    // sum variant (prefix-closed in the md5 hash order)
+    "q_token_budget_sample" -> ((s, dir) =>
+      Sampling.tokenBudgetSample(Tables.documents(s, dir), 800)
+        .orderBy("source", "cum_tok")),
+    // same budget, rate-based variant: the zero-sort 100 TB path —
+    // hits the budget in expectation via a per-row 32-bit threshold
+    "q_token_budget_rate" -> ((s, dir) =>
+      Sampling.tokenBudgetSampleRate(Tables.documents(s, dir), 800)
+        .orderBy("doc_id")),
     "q_time_features" -> ((s, dir) =>
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
     // 2-hour promo windows opened by purchase events (fixed duration
@@ -350,6 +360,10 @@ object SparkEntry {
       TextAnalysis.chunk(Tables.documents(s, dir), 100, 20).orderBy("doc_id", "chunk_id")),
     "q_tfidf_topterms" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), 5).orderBy("doc_id", "rnk")),
+    // unigram cross-entropy (CCNet-style perplexity filter); cutoff
+    // 3.402 ~ the fixture median, so the keep flag is non-trivial
+    "q_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexityScore(Tables.documents(s, dir), 3.402).orderBy("doc_id")),
     "q_repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_quality_gate" -> ((s, dir) =>
@@ -448,6 +462,13 @@ object SparkEntry {
     "q_ann_bruteforce" -> ((s, dir) =>
       Similarity
         .bruteForceTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("qid", "rnk")),
+    // same queries/k over int8-quantized vectors: all-integer dots
+    // and norms (scales cancel in the cosine), 4x less memory at
+    // scale — scores are exact integer math + one IEEE sqrt
+    "q_ann_int8" -> ((s, dir) =>
+      Similarity
+        .int8BruteForceTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)
         .orderBy("qid", "rnk")),
     "q_embed_neardup" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), 0.45).orderBy("va", "vb")),
@@ -956,6 +977,31 @@ object SparkEntry {
         |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 <
         |  CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 25 WHEN 'src2' THEN 50 WHEN 'src3' THEN 75 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+    "q_token_budget_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+        |  FROM d
+        |)
+        |SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+        |FROM c WHERE cum_tok <= 800
+        |ORDER BY source, cum_tok""".stripMargin,
+    "q_token_budget_rate" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok FROM documents
+        |), t AS (
+        |  SELECT source, CAST(sum(n_tok) AS BIGINT) AS tot_tok FROM d GROUP BY source
+        |)
+        |SELECT d.doc_id, d.source, d.n_tok
+        |FROM d JOIN t USING (source)
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) <
+        |  least(800.0 / CAST(t.tot_tok AS DOUBLE), 1.0) * 4294967296.0
+        |ORDER BY d.doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, event_id
         |FROM (
@@ -1194,6 +1240,30 @@ object SparkEntry {
         |FROM r JOIN b USING (day)
         |WHERE r.user_id != 0
         |GROUP BY r.user_id ORDER BY r.user_id""".stripMargin,
+    // terms fold in TOKEN order on both sides (list(... ORDER BY
+    // tok) + list_reduce here, sort_array + aggregate in Spark), so
+    // the float accumulation order is a function of the document
+    // alone and the score hash-matches
+    "q_perplexity" ->
+      """WITH dt AS (
+        |  SELECT doc_id, tok, count(*) AS occ
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY doc_id, tok
+        |), c AS (
+        |  SELECT tok, CAST(sum(occ) AS BIGINT) AS cnt FROM dt GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM c
+        |), terms AS (
+        |  SELECT dt.doc_id, dt.tok, dt.occ,
+        |    -CAST(dt.occ AS DOUBLE) * ln(CAST(c.cnt AS DOUBLE) / CAST(tot.n_total AS DOUBLE)) AS term
+        |  FROM dt JOIN c USING (tok) CROSS JOIN tot
+        |), x AS (
+        |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_tok,
+        |    round(list_reduce(list(term ORDER BY tok), (a, b) -> a + b) / CAST(sum(occ) AS DOUBLE), 6) AS xent
+        |  FROM terms GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tok, xent, CAST(xent <= 3.402 AS INT) AS keep
+        |FROM x ORDER BY doc_id""".stripMargin,
     "q_tfidf_topterms" ->
       """WITH tf AS (
         |  SELECT doc_id, t, count(*) AS tf
@@ -2017,6 +2087,31 @@ object SparkEntry {
         |)
         |SELECT qid, vec_id, cos,
         |  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |FROM scored
+        |QUALIFY rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+    // quantized levels live in DOUBLE lists on both sides: every
+    // value is integral and < 2^53, so dots/norms are exact and the
+    // score is deterministic integer math + one IEEE sqrt
+    "q_ann_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+        |  FROM e
+        |), z AS (
+        |  SELECT vec_id, list_transform(v, x -> floor(x / s + 0.5)) AS qv
+        |  FROM sc WHERE s != 0
+        |), n AS (
+        |  SELECT vec_id, qv, sqrt(list_dot_product(qv, qv)) AS qn FROM z
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, e.vec_id,
+        |    list_dot_product(q.qv, e.qv) / (q.qn * e.qn) AS qcos
+        |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id != q.vec_id
+        |  WHERE q.qn * e.qn != 0
+        |)
+        |SELECT qid, vec_id, qcos,
+        |  row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id ASC) AS rnk
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,

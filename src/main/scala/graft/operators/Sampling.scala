@@ -61,4 +61,63 @@ object Sampling {
       .filter(col("rn") <= n)
       .drop("rn")
   }
+
+  /** Token-budget sampling — the data-mixing step that caps each
+    * source's contribution to a training mixture at a TOKEN budget
+    * rather than a document count (sources differ wildly in mean
+    * document length, so a doc-count cap skews the mixture).
+    * Documents are taken in deterministic md5-hash order within
+    * their source until the source's cumulative whitespace-token
+    * count reaches `budgetTokens`; the document that would cross
+    * the budget is dropped. The kept set is prefix-closed in the
+    * hash order: a function of (corpus, budget) alone, identical on
+    * every engine, run, and cluster size.
+    *
+    * EXACT variant: one shuffle on the source key plus a per-source
+    * ordered running sum. Fine when a per-source sort fits (few
+    * sources, bounded budget); at 100 TB the sort dominates — use
+    * [[tokenBudgetSampleRate]], which hits the same budget in
+    * expectation with zero sorting.
+    */
+  def tokenBudgetSample(docs: DataFrame, budgetTokens: Long,
+                        sourceCol: String = "source", keyCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(sourceCol).orderBy(h.asc, col(keyCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tok", size(split(col(textCol), " ")).cast("long"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= budgetTokens)
+      .select(col(keyCol), col(sourceCol), col("n_tok"), col("cum_tok"))
+  }
+
+  /** Rate-based token-budget sampling — the 100 TB variant of
+    * [[tokenBudgetSample]]: one aggregate pass computes each
+    * source's exact total token count (integer sums — engine-
+    * deterministic), the keep rate `budget / total` (capped at 1)
+    * becomes a per-row md5 threshold, and the sample is drawn with
+    * NO per-source sort and no coordination — scan-stage per-row
+    * work plus one broadcast of a tiny per-source table. The budget
+    * is hit in expectation (±O(sqrt) overshoot) instead of exactly;
+    * that is the correct trade at corpus scale, where a per-source
+    * global sort of 100 TB is the single most expensive shuffle a
+    * mixing pipeline could run.
+    *
+    * Hash is 32-bit (8 hex chars) so the `hash < rate * 2^32`
+    * comparison is exact in doubles on every engine (every 32-bit
+    * integer is representable; 60-bit hashes would round).
+    */
+  def tokenBudgetSampleRate(docs: DataFrame, budgetTokens: Long,
+                            sourceCol: String = "source", keyCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val withTok = docs.withColumn("n_tok", size(split(col(textCol), " ")).cast("long"))
+    val totals  = withTok.groupBy(sourceCol).agg(sum(col("n_tok")).as("tot_tok"))
+    val h32     = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    withTok
+      .join(broadcast(totals), sourceCol)
+      .filter(h32.cast("double") <
+        least(lit(budgetTokens).cast("double") / col("tot_tok").cast("double"), lit(1.0)) * lit(4294967296.0))
+      .select(col(keyCol), col(sourceCol), col("n_tok"))
+  }
 }

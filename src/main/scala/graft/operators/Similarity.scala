@@ -50,6 +50,50 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Int8-quantized brute-force top-k — the memory-bound 100 TB
+    * shape of [[bruteForceTopK]]: each vector is symmetric-max-
+    * quantized to 8-bit integer levels (per-vector scale
+    * `max|v| / 127`, the standard symmetric int8 scheme), and
+    * candidates are ranked by the cosine of the QUANTIZED vectors.
+    * The per-vector scales cancel in the cosine, so the score is
+    * all-integer dot products and norms plus one IEEE sqrt —
+    * bit-identical across engines with no float-accumulation-order
+    * caveat at all (integer sums are exact; quantized levels are
+    * stored in doubles, where every value up to 2^53 is exact).
+    *
+    * Why int8 at scale: 4x less storage and scan bandwidth than
+    * float32 (a billion 64-d vectors drop from 256 GB to 64 GB),
+    * and integer MACs vectorize wider than FP on modern cores.
+    * Quantization is per-row at the scan stage (zero shuffle); the
+    * ranking reuses the broadcast-query join. Rounding is
+    * `floor(x/s + 0.5)` rather than `round()`: one explicit rule,
+    * identical in every engine (no half-up/half-even ambiguity).
+    * Recall vs the float sweep is a fixture property asserted in
+    * the spec, not a constant of the operator.
+    */
+  def int8BruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val v = toDouble(col("embedding"))
+    val s = (array_max(transform(v, x => abs(x))) / lit(127.0)).as("s")
+    val e = embeddings
+      .select(col("vec_id"), v.as("v"), s)
+      .filter(col("s") =!= 0)
+      .withColumn("qv", transform(col("v"), x => floor(x / col("s") + lit(0.5))))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+      .select(col("vec_id"), col("qv"), col("qn"))
+    val q = broadcast(
+      e.filter(col("vec_id").isin(queryIds: _*))
+        .select(col("vec_id").as("qid"), col("qv").as("qqv"), col("qn").as("qqn")))
+    val scored = e
+      .join(q, col("vec_id") =!= col("qid"))
+      .filter(col("qqn") * col("qn") =!= 0)
+      .withColumn("qcos", dot(col("qqv"), col("qv")) / (col("qqn") * col("qn")))
+    val w = Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("qcos"), col("rnk"))
+  }
+
   /** Exact all-pairs cosine >= threshold via blocked self-join:
     * vectors are grouped into blocks of `blockSize`, block pairs
     * cross-joined, and each pair of blocks scanned in a tight loop.

@@ -249,4 +249,44 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("t").as("term"), col("tfidf"), col("rnk"))
   }
+
+  /** Unigram-LM cross-entropy scoring — the perplexity-filter step
+    * of a CCNet-style curation pipeline: token probabilities are
+    * corpus-global unigram frequencies, a document's score is the
+    * mean negative log-likelihood of its tokens (nats; perplexity =
+    * e^xent), and `keep` flags documents at or under `cutoff` —
+    * high cross-entropy under the corpus's own unigram model marks
+    * gibberish, boilerplate soup, and wrong-language text.
+    *
+    * Scale shape: a word-count shuffle for the vocabulary, one
+    * shuffle of per-(doc, token) counts for scoring — both
+    * key-partitioned aggregations; the corpus total rides along as
+    * a broadcast 1-row frame (no driver collect). The per-document
+    * sum folds its terms in TOKEN order (sort_array + ordered
+    * aggregate), so the float accumulation order is a function of
+    * the document alone — identical on every engine, run, and
+    * partitioning, which is what lets the score hash-match a SQL
+    * oracle and, at 100 TB, makes a re-run byte-reproducible.
+    */
+  def perplexityScore(documents: DataFrame, cutoff: Double = 8.0): DataFrame = {
+    val docTok = documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("occ"))
+    val counts = docTok.groupBy(col("tok")).agg(sum(col("occ")).as("cnt"))
+    val total  = counts.agg(sum(col("cnt")).as("n_total"))
+    docTok.join(counts, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("term",
+        -col("occ").cast("double") * log(col("cnt").cast("double") / col("n_total").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("tok"), col("term")))).as("ts"),
+        sum(col("occ")).as("n_tok"))
+      .withColumn("xent",
+        round(aggregate(col("ts"), lit(0.0), (acc, s) => acc + s("term")) / col("n_tok"), 6))
+      .select(
+        col("doc_id"), col("n_tok"), col("xent"),
+        (col("xent") <= cutoff).cast("int").as("keep"))
+  }
 }

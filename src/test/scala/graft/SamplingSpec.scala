@@ -52,4 +52,37 @@ class SamplingSpec extends AnyFunSuite {
     val counts = s.groupBy($"event_type").count().collect().map(_.getLong(1))
     assert(counts.forall(_ === 20L))
   }
+
+  test("token budget sample stays under budget per source and is prefix-closed") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val kept = Sampling.tokenBudgetSample(docs, 400)
+    // budget respected: every source's max cumulative count <= budget
+    val maxCum = kept.groupBy($"source").agg(max($"cum_tok").as("m")).collect()
+    assert(maxCum.nonEmpty && maxCum.forall(_.getAs[Long]("m") <= 400L))
+    // prefix-closed in the budget: a larger budget keeps a superset
+    val keptBig = Sampling.tokenBudgetSample(docs, 800)
+    assert(kept.select("doc_id").exceptAll(keptBig.select("doc_id")).count() === 0)
+    // deterministic
+    assert(Sampling.tokenBudgetSample(docs, 400).exceptAll(kept).count() === 0)
+  }
+
+  test("rate-based token budget lands near the budget with zero sort") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val kept = Sampling.tokenBudgetSampleRate(docs, 400)
+    // expectation-level budget: per-source kept tokens within a wide
+    // band of the target (the variance is the declared trade)
+    val perSrc = kept.groupBy($"source").agg(sum($"n_tok").as("tk")).collect()
+    assert(perSrc.nonEmpty && perSrc.forall { r =>
+      val tk = r.getAs[Long]("tk"); tk > 50L && tk < 1200L
+    }, s"rate sample far off budget: ${perSrc.mkString(",")}")
+    // a budget >= the source total keeps everything (rate caps at 1)
+    val all = Sampling.tokenBudgetSampleRate(docs, 1000000)
+    assert(all.count() === docs.count())
+    // no Sort or Window in the plan: the whole point of the variant
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("Window"),
+      s"rate variant must not sort:\n$plan")
+  }
 }

