@@ -142,7 +142,11 @@ object Bench {
     "q_simhash_neardup", "q_simhash_wide_neardup", "q_semantic_dedup",
     // r9: corpus-scale Jaccard's banded default, to be read against
     // the declared-superlinear exact PPJoin sweep above
-    "q_ngram_jaccard_banded")
+    "q_ngram_jaccard_banded",
+    // r9: the two new corpus-shuffle curation ops — perplexity's
+    // vocab + scoring aggregations and the zero-sort rate-based
+    // token budget (whose x10 ratio evidences the no-sort claim)
+    "q_perplexity", "q_token_budget_rate")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact

@@ -22,7 +22,11 @@ object Explain {
         "q_approx_distinct", "q_approx_percentiles",
         "q_sketch_merge", "q_salted_join", "q_repeated_spans",
         "q_ann_ivf_trained", "q_redact_pii",
-        "q_simhash_wide_neardup", "q_semantic_dedup")
+        "q_simhash_wide_neardup", "q_semantic_dedup",
+        "q_ngram_jaccard_banded", "q_semantic_dedup_trained",
+        "q_token_budget_sample", "q_token_budget_rate",
+        "q_perplexity", "q_ann_int8", "q_clean_normalize",
+        "q_bloom_decontaminate")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

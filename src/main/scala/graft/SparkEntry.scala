@@ -421,6 +421,12 @@ object SparkEntry {
     "q_decontaminate" -> ((s, dir) =>
       Dedup.decontaminate(Tables.documents(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 3)
         .orderBy("doc_id")),
+    // sketch-path decontamination: exact overlap hash-matched, the
+    // Bloom no-false-negative invariant as an oracle-asserted
+    // literal-TRUE flag (checked-twin pattern)
+    "q_bloom_decontaminate" -> ((s, dir) =>
+      Dedup.bloomDecontaminate(Tables.documents(s, dir), Seq("src0", "src1"))
+        .orderBy("doc_id")),
     "q_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir), 256, 8)
         .orderBy("doc_id")),
@@ -1835,6 +1841,27 @@ object SparkEntry {
         |  CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id NOT IN (0, 1, 2, 3, 4)
+        |ORDER BY doc_id""".stripMargin,
+    "q_bloom_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), src AS (SELECT doc_id, source FROM documents
+        |), known AS (
+        |  SELECT DISTINCT s FROM sh JOIN src USING (doc_id) WHERE source IN ('src0', 'src1')
+        |), hits AS (
+        |  SELECT sh.doc_id, count(*) AS n_overlap
+        |  FROM sh JOIN src USING (doc_id) JOIN known USING (s)
+        |  WHERE source NOT IN ('src0', 'src1') GROUP BY sh.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated,
+        |  1 AS bloom_consistent
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.source NOT IN ('src0', 'src1')
         |ORDER BY doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -53,6 +53,88 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("contaminated"))
+  }
+
+  /** Distributed Bloom bitset over one string column: `k` probe
+    * positions per value (xxhash64 of the value with a probe-index
+    * suffix, mod `mBits`), OR-merged into an `mBits`-bit array by
+    * `treeAggregate` — OR is commutative and associative, so the
+    * resulting bitset is identical for every partitioning and
+    * execution order. The bitset itself (mBits/8 bytes) is the only
+    * thing that reaches the driver; at 100 TB that is the entire
+    * point — a billion-document membership set becomes a few tens of
+    * MB that broadcasts to every executor, where an exact broadcast
+    * set would be hundreds of GB.
+    */
+  def bloomBitset(values: DataFrame, valueCol: String, mBits: Int, k: Int): Array[Long] = {
+    require((mBits & (mBits - 1)) == 0 && mBits > 0, s"mBits must be a power of two, got $mBits")
+    val probes = values
+      .select(explode(transform(sequence(lit(0), lit(k - 1)), i =>
+        pmod(xxhash64(concat(col(valueCol), lit("#"), i.cast("string"))), lit(mBits.toLong))))
+        .as("idx"))
+      .distinct()
+    val words = mBits / 64
+    probes.select(col("idx")).rdd.map(_.getLong(0)).treeAggregate(new Array[Long](words))(
+      (acc, p) => { acc((p >> 6).toInt) |= 1L << (p & 63); acc },
+      (a, b) => { var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a })
+  }
+
+  /** True iff every one of `v`'s `k` probe bits is set in the
+    * broadcast `bits` literal — the Bloom membership test as pure
+    * codegen'd built-ins (forall/xxhash64/bit ops), no UDF: the
+    * probe stays inside whole-stage codegen on the corpus scan.
+    */
+  def bloomProbe(v: Column, bits: Array[Long], k: Int): Column = {
+    val mBits = bits.length * 64L
+    forall(
+      transform(sequence(lit(0), lit(k - 1)), i => {
+        val h = pmod(xxhash64(concat(v, lit("#"), i.cast("string"))), lit(mBits))
+        // getbit: the shift count is a column (h % 64), which the
+        // Scala shiftleft overload can't express
+        call_function("getbit",
+          element_at(typedLit(bits.toSeq), (h / 64).cast("int") + 1),
+          (h % 64).cast("int")) === 1
+      }),
+      x => x)
+  }
+
+  /** Sketch-path decontamination: shingle membership against the
+    * KNOWN set via a Bloom bitset instead of an exact broadcast set
+    * — the shape for when the filter side is itself corpus-sized
+    * (decontaminating against a 10-billion-shingle registry), where
+    * [[decontaminate]]'s exact broadcast cannot fit. Per probed
+    * document: the exact distinct-shingle overlap count and
+    * contamination flag (hash-matched against the SQL oracle), and
+    * `bloom_consistent` — TRUE by Bloom's no-false-negative
+    * guarantee, since the bloom overlap count can only OVERCOUNT
+    * the exact one. The oracle asserts the flag as a literal
+    * constant (the checked-twin pattern: exact values hash-matched,
+    * sketch properties as engine-deterministic booleans); the
+    * false-positive RATE is a spec-asserted bound, not part of the
+    * gate. The probe is pure codegen'd built-ins on the corpus
+    * shingle scan — no UDF, no second shuffle for the sketch side.
+    */
+  def bloomDecontaminate(documents: DataFrame, knownSources: Seq[String], n: Int = 3,
+                         mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    val sh = shingles(documents, n)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+    val known = sh.filter(col("source").isin(knownSources: _*)).select(col("s")).distinct()
+    val bits  = bloomBitset(known, "s", mBits, k)
+    val probes = sh.filter(!col("source").isin(knownSources: _*))
+      .join(broadcast(known.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sum(coalesce(col("hit"), lit(0))).as("n_overlap"),
+        sum(when(bloomProbe(col("s"), bits, k), 1L).otherwise(0L)).as("n_bloom"))
+    documents.filter(!col("source").isin(knownSources: _*)).select("doc_id")
+      .join(probes, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).cast("int").as("contaminated"),
+        // no false negatives: the bloom count covers the exact count
+        (coalesce(col("n_bloom"), lit(0L)) >= coalesce(col("n_overlap"), lit(0L)))
+          .cast("int").as("bloom_consistent"))
   }
 
   /** Exact dedup: canonical id + copy count per normalized-text hash. */

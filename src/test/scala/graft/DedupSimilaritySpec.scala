@@ -379,6 +379,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(messages(e2).exists(_.contains("null element")), messages(e2).mkString(" | "))
   }
 
+  test("bloom bitset: deterministic, no false negatives, false-positive rate within bound") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val known = graft.operators.Dedup.shingles(docs, 3)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .filter($"source".isin("src0", "src1")).select($"s").distinct()
+    val m = 1 << 16
+    val bits  = graft.operators.Dedup.bloomBitset(known, "s", m, 5)
+    val bits2 = graft.operators.Dedup.bloomBitset(known, "s", m, 5)
+    assert(java.util.Arrays.equals(bits, bits2), "bitset must be partitioning-independent")
+    // no false negatives: every known member probes true
+    val misses = known.filter(!graft.operators.Dedup.bloomProbe($"s", bits, 5)).count()
+    assert(misses === 0, s"$misses known members missed the bloom — impossible for a correct bloom")
+    // false-positive rate on definite non-members (salted strings)
+    val nonMembers = known.select(concat($"s", lit(" not-a-shingle-xyzzy")).as("s"))
+    val nKnown = known.count()
+    val fp = nonMembers.filter(graft.operators.Dedup.bloomProbe($"s", bits, 5)).count()
+    val rate = fp.toDouble / nKnown
+    assert(rate < 0.01, s"bloom FPR $rate out of bound (m=$m, k=5, n=$nKnown)")
+    // the decontamination gate is consistent on the fixture
+    val q = graft.operators.Dedup.bloomDecontaminate(docs, Seq("src0", "src1"))
+    assert(q.filter($"bloom_consistent" =!= 1).count() === 0)
+  }
+
   test("keepBest picks the max-quality member per cluster, one keeper per cluster") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)

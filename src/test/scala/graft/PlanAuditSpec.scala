@@ -133,6 +133,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"banded jaccard degenerated to a product:\n$p")
   }
 
+  test("int8 ANN broadcasts the quantized queries; rate sampling never sorts") {
+    val p = planOf("q_ann_int8")
+    // the query side must broadcast (tiny by construction) so the
+    // corpus side stays a single scan-stage pass
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q_ann_int8 lost its broadcast query join:\n$p")
+    // rate-based token budgeting exists to avoid the per-source sort
+    // entirely: the kept-rows plan may aggregate and broadcast, but
+    // a Sort or Window node means the exact variant leaked in
+    val r = plan(graft.operators.Sampling.tokenBudgetSampleRate(Tables.documents(spark, sf), 800))
+    assert(!r.contains("Sort") && !r.contains("Window"),
+      s"rate-based token budget must not sort or window:\n$r")
+  }
+
   test("the salted join keeps both sides hash-partitioned (no broadcast fallback)") {
     // the skew remedy only matters when both sides genuinely shuffle;
     // with broadcast disabled the salted plan must be a shuffle join
