@@ -364,6 +364,10 @@ object SparkEntry {
     // 3.402 ~ the fixture median, so the keep flag is non-trivial
     "q_perplexity" -> ((s, dir) =>
       TextAnalysis.perplexityScore(Tables.documents(s, dir), 3.402).orderBy("doc_id")),
+    // bigram cross-entropy (one Markov order up); cutoff 3.386 ~ the
+    // fixture median, so the keep flag is non-trivial
+    "q_bigram_perplexity" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexityScore(Tables.documents(s, dir), 3.386).orderBy("doc_id")),
     "q_repetition_score" -> ((s, dir) =>
       TextAnalysis.repetitionScore(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_quality_gate" -> ((s, dir) =>
@@ -1269,6 +1273,35 @@ object SparkEntry {
         |  FROM terms GROUP BY doc_id
         |)
         |SELECT doc_id, n_tok, xent, CAST(xent <= 3.402 AS INT) AS keep
+        |FROM x ORDER BY doc_id""".stripMargin,
+    // terms fold in BIGRAM order on both sides — same determinism
+    // recipe as q_perplexity, one Markov order up; the context count
+    // is the row sum of the bigram table on both engines
+    "q_bigram_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        |), db AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        |  FROM toks WHERE len(ts) >= 2
+        |), dt AS (
+        |  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1, count(*) AS occ
+        |  FROM db GROUP BY 1, 2, 3
+        |), pair AS (
+        |  SELECT bg, CAST(sum(occ) AS BIGINT) AS cnt_bg FROM dt GROUP BY bg
+        |), ctx AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, CAST(sum(cnt_bg) AS BIGINT) AS cnt_w1
+        |  FROM pair GROUP BY 1
+        |), terms AS (
+        |  SELECT dt.doc_id, dt.bg, dt.occ,
+        |    -CAST(dt.occ AS DOUBLE) * ln(CAST(p.cnt_bg AS DOUBLE) / CAST(c.cnt_w1 AS DOUBLE)) AS term
+        |  FROM dt JOIN pair p USING (bg) JOIN ctx c ON dt.w1 = c.w1
+        |), x AS (
+        |  SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bg,
+        |    round(list_reduce(list(term ORDER BY bg), (a, b) -> a + b) / CAST(sum(occ) AS DOUBLE), 6) AS xent
+        |  FROM terms GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_bg, xent, CAST(xent <= 3.386 AS INT) AS keep
         |FROM x ORDER BY doc_id""".stripMargin,
     "q_tfidf_topterms" ->
       """WITH tf AS (

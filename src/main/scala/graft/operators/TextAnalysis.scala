@@ -289,4 +289,58 @@ object TextAnalysis {
         col("doc_id"), col("n_tok"), col("xent"),
         (col("xent") <= cutoff).cast("int").as("keep"))
   }
+
+  /** Bigram-LM cross-entropy scoring — [[perplexityScore]] upgraded
+    * one Markov order: P(w_i | w_{i-1}) is the corpus-global MLE
+    * count(w_{i-1} w_i) / count(w_{i-1} ·), a document's score the
+    * mean negative log-likelihood of its bigrams. The model is
+    * trained on the corpus being scored, so every observed bigram
+    * has nonzero probability and no smoothing is needed; the context
+    * count is the row sum of the bigram table (bigrams whose history
+    * is w1), which keeps the conditional distribution normalized. A
+    * unigram model scores token-frequency soup as fluent; the bigram
+    * model additionally prices transitions, so shuffled or
+    * machine-garbled text scores high even when its vocabulary is
+    * ordinary — the CCNet-style filter distinction that matters for
+    * training-data curation.
+    *
+    * Scale shape mirrors [[perplexityScore]]: bigrams are built
+    * per row from the token array (transform over indices — no
+    * positional self-join), then one key-partitioned shuffle per
+    * aggregation level (doc x bigram, bigram, context). The per-doc
+    * sum folds in BIGRAM order (sort_array + ordered aggregate), so
+    * float accumulation order is a function of the document alone —
+    * engine/run/partitioning invariant, which is what lets the score
+    * hash-match a SQL oracle and makes a 100 TB re-run
+    * byte-reproducible. Documents under two tokens have no bigram
+    * evidence and are excluded (degenerate under any bigram LM).
+    * NOTE sequence(1, n-1) DESCENDS for n=1 in Spark, so the short
+    * side is guarded explicitly rather than left to the lambda.
+    */
+  def bigramPerplexityScore(documents: DataFrame, cutoff: Double = 3.386): DataFrame = {
+    val docBg = documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
+        .as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .groupBy(col("doc_id"), col("bg"), col("w1"))
+      .agg(count(lit(1)).as("occ"))
+    val pair = docBg.groupBy(col("bg")).agg(sum(col("occ")).as("cnt_bg"))
+    val ctx = pair.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+      .agg(sum(col("cnt_bg")).as("cnt_w1"))
+    docBg.join(pair, "bg").join(ctx, "w1")
+      .withColumn("term",
+        -col("occ").cast("double") * log(col("cnt_bg").cast("double") / col("cnt_w1").cast("double")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sort_array(collect_list(struct(col("bg"), col("term")))).as("bts"),
+        sum(col("occ")).as("n_bg"))
+      .withColumn("xent",
+        round(aggregate(col("bts"), lit(0.0), (acc, s) => acc + s("term")) / col("n_bg"), 6))
+      .select(
+        col("doc_id"), col("n_bg"), col("xent"),
+        (col("xent") <= cutoff).cast("int").as("keep"))
+  }
 }

@@ -365,6 +365,66 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  case class KeyedEv(key: String, ts: java.time.Instant, value: Double)
+  case class ProbedEv(key: String, ts_us: Long, value: Double, bucket: Int, probes: Array[Int])
+  case class BloomDedupOut(key: String, ts_us: Long, value: Double)
+
+  /** Streaming APPROXIMATE dedup with FIXED-size state: the
+    * 100 TB-shaped alternative to [[dedupStream]]. Exact streaming
+    * dedup keeps one state row per key forever (or per watermark
+    * horizon) — a trillion-key corpus stream means terabytes of
+    * state store. Here the state is `nBuckets` Bloom bitsets of
+    * `mBits` bits each (e.g. 32 x 64 Ki bits = 256 KiB TOTAL,
+    * regardless of stream cardinality, forever): once a key's probe
+    * bits are set they stay set, so a duplicate is NEVER re-emitted
+    * (Bloom has no false negatives on membership); the price is a
+    * declared false-positive rate ~(1-e^(-k*n/m))^k per bucket of
+    * dropping a never-seen key. That trade — zero duplicate leakage,
+    * bounded memory, a few-in-a-million uniques lost — is the
+    * standard curation contract for dedup-on-ingest at corpus scale.
+    *
+    * The probe positions use the exact hash family of the batch
+    * [[graft.operators.Dedup.bloomBitset]] (multi-arg xxhash64 of
+    * the key and probe index, mod mBits) and are computed as
+    * codegen'd columns BEFORE the stateful operator, so the state
+    * function does no hashing — it only tests/sets precomputed bit
+    * positions. Rows shard across `nBuckets` state keys by key-hash,
+    * so the state store parallelizes like any keyed operator; within
+    * a micro-batch each group processes rows in (ts, key) order,
+    * making the emitted set deterministic for a deterministic
+    * source. No watermark is needed: state size never grows.
+    */
+  def bloomDedupStream(events: Dataset[KeyedEv], mBits: Int = 1 << 16, k: Int = 3,
+                       nBuckets: Int = 32): Dataset[BloomDedupOut] = {
+    require((mBits & (mBits - 1)) == 0 && mBits > 0, s"mBits must be a power of two, got $mBits")
+    val words = mBits / 64
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(
+        col("key"), unix_micros(col("ts")).as("ts_us"), col("value"),
+        pmod(xxhash64(col("key")), lit(nBuckets.toLong)).cast("int").as("bucket"),
+        // must mirror Dedup.bloomBitset's probe hash exactly
+        transform(sequence(lit(0), lit(k - 1)), i =>
+          pmod(xxhash64(col("key"), i), lit(mBits.toLong)).cast("int")).as("probes"))
+      .as[ProbedEv]
+      .groupByKey(_.bucket)
+      .flatMapGroupsWithState[Array[Long], BloomDedupOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Int, rows: Iterator[ProbedEv], state: GroupState[Array[Long]]) =>
+          val bits = state.getOption.getOrElse(new Array[Long](words))
+          val out = rows.toVector.sortBy(r => (r.ts_us, r.key)).flatMap { r =>
+            val fresh = r.probes.exists(p => (bits(p >> 6) & (1L << (p & 63))) == 0L)
+            if (fresh) {
+              r.probes.foreach(p => bits(p >> 6) |= 1L << (p & 63))
+              Some(BloomDedupOut(r.key, r.ts_us, r.value))
+            } else None
+          }
+          state.update(bits)
+          out.iterator
+      }
+  }
+
   /** Stream-to-static enrichment: the static dim is broadcast to
     * every micro-batch; no stream-side state at all.
     */

@@ -583,6 +583,62 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom dedup stream: no duplicate ever emitted, fixed state, declared FP drops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    val mem = MemoryStream[Streams.KeyedEv]
+    val out = Streams.bloomDedupStream(mem.toDS(), mBits = 1 << 16, k = 3, nBuckets = 8)
+    val q = out.writeStream.format("memory").queryName("bloom_dedup_test").outputMode("append").start()
+    try {
+      // within-batch duplicate: first by (ts, key) wins
+      mem.addData(
+        Streams.KeyedEv("a", at(0), 1.0), Streams.KeyedEv("b", at(1), 2.0),
+        Streams.KeyedEv("a", at(2), 99.0))
+      q.processAllAvailable()
+      val b1 = spark.table("bloom_dedup_test").as[Streams.BloomDedupOut].collect()
+      assert(b1.map(_.key).sorted.toSeq === Seq("a", "b"))
+      assert(b1.find(_.key == "a").get.value === 1.0)
+      // cross-batch duplicate: the bitset state remembers forever —
+      // no watermark horizon after which a dup could leak back in
+      mem.addData(Streams.KeyedEv("b", at(3), 3.0), Streams.KeyedEv("c", at(4), 4.0))
+      q.processAllAvailable()
+      val b2 = spark.table("bloom_dedup_test").as[Streams.BloomDedupOut].collect()
+      assert(b2.map(_.key).sorted.toSeq === Seq("a", "b", "c"))
+      // state is one row per TOUCHED BUCKET, not per key: bounded by
+      // nBuckets regardless of how many keys have flowed through
+      val stateRows = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows > 0 && stateRows <= 8)
+    } finally q.stop()
+    // fixture-scale single batch: with ample bits the emitted set is
+    // exactly the distinct key set (deterministic given the data)
+    val docs = Tables.documents(spark, sf)
+      .select(concat(lit("k"), ($"doc_id" % 200)).as("key"),
+        to_timestamp(lit("2024-01-01 10:00:00")).cast("timestamp").as("ts"),
+        $"doc_id".cast("double").as("value"))
+    val mem2 = MemoryStream[Streams.KeyedEv]
+    mem2.addData(docs.as[Streams.KeyedEv].collect().toIndexedSeq)
+    val q2 = Streams.bloomDedupStream(mem2.toDS(), mBits = 1 << 16, k = 3, nBuckets = 8)
+      .writeStream.format("memory").queryName("bloom_dedup_fix").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.table("bloom_dedup_fix").select($"key").as[String].collect().toSet
+    val want = docs.select($"key").as[String].collect().toSet
+    assert(got === want)
+    // starved bitset (64 bits, 200 keys): uniques get FP-dropped —
+    // the declared trade — but the no-duplicate and subset contracts
+    // still hold exactly
+    val mem3 = MemoryStream[Streams.KeyedEv]
+    mem3.addData(docs.as[Streams.KeyedEv].collect().toIndexedSeq)
+    val q3 = Streams.bloomDedupStream(mem3.toDS(), mBits = 64, k = 3, nBuckets = 8)
+      .writeStream.format("memory").queryName("bloom_dedup_tiny").outputMode("append").start()
+    try q3.processAllAvailable() finally q3.stop()
+    val tiny = spark.table("bloom_dedup_tiny").select($"key").as[String].collect().toSeq
+    assert(tiny.distinct.size === tiny.size, "a duplicate key was emitted twice")
+    assert(tiny.toSet.subsetOf(want))
+    assert(tiny.size < want.size, "64-bit buckets cannot hold 200 keys without FP drops")
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")

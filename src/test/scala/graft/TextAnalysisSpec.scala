@@ -88,4 +88,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     val range = scored.agg(min($"xent"), max($"xent")).collect()(0)
     assert(range.getDouble(0) < range.getDouble(1))
   }
+
+  test("bigram perplexity: hand-computed tiny corpus, short-doc exclusion, fixture bounds") {
+    import spark.implicits._
+    // d0 "a b a b": bigrams {a b x2, b a x1}; d1 "a b c": {a b, b c};
+    // pair counts: (a b)=3 (b a)=1 (b c)=1; contexts: a=3, b=2.
+    // P(b|a)=1 -> term 0; P(a|b)=P(c|b)=1/2 -> term ln 2.
+    // d0 xent = ln2/3 = 0.231049; d1 xent = ln2/2 = 0.346574.
+    // d2 is a one-token doc: no bigram evidence, excluded.
+    val tiny = Seq((0L, "a b a b"), (1L, "a b c"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexityScore(tiny, 0.3)
+      .orderBy("doc_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_bg") === 3 && got(0).getAs[Double]("xent") === 0.231049)
+    assert(got(1).getAs[Long]("n_bg") === 2 && got(1).getAs[Double]("xent") === 0.346574)
+    assert(got(0).getAs[Int]("keep") === 1 && got(1).getAs[Int]("keep") === 0)
+    // fixture: every multi-token doc scored; mean NLL under the
+    // corpus's own bigram model is within [0, ln(total bigrams)]
+    val docs   = Tables.documents(spark, sf)
+    val scored = TextAnalysis.bigramPerplexityScore(docs)
+    val multi  = docs.filter(size(split($"text", " ")) >= 2).count()
+    assert(scored.count() === multi)
+    val nBg = docs.select(sum(greatest(size(split($"text", " ")) - 1, lit(0))))
+      .collect()(0).getLong(0)
+    assert(scored.filter($"xent" < 0 || $"xent" > math.log(nBg.toDouble)).count() === 0)
+    // the bigram model is strictly sharper than the unigram on the
+    // same corpus: conditioning can only reduce mean NLL in
+    // aggregate (H(w_i|w_{i-1}) <= H(w_i))
+    val uni = TextAnalysis.perplexityScore(docs)
+      .select($"doc_id", $"xent".as("uni_xent"), $"n_tok")
+    val agg = scored.join(uni, "doc_id")
+      .agg(sum($"xent" * $"n_bg"), sum($"uni_xent" * $"n_tok")).collect()(0)
+    assert(agg.getDouble(0) / agg.getDouble(1) < 1.0)
+  }
 }
