@@ -140,6 +140,37 @@ object Dedup {
           .cast("int").as("bloom_consistent"))
   }
 
+  /** Ingest-time incremental dedup — dedup a NEW batch against the
+    * fingerprint registry of everything already ingested: the
+    * every-crawl-cycle operator of a corpus pipeline. At 100 TB the
+    * registry is billions of fingerprints, so instead of joining the
+    * whole batch against it, a Bloom bitset of the registry (tens of
+    * MB for billions of entries) broadcasts into the batch scan and
+    * splits it at codegen stage: bloom-NEGATIVE docs are
+    * definitively new (Bloom has no false negatives) and never touch
+    * a join, while only the bloom-positive sliver — true duplicates
+    * plus the declared false-positive rate — pays the exact confirm
+    * join against the registry. `is_new` is EXACT: the bloom
+    * shortcut provably changes no answer (that is the hash-matched
+    * contract — a false negative would flip a row and fail the
+    * driver gate). Cross-corpus only by design; within-batch
+    * duplicates are [[exact]]'s job.
+    */
+  def incrementalDedup(registry: DataFrame, batch: DataFrame,
+                       mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    val regFp = registry.select(md5(lower(col("text"))).as("fp")).distinct()
+    val bits  = bloomBitset(regFp, "fp", mBits, k)
+    val b = batch.select(col("doc_id"), md5(lower(col("text"))).as("fp"),
+      bloomProbe(col("fp"), bits, k).as("hit"))
+    val fresh = b.filter(!col("hit"))
+      .select(col("doc_id"), col("fp"), lit(1).as("is_new"))
+    val confirmed = b.filter(col("hit"))
+      .join(regFp.withColumn("in_reg", lit(1)), Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("in_reg").isNull, 1).otherwise(0).as("is_new"))
+    fresh.unionByName(confirmed)
+  }
+
   /** Exact dedup: canonical id + copy count per normalized-text hash. */
   def exact(documents: DataFrame): DataFrame =
     documents

@@ -74,6 +74,45 @@ object Embedding {
   def embedChunksComposed(chunks: DataFrame, dim: Int = 16): DataFrame =
     chunks.select(col("doc_id"), col("chunk_id"), featureHashVec(col("chunk"), dim).as("v"))
 
+  /** The ±1 sign matrix for [[randomProject]]: entry (j, i) is +1
+    * when the first hex digit of md5("j:i") is even — the same
+    * parity recipe as the LSH hyperplanes, so any engine (or a SQL
+    * oracle) regenerates the matrix bit-identically with no stored
+    * or broadcast state.
+    */
+  def signMatrix(r: Int, d: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(r, d) { (j, i) =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1.0 else -1.0
+    }
+  }
+
+  /** Signed random projection (Achlioptas '01, the database-friendly
+    * Johnson-Lindenstrauss transform): compress d-dim float
+    * embeddings to r dims with a ±1 matrix, preserving pairwise
+    * distances in expectation (E[p_j²] = |v|² per output dim). The
+    * 100 TB role is bandwidth: an 8x narrower vector column feeds
+    * downstream ANN/dedup at 8x less shuffle and storage, and
+    * because the matrix derives from md5 there is nothing to
+    * broadcast, version, or keep consistent across jobs — re-runs
+    * and late re-projections are byte-reproducible. Per-row
+    * scan-stage work (r sign-folded dot products inside whole-stage
+    * codegen via the zip_with/aggregate kernel), zero shuffle; the
+    * sequential fold order makes each projection a pure function of
+    * the vector, hash-matchable against a SQL oracle.
+    */
+  def randomProject(embeddings: DataFrame, r: Int = 8, d: Int = 64): DataFrame = {
+    val signs = signMatrix(r, d)
+    val v     = toDouble(col("embedding"))
+    embeddings
+      .select(col("vec_id"),
+        explode(array((0 until r).map(j =>
+          struct(lit(j.toLong).as("j"),
+            round(dot(v, array(signs(j).map(lit).toSeq: _*)), 6).as("p"))): _*)).as("q"))
+      .select(col("vec_id"), col("q.j").as("j"), col("q.p").as("p"))
+  }
+
   /** Full RAG retrieval: chunk -> embed -> cosine top-k for a query
     * string, rank 1..k. The query vector is a literal fold — no
     * second scan, no join; scoring is narrow over the chunk stream.

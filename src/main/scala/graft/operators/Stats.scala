@@ -212,6 +212,82 @@ object Stats {
           .as("merge_within_bound"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan '05) over one string
+    * column: a `d` x `w` integer counter matrix where each value
+    * occurrence increments one counter per row (bucket = md5 of the
+    * row-tagged value). The matrix is CONSTANT-SIZE regardless of
+    * input cardinality and builds in one map-side-combinable groupBy
+    * over at most d*w distinct keys — the frequency-sketch
+    * complement of the HLL distinct sketch: at 100 TB each ingest
+    * batch sketches once and [[cmsMerge]] unions the matrices by
+    * plain counter addition (sum is commutative/associative, so the
+    * merged sketch is partitioning- and order-invariant). Buckets
+    * are md5-derived (not xxhash) so a SQL oracle can replay the
+    * sketch bit-exactly — the estimates are engine-deterministic
+    * integers, not "approximately close".
+    */
+  def cmsSketch(items: DataFrame, valueCol: String, d: Int = 3, w: Int = 16): DataFrame =
+    items
+      .select(explode(transform(sequence(lit(0), lit(d - 1)), r =>
+        struct(r.cast("int").as("r"), cmsBucket(col(valueCol), r, w).as("b")))).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Bucket of `v` in sketch row `r`: md5 of the row-tagged value —
+    * mirrorable bit-exactly in any engine with md5.
+    */
+  private def cmsBucket(v: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+                        w: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), v)), 1, 8), 16, 10).cast("long"),
+      lit(w.toLong))
+
+  /** Merge per-shard/per-batch CMS matrices: counter-wise sum. */
+  def cmsMerge(sketches: DataFrame): DataFrame =
+    sketches.groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-frequency estimates for `items` from a sketch: min over
+    * the d row counters each value hashes to — the classic CMS upper
+    * bound (cnt <= est <= cnt + collisions). The sketch is d*w rows,
+    * so it rides the probe as a broadcast.
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, valueCol: String,
+                  d: Int = 3, w: Int = 16): DataFrame =
+    items
+      .select(col(valueCol),
+        explode(transform(sequence(lit(0), lit(d - 1)), r =>
+          struct(r.cast("int").as("r"), cmsBucket(col(valueCol), r, w).as("b")))).as("p"))
+      .join(broadcast(sketch),
+        col("p.r") === sketch("r") && col("p.b") === sketch("b"), "left")
+      .groupBy(col(valueCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  /** Oracle-checkable face of the CMS heavy-hitters pattern, in the
+    * [[approxDistinctChecked]] style: tokens above a relative
+    * frequency threshold (cnt * pctDen >= total — integer compare,
+    * so the threshold scales with the corpus and stays exact), with
+    * the exact count AND the sketch estimate both hash-matched (the
+    * md5 bucket rule replays in SQL), plus the one-sided-error
+    * invariant est >= cnt as a flag. At true scale the candidate set
+    * comes FROM the sketch (est-threshold scan of d*w counters — a
+    * superset of the true heavy hitters by the one-sided bound) and
+    * only candidates pay an exact confirm pass; w here is small on
+    * purpose so collisions actually occur and the min-over-rows
+    * estimate does real work on the gate.
+    */
+  def heavyHittersChecked(documents: DataFrame, pctDen: Long = 100,
+                          d: Int = 3, w: Int = 16): DataFrame = {
+    val toks   = documents.select(explode(split(lower(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total  = counts.agg(sum(col("cnt")).as("n_total"))
+    val hot = counts.crossJoin(broadcast(total))
+      .filter(col("cnt") * pctDen >= col("n_total"))
+      .select(col("tok"), col("cnt"))
+    val est = cmsEstimate(cmsSketch(toks, "tok", d, w), hot, "tok", d, w)
+    hot.join(est, "tok")
+      .select(col("tok"), col("cnt"), col("cms_est"),
+        (col("cms_est") >= col("cnt")).cast("int").as("cms_upper_ok"))
+  }
+
   /** Exact distinct counts per group (two-level partial-distinct
     * aggregation; HLL for the approximate path at scale).
     */

@@ -71,16 +71,41 @@ object TextAnalysis {
   /** Quality score from length/word-shape/stopword ratios, in [0,1].
     * score = 0.4*len_norm + 0.3*stop_ratio + 0.3*alpha_ratio.
     */
-  def qualityScore(documents: DataFrame): DataFrame = {
+  def qualityScore(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"), qualityCol.as("quality"))
+
+  /** The quality formula as a column over `text` — shared by
+    * [[qualityScore]] and [[adaptiveQualityGate]].
+    */
+  private[operators] def qualityCol: org.apache.spark.sql.Column = {
     val toks      = split(lower(col("text")), " ")
     val nToks     = size(toks).cast("double")
     val stopHits  = lexiconHits(col("text"), LangProfiles.flatMap(_._2)).cast("double")
     val alphaOnly = size(filter(toks, t => t.rlike("^[a-z]+$"))).cast("double")
     val lenNorm   = least(length(col("text")).cast("double") / lit(500.0), lit(1.0))
-    documents.select(
-      col("doc_id"),
-      (lenNorm * 0.4 + (stopHits / nToks) * 0.3 + (alphaOnly / nToks) * 0.3).as("quality")
-    )
+    lenNorm * 0.4 + (stopHits / nToks) * 0.3 + (alphaOnly / nToks) * 0.3
+  }
+
+  /** Per-source ADAPTIVE quality gating: instead of one global
+    * cutoff (which silently drops whole low-register sources and
+    * keeps every doc of high-register ones), each source keeps its
+    * own top (1-p) quantile — the per-domain calibration step real
+    * curation pipelines run so that a fixed mixture survives
+    * filtering. Thresholds are one per-source aggregate over the
+    * scored scan (source count is small — the result broadcasts back
+    * onto the same scan), so the whole gate is two passes over
+    * quality scores and ZERO extra corpus shuffles; the exact
+    * interpolated percentile keeps the threshold — and therefore the
+    * keep decision at the boundary — engine-deterministic.
+    */
+  def adaptiveQualityGate(documents: DataFrame, p: Double = 0.3): DataFrame = {
+    val scored = documents.select(col("doc_id"), col("source"), qualityCol.as("quality"))
+    val thr = scored.groupBy(col("source")).agg(percentile(col("quality"), lit(p)).as("thr"))
+    scored.join(broadcast(thr), "source")
+      .select(col("doc_id"), col("source"),
+        round(col("quality"), 6).as("quality"),
+        round(col("thr"), 6).as("thr"),
+        (col("quality") >= col("thr")).cast("int").as("keep"))
   }
 
   def fingerprints(documents: DataFrame): DataFrame =
