@@ -120,4 +120,70 @@ object Sampling {
         least(lit(budgetTokens).cast("double") / col("tot_tok").cast("double"), lit(1.0)) * lit(4294967296.0))
       .select(col(keyCol), col(sourceCol), col("n_tok"))
   }
+
+  /** Weighted sampling without replacement — k documents drawn with
+    * probability proportional to an integer weight (token count,
+    * quality score bucket, ...), the Efraimidis–Spirakis reservoir
+    * scheme made EXACT-integer: a unit weight draws one 60-bit
+    * md5-derived hash, a weight-w row races with the MAX of w such
+    * hashes (distributionally identical to the classic u^(1/w) key,
+    * but every comparison is a long compare — no pow, no float, so
+    * the winning set is a pure function of (corpus, k) that any
+    * engine reproduces bit-for-bit).
+    *
+    * Scale: the race key is scan-stage per-row work costing O(weight)
+    * hashes; selection is a global top-k (TakeOrderedAndProject:
+    * per-partition heap of k, driver merges k·partitions rows — no
+    * global sort, no shuffle of the corpus). At 100 TB the O(weight)
+    * hash loop is the knob to watch: cap or bucket very large
+    * weights (a 1e6-token document does not need 1e6 draws — weight
+    * resolution above ~1e3 changes selection odds marginally), which
+    * keeps the race-key cost bounded per row.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int): DataFrame = {
+    val w = greatest(weight.cast("long"), lit(1L)).as("w")
+    val race = array_max(transform(sequence(lit(0L), col("w") - 1), j =>
+      // 15 hex chars = 60 bits (16 would overflow a signed long)
+      conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"), j.cast("string"))), 1, 15), 16, 10)
+        .cast("long"))).as("race")
+    df.select(col(keyCol), w)
+      .select(col(keyCol), col("w"), race)
+      .orderBy(col("race").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
+  /** Temperature-based source mixing (the multilingual/multi-domain
+    * rebalancing rule of the mC4/XLM-R family): source i's share of
+    * the output mixture is proportional to n_i^alpha with alpha=1/2,
+    * so small sources are up-weighted relative to their raw share
+    * and head sources damped. Kept docs from source i target
+    * `targetDocs * w_i / sum(w)` where w_i = floor(sqrt(n_i)); each
+    * doc keeps iff its 32-bit md5 hash clears the source's rate —
+    * evaluated as the cross-multiplied INTEGER comparison
+    * `h32 * sumW * n_i < targetDocs * w_i * 2^32` in decimal(38,0)
+    * arithmetic, so there is no float pow/sum anywhere and the kept
+    * set is engine-exact. (floor(sqrt(n)) is itself exact: IEEE sqrt
+    * is correctly rounded and exact on perfect squares.) Rates above
+    * 1 (tiny sources asked for more than they have) saturate at
+    * keep-everything, as the comparison naturally encodes.
+    *
+    * Scale: one count aggregate over the corpus (map-side combined),
+    * a broadcast of the per-source rate table, then a scan-stage
+    * per-row hash threshold — zero sorts, zero coordination, the
+    * same shape as [[tokenBudgetSampleRate]].
+    */
+  def temperatureMix(docs: DataFrame, targetDocs: Long,
+                     sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+      .withColumn("w", floor(sqrt(col("n_src"))).cast("long"))
+    val rates = counts.crossJoin(broadcast(counts.agg(sum(col("w")).as("sum_w"))))
+    val h32   = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val dec   = "decimal(38,0)"
+    docs
+      .join(broadcast(rates), sourceCol)
+      .filter(
+        h32.cast(dec) * col("sum_w").cast(dec) * col("n_src").cast(dec) <
+          lit(targetDocs).cast(dec) * col("w").cast(dec) * lit(4294967296L).cast(dec))
+      .select(col(keyCol), col(sourceCol), col("n_src"), col("w"))
+  }
 }
