@@ -99,9 +99,11 @@ object GenScale {
     }
 
     def rawEvents = {
-      // ts is TIMESTAMP(NANOS) in the fixture; read it as the raw
-      // long and write it back as a plain int64 — Tables.events'
-      // `ts div 1000` works identically on both
+      // ts passes through in whatever physical form the fixture uses:
+      // TIMESTAMP(NANOS) fixtures load as a raw int64 (nanosAsLong)
+      // and are written back as int64; TIMESTAMP(MICROS) fixtures
+      // load and write as plain timestamps. Tables.events adapts on
+      // the loaded dtype either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Tables.load(spark, inDir, "events")
     }
