@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures only the TAIL of `sbt "runMain graft.Bench"`
+// stdout and json-parses the final line. Forked output must reach
+// stdout raw (the default LoggedOutput prefixes every line with
+// "[info] ", which breaks json.loads), and the "[success] Total
+// time" banner must not trail the JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by the command engine, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

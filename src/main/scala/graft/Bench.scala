@@ -62,13 +62,13 @@ object Bench {
       case Some(_)   => true
       case None      => only.isEmpty
     }
-    val skew    = if (runSkew) skewBench(spark, sfDir, reps) else "{}"
+    val (skew, skewMins) = if (runSkew) skewBench(spark, sfDir, reps) else ("{}", "{}")
     val runIvf = sys.env.get("SPARK_GRAFT_IVF") match {
       case Some("0") => false
       case Some(_)   => true
       case None      => only.isEmpty
     }
-    val ivf     = if (runIvf) ivfBench(spark, sfDir, reps) else "{}"
+    val (ivf, ivfCompact) = if (runIvf) ivfBench(spark, sfDir, reps) else ("{}", "{}")
     val names   = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     // the MAIN sweep runs the interleaved min-of-N protocol too
     // (rep-major: every query runs once before any query runs twice,
@@ -99,7 +99,7 @@ object Bench {
       case Some(_)   => true
       case None      => only.isEmpty
     }
-    val scale = if (runScale) scaleBench(spark, sfDir, results.toMap) else "{}"
+    val (scale, scaleRatios) = if (runScale) scaleBench(spark, sfDir, results.toMap) else ("{}", "{}")
     val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmtD(v) }.mkString("{", ",", "}")
     val sweepRepJson = names.map { n =>
       "\"" + n + "\":[" + raw(n).map(r => fmtD(r._1)).mkString(",") + "]"
@@ -122,6 +122,19 @@ object Bench {
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       catch { case e: Throwable => System.err.println(s"[bench] could not write $p: ${e.getMessage}") }
     }
+    // The harness keeps only the LAST ~2000 chars of stdout and
+    // json-parses within them; the full line above is ~10KB, so no
+    // round's harness artifact has ever carried a parseable line. The
+    // FINAL printed line is therefore a compact (<2KB) summary —
+    // headline queries, section minima, per-headliner scale ratios —
+    // that fits the tail window whole. The full record stays in the
+    // line above and in bench_out.json.
+    val resMap = results.toMap
+    val failed = results.count(_._2 < 0)
+    val compactQs = ScaleQueries.filter(resMap.contains)
+      .map(n => "\"" + n + "\":" + fmtD(resMap(n))).mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$compactQs,"skew":$skewMins,"ivf_codegen_vs_interpreted":$ivfCompact,"scale_x10_ratio":$scaleRatios,"sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 
@@ -166,7 +179,7 @@ object Bench {
     * order of magnitude (linear ~10x vs quadratic ~100x), not a
     * min-of-N milliseconds. Emits per-query base/scaled/ratio.
     */
-  private def scaleBench(spark: SparkSession, baseDir: String, baseTimes: Map[String, Double]): String = {
+  private def scaleBench(spark: SparkSession, baseDir: String, baseTimes: Map[String, Double]): (String, String) = {
     // factor and dir are env-tunable so a second scale point (x30
     // extrapolation check) can reuse the section verbatim; the
     // default x10 artifact is what the driver reads
@@ -177,7 +190,7 @@ object Bench {
     catch {
       case e: Throwable =>
         System.err.println(s"[bench] scale generation failed: ${e.getMessage}")
-        return "{}"
+        return ("{}", "{}")
     }
     // wall-clock budget for the whole section, enforced PER QUERY:
     // each scaled run executes under a job group and is awaited for
@@ -214,14 +227,15 @@ object Bench {
     val ordered = linear.sortBy(baseTimes) ++ quad.sortBy(baseTimes)
     val started = System.nanoTime()
     def elapsed = (System.nanoTime() - started) / 1e9
-    val cells = ordered.map { name =>
+    val cellPairs = ordered.map { name =>
       val base      = baseTimes(name)
       val isQuad    = ScaleQuadratic(name)
       val remaining = if (isQuad) quadSlice else budget - elapsed
       val quadTag   = if (isQuad) ",\"quadratic\":true" else ""
       if (remaining <= 0) {
         System.err.println(s"[bench] scale $name skipped: section budget ${budget}s exhausted")
-        "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"skipped\":true" + quadTag + "}"
+        (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"skipped\":true" + quadTag + "}",
+          "\"" + name + "\":\"skip\"")
       } else {
         val tag = s"graft-scale-$name"
         val fut = Future {
@@ -258,17 +272,26 @@ object Bench {
                 ",\"orphan_overlap\":true"
             }
         if (t == -2.0)
-          "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"timed_out_after_sec\":" + fmtD(remaining) + overlap + quadTag + "}"
+          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"timed_out_after_sec\":" + fmtD(remaining) + overlap + quadTag + "}",
+            "\"" + name + "\":\"timeout\"")
         else {
           val ratio = if (t > 0 && base > 0) t / base else -1.0
-          "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + quadTag + "}"
+          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + quadTag + "}",
+            "\"" + name + "\":" + fmtD(ratio))
         }
       }
+    }
+    val cells = cellPairs.map(_._2)
+    // the compact tail line must stay under the harness's ~2KB window
+    // even on SCALE_FULL runs — cap its ratio map to the headliners
+    val compactRatios = cellPairs.collect {
+      case (n, _, c) if ScaleQueries.contains(n) => c
     }
     val missingJson =
       if (missingBase.isEmpty) ""
       else s""","missing_base":[${missingBase.map("\"" + _ + "\"").mkString(",")}]"""
-    s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"quad_slice_sec":${fmtD(quadSlice)},"queries":${cells.mkString("{", ",", "}")}$missingJson}"""
+    val full = s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"quad_slice_sec":${fmtD(quadSlice)},"queries":${cells.mkString("{", ",", "}")}$missingJson}"""
+    (full, compactRatios.mkString("{", ",", "}"))
   }
 
   /** IVF cell-assignment throughput: the codegen'd IvfAssign
