@@ -177,6 +177,18 @@ object SparkEntry {
     "q_token_budget_rate" -> ((s, dir) =>
       Sampling.tokenBudgetSampleRate(Tables.documents(s, dir), 800)
         .orderBy("doc_id")),
+    // 50 docs drawn with probability ~ token count (integer
+    // Efraimidis–Spirakis race, internally clamped at maxWeight) —
+    // md5-derived, so the oracle mirrors the race keys bit-for-bit
+    "q_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(Tables.documents(s, dir), "doc_id",
+        size(split(col("text"), " ")), k = 50)
+        .orderBy(col("race").desc, col("doc_id").asc)),
+    // temperature-rebalanced mixture (alpha=1/2): integer cross-
+    // multiplied keep rule + surfaced per-source saturation audit
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(Tables.documents(s, dir), targetDocs = 200)
+        .orderBy("doc_id")),
     "q_time_features" -> ((s, dir) =>
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
     // 2-hour promo windows opened by purchase events (fixed duration
@@ -1011,6 +1023,38 @@ object SparkEntry {
         |FROM d JOIN t USING (source)
         |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE) <
         |  least(800.0 / CAST(t.tot_tok AS DOUBLE), 1.0) * 4294967296.0
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    least(greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1), 1000) AS w
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, w,
+        |    list_max(list_transform(range(w), j ->
+        |      CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':', CAST(j AS VARCHAR))), 1, 15)) AS BIGINT))) AS race
+        |  FROM d
+        |)
+        |SELECT doc_id, w, race FROM r
+        |ORDER BY race DESC, doc_id ASC LIMIT 50""".stripMargin,
+    "q_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY source
+        |), s AS (
+        |  SELECT c.*, (SELECT CAST(sum(w) AS BIGINT) FROM c) AS sum_w FROM c
+        |), r AS (
+        |  SELECT s.*,
+        |    CAST(CAST(200 AS HUGEINT) * w // sum_w AS BIGINT) AS target_n
+        |  FROM s
+        |)
+        |SELECT d.doc_id, d.source, r.n_src, r.w, r.target_n,
+        |  r.target_n >= r.n_src AS saturated
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+        |    * r.sum_w * r.n_src
+        |  < CAST(200 AS HUGEINT) * r.w * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
     "q_stratified_sample" ->
       """SELECT event_type, event_id

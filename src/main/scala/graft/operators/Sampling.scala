@@ -134,14 +134,19 @@ object Sampling {
     * Scale: the race key is scan-stage per-row work costing O(weight)
     * hashes; selection is a global top-k (TakeOrderedAndProject:
     * per-partition heap of k, driver merges k·partitions rows — no
-    * global sort, no shuffle of the corpus). At 100 TB the O(weight)
-    * hash loop is the knob to watch: cap or bucket very large
-    * weights (a 1e6-token document does not need 1e6 draws — weight
-    * resolution above ~1e3 changes selection odds marginally), which
-    * keeps the race-key cost bounded per row.
+    * global sort, no shuffle of the corpus). The O(weight) hash loop
+    * is clamped INTERNALLY to `maxWeight` (default 1000): a
+    * 1e6-token document does not need 1e6 draws — weight resolution
+    * above ~1e3 changes selection odds marginally, while an
+    * unclamped weight would cost 1e6 md5s and an ~8 MB scratch array
+    * per row (and overflow Spark's sequence length limit above
+    * ~2.1e9). Callers who genuinely need finer odds resolution can
+    * raise the cap explicitly.
     */
-  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int): DataFrame = {
-    val w = greatest(weight.cast("long"), lit(1L)).as("w")
+  def weightedSample(df: DataFrame, keyCol: String, weight: Column, k: Int,
+                     maxWeight: Int = 1000): DataFrame = {
+    require(maxWeight >= 1, s"maxWeight must be >= 1, got $maxWeight")
+    val w = least(greatest(weight.cast("long"), lit(1L)), lit(maxWeight.toLong)).as("w")
     val race = array_max(transform(sequence(lit(0L), col("w") - 1), j =>
       // 15 hex chars = 60 bits (16 would overflow a signed long)
       conv(substring(md5(concat(col(keyCol).cast("string"), lit(":"), j.cast("string"))), 1, 15), 16, 10)
@@ -165,7 +170,14 @@ object Sampling {
     * set is engine-exact. (floor(sqrt(n)) is itself exact: IEEE sqrt
     * is correctly rounded and exact on perfect squares.) Rates above
     * 1 (tiny sources asked for more than they have) saturate at
-    * keep-everything, as the comparison naturally encodes.
+    * keep-everything — this operator cannot up-sample, so whenever
+    * any source saturates the TOTAL kept falls short of targetDocs
+    * and the realized mixture deviates from the n^alpha proportions.
+    * The shortfall is SURFACED, not silent: every output row carries
+    * `saturated` (did my source hit keep-everything?) and
+    * `target_n` (the source's pre-saturation target count), so
+    * `SELECT source, any(saturated), any(target_n), count(*)` is the
+    * realized-vs-target audit with no second pass over the corpus.
     *
     * Scale: one count aggregate over the corpus (map-side combined),
     * a broadcast of the per-source rate table, then a scan-stage
@@ -177,6 +189,12 @@ object Sampling {
     val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
       .withColumn("w", floor(sqrt(col("n_src"))).cast("long"))
     val rates = counts.crossJoin(broadcast(counts.agg(sum(col("w")).as("sum_w"))))
+      // target_n = floor(targetDocs * w / sum_w): integer arithmetic,
+      // exact; saturated iff the target meets or exceeds the source
+      .withColumn("target_n",
+        floor(lit(targetDocs).cast("decimal(38,0)") * col("w").cast("decimal(38,0)") /
+          col("sum_w").cast("decimal(38,0)")).cast("long"))
+      .withColumn("saturated", col("target_n") >= col("n_src"))
     val h32   = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
     val dec   = "decimal(38,0)"
     docs
@@ -184,6 +202,6 @@ object Sampling {
       .filter(
         h32.cast(dec) * col("sum_w").cast(dec) * col("n_src").cast(dec) <
           lit(targetDocs).cast(dec) * col("w").cast(dec) * lit(4294967296L).cast(dec))
-      .select(col(keyCol), col(sourceCol), col("n_src"), col("w"))
+      .select(col(keyCol), col(sourceCol), col("n_src"), col("w"), col("target_n"), col("saturated"))
   }
 }

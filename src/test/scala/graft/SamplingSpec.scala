@@ -85,4 +85,54 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Sort") && !plan.contains("Window"),
       s"rate variant must not sort:\n$plan")
   }
+
+  test("weighted sample returns exactly k, deterministic, skewed to heavy weights") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val wcol = size(split($"text", " "))
+    val a = Sampling.weightedSample(docs, "doc_id", wcol, k = 50)
+    assert(a.count() === 50)
+    // deterministic: a re-run draws the identical winner set
+    val b = Sampling.weightedSample(docs, "doc_id", wcol, k = 50)
+    assert(a.exceptAll(b).count() === 0)
+    // selection skews toward heavy weights (P(win) ~ w): on a frame
+    // where 10% of rows carry 100x weight (10x the total mass of the
+    // rest), the winner set should be dominated by the heavy rows
+    val skewed = spark.range(1000).select($"id".as("doc_id"),
+      when($"id" < 100, 100).otherwise(1).as("wt"))
+    val winners = Sampling.weightedSample(skewed, "doc_id", $"wt", k = 50)
+    val heavyWon = winners.filter($"w" === 100).count()
+    assert(heavyWon >= 40, s"only $heavyWon/50 winners from the heavy 10%")
+    // the internal clamp bounds the race-key cost: a pathological
+    // weight (1e9) must behave exactly like maxWeight
+    val heavy = docs.limit(20)
+    val clamped  = Sampling.weightedSample(heavy, "doc_id", lit(1000000000L), k = 5)
+    val atCap    = Sampling.weightedSample(heavy, "doc_id", lit(1000), k = 5)
+    assert(clamped.select("doc_id", "race").exceptAll(atCap.select("doc_id", "race")).count() === 0)
+  }
+
+  test("temperature mix hits per-source targets and surfaces saturation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val mixed = Sampling.temperatureMix(docs, targetDocs = 200)
+    assert(Sampling.temperatureMix(docs, 200).exceptAll(mixed).count() === 0)
+    // per-source kept counts land near target_n (hash-threshold
+    // variance is the declared trade; saturated sources keep all)
+    val per = mixed.groupBy($"source")
+      .agg(count(lit(1)).as("kept"), first($"target_n").as("t"),
+        first($"n_src").as("n"), first($"saturated").as("sat"))
+      .collect()
+    assert(per.nonEmpty)
+    per.foreach { r =>
+      val (kept, t, n, sat) = (r.getAs[Long]("kept"), r.getAs[Long]("t"),
+        r.getAs[Long]("n"), r.getAs[Boolean]("sat"))
+      if (sat) assert(kept === n, s"saturated source must keep everything: $r")
+      else assert(math.abs(kept - t) <= math.max(6L, t / 2),
+        s"kept $kept far from target $t: $r")
+    }
+    // a huge target saturates EVERY source at keep-all, flagged as such
+    val all = Sampling.temperatureMix(docs, targetDocs = 1000000)
+    assert(all.count() === docs.count())
+    assert(all.filter(!$"saturated").count() === 0)
+  }
 }
