@@ -159,7 +159,10 @@ object Bench {
     // r9: the two new corpus-shuffle curation ops — perplexity's
     // vocab + scoring aggregations and the zero-sort rate-based
     // token budget (whose x10 ratio evidences the no-sort claim)
-    "q_perplexity", "q_token_budget_rate")
+    "q_perplexity", "q_token_budget_rate",
+    // r10: BM25's posting-list-bounded retrieval, the clamped
+    // weighted race, and the broadcast-rate temperature mix
+    "q_bm25_topk", "q_weighted_sample", "q_temperature_mix")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact

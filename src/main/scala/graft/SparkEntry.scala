@@ -479,6 +479,13 @@ object SparkEntry {
       Embedding.ragRetrieveBatch(Tables.documents(s, dir), queries, k = 3)
         .orderBy("qid", "rnk")
     }),
+    // lexical retrieval next to the embedding RAG path: Okapi BM25
+    // (Lucene idf form), per-pair term sums folded in term order so
+    // scores hash-match the oracle bit-for-bit
+    "q_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(Tables.documents(s, dir),
+        Seq((1L, "gain up good value"), (2L, "slow error bad join"), (3L, "spark table scan")), k = 5)
+        .orderBy("query_id", "rnk")),
 
     // ---- E. similarity search -----------------------------------------
     "q_ann_bruteforce" -> ((s, dir) =>
@@ -823,6 +830,43 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
+    // per-pair BM25 sums fold in TERM order on both engines (the
+    // q_perplexity determinism recipe); formula trees mirrored
+    // operation-for-operation so doubles are bit-identical
+    "q_bm25_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |  GROUP BY doc_id, t
+        |), dfq AS (
+        |  SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY t
+        |), dl AS (
+        |  SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl FROM documents
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(lower(text), ' '))) AS BIGINT) AS tot FROM documents
+        |), q AS (
+        |  SELECT query_id, unnest(list_distinct(string_split(lower(q_text), ' '))) AS t
+        |  FROM (VALUES (CAST(1 AS BIGINT), 'gain up good value'),
+        |               (CAST(2 AS BIGINT), 'slow error bad join'),
+        |               (CAST(3 AS BIGINT), 'spark table scan')) AS vq(query_id, q_text)
+        |), terms AS (
+        |  SELECT q.query_id, tf.doc_id, tf.t,
+        |    ln(1 + (CAST(st.n_docs AS DOUBLE) - CAST(dfq.df AS DOUBLE) + 0.5) / (CAST(dfq.df AS DOUBLE) + 0.5))
+        |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+        |      (CAST(tf.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 *
+        |        (CAST(dl.dl AS DOUBLE) * CAST(st.n_docs AS DOUBLE) / CAST(st.tot AS DOUBLE)))) AS term
+        |  FROM tf JOIN q USING (t) JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN st
+        |), sc AS (
+        |  SELECT query_id, doc_id,
+        |    round(list_reduce(list(term ORDER BY t), (a, b) -> a + b), 6) AS score
+        |  FROM terms GROUP BY query_id, doc_id
+        |)
+        |SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rnk
+        |FROM sc
+        |QUALIFY rnk <= 5
+        |ORDER BY query_id, rnk""".stripMargin,
     "q_ohlc_resample" ->
       """SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS bar_start,
         |  min_by(value, ts) AS open,

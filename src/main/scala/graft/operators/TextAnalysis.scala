@@ -368,4 +368,59 @@ object TextAnalysis {
         col("doc_id"), col("n_bg"), col("xent"),
         (col("xent") <= cutoff).cast("int").as("keep"))
   }
+
+  /** BM25 top-k lexical retrieval (the Okapi ranking function in its
+    * Lucene form, idf = ln(1 + (N - df + 0.5)/(df + 0.5)) so weights
+    * stay positive) — the keyword-side retriever a RAG stack runs
+    * next to the embedding ANN. Scores every (query, document) pair
+    * sharing at least one term and keeps each query's top k.
+    *
+    * Scale shape: ONE corpus tokenization feeds both the per-doc
+    * term counts and the document-frequency table (two
+    * key-partitioned aggregations, map-side combined); N and the
+    * total token count ride along as a broadcast 1-row frame, and
+    * the query term list is a broadcast literal frame — the corpus
+    * never shuffles on anything but (doc, term). Candidate volume is
+    * bounded by the posting lists of the query terms (the inner join
+    * prunes every non-matching term at the tf table), top-k is a
+    * per-query row_number over those candidates only. Per-pair float
+    * sums fold in TERM order (sort_array + ordered aggregate) — the
+    * [[perplexityScore]] determinism recipe — so scores are a pure
+    * function of (corpus, query) and hash-match a SQL oracle.
+    */
+  def bm25TopK(documents: DataFrame, queries: Seq[(Long, String)], k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dl = documents
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("dl"))
+    val dfq = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val stats = documents.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(split(lower(col("text")), " ")).cast("long")).as("tot_tok"))
+    val qTerms = queries.toDF("query_id", "q_text")
+      .select(col("query_id"), explode(array_distinct(split(lower(col("q_text")), " "))).as("t"))
+    tf.join(broadcast(qTerms), "t")
+      .join(dfq, "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+            (col("df").cast("double") + lit(0.5))) *
+          (col("tf").cast("double") * (lit(k1) + lit(1.0))) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) *
+              (col("dl").cast("double") * col("n_docs").cast("double") / col("tot_tok").cast("double")))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("term")))).as("ts"))
+      .withColumn("score",
+        round(aggregate(col("ts"), lit(0.0), (acc, s) => acc + s("term")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
+  }
 }

@@ -122,4 +122,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .agg(sum($"xent" * $"n_bg"), sum($"uni_xent" * $"n_tok")).collect()(0)
     assert(agg.getDouble(0) / agg.getDouble(1) < 1.0)
   }
+
+  test("bm25: hand-checkable ranking, bounded k, deterministic") {
+    import spark.implicits._
+    // doc 1 matches both query terms, doc 2 one, doc 3 none; the
+    // rare term ("rust") outweighs the common one by idf
+    val docs = Seq(
+      (1L, "rust compiler rust borrow"),
+      (2L, "java compiler warnings galore"),
+      (3L, "coffee and tea"),
+      (4L, "compiler compiler compiler compiler")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq((1L, "rust compiler")), k = 3)
+      .orderBy($"rnk").collect()
+    assert(got.length === 3)
+    assert(got(0).getAs[Long]("doc_id") === 1L, s"rust doc must rank first: ${got.mkString(",")}")
+    // no doc without a query term is ever scored
+    assert(!got.map(_.getAs[Long]("doc_id")).contains(3L))
+    // fixture run: exactly k rows per query, deterministic re-run
+    val fx = Tables.documents(spark, sf)
+    val qs = Seq((1L, "gain up good value"), (2L, "slow error bad join"))
+    val a  = TextAnalysis.bm25TopK(fx, qs, k = 5)
+    assert(a.groupBy($"query_id").count().collect().forall(_.getLong(1) === 5L))
+    assert(a.exceptAll(TextAnalysis.bm25TopK(fx, qs, k = 5)).count() === 0)
+    // scores are positive (Lucene idf form) and ranks within k
+    assert(a.filter($"score" <= 0 || $"rnk" > 5).count() === 0)
+  }
 }
