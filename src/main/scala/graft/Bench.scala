@@ -305,7 +305,7 @@ object Bench {
     * expression-evaluation machinery. Emits
     * {"codegen":s,"interpreted":s,"rows":n} into the bench line.
     */
-  private def ivfBench(spark: SparkSession, sfDir: String, reps: Int): String = {
+  private def ivfBench(spark: SparkSession, sfDir: String, reps: Int): (String, String) = {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
     val emb   = Tables.embeddings(spark, sfDir)
@@ -335,7 +335,8 @@ object Bench {
     val gcJson = cells.map { case (n, _) =>
       "\"" + n + "\":[" + raw(n).map(_._2.toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    s"""{"codegen":${minOf(runs, "codegen")},"interpreted":${minOf(runs, "interpreted")},"rows":$rows,"reps":$repJson,"reps_gc_ms":$gcJson}"""
+    (s"""{"codegen":${minOf(runs, "codegen")},"interpreted":${minOf(runs, "interpreted")},"rows":$rows,"reps":$repJson,"reps_gc_ms":$gcJson}""",
+      s"""{"codegen":${minOf(runs, "codegen")},"interpreted":${minOf(runs, "interpreted")}}""")
   }
 
   /** Skew demonstration: the same shuffle join on a pathological key
@@ -352,7 +353,7 @@ object Bench {
     * emitted per-rep arrays make a poisoned run self-diagnosing.
     * Emits {"plain_skewed":min,…,"reps":{"plain_skewed":[r1,r2,…],…}}.
     */
-  private def skewBench(spark: SparkSession, sfDir: String, reps: Int): String = {
+  private def skewBench(spark: SparkSession, sfDir: String, reps: Int): (String, String) = {
     import org.apache.spark.sql.functions._
     // 8x-replicated fact so the hot key's post-shuffle work is long
     // enough to dominate a task (the situation salting exists for)
@@ -417,7 +418,7 @@ object Bench {
       val gcJson = cells.map { case (n, _, _) =>
         "\"" + n + "\":[" + raw(n).map(_._2.toString).mkString(",") + "]"
       }.mkString("{", ",", "}")
-      s"""{$mins,"reps":$repJson,"reps_gc_ms":$gcJson}"""
+      (s"""{$mins,"reps":$repJson,"reps_gc_ms":$gcJson}""", s"""{$mins}""")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

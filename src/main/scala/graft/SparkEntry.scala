@@ -144,6 +144,11 @@ object SparkEntry {
       Stats.distinctCounts(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_clean_normalize" -> ((s, dir) =>
       Stats.cleanNormalize(Tables.documents(s, dir)).orderBy("doc_id")),
+    // CMS frequency sketch on the gate in the approx_distinct style:
+    // md5 buckets replay in SQL, so exact count AND sketch estimate
+    // both hash-match; the one-sided bound rides as a flag
+    "q_heavy_hitters" -> ((s, dir) =>
+      Stats.heavyHittersChecked(Tables.documents(s, dir)).orderBy("tok")),
     "q_fill_forward" -> ((s, dir) =>
       Stats.fillForward(Tables.events(s, dir)).orderBy("user_id", "ts_us")),
     "q_resample_ffill" -> ((s, dir) =>
@@ -1002,6 +1007,33 @@ object SparkEntry {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
         |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the d x w counter matrix replays exactly: buckets are md5 of
+    // the row-tagged token, counters integer sums — est is min over
+    // the token's d counters, all engine-deterministic
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |), counts AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts
+        |), hot AS (
+        |  SELECT tok, cnt FROM counts CROSS JOIN tot WHERE cnt * 100 >= n_total
+        |), pairs AS (
+        |  SELECT r.r,
+        |    CAST(concat('0x', substr(md5(concat(CAST(r.r AS VARCHAR), ':', t.tok)), 1, 8)) AS BIGINT) % 16 AS b,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM toks t CROSS JOIN (SELECT unnest([0, 1, 2]) AS r) r
+        |  GROUP BY 1, 2
+        |), est AS (
+        |  SELECT h.tok, min(p.c) AS cms_est
+        |  FROM hot h JOIN pairs p
+        |    ON p.b = CAST(concat('0x', substr(md5(concat(CAST(p.r AS VARCHAR), ':', h.tok)), 1, 8)) AS BIGINT) % 16
+        |  GROUP BY h.tok
+        |)
+        |SELECT h.tok, h.cnt, e.cms_est, CAST(e.cms_est >= h.cnt AS INT) AS cms_upper_ok
+        |FROM hot h JOIN est e USING (tok)
+        |ORDER BY tok""".stripMargin,
     "q_fill_forward" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  last_value(CASE WHEN event_type != 'error' THEN value END IGNORE NULLS)

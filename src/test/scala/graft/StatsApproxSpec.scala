@@ -103,4 +103,30 @@ class StatsApproxSpec extends AnyFunSuite {
       .count()
     assert(bad === 0)
   }
+
+  test("CMS: one-sided bound, shard-merge == direct sketch, collisions do real work") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val toks = docs.select(explode(split(lower($"text"), " ")).as("tok"))
+    // estimate >= exact count for EVERY token (not just the hot set)
+    val counts = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val est = Stats.cmsEstimate(Stats.cmsSketch(toks, "tok"), counts, "tok")
+    val joined = counts.join(est, "tok")
+    assert(joined.filter($"cms_est" < $"cnt").count() === 0)
+    // w=16 on a real vocabulary must collide: some estimate strictly
+    // exceeds its exact count, or the sketch is doing nothing
+    assert(joined.filter($"cms_est" > $"cnt").count() > 0)
+    // merging per-shard sketches == sketching the whole stream
+    // (counter addition is commutative/associative)
+    val sharded = (0 until 4).map(i =>
+      Stats.cmsSketch(toks.filter(pmod(crc32($"tok"), lit(4)) === i), "tok"))
+    val merged = Stats.cmsMerge(sharded.reduce(_ unionByName _))
+    val direct = Stats.cmsSketch(toks, "tok")
+    assert(merged.exceptAll(direct).count() === 0 &&
+      direct.exceptAll(merged).count() === 0)
+    // the gate face: every hot token flagged within bound
+    val hh = Stats.heavyHittersChecked(docs)
+    assert(hh.count() > 0)
+    assert(hh.filter($"cms_upper_ok" === 0).count() === 0)
+  }
 }
