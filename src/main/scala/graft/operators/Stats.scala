@@ -236,8 +236,8 @@ object Stats {
   /** Bucket of `v` in sketch row `r`: md5 of the row-tagged value —
     * mirrorable bit-exactly in any engine with md5.
     */
-  private def cmsBucket(v: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
-                        w: Int): org.apache.spark.sql.Column =
+  private[graft] def cmsBucket(v: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+                               w: Int): org.apache.spark.sql.Column =
     pmod(conv(substring(md5(concat(r.cast("string"), lit(":"), v)), 1, 8), 16, 10).cast("long"),
       lit(w.toLong))
 

@@ -431,6 +431,30 @@ object Streams {
   def enrichStream(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), "user_id")
 
+  /** Streaming count-min frequency sketch — the fixed-state
+    * frequency twin of [[bloomDedupStream]]'s fixed-state dedup: the
+    * running state is the d x w counter matrix and NOTHING else
+    * (d*w state rows forever, regardless of stream cardinality),
+    * where exact streaming frequency tracking would hold one state
+    * row per distinct value. Probe coordinates are codegen'd columns
+    * computed BEFORE the stateful operator (the same md5 bucket rule
+    * as the batch [[graft.operators.Stats.cmsSketch]]), so the
+    * stateful layer is a plain streaming groupBy count over at most
+    * d*w keys — counters shard across the state store and merge by
+    * addition exactly like the batch sketch's shuffle combine. After
+    * any prefix of the stream, the Complete-mode output is
+    * bit-identical to the batch sketch of the same rows (spec'd),
+    * which is what makes estimates from a 100 TB ingest stream
+    * auditable against a batch replay.
+    */
+  def cmsStream(values: DataFrame, valueCol: String, d: Int = 3, w: Int = 16): DataFrame =
+    values
+      .select(explode(transform(sequence(lit(0), lit(d - 1)), r =>
+        struct(r.cast("int").as("r"),
+          graft.operators.Stats.cmsBucket(col(valueCol), r, w).as("b")))).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** Stream-stream interval join: purchases matched to the same
     * user's clicks in the preceding hour. Both sides are watermarked
     * so the join state expires; the time-bound condition is what

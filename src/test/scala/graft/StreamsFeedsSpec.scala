@@ -639,6 +639,29 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(tiny.size < want.size, "64-bit buckets cannot hold 200 keys without FP drops")
   }
 
+  test("streaming CMS sketch is bit-identical to the batch sketch, state bounded at d*w") {
+    import spark.implicits._
+    val dir  = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    toks.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(toks.schema).parquet(dir)
+    val got  = Streams.runToMemory(
+      spark, Streams.cmsStream(stream, "tok"), "cms_stream_test", OutputMode.Complete())
+    val want = graft.operators.Stats.cmsSketch(toks, "tok")
+    assert(got.count() > 0 && got.count() <= 3 * 16,
+      "state cardinality must be bounded by the d*w matrix")
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "stream counters must equal the batch sketch exactly")
+    // merged with a second batch's sketch, estimates stay one-sided:
+    // the streaming state IS a mergeable CMS
+    val more   = toks.limit(500)
+    val merged = graft.operators.Stats.cmsMerge(got.unionByName(graft.operators.Stats.cmsSketch(more, "tok")))
+    val cnt2   = toks.unionByName(more).groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    val est2   = graft.operators.Stats.cmsEstimate(merged, cnt2, "tok")
+    assert(cnt2.join(est2, "tok").filter($"cms_est" < $"cnt").count() === 0)
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")
