@@ -26,7 +26,9 @@ object Explain {
         "q_ngram_jaccard_banded", "q_semantic_dedup_trained",
         "q_token_budget_sample", "q_token_budget_rate",
         "q_perplexity", "q_ann_int8", "q_clean_normalize",
-        "q_bloom_decontaminate", "q_bigram_perplexity")
+        "q_bloom_decontaminate", "q_bigram_perplexity",
+        "q_bm25_topk", "q_weighted_sample", "q_temperature_mix",
+        "q_heavy_hitters")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
