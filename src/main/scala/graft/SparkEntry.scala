@@ -497,6 +497,12 @@ object SparkEntry {
       Similarity
         .bruteForceTopK(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)
         .orderBy("qid", "rnk")),
+    // semi-hard negative mining: per anchor, hardest k non-duplicate
+    // vectors inside the [floor, dup) similarity band
+    "q_hard_negatives" -> ((s, dir) =>
+      Similarity
+        .hardNegatives(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("anchor_id", "rnk")),
     // same queries/k over int8-quantized vectors: all-integer dots
     // and norms (scales cancel in the cosine), 4x less memory at
     // scale — scores are exact integer math + one IEEE sqrt
@@ -2270,6 +2276,27 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    // the band predicate applies BEFORE the per-anchor top-k on both
+    // engines; scores are the same sequential dots as q_ann_bruteforce
+    "q_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS anchor_id, e.vec_id AS negative_id,
+        |    CASE WHEN q.nn * e.nn != 0 THEN list_dot_product(q.v, e.v) / (q.nn * e.nn) END AS cos
+        |  FROM n q JOIN n e ON q.vec_id < 5 AND e.vec_id != q.vec_id
+        |), banded AS (
+        |  SELECT anchor_id, negative_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY cos DESC, negative_id ASC) AS BIGINT) AS rnk
+        |  FROM scored
+        |  WHERE cos < 0.95 AND cos >= 0.3
+        |)
+        |SELECT anchor_id, negative_id, cos, rnk
+        |FROM banded
+        |WHERE rnk <= 5
+        |ORDER BY anchor_id, rnk""".stripMargin,
     // quantized levels live in DOUBLE lists on both sides: every
     // value is integral and < 2^53, so dots/norms are exact and the
     // score is deterministic integer math + one IEEE sqrt

@@ -50,6 +50,42 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Semi-hard negative mining for contrastive training data (the
+    * FaceNet/SimCLR curation step): for each anchor, the k most
+    * similar NON-duplicate vectors inside a similarity band —
+    * `cos < dupThreshold` excludes near-duplicates (a positive
+    * masquerading as a negative poisons the loss) and
+    * `cos >= floorThreshold` excludes easy negatives that contribute
+    * no gradient. Ranking inside the band is hardest-first (cos
+    * desc).
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — anchors ride as
+    * a broadcast, the corpus is scanned once, scores are
+    * element-order sequential dots (bit-identical across engines),
+    * and the band predicate prunes BEFORE the per-anchor top-k
+    * window, so the sort input is the band population, not the
+    * corpus. At billion-vector scale the same band filter composes
+    * with [[ivfSearch]]'s cell pruning; the exact variant here is
+    * the oracle-checkable contract.
+    */
+  def hardNegatives(embeddings: DataFrame, anchorIds: Seq[Long], k: Int,
+                    dupThreshold: Double = 0.95, floorThreshold: Double = 0.3): DataFrame = {
+    val e = withVecNorm(embeddings)
+    val q = broadcast(
+      e.filter(col("vec_id").isin(anchorIds: _*))
+        .select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("nrm").as("qnrm")))
+    val scored = e
+      .join(q, col("vec_id") =!= col("anchor_id"))
+      .withColumn("cos",
+        when(col("qnrm") * col("nrm") =!= 0, dot(col("qv"), col("v")) / (col("qnrm") * col("nrm"))))
+      .filter(col("cos") < dupThreshold && col("cos") >= floorThreshold)
+    val w = Window.partitionBy("anchor_id").orderBy(col("cos").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"), col("cos"), col("rnk"))
+  }
+
   /** Int8-quantized brute-force top-k — the memory-bound 100 TB
     * shape of [[bruteForceTopK]]: each vector is symmetric-max-
     * quantized to 8-bit integer levels (per-vector scale

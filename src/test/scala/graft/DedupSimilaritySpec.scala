@@ -217,6 +217,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.groupBy($"qid").agg(max($"rnk").as("m")).filter($"m" =!= 5).count() === 0)
   }
 
+  test("hard negatives: band respected, near-dups excluded, subset of banded topk") {
+    import spark.implicits._
+    val emb  = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val hn   = Similarity.hardNegatives(emb, qids, 5)
+    // every mined negative sits inside the [floor, dup) band, ranked
+    // hardest-first, at most k per anchor, never the anchor itself
+    assert(hn.filter($"cos" >= 0.95 || $"cos" < 0.3).count() === 0)
+    assert(hn.filter($"anchor_id" === $"negative_id").count() === 0)
+    assert(hn.groupBy($"anchor_id").count().filter($"count" > 5).count() === 0)
+    // with the band wide open it degrades to exactly bruteForceTopK
+    val open = Similarity.hardNegatives(emb, qids, 5, dupThreshold = 2.0, floorThreshold = -2.0)
+      .select($"anchor_id".as("qid"), $"negative_id".as("vec_id"), $"cos", $"rnk")
+    val bf = Similarity.bruteForceTopK(emb, qids, 5)
+    assert(open.exceptAll(bf).count() === 0 && bf.exceptAll(open).count() === 0)
+    // a mined negative is never a near-duplicate of its anchor: the
+    // excluded pairs are exactly those the dedup threshold names
+    val dup = Similarity.hardNegatives(emb, qids, 1000, dupThreshold = 0.5, floorThreshold = 0.3)
+    assert(dup.filter($"cos" >= 0.5).count() === 0)
+  }
+
   test("int8 topk: quantized levels in [-127,127], integral, and recall vs float is high") {
     import spark.implicits._
     val emb  = Tables.embeddings(spark, sf)
