@@ -170,4 +170,38 @@ class PlanAuditSpec extends AnyFunSuite {
         s"salted join degenerated to a product:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
   }
+
+  test("BM25 broadcasts the query-term and stats sides; corpus shuffles only on (doc, term)") {
+    val p = planOf("q_bm25_topk")
+    // query terms and the 1-row stats frame must broadcast — a
+    // shuffled join on either turns the posting-list prune into a
+    // corpus-wide exchange
+    assert(p.contains("BroadcastHashJoin"), s"q_bm25_topk lost its broadcast joins:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_bm25_topk planned a product:\n$p")
+  }
+
+  test("heavy hitters probes a BROADCAST sketch; weighted sample never globally sorts") {
+    val p = planOf("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the d*w sketch stopped broadcasting onto the probe:\n$p")
+    // the weighted race selects via TakeOrderedAndProject (partition
+    // heaps + driver merge of k rows); a global Sort node means the
+    // corpus is being sorted to take 50 rows
+    val w = planOf("q_weighted_sample")
+    assert(w.contains("TakeOrderedAndProject"),
+      s"q_weighted_sample must select via TakeOrderedAndProject:\n$w")
+    assert(!w.matches("(?s).*Sort \\[race.*global.*"),
+      s"q_weighted_sample plans a global sort:\n$w")
+  }
+
+  test("temperature mix and hard negatives broadcast their small sides") {
+    val t = planOf("q_temperature_mix")
+    assert(t.contains("BroadcastHashJoin"),
+      s"the per-source rate table stopped broadcasting:\n$t")
+    val h = planOf("q_hard_negatives")
+    // anchors are a broadcast non-equi join (self-exclusion), same
+    // class as the ANN query joins
+    assert(h.contains("BroadcastNestedLoopJoin") || h.contains("BroadcastHashJoin"),
+      s"q_hard_negatives lost its broadcast anchor join:\n$h")
+  }
 }
