@@ -426,6 +426,10 @@ object SparkEntry {
         .orderBy("doc_id")),
     "q_repeated_spans" -> ((s, dir) =>
       Dedup.repeatedSpans(Tables.documents(s, dir)).orderBy("span_fp")),
+    // span REMOVAL with doc reconstruction: tokens under corpus-
+    // repeated spans struck everywhere but the first holder
+    "q_strip_spans" -> ((s, dir) =>
+      Dedup.stripRepeatedSpans(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_corpus_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dropNearDuplicates(docs, Dedup.minhashLshCandidatesFast(docs))
@@ -2071,6 +2075,37 @@ object SparkEntry {
         |  count(*) AS n_docs, min(doc_id) AS first_doc
         |FROM sp GROUP BY md5(span) HAVING count(*) >= 2
         |ORDER BY span_fp""".stripMargin,
+    // positions are 1-based here vs 0-based in Spark, but the KEPT
+    // TOKEN SET is identical — only text/counters are emitted
+    "q_strip_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+        |), g AS (
+        |  SELECT doc_id, i, md5(array_to_string(ts[i:i+2], ' ')) AS span_fp
+        |  FROM t, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS u(i)
+        |), reg AS (
+        |  SELECT span_fp, min(doc_id) AS first_doc
+        |  FROM g GROUP BY span_fp HAVING count(DISTINCT doc_id) >= 2
+        |), cov AS (
+        |  SELECT g.doc_id, list(DISTINCT g.i) AS starts
+        |  FROM g JOIN reg USING (span_fp)
+        |  WHERE g.doc_id != reg.first_doc
+        |  GROUP BY g.doc_id
+        |), kept AS (
+        |  SELECT t.doc_id, t.ts,
+        |    list_filter(generate_series(1, len(t.ts)),
+        |      k -> len(list_filter(coalesce(c.starts, CAST([] AS BIGINT[])),
+        |             s -> s <= k AND k <= s + 2)) = 0) AS ks
+        |  FROM t LEFT JOIN cov c USING (doc_id)
+        |)
+        |SELECT doc_id,
+        |  -- array_to_string of an EMPTY list is NULL in DuckDB;
+        |  -- Spark's array_join gives '' — a fully-stripped doc must
+        |  -- compare equal
+        |  coalesce(array_to_string(list_transform(ks, k -> ts[k]), ' '), '') AS clean_text,
+        |  CAST(len(ts) AS BIGINT) AS n_toks,
+        |  CAST(len(ts) - len(ks) AS BIGINT) AS n_removed
+        |FROM kept ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id,

@@ -444,6 +444,49 @@ object Dedup {
       .agg(min(col("span")).as("span"), count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Sub-document dedup REMOVAL — the RefinedWeb/CCNet curation step
+    * [[repeatedSpans]] only detects: every token covered by an
+    * n-gram span that repeats across >= minDocs documents is struck
+    * from every document EXCEPT the span's first (min doc_id)
+    * holder, and the document is rebuilt from the surviving tokens.
+    * Keep-first is doc-level: the first holder keeps all its
+    * occurrences. Output carries the cleaned text plus token
+    * accounting (n_toks, n_removed) so the removal rate is auditable
+    * per document.
+    *
+    * Scale shape: no pair space anywhere — one fingerprint groupBy
+    * builds the repeated-span registry, one equi-join on span_fp
+    * marks covered start positions (shuffle keyed on the
+    * fingerprint, so hot spans spread by doc), one groupBy collapses
+    * them to a per-doc start list, and the rebuild is per-row array
+    * work against that list (covered-interval test per token). All
+    * arithmetic is integer positions + md5 — the rebuilt text is a
+    * pure function of the corpus, hash-matchable in SQL.
+    */
+  def stripRepeatedSpans(documents: DataFrame, n: Int = 3, minDocs: Int = 2): DataFrame = {
+    val reg = repeatedSpans(documents, n, minDocs).select(col("span_fp"), col("first_doc"))
+    val docSpans = documents
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.ngrams(split(lower(col("text")), " "), n)))
+      .toDF("doc_id", "pos", "span")
+      .select(col("doc_id"), col("pos"), md5(col("span")).as("span_fp"))
+    val covered = docSpans.join(reg, "span_fp")
+      .filter(col("doc_id") =!= col("first_doc"))
+      .groupBy("doc_id").agg(array_sort(collect_set(col("pos"))).as("starts"))
+    documents
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ts"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), expr("CAST(array() AS array<int>)")))
+      // split("") is [""] (size 1), so sequence(0, size-1) never sees
+      // the descending size=0 edge
+      .withColumn("ks", expr(
+        s"filter(sequence(0, size(ts) - 1), k -> NOT exists(starts, s -> s <= k AND k <= s + ${n - 1}))"))
+      .select(col("doc_id"),
+        expr("array_join(transform(ks, k -> element_at(ts, CAST(k + 1 AS INT))), ' ')").as("clean_text"),
+        size(col("ts")).cast("long").as("n_toks"),
+        (size(col("ts")) - size(col("ks"))).cast("long").as("n_removed"))
+  }
+
   /** Connected components over near-dup candidate pairs — the last
     * step of a real dedup pass: pairs -> clusters -> one canonical
     * doc (the min id) per cluster. Min-label propagation: each

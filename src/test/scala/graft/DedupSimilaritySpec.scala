@@ -217,6 +217,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.groupBy($"qid").agg(max($"rnk").as("m")).filter($"m" =!= 5).count() === 0)
   }
 
+  test("strip repeated spans: keep-first, hand-checked removal, token conservation") {
+    import spark.implicits._
+    // doc 1 and 2 share "a b c"; doc 1 (min id) keeps everything,
+    // doc 2 loses exactly the covered tokens
+    val tiny = Seq((1L, "a b c d"), (2L, "x a b c y"), (3L, "p q r")).toDF("doc_id", "text")
+    val out  = graft.operators.Dedup.stripRepeatedSpans(tiny)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(out(1L) === ("a b c d", 0L), s"first holder must keep its text: ${out(1L)}")
+    assert(out(2L) === ("x y", 3L), s"covered tokens must be struck: ${out(2L)}")
+    assert(out(3L) === ("p q r", 0L))
+    // fixture: untouched docs round-trip lowercased text verbatim,
+    // and surviving token counts reconcile with the accounting
+    val docs  = Tables.documents(spark, sf)
+    val strip = graft.operators.Dedup.stripRepeatedSpans(docs)
+    val joined = strip.join(docs, "doc_id")
+    assert(joined.filter($"n_removed" === 0 && $"clean_text" =!= lower($"text")).count() === 0)
+    assert(strip.filter($"n_removed" > 0 && $"n_removed" < $"n_toks" &&
+      size(split($"clean_text", " ")) =!= $"n_toks" - $"n_removed").count() === 0)
+    assert(strip.filter($"n_removed" === $"n_toks" && $"clean_text" =!= "").count() === 0)
+    // something was actually removed on this fixture (it has near-dups)
+    assert(strip.filter($"n_removed" > 0).count() > 0)
+  }
+
   test("hard negatives: band respected, near-dups excluded, subset of banded topk") {
     import spark.implicits._
     val emb  = Tables.embeddings(spark, sf)
