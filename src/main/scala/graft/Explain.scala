@@ -28,7 +28,8 @@ object Explain {
         "q_perplexity", "q_ann_int8", "q_clean_normalize",
         "q_bloom_decontaminate", "q_bigram_perplexity",
         "q_bm25_topk", "q_weighted_sample", "q_temperature_mix",
-        "q_heavy_hitters", "q_hard_negatives", "q_strip_spans")
+        "q_heavy_hitters", "q_hard_negatives", "q_strip_spans",
+        "q_containment")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

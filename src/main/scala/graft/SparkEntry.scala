@@ -430,6 +430,10 @@ object SparkEntry {
     // repeated spans struck everywhere but the first holder
     "q_strip_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Tables.documents(s, dir)).orderBy("doc_id")),
+    // asymmetric containment near-dup: subset/quote-inclusion pairs
+    // Jaccard misses; stop-shingle df cap bounds the posting lists
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir)).orderBy("da", "db")),
     "q_corpus_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dropNearDuplicates(docs, Dedup.minhashLshCandidatesFast(docs))
@@ -2106,6 +2110,30 @@ object SparkEntry {
         |  CAST(len(ts) AS BIGINT) AS n_toks,
         |  CAST(len(ts) - len(ks) AS BIGINT) AS n_removed
         |FROM kept ORDER BY doc_id""".stripMargin,
+    // integer overlap / min-size ratio — one IEEE division, exact on
+    // both engines; sizes computed AFTER the df cap on both sides
+    "q_containment" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), f AS (
+        |  SELECT s FROM sh GROUP BY s HAVING count(*) <= 50
+        |), k AS (
+        |  SELECT sh.doc_id, sh.s FROM sh JOIN f USING (s)
+        |), sz AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM k GROUP BY doc_id
+        |), p AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS overlap
+        |  FROM k a JOIN k b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.da, p.db, p.overlap, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |  CAST(p.overlap AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) AS containment
+        |FROM p JOIN sz sa ON p.da = sa.doc_id JOIN sz sb ON p.db = sb.doc_id
+        |WHERE CAST(p.overlap AS DOUBLE) / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) >= 0.5
+        |ORDER BY da, db""".stripMargin,
     "q_dedup_clusters" ->
       """WITH RECURSIVE sh AS (
         |  SELECT DISTINCT doc_id,

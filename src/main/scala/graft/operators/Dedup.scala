@@ -27,6 +27,44 @@ object Dedup {
         explode(graft.functions.TextFunctions.ngrams(split(lower(col("text")), " "), n)).as("s"))
       .distinct()
 
+  /** Asymmetric near-dup by shingle CONTAINMENT — C(A,B) =
+    * |S(A) ∩ S(B)| / min(|S(A)|, |S(B)|): catches quote-inclusion
+    * and subset documents (a short doc fully embedded in a long one)
+    * that Jaccard structurally misses, because the union in J's
+    * denominator is dominated by the longer doc (a 50-shingle doc
+    * inside a 1000-shingle doc has J ≈ 0.05 but C = 1.0).
+    *
+    * Scale lever: STOP-SHINGLE FILTERING — shingles appearing in
+    * more than `maxDf` documents are dropped BEFORE the posting-list
+    * self-join, which bounds every posting list to maxDf entries and
+    * the candidate volume to sum(df²) over surviving shingles (the
+    * standard df-cap of C4-scale dedup; boilerplate shingles carry
+    * no containment signal, and sizes are computed AFTER the cap so
+    * both sides of the ratio live in the same filtered space). All
+    * counts are integers and the ratio one IEEE division, so results
+    * hash-match a SQL oracle exactly.
+    */
+  def containmentPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.5,
+                       maxDf: Int = 50): DataFrame = {
+    val sh   = shingles(documents, n)
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val keyed = sh.join(freq.filter(col("df") <= maxDf), "s")
+      .select(col("doc_id"), md5(col("s")).as("fp"))
+    val sizes = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairs = keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("n_a")), "da")
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("n_b")), "db")
+      .withColumn("containment",
+        col("overlap").cast("double") / least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("da"), col("db"), col("overlap"), col("n_a"), col("n_b"), col("containment"))
+  }
+
   /** Benchmark decontamination (the eval-overlap pass every
     * training-data pipeline runs before a model sees the corpus):
     * flag corpus documents that share ANY word `n`-gram with the

@@ -217,6 +217,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(topk.groupBy($"qid").agg(max($"rnk").as("m")).filter($"m" =!= 5).count() === 0)
   }
 
+  test("containment: subset doc scores 1.0 where jaccard is low, df cap drops stop-shingles") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e f q"),
+      (3L, "u v w x y z")).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.containmentPairs(tiny, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("containment")).toMap
+    // doc 1's shingle set is fully inside doc 2's: C = 1.0 while
+    // J = 4/6 — the asymmetric case Jaccard misses at 0.8
+    assert(out.get((1L, 2L)).contains(1.0), s"subset pair must score 1.0: $out")
+    assert(!out.keys.exists(k => k._1 == 3L || k._2 == 3L))
+    // a df cap of 1 drops every SHARED shingle: no pair can survive
+    assert(graft.operators.Dedup.containmentPairs(tiny, threshold = 0.1, maxDf = 1).count() === 0)
+    // fixture: deterministic, well-formed, bounded
+    val docs = Tables.documents(spark, sf)
+    val a = graft.operators.Dedup.containmentPairs(docs)
+    assert(a.exceptAll(graft.operators.Dedup.containmentPairs(docs)).count() === 0)
+    assert(a.filter($"containment" <= 0 || $"containment" > 1.0 || $"da" >= $"db").count() === 0)
+  }
+
   test("strip repeated spans: keep-first, hand-checked removal, token conservation") {
     import spark.implicits._
     // doc 1 and 2 share "a b c"; doc 1 (min id) keeps everything,
