@@ -161,8 +161,10 @@ object Bench {
     // token budget (whose x10 ratio evidences the no-sort claim)
     "q_perplexity", "q_token_budget_rate",
     // r10: BM25's posting-list-bounded retrieval, the clamped
-    // weighted race, and the broadcast-rate temperature mix
-    "q_bm25_topk", "q_weighted_sample", "q_temperature_mix")
+    // weighted race, the broadcast-rate temperature mix, span
+    // removal's registry join, and df-capped containment
+    "q_bm25_topk", "q_weighted_sample", "q_temperature_mix",
+    "q_strip_spans", "q_containment")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact
