@@ -29,7 +29,7 @@ object Explain {
         "q_bloom_decontaminate", "q_bigram_perplexity",
         "q_bm25_topk", "q_weighted_sample", "q_temperature_mix",
         "q_heavy_hitters", "q_hard_negatives", "q_strip_spans",
-        "q_containment")
+        "q_containment", "q_temperature_mix_alpha")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -194,6 +194,12 @@ object SparkEntry {
     "q_temperature_mix" -> ((s, dir) =>
       Sampling.temperatureMix(Tables.documents(s, dir), targetDocs = 200)
         .orderBy("doc_id")),
+    // rational alpha = 3/10 (the mC4 exponent): w = floor(n^0.3) via
+    // float seed + exact integer-root correction — no float pow in
+    // the result path, so both engines compute the identical w
+    "q_temperature_mix_alpha" -> ((s, dir) =>
+      Sampling.temperatureMixAlpha(Tables.documents(s, dir), targetDocs = 200)
+        .orderBy("doc_id")),
     "q_time_features" -> ((s, dir) =>
       Relational.timeFeatures(Tables.events(s, dir)).orderBy("event_id")),
     // 2-hour promo windows opened by purchase events (fixed duration
@@ -1138,6 +1144,36 @@ object SparkEntry {
         |  SELECT s.*,
         |    CAST(CAST(200 AS HUGEINT) * w // sum_w AS BIGINT) AS target_n
         |  FROM s
+        |)
+        |SELECT d.doc_id, d.source, r.n_src, r.w, r.target_n,
+        |  r.target_n >= r.n_src AS saturated
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+        |    * r.sum_w * r.n_src
+        |  < CAST(200 AS HUGEINT) * r.w * 4294967296
+        |ORDER BY d.doc_id""".stripMargin,
+    // w = floor(n^(3/10)) characterized by w^10 <= n^3 < (w+1)^10:
+    // the float pow only SEEDS a +/-2 candidate window, the exact
+    // HUGEINT comparison picks w — identical on both engines even
+    // when their pow differs in the last ulp
+    "q_temperature_mix_alpha" ->
+      """WITH c AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+        |    CAST(floor(pow(count(*), 0.3)) AS BIGINT) AS w0
+        |  FROM documents GROUP BY source
+        |), wv AS (
+        |  SELECT source, n_src, max(cand) AS w
+        |  FROM (
+        |    SELECT c.source, c.n_src, u.cand
+        |    FROM c, unnest(generate_series(greatest(c.w0 - 2, 1), c.w0 + 2)) AS u(cand)
+        |    WHERE CAST(u.cand AS HUGEINT) * u.cand * u.cand * u.cand * u.cand
+        |          * u.cand * u.cand * u.cand * u.cand * u.cand
+        |      <= CAST(c.n_src AS HUGEINT) * c.n_src * c.n_src
+        |  ) GROUP BY source, n_src
+        |), s AS (
+        |  SELECT wv.*, (SELECT CAST(sum(w) AS BIGINT) FROM wv) AS sum_w FROM wv
+        |), r AS (
+        |  SELECT s.*, CAST(CAST(200 AS HUGEINT) * w // sum_w AS BIGINT) AS target_n FROM s
         |)
         |SELECT d.doc_id, d.source, r.n_src, r.w, r.target_n,
         |  r.target_n >= r.n_src AS saturated

@@ -184,6 +184,52 @@ object Sampling {
     * per-row hash threshold — zero sorts, zero coordination, the
     * same shape as [[tokenBudgetSampleRate]].
     */
+  /** [[temperatureMix]] generalized to a RATIONAL alpha = p/q (the
+    * mC4/XLM-R family typically uses alpha = 0.3 = 3/10, not 1/2):
+    * w_i = floor(n_i^(p/q)), computed ENGINE-EXACTLY with no float
+    * pow in the result path. floor of a rational power is an integer
+    * root — characterized by w^q <= n^p < (w+1)^q, all-integer
+    * comparisons — so the implementation seeds a candidate from
+    * float pow (correct to well within ±2 at any realistic n),
+    * expands the ±2 window, and keeps the LARGEST candidate passing
+    * the exact decimal(38,0) characterization. Any engine whose
+    * float pow lands within 2 of the truth (IEEE pow is within 1
+    * ulp) computes the identical w, so the kept set hash-matches a
+    * SQL oracle exactly. Bounds: n^p and (w+2)^q must fit 38 digits
+    * — p=3/q=10 holds to n ~ 2e12 docs per source.
+    *
+    * Keep rule, targets, and the surfaced saturation audit are
+    * [[temperatureMix]]'s, with w_i swapped for the rational-alpha
+    * weight; the scale shape is unchanged (one count aggregate, a
+    * broadcast rate table — now ~5 rows per source during the root
+    * scan — and a scan-stage hash threshold).
+    */
+  def temperatureMixAlpha(docs: DataFrame, targetDocs: Long, p: Int = 3, q: Int = 10,
+                          sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
+    require(p > 0 && q > p && q <= 12, s"alpha=p/q needs 0 < p < q <= 12, got $p/$q")
+    val dec = "decimal(38,0)"
+    def ipow(c: Column, e: Int): Column =
+      (1 until e).foldLeft(c.cast(dec))((acc, _) => acc * c.cast(dec))
+    val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
+      .withColumn("w0", floor(pow(col("n_src").cast("double"), p.toDouble / q)).cast("long"))
+    val w = counts
+      .withColumn("cand", explode(sequence(greatest(col("w0") - 2, lit(1L)), col("w0") + 2)))
+      .filter(ipow(col("cand"), q) <= ipow(col("n_src"), p))
+      .groupBy(col(sourceCol), col("n_src"))
+      .agg(max(col("cand")).as("w"))
+    val rates = w.crossJoin(broadcast(w.agg(sum(col("w")).as("sum_w"))))
+      .withColumn("target_n",
+        floor(lit(targetDocs).cast(dec) * col("w").cast(dec) / col("sum_w").cast(dec)).cast("long"))
+      .withColumn("saturated", col("target_n") >= col("n_src"))
+    val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
+    docs
+      .join(broadcast(rates), sourceCol)
+      .filter(
+        h32.cast(dec) * col("sum_w").cast(dec) * col("n_src").cast(dec) <
+          lit(targetDocs).cast(dec) * col("w").cast(dec) * lit(4294967296L).cast(dec))
+      .select(col(keyCol), col(sourceCol), col("n_src"), col("w"), col("target_n"), col("saturated"))
+  }
+
   def temperatureMix(docs: DataFrame, targetDocs: Long,
                      sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
     val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))

@@ -135,4 +135,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(all.count() === docs.count())
     assert(all.filter(!$"saturated").count() === 0)
   }
+
+  test("rational-alpha mix computes exact integer roots, incl. the perfect-power boundary") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val m = Sampling.temperatureMixAlpha(docs, targetDocs = 200)
+    // the defining characterization, checked in exact BigInt math:
+    // w^q <= n^p < (w+1)^q for every source
+    m.select($"n_src", $"w").distinct().collect().foreach { r =>
+      val (n, w) = (BigInt(r.getLong(0)), BigInt(r.getLong(1)))
+      assert(w.pow(10) <= n.pow(3) && n.pow(3) < (w + 1).pow(10),
+        s"w=$w is not floor(n^0.3) for n=$n")
+    }
+    // perfect-power boundary: n = 1024 = 2^10 has n^0.3 exactly 8
+    // (8^10 == 2^30); a float-pow seed off by one ulp in either
+    // direction must still land on 8 via the exact window
+    val pp = (1L to 1024L).map(i => (i, "one")).toDF("doc_id", "source")
+    val w1024 = Sampling.temperatureMixAlpha(pp, targetDocs = 10)
+      .select($"w").head.getLong(0)
+    assert(w1024 === 8L, s"floor(1024^(3/10)) must be exactly 8, got $w1024")
+    // alpha=0.3 damps harder than alpha=0.5: the rational-alpha
+    // weights are <= the sqrt weights for every source with n >= 1
+    val half = Sampling.temperatureMix(docs, 200)
+      .select($"source", $"w".as("w_half")).distinct()
+    val both = m.select($"source", $"w").distinct().join(half, "source")
+    assert(both.filter($"w" > $"w_half").count() === 0)
+  }
 }
