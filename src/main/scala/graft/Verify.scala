@@ -43,8 +43,10 @@ object Verify {
     // fine from multiple threads, the tiny sf0.01 jobs underutilize
     // the 32 local cores one at a time, and no query path mutates
     // session conf (grep-checked; Tables.events' nanosAsLong set is
-    // idempotent same-value). repartition(1) (not coalesce(1)) keeps
-    // the computation itself parallel and only merges the result.
+    // idempotent same-value). coalesce(1), NOT repartition(1): the
+    // driver's compare is order-sensitive and round-robin
+    // repartition would fetch sorted upstream blocks in
+    // nondeterministic order; coalesce preserves the global sort.
     val queries = SparkEntry.queries
     val names   = queries.keys.toSeq.sorted.filter(keep)
     val nThreads = sys.env.getOrElse("SPARK_GRAFT_VERIFY_THREADS", "6").toInt
@@ -56,7 +58,7 @@ object Verify {
       Future {
         val t0 = System.nanoTime()
         try {
-          queries(name)(spark, sfDir).repartition(1).write.mode("overwrite")
+          queries(name)(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
         } catch { case e: Throwable =>

@@ -217,9 +217,17 @@ object Sampling {
       .filter(ipow(col("cand"), q) <= ipow(col("n_src"), p))
       .groupBy(col(sourceCol), col("n_src"))
       .agg(max(col("cand")).as("w"))
+    // target_n = floor(targetDocs*w / sum_w) via EXACT integer
+    // arithmetic: subtract the pmod remainder first so the decimal
+    // division is of an exact multiple (integer quotient, no scale-6
+    // HALF_UP rounding hazard when the true quotient sits within
+    // 5e-7 of an integer — matches DuckDB's HUGEINT // exactly).
     val rates = w.crossJoin(broadcast(w.agg(sum(col("w")).as("sum_w"))))
+      .withColumn("tw", lit(targetDocs).cast(dec) * col("w").cast(dec))
       .withColumn("target_n",
-        floor(lit(targetDocs).cast(dec) * col("w").cast(dec) / col("sum_w").cast(dec)).cast("long"))
+        ((col("tw") - pmod(col("tw"), col("sum_w").cast(dec))) / col("sum_w").cast(dec))
+          .cast("long"))
+      .drop("tw")
       .withColumn("saturated", col("target_n") >= col("n_src"))
     val h32 = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
     docs
@@ -234,12 +242,18 @@ object Sampling {
                      sourceCol: String = "source", keyCol: String = "doc_id"): DataFrame = {
     val counts = docs.groupBy(sourceCol).agg(count(lit(1)).as("n_src"))
       .withColumn("w", floor(sqrt(col("n_src"))).cast("long"))
+    // target_n = floor(targetDocs * w / sum_w) via EXACT integer
+    // arithmetic (pmod-subtract before dividing — see
+    // [[temperatureMixAlpha]] for why floor over a scale-6 decimal
+    // quotient can exceed the exact floor by 1 at large sum_w);
+    // saturated iff the target meets or exceeds the source.
+    val decl  = "decimal(38,0)"
     val rates = counts.crossJoin(broadcast(counts.agg(sum(col("w")).as("sum_w"))))
-      // target_n = floor(targetDocs * w / sum_w): integer arithmetic,
-      // exact; saturated iff the target meets or exceeds the source
+      .withColumn("tw", lit(targetDocs).cast(decl) * col("w").cast(decl))
       .withColumn("target_n",
-        floor(lit(targetDocs).cast("decimal(38,0)") * col("w").cast("decimal(38,0)") /
-          col("sum_w").cast("decimal(38,0)")).cast("long"))
+        ((col("tw") - pmod(col("tw"), col("sum_w").cast(decl))) / col("sum_w").cast(decl))
+          .cast("long"))
+      .drop("tw")
       .withColumn("saturated", col("target_n") >= col("n_src"))
     val h32   = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10).cast("long")
     val dec   = "decimal(38,0)"
