@@ -320,6 +320,8 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_corr_matrix" -> ((s, dir) =>
       TimeSeries.correlationMatrix(Tables.events(s, dir)).orderBy("ka", "kb")),
+    "q_corr_pairs_banded" -> ((s, dir) =>
+      TimeSeries.corrPairsBanded(Tables.events(s, dir)).orderBy("ka", "kb")),
     "q_period_returns" -> ((s, dir) =>
       TimeSeries
         .periodReturn(Tables.eventsRange(s, dir, "2024-01-05", "2024-01-25"), "2024-01-05", "2024-01-25")
@@ -1592,6 +1594,45 @@ object SparkEntry {
         |  round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
         |    THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6) AS corr_ret
         |FROM s
+        |ORDER BY ka, kb""".stripMargin,
+    // banding reproduced verbatim: slot//6 band, ascending-slot
+    // "slot:sign" pattern md5 bucket, exact closed-form corr on the
+    // candidate pairs only, filter on the ROUNDED value (both
+    // engines branch on identical 6-dp decimals)
+    "q_corr_pairs_banded" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), days AS (
+        |  SELECT day, row_number() OVER (ORDER BY day) - 1 AS slot
+        |  FROM (SELECT DISTINCT day FROM r0)
+        |), r AS (
+        |  SELECT r0.user_id AS k, days.slot, r0.ret FROM r0 JOIN days USING (day)
+        |), sigs AS (
+        |  SELECT k, slot // 6 AS band,
+        |    md5(string_agg(slot || ':' || (CASE WHEN ret >= 0 THEN 1 ELSE 0 END), ',' ORDER BY slot)) AS sig
+        |  FROM r GROUP BY k, band
+        |), cand AS (
+        |  SELECT DISTINCT a.k AS ka, b.k AS kb
+        |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.k < b.k
+        |), s AS (
+        |  SELECT c.ka, c.kb, count(*) AS n,
+        |    sum(x.ret) AS sx, sum(y.ret) AS sy, sum(x.ret * x.ret) AS sxx,
+        |    sum(y.ret * y.ret) AS syy, sum(x.ret * y.ret) AS sxy
+        |  FROM cand c JOIN r x ON c.ka = x.k JOIN r y ON c.kb = y.k AND x.slot = y.slot
+        |  GROUP BY 1, 2
+        |), cc AS (
+        |  SELECT ka, kb,
+        |    round(CASE WHEN n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |      THEN (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 6) AS corr_ret
+        |  FROM s
+        |)
+        |SELECT ka, kb, corr_ret FROM cc WHERE abs(corr_ret) >= 0.3
         |ORDER BY ka, kb""".stripMargin,
     "q_period_returns" ->
       """SELECT user_id,

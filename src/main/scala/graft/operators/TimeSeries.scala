@@ -513,6 +513,79 @@ object TimeSeries {
   }
 
   case class SeriesVec(k: Long, slots: Array[Long], vals: Array[Double])
+  /** Thresholded correlated-pairs twin of [[correlationMatrix]] —
+    * the SCALE default when the ask is "pairs with |corr| >= t", not
+    * the full keys^2 heatmap. Candidate generation is sign-pattern
+    * LSH (the random-hyperplane family specialized to the identity
+    * projection): each key's day-slot return-sign sequence is cut
+    * into `bandWidth`-slot bands, each (band, sign-pattern) md5
+    * signature becomes a bucket key, and only keys sharing a bucket
+    * ever pair — positively-correlated series agree on most return
+    * signs, so every band is an independent chance to collide, while
+    * uncorrelated keys collide on a band w.p. ~2^-bandWidth. The
+    * exact closed-form correlation is then computed ONLY for
+    * candidate pairs via a common-day equi-join (O(|cand| x days)
+    * rows, not keys^2 x days), and pairs below `minAbsCorr` drop.
+    *
+    * Result is a SUBSET of `correlationMatrix(df).filter(abs(corr)
+    * >= minAbsCorr)` with identical corr values (spec-asserted in
+    * TimeSeriesSpec): banding trades recall on anti-correlated /
+    * weakly-correlated pairs for a candidate volume that stays
+    * bounded as keys grow — the q_ngram_jaccard -> _banded move.
+    * No pair-key cap needed: nothing here is quadratic in keys
+    * (signature groupBy is linear; the bucket self-join volume is
+    * sum over buckets of bucket-size^2, bounded by the band width
+    * choice the same way LSH bands bound the shingle families).
+    */
+  def corrPairsBanded(df: DataFrame, minAbsCorr: Double = 0.3, bandWidth: Int = 6,
+                      key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = dailyCloseReturns(df, key, ts, v)
+    val days = broadcast(rets.select(col("day")).distinct()
+      .withColumn("slot", row_number().over(Window.orderBy("day")).cast("long") - 1))
+    val r = rets.join(days, "day")
+      .select(col(key).as("k"), col("slot"), col("ret"))
+    // sign pattern per (key, band): ascending-slot "slot:sign" string
+    // md5'd — the slot list is part of the signature, so keys with
+    // different day coverage inside a band never collide (they could
+    // not be verified against the same slots anyway)
+    val sigs = r
+      .withColumn("band", floor(col("slot") / bandWidth).cast("long"))
+      .withColumn("sgn", when(col("ret") >= 0, lit(1)).otherwise(lit(0)))
+      .groupBy(col("k"), col("band"))
+      .agg(sort_array(collect_list(struct(col("slot"), col("sgn")))).as("sv"))
+      .select(col("k"), col("band"),
+        md5(concat_ws(",", transform(col("sv"),
+          s => concat_ws(":", s("slot").cast("string"), s("sgn").cast("string"))))).as("sig"))
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.k") < col("b.k"))
+      .select(col("a.k").as("ka"), col("b.k").as("kb"))
+      .distinct()
+    // exact verification, candidates only: same closed-form moment
+    // sums as the full matrix, accumulated through the aggregate on
+    // the common-slot join
+    cand
+      .join(r.as("x"), col("ka") === col("x.k"))
+      .join(r.as("y"), col("kb") === col("y.k") && col("x.slot") === col("y.slot"))
+      .groupBy(col("ka"), col("kb"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x.ret")).as("sx"), sum(col("y.ret")).as("sy"),
+        sum(col("x.ret") * col("x.ret")).as("sxx"),
+        sum(col("y.ret") * col("y.ret")).as("syy"),
+        sum(col("x.ret") * col("y.ret")).as("sxy"))
+      .withColumn("corr_ret",
+        round(when(col("n") >= 2 &&
+            col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+            col("n") * col("syy") - col("sy") * col("sy") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))), 6))
+      .filter(abs(col("corr_ret")) >= minAbsCorr)
+      .select(col("ka"), col("kb"), col("corr_ret"))
+  }
+
   case class CorrCell(ka: Long, kb: Long, corr_ret: Option[Double])
 
   /** Pairwise return-correlation matrix over all keys (fund-

@@ -89,6 +89,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!folded.isNullAt(1) && !folded.getDouble(1).isNaN && !folded.getDouble(1).isInfinite)
   }
 
+  test("corrPairsBanded is a subset of the exact matrix with identical values, and finds planted pairs") {
+    import spark.implicits._
+    // subset-of-exact on the real fixture: every banded pair appears
+    // in the full matrix with the same 6-dp corr and |corr| >= t
+    val ev     = Tables.events(spark, sf)
+    val banded = TimeSeries.corrPairsBanded(ev, minAbsCorr = 0.3)
+      .select($"ka", $"kb", $"corr_ret".as("corr_banded"))
+    val exact = TimeSeries.correlationMatrix(ev)
+      .select($"ka", $"kb", $"corr_ret".as("corr_exact"))
+    val joined = banded.join(exact, Seq("ka", "kb"), "left")
+    assert(joined.filter($"corr_exact".isNull).count() === 0,
+      "banded emitted a pair absent from the exact matrix")
+    assert(joined.filter(abs($"corr_banded" - $"corr_exact") > 1e-9).count() === 0,
+      "banded corr value differs from the exact matrix")
+    assert(banded.filter(abs($"corr_banded") < 0.3).count() === 0)
+    // recall on a planted perfectly-correlated pair: key 2's closes
+    // are an affine transform of key 1's (corr = 1, identical sign
+    // pattern in every band => guaranteed candidate); key 3 is
+    // sign-alternating (anti-correlated with nothing planted)
+    val days = 24
+    val base = spark.range(days.toLong).select(
+      $"id",
+      timestamp_micros(lit(1704067200000000L) + $"id" * 86400000000L).as("ts"),
+      (lit(100.0) + ($"id" % 5).cast("double") * 3.0 + $"id".cast("double")).as("v1"))
+    val planted =
+      base.select(lit(1L).as("user_id"), $"ts", $"v1".as("value"))
+        .union(base.select(lit(2L).as("user_id"), $"ts", ($"v1" * 2.0 + 10.0).as("value")))
+        .union(base.select(lit(3L).as("user_id"), $"ts",
+          (lit(100.0) + when($"id" % 2 === 0, 5.0).otherwise(-5.0)).as("value")))
+    val found = TimeSeries.corrPairsBanded(planted, minAbsCorr = 0.9)
+      .filter($"ka" === 1L && $"kb" === 2L)
+    assert(found.count() === 1, "planted corr=1 pair not recalled")
+  }
+
   test("macd column's guard uses only the alphas it depends on") {
     import spark.implicits._
     // 4000 rows: past the signal EMA's horizon (~3138 for span 9) but
