@@ -642,7 +642,15 @@ object SparkEntry {
         .extractFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
         .toDF()
         .orderBy("media_id")
-    })
+    }),
+    "q_binary_entropy" -> ((s, dir) =>
+      Multimodal
+        .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
+    "q_binary_chunks" -> ((s, dir) =>
+      Multimodal
+        .chunkDedupStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2619,6 +2627,38 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    // the corpus is pure ASCII (octet_length == strlen for every
+    // doc, asserted in MultimodalSpec), so DuckDB's char functions
+    // see exactly the bytes Spark's binary expression sees
+    "q_binary_entropy" ->
+      """WITH b AS (
+        |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS byte
+        |  FROM documents, unnest(generate_series(1, strlen(text))) AS u(i)
+        |), h AS (
+        |  SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2
+        |), h2 AS (
+        |  SELECT doc_id, byte, c, max(c) OVER (PARTITION BY doc_id) AS cmax FROM h
+        |)
+        |SELECT doc_id AS media_id,
+        |  CAST(sum(c) AS BIGINT) AS n_bytes,
+        |  CAST(count(*) AS INT) AS distinct_bytes,
+        |  CAST(min(CASE WHEN c = cmax THEN byte END) AS INT) AS top_byte,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy
+        |FROM h2 GROUP BY doc_id ORDER BY media_id""".stripMargin,
+    "q_binary_chunks" ->
+      """WITH ch AS (
+        |  SELECT doc_id, md5(substr(text, CAST(i AS INT) * 64 + 1, 64)) AS ch
+        |  FROM documents, unnest(generate_series(0, (strlen(text) - 1) // 64)) AS u(i)
+        |), reg AS (
+        |  SELECT ch, count(DISTINCT doc_id) AS docs_with FROM ch GROUP BY ch
+        |)
+        |SELECT ch.doc_id AS media_id,
+        |  count(*) AS n_chunks,
+        |  CAST(count(DISTINCT ch.ch) AS BIGINT) AS distinct_chunks,
+        |  CAST(sum(CASE WHEN reg.docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks
+        |FROM ch JOIN reg ON ch.ch = reg.ch
+        |GROUP BY ch.doc_id ORDER BY media_id""".stripMargin,
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id, strlen(text) AS n_bytes,
         |  16 + strlen(text) % 64 AS feat_width,

@@ -319,6 +319,40 @@ object GraftHashOps {
     }
     bucket
   }
+
+  private val LN2 = math.log(2.0)
+
+  /** Byte-histogram statistics for [[ByteHistStats]]: one linear
+    * pass builds the 256-bin histogram, one fixed ascending-order
+    * pass over the bins derives distinct count, modal byte
+    * (smallest on ties: strict `>` while scanning ascending), and
+    * Shannon entropy = log2(n) - sum(c*log2(c))/n — the
+    * cancellation-free form whose per-bin terms are exact functions
+    * of integer counts, folded in a deterministic order.
+    */
+  def byteStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val counts = new Array[Long](256)
+    var i = 0
+    while (i < payload.length) { counts(payload(i) & 0xff) += 1; i += 1 }
+    val n = payload.length.toLong
+    var distinct = 0
+    var top      = 0
+    var topCount = 0L
+    var s        = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = counts(b)
+      if (c > 0) {
+        distinct += 1
+        if (c > topCount) { topCount = c; top = b }
+        s += c * (math.log(c.toDouble) / LN2)
+      }
+      b += 1
+    }
+    val entropy = if (n == 0) 0.0 else math.log(n.toDouble) / LN2 - s / n
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](n, distinct, top, topCount, entropy))
+  }
 }
 
 /** One-pass clean/normalize (see GraftHashOps.cleanText): the
@@ -487,6 +521,40 @@ case class FeatureHashEmbed(child: Expression, dim: Int) extends UnaryExpression
   override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbed = copy(child = newChild)
 }
 
+/** One-pass byte-histogram statistics of a `binary` payload — the
+  * REAL compute behind the multimodal column family (content
+  * profiling that needs no codec): byte count, distinct byte values,
+  * modal byte (smallest value on ties — deterministic), its count,
+  * and the Shannon entropy in bits/byte. Entropy folds the histogram
+  * in ascending byte-value order as log2(n) - sum(c_i*log2(c_i))/n,
+  * so the double accumulation order is fixed and engine-independent
+  * up to the final 6-dp rounding the callers apply. Used by
+  * [[graft.operators.Multimodal.byteStats]]; high-entropy payloads
+  * read as already-compressed/encrypted media, low-entropy as text —
+  * the standard triage signal in binary data pipelines.
+  */
+case class ByteHistStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ByteHistStats.schema
+  override def prettyName: String = "graft_byte_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.byteStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.byteStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteHistStats = copy(child = newChild)
+}
+
+object ByteHistStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("distinct_bytes", IntegerType, nullable = false),
+    StructField("top_byte", IntegerType, nullable = false),
+    StructField("top_count", LongType, nullable = false),
+    StructField("entropy", DoubleType, nullable = false)))
+}
+
 /** Runtime registration (Verify/Bench path) and a
   * SparkSessionExtensions hook for cluster deployments
   * (--conf spark.sql.extensions=graft.plans.GraftExtensions).
@@ -508,6 +576,8 @@ object GraftFunctions {
       val cents = (0 until ad.numElements()).map(i => ad.getArray(i).toDoubleArray().toSeq)
       IvfAssign(es(0), cents)
     }, "returns the nearest IVF cell id of an embedding against a literal centroid table"),
+    ("graft_byte_stats", (es: Seq[Expression]) => ByteHistStats(es.head),
+      "returns struct(n_bytes, distinct_bytes, top_byte, top_count, entropy) of a binary payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

@@ -446,6 +446,53 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(feats.filter(!$"feat_hash".rlike("^[0-9a-f]{32}$")).count() === 0)
   }
 
+  test("binary byteStats: entropy bounds, JVM-reference equality, and ASCII corpus precondition") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    // the DuckDB oracle reads chars where Spark reads bytes — valid
+    // only while the corpus is pure ASCII; assert the precondition
+    // the oracle comment claims
+    assert(docs.filter(octet_length($"text") =!= length($"text")).count() === 0,
+      "documents corpus is no longer pure ASCII: q_binary_entropy/q_binary_chunks oracles need rework")
+    val media = Multimodal.mediaFromDocuments(docs).toDF()
+    val stats = Multimodal.byteStats(media)
+    assert(stats.count() === docs.count())
+    // Shannon bounds: 0 <= H <= log2(distinct); modal count consistent
+    assert(stats.filter($"entropy" < 0 || $"entropy" > log2($"distinct_bytes") + 1e-9).count() === 0)
+    assert(stats.filter($"top_count" * $"distinct_bytes" < $"n_bytes").count() === 0,
+      "modal byte count below uniform bound")
+    // spot-check one row against a plain JVM histogram fold
+    val row  = stats.orderBy($"media_id").head()
+    val text = docs.filter($"doc_id" === row.getLong(0)).head().getAs[String]("text")
+    val bytes = text.getBytes("UTF-8")
+    val hist  = bytes.groupBy(b => b & 0xff).view.mapValues(_.length.toLong).toMap
+    val n     = bytes.length.toDouble
+    val href  = math.log(n) / math.log(2) -
+      hist.toSeq.sortBy(_._1).map { case (_, c) => c * (math.log(c.toDouble) / math.log(2)) }.sum / n
+    assert(row.getLong(1) === bytes.length.toLong)
+    assert(row.getInt(2) === hist.size)
+    assert(row.getLong(4) === hist.values.max)
+    assert(math.abs(row.getDouble(5) - BigDecimal(href).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("binary chunkDedupStats: counts bounded by payload size, exact dups share every chunk") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf)
+    val media = Multimodal.mediaFromDocuments(docs).toDF()
+    val stats = Multimodal.chunkDedupStats(media, chunkBytes = 64)
+    assert(stats.count() === docs.count())
+    val sized = stats.join(docs.select($"doc_id".as("media_id"), octet_length($"text").as("nb")), "media_id")
+    assert(sized.filter($"n_chunks" =!= ceil($"nb" / lit(64.0)).cast("long")).count() === 0,
+      "chunk count != ceil(bytes/64)")
+    assert(sized.filter($"distinct_chunks" > $"n_chunks" || $"shared_chunks" > $"n_chunks").count() === 0)
+    // a byte-identical duplicate pair must report every chunk shared
+    val dupPair = docs.groupBy($"text").agg(collect_list($"doc_id").as("ids"), count(lit(1)).as("c"))
+      .filter($"c" >= 2).select(explode($"ids").as("media_id")).limit(2)
+    if (dupPair.count() == 2)
+      assert(stats.join(dupPair, "media_id").filter($"shared_chunks" =!= $"n_chunks").count() === 0,
+        "byte-identical duplicates must share all chunks")
+  }
+
   test("multimodal resize and frame sampling are deterministic with expected shapes") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))
