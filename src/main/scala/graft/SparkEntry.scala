@@ -56,6 +56,13 @@ object SparkEntry {
         .largeVolumeCustomers(
           Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir), 300.0)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)),
+    "q_small_qty_revenue" -> ((s, dir) =>
+      Relational.smallQuantityRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy("brand")),
+    "q_qualified_suppliers" -> ((s, dir) =>
+      Relational
+        .qualifiedSuppliers(Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir))
+        .orderBy("s_suppkey")),
     "q_pivot_wide" -> ((s, dir) =>
       Relational
         .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
@@ -743,6 +750,28 @@ object SparkEntry {
         |JOIN orders ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin,
+    "q_small_qty_revenue" ->
+      """SELECT p.p_brand AS brand,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_quantity < (
+        |  SELECT CAST(0.2 AS DOUBLE) * avg(l2.l_quantity)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY p.p_brand
+        |ORDER BY brand""".stripMargin,
+    "q_qualified_suppliers" ->
+      """SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        |FROM supplier s
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_suppkey = s.s_suppkey
+        |    AND l.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'hot gear%')
+        |    AND l.l_quantity > (
+        |      SELECT CAST(1.8 AS DOUBLE) * avg(l2.l_quantity)
+        |      FROM lineitem l2
+        |      WHERE l2.l_partkey = l.l_partkey))
+        |ORDER BY s_suppkey""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,

@@ -98,6 +98,67 @@ object Relational {
   def enrichWithMeta(fact: DataFrame, meta: DataFrame, key: String = "symbol"): DataFrame =
     fact.join(broadcast(meta), Seq(key), "left")
 
+  /** TPC-H Q17-shaped small-quantity revenue: per brand, the revenue
+    * sitting in lineitems whose quantity is below `frac` of that
+    * PART's average quantity — a correlated scalar subquery per
+    * part. Declared through SQL so Catalyst's subquery decorrelation
+    * does the heavy lifting: RewriteCorrelatedScalarSubquery turns
+    * the per-row subquery into ONE aggregate over lineitem grouped
+    * by l_partkey joined back on the key — lineitem is scanned
+    * twice, never once per row (PlanAuditSpec red-bars any
+    * ScalarSubquery surviving into the physical plan). Determinism:
+    * quantities are integer-valued doubles, so avg = exact-sum/cnt
+    * is bit-identical on every engine, and revenue accumulates in
+    * DECIMAL before one cast to double.
+    */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame, frac: Double = 0.2): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_q17_lineitem")
+    part.createOrReplaceTempView("graft_q17_part")
+    spark.sql(s"""
+      |SELECT p.p_brand AS brand,
+      |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+      |  count(*) AS n_lines
+      |FROM graft_q17_lineitem l JOIN graft_q17_part p ON p.p_partkey = l.l_partkey
+      |WHERE l.l_quantity < (
+      |  SELECT CAST($frac AS DOUBLE) * avg(l2.l_quantity)
+      |  FROM graft_q17_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p.p_brand
+      |""".stripMargin)
+  }
+
+  /** TPC-H Q20-shaped qualified suppliers: suppliers having at least
+    * one lineitem on a name-matched part whose quantity exceeds
+    * `frac` of that part's average — a nested EXISTS containing an
+    * IN subquery AND a scalar subquery correlated to the MIDDLE
+    * query (which itself correlates to the outer supplier row).
+    * Exercises the full decorrelation chain: EXISTS -> left-semi
+    * join on s_suppkey, IN -> semi join on p_partkey, inner scalar
+    * -> grouped aggregate joined on l_partkey. Same
+    * per-row-re-execution red-bar as [[smallQuantityRevenue]].
+    */
+  def qualifiedSuppliers(supplier: DataFrame, part: DataFrame, lineitem: DataFrame,
+                         namePrefix: String = "hot gear", frac: Double = 1.8): DataFrame = {
+    val spark = supplier.sparkSession
+    require(!namePrefix.contains("'"), s"namePrefix must not contain quotes: $namePrefix")
+    supplier.createOrReplaceTempView("graft_q20_supplier")
+    part.createOrReplaceTempView("graft_q20_part")
+    lineitem.createOrReplaceTempView("graft_q20_lineitem")
+    spark.sql(s"""
+      |SELECT s.s_suppkey, s.s_name, s.s_acctbal
+      |FROM graft_q20_supplier s
+      |WHERE EXISTS (
+      |  SELECT 1 FROM graft_q20_lineitem l
+      |  WHERE l.l_suppkey = s.s_suppkey
+      |    AND l.l_partkey IN
+      |      (SELECT p_partkey FROM graft_q20_part WHERE p_name LIKE '$namePrefix%')
+      |    AND l.l_quantity > (
+      |      SELECT CAST($frac AS DOUBLE) * avg(l2.l_quantity)
+      |      FROM graft_q20_lineitem l2
+      |      WHERE l2.l_partkey = l.l_partkey))
+      |""".stripMargin)
+  }
+
   /** Star-join rollup: revenue by nation for a marketsegment — joins
     * ordered fact-first, dims broadcast, aggregation partial map-side.
     */

@@ -194,6 +194,69 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_weighted_sample plans a global sort:\n$w")
   }
 
+  test("containment caps posting lists BEFORE the self-join and sizes live in the capped space") {
+    val p = planOf("q_containment")
+    // the df-cap filter must exist, and not just once: the pair
+    // join's BOTH inputs and the size aggregates all consume the
+    // capped shingle stream — at least 3 capped branches, or the
+    // sizes are being computed in the uncapped space (ratio skew)
+    val caps = "df#\\d+L? <= 50".r.findAllIn(p).size
+    assert(caps >= 3,
+      s"expected the df<=50 cap on pair sides AND size branches, found $caps:\n$p")
+    // candidates must come from the fp equi-join, never a product
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"posting-list join lost its equi shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment degenerated to an all-pairs product:\n$p")
+  }
+
+  test("strip_spans joins the span-fp registry back with an equi-join, no pair space") {
+    val p = planOf("q_strip_spans")
+    // the registry (groupBy span_fp, first_doc) is small by
+    // construction and must ride as a broadcast/equi join; any
+    // nested-loop or product means the per-doc interval rebuild
+    // regressed into a pair sweep
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"registry join lost its equi shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"strip_spans planned a pair-space join:\n$p")
+  }
+
+  test("correlated subqueries decorrelate into aggregate joins, never per-row re-execution") {
+    // Q17 shape: the per-part threshold must become ONE grouped avg
+    // over lineitem joined back on l_partkey — visible as a second
+    // lineitem scan feeding an avg aggregate, with no subquery
+    // expression left in the physical plan
+    val p17 = planOf("q_small_qty_revenue")
+    assert(!p17.contains("scalar-subquery") && !p17.contains("Subquery"),
+      s"q_small_qty_revenue kept an undecorrelated subquery:\n$p17")
+    assert(p17.contains("partial_avg(l_quantity"),
+      s"the per-part threshold is not a grouped avg aggregate:\n$p17")
+    val scans17 = "lineitem\\.parquet".r.findAllIn(p17).size
+    assert(scans17 == 2,
+      s"expected exactly 2 lineitem scans (fact + threshold agg), found $scans17:\n$p17")
+    // Q20 shape: EXISTS -> left-semi, IN -> semi on p_partkey, inner
+    // scalar -> grouped aggregate; again no surviving subquery nodes
+    val p20 = planOf("q_qualified_suppliers")
+    assert(!p20.contains("scalar-subquery") && !p20.contains("Subquery"),
+      s"q_qualified_suppliers kept an undecorrelated subquery:\n$p20")
+    assert(p20.contains("LeftSemi"),
+      s"the EXISTS chain did not become semi joins:\n$p20")
+    val scans20 = "lineitem\\.parquet".r.findAllIn(p20).size
+    assert(scans20 == 2,
+      s"expected exactly 2 lineitem scans in the Q20 shape, found $scans20:\n$p20")
+    assert(!p17.contains("CartesianProduct") && !p20.contains("CartesianProduct"))
+  }
+
+  test("banded corr pairs: candidates from the (band,sig) bucket join, verification equi-keyed") {
+    val p = planOf("q_corr_pairs_banded")
+    assert(p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*(band|sig)[^\\]]*\\].*") ||
+      p.matches("(?s).*Join [^\\n]*(band|sig).*"),
+      s"candidate join is not keyed on the band bucket:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded corr degenerated to a product:\n$p")
+  }
+
   test("temperature mix and hard negatives broadcast their small sides") {
     val t = planOf("q_temperature_mix")
     assert(t.contains("BroadcastHashJoin"),
