@@ -123,19 +123,46 @@ object TimeSeries {
   }
 
   /** EMA(span, adjust=False): y_t = (1-a)^t*(x_0 + Σ_{i=1..t} a*(1-a)^{-i}*x_i),
-    * a = 2/(span+1). Expressed as one running window sum — exact for
-    * per-key series up to the guarded horizon ((1-a)^{-i} must stay
-    * in double range); longer series raise via [[closedFormGuard]]
-    * and should use the [[emaFold]] TypedImperativeAggregate instead.
+    * a = 2/(span+1), with AUTOMATIC per-key routing past the
+    * closed form's overflow horizon. Keys whose series fit inside
+    * the span-dependent safe row count (700/-ln(1-a): the largest
+    * (1-a)^{-i} weight stays under ~1e304) take the one-pass
+    * codegen'd running-window closed form; longer keys route to the
+    * horizon-free recursive fold (graft_ema_series, a
+    * TypedImperativeAggregate emitting the full per-row series) —
+    * same answer bit-for-bit after the shared 6-dp rounding, no
+    * caller change, no loud failure to work around. Both paths ride
+    * the SAME per-key shuffle (the count deciding the route is a
+    * window over the partition the closed form already needs).
+    * Output schema is fixed: (key, ts, v, rn, ema).
+    *
+    * [[closedFormGuard]] stays on the short path as the backstop for
+    * magnitude-driven overflow (values ~1e300 can blow the running
+    * sum INSIDE the row-count horizon — a data problem routing
+    * cannot fix, so it still fails loudly).
     */
   def ema(df: DataFrame, span: Int, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
-    val a = 2.0 / (span + 1)
-    val w = wk(key, ts)
-    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("rn", row_number().over(w) - 1)
+    val a      = 2.0 / (span + 1)
+    val safeRn = (700.0 / -math.log1p(-a)).toLong
+    val w      = wk(key, ts)
+    val wRun   = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCnt = df
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(key)))
+    val short = withCnt
+      .filter(col("__cnt") <= safeRn)
       .withColumn("g", when(col("rn") === 0, col(v)).otherwise(lit(a) * col(v) * pow(lit(1 - a), -col("rn"))))
       .withColumn("ema", closedFormGuard(round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6), a))
-      .drop("g")
+      .select(col(key), col(ts), col(v), col("rn"), col("ema"))
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val longRows = withCnt
+      .filter(col("__cnt") > safeRn)
+      .groupBy(col(key))
+      .agg(expr(s"graft_ema_series($ts, $v, $span)").as("sv"))
+      .select(col(key), posexplode(col("sv")).as(Seq("rn", "e")))
+      .select(col(key), timestamp_micros(col("e.ts_us")).as(ts), col("e.value").as(v),
+        col("rn"), round(col("e.ema"), 6).as("ema"))
+    short.unionByName(longRows)
   }
 
   /** MACD(fast, slow, signal): EMA(fast) − EMA(slow), the signal

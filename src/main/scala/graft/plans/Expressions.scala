@@ -581,7 +581,11 @@ object GraftFunctions {
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),
-      "aggregate: final EMA(span, adjust=False) of values in ts order")
+      "aggregate: final EMA(span, adjust=False) of values in ts order"),
+    ("graft_ema_series", (es: Seq[Expression]) =>
+      EmaSeriesAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
+        maxBufferRows = EmaAggregate.confMaxBufferRows),
+      "aggregate: full per-row EMA(span, adjust=False) series as array<struct<ts_us,value,ema>>")
   )
 
   def register(spark: SparkSession): Unit =

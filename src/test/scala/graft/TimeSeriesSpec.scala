@@ -51,20 +51,46 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(maxErr < 1e-4, s"fold vs closed form diverge: $maxErr")
   }
 
-  test("closed-form EMA fails loudly past the overflow horizon; the fold does not") {
+  test("ema auto-routes past the overflow horizon to the bit-exact fold; magnitude overflow still fails loudly") {
     import spark.implicits._
-    // 10k points on one key: (1-a)^(-rn) for span 20 overflows past
-    // rn ~ 7000 — the guard must raise instead of returning Inf/NaN
-    val long = spark.range(10000).select(
+    // 100k points on one key: (1-a)^(-rn) for span 20 overflows past
+    // rn ~ 7000 — the operator must route this key to the
+    // graft_ema_series fold with NO caller change, not raise
+    val n = 100000
+    val long = spark.range(n.toLong).select(
       lit(1L).as("user_id"),
       timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
       (pmod($"id", lit(100)).cast("double") + 1.0).as("value"))
-    val e = intercept[Exception] {
-      TimeSeries.ema(long, 20).write.format("noop").mode("overwrite").save()
+    val routed = TimeSeries.ema(long, 20)
+    val got = routed.orderBy($"rn").select($"ema").collect().map(_.getDouble(0))
+    assert(got.length === n)
+    // bit-exact vs a JVM reference of the same recursive fold,
+    // rounded 6 dp the way the operator rounds
+    val a   = 2.0 / 21
+    var y   = 0.0
+    var bad = 0
+    for (i <- 0 until n) {
+      val x = (i % 100).toDouble + 1.0
+      y = if (i == 0) x else a * x + (1 - a) * y
+      val want = BigDecimal(y).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (got(i) != want) bad += 1
     }
+    assert(bad === 0, s"$bad of $n routed EMA rows differ from the reference fold")
+    // a SHORT key in the same frame keeps the closed-form path and
+    // its values (mixed routing in one plan)
+    val mixed = long.unionByName(spark.range(50).select(
+      lit(2L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
+      ($"id".cast("double") + 1.0).as("value")))
+    val shortRows = TimeSeries.ema(mixed, 20).filter($"user_id" === 2L)
+    val shortRef  = TimeSeries.ema(spark.range(50).select(
+      lit(2L).as("user_id"),
+      timestamp_micros(lit(1704067200000000L) + $"id" * 60000000L).as("ts"),
+      ($"id".cast("double") + 1.0).as("value")), 20)
+    assert(shortRows.orderBy($"rn").select($"ema").collect().toSeq ===
+      shortRef.orderBy($"rn").select($"ema").collect().toSeq)
     def chain(t: Throwable): String =
       if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
-    assert(chain(e).contains("emaFold"), s"guard did not fire: ${chain(e)}")
     // macd and rsi carry the same guard — on EVERY output column, so
     // pruning a subset (just the signal line) cannot drop the check
     val em = intercept[Exception] {
