@@ -99,6 +99,19 @@ object Bench {
       case Some(_)   => true
       case None      => only.isEmpty
     }
+    // streaming section: the five stateful twins driven over the
+    // fixture event stream in micro-batches — rows/s, state-store
+    // rows, and watermark lag per batch land in the artifact so
+    // "state stays bounded" is a measured claim, not a spec-only one.
+    // Runs after the sweep (warm JVM) and before the scale section
+    // (which must stay last for page-cache reasons).
+    val runStreaming = sys.env.get("SPARK_GRAFT_STREAMING") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      => only.isEmpty
+    }
+    val (streaming, streamingCompact) =
+      if (runStreaming) streamingBench(spark, sfDir) else ("{}", "{}")
     val (scale, scaleRatios) = if (runScale) scaleBench(spark, sfDir, results.toMap) else ("{}", "{}")
     val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmtD(v) }.mkString("{", ",", "}")
     val sweepRepJson = names.map { n =>
@@ -108,7 +121,7 @@ object Bench {
       "\"" + n + "\":[" + raw(n).map(_._2.toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total   = results.map(_._2).filter(_ >= 0).sum
-    val line    = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","queries":$qs,"sweep_reps":$sweepRepJson,"sweep_gc_ms":$sweepGcJson,"skew":$skew,"ivf":$ivf,"scale":$scale,"sf":"$sfDir"}"""
+    val line    = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","queries":$qs,"sweep_reps":$sweepRepJson,"sweep_gc_ms":$sweepGcJson,"skew":$skew,"ivf":$ivf,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the stdout capture has been truncated
     // mid-JSON by the harness before — the on-disk copy is the
@@ -133,7 +146,7 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val compactQs = ScaleQueries.filter(resMap.contains)
       .map(n => "\"" + n + "\":" + fmtD(resMap(n))).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$compactQs,"skew":$skewMins,"ivf_codegen_vs_interpreted":$ivfCompact,"scale_x10_ratio":$scaleRatios,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$compactQs,"skew":$skewMins,"ivf_codegen_vs_interpreted":$ivfCompact,"streaming_rows_per_sec":$streamingCompact,"scale_x10_ratio":$scaleRatios,"sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
@@ -179,10 +192,15 @@ object Bench {
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next
-    * to the repo, never oracle-checked). One timed run per query —
-    * the JVM is warm from the sweep and the signal is the RATIO's
-    * order of magnitude (linear ~10x vs quadratic ~100x), not a
-    * min-of-N milliseconds. Emits per-query base/scaled/ratio.
+    * to the repo, never oracle-checked). Each query's scaled time is
+    * the MIN of SPARK_GRAFT_SCALE_REPS runs (default 2, per-rep
+    * array emitted): r10's single-shot section reported
+    * q_strip_spans at 4.7x where isolated re-measurement landed
+    * 1.6x — one ambient-drift rep on a sub-3s cell reads as
+    * super-linear scaling in the committed artifact, and a second
+    * rep with keep-min is the cheapest protocol that kills that
+    * failure mode (the same one the sweep already uses). Emits
+    * per-query base/scaled/ratio + reps.
     */
   private def scaleBench(spark: SparkSession, baseDir: String, baseTimes: Map[String, Double]): (String, String) = {
     // factor and dir are env-tunable so a second scale point (x30
@@ -208,7 +226,12 @@ object Bench {
     import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    val budget    = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "300").toDouble
+    // 450 (was 300): the min-of-2 protocol needs headroom for every
+    // headliner's second rep — cheapest-first ordering means an
+    // exhausted budget drops second reps from the most expensive
+    // cells first (reported via shorter reps arrays), never a cell
+    val budget    = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "450").toDouble
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     // each declared-quadratic headliner gets its OWN trailing slice,
     // outside the shared linear budget: expected cost is base x ~40
     // for q_corr_matrix (declared O(keys²): x10 keys = x100 pairs),
@@ -242,17 +265,20 @@ object Bench {
         (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"skipped\":true" + quadTag + "}",
           "\"" + name + "\":\"skip\"")
       } else {
-        val tag = s"graft-scale-$name"
-        val fut = Future {
-          // job group must be set on the thread that SUBMITS the jobs
-          spark.sparkContext.setJobGroup(tag, s"scale $name", interruptOnCancel = true)
-          val t0 = System.nanoTime()
-          try { SparkEntry.queries(name)(spark, scaleDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
-          catch { case e: Throwable => System.err.println(s"[bench] scale $name failed: ${e.getMessage}"); -1.0 }
-          finally spark.sparkContext.clearJobGroup()
-        }
-        val t =
-          try Await.result(fut, remaining.seconds)
+        val tag       = s"graft-scale-$name"
+        var orphan    = ""
+        var lastLimit = remaining
+        def runOnce(rem: Double): Double = {
+          lastLimit = rem
+          val fut = Future {
+            // job group must be set on the thread that SUBMITS the jobs
+            spark.sparkContext.setJobGroup(tag, s"scale $name", interruptOnCancel = true)
+            val t0 = System.nanoTime()
+            try { SparkEntry.queries(name)(spark, scaleDir).write.format("noop").mode("overwrite").save(); (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable => System.err.println(s"[bench] scale $name failed: ${e.getMessage}"); -1.0 }
+            finally spark.sparkContext.clearJobGroup()
+          }
+          try Await.result(fut, rem.seconds)
           catch {
             case _: TimeoutException =>
               // AndFutureJobs, not cancelJobGroup: a multi-job query
@@ -261,27 +287,51 @@ object Bench {
               // — the orphaned thread would keep submitting and run
               // concurrently with every later cell's measurement
               spark.sparkContext.cancelJobGroupAndFutureJobs(tag)
-              System.err.println(s"[bench] scale $name cancelled after ${fmtD(remaining)}s (budget)")
+              System.err.println(s"[bench] scale $name cancelled after ${fmtD(rem)}s (budget)")
+              // a cancelled future's thread lives until its jobs fail;
+              // give its teardown a bounded window so it cannot overlap
+              // the next measurement, and REPORT the overlap if it can
+              try Await.ready(fut, 15.seconds)
+              catch {
+                case _: TimeoutException =>
+                  System.err.println(s"[bench] scale $name orphan still running after cancel")
+                  orphan = ",\"orphan_overlap\":true"
+              }
               -2.0
           }
-        // a cancelled future's thread lives until its jobs fail; give
-        // its teardown a bounded window so it cannot overlap the next
-        // cell's measurement, and REPORT the overlap if it still can
-        val overlap =
-          if (t != -2.0) ""
-          else
-            try { Await.ready(fut, 15.seconds); "" }
-            catch {
-              case _: TimeoutException =>
-                System.err.println(s"[bench] scale $name orphan still running after cancel")
-                ",\"orphan_overlap\":true"
-            }
-        if (t == -2.0)
-          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"timed_out_after_sec\":" + fmtD(remaining) + overlap + quadTag + "}",
+        }
+        // min-of-N: quads spend their own slice across reps; linear
+        // reps draw on the shared remaining budget. A rep that times
+        // out after a successful one keeps the successful min (the
+        // timeout is budget, not the query); with NO successful rep
+        // the cell reports the timeout.
+        val times    = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val cellT0   = elapsed
+        var timedOut = false
+        var stop     = false
+        var rep      = 0
+        while (rep < scaleReps && !stop) {
+          val rem = if (isQuad) quadSlice - (elapsed - cellT0) else budget - elapsed
+          if (rem <= 0) stop = true
+          else {
+            val t = runOnce(rem)
+            if (t == -2.0) { timedOut = times.forall(_ < 0); stop = true }
+            else times += t
+          }
+          rep += 1
+        }
+        val good     = times.filter(_ > 0)
+        val repsJson = ",\"reps\":[" + times.map(fmtD).mkString(",") + "]"
+        if (timedOut)
+          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"timed_out_after_sec\":" + fmtD(lastLimit) + orphan + quadTag + "}",
             "\"" + name + "\":\"timeout\"")
+        else if (good.isEmpty)
+          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":-1.0,\"ratio\":-1.0" + repsJson + orphan + quadTag + "}",
+            "\"" + name + "\":-1.0")
         else {
-          val ratio = if (t > 0 && base > 0) t / base else -1.0
-          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + quadTag + "}",
+          val t     = good.min
+          val ratio = if (base > 0) t / base else -1.0
+          (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"scaled\":" + fmtD(t) + ",\"ratio\":" + fmtD(ratio) + repsJson + orphan + quadTag + "}",
             "\"" + name + "\":" + fmtD(ratio))
         }
       }
@@ -297,6 +347,101 @@ object Bench {
       else s""","missing_base":[${missingBase.map("\"" + _ + "\"").mkString(",")}]"""
     val full = s"""{"factor":$factor,"dir":"$scaleDir","budget_sec":${fmtD(budget)},"quad_slice_sec":${fmtD(quadSlice)},"queries":${cells.mkString("{", ",", "}")}$missingJson}"""
     (full, compactRatios.mkString("{", ",", "}"))
+  }
+
+  case class VwEv(user_id: Long, ts: java.time.Instant, value: Double, props: String)
+  case class DeEv(event_id: Long, ts: java.time.Instant)
+  case class CmsIn(v: Long)
+
+  /** Stateful-twin throughput: drives each streaming twin over the
+    * fixture event stream in SPARK_GRAFT_STREAM_BATCHES micro-batches
+    * (MemoryStream source, memory sink) and reports rows/s plus
+    * per-micro-batch state-store rows and watermark lag — the
+    * committed evidence that state stays BOUNDED while the stream
+    * drains (ema state = key universe, dedup state = watermark
+    * horizon, bloom = nBuckets bitsets, cms <= d*w counters) instead
+    * of a spec-only claim. Event-time-ordered feed so the watermark
+    * advances the way a live stream's would.
+    */
+  private def streamingBench(spark: SparkSession, sfDir: String): (String, String) = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{DataFrame, Row}
+    import graft.streaming.Streams
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("props"))
+      .filter(col("value").isNotNull)
+      .orderBy("ts")
+      .collect()
+    val nB        = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "6").toInt
+    val chunkSize = math.max(1, (rows.length + nB - 1) / nB)
+    val chunks    = rows.grouped(chunkSize).toSeq
+    def inst(r: Row): java.time.Instant = r.getAs[Any]("ts") match {
+      case t: java.sql.Timestamp => t.toInstant
+      case i: java.time.Instant  => i
+      case other => throw new IllegalStateException(s"unexpected ts type: ${other.getClass}")
+    }
+    def drive[T](name: String, mode: String, mem: MemoryStream[T], out: DataFrame,
+                 mkChunk: Array[Row] => Seq[T]): (String, String) = {
+      val q = out.writeStream.format("memory")
+        .queryName(s"bench_stream_$name").outputMode(mode).start()
+      val batches = scala.collection.mutable.ArrayBuffer.empty[String]
+      var seen    = Set.empty[Long]
+      var total   = 0L
+      val t0      = System.nanoTime()
+      try {
+        chunks.foreach { ch =>
+          mem.addData(mkChunk(ch))
+          q.processAllAvailable()
+          val maxTsMs = ch.map(r => inst(r).toEpochMilli).max
+          val fresh   = q.recentProgress.filter(p => !seen.contains(p.batchId)).sortBy(_.batchId)
+          seen ++= fresh.map(_.batchId)
+          val in = fresh.map(_.numInputRows).sum
+          total += in
+          val stateRows = fresh.lastOption.map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+          // epoch-0 watermark = not yet initialized (first batch):
+          // report the -1 sentinel, not a 50-year lag
+          val wmLag = fresh.lastOption
+            .flatMap(p => Option(p.eventTime.get("watermark")).filter(_.nonEmpty))
+            .map(w => java.time.Instant.parse(w).toEpochMilli)
+            .filter(_ > 0L)
+            .map(maxTsMs - _)
+            .getOrElse(-1L)
+          batches += s"""{"rows":$in,"state_rows":$stateRows,"wm_lag_ms":$wmLag}"""
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] streaming $name failed: ${e.getMessage}")
+      } finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val rps  = if (wall > 0 && total > 0) total / wall else -1.0
+      (s""""$name":{"rows":$total,"wall_sec":${fmtD(wall)},"rows_per_sec":${fmtD(rps)},"batches":[${batches.mkString(",")}]}""",
+        s""""$name":${fmtD(rps)}""")
+    }
+    def sev(ch: Array[Row]): Seq[Streams.SEv] =
+      ch.map(r => Streams.SEv(r.getAs[Long]("user_id"), inst(r), r.getAs[Double]("value"))).toSeq
+    val mEma   = MemoryStream[Streams.SEv]
+    val mSess  = MemoryStream[Streams.SEv]
+    val mVwap  = MemoryStream[VwEv]
+    val mDedup = MemoryStream[DeEv]
+    val mBloom = MemoryStream[Streams.KeyedEv]
+    val mCms   = MemoryStream[CmsIn]
+    val cells = Seq(
+      drive("ema", "update", mEma, Streams.emaStream(mEma.toDS(), 20).toDF(), sev),
+      drive("sessionize", "append", mSess, Streams.sessionizeStream(mSess.toDS(), 30).toDF(), sev),
+      drive("vwap", "append", mVwap, Streams.vwapStream(mVwap.toDF()),
+        ch => ch.map(r => VwEv(r.getAs[Long]("user_id"), inst(r),
+          r.getAs[Double]("value"), r.getAs[String]("props"))).toSeq),
+      drive("dedup", "append", mDedup, Streams.dedupStream(mDedup.toDF()),
+        ch => ch.map(r => DeEv(r.getAs[Long]("event_id"), inst(r))).toSeq),
+      drive("bloom_dedup", "append", mBloom,
+        Streams.bloomDedupStream(mBloom.toDS()).toDF(),
+        ch => ch.map(r => Streams.KeyedEv(r.getAs[Long]("event_id").toString, inst(r),
+          r.getAs[Double]("value"))).toSeq),
+      drive("cms", "complete", mCms, Streams.cmsStream(mCms.toDF(), "v"),
+        ch => ch.map(r => CmsIn(r.getAs[Long]("user_id"))).toSeq))
+    (cells.map(_._1).mkString("{", ",", "}"), cells.map(_._2).mkString("{", ",", "}"))
   }
 
   /** IVF cell-assignment throughput: the codegen'd IvfAssign
