@@ -29,7 +29,9 @@ object Explain {
         "q_bloom_decontaminate", "q_bigram_perplexity",
         "q_bm25_topk", "q_weighted_sample", "q_temperature_mix",
         "q_heavy_hitters", "q_hard_negatives", "q_strip_spans",
-        "q_containment", "q_temperature_mix_alpha")
+        "q_containment", "q_temperature_mix_alpha",
+        "q_corr_pairs_banded", "q_binary_entropy", "q_binary_chunks",
+        "q_small_qty_revenue", "q_qualified_suppliers")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
