@@ -60,10 +60,11 @@ object GenScale {
     val fp = Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
       .map(t => s"$t=${footprint(t)}").mkString(",")
-    // layout= is the generator's OUTPUT-SHAPE version: bump it when
-    // the written file layout changes, or a cached fixture keeps the
-    // old physical characteristics under an unchanged content hash
-    val want = s"factor=$factor from=$inDir layout=rep-files-v5 fp=$fp\n"
+    // layout= is the generator's OUTPUT-SHAPE/CONTENT version: bump
+    // it when the written layout OR the replica transforms change, or
+    // a cached fixture keeps the old characteristics under an
+    // unchanged content hash (v6: events value jitter — see below)
+    val want = s"factor=$factor from=$inDir layout=rep-files-v6 fp=$fp\n"
     if (java.nio.file.Files.exists(marker) &&
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == want) return false
     generate(spark, inDir, outDir, factor)
@@ -135,9 +136,23 @@ object GenScale {
           col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"),
           col("l_returnflag"), col("l_linestatus"), col("l_shipdate"), col("rep")),
       "lineitem", "l_orderkey", "l_linenumber")
+    // Replica VALUE series must genuinely differ (v6): a verbatim
+    // copy leaves every replica of a key perfectly correlated with
+    // it — identical return-sign patterns put all `factor` clones in
+    // the same corr-LSH buckets and every clone pair passes any
+    // |corr| threshold, so the corr family measured clique blowup
+    // (x30 OOM'd q_corr_pairs_banded), not operator scaling — the
+    // same degeneracy the token-suffix pass fixes for documents. A
+    // deterministic ±6% per-event multiplicative jitter (closed form
+    // of (event_id, rep), rep 0 identity) decorrelates the daily
+    // return signs between replicas while preserving each replica's
+    // internal structure; values stay positive.
     write(
       rawEvents.withColumn("rep", reps(factor))
-        .select(shift("event_id"), col("ts"), shift("user_id"), col("event_type"), col("value"), col("props"), col("rep")),
+        .select(shift("event_id"), col("ts"), shift("user_id"), col("event_type"),
+          (col("value") * (lit(1.0) + least(col("rep"), lit(1L)) *
+            (pmod(col("event_id") * 31 + col("rep") * 17, lit(13)) - 6) * 0.01)).as("value"),
+          col("props"), col("rep")),
       "events", "event_id")
     // Replica documents must be genuinely DIFFERENT texts, or the
     // scaled corpus measures pair-density growth instead of operator

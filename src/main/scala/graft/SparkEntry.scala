@@ -63,6 +63,15 @@ object SparkEntry {
       Relational
         .qualifiedSuppliers(Tables.supplier(s, dir), Tables.part(s, dir), Tables.lineitem(s, dir))
         .orderBy("s_suppkey")),
+    "q_min_cost_supplier" -> ((s, dir) =>
+      Relational
+        .minCostSupplier(Tables.part(s, dir), Tables.supplier(s, dir),
+          Tables.nation(s, dir), Tables.lineitem(s, dir))
+        .orderBy("p_partkey", "s_suppkey")),
+    "q_dormant_customers" -> ((s, dir) =>
+      Relational
+        .dormantRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))
+        .orderBy("segment")),
     "q_pivot_wide" -> ((s, dir) =>
       Relational
         .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
@@ -321,6 +330,18 @@ object SparkEntry {
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("mid"), col("upper"), col("lower"))
         .orderBy("user_id", "ts_us")),
+    "q_stochastic" -> ((s, dir) =>
+      TimeSeries.stochastic(Tables.events(s, dir), 14, 3)
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_atr" -> ((s, dir) =>
+      TimeSeries.atr(Tables.events(s, dir), 14)
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_obv" -> ((s, dir) =>
+      TimeSeries.obv(Tables.events(s, dir))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
     "q_rolling_stats" -> ((s, dir) =>
       TimeSeries.rollingStats(Tables.events(s, dir), 0L, 30)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -406,6 +427,11 @@ object SparkEntry {
       TextAnalysis.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(Tables.documents(s, dir), 20)),
+    "q_pmi_bigrams" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(Tables.documents(s, dir), 5, 20)),
+    "q_cluster_topterms" -> ((s, dir) =>
+      TextAnalysis.clusterTopTerms(Tables.documents(s, dir), 8, 16, 3)
+        .orderBy("cell", "rnk")),
     "q_corpus_stats" -> ((s, dir) =>
       TextAnalysis.corpusStats(Tables.documents(s, dir)).orderBy("lang_pred")),
 
@@ -585,6 +611,9 @@ object SparkEntry {
     }),
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_random_projection" -> ((s, dir) =>
+      Embedding.randomProject(Tables.embeddings(s, dir), 8, 64)
+        .orderBy("vec_id", "j")),
     // IVF search end-to-end on the driver gate: codegen'd cell
     // assignment + nprobe probing + exact in-cell cosine rank. The
     // quantizer is the deterministic SEED (first nlist vectors by
@@ -657,6 +686,10 @@ object SparkEntry {
     "q_binary_chunks" -> ((s, dir) =>
       Multimodal
         .chunkDedupStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
+    "q_binary_magic" -> ((s, dir) =>
+      Multimodal
+        .sniffFormat(Multimodal.mediaWithHeaders(Tables.documents(s, dir)))
         .orderBy("media_id"))
   )
 
@@ -772,6 +805,31 @@ object SparkEntry {
         |      FROM lineitem l2
         |      WHERE l2.l_partkey = l.l_partkey))
         |ORDER BY s_suppkey""".stripMargin,
+    "q_min_cost_supplier" ->
+      """SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+        |  round(l.l_extendedprice / l.l_quantity, 6) AS unit_cost
+        |FROM part p
+        |JOIN lineitem l ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_size <= 10 AND l.l_quantity > 0
+        |  AND l.l_extendedprice / l.l_quantity = (
+        |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+        |    FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey AND l2.l_quantity > 0)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_dormant_customers" ->
+      """SELECT c.c_mktsegment AS segment,
+        |  count(*) AS n_custs,
+        |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer c
+        |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT CAST(count(*) AS DECIMAL(12,0)) FROM customer WHERE c_acctbal > 0)
+        |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        |GROUP BY c.c_mktsegment
+        |ORDER BY segment""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,
@@ -1586,6 +1644,60 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, ts_us""".stripMargin,
+    "q_stochastic" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), k AS (
+        |  SELECT user_id, bar_start,
+        |    CASE WHEN max(high) OVER w != min(low) OVER w
+        |      THEN (close - min(low) OVER w) / (max(high) OVER w - min(low) OVER w) * 100 END AS pct_k
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
+        |  round(pct_k, 6) AS pct_k,
+        |  round(avg(pct_k) OVER w2, 6) AS pct_d
+        |FROM k
+        |WINDOW w2 AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_atr" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, bar_start,
+        |    CASE WHEN lag(close) OVER ws IS NULL THEN high - low
+        |         ELSE greatest(high - low, abs(high - lag(close) OVER ws), abs(low - lag(close) OVER ws))
+        |    END AS tr
+        |  FROM bars
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY bar_start)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
+        |  round(tr, 6) AS tr,
+        |  round(avg(tr) OVER (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr
+        |FROM t
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_obv" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), s AS (
+        |  SELECT user_id, day, close, volume,
+        |    CASE WHEN lag(close) OVER ws IS NULL THEN 0
+        |         ELSE CAST(sign(close - lag(close) OVER ws) AS BIGINT) * volume
+        |    END AS sv
+        |  FROM bars
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY day)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, close, volume,
+        |  sum(sv) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS obv
+        |FROM s
+        |ORDER BY user_id, day""".stripMargin,
     "q_rolling_stats" ->
       """WITH dc AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
@@ -2001,6 +2113,71 @@ object SparkEntry {
         |FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram ASC
         |LIMIT 20""".stripMargin,
+    "q_pmi_bigrams" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |), uni AS (
+        |  SELECT tok, count(*) AS cu FROM toks GROUP BY tok
+        |), bg AS (
+        |  SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 1, 0)),
+        |    i -> array_to_string(string_split(lower(text), ' ')[i:i+1], ' '))) AS bigram
+        |  FROM documents
+        |), bi AS (
+        |  SELECT bigram, count(*) AS cxy FROM bg GROUP BY bigram
+        |), nu AS (SELECT sum(cu) AS nu FROM uni),
+        |nb AS (SELECT sum(cxy) AS nb FROM bi),
+        |cand AS (
+        |  SELECT b.bigram, b.cxy, ux.cu AS cx, uy.cu AS cy
+        |  FROM bi b
+        |  JOIN uni ux ON ux.tok = string_split(b.bigram, ' ')[1]
+        |  JOIN uni uy ON uy.tok = string_split(b.bigram, ' ')[2]
+        |  WHERE b.cxy >= 5
+        |)
+        |SELECT bigram, cxy AS n,
+        |  round(ln(CAST(cxy AS DOUBLE)) + 2.0 * ln(CAST(nu AS DOUBLE))
+        |    - ln(CAST(nb AS DOUBLE)) - ln(CAST(cx AS DOUBLE)) - ln(CAST(cy AS DOUBLE)), 6) AS pmi
+        |FROM cand CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY pmi DESC, bigram ASC
+        |LIMIT 20""".stripMargin,
+    "q_cluster_topterms" ->
+      """WITH e AS (
+        |  SELECT doc_id, list_transform(generate_series(0, 15), i ->
+        |    coalesce(list_sum(list_transform(string_split(lower(text), ' '),
+        |      t -> CASE WHEN CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % 16 = i
+        |           THEN 1.0 - 2 * (CAST('0x' || substr(md5(t), 9, 1) AS BIGINT) % 2) ELSE 0.0 END)), 0.0)) AS v
+        |  FROM documents
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 8
+        |), d AS (
+        |  SELECT e.doc_id, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT doc_id, cell,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d QUALIFY rn = 1
+        |), ctoks AS (
+        |  SELECT a.cell, unnest(string_split(lower(doc.text), ' ')) AS tok
+        |  FROM assigned a JOIN documents doc ON doc.doc_id = a.doc_id
+        |), counts AS (
+        |  SELECT cell, tok, count(*) AS cnt FROM ctoks GROUP BY 1, 2
+        |), dfc AS (
+        |  SELECT tok, count(*) AS dfc FROM counts GROUP BY tok
+        |), nc AS (SELECT count(DISTINCT cell) AS n_cells FROM assigned),
+        |scored AS (
+        |  SELECT c.cell, c.tok, c.cnt,
+        |    round(c.cnt * ln(CAST(n_cells AS DOUBLE) / CAST(d.dfc AS DOUBLE)), 6) AS score
+        |  FROM counts c JOIN dfc d USING (tok) CROSS JOIN nc
+        |)
+        |SELECT cell,
+        |  CAST(row_number() OVER (PARTITION BY cell ORDER BY score DESC, tok ASC) AS BIGINT) AS rnk,
+        |  tok, cnt, score
+        |FROM scored
+        |QUALIFY rnk <= 3
+        |ORDER BY cell, rnk""".stripMargin,
     "q_corpus_stats" ->
       """WITH h AS (
         |  SELECT doc_id, text,
@@ -2569,6 +2746,17 @@ object SparkEntry {
         |)
         |SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "q_random_projection" ->
+      """WITH dirs AS (
+        |  SELECT j, list_transform(generate_series(0, 63), i ->
+        |    CASE WHEN CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1) AS INT) % 2 = 0
+        |         THEN 1.0 ELSE -1.0 END) AS d
+        |  FROM (SELECT unnest(generate_series(0, 7)) AS j)
+        |)
+        |SELECT e.vec_id, dirs.j,
+        |  round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), dirs.d), 6) AS p
+        |FROM embeddings e CROSS JOIN dirs
+        |ORDER BY vec_id, j""".stripMargin,
     // mirrors ivfSearch exactly: seed quantizer = first 16 vectors
     // BY RANK (row_number over vec_id, cell = rank - 1 — the same
     // orderBy/limit + positional-id semantics as ivfTrain, so the
@@ -2693,6 +2881,24 @@ object SparkEntry {
         |  16 + strlen(text) % 64 AS feat_width,
         |  16 + (strlen(text) * 7) % 64 AS feat_height,
         |  md5(text) AS feat_hash
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    // q_binary_magic's oracle derives the expected label from the
+    // header-ASSIGNMENT rule (doc_id mod 5 picks the magic), where
+    // the Spark side detects it from the payload BYTES — an
+    // independent derivation, so a broken sniffer cannot agree with
+    // the oracle by construction
+    "q_binary_magic" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, doc_id % 5 AS h,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS body
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  CASE h WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' WHEN 2 THEN 'gif'
+        |         WHEN 3 THEN 'pdf' ELSE 'zip' END AS fmt,
+        |  body + CASE h WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 6
+        |              WHEN 3 THEN 5 ELSE 4 END AS n_bytes,
+        |  body AS body_bytes
+        |FROM m ORDER BY media_id""".stripMargin
   )
 }

@@ -159,6 +159,75 @@ object Relational {
       |""".stripMargin)
   }
 
+  /** TPC-H Q2-shaped minimum-cost supplier: for every small part,
+    * the supplier(s) whose lineitem unit price equals that part's
+    * MINIMUM unit price — the classic correlated scalar-min
+    * subquery in an equality predicate (TPC-H Q2's partsupp min-cost
+    * shape on this schema's lineitem link). Catalyst decorrelates
+    * the per-part min into ONE aggregate over lineitem grouped by
+    * l_partkey joined back on the key — the same
+    * no-ScalarSubquery-survives red-bar as [[smallQuantityRevenue]].
+    * Determinism: unit price is one IEEE division of fixture
+    * doubles, computed identically in both engines, so the equality
+    * against min() matches bit-for-bit; DISTINCT collapses multiple
+    * min-price lineitems of the same (part, supplier).
+    */
+  def minCostSupplier(part: DataFrame, supplier: DataFrame, nation: DataFrame,
+                      lineitem: DataFrame, maxSize: Int = 10): DataFrame = {
+    val spark = part.sparkSession
+    part.createOrReplaceTempView("graft_q2_part")
+    supplier.createOrReplaceTempView("graft_q2_supplier")
+    nation.createOrReplaceTempView("graft_q2_nation")
+    lineitem.createOrReplaceTempView("graft_q2_lineitem")
+    spark.sql(s"""
+      |SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+      |  round(l.l_extendedprice / l.l_quantity, 6) AS unit_cost
+      |FROM graft_q2_part p
+      |JOIN graft_q2_lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN graft_q2_supplier s ON s.s_suppkey = l.l_suppkey
+      |JOIN graft_q2_nation n ON n.n_nationkey = s.s_nationkey
+      |WHERE p.p_size <= $maxSize
+      |  AND l.l_quantity > 0
+      |  AND l.l_extendedprice / l.l_quantity = (
+      |    SELECT min(l2.l_extendedprice / l2.l_quantity)
+      |    FROM graft_q2_lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey AND l2.l_quantity > 0)
+      |""".stripMargin)
+  }
+
+  /** TPC-H Q22-shaped dormant rich customers: per market segment,
+    * the count and total balance of customers whose balance exceeds
+    * the positive-balance average AND who placed no LARGE order
+    * (o_totalprice > minOrderTotal; the fixture's order stream is
+    * dense, so plain "no orders" is empty at every SF) —
+    * uncorrelated scalar subqueries + NOT EXISTS, the Q22 plan
+    * shape (scalars evaluate once and broadcast; NOT EXISTS plans a
+    * left-anti join with the price filter pushed to the orders
+    * scan, never a per-row probe). The threshold compare is
+    * CROSS-MULTIPLIED into DECIMAL space (bal * n_pos > sum_pos),
+    * so no engine ever averages doubles in partition order — the
+    * [[graft.operators.TimeSeries.portfolioTurnover]] exactness
+    * recipe applied to a predicate.
+    */
+  def dormantRichCustomers(customer: DataFrame, orders: DataFrame,
+                           minOrderTotal: Double = 400000.0): DataFrame = {
+    val spark = customer.sparkSession
+    customer.createOrReplaceTempView("graft_q22_customer")
+    orders.createOrReplaceTempView("graft_q22_orders")
+    spark.sql(s"""
+      |SELECT c.c_mktsegment AS segment,
+      |  count(*) AS n_custs,
+      |  CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM graft_q22_customer c
+      |WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) *
+      |    (SELECT CAST(count(*) AS DECIMAL(12,0)) FROM graft_q22_customer WHERE c_acctbal > 0)
+      |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM graft_q22_customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM graft_q22_orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > CAST($minOrderTotal AS DOUBLE))
+      |GROUP BY c.c_mktsegment
+      |""".stripMargin)
+  }
+
   /** Star-join rollup: revenue by nation for a marketsegment — joins
     * ordered fact-first, dims broadcast, aggregation partial map-side.
     */

@@ -233,6 +233,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** PMI collocations (phrase mining, the word2vec-era statistic
+    * behind "new york"-style phrase merging in corpus prep): top-k
+    * bigrams by pointwise mutual information, PMI = ln(p(xy) /
+    * (p(x)p(y))) with p(xy) = c_xy/N_bigrams and p(x) = c_x/
+    * N_tokens, restricted to bigrams seen >= minCount times (raw
+    * PMI is maximized by hapaxes — the count floor is the standard
+    * fix). Two corpus explode+count aggregations (unigrams,
+    * bigrams), totals as broadcast one-row frames, two vocab joins
+    * on the count-floored candidate set only. Determinism: every
+    * count is an exact long; PMI is a fixed left-associated chain
+    * of ln() terms over those longs — identical IEEE sequence in
+    * any engine — and the top-k orders by the ROUNDED score. At
+    * 100 TB the minCount filter bounds the join input (the vocab
+    * aggregations are the same shape as [[perplexityScore]]'s).
+    */
+  def pmiCollocations(documents: DataFrame, minCount: Long = 5, k: Int = 20): DataFrame = {
+    val toks = split(lower(col("text")), " ")
+    val uni = documents.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val bi = documents.select(explode(ngrams(toks, 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+    val nu = uni.agg(sum(col("cu")).as("nu"))
+    val nb = bi.agg(sum(col("cxy")).as("nb"))
+    val pmi =
+      log(col("cxy").cast("double")) + lit(2.0) * log(col("nu").cast("double")) -
+        log(col("nb").cast("double")) - log(col("cx").cast("double")) - log(col("cy").cast("double"))
+    bi.filter(col("cxy") >= minCount)
+      .withColumn("x", split(col("bigram"), " ").getItem(0))
+      .withColumn("y", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("tok").as("x"), col("cu").as("cx")), "x")
+      .join(uni.select(col("tok").as("y"), col("cu").as("cy")), "y")
+      .crossJoin(broadcast(nu))
+      .crossJoin(broadcast(nb))
+      .select(col("bigram"), col("cxy").as("n"), round(pmi, 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram").asc)
+      .limit(k)
+  }
+
   /** Per-language corpus profile (the know-your-data dashboard):
     * doc counts, token-length moments, and char-length median per
     * predicted language. ONE corpus scan: language-ID is a narrow
@@ -252,6 +290,42 @@ object TextAnalysis {
         avg(col("n_toks")).as("avg_tokens"),
         max(col("n_toks")).as("max_tokens"),
         round(percentile(col("n_chars"), lit(0.5)), 6).as("p50_chars"))
+
+  /** Cluster-then-label (the know-your-data companion of SemDeDup's
+    * cell machinery): documents embed via the codegen'd feature-hash
+    * expression, a seed quantizer assigns each doc to one of nlist
+    * cells (zero corpus shuffle — the [[Similarity.ivfAssignCol]]
+    * path), and each cell is labeled with its top-k distinctive
+    * terms by tf x ln(nCells/df_cells) — corpus-wide stopwords get
+    * idf ln(1)=0 and sink. One doc->cell join + two keyed
+    * aggregations; at 100 TB the token aggregation dominates, the
+    * same shape as [[perplexityScore]]'s vocab pass. Determinism:
+    * feature-hash vectors are small-integer doubles, so cell argmin
+    * distances are exact; counts are longs; the score is one
+    * multiply of an exact long by ln of an exact-int ratio, ranked
+    * on the ROUNDED score with token tiebreak.
+    */
+  def clusterTopTerms(documents: DataFrame, nlist: Int = 8, dim: Int = 16, k: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val emb = documents.select(col("doc_id").as("vec_id"),
+      expr(s"graft_fh_embed(text, $dim)").as("embedding"))
+    val cents = Similarity.ivfTrain(emb, nlist, iters = 0)
+    val cells = emb.select(col("vec_id").as("doc_id"),
+      Similarity.ivfAssignCol(col("embedding"), cents).cast("long").as("cell"))
+    val toks = documents.join(cells, "doc_id")
+      .select(col("cell"), explode(split(lower(col("text")), " ")).as("tok"))
+    val counts = toks.groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val dfc    = counts.groupBy(col("tok")).agg(count(lit(1)).as("dfc"))
+    val nCells = cells.agg(countDistinct(col("cell")).as("n_cells"))
+    val w      = Window.partitionBy(col("cell")).orderBy(col("score").desc, col("tok").asc)
+    counts.join(dfc, "tok")
+      .crossJoin(broadcast(nCells))
+      .withColumn("score",
+        round(col("cnt") * log(col("n_cells").cast("double") / col("dfc").cast("double")), 6))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("cell"), col("rnk"), col("tok"), col("cnt"), col("score"))
+  }
 
   /** Top-k TF-IDF terms per document: tf = in-doc term count, idf =
     * ln(N/df). Two key-partitioned aggregations (term counts per doc,

@@ -1040,4 +1040,88 @@ object TimeSeries {
           .as("yield_pct")
       )
   }
+
+  /** Stochastic oscillator %K/%D on daily OHLC bars (the classic
+    * momentum companion of RSI/MACD on the reference's indicator
+    * chart family, app.py:470-475): %K = 100 * (close - min(low, n))
+    * / (max(high, n) - min(low, n)), %D = SMA(dN) of %K. One bar
+    * aggregate plus two window passes over the SAME (key, bar_start)
+    * ordering — Spark plans one shuffle and reuses the sort; at 100
+    * TB the per-key stage is a single exchange, like every operator
+    * in this module. Determinism: min/max pick existing doubles,
+    * %K is one subtraction-division chain, %D averages <= dN %K
+    * doubles in frame order — the [[sma]]/[[bollinger]] recipe. A
+    * flat window (high == low) has no defined %K — null, guarded so
+    * ANSI mode never throws.
+    */
+  def stochastic(events: DataFrame, n: Int = 14, dN: Int = 3,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1 && dN >= 1, s"window sizes must be positive: n=$n, dN=$dN")
+    val bars  = Relational.ohlcResample(events)
+    val w     = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    val wD    = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(dN - 1), 0)
+    val lowN  = min(col("low")).over(w)
+    val highN = max(col("high")).over(w)
+    val k     = when(highN =!= lowN, (col("close") - lowN) / (highN - lowN) * 100)
+    bars
+      .withColumn("pct_k", k)
+      .withColumn("pct_d", avg(col("pct_k")).over(wD))
+      .select(col(key), col("bar_start"),
+        round(col("pct_k"), 6).as("pct_k"), round(col("pct_d"), 6).as("pct_d"))
+  }
+
+  /** Average True Range (n-bar SMA variant) on daily OHLC bars:
+    * TR_t = greatest(high-low, |high-prevClose|, |low-prevClose|)
+    * (first bar: high-low — no previous close), ATR = SMA(n) of TR.
+    * Wilder's exponential smoothing is [[ema]] with span 2n-1 on the
+    * same tr column; the SMA variant keeps the oracle windowed and
+    * exact. Same one-shuffle shape and float recipe as
+    * [[stochastic]].
+    */
+  def atr(events: DataFrame, n: Int = 14,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"window size must be positive: n=$n")
+    val bars  = Relational.ohlcResample(events)
+    val wSeq  = Window.partitionBy(key).orderBy("bar_start")
+    val wN    = wSeq.rowsBetween(-(n - 1), 0)
+    val prevC = lag(col("close"), 1).over(wSeq)
+    val tr = when(prevC.isNull, col("high") - col("low"))
+      .otherwise(greatest(
+        col("high") - col("low"),
+        abs(col("high") - prevC),
+        abs(col("low") - prevC)))
+    bars
+      .withColumn("tr", tr)
+      .withColumn("atr", avg(col("tr")).over(wN))
+      .select(col(key), col("bar_start"),
+        round(col("tr"), 6).as("tr"), round(col("atr"), 6).as("atr"))
+  }
+
+  /** On-Balance Volume on daily close/volume bars: OBV_t =
+    * OBV_{t-1} + sign(close_t - close_{t-1}) * volume_t (first bar
+    * contributes 0, the pandas-ta convention). Volume is the daily
+    * sum of the events' JSON props `k` field, the [[vwap]] source.
+    * ALL-INTEGER: sign is {-1,0,1} as a long, volume a long, OBV a
+    * running long sum — bit-identical on any engine, any partition
+    * count, no float anywhere. One bar aggregate + two windows on
+    * one per-key sort.
+    */
+  def obv(events: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val vol  = get_json_object(col("props"), "$.k").cast("long")
+    val bars = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+    // the signed increment materializes BEFORE the running sum —
+    // window functions cannot nest — but both windows share one
+    // (key, day) sort, so Spark still plans a single shuffle
+    val wSeq  = Window.partitionBy(key).orderBy("day")
+    val prevC = lag(col("close"), 1).over(wSeq)
+    bars
+      .withColumn("sv",
+        when(prevC.isNull, lit(0L))
+          .otherwise(signum(col("close") - prevC).cast("long") * col("volume")))
+      .withColumn("obv", sum(col("sv")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col(key), col("day"), col("close"), col("volume"), col("obv"))
+  }
 }

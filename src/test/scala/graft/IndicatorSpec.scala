@@ -90,4 +90,71 @@ class IndicatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  // one tick per day: each daily bar has high = low = close = y_i,
+  // so the textbook definitions collapse to closed forms a local
+  // fold can check exactly (incl. the flat-window null for %K and
+  // the h-l=0 ATR degenerate)
+  private val ys = Vector(10.0, 10.0, 10.0, 12.0, 11.0, 13.0, 9.0, 9.0, 9.0, 14.0)
+
+  private def dailyDf = {
+    import spark.implicits._
+    ys.zipWithIndex
+      .map { case (y, i) => (1L, i.toLong, i.toLong, y) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+  }
+
+  test("stochastic %K/%D match the rolling min/max definition, flat windows null") {
+    import spark.implicits._
+    val got = TimeSeries.stochastic(dailyDf, 3, 2).orderBy($"bar_start").collect()
+    val kW: Vector[Option[Double]] = ys.indices.map { i =>
+      val w  = ys.slice(math.max(0, i - 2), i + 1)
+      val (mn, mx) = (w.min, w.max)
+      if (mx == mn) None else Some((ys(i) - mn) / (mx - mn) * 100)
+    }.toVector
+    val dW: Vector[Option[Double]] = ys.indices.map { i =>
+      val w = kW.slice(math.max(0, i - 1), i + 1).flatten
+      if (w.isEmpty) None else Some(w.sum / w.size)
+    }.toVector
+    got.zipWithIndex.foreach { case (r, i) =>
+      val gk = Option(r.getAs[java.lang.Double]("pct_k")).map(_.doubleValue)
+      val gd = Option(r.getAs[java.lang.Double]("pct_d")).map(_.doubleValue)
+      assert(gk.isDefined === kW(i).isDefined, s"row $i pct_k nullness")
+      for (g <- gk; w <- kW(i)) assert(math.abs(g - w) < 1e-6, s"row $i pct_k $g vs $w")
+      assert(gd.isDefined === dW(i).isDefined, s"row $i pct_d nullness")
+      for (g <- gd; w <- dW(i)) assert(math.abs(g - w) < 1e-6, s"row $i pct_d $g vs $w")
+    }
+  }
+
+  test("atr matches the true-range definition (single-tick bars: tr = |Δclose|, first 0)") {
+    import spark.implicits._
+    val got = TimeSeries.atr(dailyDf, 3).orderBy($"bar_start").collect()
+    val trW = 0.0 +: ys.sliding(2).map(p => math.abs(p(1) - p(0))).toVector
+    got.zipWithIndex.foreach { case (r, i) =>
+      val w = trW.slice(math.max(0, i - 2), i + 1)
+      assert(math.abs(r.getAs[Double]("tr") - trW(i)) < 1e-6, s"row $i tr")
+      assert(math.abs(r.getAs[Double]("atr") - w.sum / w.size) < 1e-6, s"row $i atr")
+    }
+  }
+
+  test("obv is the exact running sum of sign-weighted volume, all-integer") {
+    import spark.implicits._
+    val vols = Vector(5L, 3L, 7L, 2L, 9L, 4L, 6L, 1L, 8L, 10L)
+    val df = ys.zip(vols).zipWithIndex
+      .map { case ((y, k), i) => (1L, i.toLong, i.toLong, y, s"""{"k":$k}""") }
+      .toDF("user_id", "event_id", "d", "value", "props")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.obv(df).orderBy($"day").collect()
+    val sv = 0L +: ys.sliding(2).zip(vols.tail.iterator).map { case (p, vol) =>
+      math.signum(p(1) - p(0)).toLong * vol
+    }.toVector
+    val obvW = sv.scanLeft(0L)(_ + _).tail
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("volume") === vols(i), s"row $i volume")
+      assert(r.getAs[Long]("obv") === obvW(i), s"row $i obv")
+    }
+  }
 }

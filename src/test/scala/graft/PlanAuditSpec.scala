@@ -248,6 +248,30 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p17.contains("CartesianProduct") && !p20.contains("CartesianProduct"))
   }
 
+  test("Q2/Q22 shapes: min-cost decorrelates to a grouped aggregate, NOT EXISTS to an anti join") {
+    // Q2 shape: the correlated scalar-min must become ONE grouped
+    // min over lineitem joined back on l_partkey — never a per-part
+    // re-execution
+    val p2 = planOf("q_min_cost_supplier")
+    assert(!p2.contains("scalar-subquery") && !p2.contains("Subquery"),
+      s"q_min_cost_supplier kept an undecorrelated subquery:\n$p2")
+    assert(p2.contains("partial_min("),
+      s"the per-part floor is not a grouped min aggregate:\n$p2")
+    val scans2 = "lineitem\\.parquet".r.findAllIn(p2).size
+    assert(scans2 == 2,
+      s"expected exactly 2 lineitem scans (fact + min agg), found $scans2:\n$p2")
+    // Q22 shape: NOT EXISTS -> LeftAnti; the two uncorrelated
+    // scalars evaluate once (they appear as reusable subquery
+    // results, not correlated re-execution — so only the
+    // CORRELATED marker is red-barred here)
+    val p22 = planOf("q_dormant_customers")
+    assert(p22.contains("LeftAnti"),
+      s"NOT EXISTS did not become an anti join:\n$p22")
+    assert(!p22.contains("scalar-subquery"),
+      s"q_dormant_customers kept a correlated scalar subquery:\n$p22")
+    assert(!p2.contains("CartesianProduct") && !p22.contains("CartesianProduct"))
+  }
+
   test("banded corr pairs: candidates from the (band,sig) bucket join, verification equi-keyed") {
     val p = planOf("q_corr_pairs_banded")
     assert(p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*(band|sig)[^\\]]*\\].*") ||

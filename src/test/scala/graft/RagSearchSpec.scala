@@ -94,4 +94,32 @@ class RagSearchSpec extends AnyFunSuite {
       sum(when(col(s"p.$t").isNotNull && col(s"p.$t") =!= col(s"f.$t"), 1).otherwise(0))).reduce(_ + _)
     assert(joined.select(diffs.as("n")).head().getLong(0) === 0L)
   }
+
+  test("random projection matches the local sign-matrix fold and preserves norms on average") {
+    import TestSession.spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val got = Embedding.randomProject(emb, 8, 64)
+    assert(got.count() === emb.count() * 8)
+    // bit-level check of one vector against a local sequential fold
+    // over the same md5 sign matrix
+    val signs = Embedding.signMatrix(8, 64)
+    val first = emb.orderBy($"vec_id").head()
+    val v     = first.getSeq[Float](first.fieldIndex("embedding")).map(_.toDouble)
+    val wantP = signs.map(row => v.zip(row).foldLeft(0.0) { case (acc, (x, s)) => acc + x * s })
+    val gotP = got.filter($"vec_id" === first.getLong(first.fieldIndex("vec_id")))
+      .orderBy($"j").collect().map(_.getAs[Double]("p"))
+    gotP.zip(wantP).foreach { case (g, w) =>
+      assert(math.abs(g - BigDecimal(w).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // JL property: E[p_j^2] = |v|^2 per output dim — the corpus
+    // average of sum(p^2)/r over |v|^2 concentrates near 1
+    val n2 = emb.select($"vec_id",
+      graft.functions.VectorFunctions.dot(
+        graft.functions.VectorFunctions.toDouble($"embedding"),
+        graft.functions.VectorFunctions.toDouble($"embedding")).as("n2"))
+    val ratio = got.groupBy($"vec_id").agg(sum($"p" * $"p").as("pp"))
+      .join(n2, "vec_id").filter($"n2" > 0)
+      .agg(avg($"pp" / ($"n2" * 8))).head().getDouble(0)
+    assert(ratio > 0.7 && ratio < 1.3, s"JL norm-preservation ratio $ratio")
+  }
 }

@@ -103,4 +103,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(Relational.intervalJoin(
       facts.withColumn("ts", org.apache.spark.sql.functions.lit(t(12))), regress).count() === 0)
   }
+
+  test("min-cost supplier equals the composed grouped-min formulation") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val got = Relational.minCostSupplier(
+      Tables.part(spark, sf), Tables.supplier(spark, sf),
+      Tables.nation(spark, sf), Tables.lineitem(spark, sf), 10)
+      .select($"p_partkey", $"s_suppkey")
+    val cost = Tables.lineitem(spark, sf).filter($"l_quantity" > 0)
+      .select($"l_partkey", $"l_suppkey", ($"l_extendedprice" / $"l_quantity").as("uc"))
+    val mins = cost.groupBy($"l_partkey").agg(min($"uc").as("mc"))
+    val want = Tables.part(spark, sf).filter($"p_size" <= 10)
+      .join(cost, $"p_partkey" === cost("l_partkey"))
+      .join(mins, "l_partkey")
+      .filter($"uc" === $"mc")
+      .select($"p_partkey", $"l_suppkey".as("s_suppkey"))
+      .distinct()
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "SQL decorrelated result differs from the composed formulation")
+  }
+
+  test("dormant rich customers equals the composed anti-join formulation") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val Money = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cust   = Tables.customer(spark, sf)
+    val stats  = cust.filter($"c_acctbal" > 0)
+      .agg(sum($"c_acctbal".cast(Money)).as("s"), count(lit(1)).as("n")).head()
+    val (s, n) = (stats.getDecimal(0), stats.getLong(1))
+    val want = cust
+      .filter($"c_acctbal".cast(Money) * lit(java.math.BigDecimal.valueOf(n)) > lit(s))
+      .join(Tables.orders(spark, sf).filter($"o_totalprice" > 400000.0),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("n_custs"), sum($"c_acctbal".cast(Money)).cast("double").as("total_bal"))
+    val got = Relational.dormantRichCustomers(cust, Tables.orders(spark, sf))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "SQL Q22 shape differs from the composed formulation")
+  }
 }

@@ -493,6 +493,31 @@ class StreamsFeedsSpec extends AnyFunSuite {
         "byte-identical duplicates must share all chunks")
   }
 
+  test("format sniffing reads real magic bytes: every magic detected, unknowns untouched") {
+    import spark.implicits._
+    // synthetic payloads: one per magic, plus a magic-free payload
+    val rows = Multimodal.Magics.zipWithIndex.map { case ((name, magic), i) =>
+      (i.toLong, magic ++ s"body-$name".getBytes("UTF-8"), name, magic.length)
+    } :+ ((99L, "plain text payload".getBytes("UTF-8"), "unknown", 0))
+    val df  = rows.map { case (id, p, _, _) => (id, p) }.toDF("media_id", "payload")
+    val got = Multimodal.sniffFormat(df).collect().map(r =>
+      r.getAs[Long]("media_id") -> ((r.getAs[String]("fmt"), r.getAs[Long]("n_bytes"), r.getAs[Long]("body_bytes")))).toMap
+    rows.foreach { case (id, p, wantFmt, hdr) =>
+      val (fmt, nb, bb) = got(id)
+      assert(fmt === wantFmt, s"media $id detected $fmt, want $wantFmt")
+      assert(nb === p.length.toLong && bb === (p.length - hdr).toLong, s"media $id sizes")
+    }
+    // the header-injected feed roundtrips: every payload detected,
+    // none unknown, and body accounting matches the raw text bytes
+    val docs = Tables.documents(spark, sf)
+    val sn   = Multimodal.sniffFormat(Multimodal.mediaWithHeaders(docs))
+    assert(sn.count() === docs.count())
+    assert(sn.filter($"fmt" === "unknown").count() === 0)
+    val sized = sn.join(docs.select($"doc_id".as("media_id"), octet_length($"text").as("nb")), "media_id")
+    assert(sized.filter($"body_bytes" =!= $"nb").count() === 0,
+      "stripped body size must equal the original text bytes")
+  }
+
   test("multimodal resize and frame sampling are deterministic with expected shapes") {
     import spark.implicits._
     val media = Multimodal.mediaFromDocuments(Tables.documents(spark, sf))

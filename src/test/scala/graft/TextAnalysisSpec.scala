@@ -147,4 +147,56 @@ class TextAnalysisSpec extends AnyFunSuite {
     // scores are positive (Lucene idf form) and ranks within k
     assert(a.filter($"score" <= 0 || $"rnk" > 5).count() === 0)
   }
+
+  test("pmi collocations match the local count-based formula") {
+    import TestSession.spark.implicits._
+    val texts = Seq("x y x y x y", "x y z w", "z w z w z w", "q r q r")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(df, minCount = 2, k = 10).collect()
+    // local reference: adjacent-pair and token counts over the corpus
+    val toks = texts.map(_.split(" ", -1).toSeq)
+    val uni  = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bi   = toks.flatMap(ts => ts.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nu = uni.values.sum.toDouble
+    val nb = bi.values.sum.toDouble
+    def pmi(bg: String): Double = {
+      val Array(x, y) = bg.split(" ")
+      math.log(bi(bg)) + 2.0 * math.log(nu) - math.log(nb) -
+        math.log(uni(x).toDouble) - math.log(uni(y).toDouble)
+    }
+    val want = bi.filter(_._2 >= 2).keys.toSeq
+      .map(bg => (bg, bi(bg), BigDecimal(pmi(bg)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (bg, _, p) => (-p, bg) }
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (r, (bg, n, p)) =>
+      assert(r.getAs[String]("bigram") === bg)
+      assert(r.getAs[Long]("n") === n)
+      assert(math.abs(r.getAs[Double]("pmi") - p) < 1e-6, s"$bg pmi")
+    }
+    // the hapax guard: dropping the floor admits count-1 bigrams
+    assert(TextAnalysis.pmiCollocations(df, minCount = 1, k = 100).count() > got.length)
+  }
+
+  test("cluster top terms: idf semantics, rank shape, and the one-cell degenerate") {
+    import TestSession.spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val got  = TextAnalysis.clusterTopTerms(docs, nlist = 8, dim = 16, k = 3)
+    // ranks contiguous from 1, at most k per cell, scores
+    // non-increasing in rank and never negative (df <= nCells)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cell").orderBy($"rnk")
+    val shaped = got
+      .withColumn("expect_rn", row_number().over(w).cast("long"))
+      .withColumn("prev_score", lag($"score", 1).over(w))
+    assert(shaped.filter($"rnk" =!= $"expect_rn" || $"rnk" > 3).count() === 0)
+    assert(shaped.filter($"prev_score".isNotNull && $"score" > $"prev_score").count() === 0)
+    assert(got.filter($"score" < 0).count() === 0)
+    // one cell: every term's idf is ln(1) = 0 — all scores zero
+    val one = TextAnalysis.clusterTopTerms(docs, nlist = 1, dim = 16, k = 3)
+    assert(one.count() === 3)
+    assert(one.filter($"score" =!= 0.0).count() === 0)
+    // determinism
+    assert(got.exceptAll(TextAnalysis.clusterTopTerms(docs, 8, 16, 3)).count() === 0)
+  }
 }
