@@ -31,7 +31,11 @@ object Explain {
         "q_heavy_hitters", "q_hard_negatives", "q_strip_spans",
         "q_containment", "q_temperature_mix_alpha",
         "q_corr_pairs_banded", "q_binary_entropy", "q_binary_chunks",
-        "q_small_qty_revenue", "q_qualified_suppliers")
+        "q_small_qty_revenue", "q_qualified_suppliers",
+        "q_min_cost_supplier", "q_dormant_customers", "q_stochastic",
+        "q_atr", "q_obv", "q_pmi_bigrams", "q_cluster_topterms",
+        "q_random_projection", "q_binary_magic",
+        "q_bloom_join", "q_vocab_coverage")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

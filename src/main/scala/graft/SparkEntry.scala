@@ -72,6 +72,21 @@ object SparkEntry {
       Relational
         .dormantRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))
         .orderBy("segment")),
+    // bloom semi-join reduction as a checked twin: the oracle is the
+    // PLAIN join+aggregate (no bloom anywhere) — no false negatives
+    // means the reduction provably changes transport, not the answer
+    "q_bloom_join" -> ((s, dir) =>
+      Relational
+        .bloomFilteredJoin(
+          Tables.lineitem(s, dir),
+          Tables.orders(s, dir).filter(col("o_totalprice") > 450000.0),
+          "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")),
     "q_pivot_wide" -> ((s, dir) =>
       Relational
         .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
@@ -429,6 +444,8 @@ object SparkEntry {
       TextAnalysis.topBigrams(Tables.documents(s, dir), 20)),
     "q_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(Tables.documents(s, dir), 5, 20)),
+    "q_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), 20)),
     "q_cluster_topterms" -> ((s, dir) =>
       TextAnalysis.clusterTopTerms(Tables.documents(s, dir), 8, 16, 3)
         .orderBy("cell", "rnk")),
@@ -830,6 +847,15 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT o.o_orderpriority,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_totalprice > 450000.0
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,
@@ -2139,6 +2165,19 @@ object SparkEntry {
         |FROM cand CROSS JOIN nu CROSS JOIN nb
         |ORDER BY pmi DESC, bigram ASC
         |LIMIT 20""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |), counts AS (
+        |  SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        |), total AS (SELECT sum(cnt) AS total FROM counts),
+        |top AS (SELECT tok, cnt FROM counts ORDER BY cnt DESC, tok ASC LIMIT 20)
+        |SELECT CAST(row_number() OVER w AS BIGINT) AS rnk, tok, cnt,
+        |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, tok ASC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(total AS DOUBLE), 6) AS cum_share
+        |FROM top CROSS JOIN total
+        |WINDOW w AS (ORDER BY cnt DESC, tok ASC)
+        |ORDER BY rnk""".stripMargin,
     "q_cluster_topterms" ->
       """WITH e AS (
         |  SELECT doc_id, list_transform(generate_series(0, 15), i ->

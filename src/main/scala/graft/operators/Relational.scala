@@ -228,6 +228,29 @@ object Relational {
       |""".stripMargin)
   }
 
+  /** Bloom semi-join reduction: at 100 TB the dominant cost of a
+    * selective fact⋈dim join is shuffling fact rows that will find
+    * no match. Build a Bloom bitset of the dim join keys (the
+    * [[Dedup.bloomBitset]] treeAggregate — order-independent, so
+    * the bitset is deterministic), probe it on the fact SCAN before
+    * any exchange (codegen'd xxhash64/getbit built-ins, no UDF),
+    * and run the exact join on the survivors. Bloom filters have no
+    * false negatives, so the result is EXACTLY the plain join —
+    * the bitset only controls how many non-matching rows pay the
+    * shuffle (false positives cost transport, never correctness).
+    * The runtime analog Spark plans itself
+    * (spark.sql.optimizer.runtime.bloomFilter) applies the same
+    * idea; this operator makes it explicit, sized, and reusable
+    * across stages.
+    */
+  def bloomFilteredJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                        mBits: Int = 1 << 20, k: Int = 5): DataFrame = {
+    val bits = Dedup.bloomBitset(dim.select(col(dimKey)), dimKey, mBits, k)
+    fact
+      .filter(Dedup.bloomProbe(col(factKey), bits, k))
+      .join(dim, col(factKey) === col(dimKey))
+  }
+
   /** Star-join rollup: revenue by nation for a marketsegment — joins
     * ordered fact-first, dims broadcast, aggregation partial map-side.
     */

@@ -271,6 +271,30 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve (the Zipf head): the top-k token
+    * types with each prefix's cumulative share of the whole token
+    * stream — the know-your-data statistic behind vocab-size and
+    * tokenizer decisions ("the top 100 types cover 41% of the
+    * corpus"). One explode+count vocab aggregation (map-side
+    * partials), TakeOrdered k-row head, total as a broadcast
+    * one-row frame; the k-row window runs on the already-k-row
+    * result, never the corpus. Counts and running sums are exact
+    * longs; the share is one division per output row.
+    */
+  def vocabCoverage(documents: DataFrame, k: Int = 20): DataFrame = {
+    val counts = documents.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val top   = counts.orderBy(col("cnt").desc, col("tok").asc).limit(k)
+    val w     = Window.orderBy(col("cnt").desc, col("tok").asc)
+    top
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(broadcast(total))
+      .select(col("rnk"), col("tok"), col("cnt"),
+        round(col("cum_cnt").cast("double") / col("total").cast("double"), 6).as("cum_share"))
+  }
+
   /** Per-language corpus profile (the know-your-data dashboard):
     * doc counts, token-length moments, and char-length median per
     * predicted language. ONE corpus scan: language-ID is a narrow

@@ -561,12 +561,41 @@ object TimeSeries {
     * bounded as keys grow — the q_ngram_jaccard -> _banded move.
     * No pair-key cap needed: nothing here is quadratic in keys
     * (signature groupBy is linear; the bucket self-join volume is
-    * sum over buckets of bucket-size^2, bounded by the band width
-    * choice the same way LSH bands bound the shingle families).
+    * sum over buckets of bucket-size^2, bounded by the band width).
+    *
+    * SATURATION-AWARE banding (r11): a w-slot sign band has only 2^w
+    * distinct patterns, so once keys >> 2^w every bucket fills and
+    * the candidate join degenerates toward keys^2 regardless of the
+    * data (the x30 audit OOM'd here: 45k keys over 64 patterns =
+    * ~700-key buckets). The effective width therefore auto-widens to
+    * keep the EXPECTED bucket size near 8 — w_eff = max(bandWidth,
+    * ceil(log2(keys/8))) — the simhash -> simhash_wide band-space
+    * lever applied automatically. Exact verification is unchanged,
+    * so correctness is width-independent; wider bands trade recall
+    * on weaker correlations for bounded candidates, exactly the LSH
+    * contract. The oracle gate fixture stays under 2^bandWidth * 8
+    * keys, where w_eff == bandWidth and the static SQL mirror holds.
     */
   def corrPairsBanded(df: DataFrame, minAbsCorr: Double = 0.3, bandWidth: Int = 6,
                       key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     val rets = dailyCloseReturns(df, key, ts, v)
+    val cnt = rets.agg(
+      countDistinct(col(key)).as("nk"), countDistinct(col("day")).as("nd")).head()
+    val (nKeys, nSlots) = (cnt.getLong(0), cnt.getLong(1))
+    val wEff = math.max(bandWidth,
+      math.ceil(math.log(math.max(nKeys, 1L) / 8.0) / math.log(2)).toInt)
+    // widened regime only: a trailing partial band of p slots has
+    // just 2^p patterns and re-saturates on its own (the x30 tail
+    // band of 4 slots = 16 buckets for 45k keys) — merge it into the
+    // last full band instead. The default-width path keeps the plain
+    // floor rule bit-for-bit (it is what the static SQL oracle
+    // mirrors).
+    val bandCol =
+      if (wEff == bandWidth) floor(col("slot") / bandWidth).cast("long")
+      else {
+        val nBands = math.max(1L, nSlots / wEff)
+        least(floor(col("slot") / wEff), lit(nBands - 1)).cast("long")
+      }
     val days = broadcast(rets.select(col("day")).distinct()
       .withColumn("slot", row_number().over(Window.orderBy("day")).cast("long") - 1))
     val r = rets.join(days, "day")
@@ -576,7 +605,7 @@ object TimeSeries {
     // different day coverage inside a band never collide (they could
     // not be verified against the same slots anyway)
     val sigs = r
-      .withColumn("band", floor(col("slot") / bandWidth).cast("long"))
+      .withColumn("band", bandCol)
       .withColumn("sgn", when(col("ret") >= 0, lit(1)).otherwise(lit(0)))
       .groupBy(col("k"), col("band"))
       .agg(sort_array(collect_list(struct(col("slot"), col("sgn")))).as("sv"))

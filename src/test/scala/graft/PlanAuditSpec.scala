@@ -272,6 +272,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct") && !p22.contains("CartesianProduct"))
   }
 
+  test("bloom join: codegen'd probe filter present, equi-join strategy, no product") {
+    val p = planOf("q_bloom_join")
+    assert(p.contains("getbit"),
+      s"the bloom probe (getbit on the bitset literal) is missing from the plan:\n$p")
+    assert(p.contains("xxhash64"),
+      s"the probe hash family is missing — the filter is not the bloom probe:\n$p")
+    assert(p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*"),
+      s"bloom join lost its equi-join strategy:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("banded corr pairs: candidates from the (band,sig) bucket join, verification equi-keyed") {
     val p = planOf("q_corr_pairs_banded")
     assert(p.matches("(?s).*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[[^\\]]*(band|sig)[^\\]]*\\].*") ||

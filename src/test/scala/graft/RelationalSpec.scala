@@ -144,4 +144,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
       "SQL Q22 shape differs from the composed formulation")
   }
+
+  test("bloom-filtered join: exactly the plain join's rows, and the probe genuinely prunes") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val li   = Tables.lineitem(spark, sf)
+    val ords = Tables.orders(spark, sf).filter($"o_totalprice" > 450000.0)
+    val got  = Relational.bloomFilteredJoin(li, ords, "l_orderkey", "o_orderkey")
+    val want = li.join(ords, $"l_orderkey" === $"o_orderkey")
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "bloom reduction changed the join result")
+    // no false negatives: every matching fact row passes the probe;
+    // and on a selective dim the probe keeps strictly fewer rows
+    // than the full fact scan (the transport saving)
+    val bits = graft.operators.Dedup.bloomBitset(ords.select($"o_orderkey"), "o_orderkey", 1 << 20, 5)
+    val kept = li.filter(graft.operators.Dedup.bloomProbe($"l_orderkey", bits, 5)).count()
+    assert(kept >= want.count(), "a matching fact row failed the probe — false negative")
+    assert(kept < li.count(), s"probe kept all ${li.count()} fact rows — no pruning happened")
+  }
 }

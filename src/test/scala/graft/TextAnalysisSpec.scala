@@ -178,6 +178,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.pmiCollocations(df, minCount = 1, k = 100).count() > got.length)
   }
 
+  test("vocab coverage matches local Zipf-head computation, shares monotone to <= 1") {
+    import TestSession.spark.implicits._
+    val df = Seq((0L, "a a a b b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, 3).orderBy($"rnk").collect()
+    // counts: a=4, b=3, c=2, d=1; total=10
+    val want = Seq(("a", 4L, 0.4), ("b", 3L, 0.7), ("c", 2L, 0.9))
+    assert(got.length === 3)
+    got.zip(want).zipWithIndex.foreach { case ((r, (tok, cnt, share)), i) =>
+      assert(r.getAs[Long]("rnk") === i + 1L)
+      assert(r.getAs[String]("tok") === tok)
+      assert(r.getAs[Long]("cnt") === cnt)
+      assert(math.abs(r.getAs[Double]("cum_share") - share) < 1e-9)
+    }
+    // fixture: shares non-decreasing, counts non-increasing, last <= 1
+    val fx = TextAnalysis.vocabCoverage(Tables.documents(spark, sf), 20).orderBy($"rnk").collect()
+    fx.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        assert(p(0).getAs[Long]("cnt") >= p(1).getAs[Long]("cnt"))
+        assert(p(0).getAs[Double]("cum_share") <= p(1).getAs[Double]("cum_share"))
+      }
+    }
+    assert(fx.last.getAs[Double]("cum_share") <= 1.0)
+  }
+
   test("cluster top terms: idf semantics, rank shape, and the one-cell degenerate") {
     import TestSession.spark.implicits._
     val docs = Tables.documents(spark, sf)

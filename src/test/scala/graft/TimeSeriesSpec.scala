@@ -149,6 +149,39 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(found.count() === 1, "planted corr=1 pair not recalled")
   }
 
+  test("corrPairsBanded auto-widens past band-space saturation: still subset-of-exact, corr=1 recall kept") {
+    import spark.implicits._
+    // 700 keys x 21 days >> 8 * 2^6: the default 6-slot band space
+    // saturates, so the widened regime (wEff > 6, tail band merged)
+    // must engage — and stay a subset of the exact matrix with
+    // identical values. Deterministic pseudo-random walks; keys 698
+    // and 699 are affine twins (corr = 1, guaranteed collision in
+    // every band regardless of width).
+    val nK   = 700
+    val days = 21
+    val base = spark.range(nK.toLong * days)
+      .select(($"id" / days).cast("long").as("user_id"), ($"id" % days).as("d"))
+      .select($"user_id", $"d",
+        timestamp_micros(lit(1704067200000000L) + $"d" * 86400000000L).as("ts"),
+        (lit(100.0) + (pmod($"user_id" * 131 + $"d" * 37, lit(17)) - 8).cast("double") +
+          (pmod($"user_id" * 17 + $"d" * $"d" * 7, lit(11)) - 5).cast("double") * 0.5).as("value"))
+      .drop("d")
+    val twin = base.filter($"user_id" === 698L)
+      .select(lit(699L).as("user_id"), $"ts", ($"value" * 3.0 + 7.0).as("value"))
+    val df = base.filter($"user_id" =!= 699L).unionByName(twin)
+    val banded = TimeSeries.corrPairsBanded(df, minAbsCorr = 0.98)
+      .select($"ka", $"kb", $"corr_ret".as("corr_banded"))
+    assert(banded.filter($"ka" === 698L && $"kb" === 699L).count() === 1,
+      "corr=1 twin pair lost by the widened banding")
+    val exact = TimeSeries.correlationMatrix(df)
+      .select($"ka", $"kb", $"corr_ret".as("corr_exact"))
+    val joined = banded.join(exact, Seq("ka", "kb"), "left")
+    assert(joined.filter($"corr_exact".isNull).count() === 0,
+      "widened banding emitted a pair absent from the exact matrix")
+    assert(joined.filter(abs($"corr_banded" - $"corr_exact") > 1e-9).count() === 0,
+      "widened banding corr value differs from the exact matrix")
+  }
+
   test("macd column's guard uses only the alphas it depends on") {
     import spark.implicits._
     // 4000 rows: past the signal EMA's horizon (~3138 for span 9) but
