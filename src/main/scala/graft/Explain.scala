@@ -35,7 +35,8 @@ object Explain {
         "q_min_cost_supplier", "q_dormant_customers", "q_stochastic",
         "q_atr", "q_obv", "q_pmi_bigrams", "q_cluster_topterms",
         "q_random_projection", "q_binary_magic",
-        "q_bloom_join", "q_vocab_coverage")
+        "q_bloom_join", "q_vocab_coverage",
+        "q_cohort_retention", "q_funnel")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -683,6 +683,13 @@ object SparkEntry {
       graft.streaming.Streams
         .windowedAggBatch(Tables.events(s, dir))
         .orderBy("window_start", "event_type")),
+    "q_cohort_retention" -> ((s, dir) =>
+      EventAnalytics.cohortRetention(Tables.events(s, dir))
+        .withColumn("cohort", date_format(col("cohort"), "yyyy-MM-dd"))
+        .orderBy("cohort", "day_offset")),
+    "q_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir))
+        .orderBy("stage")),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Streams
         .sessionizeBatch(Tables.events(s, dir))
@@ -2866,6 +2873,57 @@ object SparkEntry {
         |FROM events
         |GROUP BY time_bucket(INTERVAL '6 hours', ts), event_type
         |ORDER BY window_start, event_type""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH fs AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS cohort FROM events GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        |), j AS (
+        |  SELECT fs.cohort, date_diff('day', fs.cohort, act.d) AS day_offset, act.user_id
+        |  FROM act JOIN fs USING (user_id)
+        |), cells AS (
+        |  SELECT cohort, day_offset, count(DISTINCT user_id) AS n_users
+        |  FROM j GROUP BY 1, 2
+        |), sizes AS (
+        |  SELECT cohort, count(DISTINCT user_id) AS cohort_size FROM fs GROUP BY cohort
+        |)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort, day_offset, n_users, cohort_size,
+        |  round(CAST(n_users AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM cells JOIN sizes USING (cohort)
+        |ORDER BY cohort, day_offset""".stripMargin,
+    "q_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t1
+        |  FROM events e JOIN s0 ON s0.user_id = e.user_id AND e.ts >= s0.t0
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON s1.user_id = e.user_id AND e.ts >= s1.t1
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |), c AS (
+        |  SELECT (SELECT count(*) FROM s0) AS n0,
+        |         (SELECT count(*) FROM s1) AS n1,
+        |         (SELECT count(*) FROM s2) AS n2
+        |)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS event_type, n0 AS n_users,
+        |    round(CASE WHEN n0 != 0 THEN CAST(n0 AS DOUBLE) / n0 END, 6) AS step_rate,
+        |    round(CASE WHEN n0 != 0 THEN CAST(n0 AS DOUBLE) / n0 END, 6) AS overall_rate
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), 'click', n1,
+        |    round(CASE WHEN n0 != 0 THEN CAST(n1 AS DOUBLE) / n0 END, 6),
+        |    round(CASE WHEN n0 != 0 THEN CAST(n1 AS DOUBLE) / n0 END, 6)
+        |  FROM c
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), 'purchase', n2,
+        |    round(CASE WHEN n1 != 0 THEN CAST(n2 AS DOUBLE) / n1 END, 6),
+        |    round(CASE WHEN n0 != 0 THEN CAST(n2 AS DOUBLE) / n0 END, 6)
+        |  FROM c
+        |)
+        |ORDER BY stage""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product/event analytics over the events stream — the batch side
+  * of the real-time dashboard family (reference analog: the
+  * Streamlit activity panels; streaming twins live in
+  * graft.streaming.Streams). Cohort retention and ordered funnels
+  * are the two classic event-table rollups every analytics engine
+  * ships.
+  *
+  * Scale design: both operators key every aggregate by user_id
+  * first, so one hash partitioning serves the per-user stage;
+  * nothing here is ever quadratic — retention is two aggregates +
+  * one same-key join, the funnel is one conditional-aggregate pass
+  * per stage over an already user-keyed frame.
+  */
+object EventAnalytics {
+
+  /** Cohort retention matrix: users bucketed by first-seen day (the
+    * cohort), then per (cohort, day-offset) the count of distinct
+    * cohort members active at that offset, with the retention rate
+    * against the cohort's size. Two user-keyed aggregates (first
+    * seen, active days) + one join on user_id (co-partitioned — no
+    * extra shuffle stage beyond the two aggregates' own) + the
+    * final (cohort, offset) rollup; the cohort-size join is a
+    * cohort-keyed dim small enough to broadcast at any corpus size
+    * (one row per calendar day). Counts are exact longs; the rate
+    * is one division per output row.
+    */
+  def cohortRetention(events: DataFrame, unit: String = "day"): DataFrame = {
+    val firstSeen = events
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc(unit, col("ts"))).as("cohort"))
+    val active = events
+      .select(col("user_id"), date_trunc(unit, col("ts")).as("d"))
+      .distinct()
+    val joined = active.join(firstSeen, "user_id")
+      .select(col("cohort"), datediff(col("d"), col("cohort")).cast("long").as("day_offset"),
+        col("user_id"))
+    val cells = joined
+      .groupBy(col("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    val sizes = broadcast(firstSeen
+      .groupBy(col("cohort")).agg(countDistinct(col("user_id")).as("cohort_size")))
+    cells.join(sizes, "cohort")
+      .select(col("cohort"), col("day_offset"), col("n_users"), col("cohort_size"),
+        round(col("n_users").cast("double") / col("cohort_size").cast("double"), 6)
+          .as("retention"))
+  }
+
+  /** Ordered conversion funnel: for a stage sequence (e.g. view ->
+    * click -> purchase), a user converts stage i only with an event
+    * of that type AT OR AFTER their stage-(i-1) conversion time —
+    * the standard ordered-funnel semantics, not mere presence.
+    * Implemented as one conditional min-aggregate per stage over
+    * the user-keyed frame, each stage's threshold joined back on
+    * user_id (co-partitioned). Emits one row per stage: users
+    * reaching it, conversion vs previous stage and vs stage 1 —
+    * counts exact, rates one division each.
+    */
+  def funnel(events: DataFrame, stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    // per-user conversion time per stage, built stage by stage
+    var conv = events
+      .filter(col("event_type") === stages.head)
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t0"))
+    stages.zipWithIndex.tail.foreach { case (s, i) =>
+      val prev = s"t${i - 1}"
+      val cur  = s"t$i"
+      val next = events.filter(col("event_type") === s)
+        .select(col("user_id"), col("ts"))
+        .join(conv.select(col("user_id"), col(prev)), "user_id")
+        .filter(col("ts") >= col(prev))
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as(cur))
+      conv = conv.join(next, Seq("user_id"), "left")
+    }
+    val aggs   = stages.indices.map(i => count(col(s"t$i")).as(s"n$i"))
+    val counts = conv.agg(aggs.head, aggs.tail: _*)
+    val cells = stages.indices.map { i =>
+      val nPrev = if (i == 0) col("n0") else col(s"n${i - 1}")
+      counts.select(
+        lit(i.toLong + 1).as("stage"),
+        lit(stages(i)).as("event_type"),
+        col(s"n$i").as("n_users"),
+        round(when(nPrev =!= 0, col(s"n$i").cast("double") / nPrev.cast("double")), 6)
+          .as("step_rate"),
+        round(when(col("n0") =!= 0, col(s"n$i").cast("double") / col("n0").cast("double")), 6)
+          .as("overall_rate"))
+    }
+    cells.reduce(_ unionByName _)
+  }
+}

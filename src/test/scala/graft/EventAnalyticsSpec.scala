@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  import TestSession._
+
+  private def ts(day: Int, hour: Int = 1) =
+    timestamp_micros(lit(1704067200000000L + day * 86400000000L + hour * 3600000000L))
+
+  test("cohort retention matches a hand-built matrix") {
+    import spark.implicits._
+    // user 1 first on day 0, active days 0,1,3; user 2 first day 0,
+    // active 0,2; user 3 first day 1, active 1 only
+    val rows = Seq((1L, 0), (1L, 1), (1L, 3), (2L, 0), (2L, 2), (3L, 1))
+    val ev = rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .select($"event_id", $"user_id", ts(0).as("base"), $"d")
+      .select($"event_id", $"user_id",
+        timestamp_micros(unix_micros($"base") + $"d" * 86400000000L).as("ts"))
+    val got = EventAnalytics.cohortRetention(ev)
+      .withColumn("cohort", date_format($"cohort", "yyyy-MM-dd"))
+      .orderBy($"cohort", $"day_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val want = Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-01", 2L, 1L, 2L, 0.5),
+      ("2024-01-01", 3L, 1L, 2L, 0.5),
+      ("2024-01-02", 0L, 1L, 1L, 1.0))
+    assert(got.toSeq === want)
+  }
+
+  test("funnel enforces event ORDER, not mere presence") {
+    import spark.implicits._
+    // A: view -> click -> purchase in order (full conversion)
+    // B: click BEFORE its first view, no purchase (stalls at view)
+    // C: view only
+    val rows = Seq(
+      (1L, "view", 0), (1L, "click", 1), (1L, "purchase", 2),
+      (2L, "click", 0), (2L, "view", 1),
+      (3L, "view", 0))
+    val ev = rows.zipWithIndex.map { case ((u, t, h), i) => (i.toLong, u, t, h) }
+      .toDF("event_id", "user_id", "event_type", "h")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros(lit(1704067200000000L) + $"h" * 3600000000L).as("ts"))
+    val got = EventAnalytics.funnel(ev).orderBy($"stage").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val want = Seq(
+      (1L, "view", 3L, 1.0, 1.0),
+      (2L, "click", 1L, BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (3L, "purchase", 1L, 1.0,
+        BigDecimal(1.0 / 3).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got.toSeq === want)
+    // same-timestamp boundary: a click AT the first view's instant
+    // counts (>= semantics)
+    val tie = Seq((9L, 5L, "view", 0), (10L, 5L, "click", 0))
+      .toDF("event_id", "user_id", "event_type", "h")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros(lit(1704067200000000L) + $"h" * 3600000000L).as("ts"))
+    val tieRow = EventAnalytics.funnel(tie).filter($"stage" === 2).head()
+    assert(tieRow.getLong(2) === 1L, "click at the view instant must convert")
+  }
+
+  test("fixture run: counts monotone down the funnel, retention bounded") {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sf)
+    val fun = EventAnalytics.funnel(ev).orderBy($"stage").collect()
+    assert(fun.length === 3)
+    assert(fun.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)),
+      "funnel counts must be non-increasing")
+    val ret = EventAnalytics.cohortRetention(ev)
+    assert(ret.filter($"retention" <= 0 || $"retention" > 1).count() === 0)
+    assert(ret.filter($"day_offset" < 0).count() === 0,
+      "an active day precedes its user's cohort day")
+  }
+}
