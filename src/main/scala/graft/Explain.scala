@@ -36,7 +36,9 @@ object Explain {
         "q_atr", "q_obv", "q_pmi_bigrams", "q_cluster_topterms",
         "q_random_projection", "q_binary_magic",
         "q_bloom_join", "q_vocab_coverage",
-        "q_cohort_retention", "q_funnel")
+        "q_cohort_retention", "q_funnel",
+        "q_ship_priority_classes", "q_promo_share",
+        "q_or_predicate_revenue", "q_waiting_suppliers")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -72,6 +72,22 @@ object SparkEntry {
       Relational
         .dormantRichCustomers(Tables.customer(s, dir), Tables.orders(s, dir))
         .orderBy("segment")),
+    "q_ship_priority_classes" -> ((s, dir) =>
+      Relational
+        .shipPriorityClasses(Tables.lineitem(s, dir), Tables.orders(s, dir),
+          "1997-01-01", "1998-01-01")
+        .orderBy("l_returnflag")),
+    "q_promo_share" -> ((s, dir) =>
+      Relational
+        .promoRevenueShare(Tables.lineitem(s, dir), Tables.part(s, dir),
+          "1997-01-01", "1997-03-01")
+        .withColumn("promo_share", round(col("promo_share"), 6))),
+    "q_or_predicate_revenue" -> ((s, dir) =>
+      Relational.brandSizeQtyRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_waiting_suppliers" -> ((s, dir) =>
+      Relational
+        .waitingSuppliers(Tables.supplier(s, dir), Tables.lineitem(s, dir),
+          Tables.orders(s, dir))),
     // bloom semi-join reduction as a checked twin: the oracle is the
     // PLAIN join+aggregate (no bloom anywhere) — no false negatives
     // means the reduction provably changes transport, not the answer
@@ -854,6 +870,45 @@ object SparkEntry {
         |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
         |GROUP BY c.c_mktsegment
         |ORDER BY segment""".stripMargin,
+    "q_ship_priority_classes" ->
+      """SELECT l.l_returnflag,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
+        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY l.l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_promo_share" ->
+      """SELECT
+        |  round(100.0 * CAST(coalesce(sum(CASE WHEN p.p_type = 'PROMO'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END), 0) AS DOUBLE)
+        |    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS promo_share,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-03-01'""".stripMargin,
+    "q_or_predicate_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 20)
+        |   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30 AND l.l_quantity BETWEEN 10 AND 35)
+        |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50 AND l.l_quantity BETWEEN 20 AND 50)""".stripMargin,
+    "q_waiting_suppliers" ->
+      """SELECT s.s_name, count(*) AS numwait
+        |FROM supplier s, lineitem l1, orders o
+        |WHERE o.o_orderkey = l1.l_orderkey AND l1.l_suppkey = s.s_suppkey
+        |  AND o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+        |GROUP BY s.s_name
+        |ORDER BY numwait DESC, s_name ASC
+        |LIMIT 20""".stripMargin,
     "q_bloom_join" ->
       """SELECT o.o_orderpriority,
         |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,

@@ -228,6 +228,94 @@ object Relational {
       |""".stripMargin)
   }
 
+  /** TPC-H Q12-shaped priority-class rollup: per return flag, how
+    * many shipped lines belong to critical- vs normal-priority
+    * orders inside a ship-date window. Date bounds push to the
+    * lineitem scan; one fact⋈fact equi-join + CASE-count aggregate
+    * (map-side partials) — counts exact longs.
+    */
+  def shipPriorityClasses(lineitem: DataFrame, orders: DataFrame,
+                          from: String, to: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_count"))
+  }
+
+  /** TPC-H Q14-shaped promo revenue share: the percentage of
+    * windowed revenue sitting on promo-type parts. Both sums
+    * accumulate in DECIMAL (exact, order-independent), one IEEE
+    * division at the end; the part dim broadcasts.
+    */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        from: String, to: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp"))
+      .join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      .agg(
+        (lit(100.0) * coalesce(sum(when(col("p_type") === "PROMO", rev)), lit(0).cast(Money)).cast("double") /
+          sum(rev).cast("double")).as("promo_share"),
+        sum(rev).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q19-shaped disjunctive-predicate join: revenue over an
+    * OR of (brand, size-range, quantity-range) conjunct groups —
+    * the classic "predicate too disjunctive to fully push" shape.
+    * The part dim still broadcasts and the join stays equi-keyed;
+    * the OR evaluates post-join inside codegen. DECIMAL revenue.
+    */
+  def brandSizeQtyRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    val clause =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+      (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) && col("l_quantity").between(10, 35)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) && col("l_quantity").between(20, 50))
+    lineitem
+      .join(broadcast(part), col("p_partkey") === col("l_partkey"))
+      .filter(clause)
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q21-shaped waiting suppliers: suppliers whose line on a
+    * FINISHED multi-supplier order shipped late (past orderdate +
+    * lateDays) while every OTHER supplier's line on that order was
+    * on time — EXISTS + correlated NOT EXISTS against the same
+    * fact, the heaviest decorrelation shape in the TPC-H family
+    * (left-semi + left-anti self-joins on l_orderkey, never a
+    * per-row probe). Counts exact; top-k by count with a name
+    * tiebreak.
+    */
+  def waitingSuppliers(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                       lateDays: Int = 45, k: Int = 20): DataFrame = {
+    val spark = supplier.sparkSession
+    supplier.createOrReplaceTempView("graft_q21_supplier")
+    lineitem.createOrReplaceTempView("graft_q21_lineitem")
+    orders.createOrReplaceTempView("graft_q21_orders")
+    spark.sql(s"""
+      |SELECT s.s_name, count(*) AS numwait
+      |FROM graft_q21_supplier s, graft_q21_lineitem l1, graft_q21_orders o
+      |WHERE o.o_orderkey = l1.l_orderkey AND l1.l_suppkey = s.s_suppkey
+      |  AND o.o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY
+      |  AND EXISTS (SELECT 1 FROM graft_q21_lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM graft_q21_lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o.o_orderdate + INTERVAL $lateDays DAY)
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name ASC
+      |LIMIT $k
+      |""".stripMargin)
+  }
+
   /** Bloom semi-join reduction: at 100 TB the dominant cost of a
     * selective fact⋈dim join is shuffling fact rows that will find
     * no match. Build a Bloom bitset of the dim join keys (the

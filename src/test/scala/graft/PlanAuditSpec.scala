@@ -272,6 +272,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p2.contains("CartesianProduct") && !p22.contains("CartesianProduct"))
   }
 
+  test("Q21 shape: EXISTS/NOT-EXISTS self-joins decorrelate to semi+anti, never per-row probes") {
+    val p = planOf("q_waiting_suppliers")
+    assert(!p.contains("scalar-subquery"),
+      s"q_waiting_suppliers kept a correlated scalar subquery:\n$p")
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not become an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    // Q19 shape: the disjunctive predicate keeps its broadcast
+    // equi-join — it must never degrade to a nested-loop product
+    val p19 = planOf("q_or_predicate_revenue")
+    assert(p19.contains("BroadcastHashJoin") || p19.contains("BroadcastExchange"),
+      s"q_or_predicate_revenue lost its broadcast dim join:\n$p19")
+    assert(!p19.contains("CartesianProduct") && !p19.contains("BroadcastNestedLoopJoin"))
+    // the date window must reach the lineitem scan in the Q12 shape
+    val p12 = planOf("q_ship_priority_classes")
+    assert(p12.contains("PushedFilters: [") && !p12.matches("(?s).*PushedFilters: \\[\\].*"),
+      s"q_ship_priority_classes ship-date window not pushed to scan:\n$p12")
+  }
+
   test("bloom join: codegen'd probe filter present, equi-join strategy, no product") {
     val p = planOf("q_bloom_join")
     assert(p.contains("getbit"),

@@ -163,4 +163,36 @@ class RelationalSpec extends AnyFunSuite {
     assert(kept >= want.count(), "a matching fact row failed the probe — false negative")
     assert(kept < li.count(), s"probe kept all ${li.count()} fact rows — no pruning happened")
   }
+
+  test("Q12/Q14/Q19/Q21 shapes: class counts conserve, shares bounded, waits ordered") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val os = Tables.orders(spark, sf)
+    // Q12: high + low must equal the windowed join's row count
+    val q12 = Relational.shipPriorityClasses(li, os, "1997-01-01", "1998-01-01")
+    val joinedN = li
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_shipdate" < "1998-01-01")
+      .join(os, $"l_orderkey" === $"o_orderkey").count()
+    assert(q12.agg(sum($"high_count" + $"low_count")).head().getLong(0) === joinedN)
+    // Q14: share in [0, 100], consistent with its own components
+    val q14 = Relational.promoRevenueShare(li, Tables.part(spark, sf), "1997-01-01", "1997-03-01").head()
+    val share = q14.getAs[Double]("promo_share")
+    assert(share >= 0 && share <= 100, s"promo share $share out of range")
+    assert(q14.getAs[Double]("total_revenue") > 0 && q14.getAs[Long]("n_lines") > 0)
+    // Q19: the disjunctive filter is a strict subset of the plain join
+    val q19 = Relational.brandSizeQtyRevenue(li, Tables.part(spark, sf)).head()
+    assert(q19.getAs[Long]("n_lines") > 0 && q19.getAs[Long]("n_lines") < li.count())
+    // Q21: counts positive, strictly ordered by (numwait desc, name)
+    val q21 = Relational.waitingSuppliers(Tables.supplier(spark, sf), li, os).collect()
+    assert(q21.nonEmpty && q21.forall(_.getAs[Long]("numwait") > 0))
+    q21.sliding(2).foreach { p =>
+      if (p.length == 2) {
+        val (a, b) = (p(0), p(1))
+        assert(a.getAs[Long]("numwait") > b.getAs[Long]("numwait") ||
+          (a.getAs[Long]("numwait") == b.getAs[Long]("numwait") &&
+            a.getAs[String]("s_name") < b.getAs[String]("s_name")))
+      }
+    }
+  }
 }
