@@ -177,7 +177,12 @@ object Bench {
     // weighted race, the broadcast-rate temperature mix, span
     // removal's registry join, and df-capped containment
     "q_bm25_topk", "q_weighted_sample", "q_temperature_mix",
-    "q_strip_spans", "q_containment")
+    "q_strip_spans", "q_containment",
+    // r11: the transport-reduction join and the saturation-aware
+    // banded corr twin — the two new operators whose scale claims
+    // the artifact should carry (compact line stays ~1.7KB, under
+    // the harness's ~2KB tail window)
+    "q_bloom_join", "q_corr_pairs_banded")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact
