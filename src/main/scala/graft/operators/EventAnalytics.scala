@@ -80,17 +80,30 @@ object EventAnalytics {
     }
     val aggs   = stages.indices.map(i => count(col(s"t$i")).as(s"n$i"))
     val counts = conv.agg(aggs.head, aggs.tail: _*)
-    val cells = stages.indices.map { i =>
-      val nPrev = if (i == 0) col("n0") else col(s"n${i - 1}")
-      counts.select(
-        lit(i.toLong + 1).as("stage"),
-        lit(stages(i)).as("event_type"),
-        col(s"n$i").as("n_users"),
-        round(when(nPrev =!= 0, col(s"n$i").cast("double") / nPrev.cast("double")), 6)
-          .as("step_rate"),
-        round(when(col("n0") =!= 0, col(s"n$i").cast("double") / col("n0").cast("double")), 6)
-          .as("overall_rate"))
+    // ONE job: a union of per-stage selects over `counts` would
+    // recompute the whole conv lineage once per stage (no CSE
+    // across union branches) — the aggregate is a single row, so
+    // collect it and emit the k-row funnel as literals (the
+    // ivfTrain tiny-result pattern). Rounding mirrors Spark's
+    // round(): BigDecimal HALF_UP at 6 dp.
+    val row = counts.head()
+    val ns  = stages.indices.map(i => row.getLong(i))
+    def rate(num: Long, den: Long): java.lang.Double =
+      if (den == 0) null
+      else BigDecimal(num.toDouble / den).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = events.sparkSession
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("stage", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_users", org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("step_rate", org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("overall_rate", org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val rows = stages.indices.map { i =>
+      org.apache.spark.sql.Row(i.toLong + 1, stages(i), ns(i),
+        rate(ns(i), if (i == 0) ns(0) else ns(i - 1)),
+        rate(ns(i), ns(0)))
     }
-    cells.reduce(_ unionByName _)
+    spark.createDataFrame(rows.asJava, schema)
   }
 }
