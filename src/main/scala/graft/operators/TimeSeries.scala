@@ -146,17 +146,24 @@ object TimeSeries {
     val safeRn = (700.0 / -math.log1p(-a)).toLong
     val w      = wk(key, ts)
     val wRun   = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCnt = df
+    // Route on a PRE-AGGREGATED per-key count joined back, not a
+    // whole-partition count window: the window formulation buffered
+    // every partition twice AND blocked filter pushdown, so the
+    // (usually empty) long branch re-ran the full windowed lineage
+    // before discarding it (q_ema 0.78s -> 1.15s in the r11 sweep).
+    // As a key-dim join, each branch prunes BEFORE any window, and
+    // AQE's empty-relation propagation skips the long branch's scan
+    // outright when no key exceeds the horizon.
+    val cnts      = df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+    val shortKeys = cnts.filter(col("__cnt") <= safeRn).select(col(key))
+    val longKeys  = cnts.filter(col("__cnt") > safeRn).select(col(key))
+    val short = df.join(shortKeys, Seq(key))
       .withColumn("rn", row_number().over(w) - 1)
-      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(key)))
-    val short = withCnt
-      .filter(col("__cnt") <= safeRn)
       .withColumn("g", when(col("rn") === 0, col(v)).otherwise(lit(a) * col(v) * pow(lit(1 - a), -col("rn"))))
       .withColumn("ema", closedFormGuard(round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6), a))
       .select(col(key), col(ts), col(v), col("rn"), col("ema"))
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val longRows = withCnt
-      .filter(col("__cnt") > safeRn)
+    val longRows = df.join(longKeys, Seq(key))
       .groupBy(col(key))
       .agg(expr(s"graft_ema_series($ts, $v, $span)").as("sv"))
       .select(col(key), posexplode(col("sv")).as(Seq("rn", "e")))
