@@ -38,7 +38,13 @@ object Explain {
         "q_bloom_join", "q_vocab_coverage",
         "q_cohort_retention", "q_funnel",
         "q_ship_priority_classes", "q_promo_share",
-        "q_or_predicate_revenue", "q_waiting_suppliers")
+        "q_or_predicate_revenue", "q_waiting_suppliers",
+        "q_late_orders", "q_local_supplier_volume", "q_volume_shipping",
+        "q_market_share", "q_product_profit", "q_returned_items",
+        "q_important_parts", "q_cust_order_distribution",
+        "q_top_supplier", "q_supplier_part_counts",
+        "q_session_stats", "q_top_transitions", "q_time_to_conversion",
+        "q_donchian", "q_cmf", "q_parkinson_vol", "q_knn_graph")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -103,6 +103,59 @@ object SparkEntry {
             .cast("double").as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("o_orderpriority")),
+    "q_late_orders" -> ((s, dir) =>
+      Relational
+        .latePriorityOrders(Tables.orders(s, dir), Tables.lineitem(s, dir),
+          "1996-01-01", "1997-01-01", lateDays = 30)
+        .orderBy("o_orderpriority")),
+    "q_local_supplier_volume" -> ((s, dir) =>
+      Relational
+        .localSupplierVolume(Tables.customer(s, dir), Tables.orders(s, dir),
+          Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir), "ASIA", "1996-01-01", "1998-01-01")
+        .orderBy("nation_name")),
+    "q_volume_shipping" -> ((s, dir) =>
+      Relational
+        .volumeShipping(Tables.supplier(s, dir), Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
+          "NATION_3", "NATION_5")
+        .orderBy("supp_nation", "cust_nation", "ship_year")),
+    "q_market_share" -> ((s, dir) =>
+      Relational
+        .marketShare(Tables.part(s, dir), Tables.supplier(s, dir), Tables.lineitem(s, dir),
+          Tables.orders(s, dir), Tables.customer(s, dir), Tables.nation(s, dir),
+          Tables.region(s, dir), "NATION_3", "ASIA", "STANDARD")
+        .orderBy("order_year")),
+    "q_product_profit" -> ((s, dir) =>
+      Relational
+        .productTypeProfit(Tables.part(s, dir), Tables.supplier(s, dir),
+          Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.nation(s, dir),
+          "bolt", costPct = 60)
+        .orderBy("nation_name", "order_year")),
+    "q_returned_items" -> ((s, dir) =>
+      Relational
+        .returnedItemReport(Tables.customer(s, dir), Tables.orders(s, dir),
+          Tables.lineitem(s, dir), Tables.nation(s, dir),
+          "1996-04-01", "1996-10-01", k = 20)),
+    "q_important_parts" -> ((s, dir) =>
+      Relational
+        .importantParts(Tables.lineitem(s, dir), Tables.supplier(s, dir),
+          Tables.nation(s, dir), "NATION_3", meanMult = 2L)
+        .orderBy("l_partkey")),
+    "q_cust_order_distribution" -> ((s, dir) =>
+      Relational
+        .custOrderDistribution(Tables.customer(s, dir), Tables.orders(s, dir), "5-LOW")
+        .orderBy(col("custdist").desc, col("c_count").desc)),
+    "q_top_supplier" -> ((s, dir) =>
+      Relational
+        .topSupplier(Tables.supplier(s, dir), Tables.lineitem(s, dir),
+          "1996-01-01", "1996-04-01")
+        .orderBy("s_suppkey")),
+    "q_supplier_part_counts" -> ((s, dir) =>
+      Relational
+        .supplierCountByPart(Tables.part(s, dir), Tables.supplier(s, dir),
+          Tables.lineitem(s, dir))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))),
     "q_pivot_wide" -> ((s, dir) =>
       Relational
         .pivotWide(Tables.events(s, dir), Seq("click", "error", "purchase", "signup", "view"))
@@ -373,6 +426,17 @@ object SparkEntry {
       TimeSeries.obv(Tables.events(s, dir))
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
+    "q_donchian" -> ((s, dir) =>
+      TimeSeries.donchian(Tables.events(s, dir), 20)
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_cmf" -> ((s, dir) =>
+      TimeSeries.cmf(Tables.events(s, dir), 20)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
+    "q_parkinson_vol" -> ((s, dir) =>
+      TimeSeries.parkinsonVol(Tables.events(s, dir))
+        .orderBy("user_id")),
     "q_rolling_stats" -> ((s, dir) =>
       TimeSeries.rollingStats(Tables.events(s, dir), 0L, 30)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -644,6 +708,9 @@ object SparkEntry {
     }),
     "q_ann_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)
+        .orderBy("src", "rnk")),
     "q_random_projection" -> ((s, dir) =>
       Embedding.randomProject(Tables.embeddings(s, dir), 8, 64)
         .orderBy("vec_id", "j")),
@@ -706,6 +773,14 @@ object SparkEntry {
     "q_funnel" -> ((s, dir) =>
       EventAnalytics.funnel(Tables.events(s, dir))
         .orderBy("stage")),
+    "q_session_stats" -> ((s, dir) =>
+      EventAnalytics.sessionStats(Tables.events(s, dir))
+        .orderBy("user_id")),
+    "q_top_transitions" -> ((s, dir) =>
+      EventAnalytics.topTransitions(Tables.events(s, dir), k = 20)),
+    "q_time_to_conversion" -> ((s, dir) =>
+      EventAnalytics.timeToConversion(Tables.events(s, dir))
+        .orderBy("user_id")),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Streams
         .sessionizeBatch(Tables.events(s, dir))
@@ -918,6 +993,128 @@ object SparkEntry {
         |WHERE o.o_totalprice > 450000.0
         |GROUP BY o.o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_late_orders" ->
+      """SELECT o.o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_local_supplier_volume" ->
+      """SELECT n.n_name AS nation_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n.n_name
+        |ORDER BY nation_name""".stripMargin,
+    "q_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l.l_shipdate) AS ship_year,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_5')
+        |   OR (n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, ship_year""".stripMargin,
+    "q_market_share" ->
+      """SELECT year(o.o_orderdate) AS order_year,
+        |  round(CAST(coalesce(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |      THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) END), 0) AS DOUBLE)
+        |    / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+        |JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+        |JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+        |GROUP BY 1
+        |ORDER BY order_year""".stripMargin,
+    "q_product_profit" ->
+      """SELECT n.n_name AS nation_name, year(o.o_orderdate) AS order_year,
+        |  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    - CAST(sum(CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) * (60.0 / 100.0), 6) AS profit,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation_name, order_year""".stripMargin,
+    "q_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+        |  CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS lost_revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-04-01' AND o.o_orderdate < TIMESTAMP '1996-10-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY lost_revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
+    "q_important_parts" ->
+      """WITH pp AS (
+        |  SELECT l.l_partkey, sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem l
+        |  WHERE l.l_suppkey IN (
+        |    SELECT s.s_suppkey FROM supplier s
+        |    JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |    WHERE n.n_name = 'NATION_3')
+        |  GROUP BY l.l_partkey)
+        |SELECT l_partkey, CAST(value_d AS DOUBLE) AS part_value
+        |FROM pp
+        |WHERE value_d * (SELECT count(*) FROM pp) > (SELECT sum(value_d) FROM pp) * 2
+        |ORDER BY l_partkey""".stripMargin,
+    "q_cust_order_distribution" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (
+        |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+        |  GROUP BY c.c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l.l_suppkey,
+        |    sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS rev_d
+        |  FROM lineitem l
+        |  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l.l_suppkey)
+        |SELECT s.s_suppkey, s.s_name, CAST(rev_d AS DOUBLE) AS total_revenue
+        |FROM rev
+        |JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev_d = (SELECT max(rev_d) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_supplier_part_counts" ->
+      """SELECT p.p_brand, p.p_type, p.p_size, count(DISTINCT pr.l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pr
+        |JOIN part p ON p.p_partkey = pr.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+        |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND pr.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,
@@ -1786,6 +1983,57 @@ object SparkEntry {
         |  sum(sv) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS obv
         |FROM s
         |ORDER BY user_id, day""".stripMargin,
+    "q_donchian" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), d AS (
+        |  SELECT user_id, bar_start, close,
+        |    max(high) OVER w AS upper, min(low) OVER w AS lower
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), e AS (
+        |  SELECT user_id, bar_start, upper, lower, close,
+        |    lag(upper) OVER ws AS prev_upper, lag(lower) OVER ws AS prev_lower
+        |  FROM d
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY bar_start)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start, upper, lower,
+        |  round((upper + lower) / 2, 6) AS mid,
+        |  coalesce(close > prev_upper, false) AS breakout_up,
+        |  coalesce(close < prev_lower, false) AS breakout_down
+        |FROM e
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_cmf" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, day, volume,
+        |    CASE WHEN high != low THEN ((close - low) - (high - close)) / (high - low) ELSE 0.0 END
+        |      * CAST(volume AS DOUBLE) AS mfv
+        |  FROM bars
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, volume,
+        |  round(mfv, 6) AS mfv,
+        |  round(CASE WHEN sum(volume) OVER w != 0
+        |    THEN sum(mfv) OVER w / CAST(sum(volume) OVER w AS DOUBLE) END, 6) AS cmf
+        |FROM m
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_parkinson_vol" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max(value) AS high, min(value) AS low
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_bars,
+        |  round(sqrt(sum(pow(ln(high / low), 2)) / (4.0 * ln(2.0) * count(*))), 6) AS parkinson_vol
+        |FROM bars WHERE low > 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "q_rolling_stats" ->
       """WITH dc AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
@@ -2847,6 +3095,27 @@ object SparkEntry {
         |)
         |SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
         |FROM proj GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // edge scores are the same sequential dots as q_ann_bruteforce;
+    // the mutual flag is a pure self-join of the ranked edge set
+    "q_knn_graph" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), top AS (
+        |  SELECT src, dst, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |  FROM edges
+        |  QUALIFY rnk <= 5
+        |)
+        |SELECT t.src, t.dst, t.cos, t.rnk, (m.src IS NOT NULL) AS mutual
+        |FROM top t LEFT JOIN top m ON t.src = m.dst AND t.dst = m.src
+        |ORDER BY t.src, t.rnk""".stripMargin,
     "q_random_projection" ->
       """WITH dirs AS (
         |  SELECT j, list_transform(generate_series(0, 63), i ->
@@ -2996,6 +3265,49 @@ object SparkEntry {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM z GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+    "q_session_stats" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x
+        |), z AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM y
+        |), sess AS (
+        |  SELECT user_id, session_id, count(*) AS n_events,
+        |    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |  FROM z GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events,
+        |  max(n_events) AS max_session_events, sum(end_us - start_us) AS total_session_us
+        |FROM sess GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_top_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n_transitions
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY n_transitions DESC, prev_type ASC, next_type ASC
+        |LIMIT 20""".stripMargin,
+    "q_time_to_conversion" ->
+      """WITH f AS (
+        |  SELECT user_id, min(ts) AS t_from FROM events WHERE event_type = 'view' GROUP BY user_id
+        |), t AS (
+        |  SELECT e.user_id, min(e.ts) AS t_to
+        |  FROM events e JOIN f ON f.user_id = e.user_id AND e.ts >= f.t_from
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT f.user_id, epoch_us(t_from) AS from_us, epoch_us(t_to) AS to_us,
+        |  epoch_us(t_to) - epoch_us(t_from) AS delta_us
+        |FROM f JOIN t ON f.user_id = t.user_id
+        |ORDER BY f.user_id""".stripMargin,
     // the corpus is pure ASCII (octet_length == strlen for every
     // doc, asserted in MultimodalSpec), so DuckDB's char functions
     // see exactly the bytes Spark's binary expression sees

@@ -106,4 +106,72 @@ object EventAnalytics {
     }
     spark.createDataFrame(rows.asJava, schema)
   }
+
+  /** Per-user session rollup: session count, total/max events per
+    * session, and total in-session dwell time. Sessions are the
+    * gap-timeout sessions of [[graft.streaming.Streams.sessionizeBatch]]
+    * (same definition, same single per-user sort), re-aggregated to
+    * one row per user — every number an exact long (durations in
+    * epoch micros), so the result is engine- and partition-count-
+    * independent with no rounding anywhere. Both aggregates and the
+    * session window share the user_id hash partitioning: one
+    * shuffle total.
+    */
+  def sessionStats(events: DataFrame, gapMin: Int = 30): DataFrame =
+    graft.streaming.Streams.sessionizeBatch(events, gapMin)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("total_events"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("end_us") - col("start_us")).as("total_session_us"))
+
+  /** Top event-type transitions (first-order Markov edges): for each
+    * user's time-ordered event stream, count (previous type -> next
+    * type) adjacencies globally and keep the top-k edges. The lag
+    * window and the transition aggregate are exact; ties in `ts`
+    * order on event_id so the adjacency relation is deterministic on
+    * any engine. One per-user sort (the window), one (prev, next)
+    * aggregate — map-side partials — then a k-row heap merge
+    * (orderBy+limit -> TakeOrderedAndProject), never a global sort
+    * of the edge set.
+    */
+  def topTransitions(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("n_transitions").desc, col("prev_type").asc, col("next_type").asc)
+      .limit(k)
+  }
+
+  /** Time-to-conversion: for every user with a `fromType` event, the
+    * delay from their FIRST `fromType` to their first `toType` AT OR
+    * AFTER it (the ordered-funnel boundary semantics of [[funnel]],
+    * >= tie included). Emits one row per converting user with exact
+    * epoch-micro timestamps and delta — distribution summaries
+    * compose downstream (percentiles, histogram) without this
+    * operator choosing one. Both aggregates and the join key on
+    * user_id: co-partitioned, one hash partitioning serves all
+    * stages.
+    */
+  def timeToConversion(events: DataFrame,
+                       fromType: String = "view", toType: String = "purchase"): DataFrame = {
+    val firstFrom = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_from"))
+    val firstTo = events.filter(col("event_type") === toType)
+      .select(col("user_id"), col("ts"))
+      .join(firstFrom, "user_id")
+      .filter(col("ts") >= col("t_from"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_to"))
+    firstFrom.join(firstTo, "user_id")
+      .select(col("user_id"),
+        unix_micros(col("t_from")).as("from_us"),
+        unix_micros(col("t_to")).as("to_us"),
+        (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
+  }
 }

@@ -648,6 +648,265 @@ object Relational {
         unix_micros(col("__cur")("f")).as("ivl_from_us"), col("__cur")("v").as("ivl_val"))
   }
 
+  /** TPC-H Q4-shaped late-order priority check: per order priority,
+    * how many orders in a date window have at least one line shipped
+    * more than `lateDays` after the order date. The EXISTS is a
+    * LEFT-SEMI join whose condition mixes the equi key with a
+    * non-equi date comparison — Spark keeps l_orderkey=o_orderkey as
+    * the shuffle key and evaluates the date conjunct inside the join,
+    * so the probe never degenerates to a per-row subquery. The order
+    * window pushes to the orders scan. Counts exact longs.
+    */
+  def latePriorityOrders(orders: DataFrame, lineitem: DataFrame,
+                         from: String, to: String, lateDays: Int = 30): DataFrame =
+    orders
+      .filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(to).cast("timestamp"))
+      .join(lineitem,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAY"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+
+  /** TPC-H Q5-shaped local-supplier volume: revenue per nation where
+    * the ordering customer and the shipping supplier sit in the SAME
+    * nation, restricted to one region and an order-date window. The
+    * fact chain shuffles on its natural keys; supplier/nation/region
+    * broadcast; the c_nationkey = s_nationkey condition rides the
+    * supplier join as an extra conjunct (never a post-join filter on
+    * a cartesian). DECIMAL revenue.
+    */
+  def localSupplierVolume(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                          supplier: DataFrame, nation: DataFrame, region: DataFrame,
+                          regionName: String, from: String, to: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q7-shaped bilateral shipping volume: revenue by
+    * (supplier nation, customer nation, ship year) for one nation
+    * PAIR in both directions — the disjunctive two-nation predicate
+    * evaluates over two broadcast copies of the nation dim, so the
+    * fact chain still shuffles only on its equi keys. Year comes
+    * from l_shipdate (this schema's only line date). DECIMAL revenue.
+    */
+  def volumeShipping(supplier: DataFrame, lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, nation: DataFrame,
+                     nationA: String, nationB: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    val n1  = broadcast(nation.select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation")))
+    val n2  = broadcast(nation.select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation")))
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("n1_key"))
+      .join(n2, col("c_nationkey") === col("n2_key"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("ship_year"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q8-shaped market share: per order year, the share of a
+    * region's part-type revenue supplied from one target nation.
+    * Both the share's numerator (CASE-guarded) and denominator are
+    * exact DECIMAL sums over the same aggregate pass — one scan, one
+    * shuffle — with a single IEEE division at the end (rounded 6dp
+    * on both engines). Dims broadcast; the region filter prunes the
+    * customer side through nation.
+    */
+  def marketShare(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                  orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                  region: DataFrame, targetNation: String, regionName: String,
+                  pType: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    val custNation = broadcast(nation.select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_region")))
+    val suppNation = broadcast(nation.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === pType)), col("p_partkey") === col("l_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(custNation, col("c_nationkey") === col("cn_key"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("cn_region") === col("r_regionkey"))
+      .join(suppNation, col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        round(
+          coalesce(sum(when(col("supp_nation") === targetNation, rev)), lit(0).cast(Money)).cast("double") /
+            sum(rev).cast("double"), 6).as("mkt_share"),
+        sum(rev).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q9-shaped product profit: per (supplier nation, ship
+    * year), profit on parts whose name contains `nameToken`, where
+    * profit = discounted revenue minus a retail-price cost basis
+    * (p_retailprice x quantity x costPct — this schema's stand-in
+    * for ps_supplycost). Every term multiplies 2dp DECIMALs, so the
+    * whole profit sum is exact and order-independent; the name
+    * filter prunes part BEFORE its broadcast.
+    */
+  def productTypeProfit(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                        orders: DataFrame, nation: DataFrame,
+                        nameToken: String, costPct: Int = 60): DataFrame = {
+    val rev      = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    val costBase = col("p_retailprice").cast(Money) * col("l_quantity").cast(Money)
+    lineitem
+      .join(broadcast(part.filter(col("p_name").contains(nameToken))),
+        col("p_partkey") === col("l_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation_name"), year(col("o_orderdate")).as("order_year"))
+      .agg(
+        // both sums exact DECIMAL; the pct scale and subtraction are
+        // single IEEE ops over their unique double images — written
+        // in the same shape on the oracle side, so bit-identical
+        round(sum(rev).cast("double") -
+          sum(costBase).cast("double") * (lit(costPct.toDouble) / lit(100.0)), 6).as("profit"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q10-shaped returned-item report: the top-k customers by
+    * revenue lost to returned lines (l_returnflag = 'R') for orders
+    * placed in a window. The date window pushes to the orders scan
+    * and the return flag to the lineitem scan; top-k is
+    * orderBy+limit with a total order, so Spark plans
+    * TakeOrderedAndProject over the per-customer aggregate — never
+    * a global sort of all customers.
+    */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                         nation: DataFrame, from: String, to: String, k: Int = 20): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(orders.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+          col("o_orderdate") < lit(to).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation_name"))
+      .agg(sum(rev).cast("double").as("lost_revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("lost_revenue").desc, col("c_custkey").asc)
+      .limit(k)
+  }
+
+  /** TPC-H Q11-shaped important parts: parts whose shipped value
+    * from one nation's suppliers exceeds `meanMult` times the MEAN
+    * per-part value — the uncorrelated-scalar HAVING shape. (Classic
+    * Q11 thresholds on a fixed fraction of the grand total, which
+    * empties as the part universe grows — fraction-of-mean is the
+    * scale-invariant version of the same plan.) The one-row scalar
+    * carries total AND part count from a single re-aggregation of
+    * the reduced frame and broadcasts back; the threshold compare
+    * cross-multiplies in DECIMAL (value x n > total x mult) so no
+    * engine divides doubles.
+    */
+  def importantParts(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                     nationName: String, meanMult: Long = 2L): DataFrame = {
+    val suppIn = broadcast(
+      supplier.join(broadcast(nation.filter(col("n_name") === nationName)),
+        col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+    // materialize the reduced per-part frame ONCE: the grand total and
+    // the filtered output both derive from it, so lineitem is scanned
+    // a single time (ReuseExchange does not fire across the two
+    // branches — verified empirically — and a second 100 TB fact scan
+    // is exactly what this operator exists to avoid)
+    val perPart = lineitem
+      .join(suppIn, col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_extendedprice").cast(Money)).as("value_d"))
+      .localCheckpoint()
+    val total = perPart.agg(sum(col("value_d")).as("total_d"), count(lit(1)).as("n_parts"))
+    perPart
+      .crossJoin(broadcast(total))
+      .filter(col("value_d") * col("n_parts") > col("total_d") * lit(meanMult))
+      .select(col("l_partkey"), col("value_d").cast("double").as("part_value"))
+  }
+
+  /** TPC-H Q13-shaped customer order distribution: how many
+    * customers placed exactly N qualifying orders (priority filter
+    * standing in for Q13's comment NOT LIKE), including the
+    * zero-order bucket via a LEFT join. Two aggregates: per-customer
+    * counts (shuffle on custkey), then the count-of-counts over the
+    * already-reduced frame. Exact longs end to end.
+    */
+  def custOrderDistribution(customer: DataFrame, orders: DataFrame,
+                            exclPriority: String = "5-LOW"): DataFrame =
+    customer
+      .join(orders.filter(col("o_orderpriority") =!= exclPriority)
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+
+  /** TPC-H Q15-shaped top supplier: the supplier(s) whose windowed
+    * revenue equals the global maximum. Revenue stays DECIMAL
+    * through the max-equality (exact, so ties are real ties on both
+    * engines, not float accidents); the one-row max broadcasts back
+    * over the already-reduced per-supplier frame. Decorrelation
+    * red-bar: the scalar max never re-scans lineitem.
+    */
+  def topSupplier(supplier: DataFrame, lineitem: DataFrame,
+                  from: String, to: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    // one lineitem scan: the max and the equality filter both read the
+    // materialized per-supplier aggregate (same rationale as
+    // [[importantParts]] — exchange reuse does not fire here)
+    val perSupp = lineitem
+      .filter(col("l_shipdate") >= lit(from).cast("timestamp") &&
+        col("l_shipdate") < lit(to).cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(rev).as("rev_d"))
+      .localCheckpoint()
+    val mx = perSupp.agg(max(col("rev_d")).as("max_d"))
+    perSupp
+      .crossJoin(broadcast(mx))
+      .filter(col("rev_d") === col("max_d"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("rev_d").cast("double").as("total_revenue"))
+  }
+
+  /** TPC-H Q16-shaped supplier diversity: distinct supplier counts
+    * per (brand, type, size) over the part-supplier pairs observed
+    * in lineitem (this schema's partsupp), excluding one brand, one
+    * type, and "complaint" suppliers (negative balance — the NOT IN
+    * side planned as a broadcast left-anti). The fact reduces to
+    * DISTINCT pairs before any dim join, so the count-distinct
+    * aggregate runs over an already-deduplicated frame.
+    */
+  def supplierCountByPart(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                          exclBrand: String = "Brand#1", exclType: String = "PROMO",
+                          sizes: Seq[Int] = Seq(1, 5, 10, 15, 20, 25, 30, 35)): DataFrame = {
+    val pairs = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = broadcast(supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+    pairs
+      .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(part.filter(col("p_brand") =!= exclBrand &&
+          col("p_type") =!= exclType && col("p_size").isin(sizes.map(Integer.valueOf): _*))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+  }
+
   /** Top-N per group (top holdings / peer ranking analog): rank
     * window after a single shuffle on the group key.
     */

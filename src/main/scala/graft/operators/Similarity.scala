@@ -380,6 +380,42 @@ object Similarity {
     sweepBlockPairs(pairsOfBlocks, threshold)
   }
 
+  /** Mutual k-nearest-neighbor graph: for every vector its top-k
+    * cosine neighbors, flagged `mutual` when the reverse edge is
+    * also in the neighbor's own top-k — the symmetrized kNN graph
+    * that graph-based dedup/cluster stages consume. Scores come from
+    * the exact blocked pair sweep ([[cosineNearDupPairs]] at
+    * threshold -2, i.e. all nonzero-norm pairs; dots bit-equal to
+    * the SQL oracle), symmetrized by a cheap union of the reduced
+    * pair frame, ranked per source (one shuffle on src), and the
+    * mutual flag is a self left-join of the k·n-row edge frame on
+    * the reversed key — never a second sweep.
+    *
+    * Quadratic in vectors by declared semantics (the exact graph a
+    * bounded corpus slice wants; [[ivfNearDupPairs]] /
+    * [[lshNearDupPairs]] are the open-ended candidate paths — at
+    * scale, run the same rank+mutual tail over their candidate
+    * edges). `graft.pairSweep.maxKeys` guards the sweep.
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val edges = pairs
+      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val top = edges
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      // both the output and the reversed probe read this frame; the
+      // checkpoint keeps the n^2 sweep from running twice
+      .localCheckpoint()
+    val rev = top.select(col("dst").as("m_src"), col("src").as("m_dst"))
+    top
+      .join(rev, col("src") === col("m_src") && col("dst") === col("m_dst"), "left")
+      .select(col("src"), col("dst"), col("cos"), col("rnk"),
+        col("m_src").isNotNull.as("mutual"))
+  }
+
   /** Bucketed near-dup: exact cosine only within LSH buckets. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
     val b = lshBuckets(embeddings, planes)

@@ -1160,4 +1160,86 @@ object TimeSeries {
       .withColumn("obv", sum(col("sv")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
       .select(col(key), col("day"), col("close"), col("volume"), col("obv"))
   }
+
+  /** Donchian channel on daily OHLC bars: upper = n-bar rolling max
+    * of high, lower = n-bar rolling min of low, mid their midpoint,
+    * plus breakout flags against the PREVIOUS bar's channel (close
+    * above yesterday's upper / below yesterday's lower — comparing
+    * against the current bar's channel can never signal, since close
+    * <= high <= upper). Max/min are exact (no float accumulation at
+    * all); mid is one add + one divide. Same one-shuffle window
+    * shape as [[stochastic]].
+    */
+  def donchian(events: DataFrame, n: Int = 20,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"window size must be positive: n=$n")
+    val bars = Relational.ohlcResample(events)
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    val wN   = wSeq.rowsBetween(-(n - 1), 0)
+    bars
+      .withColumn("upper", max(col("high")).over(wN))
+      .withColumn("lower", min(col("low")).over(wN))
+      .withColumn("prev_upper", lag(col("upper"), 1).over(wSeq))
+      .withColumn("prev_lower", lag(col("lower"), 1).over(wSeq))
+      .select(col(key), col("bar_start"),
+        col("upper"), col("lower"),
+        round((col("upper") + col("lower")) / 2, 6).as("mid"),
+        coalesce(col("close") > col("prev_upper"), lit(false)).as("breakout_up"),
+        coalesce(col("close") < col("prev_lower"), lit(false)).as("breakout_down"))
+  }
+
+  /** Chaikin Money Flow on daily OHLC+volume bars: per bar the money
+    * flow multiplier ((close-low)-(high-close))/(high-low) (0 on a
+    * flat bar, the pandas-ta convention), weighted by volume; CMF =
+    * rolling-n sum of money-flow volume over rolling-n sum of
+    * volume. Volume is the daily sum of the events' JSON props `k`
+    * field (the [[vwap]]/[[obv]] source, exact longs); the two
+    * rolling sums accumulate <= n doubles/longs in frame order —
+    * the [[sma]] determinism recipe — and divide once.
+    */
+  def cmf(events: DataFrame, n: Int = 20,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"window size must be positive: n=$n")
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    val bars = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(
+        max(col(v)).as("high"), min(col(v)).as("low"),
+        max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+    val wN  = Window.partitionBy(key).orderBy("day").rowsBetween(-(n - 1), 0)
+    val mfm = when(col("high") =!= col("low"),
+      ((col("close") - col("low")) - (col("high") - col("close"))) / (col("high") - col("low")))
+      .otherwise(lit(0.0))
+    bars
+      .withColumn("mfv", mfm * col("volume").cast("double"))
+      .withColumn("cmf",
+        when(sum(col("volume")).over(wN) =!= 0L,
+          sum(col("mfv")).over(wN) / sum(col("volume")).over(wN).cast("double")))
+      .select(col(key), col("day"), col("volume"),
+        round(col("mfv"), 6).as("mfv"), round(col("cmf"), 6).as("cmf"))
+  }
+
+  /** Parkinson range volatility per key: sqrt( sum(ln(high/low)^2) /
+    * (4 ln 2 * n) ) over the key's daily bars — the high-low
+    * estimator that sees intraday range where close-to-close
+    * volatility can't. Flat bars contribute ln(1)^2 = 0; bars are
+    * first reduced per (key, day) — exact min/max — then one per-key
+    * aggregate of bounded per-day doubles (the [[metricsSummary]]
+    * float recipe, 6dp both engines).
+    */
+  def parkinsonVol(events: DataFrame,
+                   key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val bars = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max(col(v)).as("high"), min(col(v)).as("low"))
+    val x = pow(log(col("high") / col("low")), 2)
+    bars
+      .filter(col("low") > 0)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_bars"),
+        round(sqrt(sum(x) / (lit(4.0) * lit(math.log(2.0)) * count(lit(1)))), 6)
+          .as("parkinson_vol"))
+  }
 }

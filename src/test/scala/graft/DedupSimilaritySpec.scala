@@ -517,4 +517,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val lsh   = Similarity.lshNearDupPairs(emb, 0.4, 4).select($"va", $"vb")
     assert(lsh.except(exact).count() === 0)
   }
+
+  test("knn graph: k per node, rank 1 agrees with brute-force topk, mutual flag symmetric") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val g   = Similarity.knnGraph(emb, k = 3).cache()
+    val n   = emb.count()
+    // exactly min(k, n-1) edges per source, ranks 1..k
+    assert(g.groupBy($"src").count().filter($"count" =!= math.min(3, n - 1)).count() === 0)
+    assert(g.filter($"rnk" < 1 || $"rnk" > 3).count() === 0)
+    // the rank-1 edge of the first 3 nodes is brute-force topk's first hit
+    val bf = Similarity.bruteForceTopK(emb, Seq(0L, 1L, 2L), 1)
+      .select($"qid".as("src"), $"vec_id".as("dst"))
+    val r1 = g.filter($"rnk" === 1 && $"src" < 3).select($"src", $"dst")
+    assert(r1.except(bf).count() === 0 && bf.except(r1).count() === 0)
+    // mutuality is symmetric: every mutual edge's reverse exists and is mutual
+    val mut = g.filter($"mutual").select($"src", $"dst")
+    val rev = g.filter($"mutual").select($"dst".as("src"), $"src".as("dst"))
+    assert(mut.except(rev).count() === 0 && rev.except(mut).count() === 0)
+    g.unpersist()
+  }
 }

@@ -80,4 +80,43 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(ret.filter($"day_offset" < 0).count() === 0,
       "an active day precedes its user's cohort day")
   }
+
+  test("session stats conserve events and durations are consistent") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val st = EventAnalytics.sessionStats(ev)
+    // every event lands in exactly one session of exactly one user
+    assert(st.agg(sum($"total_events")).head().getLong(0) === ev.count())
+    assert(st.filter($"max_session_events" > $"total_events").count() === 0)
+    assert(st.filter($"total_session_us" < 0).count() === 0)
+    assert(st.filter($"n_sessions" < 1).count() === 0)
+  }
+
+  test("transition edges conserve: total transitions = events minus active users") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    // each user's time-ordered stream of n events yields n-1 edges
+    val totalEdges = EventAnalytics.topTransitions(ev, k = 1000000)
+      .agg(sum($"n_transitions")).head().getLong(0)
+    val want = ev.count() - ev.select($"user_id").distinct().count()
+    assert(totalEdges === want)
+  }
+
+  test("time-to-conversion honors the ordered >= boundary") {
+    import spark.implicits._
+    // user 1: purchase BEFORE first view -> no conversion from that
+    // purchase; a later purchase at the same ts as the view converts
+    val rows = Seq(
+      (1L, "purchase", 0), (1L, "view", 2), (1L, "purchase", 2), // ties convert (>=)
+      (2L, "view", 0), (2L, "purchase", 5),
+      (3L, "purchase", 1),                                        // no view: absent
+      (4L, "view", 3))                                            // no purchase: absent
+    val ev = rows.zipWithIndex.map { case ((u, t, d), i) => (i.toLong, u, t, d) }
+      .toDF("event_id", "user_id", "event_type", "d")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros(lit(1704067200000000L) + $"d" * 86400000000L).as("ts"))
+    val got = EventAnalytics.timeToConversion(ev).orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("delta_us")))
+    assert(got.toSeq === Seq((1L, 0L), (2L, 5L * 86400000000L)))
+  }
 }

@@ -157,4 +157,71 @@ class IndicatorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("obv") === obvW(i), s"row $i obv")
     }
   }
+
+  test("donchian channel matches rolling max/min; breakouts fire against YESTERDAY's channel") {
+    import spark.implicits._
+    val got = TimeSeries.donchian(dailyDf, 3).orderBy($"bar_start").collect()
+    val upW = ys.indices.map(i => ys.slice(math.max(0, i - 2), i + 1).max)
+    val loW = ys.indices.map(i => ys.slice(math.max(0, i - 2), i + 1).min)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("upper") === upW(i), s"row $i upper")
+      assert(r.getAs[Double]("lower") === loW(i), s"row $i lower")
+      assert(math.abs(r.getAs[Double]("mid") - (upW(i) + loW(i)) / 2) < 1e-6, s"row $i mid")
+      val bu = if (i == 0) false else ys(i) > upW(i - 1)
+      val bd = if (i == 0) false else ys(i) < loW(i - 1)
+      assert(r.getAs[Boolean]("breakout_up") === bu, s"row $i breakout_up")
+      assert(r.getAs[Boolean]("breakout_down") === bd, s"row $i breakout_down")
+    }
+  }
+
+  test("cmf matches the money-flow definition; flat bars contribute zero; bounded") {
+    import spark.implicits._
+    // two ticks per day so bars carry a real high/low range
+    val hi  = Vector(11.0, 12.0, 10.0, 14.0, 12.0)
+    val lo  = Vector(10.0, 10.5, 10.0, 11.0, 9.0) // day 2 flat (hi == lo? no: set flat via equal)
+    val cl  = Vector(10.5, 11.0, 10.0, 13.0, 10.0)
+    val vols = Vector(4L, 6L, 3L, 8L, 5L)
+    val rows = (0 until 5).flatMap { d =>
+      val base = d.toLong * 86400L + 3600L
+      // low tick first, close tick last; high in between
+      Seq((1L, d * 10L + 0L, base, lo(d), s"""{"k":${vols(d) - 2}}"""),
+        (1L, d * 10L + 1L, base + 60L, hi(d), s"""{"k":1}"""),
+        (1L, d * 10L + 2L, base + 120L, cl(d), s"""{"k":1}"""))
+    }
+    val df = rows.toDF("user_id", "event_id", "t_s", "value", "props")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = TimeSeries.cmf(df, 3).orderBy($"day").collect()
+    val mfm = (0 until 5).map { d =>
+      val (h, l, c) = (math.max(hi(d), math.max(lo(d), cl(d))), math.min(lo(d), math.min(hi(d), cl(d))), cl(d))
+      if (h == l) 0.0 else ((c - l) - (h - c)) / (h - l)
+    }
+    val mfv = (0 until 5).map(d => mfm(d) * vols(d))
+    got.zipWithIndex.foreach { case (r, i) =>
+      val w  = math.max(0, i - 2) to i
+      val num = w.map(mfv).sum
+      val den = w.map(vols).sum.toDouble
+      assert(math.abs(r.getAs[Double]("mfv") - mfv(i)) < 1e-6, s"row $i mfv")
+      assert(math.abs(r.getAs[Double]("cmf") - num / den) < 1e-6, s"row $i cmf")
+      assert(math.abs(r.getAs[Double]("cmf")) <= 1.0 + 1e-9, s"row $i cmf bound")
+    }
+  }
+
+  test("parkinson vol: zero on flat series, matches the estimator on ranged bars") {
+    import spark.implicits._
+    // flat key 1 (every bar high == low), ranged key 2
+    val flat = (0 until 4).map(d => (1L, d.toLong, d.toLong * 86400L + 3600L, 10.0))
+    val ranged = (0 until 4).flatMap { d =>
+      Seq((2L, 100L + d * 2L, d.toLong * 86400L + 3600L, 10.0 + d),
+        (2L, 101L + d * 2L, d.toLong * 86400L + 7200L, 12.0 + d))
+    }
+    val df = (flat ++ ranged).toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = TimeSeries.parkinsonVol(df).orderBy($"user_id").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Double]("parkinson_vol") === 0.0)
+    val x = (0 until 4).map(d => math.pow(math.log((12.0 + d) / (10.0 + d)), 2)).sum
+    val want = math.sqrt(x / (4 * math.log(2) * 4))
+    assert(math.abs(got(1).getAs[Double]("parkinson_vol") - want) < 1e-6)
+    assert(got(1).getAs[Long]("n_bars") === 4L)
+  }
 }

@@ -311,6 +311,64 @@ class PlanAuditSpec extends AnyFunSuite {
       s"banded corr degenerated to a product:\n$p")
   }
 
+  test("Q4 shape: the late-line EXISTS decorrelates to one semi join on the order key") {
+    val p = planOf("q_late_orders")
+    assert(p.contains("LeftSemi"),
+      s"q_late_orders lost its semi-join decorrelation:\n$p")
+    assert(!p.contains("InSubqueryExec") && !p.contains("ScalarSubquery"),
+      s"a per-row subquery survived in q_late_orders:\n$p")
+    // the order-date window must still reach the orders scan
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"the order-date window stopped reaching the orders scan:\n$p")
+  }
+
+  test("Q5 shape: the same-nation condition rides the supplier equi-join, not a post-filter") {
+    val p = planOf("q_local_supplier_volume")
+    // the supplier join must key on BOTH suppkey and nationkey —
+    // dropping the nationkey conjunct out of the join would leave a
+    // 25x-larger intermediate to filter after the fact
+    assert(p.matches("(?s).*BroadcastHashJoin \\[[^\\]]*l_suppkey[^\\]]*c_nationkey[^\\]]*\\].*") ||
+      p.matches("(?s).*BroadcastHashJoin \\[[^\\]]*c_nationkey[^\\]]*l_suppkey[^\\]]*\\].*"),
+      s"c_nationkey = s_nationkey fell out of the supplier join keys:\n$p")
+  }
+
+  test("Q10 shape: return flag and date window push to their scans; top-k is the heap merge") {
+    val p = planOf("q_returned_items")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*l_returnflag[^\\]]*\\].*"),
+      s"the return-flag filter stopped reaching the lineitem scan:\n$p")
+    assert(p.matches("(?s).*PushedFilters: \\[[^\\]]*o_orderdate[^\\]]*\\].*"),
+      s"the order-date window stopped reaching the orders scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"q_returned_items lost TakeOrderedAndProject — a global sort of all customers at scale:\n$p")
+  }
+
+  test("Q11/Q15 shapes: the scalar derives from the materialized aggregate, never a second fact scan") {
+    for (q <- Seq("q_important_parts", "q_top_supplier")) {
+      val p = planOf(q)
+      // both branches (scalar and output) must read the checkpointed
+      // per-key frame; any lineitem parquet scan in THIS plan means
+      // the 100 TB fact is being read twice
+      assert(p.contains("ExistingRDD"),
+        s"$q no longer reads the materialized per-key aggregate:\n$p")
+      assert(!p.contains("lineitem"),
+        s"$q re-scans lineitem for its scalar branch:\n$p")
+    }
+  }
+
+  test("Q16 shape: complaint suppliers anti-join; pairs dedup BEFORE the part dim join") {
+    val p = planOf("q_supplier_part_counts")
+    assert(p.contains("LeftAnti"),
+      s"the NOT IN complaint-supplier exclusion lost its anti join:\n$p")
+    // the distinct over (l_partkey, l_suppkey) must exist as its own
+    // aggregate (dedup BEFORE the dim join — dedup-after-join would
+    // carry every duplicate line through the join at full volume),
+    // and lineitem must be scanned exactly once
+    assert(p.matches("(?s).*HashAggregate\\(keys=\\[l_partkey[^\\]]*l_suppkey[^\\]]*\\].*"),
+      s"pair-dedup aggregate missing:\n$p")
+    assert("lineitem".r.findAllIn(p).size <= 2, // path shows once per scan block
+      s"lineitem scanned more than once:\n$p")
+  }
+
   test("temperature mix and hard negatives broadcast their small sides") {
     val t = planOf("q_temperature_mix")
     assert(t.contains("BroadcastHashJoin"),

@@ -195,4 +195,78 @@ class RelationalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("Q4 shape: an order with many late lines counts exactly once") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val os = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val total = Relational.latePriorityOrders(os, li, "1996-01-01", "1997-01-01", 30)
+      .agg(sum($"order_count")).head().getLong(0)
+    // composed formulation: distinct qualifying order keys via join
+    val distinctOrders = os
+      .filter($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .join(li, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAY"))
+      .select($"o_orderkey").distinct().count()
+    assert(total === distinctOrders)
+  }
+
+  test("Q13 shape: the distribution conserves customers and includes the zero bucket") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val cs = Tables.customer(spark, sf)
+    val dist = Relational.custOrderDistribution(cs, Tables.orders(spark, sf), "5-LOW")
+    assert(dist.agg(sum($"custdist")).head().getLong(0) === cs.count(),
+      "distribution buckets do not partition the customer set")
+  }
+
+  test("Q15 shape: every returned supplier carries exactly the maximum revenue") {
+    import org.apache.spark.sql.functions._
+    import TestSession.spark.implicits._
+    val top = Relational.topSupplier(Tables.supplier(spark, sf), Tables.lineitem(spark, sf),
+      "1996-01-01", "1996-04-01").collect()
+    assert(top.nonEmpty)
+    val revs = top.map(_.getAs[Double]("total_revenue")).distinct
+    assert(revs.length === 1, s"tie set carries unequal revenues: ${revs.toSeq}")
+    // recompute the max independently (double-rounded decimal path)
+    val mx = Tables.lineitem(spark, sf)
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey")
+      .agg(sum(($"l_extendedprice".cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - $"l_discount".cast("decimal(18,2)")))).as("r"))
+      .agg(max($"r".cast("double"))).head().getDouble(0)
+    assert(revs.head === mx)
+  }
+
+  test("Q16 shape: excluded brand/type absent; counts bounded by the supplier universe") {
+    import TestSession.spark.implicits._
+    val out = Relational.supplierCountByPart(Tables.part(spark, sf),
+      Tables.supplier(spark, sf), Tables.lineitem(spark, sf)).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[String]("p_brand") != "Brand#1" &&
+      r.getAs[String]("p_type") != "PROMO"))
+    val nSupp = Tables.supplier(spark, sf).count()
+    assert(out.forall(_.getAs[Long]("supplier_cnt") <= nSupp))
+  }
+
+  test("Q7/Q8 shapes: only the requested nation pair appears; market share bounded") {
+    import TestSession.spark.implicits._
+    val q7 = Relational.volumeShipping(Tables.supplier(spark, sf), Tables.lineitem(spark, sf),
+      Tables.orders(spark, sf), Tables.customer(spark, sf), Tables.nation(spark, sf),
+      "NATION_3", "NATION_5").collect()
+    assert(q7.nonEmpty)
+    assert(q7.forall { r =>
+      val pair = (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))
+      pair == ("NATION_3", "NATION_5") || pair == ("NATION_5", "NATION_3")
+    })
+    val q8 = Relational.marketShare(Tables.part(spark, sf), Tables.supplier(spark, sf),
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf), Tables.customer(spark, sf),
+      Tables.nation(spark, sf), Tables.region(spark, sf),
+      "NATION_3", "ASIA", "STANDARD").collect()
+    assert(q8.nonEmpty)
+    assert(q8.forall { r =>
+      val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0
+    })
+  }
 }
