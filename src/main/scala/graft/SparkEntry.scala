@@ -238,6 +238,10 @@ object SparkEntry {
       Stats.percentiles(Tables.events(s, dir)).orderBy("event_type")),
     "q_histogram" -> ((s, dir) =>
       Stats.histogram(Tables.events(s, dir), 50.0).orderBy("bin")),
+    "q_ks_test" -> ((s, dir) =>
+      Stats.ksTest(Tables.events(s, dir), "view", "click")),
+    "q_chi2" -> ((s, dir) =>
+      Stats.chi2Independence(Tables.events(s, dir))),
     "q_rollup" -> ((s, dir) =>
       Stats.rollupSummary(Tables.events(s, dir)).orderBy("event_type", "cohort")),
     "q_distinct_counts" -> ((s, dir) =>
@@ -522,6 +526,8 @@ object SparkEntry {
       TextAnalysis.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_top_bigrams" -> ((s, dir) =>
       TextAnalysis.topBigrams(Tables.documents(s, dir), 20)),
+    "q_char_ngrams" -> ((s, dir) =>
+      TextAnalysis.charNgrams(Tables.documents(s, dir), 3, 20)),
     "q_pmi_bigrams" -> ((s, dir) =>
       TextAnalysis.pmiCollocations(Tables.documents(s, dir), 5, 20)),
     "q_vocab_coverage" -> ((s, dir) =>
@@ -1364,6 +1370,42 @@ object SparkEntry {
       """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n,
         |  min(value) AS bin_min, max(value) AS bin_max
         |FROM events GROUP BY 1 ORDER BY bin""".stripMargin,
+    // the oracle's single global cumsum IS the distributed prefix sum's
+    // semantics: offset + local cumsum = global prefix count wherever
+    // the range bounds land
+    "q_ks_test" ->
+      """WITH base AS (
+        |  SELECT value AS x,
+        |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ib
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), d AS (
+        |  SELECT x, sum(ia) AS ca, sum(ib) AS cb FROM base GROUP BY x
+        |), c AS (
+        |  SELECT x,
+        |    sum(ca) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cuma,
+        |    sum(cb) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) AS cumb
+        |  FROM d
+        |), t AS (
+        |  SELECT CAST((SELECT sum(ca) FROM d) AS BIGINT) AS n_a,
+        |         CAST((SELECT sum(cb) FROM d) AS BIGINT) AS n_b
+        |)
+        |SELECT n_a, n_b,
+        |  round(max(abs(CAST(cuma AS DOUBLE) / n_a - CAST(cumb AS DOUBLE) / n_b)), 6) AS ks_stat
+        |FROM c, t GROUP BY n_a, n_b""".stripMargin,
+    "q_chi2" ->
+      """WITH cells AS (
+        |  SELECT event_type AS et, isodow(ts) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT et, sum(o) AS rt FROM cells GROUP BY et),
+        |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY dow),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |  count(DISTINCT et) AS nr, count(DISTINCT dow) AS nc FROM cells)
+        |SELECT n, (nr - 1) * (nc - 1) AS dof,
+        |  round(sum(pow(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n, 2)
+        |    / (CAST(rt * ct AS DOUBLE) / n)), 6) AS chi2
+        |FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
+        |GROUP BY n, dof""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(user_id % 10, -1) AS cohort,
@@ -2439,6 +2481,17 @@ object SparkEntry {
         |  CAST(n_words BETWEEN 5 AND 100000 AND mean_word_len BETWEEN 2.0 AND 12.0
         |    AND alpha_frac >= 0.7 AND stop_hits >= 1 AS INT) AS keep
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_char_ngrams" ->
+      """WITH d AS (
+        |  SELECT lower(text) AS t FROM documents WHERE length(text) >= 3
+        |), g AS (
+        |  SELECT substring(t, CAST(u AS INT), 3) AS gram
+        |  FROM (SELECT t, unnest(generate_series(1, length(t) - 2)) AS u FROM d)
+        |)
+        |SELECT gram, count(*) AS n_grams
+        |FROM g GROUP BY gram
+        |ORDER BY n_grams DESC, gram ASC
+        |LIMIT 20""".stripMargin,
     "q_top_bigrams" ->
       """WITH bg AS (
         |  SELECT unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 1, 0)),

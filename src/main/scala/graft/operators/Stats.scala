@@ -374,4 +374,87 @@ object Stats {
         col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
         last(col("close"), ignoreNulls = true).over(w).as("close_ffill"))
   }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic between the value
+    * distributions of two event types: D = sup |F_a - F_b|, attained
+    * at a jump point of either empirical CDF, so the max over the
+    * DISTINCT observed values is exact.
+    *
+    * Scale design — a distributed prefix sum, NOT a global window:
+    * the naive cumsum (`Window.orderBy(x)` with no partition key)
+    * funnels the whole distinct-value frame through ONE partition.
+    * Instead the frame is range-partitioned on x, each partition
+    * cumsums locally (the pid window reshuffles nothing new — rows
+    * are already range-grouped), and per-partition totals (nBuckets
+    * rows) cumsum on the driver side of a broadcast join to give
+    * each partition its global offset. Output determinism does not
+    * depend on where the range bounds land: offset + local cumsum
+    * IS the global prefix count regardless of the split. Counts
+    * exact longs; each F value is one long/long double division;
+    * D is an exact max.
+    */
+  def ksTest(events: DataFrame, typeA: String, typeB: String,
+             key: String = "event_type", v: String = "value",
+             nBuckets: Int = 32): DataFrame = {
+    val d = events
+      .filter(col(key).isin(typeA, typeB))
+      .select(col(v).as("x"),
+        when(col(key) === typeA, 1L).otherwise(0L).as("ia"),
+        when(col(key) === typeB, 1L).otherwise(0L).as("ib"))
+      .groupBy(col("x"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .repartitionByRange(nBuckets, col("x"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // totals + local cumsums both read it; pid is frozen
+    val wLocal = Window.partitionBy("pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("pid")).agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+      // nBuckets rows: the single-partition window is over the
+      // per-partition TOTALS, never the data
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("ta")).over(wOff), lit(0L)).as("offa"),
+        coalesce(sum(col("tb")).over(wOff), lit(0L)).as("offb"))
+    val totals = d.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    d
+      .withColumn("la", sum(col("ca")).over(wLocal))
+      .withColumn("lb", sum(col("cb")).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(totals))
+      .select(col("na"), col("nb"),
+        abs((col("offa") + col("la")).cast("double") / col("na") -
+          (col("offb") + col("lb")).cast("double") / col("nb")).as("diff"))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(round(max(col("diff")), 6).as("ks_stat"))
+  }
+
+  /** Chi-square independence statistic for event_type x ISO weekday:
+    * sum over cells of (O - E)^2 / E with E = rowTotal x colTotal /
+    * n. The observed table reduces from one fact scan and is
+    * materialized (a handful of rows), so margins, total, and
+    * degrees of freedom all derive from it without re-scanning.
+    * Counts exact; every E term is exact-long arithmetic imaged into
+    * doubles once (products < 2^53), and the final ~|types x 7| term
+    * sum rounds at 6dp.
+    */
+  def chi2Independence(events: DataFrame,
+                       key: String = "event_type", ts: String = "ts"): DataFrame = {
+    val cells = events
+      .groupBy(col(key).as("et"), (weekday(col(ts)) + 1).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rowT = cells.groupBy(col("et")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("et")).as("nr"), countDistinct(col("dow")).as("nc"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    cells
+      .join(broadcast(rowT), "et")
+      .join(broadcast(colT), "dow")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        (pow(col("o").cast("double") - e, 2) / e).as("term"))
+      .groupBy(col("n"), col("dof"))
+      .agg(round(sum(col("term")), 6).as("chi2"))
+  }
 }

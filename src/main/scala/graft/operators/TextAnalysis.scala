@@ -521,4 +521,25 @@ object TextAnalysis {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("doc_id"), col("score"), col("rnk"))
   }
+
+  /** Top character n-grams over the corpus (language/script profiling
+    * and the shingle basis of char-level LM data work): lowercase,
+    * slide an n-wide window over every document, count globally,
+    * keep the top-k. The explode is scan-stage (rows blow up to
+    * ~bytes-of-corpus but never leave their partition before the
+    * map-side partial aggregate compresses them to distinct grams
+    * per partition — gram cardinality, not corpus bytes, pays the
+    * shuffle); top-k is the TakeOrdered heap merge. Counts exact;
+    * ties break on the gram itself.
+    */
+  def charNgrams(docs: DataFrame, n: Int = 3, k: Int = 20): DataFrame =
+    docs
+      .select(lower(col("text")).as("t"))
+      .filter(length(col("t")) >= n)
+      .select(col("t"), explode(sequence(lit(1), length(col("t")) - (n - 1))).as("i"))
+      .select(expr(s"substring(t, i, $n)").as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_grams"))
+      .orderBy(col("n_grams").desc, col("gram").asc)
+      .limit(k)
 }

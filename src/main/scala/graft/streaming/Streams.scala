@@ -152,6 +152,48 @@ object Streams {
       }
   }
 
+  case class TEv(user_id: Long, ts: java.time.Instant, event_id: Long, event_type: String)
+  case class TransOut(user_id: Long, prev_type: String, next_type: String, ts_us: Long)
+
+  /** Streaming event-type transition edges — the incremental twin of
+    * [[graft.operators.EventAnalytics.topTransitions]]: each user's
+    * state is ONE record (last event's ts/event_id/type — O(1)
+    * however long the stream runs), and every arriving event emits
+    * the (previous type -> this type) edge before advancing the
+    * fold point. Within a micro-batch events sort by (ts, event_id)
+    * — the batch operator's exact tiebreak — so on in-order arrival
+    * the emitted edge multiset equals the batch lag-window's
+    * (spec-asserted). An event at or behind the fold point
+    * (cross-batch late data) cannot be spliced into an already-
+    * emitted adjacency by ANY O(1) recurrence — dropped, the
+    * [[emaStream]] contract. Edge counts aggregate downstream
+    * (map-side partials over the emitted edges); state is bounded
+    * by the user universe, enforceable via [[enforceStateBound]].
+    */
+  def transitionsStream(events: Dataset[TEv], watermark: String = "10 minutes"): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TEv], state: GroupState[(Long, Long, String)]) =>
+          val sorted = evs.toArray.sortBy(e => (instantMicros(e.ts), e.event_id))
+          var st  = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+          sorted.foreach { e =>
+            val us = instantMicros(e.ts)
+            if (st == null) st = (us, e.event_id, e.event_type)
+            else if (us > st._1 || (us == st._1 && e.event_id > st._2)) {
+              out += TransOut(uid, st._3, e.event_type, us)
+              st = (us, e.event_id, e.event_type)
+            }
+            // at/behind the fold point: dropped by contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Enforce [[emaStream]]'s bounded-key-universe contract. The
     * operator keeps one 16-byte record per key with NO timeout by
     * design (eviction would restart idle instruments' EMA), which is

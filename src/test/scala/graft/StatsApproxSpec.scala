@@ -129,4 +129,45 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(hh.count() > 0)
     assert(hh.filter($"cms_upper_ok" === 0).count() === 0)
   }
+
+  test("ks statistic: hand-computed case, zero on identical samples, bounded on the fixture") {
+    import TestSession.spark
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
+      .map { case ((t, x), i) => (i.toLong, 1L, t, x) }
+      .toDF("event_id", "user_id", "event_type", "value")
+    // A = {1,2,3}, B = {2,3,4}: D = 1/3 at every interior jump
+    val d1 = Stats.ksTest(ev(Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 2.0), ("b", 3.0), ("b", 4.0))), "a", "b").head()
+    assert(d1.getAs[Long]("n_a") === 3L && d1.getAs[Long]("n_b") === 3L)
+    assert(math.abs(d1.getAs[Double]("ks_stat") - 1.0 / 3) < 1e-6)
+    // identical samples: D = 0 exactly
+    val d2 = Stats.ksTest(ev(Seq(("a", 5.0), ("a", 7.0), ("b", 5.0), ("b", 7.0))), "a", "b").head()
+    assert(d2.getAs[Double]("ks_stat") === 0.0)
+    // fixture: D in [0, 1]
+    val d3 = Stats.ksTest(Tables.events(spark, TestSession.sf), "view", "click").head()
+    val ks = d3.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
+  test("chi2: exactly zero on an independent table, dof correct on the fixture") {
+    import TestSession.spark
+    import spark.implicits._
+    // counts = outer product structure -> E == O everywhere -> chi2 = 0
+    // Mon 2024-01-01, Tue 2024-01-02
+    def day(d: Int) = 1704067200000000L + (d - 1) * 86400000000L
+    val rows =
+      Seq.fill(2)(("a", day(1))) ++ Seq.fill(4)(("a", day(2))) ++
+      Seq.fill(3)(("b", day(1))) ++ Seq.fill(6)(("b", day(2)))
+    val ev = rows.zipWithIndex.map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "us")
+      .select($"event_id", $"event_type", timestamp_micros($"us").as("ts"))
+    val r = Stats.chi2Independence(ev).head()
+    assert(r.getAs[Long]("n") === 15L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(r.getAs[Double]("chi2") === 0.0)
+    val f = Stats.chi2Independence(Tables.events(spark, TestSession.sf)).head()
+    assert(f.getAs[Long]("dof") === (5 - 1) * (7 - 1))
+    assert(f.getAs[Double]("chi2") >= 0.0)
+  }
 }

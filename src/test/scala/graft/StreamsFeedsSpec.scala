@@ -734,6 +734,36 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(cnt2.join(est2, "tok").filter($"cms_est" < $"cnt").count() === 0)
   }
 
+  test("transitions stream equals the batch lag-window edges; late data never splices") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch-mode execution of the stateful fold over the fixture:
+    // one pass per user == the lag window's adjacency multiset
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").as[Streams.TEv]
+    val got = Streams.transitionsStream(ev).toDF()
+      .groupBy($"prev_type", $"next_type").agg(count(lit(1)).as("n_transitions"))
+    val want = graft.operators.EventAnalytics.topTransitions(Tables.events(spark, sf), 1000000)
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // multi-batch: adjacency continues across batches from O(1)
+    // state; an event behind the fold point is dropped, not spliced
+    val mem = MemoryStream[Streams.TEv]
+    val out = Streams.transitionsStream(mem.toDS(), watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("trans_stream_test").outputMode("append").start()
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    try {
+      mem.addData(Streams.TEv(1L, at(0), 1L, "view"), Streams.TEv(1L, at(1), 2L, "click"))
+      q.processAllAvailable()
+      mem.addData(Streams.TEv(1L, at(2), 3L, "purchase"), Streams.TEv(1L, at(0), 0L, "error"))
+      q.processAllAvailable()
+      val edges = spark.table("trans_stream_test").as[Streams.TransOut].collect()
+        .map(e => (e.prev_type, e.next_type)).sorted.toSeq
+      assert(edges === Seq(("click", "purchase"), ("view", "click")))
+    } finally q.stop()
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")

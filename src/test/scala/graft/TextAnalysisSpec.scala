@@ -223,4 +223,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     // determinism
     assert(got.exceptAll(TextAnalysis.clusterTopTerms(docs, 8, 16, 3)).count() === 0)
   }
+
+  test("char ngrams: hand-counted grams, short docs skipped, conservation") {
+    import TestSession.spark
+    import spark.implicits._
+    val docs = Seq((1L, "AAAB"), (2L, "ab"), (3L, "aab")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.charNgrams(docs, 3, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // "aaab" -> aaa, aab; "ab" too short; "aab" -> aab
+    assert(got === Map("aaa" -> 1L, "aab" -> 2L))
+    // fixture: total grams = sum over docs of (len - 2), capped list respects k
+    val fx = Tables.documents(spark, TestSession.sf)
+    val want = fx.filter(length($"text") >= 3)
+      .agg(sum(length($"text") - 2)).head().getLong(0)
+    val total = graft.operators.TextAnalysis.charNgrams(fx, 3, 1000000)
+      .agg(sum($"n_grams")).head().getLong(0)
+    assert(total === want)
+  }
 }
