@@ -45,7 +45,8 @@ object Explain {
         "q_top_supplier", "q_supplier_part_counts",
         "q_session_stats", "q_top_transitions", "q_time_to_conversion",
         "q_donchian", "q_cmf", "q_parkinson_vol", "q_knn_graph",
-        "q_ks_test", "q_chi2", "q_char_ngrams")
+        "q_ks_test", "q_chi2", "q_char_ngrams",
+        "q_pq_codes", "q_binary_neardup", "q_grouping_sets", "q_gap_detect")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -242,6 +242,12 @@ object SparkEntry {
       Stats.ksTest(Tables.events(s, dir), "view", "click")),
     "q_chi2" -> ((s, dir) =>
       Stats.chi2Independence(Tables.events(s, dir))),
+    "q_grouping_sets" -> ((s, dir) =>
+      Stats.groupingSetsSummary(Tables.lineitem(s, dir))
+        .orderBy("returnflag", "linestatus")),
+    "q_gap_detect" -> ((s, dir) =>
+      Stats.gapDetect(Tables.events(s, dir))
+        .orderBy("user_id", "gap_start")),
     "q_rollup" -> ((s, dir) =>
       Stats.rollupSummary(Tables.events(s, dir)).orderBy("event_type", "cohort")),
     "q_distinct_counts" -> ((s, dir) =>
@@ -717,6 +723,9 @@ object SparkEntry {
     "q_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(Tables.embeddings(s, dir), k = 5)
         .orderBy("src", "rnk")),
+    "q_pq_codes" -> ((s, dir) =>
+      Embedding.pqCodes(Tables.embeddings(s, dir), m = 8, nc = 16)
+        .orderBy("vec_id", "j")),
     "q_random_projection" -> ((s, dir) =>
       Embedding.randomProject(Tables.embeddings(s, dir), 8, 64)
         .orderBy("vec_id", "j")),
@@ -811,7 +820,11 @@ object SparkEntry {
     "q_binary_magic" -> ((s, dir) =>
       Multimodal
         .sniffFormat(Multimodal.mediaWithHeaders(Tables.documents(s, dir)))
-        .orderBy("media_id"))
+        .orderBy("media_id")),
+    "q_binary_neardup" -> ((s, dir) =>
+      Multimodal
+        .binaryNearDup(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_a", "media_b"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1406,6 +1419,29 @@ object SparkEntry {
         |    / (CAST(rt * ct AS DOUBLE) / n)), 6) AS chi2
         |FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
         |GROUP BY n, dof""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q_gap_detect" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT user_id, day,
+        |    lead(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+        |  FROM bars
+        |)
+        |SELECT user_id,
+        |  strftime(day + INTERVAL 1 DAY, '%Y-%m-%d') AS gap_start,
+        |  CAST(date_diff('day', day, next_day) - 1 AS BIGINT) AS gap_days
+        |FROM g
+        |WHERE next_day IS NOT NULL AND date_diff('day', day, next_day) > 1
+        |ORDER BY user_id, gap_start""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(user_id % 10, -1) AS cohort,
@@ -3169,6 +3205,29 @@ object SparkEntry {
         |SELECT t.src, t.dst, t.cos, t.rnk, (m.src IS NOT NULL) AS mutual
         |FROM top t LEFT JOIN top m ON t.src = m.dst AND t.dst = m.src
         |ORDER BY t.src, t.rnk""".stripMargin,
+    // the squared-distance chain is the same explicit left-associated
+    // 8-term sum the Spark side evaluates — no HOF fold on either
+    // engine whose reduction order could differ
+    "q_pq_codes" -> {
+      val terms = (1 to 8)
+        .map(i => s"(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])*(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |cb AS (
+         |  SELECT js.j, c.vec_id AS code, c.v AS cv FROM e c CROSS JOIN js WHERE c.vec_id < 16
+         |), d AS (
+         |  SELECT s.vec_id, js.j, cb.code, $terms AS dist
+         |  FROM e s CROSS JOIN js JOIN cb ON cb.j = js.j
+         |)
+         |SELECT vec_id, j, code, round(dist, 6) AS dist FROM (
+         |  SELECT vec_id, j, code, dist,
+         |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+         |  FROM d
+         |) WHERE rn = 1
+         |ORDER BY vec_id, j""".stripMargin
+    },
     "q_random_projection" ->
       """WITH dirs AS (
         |  SELECT j, list_transform(generate_series(0, 63), i ->
@@ -3416,6 +3475,31 @@ object SparkEntry {
         |  body + CASE h WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 6
         |              WHEN 3 THEN 5 ELSE 4 END AS n_bytes,
         |  body AS body_bytes
-        |FROM m ORDER BY media_id""".stripMargin
+        |FROM m ORDER BY media_id""".stripMargin,
+    // payload == text bytes (pure-ASCII corpus, asserted in
+    // MultimodalSpec), so substr sees exactly the binary slices
+    "q_binary_neardup" ->
+      """WITH chunks AS (
+        |  SELECT doc_id, md5(substr(text, CAST(ci * 8 + 1 AS INT), 8)) AS t
+        |  FROM documents, unnest(generate_series(0, CAST(floor((strlen(text) - 1) / 8) AS BIGINT))) AS u(ci)
+        |), h AS (
+        |  SELECT doc_id, CAST('0x' || substr(t, 1, 15) AS BIGINT) AS h FROM chunks
+        |), bits AS (
+        |  SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bs
+        |  GROUP BY 1, 2
+        |), sims AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id
+        |), banded AS (
+        |  SELECT doc_id, sh, b AS band, (sh >> (12 * b)) & 4095 AS bv
+        |  FROM sims CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS b) bb
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.sh AS ha, b.sh AS hb
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |)
+        |SELECT da AS media_a, db AS media_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
+        |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
+        |ORDER BY media_a, media_b""".stripMargin
   )
 }

@@ -169,4 +169,63 @@ object Embedding {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("doc_id"), col("chunk_id"), col("cos"), col("rnk"))
   }
+
+  /** Product-quantization codes: split each d-dim vector into m
+    * contiguous subvectors and assign each to its nearest codebook
+    * entry — the memory layout ANN reranking and vector compression
+    * build on (d doubles become m small ints; ~32x compression at
+    * m=8, nc=16). The codebook is the deterministic SEED quantizer
+    * (subvectors of the first `nc` vectors by vec_id, zero Lloyd
+    * iterations — the [[Similarity.ivfTrain]] iters=0 pattern:
+    * trained float means can never hash-match across engines, so the
+    * trained path belongs to spec-land while the gate drives the
+    * full assignment pipeline).
+    *
+    * Shape: (vector x subspace) rows join a BROADCAST m x nc
+    * codebook; distance is an explicit left-associated 8-term sum of
+    * squared differences (identical op order on the SQL oracle — no
+    * HOF fold whose reduction order an engine could change); argmin
+    * breaks ties on the smaller code via a (dist, code) min_by
+    * struct. One scan, no shuffle beyond the (vec, j) aggregate.
+    */
+  def pqCodes(embeddings: DataFrame, m: Int = 8, nc: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // codebook rides the plan as literals (ivfTrain's tiny-result
+    // pattern): m x nc rows of sub doubles
+    val seeds = embeddings.filter(col("vec_id") < nc)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    import spark.implicits._
+    val codebook = broadcast(
+      seeds.flatMap { case (code, v) =>
+        (0 until m).map(j => (j.toLong, code, v.slice(j * sub, (j + 1) * sub)))
+      }.toSeq.toDF("cj", "code", "cent"))
+    val exploded = embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        explode(array((0 until m).map(j =>
+          struct(lit(j.toLong).as("j"),
+            slice(col("v"), j * sub + 1, sub).as("s"))): _*)).as("q"))
+      .select(col("vec_id"), col("q.j").as("j"), col("q.s").as("s"))
+    // explicit left-associated squared-distance chain: element i of
+    // both lists, (s_i - c_i)^2 accumulated in index order
+    val dist = (1 to sub)
+      .map { i =>
+        val dx = element_at(col("s"), i) - element_at(col("cent"), i)
+        dx * dx
+      }
+      .reduceLeft(_ + _)
+    exploded
+      .join(codebook, col("j") === col("cj"))
+      .select(col("vec_id"), col("j"), col("code"), dist.as("dist"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(
+        min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
+        round(min(col("dist")), 6).as("dist"))
+  }
 }

@@ -209,4 +209,55 @@ object Multimodal {
       }
     }
   }
+
+  /** Binary near-dup via chunk-level simhash: payloads chunk into
+    * fixed `chunkBytes` pieces (the [[chunkDedupStats]] slicing),
+    * each chunk's md5 becomes a simhash token, and candidate pairs
+    * come from the 12-bit banded hamming join — the perceptual-
+    * fingerprint shape for blobs, where [[chunkDedupStats]] only
+    * sees EXACT shared chunks, this scores payloads whose chunk SETS
+    * mostly overlap (trailing edits, small mutations). All compute
+    * is the proven text pipeline re-pointed at binary slices:
+    * codegen'd substring/md5/conv per chunk, the 60-bit sign-sum
+    * aggregate, and the pigeonhole band join (exact for
+    * dist <= bands-1, never all-pairs).
+    */
+  def binaryNearDup(media: DataFrame, chunkBytes: Int = 8, maxDist: Int = 4, bands: Int = 5,
+                    idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    require(maxDist <= bands - 1, s"banding is only exact for maxDist <= ${bands - 1}")
+    require(12 * bands <= 60, s"$bands 12-bit bands exceed the 60-bit simhash (max 5)")
+    val toks = media
+      .select(col(idCol).as("doc_id"), col(payloadCol).as("payload"))
+      .withColumn("ci",
+        explode(sequence(lit(0L),
+          floor((length(col("payload")) - lit(1)) / chunkBytes).cast("long"))))
+      .select(col("doc_id"),
+        md5(expr(s"substring(payload, ci * $chunkBytes + 1, $chunkBytes)")).as("t"))
+    val bitSums = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) % 2") === 1, 1).otherwise(-1)).as(s"s$b"))
+    val sims = toks
+      .withColumn("h", conv(substring(col("t"), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
+    val stackArgs = (0 until bands)
+      .map(b => s"${b}L, cast(shiftright(simhash, ${12 * b}) & 4095 as long)")
+      .mkString(", ")
+    val banded = sims.select(col("doc_id"), col("simhash"),
+      expr(s"stack($bands, $stackArgs) as (band, bv)"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("media_a"), col("b.doc_id").as("media_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("dist", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("media_a"), col("media_b"), col("dist"))
+  }
 }

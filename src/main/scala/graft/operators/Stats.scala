@@ -67,6 +67,50 @@ object Stats {
         coalesce(col("cohort"), lit(-1L)).as("cohort"),
         col("n"), col("total"))
 
+  /** Multi-grain summary via GROUPING SETS — the grains a report
+    * actually wants ((flag, status), (flag), (status), ()) in ONE
+    * pass, where [[rollupSummary]]'s ROLLUP can only express the
+    * prefix-closed ladder. Spark expands the sets map-side (partial
+    * aggregation applies per grain before the shuffle — grain count
+    * x distinct groups, not grain count x fact rows, pays the
+    * exchange); sentinel labels make the null-vs-ALL distinction
+    * explicit. DECIMAL money sums, exact counts.
+    */
+  def groupingSetsSummary(lineitem: DataFrame): DataFrame = {
+    val spark = lineitem.sparkSession
+    lineitem.createOrReplaceTempView("graft_gs_lineitem")
+    spark.sql("""
+      |SELECT
+      |  coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM graft_gs_lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+      |""".stripMargin)
+  }
+
+  /** Calendar-gap detection in per-key daily series — the data-
+    * quality scan feeding [[resampleFfill]]: for each key, every
+    * hole between consecutive observed days (gap_start = first
+    * missing day, gap_days = its width). One bar reduction + one
+    * lead window on the same (key, day) sort; exact date arithmetic,
+    * no floats anywhere.
+    */
+  def gapDetect(events: DataFrame,
+                key: String = "user_id", ts: String = "ts"): DataFrame = {
+    val w = Window.partitionBy(key).orderBy("day")
+    events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(count(lit(1)).as("n_obs"))
+      .withColumn("next_day", lead(col("day"), 1).over(w))
+      .filter(col("next_day").isNotNull &&
+        datediff(col("next_day"), col("day")) > 1)
+      .select(col(key),
+        date_format(date_add(col("day"), 1), "yyyy-MM-dd").as("gap_start"),
+        (datediff(col("next_day"), col("day")).cast("long") - 1L).as("gap_days"))
+  }
+
   /** The approximate-at-scale twins of distinctCounts/percentiles:
     * HLL++ sketch counts and t-digest quantiles — constant memory
     * per group, one pass, mergeable across partitions. Sketches are

@@ -122,4 +122,20 @@ class RagSearchSpec extends AnyFunSuite {
       .agg(avg($"pp" / ($"n2" * 8))).head().getDouble(0)
     assert(ratio > 0.7 && ratio < 1.3, s"JL norm-preservation ratio $ratio")
   }
+
+  test("pq codes: m codes per vector in range; codebook members quantize to themselves") {
+    import TestSession.spark
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val pq  = graft.operators.Embedding.pqCodes(emb, m = 8, nc = 16).cache()
+    // exactly m rows per vector, codes in [0, nc)
+    assert(pq.groupBy($"vec_id").count().filter($"count" =!= 8).count() === 0)
+    assert(pq.filter($"code" < 0 || $"code" >= 16).count() === 0)
+    // a codebook member's own subvectors are at distance 0 in every
+    // subspace (whatever code wins the tie)
+    assert(pq.filter($"vec_id" < 16 && $"dist" =!= 0.0).count() === 0)
+    // distances are non-negative
+    assert(pq.filter($"dist" < 0).count() === 0)
+    pq.unpersist()
+  }
 }

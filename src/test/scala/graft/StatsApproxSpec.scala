@@ -170,4 +170,35 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(f.getAs[Long]("dof") === (5 - 1) * (7 - 1))
     assert(f.getAs[Double]("chi2") >= 0.0)
   }
+
+  test("grouping sets: every grain's total re-aggregates to the grand-total row") {
+    import TestSession.spark
+    import spark.implicits._
+    val gs = Stats.groupingSetsSummary(Tables.lineitem(spark, TestSession.sf)).cache()
+    val grand = gs.filter($"returnflag" === "ALL" && $"linestatus" === "ALL").head()
+    for ((fc, lc) <- Seq(($"returnflag" =!= "ALL", $"linestatus" =!= "ALL"),
+      ($"returnflag" =!= "ALL", $"linestatus" === "ALL"),
+      ($"returnflag" === "ALL", $"linestatus" =!= "ALL"))) {
+      val r = gs.filter(fc && lc).agg(sum($"n"), sum($"total_price")).head()
+      assert(r.getLong(0) === grand.getAs[Long]("n"), s"grain row-count mismatch")
+      assert(math.abs(r.getDouble(1) - grand.getAs[Double]("total_price")) < 1e-4)
+    }
+    gs.unpersist()
+  }
+
+  test("gap detect: hand-built gaps, none on a dense series") {
+    import TestSession.spark
+    import spark.implicits._
+    def ev(days: Seq[Int], uid: Long) = days.zipWithIndex
+      .map { case (d, i) => (uid * 100 + i, uid, 1704067200000000L + d.toLong * 86400000000L) }
+    // user 1: days 1,2,5,9 -> gaps (start d3, 2 days) and (start d6, 3 days)
+    val df = (ev(Seq(1, 2, 5, 9), 1L) ++ ev(Seq(1, 2, 3), 2L))
+      .toDF("event_id", "user_id", "us")
+      .select($"event_id", $"user_id", timestamp_micros($"us").as("ts"))
+    val got = Stats.gapDetect(df).orderBy($"user_id", $"gap_start").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1L, "2024-01-04", 2L),
+      (1L, "2024-01-07", 3L)))
+  }
 }

@@ -493,6 +493,23 @@ class StreamsFeedsSpec extends AnyFunSuite {
         "byte-identical duplicates must share all chunks")
   }
 
+  test("binary near-dup: identical payloads at distance 0, fixture pairs banded-exact") {
+    import spark.implicits._
+    // two byte-identical payloads + one unrelated: exactly the (1,2)
+    // pair at hamming distance 0
+    val a = ("abcdefgh" * 20).getBytes("UTF-8")
+    val c = (0 until 160).map(i => ((i * 37 + 11) % 96 + 32).toChar).mkString.getBytes("UTF-8")
+    val media = Seq((1L, a), (2L, a), (3L, c)).toDF("media_id", "payload")
+    val got = Multimodal.binaryNearDup(media).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 2L, 0L)))
+    // fixture: pairs exist (the corpus has near-dup docs) and every
+    // distance respects the cut
+    val fx = Multimodal.binaryNearDup(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, sf)).toDF())
+    assert(fx.count() > 0)
+    assert(fx.filter($"dist" > 4).count() === 0)
+  }
+
   test("format sniffing reads real magic bytes: every magic detected, unknowns untouched") {
     import spark.implicits._
     // synthetic payloads: one per magic, plus a magic-free payload
