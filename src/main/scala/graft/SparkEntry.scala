@@ -824,7 +824,47 @@ object SparkEntry {
     "q_binary_neardup" -> ((s, dir) =>
       Multimodal
         .binaryNearDup(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_a", "media_b"))
+        .orderBy("media_a", "media_b")),
+    // ---- late-r11: indicators, hypothesis tests, activity, graph ----
+    "q_williams_r" -> ((s, dir) =>
+      TimeSeries.williamsR(Tables.events(s, dir), 14)
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_mfi" -> ((s, dir) =>
+      TimeSeries.mfi(Tables.events(s, dir), 14)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
+    "q_keltner" -> ((s, dir) =>
+      TimeSeries.keltner(Tables.events(s, dir), 20, 10, 2.0)
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_acf" -> ((s, dir) =>
+      TimeSeries.acf(Tables.events(s, dir), 5)
+        .orderBy("user_id", "lag_k")),
+    "q_welch_ttest" -> ((s, dir) =>
+      Stats.welchTTest(Tables.events(s, dir), "click", "purchase")),
+    "q_mann_whitney" -> ((s, dir) =>
+      Stats.mannWhitney(Tables.events(s, dir), "click", "purchase")),
+    "q_dau_wau" -> ((s, dir) =>
+      EventAnalytics.rollingActiveUsers(Tables.events(s, dir), 7)
+        .withColumn("grid_day", date_format(col("grid_day"), "yyyy-MM-dd"))
+        .orderBy("grid_day")),
+    "q_new_vs_returning" -> ((s, dir) =>
+      EventAnalytics.newVsReturning(Tables.events(s, dir))
+        .withColumn("d", date_format(col("d"), "yyyy-MM-dd"))
+        .orderBy("d")),
+    "q_zipf_slope" -> ((s, dir) =>
+      TextAnalysis.zipfSlope(Tables.documents(s, dir), 100)),
+    "q_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeProfile(Tables.documents(s, dir),
+        Dedup.minhashLshCandidatesFast(Tables.documents(s, dir)))
+        .orderBy("cluster_size")),
+    "q_pq_search" -> ((s, dir) =>
+      Embedding.pqSearch(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 5, 8, 16)
+        .orderBy("qid", "rnk")),
+    "q_pagerank" -> ((s, dir) =>
+      Similarity.pageRankKnn(Tables.embeddings(s, dir), 5, 5)
+        .orderBy("node"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1136,9 +1176,9 @@ object SparkEntry {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
     "q_pivot_wide" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE) AS click,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE) AS error,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE) AS view
         |FROM events
@@ -1146,9 +1186,9 @@ object SparkEntry {
         |ORDER BY day""".stripMargin,
     "q_pivot_fill_zero" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
-        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE), 0) AS click,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'click') AS DOUBLE), 0) AS click,
         |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE), 0) AS error,
-        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE), 0) AS purchase,
+        |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE), 0) AS purchase,
         |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE), 0) AS signup,
         |  coalesce(CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE), 0) AS view
         |FROM events
@@ -3500,6 +3540,331 @@ object SparkEntry {
         |)
         |SELECT da AS media_a, db AS media_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS dist
         |FROM cand WHERE bit_count(xor(ha, hb)) <= 4
-        |ORDER BY media_a, media_b""".stripMargin
+        |ORDER BY media_a, media_b""".stripMargin,
+    "q_williams_r" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
+        |  round(CASE WHEN max(high) OVER w != min(low) OVER w
+        |    THEN (max(high) OVER w - close) / (max(high) OVER w - min(low) OVER w) * -100 END, 6) AS pct_r
+        |FROM bars
+        |WINDOW w AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_mfi" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, day, volume, (high + low + close) / 3 AS tp FROM bars
+        |), f AS (
+        |  SELECT user_id, day, volume, tp,
+        |    lag(tp) OVER (PARTITION BY user_id ORDER BY day) AS prev_tp
+        |  FROM t
+        |), g AS (
+        |  SELECT user_id, day, volume, tp,
+        |    CASE WHEN prev_tp IS NOT NULL AND tp > prev_tp THEN tp * CAST(volume AS DOUBLE) ELSE 0.0 END AS pos_mf,
+        |    CASE WHEN prev_tp IS NOT NULL AND tp < prev_tp THEN tp * CAST(volume AS DOUBLE) ELSE 0.0 END AS neg_mf
+        |  FROM f
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, volume,
+        |  round(tp, 6) AS tp,
+        |  round(CASE WHEN sum(pos_mf) OVER w + sum(neg_mf) OVER w != 0.0
+        |    THEN 100.0 * sum(pos_mf) OVER w / (sum(pos_mf) OVER w + sum(neg_mf) OVER w) END, 6) AS mfi
+        |FROM g
+        |WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin,
+    // midline is the q_ema closed form on the bars' typical price;
+    // bands compose unrounded and round once, the Spark arithmetic
+    "q_keltner" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT user_id, bar_start, high, low, close,
+        |    (high + low + close) / 3 AS tp,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY bar_start) - 1 AS rn,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY bar_start) AS prev_c
+        |  FROM bars
+        |), g AS (
+        |  SELECT *,
+        |    CASE WHEN rn = 0 THEN tp ELSE (2.0/21) * tp * pow(1 - 2.0/21, -rn) END AS gg,
+        |    CASE WHEN prev_c IS NULL THEN high - low
+        |         ELSE greatest(high - low, abs(high - prev_c), abs(low - prev_c)) END AS tr
+        |  FROM o
+        |), e AS (
+        |  SELECT user_id, bar_start,
+        |    pow(1 - 2.0/21, rn) * sum(gg) OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid,
+        |    avg(tr) OVER (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS atr
+        |  FROM g
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
+        |  round(mid, 6) AS mid,
+        |  round(mid + 2.0 * atr, 6) AS upper,
+        |  round(mid - 2.0 * atr, 6) AS lower
+        |FROM e ORDER BY user_id, bar_start""".stripMargin,
+    "q_acf" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, ret,
+        |    lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2, lag(ret, 3) OVER w AS l3,
+        |    lag(ret, 4) OVER w AS l4, lag(ret, 5) OVER w AS l5
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), u AS (
+        |  SELECT user_id, 1 AS lag_k, ret, l1 AS ret_lag FROM l
+        |  UNION ALL SELECT user_id, 2, ret, l2 FROM l
+        |  UNION ALL SELECT user_id, 3, ret, l3 FROM l
+        |  UNION ALL SELECT user_id, 4, ret, l4 FROM l
+        |  UNION ALL SELECT user_id, 5, ret, l5 FROM l
+        |)
+        |SELECT user_id, CAST(lag_k AS BIGINT) AS lag_k, count(*) AS n_pairs,
+        |  round(CASE WHEN var_samp(ret) != 0 AND var_samp(ret_lag) != 0
+        |    THEN corr(ret, ret_lag) END, 6) AS acf
+        |FROM u WHERE ret_lag IS NOT NULL
+        |GROUP BY user_id, lag_k
+        |ORDER BY user_id, lag_k""".stripMargin,
+    // moments accumulate as exact DECIMAL sums of the 6-dp-quantized
+    // values (order-independent); t/df are one shared IEEE chain
+    "q_welch_ttest" ->
+      """WITH m AS (
+        |  SELECT
+        |    count(*) FILTER (WHERE event_type = 'click') AS na,
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS nb,
+        |    sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS sa,
+        |    sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS sb,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'click') AS qa,
+        |    sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase') AS qb
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  round(CAST(sa AS DOUBLE) / na, 6) AS mean_a,
+        |  round(CAST(sb AS DOUBLE) / nb, 6) AS mean_b,
+        |  round((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) /
+        |    sqrt((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) / na +
+        |         (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) / nb), 6) AS t_stat,
+        |  round(pow((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) / na +
+        |            (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) / nb, 2) /
+        |    (pow((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na) / (na - 1) / na, 2) / (na - 1) +
+        |     pow((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb) / (nb - 1) / nb, 2) / (nb - 1)), 6) AS df
+        |FROM m""".stripMargin,
+    // ranks are exact: per-distinct-value counts, tied blocks at the
+    // average rank in doubled (half-rank) units — every sum a long
+    "q_mann_whitney" ->
+      """WITH d AS (
+        |  SELECT value AS x,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY value
+        |), r AS (
+        |  SELECT ca, cb, ca + cb AS t,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS smaller
+        |  FROM d
+        |), a AS (
+        |  SELECT sum(ca) AS na, sum(cb) AS nb,
+        |    sum(ca * (2 * smaller + t + 1)) AS r2a,
+        |    sum(t * t * t - t) AS ties
+        |  FROM r
+        |)
+        |SELECT na AS n_a, nb AS n_b,
+        |  CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_stat,
+        |  round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2) /
+        |    sqrt(CAST(na AS DOUBLE) * nb / 12 *
+        |      (CAST(na + nb + 1 AS DOUBLE) - CAST(ties AS DOUBLE) / (CAST(na + nb AS DOUBLE) * (na + nb - 1)))), 6) AS z_score
+        |FROM a""".stripMargin,
+    "q_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        |), days AS (
+        |  SELECT DISTINCT d AS grid_day FROM ud
+        |), dau AS (
+        |  SELECT d AS grid_day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1
+        |), wau AS (
+        |  SELECT g.grid_day, count(DISTINCT u.user_id) AS wau
+        |  FROM ud u JOIN days g ON date_diff('day', u.d, g.grid_day) BETWEEN 0 AND 6
+        |  GROUP BY 1
+        |)
+        |SELECT strftime(grid_day, '%Y-%m-%d') AS grid_day, dau, wau,
+        |  CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (grid_day)
+        |ORDER BY grid_day""".stripMargin,
+    "q_new_vs_returning" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+        |), fs AS (
+        |  SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1
+        |)
+        |SELECT strftime(d, '%Y-%m-%d') AS d,
+        |  sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS new_users,
+        |  sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS returning_users,
+        |  CAST(sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS DOUBLE) /
+        |    CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) + sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS DOUBLE) AS returning_share
+        |FROM ud JOIN fs USING (user_id)
+        |GROUP BY d ORDER BY d""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |  ) GROUP BY tok
+        |), top AS (
+        |  SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS rnk
+        |  FROM c ORDER BY cnt DESC, tok ASC LIMIT 100
+        |)
+        |SELECT count(*) AS k_types,
+        |  round(regr_slope(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS slope,
+        |  round(regr_intercept(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS intercept,
+        |  round(regr_r2(ln(CAST(cnt AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS r2
+        |FROM top""".stripMargin,
+    // the q_dedup_clusters closure extended to the full corpus
+    // (unpaired docs are singletons), then a size histogram
+    "q_cluster_sizes" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT da AS a, db AS b FROM cand UNION SELECT db, da FROM cand
+        |), reach AS (
+        |  SELECT a, b FROM edges
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a AND e.b != r.a
+        |), comp AS (
+        |  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+        |), full_l AS (
+        |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid
+        |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+        |), sz AS (
+        |  SELECT cid, count(*) AS sz FROM full_l GROUP BY cid
+        |), tot AS (SELECT sum(sz) AS n_docs_total FROM sz)
+        |SELECT sz AS cluster_size, count(*) AS n_clusters,
+        |  sz * count(*) AS n_docs,
+        |  CAST(sz * count(*) AS DOUBLE) / CAST((SELECT n_docs_total FROM tot) AS DOUBLE) AS corpus_share
+        |FROM sz GROUP BY sz ORDER BY cluster_size""".stripMargin,
+    // codes from the q_pq_codes chain; the per-query LUT uses the
+    // same left-associated squared-diff chain, ADC sums the m=8
+    // looked-up cells per (query, vector) and ranks ascending
+    "q_pq_search" -> {
+      val dterms = (1 to 8)
+        .map(i => s"(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])*(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])")
+        .mkString(" + ")
+      val qterms = (1 to 8)
+        .map(i => s"(q.v[js.j*8+$i]-cb.cv[js.j*8+$i])*(q.v[js.j*8+$i]-cb.cv[js.j*8+$i])")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |cb AS (
+         |  SELECT js.j, c.vec_id AS code, c.v AS cv FROM e c CROSS JOIN js WHERE c.vec_id < 16
+         |), d AS (
+         |  SELECT s.vec_id, js.j, cb.code, $dterms AS dist
+         |  FROM e s CROSS JOIN js JOIN cb ON cb.j = js.j
+         |), codes AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT vec_id, j, code,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, js.j, cb.code, $qterms AS d
+         |  FROM e q CROSS JOIN js JOIN cb ON cb.j = js.j
+         |  WHERE q.vec_id IN (0, 1, 2)
+         |), adc AS (
+         |  SELECT lut.qid, codes.vec_id, round(sum(lut.d), 6) AS adc_dist
+         |  FROM codes JOIN lut ON lut.j = codes.j AND lut.code = codes.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, vec_id, adc_dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+         |FROM adc QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+    // all-integer power iteration unrolled 5x: contributions are
+    // exact integral divisions, damping is (85*s) // 100, teleport
+    // ((scale // n) * 15) // 100 — bit-identical to the Spark loop
+    "q_pagerank" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |    FROM pairs
+        |  ) WHERE rnk <= 5
+        |), deg AS (
+        |  SELECT src, count(*) AS od FROM edges GROUP BY src
+        |), nodes AS (SELECT vec_id AS node FROM embeddings),
+        |params AS (
+        |  SELECT 1000000000000 // count(*) AS r0,
+        |    (1000000000000 // count(*)) * 15 // 100 AS tele
+        |  FROM nodes
+        |), it0 AS (
+        |  SELECT node, (SELECT r0 FROM params) AS r FROM nodes
+        |), it1 AS (
+        |  SELECT nd.node, (SELECT tele FROM params) + coalesce(x.s, 0) * 85 // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e2.dst AS node, sum(r.r // d.od) AS s
+        |    FROM edges e2 JOIN deg d ON e2.src = d.src JOIN it0 r ON r.node = e2.src
+        |    GROUP BY e2.dst) x ON nd.node = x.node
+        |), it2 AS (
+        |  SELECT nd.node, (SELECT tele FROM params) + coalesce(x.s, 0) * 85 // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e2.dst AS node, sum(r.r // d.od) AS s
+        |    FROM edges e2 JOIN deg d ON e2.src = d.src JOIN it1 r ON r.node = e2.src
+        |    GROUP BY e2.dst) x ON nd.node = x.node
+        |), it3 AS (
+        |  SELECT nd.node, (SELECT tele FROM params) + coalesce(x.s, 0) * 85 // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e2.dst AS node, sum(r.r // d.od) AS s
+        |    FROM edges e2 JOIN deg d ON e2.src = d.src JOIN it2 r ON r.node = e2.src
+        |    GROUP BY e2.dst) x ON nd.node = x.node
+        |), it4 AS (
+        |  SELECT nd.node, (SELECT tele FROM params) + coalesce(x.s, 0) * 85 // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e2.dst AS node, sum(r.r // d.od) AS s
+        |    FROM edges e2 JOIN deg d ON e2.src = d.src JOIN it3 r ON r.node = e2.src
+        |    GROUP BY e2.dst) x ON nd.node = x.node
+        |), it5 AS (
+        |  SELECT nd.node, (SELECT tele FROM params) + coalesce(x.s, 0) * 85 // 100 AS r
+        |  FROM nodes nd LEFT JOIN (
+        |    SELECT e2.dst AS node, sum(r.r // d.od) AS s
+        |    FROM edges e2 JOIN deg d ON e2.src = d.src JOIN it4 r ON r.node = e2.src
+        |    GROUP BY e2.dst) x ON nd.node = x.node
+        |)
+        |SELECT node, r AS rank_units, CAST(r AS DOUBLE) / 1000000000000 AS pr
+        |FROM it5 ORDER BY node""".stripMargin
   )
 }

@@ -774,4 +774,34 @@ object Dedup {
       .filter(col("dist") <= maxDist)
       .select(col("da"), col("db"), col("dist"))
   }
+
+  /** Duplicate-cluster size distribution — the corpus-health summary
+    * every dedup pass should report ("how much of the corpus sits in
+    * duplicate clusters, and how big are they?"): resolve candidate
+    * pairs to connected components ([[clusters]]), extend to the
+    * FULL corpus by treating every unpaired doc as its own
+    * singleton cluster, then histogram cluster sizes. Output one row
+    * per size: number of clusters, docs covered, and each size's
+    * share of the corpus (unrounded exact-long quotient). The
+    * corpus extension is one left join of the doc-id scan against
+    * the (small) pair-resolved label frame; both groupBys reduce
+    * frames that are already cluster-sized, never corpus-wide pair
+    * spaces. Exact longs throughout.
+    */
+  def clusterSizeProfile(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val labels = clusters(pairs)
+    val full = documents.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+    val sizes = full.groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+    val total = sizes.agg(sum(col("sz")).as("n_docs_total"))
+    sizes
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") * col("n_clusters")).cast("double") /
+          col("n_docs_total").cast("double")).as("corpus_share"))
+  }
 }

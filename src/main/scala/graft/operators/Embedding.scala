@@ -228,4 +228,63 @@ object Embedding {
         min_by(col("code"), struct(col("dist"), col("code"))).as("code"),
         round(min(col("dist")), 6).as("dist"))
   }
+
+  /** PQ asymmetric-distance search (ADC, Jégou PAMI'11): approximate
+    * top-k by L2 over the [[pqCodes]] compression — the query stays
+    * FULL precision while the corpus is m small codes per vector.
+    * Per query the m x nc lookup table (exact L2 from each query
+    * subvector to each codebook entry, the same left-associated
+    * squared-diff chain as pqCodes) is tiny and BROADCASTS; scoring
+    * is then one equi-join of the code table against the LUT on
+    * (j, code) + an m-term sum per (query, vector) — the corpus's
+    * full vectors are never touched again, which is the entire point
+    * at 100 TB: search bandwidth is m bytes/vector, not d floats.
+    * The m-term per-pair sum is a bounded float group → 6dp (the
+    * rollingStats recipe); rank breaks ties on vec_id.
+    */
+  def pqSearch(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+               m: Int = 8, nc: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def fullVecs(pred: Column): Array[(Long, Array[Double])] = embeddings
+      .filter(pred)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val seeds   = fullVecs(col("vec_id") < nc)
+    val queries = fullVecs(col("vec_id").isin(queryIds: _*))
+    require(queries.length == queryIds.distinct.length,
+      s"missing query vectors: wanted ${queryIds.distinct.length}, found ${queries.length}")
+    // the per-query LUT: left-associated index-order accumulation,
+    // the exact arithmetic the SQL oracle spells term by term
+    val lutRows = for {
+      (qid, qv)    <- queries.toSeq
+      j            <- 0 until m
+      (code, cv)   <- seeds
+    } yield {
+      var d = 0.0
+      var i = 0
+      while (i < sub) {
+        val dx = qv(j * sub + i) - cv(j * sub + i)
+        d += dx * dx
+        i += 1
+      }
+      (qid, j.toLong, code, d)
+    }
+    import spark.implicits._
+    val lut   = broadcast(lutRows.toDF("qid", "lj", "lcode", "d"))
+    val codes = pqCodes(embeddings, m, nc)
+    val adc = codes
+      .join(lut, col("j") === col("lj") && col("code") === col("lcode"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("d")), 6).as("adc_dist"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    adc
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("adc_dist"), col("rnk"))
+  }
 }

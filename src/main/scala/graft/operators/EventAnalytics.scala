@@ -174,4 +174,61 @@ object EventAnalytics {
         unix_micros(col("t_to")).as("to_us"),
         (unix_micros(col("t_to")) - unix_micros(col("t_from"))).as("delta_us"))
   }
+
+  /** Rolling active users: per calendar day, DAU (distinct users
+    * active that day), WAU (distinct users active in the trailing
+    * `windowDays`-day window), and the DAU/WAU stickiness ratio.
+    * A sliding DISTINCT count can't run as a window aggregate
+    * (distinct doesn't decompose over frames), so the shape is: the
+    * events reduce once to the distinct (user, day) frame — the only
+    * corpus-sized stage — then that frame joins a BROADCAST day grid
+    * on the trailing-window range (the grid is one row per calendar
+    * day: bounded by the date span, never by data volume, so the
+    * "range join" is a broadcast fan-out of at most `windowDays`
+    * rows per user-day) and a two-level distinct aggregate counts
+    * each grid day's window. Counts exact longs; stickiness is an
+    * unrounded ratio of exact longs (the vwap quotient rule).
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be positive: $windowDays")
+    val userDay = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val days = userDay.select(col("d").as("grid_day")).distinct()
+    val dau  = userDay.groupBy(col("d").as("grid_day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = userDay
+      .join(broadcast(days),
+        datediff(col("grid_day"), col("d")).between(0, windowDays - 1))
+      .groupBy(col("grid_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, "grid_day")
+      .select(col("grid_day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+  }
+
+  /** New-vs-returning split per day: of the users active each day,
+    * how many were first seen THAT day (new) vs earlier (returning),
+    * plus the returning share. The first-seen frame is a user-keyed
+    * min aggregate; it joins the distinct user-day frame back on
+    * user_id — co-partitioned with the aggregate's own hash
+    * partitioning, so the whole operator is two shuffles of the
+    * REDUCED frames (never the raw events twice). Exact longs; the
+    * share divides once per output row, unrounded (exact-long
+    * quotient rule).
+    */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val userDay = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .distinct()
+    val firstSeen = userDay.groupBy(col("user_id")).agg(min(col("d")).as("first_d"))
+    userDay.join(firstSeen, "user_id")
+      .groupBy(col("d"))
+      .agg(
+        sum(when(col("d") === col("first_d"), 1L).otherwise(0L)).as("new_users"),
+        sum(when(col("d") > col("first_d"), 1L).otherwise(0L)).as("returning_users"))
+      .select(col("d"), col("new_users"), col("returning_users"),
+        (col("returning_users").cast("double") /
+          (col("new_users") + col("returning_users")).cast("double")).as("returning_share"))
+  }
 }

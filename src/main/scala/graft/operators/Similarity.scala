@@ -416,6 +416,61 @@ object Similarity {
         col("m_src").isNotNull.as("mutual"))
   }
 
+  /** PageRank over the directed k-NN cosine graph — graph centrality
+    * for data curation (which vectors anchor dense neighborhoods vs
+    * drift at the corpus margin). ALL-INTEGER power iteration so the
+    * result is bit-identical on any engine at any partition count:
+    * ranks live in fixed-point units of `scale` (default 1e12 per
+    * unit mass / n nodes), each iteration distributes `r div outdeg`
+    * (exact integral division) along out-edges, sums exact longs,
+    * and applies damping as r' = teleport + (85·Σ) div 100 with
+    * teleport = ((scale div n)·15) div 100 — a float PageRank's
+    * partial-sum order would differ run to run; this one cannot.
+    * Every node has out-degree k by construction (top-k edges), so
+    * there is no dangling-mass term.
+    *
+    * Shape: the edge build is [[knnGraph]]'s head (declared-quadratic
+    * exact sweep under the pairSweep guard at gate scale; at 100 TB
+    * the same iteration runs over IVF/LSH candidate edges).
+    * Iterations are one co-partitioned join + one sum aggregate per
+    * round on the k·n edge frame, localCheckpoint truncating lineage
+    * (the [[Dedup.clusters]] loop discipline).
+    */
+  def pageRankKnn(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
+                  scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && k >= 1, s"iters/k must be positive: iters=$iters, k=$k")
+    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val dir = pairs
+      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val edges = dir
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // the sweep runs once; every iteration re-reads this
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val ed     = edges.join(outdeg, "src").localCheckpoint()
+    val nodes  = embeddings.select(col("vec_id").as("node")).localCheckpoint()
+    val n      = nodes.count()
+    val r0     = scale / n
+    val tele   = r0 * 15L / 100L
+    var ranks = nodes.withColumn("r", lit(r0))
+    for (_ <- 1 to iters) {
+      val inSum = ed
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div od").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(tele) + expr("coalesce(s, 0L) * 85L div 100L")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("node"), col("r").as("rank_units"),
+      (col("r").cast("double") / scale).as("pr"))
+  }
+
   /** Bucketed near-dup: exact cosine only within LSH buckets. */
   def lshNearDupPairs(embeddings: DataFrame, threshold: Double, planes: Int = 8): DataFrame = {
     val b = lshBuckets(embeddings, planes)

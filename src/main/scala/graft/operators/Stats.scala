@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -500,5 +500,111 @@ object Stats {
         (pow(col("o").cast("double") - e, 2) / e).as("term"))
       .groupBy(col("n"), col("dof"))
       .agg(round(sum(col("term")), 6).as("chi2"))
+  }
+
+  /** Welch's two-sample t statistic (unequal variances) between two
+    * event types' value distributions, with the Welch–Satterthwaite
+    * degrees of freedom. The 100 TB determinism move: raw doubles
+    * are quantized ONCE to DECIMAL(18,6) at the scan, so every
+    * moment (n, Σx, Σx²) accumulates as an EXACT decimal —
+    * order-independent however many partitions the sum spans, where
+    * a double sum over millions of rows drifts run-to-run. Means
+    * and variances image the exact sums into doubles once; t and df
+    * are single IEEE chains both engines share, rounded 6dp. One
+    * conditional-aggregate pass over one scan — no per-type
+    * sub-scans, no shuffle beyond the single global aggregate.
+    */
+  def welchTTest(events: DataFrame, typeA: String, typeB: String,
+                 key: String = "event_type", v: String = "value"): DataFrame = {
+    val dv = col(v).cast("decimal(18,6)")
+    val m = events
+      .filter(col(key).isin(typeA, typeB))
+      .select(
+        when(col(key) === typeA, lit(1L)).otherwise(lit(0L)).as("ia"),
+        dv.as("x"))
+      .agg(
+        sum(col("ia")).as("na"),
+        sum(lit(1L) - col("ia")).as("nb"),
+        sum(when(col("ia") === 1L, col("x"))).as("sa"),
+        sum(when(col("ia") === 0L, col("x"))).as("sb"),
+        sum(when(col("ia") === 1L, col("x") * col("x"))).as("qa"),
+        sum(when(col("ia") === 0L, col("x") * col("x"))).as("qb"))
+    // sample variance from exact sums: (Σx² − (Σx)²/n) / (n−1),
+    // every operand imaged into double exactly once
+    def meanOf(s: Column, n: Column): Column = s.cast("double") / n
+    def varOf(q: Column, s: Column, n: Column): Column =
+      (q.cast("double") - s.cast("double") * s.cast("double") / n) / (n - 1)
+    m.select(
+      col("na").as("n_a"), col("nb").as("n_b"),
+      round(meanOf(col("sa"), col("na")), 6).as("mean_a"),
+      round(meanOf(col("sb"), col("nb")), 6).as("mean_b"),
+      round(
+        (meanOf(col("sa"), col("na")) - meanOf(col("sb"), col("nb"))) /
+          sqrt(varOf(col("qa"), col("sa"), col("na")) / col("na") +
+               varOf(col("qb"), col("sb"), col("nb")) / col("nb")), 6).as("t_stat"),
+      round(
+        pow(varOf(col("qa"), col("sa"), col("na")) / col("na") +
+            varOf(col("qb"), col("sb"), col("nb")) / col("nb"), 2) /
+          (pow(varOf(col("qa"), col("sa"), col("na")) / col("na"), 2) / (col("na") - 1) +
+           pow(varOf(col("qb"), col("sb"), col("nb")) / col("nb"), 2) / (col("nb") - 1)), 6)
+        .as("df"))
+  }
+
+  /** Mann–Whitney U (two-sided rank-sum) between two event types,
+    * tie-corrected normal approximation. EXACT rank arithmetic at
+    * any scale via [[ksTest]]'s distributed prefix sum: reduce to
+    * per-distinct-value counts (ca, cb), range-partition by value,
+    * local cumsums + broadcast per-partition offsets give each
+    * distinct value its global "count of smaller" — never a global
+    * single-partition window over the data. Tied values take the
+    * average rank; working in HALF-rank units (2·rank is integral)
+    * keeps every rank-sum an exact long. U₁ = R₁ − n₁(n₁+1)/2; z
+    * applies the tie correction Σ(t³−t) — exact longs under a single
+    * IEEE chain both engines share, rounded 6dp.
+    */
+  def mannWhitney(events: DataFrame, typeA: String, typeB: String,
+                  key: String = "event_type", v: String = "value",
+                  nBuckets: Int = 32): DataFrame = {
+    val d = events
+      .filter(col(key).isin(typeA, typeB))
+      .select(col(v).as("x"),
+        when(col(key) === typeA, 1L).otherwise(0L).as("ia"),
+        when(col(key) === typeB, 1L).otherwise(0L).as("ib"))
+      .groupBy(col("x"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .repartitionByRange(nBuckets, col("x"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // offsets + local cumsums both read it; pid frozen
+    val wLocal = Window.partitionBy("pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("pid")).agg(sum(col("ca") + col("cb")).as("t"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off"))
+    val t = col("ca") + col("cb")
+    val ranked = d
+      .withColumn("lall", sum(t).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      // smaller = global count of values strictly below x; the tied
+      // block's average rank doubled = 2·smaller + t + 1 (integral)
+      .select(col("ca"), col("cb"), t.as("t"),
+        (col("off") + col("lall") - t).as("smaller"))
+    ranked
+      .agg(
+        sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+        sum(col("ca") * (lit(2L) * col("smaller") + col("t") + 1L)).as("r2a"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(
+        col("na").as("n_a"), col("nb").as("n_b"),
+        // U₁ in half units is integral: (R₁·2 − n₁(n₁+1)·... ) / 2
+        ((col("r2a") - col("na") * (col("na") + 1L)).cast("double") / 2).as("u_stat"),
+        round(
+          ((col("r2a") - col("na") * (col("na") + 1L)).cast("double") / 2 -
+            col("na").cast("double") * col("nb") / 2) /
+            sqrt(col("na").cast("double") * col("nb") / 12 *
+              ((col("na") + col("nb") + 1).cast("double") -
+                col("ties").cast("double") /
+                  ((col("na") + col("nb")).cast("double") * (col("na") + col("nb") - 1)))),
+          6).as("z_score"))
   }
 }

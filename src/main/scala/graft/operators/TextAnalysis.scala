@@ -295,6 +295,31 @@ object TextAnalysis {
         round(col("cum_cnt").cast("double") / col("total").cast("double"), 6).as("cum_share"))
   }
 
+  /** Zipf-law fit over the vocabulary head: OLS of ln(count) on
+    * ln(rank) across the top-k token types — the know-your-data
+    * scalar behind [[vocabCoverage]]'s curve (natural corpora slope
+    * ≈ −1; template/boilerplate-heavy or deduplicated-to-death
+    * corpora bend away from it). Same shape as vocabCoverage: one
+    * explode+count vocab aggregation, TakeOrdered k-row head, and
+    * the regression runs on the k-row frame only — regr_slope /
+    * regr_intercept / regr_r2 are single-pass moment aggregates over
+    * a bounded k-row group → 6dp (the rollingStats float recipe).
+    */
+  def zipfSlope(documents: DataFrame, k: Int = 100): DataFrame = {
+    val counts = documents.select(explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = counts.orderBy(col("cnt").desc, col("tok").asc).limit(k)
+    val w   = Window.orderBy(col("cnt").desc, col("tok").asc)
+    top
+      .withColumn("x", log(row_number().over(w).cast("double")))
+      .withColumn("y", log(col("cnt").cast("double")))
+      .agg(
+        count(lit(1)).as("k_types"),
+        round(regr_slope(col("y"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 6).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"))
+  }
+
   /** Per-language corpus profile (the know-your-data dashboard):
     * doc counts, token-length moments, and char-length median per
     * predicted language. ONE corpus scan: language-ID is a narrow

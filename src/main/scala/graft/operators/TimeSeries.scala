@@ -1242,4 +1242,138 @@ object TimeSeries {
         round(sqrt(sum(x) / (lit(4.0) * lit(math.log(2.0)) * count(lit(1)))), 6)
           .as("parkinson_vol"))
   }
+
+  /** Williams %R(n) on daily OHLC bars: -100 * (highestHigh - close)
+    * / (highestHigh - lowestLow) over the trailing n bars — the
+    * inverted [[stochastic]] %K (%R = %K - 100), kept as its own
+    * operator because chart conventions treat the -100..0 scale as a
+    * distinct signal. Rolling max/min are exact; one IEEE chain per
+    * row; flat windows (high == low across all n bars) are null, the
+    * same guard as stochastic. One (key, bar) shuffle.
+    */
+  def williamsR(events: DataFrame, n: Int = 14,
+                key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"window size must be positive: n=$n")
+    val bars  = Relational.ohlcResample(events)
+    val w     = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    val lowN  = min(col("low")).over(w)
+    val highN = max(col("high")).over(w)
+    bars
+      .withColumn("pct_r",
+        when(highN =!= lowN, (highN - col("close")) / (highN - lowN) * -100))
+      .select(col(key), col("bar_start"), round(col("pct_r"), 6).as("pct_r"))
+  }
+
+  /** Money Flow Index MFI(n) on daily OHLC+volume bars — the
+    * volume-weighted RSI: typical price tp = (h+l+c)/3, raw money
+    * flow = tp * volume, split positive/negative by tp vs the
+    * previous bar's tp (equal tp contributes to neither, the
+    * pandas-ta convention), MFI = 100 * posSum / (posSum + negSum)
+    * over the trailing n bars (null when both sums are zero; the
+    * ratio form avoids the 100-100/(1+RS) divide-by-zero split).
+    * Volume is the daily sum of the events' JSON props `k` field —
+    * exact longs, the [[vwap]]/[[obv]]/[[cmf]] source. The two
+    * rolling sums accumulate <= n doubles in frame order (the
+    * [[sma]] determinism recipe) and divide once. One shuffle: the
+    * bar aggregate and both windows share the (key, day) sort.
+    */
+  def mfi(events: DataFrame, n: Int = 14,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"window size must be positive: n=$n")
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    val bars = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(
+        max(col(v)).as("high"), min(col(v)).as("low"),
+        max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val wN   = wSeq.rowsBetween(-(n - 1), 0)
+    val tp   = (col("high") + col("low") + col("close")) / 3
+    val withFlows = bars
+      .withColumn("tp", tp)
+      .withColumn("prev_tp", lag(col("tp"), 1).over(wSeq))
+      .withColumn("pos_mf",
+        when(col("prev_tp").isNotNull && col("tp") > col("prev_tp"),
+          col("tp") * col("volume").cast("double")).otherwise(lit(0.0)))
+      .withColumn("neg_mf",
+        when(col("prev_tp").isNotNull && col("tp") < col("prev_tp"),
+          col("tp") * col("volume").cast("double")).otherwise(lit(0.0)))
+    val posN = sum(col("pos_mf")).over(wN)
+    val negN = sum(col("neg_mf")).over(wN)
+    withFlows
+      .withColumn("mfi",
+        when(posN + negN =!= 0.0, lit(100.0) * posN / (posN + negN)))
+      .select(col(key), col("day"), col("volume"),
+        round(col("tp"), 6).as("tp"), round(col("mfi"), 6).as("mfi"))
+  }
+
+  /** Autocorrelation function per key: Pearson correlation of the
+    * daily-close return series with itself at lags 1..`maxLag`
+    * (serial dependence / momentum-vs-mean-reversion profiling; the
+    * Ljung–Box inputs). All lag columns materialize on ONE per-key
+    * window sort; the lag axis then unpivots via an inline stack so
+    * the corr aggregate runs per (key, lag) — rows never duplicate
+    * maxLag times before the window. corr is a single-pass moment
+    * aggregate over per-key bounded groups → 6dp (the
+    * [[rollingStats]] float recipe); n_pairs counts the non-null
+    * overlap so the reader can judge significance (|acf| ~ 2/sqrt(n)).
+    */
+  def acf(df: DataFrame, maxLag: Int = 5,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive: $maxLag")
+    val rets = dailyCloseReturns(df, key, ts, v)
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val withLags = (1 to maxLag).foldLeft(rets) { (acc, l) =>
+      acc.withColumn(s"lag_$l", lag(col("ret"), l).over(wSeq))
+    }
+    val stacked = withLags.select(
+      col(key), col("ret"),
+      posexplode(array((1 to maxLag).map(l => col(s"lag_$l")): _*)).as(Seq("lag0", "ret_lag")))
+    stacked
+      .filter(col("ret_lag").isNotNull)
+      .groupBy(col(key), (col("lag0") + 1).cast("long").as("lag_k"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(when(var_samp(col("ret")) =!= 0 && var_samp(col("ret_lag")) =!= 0,
+          corr(col("ret"), col("ret_lag"))), 6).as("acf"))
+  }
+
+  /** Keltner channel on daily OHLC bars: midline = EMA(`emaSpan`,
+    * adjust=False) of the typical price (h+l+c)/3, bands = midline
+    * ± `mult` * ATR(`atrN`) (SMA true-range variant, [[atr]]'s
+    * definition). Demonstrates indicator COMPOSITION on one shuffle:
+    * the bar aggregate, the EMA closed form (the [[macd]] in-line
+    * recipe, output wrapped in [[closedFormGuard]]), the tr lag and
+    * the rolling ATR all share the single (key, bar) sort. Bands
+    * compose unrounded and round once at the output, the oracle's
+    * arithmetic exactly.
+    */
+  def keltner(events: DataFrame, emaSpan: Int = 20, atrN: Int = 10, mult: Double = 2.0,
+              key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(emaSpan >= 1 && atrN >= 1, s"spans must be positive: emaSpan=$emaSpan, atrN=$atrN")
+    val a    = 2.0 / (emaSpan + 1)
+    val bars = Relational.ohlcResample(events)
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    val wRun = Window.partitionBy(key).orderBy("rn").rowsBetween(Window.unboundedPreceding, 0)
+    val wN   = wSeq.rowsBetween(-(atrN - 1), 0)
+    val prevC = lag(col("close"), 1).over(wSeq)
+    val tr = when(prevC.isNull, col("high") - col("low"))
+      .otherwise(greatest(
+        col("high") - col("low"),
+        abs(col("high") - prevC),
+        abs(col("low") - prevC)))
+    bars
+      .withColumn("tp", (col("high") + col("low") + col("close")) / 3)
+      .withColumn("rn", row_number().over(wSeq) - 1)
+      .withColumn("g",
+        when(col("rn") === 0, col("tp")).otherwise(lit(a) * col("tp") * pow(lit(1 - a), -col("rn"))))
+      .withColumn("mid", pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun))
+      .withColumn("tr", tr)
+      .withColumn("atr", avg(col("tr")).over(wN))
+      .select(col(key), col("bar_start"),
+        closedFormGuard(round(col("mid"), 6), a).as("mid"),
+        closedFormGuard(round(col("mid") + lit(mult) * col("atr"), 6), a).as("upper"),
+        closedFormGuard(round(col("mid") - lit(mult) * col("atr"), 6), a).as("lower"))
+  }
 }

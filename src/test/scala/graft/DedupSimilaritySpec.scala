@@ -537,4 +537,72 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mut.except(rev).count() === 0 && rev.except(mut).count() === 0)
     g.unpersist()
   }
+
+  test("cluster size profile: components plus singletons cover the corpus exactly") {
+    import spark.implicits._
+    val docs  = Seq(1L, 2L, 3L, 4L, 5L).map(id => (id, s"doc $id")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("da", "db")
+    val got = Dedup.clusterSizeProfile(docs, pairs).orderBy($"cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 0.4),   // docs 4, 5 are singletons
+      (3L, 1L, 3L, 0.6)))  // {1,2,3} via the chain
+    assert(got.map(_._3).sum === 5L) // covers every doc exactly once
+  }
+
+  test("pagerank: fixed-point mass is conserved within integer-floor loss, runs reproduce") {
+    val emb   = Tables.embeddings(spark, sf)
+    val scale = 1000000000000L
+    val a = Similarity.pageRankKnn(emb, 5, 3, scale).collect()
+    val n = emb.count()
+    assert(a.length.toLong === n)
+    val total = a.map(_.getAs[Long]("rank_units")).sum
+    // every div floors: loss < 1 unit per edge contribution and per
+    // damping step, far under 5% of scale at any corpus size here
+    assert(total <= scale && total >= (scale * 95L) / 100L,
+      s"mass $total not within [0.95, 1.0] of $scale")
+    assert(a.forall(_.getAs[Long]("rank_units") > 0L))
+    val b = Similarity.pageRankKnn(emb, 5, 3, scale).collect()
+    val am = a.map(r => r.getLong(0) -> r.getAs[Long]("rank_units")).toMap
+    val bm = b.map(r => r.getLong(0) -> r.getAs[Long]("rank_units")).toMap
+    assert(am === bm, "pagerank must be bit-identical across runs")
+  }
+
+  test("pq ADC search matches a local reimplementation over the same codes") {
+    import spark.implicits._
+    import graft.operators.Embedding
+    val emb = Tables.embeddings(spark, sf)
+    val got = Embedding.pqSearch(emb, Seq(0L, 1L, 2L), 5, 8, 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val vecs = emb
+      .select($"vec_id", graft.functions.VectorFunctions.toDouble($"embedding").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val (m, nc, sub) = (8, 16, 8)
+    val seeds = vecs.filter(_._1 < nc).toSeq.sortBy(_._1)
+    def d2(a: Array[Double], aOff: Int, b: Array[Double], bOff: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < sub) { val dx = a(aOff + i) - b(bOff + i); s += dx * dx; i += 1 }
+      s
+    }
+    // local codes: per (vec, j) the argmin codebook entry, (dist, code) tiebreak
+    val codes = vecs.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        seeds.map { case (c, cv) => (d2(v, j * sub, cv, j * sub), c) }.min._2
+      }
+    }
+    val want = Seq(0L, 1L, 2L).flatMap { qid =>
+      val qv = vecs(qid)
+      val lut = (0 until m).map(j => seeds.map { case (c, cv) => c -> d2(qv, j * sub, cv, j * sub) }.toMap)
+      val scored = codes.toSeq.map { case (vid, cs) =>
+        (vid, (0 until m).map(j => lut(j)(cs(j))).sum)
+      }.sortBy { case (vid, s) => (s, vid) }.take(5)
+      scored.zipWithIndex.map { case ((vid, s), i) => (qid, vid, s, i.toLong + 1) }
+    }
+    assert(got.length === want.length)
+    got.sortBy(r => (r._1, r._4)).zip(want).foreach {
+      case (g: (Long, Long, Double, Long), w: (Long, Long, Double, Long)) =>
+        assert(g._1 === w._1 && g._2 === w._2 && g._4 === w._4, s"$g vs $w")
+        assert(math.abs(g._3 - w._3) < 2e-6, s"adc dist $g vs $w")
+    }
+  }
 }

@@ -119,4 +119,49 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getAs[Long]("delta_us")))
     assert(got.toSeq === Seq((1L, 0L), (2L, 5L * 86400000000L)))
   }
+
+  private def activityDf = {
+    import spark.implicits._
+    // user 1 active days 0,1,8; user 2 days 0,7; user 3 day 7 only
+    val rows = Seq((1L, 0), (1L, 1), (1L, 8), (2L, 0), (2L, 7), (3L, 7))
+    rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .select($"event_id", $"user_id",
+        timestamp_micros(lit(1704067200000000L) + $"d" * 86400000000L).as("ts"))
+  }
+
+  test("rolling active users: WAU is the trailing-window distinct; windowDays=1 collapses to DAU") {
+    import spark.implicits._
+    val got = EventAnalytics.rollingActiveUsers(activityDf, 7)
+      .withColumn("grid_day", date_format($"grid_day", "yyyy-MM-dd"))
+      .orderBy($"grid_day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // day 0: users {1,2}; day 1: {1}, window {0,1} -> {1,2}
+    // day 7: {2,3}, window 1..7 -> {1(d1),2,3}; day 8: {1}, window 2..8 -> {1,2,3}
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-08", 2L, 3L, 2.0 / 3),
+      ("2024-01-09", 1L, 3L, 1.0 / 3)))
+    val collapsed = EventAnalytics.rollingActiveUsers(activityDf, 1).collect()
+    collapsed.foreach { r =>
+      assert(r.getAs[Long]("dau") === r.getAs[Long]("wau"))
+      assert(r.getAs[Double]("stickiness") === 1.0)
+    }
+  }
+
+  test("new vs returning partitions each day's actives by first-seen day") {
+    import spark.implicits._
+    val got = EventAnalytics.newVsReturning(activityDf)
+      .withColumn("d", date_format($"d", "yyyy-MM-dd"))
+      .orderBy($"d").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 0L),   // users 1,2 first seen
+      ("2024-01-02", 0L, 1L),   // user 1 returns
+      ("2024-01-08", 1L, 1L),   // user 3 new, user 2 returns
+      ("2024-01-09", 0L, 1L)))  // user 1 returns
+    // conservation: total new across days == distinct users
+    assert(got.map(_._2).sum === 3L)
+  }
 }

@@ -224,4 +224,75 @@ class IndicatorSpec extends AnyFunSuite {
     assert(math.abs(got(1).getAs[Double]("parkinson_vol") - want) < 1e-6)
     assert(got(1).getAs[Long]("n_bars") === 4L)
   }
+
+  test("williams %R equals stochastic %K - 100, null on the same flat windows") {
+    import spark.implicits._
+    val k = TimeSeries.stochastic(dailyDf, 3, 1).orderBy($"bar_start").collect()
+    val r = TimeSeries.williamsR(dailyDf, 3).orderBy($"bar_start").collect()
+    assert(k.length === r.length)
+    k.zip(r).zipWithIndex.foreach { case ((kr, rr), i) =>
+      val gk = Option(kr.getAs[java.lang.Double]("pct_k")).map(_.doubleValue)
+      val gr = Option(rr.getAs[java.lang.Double]("pct_r")).map(_.doubleValue)
+      assert(gk.isDefined === gr.isDefined, s"row $i nullness")
+      for (a <- gk; b <- gr) assert(math.abs(b - (a - 100.0)) < 1e-5, s"row $i: $b vs ${a - 100}")
+    }
+  }
+
+  test("mfi matches the pos/neg money-flow ratio on single-tick bars") {
+    import spark.implicits._
+    val vols = Vector(5L, 3L, 7L, 2L, 9L, 4L, 6L, 1L, 8L, 10L)
+    val df = ys.zip(vols).zipWithIndex
+      .map { case ((y, k), i) => (1L, i.toLong, i.toLong, y, s"""{"k":$k}""") }
+      .toDF("user_id", "event_id", "d", "value", "props")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.mfi(df, 3).orderBy($"day").collect()
+    // single-tick bars: tp = value; pos/neg split by Δtp, first bar neither
+    val pos = ys.indices.map(i =>
+      if (i > 0 && ys(i) > ys(i - 1)) ys(i) * vols(i) else 0.0)
+    val neg = ys.indices.map(i =>
+      if (i > 0 && ys(i) < ys(i - 1)) ys(i) * vols(i) else 0.0)
+    got.zipWithIndex.foreach { case (row, i) =>
+      val w = math.max(0, i - 2) to i
+      val (p, n) = (w.map(pos).sum, w.map(neg).sum)
+      val g = Option(row.getAs[java.lang.Double]("mfi")).map(_.doubleValue)
+      if (p + n == 0.0) assert(g.isEmpty, s"row $i should be null")
+      else assert(math.abs(g.get - 100.0 * p / (p + n)) < 1e-6, s"row $i mfi")
+      assert(math.abs(row.getAs[Double]("tp") - ys(i)) < 1e-9, s"row $i tp")
+    }
+  }
+
+  test("keltner: mid is the EMA of typical price, bands are mid ± mult·ATR") {
+    import spark.implicits._
+    val got = TimeSeries.keltner(dailyDf, 20, 3, 2.0).orderBy($"bar_start").collect()
+    // single-tick bars: tp = close = value, tr = |Δ| (first bar 0)
+    val midW = emaRec(ys, 2.0 / 21)
+    val trW  = 0.0 +: ys.sliding(2).map(p => math.abs(p(1) - p(0))).toVector
+    got.zipWithIndex.foreach { case (r, i) =>
+      val atrW = { val w = trW.slice(math.max(0, i - 2), i + 1); w.sum / w.size }
+      assert(math.abs(r.getAs[Double]("mid") - midW(i)) < 1e-6, s"row $i mid")
+      assert(math.abs(r.getAs[Double]("upper") - (midW(i) + 2 * atrW)) < 1e-5, s"row $i upper")
+      assert(math.abs(r.getAs[Double]("lower") - (midW(i) - 2 * atrW)) < 1e-5, s"row $i lower")
+    }
+  }
+
+  test("acf: a linear-growth return series has acf 1 at every lag it defines") {
+    import spark.implicits._
+    // exponential price series -> constant returns -> zero variance
+    // -> null acf (the guard); an alternating series -> acf -1 at
+    // lag 1, +1 at lag 2 on the overlap
+    val alt = Vector.tabulate(12)(i => if (i % 2 == 0) 100.0 else 110.0)
+    val df = alt.zipWithIndex
+      .map { case (v, i) => (7L, i.toLong, i.toLong, v) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.acf(df, 2).orderBy($"lag_k").collect()
+      .map(r => (r.getLong(1), Option(r.getAs[java.lang.Double]("acf")).map(_.doubleValue)))
+    // returns alternate between +10% and -1/11 exactly: perfect
+    // negative correlation at lag 1, perfect positive at lag 2
+    assert(got.length === 2)
+    assert(got(0)._1 === 1L && math.abs(got(0)._2.get - -1.0) < 1e-6)
+    assert(got(1)._1 === 2L && math.abs(got(1)._2.get - 1.0) < 1e-6)
+  }
 }

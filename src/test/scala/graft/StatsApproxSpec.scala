@@ -201,4 +201,68 @@ class StatsApproxSpec extends AnyFunSuite {
       (1L, "2024-01-04", 2L),
       (1L, "2024-01-07", 3L)))
   }
+
+  private def twoSampleDf(a: Seq[Double], b: Seq[Double]) = {
+    import TestSession.spark
+    import spark.implicits._
+    (a.map(("click", _)) ++ b.map(("purchase", _)))
+      .zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, t, v) }
+      .toDF("event_id", "event_type", "value")
+  }
+
+  test("welch t matches the direct two-sample computation; swapping groups negates t") {
+    import TestSession.spark
+    val a = Seq(10.0, 12.0, 14.0, 11.0, 13.5)
+    val b = Seq(20.0, 22.0, 19.0, 21.5)
+    val got = Stats.welchTTest(twoSampleDf(a, b), "click", "purchase").head()
+    def mv(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      (m, xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1))
+    }
+    val ((ma, va), (mb, vb)) = (mv(a), mv(b))
+    val se2 = va / a.size + vb / b.size
+    val tW  = (ma - mb) / math.sqrt(se2)
+    val dfW = se2 * se2 /
+      (math.pow(va / a.size, 2) / (a.size - 1) + math.pow(vb / b.size, 2) / (b.size - 1))
+    assert(got.getAs[Long]("n_a") === a.size.toLong)
+    assert(got.getAs[Long]("n_b") === b.size.toLong)
+    assert(math.abs(got.getAs[Double]("mean_a") - ma) < 1e-6)
+    assert(math.abs(got.getAs[Double]("t_stat") - tW) < 1e-5)
+    assert(math.abs(got.getAs[Double]("df") - dfW) < 1e-4)
+    val rev = Stats.welchTTest(twoSampleDf(a, b), "purchase", "click").head()
+    assert(math.abs(rev.getAs[Double]("t_stat") + got.getAs[Double]("t_stat")) < 1e-9)
+    assert(math.abs(rev.getAs[Double]("df") - got.getAs[Double]("df")) < 1e-9)
+  }
+
+  test("mann-whitney U matches brute-force pair counting with ties") {
+    val a = Seq(1.0, 2.0, 2.0, 5.0, 7.0)
+    val b = Seq(2.0, 3.0, 3.0, 6.0)
+    val got = Stats.mannWhitney(twoSampleDf(a, b), "click", "purchase").head()
+    // U₁ = #(a > b) + ½·#(a == b), counted over all cross pairs
+    val u = a.map(x => b.count(x > _) + 0.5 * b.count(x == _)).sum
+    assert(got.getAs[Long]("n_a") === a.size.toLong)
+    assert(got.getAs[Long]("n_b") === b.size.toLong)
+    assert(got.getAs[Double]("u_stat") === u)
+    // tie-corrected z from the exact tie profile of the pooled sample
+    val pooled = a ++ b
+    val ties = pooled.groupBy(identity).values.map(_.size.toLong)
+      .map(t => t * t * t - t).sum
+    val (na, nb) = (a.size.toDouble, b.size.toDouble)
+    val nT = na + nb
+    val zW = (u - na * nb / 2) /
+      math.sqrt(na * nb / 12 * (nT + 1 - ties / (nT * (nT - 1))))
+    assert(math.abs(got.getAs[Double]("z_score") - zW) < 1e-5)
+  }
+
+  test("mann-whitney distributed ranks: U1 + U2 = n1·n2 on the fixture events") {
+    import TestSession.spark
+    val ev = Tables.events(spark, TestSession.sf)
+    val u1 = Stats.mannWhitney(ev, "click", "purchase").head()
+    val u2 = Stats.mannWhitney(ev, "purchase", "click").head()
+    val n1 = u1.getAs[Long]("n_a")
+    val n2 = u1.getAs[Long]("n_b")
+    assert(u2.getAs[Long]("n_a") === n2)
+    assert(u1.getAs[Double]("u_stat") + u2.getAs[Double]("u_stat") === n1.toDouble * n2)
+  }
 }

@@ -240,4 +240,19 @@ class TextAnalysisSpec extends AnyFunSuite {
       .agg(sum($"n_grams")).head().getLong(0)
     assert(total === want)
   }
+
+  test("zipf slope is exactly -1 with r2 1 on an exact-harmonic vocabulary") {
+    import TestSession.spark
+    import spark.implicits._
+    // counts 12, 6, 4, 3 = 12/rank exactly, all distinct so ranks
+    // are deterministic: ln(cnt) = ln 12 - ln(rank) -> slope -1, r2 1
+    val text = (Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++ Seq.fill(3)("d"))
+      .mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.zipfSlope(docs, 100).head()
+    assert(got.getAs[Long]("k_types") === 4L)
+    assert(math.abs(got.getAs[Double]("slope") - -1.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("r2") - 1.0) < 1e-6)
+    assert(math.abs(got.getAs[Double]("intercept") - math.log(12.0)) < 1e-5)
+  }
 }
