@@ -46,7 +46,12 @@ object Explain {
         "q_session_stats", "q_top_transitions", "q_time_to_conversion",
         "q_donchian", "q_cmf", "q_parkinson_vol", "q_knn_graph",
         "q_ks_test", "q_chi2", "q_char_ngrams",
-        "q_pq_codes", "q_binary_neardup", "q_grouping_sets", "q_gap_detect")
+        "q_pq_codes", "q_binary_neardup", "q_grouping_sets", "q_gap_detect",
+        "q_williams_r", "q_mfi", "q_keltner", "q_acf",
+        "q_welch_ttest", "q_mann_whitney", "q_dau_wau", "q_new_vs_returning",
+        "q_zipf_slope", "q_cluster_sizes", "q_pq_search", "q_pagerank",
+        "q_ivfpq_search", "q_merge_upsert", "q_calmar", "q_ulcer_index",
+        "q_omega_ratio", "q_jaccard_estimate")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

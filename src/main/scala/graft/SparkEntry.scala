@@ -864,7 +864,23 @@ object SparkEntry {
         .orderBy("qid", "rnk")),
     "q_pagerank" -> ((s, dir) =>
       Similarity.pageRankKnn(Tables.embeddings(s, dir), 5, 5)
-        .orderBy("node"))
+        .orderBy("node")),
+    // IVF-PQ composition: coarse probe bounds the candidate set,
+    // ADC bounds per-candidate cost — the FAISS IndexIVFPQ shape
+    "q_ivfpq_search" -> ((s, dir) =>
+      Embedding.ivfPqSearch(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 5, 16, 4, 8, 16)
+        .orderBy("qid", "rnk")),
+    "q_merge_upsert" -> ((s, dir) =>
+      Relational.mergeUpsert(Tables.events(s, dir), "2024-01-20")
+        .orderBy("user_id")),
+    "q_calmar" -> ((s, dir) =>
+      TimeSeries.calmar(Tables.events(s, dir)).orderBy("user_id")),
+    "q_ulcer_index" -> ((s, dir) =>
+      TimeSeries.ulcerIndex(Tables.events(s, dir)).orderBy("user_id")),
+    "q_omega_ratio" -> ((s, dir) =>
+      TimeSeries.omegaRatio(Tables.events(s, dir)).orderBy("user_id")),
+    "q_jaccard_estimate" -> ((s, dir) =>
+      Dedup.jaccardEstimatePairs(Tables.documents(s, dir)).orderBy("da", "db"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3865,6 +3881,174 @@ object SparkEntry {
         |    GROUP BY e2.dst) x ON nd.node = x.node
         |)
         |SELECT node, r AS rank_units, CAST(r AS DOUBLE) / 1000000000000 AS pr
-        |FROM it5 ORDER BY node""".stripMargin
+        |FROM it5 ORDER BY node""".stripMargin,
+    // the q_ann_ivf coarse probe composed with the q_pq_search ADC
+    "q_ivfpq_search" -> {
+      val dterms = (1 to 8)
+        .map(i => s"(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])*(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])")
+        .mkString(" + ")
+      val qterms = (1 to 8)
+        .map(i => s"(q.v[js.j*8+$i]-cb.cv[js.j*8+$i])*(q.v[js.j*8+$i]-cb.cv[js.j*8+$i])")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+         |  FROM e QUALIFY cell < 16
+         |), cd AS (
+         |  SELECT e.vec_id, cents.cell,
+         |    list_dot_product(
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+         |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+         |  FROM e CROSS JOIN cents
+         |), assigned AS (
+         |  SELECT vec_id, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+         |  FROM cd QUALIFY rn = 1
+         |), qc AS (
+         |  SELECT vec_id AS qid, cell,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS prb
+         |  FROM cd WHERE vec_id IN (0, 1, 2) QUALIFY prb <= 4
+         |), js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |cb AS (
+         |  SELECT js.j, c.vec_id AS code, c.v AS cv FROM e c CROSS JOIN js WHERE c.vec_id < 16
+         |), d AS (
+         |  SELECT s.vec_id, js.j, cb.code, $dterms AS dist
+         |  FROM e s CROSS JOIN js JOIN cb ON cb.j = js.j
+         |), codes AS (
+         |  SELECT vec_id, j, code FROM (
+         |    SELECT vec_id, j, code,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), lut AS (
+         |  SELECT q.vec_id AS qid, js.j, cb.code, $qterms AS d
+         |  FROM e q CROSS JOIN js JOIN cb ON cb.j = js.j
+         |  WHERE q.vec_id IN (0, 1, 2)
+         |), adc AS (
+         |  SELECT qc.qid, a.vec_id, round(sum(lut.d), 6) AS adc_dist
+         |  FROM qc
+         |  JOIN assigned a ON a.cell = qc.cell AND a.vec_id != qc.qid
+         |  JOIN codes ON codes.vec_id = a.vec_id
+         |  JOIN lut ON lut.qid = qc.qid AND lut.j = codes.j AND lut.code = codes.code
+         |  GROUP BY 1, 2
+         |)
+         |SELECT qid, vec_id, adc_dist,
+         |  row_number() OVER (PARTITION BY qid ORDER BY adc_dist ASC, vec_id ASC) AS rnk
+         |FROM adc QUALIFY rnk <= 5
+         |ORDER BY qid, rnk""".stripMargin
+    },
+    "q_merge_upsert" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-20' THEN 1 ELSE 0 END AS is_base
+        |  FROM events
+        |), r AS (
+        |  SELECT user_id, ts, value, is_base,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    max(is_base) OVER (PARTITION BY user_id) AS has_base,
+        |    max(1 - is_base) OVER (PARTITION BY user_id) AS has_change
+        |  FROM t
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |  CASE WHEN has_base = 1 AND has_change = 1 THEN 'update'
+        |       WHEN has_change = 1 THEN 'insert' ELSE 'carry' END AS action
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_calmar" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret,
+        |    close / max(close) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) - 1 AS dd
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |)
+        |SELECT user_id,
+        |  round(avg(ret) * 252, 6) AS ann_return,
+        |  round(min(dd), 6) AS max_drawdown,
+        |  round(CASE WHEN min(dd) != 0.0 THEN avg(ret) * 252 / -min(dd) END, 6) AS calmar
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_ulcer_index" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT user_id,
+        |    (close / max(close) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) - 1) * 100 AS dd_pct
+        |  FROM dc
+        |)
+        |SELECT user_id, count(*) AS n_days,
+        |  round(min(dd_pct), 6) AS worst_dd_pct,
+        |  round(sqrt(avg(dd_pct * dd_pct)), 6) AS ulcer_index
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_omega_ratio" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |)
+        |SELECT user_id,
+        |  round(sum(greatest(ret - 0.0, 0.0)), 6) AS gain_sum,
+        |  round(sum(greatest(0.0 - ret, 0.0)), 6) AS loss_sum,
+        |  round(CASE WHEN sum(greatest(0.0 - ret, 0.0)) != 0.0
+        |    THEN sum(greatest(ret - 0.0, 0.0)) / sum(greatest(0.0 - ret, 0.0)) END, 6) AS omega
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // the minhash-signature CTE chain of q_dedup_clusters, joined
+    // back to the exact shingle sets: estimate, exact jaccard, and
+    // the absolute error are all unrounded single IEEE chains over
+    // exact integers — bit-identical, no rounding needed
+    "q_jaccard_estimate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), wide AS (
+        |  SELECT doc_id, list(m ORDER BY j) AS mhl FROM mh GROUP BY doc_id
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), sets AS (
+        |  SELECT doc_id, list(s ORDER BY s) AS arr, count(*) AS n_sh FROM sh GROUP BY doc_id
+        |), f AS (
+        |  SELECT cand.da, cand.db,
+        |    (CASE WHEN wa.mhl[1] = wb.mhl[1] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[2] = wb.mhl[2] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[3] = wb.mhl[3] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[4] = wb.mhl[4] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[5] = wb.mhl[5] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[6] = wb.mhl[6] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[7] = wb.mhl[7] THEN 1 ELSE 0 END +
+        |     CASE WHEN wa.mhl[8] = wb.mhl[8] THEN 1 ELSE 0 END) AS match_lanes,
+        |    len(list_intersect(sa.arr, sb.arr)) AS inter, sa.n_sh AS na, sb.n_sh AS nb
+        |  FROM cand
+        |  JOIN wide wa ON wa.doc_id = cand.da
+        |  JOIN wide wb ON wb.doc_id = cand.db
+        |  JOIN sets sa ON sa.doc_id = cand.da
+        |  JOIN sets sb ON sb.doc_id = cand.db
+        |)
+        |SELECT da, db, CAST(match_lanes AS BIGINT) AS match_lanes,
+        |  CAST(match_lanes AS DOUBLE) / 8 AS est,
+        |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard,
+        |  abs(CAST(match_lanes AS DOUBLE) / 8 - CAST(inter AS DOUBLE) / (na + nb - inter)) AS abs_err
+        |FROM f ORDER BY da, db""".stripMargin
   )
 }

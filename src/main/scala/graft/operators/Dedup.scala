@@ -788,6 +788,44 @@ object Dedup {
     * frames that are already cluster-sized, never corpus-wide pair
     * spaces. Exact longs throughout.
     */
+  /** MinHash Jaccard ESTIMATION audit: for every LSH candidate pair,
+    * the signature-based estimate (matching lanes / k) next to the
+    * exact n-gram Jaccard and the absolute error — the
+    * know-your-sketch pass that tells you whether k lanes are enough
+    * for the corpus before trusting the estimate at scale (stderr ≈
+    * sqrt(j(1−j)/k)). Everything md5-deterministic: the signature is
+    * the codegen'd per-row MinHash expression, candidates come from
+    * the banded join, and exact verification reuses the
+    * [[ngramJaccardPairsBanded]] docset join — so estimate, exact
+    * score, and error all hash-match a SQL oracle. One signature
+    * scan + the banded candidate join + one docset join; no
+    * all-pairs anywhere.
+    */
+  def jaccardEstimatePairs(documents: DataFrame, n: Int = 3): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val k = 8
+    val sig = documents
+      .select(col("doc_id"), expr("graft_minhash_sig(text)").as("mh"))
+      .filter(col("mh").isNotNull)
+    val cand = minhashLshCandidatesFast(documents)
+    val docsets = shingles(documents, n).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
+    val lanesMatch = (1 to k)
+      .map(j => when(element_at(col("mh_a"), j) === element_at(col("mh_b"), j), 1L).otherwise(0L))
+      .reduceLeft(_ + _)
+    cand
+      .join(sig.select(col("doc_id").as("da"), col("mh").as("mh_a")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("mh").as("mh_b")), "db")
+      .withColumn("match_lanes", lanesMatch)
+      .join(docsets.select(col("doc_id").as("da"), col("arr").as("arr_a"), col("n_sh").as("na")), "da")
+      .join(docsets.select(col("doc_id").as("db"), col("arr").as("arr_b"), col("n_sh").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .withColumn("est", col("match_lanes").cast("double") / k)
+      .select(col("da"), col("db"), col("match_lanes"), col("est"), col("jaccard"),
+        abs(col("est") - col("jaccard")).as("abs_err"))
+  }
+
   def clusterSizeProfile(documents: DataFrame, pairs: DataFrame): DataFrame = {
     val labels = clusters(pairs)
     val full = documents.select(col("doc_id"))

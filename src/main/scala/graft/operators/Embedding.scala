@@ -287,4 +287,76 @@ object Embedding {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("adc_dist"), col("rnk"))
   }
+
+  /** IVF-PQ search (the FAISS IndexIVFPQ analog): coarse-quantize the
+    * corpus into `nlist` cells (codegen'd broadcast-literal argmin,
+    * zero corpus shuffle), probe only the `nprobe` cells nearest each
+    * query, and score the survivors by PQ asymmetric distance — the
+    * two scale levers compose: the probe bounds the candidate set to
+    * ~nprobe/nlist of the corpus and ADC bounds per-candidate cost to
+    * m LUT lookups, so search cost is ~(nprobe/nlist)·n·m regardless
+    * of dimension. The coarse quantizer is the deterministic SEED
+    * ([[graft.operators.Similarity.ivfTrain]] iters=0 — trained float
+    * means can't cross-engine hash-match; the trained path is
+    * spec-land, the q_ann_ivf convention); probe lists and LUTs are
+    * driver-computed over the literal centroid vectors with the same
+    * left-associated chains the SQL oracle spells. Self-matches are
+    * excluded (the [[graft.operators.Similarity.ivfSearch]]
+    * convention).
+    */
+  def ivfPqSearch(embeddings: DataFrame, queryIds: Seq[Long], k: Int = 5,
+                  nlist: Int = 16, nprobe: Int = 4, m: Int = 8, nc: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    require(nprobe >= 1 && nprobe <= nlist, s"nprobe $nprobe outside [1, $nlist]")
+    val sub   = dim / m
+    val cents = Similarity.ivfTrain(embeddings, nlist, iters = 0)
+    val cells = Similarity
+      .assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
+      .select(col("vec_id"), col("cell"))
+    def fullVecs(pred: Column): Array[(Long, Array[Double])] = embeddings
+      .filter(pred)
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val seeds   = fullVecs(col("vec_id") < nc)
+    val queries = fullVecs(col("vec_id").isin(queryIds: _*))
+    // index-order accumulation — the oracle's sequential MAC
+    def d2(a: Array[Double], aOff: Int, b: Array[Double], bOff: Int, len: Int): Double = {
+      var s = 0.0; var i = 0
+      while (i < len) { val dx = a(aOff + i) - b(bOff + i); s += dx * dx; i += 1 }
+      s
+    }
+    val probeRows = queries.toSeq.flatMap { case (qid, qv) =>
+      cents.toSeq
+        .map { case (cid, cv) => (d2(qv, 0, cv, 0, dim), cid) }
+        .sorted.take(nprobe)
+        .map { case (_, cid) => (qid, cid) }
+    }
+    val lutRows = for {
+      (qid, qv)  <- queries.toSeq
+      j          <- 0 until m
+      (code, cv) <- seeds
+    } yield (qid, j.toLong, code, d2(qv, j * sub, cv, j * sub, sub))
+    import spark.implicits._
+    val probes = broadcast(probeRows.toDF("pqid", "pcell"))
+    val lut    = broadcast(lutRows.toDF("lqid", "lj", "lcode", "d"))
+    val codes  = pqCodes(embeddings, m, nc)
+    val survivors = cells
+      .join(probes, col("cell") === col("pcell"))
+      .filter(col("vec_id") =!= col("pqid"))
+      .select(col("pqid").as("qid"), col("vec_id"))
+    val adc = survivors
+      .join(codes, "vec_id")
+      .join(lut, col("qid") === col("lqid") && col("j") === col("lj") && col("code") === col("lcode"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(round(sum(col("d")), 6).as("adc_dist"))
+    val w = Window.partitionBy("qid").orderBy(col("adc_dist").asc, col("vec_id").asc)
+    adc
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vec_id"), col("adc_dist"), col("rnk"))
+  }
 }

@@ -1376,4 +1376,65 @@ object TimeSeries {
         closedFormGuard(round(col("mid") + lit(mult) * col("atr"), 6), a).as("upper"),
         closedFormGuard(round(col("mid") - lit(mult) * col("atr"), 6), a).as("lower"))
   }
+
+  /** Calmar ratio per key: annualized mean return over the absolute
+    * maximum drawdown — the risk-adjusted metric the fund panels
+    * quote beside Sharpe. The return moment and the drawdown both
+    * derive from the SAME per-key daily-close shuffle (the running-
+    * max window and the aggregate share one sort); null when the key
+    * never draws down. Per-key bounded float aggregates → 6dp.
+    */
+  def calmar(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val closes = dailyClose(df, key, ts, v)
+    val wSeq   = Window.partitionBy(key).orderBy("day")
+    val prev   = lag(col("close"), 1).over(wSeq)
+    val runMax = max(col("close")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0))
+    closes
+      .withColumn("ret", when(prev =!= 0, col("close") / prev - 1))
+      .withColumn("dd", col("close") / runMax - 1)
+      .groupBy(col(key))
+      .agg(
+        round(avg(col("ret")) * TradingDays, 6).as("ann_return"),
+        round(min(col("dd")), 6).as("max_drawdown"),
+        round(when(min(col("dd")) =!= 0.0,
+          avg(col("ret")) * TradingDays / -min(col("dd"))), 6).as("calmar"))
+  }
+
+  /** Ulcer index per key: sqrt of the mean squared percent drawdown
+    * over the daily-close series — penalizes DEPTH and DURATION of
+    * drawdowns where max-drawdown only sees the worst point. One
+    * running-max window + one aggregate on the same per-key sort;
+    * 6dp bounded-group floats.
+    */
+  def ulcerIndex(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val closes = dailyClose(df, key, ts, v)
+    val wSeq   = Window.partitionBy(key).orderBy("day")
+    val runMax = max(col("close")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0))
+    closes
+      .withColumn("dd_pct", (col("close") / runMax - 1) * 100)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(min(col("dd_pct")), 6).as("worst_dd_pct"),
+        round(sqrt(avg(col("dd_pct") * col("dd_pct"))), 6).as("ulcer_index"))
+  }
+
+  /** Omega ratio per key at a return threshold (default 0): the
+    * probability-weighted gains above the threshold over the losses
+    * below it, Σmax(r−θ,0) / Σmax(θ−r,0) — uses the WHOLE return
+    * distribution where Sharpe collapses it to two moments. One
+    * conditional aggregate on the per-key daily-return shuffle; null
+    * when there are no sub-threshold returns (the ratio diverges).
+    * 6dp bounded-group floats.
+    */
+  def omegaRatio(df: DataFrame, threshold: Double = 0.0,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame =
+    dailyCloseReturns(df, key, ts, v)
+      .groupBy(col(key))
+      .agg(
+        round(sum(greatest(col("ret") - threshold, lit(0.0))), 6).as("gain_sum"),
+        round(sum(greatest(lit(threshold) - col("ret"), lit(0.0))), 6).as("loss_sum"),
+        round(when(sum(greatest(lit(threshold) - col("ret"), lit(0.0))) =!= 0.0,
+          sum(greatest(col("ret") - threshold, lit(0.0))) /
+            sum(greatest(lit(threshold) - col("ret"), lit(0.0)))), 6).as("omega"))
 }

@@ -407,6 +407,36 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming DAU — the incremental twin of
+    * [[graft.operators.EventAnalytics.rollingActiveUsers]]'s DAU
+    * column: per event-time day, the count of distinct active users.
+    * A streaming distinct count can't re-scan history, so the shape
+    * is the two-level dedup-then-count: dropDuplicatesWithinWatermark
+    * on (user_id, day) collapses each user's repeat events to one
+    * state row per (user, day) inside the watermark horizon, and the
+    * downstream day-window count aggregates the survivors. Both
+    * stateful operators are watermark-bounded: state is one row per
+    * ACTIVE (user, day) pair plus one per open day window — never
+    * the event history. Counts are exact for in-watermark data (spec:
+    * equal to the batch DAU on in-order arrival).
+    */
+  def dauStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts"), date_trunc("day", col("ts")).as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("dau"))
+      .select(col("w.start").as("day"), col("dau"))
+
+  /** Batch twin of [[dauStream]] for the equivalence spec. */
+  def dauBatch(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("dau"))
+
   case class KeyedEv(key: String, ts: java.time.Instant, value: Double)
   case class ProbedEv(key: String, ts_us: Long, value: Double, bucket: Int, probes: Array[Int])
   case class BloomDedupOut(key: String, ts_us: Long, value: Double)

@@ -605,4 +605,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(math.abs(g._3 - w._3) < 2e-6, s"adc dist $g vs $w")
     }
   }
+
+  test("ivf-pq at full probe equals plain ADC search minus self-matches") {
+    import graft.operators.Embedding
+    val emb = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L)
+    val got = Embedding.ivfPqSearch(emb, qids, 5, nlist = 16, nprobe = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // expected: pqSearch over the whole corpus with the self hit
+    // dropped and ranks recompacted
+    val want = Embedding.pqSearch(emb, qids, 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(_._4).filter(_._2 != qid).take(5)
+          .zipWithIndex.map { case ((q, v, d, _), i) => (q, v, d, i.toLong + 1) }
+      }
+    assert(got.sortBy(r => (r._1, r._4)).toSeq === want.sortBy(r => (r._1, r._4)).toSeq)
+  }
+
+  test("jaccard estimate: identical docs score est 1.0 == exact 1.0; error bounded by lane count") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, base), (2L, base),                          // exact duplicates
+      (3L, base + " iota kappa"),                      // high-overlap superset
+      (4L, "one two three four five six seven eight")) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardEstimatePairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("match_lanes"),
+        r.getAs[Double]("est"), r.getAs[Double]("jaccard"), r.getAs[Double]("abs_err")))
+    val dup = got.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.isDefined, "identical docs must be LSH candidates")
+    assert(dup.get._3 === 8L && dup.get._4 === 1.0 && dup.get._5 === 1.0 && dup.get._6 === 0.0)
+    got.foreach { p =>
+      assert(p._4 >= 0.0 && p._4 <= 1.0 && p._5 >= 0.0 && p._5 <= 1.0)
+      assert(math.abs(p._6 - math.abs(p._4 - p._5)) < 1e-12)
+    }
+    // estimator lanes are k=8: est is always a multiple of 1/8
+    got.foreach(p => assert((p._4 * 8).isWhole, s"est ${p._4} not a lane multiple"))
+  }
 }

@@ -269,4 +269,32 @@ class RelationalSpec extends AnyFunSuite {
       val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0
     })
   }
+
+  test("merge upsert: last writer wins with insert/update/carry accounting") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // key 1: base rows only -> carry (latest base value wins)
+    // key 2: base + change -> update (change wins even with lower value)
+    // key 3: change only -> insert
+    // key 4: equal-ts tie inside changes -> higher event_id wins
+    val cutoffUs = 1705708800000000L // 2024-01-20T00:00:00Z
+    val rows = Seq(
+      (1L, 10L, cutoffUs - 2000000L, 5.0),
+      (1L, 11L, cutoffUs - 1000000L, 6.0),
+      (2L, 20L, cutoffUs - 1000000L, 9.0),
+      (2L, 21L, cutoffUs + 1000000L, 3.0),
+      (3L, 30L, cutoffUs + 2000000L, 7.0),
+      (4L, 40L, cutoffUs + 5000000L, 1.0),
+      (4L, 41L, cutoffUs + 5000000L, 2.0))
+    val ev = rows.toDF("user_id", "event_id", "us", "value")
+      .select($"user_id", $"event_id", timestamp_micros($"us").as("ts"), $"value")
+    val got = graft.operators.Relational.mergeUpsert(ev, "2024-01-20")
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("ts_us"), r.getAs[Double]("value"), r.getString(3)))
+    assert(got.toSeq === Seq(
+      (1L, cutoffUs - 1000000L, 6.0, "carry"),
+      (2L, cutoffUs + 1000000L, 3.0, "update"),
+      (3L, cutoffUs + 2000000L, 7.0, "insert"),
+      (4L, cutoffUs + 5000000L, 2.0, "insert")))
+  }
 }

@@ -789,4 +789,33 @@ class StreamsFeedsSpec extends AnyFunSuite {
     val aapl = spark.read.parquet(dir).filter(col("symbol") === "AAPL")
     assert(aapl.count() === 5)
   }
+
+  test("dau stream finalizes per-day distinct counts equal to the batch DAU") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(day: Int, h: Int) = java.time.Instant.parse(f"2024-01-0${day}T$h%02d:00:00Z")
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.dauStream(mem.toDS().toDF(), watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("dau_stream_test").outputMode("append").start()
+    try {
+      // day 1: user 1 twice (must count once) + user 2; day 2: users 1, 3
+      mem.addData(
+        Streams.SEv(1L, at(1, 0), 1.0), Streams.SEv(1L, at(1, 5), 2.0),
+        Streams.SEv(2L, at(1, 9), 3.0),
+        Streams.SEv(1L, at(2, 1), 4.0), Streams.SEv(3L, at(2, 2), 5.0))
+      q.processAllAvailable()
+      // day-3 event pushes the watermark past both day windows
+      mem.addData(Streams.SEv(9L, at(3, 12), 6.0))
+      q.processAllAvailable()
+      val got = spark.table("dau_stream_test")
+        .select(date_format($"day", "yyyy-MM-dd").as("d"), $"dau")
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      assert(got.toSeq === Seq(("2024-01-01", 2L), ("2024-01-02", 2L)))
+      // state: one row per in-horizon (user, day) + open windows —
+      // bounded by activity, never event history
+      val stateRows = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows >= 0 && stateRows <= 16)
+    } finally q.stop()
+  }
 }

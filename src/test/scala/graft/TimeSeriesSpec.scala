@@ -329,4 +329,40 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ab.count() > 0)
     assert(ab.filter($"r_squared" < 0 || $"r_squared" > 1).count() === 0)
   }
+
+  test("calmar, ulcer, omega match direct computations on a drawdown series") {
+    import spark.implicits._
+    val closes = Vector(100.0, 110.0, 99.0, 104.5, 95.0, 102.0)
+    val df = closes.zipWithIndex
+      .map { case (c, i) => (9L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val rets   = closes.sliding(2).map(p => p(1) / p(0) - 1).toVector
+    val runMax = closes.scanLeft(Double.MinValue)(math.max).tail
+    val dds    = closes.zip(runMax).map { case (c, m) => c / m - 1 }
+    val annRet = rets.sum / rets.size * 252
+    val maxDd  = dds.min
+    val cal = TimeSeries.calmar(df).head()
+    assert(math.abs(cal.getAs[Double]("ann_return") - annRet) < 1e-6)
+    assert(math.abs(cal.getAs[Double]("max_drawdown") - maxDd) < 1e-6)
+    assert(math.abs(cal.getAs[Double]("calmar") - annRet / -maxDd) < 1e-5)
+    val ddPcts = dds.map(_ * 100)
+    val ulcerW = math.sqrt(ddPcts.map(x => x * x).sum / ddPcts.size)
+    val ul = TimeSeries.ulcerIndex(df).head()
+    assert(ul.getAs[Long]("n_days") === closes.size.toLong)
+    assert(math.abs(ul.getAs[Double]("worst_dd_pct") - ddPcts.min) < 1e-6)
+    assert(math.abs(ul.getAs[Double]("ulcer_index") - ulcerW) < 1e-6)
+    val om = TimeSeries.omegaRatio(df).head()
+    val gains  = rets.filter(_ > 0).sum
+    val losses = -rets.filter(_ < 0).sum
+    assert(math.abs(om.getAs[Double]("omega") - gains / losses) < 1e-5)
+    // an all-gain series has no downside: omega is null, not Inf
+    val up = Vector(1.0, 2.0, 3.0).zipWithIndex
+      .map { case (c, i) => (9L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    assert(TimeSeries.omegaRatio(up).head().getAs[java.lang.Double]("omega") === null)
+  }
 }
