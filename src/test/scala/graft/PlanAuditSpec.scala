@@ -369,6 +369,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"lineitem scanned more than once:\n$p")
   }
 
+  test("ADC searches broadcast codebook and LUT; the DAU day grid broadcasts its range join") {
+    for (q <- Seq("q_pq_search", "q_ivfpq_search")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q lost its broadcast equi-joins (codebook/LUT must never shuffle the corpus):\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q degenerated to a product:\n$p")
+    }
+    val p = planOf("q_dau_wau")
+    // the trailing-window condition is a non-equi join: correct shape
+    // is the DAY GRID broadcast under a nested-loop join (one row per
+    // calendar day — bounded by the date span), never a cartesian and
+    // never a shuffle of the user-day frame for the grid's benefit
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"q_dau_wau lost the broadcast day-grid range join:\n$p")
+    assert(p.contains("datediff"),
+      s"the trailing-window condition left the join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_dau_wau planned a product:\n$p")
+  }
+
+  test("mann-whitney ranks ride range-partitioned local windows, not one global data window") {
+    val p = planOf("q_mann_whitney")
+    // the distributed prefix sum: the range partitioning sits behind
+    // the localCheckpoint (the plan reads the materialized RDD), so
+    // the post-checkpoint signature is the LOCAL cumsum window keyed
+    // on the frozen pid plus the broadcast offsets — a regression to
+    // a global data window would drop the pid partitioning
+    assert(p.contains("hashpartitioning(pid"),
+      s"q_mann_whitney lost its pid-partitioned local cumsum — the ECDF would be a single-partition window:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the per-partition offsets stopped broadcasting:\n$p")
+  }
+
+  test("merge upsert pays one fact shuffle; welch t-test is one conditional-aggregate pass") {
+    val pm = planOf("q_merge_upsert")
+    // window + presence flags share a single hashpartitioning
+    // exchange on the key (the trailing exchange is the output sort)
+    val hashEx = "Exchange hashpartitioning\\(user_id".r.findAllIn(pm).length
+    assert(hashEx === 1, s"q_merge_upsert now pays $hashEx key shuffles (want 1):\n$pm")
+    assert(!pm.contains("Join"), s"q_merge_upsert grew a join:\n$pm")
+    val pw = planOf("q_welch_ttest")
+    assert(!pw.contains("Window") && !pw.contains("Join"),
+      s"q_welch_ttest should be scan + aggregate only:\n$pw")
+  }
+
   test("temperature mix and hard negatives broadcast their small sides") {
     val t = planOf("q_temperature_mix")
     assert(t.contains("BroadcastHashJoin"),
