@@ -182,7 +182,10 @@ object Bench {
     // banded corr twin — the two new operators whose scale claims
     // the artifact should carry (compact line stays ~1.7KB, under
     // the harness's ~2KB tail window)
-    "q_bloom_join", "q_corr_pairs_banded")
+    "q_bloom_join", "q_corr_pairs_banded",
+    // late r11: ADC search (m-byte/vector bandwidth claim), the
+    // distributed-prefix-sum rank test, the broadcast-grid DAU
+    "q_pq_search", "q_mann_whitney", "q_dau_wau")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact
@@ -193,7 +196,12 @@ object Bench {
     * q_corr_matrix eat 143.8s of the shared 300s before any r8 dedup
     * headliner ran, and the official artifact reported 10 skips.
     */
-  private val ScaleQuadratic = Set("q_corr_matrix", "q_ngram_jaccard")
+  private val ScaleQuadratic =
+    // q_knn_graph / q_pagerank run the declared-quadratic exact
+    // sweep at gate scale (their 100 TB path swaps in IVF/LSH
+    // candidate edges); at x10 they belong on the cancel-safe
+    // quadratic slices, not inside the linear budget
+    Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next

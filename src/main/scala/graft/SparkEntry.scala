@@ -880,7 +880,25 @@ object SparkEntry {
     "q_omega_ratio" -> ((s, dir) =>
       TimeSeries.omegaRatio(Tables.events(s, dir)).orderBy("user_id")),
     "q_jaccard_estimate" -> ((s, dir) =>
-      Dedup.jaccardEstimatePairs(Tables.documents(s, dir)).orderBy("da", "db"))
+      Dedup.jaccardEstimatePairs(Tables.documents(s, dir)).orderBy("da", "db")),
+    "q_robust_zscore" -> ((s, dir) =>
+      Stats.robustZscore(Tables.events(s, dir)).orderBy("user_id")),
+    "q_moments" -> ((s, dir) =>
+      Stats.momentsProfile(Tables.events(s, dir)).orderBy("user_id")),
+    "q_cusum" -> ((s, dir) =>
+      TimeSeries.cusum(Tables.events(s, dir)).orderBy("user_id")),
+    "q_linreg_trend" -> ((s, dir) =>
+      TimeSeries.linearTrend(Tables.events(s, dir)).orderBy("user_id")),
+    "q_entropy_profile" -> ((s, dir) =>
+      EventAnalytics.behaviorEntropy(Tables.events(s, dir)).orderBy("user_id")),
+    // registry = docs 0-249, batch = the rest: the bloom shortcut +
+    // exact confirm join must leave is_new EXACT (hash-matched)
+    "q_incremental_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalDedup(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .orderBy("doc_id")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4049,6 +4067,94 @@ object SparkEntry {
         |  CAST(match_lanes AS DOUBLE) / 8 AS est,
         |  CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard,
         |  abs(CAST(match_lanes AS DOUBLE) / 8 - CAST(inter AS DOUBLE) / (na + nb - inter)) AS abs_err
-        |FROM f ORDER BY da, db""".stripMargin
+        |FROM f ORDER BY da, db""".stripMargin,
+    "q_robust_zscore" ->
+      """WITH med AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+        |), wm AS (
+        |  SELECT e.user_id, e.value, med.med FROM events e JOIN med USING (user_id)
+        |), mad AS (
+        |  SELECT user_id, quantile_cont(abs(value - med), 0.5) AS mad FROM wm GROUP BY 1
+        |)
+        |SELECT wm.user_id, count(*) AS n,
+        |  round(min(wm.med), 6) AS median,
+        |  round(min(mad.mad), 6) AS mad,
+        |  coalesce(sum(CASE WHEN abs(CASE WHEN mad.mad != 0.0
+        |      THEN 0.6745 * (wm.value - wm.med) / mad.mad END) > 3.5 THEN 1 ELSE 0 END), 0) AS n_outliers,
+        |  round(max(abs(CASE WHEN mad.mad != 0.0
+        |      THEN 0.6745 * (wm.value - wm.med) / mad.mad END)), 6) AS max_abs_z
+        |FROM wm JOIN mad ON wm.user_id = mad.user_id
+        |GROUP BY wm.user_id ORDER BY wm.user_id""".stripMargin,
+    "q_moments" ->
+      """WITH mu AS (
+        |  SELECT user_id, round(avg(value), 6) AS mu FROM events GROUP BY 1
+        |), m AS (
+        |  SELECT e.user_id, count(*) AS n, min(mu.mu) AS mu,
+        |    sum((value - mu.mu) * (value - mu.mu)) AS c2,
+        |    sum((value - mu.mu) * (value - mu.mu) * (value - mu.mu)) AS c3,
+        |    sum((value - mu.mu) * (value - mu.mu) * (value - mu.mu) * (value - mu.mu)) AS c4
+        |  FROM events e JOIN mu USING (user_id) GROUP BY e.user_id
+        |)
+        |SELECT user_id, n, mu AS mean,
+        |  round(sqrt(c2 / n), 6) AS std_pop,
+        |  round(CASE WHEN c2 / n > 0.0 THEN (c3 / n) / pow(c2 / n, 1.5) END, 6) AS skewness,
+        |  round(CASE WHEN c2 / n > 0.0 THEN (c4 / n) / ((c2 / n) * (c2 / n)) - 3.0 END, 6) AS excess_kurtosis
+        |FROM m ORDER BY user_id""".stripMargin,
+    "q_cusum" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), mu AS (
+        |  SELECT user_id, round(avg(ret), 6) AS mu, count(*) AS n_days FROM r GROUP BY 1
+        |), c AS (
+        |  SELECT r.user_id, r.day, mu.n_days,
+        |    sum(r.ret - mu.mu) OVER (PARTITION BY r.user_id ORDER BY r.day ROWS UNBOUNDED PRECEDING) AS s
+        |  FROM r JOIN mu USING (user_id)
+        |), k AS (
+        |  SELECT user_id, day, n_days, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY abs(s) DESC, day ASC) AS rnk
+        |  FROM c
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS cp_day,
+        |  round(abs(s), 6) AS cusum_stat, n_days
+        |FROM k WHERE rnk = 1 ORDER BY user_id""".stripMargin,
+    "q_linreg_trend" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), i AS (
+        |  SELECT user_id, close,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS idx
+        |  FROM dc
+        |)
+        |SELECT user_id, count(*) AS n_days,
+        |  round(regr_slope(close, idx), 6) AS slope,
+        |  round(regr_intercept(close, idx), 6) AS intercept,
+        |  round(regr_r2(close, idx), 6) AS r2
+        |FROM i GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_entropy_profile" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS tot FROM c
+        |)
+        |SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+        |  round(-sum((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) *
+        |    log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy_bits
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH reg AS (
+        |  SELECT DISTINCT md5(lower(text)) AS fp FROM documents WHERE doc_id < 250
+        |), b AS (
+        |  SELECT doc_id, md5(lower(text)) AS fp FROM documents WHERE doc_id >= 250
+        |)
+        |SELECT b.doc_id, b.fp, CASE WHEN reg.fp IS NULL THEN 1 ELSE 0 END AS is_new
+        |FROM b LEFT JOIN reg ON b.fp = reg.fp
+        |ORDER BY doc_id""".stripMargin
   )
 }

@@ -207,6 +207,28 @@ object EventAnalytics {
         (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
   }
 
+  /** Per-user behavioral entropy: the Shannon entropy (bits) of each
+    * user's event-type mix — 0 for single-action users, log₂(k) for
+    * a uniform k-type mix; the standard behavioral-diversity segment
+    * feature. Counts reduce exactly per (user, type); the entropy
+    * term sum folds over at most |event types| doubles per user →
+    * 6dp (bounded-group float recipe). Two aggregates on one
+    * user-keyed partitioning, nothing corpus-wide.
+    */
+  def behaviorEntropy(events: DataFrame): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val counts = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(wU))
+    val p = col("c").cast("double") / col("tot").cast("double")
+    counts
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(-sum(p * log2(p)), 6).as("entropy_bits"))
+  }
+
   /** New-vs-returning split per day: of the users active each day,
     * how many were first seen THAT day (new) vs earlier (returning),
     * plus the returning share. The first-seen frame is a user-keyed

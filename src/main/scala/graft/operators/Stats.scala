@@ -502,6 +502,72 @@ object Stats {
       .agg(round(sum(col("term")), 6).as("chi2"))
   }
 
+  /** Robust outlier profile per key: median / MAD (median absolute
+    * deviation) and the modified z-score count — the outlier detector
+    * that survives the outliers it hunts, where mean/std-based
+    * z-scores get dragged by the very tails they should flag
+    * (Iglewicz–Hoaglin 0.6745·(x−med)/MAD, |z| > 3.5). Two exact
+    * percentile aggregates (the [[percentiles]] interpolation both
+    * engines share) with the intermediate join co-partitioned on the
+    * key; per-row z is a narrow IEEE chain; output one row per key
+    * (n, median, mad, n_outliers, max |z|) so the corpus-sized frame
+    * never leaves the executors. MAD == 0 (constant-majority key)
+    * yields null z — flagged rows 0, not division noise.
+    */
+  def robustZscore(events: DataFrame,
+                   key: String = "user_id", v: String = "value"): DataFrame = {
+    val med = events.groupBy(col(key))
+      .agg(percentile(col(v), lit(0.5)).as("med"))
+    val withMed = events.select(col(key), col(v)).join(med, key)
+    val mad = withMed.groupBy(col(key))
+      .agg(percentile(abs(col(v) - col("med")), lit(0.5)).as("mad"))
+    val z = when(col("mad") =!= 0.0,
+      lit(0.6745) * (col(v) - col("med")) / col("mad"))
+    withMed.join(mad, key)
+      .withColumn("z", z)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("median"),
+        round(min(col("mad")), 6).as("mad"),
+        coalesce(sum(when(abs(col("z")) > 3.5, 1L).otherwise(0L)), lit(0L)).as("n_outliers"),
+        round(max(abs(col("z"))), 6).as("max_abs_z"))
+  }
+
+  /** Distribution-shape moments per key over the value stream: mean,
+    * population std, skewness, and EXCESS kurtosis under one
+    * explicit closed form — NOT the engines' builtin
+    * skewness/kurtosis, whose bias-correction conventions differ
+    * between engines. TWO-PASS central moments, not raw power sums:
+    * Σx³/Σx⁴ of large-magnitude values cancel catastrophically
+    * (error ~ulp·mean³ breaches the 6-dp policy long before the
+    * mean does), so pass one anchors a 6-dp-rounded per-key mean
+    * (deterministic on both engines) and pass two sums the small
+    * CENTERED powers, which stay in safe float range. The mean join
+    * is co-partitioned with its own aggregate's hash partitioning.
+    */
+  def momentsProfile(events: DataFrame,
+                     key: String = "user_id", v: String = "value"): DataFrame = {
+    val mean = events.groupBy(col(key))
+      .agg(round(avg(col(v)), 6).as("mu"))
+    val d = col(v) - col("mu")
+    val m = events.select(col(key), col(v)).join(mean, key)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("mu")).as("mu"),
+        sum(d * d).as("c2"),
+        sum(d * d * d).as("c3"),
+        sum(d * d * d * d).as("c4"))
+    val n  = col("n").cast("double")
+    val m2 = col("c2") / n
+    m.select(col(key), col("n"),
+      col("mu").as("mean"),
+      round(sqrt(m2), 6).as("std_pop"),
+      round(when(m2 > 0.0, (col("c3") / n) / pow(m2, 1.5)), 6).as("skewness"),
+      round(when(m2 > 0.0, (col("c4") / n) / (m2 * m2) - 3.0), 6).as("excess_kurtosis"))
+  }
+
   /** Welch's two-sample t statistic (unequal variances) between two
     * event types' value distributions, with the Welch–Satterthwaite
     * degrees of freedom. The 100 TB determinism move: raw doubles

@@ -1419,6 +1419,57 @@ object TimeSeries {
         round(sqrt(avg(col("dd_pct") * col("dd_pct"))), 6).as("ulcer_index"))
   }
 
+  /** CUSUM changepoint statistic per key: the running sum of
+    * mean-centered daily returns, reported as the day where |S_t|
+    * peaks and the peak magnitude — the classic single-changepoint
+    * locator (a level shift in returns makes |S| a tent peaking at
+    * the shift). The per-key mean, the running sum, and the argmax
+    * both ride one (key, day) sort after the mean joins back
+    * co-partitioned. The mean anchors at 6 dp from its own aggregate
+    * (a whole-partition window avg would accumulate in
+    * partition-internal row order — run-nondeterministic); the
+    * cumsum then folds the centered returns in frame order (the sma
+    * determinism recipe), so every S_t is bit-identical on both
+    * engines and the argmax needs only the day tiebreak.
+    */
+  def cusum(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = dailyCloseReturns(df, key, ts, v)
+    val mu = rets.groupBy(col(key))
+      .agg(round(avg(col("ret")), 6).as("mu"), count(lit(1)).as("n_days"))
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, 0)
+    val scored = rets.join(mu, key)
+      .withColumn("s", sum(col("ret") - col("mu")).over(wRun))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(key).orderBy(abs(col("s")).desc, col("day").asc)))
+    scored
+      .filter(col("rnk") === 1)
+      .select(col(key),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        round(abs(col("s")), 6).as("cusum_stat"),
+        col("n_days"))
+  }
+
+  /** Per-key linear trend: OLS of daily close on the 0-based day
+    * index (slope = price drift per trading day, r² = how linear the
+    * path is — the momentum-screen primitive). The index comes from
+    * the same (key, day) sort the regression aggregate then reuses;
+    * regr_* are single-pass moment aggregates over per-key bounded
+    * groups → 6dp (the rollingStats float recipe).
+    */
+  def linearTrend(df: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val closes = dailyClose(df, key, ts, v)
+    val wSeq   = Window.partitionBy(key).orderBy("day")
+    closes
+      .withColumn("idx", (row_number().over(wSeq) - 1).cast("double"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(regr_slope(col("close"), col("idx")), 6).as("slope"),
+        round(regr_intercept(col("close"), col("idx")), 6).as("intercept"),
+        round(regr_r2(col("close"), col("idx")), 6).as("r2"))
+  }
+
   /** Omega ratio per key at a return threshold (default 0): the
     * probability-weighted gains above the threshold over the losses
     * below it, Σmax(r−θ,0) / Σmax(θ−r,0) — uses the WHOLE return

@@ -194,6 +194,58 @@ object Streams {
       }
   }
 
+  case class FunnelConv(user_id: Long, stage: Int, ts_us: Long)
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.operators.EventAnalytics.funnel]]: emits a
+    * (user, stage, ts) row the moment a user first converts a stage,
+    * under the batch operator's ORDER semantics (stage i converts
+    * only at/after the stage-(i−1) conversion time). State is ONE
+    * fixed array of per-stage first-conversion timestamps per user —
+    * O(stages), however long the stream — and events sort within
+    * each batch on (ts, event_id) (the [[transitionsStream]]
+    * in-batch discipline), so in-order arrival reproduces the batch
+    * funnel's conversion set exactly (spec-asserted); an
+    * out-of-watermark straggler that would have converted EARLIER
+    * than the recorded time is dropped by contract. Downstream
+    * per-stage counts are one streaming aggregate over the tiny
+    * conversion stream.
+    */
+  def funnelStream(events: Dataset[TEv],
+                   stages: Seq[String] = Seq("view", "click", "purchase"),
+                   watermark: String = "10 minutes"): Dataset[FunnelConv] = {
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[TEv], state: GroupState[Array[Long]]) =>
+          val conv = state.getOption.getOrElse(Array.fill(stages.size)(-1L))
+          val out  = scala.collection.mutable.ArrayBuffer.empty[FunnelConv]
+          val byStage = evs.toArray
+            .filter(e => stageIdx.contains(e.event_type))
+            .groupBy(e => stageIdx(e.event_type))
+          // the batch recurrence stage by stage (NOT a greedy scan in
+          // time order: an equal-ts pair can place a stage-i event
+          // "before" the stage-(i−1) conversion enabling it, and the
+          // batch >= boundary converts that tie): t_i = min ts of a
+          // stage-i event at/after t_{i−1}, folding this batch's
+          // events into the persisted per-stage state
+          for (i <- stages.indices if conv(i) < 0L && (i == 0 || conv(i - 1) >= 0L)) {
+            val floor = if (i == 0) Long.MinValue else conv(i - 1)
+            val cand  = byStage.getOrElse(i, Array.empty[TEv])
+              .map(e => instantMicros(e.ts)).filter(_ >= floor)
+            if (cand.nonEmpty) {
+              conv(i) = cand.min
+              out += FunnelConv(uid, i + 1, conv(i))
+            }
+          }
+          state.update(conv)
+          out.iterator
+      }
+  }
+
   /** Enforce [[emaStream]]'s bounded-key-universe contract. The
     * operator keeps one 16-byte record per key with NO timeout by
     * design (eviction would restart idle instruments' EMA), which is

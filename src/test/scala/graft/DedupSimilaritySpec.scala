@@ -645,4 +645,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // estimator lanes are k=8: est is always a multiple of 1/8
     got.foreach(p => assert((p._4 * 8).isWhole, s"est ${p._4} not a lane multiple"))
   }
+
+  test("incremental dedup: is_new exact vs a plain registry join, even with a saturated bloom") {
+    import spark.implicits._
+    val docs     = Tables.documents(spark, sf)
+    val registry = docs.filter($"doc_id" < 250)
+    val batch    = docs.filter($"doc_id" >= 250)
+    val want = batch.select($"doc_id", md5(lower($"text")).as("fp"))
+      .join(registry.select(md5(lower($"text")).as("fp")).distinct()
+        .withColumn("in_reg", lit(1)), Seq("fp"), "left")
+      .select($"doc_id", $"fp", when($"in_reg".isNull, 1).otherwise(0).as("is_new"))
+    def check(mBits: Int, k: Int): Unit = {
+      val got = Dedup.incrementalDedup(registry, batch, mBits, k)
+      assert(got.count() === batch.count(), s"mBits=$mBits: one row per batch doc")
+      assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+        s"mBits=$mBits: bloom shortcut changed an answer")
+    }
+    check(1 << 16, 5)
+    // 64-bit filter over ~250 registry fps is saturated (every probe
+    // positive): the shortcut degrades to the plain join, never to a
+    // wrong flag — bloom has no false NEGATIVES to miss a duplicate
+    check(64, 2)
+    // a re-ingested crawl slice (registry texts under fresh ids) must
+    // flag 0 while genuinely new docs flag 1
+    val reingested = registry.limit(5).withColumn("doc_id", $"doc_id" + 100000L)
+    val flags = Dedup.incrementalDedup(registry, batch.unionByName(reingested))
+      .groupBy($"is_new").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(flags.getOrElse(1, 0L) > 0, "batch has new docs")
+    assert(flags.getOrElse(0, 0L) >= 5, "re-ingested registry docs flagged as duplicates")
+  }
 }

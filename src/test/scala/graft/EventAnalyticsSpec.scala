@@ -164,4 +164,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     // conservation: total new across days == distinct users
     assert(got.map(_._2).sum === 3L)
   }
+
+  test("behavior entropy: 0 for single-type users, log2(k) for a uniform k-type mix") {
+    import spark.implicits._
+    val ev = (Seq.fill(2)((1L, "view")) ++ Seq.fill(2)((1L, "click")) ++
+      Seq.fill(4)((2L, "view")) ++
+      Seq("view", "click", "purchase", "share").map((3L, _)))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, u, t) }
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", ts(0))
+    val got = EventAnalytics.behaviorEntropy(ev).orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 4L, 2L, 1.0), (2L, 4L, 1L, 0.0), (3L, 4L, 4L, 2.0)))
+  }
 }

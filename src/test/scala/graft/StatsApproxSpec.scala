@@ -265,4 +265,43 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(u2.getAs[Long]("n_a") === n2)
     assert(u1.getAs[Double]("u_stat") + u2.getAs[Double]("u_stat") === n1.toDouble * n2)
   }
+
+  test("robust z-score: hand-computed median/MAD, outlier flagged, MAD=0 key yields no noise") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    // key 1: [1..5, 100] -> median 3.5, |dev| = [2.5,1.5,.5,.5,1.5,96.5] -> MAD 1.5;
+    // only 100 has |0.6745*(x-3.5)/1.5| > 3.5. key 2: constant -> MAD 0.
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 100.0).zipWithIndex.map { case (v, i) => (1L, t(i), v) } ++
+      Seq.tabulate(4)(i => (2L, t(i), 7.0))
+    val df  = rows.toDF("user_id", "ts", "value")
+    val got = Stats.robustZscore(df).orderBy("user_id").collect()
+    val r1  = got(0)
+    assert(r1.getAs[Long]("n") === 6L)
+    assert(r1.getAs[Double]("median") === 3.5)
+    assert(r1.getAs[Double]("mad") === 1.5)
+    assert(r1.getAs[Long]("n_outliers") === 1L)
+    assert(math.abs(r1.getAs[Double]("max_abs_z") - 0.6745 * 96.5 / 1.5) < 1e-5)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("mad") === 0.0)
+    assert(r2.getAs[Long]("n_outliers") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("max_abs_z")))
+  }
+
+  test("moments: symmetric series has zero skew, known kurtosis; constant key degrades to nulls") {
+    import spark.implicits._
+    def t(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)
+    // key 1: [1..5] -> mean 3, m2 2, m3 0, m4 6.8 -> skew 0, kurt 6.8/4-3 = -1.3
+    val rows = Seq(1.0, 2.0, 3.0, 4.0, 5.0).zipWithIndex.map { case (v, i) => (1L, t(i), v) } ++
+      Seq.tabulate(3)(i => (2L, t(i), 9.0))
+    val got = Stats.momentsProfile(rows.toDF("user_id", "ts", "value")).orderBy("user_id").collect()
+    val r1  = got(0)
+    assert(r1.getAs[Double]("mean") === 3.0)
+    assert(math.abs(r1.getAs[Double]("std_pop") - math.sqrt(2.0)) < 1e-6)
+    assert(r1.getAs[Double]("skewness") === 0.0)
+    assert(math.abs(r1.getAs[Double]("excess_kurtosis") - (-1.3)) < 1e-6)
+    val r2 = got(1)
+    assert(r2.getAs[Double]("std_pop") === 0.0)
+    assert(r2.isNullAt(r2.fieldIndex("skewness")))
+    assert(r2.isNullAt(r2.fieldIndex("excess_kurtosis")))
+  }
 }

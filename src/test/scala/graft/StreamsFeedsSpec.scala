@@ -781,6 +781,49 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel stream reproduces the batch ordered-funnel conversions, stage state O(stages)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch-mode execution over the fixture: per-stage distinct
+    // converters must equal the batch funnel's n_users column
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"event_id", $"event_type").as[Streams.TEv]
+    val got = Streams.funnelStream(ev).toDF()
+      .groupBy($"stage").agg(countDistinct($"user_id").as("n_users"))
+    val want = graft.operators.EventAnalytics.funnel(Tables.events(spark, sf))
+      .select($"stage", $"n_users")
+    assert(got.count() === 3)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // multi-batch: conversion state persists across batches; a click
+    // BEFORE the first view never converts; an equal-ts tie does (>=)
+    val mem = MemoryStream[Streams.TEv]
+    val out = Streams.funnelStream(mem.toDS(), watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("funnel_stream_test").outputMode("append").start()
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    try {
+      mem.addData(
+        Streams.TEv(1L, at(0), 1L, "view"), Streams.TEv(1L, at(1), 2L, "click"),
+        Streams.TEv(2L, at(0), 3L, "click"), Streams.TEv(2L, at(1), 4L, "view"),
+        Streams.TEv(3L, at(2), 5L, "view"), Streams.TEv(3L, at(2), 6L, "click"))
+      q.processAllAvailable()
+      val b1 = spark.table("funnel_stream_test").as[Streams.FunnelConv].collect()
+        .map(c => (c.user_id, c.stage)).sorted.toSeq
+      // u2's early click must NOT convert stage 2 (order semantics);
+      // u3's same-instant click MUST (the >= tie boundary)
+      assert(b1 === Seq((1L, 1), (1L, 2), (2L, 1), (3L, 1), (3L, 2)))
+      mem.addData(
+        Streams.TEv(1L, at(3), 7L, "purchase"), Streams.TEv(2L, at(3), 8L, "click"))
+      q.processAllAvailable()
+      val all = spark.table("funnel_stream_test").as[Streams.FunnelConv].collect()
+        .map(c => (c.user_id, c.stage)).sorted.toSeq
+      assert(all === Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2), (3L, 1), (3L, 2)))
+      // state: one array row per user ever seen — O(users·stages)
+      val stateRows = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows === 3L)
+    } finally q.stop()
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")

@@ -365,4 +365,41 @@ class TimeSeriesSpec extends AnyFunSuite {
       .drop("d")
     assert(TimeSeries.omegaRatio(up).head().getAs[java.lang.Double]("omega") === null)
   }
+
+  test("cusum locates a level shift in returns at the last pre-shift day") {
+    import spark.implicits._
+    // closes flat 100 for days 0..4, then +10%/day: returns are four
+    // 0s then five 0.1s -> |S| peaks exactly at the regime boundary
+    val closes = Vector.tabulate(10)(d => if (d < 5) 100.0 else 100.0 * math.pow(1.1, d - 4))
+    val df = closes.zipWithIndex
+      .map { case (c, i) => (7L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.cusum(df).head()
+    assert(got.getAs[String]("cp_day") === "1970-01-05")
+    assert(got.getAs[Long]("n_days") === 9L)
+    // mu = round(0.5/9, 6); S at the boundary = -4*mu
+    assert(math.abs(got.getAs[Double]("cusum_stat") - 4 * 0.055556) < 1e-5)
+    // no shift (constant returns): the statistic collapses to ~0
+    val flat = Vector.tabulate(10)(d => 100.0 * math.pow(1.02, d)).zipWithIndex
+      .map { case (c, i) => (8L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    assert(TimeSeries.cusum(flat).head().getAs[Double]("cusum_stat") < 1e-3)
+  }
+
+  test("linear trend recovers an exact line: slope, intercept, r2 = 1") {
+    import spark.implicits._
+    val df = Vector.tabulate(6)(i => (9L, i.toLong, i.toLong, 50.0 + 2.5 * i))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.linearTrend(df).head()
+    assert(got.getAs[Long]("n_days") === 6L)
+    assert(got.getAs[Double]("slope") === 2.5)
+    assert(got.getAs[Double]("intercept") === 50.0)
+    assert(got.getAs[Double]("r2") === 1.0)
+  }
 }
