@@ -898,7 +898,32 @@ object SparkEntry {
       Dedup.incrementalDedup(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
         .orderBy("doc_id")
-    })
+    }),
+    "q_theilsen" -> ((s, dir) =>
+      TimeSeries.theilSen(Tables.events(s, dir)).orderBy("user_id")),
+    "q_benford" -> ((s, dir) =>
+      Stats.benfordTest(Tables.events(s, dir)).orderBy("digit")),
+    "q_profile_table" -> ((s, dir) =>
+      Relational.profileTable(Tables.events(s, dir))),
+    "q_power_users" -> ((s, dir) =>
+      EventAnalytics.powerUsers(Tables.events(s, dir)).orderBy("rank")),
+    // day-grain cohorts + 1-day horizon: scaled to the one-month
+    // fixture (production defaults are week/7) so the gate sees a
+    // genuine churned/active split, not an all-zero column
+    "q_churn" -> ((s, dir) =>
+      EventAnalytics.churn(Tables.events(s, dir), horizonDays = 1, cohortGrain = "day")
+        .withColumn("cohort_week", date_format(col("cohort_week"), "yyyy-MM-dd"))
+        .orderBy("cohort_week")),
+    "q_variance_ratio" -> ((s, dir) =>
+      TimeSeries.varianceRatio(Tables.events(s, dir)).orderBy("user_id")),
+    "q_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_triangle_count" -> ((s, dir) =>
+      Similarity.triangleStats(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_embed_norms" -> ((s, dir) =>
+      Similarity.embedNorms(Tables.embeddings(s, dir)).orderBy("label")),
+    "q_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlap(Tables.documents(s, dir)).orderBy("sa", "sb"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4155,6 +4180,179 @@ object SparkEntry {
         |)
         |SELECT b.doc_id, b.fp, CASE WHEN reg.fp IS NULL THEN 1 ELSE 0 END AS is_new
         |FROM b LEFT JOIN reg ON b.fp = reg.fp
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_theilsen" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), i AS (
+        |  SELECT user_id, close,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS DOUBLE) AS idx
+        |  FROM dc
+        |)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        |  round(quantile_cont((b.close - a.close) / (b.idx - a.idx), 0.5), 6) AS ts_slope
+        |FROM i a JOIN i b ON a.user_id = b.user_id AND b.idx > a.idx
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    "q_benford" ->
+      """WITH d AS (
+        |  SELECT regexp_extract(CAST(CAST(abs(value) AS DECIMAL(18,6)) AS VARCHAR), '[1-9]') AS d
+        |  FROM events
+        |), g AS (
+        |  SELECT CAST(d AS INT) AS digit, count(*) AS n_obs FROM d WHERE d != '' GROUP BY 1
+        |), t AS (SELECT sum(n_obs) AS n_sample FROM g)
+        |SELECT digit, n_obs, n_sample,
+        |  round(CAST(n_obs AS DOUBLE) / CAST(n_sample AS DOUBLE), 6) AS obs_share,
+        |  round(log10(1 + 1.0 / digit), 6) AS exp_share,
+        |  round(abs(CAST(n_obs AS DOUBLE) / CAST(n_sample AS DOUBLE) - log10(1 + 1.0 / digit)), 6) AS abs_dev
+        |FROM g, t ORDER BY digit""".stripMargin,
+    "q_profile_table" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  count(DISTINCT event_type) AS n_event_types,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
+        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+        |  round(min(value), 6) AS value_min,
+        |  round(max(value), 6) AS value_max,
+        |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
+        |  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS vol_key_missing
+        |FROM events""".stripMargin,
+    "q_power_users" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |), t AS (SELECT sum(n_events) AS total_events FROM c),
+        |r AS (
+        |  SELECT user_id, n_events,
+        |    row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank,
+        |    sum(n_events) OVER (ORDER BY n_events DESC, user_id ASC ROWS UNBOUNDED PRECEDING) AS cum_events
+        |  FROM c
+        |)
+        |SELECT user_id, n_events, rank, cum_events,
+        |  round(CAST(cum_events AS DOUBLE) / CAST(total_events AS DOUBLE), 6) AS cum_share,
+        |  CAST((cum_events - n_events) * 2 < total_events AS INT) AS is_power
+        |FROM r, t ORDER BY rank""".stripMargin,
+    "q_churn" ->
+      """WITH pu AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_week,
+        |    date_trunc('day', max(ts)) AS last_day
+        |  FROM events GROUP BY 1
+        |), e AS (SELECT date_trunc('day', max(ts)) AS corpus_end FROM events)
+        |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        |  count(*) AS n_users,
+        |  sum(CASE WHEN date_diff('day', last_day, corpus_end) >= 1 THEN 1 ELSE 0 END) AS n_churned,
+        |  round(CAST(sum(CASE WHEN date_diff('day', last_day, corpus_end) >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS churn_rate
+        |FROM pu, e GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
+    "q_variance_ratio" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(close, 1) OVER w > 0 THEN ln(close / lag(close, 1) OVER w) END AS r1,
+        |    CASE WHEN lag(close, 5) OVER w > 0 THEN ln(close / lag(close, 5) OVER w) END AS rk
+        |  FROM dc WHERE close > 0
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |)
+        |SELECT user_id, count(r1) AS n_1d, count(rk) AS n_kd,
+        |  round(var_samp(r1), 6) AS var_1d,
+        |  round(var_samp(rk), 6) AS var_kd,
+        |  round(CASE WHEN var_samp(r1) > 0 THEN var_samp(rk) / (5 * var_samp(r1)) END, 6) AS vr
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(trim(text), '\S+')) AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+        |      - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6) AS flesch
+        |  FROM c WHERE n_words > 0
+        |)
+        |SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+        |  CASE WHEN flesch >= 70.0 THEN 'easy'
+        |       WHEN flesch >= 50.0 THEN 'standard'
+        |       WHEN flesch >= 30.0 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS band
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_triangle_count" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), top AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |  FROM edges QUALIFY rnk <= 5
+        |), mu AS (
+        |  SELECT t.src AS a, t.dst AS b FROM top t
+        |  JOIN top m ON t.src = m.dst AND t.dst = m.src
+        |  WHERE t.src < t.dst
+        |), tri AS (
+        |  SELECT e1.a, e1.b, e2.b AS c FROM mu e1
+        |  JOIN mu e2 ON e2.a = e1.b
+        |  JOIN mu e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tn AS (
+        |  SELECT node, count(*) AS n_triangles
+        |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY 1
+        |), deg AS (
+        |  SELECT node, count(*) AS degree
+        |  FROM (SELECT a AS node FROM mu UNION ALL SELECT b AS node FROM mu) GROUP BY 1
+        |)
+        |SELECT deg.node AS vec_id, deg.degree,
+        |  CAST(coalesce(tn.n_triangles, 0) AS BIGINT) AS n_triangles,
+        |  round(CASE WHEN deg.degree >= 2
+        |    THEN 2.0 * coalesce(tn.n_triangles, 0) / (deg.degree * (deg.degree - 1)) END, 6)
+        |    AS clustering_coef
+        |FROM deg LEFT JOIN tn ON deg.node = tn.node ORDER BY vec_id""".stripMargin,
+    "q_embed_norms" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    sqrt(list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+        |                          list_transform(embedding, x -> x::DOUBLE))) AS nrm
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label, nrm, CAST(nrm AS DECIMAL(18,6)) AS qn FROM n
+        |), m AS (
+        |  SELECT label, count(*) AS n,
+        |    sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |    sum(qn) AS s1, sum(qn * qn) AS s2,
+        |    round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+        |  FROM q GROUP BY label
+        |)
+        |SELECT label, n AS n_vecs, n_zero,
+        |  round(CAST(s1 AS DOUBLE) / n, 6) AS mean_norm,
+        |  round(CASE WHEN n > 1 THEN sqrt(
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)) END, 6)
+        |    AS std_norm,
+        |  min_norm, max_norm
+        |FROM m ORDER BY label""".stripMargin,
+    "q_source_overlap" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), ss AS (
+        |  SELECT DISTINCT d.source, sh.s FROM sh JOIN documents d USING (doc_id)
+        |), sz AS (SELECT source, count(*) AS n_sh FROM ss GROUP BY 1)
+        |SELECT a.source AS sa, b.source AS sb,
+        |  za.n_sh AS n_a, zb.n_sh AS n_b, count(*) AS inter,
+        |  CAST(count(*) AS DOUBLE) / CAST(za.n_sh + zb.n_sh - count(*) AS DOUBLE) AS jaccard,
+        |  CAST(count(*) AS DOUBLE) / CAST(least(za.n_sh, zb.n_sh) AS DOUBLE) AS containment
+        |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+        |JOIN sz za ON za.source = a.source
+        |JOIN sz zb ON zb.source = b.source
+        |GROUP BY a.source, b.source, za.n_sh, zb.n_sh
+        |ORDER BY sa, sb""".stripMargin
   )
 }

@@ -842,4 +842,37 @@ object Dedup {
         ((col("cluster_size") * col("n_clusters")).cast("double") /
           col("n_docs_total").cast("double")).as("corpus_share"))
   }
+
+  /** Cross-source shingle-overlap matrix: for every source pair, the
+    * shared n-gram count with Jaccard AND containment — the
+    * provenance audit that catches one crawl mirroring another (high
+    * containment, low Jaccard) or two feeds of the same upstream
+    * (high both) before they double-weight a training mix. Sources
+    * are a BOUNDED dimension, which is the scale design: the corpus
+    * reduces to distinct (source, shingle) postings first, the
+    * equi-join on the shingle emits at most sources² rows per
+    * shingle (a constant), and the size dim joining back is
+    * ≤ sources rows — broadcast. Counts exact longs; the two ratios
+    * are one IEEE division each, unrounded (exact ints in, so both
+    * engines divide identical operands).
+    */
+  def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    val sh = shingles(documents, n)
+      .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.select(col("s"), col("source").as("sa"))
+      .join(sh.select(col("s"), col("source").as("sb")), "s")
+      .filter(col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.select(col("source").as("sa"), col("n_sh").as("n_a"))), "sa")
+      .join(broadcast(sizes.select(col("source").as("sb"), col("n_sh").as("n_b"))), "sb")
+      .select(col("sa"), col("sb"), col("n_a"), col("n_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double")).as("jaccard"),
+        (col("inter").cast("double") /
+          least(col("n_a"), col("n_b")).cast("double")).as("containment"))
+  }
 }

@@ -253,4 +253,81 @@ object EventAnalytics {
         (col("returning_users").cast("double") /
           (col("new_users") + col("returning_users")).cast("double")).as("returning_share"))
   }
+
+  /** Pareto concentration of activity: users ranked by event count,
+    * with each user's cumulative share of all events and a power-user
+    * flag — inside the top half of activity (is the 80/20 rule
+    * holding, or is one bot 60% of the feed?). The corpus-sized frame
+    * reduces to ONE ROW PER USER before anything global happens; the
+    * global cumsum over that reduced frame is [[graft.operators.Stats.ksTest]]'s
+    * distributed prefix sum — range-partition on the rank order,
+    * local cumsums, broadcast per-partition offsets — never a
+    * single-partition window over the user population (billions of
+    * users at the 100 TB tier). Counts and cumsums are exact longs;
+    * the share is one division; the (n_events desc, user_id asc)
+    * order is total, so rank and cumulative share are deterministic.
+    */
+  def powerUsers(events: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("n_events").desc, col("user_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .repartitionByRange(nBuckets, col("n_events").desc, col("user_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint() // totals + local cumsums both read it; pid frozen
+    val offsets = counts.groupBy(col("pid"))
+      .agg(sum(col("n_events")).as("t"), count(lit(1)).as("c"))
+      // nBuckets rows: the single-partition window is over per-bucket
+      // totals, never the user population
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off_events"),
+        coalesce(sum(col("c")).over(wOff), lit(0L)).as("off_rank"))
+    val total = counts.agg(sum(col("n_events")).as("total_events"))
+    counts
+      .withColumn("l_events", sum(col("n_events")).over(wLocal))
+      .withColumn("l_rank", count(lit(1)).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("user_id"), col("n_events"),
+        (col("off_rank") + col("l_rank")).as("rank"),
+        (col("off_events") + col("l_events")).as("cum_events"),
+        round((col("off_events") + col("l_events")).cast("double") /
+          col("total_events").cast("double"), 6).as("cum_share"),
+        // the users that TOGETHER produce the first half of all
+        // events: everyone whose cumsum starts before the midpoint
+        ((col("off_events") + col("l_events") - col("n_events")) * 2 < col("total_events"))
+          .cast("int").as("is_power"))
+  }
+
+  /** Churn panel by signup cohort: per first-seen week, how many
+    * users have gone quiet (no activity in the trailing `horizonDays`
+    * before the corpus end) — the retention complement every growth
+    * dashboard pairs with [[cohortRetention]]. First/last-seen reduce
+    * in ONE user-keyed aggregate (no join between them needed); the
+    * corpus end rides a broadcast one-row frame; cohort rollup is a
+    * second aggregate over the already-reduced user frame. Exact day
+    * arithmetic and integer counts; one division per cohort row.
+    */
+  def churn(events: DataFrame, horizonDays: Int = 7,
+            cohortGrain: String = "week"): DataFrame = {
+    val perUser = events.groupBy(col("user_id"))
+      .agg(
+        date_trunc(cohortGrain, min(col("ts"))).as("cohort_week"),
+        date_trunc("day", max(col("ts"))).as("last_day"))
+    val end = events.agg(date_trunc("day", max(col("ts"))).as("corpus_end"))
+    perUser.crossJoin(broadcast(end))
+      .withColumn("churned",
+        (datediff(col("corpus_end"), col("last_day")) >= horizonDays).cast("long"))
+      .groupBy(col("cohort_week"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("churned")).as("n_churned"),
+        round(sum(col("churned")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("churn_rate"))
+  }
 }

@@ -954,4 +954,30 @@ object Relational {
           .when(col("has_change") === 1L, "insert")
           .otherwise("carry").as("action"))
   }
+
+  /** One-row data profile of the events feed — the first query
+    * anyone runs on an unfamiliar 100 TB table: row count, key
+    * cardinalities, time span, null rates, and value range in ONE
+    * scan. The distinct counts expand map-side (Spark's Expand +
+    * two-level partial aggregate), so the full pass is still a
+    * single job with partial aggregation everywhere — never one scan
+    * per column, the naive profiler shape. Timestamps surface as
+    * formatted strings (engine-portable), value extremes at 6dp; the
+    * exact distincts swap for approx_count_distinct at the 100 TB
+    * tier where ±2% is fine for profiling (the
+    * [[graft.operators.Stats]] sketch family is the checked twin of
+    * that trade).
+    */
+  def profileTable(events: DataFrame): DataFrame =
+    events.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_event_types"),
+      date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_min"),
+      date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("ts_max"),
+      sum(col("value").isNull.cast("long")).as("value_nulls"),
+      round(min(col("value")), 6).as("value_min"),
+      round(max(col("value")), 6).as("value_max"),
+      sum(col("props").isNull.cast("long")).as("props_nulls"),
+      sum((get_json_object(col("props"), "$.k").isNull).cast("long")).as("vol_key_missing"))
 }

@@ -482,4 +482,78 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"), col("cos"))
   }
+
+  /** Per-node triangle count and local clustering coefficient over
+    * the MUTUAL k-NN graph — the neighborhood-density audit of an
+    * embedding space (high clustering = tight semantic clumps that
+    * near-dup passes should inspect; zero = hub-and-spoke drift).
+    * The undirected edge set keeps one (a<b) row per mutual pair, so
+    * each triangle materializes exactly once as a<b<c via two
+    * equi-joins whose candidate volume is Σdeg² ≤ k²·n — degree is
+    * capped at k BY CONSTRUCTION, which is what makes triangle
+    * counting tractable where a raw similarity graph's hubs explode
+    * it. Edge build shares [[knnGraph]]'s head (declared-quadratic
+    * exact sweep at gate scale; IVF/LSH candidate edges at 100 TB).
+    * Counts exact longs; the coefficient is one division at 6dp.
+    */
+  def triangleStats(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val und = knnGraph(embeddings, k)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // three self-join reads; the n² sweep must run once
+    val e1 = und.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = und.select(col("src").as("b"), col("dst").as("c"))
+    val e3 = und.select(col("src").as("a"), col("dst").as("c"))
+    val tri = e1.join(e2, "b").join(e3, Seq("a", "c"))
+    val triN = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("vec_id"))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_triangles"))
+    val deg = und.select(col("src").as("vec_id"))
+      .unionByName(und.select(col("dst").as("vec_id")))
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("degree"))
+    deg.join(triN, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(when(col("degree") >= 2,
+          lit(2.0) * coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")), 6).as("clustering_coef"))
+  }
+
+  /** Per-label embedding-norm profile: count, zero-vector count, and
+    * norm distribution stats — the know-your-vectors audit run before
+    * ANY cosine-based pass (zero vectors poison cosine, a wide norm
+    * spread says the encoder was never normalized, a label whose
+    * norms differ wildly from the rest often marks a modality mix-up).
+    * Norms fold once per vector in element order (bit-identical in
+    * both engines — the [[bruteForceTopK]] determinism contract).
+    * Label groups grow WITH the corpus (n/|labels| vectors each), so
+    * mean/std use the q_welch_ttest determinism recipe: the norm
+    * quantizes ONCE to DECIMAL(18,6) and the moments (n, Σx, Σx²)
+    * accumulate as exact, order-independent decimals — a double sum
+    * over millions of norms drifts with partition order; min/max are
+    * order-independent on the raw doubles. Scan-shaped: no join, no
+    * window, nothing corpus-wide.
+    */
+  def embedNorms(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    embeddings
+      .select(col("label"), norm(toDouble(col("embedding"))).as("nrm"))
+      .withColumn("q", col("nrm").cast(dec))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum((col("nrm") === 0.0).cast("long")).as("n_zero"),
+        sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .select(
+        col("label"), col("n").as("n_vecs"), col("n_zero"),
+        round(col("s1").cast("double") / col("n").cast("double"), 6).as("mean_norm"),
+        round(when(col("n") > 1, sqrt(
+          (col("s2").cast("double") - col("s1").cast("double") * col("s1").cast("double") /
+            col("n").cast("double")) / (col("n") - 1).cast("double"))), 6).as("std_norm"),
+        col("min_norm"), col("max_norm"))
+  }
 }

@@ -673,4 +673,36 @@ object Stats {
                   ((col("na") + col("nb")).cast("double") * (col("na") + col("nb") - 1)))),
           6).as("z_score"))
   }
+
+  /** Benford first-digit audit over a value column: observed
+    * first-significant-digit shares next to the log₁₀(1+1/d) law —
+    * the fabricated-data / broken-feed screen (organic multiplicative
+    * data follows the law; hand-keyed or truncated feeds don't).
+    * Digit extraction is ENGINE-EXACT by construction: the value
+    * quantizes to DECIMAL(18,6) whose string form is identical in
+    * both engines (fixed scale, no scientific notation — a raw
+    * double's string form is NOT portable), and the first [1-9] char
+    * of that string is the significant digit, with no float log10
+    * anywhere near a digit boundary. One scan + one 9-group
+    * aggregate; the total rides a broadcast one-row frame. Values
+    * quantizing to 0.000000 carry no significant digit and are
+    * excluded (reported via the n_sample vs digit-sum gap closing —
+    * shares are over the SAMPLE, so they still sum to 1).
+    */
+  def benfordTest(df: DataFrame, v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val digits = df
+      .select(regexp_extract(abs(col(v)).cast(dec).cast("string"), "[1-9]", 0).as("d"))
+      .filter(col("d") =!= "")
+      .groupBy(col("d").cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val total = digits.agg(sum(col("n_obs")).as("n_sample"))
+    digits.crossJoin(broadcast(total))
+      .select(
+        col("digit"), col("n_obs"), col("n_sample"),
+        round(col("n_obs").cast("double") / col("n_sample").cast("double"), 6).as("obs_share"),
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6).as("exp_share"),
+        round(abs(col("n_obs").cast("double") / col("n_sample").cast("double") -
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6).as("abs_dev"))
+  }
 }

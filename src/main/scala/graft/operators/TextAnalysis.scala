@@ -567,4 +567,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_grams"))
       .orderBy(col("n_grams").desc, col("gram").asc)
       .limit(k)
+
+  /** Flesch reading-ease score per document from three regex counts —
+    * words (whitespace runs), sentences (terminal-punctuation runs),
+    * syllables (vowel-group runs, the standard heuristic) — plus the
+    * difficulty band the score falls in. The canonical curriculum /
+    * complexity filter for training-data mixes: a pure scan-stage
+    * per-row computation (three codegen'd regexp_extract_all counts
+    * and one IEEE chain over exact ints — no shuffle at all), so it
+    * runs at parquet-read speed at any corpus size. Sentence count
+    * floors at 1 (a fragment is one sentence, not a divide-by-zero);
+    * zero-word docs are excluded (no prose to score).
+    */
+  def readability(documents: DataFrame): DataFrame = {
+    val words     = size(regexp_extract_all(trim(col("text")), lit("\\S+"), lit(0))).cast("long")
+    val sentences = greatest(size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))), lit(1)).cast("long")
+    val sylls     = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+    val flesch = lit(206.835) -
+      lit(1.015) * (col("n_words").cast("double") / col("n_sentences").cast("double")) -
+      lit(84.6) * (col("n_syllables").cast("double") / col("n_words").cast("double"))
+    documents
+      .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .withColumn("flesch", round(flesch, 6))
+      .withColumn("band",
+        when(col("flesch") >= 70.0, "easy")
+          .when(col("flesch") >= 50.0, "standard")
+          .when(col("flesch") >= 30.0, "difficult")
+          .otherwise("very_difficult"))
+  }
 }

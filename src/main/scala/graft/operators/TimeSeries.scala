@@ -1488,4 +1488,59 @@ object TimeSeries {
         round(when(sum(greatest(lit(threshold) - col("ret"), lit(0.0))) =!= 0.0,
           sum(greatest(col("ret") - threshold, lit(0.0))) /
             sum(greatest(lit(threshold) - col("ret"), lit(0.0)))), 6).as("omega"))
+
+  /** Theil–Sen robust trend per key: the MEDIAN of all pairwise
+    * slopes (close_j − close_i)/(j − i) over the daily index — the
+    * slope estimator with a 29% breakdown point, where [[linearTrend]]'s
+    * OLS line chases any single bad print. DECLARED BOUNDED-GROUP
+    * QUADRATIC: the pair space is days²/2 PER KEY, generated by a
+    * co-partitioned self-join of the bar frame on the key — days per
+    * key is calendar-bounded (a decade is ~2.5k bars ⇒ ~3M pairs per
+    * key, embarrassingly parallel across keys), never corpus-bounded,
+    * which is why this quadratic needs no banded twin. Slopes are one
+    * IEEE division per pair; the median is the exact interpolating
+    * percentile both engines share; 6dp.
+    */
+  def theilSen(events: DataFrame, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val dc = dailyClose(events, key, ts, v)
+      .withColumn("idx", (row_number().over(wSeq) - 1).cast("double"))
+    val a = dc.select(col(key), col("idx").as("ia"), col("close").as("ca"))
+    val b = dc.select(col(key), col("idx").as("ib"), col("close").as("cb"))
+    a.join(b, Seq(key)).filter(col("ib") > col("ia"))
+      .withColumn("slope", (col("cb") - col("ca")) / (col("ib") - col("ia")))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(percentile(col("slope"), lit(0.5)), 6).as("ts_slope"))
+  }
+
+  /** Lo–MacKinlay variance ratio per key: Var(k-day log return) /
+    * (k · Var(1-day log return)) over overlapping windows — the
+    * random-walk diagnostic (VR ≈ 1 under a random walk, < 1 mean
+    * reversion, > 1 momentum) that decides whether [[sma]]-style
+    * trend signals can work on a series at all. Both return series
+    * come off ONE (key, day) sort (two lag frames of the same
+    * window); variances are single-pass moment aggregates over
+    * bounded per-key groups, ratio one division at 6dp. Closes > 0
+    * guard the logs.
+    */
+  def varianceRatio(events: DataFrame, k: Int = 5,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val wSeq  = Window.partitionBy(key).orderBy("day")
+    val prev1 = lag(col("close"), 1).over(wSeq)
+    val prevK = lag(col("close"), k).over(wSeq)
+    dailyClose(events, key, ts, v)
+      .filter(col("close") > 0.0)
+      .withColumn("r1", when(prev1 > 0.0, log(col("close") / prev1)))
+      .withColumn("rk", when(prevK > 0.0, log(col("close") / prevK)))
+      .groupBy(col(key))
+      .agg(
+        count(col("r1")).as("n_1d"),
+        count(col("rk")).as("n_kd"),
+        round(var_samp(col("r1")), 6).as("var_1d"),
+        round(var_samp(col("rk")), 6).as("var_kd"),
+        round(when(var_samp(col("r1")) > 0.0,
+          var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
+  }
 }

@@ -538,6 +538,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
     g.unpersist()
   }
 
+  test("triangle stats match a local recount of the mutual knn graph") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val und = Similarity.knnGraph(emb, 3)
+      .filter($"mutual" && $"src" < $"dst")
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // local brute-force recount
+    val adj = und.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (a, b)) =>
+      m.updated(a, m.getOrElse(a, Set.empty) + b).updated(b, m.getOrElse(b, Set.empty) + a)
+    }
+    val localTri = adj.map { case (v, ns) =>
+      v -> ns.toSeq.combinations(2).count(p => und.contains((math.min(p(0), p(1)), math.max(p(0), p(1)))))
+    }
+    val got = Similarity.triangleStats(emb, 3).collect()
+    assert(got.length === adj.size)
+    got.foreach { r =>
+      val v = r.getLong(0)
+      assert(r.getAs[Long]("degree") === adj(v).size.toLong, s"degree of $v")
+      assert(r.getAs[Long]("n_triangles") === localTri(v).toLong, s"triangles of $v")
+      val d = adj(v).size
+      if (d >= 2) {
+        val want = BigDecimal(2.0 * localTri(v) / (d.toLong * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getAs[Double]("clustering_coef") === want)
+      } else assert(r.isNullAt(r.fieldIndex("clustering_coef")))
+    }
+  }
+
+  test("embed norms: labels partition the corpus, stats bounded and cross-checked on one label") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.embedNorms(emb).collect()
+    assert(got.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    got.foreach { r =>
+      assert(r.getAs[Double]("min_norm") <= r.getAs[Double]("mean_norm") + 1e-6)
+      assert(r.getAs[Double]("mean_norm") <= r.getAs[Double]("max_norm") + 1e-6)
+      assert(r.getAs[Long]("n_zero") === 0L, "fixture has no zero vectors")
+    }
+    // direct cross-check of one label's mean over DECIMAL(18,6)-quantized norms
+    val label0 = got.minBy(_.getAs[Int]("label"))
+    val norms = emb.filter($"label" === label0.getAs[Int]("label"))
+      .select(graft.functions.VectorFunctions.norm(
+        graft.functions.VectorFunctions.toDouble($"embedding")).as("n"))
+      .collect().map(r => BigDecimal(r.getDouble(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+    val wantMean = (norms.sum / norms.length).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(label0.getAs[Double]("mean_norm") - wantMean) < 2e-6)
+  }
+
+  test("source overlap: hand-built shared shingle gives exact counts; disjoint sources emit no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d", "A"), (2L, "a b c x", "B"), (3L, "z z z z", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(docs, 3).orderBy($"sa", $"sb").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5), r.getDouble(6)))
+    // A = {abc, bcd}, B = {abc, bcx} share exactly {abc}; C = {zzz} is disjoint
+    assert(got.toSeq === Seq(("A", "B", 2L, 2L, 1L, 1.0 / 3, 0.5)))
+  }
+
   test("cluster size profile: components plus singletons cover the corpus exactly") {
     import spark.implicits._
     val docs  = Seq(1L, 2L, 3L, 4L, 5L).map(id => (id, s"doc $id")).toDF("doc_id", "text")

@@ -165,6 +165,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.map(_._2).sum === 3L)
   }
 
+  test("power users: rank order, exact cumulative shares, the midpoint flag cuts where it should") {
+    import spark.implicits._
+    // counts 6,3,1 over ten events: user 1 alone crosses the 50%
+    // boundary; users 2,3 start at/after it
+    val ev = (Seq.fill(6)(1L) ++ Seq.fill(3)(2L) ++ Seq(3L))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u, "view") }
+      .toDF("event_id", "user_id", "event_type")
+      .withColumn("ts", ts(0))
+    val got = EventAnalytics.powerUsers(ev, nBuckets = 2).orderBy($"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(got.toSeq === Seq(
+      (1L, 6L, 1L, 6L, 0.6, 1),
+      (2L, 3L, 2L, 9L, 0.9, 0),
+      (3L, 1L, 3L, 10L, 1.0, 0)))
+    // fixture invariants at any bucket count: last cum_share is 1,
+    // cumsum strictly increasing in rank order
+    val fx = EventAnalytics.powerUsers(Tables.events(spark, TestSession.sf)).orderBy($"rank").collect()
+    assert(fx.last.getAs[Double]("cum_share") === 1.0)
+    assert(fx.sliding(2).forall(p => p(0).getAs[Long]("cum_events") < p(1).getAs[Long]("cum_events")))
+    assert(fx.map(_.getAs[Long]("rank")).toSeq === (1L to fx.length).toSeq)
+  }
+
+  test("churn: horizon splits quiet users from active, cohorts partition the population") {
+    import spark.implicits._
+    // corpus ends day 9; user 1 active to the end, user 2 quiet since
+    // day 2, user 3 (cohort day 1) quiet since day 5
+    val rows = Seq((1L, 0), (1L, 9), (2L, 0), (2L, 2), (3L, 1), (3L, 5))
+    val ev = rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .select($"event_id", $"user_id",
+        timestamp_micros(unix_micros(ts(0)) + $"d" * 86400000000L).as("ts"))
+    val got = EventAnalytics.churn(ev, horizonDays = 3, cohortGrain = "day")
+      .withColumn("cohort_week", date_format($"cohort_week", "yyyy-MM-dd"))
+      .orderBy($"cohort_week").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 1L, 0.5),   // users 1 (active) and 2 (churned)
+      ("2024-01-02", 1L, 1L, 1.0)))  // user 3 churned (4 days quiet)
+  }
+
   test("behavior entropy: 0 for single-type users, log2(k) for a uniform k-type mix") {
     import spark.implicits._
     val ev = (Seq.fill(2)((1L, "view")) ++ Seq.fill(2)((1L, "click")) ++

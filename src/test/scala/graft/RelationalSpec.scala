@@ -297,4 +297,16 @@ class RelationalSpec extends AnyFunSuite {
       (3L, cutoffUs + 2000000L, 7.0, "insert"),
       (4L, cutoffUs + 5000000L, 2.0, "insert")))
   }
+
+  test("profile: one row whose counts cross-check the direct aggregates, one job") {
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+    val p  = Relational.profileTable(ev).head()
+    assert(p.getAs[Long]("n_rows") === ev.count())
+    assert(p.getAs[Long]("n_users") === ev.select($"user_id").distinct().count())
+    assert(p.getAs[Long]("n_event_types") === ev.select($"event_type").distinct().count())
+    assert(p.getAs[Long]("value_nulls") === ev.filter($"value".isNull).count())
+    assert(p.getAs[String]("ts_min") <= p.getAs[String]("ts_max"))
+    assert(p.getAs[Double]("value_min") <= p.getAs[Double]("value_max"))
+  }
 }

@@ -287,6 +287,28 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("max_abs_z")))
   }
 
+  test("benford: digit extraction exact across magnitudes, shares sum to 1, law recovered on 10^U data") {
+    import spark.implicits._
+    // hand magnitudes: leading digit must survive decimals, tiny and
+    // large values, and negatives; sub-1e-6 values carry no digit
+    val hand = Seq(123.45, 0.0456, -7.2, 900000.1, 0.000001, 0.0000004, 1.0)
+      .toDF("value")
+    val got = Stats.benfordTest(hand).orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSeq
+    // 0.0000004 quantizes to 0.000000 -> excluded; the rest keep digits 1,4,7,9,1,1
+    assert(got === Seq((1, 3L), (4, 1L), (7, 1L), (9, 1L)))
+    // Benford holds exactly for 10^Uniform(0,1): digit d has measure log10(1+1/d)
+    val n = 200000
+    val rng = new scala.util.Random(7)
+    val synth = Seq.fill(n)(math.pow(10.0, rng.nextDouble() * 3)).toDF("value")
+    val rows = Stats.benfordTest(synth).orderBy("digit").collect()
+    assert(rows.map(_.getAs[Long]("n_obs")).sum === n.toLong)
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("obs_share") - r.getAs[Double]("exp_share")) < 0.01,
+        s"digit ${r.getInt(0)} deviates: $r")
+    }
+  }
+
   test("moments: symmetric series has zero skew, known kurtosis; constant key degrades to nulls") {
     import spark.implicits._
     def t(i: Int) = new java.sql.Timestamp(1704067200000L + i * 60000L)

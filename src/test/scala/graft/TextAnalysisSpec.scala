@@ -255,4 +255,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("r2") - 1.0) < 1e-6)
     assert(math.abs(got.getAs[Double]("intercept") - math.log(12.0)) < 1e-5)
   }
+
+  test("readability: hand-counted flesch, fragment floors at one sentence, empty doc excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentences, syllable groups: the(1) cat(1) sat(1) here(2: e,e... 'here' -> h-e-r-e: groups 'e','e' = 2) it(1) is(1)
+      (1L, "The cat sat here. It is."),
+      (2L, "word"),              // fragment: 1 word, floor 1 sentence, 1 syllable group
+      (3L, ""),                  // no words: excluded
+      (4L, "   "))               // whitespace only: excluded
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(docs).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_words") === 6L)
+    assert(r1.getAs[Long]("n_sentences") === 2L)
+    assert(r1.getAs[Long]("n_syllables") === 7L)
+    val want = 206.835 - 1.015 * (6.0 / 2.0) - 84.6 * (7.0 / 6.0)
+    assert(math.abs(r1.getAs[Double]("flesch") - want) < 1e-6)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_sentences") === 1L)
+    assert(r2.getAs[Long]("n_syllables") === 1L)
+    // fixture: every scored doc lands in a band, counts positive
+    val fx = TextAnalysis.readability(Tables.documents(spark, sf))
+    assert(fx.count() > 0)
+    assert(fx.filter(col("band").isNull || col("n_words") <= 0).count() === 0)
+  }
 }

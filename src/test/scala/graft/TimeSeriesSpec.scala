@@ -390,6 +390,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(TimeSeries.cusum(flat).head().getAs[Double]("cusum_stat") < 1e-3)
   }
 
+  test("theil-sen: exact line recovered, single outlier does not move the slope where OLS drifts") {
+    import spark.implicits._
+    // exact line + one wild outlier on the last day: the pairwise-slope
+    // median stays on the line, OLS does not
+    val line    = Vector.tabulate(11)(i => 50.0 + 2.0 * i)
+    val spiked  = line.updated(10, 500.0)
+    val df = spiked.zipWithIndex
+      .map { case (c, i) => (1L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val ts  = TimeSeries.theilSen(df).head()
+    val ols = TimeSeries.linearTrend(df).head()
+    assert(ts.getAs[Long]("n_pairs") === 55L)
+    assert(ts.getAs[Double]("ts_slope") === 2.0)
+    assert(ols.getAs[Double]("slope") > 4.0, "OLS should be dragged by the outlier")
+  }
+
+  test("variance ratio: ~1 under iid noise scale, exactly computed on a hand series") {
+    import spark.implicits._
+    // geometric walk with alternating ±r: 1-day log returns alternate
+    // +a,-a (var = a² * n/(n-1) around mean ~0); 5-day returns are a
+    // or -a depending on parity — strong mean reversion => VR << 1
+    val a = math.log(1.1)
+    val closes = Vector.tabulate(40)(i => if (i % 2 == 0) 100.0 else 110.0)
+    val df = closes.zipWithIndex
+      .map { case (c, i) => (1L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.varianceRatio(df, 5).head()
+    assert(got.getAs[Long]("n_1d") === 39L)
+    assert(got.getAs[Long]("n_kd") === 35L)
+    // alternating returns: abs(r1) == a for every step
+    assert(math.abs(got.getAs[Double]("var_1d") - a * a * 39.0 / 38.0) < 1e-4)
+    assert(got.getAs[Double]("vr") < 0.5, s"mean-reverting series must show VR << 1, got $got")
+  }
+
   test("linear trend recovers an exact line: slope, intercept, r2 = 1") {
     import spark.implicits._
     val df = Vector.tabulate(6)(i => (9L, i.toLong, i.toLong, 50.0 + 2.5 * i))
