@@ -923,7 +923,13 @@ object SparkEntry {
     "q_embed_norms" -> ((s, dir) =>
       Similarity.embedNorms(Tables.embeddings(s, dir)).orderBy("label")),
     "q_source_overlap" -> ((s, dir) =>
-      Dedup.sourceOverlap(Tables.documents(s, dir)).orderBy("sa", "sb"))
+      Dedup.sourceOverlap(Tables.documents(s, dir)).orderBy("sa", "sb")),
+    "q_seasonal_decompose" -> ((s, dir) =>
+      TimeSeries.seasonalDecompose(Tables.events(s, dir))
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
+    "q_survival_curve" -> ((s, dir) =>
+      EventAnalytics.survivalCurve(Tables.events(s, dir)).orderBy("day_offset"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4353,6 +4359,45 @@ object SparkEntry {
         |JOIN sz za ON za.source = a.source
         |JOIN sz zb ON zb.source = b.source
         |GROUP BY a.source, b.source, za.n_sh, zb.n_sh
-        |ORDER BY sa, sb""".stripMargin
+        |ORDER BY sa, sb""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(max_by(value, ts) AS DECIMAL(18,6)) AS cl,
+        |    max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, day, close, cl,
+        |    count(*) OVER w7 AS c7, sum(cl) OVER w7 AS sum7,
+        |    dayofweek(day) AS dow
+        |  FROM dc WINDOW w7 AS (
+        |    PARTITION BY user_id ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        |), d AS (
+        |  SELECT user_id, day, close, c7, sum7, dow,
+        |    CASE WHEN c7 = 7 THEN 7 * cl - sum7 END AS det7
+        |  FROM t
+        |), s AS (
+        |  SELECT user_id, dow, sum(det7) AS s7, count(*) AS n_dow
+        |  FROM d WHERE det7 IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT d.user_id, strftime(d.day, '%Y-%m-%d') AS day, d.close,
+        |  CASE WHEN d.c7 = 7 THEN CAST(d.sum7 AS DOUBLE) / 7.0 END AS trend,
+        |  CAST(s.s7 AS DOUBLE) / (7.0 * CAST(s.n_dow AS DOUBLE)) AS seasonal,
+        |  CAST(d.det7 AS DOUBLE) / 7.0 -
+        |    CAST(s.s7 AS DOUBLE) / (7.0 * CAST(s.n_dow AS DOUBLE)) AS residual
+        |FROM d LEFT JOIN s ON d.user_id = s.user_id AND d.dow = s.dow
+        |ORDER BY d.user_id, day""".stripMargin,
+    "q_survival_curve" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    date_diff('day', date_trunc('day', min(ts)), date_trunc('day', max(ts))) AS lifespan
+        |  FROM events GROUP BY 1
+        |), h AS (SELECT lifespan, count(*) AS n FROM life GROUP BY 1),
+        |t AS (SELECT count(*) AS n_total FROM life)
+        |SELECT lifespan AS day_offset, n AS n_exact,
+        |  sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS n_alive,
+        |  round(CAST(sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |    / CAST(n_total AS DOUBLE), 6) AS survival_rate
+        |FROM h, t ORDER BY day_offset""".stripMargin
   )
 }

@@ -304,6 +304,34 @@ object EventAnalytics {
           .cast("int").as("is_power"))
   }
 
+  /** User survival curve: for each observed lifespan length d (days
+    * between first and last activity), how many users lived AT LEAST
+    * that long and the survival fraction — the Kaplan-Meier-flavoured
+    * complement of [[cohortRetention]] (lifespan view, not
+    * calendar view). The corpus reduces to one lifespan per user,
+    * then to one histogram row per lifespan length — a CALENDAR-
+    * BOUNDED grid (≤ corpus span in days), so the reverse cumsum's
+    * single-partition window runs over that bounded grid, never over
+    * users; the user total broadcasts as a one-row frame. Exact
+    * longs, one division per output row.
+    */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val life = events.groupBy(col("user_id"))
+      .agg(datediff(date_trunc("day", max(col("ts"))),
+        date_trunc("day", min(col("ts")))).cast("long").as("lifespan"))
+    val hist  = life.groupBy(col("lifespan")).agg(count(lit(1)).as("n"))
+    val total = life.agg(count(lit(1)).as("n_total"))
+    val wRev = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lifespan").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_alive", sum(col("n")).over(wRev))
+      .crossJoin(broadcast(total))
+      .select(col("lifespan").as("day_offset"), col("n").as("n_exact"), col("n_alive"),
+        round(col("n_alive").cast("double") / col("n_total").cast("double"), 6)
+          .as("survival_rate"))
+  }
+
   /** Churn panel by signup cohort: per first-seen week, how many
     * users have gone quiet (no activity in the trailing `horizonDays`
     * before the corpus end) — the retention complement every growth
@@ -313,6 +341,7 @@ object EventAnalytics {
     * second aggregate over the already-reduced user frame. Exact day
     * arithmetic and integer counts; one division per cohort row.
     */
+
   def churn(events: DataFrame, horizonDays: Int = 7,
             cohortGrain: String = "week"): DataFrame = {
     val perUser = events.groupBy(col("user_id"))

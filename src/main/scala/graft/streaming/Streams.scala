@@ -642,4 +642,54 @@ object Streams {
     q.stop()
     spark.table(name)
   }
+
+  case class AnomSt(lastUs: Long, n: Long, mean: Double, m2: Double)
+  case class AnomOut(user_id: Long, ts_us: Long, value: Double, z: Double)
+
+  /** Streaming anomaly flags via a PREQUENTIAL Welford z-score: each
+    * arriving value is scored against the running mean/variance of
+    * everything BEFORE it, then folded in — so an outlier cannot mask
+    * itself by inflating the variance it is judged against, and the
+    * whole detector is one O(1) state record per key (lastUs, n,
+    * mean, M2 — Welford's numerically stable form; a naive Σx² sum
+    * cancels catastrophically once mean² ≫ variance). Emits only the
+    * flagged rows (|z| > threshold after a warmup of `minN` values).
+    * In-batch events sort on (ts, value) and cross-batch late data
+    * behind the fold point drops — the [[emaStream]] contract — so
+    * the flag set on in-order arrival is deterministic and equal to
+    * a per-key sequential fold (spec-asserted against a local
+    * reimplementation). Bounded-key-universe contract as
+    * [[emaStream]]; [[enforceStateBound]] applies here too.
+    */
+  def anomalyStream(events: Dataset[SEv], threshold: Double = 4.0, minN: Int = 10,
+                    watermark: String = "10 minutes"): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[AnomSt]) =>
+          val sorted = evs.toArray.sortBy(e => (instantMicros(e.ts), e.value))
+          var st  = state.getOption.getOrElse(AnomSt(Long.MinValue, 0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+          sorted.foreach { e =>
+            val us = instantMicros(e.ts)
+            if (us > st.lastUs) {
+              if (st.n >= minN) {
+                val std = math.sqrt(st.m2 / (st.n - 1))
+                if (std > 0) {
+                  val z = (e.value - st.mean) / std
+                  if (math.abs(z) > threshold) out += AnomOut(uid, us, e.value, z)
+                }
+              }
+              val n1    = st.n + 1
+              val delta = e.value - st.mean
+              val mean1 = st.mean + delta / n1
+              st = AnomSt(us, n1, mean1, st.m2 + delta * (e.value - mean1))
+            } // at/behind the fold point: dropped by contract
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

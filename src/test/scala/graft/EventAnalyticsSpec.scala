@@ -206,6 +206,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 1L, 1L, 1.0)))  // user 3 churned (4 days quiet)
   }
 
+  test("survival curve: reverse-cumulative lifespans, monotone, starts at 1.0 coverage") {
+    import spark.implicits._
+    // lifespans: users 1,2 -> 0 days; user 3 -> 3; user 4 -> 5
+    val rows = Seq((1L, 0, 0), (2L, 2, 2), (3L, 0, 3), (4L, 1, 6))
+    val ev = rows.zipWithIndex.flatMap { case ((u, d0, d1), i) =>
+      Seq((i.toLong * 2, u, d0), (i.toLong * 2 + 1, u, d1)) }
+      .toDF("event_id", "user_id", "d")
+      .select($"event_id", $"user_id",
+        timestamp_micros(unix_micros(ts(0)) + $"d" * 86400000000L).as("ts"))
+    val got = EventAnalytics.survivalCurve(ev).orderBy($"day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (0L, 2L, 4L, 1.0),
+      (3L, 1L, 2L, 0.5),
+      (5L, 1L, 1L, 0.25)))
+  }
+
   test("behavior entropy: 0 for single-type users, log2(k) for a uniform k-type mix") {
     import spark.implicits._
     val ev = (Seq.fill(2)((1L, "view")) ++ Seq.fill(2)((1L, "click")) ++

@@ -423,4 +423,52 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(h.contains("BroadcastNestedLoopJoin") || h.contains("BroadcastHashJoin"),
       s"q_hard_negatives lost its broadcast anchor join:\n$h")
   }
+
+  test("power users cumsum rides range-partitioned local windows; benford total broadcasts") {
+    val p = planOf("q_power_users")
+    // the ksTest shape: local cumsum windows keyed on the frozen pid
+    // behind the localCheckpoint, offsets and grand total broadcast —
+    // a regression to a global (n_events desc) window would
+    // single-partition the entire user population
+    assert(p.contains("hashpartitioning(pid"),
+      s"q_power_users lost its pid-partitioned local cumsum:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"q_power_users offsets/total stopped broadcasting:\n$p")
+    val b = planOf("q_benford")
+    assert(b.contains("BroadcastNestedLoopJoin") || b.contains("BroadcastExchange"),
+      s"q_benford's one-row total stopped broadcasting:\n$b")
+    assert(!b.contains("Window"), s"q_benford grew a window:\n$b")
+  }
+
+  test("incremental dedup confirms only the bloom-positive sliver through the equi-join") {
+    val p = planOf("q_incremental_dedup")
+    // the bloom probe is a scan-stage filter: the confirm join must
+    // be an equi hash join on the fingerprint, and there must be no
+    // shape that pushes the WHOLE batch through a join regardless of
+    // the probe (a BNLJ or cartesian would)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q_incremental_dedup's confirm join degraded to a product shape:\n$p")
+    assert(p.contains("bloom") || p.contains("xxhash64"),
+      s"the bloom probe disappeared from the plan:\n$p")
+  }
+
+  test("source overlap broadcasts the per-source size dim; profiler is a single aggregate job") {
+    val s = planOf("q_source_overlap")
+    assert(s.contains("BroadcastHashJoin"),
+      s"q_source_overlap's size dim stopped broadcasting:\n$s")
+    val p = planOf("q_profile_table")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"q_profile_table must stay one scan + aggregate (Expand for distincts):\n$p")
+    assert(p.contains("Expand"),
+      s"the multi-distinct Expand vanished — profiler now scans per column?:\n$p")
+  }
+
+  test("readability is scan-only; triangle count joins stay equi-keyed") {
+    val r = planOf("q_readability")
+    assert(!r.contains("Exchange hashpartitioning") && !r.contains("Join"),
+      s"q_readability must be a pure scan-stage projection (sort excepted):\n$r")
+    val t = planOf("q_triangle_count")
+    assert(!t.contains("CartesianProduct"),
+      s"q_triangle_count planned a cartesian:\n$t")
+  }
 }

@@ -824,6 +824,51 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("anomaly stream: prequential z-flags match a local fold; spike flagged across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch-mode execution over the fixture vs a local sequential fold
+    val ev = Tables.events(spark, sf).select($"user_id", $"ts", $"value").as[Streams.SEv]
+    val got = Streams.anomalyStream(ev, threshold = 2.5, minN = 10).collect()
+      .map(a => (a.user_id, a.ts_us)).toSet
+    val want = scala.collection.mutable.Set.empty[(Long, Long)]
+    ev.collect().groupBy(_.user_id).foreach { case (uid, es) =>
+      var (n, mean, m2) = (0L, 0.0, 0.0)
+      es.sortBy(e => (e.ts.getEpochSecond * 1000000L + e.ts.getNano / 1000, e.value)).foreach { e =>
+        val us = e.ts.getEpochSecond * 1000000L + e.ts.getNano / 1000
+        if (n >= 10) {
+          val std = math.sqrt(m2 / (n - 1))
+          if (std > 0 && math.abs((e.value - mean) / std) > 2.5) want += ((uid, us))
+        }
+        n += 1; val d = e.value - mean; mean += d / n; m2 += d * (e.value - mean)
+      }
+    }
+    assert(got === want.toSet)
+    assert(got.nonEmpty, "fixture should produce at least one 2.5-sigma flag")
+    // multi-batch: warmup in batch 1, spike flagged in batch 2 from persisted state
+    val mem = MemoryStream[Streams.SEv]
+    val out = Streams.anomalyStream(mem.toDS(), threshold = 4.0, minN = 10, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("anom_stream_test").outputMode("append").start()
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    try {
+      mem.addData((0 until 12).map(i =>
+        Streams.SEv(1L, at(i), 10.0 + 0.1 * (i % 3))): _*)
+      q.processAllAvailable()
+      assert(spark.table("anom_stream_test").count() === 0, "stable warmup must not flag")
+      mem.addData(Streams.SEv(1L, at(12), 100.0), Streams.SEv(1L, at(13), 10.1))
+      q.processAllAvailable()
+      val flags = spark.table("anom_stream_test").as[Streams.AnomOut].collect()
+      assert(flags.map(f => (f.user_id, f.value)).toSeq === Seq((1L, 100.0)))
+      assert(math.abs(flags.head.z) > 4.0)
+      // the post-spike normal value is NOT flagged: the spike folded
+      // into the state and widened the variance, but 10.1 sits at the
+      // old mean — prequential scoring keeps it clean
+      val stateRows = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows === 1L, "one O(1) record for the single key")
+    } finally q.stop()
+  }
+
   test("partitioned write produces prunable layout") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sink").toString
     val src = Feeds.SyntheticFeed.fetch(spark, Seq("AAPL", "MSFT"), "2024-01-01", "2024-01-06")

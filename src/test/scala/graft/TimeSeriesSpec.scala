@@ -408,6 +408,32 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(ols.getAs[Double]("slope") > 4.0, "OLS should be dragged by the outlier")
   }
 
+  test("seasonal decompose: linear trend + pure weekly pattern separate exactly, residual 0") {
+    import spark.implicits._
+    // close = 100 + i + s(dow): any 7 consecutive days sum the
+    // pattern to 0, so trend == 100+i on interior days, seasonal
+    // recovers s exactly, residual is exactly 0
+    val s7 = Vector(3.0, -1.0, 2.0, -2.0, 1.0, -1.0, -2.0)
+    val df = (0 until 28).map(i => (1L, i.toLong, i.toLong, 100.0 + i + s7(i % 7)))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = TimeSeries.seasonalDecompose(df).orderBy("day").collect()
+    assert(got.length === 28)
+    got.zipWithIndex.foreach { case (r, i) =>
+      if (i < 3 || i >= 25) {
+        assert(r.isNullAt(r.fieldIndex("trend")), s"edge day $i must have null trend")
+        assert(r.isNullAt(r.fieldIndex("residual")))
+      } else {
+        assert(r.getAs[Double]("trend") === 100.0 + i, s"day $i trend")
+        assert(r.getAs[Double]("residual") === 0.0, s"day $i residual")
+      }
+      // seasonal is defined for every day whose weekday has interior
+      // support (all of them here, 28 = 4 full weeks)
+      assert(math.abs(r.getAs[Double]("seasonal") - s7(i % 7)) < 1e-12, s"day $i seasonal")
+    }
+  }
+
   test("variance ratio: ~1 under iid noise scale, exactly computed on a hand series") {
     import spark.implicits._
     // geometric walk with alternating ±r: 1-day log returns alternate
