@@ -929,7 +929,9 @@ object SparkEntry {
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
     "q_survival_curve" -> ((s, dir) =>
-      EventAnalytics.survivalCurve(Tables.events(s, dir)).orderBy("day_offset"))
+      EventAnalytics.survivalCurve(Tables.events(s, dir)).orderBy("day_offset")),
+    "q_vocab_shift" -> ((s, dir) =>
+      TextAnalysis.vocabShift(Tables.documents(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4398,6 +4400,31 @@ object SparkEntry {
         |  sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS n_alive,
         |  round(CAST(sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |    / CAST(n_total AS DOUBLE), 6) AS survival_rate
-        |FROM h, t ORDER BY day_offset""".stripMargin
+        |FROM h, t ORDER BY day_offset""".stripMargin,
+    "q_vocab_shift" ->
+      """WITH cut AS (SELECT quantile_cont(doc_id, 0.5) AS cut FROM documents),
+        |toks AS (
+        |  SELECT (doc_id <= cut) AS first_half,
+        |    unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents, cut
+        |), a AS (SELECT tok, count(*) AS cnt_a FROM toks WHERE first_half GROUP BY 1),
+        |b AS (SELECT tok, count(*) AS cnt_b FROM toks WHERE NOT first_half GROUP BY 1),
+        |t AS (
+        |  SELECT sum(CASE WHEN first_half THEN 1 ELSE 0 END) AS tot_a,
+        |    sum(CASE WHEN first_half THEN 0 ELSE 1 END) AS tot_b
+        |  FROM toks
+        |), j AS (
+        |  SELECT coalesce(a.tok, b.tok) AS tok,
+        |    CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |    CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+        |  FROM a FULL OUTER JOIN b ON a.tok = b.tok
+        |)
+        |SELECT tok, cnt_a, cnt_b,
+        |  round(ln(CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + 1 AS DOUBLE))
+        |    - ln(CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + 1 AS DOUBLE)), 6) AS shift,
+        |  abs(round(ln(CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + 1 AS DOUBLE))
+        |    - ln(CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + 1 AS DOUBLE)), 6)) AS abs_shift
+        |FROM j, t WHERE cnt_a + cnt_b >= 5
+        |ORDER BY abs_shift DESC, tok LIMIT 25""".stripMargin
   )
 }

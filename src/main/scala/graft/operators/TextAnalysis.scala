@@ -568,6 +568,43 @@ object TextAnalysis {
       .orderBy(col("n_grams").desc, col("gram").asc)
       .limit(k)
 
+  /** Vocabulary drift between two corpus slices (here: doc_id halves;
+    * in production: yesterday's crawl vs today's): per token, the
+    * smoothed relative-frequency log-ratio, keeping the top-k movers
+    * by |shift| — the distribution-shift tripwire that catches a
+    * changed boilerplate template, a new spam cluster, or a broken
+    * extractor BEFORE it skews a training mix. One explode+count per
+    * slice (map-side partials), a full outer join on the token
+    * (either slice can have exclusives — add-one smoothing keeps the
+    * ratio finite), totals broadcast as one-row frames, and the
+    * top-k is a TakeOrdered heap merge, never a global sort of the
+    * vocabulary. Counts exact; the log-ratio is one IEEE chain over
+    * exact ints, 6dp.
+    */
+  def vocabShift(documents: DataFrame, k: Int = 25, minCount: Int = 5): DataFrame = {
+    val half = documents.agg(percentile(col("doc_id"), lit(0.5)).as("cut"))
+    val toks = documents.crossJoin(broadcast(half))
+      .select((col("doc_id") <= col("cut")).as("first_half"),
+        explode(split(lower(col("text")), " ")).as("tok"))
+    val a = toks.filter(col("first_half")).groupBy(col("tok")).agg(count(lit(1)).as("cnt_a"))
+    val b = toks.filter(!col("first_half")).groupBy(col("tok")).agg(count(lit(1)).as("cnt_b"))
+    val totals = toks.agg(
+      sum(col("first_half").cast("long")).as("tot_a"),
+      sum((!col("first_half")).cast("long")).as("tot_b"))
+    a.join(b, Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .filter(col("cnt_a") + col("cnt_b") >= minCount)
+      .crossJoin(broadcast(totals))
+      .withColumn("shift",
+        round(log((col("cnt_b") + 1).cast("double") / (col("tot_b") + 1).cast("double")) -
+          log((col("cnt_a") + 1).cast("double") / (col("tot_a") + 1).cast("double")), 6))
+      .select(col("tok"), col("cnt_a"), col("cnt_b"), col("shift"), abs(col("shift")).as("abs_shift"))
+      .orderBy(col("abs_shift").desc, col("tok").asc)
+      .limit(k)
+  }
+
   /** Flesch reading-ease score per document from three regex counts —
     * words (whitespace runs), sentences (terminal-punctuation runs),
     * syllables (vowel-group runs, the standard heuristic) — plus the

@@ -256,6 +256,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("intercept") - math.log(12.0)) < 1e-5)
   }
 
+  test("vocab shift: injected second-half token tops the movers; symmetric swap negates shift") {
+    import spark.implicits._
+    // halves share a stable background vocabulary; "neologism" exists
+    // only in the second half, "archaic" only in the first
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = ((0 until 10).map(i => (i.toLong, s"$base archaic")) ++
+      (10 until 20).map(i => (i.toLong, s"$base neologism")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabShift(docs, k = 5, minCount = 5).collect()
+    val byTok = got.map(r => r.getString(0) -> r.getAs[Double]("shift")).toMap
+    assert(byTok.contains("neologism") && byTok("neologism") > 0, s"new token must shift up: $byTok")
+    assert(byTok.contains("archaic") && byTok("archaic") < 0, s"dropped token must shift down: $byTok")
+    // the injected tokens move more than any background token
+    val background = got.filter(r => !Set("neologism", "archaic").contains(r.getString(0)))
+    background.foreach { r =>
+      assert(r.getAs[Double]("abs_shift") <= math.abs(byTok("neologism")) + 1e-9)
+    }
+    // counts: 10 each on their own side, 0 on the other
+    val neo = got.find(_.getString(0) == "neologism").get
+    assert(neo.getAs[Long]("cnt_a") === 0L && neo.getAs[Long]("cnt_b") === 10L)
+  }
+
   test("readability: hand-counted flesch, fragment floors at one sentence, empty doc excluded") {
     import spark.implicits._
     val docs = Seq(
