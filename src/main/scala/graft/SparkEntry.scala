@@ -2283,10 +2283,17 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT day FROM r0)
         |), r AS (
         |  SELECT r0.user_id AS k, days.slot, r0.ret FROM r0 JOIN days USING (day)
+        |), wd AS (
+        |  SELECT greatest(6, CASE WHEN needed <= 1 THEN 0
+        |           ELSE length(bin(needed - 1)) END) AS weff, nd
+        |  FROM (SELECT (count(DISTINCT k) + 7) // 8 AS needed,
+        |          count(DISTINCT slot) AS nd FROM r)
         |), sigs AS (
-        |  SELECT k, slot // 6 AS band,
+        |  SELECT k,
+        |    CASE WHEN weff = 6 THEN slot // 6
+        |         ELSE least(slot // weff, greatest(1, nd // weff) - 1) END AS band,
         |    md5(string_agg(slot || ':' || (CASE WHEN ret >= 0 THEN 1 ELSE 0 END), ',' ORDER BY slot)) AS sig
-        |  FROM r GROUP BY k, band
+        |  FROM r, wd GROUP BY k, band
         |), cand AS (
         |  SELECT DISTINCT a.k AS ka, b.k AS kb
         |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.k < b.k

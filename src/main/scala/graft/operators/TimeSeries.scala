@@ -580,8 +580,10 @@ object TimeSeries {
     * lever applied automatically. Exact verification is unchanged,
     * so correctness is width-independent; wider bands trade recall
     * on weaker correlations for bounded candidates, exactly the LSH
-    * contract. The oracle gate fixture stays under 2^bandWidth * 8
-    * keys, where w_eff == bandWidth and the static SQL mirror holds.
+    * contract. The SQL oracle computes the SAME adaptive width
+    * (bit_length of ceil(keys/8), exact integer arithmetic on both
+    * sides), so the mirror holds in the widened regime too — gate-
+    * verified at sf0.01 (w_eff = 6) AND sf0.1 (w_eff = 8).
     */
   def corrPairsBanded(df: DataFrame, minAbsCorr: Double = 0.3, bandWidth: Int = 6,
                       key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
@@ -589,8 +591,13 @@ object TimeSeries {
     val cnt = rets.agg(
       countDistinct(col(key)).as("nk"), countDistinct(col("day")).as("nd")).head()
     val (nKeys, nSlots) = (cnt.getLong(0), cnt.getLong(1))
+    // smallest w with 2^w >= ceil(keys/8), in EXACT integer arithmetic
+    // (a float log2 is off-by-one exactly at powers of two, where
+    // log(n)/log(2) lands a hair above the integer — and the SQL
+    // mirror computes the same width via bit_length)
+    val needed = (nKeys + 7) / 8
     val wEff = math.max(bandWidth,
-      math.ceil(math.log(math.max(nKeys, 1L) / 8.0) / math.log(2)).toInt)
+      if (needed <= 1) 0 else 64 - java.lang.Long.numberOfLeadingZeros(needed - 1))
     // widened regime only: a trailing partial band of p slots has
     // just 2^p patterns and re-saturates on its own (the x30 tail
     // band of 4 slots = 16 buckets for 45k keys) — merge it into the
