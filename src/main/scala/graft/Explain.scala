@@ -51,7 +51,13 @@ object Explain {
         "q_welch_ttest", "q_mann_whitney", "q_dau_wau", "q_new_vs_returning",
         "q_zipf_slope", "q_cluster_sizes", "q_pq_search", "q_pagerank",
         "q_ivfpq_search", "q_merge_upsert", "q_calmar", "q_ulcer_index",
-        "q_omega_ratio", "q_jaccard_estimate")
+        "q_omega_ratio", "q_jaccard_estimate",
+        "q_robust_zscore", "q_moments", "q_cusum", "q_linreg_trend",
+        "q_entropy_profile", "q_incremental_dedup", "q_theilsen",
+        "q_benford", "q_profile_table", "q_power_users", "q_churn",
+        "q_variance_ratio", "q_readability", "q_triangle_count",
+        "q_embed_norms", "q_source_overlap", "q_seasonal_decompose",
+        "q_survival_curve", "q_vocab_shift")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
