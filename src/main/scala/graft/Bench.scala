@@ -185,7 +185,11 @@ object Bench {
     "q_bloom_join", "q_corr_pairs_banded",
     // late r11: ADC search (m-byte/vector bandwidth claim), the
     // distributed-prefix-sum rank test, the broadcast-grid DAU
-    "q_pq_search", "q_mann_whitney", "q_dau_wau")
+    "q_pq_search", "q_mann_whitney", "q_dau_wau",
+    // r11 fourth session: the bloom-split incremental dedup (scan-
+    // shaped claim), the prefix-sum Pareto rank, and the bounded-dim
+    // source overlap — the three new ops with distinct scale shapes
+    "q_incremental_dedup", "q_power_users", "q_source_overlap")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact
@@ -197,11 +201,12 @@ object Bench {
     * headliner ran, and the official artifact reported 10 skips.
     */
   private val ScaleQuadratic =
-    // q_knn_graph / q_pagerank run the declared-quadratic exact
-    // sweep at gate scale (their 100 TB path swaps in IVF/LSH
-    // candidate edges); at x10 they belong on the cancel-safe
-    // quadratic slices, not inside the linear budget
-    Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank")
+    // q_knn_graph / q_pagerank / q_triangle_count run the declared-
+    // quadratic exact sweep at gate scale (their 100 TB path swaps
+    // in IVF/LSH candidate edges); at x10 they belong on the
+    // cancel-safe quadratic slices, not inside the linear budget
+    Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank",
+      "q_triangle_count")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next
