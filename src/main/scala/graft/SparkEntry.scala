@@ -931,7 +931,26 @@ object SparkEntry {
     "q_survival_curve" -> ((s, dir) =>
       EventAnalytics.survivalCurve(Tables.events(s, dir)).orderBy("day_offset")),
     "q_vocab_shift" -> ((s, dir) =>
-      TextAnalysis.vocabShift(Tables.documents(s, dir)))
+      TextAnalysis.vocabShift(Tables.documents(s, dir))),
+    "q_basket_pairs" -> ((s, dir) =>
+      Relational.basketPairs(Tables.lineitem(s, dir))
+        .orderBy(col("n_ab").desc, col("pa"), col("pb"))),
+    "q_revenue_cohorts" -> ((s, dir) =>
+      Relational.revenueCohorts(Tables.orders(s, dir))
+        .withColumn("cohort", date_format(col("cohort"), "yyyy-MM"))
+        .orderBy("cohort", "offset_m")),
+    "q_rfm" -> ((s, dir) =>
+      Relational.rfm(Tables.orders(s, dir)).orderBy("o_custkey")),
+    "q_ship_lag" -> ((s, dir) =>
+      Relational.shipLagProfile(Tables.lineitem(s, dir), Tables.orders(s, dir))
+        .orderBy("o_orderpriority")),
+    "q_runs_test" -> ((s, dir) =>
+      Stats.runsTest(Tables.events(s, dir)).orderBy("user_id")),
+    "q_discount_elasticity" -> ((s, dir) =>
+      Relational.discountElasticity(Tables.lineitem(s, dir), Tables.part(s, dir))
+        .orderBy("p_brand")),
+    "q_gini" -> ((s, dir) =>
+      EventAnalytics.gini(Tables.events(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4432,6 +4451,146 @@ object SparkEntry {
         |  abs(round(ln(CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + 1 AS DOUBLE))
         |    - ln(CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + 1 AS DOUBLE)), 6)) AS abs_shift
         |FROM j, t WHERE cnt_a + cnt_b >= 5
-        |ORDER BY abs_shift DESC, tok LIMIT 25""".stripMargin
+        |ORDER BY abs_shift DESC, tok LIMIT 25""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |t AS (SELECT count(DISTINCT ok) AS n_orders FROM op),
+        |f AS (SELECT pk, count(*) AS n_p FROM op GROUP BY 1),
+        |p AS (
+        |  SELECT a.pk AS pa, b.pk AS pb, count(*) AS n_ab
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT pa, pb, n_ab, fa.n_p AS n_a, fb.n_p AS n_b,
+        |  round(CAST(n_ab AS DOUBLE) / CAST(n_orders AS DOUBLE), 6) AS support,
+        |  round(CAST(n_ab AS DOUBLE) * CAST(n_orders AS DOUBLE)
+        |    / (CAST(fa.n_p AS DOUBLE) * CAST(fb.n_p AS DOUBLE)), 6) AS lift
+        |FROM p JOIN f fa ON fa.pk = pa JOIN f fb ON fb.pk = pb, t
+        |ORDER BY n_ab DESC, pa, pb LIMIT 25""".stripMargin,
+    "q_revenue_cohorts" ->
+      """WITH first AS (
+        |  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT strftime(cohort, '%Y-%m') AS cohort,
+        |  (year(o_orderdate) * 12 + month(o_orderdate))
+        |    - (year(cohort) * 12 + month(cohort)) AS offset_m,
+        |  count(DISTINCT o.o_custkey) AS n_customers,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN first USING (o_custkey)
+        |GROUP BY cohort, offset_m ORDER BY cohort, offset_m""".stripMargin,
+    "q_rfm" ->
+      """WITH cust AS (
+        |  SELECT o_custkey, date_trunc('day', max(o_orderdate)) AS last_day,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1
+        |), e AS (SELECT date_trunc('day', max(o_orderdate)) AS corpus_end FROM orders),
+        |base AS (
+        |  SELECT o_custkey, date_diff('day', last_day, corpus_end) AS recency_days,
+        |    frequency, monetary
+        |  FROM cust, e
+        |), cuts AS (
+        |  SELECT quantile_cont(recency_days, 0.25) AS r1, quantile_cont(recency_days, 0.5) AS r2,
+        |    quantile_cont(recency_days, 0.75) AS r3,
+        |    quantile_cont(frequency, 0.25) AS f1, quantile_cont(frequency, 0.5) AS f2,
+        |    quantile_cont(frequency, 0.75) AS f3,
+        |    quantile_cont(monetary, 0.25) AS m1, quantile_cont(monetary, 0.5) AS m2,
+        |    quantile_cont(monetary, 0.75) AS m3
+        |  FROM base
+        |)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  5 - (CASE WHEN CAST(recency_days AS DOUBLE) <= r1 THEN 1
+        |            WHEN CAST(recency_days AS DOUBLE) <= r2 THEN 2
+        |            WHEN CAST(recency_days AS DOUBLE) <= r3 THEN 3 ELSE 4 END) AS r_score,
+        |  CASE WHEN CAST(frequency AS DOUBLE) <= f1 THEN 1
+        |       WHEN CAST(frequency AS DOUBLE) <= f2 THEN 2
+        |       WHEN CAST(frequency AS DOUBLE) <= f3 THEN 3 ELSE 4 END AS f_score,
+        |  CASE WHEN monetary <= m1 THEN 1
+        |       WHEN monetary <= m2 THEN 2
+        |       WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score
+        |FROM base, cuts ORDER BY o_custkey""".stripMargin,
+    "q_ship_lag" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(avg(date_diff('day', date_trunc('day', o_orderdate),
+        |    date_trunc('day', l_shipdate))), 6) AS mean_lag,
+        |  quantile_cont(date_diff('day', date_trunc('day', o_orderdate),
+        |    date_trunc('day', l_shipdate)), 0.5) AS median_lag,
+        |  quantile_cont(date_diff('day', date_trunc('day', o_orderdate),
+        |    date_trunc('day', l_shipdate)), 0.9) AS p90_lag,
+        |  max(date_diff('day', date_trunc('day', o_orderdate),
+        |    date_trunc('day', l_shipdate))) AS max_lag
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_runs_test" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, day, CASE WHEN ret > 0 THEN 1 ELSE 0 END AS sgn
+        |  FROM r0 WHERE ret != 0
+        |), f AS (
+        |  SELECT user_id, sgn,
+        |    CASE WHEN lag(sgn) OVER w IS NULL THEN 1
+        |         WHEN lag(sgn) OVER w != sgn THEN 1 ELSE 0 END AS chg
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), g AS (
+        |  SELECT user_id, CAST(sum(sgn) AS BIGINT) AS n_pos,
+        |    CAST(sum(1 - sgn) AS BIGINT) AS n_neg, CAST(sum(chg) AS BIGINT) AS runs
+        |  FROM f GROUP BY 1
+        |), h AS (
+        |  SELECT user_id, n_pos, n_neg, runs,
+        |    CAST(n_pos AS DOUBLE) AS np, CAST(n_neg AS DOUBLE) AS nn,
+        |    CAST(n_pos + n_neg AS DOUBLE) AS nd
+        |  FROM g
+        |)
+        |SELECT user_id, n_pos, n_neg, runs,
+        |  round(CASE WHEN n_pos > 0 AND n_neg > 0 AND 2.0 * np * nn - nd > 0
+        |    THEN (CAST(runs AS DOUBLE) - (1.0 + 2.0 * np * nn / nd))
+        |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
+        |    AS z_runs
+        |FROM h ORDER BY user_id""".stripMargin,
+    "q_discount_elasticity" ->
+      """WITH m AS (
+        |  SELECT p_brand, count(*) AS n,
+        |    sum(CAST(l_discount AS DECIMAL(18,6))) AS sx,
+        |    sum(CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6))) AS sy,
+        |    sum(CAST(l_discount AS DECIMAL(18,6)) * CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6))) AS sxy,
+        |    sum(CAST(l_discount AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS sxx,
+        |    sum(CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6)) * CAST(round(ln(l_quantity), 6) AS DECIMAL(18,6))) AS syy
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_quantity > 0 GROUP BY 1
+        |), d AS (
+        |  SELECT p_brand, n,
+        |    CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+        |  FROM m
+        |)
+        |SELECT p_brand, n AS n_lines,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd > 0
+        |    THEN (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) END, 6) AS elasticity,
+        |  round(CASE WHEN nd * sxxd - sxd * sxd > 0 AND nd * syyd - syd * syd > 0
+        |    THEN (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |      / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) END, 6) AS r2
+        |FROM d ORDER BY p_brand""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (
+        |  SELECT user_id, count(*) AS n_events FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT user_id, n_events,
+        |    row_number() OVER (ORDER BY n_events ASC, user_id ASC) AS rank
+        |  FROM c
+        |)
+        |SELECT count(*) AS n_users, sum(n_events) AS total_events,
+        |  round(2.0 * CAST(sum(rank * n_events) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * CAST(sum(n_events) AS DOUBLE))
+        |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
+        |FROM r""".stripMargin
   )
 }

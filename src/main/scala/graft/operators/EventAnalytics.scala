@@ -332,6 +332,49 @@ object EventAnalytics {
           .as("survival_rate"))
   }
 
+  /** Gini coefficient of activity concentration — the one-number
+    * complement of [[powerUsers]]' curve (0 = perfectly even, →1 =
+    * one user is the feed). Uses the rank-sum identity
+    * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted per-user
+    * counts: the corpus reduces to one count per user, the ascending
+    * rank and the Σi·xᵢ ride the same distributed prefix-sum shape
+    * as [[powerUsers]] (range partition, local window, broadcast
+    * offsets — never a single-partition window over users), and
+    * every sum is an exact long, so G is one IEEE chain at 6dp.
+    */
+  def gini(events: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(col("n_events").asc, col("user_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .orderBy("pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .repartitionByRange(nBuckets, col("n_events").asc, col("user_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = counts.groupBy(col("pid"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("c")).over(wOff), lit(0L)).as("off_rank"))
+    counts
+      .withColumn("l_rank", count(lit(1)).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .select(col("user_id"), col("n_events"),
+        (col("off_rank") + col("l_rank")).as("rank"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("total_events"),
+        sum(col("rank") * col("n_events")).as("rank_sum"))
+      .select(col("n_users"), col("total_events"),
+        round(
+          lit(2.0) * col("rank_sum").cast("double") /
+            (col("n_users").cast("double") * col("total_events").cast("double")) -
+            (col("n_users") + 1).cast("double") / col("n_users").cast("double"),
+          6).as("gini"))
+  }
+
   /** Churn panel by signup cohort: per first-seen week, how many
     * users have gone quiet (no activity in the trailing `horizonDays`
     * before the corpus end) — the retention complement every growth

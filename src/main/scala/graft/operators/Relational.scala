@@ -955,6 +955,176 @@ object Relational {
           .otherwise("carry").as("action"))
   }
 
+  /** Market-basket co-occurrence: part pairs appearing in the same
+    * order, with support and lift, top-k by co-count — the classic
+    * affinity mine. LINEAR by data shape, not banded: the pair space
+    * is Σ(items-per-order)² and TPC-H-style orders carry a BOUNDED
+    * line count, so the within-order self-join never goes quadratic
+    * in the catalog (contrast a naive part×part sweep). Per-part
+    * order frequencies are one reduced aggregate joined back on the
+    * pair's part keys; the order total rides a broadcast one-row
+    * frame; support/lift are IEEE chains over exact longs, 6dp; the
+    * top-k is a TakeOrdered heap merge with a full (n_ab desc, pa,
+    * pb) tiebreak.
+    */
+  def basketPairs(lineitem: DataFrame, minCount: Long = 3, k: Int = 25): DataFrame = {
+    val op = lineitem.select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val total = op.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val freq  = op.groupBy(col("pk")).agg(count(lit(1)).as("n_p"))
+    val pairs = op.select(col("ok"), col("pk").as("pa"))
+      .join(op.select(col("ok"), col("pk").as("pb")), "ok")
+      .filter(col("pa") < col("pb"))
+      .groupBy(col("pa"), col("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(freq.select(col("pk").as("pa"), col("n_p").as("n_a")), "pa")
+      .join(freq.select(col("pk").as("pb"), col("n_p").as("n_b")), "pb")
+      .crossJoin(broadcast(total))
+      .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_orders").cast("double"), 6).as("support"),
+        round(col("n_ab").cast("double") * col("n_orders").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6).as("lift"))
+      .orderBy(col("n_ab").desc, col("pa").asc, col("pb").asc)
+      .limit(k)
+  }
+
+  /** Revenue cohort matrix over orders: customers bucketed by their
+    * first-order month, then per (cohort, month-offset) the active
+    * customers and their revenue — q_cohort_retention's shape with
+    * money on it (the LTV curve every subscription dashboard wants).
+    * First-order month is one customer-keyed min aggregate joined
+    * back co-partitioned; the month offset is EXACT integer
+    * arithmetic (year·12+month deltas, no float date math); revenue
+    * sums as DECIMAL(18,2) — order-independent — and images to
+    * double once. Cohort rollup aggregates the already-reduced
+    * (customer, month) frame.
+    */
+  def revenueCohorts(orders: DataFrame): DataFrame = {
+    val mIdx = (d: org.apache.spark.sql.Column) => year(d) * 12 + month(d)
+    val first = orders.groupBy(col("o_custkey"))
+      .agg(min(date_trunc("month", col("o_orderdate"))).as("cohort"))
+    orders
+      .join(first, "o_custkey")
+      .withColumn("offset_m",
+        (mIdx(col("o_orderdate")) - mIdx(col("cohort"))).cast("long"))
+      .groupBy(col("cohort"), col("offset_m"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("revenue"))
+  }
+
+  /** RFM segmentation: per customer, recency (days since last order,
+    * vs the corpus end), frequency (order count), monetary (exact
+    * DECIMAL revenue), each scored 1–4 against the population
+    * quartiles — the classic CRM cut. The quartile thresholds are
+    * THREE NUMBERS per metric computed on the already-reduced
+    * customer frame and broadcast back (one-row frame), so scoring
+    * is a scan-stage CASE chain — never an ntile() global window
+    * over the customer population (the single-partition trap at
+    * billions of customers). Recency scores INVERTED (recent =
+    * high); quartile boundaries use the exact interpolating
+    * percentile both engines share, and boundary ties go to the
+    * lower bucket (<= cuts) deterministically.
+    */
+  def rfm(orders: DataFrame): DataFrame = {
+    val cust = orders.groupBy(col("o_custkey"))
+      .agg(
+        max(date_trunc("day", col("o_orderdate"))).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("monetary"))
+    val end = orders.agg(date_trunc("day", max(col("o_orderdate"))).as("corpus_end"))
+    val base = cust.crossJoin(broadcast(end))
+      .withColumn("recency_days", datediff(col("corpus_end"), col("last_day")).cast("long"))
+      .drop("corpus_end", "last_day")
+    val cuts = base.agg(
+      percentile(col("recency_days"), lit(0.25)).as("r1"),
+      percentile(col("recency_days"), lit(0.5)).as("r2"),
+      percentile(col("recency_days"), lit(0.75)).as("r3"),
+      percentile(col("frequency"), lit(0.25)).as("f1"),
+      percentile(col("frequency"), lit(0.5)).as("f2"),
+      percentile(col("frequency"), lit(0.75)).as("f3"),
+      percentile(col("monetary"), lit(0.25)).as("m1"),
+      percentile(col("monetary"), lit(0.5)).as("m2"),
+      percentile(col("monetary"), lit(0.75)).as("m3"))
+    def score(v: org.apache.spark.sql.Column, q1: String, q2: String, q3: String) =
+      when(v <= col(q1), 1).when(v <= col(q2), 2).when(v <= col(q3), 3).otherwise(4)
+    base.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        // recent = small recency = best: invert the quartile score
+        (lit(5) - score(col("recency_days").cast("double"), "r1", "r2", "r3")).as("r_score"),
+        score(col("frequency").cast("double"), "f1", "f2", "f3").as("f_score"),
+        score(col("monetary"), "m1", "m2", "m3").as("m_score"))
+  }
+
+  /** Discount elasticity per brand: OLS of ln(quantity) on the
+    * discount rate across a brand's line items — does discounting
+    * actually move volume, and for which brands? (slope ≈ %-volume
+    * change per discount point; r² says whether price explains
+    * anything at all.) One broadcast part-dim join tags each line
+    * with its brand, then the regression reduces in ONE aggregate —
+    * no window, no second scan. Brand groups grow WITH the corpus,
+    * so the moments use the q_welch_ttest determinism recipe instead
+    * of regr_* (whose raw double sums drift with partition order at
+    * scale): x = the exact 2-dp discount as DECIMAL(18,6), y =
+    * ln(quantity) quantized ONCE to DECIMAL(18,6), all five moments
+    * accumulate as exact order-independent decimals, and slope/r²
+    * are one shared IEEE chain at 6dp. Zero/negative quantities
+    * carry no log and drop.
+    */
+  def discountElasticity(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val m = lineitem
+      .filter(col("l_quantity") > 0)
+      .join(broadcast(part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("x", col("l_discount").cast(dec))
+      .withColumn("y", round(log(col("l_quantity")), 6).cast(dec))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd   = col("n").cast("double")
+    val sxd  = col("sx").cast("double");  val syd  = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double"); val sxxd = col("sxx").cast("double")
+    val syyd = col("syy").cast("double")
+    val covN = nd * sxyd - sxd * syd
+    val varX = nd * sxxd - sxd * sxd
+    val varY = nd * syyd - syd * syd
+    m.select(col("p_brand"), col("n").as("n_lines"),
+      round(when(varX > 0, covN / varX), 6).as("elasticity"),
+      round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6).as("r2"))
+  }
+
+  /** Order-to-ship lag distribution per order priority: count, mean,
+    * median, p90, and worst lag in days between order and line-item
+    * ship dates — the fulfilment-SLA panel. One fact-fact equi-join
+    * on the order key (both sides shuffle once on it), then the
+    * aggregates land on a BOUNDED priority dimension; the lag is
+    * exact day arithmetic and the quantiles are the exact
+    * interpolating percentile, mean at 6dp over exact longs.
+    */
+  def shipLagProfile(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lag_days",
+        datediff(date_trunc("day", col("l_shipdate")),
+          date_trunc("day", col("o_orderdate"))).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(avg(col("lag_days")), 6).as("mean_lag"),
+        percentile(col("lag_days"), lit(0.5)).as("median_lag"),
+        percentile(col("lag_days"), lit(0.9)).as("p90_lag"),
+        max(col("lag_days")).as("max_lag"))
+
   /** One-row data profile of the events feed — the first query
     * anyone runs on an unfamiliar 100 TB table: row count, key
     * cardinalities, time span, null rates, and value range in ONE

@@ -689,6 +689,43 @@ object Stats {
     * excluded (reported via the n_sample vs digit-sum gap closing —
     * shares are over the SAMPLE, so they still sum to 1).
     */
+  /** Wald–Wolfowitz runs test per key over daily return signs: are
+    * up/down days randomly interleaved, or do they streak (momentum)
+    * or alternate (mean reversion) more than chance allows? Counts
+    * the sign runs R via one lag on the (key, day) sort, then the
+    * closed-form z against E[R] = 1 + 2n₊n₋/n — everything up to z
+    * is EXACT integer arithmetic (runs, sign counts), z one IEEE
+    * chain at 6dp. Zero returns carry no sign information and drop
+    * (the classical test's convention). One bar reduction + one lag
+    * window + one aggregate on the same per-key sort.
+    */
+  def runsTest(events: DataFrame,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = graft.operators.TimeSeries.dailyCloseReturns(events, key, ts, v)
+      .filter(col("ret") =!= 0.0)
+      .withColumn("sgn", when(col("ret") > 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(key).orderBy("day")
+    val flagged = rets.withColumn("chg",
+      when(lag(col("sgn"), 1).over(w).isNull, 1L)
+        .when(lag(col("sgn"), 1).over(w) =!= col("sgn"), 1L).otherwise(0L))
+    val n1 = col("n_pos").cast("double")
+    val n2 = col("n_neg").cast("double")
+    val n  = n1 + n2
+    val eR = lit(1.0) + lit(2.0) * n1 * n2 / n
+    val vR = (lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n)) / (n * n * (n - 1))
+    flagged.groupBy(col(key))
+      .agg(
+        sum(col("sgn")).as("n_pos"),
+        sum(lit(1L) - col("sgn")).as("n_neg"),
+        sum(col("chg")).as("runs"))
+      .select(col(key), col("n_pos"), col("n_neg"), col("runs"),
+        // variance is positive only when 2·n₊·n₋ > n (fails exactly at
+        // n₊ = n₋ = 1, where the statistic is undefined)
+        round(when(col("n_pos") > 0 && col("n_neg") > 0 &&
+            lit(2.0) * n1 * n2 - n > 0,
+          (col("runs").cast("double") - eR) / sqrt(vR)), 6).as("z_runs"))
+  }
+
   def benfordTest(df: DataFrame, v: String = "value"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(18, 6)
     val digits = df

@@ -206,6 +206,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 1L, 1L, 1.0)))  // user 3 churned (4 days quiet)
   }
 
+  test("gini: 0 for a uniform population, hand-computed for a concentrated one") {
+    import spark.implicits._
+    def ev(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, u) =>
+      (0 until c).map(j => ((u * 1000 + j).toLong, u.toLong + 1, "view")) }
+      .toDF("event_id", "user_id", "event_type").withColumn("ts", ts(0))
+    val uniform = EventAnalytics.gini(ev(Seq(5, 5, 5, 5))).head()
+    assert(uniform.getAs[Double]("gini") === 0.0)
+    // counts [1,1,1,97]: G = 2*394/(4*100) - 5/4 = 0.72
+    val skewed = EventAnalytics.gini(ev(Seq(1, 1, 1, 97))).head()
+    assert(skewed.getAs[Long]("n_users") === 4L)
+    assert(skewed.getAs[Long]("total_events") === 100L)
+    assert(skewed.getAs[Double]("gini") === 0.72)
+  }
+
   test("survival curve: reverse-cumulative lifespans, monotone, starts at 1.0 coverage") {
     import spark.implicits._
     // lifespans: users 1,2 -> 0 days; user 3 -> 3; user 4 -> 5

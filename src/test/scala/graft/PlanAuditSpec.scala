@@ -463,6 +463,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the multi-distinct Expand vanished — profiler now scans per column?:\n$p")
   }
 
+  test("rfm scores through broadcast cuts (no ntile window); basket top-k is the heap merge") {
+    val r = planOf("q_rfm")
+    assert(!r.contains("Window"),
+      s"q_rfm grew a window — quartile scoring must stay a broadcast CASE chain:\n$r")
+    assert(r.contains("BroadcastNestedLoopJoin") || r.contains("BroadcastExchange"),
+      s"q_rfm's one-row cuts frame stopped broadcasting:\n$r")
+    val b = planOf("q_basket_pairs")
+    assert(b.contains("TakeOrderedAndProject"),
+      s"q_basket_pairs' top-k degraded to a global sort:\n$b")
+  }
+
   test("readability is scan-only; triangle count joins stay equi-keyed") {
     val r = planOf("q_readability")
     assert(!r.contains("Exchange hashpartitioning") && !r.contains("Join"),

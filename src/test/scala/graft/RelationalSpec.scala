@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Relational
@@ -296,6 +297,93 @@ class RelationalSpec extends AnyFunSuite {
       (2L, cutoffUs + 1000000L, 3.0, "update"),
       (3L, cutoffUs + 2000000L, 7.0, "insert"),
       (4L, cutoffUs + 5000000L, 2.0, "insert")))
+  }
+
+  test("basket pairs: hand-built co-occurrence with exact support and lift") {
+    import spark.implicits._
+    // orders: o1{1,2,3}, o2{1,2}, o3{1,2}, o4{3} -> pair (1,2) co-occurs 3x
+    val li = Seq((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (4L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Relational.basketPairs(li, minCount = 2, k = 10).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ===
+      ((1L, 2L, 3L, 3L, 3L)))
+    assert(r.getAs[Double]("support") === 0.75)
+    assert(r.getAs[Double]("lift") === BigDecimal(3.0 * 4 / 9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("revenue cohorts: month offsets exact, revenue decimal-summed, cells partition orders") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 10L, d("2024-01-05"), 10.0), (2L, 10L, d("2024-03-20"), 20.0),
+      (3L, 11L, d("2024-02-10"), 5.0))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val got = Relational.revenueCohorts(orders)
+      .withColumn("cohort", date_format($"cohort", "yyyy-MM"))
+      .orderBy($"cohort", $"offset_m").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      ("2024-01", 0L, 1L, 1L, 10.0),
+      ("2024-01", 2L, 1L, 1L, 20.0),
+      ("2024-02", 0L, 1L, 1L, 5.0)))
+  }
+
+  test("rfm: quartile scores bounded, extremes score 4, population preserved") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, sf)
+    val got = Relational.rfm(orders).collect()
+    assert(got.length === orders.select($"o_custkey").distinct().count())
+    got.foreach { r =>
+      for (c <- Seq("r_score", "f_score", "m_score")) {
+        val s = r.getAs[Int](c)
+        assert(s >= 1 && s <= 4, s"$c out of range: $r")
+      }
+    }
+    // the biggest spender must score m=4; a most-recent customer r=4
+    val top = got.maxBy(_.getAs[Double]("monetary"))
+    assert(top.getAs[Int]("m_score") === 4)
+    val recent = got.minBy(_.getAs[Long]("recency_days"))
+    assert(recent.getAs[Int]("r_score") === 4)
+    // quartile cuts split the population: every score bucket is non-empty
+    for (c <- Seq("r_score", "f_score", "m_score")) {
+      val seen = got.map(_.getAs[Int](c)).toSet
+      assert(seen.contains(1) && seen.contains(4), s"$c never reaches an extreme: $seen")
+    }
+  }
+
+  test("ship lag: hand-built lags give exact mean/median/p90 per priority") {
+    import spark.implicits._
+    def d(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq((1L, d("2024-01-01"), "1-URGENT"), (2L, d("2024-01-01"), "1-URGENT"))
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    // lags: 1, 3, 10 days
+    val li = Seq((1L, d("2024-01-02")), (1L, d("2024-01-04")), (2L, d("2024-01-11")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = Relational.shipLagProfile(li, orders).head()
+    assert(r.getAs[Long]("n_lines") === 3L)
+    assert(math.abs(r.getAs[Double]("mean_lag") - 14.0 / 3) < 1e-6)
+    assert(r.getAs[Double]("median_lag") === 3.0)
+    assert(math.abs(r.getAs[Double]("p90_lag") - (3.0 + 0.8 * 7)) < 1e-9)
+    assert(r.getAs[Long]("max_lag") === 10L)
+  }
+
+  test("discount elasticity recovers an exact log-linear demand curve") {
+    import spark.implicits._
+    // quantity = exp(2 - 5*discount): slope -5, r2 = 1 (up to the
+    // declared 6dp quantization of ln q)
+    val discounts = Seq(0.0, 0.02, 0.04, 0.06, 0.08, 0.1)
+    val li = discounts.zipWithIndex.map { case (d, i) =>
+      (i.toLong, 1L, math.exp(2.0 - 5.0 * d), d) }
+      .toDF("l_orderkey", "l_partkey", "l_quantity", "l_discount")
+    val part = Seq((1L, "Brand#1")).toDF("p_partkey", "p_brand")
+    val r = Relational.discountElasticity(li, part).head()
+    assert(r.getAs[Long]("n_lines") === 6L)
+    assert(math.abs(r.getAs[Double]("elasticity") - -5.0) < 1e-3)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-6)
   }
 
   test("profile: one row whose counts cross-check the direct aggregates, one job") {

@@ -287,6 +287,29 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("max_abs_z")))
   }
 
+  test("runs test: alternating signs maximize runs (z>0), streaks minimize (z<0), counts exact") {
+    import spark.implicits._
+    def mk(uid: Long, closes: Seq[Double]) = closes.zipWithIndex
+      .map { case (c, i) => (uid, i.toLong + uid * 1000, i.toLong, c) }
+    // user 1: perfectly alternating up/down days (20 returns, R = 20);
+    // user 2: 10 up then 10 down (R = 2)
+    val alt    = Vector.iterate(100.0, 21)(c => if (c <= 100.0) c * 1.1 else c / 1.1)
+    val streak = Vector.tabulate(21)(i => if (i <= 10) 100.0 * math.pow(1.1, i)
+      else 100.0 * math.pow(1.1, 20 - i))
+    val df = (mk(1L, alt) ++ mk(2L, streak))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = Stats.runsTest(df).orderBy("user_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_pos") === 10L && r1.getAs[Long]("n_neg") === 10L)
+    assert(r1.getAs[Long]("runs") === 20L)
+    assert(r1.getAs[Double]("z_runs") > 3.0, s"alternation must read as excess runs: $r1")
+    val r2 = got(1)
+    assert(r2.getAs[Long]("runs") === 2L)
+    assert(r2.getAs[Double]("z_runs") < -3.0, s"streaks must read as deficit runs: $r2")
+  }
+
   test("benford: digit extraction exact across magnitudes, shares sum to 1, law recovered on 10^U data") {
     import spark.implicits._
     // hand magnitudes: leading digit must survive decimals, tiny and
