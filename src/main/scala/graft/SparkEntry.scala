@@ -950,7 +950,11 @@ object SparkEntry {
       Relational.discountElasticity(Tables.lineitem(s, dir), Tables.part(s, dir))
         .orderBy("p_brand")),
     "q_gini" -> ((s, dir) =>
-      EventAnalytics.gini(Tables.events(s, dir)))
+      EventAnalytics.gini(Tables.events(s, dir))),
+    "q_inter_event" -> ((s, dir) =>
+      EventAnalytics.interEventGaps(Tables.events(s, dir)).orderBy("user_id")),
+    "q_hourly_profile" -> ((s, dir) =>
+      EventAnalytics.hourlyProfile(Tables.events(s, dir)).orderBy("isodow", "hour"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4591,6 +4595,27 @@ object SparkEntry {
         |  round(2.0 * CAST(sum(rank * n_events) AS DOUBLE)
         |      / (CAST(count(*) AS DOUBLE) * CAST(sum(n_events) AS DOUBLE))
         |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+    "q_inter_event" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |  QUALIFY gap_us IS NOT NULL
+        |)
+        |SELECT user_id, count(*) AS n_gaps,
+        |  quantile_cont(gap_us, 0.5) AS median_gap_us,
+        |  quantile_cont(gap_us, 0.9) AS p90_gap_us,
+        |  max(gap_us) AS max_gap_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_hourly_profile" ->
+      """WITH cells AS (
+        |  SELECT CAST(isodow(ts) AS INT) AS isodow, CAST(hour(ts) AS INT) AS hour,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), t AS (SELECT sum(n_events) AS n_total FROM cells)
+        |SELECT isodow, hour, n_events,
+        |  round(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
+        |FROM cells, t ORDER BY isodow, hour""".stripMargin
   )
 }

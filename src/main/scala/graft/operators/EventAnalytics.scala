@@ -332,6 +332,48 @@ object EventAnalytics {
           .as("survival_rate"))
   }
 
+  /** Per-user inter-event gap profile: count, median, p90, and max
+    * gap between consecutive events — the cadence fingerprint that
+    * separates bots (metronome gaps), bursts, and organic use, and
+    * the empirical basis for choosing a sessionization timeout. Gaps
+    * are EXACT epoch-microsecond differences (longs) off one
+    * (user, ts, event_id) sort — the deterministic tiebreak every
+    * lag operator here shares — and the quantiles are the exact
+    * interpolating percentile over bounded per-user groups. One
+    * window + one aggregate on the same user-keyed partitioning.
+    */
+  def interEventGaps(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        percentile(col("gap_us"), lit(0.5)).as("median_gap_us"),
+        percentile(col("gap_us"), lit(0.9)).as("p90_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+  }
+
+  /** Weekly activity heatmap: events per (ISO weekday, hour-of-day)
+    * cell with each cell's share of the corpus — the when-are-users-
+    * here panel. One aggregate onto a ≤ 7×24 BOUNDED grid (partial
+    * map-side counts do almost all the work), total broadcast as a
+    * one-row frame; exact longs, one division per cell. Weekday is
+    * ISO (1 = Monday) so the axis is engine- and locale-portable.
+    */
+  def hourlyProfile(events: DataFrame): DataFrame = {
+    val cells = events.groupBy(
+      (weekday(col("ts")) + 1).as("isodow"), hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val total = cells.agg(sum(col("n_events")).as("n_total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("isodow"), col("hour"), col("n_events"),
+        round(col("n_events").cast("double") / col("n_total").cast("double"), 6).as("share"))
+  }
+
   /** Gini coefficient of activity concentration — the one-number
     * complement of [[powerUsers]]' curve (0 = perfectly even, →1 =
     * one user is the feed). Uses the rank-sum identity

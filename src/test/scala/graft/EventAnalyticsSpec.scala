@@ -206,6 +206,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("2024-01-02", 1L, 1L, 1.0)))  // user 3 churned (4 days quiet)
   }
 
+  test("inter-event gaps: exact micro gaps, interpolated quantiles, tie-broken ordering") {
+    import spark.implicits._
+    // user 1 gaps: 60s, 180s, 600s; same-instant tie orders on event_id
+    val ev = Seq((1L, 1L, 0L), (2L, 1L, 60L), (3L, 1L, 240L), (4L, 1L, 840L))
+      .toDF("event_id", "user_id", "s")
+      .select($"event_id", $"user_id",
+        timestamp_micros(unix_micros(ts(0)) + $"s" * 1000000L).as("ts"))
+    val r = EventAnalytics.interEventGaps(ev).head()
+    assert(r.getAs[Long]("n_gaps") === 3L)
+    assert(r.getAs[Double]("median_gap_us") === 180.0e6)
+    // p90 over [60,180,600]s: idx 1.8 -> 180 + 0.8*420 = 516s
+    assert(r.getAs[Double]("p90_gap_us") === 516.0e6)
+    assert(r.getAs[Long]("max_gap_us") === 600000000L)
+  }
+
+  test("hourly profile: shares sum to 1 over a bounded 7x24 grid, hand-placed events land") {
+    import spark.implicits._
+    // 2024-01-01 is a Monday: isodow 1; hours 9 and 23
+    val ev = Seq((1L, 1L, "2024-01-01T09:15:00Z"), (2L, 1L, "2024-01-01T09:45:00Z"),
+      (3L, 2L, "2024-01-02T23:00:00Z"))
+      .toDF("event_id", "user_id", "iso")
+      .select($"event_id", $"user_id", to_timestamp($"iso").as("ts"))
+    val got = EventAnalytics.hourlyProfile(ev).orderBy($"isodow", $"hour").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1, 9, 2L, 0.666667), (2, 23, 1L, 0.333333)))
+    val fx = EventAnalytics.hourlyProfile(Tables.events(spark, TestSession.sf)).collect()
+    assert(fx.length <= 168)
+    assert(math.abs(fx.map(_.getAs[Double]("share")).sum - 1.0) < 1e-3)
+  }
+
   test("gini: 0 for a uniform population, hand-computed for a concentrated one") {
     import spark.implicits._
     def ev(counts: Seq[Int]) = counts.zipWithIndex.flatMap { case (c, u) =>
