@@ -144,9 +144,30 @@ object Bench {
     // line above and in bench_out.json.
     val resMap = results.toMap
     val failed = results.count(_._2 < 0)
-    val compactQs = ScaleQueries.filter(resMap.contains)
-      .map(n => "\"" + n + "\":" + fmtD(resMap(n))).mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$compactQs,"skew":$skewMins,"ivf_codegen_vs_interpreted":$ivfCompact,"streaming_rows_per_sec":$streamingCompact,"scale_x10_ratio":$scaleRatios,"sf":"$sfDir"}"""
+    // SELF-LIMITING compact line: the harness json-parses only the
+    // ~2KB stdout tail, so the line drops trailing headliners from
+    // both per-query maps until it fits under a 1900-byte margin —
+    // adding a headliner can shave the oldest ones off the compact
+    // view (the full record is on disk regardless) but can never
+    // push the artifact back into the r1–r9 `parsed: null` regime.
+    def filterJsonMap(json: String, keep: Set[String]): String = {
+      val inner = json.stripPrefix("{").stripSuffix("}")
+      if (inner.isEmpty) json
+      else inner.split(",").filter(e =>
+        keep.exists(k => e.startsWith("\"" + k + "\""))).mkString("{", ",", "}")
+    }
+    def mkCompact(heads: Seq[String]): String = {
+      val qsJson = heads.filter(resMap.contains)
+        .map(n => "\"" + n + "\":" + fmtD(resMap(n))).mkString("{", ",", "}")
+      val ratios = filterJsonMap(scaleRatios, heads.toSet)
+      s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":$qsJson,"skew":$skewMins,"ivf_codegen_vs_interpreted":$ivfCompact,"streaming_rows_per_sec":$streamingCompact,"scale_x10_ratio":$ratios,"sf":"$sfDir"}"""
+    }
+    var heads   = ScaleQueries
+    var compact = mkCompact(heads)
+    while (compact.length > 1900 && heads.nonEmpty) {
+      heads = heads.dropRight(1)
+      compact = mkCompact(heads)
+    }
     println(compact)
     spark.stop()
   }
