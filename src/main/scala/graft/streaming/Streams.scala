@@ -643,6 +643,50 @@ object Streams {
     spark.table(name)
   }
 
+  case class MgOut(shard: Int, item: String, est: Long, shard_n: Long)
+  case class MgSt(counters: Map[String, Long], n: Long)
+
+  /** Streaming heavy hitters with FIXED state: a sharded Misra–Gries
+    * summary over an unbounded item stream — the top-k twin of
+    * [[cmsStream]]'s frequency sketch (CMS answers "how often is X",
+    * this answers "WHICH items are frequent" without tracking every
+    * distinct item). Items hash-shard by value, so EACH item's full
+    * count lands in exactly one shard's summary; per shard the state
+    * is ≤ k counters (decrement-all when full — the classical MG
+    * step), giving the standard deficit bound
+    * true(x) − est(x) ≤ n_shard/(k+1): any item with shard frequency
+    * above that threshold CANNOT be evicted, so the union of shard
+    * candidates contains every global heavy hitter. State is
+    * nShards·k rows however long the stream runs — never the
+    * distinct-item universe. Emits each shard's summary per batch
+    * (update semantics); the merge is one tiny batch aggregate over
+    * ≤ nShards·k rows.
+    */
+  def heavyHittersStream(events: Dataset[TEv], k: Int = 8,
+                         nShards: Int = 16): Dataset[MgOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => math.floorMod(e.event_type.hashCode, nShards))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (shard: Int, evs: Iterator[TEv], state: GroupState[MgSt]) =>
+          var st = state.getOption.getOrElse(MgSt(Map.empty, 0L))
+          evs.foreach { e =>
+            val item = e.event_type
+            val c    = st.counters
+            val next =
+              if (c.contains(item)) c.updated(item, c(item) + 1)
+              else if (c.size < k) c.updated(item, 1L)
+              else {
+                // decrement-all; drop zeroed counters (the MG step)
+                c.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+              }
+            st = MgSt(next, st.n + 1)
+          }
+          state.update(st)
+          st.counters.iterator.map { case (item, est) => MgOut(shard, item, est, st.n) }
+      }
+  }
+
   case class AnomSt(lastUs: Long, n: Long, mean: Double, m2: Double)
   case class AnomOut(user_id: Long, ts_us: Long, value: Double, z: Double)
 

@@ -824,6 +824,41 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavy-hitter stream: MG deficit bound holds, dominant item survives eviction, fixed state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    def ev(i: Int, t: String) = Streams.TEv(1L, at(i % 60), i.toLong, t)
+    // single shard, k=2: 'a' dominates (freq > n/(k+1)) and must
+    // survive the decrement-all evictions the tail items force
+    val items = Seq.fill(5)("a") ++ Seq("b", "c", "b", "d", "a", "e")
+    val mem = MemoryStream[Streams.TEv]
+    val out = Streams.heavyHittersStream(mem.toDS(), k = 2, nShards = 1)
+    val q = out.writeStream.format("memory").queryName("mg_stream_test").outputMode("update").start()
+    try {
+      val (b1, b2) = items.zipWithIndex.splitAt(7)
+      mem.addData(b1.map { case (t, i) => ev(i, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (t, i) => ev(i, t) }: _*)
+      q.processAllAvailable()
+      // latest batch's summary per item
+      val last = spark.table("mg_stream_test").as[Streams.MgOut].collect()
+        .groupBy(_.item).map { case (it, rows) => rows.maxBy(_.est) }
+      val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val reported = last.map(o => o.item -> o.est).toMap
+      assert(reported.contains("a"), s"dominant item evicted: $reported")
+      reported.foreach { case (it, est) =>
+        assert(est <= trueCounts(it), s"$it overestimated: $est > ${trueCounts(it)}")
+        assert(trueCounts(it) - est <= n / (2 + 1) + 1, s"$it deficit too large: $reported")
+      }
+      // state: ONE record per touched shard, never per distinct item
+      val stateRows = Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+      assert(stateRows === 1L)
+    } finally q.stop()
+  }
+
   test("anomaly stream: prequential z-flags match a local fold; spike flagged across batches") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
