@@ -954,7 +954,9 @@ object SparkEntry {
     "q_inter_event" -> ((s, dir) =>
       EventAnalytics.interEventGaps(Tables.events(s, dir)).orderBy("user_id")),
     "q_hourly_profile" -> ((s, dir) =>
-      EventAnalytics.hourlyProfile(Tables.events(s, dir)).orderBy("isodow", "hour"))
+      EventAnalytics.hourlyProfile(Tables.events(s, dir)).orderBy("isodow", "hour")),
+    "q_top_pc" -> ((s, dir) =>
+      Similarity.topPrincipalComponent(Tables.embeddings(s, dir)).orderBy("dim"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4616,6 +4618,54 @@ object SparkEntry {
         |), t AS (SELECT sum(n_events) AS n_total FROM cells)
         |SELECT isodow, hour, n_events,
         |  round(CAST(n_events AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share
-        |FROM cells, t ORDER BY isodow, hour""".stripMargin
+        |FROM cells, t ORDER BY isodow, hour""".stripMargin,
+    "q_top_pc" ->
+      """WITH x AS (SELECT list_transform(embedding, t -> t::DOUBLE) AS v FROM embeddings),
+        |dd AS (SELECT len(v) AS d FROM x LIMIT 1),
+        |v0 AS (SELECT list_transform(generate_series(1, d), i -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS vv FROM dd),
+        |w1 AS (
+        |  SELECT pos, sum(CAST(dt * xi AS DECIMAL(18,6))) AS w FROM (
+        |    SELECT list_dot_product(x.v, v0.vv) AS dt,
+        |      unnest(generate_series(1, len(x.v))) AS pos, unnest(x.v) AS xi
+        |    FROM x, v0) GROUP BY pos
+        |),
+        |v1 AS (
+        |  SELECT list_transform(l, t -> t / sqrt(list_dot_product(l, l))) AS vv FROM (
+        |    SELECT list(CAST(w AS DOUBLE) ORDER BY pos) AS l FROM w1)
+        |),
+        |w2 AS (
+        |  SELECT pos, sum(CAST(dt * xi AS DECIMAL(18,6))) AS w FROM (
+        |    SELECT list_dot_product(x.v, v1.vv) AS dt,
+        |      unnest(generate_series(1, len(x.v))) AS pos, unnest(x.v) AS xi
+        |    FROM x, v1) GROUP BY pos
+        |),
+        |v2 AS (
+        |  SELECT list_transform(l, t -> t / sqrt(list_dot_product(l, l))) AS vv FROM (
+        |    SELECT list(CAST(w AS DOUBLE) ORDER BY pos) AS l FROM w2)
+        |),
+        |w3 AS (
+        |  SELECT pos, sum(CAST(dt * xi AS DECIMAL(18,6))) AS w FROM (
+        |    SELECT list_dot_product(x.v, v2.vv) AS dt,
+        |      unnest(generate_series(1, len(x.v))) AS pos, unnest(x.v) AS xi
+        |    FROM x, v2) GROUP BY pos
+        |),
+        |v3 AS (
+        |  SELECT list_transform(l, t -> t / sqrt(list_dot_product(l, l))) AS vv FROM (
+        |    SELECT list(CAST(w AS DOUBLE) ORDER BY pos) AS l FROM w3)
+        |),
+        |sc AS (
+        |  SELECT
+        |    sum(CAST(list_dot_product(x.v, v3.vv) * list_dot_product(x.v, v3.vv) AS DECIMAL(18,6))) AS sp,
+        |    sum(CAST(list_dot_product(x.v, x.v) AS DECIMAL(18,6))) AS sn
+        |  FROM x, v3
+        |),
+        |o AS (
+        |  SELECT CAST(unnest(generate_series(1, len(vv))) AS INT) AS dim,
+        |    unnest(vv) AS loading
+        |  FROM v3
+        |)
+        |SELECT dim, round(loading, 6) AS loading,
+        |  round(CAST(sp AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS explained_share
+        |FROM o, sc ORDER BY dim""".stripMargin
   )
 }

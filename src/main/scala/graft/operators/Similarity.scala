@@ -520,6 +520,59 @@ object Similarity {
             (col("degree") * (col("degree") - 1)).cast("double")), 6).as("clustering_coef"))
   }
 
+  /** Top principal direction of the embedding cloud (uncentered —
+    * the top right-singular vector of the data matrix) by MATRIX-FREE
+    * power iteration: w ← Σₓ (x·v)·x, v ← w/‖w‖, a fixed number of
+    * rounds from the deterministic all-ones start — the PCA
+    * primitive behind whitening, compression, and
+    * anisotropy diagnosis (one dominant direction ⇒ cosine is mostly
+    * measuring that direction, not meaning). Each round is ONE
+    * aggregate over the corpus: the d-vector w collects per-dimension
+    * with the products (x·v)·xᵢ quantized to DECIMAL(18,6) so the
+    * corpus-sized sums are exact and order-independent (the welch
+    * recipe — a raw double Σ over millions of rows drifts with
+    * partition order); only the d-row result reaches the driver (the
+    * ivfTrain tiny-result pattern), where the normalization is a
+    * fixed-order fold. Explained share = Σ(x·v)²/Σ‖x‖², same
+    * exact-decimal reduction. Iteration count is a declared
+    * parameter, not a convergence loop — the oracle unrolls the same
+    * rounds.
+    */
+  def topPrincipalComponent(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val dec   = org.apache.spark.sql.types.DecimalType(18, 6)
+    val spark = embeddings.sparkSession
+    val x = embeddings.select(toDouble(col("embedding")).as("v")).localCheckpoint()
+    val d = x.select(size(col("v"))).head().getInt(0)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val vLit = array(v.toSeq.map(lit): _*)
+      val w = x
+        .select(dot(col("v"), vLit).as("dt"), posexplode(col("v")).as(Seq("pos", "xi")))
+        .groupBy(col("pos"))
+        .agg(sum((col("dt") * col("xi")).cast(dec)).as("w"))
+        .orderBy(col("pos"))
+        .collect()
+        .map(_.getDecimal(1).doubleValue())
+      val norm = math.sqrt(w.map(t => t * t).sum)
+      v = w.map(_ / norm)
+    }
+    val vLit = array(v.toSeq.map(lit): _*)
+    val expl = x.agg(
+        sum((dot(col("v"), vLit) * dot(col("v"), vLit)).cast(dec)).as("sp"),
+        sum(dot(col("v"), col("v")).cast(dec)).as("sn"))
+      .select((col("sp").cast("double") / col("sn").cast("double")).as("ex"))
+      .head().getDouble(0)
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("dim", org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("loading", org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("explained_share", org.apache.spark.sql.types.DoubleType, nullable = false)))
+    def r6(t: Double) = BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = v.zipWithIndex.map { case (l, i) =>
+      org.apache.spark.sql.Row(i + 1, r6(l), r6(expl)) }
+    spark.createDataFrame(rows.toSeq.asJava, schema)
+  }
+
   /** Per-label embedding-norm profile: count, zero-vector count, and
     * norm distribution stats — the know-your-vectors audit run before
     * ANY cosine-based pass (zero vectors poison cosine, a wide norm

@@ -566,6 +566,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("top principal component: planted direction recovered, unit norm, rank-1 cloud explained 1.0") {
+    import spark.implicits._
+    // rank-1 cloud: every vector is a multiple of e1 -> one iteration
+    // already lands exactly on e1 with explained share 1.0
+    val rank1 = Seq.tabulate(8)(i => (i.toLong, Array(2.0f + i, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.topPrincipalComponent(rank1).orderBy("dim").collect()
+    assert(r1.map(_.getAs[Double]("loading")).toSeq === Seq(1.0, 0.0, 0.0, 0.0))
+    assert(r1.head.getAs[Double]("explained_share") === 1.0)
+    // planted dominant axis + orthogonal noise: PC aligns with it
+    val planted = Seq.tabulate(40)(i =>
+      (i.toLong, Array(if (i % 2 == 0) 10.0f else -10.0f,
+        (i % 3 - 1).toFloat * 0.5f, (i % 5 - 2).toFloat * 0.3f, 0.1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rp = Similarity.topPrincipalComponent(planted).orderBy("dim").collect()
+    val loadings = rp.map(_.getAs[Double]("loading"))
+    assert(math.abs(math.abs(loadings(0)) - 1.0) < 0.01, s"axis not recovered: ${loadings.toSeq}")
+    assert(math.abs(loadings.map(l => l * l).sum - 1.0) < 1e-6, "PC must be unit norm")
+    assert(rp.head.getAs[Double]("explained_share") > 0.95)
+  }
+
   test("embed norms: labels partition the corpus, stats bounded and cross-checked on one label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
