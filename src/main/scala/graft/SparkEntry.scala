@@ -956,7 +956,13 @@ object SparkEntry {
     "q_hourly_profile" -> ((s, dir) =>
       EventAnalytics.hourlyProfile(Tables.events(s, dir)).orderBy("isodow", "hour")),
     "q_top_pc" -> ((s, dir) =>
-      Similarity.topPrincipalComponent(Tables.embeddings(s, dir)).orderBy("dim"))
+      Similarity.topPrincipalComponent(Tables.embeddings(s, dir)).orderBy("dim")),
+    "q_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir)).orderBy("label", "rnk")),
+    "q_embed_drift" -> ((s, dir) =>
+      Similarity.embedDrift(Tables.embeddings(s, dir)).orderBy("label")),
+    "q_dup_rate_by_source" -> ((s, dir) =>
+      Dedup.dupRateBySource(Tables.documents(s, dir)).orderBy("source"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4666,6 +4672,71 @@ object SparkEntry {
         |)
         |SELECT dim, round(loading, 6) AS loading,
         |  round(CAST(sp AS DOUBLE) / CAST(sn AS DOUBLE), 6) AS explained_share
-        |FROM o, sc ORDER BY dim""".stripMargin
+        |FROM o, sc ORDER BY dim""".stripMargin,
+    "q_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS pos,
+        |    unnest(list_transform(embedding, t -> t::DOUBLE)) AS xi
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, pos,
+        |    CAST(sum(CAST(xi AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ci
+        |  FROM e GROUP BY 1, 2
+        |), d AS (
+        |  SELECT e.label, e.vec_id,
+        |    sqrt(CAST(sum(CAST((xi - ci) * (xi - ci) AS DECIMAL(18,6))) AS DOUBLE)) AS dist
+        |  FROM e JOIN c ON e.label = c.label AND e.pos = c.pos
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT label, vec_id, round(dist, 6) AS dist,
+        |    row_number() OVER (PARTITION BY label ORDER BY dist DESC, vec_id ASC) AS rnk
+        |  FROM d
+        |)
+        |SELECT label, vec_id, dist, rnk FROM r WHERE rnk <= 5
+        |ORDER BY label, rnk""".stripMargin,
+    "q_embed_drift" ->
+      """WITH cut AS (SELECT quantile_cont(vec_id, 0.5) AS cut FROM embeddings),
+        |e AS (
+        |  SELECT label, (vec_id <= cut) AS first_half,
+        |    CAST(unnest(generate_series(1, len(embedding))) AS INT) - 1 AS pos,
+        |    unnest(list_transform(embedding, t -> t::DOUBLE)) AS xi
+        |  FROM embeddings, cut
+        |), c AS (
+        |  SELECT label, first_half, pos,
+        |    CAST(sum(CAST(xi AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS ci
+        |  FROM e GROUP BY 1, 2, 3
+        |), j AS (
+        |  SELECT a.label, a.ci AS ca, b.ci AS cb
+        |  FROM c a JOIN c b ON a.label = b.label AND a.pos = b.pos
+        |  WHERE a.first_half AND NOT b.first_half
+        |), g AS (
+        |  SELECT label,
+        |    sum(CAST((ca - cb) * (ca - cb) AS DECIMAL(18,6))) AS d2,
+        |    sum(CAST(ca * cb AS DECIMAL(18,6))) AS dot,
+        |    sum(CAST(ca * ca AS DECIMAL(18,6))) AS na,
+        |    sum(CAST(cb * cb AS DECIMAL(18,6))) AS nb
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT label, round(sqrt(CAST(d2 AS DOUBLE)), 6) AS l2_shift,
+        |  round(CASE WHEN na > 0 AND nb > 0
+        |    THEN CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END, 6)
+        |    AS centroid_cos
+        |FROM g ORDER BY label""".stripMargin,
+    "q_dup_rate_by_source" ->
+      """WITH fps AS (
+        |  SELECT doc_id, source, md5(lower(text)) AS fp FROM documents
+        |), spread AS (
+        |  SELECT fp, count(*) AS n_sources FROM (SELECT DISTINCT fp, source FROM fps)
+        |  GROUP BY 1
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT f.fp) AS n_unique,
+        |  count(*) - count(DISTINCT f.fp) AS n_dup_within,
+        |  sum(CASE WHEN s.n_sources >= 2 THEN 1 ELSE 0 END) AS n_shared_cross,
+        |  round(CAST(count(*) - count(DISTINCT f.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+        |    AS dup_rate
+        |FROM fps f JOIN spread s ON f.fp = s.fp
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -856,6 +856,32 @@ object Dedup {
     * are one IEEE division each, unrounded (exact ints in, so both
     * engines divide identical operands).
     */
+  /** Duplication health per source: how much of each source is
+    * within-source duplicate mass, and how much of it also appears
+    * in OTHER sources — the per-feed dedup scorecard that decides
+    * which crawl gets down-weighted before the mix. One fingerprint
+    * scan feeds both counts: within-source dup mass is docs minus
+    * distinct fps (exact longs per source), cross-source sharing
+    * joins the per-fp source-spread dim (reduced: one row per fp)
+    * back co-partitioned. No pair space anywhere.
+    */
+  def dupRateBySource(documents: DataFrame): DataFrame = {
+    val fps = documents.select(col("doc_id"), col("source"), md5(lower(col("text"))).as("fp"))
+    val spread = fps.select(col("fp"), col("source")).distinct()
+      .groupBy(col("fp")).agg(count(lit(1)).as("n_sources"))
+    fps.join(spread, "fp")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dup_within"),
+        sum((col("n_sources") >= 2).cast("long")).as("n_shared_cross"))
+      .select(col("source"), col("n_docs"), col("n_unique"), col("n_dup_within"),
+        col("n_shared_cross"),
+        round(col("n_dup_within").cast("double") / col("n_docs").cast("double"), 6)
+          .as("dup_rate"))
+  }
+
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
     val sh = shingles(documents, n)
       .join(documents.select(col("doc_id"), col("source")), "doc_id")

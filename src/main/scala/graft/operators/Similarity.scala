@@ -573,6 +573,72 @@ object Similarity {
     spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 
+  /** Mislabeled-data detector: per label, the top-k vectors FARTHEST
+    * from their own label's centroid — the vectors most likely to be
+    * labeled wrong, the single highest-yield manual-review queue a
+    * labeled corpus has. Centroids reduce per (label, dim) with
+    * coordinates quantized to DECIMAL(18,6) (exact order-independent
+    * sums — the welch recipe), image to double once, and come back
+    * as a labels×d BROADCAST dim; per-vector distances then sum
+    * exact-decimal squared terms (order-independent again), so every
+    * distance is bit-identical at any partition count and the per-
+    * label rank (dist desc, vec_id) is total. Volume: one n·d
+    * explode + broadcast join + per-vec reduce; top-k is a per-label
+    * window over the already-reduced distance frame.
+    */
+  def centroidOutliers(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val e = embeddings
+      .select(col("vec_id"), col("label"), posexplode(toDouble(col("embedding"))).as(Seq("pos", "xi")))
+    val c = e.groupBy(col("label"), col("pos"))
+      .agg((sum(col("xi").cast(dec)).cast("double") / count(lit(1)).cast("double")).as("ci"))
+    val dist = e.join(broadcast(c), Seq("label", "pos"))
+      .withColumn("t", ((col("xi") - col("ci")) * (col("xi") - col("ci"))).cast(dec))
+      .groupBy(col("label"), col("vec_id"))
+      .agg(sqrt(sum(col("t")).cast("double")).as("dist"))
+    val w = Window.partitionBy("label").orderBy(col("dist").desc, col("vec_id").asc)
+    dist
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("label"), col("vec_id"), round(col("dist"), 6).as("dist"), col("rnk"))
+  }
+
+  /** Embedding drift per label between two corpus slices (vec_id
+    * halves here; production: encoder version N vs N+1 or crawl day
+    * N vs N+1): the L2 shift and cosine between the slice centroids —
+    * the did-my-encoder-or-data-move tripwire run before mixing
+    * embeddings from two pipelines. Same exact-decimal centroid
+    * reduction as [[centroidOutliers]]; the per-label shift/cosine
+    * chains fold d-bounded EXACT-DECIMAL term sums (quantized
+    * products), so outputs are deterministic IEEE images with no
+    * rounding ambiguity. Slices split at the median vec_id (one
+    * broadcast scalar), mirroring q_vocab_shift's text-side split.
+    */
+  def embedDrift(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val half = embeddings.agg(percentile(col("vec_id"), lit(0.5)).as("cut"))
+    val e = embeddings.crossJoin(broadcast(half))
+      .select(col("label"), (col("vec_id") <= col("cut")).as("first_half"),
+        posexplode(toDouble(col("embedding"))).as(Seq("pos", "xi")))
+    val c = e.groupBy(col("label"), col("first_half"), col("pos"))
+      .agg((sum(col("xi").cast(dec)).cast("double") / count(lit(1)).cast("double")).as("ci"))
+    val a = c.filter(col("first_half")).select(col("label"), col("pos"), col("ci").as("ca"))
+    val b = c.filter(!col("first_half")).select(col("label"), col("pos"), col("ci").as("cb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        sum(((col("ca") - col("cb")) * (col("ca") - col("cb"))).cast(dec)).as("d2"),
+        sum((col("ca") * col("cb")).cast(dec)).as("dot"),
+        sum((col("ca") * col("ca")).cast(dec)).as("na"),
+        sum((col("cb") * col("cb")).cast(dec)).as("nb"))
+      .select(col("label"),
+        round(sqrt(col("d2").cast("double")), 6).as("l2_shift"),
+        round(when(col("na") > 0 && col("nb") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double")))), 6)
+          .as("centroid_cos"))
+  }
+
   /** Per-label embedding-norm profile: count, zero-vector count, and
     * norm distribution stats — the know-your-vectors audit run before
     * ANY cosine-based pass (zero vectors poison cosine, a wide norm

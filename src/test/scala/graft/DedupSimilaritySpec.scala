@@ -587,6 +587,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rp.head.getAs[Double]("explained_share") > 0.95)
   }
 
+  test("centroid outliers: planted far vector ranks first in its label") {
+    import spark.implicits._
+    // label 0: ten vectors near (1,0) plus one at (9,0) -> the plant
+    // is the rank-1 outlier; label 1: a tight pair, both reported
+    val vecs = (0 until 10).map(i => (i.toLong, Array(1.0f + 0.01f * i, 0.0f), 0)) ++
+      Seq((99L, Array(9.0f, 0.0f), 0), (200L, Array(0.0f, 1.0f), 1), (201L, Array(0.0f, 1.1f), 1))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidOutliers(emb, k = 3).collect()
+    val l0 = got.filter(_.getAs[Int]("label") === 0).sortBy(_.getAs[Long]("rnk"))
+    assert(l0.head.getAs[Long]("vec_id") === 99L, s"plant not ranked first: ${l0.toSeq}")
+    assert(l0.length === 3)
+    val l1 = got.filter(_.getAs[Int]("label") === 1)
+    assert(l1.length === 2, "a 2-vector label reports both")
+    assert(got.forall(r => r.getAs[Long]("rnk") <= 3 && r.getAs[Double]("dist") >= 0))
+  }
+
+  test("embed drift: hand-built centroid shift and rotation recovered exactly") {
+    import spark.implicits._
+    // label 0: (1,0) -> (3,0): shift 2, cos 1; label 1: (1,0) -> (0,1): shift sqrt2, cos 0
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.0f, 0.0f), 0),
+      (10L, Array(3.0f, 0.0f), 0), (11L, Array(3.0f, 0.0f), 0),
+      (3L, Array(1.0f, 0.0f), 1), (12L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.embedDrift(emb).orderBy("label").collect()
+    assert(got(0).getAs[Double]("l2_shift") === 2.0)
+    assert(got(0).getAs[Double]("centroid_cos") === 1.0)
+    assert(math.abs(got(1).getAs[Double]("l2_shift") - math.sqrt(2.0)) < 1e-6)
+    assert(got(1).getAs[Double]("centroid_cos") === 0.0)
+  }
+
+  test("dup rate by source: within-source and cross-source masses counted exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "t1", "A"), (2L, "t1", "A"), (3L, "t2", "A"),
+      (4L, "t2", "B"), (5L, "t3", "B"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.dupRateBySource(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("A", 3L, 2L, 1L, 1L, 0.333333),   // t1 dup within; t2 shared with B
+      ("B", 2L, 2L, 0L, 1L, 0.0)))
+  }
+
   test("embed norms: labels partition the corpus, stats bounded and cross-checked on one label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
