@@ -962,7 +962,11 @@ object SparkEntry {
     "q_embed_drift" -> ((s, dir) =>
       Similarity.embedDrift(Tables.embeddings(s, dir)).orderBy("label")),
     "q_dup_rate_by_source" -> ((s, dir) =>
-      Dedup.dupRateBySource(Tables.documents(s, dir)).orderBy("source"))
+      Dedup.dupRateBySource(Tables.documents(s, dir)).orderBy("source")),
+    "q_pc_project" -> ((s, dir) =>
+      Similarity.pcProject(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_class_balance" -> ((s, dir) =>
+      Similarity.classBalance(Tables.embeddings(s, dir)).orderBy("label"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4737,6 +4741,61 @@ object SparkEntry {
         |  round(CAST(count(*) - count(DISTINCT f.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS dup_rate
         |FROM fps f JOIN spread s ON f.fp = s.fp
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_pc_project" ->
+      """WITH x AS (SELECT vec_id, list_transform(embedding, t -> t::DOUBLE) AS v FROM embeddings),
+        |dd AS (SELECT len(v) AS d FROM x LIMIT 1),
+        |v0 AS (SELECT list_transform(generate_series(1, d), i -> 1.0 / sqrt(CAST(d AS DOUBLE))) AS vv FROM dd),
+        |w1 AS (
+        |  SELECT pos, sum(CAST(dt * xi AS DECIMAL(18,6))) AS w FROM (
+        |    SELECT list_dot_product(x.v, v0.vv) AS dt,
+        |      unnest(generate_series(1, len(x.v))) AS pos, unnest(x.v) AS xi
+        |    FROM x, v0) GROUP BY pos
+        |),
+        |v1 AS (
+        |  SELECT list_transform(l, t -> t / sqrt(list_dot_product(l, l))) AS vv FROM (
+        |    SELECT list(CAST(w AS DOUBLE) ORDER BY pos) AS l FROM w1)
+        |),
+        |w2 AS (
+        |  SELECT pos, sum(CAST(dt * xi AS DECIMAL(18,6))) AS w FROM (
+        |    SELECT list_dot_product(x.v, v1.vv) AS dt,
+        |      unnest(generate_series(1, len(x.v))) AS pos, unnest(x.v) AS xi
+        |    FROM x, v1) GROUP BY pos
+        |),
+        |v2 AS (
+        |  SELECT list_transform(l, t -> t / sqrt(list_dot_product(l, l))) AS vv FROM (
+        |    SELECT list(CAST(w AS DOUBLE) ORDER BY pos) AS l FROM w2)
+        |),
+        |w3 AS (
+        |  SELECT pos, sum(CAST(dt * xi AS DECIMAL(18,6))) AS w FROM (
+        |    SELECT list_dot_product(x.v, v2.vv) AS dt,
+        |      unnest(generate_series(1, len(x.v))) AS pos, unnest(x.v) AS xi
+        |    FROM x, v2) GROUP BY pos
+        |),
+        |v3 AS (
+        |  SELECT list_transform(l, t -> t / sqrt(list_dot_product(l, l))) AS vv FROM (
+        |    SELECT list(CAST(w AS DOUBLE) ORDER BY pos) AS l FROM w3)
+        |),
+        |vr AS (SELECT list_transform(vv, t -> round(t, 6)) AS vv FROM v3)
+        |SELECT x.vec_id,
+        |  round(list_dot_product(x.v, vr.vv), 6) AS projection,
+        |  round(CASE WHEN list_dot_product(x.v, x.v) > 0
+        |    THEN list_dot_product(x.v, vr.vv) * list_dot_product(x.v, vr.vv)
+        |      / list_dot_product(x.v, x.v) END, 6) AS energy_share
+        |FROM x, vr ORDER BY x.vec_id""".stripMargin,
+    "q_class_balance" ->
+      """WITH c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+        |t AS (SELECT sum(n_vecs) AS t FROM c),
+        |g AS (
+        |  SELECT min(t.t) AS n_total,
+        |    round(CAST(max(n_vecs) AS DOUBLE) / CAST(min(n_vecs) AS DOUBLE), 6) AS imbalance_ratio,
+        |    round(exp(-sum((CAST(n_vecs AS DOUBLE) / CAST(t.t AS DOUBLE))
+        |      * ln(CAST(n_vecs AS DOUBLE) / CAST(t.t AS DOUBLE)))), 6) AS effective_classes
+        |  FROM c, t
+        |)
+        |SELECT label, n_vecs,
+        |  round(CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
+        |  imbalance_ratio, effective_classes
+        |FROM c, g ORDER BY label""".stripMargin
   )
 }

@@ -573,6 +573,57 @@ object Similarity {
     spark.createDataFrame(rows.toSeq.asJava, schema)
   }
 
+  /** Apply the trained top principal component back to the corpus:
+    * per vector, its projection on the PC and the share of its
+    * energy the PC explains — the whitening/compression transform
+    * actually APPLIED, and per-vector anisotropy flags (a vector
+    * fully explained by the dominant direction carries no residual
+    * signal for cosine). The component trains via
+    * [[topPrincipalComponent]]'s exact-decimal iteration and rides
+    * the scan as a broadcast literal (the ivfSearch trained-path
+    * pattern); per-vector math is two in-order HOF folds + one IEEE
+    * chain — bit-identical, scan-shaped, no shuffle beyond training.
+    */
+  def pcProject(embeddings: DataFrame, iters: Int = 3): DataFrame = {
+    val pc = topPrincipalComponent(embeddings, iters)
+      .orderBy(col("dim")).collect().map(_.getAs[Double]("loading"))
+    val vLit = array(pc.toSeq.map(lit): _*)
+    embeddings
+      .select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("proj", dot(col("v"), vLit))
+      .withColumn("n2", dot(col("v"), col("v")))
+      .select(col("vec_id"),
+        round(col("proj"), 6).as("projection"),
+        round(when(col("n2") > 0.0, col("proj") * col("proj") / col("n2")), 6)
+          .as("energy_share"))
+  }
+
+  /** Label-balance audit: per-label counts and shares plus the two
+    * scalars every sampling decision needs — the imbalance ratio
+    * (largest/smallest class) and the EFFECTIVE class count
+    * exp(H(shares)) (10 classes at 9:1:...:1 behave like ~2, and the
+    * stratified-sampling targets should know that). The corpus
+    * reduces to one row per label; the entropy/extremes fold over
+    * that bounded frame (broadcast back as a one-row dim); exact
+    * longs, bounded-group 6dp floats.
+    */
+  def classBalance(embeddings: DataFrame): DataFrame = {
+    val counts = embeddings.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+    val p = col("n_vecs").cast("double") / col("t").cast("double")
+    val globals = counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_vecs")).as("t"))))
+      .agg(
+        min(col("t")).as("n_total"),
+        round(max(col("n_vecs")).cast("double") / min(col("n_vecs")).cast("double"), 6)
+          .as("imbalance_ratio"),
+        round(exp(-sum(p * log(p))), 6).as("effective_classes"))
+    counts
+      .crossJoin(broadcast(globals))
+      .select(col("label"), col("n_vecs"),
+        round(col("n_vecs").cast("double") / col("n_total").cast("double"), 6).as("share"),
+        col("imbalance_ratio"), col("effective_classes"))
+  }
+
   /** Mislabeled-data detector: per label, the top-k vectors FARTHEST
     * from their own label's centroid — the vectors most likely to be
     * labeled wrong, the single highest-yield manual-review queue a

@@ -632,6 +632,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       ("B", 2L, 2L, 0L, 1L, 0.0)))
   }
 
+  test("pc project: rank-1 cloud projects to its own norm with energy share 1") {
+    import spark.implicits._
+    val rank1 = Seq.tabulate(6)(i => (i.toLong, Array(3.0f + i, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.pcProject(rank1).orderBy("vec_id").collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("projection") === 3.0 + i, s"vec $i projection")
+      assert(r.getAs[Double]("energy_share") === 1.0, s"vec $i share")
+    }
+  }
+
+  test("class balance: shares, imbalance ratio, and effective classes hand-checked") {
+    import spark.implicits._
+    // labels: 0 x6, 1 x2 -> shares .75/.25, imbalance 3,
+    // effective = exp(-(3/4 ln 3/4 + 1/4 ln 1/4))
+    val emb = (Seq.fill(6)(0) ++ Seq.fill(2)(1)).zipWithIndex
+      .map { case (l, i) => (i.toLong, Array(1.0f), l) }
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.classBalance(emb).orderBy("label").collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((0, 6L, 0.75), (1, 2L, 0.25)))
+    assert(got.head.getAs[Double]("imbalance_ratio") === 3.0)
+    val h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert(math.abs(got.head.getAs[Double]("effective_classes") - math.exp(h)) < 1e-6)
+  }
+
   test("embed norms: labels partition the corpus, stats bounded and cross-checked on one label") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf)
