@@ -57,7 +57,12 @@ object Explain {
         "q_benford", "q_profile_table", "q_power_users", "q_churn",
         "q_variance_ratio", "q_readability", "q_triangle_count",
         "q_embed_norms", "q_source_overlap", "q_seasonal_decompose",
-        "q_survival_curve", "q_vocab_shift")
+        "q_survival_curve", "q_vocab_shift",
+        "q_basket_pairs", "q_revenue_cohorts", "q_rfm", "q_ship_lag",
+        "q_runs_test", "q_discount_elasticity", "q_gini",
+        "q_inter_event", "q_hourly_profile", "q_top_pc",
+        "q_centroid_outliers", "q_embed_drift", "q_dup_rate_by_source",
+        "q_pc_project", "q_class_balance")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
