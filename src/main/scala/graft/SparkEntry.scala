@@ -966,7 +966,13 @@ object SparkEntry {
     "q_pc_project" -> ((s, dir) =>
       Similarity.pcProject(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_class_balance" -> ((s, dir) =>
-      Similarity.classBalance(Tables.embeddings(s, dir)).orderBy("label"))
+      Similarity.classBalance(Tables.embeddings(s, dir)).orderBy("label")),
+    "q_ttr" -> ((s, dir) =>
+      TextAnalysis.lexicalDiversity(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_char_composition" -> ((s, dir) =>
+      TextAnalysis.charComposition(Tables.documents(s, dir)).orderBy("source")),
+    "q_encoding_anomalies" -> ((s, dir) =>
+      TextAnalysis.encodingAnomalies(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4796,6 +4802,45 @@ object SparkEntry {
         |SELECT label, n_vecs,
         |  round(CAST(n_vecs AS DOUBLE) / CAST(n_total AS DOUBLE), 6) AS share,
         |  imbalance_ratio, effective_classes
-        |FROM c, g ORDER BY label""".stripMargin
+        |FROM c, g ORDER BY label""".stripMargin,
+    "q_ttr" ->
+      """WITH c AS (
+        |  SELECT doc_id, tok, count(*) AS c FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+        |  round(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_char_composition" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(1.0 - CAST(len(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS upper_s,
+        |    CAST(1.0 - CAST(len(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS digit_s,
+        |    CAST(1.0 - CAST(len(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS punct_s,
+        |    CAST(1.0 - CAST(len(regexp_replace(text, '[ \t\n\r\f]', '', 'g')) AS DOUBLE)
+        |      / CAST(len(text) AS DOUBLE) AS DECIMAL(18,6)) AS space_s
+        |  FROM documents WHERE len(text) > 0
+        |)
+        |SELECT source, count(*) AS n_docs,
+        |  round(CAST(sum(upper_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS upper_share,
+        |  round(CAST(sum(digit_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS digit_share,
+        |  round(CAST(sum(punct_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS punct_share,
+        |  round(CAST(sum(space_s) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS space_share
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q_encoding_anomalies" ->
+      """SELECT doc_id,
+        |  CAST(regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]') AS INT) AS has_control,
+        |  CAST(contains(text, '�') AS INT) AS has_replacement,
+        |  CAST(regexp_matches(text, '\S{200,}') AS INT) AS has_long_run
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -605,6 +605,75 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Lexical diversity per document: type-token ratio and hapax share
+    * (words occurring exactly once) — low TTR + low hapax = template
+    * or generated boilerplate, the complement of the span-based
+    * [[graft.operators.Dedup]] repetition detectors that catches
+    * WITHIN-vocabulary monotony. One explode to (doc, token) counts,
+    * then one per-doc reduce; both aggregates share the doc_id
+    * partitioning, everything exact longs + two divisions at 6dp.
+    */
+  def lexicalDiversity(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c") === 1).cast("long")).as("n_hapax"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(col("n_hapax").cast("double") / col("n_types").cast("double"), 6).as("hapax_share"))
+
+  /** Character-composition profile per source: mean shares of
+    * uppercase, digits, punctuation, and whitespace across each
+    * feed's documents — the broken-extractor detector (a feed whose
+    * punctuation share doubles overnight changed its parser, not its
+    * prose). Per-row shares are four codegen'd regexp_replace length
+    * counts over exact ints; the per-source means quantize each share
+    * to DECIMAL(18,6) first (source groups grow with the corpus — the
+    * welch recipe), so the aggregate is exact and order-independent.
+    */
+  def charComposition(documents: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val len = length(col("text")).cast("double")
+    def share(pattern: String) =
+      (length(regexp_replace(col("text"), pattern, "")).cast("double") / len)
+    val d = documents
+      .filter(length(col("text")) > 0)
+      .select(col("source"),
+        (lit(1.0) - share("[A-Z]")).cast(dec).as("upper"),
+        (lit(1.0) - share("[0-9]")).cast(dec).as("digit"),
+        // explicit ASCII classes, not \p{Punct}/\s shorthands: Java
+        // and RE2 disagree on \s (\x0B) and the oracle must match
+        (lit(1.0) - share("[!-/:-@\\[-`{-~]")).cast(dec).as("punct"),
+        (lit(1.0) - share("[ \\t\\n\\r\\f]")).cast(dec).as("space"))
+    d.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(sum(col("upper")).cast("double") / count(lit(1)).cast("double"), 6).as("upper_share"),
+        round(sum(col("digit")).cast("double") / count(lit(1)).cast("double"), 6).as("digit_share"),
+        round(sum(col("punct")).cast("double") / count(lit(1)).cast("double"), 6).as("punct_share"),
+        round(sum(col("space")).cast("double") / count(lit(1)).cast("double"), 6).as("space_share"))
+  }
+
+  /** Encoding/extraction anomaly flags per document: control
+    * characters, the U+FFFD replacement character (the mojibake
+    * tombstone), and pathological unbroken runs — the pre-tokenizer
+    * quarantine filter (one NUL in a doc usually means the whole
+    * upstream batch is suspect). Pure scan-stage codegen'd regex
+    * predicates over exact ints, no shuffle; flags are exact booleans
+    * cast to int so the output hash-matches with no rounding at all.
+    */
+  def encodingAnomalies(documents: DataFrame, maxRun: Int = 200): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").cast("int").as("has_control"),
+      col("text").contains("�").cast("int").as("has_replacement"),
+      col("text").rlike(s"\\S{$maxRun,}").cast("int").as("has_long_run"))
+
   /** Flesch reading-ease score per document from three regex counts —
     * words (whitespace runs), sentences (terminal-punctuation runs),
     * syllables (vowel-group runs, the standard heuristic) — plus the

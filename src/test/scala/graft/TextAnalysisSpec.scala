@@ -278,6 +278,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(neo.getAs[Long]("cnt_a") === 0L && neo.getAs[Long]("cnt_b") === 10L)
   }
 
+  test("lexical diversity: hand counts; repeated boilerplate scores low TTR") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"),            // all hapax: ttr 1, hapax 1
+      (2L, "a a a a b b"),        // 2 types / 6 tokens, 0 hapax
+      (3L, "x y x z"))            // 3 types / 4 tokens, hapax y,z -> 2/3
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lexicalDiversity(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, 4L, 4L, 1.0, 1.0),
+      (2L, 6L, 2L, 0L, 0.333333, 0.0),
+      (3L, 4L, 3L, 2L, 0.75, 0.666667)))
+  }
+
+  test("char composition: hand-built shares; anomalies flag planted control chars and runs") {
+    import spark.implicits._
+    // "Ab1! " = 5 chars: 1 upper, 1 digit, 1 punct, 1 space
+    val docs = Seq((1L, "Ab1! ", "A"), (2L, "abcd", "A")).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.charComposition(docs).head()
+    assert(r.getAs[Long]("n_docs") === 2L)
+    assert(r.getAs[Double]("upper_share") === 0.1)   // (0.2 + 0)/2
+    assert(r.getAs[Double]("digit_share") === 0.1)
+    assert(r.getAs[Double]("punct_share") === 0.1)
+    assert(r.getAs[Double]("space_share") === 0.1)
+    val bad = Seq(
+      (1L, "clean prose here"),
+      (2L, "null\u0000byte"),
+      (3L, "moji�bake"),
+      (4L, "x" * 250))
+      .toDF("doc_id", "text")
+    val flags = TextAnalysis.encodingAnomalies(bad).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(flags.toSeq === Seq(
+      (1L, 0, 0, 0), (2L, 1, 0, 0), (3L, 0, 1, 0), (4L, 0, 0, 1)))
+  }
+
   test("readability: hand-counted flesch, fragment floors at one sentence, empty doc excluded") {
     import spark.implicits._
     val docs = Seq(
