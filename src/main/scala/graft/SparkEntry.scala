@@ -198,6 +198,10 @@ object SparkEntry {
         .ohlcResample(Tables.events(s, dir), "week")
         .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
         .orderBy("user_id", "bar_start")),
+    "q_unpivot_long" -> ((s, dir) =>
+      Relational.unpivotOhlc(Tables.events(s, dir))
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start", "field")),
     "q_topn_per_group" -> ((s, dir) =>
       Relational.topNPerGroup(Tables.orders(s, dir), 3).orderBy("o_custkey", "rnk")),
     "q_filter_agg" -> ((s, dir) =>
@@ -250,6 +254,8 @@ object SparkEntry {
         .orderBy("user_id", "gap_start")),
     "q_rollup" -> ((s, dir) =>
       Stats.rollupSummary(Tables.events(s, dir)).orderBy("event_type", "cohort")),
+    "q_cube" -> ((s, dir) =>
+      Stats.cubeSummary(Tables.events(s, dir)).orderBy("event_type", "cohort")),
     "q_distinct_counts" -> ((s, dir) =>
       Stats.distinctCounts(Tables.lineitem(s, dir)).orderBy("l_returnflag")),
     "q_clean_normalize" -> ((s, dir) =>
@@ -444,6 +450,14 @@ object SparkEntry {
       TimeSeries.cmf(Tables.events(s, dir), 20)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
+    "q_ichimoku" -> ((s, dir) =>
+      TimeSeries.ichimoku(Tables.events(s, dir))
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
+    "q_pivot_points" -> ((s, dir) =>
+      TimeSeries.pivotPoints(Tables.events(s, dir))
+        .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
+        .orderBy("user_id", "bar_start")),
     "q_parkinson_vol" -> ((s, dir) =>
       TimeSeries.parkinsonVol(Tables.events(s, dir))
         .orderBy("user_id")),
@@ -1590,6 +1604,79 @@ object SparkEntry {
         |FROM g
         |WHERE next_day IS NOT NULL AND date_diff('day', day, next_day) > 1
         |ORDER BY user_id, gap_start""".stripMargin,
+    "q_ichimoku" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT user_id, bar_start, close,
+        |    (max(high) OVER w9 + min(low) OVER w9) / 2 AS tenkan_raw,
+        |    (max(high) OVER w26 + min(low) OVER w26) / 2 AS kijun_raw,
+        |    (max(high) OVER w52 + min(low) OVER w52) / 2 AS senkou_b_raw
+        |  FROM bars
+        |  WINDOW
+        |    w9  AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+        |    w26 AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+        |    w52 AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+        |), l AS (
+        |  SELECT user_id, bar_start, close, tenkan_raw, kijun_raw,
+        |    round(lag((tenkan_raw + kijun_raw) / 2, 26) OVER ws, 6) AS senkou_a,
+        |    round(lag(senkou_b_raw, 26) OVER ws, 6) AS senkou_b,
+        |    lead(close, 26) OVER ws AS chikou
+        |  FROM m
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY bar_start)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
+        |  round(tenkan_raw, 6) AS tenkan, round(kijun_raw, 6) AS kijun,
+        |  senkou_a, senkou_b, chikou,
+        |  CASE WHEN senkou_a IS NOT NULL AND senkou_b IS NOT NULL
+        |    THEN close > greatest(senkou_a, senkou_b) END AS above_cloud
+        |FROM l
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_pivot_points" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT user_id, bar_start, close,
+        |    lag(high) OVER ws AS h1, lag(low) OVER ws AS l1, lag(close) OVER ws AS c1
+        |  FROM bars
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY bar_start)
+        |), p AS (
+        |  SELECT user_id, bar_start, close, h1, l1, (h1 + l1 + c1) / 3 AS p_raw FROM l
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start, close,
+        |  round(p_raw, 6) AS pivot,
+        |  round(p_raw * 2 - l1, 6) AS r1,
+        |  round(p_raw * 2 - h1, 6) AS s1,
+        |  round(p_raw + (h1 - l1), 6) AS r2,
+        |  round(p_raw - (h1 - l1), 6) AS s2,
+        |  CASE WHEN p_raw IS NOT NULL THEN close > p_raw END AS above_pivot
+        |FROM p
+        |ORDER BY user_id, bar_start""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(user_id % 10, -1) AS cohort,
+        |  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY event_type, cohort""".stripMargin,
+    "q_unpivot_long" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    min_by(value, ts) AS open, max(value) AS high, min(value) AS low,
+        |    max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start, field, px FROM (
+        |  SELECT user_id, bar_start, 'open' AS field, open AS px FROM bars
+        |  UNION ALL SELECT user_id, bar_start, 'high', high FROM bars
+        |  UNION ALL SELECT user_id, bar_start, 'low', low FROM bars
+        |  UNION ALL SELECT user_id, bar_start, 'close', close FROM bars
+        |)
+        |ORDER BY user_id, bar_start, field""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(event_type, 'ALL') AS event_type,
         |  coalesce(user_id % 10, -1) AS cohort,

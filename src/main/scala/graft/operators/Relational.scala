@@ -471,6 +471,22 @@ object Relational {
         count(lit(1)).as("n_obs")
       )
 
+  /** Wide-to-long melt of the OHLC bar frame — the inverse ETL shape
+    * of [[ohlcResample]]'s wide row (and of the q_pivot_wide matrix):
+    * (key, bar, open, high, low, close) unpivots to one row per
+    * (key, bar, field). Spark's native unpivot plans a single Expand
+    * over the bar scan — a per-row fan-out in the SAME stage, zero
+    * extra shuffle beyond the bar groupBy (the melt itself never
+    * exchanges). The field axis is a 4-value bounded dim, so output
+    * is exactly 4x the bar count at any scale.
+    */
+  def unpivotOhlc(events: DataFrame): DataFrame =
+    ohlcResample(events)
+      .unpivot(
+        Array(col("user_id"), col("bar_start")),
+        Array(col("open"), col("high"), col("low"), col("close")),
+        "field", "px")
+
   /** Q6-style single-pass filter + global aggregate: every predicate
     * reaches the scan; no shuffle at all (partial aggs + one final
     * reduce).

@@ -67,6 +67,25 @@ object Stats {
         coalesce(col("cohort"), lit(-1L)).as("cohort"),
         col("n"), col("total"))
 
+  /** Full CUBE over (event_type, cohort): every grain of the
+    * two-dimension lattice — (both), (type), (cohort), () — in one
+    * pass, completing the [[rollupSummary]] (prefix ladder) /
+    * [[groupingSetsSummary]] (hand-picked grains) family. Spark
+    * expands grains map-side, so grain count x distinct groups (not
+    * x fact rows) pays the exchange; sentinel labels; exact counts +
+    * DECIMAL money sums imaged to double once.
+    */
+  def cubeSummary(events: DataFrame): DataFrame =
+    events
+      .withColumn("cohort", pmod(col("user_id"), lit(10)))
+      .cube(col("event_type"), col("cohort"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double").as("total"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("cohort"), lit(-1L)).as("cohort"),
+        col("n"), col("total"))
+
   /** Multi-grain summary via GROUPING SETS — the grains a report
     * actually wants ((flag, status), (flag), (status), ()) in ONE
     * pass, where [[rollupSummary]]'s ROLLUP can only express the

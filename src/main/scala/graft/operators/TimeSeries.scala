@@ -1594,4 +1594,73 @@ object TimeSeries {
         round(when(var_samp(col("r1")) > 0.0,
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
+
+  /** Ichimoku cloud on daily OHLC bars (reference candlestick panel
+    * family, app.py:470-475): tenkan = 9-bar (max high + min low)/2,
+    * kijun = the same at 26 bars, senkou A = the (tenkan+kijun)/2
+    * computed 26 bars AGO (the cloud edge plotted at this bar),
+    * senkou B = the 52-bar channel midpoint from 26 bars ago, chikou
+    * = the close from 26 bars AHEAD (the lagging span aligned to this
+    * bar). Rolling max/min are exact compares (no float
+    * accumulation); the midpoints are each one add + one divide
+    * rounded ONCE at the end, with the raw (unrounded) chains fed
+    * into the lags so both engines round the identical double.
+    * above_cloud is null until both spans exist. All six window
+    * frames share ONE (key, bar_start) sort — a single shuffle.
+    */
+  def ichimoku(events: DataFrame,
+               tenkanN: Int = 9, kijunN: Int = 26, senkouN: Int = 52,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(tenkanN >= 1 && kijunN >= 1 && senkouN >= 1,
+      s"spans must be positive: $tenkanN/$kijunN/$senkouN")
+    val bars = Relational.ohlcResample(events)
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    def mid(n: Int): Column = {
+      val w = wSeq.rowsBetween(-(n - 1), 0)
+      (max(col("high")).over(w) + min(col("low")).over(w)) / 2
+    }
+    bars
+      .withColumn("tenkan_raw", mid(tenkanN))
+      .withColumn("kijun_raw", mid(kijunN))
+      .withColumn("senkou_b_raw", mid(senkouN))
+      .withColumn("senkou_a",
+        round(lag((col("tenkan_raw") + col("kijun_raw")) / 2, kijunN).over(wSeq), 6))
+      .withColumn("senkou_b", round(lag(col("senkou_b_raw"), kijunN).over(wSeq), 6))
+      .withColumn("chikou", lead(col("close"), kijunN).over(wSeq))
+      .select(col(key), col("bar_start"),
+        round(col("tenkan_raw"), 6).as("tenkan"),
+        round(col("kijun_raw"), 6).as("kijun"),
+        col("senkou_a"), col("senkou_b"), col("chikou"),
+        when(col("senkou_a").isNotNull && col("senkou_b").isNotNull,
+          col("close") > greatest(col("senkou_a"), col("senkou_b"))).as("above_cloud"))
+  }
+
+  /** Classic floor-trader pivot points off the PREVIOUS day's bar
+    * (the intraday support/resistance levels a trading desk
+    * publishes each morning): P = (H+L+C)/3 of yesterday, R1 = 2P-L,
+    * S1 = 2P-H, R2 = P+(H-L), S2 = P-(H-L), plus where today's close
+    * sits relative to P. One lag per input on the shared
+    * (key, bar_start) sort; every level is one short IEEE chain off
+    * the SAME raw unrounded P (rounded once per output column), so
+    * the oracle mirrors the chains op-for-op. First bar has no
+    * yesterday -> null levels, rows preserved.
+    */
+  def pivotPoints(events: DataFrame,
+                  key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val bars  = Relational.ohlcResample(events)
+    val wSeq  = Window.partitionBy(key).orderBy("bar_start")
+    val hPrev = lag(col("high"), 1).over(wSeq)
+    val lPrev = lag(col("low"), 1).over(wSeq)
+    val cPrev = lag(col("close"), 1).over(wSeq)
+    bars
+      .withColumn("h1", hPrev).withColumn("l1", lPrev).withColumn("c1", cPrev)
+      .withColumn("p_raw", (col("h1") + col("l1") + col("c1")) / 3)
+      .select(col(key), col("bar_start"), col("close"),
+        round(col("p_raw"), 6).as("pivot"),
+        round(col("p_raw") * 2 - col("l1"), 6).as("r1"),
+        round(col("p_raw") * 2 - col("h1"), 6).as("s1"),
+        round(col("p_raw") + (col("h1") - col("l1")), 6).as("r2"),
+        round(col("p_raw") - (col("h1") - col("l1")), 6).as("s2"),
+        when(col("p_raw").isNotNull, col("close") > col("p_raw")).as("above_pivot"))
+  }
 }

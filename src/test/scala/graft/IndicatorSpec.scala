@@ -174,6 +174,61 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ichimoku: spans/cloud match the rolling-channel definitions with exact alignment") {
+    import spark.implicits._
+    val got = TimeSeries.ichimoku(dailyDf, 3, 4, 6).orderBy($"bar_start").collect()
+    def chanMid(i: Int, n: Int): Double = {
+      val w = ys.slice(math.max(0, i - (n - 1)), i + 1)
+      (w.max + w.min) / 2
+    }
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getAs[Double]("tenkan") - chanMid(i, 3)) < 1e-9, s"row $i tenkan")
+      assert(math.abs(r.getAs[Double]("kijun") - chanMid(i, 4)) < 1e-9, s"row $i kijun")
+      if (i < 4) {
+        assert(r.isNullAt(r.fieldIndex("senkou_a")), s"row $i senkou_a should be null")
+        assert(r.isNullAt(r.fieldIndex("senkou_b")), s"row $i senkou_b should be null")
+        assert(r.isNullAt(r.fieldIndex("above_cloud")), s"row $i above_cloud should be null")
+      } else {
+        val sa = (chanMid(i - 4, 3) + chanMid(i - 4, 4)) / 2
+        val sb = chanMid(i - 4, 6)
+        assert(math.abs(r.getAs[Double]("senkou_a") - sa) < 1e-6, s"row $i senkou_a")
+        assert(math.abs(r.getAs[Double]("senkou_b") - sb) < 1e-6, s"row $i senkou_b")
+        assert(r.getAs[Boolean]("above_cloud") === (ys(i) > math.max(sa, sb)), s"row $i cloud")
+      }
+      if (i + 4 < ys.size)
+        assert(r.getAs[Double]("chikou") === ys(i + 4), s"row $i chikou")
+      else assert(r.isNullAt(r.fieldIndex("chikou")), s"row $i chikou should be null")
+    }
+  }
+
+  test("pivot points: levels derive from YESTERDAY's bar, first bar null, ordering holds") {
+    import spark.implicits._
+    val hi = Vector(11.0, 12.0, 10.0, 14.0, 12.0)
+    val lo = Vector(10.0, 10.5, 9.0, 11.0, 11.5)
+    val two = hi.indices.flatMap { i =>
+      Seq((1L, i.toLong * 2, i.toLong * 86400L + 3600L, lo(i)),
+        (1L, i.toLong * 2 + 1, i.toLong * 86400L + 7200L, hi(i)))
+    }.toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+    val got = TimeSeries.pivotPoints(two).orderBy($"bar_start").collect()
+    assert(got.head.isNullAt(got.head.fieldIndex("pivot")))
+    got.zipWithIndex.drop(1).foreach { case (r, i) =>
+      val (h, l, c) = (hi(i - 1), lo(i - 1), hi(i - 1)) // close = last tick = hi
+      val p = (h + l + c) / 3
+      assert(math.abs(r.getAs[Double]("pivot") - p) < 1e-6, s"row $i pivot")
+      assert(math.abs(r.getAs[Double]("r1") - (2 * p - l)) < 1e-6, s"row $i r1")
+      assert(math.abs(r.getAs[Double]("s1") - (2 * p - h)) < 1e-6, s"row $i s1")
+      assert(math.abs(r.getAs[Double]("r2") - (p + (h - l))) < 1e-6, s"row $i r2")
+      assert(math.abs(r.getAs[Double]("s2") - (p - (h - l))) < 1e-6, s"row $i s2")
+      // level ordering: s2 <= s1 <= p <= r1 <= r2 (holds whenever l <= c=h)
+      assert(r.getAs[Double]("s2") <= r.getAs[Double]("s1") + 1e-9)
+      assert(r.getAs[Double]("s1") <= r.getAs[Double]("pivot") + 1e-9)
+      assert(r.getAs[Double]("pivot") <= r.getAs[Double]("r1") + 1e-9)
+      assert(r.getAs[Double]("r1") <= r.getAs[Double]("r2") + 1e-9)
+      assert(r.getAs[Boolean]("above_pivot") === (hi(i) > p), s"row $i above_pivot")
+    }
+  }
+
   test("cmf matches the money-flow definition; flat bars contribute zero; bounded") {
     import spark.implicits._
     // two ticks per day so bars carry a real high/low range

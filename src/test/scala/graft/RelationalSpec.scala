@@ -47,6 +47,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("unpivot: exactly 4 rows per bar and pivoting back recovers the wide bar") {
+    import spark.implicits._
+    val long = Relational.unpivotOhlc(Tables.events(spark, sf)).cache()
+    val bars = Relational.ohlcResample(Tables.events(spark, sf))
+    assert(long.count() === bars.count() * 4)
+    val over = long.groupBy($"user_id", $"bar_start").count().filter($"count" =!= 4).count()
+    assert(over === 0)
+    // melt is lossless: pivot the long frame back and diff against the wide bars
+    val back = long.groupBy($"user_id", $"bar_start")
+      .agg(
+        max(when($"field" === "open", $"px")).as("open"),
+        max(when($"field" === "high", $"px")).as("high"),
+        max(when($"field" === "low", $"px")).as("low"),
+        max(when($"field" === "close", $"px")).as("close"))
+    val wide = bars.select($"user_id", $"bar_start", $"open", $"high", $"low", $"close")
+    assert(back.exceptAll(wide).count() === 0 && wide.exceptAll(back).count() === 0)
+    long.unpersist()
+  }
+
   test("topn caps group size") {
     val df = Relational.topNPerGroup(Tables.orders(spark, sf), 3)
     import spark.implicits._

@@ -186,6 +186,22 @@ class StatsApproxSpec extends AnyFunSuite {
     gs.unpersist()
   }
 
+  test("cube: all four grains present and each re-aggregates to the grand total") {
+    import TestSession.spark
+    import spark.implicits._
+    val cb = Stats.cubeSummary(Tables.events(spark, TestSession.sf)).cache()
+    val grand = cb.filter($"event_type" === "ALL" && $"cohort" === -1L).head()
+    // cube adds the (cohort-only) grain rollup lacks — every grain partitions the rows
+    for ((fc, lc) <- Seq(($"event_type" =!= "ALL", $"cohort" =!= -1L),
+      ($"event_type" =!= "ALL", $"cohort" === -1L),
+      ($"event_type" === "ALL", $"cohort" =!= -1L))) {
+      val r = cb.filter(fc && lc).agg(sum($"n"), sum($"total")).head()
+      assert(r.getLong(0) === grand.getAs[Long]("n"), "grain row-count mismatch")
+      assert(math.abs(r.getDouble(1) - grand.getAs[Double]("total")) < 1e-4)
+    }
+    cb.unpersist()
+  }
+
   test("gap detect: hand-built gaps, none on a dense series") {
     import TestSession.spark
     import spark.implicits._
