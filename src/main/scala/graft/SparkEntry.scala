@@ -598,6 +598,10 @@ object SparkEntry {
     // Jaccard misses; stop-shingle df cap bounds the posting lists
     "q_containment" -> ((s, dir) =>
       Dedup.containmentPairs(Tables.documents(s, dir)).orderBy("da", "db")),
+    // character-level fuzzy near-dup: prefix blocking + Levenshtein
+    // confirm — sees single-char edits the token shingles miss
+    "q_edit_neardup" -> ((s, dir) =>
+      Dedup.editNearDup(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
     "q_corpus_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dropNearDuplicates(docs, Dedup.minhashLshCandidatesFast(docs))
@@ -756,6 +760,12 @@ object SparkEntry {
       val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
       Similarity.ivfSearch(emb, cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 4)
         .orderBy("qid", "rnk")
+    }),
+    "q_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
+      Similarity.ivfRecall(emb, cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 4)
+        .orderBy("qid")
     }),
     // the TRAINED IVF path on the gate: Lloyd centroids are float
     // MEANS (partial-sum order differs across engines and runs), so
@@ -2893,6 +2903,21 @@ object SparkEntry {
         |  FROM documents
         |)
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_edit_neardup" ->
+      """WITH pre AS (
+        |  SELECT doc_id, substring(text, 1, 32) AS blk, substring(text, 1, 200) AS head
+        |  FROM documents
+        |), ok AS (
+        |  SELECT blk FROM pre GROUP BY blk HAVING count(*) <= 256
+        |), p AS (
+        |  SELECT pre.* FROM pre JOIN ok USING (blk)
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  levenshtein(a.head, b.head) AS dist,
+        |  greatest(length(a.head), length(b.head)) AS max_len
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE levenshtein(a.head, b.head) * 5 <= greatest(length(a.head), length(b.head)) * 1
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(lower(text)) AS fp, min(doc_id) AS canonical_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(lower(text)) ORDER BY fp""".stripMargin,
@@ -3526,6 +3551,56 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    // recall@k audit: the IVF chain and the brute-force chain above,
+    // joined — hits are exact integers, recall one rounded division
+    "q_ivf_recall" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16
+        |), d AS (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d QUALIFY rn = 1
+        |), n AS (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM assigned
+        |), qc AS (
+        |  SELECT vec_id AS qid, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS prb
+        |  FROM d WHERE vec_id IN (0, 1, 2, 3, 4) QUALIFY prb <= 4
+        |), iscored AS (
+        |  SELECT qc.qid, n.vec_id,
+        |    CASE WHEN qn.nn * n.nn != 0
+        |         THEN list_dot_product(qn.v, n.v) / (qn.nn * n.nn) END AS cos
+        |  FROM qc
+        |  JOIN n ON n.cell = qc.cell
+        |  JOIN n qn ON qn.vec_id = qc.qid
+        |  WHERE n.vec_id != qc.qid
+        |), ivf AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM iscored QUALIFY rnk <= 5
+        |), bscored AS (
+        |  SELECT q.vec_id AS qid, x.vec_id,
+        |    CASE WHEN q.nn * x.nn != 0 THEN list_dot_product(q.v, x.v) / (q.nn * x.nn) END AS cos
+        |  FROM n q JOIN n x ON q.vec_id IN (0, 1, 2, 3, 4) AND x.vec_id != q.vec_id
+        |), bf AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM bscored QUALIFY rnk <= 5
+        |)
+        |SELECT bf.qid, count(ivf.vec_id) AS hits, CAST(5 AS BIGINT) AS k,
+        |  round(count(ivf.vec_id) / CAST(5 AS DOUBLE), 6) AS recall
+        |FROM bf LEFT JOIN ivf ON ivf.qid = bf.qid AND ivf.vec_id = bf.vec_id
+        |GROUP BY bf.qid
+        |ORDER BY bf.qid""".stripMargin,
     // the trained-path gate: full-probe trained IVF == brute force
     // exactly (the quantizer only partitions candidates), so the
     // oracle is the brute-force ranking + a literal-TRUE recall flag

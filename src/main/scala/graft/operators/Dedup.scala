@@ -65,6 +65,46 @@ object Dedup {
       .select(col("da"), col("db"), col("overlap"), col("n_a"), col("n_b"), col("containment"))
   }
 
+  /** Edit-distance near-duplicate pairs via PREFIX BLOCKING — the
+    * fuzzy-matching complement of the shingle families: Levenshtein
+    * sees single-character edits (typos, OCR noise, template slot
+    * fills) that whole-token shingles miss entirely. Classic entity-
+    * resolution shape: block on the text head (`prefixLen` chars —
+    * crawl near-dups share their head; boilerplate diffs live in the
+    * tail), drop blocks larger than `maxBlock` BEFORE the self-join
+    * (the df-cap move of [[containmentPairs]] applied to blocks, so
+    * candidate volume is bounded by sum(block²) ≤ maxBlock · n), and
+    * confirm candidates with Levenshtein over the first `cmpLen`
+    * chars — a bounded O(cmpLen²) per pair, never O(doc²). A pair
+    * passes when dist · simDen ≤ max_len · simNum (distance at most
+    * simNum/simDen of the longer head) — an all-integer cross-
+    * multiplied compare, so the output is exact integers end to end
+    * and hash-matches the SQL oracle with no float anywhere.
+    */
+  def editNearDup(documents: DataFrame, simNum: Int = 1, simDen: Int = 5,
+                  prefixLen: Int = 32, cmpLen: Int = 200, maxBlock: Int = 256): DataFrame = {
+    require(simNum >= 0 && simDen >= 1 && prefixLen >= 1 && cmpLen >= prefixLen && maxBlock >= 2,
+      s"bad params: $simNum/$simDen prefix=$prefixLen cmp=$cmpLen maxBlock=$maxBlock")
+    val pre = documents.select(
+      col("doc_id"),
+      substring(col("text"), 1, prefixLen).as("blk"),
+      substring(col("text"), 1, cmpLen).as("head"))
+    val ok = pre.groupBy(col("blk")).agg(count(lit(1)).as("blk_n"))
+      .filter(col("blk_n") <= maxBlock)
+      .select(col("blk"))
+    val p = pre.join(ok, "blk")
+    p.select(col("blk"), col("doc_id").as("doc_a"), col("head").as("head_a"))
+      .join(
+        p.select(col("blk"), col("doc_id").as("doc_b"), col("head").as("head_b")),
+        Seq("blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("head_a"), col("head_b")).cast("long"))
+      .withColumn("max_len",
+        greatest(length(col("head_a")), length(col("head_b"))).cast("long"))
+      .filter(col("dist") * simDen <= col("max_len") * simNum)
+      .select(col("doc_a"), col("doc_b"), col("dist"), col("max_len"))
+  }
+
   /** Benchmark decontamination (the eval-overlap pass every
     * training-data pipeline runs before a model sees the corpus):
     * flag corpus documents that share ANY word `n`-gram with the

@@ -332,6 +332,31 @@ object Similarity {
       .select(col("qid"), col("vec_id"), col("cos"), col("rnk"))
   }
 
+  /** Recall@k audit of the IVF index against exact brute force — the
+    * know-your-index query run before trusting an ANN path at scale
+    * (the [[graft.operators.Dedup]] q_jaccard_estimate move applied
+    * to vector search): per query, how many of the exact top-k
+    * survive at this nprobe? Both sides reuse the declared search
+    * operators unchanged; the comparison itself joins two (queries ×
+    * k) frames — negligible at any corpus size, so the audit costs
+    * one extra brute-force pass over the corpus (run it on a sample
+    * of queries, not the corpus). All-integer hits; recall is one
+    * division rounded once. Recall is monotone nondecreasing in
+    * nprobe and exactly 1 at nprobe == nlist (spec-asserted).
+    */
+  def ivfRecall(embeddings: DataFrame, cents: Array[(Int, Array[Double])],
+                queryIds: Seq[Long], k: Int, nprobe: Int): DataFrame = {
+    val approx = ivfSearch(embeddings, cents, queryIds, k, nprobe)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+    val exact = bruteForceTopK(embeddings, queryIds, k).select(col("qid"), col("vec_id"))
+    exact
+      .join(approx, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("qid"), col("hits"), lit(k.toLong).as("k"),
+        round(col("hits").cast("double") / k, 6).as("recall"))
+  }
+
   /** SemDeDup-style semantic near-dup: assign every vector to its
     * IVF cell (broadcast-literal codegen'd argmin — narrow, zero
     * shuffle on the corpus side), then exact cosine only WITHIN

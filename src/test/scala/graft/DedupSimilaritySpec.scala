@@ -316,6 +316,44 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@5 with half the cells probed: $recall")
   }
 
+  test("ivf recall audit: monotone nondecreasing in nprobe, exactly 1 at full probe") {
+    val emb   = Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfTrain(emb, nlist = 8, iters = 3)
+    val qids  = Seq(0L, 1L, 2L, 3L, 4L)
+    def recalls(nprobe: Int): Map[Long, Double] =
+      Similarity.ivfRecall(emb, cents, qids, 5, nprobe).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("recall")).toMap
+    val byProbe = Seq(1, 2, 4, 8).map(p => p -> recalls(p))
+    byProbe.foreach { case (p, m) =>
+      qids.foreach(q => assert(m(q) >= 0.0 && m(q) <= 1.0, s"recall bounds at nprobe=$p qid=$q"))
+    }
+    byProbe.sliding(2).foreach { case Seq((pLo, lo), (pHi, hi)) =>
+      qids.foreach(q =>
+        assert(lo(q) <= hi(q) + 1e-9, s"recall must not drop: qid=$q $pLo->$pHi ${lo(q)} > ${hi(q)}"))
+    }
+    qids.foreach(q => assert(byProbe.last._2(q) === 1.0, s"full probe must be exact for qid=$q"))
+  }
+
+  test("edit near-dup: single-char edits pair, heavy edits and cross-block dups do not") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 4).trim // 179 chars < cmpLen
+    val docs = Seq(
+      (1L, base),
+      (2L, base.dropRight(2)),                       // tiny tail edit -> pair with 1
+      (3L, base.take(100) + ("z" * 100)),            // same block, >20% edits -> no pair
+      (4L, "completely different head " + base),     // identical tail, different block -> no pair
+      (5L, "completely different head " + base)      // exact dup of 4 -> pair
+    ).toDF("doc_id", "text")
+    val got = Dedup.editNearDup(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("dist"))).toList.sorted
+    assert(got.map(p => (p._1, p._2)) === List((1L, 2L), (4L, 5L)), s"pairs: $got")
+    assert(got.find(p => p._1 == 1L).get._3 === 2L, "dropping 2 chars is distance 2")
+    assert(got.find(p => p._1 == 4L).get._3 === 0L, "exact dup is distance 0")
+    // block cap: an oversized block produces no pairs at maxBlock=2
+    val flood = (0L to 3L).map(i => (10L + i, base + s" tail$i")).toDF("doc_id", "text")
+    assert(Dedup.editNearDup(flood, maxBlock = 2).count() === 0L)
+  }
+
   test("wide simhash: lane identity, composed-plan bit-identity, banding exact vs quadratic sweep") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
