@@ -450,6 +450,10 @@ object SparkEntry {
       TimeSeries.cmf(Tables.events(s, dir), 20)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
+    "q_peaks" -> ((s, dir) =>
+      TimeSeries.peaks(Tables.events(s, dir), 5.0)
+        .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
+        .orderBy("user_id", "day")),
     "q_ichimoku" -> ((s, dir) =>
       TimeSeries.ichimoku(Tables.events(s, dir))
         .withColumn("bar_start", date_format(col("bar_start"), "yyyy-MM-dd"))
@@ -767,6 +771,14 @@ object SparkEntry {
       Similarity.ivfRecall(emb, cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 4)
         .orderBy("qid")
     }),
+    "q_cluster_silhouette" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
+      Similarity.clusterSilhouette(emb, cents).orderBy("cell")
+    }),
+    "q_bfs_layers" -> ((s, dir) =>
+      Similarity.bfsLayers(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 5, 3)
+        .orderBy("vec_id")),
     // the TRAINED IVF path on the gate: Lloyd centroids are float
     // MEANS (partial-sum order differs across engines and runs), so
     // the trained quantizer itself can never hash-match — but with
@@ -3551,6 +3563,100 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "q_peaks" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER ws AS prev, lead(close) OVER ws AS next
+        |  FROM c
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY day)
+        |), k AS (
+        |  SELECT user_id, day, close,
+        |    CASE
+        |      WHEN close > prev AND close > next AND close - greatest(prev, next) >= 5.0 THEN 'peak'
+        |      WHEN close < prev AND close < next AND least(prev, next) - close >= 5.0 THEN 'trough'
+        |    END AS kind,
+        |    prev, next
+        |  FROM l WHERE prev IS NOT NULL AND next IS NOT NULL
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, kind, close,
+        |  round(CASE WHEN kind = 'peak' THEN close - greatest(prev, next)
+        |             ELSE least(prev, next) - close END, 6) AS prominence
+        |FROM k WHERE kind IS NOT NULL
+        |ORDER BY user_id, day""".stripMargin,
+    // simplified silhouette: same seed cells + d2 chain as q_ann_ivf;
+    // per-row s quantizes once to DECIMAL(18,6), cell means are exact
+    // decimal sums + one IEEE division
+    "q_cluster_silhouette" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16
+        |), d AS (
+        |  SELECT e.vec_id, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), r AS (
+        |  SELECT vec_id, cell, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d
+        |), g AS (
+        |  SELECT vec_id,
+        |    max(CASE WHEN rn = 1 THEN cell END) AS cell,
+        |    max(CASE WHEN rn = 1 THEN d2 END) AS a2,
+        |    min(CASE WHEN rn > 1 THEN d2 END) AS b2
+        |  FROM r GROUP BY vec_id
+        |), s AS (
+        |  SELECT cell,
+        |    CAST(CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+        |      THEN (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+        |      ELSE 0.0 END AS DECIMAL(18,6)) AS s6
+        |  FROM g
+        |)
+        |SELECT cell, count(*) AS n,
+        |  round(CAST(sum(s6) AS DOUBLE) / count(*), 6) AS mean_silhouette
+        |FROM s GROUP BY cell
+        |ORDER BY cell""".stripMargin,
+    // BFS min-depth over the directed top-k edges: reachable-in-i
+    // layers unioned, min(depth) per node — path fan-out is bounded
+    // by |seeds| * k^depth
+    "q_bfs_layers" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), top AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |  FROM edges
+        |  QUALIFY rnk <= 5
+        |), seeds AS (
+        |  SELECT unnest([0, 1, 2]) AS vec_id
+        |), r1 AS (
+        |  SELECT DISTINCT t.dst AS vec_id FROM seeds s JOIN top t ON t.src = s.vec_id
+        |), r2 AS (
+        |  SELECT DISTINCT t.dst AS vec_id FROM r1 JOIN top t ON t.src = r1.vec_id
+        |), r3 AS (
+        |  SELECT DISTINCT t.dst AS vec_id FROM r2 JOIN top t ON t.src = r2.vec_id
+        |), u AS (
+        |  SELECT vec_id, CAST(0 AS BIGINT) AS depth FROM seeds
+        |  UNION ALL SELECT vec_id, 1 FROM r1
+        |  UNION ALL SELECT vec_id, 2 FROM r2
+        |  UNION ALL SELECT vec_id, 3 FROM r3
+        |)
+        |SELECT vec_id, min(depth) AS depth FROM u
+        |GROUP BY vec_id
+        |ORDER BY vec_id""".stripMargin,
     // recall@k audit: the IVF chain and the brute-force chain above,
     // joined — hits are exact integers, recall one rounded division
     "q_ivf_recall" ->

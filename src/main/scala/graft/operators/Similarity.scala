@@ -441,6 +441,70 @@ object Similarity {
         col("m_src").isNotNull.as("mutual"))
   }
 
+  /** BFS layers over the directed k-NN graph from a seed set — the
+    * neighborhood-expansion pass of similarity-graph curation (seed
+    * docs known bad/contaminated; everything within `maxDepth` hops
+    * is review-queue suspect). Classic distributed BFS: each round is
+    * ONE co-partitioned equi-join of the current frontier against the
+    * k·n edge frame plus an anti join against the reached set (min-
+    * depth semantics by construction — a node joins at its first
+    * reachable round), localCheckpoint truncating lineage per round
+    * (the [[graft.operators.Dedup.clusters]] loop discipline). Depth
+    * count is exact integers; output is engine-exact. The edge build
+    * is [[knnGraph]]'s head (declared-quadratic exact sweep at gate
+    * scale; IVF/LSH candidate edges at 100 TB — the BFS itself is
+    * linear in edges either way).
+    */
+  def bfsLayers(embeddings: DataFrame, seeds: Seq[Long], k: Int = 5, maxDepth: Int = 3): DataFrame = {
+    require(seeds.nonEmpty && maxDepth >= 0, s"need seeds and maxDepth >= 0: $seeds, $maxDepth")
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val edges = knnGraph(embeddings, k).select(col("src"), col("dst")).localCheckpoint()
+    var reached = seeds.toDF("vec_id").withColumn("depth", lit(0L)).localCheckpoint()
+    var frontier = reached
+    for (d <- 1 to maxDepth) {
+      val next = frontier
+        .join(edges, frontier("vec_id") === edges("src"))
+        .select(col("dst").as("vec_id")).distinct()
+        .join(reached.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .withColumn("depth", lit(d.toLong))
+        .localCheckpoint()
+      reached = reached.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    reached
+  }
+
+  /** Simplified (centroid-based) silhouette per IVF cell — the
+    * clustering-quality audit next to [[ivfRecall]]'s search-quality
+    * one: per vector a = distance to its own centroid, b = distance
+    * to the nearest OTHER centroid, s = (b-a)/max(a,b) in [-1, 1]
+    * (the medoid-free form that stays LINEAR in the corpus where the
+    * textbook pairwise silhouette is n² — cells near 1 are tight and
+    * separated, near 0 overlap their neighbor). Per-row work is one
+    * array_sort over the nlist per-cell scores INSIDE the scan stage
+    * (struct order (d2, cell) makes the sort the argmin + runner-up
+    * in one pass, ties to the lower cell) — zero shuffle until the
+    * final bounded groupBy(cell). Per-row s quantizes ONCE to
+    * DECIMAL(18,6) (the welch recipe) so cell means are exact-
+    * decimal sums + one IEEE division — order-independent at any
+    * partition count.
+    */
+  def clusterSilhouette(embeddings: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    require(cents.length >= 2, "silhouette needs at least two cells")
+    val e = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val sorted = array_sort(cellScores(cents)(col("v")))
+    val sa = sqrt(element_at(sorted, 1)("d2"))
+    val sb = sqrt(element_at(sorted, 2)("d2"))
+    val s  = when(greatest(sa, sb) > 0, (sb - sa) / greatest(sa, sb)).otherwise(lit(0.0))
+    e.select(
+      element_at(sorted, 1)("cell").cast("long").as("cell"),
+      s.cast("decimal(18,6)").as("s6"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("s6")).cast("double") / count(lit(1)), 6).as("mean_silhouette"))
+  }
+
   /** PageRank over the directed k-NN cosine graph — graph centrality
     * for data curation (which vectors anchor dense neighborhoods vs
     * drift at the corpus margin). ALL-INTEGER power iteration so the

@@ -1595,6 +1595,38 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Local-extremum detection on per-key daily closes: a PEAK is a
+    * bar strictly above both neighbors with prominence (height over
+    * the taller neighbor) >= minProm; a TROUGH is the mirror image.
+    * The swing-point scan feeding support/resistance and turning-
+    * point analytics. One lag + one lead on the shared (key, day)
+    * sort; all compares are raw-double exact (no accumulation), so
+    * output hash-matches the oracle with prominence as the only
+    * rounded column. Series endpoints have one missing neighbor and
+    * cannot qualify.
+    */
+  def peaks(events: DataFrame, minProm: Double = 0.0,
+            key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(minProm >= 0.0, s"prominence threshold must be >= 0: $minProm")
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val prev = lag(col("close"), 1).over(wSeq)
+    val next = lead(col("close"), 1).over(wSeq)
+    dailyClose(events, key, ts, v)
+      .withColumn("prev", prev)
+      .withColumn("next", next)
+      .filter(col("prev").isNotNull && col("next").isNotNull)
+      .withColumn("kind",
+        when(col("close") > col("prev") && col("close") > col("next") &&
+          col("close") - greatest(col("prev"), col("next")) >= minProm, lit("peak"))
+          .when(col("close") < col("prev") && col("close") < col("next") &&
+            least(col("prev"), col("next")) - col("close") >= minProm, lit("trough")))
+      .filter(col("kind").isNotNull)
+      .select(col(key), col("day"), col("kind"), col("close"),
+        round(
+          when(col("kind") === "peak", col("close") - greatest(col("prev"), col("next")))
+            .otherwise(least(col("prev"), col("next")) - col("close")), 6).as("prominence"))
+  }
+
   /** Ichimoku cloud on daily OHLC bars (reference candlestick panel
     * family, app.py:470-475): tenkan = 9-bar (max high + min low)/2,
     * kijun = the same at 26 bars, senkou A = the (tenkan+kijun)/2

@@ -334,6 +334,48 @@ class DedupSimilaritySpec extends AnyFunSuite {
     qids.foreach(q => assert(byProbe.last._2(q) === 1.0, s"full probe must be exact for qid=$q"))
   }
 
+  test("bfs layers: matches a local BFS over the collected knn edges, seeds at depth 0") {
+    val emb   = Tables.embeddings(spark, sf)
+    val seeds = Seq(0L, 1L, 2L)
+    val edges = Similarity.knnGraph(emb, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (s, a) => s -> a.map(_._2).toSet }
+    // local reference BFS
+    var depth = seeds.map(_ -> 0L).toMap
+    var frontier = seeds.toSet
+    for (d <- 1 to 3) {
+      val next = frontier.flatMap(n => edges.getOrElse(n, Set.empty)) -- depth.keySet
+      depth ++= next.map(_ -> d.toLong)
+      frontier = next
+    }
+    val got = Similarity.bfsLayers(emb, seeds, 5, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === depth, "distributed BFS must equal the local reference")
+    seeds.foreach(s => assert(got(s) === 0L))
+  }
+
+  test("cluster silhouette: separated clusters score near 1, population conserved, s bounded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(0.1f, 0.0f)), (1L, Array(-0.1f, 0.1f)), (2L, Array(0.0f, -0.1f)),
+      (3L, Array(10.0f, 10.1f)), (4L, Array(9.9f, 10.0f)), (5L, Array(10.1f, 9.9f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array((0, Array(0.0, 0.0)), (1, Array(10.0, 10.0)))
+    val got = Similarity.clusterSilhouette(vecs, cents).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(_._2).sum === 6L, "every vector lands in exactly one cell")
+    got.foreach { case (cell, _, s) =>
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9, s"cell $cell s=$s out of range")
+      assert(s > 0.95, s"tight separated clusters must score near 1, cell $cell got $s")
+    }
+    // the fixture corpus: bounds hold and counts conserve
+    val emb  = Tables.embeddings(spark, sf)
+    val c16  = Similarity.ivfTrain(emb, nlist = 8, iters = 2)
+    val full = Similarity.clusterSilhouette(emb, c16).collect()
+    assert(full.map(_.getLong(1)).sum === emb.count())
+    full.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+  }
+
   test("edit near-dup: single-char edits pair, heavy edits and cross-block dups do not") {
     import spark.implicits._
     val base = ("the quick brown fox jumps over the lazy dog " * 4).trim // 179 chars < cmpLen

@@ -174,6 +174,26 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("peaks: local extrema only, prominence gate applied, endpoints excluded") {
+    import spark.implicits._
+    // closes: 10, 15(peak prom 3), 12, 11(trough? next 20 -> prom 1), 20(endpoint)
+    val zs = Vector(10.0, 15.0, 12.0, 11.0, 20.0, 5.0, 6.0)
+    val df = zs.zipWithIndex
+      .map { case (z, i) => (1L, i.toLong, i.toLong * 86400L + 3600L, z) }
+      .toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+    // prominence >= 2: peak at i=1 (15 over max(10,12)=12 -> 3) and
+    // trough at i=5 (5 under min(20,6)=6 -> 1, fails); trough at i=3
+    // (11 under min(12,20)=12 -> 1, fails); peak at i=4 (20 over
+    // max(11,5)=11 -> 9)
+    val got = TimeSeries.peaks(df, 2.0).orderBy($"day").collect()
+      .map(r => (r.getString(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(("peak", 15.0, 3.0), ("peak", 20.0, 9.0)), got.mkString(","))
+    // prominence 0: the two weak troughs now qualify
+    val all = TimeSeries.peaks(df, 0.0).collect().map(_.getString(2))
+    assert(all.count(_ == "trough") === 2 && all.count(_ == "peak") === 2)
+  }
+
   test("ichimoku: spans/cloud match the rolling-channel definitions with exact alignment") {
     import spark.implicits._
     val got = TimeSeries.ichimoku(dailyDf, 3, 4, 6).orderBy($"bar_start").collect()
