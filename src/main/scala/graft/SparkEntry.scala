@@ -450,6 +450,8 @@ object SparkEntry {
       TimeSeries.cmf(Tables.events(s, dir), 20)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
         .orderBy("user_id", "day")),
+    "q_hurst" -> ((s, dir) =>
+      TimeSeries.hurst(Tables.events(s, dir)).orderBy("user_id")),
     "q_peaks" -> ((s, dir) =>
       TimeSeries.peaks(Tables.events(s, dir), 5.0)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -977,6 +979,9 @@ object SparkEntry {
         .orderBy("cohort", "offset_m")),
     "q_rfm" -> ((s, dir) =>
       Relational.rfm(Tables.orders(s, dir)).orderBy("o_custkey")),
+    "q_pareto_frontier" -> ((s, dir) =>
+      Relational.paretoFrontier(Tables.lineitem(s, dir), Tables.orders(s, dir))
+        .orderBy("best_lag", "l_partkey")),
     "q_ship_lag" -> ((s, dir) =>
       Relational.shipLagProfile(Tables.lineitem(s, dir), Tables.orders(s, dir))
         .orderBy("o_orderpriority")),
@@ -3563,6 +3568,80 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "q_hurst" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r1 AS (
+        |  SELECT user_id, day, close / prev - 1 AS ret
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), r AS (
+        |  SELECT user_id, day, ret,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS rn
+        |  FROM r1
+        |), x AS (
+        |  SELECT r.*, s.n, CAST(floor(rn / s.n) AS BIGINT) AS block
+        |  FROM r CROSS JOIN (SELECT unnest([4, 8, 16]) AS n) s
+        |), b1 AS (
+        |  SELECT *, count(*) OVER (PARTITION BY user_id, n, block) AS bn FROM x
+        |), b2 AS (SELECT * FROM b1 WHERE bn = n
+        |), b3 AS (
+        |  SELECT user_id, n, block, day, ret, avg(ret) OVER wf AS mean
+        |  FROM b2
+        |  WINDOW wf AS (PARTITION BY user_id, n, block ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), b4 AS (
+        |  SELECT *, sum(ret - mean) OVER (PARTITION BY user_id, n, block ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b3
+        |), b5 AS (
+        |  SELECT user_id, n, block,
+        |    max(cum) OVER wf - min(cum) OVER wf AS rng,
+        |    sqrt(avg(pow(ret - mean, 2)) OVER wf) AS sd,
+        |    row_number() OVER (PARTITION BY user_id, n, block ORDER BY day) AS rib
+        |  FROM b4
+        |  WINDOW wf AS (PARTITION BY user_id, n, block ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |), blk AS (
+        |  SELECT user_id, n, CAST(ln(rng / sd) AS DECIMAL(18,6)) AS lrs
+        |  FROM b5 WHERE rib = 1 AND sd > 0
+        |), yv AS (
+        |  SELECT user_id, n, CAST(sum(lrs) AS DOUBLE) / count(*) AS y
+        |  FROM blk GROUP BY user_id, n
+        |), p AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN n = 4 THEN y END) AS y4r,
+        |    max(CASE WHEN n = 8 THEN y END) AS y8r,
+        |    max(CASE WHEN n = 16 THEN y END) AS y16r
+        |  FROM yv GROUP BY user_id
+        |)
+        |SELECT user_id, y4r AS y4, y8r AS y8, y16r AS y16,
+        |  (y16r - y4r) / 1.3862943611198906 AS hurst
+        |FROM p ORDER BY user_id""".stripMargin,
+    "q_pareto_frontier" ->
+      """WITH m AS (
+        |  SELECT l_partkey,
+        |    min(CAST(l_extendedprice AS DECIMAL(18,2))) AS best_price,
+        |    CAST(min(date_diff('day', date_trunc('day', o_orderdate),
+        |      date_trunc('day', l_shipdate))) AS BIGINT) AS best_lag
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_partkey
+        |), grid AS (
+        |  SELECT best_lag, min(best_price) AS mp FROM m GROUP BY best_lag
+        |), g2 AS (
+        |  SELECT best_lag, mp,
+        |    min(mp) OVER (ORDER BY best_lag ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmin
+        |  FROM grid
+        |)
+        |SELECT m.l_partkey, CAST(m.best_price AS DOUBLE) AS best_price, m.best_lag
+        |FROM m JOIN g2 USING (best_lag)
+        |WHERE m.best_price = g2.mp AND (g2.runmin IS NULL OR g2.runmin > m.best_price)
+        |ORDER BY best_lag, l_partkey""".stripMargin,
     "q_peaks" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

@@ -1126,6 +1126,43 @@ object Relational {
     * exact day arithmetic and the quantiles are the exact
     * interpolating percentile, mean at 6dp over exact longs.
     */
+  /** 2-D Pareto frontier (skyline) of parts on (cheapest offer,
+    * fastest fulfilment): a part is on the frontier when no other
+    * part is at-least-as-good on BOTH best price and best ship lag
+    * and strictly better on one — the procurement menu nobody can
+    * argue with. The classic skyline needs a quadratic NOT-EXISTS
+    * self-join; this plan exploits the 2-D structure instead: reduce
+    * parts to per-LAG minimum price (the lag axis is calendar-
+    * bounded — ship lags span ~120 days regardless of corpus size,
+    * the [[graft.operators.EventAnalytics]] survival-grid move), run
+    * ONE running-min window over that bounded grid, broadcast it
+    * back, and filter at scan stage: survive iff the part's price
+    * equals its lag's minimum AND no strictly-smaller lag reached a
+    * price <= it. All compares are exact DECIMAL/integers; output is
+    * engine-exact with zero float accumulation.
+    */
+  def paretoFrontier(lineitem: DataFrame, orders: DataFrame): DataFrame = {
+    val m = lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_extendedprice"), col("l_shipdate"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(
+        min(col("l_extendedprice").cast(Money)).as("best_price"),
+        min(datediff(date_trunc("day", col("l_shipdate")),
+          date_trunc("day", col("o_orderdate"))).cast("long")).as("best_lag"))
+    val grid = m.groupBy(col("best_lag")).agg(min(col("best_price")).as("mp"))
+    // the only unpartitioned window in the plan runs over the bounded
+    // lag grid (<= max ship lag rows), never over parts
+    val w = Window.orderBy(col("best_lag").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val g2 = grid.withColumn("runmin", min(col("mp")).over(w))
+    m.join(org.apache.spark.sql.functions.broadcast(g2), Seq("best_lag"))
+      .filter(col("best_price") === col("mp") &&
+        (col("runmin").isNull || col("runmin") > col("best_price")))
+      .select(col("l_partkey"),
+        col("best_price").cast("double").as("best_price"), col("best_lag"))
+  }
+
   def shipLagProfile(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey"), col("l_shipdate"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),

@@ -1595,6 +1595,64 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Hurst exponent per key via rescaled-range (R/S) analysis over
+    * block sizes {4, 8, 16} — the long-memory diagnostic beside
+    * [[varianceRatio]] (H ≈ 0.5 random walk, > 0.5 trending,
+    * < 0.5 mean-reverting). Per (key, size): full blocks of daily
+    * returns, within-block mean / cumulative deviation / range R /
+    * population std S, all computed by stacked windows over ONE
+    * (key, size, block) sort so every float accumulates in frame
+    * order (the [[sma]] determinism recipe); per-block ln(R/S)
+    * quantizes ONCE to DECIMAL(18,6) (the welch recipe) so the
+    * across-blocks mean is an exact decimal sum + one IEEE division
+    * — order-independent at any partition count. The size axis is
+    * log-equally-spaced, so the OLS slope collapses to the closed
+    * form (y16 − y4) / (2·ln 2) — one literal-divisor chain, no
+    * float moment sums anywhere. Keys too short for 16-row blocks
+    * surface null, not noise.
+    */
+  def hurst(events: DataFrame,
+            key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val sizes = Seq(4, 8, 16)
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .withColumn("rn", row_number().over(Window.partitionBy(key).orderBy("day")) - 1)
+      .withColumn("n", explode(array(sizes.map(lit): _*)))
+      .withColumn("block", floor(col("rn") / col("n")).cast("long"))
+    val wP   = Window.partitionBy(col(key), col("n"), col("block"))
+    val wSeq = wP.orderBy("day")
+    val full = wSeq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val blocks = rets
+      .withColumn("bn", count(lit(1)).over(wP))
+      .filter(col("bn") === col("n"))
+      .withColumn("mean", avg(col("ret")).over(full))
+      .withColumn("cum",
+        sum(col("ret") - col("mean")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rng", max(col("cum")).over(full) - min(col("cum")).over(full))
+      .withColumn("sd", sqrt(avg(pow(col("ret") - col("mean"), 2)).over(full)))
+      .withColumn("rib", row_number().over(wSeq))
+      .filter(col("rib") === 1 && col("sd") > 0)
+      .select(col(key), col("n"),
+        log(col("rng") / col("sd")).cast("decimal(18,6)").as("lrs"))
+    val y = blocks.groupBy(col(key), col("n"))
+      .agg((sum(col("lrs")).cast("double") / count(lit(1))).as("y"))
+    y.groupBy(col(key))
+      .agg(
+        max(when(col("n") === 4, col("y"))).as("y4r"),
+        max(when(col("n") === 8, col("y"))).as("y8r"),
+        max(when(col("n") === 16, col("y"))).as("y16r"))
+      .select(col(key),
+        // UNROUNDED outputs (the seasonal_decompose recipe): the
+        // block means are exact-decimal sums divided ONCE, which can
+        // terminate exactly on a 6dp half boundary where the two
+        // engines' round() disagree — the raw IEEE doubles are
+        // bit-identical, so no rounding is needed or safe
+        col("y4r").as("y4"),
+        col("y8r").as("y8"),
+        col("y16r").as("y16"),
+        // 2·ln2 as the exact-double literal so both engines share it
+        ((col("y16r") - col("y4r")) / lit(1.3862943611198906)).as("hurst"))
+  }
+
   /** Local-extremum detection on per-key daily closes: a PEAK is a
     * bar strictly above both neighbors with prominence (height over
     * the taller neighbor) >= minProm; a TROUGH is the mirror image.

@@ -434,6 +434,28 @@ object Streams {
     * exactly the batch result once a window closes; watermark bounds
     * the state. Same one-shuffle shape as the batch bar.
     */
+  /** Streaming OHLC candlestick bars — the incremental twin of
+    * [[graft.operators.Relational.ohlcResample]] (the reference's
+    * per-interval candlestick series as a live feed). min_by/max_by/
+    * min/max/count are all associative-mergeable aggregates, so the
+    * micro-batch accumulation is EXACTLY the batch bar once a window
+    * finalizes; watermark bounds the open-window state (one state row
+    * per (key, window), nothing grows with event volume). Same
+    * one-shuffle shape as the batch groupBy.
+    */
+  def ohlcStream(events: DataFrame, width: String = "1 day", watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("user_id"))
+      .agg(
+        min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("n_obs"))
+      .select(col("w.start").as("bar_start"), col("user_id"),
+        col("open"), col("high"), col("low"), col("close"), col("n_obs"))
+
   def vwapStream(events: DataFrame, width: String = "1 day", watermark: String = "1 hour"): DataFrame = {
     val vol = get_json_object(col("props"), "$.k").cast("long")
     events

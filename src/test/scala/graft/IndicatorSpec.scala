@@ -174,6 +174,41 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("hurst: matches a local R/S fold; trending beats alternating") {
+    import spark.implicits._
+    // two deterministic 65-day series: a trending walk (runs persist)
+    // and a strict alternator (every step reverts)
+    def closes(uid: Long, rets: Seq[Double]): Seq[(Long, Long, Long, Double)] = {
+      val cs = rets.scanLeft(100.0)((c, r) => c * (1 + r))
+      cs.zipWithIndex.map { case (c, i) => (uid, uid * 1000 + i, i.toLong * 86400L + 3600L, c) }
+    }
+    val trendR = (0 until 64).map(i => 0.01 + 0.002 * math.sin(i / 5.0))
+    val altR   = (0 until 64).map(i => if (i % 2 == 0) 0.05 else -0.0476190476)
+    val df = (closes(1L, trendR) ++ closes(2L, altR))
+      .toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+    val got = TimeSeries.hurst(df).collect().map(r => r.getLong(0) -> r).toMap
+    // local reference fold of the same recipe
+    def localH(rets: Seq[Double]): Double = {
+      def y(n: Int): Double = {
+        val lrs = rets.grouped(n).filter(_.size == n).flatMap { b =>
+          val mean = b.sum / n
+          val cum  = b.scanLeft(0.0)((a, r) => a + (r - mean)).tail
+          val rng  = cum.max - cum.min
+          val sd   = math.sqrt(b.map(r => math.pow(r - mean, 2)).sum / n)
+          if (sd > 0) Some(BigDecimal(math.log(rng / sd)).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+          else None
+        }.toVector
+        lrs.sum.toDouble / lrs.size
+      }
+      (y(16) - y(4)) / 1.3862943611198906
+    }
+    assert(math.abs(got(1L).getAs[Double]("hurst") - localH(trendR)) < 1e-6, "trending local match")
+    assert(math.abs(got(2L).getAs[Double]("hurst") - localH(altR)) < 1e-6, "alternating local match")
+    assert(got(1L).getAs[Double]("hurst") > 0.6, s"persistent series must read trending")
+    assert(got(2L).getAs[Double]("hurst") < 0.3, s"alternator must read mean-reverting")
+  }
+
   test("peaks: local extrema only, prominence gate applied, endpoints excluded") {
     import spark.implicits._
     // closes: 10, 15(peak prom 3), 12, 11(trough? next 20 -> prom 1), 20(endpoint)

@@ -47,6 +47,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("pareto frontier equals the brute-force dominance scan") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sf)
+    val o  = Tables.orders(spark, sf)
+    val pts = li.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_partkey")
+      .agg(
+        min($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("x"),
+        min(datediff(date_trunc("day", $"l_shipdate"), date_trunc("day", $"o_orderdate")))
+          .cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) => qx <= x && qy <= y && (qx < x || qy < y) }
+    }.map(_._1).toSet
+    val got = Relational.paretoFrontier(li, o).collect().map(_.getLong(0)).toSet
+    assert(got === want, s"missing=${want -- got} extra=${got -- want}")
+    assert(got.nonEmpty)
+  }
+
   test("unpivot: exactly 4 rows per bar and pivoting back recovers the wide bar") {
     import spark.implicits._
     val long = Relational.unpivotOhlc(Tables.events(spark, sf)).cache()

@@ -386,6 +386,23 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
   }
 
+  test("streaming OHLC bars match the batch resample exactly once windows close") {
+    import spark.implicits._
+    val ev  = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ohlc").toString
+    ev.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(ev.schema).parquet(dir)
+    val streamed = Streams.runToMemory(
+      spark, Streams.ohlcStream(stream, "1 day"), "ohlc_test", OutputMode.Complete())
+      .select(date_format($"bar_start", "yyyy-MM-dd").as("day"), $"user_id",
+        $"open", $"high", $"low", $"close", $"n_obs")
+    val batch = graft.operators.Relational.ohlcResample(ev)
+      .select(date_format($"bar_start", "yyyy-MM-dd").as("day"), $"user_id",
+        $"open", $"high", $"low", $"close", $"n_obs")
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() === 0 && batch.except(streamed).count() === 0)
+  }
+
   test("streaming dedup drops a replayed batch's duplicates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dedup").toString
