@@ -452,6 +452,15 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_hurst" -> ((s, dir) =>
       TimeSeries.hurst(Tables.events(s, dir)).orderBy("user_id")),
+    "q_lead_lag_corr" -> ((s, dir) =>
+      TimeSeries.leadLagCorr(Tables.events(s, dir), 0L, 2)
+        .orderBy("user_id", "shift")),
+    "q_zscore_normalize" -> ((s, dir) =>
+      Stats.zscoreNormalize(Tables.events(s, dir)).orderBy("event_id")),
+    "q_target_encoding" -> ((s, dir) =>
+      Stats.targetEncoding(Tables.events(s, dir), 20).orderBy("event_type")),
+    "q_ab_test" -> ((s, dir) =>
+      Stats.abTest(Tables.events(s, dir), "view", "click", 100.0)),
     "q_peaks" -> ((s, dir) =>
       TimeSeries.peaks(Tables.events(s, dir), 5.0)
         .withColumn("day", date_format(col("day"), "yyyy-MM-dd"))
@@ -3622,6 +3631,92 @@ object SparkEntry {
         |SELECT user_id, y4r AS y4, y8r AS y8, y16r AS y16,
         |  (y16r - y4r) / 1.3862943611198906 AS hurst
         |FROM p ORDER BY user_id""".stripMargin,
+    "q_lead_lag_corr" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, CAST(day AS DATE) AS d,
+        |    CAST(close / prev - 1 AS DECIMAL(18,6)) AS x
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), bl AS (
+        |  SELECT b.d - s.shift AS d, s.shift, b.x AS y
+        |  FROM (SELECT d, x FROM r WHERE user_id = 0) b
+        |  CROSS JOIN (SELECT unnest([-2, -1, 0, 1, 2]) AS shift) s
+        |), m AS (
+        |  SELECT r.user_id, bl.shift,
+        |    count(*) AS n_days,
+        |    sum(r.x) AS sx, sum(bl.y) AS sy,
+        |    sum(CAST(r.x AS DECIMAL(19,6)) * CAST(bl.y AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(r.x AS DECIMAL(19,6)) * CAST(r.x AS DECIMAL(19,6))) AS sxx,
+        |    sum(CAST(bl.y AS DECIMAL(19,6)) * CAST(bl.y AS DECIMAL(19,6))) AS syy
+        |  FROM r JOIN bl ON r.d = bl.d
+        |  GROUP BY 1, 2
+        |)
+        |SELECT user_id, CAST(shift AS BIGINT) AS shift, n_days,
+        |  round(CASE WHEN (n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |              AND (n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (n_days * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 6) AS corr
+        |FROM m
+        |ORDER BY user_id, shift""".stripMargin,
+    "q_zscore_normalize" ->
+      """WITH q AS (
+        |  SELECT event_id, user_id, CAST(value AS DECIMAL(18,6)) AS x FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+        |  FROM q GROUP BY user_id
+        |), s AS (
+        |  SELECT user_id, n,
+        |    CAST(sx AS DOUBLE) / n AS mean,
+        |    CASE WHEN n > 1 AND (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1) > 0
+        |      THEN sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+        |    END AS std
+        |  FROM m
+        |)
+        |SELECT q.event_id, q.user_id,
+        |  round((CAST(q.x AS DOUBLE) - s.mean) / s.std, 6) AS z
+        |FROM q JOIN s USING (user_id)
+        |ORDER BY event_id""".stripMargin,
+    "q_target_encoding" ->
+      """WITH per AS (
+        |  SELECT event_type, count(*) AS n, sum(CAST(value AS DECIMAL(18,6))) AS sx
+        |  FROM events GROUP BY event_type
+        |), gtot AS (
+        |  SELECT sum(n) AS gn, sum(sx) AS gsx FROM per
+        |)
+        |SELECT event_type, n,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS raw_mean,
+        |  round((CAST(sx AS DOUBLE) + 20.0 * (CAST(gsx AS DOUBLE) / gn)) / CAST(n + 20 AS DOUBLE), 6) AS encoded
+        |FROM per CROSS JOIN gtot
+        |ORDER BY event_type""".stripMargin,
+    "q_ab_test" ->
+      """WITH m AS (
+        |  SELECT
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+        |    sum(CASE WHEN event_type = 'view' AND value > 100.0 THEN 1 ELSE 0 END) AS sa,
+        |    sum(CASE WHEN event_type = 'click' AND value > 100.0 THEN 1 ELSE 0 END) AS sb
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |)
+        |SELECT na, nb, sa, sb,
+        |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS p_a,
+        |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS p_b,
+        |  round(CASE WHEN na > 0 AND nb > 0
+        |      AND CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE) > 0
+        |      AND CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE) < 1
+        |    THEN (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      / sqrt(CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+        |           * (1.0 - CAST(sa + sb AS DOUBLE) / CAST(na + nb AS DOUBLE))
+        |           * (1.0 / CAST(na AS DOUBLE) + 1.0 / CAST(nb AS DOUBLE)))
+        |    END, 6) AS z
+        |FROM m""".stripMargin,
     "q_pareto_frontier" ->
       """WITH m AS (
         |  SELECT l_partkey,

@@ -1118,14 +1118,6 @@ object Relational {
       round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6).as("r2"))
   }
 
-  /** Order-to-ship lag distribution per order priority: count, mean,
-    * median, p90, and worst lag in days between order and line-item
-    * ship dates — the fulfilment-SLA panel. One fact-fact equi-join
-    * on the order key (both sides shuffle once on it), then the
-    * aggregates land on a BOUNDED priority dimension; the lag is
-    * exact day arithmetic and the quantiles are the exact
-    * interpolating percentile, mean at 6dp over exact longs.
-    */
   /** 2-D Pareto frontier (skyline) of parts on (cheapest offer,
     * fastest fulfilment): a part is on the frontier when no other
     * part is at-least-as-good on BOTH best price and best ship lag
@@ -1163,6 +1155,14 @@ object Relational {
         col("best_price").cast("double").as("best_price"), col("best_lag"))
   }
 
+  /** Order-to-ship lag distribution per order priority: count, mean,
+    * median, p90, and worst lag in days between order and line-item
+    * ship dates — the fulfilment-SLA panel. One fact-fact equi-join
+    * on the order key (both sides shuffle once on it), then the
+    * aggregates land on a BOUNDED priority dimension; the lag is
+    * exact day arithmetic and the quantiles are the exact
+    * interpolating percentile, mean at 6dp over exact longs.
+    */
   def shipLagProfile(lineitem: DataFrame, orders: DataFrame): DataFrame =
     lineitem.select(col("l_orderkey"), col("l_shipdate"))
       .join(orders.select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),

@@ -67,6 +67,97 @@ object Stats {
         coalesce(col("cohort"), lit(-1L)).as("cohort"),
         col("n"), col("total"))
 
+  /** Per-key z-score feature normalization — the standard-scaler ETL
+    * transform (fit per key, apply per row, in one query): z =
+    * (x − mean) / sample std against the key's own distribution.
+    * Values quantize ONCE to DECIMAL(18,6) at the scan (the welch
+    * recipe), so the per-key moments (n, Σx, Σx²) are exact,
+    * order-independent decimal sums at any partition count; the
+    * moment table joins back co-partitioned on the key's own
+    * aggregate hash partitioning and each row's z is one short IEEE
+    * chain. Constant keys (std 0) surface null, not noise. At 100 TB
+    * this is the fit-then-transform split: the tiny moment table is
+    * the "model", the scan-stage chain the "transform".
+    */
+  def zscoreNormalize(events: DataFrame,
+                      key: String = "user_id", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val x   = col(v).cast(dec)
+    val m = events
+      .select(col(key), x.as("x"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+    val nd  = col("n").cast("double")
+    val sxd = col("sx").cast("double"); val sxxd = col("sxx").cast("double")
+    val mean = sxd / nd
+    val varS = (sxxd - sxd * sxd / nd) / (nd - 1)
+    val stats = m.select(col(key), col("n"), mean.as("mean"),
+      when(col("n") > 1 && varS > 0, sqrt(varS)).as("std"))
+    events
+      .join(stats, key)
+      .select(col("event_id"), col(key),
+        round((x.cast("double") - col("mean")) / col("std"), 6).as("z"))
+  }
+
+  /** Smoothed target (mean) encoding of a categorical column — the
+    * classic ML feature-engineering move for high-cardinality
+    * categories: enc = (Σ_cat target + k · global mean) / (n_cat + k),
+    * shrinking rare categories toward the prior so they can't
+    * memorize noise. One aggregate pass builds every category's exact
+    * DECIMAL sums; the global prior is a one-row broadcast derived
+    * from the SAME sums (no second scan); the encode itself is one
+    * IEEE chain per category row. Category count, not corpus size,
+    * bounds the output.
+    */
+  def targetEncoding(events: DataFrame, k: Int = 20,
+                     cat: String = "event_type", v: String = "value"): DataFrame = {
+    require(k >= 0, s"smoothing k must be >= 0: $k")
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val per = events
+      .select(col(cat), col(v).cast(dec).as("x"))
+      .groupBy(col(cat))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val glob = per.agg(sum(col("n")).as("gn"), sum(col("sx")).as("gsx"))
+    per.crossJoin(org.apache.spark.sql.functions.broadcast(glob))
+      .select(col(cat), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("raw_mean"),
+        round((col("sx").cast("double") + lit(k.toDouble) * (col("gsx").cast("double") / col("gn")))
+          / (col("n") + lit(k)).cast("double"), 6).as("encoded"))
+  }
+
+  /** Two-proportion A/B z-test between two event types on a success
+    * predicate (value above a cutoff): the experiment-readout
+    * companion of [[welchTTest]] (means) and [[mannWhitney]] (ranks)
+    * for BINARY outcomes. Everything up to z is exact integer counts
+    * from ONE conditional-aggregate scan; z is a single shared IEEE
+    * chain (pooled proportion, as the classical test prescribes) at
+    * 6dp. Degenerate pools (p̂ = 0 or 1, or an empty arm) surface
+    * null.
+    */
+  def abTest(events: DataFrame, typeA: String, typeB: String, cutoff: Double,
+             key: String = "event_type", v: String = "value"): DataFrame = {
+    val m = events
+      .filter(col(key).isin(typeA, typeB))
+      .select(
+        when(col(key) === typeA, lit(1L)).otherwise(lit(0L)).as("ia"),
+        when(col(v) > cutoff, lit(1L)).otherwise(lit(0L)).as("s"))
+      .agg(
+        sum(col("ia")).as("na"),
+        sum(lit(1L) - col("ia")).as("nb"),
+        sum(when(col("ia") === 1L, col("s")).otherwise(lit(0L))).as("sa"),
+        sum(when(col("ia") === 0L, col("s")).otherwise(lit(0L))).as("sb"))
+    val nad = col("na").cast("double"); val nbd = col("nb").cast("double")
+    val pa  = col("sa").cast("double") / nad
+    val pb  = col("sb").cast("double") / nbd
+    val pp  = (col("sa") + col("sb")).cast("double") / (col("na") + col("nb")).cast("double")
+    val se  = sqrt(pp * (lit(1.0) - pp) * (lit(1.0) / nad + lit(1.0) / nbd))
+    m.select(
+      col("na"), col("nb"), col("sa"), col("sb"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      round(when(col("na") > 0 && col("nb") > 0 && pp > 0 && pp < 1,
+        (pa - pb) / se), 6).as("z"))
+  }
+
   /** Full CUBE over (event_type, cohort): every grain of the
     * two-dimension lattice — (both), (type), (cohort), () — in one
     * pass, completing the [[rollupSummary]] (prefix ladder) /

@@ -1595,6 +1595,49 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Lead-lag cross-correlation of every key's daily returns against
+    * the benchmark's at shifts -maxLag..+maxLag — which instruments
+    * LEAD the index (signal) and which merely follow it (beta in
+    * disguise). corr(r_key(t), r_bench(t+shift)) per (key, shift).
+    * The benchmark series replicates once per shift (a bounded
+    * 2·maxLag+1 axis) and BROADCASTS — the corpus side never
+    * reshuffles for the join and pays one groupBy(key, shift).
+    * Returns quantize ONCE to DECIMAL(18,6) (the welch recipe), the
+    * five moments accumulate exact, and the correlation is one
+    * shared IEEE chain at 6dp — order-independent at any partition
+    * count where a float corr() would drift. The benchmark's own
+    * shift-0 row reads exactly 1, a free self-check.
+    */
+  def leadLagCorr(events: DataFrame, benchmarkId: Long = 0L, maxLag: Int = 2,
+                  key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(maxLag >= 0, s"maxLag must be >= 0: $maxLag")
+    val dec  = org.apache.spark.sql.types.DecimalType(18, 6)
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .select(col(key), to_date(col("day")).as("d"), col("ret").cast(dec).as("x"))
+    val shifts = (-maxLag to maxLag).map(lit(_))
+    val bench = rets.filter(col(key) === benchmarkId)
+      .withColumn("shift", explode(array(shifts: _*)))
+      .select(date_sub(col("d"), col("shift")).as("d"), col("shift"), col("x").as("y"))
+    val m = rets
+      .join(org.apache.spark.sql.functions.broadcast(bench), Seq("d"))
+      .groupBy(col(key), col("shift"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val nd   = col("n_days").cast("double")
+    val sxd  = col("sx").cast("double");  val syd  = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double"); val sxxd = col("sxx").cast("double")
+    val syyd = col("syy").cast("double")
+    val covN = nd * sxyd - sxd * syd
+    val varX = nd * sxxd - sxd * sxd
+    val varY = nd * syyd - syd * syd
+    m.select(col(key), col("shift").cast("long").as("shift"), col("n_days"),
+      round(when(varX > 0 && varY > 0, covN / sqrt(varX * varY)), 6).as("corr"))
+  }
+
   /** Hurst exponent per key via rescaled-range (R/S) analysis over
     * block sizes {4, 8, 16} — the long-memory diagnostic beside
     * [[varianceRatio]] (H ≈ 0.5 random walk, > 0.5 trending,

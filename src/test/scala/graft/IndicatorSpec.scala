@@ -174,6 +174,24 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("lead-lag corr: a series that leads the benchmark peaks at shift +1, self at 0") {
+    import spark.implicits._
+    val n = 40
+    val benchC = (0 to n).map(i => 100.0 + 10 * math.sin(i * 0.7) + i * 0.3)
+    // user 1's day-t close = bench's day-(t+1) close -> r1(t) = rb(t+1)
+    val rows =
+      benchC.zipWithIndex.map { case (c, i) => (0L, i.toLong, i.toLong, c) } ++
+        benchC.drop(1).zipWithIndex.map { case (c, i) => (1L, 1000L + i, i.toLong, c) }
+    val df = rows.toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.leadLagCorr(df, 0L, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    assert(got((0L, 0L)) === 1.0, "benchmark against itself at shift 0 must be exactly 1")
+    assert(got((1L, 1L)) === 1.0, "the leader's shift +1 correlation must be exactly 1")
+    assert(got((1L, 0L)) < 0.999, "contemporaneous corr must not also read 1")
+  }
+
   test("hurst: matches a local R/S fold; trending beats alternating") {
     import spark.implicits._
     // two deterministic 65-day series: a trending walk (runs persist)

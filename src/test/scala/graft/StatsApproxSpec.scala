@@ -186,6 +186,68 @@ class StatsApproxSpec extends AnyFunSuite {
     gs.unpersist()
   }
 
+  test("zscore normalize: unit moments per key, constant key nulls, hand values exact") {
+    import TestSession.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, 10.0), (2L, 1L, 20.0), (3L, 1L, 30.0),
+      (4L, 2L, 7.0), (5L, 2L, 7.0), (6L, 2L, 7.0)
+    ).toDF("event_id", "user_id", "value")
+    val got = Stats.zscoreNormalize(df).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L) === Some(-1.0) && got(2L) === Some(0.0) && got(3L) === Some(1.0))
+    assert(got(4L) === None && got(5L) === None && got(6L) === None, "constant key must null")
+    // fixture: per-key mean(z) ~ 0 and std(z) ~ 1 wherever std exists
+    val z = Stats.zscoreNormalize(Tables.events(spark, TestSession.sf))
+      .groupBy($"user_id").agg(avg($"z").as("m"), stddev_samp($"z").as("s"))
+      .filter($"s".isNotNull).collect()
+    z.foreach { r =>
+      assert(math.abs(r.getAs[Double]("m")) < 1e-4, s"mean z ${r.getAs[Double]("m")}")
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-4, s"std z ${r.getAs[Double]("s")}")
+    }
+  }
+
+  test("target encoding: rare categories shrink toward the prior, k=0 is the raw mean") {
+    import TestSession.spark
+    import spark.implicits._
+    val df = Seq.fill(100)(("common", 10.0)) ++ Seq(("rare", 1000.0))
+    val ev = df.zipWithIndex.map { case ((t, x), i) => (i.toLong, t, x) }
+      .toDF("event_id", "event_type", "value")
+    val enc = Stats.targetEncoding(ev, 20).collect()
+      .map(r => r.getString(0) -> (r.getAs[Double]("raw_mean"), r.getAs[Double]("encoded"))).toMap
+    val gmean = (100 * 10.0 + 1000.0) / 101
+    val (rawR, encR) = enc("rare")
+    assert(rawR === 1000.0)
+    assert(math.abs(encR - gmean) < math.abs(rawR - gmean) * 0.1,
+      s"rare must shrink hard toward the prior: $encR vs $gmean")
+    val k0 = Stats.targetEncoding(ev, 0).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("encoded")).toMap
+    assert(k0("rare") === 1000.0 && k0("common") === 10.0, "k=0 must be the raw mean")
+  }
+
+  test("ab test: hand counts match the textbook pooled z, equal arms read zero") {
+    import TestSession.spark
+    import spark.implicits._
+    def ev(t: String, n: Int, hi: Int) =
+      (0 until n).map(i => (t, if (i < hi) 200.0 else 50.0))
+    val df = (ev("view", 100, 30) ++ ev("click", 100, 30) ++ ev("buy", 5, 5))
+      .zipWithIndex.map { case ((t, x), i) => (i.toLong, t, x) }
+      .toDF("event_id", "event_type", "value")
+    val r = Stats.abTest(df, "view", "click", 100.0).head()
+    assert(r.getAs[Long]("na") === 100L && r.getAs[Long]("sa") === 30L)
+    assert(r.getAs[Double]("z") === 0.0, "identical arms must read exactly zero")
+    val r2 = Stats.abTest(df.withColumn("value",
+      when($"event_type" === "click" && $"event_id" % 2 === 0, 200.0).otherwise($"value")),
+      "view", "click", 100.0).head()
+    // textbook recompute
+    val (na, nb, sa, sb) = (r2.getAs[Long]("na").toDouble, r2.getAs[Long]("nb").toDouble,
+      r2.getAs[Long]("sa").toDouble, r2.getAs[Long]("sb").toDouble)
+    val pp = (sa + sb) / (na + nb)
+    val want = (sa / na - sb / nb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    assert(math.abs(r2.getAs[Double]("z") - want) < 1e-6)
+    assert(r2.getAs[Double]("z") < -2.0, "boosted B arm must be significant")
+  }
+
   test("cube: all four grains present and each re-aggregates to the grand total") {
     import TestSession.spark
     import spark.implicits._
