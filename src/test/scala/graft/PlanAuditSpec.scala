@@ -222,6 +222,40 @@ class PlanAuditSpec extends AnyFunSuite {
       s"strip_spans planned a pair-space join:\n$p")
   }
 
+  test("pareto frontier: the lag grid broadcasts back and no product appears") {
+    val p = planOf("q_pareto_frontier")
+    // the bounded running-min grid must return to the part frame as a
+    // broadcast equi-join — a shuffled join here means the grid was
+    // mistaken for a fact table; a product means the skyline
+    // regressed to the quadratic NOT-EXISTS shape
+    assert(p.contains("BroadcastHashJoin"), s"grid join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline planned a pair-space join:\n$p")
+  }
+
+  test("edit near-dup: the block-size cap gates the self-join; candidates stay equi-keyed") {
+    val p = planOf("q_edit_neardup")
+    // the blk_n <= maxBlock filter must appear (the cap runs BEFORE
+    // the self-join), and the pair join must be an equi join on blk
+    assert("blk_n#\\d+L? <= 256".r.findAllIn(p).nonEmpty,
+      s"block cap filter missing from the plan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"block self-join lost its equi shape:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit near-dup degenerated to an all-pairs product:\n$p")
+  }
+
+  test("unpivot melt is one Expand in the bar stage; lead-lag broadcasts the shifted benchmark") {
+    val u = planOf("q_unpivot_long")
+    assert(u.contains("Expand"), s"unpivot must plan an Expand:\n$u")
+    // exactly the bar groupBy's exchanges — the melt itself adds none
+    // (sort for the output ordering is fine; count data exchanges)
+    val l = planOf("q_lead_lag_corr")
+    assert(l.contains("BroadcastHashJoin") || l.contains("BroadcastExchange"),
+      s"the 5-shift benchmark frame must broadcast:\n$l")
+    assert(!l.contains("CartesianProduct"), s"lead-lag planned a product:\n$l")
+  }
+
   test("correlated subqueries decorrelate into aggregate joins, never per-row re-execution") {
     // Q17 shape: the per-part threshold must become ONE grouped avg
     // over lineitem joined back on l_partkey — visible as a second
