@@ -457,6 +457,18 @@ object SparkEntry {
         .orderBy("user_id", "shift")),
     "q_zscore_normalize" -> ((s, dir) =>
       Stats.zscoreNormalize(Tables.events(s, dir)).orderBy("event_id")),
+    "q_equidepth_histogram" -> ((s, dir) =>
+      Stats.equidepthHistogram(Tables.events(s, dir), 10).orderBy("bucket")),
+    "q_iqr_outliers" -> ((s, dir) =>
+      Stats.iqrOutliers(Tables.events(s, dir)).orderBy("event_type")),
+    "q_user_features" -> ((s, dir) =>
+      EventAnalytics.userFeatures(Tables.events(s, dir)).orderBy("user_id")),
+    "q_contribution_delta" -> ((s, dir) =>
+      Relational.contributionDelta(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.nation(s, dir),
+        "1995-01-01", "1996-01-01", "1996-01-01", "1997-01-01")
+        .orderBy("n_name", "o_orderpriority")),
     "q_target_encoding" -> ((s, dir) =>
       Stats.targetEncoding(Tables.events(s, dir), 20).orderBy("event_type")),
     "q_ab_test" -> ((s, dir) =>
@@ -3666,6 +3678,80 @@ object SparkEntry {
         |    END, 6) AS corr
         |FROM m
         |ORDER BY user_id, shift""".stripMargin,
+    "q_equidepth_histogram" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cs
+        |  FROM events
+        |)
+        |SELECT bucket, count(*) AS n, min(value) AS lo, max(value) AS hi FROM (
+        |  SELECT value, CAST(
+        |    CASE WHEN value < cs[1] THEN 0 WHEN value < cs[2] THEN 1
+        |         WHEN value < cs[3] THEN 2 WHEN value < cs[4] THEN 3
+        |         WHEN value < cs[5] THEN 4 WHEN value < cs[6] THEN 5
+        |         WHEN value < cs[7] THEN 6 WHEN value < cs[8] THEN 7
+        |         WHEN value < cs[9] THEN 8 ELSE 9 END AS BIGINT) AS bucket
+        |  FROM events CROSS JOIN cuts
+        |)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
+    "q_iqr_outliers" ->
+      """WITH q AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.25) AS q1, quantile_cont(value, 0.75) AS q3
+        |  FROM events GROUP BY event_type
+        |), f AS (
+        |  SELECT event_type, q1, q3,
+        |    q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+        |  FROM q
+        |)
+        |SELECT e.event_type, count(*) AS n,
+        |  round(max(f.q1), 6) AS q1, round(max(f.q3), 6) AS q3,
+        |  round(max(f.lo), 6) AS fence_lo, round(max(f.hi), 6) AS fence_hi,
+        |  sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS n_outliers,
+        |  sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
+        |    / CAST(count(*) AS DOUBLE) AS outlier_rate
+        |FROM events e JOIN f USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY e.event_type""".stripMargin,
+    "q_user_features" ->
+      """WITH per AS (
+        |  SELECT user_id, count(*) AS n_events,
+        |    count(DISTINCT date_trunc('day', ts)) AS n_days_active,
+        |    count(DISTINCT event_type) AS n_types,
+        |    min(date_trunc('day', ts)) AS first_day,
+        |    max(date_trunc('day', ts)) AS last_day,
+        |    sum(CAST(value AS DECIMAL(18,6))) AS sx
+        |  FROM events GROUP BY user_id
+        |), e AS (SELECT max(date_trunc('day', ts)) AS corpus_end FROM events)
+        |SELECT user_id, n_events, n_days_active, n_types,
+        |  CAST(date_diff('day', first_day, last_day) AS BIGINT) AS tenure_days,
+        |  CAST(date_diff('day', last_day, corpus_end) AS BIGINT) AS recency_days,
+        |  CAST(sx AS DOUBLE) / n_events AS mean_value,
+        |  CAST(n_events AS DOUBLE) / (date_diff('day', first_day, last_day) + 1) AS events_per_day
+        |FROM per CROSS JOIN e
+        |ORDER BY user_id""".stripMargin,
+    "q_contribution_delta" ->
+      """WITH cells AS (
+        |  SELECT n_name, o_orderpriority,
+        |    coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END), 0) AS rev_a,
+        |    coalesce(sum(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) END), 0) AS rev_b
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2
+        |), w AS (SELECT *, rev_b - rev_a AS delta FROM cells
+        |), t AS (SELECT sum(delta) AS total_delta FROM w)
+        |SELECT n_name, o_orderpriority,
+        |  CAST(rev_a AS DOUBLE) AS rev_a, CAST(rev_b AS DOUBLE) AS rev_b,
+        |  CAST(delta AS DOUBLE) AS delta,
+        |  round(CASE WHEN total_delta != 0
+        |    THEN CAST(delta AS DOUBLE) / CAST(total_delta AS DOUBLE) END, 6) AS share_of_move
+        |FROM w CROSS JOIN t
+        |ORDER BY n_name, o_orderpriority""".stripMargin,
     "q_zscore_normalize" ->
       """WITH q AS (
         |  SELECT event_id, user_id, CAST(value AS DECIMAL(18,6)) AS x FROM events

@@ -444,4 +444,40 @@ object EventAnalytics {
         round(sum(col("churned")).cast("double") / count(lit(1)).cast("double"), 6)
           .as("churn_rate"))
   }
+
+  /** Feature-store assembly: the one-row-per-user feature vector a
+    * churn/LTV model trains on — event volume, active days, distinct
+    * behaviors, tenure, recency vs corpus end, exact-decimal mean
+    * value. ONE aggregate pass over the fact (the distinct counts
+    * expand map-side, the q_profile_table move, so it is a single
+    * job — never scan-per-feature); the corpus end is a one-row
+    * broadcast; recency/tenure are exact day arithmetic; mean value
+    * is an exact DECIMAL(18,6) sum imaged once (welch recipe).
+    */
+  def userFeatures(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val per = events
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"),
+        col("event_type"), col("value").cast(dec).as("x"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("day")).as("n_days_active"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"),
+        sum(col("x")).as("sx"))
+    val end = events.agg(max(date_trunc("day", col("ts"))).as("corpus_end"))
+    per.crossJoin(org.apache.spark.sql.functions.broadcast(end))
+      .select(col("user_id"), col("n_events"), col("n_days_active"), col("n_types"),
+        datediff(col("last_day"), col("first_day")).cast("long").as("tenure_days"),
+        datediff(col("corpus_end"), col("last_day")).cast("long").as("recency_days"),
+        // UNROUNDED (the seasonal_decompose recipe): exact-decimal /
+        // exact-count quotients can land on 6dp half boundaries where
+        // the engines' round() disagree; the raw divisions are
+        // bit-identical
+        (col("sx").cast("double") / col("n_events")).as("mean_value"),
+        (col("n_events").cast("double") / (datediff(col("last_day"), col("first_day")) + 1))
+          .as("events_per_day"))
+  }
 }

@@ -1118,6 +1118,47 @@ object Relational {
       round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6).as("r2"))
   }
 
+  /** Period-over-period contribution analysis: which (nation,
+    * priority) cells drove the revenue change between two date
+    * windows — the first question after any topline move. One
+    * conditional-aggregate pass builds both periods' exact DECIMAL
+    * revenue per cell (never two scans); the total delta derives
+    * from the same cell frame and broadcasts one row; each cell's
+    * share of the move is one IEEE division. Cells = bounded dim
+    * cross product, so output never grows with the fact table.
+    */
+  def contributionDelta(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame,
+                        fromA: String, toA: String, fromB: String, toB: String): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    val inA = col("o_orderdate") >= lit(fromA).cast("timestamp") && col("o_orderdate") < lit(toA).cast("timestamp")
+    val inB = col("o_orderdate") >= lit(fromB).cast("timestamp") && col("o_orderdate") < lit(toB).cast("timestamp")
+    val cells = lineitem
+      .join(orders.filter(inA || inB)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderpriority"))
+      .agg(
+        sum(when(inA, rev)).as("rev_a"),
+        sum(when(inB, rev)).as("rev_b"))
+      .select(col("n_name"), col("o_orderpriority"),
+        coalesce(col("rev_a"), lit(0).cast(Money)).as("rev_a"),
+        coalesce(col("rev_b"), lit(0).cast(Money)).as("rev_b"))
+      .withColumn("delta", col("rev_b") - col("rev_a"))
+    val tot = cells.agg(sum(col("delta")).as("total_delta"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("n_name"), col("o_orderpriority"),
+        col("rev_a").cast("double").as("rev_a"),
+        col("rev_b").cast("double").as("rev_b"),
+        col("delta").cast("double").as("delta"),
+        round(when(col("total_delta") =!= 0,
+          col("delta").cast("double") / col("total_delta").cast("double")), 6).as("share_of_move"))
+  }
+
   /** 2-D Pareto frontier (skyline) of parts on (cheapest offer,
     * fastest fulfilment): a part is on the frontier when no other
     * part is at-least-as-good on BOTH best price and best ship lag

@@ -67,6 +67,64 @@ object Stats {
         coalesce(col("cohort"), lit(-1L)).as("cohort"),
         col("n"), col("total"))
 
+  /** Equi-DEPTH histogram over the value column: k buckets holding
+    * ~n/k rows each, boundaries at the exact interpolating
+    * percentiles — the complement of [[histogram]]'s fixed-width
+    * bins (equi-width starves the tails; equi-depth puts resolution
+    * where the data is, and IS the statistics histogram an optimizer
+    * keeps). The k−1 cut points are ONE aggregate row broadcast back;
+    * bucket assignment is a scan-stage compare chain. At 100 TB the
+    * exact percentile swaps for approx_percentile (its checked twin
+    * is q_approx_percentiles) and the shape is unchanged.
+    */
+  def equidepthHistogram(events: DataFrame, k: Int = 10, v: String = "value"): DataFrame = {
+    require(k >= 2 && k <= 100, s"bucket count out of range: $k")
+    val probs = (1 until k).map(_.toDouble / k)
+    val cuts = events.agg(percentile(col(v), lit(probs.toArray)).as("cuts"))
+    val bucket = (1 until k).reverse.foldLeft(lit(k - 1)) { (acc, i) =>
+      // built highest-cut-innermost so the assembled CASE chain tests
+      // the LOWEST cut first — the first cut the value is below wins
+      when(col(v) < element_at(col("cuts"), i), lit(i - 1)).otherwise(acc)
+    }
+    events
+      .crossJoin(org.apache.spark.sql.functions.broadcast(cuts))
+      .groupBy(bucket.cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col(v)).as("lo"), max(col(v)).as("hi"))
+  }
+
+  /** Tukey IQR outlier fences per event type: q1/q3, the 1.5·IQR
+    * fences, and the count/share of rows outside them — the boxplot
+    * outlier rule beside [[robustZscore]]'s MAD z. The percentile
+    * pass reduces to one row per type (bounded dim, broadcast back);
+    * the fence check is a scan-stage compare; counts exact, share
+    * one division. Exact interpolating percentiles both engines
+    * share; fences are IEEE chains on those exact values.
+    */
+  def iqrOutliers(events: DataFrame, mult: Double = 1.5,
+                  key: String = "event_type", v: String = "value"): DataFrame = {
+    require(mult > 0, s"fence multiplier must be positive: $mult")
+    val q = events.groupBy(col(key))
+      .agg(percentile(col(v), lit(Array(0.25, 0.75))).as("qs"))
+      .select(col(key), element_at(col("qs"), 1).as("q1"), element_at(col("qs"), 2).as("q3"))
+      .withColumn("lo", col("q1") - lit(mult) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(mult) * (col("q3") - col("q1")))
+    events
+      .join(org.apache.spark.sql.functions.broadcast(q), key)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("q1")).as("q1x"), max(col("q3")).as("q3x"),
+        max(col("lo")).as("lox"), max(col("hi")).as("hix"),
+        sum(when(col(v) < col("lo") || col(v) > col("hi"), 1L).otherwise(0L)).as("n_outliers"))
+      .select(col(key), col("n"),
+        round(col("q1x"), 6).as("q1"), round(col("q3x"), 6).as("q3"),
+        round(col("lox"), 6).as("fence_lo"), round(col("hix"), 6).as("fence_hi"),
+        col("n_outliers"),
+        // UNROUNDED: an exact-count quotient can terminate on a 6dp
+        // half boundary; the raw IEEE division is bit-identical
+        (col("n_outliers").cast("double") / col("n")).as("outlier_rate"))
+  }
+
   /** Per-key z-score feature normalization — the standard-scaler ETL
     * transform (fit per key, apply per row, in one query): z =
     * (x − mean) / sample std against the key's own distribution.

@@ -279,4 +279,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.toSeq === Seq((1L, 4L, 2L, 1.0), (2L, 4L, 1L, 0.0), (3L, 4L, 4L, 2.0)))
   }
+
+  test("user features: hand-built tenure/recency/means, one row per user") {
+    import spark.implicits._
+    // user 1: days 0,0,2 (two events day 0) values 10,20,30; user 2: day 4 value 8
+    val rows = Seq(
+      (1L, 0, 1, "view", 10.0), (1L, 0, 2, "click", 20.0), (1L, 2, 1, "view", 30.0),
+      (2L, 4, 1, "buy", 8.0))
+    val ev = rows.zipWithIndex.map { case ((u, d, h, t, x), i) => (i.toLong, u, d, h, t, x) }
+      .toDF("event_id", "user_id", "d", "h", "event_type", "value")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) +
+        $"d" * 86400000000L + $"h" * 3600000000L))
+    val got = EventAnalytics.userFeatures(ev).orderBy($"user_id").collect()
+    val u1 = got(0)
+    assert(u1.getAs[Long]("n_events") === 3L && u1.getAs[Long]("n_days_active") === 2L)
+    assert(u1.getAs[Long]("n_types") === 2L)
+    assert(u1.getAs[Long]("tenure_days") === 2L, "day 0 to day 2")
+    assert(u1.getAs[Long]("recency_days") === 2L, "corpus end day 4 minus last day 2")
+    assert(u1.getAs[Double]("mean_value") === 20.0)
+    assert(u1.getAs[Double]("events_per_day") === 1.0, "3 events over 3 calendar days")
+    val u2 = got(1)
+    assert(u2.getAs[Long]("tenure_days") === 0L && u2.getAs[Long]("recency_days") === 0L)
+    assert(u2.getAs[Double]("mean_value") === 8.0)
+    assert(got.length === 2)
+  }
 }

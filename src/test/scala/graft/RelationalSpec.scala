@@ -47,6 +47,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("contribution delta: shares sum to 1 and cells re-aggregate to the period totals") {
+    import spark.implicits._
+    val got = Relational.contributionDelta(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf),
+      "1995-01-01", "1996-01-01", "1996-01-01", "1997-01-01").cache()
+    val s = got.agg(sum($"rev_a"), sum($"rev_b"), sum($"delta"), sum($"share_of_move")).head()
+    assert(math.abs((s.getDouble(1) - s.getDouble(0)) - s.getDouble(2)) < 1e-4,
+      "total delta must equal total rev_b - rev_a")
+    assert(math.abs(s.getDouble(3) - 1.0) < 1e-4, s"shares must sum to 1, got ${s.getDouble(3)}")
+    got.collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("delta") -
+        (r.getAs[Double]("rev_b") - r.getAs[Double]("rev_a"))) < 1e-6)
+    }
+    got.unpersist()
+  }
+
   test("pareto frontier equals the brute-force dominance scan") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sf)

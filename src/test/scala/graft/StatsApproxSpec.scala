@@ -186,6 +186,38 @@ class StatsApproxSpec extends AnyFunSuite {
     gs.unpersist()
   }
 
+  test("equi-depth histogram: buckets near n/k, counts conserve, ranges ordered") {
+    import TestSession.spark
+    import spark.implicits._
+    val ev = Tables.events(spark, TestSession.sf)
+    val n  = ev.count()
+    val h  = Stats.equidepthHistogram(ev, 10).orderBy($"bucket").collect()
+    assert(h.map(_.getAs[Long]("n")).sum === n, "buckets must cover every row")
+    assert(h.length === 10)
+    h.foreach { r =>
+      val cnt = r.getAs[Long]("n")
+      assert(math.abs(cnt - n / 10.0) < n * 0.05, s"bucket ${r.getLong(0)} holds $cnt of $n")
+      assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi"))
+    }
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9, "ranges must not overlap")
+    }
+  }
+
+  test("iqr outliers: hand fences, the planted outlier is the only flag") {
+    import TestSession.spark
+    import spark.implicits._
+    val vals = (1 to 99).map(_.toDouble) :+ 1000.0
+    val df = vals.zipWithIndex.map { case (x, i) => (i.toLong, "a", x) }
+      .toDF("event_id", "event_type", "value")
+    val r = Stats.iqrOutliers(df).head()
+    val (q1, q3) = (r.getAs[Double]("q1"), r.getAs[Double]("q3"))
+    assert(math.abs(r.getAs[Double]("fence_lo") - (q1 - 1.5 * (q3 - q1))) < 1e-5)
+    assert(math.abs(r.getAs[Double]("fence_hi") - (q3 + 1.5 * (q3 - q1))) < 1e-5)
+    assert(r.getAs[Long]("n_outliers") === 1L, "exactly the planted 1000.0")
+    assert(math.abs(r.getAs[Double]("outlier_rate") - 0.01) < 1e-9)
+  }
+
   test("zscore normalize: unit moments per key, constant key nulls, hand values exact") {
     import TestSession.spark
     import spark.implicits._
