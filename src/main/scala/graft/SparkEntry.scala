@@ -463,6 +463,25 @@ object SparkEntry {
       Stats.iqrOutliers(Tables.events(s, dir)).orderBy("event_type")),
     "q_user_features" -> ((s, dir) =>
       EventAnalytics.userFeatures(Tables.events(s, dir)).orderBy("user_id")),
+    "q_key_skew" -> ((s, dir) =>
+      Relational.keySkew(Tables.lineitem(s, dir), "l_orderkey")),
+    // reconcile events against a deterministically-perturbed derived
+    // copy (2% rows dropped, 2% values shifted via the md5 bucket
+    // rule) — the migration-validation shape with a known answer
+    "q_reconcile" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value").cast("decimal(18,6)").as("v6"))
+      val bucket =
+        conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+      val b = ev.filter(bucket >= 2)
+        .withColumn("v6",
+          when(bucket < 4, (col("v6").cast("double") + 1).cast("decimal(18,6)"))
+            .otherwise(col("v6")))
+      Relational.reconcile(ev, b, "event_id", Seq("user_id", "event_type", "v6"))
+    }),
+    "q_top_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(Tables.events(s, dir), 5, 10)),
     "q_contribution_delta" -> ((s, dir) =>
       Relational.contributionDelta(
         Tables.lineitem(s, dir), Tables.orders(s, dir),
@@ -3730,6 +3749,51 @@ object SparkEntry {
         |  CAST(n_events AS DOUBLE) / (date_diff('day', first_day, last_day) + 1) AS events_per_day
         |FROM per CROSS JOIN e
         |ORDER BY user_id""".stripMargin,
+    "q_key_skew" ->
+      """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_per_key,
+        |  quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90,
+        |  quantile_cont(n, 0.99) AS p99,
+        |  CAST(sum(n) AS DOUBLE) / count(*) AS mean_per_key,
+        |  CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*)) AS skew_ratio
+        |FROM k""".stripMargin,
+    "q_reconcile" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, event_type, CAST(value AS DECIMAL(18,6)) AS v6,
+        |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM events
+        |), a AS (
+        |  SELECT event_id,
+        |    md5(concat_ws('', CAST(user_id AS VARCHAR), event_type, CAST(v6 AS VARCHAR))) AS fp_a
+        |  FROM src
+        |), bsrc AS (
+        |  SELECT event_id, user_id, event_type,
+        |    CASE WHEN bucket < 4 THEN CAST(CAST(v6 AS DOUBLE) + 1 AS DECIMAL(18,6)) ELSE v6 END AS v6
+        |  FROM src WHERE bucket >= 2
+        |), b AS (
+        |  SELECT event_id,
+        |    md5(concat_ws('', CAST(user_id AS VARCHAR), event_type, CAST(v6 AS VARCHAR))) AS fp_b
+        |  FROM bsrc
+        |)
+        |SELECT
+        |  sum(CASE WHEN fp_a IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
+        |  sum(CASE WHEN fp_b IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
+        |  sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NULL THEN 1 ELSE 0 END) AS only_a,
+        |  sum(CASE WHEN fp_a IS NULL AND fp_b IS NOT NULL THEN 1 ELSE 0 END) AS only_b,
+        |  sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS n_match,
+        |  sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL AND fp_a != fp_b THEN 1 ELSE 0 END) AS n_diff
+        |FROM a FULL OUTER JOIN b USING (event_id)""".stripMargin,
+    "q_top_paths" ->
+      """WITH ranked AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM ranked WHERE rn <= 5 GROUP BY user_id
+        |)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY path
+        |ORDER BY n_users DESC, path ASC LIMIT 10""".stripMargin,
     "q_contribution_delta" ->
       """WITH cells AS (
         |  SELECT n_name, o_orderpriority,

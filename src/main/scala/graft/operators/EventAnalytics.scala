@@ -445,6 +445,32 @@ object EventAnalytics {
           .as("churn_rate"))
   }
 
+  /** Top user journeys: the most frequent opening event-type paths
+    * (each user's first `depth` events in (ts, event_id) order,
+    * joined as a path string), with user counts — the session-flow
+    * complement of [[topTransitions]]'s single edges. Determinism at
+    * any partition count: the per-user sequence is array_sort over
+    * (ts_us, event_id, type) structs collected in ONE user-keyed
+    * aggregate — never collect_list's arrival order — and the path
+    * head is truncated AFTER the exact sort. Top-k is a TakeOrdered
+    * heap with the path string as tiebreak, never a global sort of
+    * the path universe.
+    */
+  def topPaths(events: DataFrame, depth: Int = 5, k: Int = 10): DataFrame = {
+    require(depth >= 1 && k >= 1, s"bad params depth=$depth k=$k")
+    val paths = events
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+          col("event_type").as("ty")).as("s"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(col("s"))).as("seq"))
+      .select(
+        array_join(transform(slice(col("seq"), 1, depth), x => x("ty")), ">").as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Feature-store assembly: the one-row-per-user feature vector a
     * churn/LTV model trains on — event volume, active days, distinct
     * behaviors, tenure, recency vs corpus end, exact-decimal mean

@@ -1118,6 +1118,56 @@ object Relational {
       round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6).as("r2"))
   }
 
+  /** Join-key skew diagnostic — the one-row report that decides
+    * whether a join needs [[saltedJoin]] BEFORE it burns a cluster:
+    * per-key row counts reduced in one aggregate, then distribution
+    * stats (max, mean, exact p50/p90/p99, max/mean skew ratio) over
+    * the REDUCED key frame. At 100 TB the key frame is still one row
+    * per distinct key — the percentile runs over keys, never rows —
+    * and the single output row is the planning signal. Exact counts;
+    * quotients are deliberately UNROUNDED single IEEE divisions.
+    */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"),
+        max(col("n")).as("max_per_key"),
+        percentile(col("n"), lit(Array(0.5, 0.9, 0.99))).as("ps"))
+      .select(col("n_keys"), col("n_rows"), col("max_per_key"),
+        element_at(col("ps"), 1).as("p50"),
+        element_at(col("ps"), 2).as("p90"),
+        element_at(col("ps"), 3).as("p99"),
+        (col("n_rows").cast("double") / col("n_keys")).as("mean_per_key"),
+        (col("max_per_key").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys"))).as("skew_ratio"))
+
+  /** Table reconciliation — the migration/backfill validator: full
+    * outer join of two tables on the business key, comparing a
+    * row-content fingerprint, reduced to one summary row (rows only
+    * in A, only in B, matching, differing). ONE co-partitioned
+    * shuffle on the key; the content compare is a codegen'd md5 over
+    * the canonicalized columns, so no wide row ever crosses the
+    * network twice. This is how you sign off "the new pipeline
+    * produces the old table" at 100 TB without collecting anything.
+    */
+  def reconcile(a: DataFrame, b: DataFrame, keyCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "reconcile needs at least one content column")
+    def fp(df: DataFrame): DataFrame =
+      df.select(col(keyCol),
+        md5(concat_ws("", cols.map(c => col(c).cast("string")): _*)).as("fp"))
+    fp(a).withColumnRenamed("fp", "fp_a")
+      .join(fp(b).withColumnRenamed("fp", "fp_b"), Seq(keyCol), "full_outer")
+      .agg(
+        sum(when(col("fp_a").isNotNull, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("fp_b").isNotNull, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("fp_a").isNotNull && col("fp_b").isNull, 1L).otherwise(0L)).as("only_a"),
+        sum(when(col("fp_a").isNull && col("fp_b").isNotNull, 1L).otherwise(0L)).as("only_b"),
+        sum(when(col("fp_a") === col("fp_b"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("fp_a").isNotNull && col("fp_b").isNotNull && col("fp_a") =!= col("fp_b"),
+          1L).otherwise(0L)).as("n_diff"))
+  }
+
   /** Period-over-period contribution analysis: which (nation,
     * priority) cells drove the revenue change between two date
     * windows — the first question after any topline move. One

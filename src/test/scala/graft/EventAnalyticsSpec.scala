@@ -280,6 +280,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 4L, 2L, 1.0), (2L, 4L, 1L, 0.0), (3L, 4L, 4L, 2.0)))
   }
 
+  test("top paths: order by time not arrival, depth cap applied, counts grouped") {
+    import spark.implicits._
+    // user 1 and 2 share view>click>buy; user 3 is click>view; user 4
+    // has 7 events but only the first 5 form the path
+    val rows = Seq(
+      (1L, Seq("view", "click", "buy")),
+      (2L, Seq("view", "click", "buy")),
+      (3L, Seq("click", "view")),
+      (4L, Seq("a", "b", "c", "d", "e", "f", "g")))
+    // emit events REVERSED so arrival order differs from event time
+    val ev = rows.flatMap { case (u, seq) =>
+      seq.zipWithIndex.reverseIterator.map { case (t, i) => (u * 100 + i, u, i, t) }
+    }.toDF("event_id", "user_id", "h", "event_type")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + $"h" * 3600000000L))
+    val got = EventAnalytics.topPaths(ev, 5, 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("view>click>buy") === 2L)
+    assert(got("click>view") === 1L)
+    assert(got("a>b>c>d>e") === 1L, s"depth cap must keep the first 5: $got")
+    assert(got.size === 3)
+  }
+
   test("user features: hand-built tenure/recency/means, one row per user") {
     import spark.implicits._
     // user 1: days 0,0,2 (two events day 0) values 10,20,30; user 2: day 4 value 8

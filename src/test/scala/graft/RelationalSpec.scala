@@ -47,6 +47,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("key skew: hand-built distribution, identities hold") {
+    import spark.implicits._
+    // 10 keys with 1 row, 1 key with 90 rows
+    val rows = (1 to 10).map(k => (k.toLong, 1)) ++ Seq((99L, 90))
+    val df = rows.flatMap { case (k, n) => Seq.fill(n)(k) }.zipWithIndex
+      .map { case (k, i) => (i.toLong, k) }.toDF("row_id", "k")
+    val r = Relational.keySkew(df, "k").head()
+    assert(r.getAs[Long]("n_keys") === 11L && r.getAs[Long]("n_rows") === 100L)
+    assert(r.getAs[Long]("max_per_key") === 90L)
+    assert(r.getAs[Double]("p50") === 1.0)
+    assert(math.abs(r.getAs[Double]("mean_per_key") - 100.0 / 11) < 1e-9)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 90.0 / (100.0 / 11)) < 1e-9)
+  }
+
+  test("reconcile: identical tables fully match; planted drift is counted exactly") {
+    import spark.implicits._
+    val a = (1L to 100L).map(i => (i, i * 2, s"t$i")).toDF("id", "v", "s")
+    val same = Relational.reconcile(a, a, "id", Seq("v", "s")).head()
+    assert(same.getAs[Long]("n_match") === 100L && same.getAs[Long]("only_a") === 0L &&
+      same.getAs[Long]("only_b") === 0L && same.getAs[Long]("n_diff") === 0L)
+    // b: drop ids 1-5, corrupt ids 6-10, add ids 101-102
+    val b = ((6L to 100L).map(i => (i, if (i <= 10) i * 2 + 1 else i * 2, s"t$i")) ++
+      Seq((101L, 0L, "x"), (102L, 0L, "y"))).toDF("id", "v", "s")
+    val r = Relational.reconcile(a, b, "id", Seq("v", "s")).head()
+    assert(r.getAs[Long]("n_a") === 100L && r.getAs[Long]("n_b") === 97L)
+    assert(r.getAs[Long]("only_a") === 5L && r.getAs[Long]("only_b") === 2L)
+    assert(r.getAs[Long]("n_diff") === 5L && r.getAs[Long]("n_match") === 90L)
+  }
+
   test("contribution delta: shares sum to 1 and cells re-aggregate to the period totals") {
     import spark.implicits._
     val got = Relational.contributionDelta(
