@@ -62,7 +62,13 @@ object Explain {
         "q_runs_test", "q_discount_elasticity", "q_gini",
         "q_inter_event", "q_hourly_profile", "q_top_pc",
         "q_centroid_outliers", "q_embed_drift", "q_dup_rate_by_source",
-        "q_pc_project", "q_class_balance")
+        "q_pc_project", "q_class_balance",
+        "q_ichimoku", "q_pivot_points", "q_cube", "q_unpivot_long",
+        "q_edit_neardup", "q_ivf_recall", "q_peaks", "q_cluster_silhouette",
+        "q_bfs_layers", "q_hurst", "q_pareto_frontier", "q_lead_lag_corr",
+        "q_zscore_normalize", "q_target_encoding", "q_ab_test",
+        "q_contribution_delta", "q_equidepth_histogram", "q_iqr_outliers",
+        "q_user_features", "q_key_skew", "q_reconcile", "q_top_paths")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
