@@ -452,6 +452,10 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_hurst" -> ((s, dir) =>
       TimeSeries.hurst(Tables.events(s, dir)).orderBy("user_id")),
+    "q_volume_profile" -> ((s, dir) =>
+      TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
+    "q_drawdown_episodes" -> ((s, dir) =>
+      TimeSeries.drawdownEpisodes(Tables.events(s, dir)).orderBy("user_id", "eid")),
     "q_lead_lag_corr" -> ((s, dir) =>
       TimeSeries.leadLagCorr(Tables.events(s, dir), 0L, 2)
         .orderBy("user_id", "shift")),
@@ -3662,6 +3666,54 @@ object SparkEntry {
         |SELECT user_id, y4r AS y4, y8r AS y8, y16r AS y16,
         |  (y16r - y4r) / 1.3862943611198906 AS hurst
         |FROM p ORDER BY user_id""".stripMargin,
+    "q_volume_profile" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), rng AS (
+        |  SELECT user_id, min(close) AS lo, max(close) AS hi FROM bars GROUP BY user_id
+        |), binned AS (
+        |  SELECT b.user_id,
+        |    CASE WHEN r.hi = r.lo THEN 0
+        |         ELSE least(9, CAST(floor((b.close - r.lo) * 10 / (r.hi - r.lo)) AS BIGINT)) END AS bin,
+        |    b.close, b.volume
+        |  FROM bars b JOIN rng r USING (user_id)
+        |), prof AS (
+        |  SELECT user_id, bin, count(*) AS n_days, sum(volume) AS volume,
+        |    min(close) AS px_lo, max(close) AS px_hi
+        |  FROM binned GROUP BY 1, 2
+        |)
+        |SELECT user_id, bin, n_days, volume, px_lo, px_hi,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY volume DESC, bin ASC) = 1 AS poc
+        |FROM prof
+        |ORDER BY user_id, bin""".stripMargin,
+    "q_drawdown_episodes" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), p AS (
+        |  SELECT user_id, day, close,
+        |    max(close) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+        |  FROM c
+        |), f AS (
+        |  SELECT *, CASE WHEN close >= peak THEN 1 ELSE 0 END AS at_peak FROM p
+        |), e AS (
+        |  SELECT *,
+        |    CAST(sum(at_peak) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS eid,
+        |    max(day) OVER (PARTITION BY user_id) AS last_day
+        |  FROM f
+        |)
+        |SELECT user_id, eid,
+        |  strftime(min(day), '%Y-%m-%d') AS start_day,
+        |  strftime(max(day), '%Y-%m-%d') AS end_day,
+        |  count(*) AS n_days,
+        |  round(min(close / peak - 1), 6) AS max_depth,
+        |  max(day) < max(last_day) AS recovered
+        |FROM e WHERE at_peak = 0
+        |GROUP BY 1, 2
+        |ORDER BY user_id, eid""".stripMargin,
     "q_lead_lag_corr" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

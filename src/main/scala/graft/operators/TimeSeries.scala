@@ -1595,6 +1595,72 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Volume profile per key: daily volume binned into `bins`
+    * equi-width price levels between the key's own low/high close,
+    * with the point of control (the level where the most volume
+    * traded — the price the market agreed on). Two aggregates on the
+    * SAME key partitioning (range reduce + join back co-partitioned,
+    * then the bin rollup) plus one rank window over the ≤bins-row
+    * per-key profile. Volume is exact-long JSON-props `k`; the bin
+    * index is one IEEE chain with a top-edge clamp; flat keys
+    * collapse to bin 0 by convention.
+    */
+  def volumeProfile(events: DataFrame, bins: Int = 10,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(bins >= 1, s"bins must be positive: $bins")
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    val bars = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+    val rng = bars.groupBy(col(key))
+      .agg(min(col("close")).as("lo"), max(col("close")).as("hi"))
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(bins - 1L),
+        floor((col("close") - col("lo")) * bins / (col("hi") - col("lo"))).cast("long")))
+    val prof = bars.join(rng, key)
+      .withColumn("bin", bin)
+      .groupBy(col(key), col("bin"))
+      .agg(count(lit(1)).as("n_days"), sum(col("volume")).as("volume"),
+        min(col("close")).as("px_lo"), max(col("close")).as("px_hi"))
+    val w = Window.partitionBy(key).orderBy(col("volume").desc, col("bin").asc)
+    prof
+      .withColumn("poc", row_number().over(w) === 1)
+      .select(col(key), col("bin"), col("n_days"), col("volume"),
+        col("px_lo"), col("px_hi"), col("poc"))
+  }
+
+  /** Drawdown episode table per key: each maximal run of days below
+    * the prevailing peak, with start/end, length, depth at the
+    * trough, and whether the peak was recovered — the episode-level
+    * richness [[maxDrawdown]]'s single number and
+    * [[drawdownDuration]]'s worst-case flatten away. One (key, day)
+    * sort serves the running max, the new-high episode counter
+    * (cumsum of at-peak flags), and the per-episode rollup; the
+    * recovered flag is exact by construction (an episode not ending
+    * on the key's last day was ended BY a new high). Depth is one
+    * division at 6dp; everything else exact.
+    */
+  def drawdownEpisodes(events: DataFrame,
+                       key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val wSeq   = Window.partitionBy(key).orderBy("day")
+    val runMax = max(col("close")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0))
+    val closes = dailyClose(events, key, ts, v)
+      .withColumn("peak", runMax)
+      .withColumn("at_peak", (col("close") >= col("peak")).cast("long"))
+      .withColumn("eid", sum(col("at_peak")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("last_day", max(col("day")).over(Window.partitionBy(key)))
+    closes
+      .filter(col("at_peak") === 0L)
+      .groupBy(col(key), col("eid"))
+      .agg(
+        date_format(min(col("day")), "yyyy-MM-dd").as("start_day"),
+        date_format(max(col("day")), "yyyy-MM-dd").as("end_day"),
+        count(lit(1)).as("n_days"),
+        round(min(col("close") / col("peak") - 1), 6).as("max_depth"),
+        (max(col("day")) < max(col("last_day"))).as("recovered"))
+  }
+
   /** Lead-lag cross-correlation of every key's daily returns against
     * the benchmark's at shifts -maxLag..+maxLag — which instruments
     * LEAD the index (signal) and which merely follow it (beta in

@@ -174,6 +174,45 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("volume profile: volume conserves, poc is the heaviest bin, flat key collapses") {
+    import spark.implicits._
+    // closes 10..19 (ten days, one per bin), heavy volume on day 3
+    val days = (0 until 10).map(i => (1L, i.toLong, i.toLong, 10.0 + i,
+      if (i == 3) 1000L else 10L)) ++ (0 until 4).map(i => (2L, 100L + i, i.toLong, 5.0, 7L))
+    val df = days.toDF("user_id", "event_id", "d", "value", "k")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .withColumn("props", concat(lit("{\"k\":"), $"k", lit("}")))
+    val got = TimeSeries.volumeProfile(df, 10).collect()
+    val u1 = got.filter(_.getLong(0) == 1L).sortBy(_.getLong(1))
+    assert(u1.map(_.getAs[Long]("volume")).sum === 1090L, "volume must conserve")
+    val poc = u1.filter(_.getAs[Boolean]("poc"))
+    assert(poc.length === 1 && poc.head.getAs[Long]("volume") === 1000L,
+      "poc must be the heaviest level")
+    val u2 = got.filter(_.getLong(0) == 2L)
+    assert(u2.length === 1 && u2.head.getAs[Long]("bin") === 0L,
+      "a flat key must collapse to one bin")
+    assert(u2.head.getAs[Long]("volume") === 28L)
+  }
+
+  test("drawdown episodes: hand-built runs with exact depth, recovery, and boundaries") {
+    import spark.implicits._
+    // peak 100, dd to 90/95 (2d, recovered), new peak 110, dd 99 (1d, not recovered)
+    val zs = Vector(100.0, 90.0, 95.0, 110.0, 99.0)
+    val df = zs.zipWithIndex.map { case (z, i) => (1L, i.toLong, i.toLong, z) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.drawdownEpisodes(df).orderBy($"eid").collect()
+    assert(got.length === 2)
+    val e1 = got(0)
+    assert(e1.getAs[Long]("n_days") === 2L)
+    assert(math.abs(e1.getAs[Double]("max_depth") - (90.0 / 100.0 - 1)) < 1e-9)
+    assert(e1.getAs[Boolean]("recovered"))
+    val e2 = got(1)
+    assert(e2.getAs[Long]("n_days") === 1L)
+    assert(math.abs(e2.getAs[Double]("max_depth") - (99.0 / 110.0 - 1)) < 1e-6)
+    assert(!e2.getAs[Boolean]("recovered"), "an episode running to series end is open")
+  }
+
   test("lead-lag corr: a series that leads the benchmark peaks at shift +1, self at 0") {
     import spark.implicits._
     val n = 40
