@@ -454,6 +454,10 @@ object SparkEntry {
       TimeSeries.hurst(Tables.events(s, dir)).orderBy("user_id")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
+    "q_cross_sectional_rank" -> ((s, dir) =>
+      TimeSeries.crossSectionalRank(Tables.events(s, dir)).orderBy("day", "rnk")),
+    "q_quintile_spread" -> ((s, dir) =>
+      TimeSeries.quintileSpread(Tables.events(s, dir)).orderBy("day")),
     "q_drawdown_episodes" -> ((s, dir) =>
       TimeSeries.drawdownEpisodes(Tables.events(s, dir)).orderBy("user_id", "eid")),
     "q_lead_lag_corr" -> ((s, dir) =>
@@ -3666,6 +3670,57 @@ object SparkEntry {
         |SELECT user_id, y4r AS y4, y8r AS y8, y16r AS y16,
         |  (y16r - y4r) / 1.3862943611198906 AS hurst
         |FROM p ORDER BY user_id""".stripMargin,
+    "q_cross_sectional_rank" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day, close / prev - 1 AS ret
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, user_id, round(ret, 6) AS ret,
+        |  row_number() OVER w AS rnk,
+        |  count(*) OVER (PARTITION BY day) AS n,
+        |  CAST(floor((row_number() OVER w - 1) * 5 / count(*) OVER (PARTITION BY day)) AS BIGINT) AS quintile
+        |FROM r
+        |WINDOW w AS (PARTITION BY day ORDER BY ret ASC, user_id ASC)
+        |ORDER BY day, rnk""".stripMargin,
+    "q_quintile_spread" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day, close / prev - 1 AS ret
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), ranked AS (
+        |  SELECT user_id, day, ret,
+        |    row_number() OVER w AS rnk, count(*) OVER (PARTITION BY day) AS n
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY day ORDER BY ret ASC, user_id ASC)
+        |), qq AS (
+        |  SELECT *, CAST(floor((rnk - 1) * 5 / n) AS BIGINT) AS q,
+        |    CAST(floor(ret * 1000000) AS BIGINT) AS micro
+        |  FROM ranked
+        |)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, max(n) AS n_keys,
+        |  CAST(sum(CASE WHEN q = 4 THEN micro END) AS DOUBLE)
+        |    / count(CASE WHEN q = 4 THEN 1 END) / 1000000.0 AS hi_mean,
+        |  CAST(sum(CASE WHEN q = 0 THEN micro END) AS DOUBLE)
+        |    / count(CASE WHEN q = 0 THEN 1 END) / 1000000.0 AS lo_mean,
+        |  CAST(sum(CASE WHEN q = 4 THEN micro END) AS DOUBLE)
+        |    / count(CASE WHEN q = 4 THEN 1 END) / 1000000.0
+        |  - CAST(sum(CASE WHEN q = 0 THEN micro END) AS DOUBLE)
+        |    / count(CASE WHEN q = 0 THEN 1 END) / 1000000.0 AS spread
+        |FROM qq GROUP BY day
+        |ORDER BY day""".stripMargin,
     "q_volume_profile" ->
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,

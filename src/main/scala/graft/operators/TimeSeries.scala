@@ -1595,6 +1595,61 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Cross-sectional rank: each key's daily return ranked against
+    * the whole universe THAT DAY, with an integer quintile — the
+    * factor-model primitive (momentum/value quintiles are built from
+    * exactly this). The window partitions by DAY, so each partition
+    * holds one row per instrument (the bounded universe), never the
+    * corpus — the scale-out axis is days. Rank ties break on the key
+    * (deterministic); the quintile is EXACT integer arithmetic
+    * ((rank−1)·5 div n), never a float percent threshold.
+    */
+  def crossSectionalRank(events: DataFrame,
+                         key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w = Window.partitionBy("day").orderBy(col("ret").asc, col(key).asc)
+    dailyCloseReturns(events, key, ts, v)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("day")).cast("long"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col(key),
+        round(col("ret"), 6).as("ret"), col("rnk"), col("n"),
+        floor((col("rnk") - 1) * 5 / col("n")).cast("long").as("quintile"))
+  }
+
+  /** Daily factor quintile spread: mean return of the top return
+    * quintile minus the bottom — the long-short spread a factor
+    * backtest accrues. Rides [[crossSectionalRank]]'s day-partitioned
+    * rank. Determinism: a raw return is a QUOTIENT and can terminate
+    * exactly on a 6dp half boundary (49.29/1.28 − 1 = 37.5078125 in
+    * this very fixture), where the engines' round/cast disagree — and
+    * cross-engine float SUM order is not dependable either (DuckDB
+    * tree-aggregates larger window frames). So returns quantize to
+    * integer MICRO-RETURNS via floor(ret·1e6) — floor of a
+    * bit-identical double is unambiguous in every engine — making the
+    * quintile sums exact longs at any partition count; each mean is
+    * then ONE IEEE chain, output UNROUNDED.
+    */
+  def quintileSpread(events: DataFrame,
+                     key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w = Window.partitionBy("day").orderBy(col("ret").asc, col(key).asc)
+    val ranked = dailyCloseReturns(events, key, ts, v)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("day")).cast("long"))
+      .withColumn("q", floor((col("rnk") - 1) * 5 / col("n")).cast("long"))
+      .withColumn("micro", floor(col("ret") * 1000000).cast("long"))
+    def mean(qv: Int): Column =
+      sum(when(col("q") === qv, col("micro"))).cast("double") /
+        count(when(col("q") === qv, lit(1))) / 1000000.0
+    ranked
+      .groupBy(col("day"))
+      .agg(
+        max(col("n")).as("n_keys"),
+        mean(4).as("hi_mean"),
+        mean(0).as("lo_mean"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("n_keys"),
+        col("hi_mean"), col("lo_mean"),
+        (col("hi_mean") - col("lo_mean")).as("spread"))
+  }
+
   /** Volume profile per key: daily volume binned into `bins`
     * equi-width price levels between the key's own low/high close,
     * with the point of control (the level where the most volume

@@ -152,6 +152,44 @@ object Streams {
       }
   }
 
+  case class DdSt(lastUs: Long, peak: Double)
+  case class DdOut(user_id: Long, ts_us: Long, value: Double, peak: Double, drawdown: Double)
+
+  /** Streaming drawdown per key — the incremental twin of the batch
+    * running-max drawdown ([[graft.operators.TimeSeries]] q_max_
+    * drawdown family): ONE 16-byte (lastUs, peak) record per key, so
+    * state is bounded by the instrument universe however long the
+    * stream runs. Each arriving tick emits its current peak and
+    * drawdown = value/peak − 1; the running max is associative, so
+    * in-order arrival reproduces the batch fold bit-exactly
+    * (spec-asserted). In-batch sort on (ts, value) and the behind-
+    * the-fold-point drop follow the [[emaStream]] contract;
+    * [[enforceStateBound]] applies.
+    */
+  def drawdownStream(events: Dataset[SEv], watermark: String = "10 minutes"): Dataset[DdOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[SEv], state: GroupState[DdSt]) =>
+          val sorted = evs.toArray.sortBy(e => (instantMicros(e.ts), e.value))
+          var st  = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[DdOut]
+          sorted.foreach { e =>
+            val us = instantMicros(e.ts)
+            if (st == null || us > st.lastUs) {
+              val peak = if (st == null) e.value else math.max(st.peak, e.value)
+              st = DdSt(us, peak)
+              out += DdOut(uid, us, e.value, peak, if (peak != 0) e.value / peak - 1 else 0.0)
+            }
+            // us <= lastUs: behind the fold point — dropped by contract
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
   case class TEv(user_id: Long, ts: java.time.Instant, event_id: Long, event_type: String)
   case class TransOut(user_id: Long, prev_type: String, next_type: String, ts_us: Long)
 

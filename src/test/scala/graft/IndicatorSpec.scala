@@ -174,6 +174,29 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("cross-sectional rank: per-day ranks dense, quintiles balanced, spread sign correct") {
+    import spark.implicits._
+    // 10 users, 2 days; day-1 returns are (uid+1) * 10% so ranks = uid order
+    val rows = for (u <- 0L until 10L; d <- 0 to 1) yield {
+      val close = if (d == 0) 100.0 else 100.0 * (1 + (u + 1) * 0.1)
+      (u, u * 10 + d, d.toLong, close)
+    }
+    val df = rows.toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.crossSectionalRank(df).orderBy($"rnk").collect()
+    assert(got.length === 10, "one return row per user on day 1")
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Long]("rnk") === i + 1L)
+      assert(r.getLong(1) === i.toLong, "rank order must follow return order")
+      assert(r.getAs[Long]("quintile") === i / 2, s"user $i quintile")
+    }
+    val sp = TimeSeries.quintileSpread(df).head()
+    // hi quintile returns 0.9, 1.0 -> mean 0.95; lo 0.1, 0.2 -> 0.15
+    assert(math.abs(sp.getAs[Double]("hi_mean") - 0.95) < 1e-5)
+    assert(math.abs(sp.getAs[Double]("lo_mean") - 0.15) < 1e-5)
+    assert(math.abs(sp.getAs[Double]("spread") - 0.8) < 1e-5)
+  }
+
   test("volume profile: volume conserves, poc is the heaviest bin, flat key collapses") {
     import spark.implicits._
     // closes 10..19 (ten days, one per bin), heavy volume on day 3

@@ -80,6 +80,43 @@ class StreamsFeedsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming drawdown matches the batch running-max fold; peak persists across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch execution: per-event emissions equal the batch window fold
+    val evd = Tables.events(spark, sf)
+      .select($"user_id", $"ts", $"value")
+      // the in-batch fold sorts by (ts, value): dedupe ts ties the same way
+      .groupBy($"user_id", $"ts").agg(max($"value").as("value"))
+      .select($"user_id", $"ts", $"value").as[Streams.SEv]
+    val got = Streams.drawdownStream(evd).toDF()
+      .select($"user_id", $"ts_us", $"peak", $"drawdown")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val want = evd.toDF()
+      .withColumn("peak", max($"value").over(w))
+      .select($"user_id", unix_micros($"ts").as("ts_us"), $"peak",
+        when($"peak" =!= 0, $"value" / $"peak" - 1).otherwise(0.0).as("drawdown"))
+    assert(got.count() > 0)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+    // cross-batch: the peak survives the batch boundary in O(1) state
+    val mem = MemoryStream[Streams.SEv]
+    val q = Streams.drawdownStream(mem.toDS(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("dd_stream_test").outputMode("append").start()
+    def at(m: Int) = java.time.Instant.parse(f"2024-01-01T10:$m%02d:00Z")
+    try {
+      mem.addData(Streams.SEv(1L, at(0), 100.0), Streams.SEv(1L, at(1), 80.0))
+      q.processAllAvailable()
+      mem.addData(Streams.SEv(1L, at(2), 90.0))
+      q.processAllAvailable()
+      val rows = spark.table("dd_stream_test").as[Streams.DdOut].collect().sortBy(_.ts_us)
+      assert(rows.map(_.peak).toSeq === Seq(100.0, 100.0, 100.0), "peak must persist")
+      assert(math.abs(rows.last.drawdown - (90.0 / 100.0 - 1)) < 1e-12)
+    } finally q.stop()
+  }
+
   test("sessionize stream evicts idle users' state on event-time timeout") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
