@@ -829,6 +829,16 @@ object SparkEntry {
     "q_bfs_layers" -> ((s, dir) =>
       Similarity.bfsLayers(Tables.embeddings(s, dir), Seq(0L, 1L, 2L), 5, 3)
         .orderBy("vec_id")),
+    "q_cluster_purity" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
+      Similarity.clusterPurity(emb, cents).orderBy("cell")
+    }),
+    "q_retrieval_precision" -> ((s, dir) =>
+      Similarity.retrievalPrecision(Tables.embeddings(s, dir), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .orderBy("qid")),
+    "q_feature_corr" -> ((s, dir) =>
+      Similarity.featureLabelCorr(Tables.embeddings(s, dir)).orderBy("dim")),
     // the TRAINED IVF path on the gate: Lloyd centroids are float
     // MEANS (partial-sum order differs across engines and runs), so
     // the trained quantizer itself can never hash-match — but with
@@ -4088,6 +4098,76 @@ object SparkEntry {
         |SELECT vec_id, min(depth) AS depth FROM u
         |GROUP BY vec_id
         |ORDER BY vec_id""".stripMargin,
+    "q_cluster_purity" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16
+        |), d AS (
+        |  SELECT e.vec_id, e.label, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT vec_id, label, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d QUALIFY rn = 1
+        |), counts AS (
+        |  SELECT cell, label, count(*) AS cnt FROM assigned GROUP BY 1, 2
+        |), j AS (
+        |  SELECT cell, label, cnt,
+        |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rn,
+        |    CAST(sum(cnt) OVER (PARTITION BY cell) AS BIGINT) AS n
+        |  FROM counts
+        |)
+        |SELECT CAST(cell AS BIGINT) AS cell, n, label AS majority_label, cnt AS n_majority,
+        |  CAST(cnt AS DOUBLE) / n AS purity
+        |FROM j WHERE rn = 1
+        |ORDER BY cell""".stripMargin,
+    "q_retrieval_precision" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), scored AS (
+        |  SELECT q.vec_id AS qid, q.label AS q_label, x.vec_id, x.label,
+        |    CASE WHEN q.nn * x.nn != 0 THEN list_dot_product(q.v, x.v) / (q.nn * x.nn) END AS cos
+        |  FROM n q JOIN n x ON q.vec_id IN (0, 1, 2, 3, 4) AND x.vec_id != q.vec_id
+        |), topk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored QUALIFY rnk <= 5
+        |)
+        |SELECT qid, q_label,
+        |  CAST(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(5 AS BIGINT) AS k,
+        |  sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) / CAST(5 AS DOUBLE) AS precision
+        |FROM topk GROUP BY qid, q_label
+        |ORDER BY qid""".stripMargin,
+    "q_feature_corr" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), idx AS (SELECT unnest(generate_series(1, 64)) AS i
+        |), x AS (
+        |  SELECT CAST(i - 1 AS BIGINT) AS dim,
+        |    CAST(floor(v[i] * 1000000) AS DECIMAL(18,0)) AS mx,
+        |    CAST(label AS DECIMAL(18,0)) AS my
+        |  FROM e CROSS JOIN idx
+        |), m AS (
+        |  SELECT dim, count(*) AS n, sum(mx) AS sx, sum(my) AS sy,
+        |    sum(mx * my) AS sxy, sum(mx * mx) AS sxx, sum(my * my) AS syy
+        |  FROM x GROUP BY dim
+        |)
+        |SELECT dim, n,
+        |  round(CASE WHEN (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |              AND (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |    END, 6) AS corr
+        |FROM m
+        |ORDER BY dim""".stripMargin,
     // recall@k audit: the IVF chain and the brute-force chain above,
     // joined — hits are exact integers, recall one rounded division
     "q_ivf_recall" ->

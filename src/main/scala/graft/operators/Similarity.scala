@@ -441,6 +441,87 @@ object Similarity {
         col("m_src").isNotNull.as("mutual"))
   }
 
+  /** Cluster-label purity per IVF cell — the label-agreement audit
+    * beside [[clusterSilhouette]]'s geometric one: per cell, the
+    * majority label's share of members (ties to the lowest label).
+    * Cell assignment is the codegen'd scan-stage argmin; then two
+    * bounded aggregates ((cell, label) counts → per-cell majority
+    * via one rank window over the ≤nlist·nlabels reduced frame).
+    * Exact integers with ONE unrounded division — an integer share
+    * can terminate on a 6dp half boundary, so no rounding by design.
+    */
+  def clusterPurity(embeddings: DataFrame, cents: Array[(Int, Array[Double])]): DataFrame = {
+    val e = assignCells(
+      embeddings.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v")), cents)
+    val counts = e.groupBy(col("cell"), col("label")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("cell").orderBy(col("cnt").desc, col("label").asc)
+    counts
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("cell")))
+      .filter(col("rn") === 1)
+      .select(col("cell").cast("long").as("cell"), col("n").as("n"),
+        col("label").as("majority_label"), col("cnt").as("n_majority"),
+        (col("cnt").cast("double") / col("n")).as("purity"))
+  }
+
+  /** Label-match precision@k of exact retrieval — the embedding-
+    * quality eval next to [[ivfRecall]]'s index-quality one: per
+    * query, how many of the k nearest neighbors share the query's
+    * label? High precision means the embedding space respects the
+    * labels; [[ivfRecall]] then tells you the ANN index preserves it.
+    * Reuses [[bruteForceTopK]] unchanged; the label joins touch only
+    * the (queries × k) result frame. All-integer hits, one unrounded
+    * division.
+    */
+  def retrievalPrecision(embeddings: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    bruteForceTopK(embeddings, queryIds, k)
+      .join(broadcast(labels.withColumnRenamed("label", "q_label")
+        .withColumnRenamed("vec_id", "qid")), Seq("qid"))
+      .join(labels, Seq("vec_id"))
+      .groupBy(col("qid"), col("q_label"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L)).as("hits"))
+      .select(col("qid"), col("q_label"), col("hits"), lit(k.toLong).as("k"),
+        (col("hits").cast("double") / k).as("precision"))
+  }
+
+  /** Per-dimension feature-label correlation: Pearson corr of each
+    * embedding coordinate against the numeric label — the feature-
+    * importance screen that says WHICH dimensions encode the label
+    * before anyone trains on them. One posexplode scan (rows × dim,
+    * map-side partial aggregation onto the bounded dim axis); values
+    * quantize to integer MICRO-UNITS via floor(x·1e6) — float32
+    * coordinates are dyadic rationals that DO land on 6dp half
+    * boundaries, where round/cast quantization is engine-ambiguous
+    * but floor is not — and all five moments accumulate as exact
+    * DECIMALs; corr is one shared IEEE chain at 6dp per dimension.
+    */
+  def featureLabelCorr(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 0)
+    val m = embeddings
+      .select(col("label").cast("long").as("y"),
+        posexplode(toDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("dim").cast("long").as("dim"),
+        floor(col("x") * 1000000).cast(dec).as("mx"),
+        col("y").cast(dec).as("my"))
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("mx")).as("sx"), sum(col("my")).as("sy"),
+        sum(col("mx") * col("my")).as("sxy"),
+        sum(col("mx") * col("mx")).as("sxx"),
+        sum(col("my") * col("my")).as("syy"))
+    val nd   = col("n").cast("double")
+    val sxd  = col("sx").cast("double");  val syd  = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double"); val sxxd = col("sxx").cast("double")
+    val syyd = col("syy").cast("double")
+    val covN = nd * sxyd - sxd * syd
+    val varX = nd * sxxd - sxd * sxd
+    val varY = nd * syyd - syd * syd
+    m.select(col("dim"), col("n"),
+      round(when(varX > 0 && varY > 0, covN / sqrt(varX * varY)), 6).as("corr"))
+  }
+
   /** BFS layers over the directed k-NN graph from a seed set — the
     * neighborhood-expansion pass of similarity-graph curation (seed
     * docs known bad/contaminated; everything within `maxDepth` hops

@@ -334,6 +334,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     qids.foreach(q => assert(byProbe.last._2(q) === 1.0, s"full probe must be exact for qid=$q"))
   }
 
+  test("cluster purity: perfectly separated labels score 1, population conserved") {
+    import spark.implicits._
+    // two tight clusters with distinct labels + one mislabeled vector
+    val vecs = Seq(
+      (0L, Array(0.1f, 0.0f), 7), (1L, Array(-0.1f, 0.1f), 7), (2L, Array(0.0f, -0.1f), 7),
+      (3L, Array(10.0f, 10.1f), 9), (4L, Array(9.9f, 10.0f), 9), (5L, Array(10.1f, 9.9f), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val cents = Array((0, Array(0.0, 0.0)), (1, Array(10.0, 10.0)))
+    val got = Similarity.clusterPurity(vecs, cents).orderBy($"cell").collect()
+    assert(got.map(_.getAs[Long]("n")).sum === 6L)
+    assert(got(0).getAs[Int]("majority_label") === 7 && got(0).getAs[Double]("purity") === 1.0)
+    assert(got(1).getAs[Int]("majority_label") === 9)
+    assert(math.abs(got(1).getAs[Double]("purity") - 2.0 / 3) < 1e-12)
+    // fixture: purity bounded and populations conserve
+    val emb = Tables.embeddings(spark, sf)
+    val c8  = Similarity.ivfTrain(emb, nlist = 8, iters = 2)
+    val full = Similarity.clusterPurity(emb, c8).collect()
+    assert(full.map(_.getAs[Long]("n")).sum === emb.count())
+    full.foreach(r => assert(r.getAs[Double]("purity") > 0.0 && r.getAs[Double]("purity") <= 1.0))
+  }
+
+  test("retrieval precision: hits bounded by k, self-label fixture scores reasonably") {
+    val emb  = Tables.embeddings(spark, sf)
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val got  = Similarity.retrievalPrecision(emb, qids, 5).collect()
+    assert(got.length === qids.size)
+    got.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      assert(hits >= 0L && hits <= 5L)
+      assert(math.abs(r.getAs[Double]("precision") - hits / 5.0) < 1e-12)
+    }
+  }
+
+  test("feature-label corr: a dimension that encodes the label reads ~1, noise reads ~0") {
+    import spark.implicits._
+    val n = 200
+    val vecs = (0 until n).map { i =>
+      val label = i % 10
+      // dim 0 = label exactly; dim 1 = deterministic pseudo-noise
+      (i.toLong, Array(label.toFloat, (((i * 2654435761L) >>> 16) % 1000 / 1000.0f)), label)
+    }.toDF("vec_id", "embedding", "label")
+    val got = Similarity.featureLabelCorr(vecs).orderBy($"dim").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Double]("corr") > 0.9999, s"label dim must read 1: ${got(0)}")
+    assert(math.abs(got(1).getAs[Double]("corr")) < 0.2, s"noise dim must read ~0: ${got(1)}")
+  }
+
   test("bfs layers: matches a local BFS over the collected knn edges, seeds at depth 0") {
     val emb   = Tables.embeddings(spark, sf)
     val seeds = Seq(0L, 1L, 2L)
