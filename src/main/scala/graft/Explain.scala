@@ -68,7 +68,10 @@ object Explain {
         "q_bfs_layers", "q_hurst", "q_pareto_frontier", "q_lead_lag_corr",
         "q_zscore_normalize", "q_target_encoding", "q_ab_test",
         "q_contribution_delta", "q_equidepth_histogram", "q_iqr_outliers",
-        "q_user_features", "q_key_skew", "q_reconcile", "q_top_paths")
+        "q_user_features", "q_key_skew", "q_reconcile", "q_top_paths",
+        "q_volume_profile", "q_drawdown_episodes", "q_cross_sectional_rank",
+        "q_quintile_spread", "q_cluster_purity", "q_retrieval_precision",
+        "q_feature_corr")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
