@@ -452,6 +452,12 @@ object SparkEntry {
         .orderBy("user_id", "day")),
     "q_hurst" -> ((s, dir) =>
       TimeSeries.hurst(Tables.events(s, dir)).orderBy("user_id")),
+    "q_half_life" -> ((s, dir) =>
+      TimeSeries.halfLife(Tables.events(s, dir)).orderBy("user_id")),
+    "q_mutual_info" -> ((s, dir) =>
+      Stats.mutualInfo(Tables.events(s, dir))),
+    "q_markov_stationary" -> ((s, dir) =>
+      EventAnalytics.markovStationary(Tables.events(s, dir)).orderBy("event_type")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -3626,6 +3632,95 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "q_half_life" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), q AS (
+        |  SELECT user_id, day, CAST(close AS DECIMAL(18,6)) AS cq,
+        |    lag(CAST(close AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY day) AS xq
+        |  FROM c
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    sum(xq) AS sx, sum(cq - xq) AS sy,
+        |    sum(CAST(xq AS DECIMAL(19,6)) * CAST(cq - xq AS DECIMAL(19,6))) AS sxy,
+        |    sum(CAST(xq AS DECIMAL(19,6)) * CAST(xq AS DECIMAL(19,6))) AS sxx
+        |  FROM q WHERE xq IS NOT NULL GROUP BY user_id
+        |), b AS (
+        |  SELECT user_id, n_days,
+        |    n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+        |    n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx
+        |  FROM m
+        |)
+        |SELECT user_id, n_days,
+        |  round(CASE WHEN varx > 0 THEN covn / varx END, 6) AS beta,
+        |  round(CASE WHEN varx > 0 AND covn / varx < 0 AND covn / varx > -1
+        |    THEN -0.6931471805599453 / ln(1.0 + covn / varx) END, 6) AS half_life_days
+        |FROM b
+        |ORDER BY user_id""".stripMargin,
+    "q_mutual_info" ->
+      """WITH cells AS (
+        |  SELECT event_type AS et, isodow(ts) AS dow, count(*) AS o
+        |  FROM events GROUP BY 1, 2
+        |), rt AS (SELECT et, sum(o) AS rt FROM cells GROUP BY et
+        |), ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY dow
+        |), tot AS (
+        |  SELECT sum(o) AS n, count(DISTINCT et) AS nr, count(DISTINCT dow) AS nc FROM cells
+        |), grid AS (
+        |  SELECT rt.et, ct.dow, rt.rt, ct.ct, coalesce(cells.o, 0) AS o0
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.et = rt.et AND cells.dow = ct.dow
+        |), terms AS (
+        |  SELECT tot.n, tot.nr, tot.nc,
+        |    CASE WHEN o0 > 0 THEN (CAST(o0 AS DOUBLE) / tot.n)
+        |      * ln((CAST(o0 AS DOUBLE) * CAST(tot.n AS DOUBLE))
+        |          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))
+        |      / 0.6931471805599453 ELSE 0.0 END AS mi_term,
+        |    pow(CAST(o0 AS DOUBLE) - (rt * ct) / CAST(tot.n AS DOUBLE), 2)
+        |      / ((rt * ct) / CAST(tot.n AS DOUBLE)) AS chi_term
+        |  FROM grid CROSS JOIN tot
+        |)
+        |SELECT n, round(sum(mi_term), 6) AS mi_bits,
+        |  round(sqrt(sum(chi_term) / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)), 6) AS cramers_v
+        |FROM terms GROUP BY n, nr, nc""".stripMargin,
+    "q_markov_stationary" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), edges AS (
+        |  SELECT prev, event_type AS next, count(*) AS c
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), rt AS (SELECT prev, sum(c) AS t FROM edges GROUP BY prev
+        |), ed AS (SELECT e.prev, e.next, e.c, rt.t FROM edges e JOIN rt USING (prev)
+        |), states AS (SELECT DISTINCT event_type AS s FROM events
+        |), p0 AS (
+        |  SELECT s, 1000000000000 // (SELECT count(*) FROM states) AS pi FROM states
+        |), p1 AS (
+        |  SELECT st.s, coalesce(x.pin, 0) AS pi FROM states st LEFT JOIN (
+        |    SELECT ed.next AS s, sum(p.pi * ed.c // ed.t) AS pin
+        |    FROM ed JOIN p0 p ON p.s = ed.prev GROUP BY ed.next) x USING (s)
+        |), p2 AS (
+        |  SELECT st.s, coalesce(x.pin, 0) AS pi FROM states st LEFT JOIN (
+        |    SELECT ed.next AS s, sum(p.pi * ed.c // ed.t) AS pin
+        |    FROM ed JOIN p1 p ON p.s = ed.prev GROUP BY ed.next) x USING (s)
+        |), p3 AS (
+        |  SELECT st.s, coalesce(x.pin, 0) AS pi FROM states st LEFT JOIN (
+        |    SELECT ed.next AS s, sum(p.pi * ed.c // ed.t) AS pin
+        |    FROM ed JOIN p2 p ON p.s = ed.prev GROUP BY ed.next) x USING (s)
+        |), p4 AS (
+        |  SELECT st.s, coalesce(x.pin, 0) AS pi FROM states st LEFT JOIN (
+        |    SELECT ed.next AS s, sum(p.pi * ed.c // ed.t) AS pin
+        |    FROM ed JOIN p3 p ON p.s = ed.prev GROUP BY ed.next) x USING (s)
+        |), p5 AS (
+        |  SELECT st.s, coalesce(x.pin, 0) AS pi FROM states st LEFT JOIN (
+        |    SELECT ed.next AS s, sum(p.pi * ed.c // ed.t) AS pin
+        |    FROM ed JOIN p4 p ON p.s = ed.prev GROUP BY ed.next) x USING (s)
+        |)
+        |SELECT s AS event_type, CAST(pi AS BIGINT) AS pi_units,
+        |  CAST(pi AS DOUBLE) / 1000000000000 AS pi_share
+        |FROM p5
+        |ORDER BY event_type""".stripMargin,
     "q_hurst" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product/event analytics over the events stream — the batch side
@@ -443,6 +444,46 @@ object EventAnalytics {
         sum(col("churned")).as("n_churned"),
         round(sum(col("churned")).cast("double") / count(lit(1)).cast("double"), 6)
           .as("churn_rate"))
+  }
+
+  /** Stationary distribution of the event-type Markov chain — where
+    * user journeys converge if behavior holds: π·P iterated from
+    * uniform over the transition matrix [[topTransitions]] counts.
+    * ALL-INTEGER fixed-point (the q_pagerank discipline): π lives in
+    * units of `scale`, each edge contributes (π(prev)·c) div t(prev)
+    * — exact integral ops whose sums are order-independent, so the
+    * result is bit-identical at any partition count where a float
+    * iteration would drift. The state space is the BOUNDED event-
+    * type dim (every frame in the loop is ≤types rows / ≤types²
+    * edges); the corpus pays exactly one lag-window scan for the
+    * edge counts. Truncation mass (≤types per row per iteration)
+    * and dangling-state mass are dropped by declared convention.
+    */
+  def markovStationary(events: DataFrame, iters: Int = 5,
+                       scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+    val edges = seq.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rt = edges.groupBy(col("prev")).agg(sum(col("c")).as("t"))
+    val ed = edges.join(rt, "prev").localCheckpoint()
+    val states = events.select(col("event_type").as("s")).distinct().localCheckpoint()
+    val nSt = states.count()
+    var pi = states.withColumn("pi", lit(scale / nSt))
+    for (_ <- 1 to iters) {
+      val nxt = ed
+        .join(pi.withColumnRenamed("s", "prev"), "prev")
+        .select(col("next").as("s"), expr("pi * c div t").as("m"))
+        .groupBy(col("s")).agg(sum(col("m")).as("pin"))
+      pi = states.join(nxt, Seq("s"), "left")
+        .select(col("s"), coalesce(col("pin"), lit(0L)).as("pi"))
+        .localCheckpoint()
+    }
+    pi.select(col("s").as("event_type"), col("pi").as("pi_units"),
+      (col("pi").cast("double") / scale).as("pi_share"))
   }
 
   /** Top user journeys: the most frequent opening event-type paths

@@ -670,6 +670,51 @@ object Stats {
       .agg(round(sum(col("term")), 6).as("chi2"))
   }
 
+  /** Mutual information (bits) + Cramér's V between event type and
+    * ISO weekday — the dependence panel beside [[chi2Independence]]:
+    * chi² says "is there association", MI says how many BITS of one
+    * variable the other carries, V normalizes the effect size to
+    * [0,1]. Same one-scan contingency shape: exact-long cells,
+    * margins derived from the materialized cells, both term sums
+    * over the BOUNDED ≤types×7 grid at 6dp; ln/ln2 with the exact-
+    * double 2·ln2 literal convention so both engines share the
+    * chain.
+    */
+  def mutualInfo(events: DataFrame,
+                 key: String = "event_type", ts: String = "ts"): DataFrame = {
+    val cells = events
+      .groupBy(col(key).as("et"), (weekday(col(ts)) + 1).as("dow"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint()
+    val rowT = cells.groupBy(col("et")).agg(sum(col("o")).as("rt"))
+    val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("n"),
+      countDistinct(col("et")).as("nr"), countDistinct(col("dow")).as("nc"))
+    // the FULL margin grid, zero cells included: a zero cell
+    // contributes 0 to MI (0·log 0) but e = rt·ct/n to chi² — leaving
+    // it out silently understates the association (V read 1/√2
+    // instead of 1 on a perfectly dependent 2×2 before this)
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("et", "dow"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+    val p     = col("o0").cast("double") / col("n")
+    val ratio = (col("o0").cast("double") * col("n").cast("double")) /
+      (col("rt").cast("double") * col("ct").cast("double"))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    grid
+      .select(col("n"), col("nr"), col("nc"),
+        when(col("o0") > 0, p * log(ratio) / lit(0.6931471805599453))
+          .otherwise(lit(0.0)).as("mi_term"),
+        (pow(col("o0").cast("double") - e, 2) / e).as("chi_term"))
+      .groupBy(col("n"), col("nr"), col("nc"))
+      .agg(
+        round(sum(col("mi_term")), 6).as("mi_bits"),
+        round(sqrt(sum(col("chi_term")) /
+          (col("n") * least(col("nr") - 1, col("nc") - 1)).cast("double")), 6).as("cramers_v"))
+      .select(col("n"), col("mi_bits"), col("cramers_v"))
+  }
+
   /** Robust outlier profile per key: median / MAD (median absolute
     * deviation) and the modified z-score count — the outlier detector
     * that survives the outliers it hunts, where mean/std-based

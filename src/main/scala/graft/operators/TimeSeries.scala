@@ -1595,6 +1595,44 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Mean-reversion half-life per key from the AR(1) fit Δc_t =
+    * α + β·c_{t−1} + ε — completing the long-memory toolkit
+    * ([[varianceRatio]] diagnoses, [[hurst]] scores, this one says
+    * HOW FAST a dislocation decays: t½ = −ln2 / ln(1+β), defined for
+    * −1 < β < 0). Closes quantize ONCE to DECIMAL(18,6) (data
+    * doubles, welch-safe), so x = lagged close and y = Δclose are
+    * EXACT decimals and all five moments accumulate exactly at any
+    * partition count; β and t½ are one shared IEEE chain at 6dp.
+    * Non-reverting keys (β >= 0, a random walk or trend) surface
+    * null half-life, not noise.
+    */
+  def halfLife(events: DataFrame,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val dec  = org.apache.spark.sql.types.DecimalType(18, 6)
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val c6 = dailyClose(events, key, ts, v)
+      .withColumn("cq", col("close").cast(dec))
+      .withColumn("xq", lag(col("cq"), 1).over(wSeq))
+      .filter(col("xq").isNotNull)
+      .withColumn("yq", col("cq") - col("xq"))
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("xq")).as("sx"), sum(col("yq")).as("sy"),
+        sum(col("xq") * col("yq")).as("sxy"),
+        sum(col("xq") * col("xq")).as("sxx"))
+    val nd   = col("n_days").cast("double")
+    val sxd  = col("sx").cast("double");  val syd = col("sy").cast("double")
+    val sxyd = col("sxy").cast("double"); val sxxd = col("sxx").cast("double")
+    val covN = nd * sxyd - sxd * syd
+    val varX = nd * sxxd - sxd * sxd
+    val beta = covN / varX
+    c6.select(col(key), col("n_days"),
+      round(when(varX > 0, beta), 6).as("beta"),
+      round(when(varX > 0 && beta < 0 && beta > -1,
+        -lit(0.6931471805599453) / log(lit(1.0) + beta)), 6).as("half_life_days"))
+  }
+
   /** Cross-sectional rank: each key's daily return ranked against
     * the whole universe THAT DAY, with an integer quintile — the
     * factor-model primitive (momentum/value quintiles are built from

@@ -280,6 +280,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 4L, 2L, 1.0), (2L, 4L, 1L, 0.0), (3L, 4L, 4L, 2.0)))
   }
 
+  test("markov stationary: an absorbing state takes all fixed-point mass exactly") {
+    import spark.implicits._
+    // every user: A then B,B,B -> edges A->B and B->B only; B absorbs
+    val rows = (1L to 4L).flatMap { u =>
+      Seq("A", "B", "B", "B").zipWithIndex.map { case (t, i) => (u * 10 + i, u, i, t) }
+    }
+    val ev = rows.toDF("event_id", "user_id", "h", "event_type")
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + $"h" * 3600000000L))
+    val got = EventAnalytics.markovStationary(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got("A")._1 === 0L, "the transient state must drain completely")
+    assert(got("B")._1 === 1000000000000L, "the absorbing state holds ALL fixed-point units")
+    assert(got("B")._2 === 1.0)
+    // determinism: a second run is bit-identical (integer fixed point)
+    val again = EventAnalytics.markovStationary(ev).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === got.map { case (k, v) => k -> v._1 })
+  }
+
   test("top paths: order by time not arrival, depth cap applied, counts grouped") {
     import spark.implicits._
     // user 1 and 2 share view>click>buy; user 3 is click>view; user 4

@@ -174,6 +174,24 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("half-life: an exact AR(1) with phi=0.5 reads beta=-0.5 and t-half exactly 1 day") {
+    import spark.implicits._
+    // c_t = 100 + 0.5 * (c_{t-1} - 100), c_0 = 200: pure mean reversion
+    val closes1 = Iterator.iterate(200.0)(c => 100.0 + 0.5 * (c - 100.0)).take(12).toVector
+    // a trending walk never reverts -> null half-life
+    val closes2 = (0 until 12).map(i => 100.0 + 10.0 * i)
+    val rows = closes1.zipWithIndex.map { case (c, i) => (1L, i.toLong, i.toLong, c) } ++
+      closes2.zipWithIndex.map { case (c, i) => (2L, 100L + i, i.toLong, c) }
+    val df = rows.toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.halfLife(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(got(1L).getAs[Double]("beta") - (-0.5)) < 1e-6)
+    assert(math.abs(got(1L).getAs[Double]("half_life_days") - 1.0) < 1e-6,
+      "phi=0.5 halves the dislocation every day")
+    assert(got(2L).isNullAt(got(2L).fieldIndex("half_life_days")),
+      "a trending series must not report a half-life")
+  }
+
   test("cross-sectional rank: per-day ranks dense, quintiles balanced, spread sign correct") {
     import spark.implicits._
     // 10 users, 2 days; day-1 returns are (uid+1) * 10% so ranks = uid order

@@ -186,6 +186,26 @@ class StatsApproxSpec extends AnyFunSuite {
     gs.unpersist()
   }
 
+  test("mutual info: independent grid reads 0 bits, deterministic mapping reads full entropy") {
+    import TestSession.spark
+    import spark.implicits._
+    def ev(rows: Seq[(String, Int)]) = rows.zipWithIndex
+      .map { case ((t, dow), i) => (i.toLong, t, dow) }
+      .toDF("event_id", "event_type", "dw")
+      // 2024-01-01 is a Monday: day offset = isodow - 1
+      .withColumn("ts", timestamp_micros(lit(1704067200000000L) + ($"dw" - 1) * 86400000000L))
+    // independent: every (type, dow) cell has the same count
+    val indep = for (t <- Seq("a", "b"); d <- 1 to 7; _ <- 1 to 3) yield (t, d)
+    val mi0 = Stats.mutualInfo(ev(indep)).head()
+    assert(mi0.getAs[Double]("mi_bits") === 0.0)
+    assert(mi0.getAs[Double]("cramers_v") === 0.0)
+    // deterministic: type 'a' only on dow 1, 'b' only on dow 2 -> MI = H = 1 bit
+    val dep = (1 to 20).flatMap(_ => Seq(("a", 1), ("b", 2)))
+    val mi1 = Stats.mutualInfo(ev(dep)).head()
+    assert(math.abs(mi1.getAs[Double]("mi_bits") - 1.0) < 1e-6)
+    assert(math.abs(mi1.getAs[Double]("cramers_v") - 1.0) < 1e-6)
+  }
+
   test("equi-depth histogram: buckets near n/k, counts conserve, ranges ordered") {
     import TestSession.spark
     import spark.implicits._
