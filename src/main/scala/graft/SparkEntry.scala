@@ -454,6 +454,9 @@ object SparkEntry {
       TimeSeries.hurst(Tables.events(s, dir)).orderBy("user_id")),
     "q_half_life" -> ((s, dir) =>
       TimeSeries.halfLife(Tables.events(s, dir)).orderBy("user_id")),
+    "q_rolling_beta" -> ((s, dir) =>
+      TimeSeries.rollingBeta(Tables.events(s, dir), 0L, 10)
+        .orderBy("user_id", "day")),
     "q_mutual_info" -> ((s, dir) =>
       Stats.mutualInfo(Tables.events(s, dir))),
     "q_markov_stationary" -> ((s, dir) =>
@@ -1666,11 +1669,16 @@ object SparkEntry {
         |), rt AS (SELECT et, sum(o) AS rt FROM cells GROUP BY et),
         |ct AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY dow),
         |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
-        |  count(DISTINCT et) AS nr, count(DISTINCT dow) AS nc FROM cells)
+        |  count(DISTINCT et) AS nr, count(DISTINCT dow) AS nc FROM cells),
+        |grid AS (
+        |  SELECT rt.et, ct.dow, rt.rt, ct.ct, coalesce(cells.o, 0) AS o0
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells ON cells.et = rt.et AND cells.dow = ct.dow
+        |)
         |SELECT n, (nr - 1) * (nc - 1) AS dof,
-        |  round(sum(pow(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n, 2)
+        |  round(sum(pow(CAST(o0 AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n, 2)
         |    / (CAST(rt * ct AS DOUBLE) / n)), 6) AS chi2
-        |FROM cells JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN tot
+        |FROM grid CROSS JOIN tot
         |GROUP BY n, dof""".stripMargin,
     "q_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
@@ -3632,6 +3640,36 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "q_rolling_beta" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((close / prev - 1) * 1000000) AS BIGINT) AS mk
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), b AS (
+        |  SELECT day, mk AS mb FROM r WHERE user_id = 0
+        |), j AS (
+        |  SELECT r.user_id, r.day, r.mk, b.mb FROM r JOIN b USING (day)
+        |), m AS (
+        |  SELECT user_id, day,
+        |    count(*) OVER w AS k,
+        |    sum(mb) OVER w AS sx, sum(mk) OVER w AS sy,
+        |    sum(mb * mk) OVER w AS sxy, sum(mb * mb) OVER w AS sxx
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, CAST(k AS BIGINT) AS n_obs,
+        |  round(CASE WHEN k > 1 AND (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN (k * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (k * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END, 6) AS beta
+        |FROM m
+        |ORDER BY user_id, day""".stripMargin,
     "q_half_life" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

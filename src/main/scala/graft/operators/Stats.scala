@@ -659,13 +659,19 @@ object Stats {
     val colT = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
     val tot = cells.agg(sum(col("o")).as("n"),
       countDistinct(col("et")).as("nr"), countDistinct(col("dow")).as("nc"))
-    val e = (col("rt") * col("ct")).cast("double") / col("n")
-    cells
-      .join(broadcast(rowT), "et")
-      .join(broadcast(colT), "dow")
+    // the FULL margin grid, zero cells included: a zero cell still
+    // contributes e = rt·ct/n to chi² — omitting it understates the
+    // association whenever a (type, weekday) combination never
+    // occurs (the [[mutualInfo]] fix applied here; the gate fixture
+    // is dense, so its committed values are unchanged)
+    val grid = rowT.crossJoin(colT)
+      .join(cells, Seq("et", "dow"), "left")
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
       .crossJoin(broadcast(tot))
+    val e = (col("rt") * col("ct")).cast("double") / col("n")
+    grid
       .select(col("n"), ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
-        (pow(col("o").cast("double") - e, 2) / e).as("term"))
+        (pow(col("o0").cast("double") - e, 2) / e).as("term"))
       .groupBy(col("n"), col("dof"))
       .agg(round(sum(col("term")), 6).as("chi2"))
   }

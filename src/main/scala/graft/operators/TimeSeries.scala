@@ -1595,6 +1595,41 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** Rolling n-day beta of every key vs the benchmark — the live
+    * risk monitor where [[alphaBeta]] is the whole-period autopsy.
+    * Day-aligned benchmark returns BROADCAST to the corpus (the
+    * [[leadLagCorr]] shape), then all five rolling moments ride ONE
+    * (key, day) window. Determinism at any frame size: both return
+    * series quantize to integer MICRO-RETURNS (floor(ret·1e6) — the
+    * engine-unambiguous quantization), so every windowed sum is an
+    * EXACT integer regardless of the engine's frame-aggregation
+    * order (DuckDB tree-aggregates larger frames — float window
+    * sums are NOT cross-engine bit-stable); beta is one IEEE chain
+    * over the exact moments at 6dp. Windows with degenerate
+    * benchmark variance surface null.
+    */
+  def rollingBeta(events: DataFrame, benchmarkId: Long = 0L, n: Int = 30,
+                  key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"window must have at least 2 days: $n")
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    val bench = rets.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mk").as("mb"))
+    val joined = rets.join(org.apache.spark.sql.functions.broadcast(bench), Seq("day"))
+    val wN = Window.partitionBy(key).orderBy("day").rowsBetween(-(n - 1), 0)
+    val m = joined
+      .withColumn("k", count(lit(1)).over(wN).cast("long"))
+      .withColumn("sx", sum(col("mb")).over(wN))
+      .withColumn("sy", sum(col("mk")).over(wN))
+      .withColumn("sxy", sum(col("mb") * col("mk")).over(wN))
+      .withColumn("sxx", sum(col("mb") * col("mb")).over(wN))
+    val kd   = col("k").cast("double")
+    val covN = kd * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val varX = kd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    m.select(col(key), date_format(col("day"), "yyyy-MM-dd").as("day"), col("k").as("n_obs"),
+      round(when(col("k") > 1 && varX > 0, covN / varX), 6).as("beta"))
+  }
+
   /** Mean-reversion half-life per key from the AR(1) fit Δc_t =
     * α + β·c_{t−1} + ε — completing the long-memory toolkit
     * ([[varianceRatio]] diagnoses, [[hurst]] scores, this one says

@@ -174,6 +174,23 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling beta: a 2x-levered clone reads ~2, the benchmark itself reads exactly 1") {
+    import spark.implicits._
+    val br = (0 until 30).map(i => 0.01 * math.sin(i * 0.9) + 0.002)
+    def closes(uid: Long, mult: Double): Seq[(Long, Long, Long, Double)] = {
+      val cs = br.scanLeft(100.0)((c, r) => c * (1 + mult * r))
+      cs.zipWithIndex.map { case (c, i) => (uid, uid * 1000 + i, i.toLong, c) }
+    }
+    val df = (closes(0L, 1.0) ++ closes(1L, 2.0))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.rollingBeta(df, 0L, 10).collect()
+      .filter(r => r.getAs[Long]("n_obs") === 10L)
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[Double]("beta"))).toMap
+    got(0L).foreach(b => assert(b === 1.0, "benchmark against itself is exactly 1"))
+    got(1L).foreach(b => assert(math.abs(b - 2.0) < 5e-3, s"2x clone must read ~2, got $b"))
+  }
+
   test("half-life: an exact AR(1) with phi=0.5 reads beta=-0.5 and t-half exactly 1 day") {
     import spark.implicits._
     // c_t = 100 + 0.5 * (c_{t-1} - 100), c_0 = 200: pure mean reversion

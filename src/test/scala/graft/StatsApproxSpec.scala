@@ -169,6 +169,14 @@ class StatsApproxSpec extends AnyFunSuite {
     val f = Stats.chi2Independence(Tables.events(spark, TestSession.sf)).head()
     assert(f.getAs[Long]("dof") === (5 - 1) * (7 - 1))
     assert(f.getAs[Double]("chi2") >= 0.0)
+    // zero cells count: a perfectly dependent 2x2 (its off-diagonal
+    // cells never occur) must read chi2 = n, not n/2
+    val dep = (Seq.fill(10)(("a", day(1))) ++ Seq.fill(10)(("b", day(2))))
+      .zipWithIndex.map { case ((t, us), i) => (i.toLong, t, us) }
+      .toDF("event_id", "event_type", "us")
+      .select($"event_id", $"event_type", timestamp_micros($"us").as("ts"))
+    val d2 = Stats.chi2Independence(dep).head()
+    assert(d2.getAs[Double]("chi2") === 20.0, "perfect association: chi2 == n")
   }
 
   test("grouping sets: every grain's total re-aggregates to the grand-total row") {
