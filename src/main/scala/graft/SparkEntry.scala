@@ -457,6 +457,13 @@ object SparkEntry {
     "q_rolling_beta" -> ((s, dir) =>
       TimeSeries.rollingBeta(Tables.events(s, dir), 0L, 10)
         .orderBy("user_id", "day")),
+    "q_ewma_vol" -> ((s, dir) =>
+      TimeSeries.ewmaVol(Tables.events(s, dir))
+        .orderBy("user_id", "day")),
+    "q_amihud" -> ((s, dir) =>
+      TimeSeries.amihudIlliquidity(Tables.events(s, dir)).orderBy("user_id")),
+    "q_roll_spread" -> ((s, dir) =>
+      TimeSeries.rollSpread(Tables.events(s, dir)).orderBy("user_id")),
     "q_mutual_info" -> ((s, dir) =>
       Stats.mutualInfo(Tables.events(s, dir))),
     "q_markov_stationary" -> ((s, dir) =>
@@ -3640,6 +3647,76 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    "q_ewma_vol" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day, (close / prev - 1) * (close / prev - 1) AS r2
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), o AS (
+        |  SELECT user_id, day, r2,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) - 1 AS rn
+        |  FROM r
+        |), g AS (
+        |  SELECT *, CASE WHEN rn = 0 THEN r2 ELSE (1 - 0.94) * r2 * pow(0.94, -rn) END AS gg
+        |  FROM o
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  round(sqrt(pow(0.94, rn) * sum(gg) OVER (PARTITION BY user_id ORDER BY rn
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * sqrt(252.0), 6) AS ewma_vol_ann
+        |FROM g ORDER BY user_id, day""".stripMargin,
+    "q_amihud" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, close / lag(close) OVER ws - 1 AS ret,
+        |    close * CAST(volume AS DOUBLE) AS dv
+        |  FROM bars
+        |  WINDOW ws AS (PARTITION BY user_id ORDER BY day)
+        |)
+        |SELECT user_id, count(*) AS n_days,
+        |  round(avg(abs(ret) / dv) * 1e9, 6) AS amihud_1e9
+        |FROM r WHERE ret IS NOT NULL AND dv > 0
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_roll_spread" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), q AS (
+        |  SELECT user_id, day, CAST(close AS DECIMAL(18,6)) AS cq FROM c
+        |), d AS (
+        |  SELECT user_id, day,
+        |    cq - lag(cq) OVER (PARTITION BY user_id ORDER BY day) AS d
+        |  FROM q
+        |), dd AS (
+        |  SELECT user_id, d, lag(d) OVER (PARTITION BY user_id ORDER BY day) AS dl
+        |  FROM d
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    sum(d) AS sd, sum(dl) AS sl,
+        |    sum(CAST(d AS DECIMAL(19,6)) * CAST(dl AS DECIMAL(19,6))) AS sdl
+        |  FROM dd WHERE d IS NOT NULL AND dl IS NOT NULL
+        |  GROUP BY user_id
+        |), b AS (
+        |  SELECT user_id, n_days,
+        |    n_days * CAST(sdl AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sl AS DOUBLE) AS covn
+        |  FROM m
+        |)
+        |SELECT user_id, n_days,
+        |  round(covn / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)), 6) AS autocov,
+        |  round(CASE WHEN covn < 0
+        |    THEN 2.0 * sqrt(-covn / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))) END, 6) AS roll_spread
+        |FROM b
+        |ORDER BY user_id""".stripMargin,
     "q_rolling_beta" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

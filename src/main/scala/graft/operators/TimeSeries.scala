@@ -1595,6 +1595,90 @@ object TimeSeries {
           var_samp(col("rk")) / (lit(k.toDouble) * var_samp(col("r1")))), 6).as("vr"))
   }
 
+  /** RiskMetrics EWMA volatility per key: vol²_t = λ·vol²_{t−1} +
+    * (1−λ)·r²_t over daily returns (λ = 0.94, the classic
+    * RiskMetrics decay), annualized — the responsive volatility
+    * estimate beside [[rollingStats]]'s equal-weight window. Same
+    * closed-form-with-guard machinery as [[ema]] (seed = first r²;
+    * λ^(−rn) overflows past ~11k rows/key and the guard fails
+    * loudly); the 1−λ factor is COMPUTED (1 − 0.94) on both engines
+    * so the shared IEEE chain is literal-identical. One (key, day)
+    * sort; 6dp output.
+    */
+  def ewmaVol(events: DataFrame, lambda: Double = 0.94,
+              key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1): $lambda")
+    val a    = 1 - lambda // matches the SQL-side (1 - 0.94) chain
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, 0)
+    dailyCloseReturns(events, key, ts, v)
+      .withColumn("r2", col("ret") * col("ret"))
+      .withColumn("rn", row_number().over(wSeq) - 1)
+      .withColumn("g",
+        when(col("rn") === 0, col("r2"))
+          .otherwise(lit(a) * col("r2") * pow(lit(lambda), -col("rn"))))
+      .withColumn("v2", pow(lit(lambda), col("rn")) * sum(col("g")).over(wRun))
+      .select(col(key), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        closedFormGuard(round(sqrt(col("v2")) * sqrt(lit(TradingDays)), 6), a).as("ewma_vol_ann"))
+  }
+
+  /** Amihud illiquidity per key: mean of |return| per unit of dollar
+    * volume (×1e9 for readable units) — THE standard price-impact /
+    * illiquidity measure, the per-instrument complement of
+    * [[graft.operators.Relational.keySkew]]'s operational skew
+    * report. Daily |ret| and close·volume reduce on the same
+    * (key, day) bars; the per-key mean is a bounded-group float
+    * aggregate rounded once at 6dp (ratios are non-terminating
+    * quotients — boundary-safe). Zero-dollar-volume days drop.
+    */
+  def amihudIlliquidity(events: DataFrame,
+                        key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    val bars = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val prev = lag(col("close"), 1).over(wSeq)
+    bars
+      .withColumn("ret", when(prev =!= 0, col("close") / prev - 1))
+      .withColumn("dv", col("close") * col("volume").cast("double"))
+      .filter(col("ret").isNotNull && col("dv") > 0)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("ret")) / col("dv")) * lit(1e9), 6).as("amihud_1e9"))
+  }
+
+  /** Roll's implied effective spread per key: 2·sqrt(−cov(Δp_t,
+    * Δp_{t−1})) — bid-ask bounce makes consecutive price changes
+    * negatively autocorrelated, and the autocovariance IMPLIES the
+    * spread without ever seeing a quote (Roll 1984). Price changes
+    * are EXACT decimals (closes quantize once to DECIMAL(18,6), the
+    * welch recipe), all four moments accumulate exactly, and the
+    * spread is one IEEE chain at 6dp. Positive autocovariance
+    * (trending, no bounce) has no implied spread — null.
+    */
+  def rollSpread(events: DataFrame,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val dec  = org.apache.spark.sql.types.DecimalType(18, 6)
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val m = dailyClose(events, key, ts, v)
+      .withColumn("cq", col("close").cast(dec))
+      .withColumn("d", col("cq") - lag(col("cq"), 1).over(wSeq))
+      .withColumn("dl", lag(col("d"), 1).over(wSeq))
+      .filter(col("d").isNotNull && col("dl").isNotNull)
+      .groupBy(col(key))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("d")).as("sd"), sum(col("dl")).as("sl"),
+        sum(col("d") * col("dl")).as("sdl"))
+    val nd   = col("n_days").cast("double")
+    val covN = nd * col("sdl").cast("double") - col("sd").cast("double") * col("sl").cast("double")
+    m.select(col(key), col("n_days"),
+      round(covN / (nd * nd), 6).as("autocov"),
+      round(when(covN < 0, lit(2.0) * sqrt(-covN / (nd * nd))), 6).as("roll_spread"))
+  }
+
   /** Rolling n-day beta of every key vs the benchmark — the live
     * risk monitor where [[alphaBeta]] is the whole-period autopsy.
     * Day-aligned benchmark returns BROADCAST to the corpus (the

@@ -174,6 +174,50 @@ class IndicatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ewma vol matches the RiskMetrics recursion; constant series reads zero") {
+    import spark.implicits._
+    val rets  = Vector(0.01, -0.02, 0.015, -0.005, 0.03, -0.01, 0.02, 0.0)
+    val cs    = rets.scanLeft(100.0)((c, r) => c * (1 + r))
+    val flat  = Vector.fill(8)(50.0)
+    val rows = cs.zipWithIndex.map { case (c, i) => (1L, i.toLong, i.toLong, c) } ++
+      flat.zipWithIndex.map { case (c, i) => (2L, 100L + i, i.toLong, c) }
+    val df = rows.toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+    val got = TimeSeries.ewmaVol(df).orderBy($"user_id", $"day").collect()
+    // local recursion: v2_0 = r2_0; v2_t = 0.94 v2 + 0.06 r2
+    val realized = cs.sliding(2).map(p => p(1) / p(0) - 1).toVector
+    val v2 = realized.map(r => r * r).tail
+      .scanLeft(realized.head * realized.head)((v, r2) => 0.94 * v + (1 - 0.94) * r2)
+    val u1 = got.filter(_.getLong(0) == 1L)
+    u1.zip(v2).foreach { case (r, w) =>
+      assert(math.abs(r.getAs[Double]("ewma_vol_ann") - math.sqrt(w) * math.sqrt(252.0)) < 1e-5,
+        s"row ${r.getString(1)}")
+    }
+    got.filter(_.getLong(0) == 2L).foreach(r =>
+      assert(r.getAs[Double]("ewma_vol_ann") === 0.0, "flat series has zero vol"))
+  }
+
+  test("amihud and roll spread: hand-built bounce series implies the planted spread") {
+    import spark.implicits._
+    // closes bounce +-s/2 around 100: Delta p alternates +s, -s ->
+    // autocov ~ -s^2 (in the fixed bounce pattern), roll = 2*sqrt(s^2)... with
+    // mean(d)=0: cov = E[d*dl] = -s^2 exactly -> spread = 2s
+    val s = 1.0
+    val closes = (0 until 20).map(i => if (i % 2 == 0) 100.0 + s / 2 else 100.0 - s / 2)
+    val df = closes.zipWithIndex.map { case (c, i) => (1L, i.toLong, i.toLong, c, 100L) }
+      .toDF("user_id", "event_id", "d", "value", "k")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .withColumn("props", concat(lit("{\"k\":"), $"k", lit("}")))
+    val roll = TimeSeries.rollSpread(df).head()
+    assert(roll.getAs[Double]("autocov") < 0, "bid-ask bounce must be negatively autocorrelated")
+    assert(math.abs(roll.getAs[Double]("roll_spread") - 2 * s) < 0.02,
+      s"implied spread ~ 2s = ${2 * s}, got ${roll.getAs[Double]("roll_spread")}")
+    val am = TimeSeries.amihudIlliquidity(df).head()
+    // |ret| ~ s/100 per day, dollar volume ~ 100*100: illiq ~ 1e-6 * 1e9 = 1e3
+    assert(am.getAs[Long]("n_days") === 19L)
+    assert(am.getAs[Double]("amihud_1e9") > 100.0 && am.getAs[Double]("amihud_1e9") < 10000.0)
+  }
+
   test("rolling beta: a 2x-levered clone reads ~2, the benchmark itself reads exactly 1") {
     import spark.implicits._
     val br = (0 until 30).map(i => 0.01 * math.sin(i * 0.9) + 0.002)
