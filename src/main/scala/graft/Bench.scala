@@ -226,9 +226,10 @@ object Bench {
     // quadratic exact sweep at gate scale (their 100 TB path swaps
     // in IVF/LSH candidate edges); at x10 they belong on the
     // cancel-safe quadratic slices, not inside the linear budget
-    // q_bfs_layers rides the same knnGraph exact-sweep head
+    // q_bfs_layers and q_intrinsic_dim ride the same knnGraph
+    // exact-sweep head
     Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank",
-      "q_triangle_count", "q_bfs_layers")
+      "q_triangle_count", "q_bfs_layers", "q_intrinsic_dim")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next

@@ -489,6 +489,12 @@ object SparkEntry {
       EventAnalytics.userFeatures(Tables.events(s, dir)).orderBy("user_id")),
     "q_key_skew" -> ((s, dir) =>
       Relational.keySkew(Tables.lineitem(s, dir), "l_orderkey")),
+    "q_abc_classes" -> ((s, dir) =>
+      Relational.abcClasses(Tables.lineitem(s, dir)).orderBy("abc_class")),
+    "q_doc_novelty" -> ((s, dir) =>
+      TextAnalysis.docNovelty(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_intrinsic_dim" -> ((s, dir) =>
+      Similarity.intrinsicDim(Tables.embeddings(s, dir))),
     // reconcile events against a deterministically-perturbed derived
     // copy (2% rows dropped, 2% values shifted via the md5 bucket
     // rule) — the migration-validation shape with a known answer
@@ -4076,6 +4082,70 @@ object SparkEntry {
         |  CAST(n_events AS DOUBLE) / (date_diff('day', first_day, last_day) + 1) AS events_per_day
         |FROM per CROSS JOIN e
         |ORDER BY user_id""".stripMargin,
+    "q_abc_classes" ->
+      """WITH per AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem GROUP BY 1
+        |), t AS (SELECT sum(rev) AS total FROM per
+        |), c AS (
+        |  SELECT l_partkey, rev,
+        |    sum(rev) OVER (ORDER BY rev DESC, l_partkey ASC ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM per
+        |), cl AS (
+        |  SELECT l_partkey, rev, t.total,
+        |    CASE WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.80 THEN 'A'
+        |         WHEN CAST(cum AS DOUBLE) / CAST(t.total AS DOUBLE) <= 0.95 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM c CROSS JOIN t
+        |)
+        |SELECT abc_class, count(*) AS n_parts,
+        |  CAST(sum(rev) AS DOUBLE) AS class_revenue,
+        |  CAST(sum(rev) AS DOUBLE) / CAST(max(total) AS DOUBLE) AS rev_share
+        |FROM cl GROUP BY abc_class
+        |ORDER BY abc_class""".stripMargin,
+    "q_doc_novelty" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents)
+        |), dfx AS (SELECT t, count(*) AS df FROM toks GROUP BY t
+        |), nd AS (SELECT count(*) AS n_docs FROM documents
+        |), x AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000000) AS BIGINT) AS midf
+        |  FROM toks JOIN dfx USING (t) CROSS JOIN nd
+        |)
+        |SELECT doc_id, count(*) AS n_terms,
+        |  CAST(sum(midf) AS DOUBLE) / count(*) / 1000000.0 AS novelty
+        |FROM x GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "q_intrinsic_dim" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), d AS (
+        |  SELECT a.vec_id AS p, b.vec_id AS q,
+        |    a.nn * a.nn + b.nn * b.nn
+        |      - 2.0 * (list_dot_product(a.v, b.v) / (a.nn * b.nn)) * a.nn * b.nn AS d2
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), r AS (
+        |  SELECT p, q, d2,
+        |    row_number() OVER (PARTITION BY p ORDER BY d2 ASC, q ASC) AS rn
+        |  FROM d QUALIFY rn <= 2
+        |), byp AS (
+        |  SELECT p, max(CASE WHEN rn = 1 THEN d2 END) AS d1,
+        |    max(CASE WHEN rn = 2 THEN d2 END) AS d2b
+        |  FROM r GROUP BY p
+        |), used AS (
+        |  SELECT CAST(floor(ln(sqrt(d2b / d1)) * 1000000) AS BIGINT) AS mln
+        |  FROM byp WHERE d1 > 0 AND d2b IS NOT NULL
+        |), agg AS (SELECT count(*) AS n_used, sum(mln) AS s FROM used)
+        |SELECT (SELECT count(*) FROM embeddings) AS n_vectors, n_used,
+        |  round(CASE WHEN s > 0
+        |    THEN CAST(n_used AS DOUBLE) * 1000000.0 / CAST(s AS DOUBLE) END, 6) AS id_twonn
+        |FROM agg""".stripMargin,
     "q_key_skew" ->
       """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
         |SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_per_key,

@@ -1118,6 +1118,47 @@ object Relational {
       round(when(varX > 0 && varY > 0, covN * covN / (varX * varY)), 6).as("r2"))
   }
 
+  /** ABC (Pareto) classification of parts by revenue: rank the
+    * catalog by exact-DECIMAL revenue, walk the cumulative share,
+    * and split at 80%/95% — the inventory-management classic (A
+    * items get daily attention, C items an annual glance). The
+    * global cumulative sum rides the DISTRIBUTED PREFIX-SUM shape
+    * (range-partition the reduced part frame on rank order, local
+    * decimal cumsums, broadcast per-bucket offsets — the q_power_
+    * users machinery), never a single-partition window over the
+    * catalog; class thresholds compare identical doubles imaged
+    * from exact decimals. Output is the bounded 3-row class summary.
+    */
+  def abcClasses(lineitem: DataFrame, nBuckets: Int = 32): DataFrame = {
+    val rev = col("l_extendedprice").cast(Money) * (lit(1).cast(Money) - col("l_discount").cast(Money))
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("rev").desc, col("l_partkey").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val per = lineitem.groupBy(col("l_partkey")).agg(sum(rev).as("rev"))
+      .repartitionByRange(nBuckets, col("rev").desc, col("l_partkey").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = per.groupBy(col("pid"))
+      .agg(sum(col("rev")).as("t"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("t")).over(wOff), lit(0)).as("off"))
+    val total = per.agg(sum(col("rev")).as("total"))
+    val share = (col("off") + col("cum_local")).cast("double") / col("total").cast("double")
+    per
+      .withColumn("cum_local", sum(col("rev")).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(total))
+      .withColumn("abc_class",
+        when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C"))
+      .groupBy(col("abc_class"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev")).as("crev"), max(col("total")).as("tot"))
+      .select(col("abc_class"), col("n_parts"),
+        col("crev").cast("double").as("class_revenue"),
+        (col("crev").cast("double") / col("tot").cast("double")).as("rev_share"))
+  }
+
   /** Join-key skew diagnostic — the one-row report that decides
     * whether a join needs [[saltedJoin]] BEFORE it burns a cluster:
     * per-key row counts reduced in one aggregate, then distribution

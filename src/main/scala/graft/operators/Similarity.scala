@@ -441,6 +441,49 @@ object Similarity {
         col("m_src").isNotNull.as("mutual"))
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): the
+    * manifold dimension the embeddings actually live on, from
+    * nothing but each point's two nearest neighbors — ID ≈ n /
+    * Σ ln(r2/r1). Know-your-manifold: a 64-d embedding with ID ≈ 9
+    * is compressible and its ANN index parameters should assume 9.
+    * The neighbor search is the declared-quadratic exact sweep at
+    * gate scale (the [[knnGraph]] head; IVF/LSH candidates at
+    * 100 TB); per-point ln(r2/r1) quantizes to floor(·1e6)
+    * micro-units so the corpus sum is an exact long at any
+    * partition count; duplicate points (r1 = 0) are excluded as the
+    * estimator prescribes. One-row output.
+    */
+  def intrinsicDim(embeddings: DataFrame): DataFrame = {
+    val nrm = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nn", norm(col("v"))).select(col("vec_id"), col("nn"))
+    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val dir = pairs.select(col("va").as("p"), col("vb").as("q"), col("cos"))
+      .unionByName(pairs.select(col("vb").as("p"), col("va").as("q"), col("cos")))
+    val d = dir
+      .join(nrm.select(col("vec_id").as("p"), col("nn").as("np")), "p")
+      .join(nrm.select(col("vec_id").as("q"), col("nn").as("nq")), "q")
+      .withColumn("d2",
+        col("np") * col("np") + col("nq") * col("nq") -
+          lit(2.0) * col("cos") * col("np") * col("nq"))
+    val w = Window.partitionBy("p").orderBy(col("d2").asc, col("q").asc)
+    val byP = d
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy(col("p"))
+      .agg(
+        max(when(col("rn") === 1, col("d2"))).as("d1"),
+        max(when(col("rn") === 2, col("d2"))).as("d2b"))
+    val used = byP.filter(col("d1") > 0 && col("d2b").isNotNull)
+      .withColumn("mln",
+        floor(log(sqrt(col("d2b") / col("d1"))) * 1000000).cast("long"))
+    val n = embeddings.agg(count(lit(1)).as("n_vectors"))
+    used.agg(count(lit(1)).as("n_used"), sum(col("mln")).as("s"))
+      .crossJoin(broadcast(n))
+      .select(col("n_vectors"), col("n_used"),
+        round(when(col("s") > 0,
+          col("n_used").cast("double") * 1000000.0 / col("s").cast("double")), 6).as("id_twonn"))
+  }
+
   /** Cluster-label purity per IVF cell — the label-agreement audit
     * beside [[clusterSilhouette]]'s geometric one: per cell, the
     * majority label's share of members (ties to the lowest label).

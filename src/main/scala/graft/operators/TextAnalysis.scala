@@ -703,4 +703,31 @@ object TextAnalysis {
           .when(col("flesch") >= 30.0, "difficult")
           .otherwise("very_difficult"))
   }
+
+  /** Document novelty: mean IDF of each document's DISTINCT tokens —
+    * boilerplate-heavy docs (common tokens everywhere) score low,
+    * rare-vocabulary docs score high; the cheap novelty signal a
+    * curation pipeline ranks on before paying for embeddings. One
+    * token-explode scan → df table (co-partitioned token join, the
+    * tf-idf shape) → per-doc mean. Per-token idf quantizes to
+    * integer micro-units via floor(idf·1e6) (ln quotients are
+    * engine-identical doubles; floor is unambiguous), so per-doc
+    * sums are exact longs at any partition count and the mean is one
+    * UNROUNDED IEEE chain.
+    */
+  def docNovelty(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("t"))
+    val dfx = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val nd  = documents.agg(count(lit(1)).as("n_docs"))
+    toks
+      .join(dfx, "t")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(nd))
+      .withColumn("midf",
+        floor(log(col("n_docs").cast("double") / col("df")) * 1000000).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("midf")).as("s"))
+      .select(col("doc_id"), col("n_terms"),
+        (col("s").cast("double") / col("n_terms") / 1000000.0).as("novelty"))
+  }
 }

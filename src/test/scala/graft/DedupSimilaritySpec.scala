@@ -334,6 +334,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     qids.foreach(q => assert(byProbe.last._2(q) === 1.0, s"full probe must be exact for qid=$q"))
   }
 
+  test("intrinsic dimension: a line reads ~1, a plane reads ~2") {
+    import spark.implicits._
+    // TwoNN assumes locally Poisson samples — a REGULAR lattice
+    // (both neighbors equidistant, r2/r1 -> 1) blows the estimate
+    // up, so the fixtures use deterministic pseudo-uniform draws
+    def u(i: Int, salt: Int) = ((((i * 31L + salt) * 2654435761L) >>> 13) % 100000) / 100000.0
+    // 1-D: Poisson-like gaps via -ln(u)
+    val xs = (0 until 300).scanLeft(0.0)((x, i) => x - math.log(u(i, 1) max 1e-6)).tail
+    val line = xs.zipWithIndex.map { case (x, i) => (i.toLong, Array(x.toFloat, 0.0f)) }
+      .toDF("vec_id", "embedding")
+    val idLine = Similarity.intrinsicDim(line).head().getAs[Double]("id_twonn")
+    assert(idLine > 0.4 && idLine < 1.6, s"a 1-D manifold must read ~1, got $idLine")
+    // 2-D: pseudo-uniform points in a square
+    val plane = (0 until 300).map(i =>
+      (i.toLong, Array((u(i, 2) * 100).toFloat, (u(i, 3) * 100).toFloat)))
+      .toDF("vec_id", "embedding")
+    val idPlane = Similarity.intrinsicDim(plane).head().getAs[Double]("id_twonn")
+    assert(idPlane > 1.4 && idPlane < 3.2, s"a 2-D manifold must read ~2, got $idPlane")
+    assert(idPlane > idLine, "the plane must read higher than the line")
+  }
+
   test("cluster purity: perfectly separated labels score 1, population conserved") {
     import spark.implicits._
     // two tight clusters with distinct labels + one mislabeled vector

@@ -47,6 +47,21 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("abc classes: shares sum to 1, parts conserve, classes ordered by construction") {
+    import spark.implicits._
+    val got = Relational.abcClasses(Tables.lineitem(spark, sf)).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_parts"), r.getAs[Double]("rev_share"))).toMap
+    val totalParts = Tables.lineitem(spark, sf).select($"l_partkey").distinct().count()
+    assert(got.values.map(_._1).sum === totalParts, "every part lands in exactly one class")
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9, "class shares must sum to 1")
+    // the 80/95 cuts make shares decrease A >= B >= C on any
+    // non-degenerate catalog
+    assert(got.contains("A") && got.contains("C"))
+    assert(got("A")._2 >= got.getOrElse("B", (0L, 0.0))._2)
+    assert(got.getOrElse("B", (0L, 1.0))._2 >= got("C")._2)
+    assert(got("A")._1 < totalParts, "A must not swallow the catalog")
+  }
+
   test("key skew: hand-built distribution, identities hold") {
     import spark.implicits._
     // 10 keys with 1 row, 1 key with 90 rows

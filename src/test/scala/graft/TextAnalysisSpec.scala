@@ -1,4 +1,5 @@
 package graft
+// (doc novelty spec appended at the end of this suite)
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -340,5 +341,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     val fx = TextAnalysis.readability(Tables.documents(spark, sf))
     assert(fx.count() > 0)
     assert(fx.filter(col("band").isNull || col("n_words") <= 0).count() === 0)
+  }
+
+  test("doc novelty: shared-vocabulary docs read 0, the rare-vocabulary doc reads highest") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common words everywhere"),
+      (2L, "common words everywhere"),
+      (3L, "common words everywhere"),
+      (4L, "utterly singular vocabulary here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.docNovelty(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("novelty")).toMap
+    // docs 1-3 share every token (df=3 of 4): idf = ln(4/3) each
+    val idf3 = math.floor(math.log(4.0 / 3) * 1e6) / 1e6
+    (1L to 3L).foreach(d => assert(math.abs(got(d) - idf3) < 1e-9, s"doc $d"))
+    // doc 4's tokens are unique (df=1): idf = ln 4 — strictly the most novel
+    val idf1 = math.floor(math.log(4.0) * 1e6) / 1e6
+    assert(math.abs(got(4L) - idf1) < 1e-9)
+    assert(got(4L) > got(1L))
   }
 }
