@@ -466,6 +466,10 @@ object SparkEntry {
       TimeSeries.rollSpread(Tables.events(s, dir)).orderBy("user_id")),
     "q_mutual_info" -> ((s, dir) =>
       Stats.mutualInfo(Tables.events(s, dir))),
+    "q_kl_divergence" -> ((s, dir) =>
+      Stats.klDivergence(Tables.events(s, dir), "view", "purchase", 50.0)),
+    "q_burstiness" -> ((s, dir) =>
+      EventAnalytics.burstiness(Tables.events(s, dir)).orderBy("user_id")),
     "q_markov_stationary" -> ((s, dir) =>
       EventAnalytics.markovStationary(Tables.events(s, dir)).orderBy("event_type")),
     "q_volume_profile" -> ((s, dir) =>
@@ -3804,6 +3808,60 @@ object SparkEntry {
         |SELECT n, round(sum(mi_term), 6) AS mi_bits,
         |  round(sqrt(sum(chi_term) / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM terms GROUP BY n, nr, nc""".stripMargin,
+    "q_kl_divergence" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    count(*) AS k FROM cells
+        |), terms AS (
+        |  SELECT na, nb, k,
+        |    (CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |      * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |          / (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)))
+        |      / 0.6931471805599453 AS tab,
+        |    (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |      * ln((CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |          / (CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)))
+        |      / 0.6931471805599453 AS tba
+        |  FROM cells CROSS JOIN tot
+        |)
+        |SELECT na, nb, k AS n_bins,
+        |  round(sum(tab), 6) AS kl_ab_bits,
+        |  round(sum(tba), 6) AS kl_ba_bits,
+        |  round(sum(tab + tba), 6) AS jeffreys_bits
+        |FROM terms GROUP BY na, nb, k""".stripMargin,
+    "q_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    sum(CAST(gap_us AS DECIMAL(19,0))) AS sg,
+        |    sum(CAST(gap_us AS DECIMAL(19,0)) * CAST(gap_us AS DECIMAL(19,0))) AS sgg
+        |  FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+        |), b AS (
+        |  SELECT user_id, n_gaps,
+        |    CAST(sg AS DOUBLE) / n_gaps AS mu,
+        |    CAST(sgg AS DOUBLE) / n_gaps
+        |      - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps) AS va
+        |  FROM m
+        |), s AS (
+        |  SELECT user_id, n_gaps, mu,
+        |    sqrt(CASE WHEN va > 0 THEN va ELSE 0.0 END) AS sd
+        |  FROM b
+        |)
+        |SELECT user_id, n_gaps,
+        |  mu / 1000000.0 AS mean_gap_s,
+        |  sd / 1000000.0 AS sd_gap_s,
+        |  CASE WHEN sd + mu != 0.0 THEN (sd - mu) / (sd + mu) END AS burstiness
+        |FROM s
+        |ORDER BY user_id""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

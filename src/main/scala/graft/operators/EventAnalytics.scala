@@ -446,6 +446,40 @@ object EventAnalytics {
           .as("churn_rate"))
   }
 
+  /** Burstiness per user: B = (σ−μ)/(σ+μ) over inter-event gaps —
+    * the one-number cadence classifier (−1 metronome/bot, 0 Poisson
+    * organic, →1 extreme bursts) on top of the q_inter_event gap
+    * profile. Gaps are EXACT epoch-micro longs off one (user, ts,
+    * event_id) sort; the moments (n, Σg, Σg²) accumulate as exact
+    * decimals (gap² up to ~4e24 overflows int64 — DECIMAL(19,0) carries
+    * it), and σ/μ/B are one shared IEEE chain at 6dp. Users with
+    * one gap or zero variance surface the degenerate value exactly.
+    */
+  def burstiness(events: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(19, 0)
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .filter(col("gap_us").isNotNull)
+      .withColumn("g", col("gap_us").cast(dec))
+    val m = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("g")).as("sg"), sum(col("g") * col("g")).as("sgg"))
+    val nd  = col("n_gaps").cast("double")
+    val mu  = col("sg").cast("double") / nd
+    val va  = col("sgg").cast("double") / nd - mu * mu
+    val sd  = sqrt(when(va > 0, va).otherwise(lit(0.0)))
+    // UNROUNDED: mean_gap is a terminating rational (exact-long sum
+    // over n) that can land on a 6dp half boundary; every output is
+    // a deterministic IEEE chain over exact decimals, so raw doubles
+    // hash-match
+    m.select(col("user_id"), col("n_gaps"),
+      (mu / 1000000.0).as("mean_gap_s"),
+      (sd / 1000000.0).as("sd_gap_s"),
+      when(sd + mu =!= 0.0, (sd - mu) / (sd + mu)).as("burstiness"))
+  }
+
   /** Stationary distribution of the event-type Markov chain — where
     * user journeys converge if behavior holds: π·P iterated from
     * uniform over the transition matrix [[topTransitions]] counts.

@@ -676,6 +676,43 @@ object Stats {
       .agg(round(sum(col("term")), 6).as("chi2"))
   }
 
+  /** Symmetrised KL divergence (Jeffreys, in bits) between two event
+    * types' value distributions over fixed-width bins — the
+    * distribution-shift tripwire for NUMERIC columns, next to
+    * [[ksTest]]'s sup-distance (KS is threshold-free, KL weights the
+    * whole shape) and q_vocab_shift's token version. Exact-long bin
+    * counts from ONE conditional-aggregate scan; add-one smoothing
+    * over the UNION of occupied bins keeps every term finite; the
+    * ≤bins term sum is bounded-group at 6dp.
+    */
+  def klDivergence(events: DataFrame, typeA: String, typeB: String, width: Double = 50.0,
+                   key: String = "event_type", v: String = "value"): DataFrame = {
+    require(width > 0, s"bin width must be positive: $width")
+    val cells = events
+      .filter(col(key).isin(typeA, typeB))
+      .groupBy(floor(col(v) / width).cast("long").as("bin"))
+      .agg(
+        sum(when(col(key) === typeA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(key) === typeB, 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("k"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + col("k")).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + col("k")).cast("double")
+    val ln2 = 0.6931471805599453
+    cells.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("k"),
+        (pa * log(pa / pb) / lit(ln2)).as("tab"),
+        (pb * log(pb / pa) / lit(ln2)).as("tba"))
+      .groupBy(col("na"), col("nb"), col("k"))
+      .agg(
+        round(sum(col("tab")), 6).as("kl_ab_bits"),
+        round(sum(col("tba")), 6).as("kl_ba_bits"),
+        round(sum(col("tab") + col("tba")), 6).as("jeffreys_bits"))
+      .select(col("na"), col("nb"), col("k").as("n_bins"),
+        col("kl_ab_bits"), col("kl_ba_bits"), col("jeffreys_bits"))
+  }
+
   /** Mutual information (bits) + Cramér's V between event type and
     * ISO weekday — the dependence panel beside [[chi2Independence]]:
     * chi² says "is there association", MI says how many BITS of one

@@ -280,6 +280,19 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 4L, 2L, 1.0), (2L, 4L, 1L, 0.0), (3L, 4L, 4L, 2.0)))
   }
 
+  test("burstiness: a metronome reads exactly -1, a bursty user reads positive") {
+    import spark.implicits._
+    // user 1: perfectly regular 60s gaps; user 2: many 1s gaps + one huge gap
+    val reg = (0 until 20).map(i => (1L, i.toLong, i.toLong * 60L))
+    val bur = ((0 until 19).map(i => (2L, 100L + i, i.toLong)) :+ (2L, 119L, 100000L))
+    val df = (reg ++ bur).toDF("user_id", "event_id", "t_s")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+    val got = EventAnalytics.burstiness(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Double]("burstiness") === -1.0, "zero variance is the metronome pole")
+    assert(math.abs(got(1L).getAs[Double]("mean_gap_s") - 60.0) < 1e-9)
+    assert(got(2L).getAs[Double]("burstiness") > 0.5, "one huge gap must read bursty")
+  }
+
   test("markov stationary: an absorbing state takes all fixed-point mass exactly") {
     import spark.implicits._
     // every user: A then B,B,B -> edges A->B and B->B only; B absorbs

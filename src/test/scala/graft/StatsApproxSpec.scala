@@ -194,6 +194,24 @@ class StatsApproxSpec extends AnyFunSuite {
     gs.unpersist()
   }
 
+  test("kl divergence: identical slices read 0, a shifted slice reads positive and asymmetric") {
+    import TestSession.spark
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
+      .map { case ((t, x), i) => (i.toLong, t, x) }.toDF("event_id", "event_type", "value")
+    val same = (0 until 200).flatMap(i => Seq(("view", (i % 10) * 50.0), ("purchase", (i % 10) * 50.0)))
+    val r0 = Stats.klDivergence(ev(same), "view", "purchase", 50.0).head()
+    assert(r0.getAs[Double]("kl_ab_bits") === 0.0 && r0.getAs[Double]("jeffreys_bits") === 0.0)
+    // purchase values shifted up: divergence positive, direction-dependent
+    val shifted = (0 until 200).flatMap(i =>
+      Seq(("view", (i % 10) * 50.0), ("purchase", (i % 10) * 50.0 + 250.0)))
+    val r1 = Stats.klDivergence(ev(shifted), "view", "purchase", 50.0).head()
+    assert(r1.getAs[Double]("jeffreys_bits") > 0.5, "a 5-bin shift must diverge")
+    // each column rounds independently at 6dp -> identity holds to 1.5 ulp of 1e-6
+    assert(math.abs(r1.getAs[Double]("jeffreys_bits") -
+      (r1.getAs[Double]("kl_ab_bits") + r1.getAs[Double]("kl_ba_bits"))) < 2.5e-6)
+  }
+
   test("mutual info: independent grid reads 0 bits, deterministic mapping reads full entropy") {
     import TestSession.spark
     import spark.implicits._
