@@ -71,7 +71,10 @@ object Explain {
         "q_user_features", "q_key_skew", "q_reconcile", "q_top_paths",
         "q_volume_profile", "q_drawdown_episodes", "q_cross_sectional_rank",
         "q_quintile_spread", "q_cluster_purity", "q_retrieval_precision",
-        "q_feature_corr")
+        "q_feature_corr", "q_half_life", "q_mutual_info", "q_markov_stationary",
+        "q_rolling_beta", "q_ewma_vol", "q_amihud", "q_roll_spread",
+        "q_abc_classes", "q_doc_novelty", "q_intrinsic_dim",
+        "q_kl_divergence", "q_burstiness")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
