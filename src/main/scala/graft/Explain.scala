@@ -74,7 +74,8 @@ object Explain {
         "q_feature_corr", "q_half_life", "q_mutual_info", "q_markov_stationary",
         "q_rolling_beta", "q_ewma_vol", "q_amihud", "q_roll_spread",
         "q_abc_classes", "q_doc_novelty", "q_intrinsic_dim",
-        "q_kl_divergence", "q_burstiness")
+        "q_kl_divergence", "q_burstiness", "q_spearman_corr", "q_kendall_trend",
+        "q_capture_ratios")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -472,6 +472,12 @@ object SparkEntry {
       EventAnalytics.burstiness(Tables.events(s, dir)).orderBy("user_id")),
     "q_markov_stationary" -> ((s, dir) =>
       EventAnalytics.markovStationary(Tables.events(s, dir)).orderBy("event_type")),
+    "q_spearman_corr" -> ((s, dir) =>
+      TimeSeries.spearmanCorr(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_kendall_trend" -> ((s, dir) =>
+      TimeSeries.kendallTauTrend(Tables.events(s, dir)).orderBy("user_id")),
+    "q_capture_ratios" -> ((s, dir) =>
+      TimeSeries.captureRatios(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -3861,6 +3867,102 @@ object SparkEntry {
         |  sd / 1000000.0 AS sd_gap_s,
         |  CASE WHEN sd + mu != 0.0 THEN (sd - mu) / (sd + mu) END AS burstiness
         |FROM s
+        |ORDER BY user_id""".stripMargin,
+    "q_spearman_corr" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((close / prev - 1) * 1000000) AS BIGINT) AS mk
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), b AS (
+        |  SELECT day, mk AS mb FROM r WHERE user_id = 0
+        |), j AS (
+        |  SELECT r.user_id, r.day, r.mk, b.mb FROM r JOIN b USING (day)
+        |  WHERE r.user_id != 0
+        |), k AS (
+        |  SELECT user_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mk, day) AS rx,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY mb, day) AS ry
+        |  FROM j
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(rx) AS sx
+        |  FROM k GROUP BY 1
+        |)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CASE WHEN n_days > 1 AND (n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |    THEN (n_days * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / (n_days * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) END AS spearman_rho
+        |FROM m
+        |ORDER BY user_id""".stripMargin,
+    "q_kendall_trend" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((close / prev - 1) * 1000000) AS BIGINT) AS mk
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), p AS (
+        |  SELECT a.user_id, a.mk AS ma, b.mk AS mb
+        |  FROM r a JOIN r b ON a.user_id = b.user_id AND a.day < b.day
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN mb > ma THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+        |  CAST(sum(CASE WHEN mb < ma THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+        |  CAST(sum(CASE WHEN mb = ma THEN 1 ELSE 0 END) AS BIGINT) AS ties,
+        |  CAST(sum(CASE WHEN mb > ma THEN 1 ELSE 0 END)
+        |     - sum(CASE WHEN mb < ma THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE) AS tau
+        |FROM p GROUP BY 1
+        |ORDER BY user_id""".stripMargin,
+    "q_capture_ratios" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((close / prev - 1) * 1000000) AS BIGINT) AS mk
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), b AS (
+        |  SELECT day, mk AS mb FROM r WHERE user_id = 0
+        |), j AS (
+        |  SELECT r.user_id, r.mk, b.mb FROM r JOIN b USING (day)
+        |  WHERE r.user_id != 0
+        |), m AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN mb > 0 THEN mk ELSE 0 END) AS sk_up,
+        |    sum(CASE WHEN mb > 0 THEN mb ELSE 0 END) AS sb_up,
+        |    sum(CASE WHEN mb > 0 THEN 1 ELSE 0 END) AS n_up,
+        |    sum(CASE WHEN mb < 0 THEN mk ELSE 0 END) AS sk_dn,
+        |    sum(CASE WHEN mb < 0 THEN mb ELSE 0 END) AS sb_dn,
+        |    sum(CASE WHEN mb < 0 THEN 1 ELSE 0 END) AS n_dn
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT user_id, CAST(n_up AS BIGINT) AS n_up, CAST(n_dn AS BIGINT) AS n_dn,
+        |  CASE WHEN n_up > 0 AND sb_up != 0
+        |    THEN CAST(sk_up AS DOUBLE) / CAST(sb_up AS DOUBLE) END AS up_capture,
+        |  CASE WHEN n_dn > 0 AND sb_dn != 0
+        |    THEN CAST(sk_dn AS DOUBLE) / CAST(sb_dn AS DOUBLE) END AS down_capture,
+        |  (CASE WHEN n_up > 0 AND sb_up != 0
+        |    THEN CAST(sk_up AS DOUBLE) / CAST(sb_up AS DOUBLE) END)
+        |  - (CASE WHEN n_dn > 0 AND sb_dn != 0
+        |    THEN CAST(sk_dn AS DOUBLE) / CAST(sb_dn AS DOUBLE) END) AS capture_spread
+        |FROM m
         |ORDER BY user_id""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (

@@ -2074,4 +2074,111 @@ object TimeSeries {
         round(col("p_raw") - (col("h1") - col("l1")), 6).as("s2"),
         when(col("p_raw").isNotNull, col("close") > col("p_raw")).as("above_pivot"))
   }
+
+  /** Spearman rank correlation of every key's daily returns vs the
+    * benchmark key — the robust complement to the Pearson-based
+    * [[alphaBeta]]: monotone association, immune to the fat tails
+    * the micro-return series carries. Both series quantize to
+    * integer micro-returns (floor(ret·1e6) — floor of a
+    * bit-identical double is unambiguous in every engine), then each
+    * side is ranked WITHIN the key's joined frame by row_number over
+    * (mk, day) — a deterministic total order, so ranks are a
+    * permutation of 1..n and every moment (Σr, Σr², Σrxry) is an
+    * exact long at any partition count. ρ is one IEEE chain from
+    * those integers, output UNROUNDED (integer quotients can
+    * terminate exactly on 6dp half boundaries where engine rounding
+    * diverges).
+    *
+    * Scale: the benchmark is ONE key ⇒ broadcast; both rank windows
+    * share the partitionBy(key) exchange (one shuffle, two sorts).
+    */
+  def spearmanCorr(events: DataFrame, benchmarkId: Long = 0L,
+                   key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    val bench = rets.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mk").as("mb"))
+    val j  = rets.filter(col(key) =!= benchmarkId)
+      .join(broadcast(bench), Seq("day"))
+    val wx = Window.partitionBy(key).orderBy(col("mk").asc, col("day").asc)
+    val wy = Window.partitionBy(key).orderBy(col("mb").asc, col("day").asc)
+    val m = j
+      .withColumn("rx", row_number().over(wx).cast("long"))
+      .withColumn("ry", row_number().over(wy).cast("long"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("rx") * col("ry")).as("sxy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("rx")).as("sx"))
+    // rx and ry are both permutations of 1..n: Σry = Σrx, Σry² = Σrx²
+    val nd   = col("n_days").cast("double")
+    val covN = nd * col("sxy").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val varN = nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    m.select(col(key), col("n_days"),
+      when(col("n_days") > 1 && varN > 0, covN / varN).as("spearman_rho"))
+  }
+
+  /** Kendall tau-a of each key's daily micro-return sequence vs
+    * TIME — the trend-consistency score (tau = 1 means every later
+    * day closed higher): concordant/discordant day pairs counted
+    * over the key-bounded pair join. All comparisons are integer
+    * micro-returns, the three counters are exact longs, and tau is
+    * one IEEE division, UNROUNDED.
+    *
+    * Declared bounded-series: pairs per key = days²/2 with the
+    * per-key day count fixed by the calendar, so the equi-join on
+    * key scales LINEARLY in keys (the GenScale axis) — never a
+    * cartesian (plan red-barred).
+    */
+  def kendallTauTrend(events: DataFrame,
+                      key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val r = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+      .select(col(key), col("day"), col("mk"))
+    val a = r.select(col(key), col("day").as("da"), col("mk").as("ma"))
+    val b = r.select(col(key), col("day").as("db"), col("mk").as("mb"))
+    a.join(b, Seq(key)).filter(col("da") < col("db"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(when(col("mb") > col("ma"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("mb") < col("ma"), 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("mb") === col("ma"), 1L).otherwise(0L)).as("ties"))
+      .withColumn("tau",
+        (col("concordant") - col("discordant")).cast("double") / col("n_pairs").cast("double"))
+  }
+
+  /** Up/down capture ratios vs the benchmark: how much of the
+    * benchmark's up-day move the key captured, and how much of the
+    * down-day pain — the fund-selection duo (a good fund has
+    * up > 1 > down). Because up-capture = mean(key)/mean(bench)
+    * over the SAME up-day set, the day counts cancel and each ratio
+    * is a single integer-quotient Σmk/Σmb in micro-units — exact
+    * longs until two IEEE divisions, output UNROUNDED (integer
+    * quotients terminate on 6dp half boundaries). Benchmark series
+    * broadcast; one shuffle on key for the aggregate.
+    */
+  def captureRatios(events: DataFrame, benchmarkId: Long = 0L,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    val bench = rets.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mk").as("mb"))
+    val m = rets.filter(col(key) =!= benchmarkId)
+      .join(broadcast(bench), Seq("day"))
+      .groupBy(col(key))
+      .agg(
+        sum(when(col("mb") > 0, col("mk")).otherwise(0L)).as("sk_up"),
+        sum(when(col("mb") > 0, col("mb")).otherwise(0L)).as("sb_up"),
+        sum(when(col("mb") > 0, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("mb") < 0, col("mk")).otherwise(0L)).as("sk_dn"),
+        sum(when(col("mb") < 0, col("mb")).otherwise(0L)).as("sb_dn"),
+        sum(when(col("mb") < 0, 1L).otherwise(0L)).as("n_dn"))
+    val upCap = when(col("n_up") > 0 && col("sb_up") =!= 0,
+      col("sk_up").cast("double") / col("sb_up").cast("double"))
+    val dnCap = when(col("n_dn") > 0 && col("sb_dn") =!= 0,
+      col("sk_dn").cast("double") / col("sb_dn").cast("double"))
+    m.select(col(key), col("n_up"), col("n_dn"),
+      upCap.as("up_capture"), dnCap.as("down_capture"),
+      (upCap - dnCap).as("capture_spread"))
+  }
 }

@@ -564,4 +564,58 @@ class IndicatorSpec extends AnyFunSuite {
     assert(got(0)._1 === 1L && math.abs(got(0)._2.get - -1.0) < 1e-6)
     assert(got(1)._1 === 2L && math.abs(got(1)._2.get - 1.0) < 1e-6)
   }
+
+  private def closesDf(series: Seq[(Long, Seq[Double])]) = {
+    import spark.implicits._
+    series.flatMap { case (uid, cs) =>
+      cs.zipWithIndex.map { case (c, i) => (uid, uid * 1000 + i, i.toLong, c) }
+    }.toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+  }
+
+  test("spearman: a monotone transform of the benchmark reads exactly +1, an inverted one -1") {
+    // well-separated returns so micro-return quantization cannot tie
+    val br = Seq(0.05, -0.03, 0.11, 0.02, -0.08, 0.07, -0.01, 0.04, -0.05, 0.09)
+    val bench = br.scanLeft(100.0)((c, r) => c * (1 + r))
+    val mono  = bench.map(c => c * c / 100.0)   // returns (1+r)^2-1: strictly increasing in r
+    val inv   = bench.map(c => 10000.0 / c)     // returns 1/(1+r)-1: strictly decreasing in r
+    val got = TimeSeries.spearmanCorr(closesDf(Seq(0L -> bench, 1L -> mono, 2L -> inv)), 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(0L), "benchmark must be excluded from the output")
+    assert(got(1L).getAs[Double]("spearman_rho") === 1.0,
+      "rank correlation of a monotone transform is exactly 1")
+    assert(got(2L).getAs[Double]("spearman_rho") === -1.0,
+      "rank correlation of an inverted transform is exactly -1")
+    assert(got(1L).getAs[Long]("n_days") === 10L)
+  }
+
+  test("kendall trend: strictly rising returns read tau=1, falling -1, constant all ties") {
+    // returns themselves must be monotone across days (tau compares mk_t vs mk_t')
+    val rising  = Seq(0.01, 0.02, 0.03, 0.04, 0.05)
+    val falling = Seq(0.05, 0.04, 0.03, 0.02, 0.01)
+    val flat    = Seq(0.02, 0.02, 0.02, 0.02, 0.02)
+    def fromRets(rs: Seq[Double]) = rs.scanLeft(100.0)((c, r) => c * (1 + r))
+    val got = TimeSeries.kendallTauTrend(closesDf(Seq(
+        1L -> fromRets(rising), 2L -> fromRets(falling), 3L -> fromRets(flat))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_pairs") === 10L)
+    assert(got(1L).getAs[Double]("tau") === 1.0)
+    assert(got(2L).getAs[Double]("tau") === -1.0)
+    assert(got(3L).getAs[Long]("ties") === 10L && got(3L).getAs[Double]("tau") === 0.0)
+  }
+
+  test("capture ratios: a 2x-levered clone reads ~2 up and ~2 down; spread is their difference") {
+    val br = Seq(0.01, -0.02, 0.03, -0.01, 0.02, -0.03, 0.015, -0.025)
+    val bench = br.scanLeft(100.0)((c, r) => c * (1 + r))
+    val lev   = br.scanLeft(100.0)((c, r) => c * (1 + 2 * r))
+    val got = TimeSeries.captureRatios(closesDf(Seq(0L -> bench, 1L -> lev)), 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!got.contains(0L), "benchmark must be excluded")
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_up") === 4L && r1.getAs[Long]("n_dn") === 4L)
+    val up = r1.getAs[Double]("up_capture"); val dn = r1.getAs[Double]("down_capture")
+    assert(math.abs(up - 2.0) < 2e-3, s"2x clone up-capture ~2, got $up")
+    assert(math.abs(dn - 2.0) < 2e-3, s"2x clone down-capture ~2, got $dn")
+    assert(math.abs(r1.getAs[Double]("capture_spread") - (up - dn)) < 1e-12)
+  }
 }

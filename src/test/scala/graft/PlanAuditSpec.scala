@@ -516,4 +516,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!t.contains("CartesianProduct"),
       s"q_triangle_count planned a cartesian:\n$t")
   }
+
+  test("spearman/capture broadcast the benchmark; kendall's pair join stays equi-keyed") {
+    for (q <- Seq("q_spearman_corr", "q_capture_ratios")) {
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+        s"$q lost its benchmark broadcast:\n$p")
+    }
+    val k = planOf("q_kendall_trend")
+    assert(!k.contains("CartesianProduct") && !k.contains("BroadcastNestedLoopJoin"),
+      s"q_kendall_trend's day-pair join must ride the user_id equi-key:\n$k")
+  }
 }
