@@ -478,6 +478,12 @@ object SparkEntry {
       TimeSeries.kendallTauTrend(Tables.events(s, dir)).orderBy("user_id")),
     "q_capture_ratios" -> ((s, dir) =>
       TimeSeries.captureRatios(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_cci" -> ((s, dir) =>
+      TimeSeries.cci(Tables.events(s, dir), 20).orderBy("user_id", "day")),
+    "q_aroon" -> ((s, dir) =>
+      TimeSeries.aroon(Tables.events(s, dir), 25).orderBy("user_id", "day")),
+    "q_jarque_bera" -> ((s, dir) =>
+      TimeSeries.jarqueBera(Tables.events(s, dir)).orderBy("user_id")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -3963,6 +3969,125 @@ object SparkEntry {
         |  - (CASE WHEN n_dn > 0 AND sb_dn != 0
         |    THEN CAST(sk_dn AS DOUBLE) / CAST(sb_dn AS DOUBLE) END) AS capture_spread
         |FROM m
+        |ORDER BY user_id""".stripMargin,
+    "q_cci" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, bar_start,
+        |    CAST(floor((high + low + close) / 3 * 1000000) AS BIGINT) AS tpu
+        |  FROM bars
+        |), w AS (
+        |  SELECT user_id, bar_start, tpu,
+        |    count(*) OVER win AS cnt,
+        |    sum(tpu) OVER win AS s,
+        |    list(tpu) OVER win AS l
+        |  FROM t
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT user_id, bar_start, tpu, cnt, s,
+        |    list_sum(list_transform(l, e -> abs(e * 20 - s))) AS dev
+        |  FROM w
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS day,
+        |  CASE WHEN cnt = 20 AND dev > 0
+        |    THEN (CAST(tpu AS DOUBLE) * 20 - CAST(s AS DOUBLE)) * 20
+        |      / (0.015 * CAST(dev AS DOUBLE)) END AS cci
+        |FROM d
+        |ORDER BY user_id, day""".stripMargin,
+    "q_aroon" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), e AS (
+        |  SELECT user_id, day,
+        |    CAST(floor(close * 1000000) AS BIGINT) + 2000000000 AS mh,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day) AS BIGINT) - 1 AS idx
+        |  FROM c
+        |), enc AS (
+        |  SELECT user_id, day, idx,
+        |    mh * 1048576 + idx AS code_hi,
+        |    mh * 1048576 + (1048575 - idx) AS code_lo
+        |  FROM e
+        |), w AS (
+        |  SELECT user_id, day, idx,
+        |    count(*) OVER win AS cnt,
+        |    (max(code_hi) OVER win) % 1048576 AS hi_idx,
+        |    1048575 - ((min(code_lo) OVER win) % 1048576) AS lo_idx
+        |  FROM enc
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CASE WHEN cnt = 25
+        |    THEN CAST(25 - (idx - hi_idx) AS DOUBLE) * 100 / 25 END AS aroon_up,
+        |  CASE WHEN cnt = 25
+        |    THEN CAST(25 - (idx - lo_idx) AS DOUBLE) * 100 / 25 END AS aroon_down,
+        |  CASE WHEN cnt = 25
+        |    THEN CAST(25 - (idx - hi_idx) AS DOUBLE) * 100 / 25
+        |       - CAST(25 - (idx - lo_idx) AS DOUBLE) * 100 / 25 END AS aroon_osc
+        |FROM w
+        |ORDER BY user_id, day""".stripMargin,
+    "q_jarque_bera" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id,
+        |    CAST(floor((close / prev - 1) * 1000) AS BIGINT) AS mk0
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), k AS (
+        |  SELECT user_id, abs(mk0) <= 1000000 AS keep,
+        |    CASE WHEN abs(mk0) <= 1000000 THEN mk0 ELSE 0 END AS mk
+        |  FROM r
+        |), m AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_days,
+        |    sum(CASE WHEN keep THEN 0 ELSE 1 END) AS n_excluded,
+        |    sum(CAST(mk AS HUGEINT)) AS s1,
+        |    sum(CAST(mk AS HUGEINT) * mk) AS s2,
+        |    sum(CAST(mk AS HUGEINT) * mk * mk) AS s3,
+        |    sum(CAST(mk AS HUGEINT) * mk * mk * mk) AS s4
+        |  FROM k GROUP BY 1
+        |), b AS (
+        |  SELECT user_id, n_days, n_excluded,
+        |    CAST(n_days AS DOUBLE) AS nd,
+        |    CASE WHEN s1 < 0 THEN -(CAST(abs(s1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s1) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(s1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s1 % 9007199254740992 AS DOUBLE) END AS d1,
+        |    CASE WHEN s2 < 0 THEN -(CAST(abs(s2) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s2) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(s2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s2 % 9007199254740992 AS DOUBLE) END AS d2,
+        |    CASE WHEN s3 < 0 THEN -(CAST(abs(s3) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s3) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(s3 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s3 % 9007199254740992 AS DOUBLE) END AS d3,
+        |    CASE WHEN s4 < 0 THEN -(CAST(abs(s4) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s4) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(s4 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s4 % 9007199254740992 AS DOUBLE) END AS d4
+        |  FROM m
+        |), mm AS (
+        |  SELECT user_id, n_days, n_excluded, nd,
+        |    d2 / nd - (d1 / nd) * (d1 / nd) AS m2,
+        |    d3 / nd - 3.0 * (d1 / nd) * (d2 / nd)
+        |      + 2.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m3,
+        |    d4 / nd - 4.0 * (d1 / nd) * (d3 / nd)
+        |      + 6.0 * (d1 / nd) * (d1 / nd) * (d2 / nd)
+        |      - 3.0 * (d1 / nd) * (d1 / nd) * (d1 / nd) * (d1 / nd) AS m4
+        |  FROM b
+        |), s AS (
+        |  SELECT user_id, n_days, n_excluded, nd, m2,
+        |    m3 / (m2 * sqrt(m2)) AS skew,
+        |    m4 / (m2 * m2) AS kurt
+        |  FROM mm
+        |)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(n_excluded AS BIGINT) AS n_excluded,
+        |  CASE WHEN n_days > 3 AND m2 > 0 THEN skew END AS skewness,
+        |  CASE WHEN n_days > 3 AND m2 > 0 THEN kurt - 3 END AS excess_kurtosis,
+        |  CASE WHEN n_days > 3 AND m2 > 0
+        |    THEN nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4) END AS jarque_bera
+        |FROM s
         |ORDER BY user_id""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (

@@ -2181,4 +2181,141 @@ object TimeSeries {
       upCap.as("up_capture"), dnCap.as("down_capture"),
       (upCap - dnCap).as("capture_spread"))
   }
+
+  /** Commodity Channel Index: how far today's typical price sits
+    * from its n-day mean, in units of the window's mean absolute
+    * deviation — the classic overbought/oversold oscillator
+    * (±100 band). The mean deviation is vs the CURRENT window's
+    * SMA, which no plain two-window pass can express; instead the
+    * window materializes ONCE as a collect_list frame and one
+    * codegen'd higher-order aggregate folds Σ|n·tp_j − S| — still a
+    * single shuffle on key, no self-join, no 20x row blowup.
+    *
+    * Exactness: typical price quantizes to integer micro-units
+    * (floor of a bit-identical double), so S and the deviation fold
+    * are exact longs at any partition count; CCI is one IEEE chain
+    * from two integers, UNROUNDED. Emitted only for full windows.
+    */
+  def cci(events: DataFrame, n: Int = 20,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"cci window must be >= 2: $n")
+    val bars = Relational.ohlcResample(events)
+      .withColumn("tpu",
+        floor((col("high") + col("low") + col("close")) / 3 * 1000000).cast("long"))
+    val w = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    val nL = lit(n.toLong)
+    val m = bars
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("s", sum(col("tpu")).over(w))
+      .withColumn("l", collect_list(col("tpu")).over(w))
+      .withColumn("d",
+        aggregate(col("l"), lit(0L), (acc, x) => acc + abs(x * nL - col("s"))))
+    m.select(col(key), date_format(col("bar_start"), "yyyy-MM-dd").as("day"),
+      when(col("cnt") === n && col("d") > 0,
+        (col("tpu").cast("double") * n - col("s").cast("double")) * n /
+          (lit(0.015) * col("d").cast("double"))).as("cci"))
+  }
+
+  /** Aroon oscillator: days since the window's highest high / lowest
+    * low, scaled to 0..100 — trend-age detection (a fresh high reads
+    * up=100). The argmax POSITION inside a moving window has no
+    * two-window form either, but it does have an integer ENCODING:
+    * code = (micro-close + 2e9)·2^20 + idx is monotone in
+    * (close, idx), so one window max yields the latest highest
+    * day's index as code % 2^20 (the low side encodes 2^20−1−idx so
+    * the plain MIN lands on the LATEST lowest). Everything is exact
+    * long arithmetic — one shuffle on key, three window aggregates,
+    * zero joins; aroon values are exact multiples of 100/n. Assumes
+    * |micro-close| < 2e9 (price < ~2000 in fixture units — guarded)
+    * and per-key series < 2^20 rows (the calendar bounds it).
+    */
+  def aroon(events: DataFrame, n: Int = 25,
+            key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"aroon window must be >= 2: $n")
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val w    = wSeq.rowsBetween(-(n - 1), 0)
+    val enc  = dailyClose(events, key, ts, v)
+      .withColumn("mku", floor(col("close") * 1000000).cast("long"))
+      // fail loudly outside the encoding's guard band rather than
+      // silently mis-ranking (2e9 micro-units = price 2000)
+      .withColumn("mku",
+        when(abs(col("mku")) < 2000000000L, col("mku"))
+          .otherwise(raise_error(concat(lit("aroon: |micro-close| >= 2e9 for key "), col(key).cast("string")))))
+      .withColumn("idx", (row_number().over(wSeq) - 1).cast("long"))
+      .withColumn("code_hi", (col("mku") + 2000000000L) * 1048576L + col("idx"))
+      .withColumn("code_lo", (col("mku") + 2000000000L) * 1048576L + (lit(1048575L) - col("idx")))
+    val m = enc
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("hi_idx", max(col("code_hi")).over(w) % 1048576L)
+      .withColumn("lo_idx", lit(1048575L) - (min(col("code_lo")).over(w) % 1048576L))
+    val full = col("cnt") === n
+    val up   = (lit(n.toLong) - (col("idx") - col("hi_idx"))) * 100.0 / n
+    val dn   = (lit(n.toLong) - (col("idx") - col("lo_idx"))) * 100.0 / n
+    m.select(col(key), date_format(col("day"), "yyyy-MM-dd").as("day"),
+      when(full, up).as("aroon_up"),
+      when(full, dn).as("aroon_down"),
+      when(full, up - dn).as("aroon_osc"))
+  }
+
+  /** Jarque-Bera normality test per key: JB = n/6·(S² + (K−3)²/4)
+    * from the skewness and kurtosis of the daily micro-return
+    * distribution — the risk-model gatekeeper (a Gaussian VaR on a
+    * JB-rejecting series understates tails). Raw power sums of
+    * integer micro-returns accumulate as DECIMAL(38,0) (mk⁴ can
+    * reach 1e28 — int64 overflows, 128-bit decimal does not; the
+    * oracle mirrors with HUGEINT), so every moment is EXACT at any
+    * partition count; skew/kurtosis/JB are one shared IEEE chain,
+    * m2^1.5 spelled m2·sqrt(m2) because libm pow is not
+    * cross-engine reproducible while sqrt is correctly rounded
+    * everywhere. Output UNROUNDED; degenerate (zero-variance) keys
+    * read null.
+    */
+  def jarqueBera(events: DataFrame,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    // milli-return quantization (not micro): the 4th power must stay
+    // inside 128-bit exact range, and the fixture carries >1000x
+    // value jumps. |ret| > 1000 (|mk| > 1e6) is a data error for a
+    // return distribution — excluded deterministically and REPORTED
+    // (n_excluded), never silently folded into a saturated moment.
+    val m = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk0", floor(col("ret") * 1000).cast("long"))
+      .withColumn("keep", abs(col("mk0")) <= 1000000L)
+      .withColumn("mk", when(col("keep"), col("mk0")).otherwise(0L).cast(dec))
+      .groupBy(col(key))
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_days"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_excluded"),
+        sum(col("mk")).as("s1"),
+        sum(col("mk") * col("mk")).as("s2"),
+        sum(col("mk") * col("mk") * col("mk")).as("s3"),
+        sum(col("mk") * col("mk") * col("mk") * col("mk")).as("s4"))
+    // 128-bit sums exceed 2^53: a direct cast to double is rounded
+    // DIFFERENTLY across engines (DuckDB's hugeint->double composes
+    // two word-halves and double-rounds). Deterministic conversion:
+    // split |s| = q*2^53 + r (both halves exactly representable),
+    // rebuild in doubles — q*2^53 is a power-of-two shift (exact),
+    // the one + r rounding is the same IEEE add in every engine.
+    def splitD(c: Column): Column = {
+      val p = lit(9007199254740992L)
+      val a = abs(c)
+      val q = ((a - pmod(a, p)) / p).cast("double")
+      val d = q * lit(9.007199254740992e15) + pmod(a, p).cast("double")
+      when(c < 0, -d).otherwise(d)
+    }
+    val nd = col("n_days").cast("double")
+    val d1 = splitD(col("s1")); val d2 = splitD(col("s2"))
+    val d3 = splitD(col("s3")); val d4 = splitD(col("s4"))
+    val m1 = d1 / nd
+    val m2 = d2 / nd - m1 * m1
+    val m3 = d3 / nd - lit(3.0) * m1 * (d2 / nd) + lit(2.0) * m1 * m1 * m1
+    val m4 = d4 / nd - lit(4.0) * m1 * (d3 / nd) + lit(6.0) * m1 * m1 * (d2 / nd) -
+      lit(3.0) * m1 * m1 * m1 * m1
+    val skew = m3 / (m2 * sqrt(m2))
+    val kurt = m4 / (m2 * m2)
+    val jb   = nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4)
+    m.select(col(key), col("n_days"), col("n_excluded"),
+      when(col("n_days") > 3 && m2 > 0, skew).as("skewness"),
+      when(col("n_days") > 3 && m2 > 0, kurt - 3).as("excess_kurtosis"),
+      when(col("n_days") > 3 && m2 > 0, jb).as("jarque_bera"))
+  }
 }

@@ -604,6 +604,58 @@ class IndicatorSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("ties") === 10L && got(3L).getAs[Double]("tau") === 0.0)
   }
 
+  test("cci: a linear ramp reads exactly +100 (the textbook constant-trend value)") {
+    // one obs/day so tp = close; window 3: S and the deviation fold
+    // are tiny exact integers, cci = +100 on every full window
+    val got = TimeSeries.cci(closesDf(Seq(1L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0))), 3)
+      .orderBy("day").collect()
+    assert(got.take(2).forall(_.isNullAt(2)), "partial windows must be null")
+    got.drop(2).foreach(r => assert(r.getAs[Double]("cci") === 100.0))
+  }
+
+  test("cci: zero deviation (constant series) yields null, not a division blowup") {
+    val got = TimeSeries.cci(closesDf(Seq(1L -> Seq.fill(5)(7.0))), 3).collect()
+    assert(got.forall(_.isNullAt(2)))
+  }
+
+  test("aroon: rising ramp pins up=100/down at window age; flat series ties resolve LATEST") {
+    val rising = TimeSeries.aroon(closesDf(Seq(1L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0))), 3)
+      .orderBy("day").collect()
+    assert(rising.take(2).forall(_.isNullAt(2)), "partial windows must be null")
+    rising.drop(2).foreach { r =>
+      assert(r.getAs[Double]("aroon_up") === 100.0, "new high every day")
+      assert(r.getAs[Double]("aroon_down") === 100.0 / 3, "low always at window start")
+      assert(r.getAs[Double]("aroon_osc") === 100.0 - 100.0 / 3)
+    }
+    val flat = TimeSeries.aroon(closesDf(Seq(1L -> Seq.fill(5)(7.0))), 3)
+      .orderBy("day").collect().drop(2)
+    flat.foreach { r =>
+      assert(r.getAs[Double]("aroon_up") === 100.0 && r.getAs[Double]("aroon_down") === 100.0,
+        "ties must resolve to the LATEST extreme (today) on both sides")
+      assert(r.getAs[Double]("aroon_osc") === 0.0)
+    }
+  }
+
+  test("jarque-bera: symmetric +-50% returns read skew 0, excess kurtosis -2, JB = n/6 exactly") {
+    // x1.5 / x0.75 alternation: both return ratios are exact binary
+    // rationals, mk = +-500 milli-units exactly, all moments exact
+    val closes = Iterator.iterate(100.0 :: Nil) { acc =>
+      (if (acc.size % 2 == 1) acc.head * 1.5 else acc.head * 0.75) :: acc
+    }.drop(8).next().reverse
+    val outlier = Seq(1.0, 2500.0, 1.0) // +2499x jump excluded, then one kept return
+    val got = TimeSeries.jarqueBera(closesDf(Seq(1L -> closes, 2L -> outlier)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getAs[Long]("n_days") === 8L && r1.getAs[Long]("n_excluded") === 0L)
+    assert(r1.getAs[Double]("skewness") === 0.0)
+    assert(r1.getAs[Double]("excess_kurtosis") === -2.0,
+      "a two-point distribution has kurtosis exactly 1")
+    assert(r1.getAs[Double]("jarque_bera") === 8.0 / 6)
+    val r2 = got(2L)
+    assert(r2.getAs[Long]("n_excluded") === 1L && r2.getAs[Long]("n_days") === 1L)
+    assert(r2.isNullAt(r2.fieldIndex("jarque_bera")), "degenerate key must read null")
+  }
+
   test("capture ratios: a 2x-levered clone reads ~2 up and ~2 down; spread is their difference") {
     val br = Seq(0.01, -0.02, 0.03, -0.01, 0.02, -0.03, 0.015, -0.025)
     val bench = br.scanLeft(100.0)((c, r) => c * (1 + r))
