@@ -75,7 +75,8 @@ object Explain {
         "q_rolling_beta", "q_ewma_vol", "q_amihud", "q_roll_spread",
         "q_abc_classes", "q_doc_novelty", "q_intrinsic_dim",
         "q_kl_divergence", "q_burstiness", "q_spearman_corr", "q_kendall_trend",
-        "q_capture_ratios", "q_cci", "q_aroon", "q_jarque_bera")
+        "q_capture_ratios", "q_cci", "q_aroon", "q_jarque_bera",
+        "q_k_anonymity", "q_common_neighbors", "q_forecast_backtest")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

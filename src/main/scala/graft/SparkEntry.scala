@@ -484,6 +484,13 @@ object SparkEntry {
       TimeSeries.aroon(Tables.events(s, dir), 25).orderBy("user_id", "day")),
     "q_jarque_bera" -> ((s, dir) =>
       TimeSeries.jarqueBera(Tables.events(s, dir)).orderBy("user_id")),
+    "q_k_anonymity" -> ((s, dir) =>
+      Sampling.kAnonymity(Tables.documents(s, dir))
+        .orderBy("lang", "source", "len_bucket")),
+    "q_common_neighbors" -> ((s, dir) =>
+      Similarity.commonNeighbors(Tables.embeddings(s, dir)).orderBy("a", "b")),
+    "q_forecast_backtest" -> ((s, dir) =>
+      TimeSeries.forecastBacktest(Tables.events(s, dir)).orderBy("user_id")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4088,6 +4095,75 @@ object SparkEntry {
         |  CASE WHEN n_days > 3 AND m2 > 0
         |    THEN nd / 6 * (skew * skew + (kurt - 3) * (kurt - 3) / 4) END AS jarque_bera
         |FROM s
+        |ORDER BY user_id""".stripMargin,
+    "q_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT) AS len_bucket,
+        |    count(*) AS class_size
+        |  FROM documents GROUP BY 1, 2, 3
+        |), t AS (SELECT sum(class_size) AS total FROM g)
+        |SELECT lang, source, len_bucket, CAST(class_size AS BIGINT) AS class_size,
+        |  class_size < 5 AS at_risk,
+        |  CAST(class_size AS DOUBLE) / CAST(total AS DOUBLE) AS corpus_share
+        |FROM g, t
+        |ORDER BY lang, source, len_bucket""".stripMargin,
+    "q_common_neighbors" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), top AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |  FROM edges
+        |  QUALIFY rnk <= 5
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM top GROUP BY 1
+        |), ok AS (
+        |  SELECT dst FROM top GROUP BY dst HAVING count(*) <= 256
+        |), capped AS (
+        |  SELECT t.src, t.dst FROM top t JOIN ok USING (dst)
+        |), cn AS (
+        |  SELECT e1.src AS a, e2.src AS b, count(*) AS common
+        |  FROM capped e1 JOIN capped e2 ON e1.dst = e2.dst AND e1.src < e2.src
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+        |  CAST(da.deg AS BIGINT) AS da, CAST(db.deg AS BIGINT) AS db,
+        |  CAST(cn.common AS DOUBLE)
+        |    / CAST(da.deg + db.deg - cn.common AS DOUBLE) AS jaccard
+        |FROM cn JOIN deg da ON da.src = cn.a JOIN deg db ON db.src = cn.b
+        |ORDER BY a, b""".stripMargin,
+    "q_forecast_backtest" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l AS (
+        |  SELECT user_id,
+        |    CAST(floor(close * 1000000) AS BIGINT) AS mku,
+        |    lag(CAST(floor(close * 1000000) AS BIGINT), 7)
+        |      OVER (PARTITION BY user_id ORDER BY day) AS lagS,
+        |    lag(CAST(floor(close * 1000000) AS BIGINT), 1)
+        |      OVER (PARTITION BY user_id ORDER BY day) AS lag1
+        |  FROM c
+        |), m AS (
+        |  SELECT user_id, count(*) AS n_scored,
+        |    sum(abs(mku - lagS)) AS se_naive,
+        |    sum(abs(mku - lag1)) AS se_persist
+        |  FROM l WHERE lagS IS NOT NULL AND lag1 IS NOT NULL GROUP BY 1
+        |)
+        |SELECT user_id, CAST(n_scored AS BIGINT) AS n_scored,
+        |  CAST(se_naive AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000000 AS mae_naive,
+        |  CAST(se_persist AS DOUBLE) / CAST(n_scored AS DOUBLE) / 1000000 AS mae_persist,
+        |  CASE WHEN se_persist > 0
+        |    THEN (CAST(se_naive AS DOUBLE) / CAST(n_scored AS DOUBLE))
+        |       / (CAST(se_persist AS DOUBLE) / CAST(n_scored AS DOUBLE)) END AS mase
+        |FROM m
         |ORDER BY user_id""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (

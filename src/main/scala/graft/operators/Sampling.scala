@@ -264,4 +264,26 @@ object Sampling {
           lit(targetDocs).cast(dec) * col("w").cast(dec) * lit(4294967296L).cast(dec))
       .select(col(keyCol), col(sourceCol), col("n_src"), col("w"), col("target_n"), col("saturated"))
   }
+
+  /** k-anonymity audit over a quasi-identifier tuple — the privacy
+    * sign-off a corpus needs before release/training: every
+    * (lang, source, length-bucket) equivalence class with its size,
+    * an at-risk flag (class smaller than k ⇒ members re-identifiable
+    * by the QI combination alone), and the class's corpus share.
+    * One groupBy on the QI tuple (a single shuffle whose cardinality
+    * is the bounded QI product, not the corpus); the grand total
+    * rides back as a broadcast one-row aggregate; all counts exact
+    * longs, the share one IEEE division, UNROUNDED.
+    */
+  def kAnonymity(docs: DataFrame, k: Int = 5, bucketChars: Int = 100): DataFrame = {
+    val grouped = docs
+      .withColumn("len_bucket", floor(col("n_chars") / bucketChars).cast("long"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).cast("long").as("class_size"))
+    val total = grouped.agg(sum(col("class_size")).as("total"))
+    grouped.crossJoin(broadcast(total))
+      .select(col("lang"), col("source"), col("len_bucket"), col("class_size"),
+        (col("class_size") < k).as("at_risk"),
+        (col("class_size").cast("double") / col("total").cast("double")).as("corpus_share"))
+  }
 }

@@ -939,4 +939,40 @@ object Similarity {
             col("n").cast("double")) / (col("n") - 1).cast("double"))), 6).as("std_norm"),
         col("min_norm"), col("max_norm"))
   }
+
+  /** Common-neighbor (structural) similarity over the [[knnGraph]]:
+    * node pairs scored by shared out-neighbors, Jaccard over the
+    * two top-k sets — the second-order signal graph clustering and
+    * link prediction consume (two vectors can be structurally close
+    * without being each other's neighbors). The pair space is NOT
+    * the corpus²: candidates come from co-membership in some
+    * neighbor's in-list — one equi-join of the k·n edge frame on dst
+    * with volume Σ indeg(d)², and hub destinations (indeg > maxIn)
+    * are capped out BEFORE the self-join (the q_containment df-cap
+    * move) so one mega-hub cannot quadratic-blow the join at scale.
+    * Counters and degrees are exact integers; Jaccard is one IEEE
+    * division, UNROUNDED. The kNN edges themselves come from the
+    * declared-quadratic exact sweep at gate scale (IVF/LSH candidate
+    * edges are the 100 TB path, same tail).
+    */
+  def commonNeighbors(embeddings: DataFrame, k: Int = 5, maxIn: Int = 256,
+                      minCommon: Int = 2): DataFrame = {
+    val top = knnGraph(embeddings, k).select(col("src"), col("dst")).localCheckpoint()
+    val deg = top.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
+    val ok  = top.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
+      .filter(col("indeg") <= maxIn).select(col("dst"))
+    val capped = top.join(ok, "dst")
+    val cn = capped.select(col("dst"), col("src").as("a"))
+      .join(capped.select(col("dst"), col("src").as("b")), "dst")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("common"))
+      .filter(col("common") >= minCommon)
+    cn
+      .join(deg.select(col("src").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("src").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("common"), col("da"), col("db"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double")).as("jaccard"))
+  }
 }

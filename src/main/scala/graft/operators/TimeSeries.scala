@@ -2318,4 +2318,37 @@ object TimeSeries {
       when(col("n_days") > 3 && m2 > 0, kurt - 3).as("excess_kurtosis"),
       when(col("n_days") > 3 && m2 > 0, jb).as("jarque_bera"))
   }
+
+  /** Seasonal-naive forecast backtest per key: predict today's close
+    * with the close `season` observations back, score MAE and MASE
+    * (MAE relative to the one-step persistence baseline — the
+    * standard scale-free forecast skill metric; MASE < 1 beats
+    * persistence). Closes quantize to integer micro-units, so both
+    * absolute-error sums are exact longs at any partition count;
+    * MAE and MASE are IEEE chains from those integers, UNROUNDED.
+    * Only days where BOTH lags exist score, so the two error sums
+    * cover the identical day set and MASE is a fair ratio. One
+    * shuffle on key (shared by the lag window and the aggregate).
+    */
+  def forecastBacktest(events: DataFrame, season: Int = 7,
+                       key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(season >= 2, s"seasonal lag must be >= 2: $season")
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val m = dailyClose(events, key, ts, v)
+      .withColumn("mku", floor(col("close") * 1000000).cast("long"))
+      .withColumn("lagS", lag(col("mku"), season).over(wSeq))
+      .withColumn("lag1", lag(col("mku"), 1).over(wSeq))
+      .filter(col("lagS").isNotNull && col("lag1").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_scored"),
+        sum(abs(col("mku") - col("lagS"))).as("se_naive"),
+        sum(abs(col("mku") - col("lag1"))).as("se_persist"))
+    val nd  = col("n_scored").cast("double")
+    val mae = col("se_naive").cast("double") / nd
+    val mp  = col("se_persist").cast("double") / nd
+    m.select(col(key), col("n_scored"),
+      (mae / 1000000).as("mae_naive"),
+      (mp / 1000000).as("mae_persist"),
+      when(col("se_persist") > 0, mae / mp).as("mase"))
+  }
 }

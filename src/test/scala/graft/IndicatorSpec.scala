@@ -656,6 +656,20 @@ class IndicatorSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("jarque_bera")), "degenerate key must read null")
   }
 
+  test("forecast backtest: exact 7-day seasonality reads MASE 0; a linear ramp reads exactly 7") {
+    // periodic: value repeats every 7 days -> seasonal-naive error 0
+    val periodic = (0 until 21).map(i => 100.0 + (i % 7) * 10.0)
+    // ramp: +d/day -> naive error 7d, persistence error d -> MASE 7
+    val ramp = (0 until 21).map(i => 100.0 + i * 3.0)
+    val got = TimeSeries.forecastBacktest(closesDf(Seq(1L -> periodic, 2L -> ramp)), 7)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Long]("n_scored") === 14L)
+    assert(got(1L).getAs[Double]("mae_naive") === 0.0)
+    assert(got(1L).getAs[Double]("mase") === 0.0)
+    assert(got(2L).getAs[Double]("mase") === 7.0,
+      "seasonal error is exactly 7x the persistence step on a linear ramp")
+  }
+
   test("capture ratios: a 2x-levered clone reads ~2 up and ~2 down; spread is their difference") {
     val br = Seq(0.01, -0.02, 0.03, -0.01, 0.02, -0.03, 0.015, -0.025)
     val bench = br.scanLeft(100.0)((c, r) => c * (1 + r))

@@ -138,4 +138,28 @@ class RagSearchSpec extends AnyFunSuite {
     assert(pq.filter($"dist" < 0).count() === 0)
     pq.unpersist()
   }
+
+  test("common neighbors equals a local recompute over the kNN edge set") {
+    import TestSession.spark
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val edges = graft.operators.Similarity.knnGraph(emb, 5)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = (for {
+      (a, na) <- nbrs.toSeq; (b, nb) <- nbrs.toSeq if a < b
+      common = (na & nb).size if common >= 2
+    } yield (a, b) -> (common.toLong, na.size.toLong, nb.size.toLong,
+      common.toDouble / (na.size + nb.size - common))).toMap
+    val got = graft.operators.Similarity.commonNeighbors(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("common"), r.getAs[Long]("da"), r.getAs[Long]("db"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet === want.keySet, "pair set must match the local recompute exactly")
+    got.foreach { case (k, v) => assert(v === want(k), s"pair $k mismatch: $v vs ${want(k)}") }
+    // structural sanity: common can never exceed either degree
+    got.foreach { case (_, (c, da, db, j)) =>
+      assert(c <= math.min(da, db) && j > 0 && j <= 1.0)
+    }
+  }
 }

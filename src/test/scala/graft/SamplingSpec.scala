@@ -161,4 +161,21 @@ class SamplingSpec extends AnyFunSuite {
     val both = m.select($"source", $"w").distinct().join(half, "source")
     assert(both.filter($"w" > $"w_half").count() === 0)
   }
+
+  test("k-anonymity: class sizes, at-risk flags, and corpus shares are exact on a hand corpus") {
+    import spark.implicits._
+    // 5 docs land in one (en, web, bucket 1) class, 2 in (fr, web, 0)
+    val docs = ((1 to 5).map(i => (i.toLong, "en", "web", 150L)).toList ++
+      List((6L, "fr", "web", 40L), (7L, "fr", "web", 99L)))
+      .toDF("doc_id", "lang", "source", "n_chars")
+    val got = Sampling.kAnonymity(docs, k = 5).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r).toMap
+    assert(got.size === 2)
+    val big = got(("en", "web", 1L)); val small = got(("fr", "web", 0L))
+    assert(big.getAs[Long]("class_size") === 5L && !big.getAs[Boolean]("at_risk"),
+      "a class of exactly k is safe")
+    assert(small.getAs[Long]("class_size") === 2L && small.getAs[Boolean]("at_risk"))
+    assert(big.getAs[Double]("corpus_share") === 5.0 / 7)
+    assert(small.getAs[Double]("corpus_share") === 2.0 / 7)
+  }
 }
