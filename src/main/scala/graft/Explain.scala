@@ -76,7 +76,8 @@ object Explain {
         "q_abc_classes", "q_doc_novelty", "q_intrinsic_dim",
         "q_kl_divergence", "q_burstiness", "q_spearman_corr", "q_kendall_trend",
         "q_capture_ratios", "q_cci", "q_aroon", "q_jarque_bera",
-        "q_k_anonymity", "q_common_neighbors", "q_forecast_backtest")
+        "q_k_anonymity", "q_common_neighbors", "q_forecast_backtest",
+        "q_anova", "q_grubbs", "q_knn_classify")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

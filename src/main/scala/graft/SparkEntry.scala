@@ -491,6 +491,12 @@ object SparkEntry {
       Similarity.commonNeighbors(Tables.embeddings(s, dir)).orderBy("a", "b")),
     "q_forecast_backtest" -> ((s, dir) =>
       TimeSeries.forecastBacktest(Tables.events(s, dir)).orderBy("user_id")),
+    "q_anova" -> ((s, dir) =>
+      Stats.anovaF(Tables.events(s, dir))),
+    "q_grubbs" -> ((s, dir) =>
+      Stats.grubbs(Tables.events(s, dir)).orderBy("event_type")),
+    "q_knn_classify" -> ((s, dir) =>
+      Similarity.knnClassify(Tables.embeddings(s, dir)).orderBy("qid")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4165,6 +4171,117 @@ object SparkEntry {
         |       / (CAST(se_persist AS DOUBLE) / CAST(n_scored AS DOUBLE)) END AS mase
         |FROM m
         |ORDER BY user_id""".stripMargin,
+    "q_anova" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), g AS (
+        |  SELECT event_type, count(*) AS n_g,
+        |    sum(CAST(qu AS HUGEINT)) AS s_g,
+        |    sum(CAST(qu AS HUGEINT) * qu) AS ss_g
+        |  FROM q GROUP BY 1
+        |), gs AS (
+        |  SELECT *, CASE WHEN s_g < 0
+        |      THEN -(CAST(abs(s_g) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s_g) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s_g // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s_g % 9007199254740992 AS DOUBLE) END AS sdg
+        |  FROM g
+        |), t AS (
+        |  SELECT event_type, n_g, s_g, ss_g,
+        |    CAST(floor((sdg * sdg / CAST(n_g AS DOUBLE)) / 1000000.0) AS BIGINT) AS tq
+        |  FROM gs
+        |), m AS (
+        |  SELECT count(*) AS k_groups, sum(n_g) AS n_total,
+        |    sum(s_g) AS s_all, sum(ss_g) AS q_all, sum(tq) AS t_all
+        |  FROM t
+        |), b AS (
+        |  SELECT k_groups, n_total,
+        |    CAST(n_total AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd,
+        |    CASE WHEN s_all < 0
+        |      THEN -(CAST(abs(s_all) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s_all) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s_all // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s_all % 9007199254740992 AS DOUBLE) END AS sD,
+        |    (CASE WHEN q_all < 0
+        |      THEN -(CAST(abs(q_all) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(q_all) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(q_all // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(q_all % 9007199254740992 AS DOUBLE) END) / 1000000.0 AS qD,
+        |    CAST(t_all AS DOUBLE) AS tD
+        |  FROM m
+        |), c AS (
+        |  SELECT k_groups, n_total, nd, kd, tD, qD,
+        |    (sD * sD / nd) / 1000000.0 AS cf
+        |  FROM b
+        |), d AS (
+        |  SELECT k_groups, n_total, nd, kd,
+        |    tD - cf AS ssb, qD - tD AS ssw, qD - cf AS sst
+        |  FROM c
+        |)
+        |SELECT CAST(k_groups AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+        |  CASE WHEN k_groups > 1 AND ssw > 0
+        |    THEN (ssb / (kd - 1)) / (ssw / (nd - kd)) END AS f_stat,
+        |  CASE WHEN sst > 0 THEN ssb / sst END AS eta_sq
+        |FROM d""".stripMargin,
+    "q_grubbs" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), g AS (
+        |  SELECT event_type, count(*) AS n,
+        |    sum(CAST(qu AS HUGEINT)) AS s1,
+        |    sum(CAST(qu AS HUGEINT) * qu) AS s2,
+        |    min(qu) AS mn, max(qu) AS mx
+        |  FROM q GROUP BY 1
+        |), b AS (
+        |  SELECT event_type, n, mn, mx, CAST(n AS DOUBLE) AS nd,
+        |    CASE WHEN s1 < 0
+        |      THEN -(CAST(abs(s1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s1) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s1 % 9007199254740992 AS DOUBLE) END AS d1,
+        |    CASE WHEN s2 < 0
+        |      THEN -(CAST(abs(s2) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s2) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s2 % 9007199254740992 AS DOUBLE) END AS d2
+        |  FROM g
+        |), c AS (
+        |  SELECT event_type, n, mn, mx, nd,
+        |    d1 / nd AS mean, (d2 - d1 * d1 / nd) / (nd - 1) AS vr
+        |  FROM b
+        |), d AS (
+        |  SELECT *, sqrt(vr) AS sd,
+        |    CAST(mx AS DOUBLE) - mean AS dev_hi,
+        |    mean - CAST(mn AS DOUBLE) AS dev_lo
+        |  FROM c
+        |)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  mean / 1000000 AS mean_value,
+        |  CASE WHEN n > 1 AND vr >= 0 THEN sd / 1000000 END AS std_value,
+        |  CASE WHEN n > 2 AND vr > 0 THEN greatest(dev_hi, dev_lo) / sd END AS grubbs_g,
+        |  CASE WHEN n > 2 AND vr > 0
+        |    THEN CAST(CASE WHEN dev_hi >= dev_lo THEN mx ELSE mn END AS DOUBLE) / 1000000 END AS suspect_value,
+        |  CASE WHEN n > 2 AND vr > 0 THEN dev_hi >= dev_lo END AS suspect_is_max
+        |FROM d
+        |ORDER BY event_type""".stripMargin,
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), q AS (
+        |  SELECT vec_id AS qid, label AS q_label, v AS qv, nn AS qn
+        |  FROM n WHERE vec_id % 20 = 0
+        |), s AS (
+        |  SELECT q.qid, q.q_label, c.vec_id, c.label,
+        |    list_dot_product(q.qv, c.v) / (q.qn * c.nn) AS cos
+        |  FROM n c JOIN q ON q.qn * c.nn != 0
+        |  WHERE c.vec_id % 20 != 0
+        |), t AS (
+        |  SELECT qid, q_label, label,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM s QUALIFY rnk <= 5
+        |), v AS (
+        |  SELECT qid, q_label, label, count(*) AS votes FROM t GROUP BY 1, 2, 3
+        |), w AS (
+        |  SELECT qid, q_label, label, votes,
+        |    row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label ASC) AS pr
+        |  FROM v QUALIFY pr = 1
+        |)
+        |SELECT qid, q_label, label AS predicted_label, CAST(votes AS BIGINT) AS votes,
+        |  label = q_label AS correct
+        |FROM w
+        |ORDER BY qid""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

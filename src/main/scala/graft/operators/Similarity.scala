@@ -975,4 +975,40 @@ object Similarity {
         (col("common").cast("double") /
           (col("da") + col("db") - col("common")).cast("double")).as("jaccard"))
   }
+
+  /** kNN label classification: every held-out query vector
+    * (vec_id ≡ 0 mod `holdout`) gets the majority label of its k
+    * nearest labeled neighbors — the standard embedding-quality
+    * evaluation (a good space classifies its own labels) and the
+    * label-transfer primitive for weakly-labeled corpora. Same scale
+    * shape as [[bruteForceTopK]]: the bounded query slice broadcasts,
+    * the labeled corpus scans once, scores are element-order
+    * sequential dots (bit-identical across engines); voting is exact
+    * integer counts with the (votes desc, label asc) deterministic
+    * tie-break. At billion-vector scale the identical vote tail runs
+    * over [[ivfSearch]] candidates instead of the exact scan.
+    */
+  def knnClassify(embeddings: DataFrame, holdout: Long = 20L, k: Int = 5): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val q = broadcast(e.filter(pmod(col("vec_id"), lit(holdout)) === 0)
+      .select(col("vec_id").as("qid"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qnrm")))
+    val scored = e.filter(pmod(col("vec_id"), lit(holdout)) =!= 0)
+      .join(q, col("qnrm") * col("nrm") =!= 0)
+      .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
+    val wTop  = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    val votes = scored
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+      .groupBy(col("qid"), col("q_label"), col("label"))
+      .agg(count(lit(1)).cast("long").as("votes"))
+    val wWin = Window.partitionBy("qid").orderBy(col("votes").desc, col("label").asc)
+    votes
+      .withColumn("pr", row_number().over(wWin))
+      .filter(col("pr") === 1)
+      .select(col("qid"), col("q_label"), col("label").as("predicted_label"), col("votes"),
+        (col("label") === col("q_label")).as("correct"))
+  }
 }

@@ -998,4 +998,103 @@ object Stats {
         round(abs(col("n_obs").cast("double") / col("n_sample").cast("double") -
           log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))), 6).as("abs_dev"))
   }
+
+  /** Engine-portable integer-decimal → double conversion for values
+    * past 2^53: a direct wide-integer cast is rounded DIFFERENTLY
+    * across engines (DuckDB composes two word-halves and
+    * double-rounds), so split |s| = q·2^53 + r — both halves exactly
+    * representable, the shift exact, the single + r rounding the
+    * same IEEE add everywhere. The oracle mirrors with HUGEINT
+    * `//`/`%` on abs then the identical rebuild.
+    */
+  private[operators] def splitDouble(c: Column): Column = {
+    val p = lit(9007199254740992L)
+    val a = abs(c)
+    val q = ((a - pmod(a, p)) / p).cast("double")
+    val d = q * lit(9.007199254740992e15) + pmod(a, p).cast("double")
+    when(c < 0, -d).otherwise(d)
+  }
+
+  /** One-way ANOVA F across event types on the value column — does
+    * the group mean differ anywhere, the k-sample extension of
+    * [[welchTTest]] (means) beside [[mannWhitney]] (ranks) and
+    * [[ksTest]] (shapes). Values quantize ONCE to integer
+    * micro-units, so per-group (n, Σx, Σx²) are exact 128-bit
+    * decimals at any partition count. The one cross-group float —
+    * Σ s_g²/n_g — folds each group's IEEE term through
+    * floor(t/1e6): an exact long, so the cross-group sum is
+    * order-independent (a raw double sum over groups drifts with
+    * partition order) and the defined semantics quantize each
+    * between-group term at 1e-6 micro² (relative 1e-22 here).
+    * F and η² are unit-free IEEE chains from those integers,
+    * UNROUNDED. Single scan + one bounded-cardinality aggregate.
+    */
+  def anovaF(events: DataFrame, key: String = "event_type", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = events
+      .withColumn("qu", floor(col(v) * 1000000).cast("long").cast(dec))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_g"),
+        sum(col("qu")).as("s_g"),
+        sum(col("qu") * col("qu")).as("ss_g"))
+    val sd  = splitDouble(col("s_g"))
+    val t_g = sd * sd / col("n_g").cast("double")
+    val m = g
+      .withColumn("tq", floor(t_g / lit(1000000.0)).cast("long"))
+      .agg(count(lit(1)).cast("long").as("k_groups"),
+        sum(col("n_g")).as("n_total"),
+        sum(col("s_g")).as("s_all"),
+        sum(col("ss_g")).as("q_all"),
+        sum(col("tq")).as("t_all"))
+    val nd  = col("n_total").cast("double")
+    val kd  = col("k_groups").cast("double")
+    val sD  = splitDouble(col("s_all"))
+    val qD  = splitDouble(col("q_all")) / lit(1000000.0)
+    val tD  = col("t_all").cast("double")
+    val cf  = (sD * sD / nd) / lit(1000000.0)
+    val ssb = tD - cf
+    val ssw = qD - tD
+    val sst = qD - cf
+    val f   = (ssb / (kd - 1)) / (ssw / (nd - kd))
+    m.select(col("k_groups"), col("n_total").cast("long").as("n_total"),
+      when(col("k_groups") > 1 && ssw > 0, f).as("f_stat"),
+      when(sst > 0, ssb / sst).as("eta_sq"))
+  }
+
+  /** Grubbs outlier statistic per event type: the most extreme
+    * value's studentized distance G = max|x−mean|/sd — the one-look
+    * screen that says WHICH group hides a single gross outlier
+    * (compare G to the t-based critical value for n). The extreme is
+    * necessarily the group min or max, so the two-sided max-deviation
+    * needs NO second pass over rows: welch-style exact decimal
+    * moments plus exact integer min/max in one aggregate, then one
+    * IEEE chain; the suspect value is reported (micro-exact) with
+    * its side. UNROUNDED; degenerate groups null.
+    */
+  def grubbs(events: DataFrame, key: String = "event_type", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val m = events
+      .withColumn("qu", floor(col(v) * 1000000).cast("long"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("qu").cast(dec)).as("s1"),
+        sum(col("qu").cast(dec) * col("qu")).as("s2"),
+        min(col("qu")).as("mn"), max(col("qu")).as("mx"))
+    val nd   = col("n").cast("double")
+    val d1   = splitDouble(col("s1"))
+    val d2   = splitDouble(col("s2"))
+    val mean = d1 / nd
+    val vr   = (d2 - d1 * d1 / nd) / (nd - 1)
+    val sd   = sqrt(vr)
+    val devHi = col("mx").cast("double") - mean
+    val devLo = mean - col("mn").cast("double")
+    val gOk   = col("n") > 2 && vr > 0
+    m.select(col(key), col("n"),
+      (mean / 1000000).as("mean_value"),
+      when(col("n") > 1 && vr >= 0, sd / 1000000).as("std_value"),
+      when(gOk, greatest(devHi, devLo) / sd).as("grubbs_g"),
+      when(gOk, when(devHi >= devLo, col("mx")).otherwise(col("mn")).cast("double") / 1000000)
+        .as("suspect_value"),
+      when(gOk, devHi >= devLo).as("suspect_is_max"))
+  }
 }

@@ -162,4 +162,37 @@ class RagSearchSpec extends AnyFunSuite {
       assert(c <= math.min(da, db) && j > 0 && j <= 1.0)
     }
   }
+
+  test("knn classify agrees with bruteForceTopK + a local majority vote") {
+    import TestSession.spark
+    import spark.implicits._
+    val emb  = Tables.embeddings(spark, TestSession.sf)
+    val qids = emb.filter($"vec_id" % 20 === 0).select($"vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // reference: exact top-k among NON-holdout candidates, majority
+    // vote with the (votes desc, label asc) tie-break
+    val cand = emb.filter($"vec_id" % 20 =!= 0)
+      .select($"vec_id", $"label", $"embedding")
+    // k widened by the holdout count so dropping holdout neighbors
+    // still leaves the true top-5 among candidates
+    val top = graft.operators.Similarity
+      .bruteForceTopK(cand.unionByName(emb.filter($"vec_id".isin(qids: _*))
+        .select($"vec_id", $"label", $"embedding")), qids, 5 + qids.size)
+      .filter($"vec_id" % 20 =!= 0) // neighbors drawn from candidates only
+    val wantPred = top.collect().groupBy(_.getLong(0)).map { case (qid, rows) =>
+      val votes = rows.sortBy(_.getAs[Long]("rnk")).take(5)
+        .groupBy(r => labels(r.getLong(1))).view.mapValues(_.length).toMap
+      qid -> votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
+    }
+    val got = graft.operators.Similarity.knnClassify(emb, 20L, 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === wantPred.keySet)
+    got.foreach { case (qid, r) =>
+      assert(r.getAs[Int]("predicted_label") === wantPred(qid), s"query $qid")
+      assert(r.getAs[Int]("q_label") === labels(qid))
+      assert(r.getAs[Boolean]("correct") === (wantPred(qid) === labels(qid)))
+    }
+  }
 }

@@ -505,4 +505,43 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("skewness")))
     assert(r2.isNullAt(r2.fieldIndex("excess_kurtosis")))
   }
+
+  test("anova: identical groups read F ~ 0; separated means match the textbook recompute") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, x), i) => (i.toLong, t, x) }
+        .toDF("event_id", "event_type", "value")
+    val same = (0 until 30).map(i => (s"g${i % 3}", 10.0 + (i / 3) % 5))
+    val f0 = graft.operators.Stats.anovaF(mk(same)).head()
+    assert(f0.getAs[Long]("k_groups") === 3L && f0.getAs[Long]("n_total") === 30L)
+    assert(math.abs(f0.getAs[Double]("f_stat")) < 1e-6, "identical groups carry no between-group variance")
+    // separated means: textbook one-way ANOVA recomputed locally
+    val sep = (0 until 12).map { i =>
+      (s"g${i % 3}", Seq(1.0, 5.0, 9.0)(i % 3) + 0.25 * (i / 3))
+    }
+    val groups = sep.groupBy(_._1).values.map(_.map(_._2)).toSeq
+    val grand  = sep.map(_._2).sum / sep.size
+    val ssb = groups.map(g => g.size * math.pow(g.sum / g.size - grand, 2)).sum
+    val ssw = groups.map(g => g.map(x => math.pow(x - g.sum / g.size, 2)).sum).sum
+    val want = (ssb / (groups.size - 1)) / (ssw / (sep.size - groups.size))
+    val f1 = graft.operators.Stats.anovaF(mk(sep)).head().getAs[Double]("f_stat")
+    assert(math.abs(f1 - want) / want < 1e-6, s"F $f1 vs textbook $want")
+  }
+
+  test("grubbs: a planted gross outlier is the suspect with the textbook G; clean group reads small") {
+    import spark.implicits._
+    val base = (0 until 20).map(i => ("a", 50.0 + (i % 5)))
+    val rows = (base :+ ("a", 500.0)) ++ (0 until 10).map(i => ("b", 10.0 + i))
+    val df = rows.zipWithIndex.map { case ((t, x), i) => (i.toLong, t, x) }
+      .toDF("event_id", "event_type", "value")
+    val got = graft.operators.Stats.grubbs(df).collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Double]("suspect_value") === 500.0 && a.getAs[Boolean]("suspect_is_max"))
+    val xs = base.map(_._2) :+ 500.0
+    val mean = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
+    val wantG = xs.map(x => math.abs(x - mean)).max / sd
+    assert(math.abs(a.getAs[Double]("grubbs_g") - wantG) < 1e-6)
+    assert(got("b").getAs[Double]("grubbs_g") < 2.0, "a uniform group hides no gross outlier")
+  }
 }
