@@ -497,6 +497,12 @@ object SparkEntry {
       Stats.grubbs(Tables.events(s, dir)).orderBy("event_type")),
     "q_knn_classify" -> ((s, dir) =>
       Similarity.knnClassify(Tables.embeddings(s, dir)).orderBy("qid")),
+    "q_ljung_box" -> ((s, dir) =>
+      TimeSeries.ljungBox(Tables.events(s, dir), 5).orderBy("user_id")),
+    "q_entropy_rate" -> ((s, dir) =>
+      EventAnalytics.entropyRate(Tables.events(s, dir))),
+    "q_inequality" -> ((s, dir) =>
+      Relational.inequalityIndices(Tables.orders(s, dir))),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4282,6 +4288,103 @@ object SparkEntry {
         |  label = q_label AS correct
         |FROM w
         |ORDER BY qid""".stripMargin,
+    "q_ljung_box" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, ret,
+        |    lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2, lag(ret, 3) OVER w AS l3,
+        |    lag(ret, 4) OVER w AS l4, lag(ret, 5) OVER w AS l5
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), u AS (
+        |  SELECT user_id, 1 AS lag_k, ret, l1 AS ret_lag FROM l
+        |  UNION ALL SELECT user_id, 2, ret, l2 FROM l
+        |  UNION ALL SELECT user_id, 3, ret, l3 FROM l
+        |  UNION ALL SELECT user_id, 4, ret, l4 FROM l
+        |  UNION ALL SELECT user_id, 5, ret, l5 FROM l
+        |), a AS (
+        |  SELECT user_id, lag_k, count(*) AS n_pairs,
+        |    round(CASE WHEN var_samp(ret) != 0 AND var_samp(ret_lag) != 0
+        |      THEN corr(ret, ret_lag) END, 6) AS acf
+        |  FROM u WHERE ret_lag IS NOT NULL
+        |  GROUP BY user_id, lag_k
+        |), p AS (
+        |  SELECT user_id,
+        |    CAST(max(CASE WHEN lag_k = 1 THEN n_pairs END) + 1 AS BIGINT) AS n_obs,
+        |    count(CASE WHEN acf IS NOT NULL THEN 1 END) AS k_present,
+        |    max(CASE WHEN lag_k = 1 THEN acf END) AS r1,
+        |    max(CASE WHEN lag_k = 2 THEN acf END) AS r2,
+        |    max(CASE WHEN lag_k = 3 THEN acf END) AS r3,
+        |    max(CASE WHEN lag_k = 4 THEN acf END) AS r4,
+        |    max(CASE WHEN lag_k = 5 THEN acf END) AS r5
+        |  FROM a GROUP BY 1
+        |)
+        |SELECT user_id, n_obs,
+        |  CASE WHEN k_present = 5 AND n_obs > 6 THEN
+        |    (r1 * r1 / (CAST(n_obs AS DOUBLE) - 1)
+        |     + r2 * r2 / (CAST(n_obs AS DOUBLE) - 2)
+        |     + r3 * r3 / (CAST(n_obs AS DOUBLE) - 3)
+        |     + r4 * r4 / (CAST(n_obs AS DOUBLE) - 4)
+        |     + r5 * r5 / (CAST(n_obs AS DOUBLE) - 5))
+        |    * CAST(n_obs AS DOUBLE) * (CAST(n_obs AS DOUBLE) + 2)
+        |  END AS ljung_box_q
+        |FROM p
+        |ORDER BY user_id""".stripMargin,
+    "q_entropy_rate" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), edges AS (
+        |  SELECT prev, event_type AS next, count(*) AS c
+        |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        |), rt AS (SELECT prev, sum(c) AS t FROM edges GROUP BY 1
+        |), tot AS (SELECT sum(c) AS nn, count(DISTINCT next) AS n_states FROM edges
+        |), hc AS (
+        |  SELECT nn, n_states, round(sum(
+        |    -(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) / 0.6931471805599453)
+        |  ), 6) AS h_cond_bits
+        |  FROM edges JOIN rt USING (prev), tot
+        |  GROUP BY nn, n_states
+        |), marg AS (SELECT next, sum(c) AS m FROM edges GROUP BY 1
+        |), hn AS (
+        |  SELECT round(sum(
+        |    -(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE))
+        |      * (ln(CAST(m AS DOUBLE) / CAST(nn AS DOUBLE)) / 0.6931471805599453)
+        |  ), 6) AS h_next_bits
+        |  FROM marg, tot
+        |)
+        |SELECT CAST(nn AS BIGINT) AS n_transitions,
+        |  CAST(n_states AS BIGINT) AS n_states,
+        |  h_cond_bits, h_next_bits,
+        |  round(h_next_bits - h_cond_bits, 6) AS info_gain_bits
+        |FROM hc, hn""".stripMargin,
+    "q_inequality" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1
+        |  HAVING sum(CAST(floor(o_totalprice * 100) AS BIGINT)) > 0
+        |), tot AS (SELECT count(*) AS n, sum(x) AS s FROM pc
+        |), t AS (
+        |  SELECT n, s,
+        |    CAST(floor(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE)
+        |      * ln(CAST(x AS DOUBLE) * CAST(n AS DOUBLE) / CAST(s AS DOUBLE)) * 1e9) AS BIGINT) AS tu,
+        |    CAST(floor(ln(CAST(x AS DOUBLE)) * 1e9) AS BIGINT) AS lu
+        |  FROM pc, tot
+        |), m AS (SELECT n, s, sum(tu) AS tsum, sum(lu) AS lsum FROM t GROUP BY 1, 2)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100, 6) AS mean_revenue,
+        |  round(CAST(tsum AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) AS theil_t,
+        |  round(1.0 - exp(CAST(lsum AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+        |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson_1
+        |FROM m""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -581,4 +581,44 @@ object EventAnalytics {
         (col("n_events").cast("double") / (datediff(col("last_day"), col("first_day")) + 1))
           .as("events_per_day"))
   }
+
+  /** Entropy rate of the event-type Markov chain: H(next|prev) in
+    * bits, against the marginal entropy H(next) — how predictable
+    * the NEXT action is given the current one. info_gain =
+    * H(next) − H(next|prev) is the bits the previous state buys; 0
+    * means the chain is memoryless, and a near-zero H(next|prev)
+    * with high H(next) is the bot signature (diverse actions,
+    * deterministic order). Same shape as [[markovStationary]]'s
+    * edge table: exact-long transition counts over the bounded
+    * types² grid, term sums over ≤types² rows at 6dp, ln/ln2 with
+    * the exact-double literal convention. One row out.
+    */
+  def entropyRate(events: DataFrame): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val seq = events.select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+    val edges = seq.filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rt  = edges.groupBy(col("prev")).agg(sum(col("c")).as("t"))
+    val tot = edges.agg(sum(col("c")).as("nn"), count_distinct(col("next")).as("n_states"))
+    val cd = col("c").cast("double"); val td = col("t").cast("double")
+    val nd = col("nn").cast("double")
+    val hCond = edges.join(broadcast(rt), "prev").crossJoin(broadcast(tot))
+      .select(col("nn"), col("n_states"),
+        (-(cd / nd) * (log(cd / td) / lit(ln2))).as("tc"))
+      .groupBy(col("nn"), col("n_states"))
+      .agg(round(sum(col("tc")), 6).as("h_cond_bits"))
+    val marg = edges.groupBy(col("next")).agg(sum(col("c")).as("m"))
+    val md = col("m").cast("double")
+    val hNext = marg.crossJoin(broadcast(tot.select(col("nn").as("nn2"))))
+      .select((-(md / col("nn2").cast("double")) *
+        (log(md / col("nn2").cast("double")) / lit(ln2))).as("tm"))
+      .agg(round(sum(col("tm")), 6).as("h_next_bits"))
+    hCond.crossJoin(broadcast(hNext))
+      .select(col("nn").as("n_transitions"), col("n_states"),
+        col("h_cond_bits"), col("h_next_bits"),
+        round(col("h_next_bits") - col("h_cond_bits"), 6).as("info_gain_bits"))
+  }
 }

@@ -1335,4 +1335,43 @@ object Relational {
       round(max(col("value")), 6).as("value_max"),
       sum(col("props").isNull.cast("long")).as("props_nulls"),
       sum((get_json_object(col("props"), "$.k").isNull).cast("long")).as("vol_key_missing"))
+
+  /** Theil-T and Atkinson(ε=1) inequality indices of per-customer
+    * revenue — the decomposable complements of the rank-based Gini
+    * (Theil is additively decomposable across segments; Atkinson has
+    * the welfare interpretation "share of total revenue you could
+    * discard under perfect equality"). Revenue totals are exact cent
+    * longs; each customer's term (r·ln r for Theil, ln x for the
+    * geometric mean) is ONE IEEE chain quantized through
+    * floor(t·1e9) — an exact nano-unit long, so the CUSTOMER-AXIS
+    * sums (the axis that scales) are order-independent at any
+    * partition count; the final indices are short IEEE chains from
+    * those integers, rounded 6dp. Customer totals aggregate once;
+    * the (n, S) scalar broadcasts back.
+    */
+  def inequalityIndices(orders: DataFrame): DataFrame = {
+    val perCust = orders
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("cents")).as("x"))
+      .filter(col("x") > 0)
+    val tot = perCust.agg(count(lit(1)).as("n"), sum(col("x")).as("s"))
+    val xd = col("x").cast("double")
+    val nd = col("n").cast("double"); val sd = col("s").cast("double")
+    val r  = xd * nd / sd
+    val terms = perCust.crossJoin(broadcast(tot))
+      .select(col("n"), col("s"),
+        floor(r * log(r) * lit(1e9)).cast("long").as("tu"),
+        floor(log(xd) * lit(1e9)).cast("long").as("lu"))
+      .groupBy(col("n"), col("s"))
+      .agg(sum(col("tu")).as("tsum"), sum(col("lu")).as("lsum"))
+    val nd2  = col("n").cast("double")
+    val mean = col("s").cast("double") / nd2
+    terms.select(
+      col("n").as("n_customers"),
+      round(mean / 100, 6).as("mean_revenue"),
+      round(col("tsum").cast("double") / lit(1e9) / nd2, 6).as("theil_t"),
+      round(lit(1.0) - exp(col("lsum").cast("double") / lit(1e9) / nd2) / mean, 6)
+        .as("atkinson_1"))
+  }
 }

@@ -2319,6 +2319,36 @@ object TimeSeries {
       when(col("n_days") > 3 && m2 > 0, jb).as("jarque_bera"))
   }
 
+  /** Ljung-Box portmanteau test per key: Q = n(n+2)·Σ ρ_k²/(n−k)
+    * over the first m autocorrelations — the "is there ANY serial
+    * structure" gate run before trusting an i.i.d. assumption
+    * (a significant Q on returns says momentum/mean-reversion terms
+    * exist; on residuals it rejects the model). Builds on [[acf]]'s
+    * rounded ρ values, pivoted into FIXED per-lag columns by
+    * conditional aggregation — one row per key, so the Σ over lags
+    * is a single deterministic IEEE chain, never a float sum over
+    * rows. n is the return-series length (pairs at lag 1 + 1). Keys
+    * missing any of the m lags (short series, zero variance) read
+    * null. Q is UNROUNDED from the 6dp ρ inputs.
+    */
+  def ljungBox(events: DataFrame, maxLag: Int = 5,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be positive: $maxLag")
+    val aggs =
+      (max(when(col("lag_k") === 1, col("n_pairs"))) + 1).cast("long").as("n_obs") +:
+      count(when(col("acf").isNotNull, 1)).as("k_present") +:
+      (1 to maxLag).map(k0 => max(when(col("lag_k") === k0, col("acf"))).as(s"r$k0"))
+    val piv = acf(events, maxLag, key, ts, v)
+      .groupBy(col(key))
+      .agg(aggs.head, aggs.tail: _*)
+    val nd = col("n_obs").cast("double")
+    val q = (1 to maxLag).map { k0 =>
+      col(s"r$k0") * col(s"r$k0") / (nd - k0)
+    }.reduce(_ + _) * nd * (nd + 2)
+    piv.select(col(key), col("n_obs"),
+      when(col("k_present") === maxLag && col("n_obs") > maxLag + 1, q).as("ljung_box_q"))
+  }
+
   /** Seasonal-naive forecast backtest per key: predict today's close
     * with the close `season` observations back, score MAE and MASE
     * (MAE relative to the one-step persistence baseline — the

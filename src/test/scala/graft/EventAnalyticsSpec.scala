@@ -357,4 +357,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(u2.getAs[Double]("mean_value") === 8.0)
     assert(got.length === 2)
   }
+
+  test("entropy rate: a deterministic cycle reads H(next|prev)=0 and info gain = H(next)") {
+    import spark.implicits._
+    // one user walking A->B->C->A->... : next is fully determined by
+    // prev, marginals uniform over 3 states
+    val types = Seq("A", "B", "C")
+    val rows = (0 until 30).map(i => (1L, i.toLong, types(i % 3), i.toLong))
+    val df = rows.toDF("user_id", "event_id", "event_type", "t")
+      .withColumn("ts", timestamp_micros($"t" * 1000000L))
+    val r = graft.operators.EventAnalytics.entropyRate(df).head()
+    assert(r.getAs[Long]("n_transitions") === 29L)
+    assert(r.getAs[Long]("n_states") === 3L)
+    assert(r.getAs[Double]("h_cond_bits") === 0.0, "a deterministic chain carries no surprise")
+    val hNext = r.getAs[Double]("h_next_bits")
+    assert(math.abs(hNext - math.log(3) / math.log(2)) < 1e-2,
+      s"marginal entropy must be ~log2(3), got $hNext")
+    assert(r.getAs[Double]("info_gain_bits") === hNext)
+  }
 }

@@ -656,6 +656,28 @@ class IndicatorSpec extends AnyFunSuite {
     assert(r2.isNullAt(r2.fieldIndex("jarque_bera")), "degenerate key must read null")
   }
 
+  test("ljung-box: Q recomputes exactly from the acf pivot; alternating returns score huge") {
+    // +50%/-33.3% alternation: rho_1 ~ -1, so Q must be large; a
+    // second key with too few days must read null
+    val alt = Iterator.iterate(Seq(100.0)) { acc =>
+      acc :+ (if (acc.size % 2 == 1) acc.last * 1.5 else acc.last / 1.5)
+    }.drop(29).next()
+    val short = Seq(100.0, 101.0, 102.0, 103.0)
+    val df = closesDf(Seq(1L -> alt, 2L -> short))
+    val got = TimeSeries.ljungBox(df, 5).collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(2L).isNullAt(got(2L).fieldIndex("ljung_box_q")),
+      "a series shorter than maxLag+2 must read null")
+    // local recompute from the acf outputs (the defined semantics)
+    val acfRows = TimeSeries.acf(df, 5).collect()
+      .filter(_.getLong(0) == 1L)
+      .map(r => r.getAs[Long]("lag_k") -> r.getAs[Double]("acf")).toMap
+    val n = got(1L).getAs[Long]("n_obs").toDouble
+    val want = (1 to 5).map(k => acfRows(k) * acfRows(k) / (n - k)).sum * n * (n + 2)
+    val q = got(1L).getAs[Double]("ljung_box_q")
+    assert(math.abs(q - want) < 1e-9, s"Q $q vs acf recompute $want")
+    assert(q > 20.0, "near-perfect negative rho_1 must reject white noise loudly")
+  }
+
   test("forecast backtest: exact 7-day seasonality reads MASE 0; a linear ramp reads exactly 7") {
     // periodic: value repeats every 7 days -> seasonal-naive error 0
     val periodic = (0 until 21).map(i => 100.0 + (i % 7) * 10.0)

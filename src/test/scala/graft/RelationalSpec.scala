@@ -496,4 +496,22 @@ class RelationalSpec extends AnyFunSuite {
     assert(p.getAs[String]("ts_min") <= p.getAs[String]("ts_max"))
     assert(p.getAs[Double]("value_min") <= p.getAs[Double]("value_max"))
   }
+
+  test("inequality indices: perfect equality reads exactly 0; a known split matches the textbook") {
+    import spark.implicits._
+    def mk(xs: Seq[Double]) = xs.zipWithIndex.map { case (x, i) =>
+      (i.toLong * 100, i.toLong, x)
+    }.toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val eq = graft.operators.Relational.inequalityIndices(mk(Seq.fill(8)(250.0))).head()
+    assert(eq.getAs[Double]("theil_t") === 0.0 && eq.getAs[Double]("atkinson_1") === 0.0)
+    assert(eq.getAs[Double]("mean_revenue") === 250.0)
+    // half the customers earn 100, half 300: recompute Theil/Atkinson locally
+    val xs = Seq.fill(4)(100.0) ++ Seq.fill(4)(300.0)
+    val mu = xs.sum / xs.size
+    val theil = xs.map(x => x / mu * math.log(x / mu)).sum / xs.size
+    val atk   = 1.0 - math.exp(xs.map(math.log).sum / xs.size) / mu
+    val got = graft.operators.Relational.inequalityIndices(mk(xs)).head()
+    assert(math.abs(got.getAs[Double]("theil_t") - theil) < 1e-6)
+    assert(math.abs(got.getAs[Double]("atkinson_1") - atk) < 1e-6)
+  }
 }
