@@ -78,7 +78,8 @@ object Explain {
         "q_capture_ratios", "q_cci", "q_aroon", "q_jarque_bera",
         "q_k_anonymity", "q_common_neighbors", "q_forecast_backtest",
         "q_anova", "q_grubbs", "q_knn_classify", "q_ljung_box",
-        "q_entropy_rate", "q_inequality")
+        "q_entropy_rate", "q_inequality", "q_vortex", "q_cointegration",
+        "q_pq_distortion")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

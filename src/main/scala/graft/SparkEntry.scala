@@ -503,6 +503,12 @@ object SparkEntry {
       EventAnalytics.entropyRate(Tables.events(s, dir))),
     "q_inequality" -> ((s, dir) =>
       Relational.inequalityIndices(Tables.orders(s, dir))),
+    "q_vortex" -> ((s, dir) =>
+      TimeSeries.vortex(Tables.events(s, dir), 14).orderBy("user_id", "day")),
+    "q_cointegration" -> ((s, dir) =>
+      TimeSeries.cointegration(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_pq_distortion" -> ((s, dir) =>
+      Embedding.pqDistortion(Tables.embeddings(s, dir), 8, 16).orderBy("j")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4385,6 +4391,122 @@ object SparkEntry {
         |  round(1.0 - exp(CAST(lsum AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
         |    / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS atkinson_1
         |FROM m""".stripMargin,
+    "q_vortex" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, bar_start,
+        |    CAST(floor(abs(high - lag(low) OVER w) * 1000000) AS BIGINT) AS vmp,
+        |    CAST(floor(abs(low - lag(high) OVER w) * 1000000) AS BIGINT) AS vmm,
+        |    CAST(floor(greatest(high - low,
+        |      abs(high - lag(close) OVER w),
+        |      abs(low - lag(close) OVER w)) * 1000000) AS BIGINT) AS tru
+        |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_start)
+        |  QUALIFY vmp IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, bar_start, count(*) OVER wn AS cnt,
+        |    sum(vmp) OVER wn AS sp, sum(vmm) OVER wn AS sm, sum(tru) OVER wn AS st
+        |  FROM t
+        |  WINDOW wn AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS day,
+        |  CASE WHEN cnt = 14 AND st > 0 THEN CAST(sp AS DOUBLE) / CAST(st AS DOUBLE) END AS vi_plus,
+        |  CASE WHEN cnt = 14 AND st > 0 THEN CAST(sm AS DOUBLE) / CAST(st AS DOUBLE) END AS vi_minus,
+        |  CASE WHEN cnt = 14 AND st > 0 THEN CAST(sp - sm AS DOUBLE) / CAST(st AS DOUBLE) END AS vi_diff
+        |FROM m
+        |ORDER BY user_id, day""".stripMargin,
+    "q_cointegration" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    CAST(floor(max_by(value, ts) * 1000000) AS BIGINT) AS mku
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT day, mku AS mbu FROM c WHERE user_id = 0
+        |), j AS (
+        |  SELECT c.user_id, c.day, c.mku AS x, b.mbu AS y
+        |  FROM c JOIN b USING (day) WHERE c.user_id != 0
+        |), o AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy, sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM j GROUP BY 1
+        |), od AS (
+        |  SELECT user_id, n_days, CAST(n_days AS DOUBLE) AS nd,
+        |    CASE WHEN sx < 0 THEN -(CAST(abs(sx) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sx) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(sx // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sx % 9007199254740992 AS DOUBLE) END AS sxd,
+        |    CASE WHEN sy < 0 THEN -(CAST(abs(sy) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sy) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(sy // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sy % 9007199254740992 AS DOUBLE) END AS syd,
+        |    CASE WHEN sxy < 0 THEN -(CAST(abs(sxy) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sxy) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(sxy // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sxy % 9007199254740992 AS DOUBLE) END AS sxyd,
+        |    CASE WHEN syy < 0 THEN -(CAST(abs(syy) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(syy) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(syy // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(syy % 9007199254740992 AS DOUBLE) END AS syyd
+        |  FROM o
+        |), ok AS (
+        |  SELECT user_id, n_days, nd,
+        |    CASE WHEN nd * syyd - syd * syd > 0
+        |      THEN (nd * sxyd - sxd * syd) / (nd * syyd - syd * syd) END AS beta,
+        |    CASE WHEN nd * syyd - syd * syd > 0
+        |      THEN sxd / nd - (nd * sxyd - sxd * syd) / (nd * syyd - syd * syd) * (syd / nd) END AS alpha
+        |  FROM od
+        |), r AS (
+        |  SELECT j.user_id, j.day, ok.n_days, ok.beta,
+        |    CAST(floor(CAST(j.x AS DOUBLE) - (ok.alpha + ok.beta * CAST(j.y AS DOUBLE))) AS BIGINT) AS e
+        |  FROM j JOIN ok ON ok.user_id = j.user_id
+        |), l AS (
+        |  SELECT user_id, n_days, beta, e,
+        |    lag(e) OVER (PARTITION BY user_id ORDER BY day) AS ep
+        |  FROM r
+        |), d AS (
+        |  SELECT user_id, max(n_days) AS n_days, max(beta) AS beta,
+        |    sum(CAST(ep AS HUGEINT) * (e - ep)) AS sed,
+        |    sum(CAST(ep AS HUGEINT) * ep) AS see
+        |  FROM l WHERE ep IS NOT NULL GROUP BY 1
+        |), dd AS (
+        |  SELECT user_id, n_days, beta, see,
+        |    CASE WHEN sed < 0 THEN -(CAST(abs(sed) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sed) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(sed // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sed % 9007199254740992 AS DOUBLE) END AS sedd,
+        |    CASE WHEN see < 0 THEN -(CAST(abs(see) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(see) % 9007199254740992 AS DOUBLE))
+        |         ELSE CAST(see // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(see % 9007199254740992 AS DOUBLE) END AS seed
+        |  FROM d
+        |)
+        |SELECT user_id, CAST(n_days AS BIGINT) AS n_days, beta,
+        |  CASE WHEN see > 0 THEN sedd / seed END AS gamma,
+        |  round(CASE WHEN see > 0 AND sedd / seed < 0 AND sedd / seed > -1
+        |    THEN -0.6931471805599453 / ln(1.0 + sedd / seed) END, 6) AS spread_half_life
+        |FROM dd
+        |ORDER BY user_id""".stripMargin,
+    "q_pq_distortion" -> {
+      val terms = (1 to 8)
+        .map(i => s"(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])*(s.v[js.j*8+$i]-cb.cv[js.j*8+$i])")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |), js AS (SELECT unnest(generate_series(0, 7)) AS j),
+         |cb AS (
+         |  SELECT js.j, c.vec_id AS code, c.v AS cv FROM e c CROSS JOIN js WHERE c.vec_id < 16
+         |), d AS (
+         |  SELECT s.vec_id, js.j, cb.code, $terms AS dist
+         |  FROM e s CROSS JOIN js JOIN cb ON cb.j = js.j
+         |), codes AS (
+         |  SELECT vec_id, j, round(dist, 6) AS dist FROM (
+         |    SELECT vec_id, j, code, dist,
+         |      row_number() OVER (PARTITION BY vec_id, j ORDER BY dist ASC, code ASC) AS rn
+         |    FROM d
+         |  ) WHERE rn = 1
+         |), cu AS (
+         |  SELECT j, CAST(round(dist * 1000000, 0) AS BIGINT) AS du FROM codes
+         |), pj AS (
+         |  SELECT j, count(*) AS n_vecs, sum(du) AS su, max(du) AS mxu FROM cu GROUP BY 1
+         |), tot AS (SELECT sum(su) AS stot FROM pj)
+         |SELECT j, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(su AS DOUBLE) / CAST(n_vecs AS DOUBLE) / 1000000 AS mean_sq_dist,
+         |  CAST(mxu AS DOUBLE) / 1000000 AS max_sq_dist,
+         |  CASE WHEN stot > 0 THEN CAST(su AS DOUBLE) / CAST(stot AS DOUBLE) END AS distortion_share
+         |FROM pj, tot
+         |ORDER BY j""".stripMargin
+    },
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -359,4 +359,31 @@ object Embedding {
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id"), col("adc_dist"), col("rnk"))
   }
+
+  /** PQ distortion audit per subspace: how much L2 error each of the
+    * m codebooks absorbs — the index-tuning readout that says WHICH
+    * subspace needs more centroids before [[pqSearch]] accuracy is
+    * blamed on k. Rides [[pqCodes]]' 6dp-rounded quantization
+    * distances: each rounds back to an exact micro-long
+    * (round, not floor — the stored double is the nearest
+    * representation of a 6dp decimal, possibly just below it), so
+    * the corpus-axis mean is an exact-integer quotient; max is
+    * order-independent on the raw values. distortion_share is each
+    * subspace's slice of the total error (one broadcast scalar).
+    */
+  def pqDistortion(embeddings: DataFrame, m: Int = 8, nc: Int = 16): DataFrame = {
+    val codes = pqCodes(embeddings, m, nc)
+      .withColumn("du", round(col("dist") * 1000000, 0).cast("long"))
+    val perJ = codes.groupBy(col("j"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        sum(col("du")).as("su"),
+        max(col("du")).as("mxu"))
+    val tot = perJ.agg(sum(col("su")).as("stot"))
+    perJ.crossJoin(broadcast(tot))
+      .select(col("j"), col("n_vecs"),
+        (col("su").cast("double") / col("n_vecs").cast("double") / 1000000).as("mean_sq_dist"),
+        (col("mxu").cast("double") / 1000000).as("max_sq_dist"),
+        when(col("stot") > 0, col("su").cast("double") / col("stot").cast("double"))
+          .as("distortion_share"))
+  }
 }

@@ -2349,6 +2349,107 @@ object TimeSeries {
       when(col("k_present") === maxLag && col("n_obs") > maxLag + 1, q).as("ljung_box_q"))
   }
 
+  /** Vortex indicator (14): VI+ = Σ|high−low₋₁| / ΣTR and VI− =
+    * Σ|low−high₋₁| / ΣTR over the window — the crossover pair that
+    * dates trend reversals. Every per-row term (the two vortex
+    * movements and the true range) is an IEEE-identical double
+    * quantized to integer micro-units via floor, so the three window
+    * sums are exact longs; the two VIs are integer quotients,
+    * UNROUNDED. One shuffle on key, the bar aggregate and all
+    * windows share the (key, bar) sort. Full windows only.
+    */
+  def vortex(events: DataFrame, n: Int = 14,
+             key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"vortex window must be >= 2: $n")
+    val bars = Relational.ohlcResample(events)
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    val wN   = wSeq.rowsBetween(-(n - 1), 0)
+    val hPrev = lag(col("high"), 1).over(wSeq)
+    val lPrev = lag(col("low"), 1).over(wSeq)
+    val cPrev = lag(col("close"), 1).over(wSeq)
+    val withT = bars
+      .withColumn("vmp", floor(abs(col("high") - lPrev) * 1000000).cast("long"))
+      .withColumn("vmm", floor(abs(col("low") - hPrev) * 1000000).cast("long"))
+      .withColumn("tru", floor(greatest(
+        col("high") - col("low"),
+        abs(col("high") - cPrev),
+        abs(col("low") - cPrev)) * 1000000).cast("long"))
+      .filter(col("vmp").isNotNull)
+    val m = withT
+      .withColumn("cnt", count(lit(1)).over(wN))
+      .withColumn("sp", sum(col("vmp")).over(wN))
+      .withColumn("sm", sum(col("vmm")).over(wN))
+      .withColumn("st", sum(col("tru")).over(wN))
+    val full = col("cnt") === n && col("st") > 0
+    m.select(col(key), date_format(col("bar_start"), "yyyy-MM-dd").as("day"),
+      when(full, col("sp").cast("double") / col("st").cast("double")).as("vi_plus"),
+      when(full, col("sm").cast("double") / col("st").cast("double")).as("vi_minus"),
+      when(full, (col("sp") - col("sm")).cast("double") / col("st").cast("double"))
+        .as("vi_diff"))
+  }
+
+  /** Engle-Granger cointegration screen per key vs the benchmark:
+    * stage 1 hedges x on y (OLS beta from exact integer moments),
+    * stage 2 runs the no-constant Dickey-Fuller regression
+    * Δe_t = γ·e_{t−1} on the residual spread — γ significantly
+    * below 0 is the pairs-trading signal, surfaced here with the
+    * implied spread half-life −ln2/ln(1+γ). Closes quantize to
+    * integer micro-units so the OLS moments are exact 128-bit
+    * decimals ([[Stats.splitDouble]] conversion past 2^53); each
+    * row's residual is one IEEE chain quantized back to an exact
+    * micro-long via floor, so the stage-2 moments are exact at any
+    * partition count. Benchmark broadcast; both stages ride the
+    * same key partition. UNROUNDED outputs; non-reverting spreads
+    * (γ ≥ 0) read null half-life.
+    */
+  def cointegration(events: DataFrame, benchmarkId: Long = 0L,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val c = dailyClose(events, key, ts, v)
+      .withColumn("mku", floor(col("close") * 1000000).cast("long"))
+    val bench = c.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mku").as("mbu"))
+    val j = c.filter(col(key) =!= benchmarkId)
+      .join(broadcast(bench), Seq("day"))
+      .select(col(key), col("day"), col("mku").cast(dec).as("x"), col("mbu").cast(dec).as("y"))
+      .localCheckpoint()
+    val ols = j.groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("y") * col("y")).as("syy"))
+    val nd   = col("n_days").cast("double")
+    val sxd  = Stats.splitDouble(col("sx"));  val syd  = Stats.splitDouble(col("sy"))
+    val sxyd = Stats.splitDouble(col("sxy")); val syyd = Stats.splitDouble(col("syy"))
+    val covN = nd * sxyd - sxd * syd
+    val varN = nd * syyd - syd * syd
+    val olsK = ols.select(col(key), col("n_days"),
+      when(varN > 0, covN / varN).as("beta"),
+      when(varN > 0, sxd / nd - covN / varN * (syd / nd)).as("alpha"))
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val resid = j.join(olsK, Seq(key))
+      .withColumn("e",
+        floor(col("x").cast("double") - (col("alpha") + col("beta") * col("y").cast("double")))
+          .cast("long"))
+      .withColumn("ep", lag(col("e"), 1).over(wSeq))
+      .filter(col("ep").isNotNull)
+    val df2 = resid.groupBy(col(key))
+      .agg(max(col("n_days")).as("n_days"), max(col("beta")).as("beta"),
+        sum(col("ep").cast(dec) * (col("e") - col("ep"))).as("sed"),
+        sum(col("ep").cast(dec) * col("ep")).as("see"))
+    // the division lives INSIDE the when branch: ANSI And does not
+    // short-circuit, so a bare `see > 0 && gamma < 0` would still
+    // evaluate the see=0 division and throw
+    val gamma = when(col("see") > 0,
+      Stats.splitDouble(col("sed")) / Stats.splitDouble(col("see")))
+    df2.select(col(key), col("n_days"), col("beta"),
+      gamma.as("gamma"),
+      // rounded 6dp (the halfLife convention): libm ln differs by
+      // 1 ulp across engines on some arguments, and the division
+      // amplifies it past hash-exactness
+      round(when(gamma < 0 && gamma > -1,
+        -lit(0.6931471805599453) / log(lit(1.0) + gamma)), 6).as("spread_half_life"))
+  }
+
   /** Seasonal-naive forecast backtest per key: predict today's close
     * with the close `season` observations back, score MAE and MASE
     * (MAE relative to the one-step persistence baseline — the

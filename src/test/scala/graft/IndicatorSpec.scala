@@ -678,6 +678,53 @@ class IndicatorSpec extends AnyFunSuite {
     assert(q > 20.0, "near-perfect negative rho_1 must reject white noise loudly")
   }
 
+  test("vortex: a steady up-grind reads VI+ = 1.5 and VI- = 0.5 exactly") {
+    import spark.implicits._
+    // two obs per day: bar = [100+2i, 101+2i]; vm+ = 3, vm- = 1,
+    // tr = 2 every day, so the window ratios are exact constants
+    val rows = (0 until 20).flatMap { i =>
+      Seq((1L, i.toLong * 2, i.toLong * 86400 + 1000, 100.0 + 2 * i),
+        (1L, i.toLong * 2 + 1, i.toLong * 86400 + 2000, 101.0 + 2 * i))
+    }
+    val df = rows.toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+    val got = TimeSeries.vortex(df, 14).orderBy("day").collect()
+    val full = got.filter(!_.isNullAt(2))
+    assert(full.nonEmpty)
+    full.foreach { r =>
+      assert(r.getAs[Double]("vi_plus") === 1.5)
+      assert(r.getAs[Double]("vi_minus") === 0.5)
+      assert(r.getAs[Double]("vi_diff") === 1.0)
+    }
+  }
+
+  test("cointegration: perfectly hedged pair reads beta 2 with null gamma; matches a local recompute") {
+    // benchmark walk + (a) x = 2y exactly (residual identically 0
+    // after the OLS fit -> see = 0 -> null gamma), (b) x = 2y plus
+    // alternating +-8 noise (gamma -2 by the alternation algebra)
+    // quarter-step closes are exact binary rationals, so the micro
+    // quantization keeps x = 2y EXACT and the hedged residual is
+    // identically zero (see = 0 -> null gamma)
+    val y = Seq(400.0, 402.5, 398.75, 401.25, 399.5, 403.0, 400.75, 397.25,
+      402.0, 398.5, 401.5, 399.25, 403.75, 400.25, 398.0, 401.0)
+    val x1 = y.map(_ * 2)
+    val x2 = y.zipWithIndex.map { case (c, i) => c * 2 + (if (i % 2 == 0) 8.0 else -8.0) }
+    val got = TimeSeries.cointegration(
+      closesDf(Seq(0L -> y, 1L -> x1, 2L -> x2)), 0L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(math.abs(r1.getAs[Double]("beta") - 2.0) < 1e-6)
+    assert(r1.isNullAt(r1.fieldIndex("gamma")), "a zero spread has no AR(1) dynamics")
+    val r2 = got(2L)
+    // the +-8 noise is large vs the tight y range, so the hedge
+    // estimate wanders; the AR(1) alternation signature is the point
+    assert(math.abs(r2.getAs[Double]("beta") - 2.0) < 0.5)
+    assert(math.abs(r2.getAs[Double]("gamma") - (-2.0)) < 5e-2,
+      s"alternating spread must read gamma ~ -2, got ${r2.getAs[Double]("gamma")}")
+    assert(r2.isNullAt(r2.fieldIndex("spread_half_life")),
+      "gamma outside (-1,0) has no half-life")
+  }
+
   test("forecast backtest: exact 7-day seasonality reads MASE 0; a linear ramp reads exactly 7") {
     // periodic: value repeats every 7 days -> seasonal-naive error 0
     val periodic = (0 until 21).map(i => 100.0 + (i % 7) * 10.0)

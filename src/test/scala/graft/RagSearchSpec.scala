@@ -163,6 +163,30 @@ class RagSearchSpec extends AnyFunSuite {
     }
   }
 
+  test("pq distortion: exact aggregate of the pqCodes distances, shares sum to 1") {
+    import TestSession.spark
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val codes = graft.operators.Embedding.pqCodes(emb, 8, 16)
+      .select($"j", $"dist").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val want = codes.groupBy(_._1).view.mapValues { rs =>
+      val du = rs.map(r => math.round(r._2 * 1000000))
+      (rs.length.toLong, du.sum, du.max)
+    }.toMap
+    val totalU = want.values.map(_._2).sum
+    val got = graft.operators.Embedding.pqDistortion(emb, 8, 16).collect()
+    assert(got.length === 8)
+    got.foreach { r =>
+      val (n, su, mxu) = want(r.getLong(0))
+      assert(r.getAs[Long]("n_vecs") === n)
+      assert(r.getAs[Double]("mean_sq_dist") === su.toDouble / n / 1000000)
+      assert(r.getAs[Double]("max_sq_dist") === mxu.toDouble / 1000000)
+      assert(r.getAs[Double]("distortion_share") === su.toDouble / totalU)
+    }
+    val shares = got.map(_.getAs[Double]("distortion_share")).sum
+    assert(math.abs(shares - 1.0) < 1e-12)
+  }
+
   test("knn classify agrees with bruteForceTopK + a local majority vote") {
     import TestSession.spark
     import spark.implicits._
