@@ -509,6 +509,12 @@ object SparkEntry {
       TimeSeries.cointegration(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_pq_distortion" -> ((s, dir) =>
       Embedding.pqDistortion(Tables.embeddings(s, dir), 8, 16).orderBy("j")),
+    "q_cmo" -> ((s, dir) =>
+      TimeSeries.chandeMomentum(Tables.events(s, dir), 14).orderBy("user_id", "day")),
+    "q_ultimate_osc" -> ((s, dir) =>
+      TimeSeries.ultimateOscillator(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_assortativity" -> ((s, dir) =>
+      Similarity.degreeAssortativity(Tables.embeddings(s, dir), 5)),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4507,6 +4513,94 @@ object SparkEntry {
          |FROM pj, tot
          |ORDER BY j""".stripMargin
     },
+    "q_cmo" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((close / prev - 1) * 1000000) AS BIGINT) AS mk
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), w AS (
+        |  SELECT user_id, day, count(*) OVER wn AS cnt,
+        |    sum(greatest(mk, 0)) OVER wn AS sg,
+        |    sum(greatest(-mk, 0)) OVER wn AS sl
+        |  FROM r
+        |  WINDOW wn AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  CASE WHEN cnt = 14 AND sg + sl > 0
+        |    THEN 100.0 * CAST(sg - sl AS DOUBLE) / CAST(sg + sl AS DOUBLE) END AS cmo
+        |FROM w
+        |ORDER BY user_id, day""".stripMargin,
+    "q_ultimate_osc" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, bar_start,
+        |    CAST(floor((close - least(low, lag(close) OVER w)) * 1000000) AS BIGINT) AS bpu,
+        |    CAST(floor((greatest(high, lag(close) OVER w)
+        |      - least(low, lag(close) OVER w)) * 1000000) AS BIGINT) AS tru
+        |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_start)
+        |  QUALIFY bpu IS NOT NULL
+        |), m AS (
+        |  SELECT user_id, bar_start,
+        |    count(*) OVER w28 AS cnt,
+        |    sum(bpu) OVER w7 AS bp1, sum(tru) OVER w7 AS tr1,
+        |    sum(bpu) OVER w14 AS bp2, sum(tru) OVER w14 AS tr2,
+        |    sum(bpu) OVER w28 AS bp3, sum(tru) OVER w28 AS tr3
+        |  FROM t
+        |  WINDOW
+        |    w7 AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+        |    w14 AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW),
+        |    w28 AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 27 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS day,
+        |  CASE WHEN cnt = 28 AND tr1 > 0 AND tr2 > 0 AND tr3 > 0
+        |    THEN 100.0 * (4.0 * (CAST(bp1 AS DOUBLE) / CAST(tr1 AS DOUBLE))
+        |      + 2.0 * (CAST(bp2 AS DOUBLE) / CAST(tr2 AS DOUBLE))
+        |      + CAST(bp3 AS DOUBLE) / CAST(tr3 AS DOUBLE)) / 7 END AS ultimate_osc
+        |FROM m
+        |ORDER BY user_id, day""".stripMargin,
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), top AS (
+        |  SELECT src, dst,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |  FROM edges
+        |  QUALIFY rnk <= 5
+        |), deg AS (
+        |  SELECT src, count(*) AS deg FROM top GROUP BY 1
+        |), j AS (
+        |  SELECT t.src, t.dst, a.deg AS dx, b.deg AS dy
+        |  FROM top t JOIN deg a ON a.src = t.src JOIN deg b ON b.src = t.dst
+        |), m AS (
+        |  SELECT count(*) AS n_edges, sum(dx) AS sx, sum(dy) AS sy,
+        |    sum(dx * dy) AS sxy, sum(dx * dx) AS sxx, sum(dy * dy) AS syy
+        |  FROM j
+        |)
+        |SELECT CAST(n_edges AS BIGINT) AS n_edges,
+        |  CASE WHEN (CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        |        AND (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+        |    THEN (CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / sqrt((CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |           * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |  END AS assortativity
+        |FROM m""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

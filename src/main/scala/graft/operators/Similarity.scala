@@ -976,6 +976,35 @@ object Similarity {
           (col("da") + col("db") - col("common")).cast("double")).as("jaccard"))
   }
 
+  /** Degree assortativity of the kNN graph: Pearson correlation of
+    * (out-degree(src), out-degree(dst)) over directed edges — do
+    * well-connected vectors point at other well-connected ones
+    * (assortative, dense-core embedding) or at sparse satellites
+    * (disassortative, hub-and-spoke)? One number that predicts how
+    * graph-based dedup clusters will behave. Degrees are exact
+    * integer counts (≤k), so all five edge moments are exact longs
+    * and r is one IEEE chain, UNROUNDED. Two equi-joins of the k·n
+    * edge frame against the tiny degree table.
+    */
+  def degreeAssortativity(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val top = knnGraph(embeddings, k).select(col("src"), col("dst")).localCheckpoint()
+    val deg = top.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
+    val m = top
+      .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("deg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).cast("long").as("n_edges"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    val nd = col("n_edges").cast("double")
+    val covN = nd * col("sxy").cast("double") - col("sx").cast("double") * col("sy").cast("double")
+    val vx = nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")
+    val vy = nd * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n_edges"),
+      when(vx > 0 && vy > 0, covN / sqrt(vx * vy)).as("assortativity"))
+  }
+
   /** kNN label classification: every held-out query vector
     * (vec_id ≡ 0 mod `holdout`) gets the majority label of its k
     * nearest labeled neighbors — the standard embedding-quality

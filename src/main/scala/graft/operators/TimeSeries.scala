@@ -2388,6 +2388,69 @@ object TimeSeries {
         .as("vi_diff"))
   }
 
+  /** Chande Momentum Oscillator (14): 100·(Σgains − Σlosses)/(Σgains
+    * + Σlosses) over the window — RSI's unsmoothed cousin, bounded
+    * ±100, zero-centered. Gains/losses are integer micro-returns
+    * split by sign, so both window sums are exact longs and the
+    * oscillator is one IEEE chain from two integers, UNROUNDED.
+    * One shuffle on key. Full windows only; a flat window (no
+    * movement) reads null rather than 0/0.
+    */
+  def chandeMomentum(events: DataFrame, n: Int = 14,
+                     key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"cmo window must be >= 2: $n")
+    val w = Window.partitionBy(key).orderBy("day").rowsBetween(-(n - 1), 0)
+    val m = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+      .withColumn("g", greatest(col("mk"), lit(0L)))
+      .withColumn("l", greatest(-col("mk"), lit(0L)))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .withColumn("sg", sum(col("g")).over(w))
+      .withColumn("sl", sum(col("l")).over(w))
+    m.select(col(key), date_format(col("day"), "yyyy-MM-dd").as("day"),
+      when(col("cnt") === n && col("sg") + col("sl") > 0,
+        lit(100.0) * (col("sg") - col("sl")).cast("double") /
+          (col("sg") + col("sl")).cast("double")).as("cmo"))
+  }
+
+  /** Ultimate Oscillator (7/14/28): Williams' three-horizon blend
+    * 100·(4·A₇ + 2·A₁₄ + A₂₈)/7 with A_n = ΣBP/ΣTR — the
+    * divergence oscillator that cross-checks momentum on three
+    * clocks at once. Buying pressure and true range quantize to
+    * micro-longs off IEEE-identical doubles, the SIX window sums are
+    * exact and share one (key, bar) sort, and the blend is one IEEE
+    * chain over three integer quotients, UNROUNDED. Needs the full
+    * 28-bar window.
+    */
+  def ultimateOscillator(events: DataFrame, n1: Int = 7, n2: Int = 14, n3: Int = 28,
+                         key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n1 < n2 && n2 < n3, s"horizons must ascend: $n1 $n2 $n3")
+    val bars = Relational.ohlcResample(events)
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    val cPrev = lag(col("close"), 1).over(wSeq)
+    val withT = bars
+      .withColumn("bpu",
+        floor((col("close") - least(col("low"), cPrev)) * 1000000).cast("long"))
+      .withColumn("tru",
+        floor((greatest(col("high"), cPrev) - least(col("low"), cPrev)) * 1000000).cast("long"))
+      .filter(col("bpu").isNotNull)
+    def wN(n: Int) = Window.partitionBy(key).orderBy("bar_start").rowsBetween(-(n - 1), 0)
+    val m = withT
+      .withColumn("cnt", count(lit(1)).over(wN(n3)))
+      .withColumn("bp1", sum(col("bpu")).over(wN(n1)))
+      .withColumn("tr1", sum(col("tru")).over(wN(n1)))
+      .withColumn("bp2", sum(col("bpu")).over(wN(n2)))
+      .withColumn("tr2", sum(col("tru")).over(wN(n2)))
+      .withColumn("bp3", sum(col("bpu")).over(wN(n3)))
+      .withColumn("tr3", sum(col("tru")).over(wN(n3)))
+    val ok = col("cnt") === n3 && col("tr1") > 0 && col("tr2") > 0 && col("tr3") > 0
+    val a1 = col("bp1").cast("double") / col("tr1").cast("double")
+    val a2 = col("bp2").cast("double") / col("tr2").cast("double")
+    val a3 = col("bp3").cast("double") / col("tr3").cast("double")
+    m.select(col(key), date_format(col("bar_start"), "yyyy-MM-dd").as("day"),
+      when(ok, lit(100.0) * (lit(4.0) * a1 + lit(2.0) * a2 + a3) / 7).as("ultimate_osc"))
+  }
+
   /** Engle-Granger cointegration screen per key vs the benchmark:
     * stage 1 hedges x on y (OLS beta from exact integer moments),
     * stage 2 runs the no-constant Dickey-Fuller regression

@@ -678,6 +678,36 @@ class IndicatorSpec extends AnyFunSuite {
     assert(q > 20.0, "near-perfect negative rho_1 must reject white noise loudly")
   }
 
+  test("cmo: monotone rising reads exactly +100, falling -100, flat null") {
+    val rising  = (0 until 20).map(i => 100.0 * math.pow(1.01, i))
+    val falling = (0 until 20).map(i => 100.0 * math.pow(0.99, i))
+    val flat    = Seq.fill(20)(100.0)
+    val got = TimeSeries.chandeMomentum(
+        closesDf(Seq(1L -> rising, 2L -> falling, 3L -> flat)), 14)
+      .collect().groupBy(_.getLong(0))
+    val full1 = got(1L).filter(!_.isNullAt(2))
+    assert(full1.nonEmpty && full1.forall(_.getAs[Double]("cmo") === 100.0))
+    val full2 = got(2L).filter(!_.isNullAt(2))
+    assert(full2.nonEmpty && full2.forall(_.getAs[Double]("cmo") === -100.0))
+    assert(got(3L).forall(_.isNullAt(2)), "zero movement must read null, not 0/0")
+  }
+
+  test("ultimate oscillator: constant-pressure up-grind reads exactly 100") {
+    import spark.implicits._
+    // bar [100+2i, 101+2i]: BP = TR = 2 every day, so every horizon
+    // average is 1 and the blend is exactly 100
+    val rows = (0 until 40).flatMap { i =>
+      Seq((1L, i.toLong * 2, i.toLong * 86400 + 1000, 100.0 + 2 * i),
+        (1L, i.toLong * 2 + 1, i.toLong * 86400 + 2000, 101.0 + 2 * i))
+    }
+    val df = rows.toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+    val got = TimeSeries.ultimateOscillator(df).orderBy("day").collect()
+    val full = got.filter(!_.isNullAt(2))
+    assert(full.nonEmpty, "40 bars must yield full 28-windows")
+    full.foreach(r => assert(r.getAs[Double]("ultimate_osc") === 100.0))
+  }
+
   test("vortex: a steady up-grind reads VI+ = 1.5 and VI- = 0.5 exactly") {
     import spark.implicits._
     // two obs per day: bar = [100+2i, 101+2i]; vm+ = 3, vm- = 1,

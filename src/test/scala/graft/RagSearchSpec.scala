@@ -187,6 +187,31 @@ class RagSearchSpec extends AnyFunSuite {
     assert(math.abs(shares - 1.0) < 1e-12)
   }
 
+  test("degree assortativity equals the local Pearson over the kNN edge degrees") {
+    import TestSession.spark
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, TestSession.sf)
+    val edges = graft.operators.Similarity.knnGraph(emb, 5)
+      .select($"src", $"dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val xs = edges.map { case (s, d) => (deg(s), deg(d)) }
+    val n = xs.length.toDouble
+    val (sx, sy)  = (xs.map(_._1).sum.toDouble, xs.map(_._2).sum.toDouble)
+    val sxy = xs.map(p => p._1 * p._2).sum.toDouble
+    val sxx = xs.map(p => p._1 * p._1).sum.toDouble
+    val syy = xs.map(p => p._2 * p._2).sum.toDouble
+    val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+    val got = graft.operators.Similarity.degreeAssortativity(emb, 5).head()
+    assert(got.getAs[Long]("n_edges") === edges.length.toLong)
+    if (vx > 0 && vy > 0) {
+      val want = (n * sxy - sx * sy) / math.sqrt(vx * vy)
+      assert(math.abs(got.getAs[Double]("assortativity") - want) < 1e-12)
+      assert(math.abs(got.getAs[Double]("assortativity")) <= 1.0)
+    } else
+      assert(got.isNullAt(got.fieldIndex("assortativity")),
+        "a degree-regular graph has no defined assortativity")
+  }
+
   test("knn classify agrees with bruteForceTopK + a local majority vote") {
     import TestSession.spark
     import spark.implicits._
