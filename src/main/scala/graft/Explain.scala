@@ -79,7 +79,8 @@ object Explain {
         "q_k_anonymity", "q_common_neighbors", "q_forecast_backtest",
         "q_anova", "q_grubbs", "q_knn_classify", "q_ljung_box",
         "q_entropy_rate", "q_inequality", "q_vortex", "q_cointegration",
-        "q_pq_distortion", "q_cmo", "q_ultimate_osc", "q_assortativity")
+        "q_pq_distortion", "q_cmo", "q_ultimate_osc", "q_assortativity",
+        "q_code_detect", "q_woe_iv", "q_psi")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -515,6 +515,12 @@ object SparkEntry {
       TimeSeries.ultimateOscillator(Tables.events(s, dir)).orderBy("user_id", "day")),
     "q_assortativity" -> ((s, dir) =>
       Similarity.degreeAssortativity(Tables.embeddings(s, dir), 5)),
+    "q_code_detect" -> ((s, dir) =>
+      TextAnalysis.codeDetect(Tables.documents(s, dir)).orderBy("source")),
+    "q_woe_iv" -> ((s, dir) =>
+      Stats.woeIv(Tables.events(s, dir)).orderBy("bin")),
+    "q_psi" -> ((s, dir) =>
+      Stats.psi(Tables.events(s, dir))),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4601,6 +4607,73 @@ object SparkEntry {
         |           * (CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
         |  END AS assortativity
         |FROM m""".stripMargin,
+    "q_code_detect" ->
+      """WITH f AS (
+        |  SELECT source, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(length(text) - length(regexp_replace(text, '[{}\[\]();=<>#]', '', 'g')) AS BIGINT) AS n_sym,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_dig
+        |  FROM documents
+        |), g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CASE WHEN n_sym * 20 > n_chars THEN 1 ELSE 0 END) AS n_code_like,
+        |    sum(n_sym) AS sym_chars, sum(n_dig) AS digit_chars, sum(n_chars) AS total_chars
+        |  FROM f GROUP BY 1
+        |)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(n_code_like AS BIGINT) AS n_code_like,
+        |  CAST(sym_chars AS BIGINT) AS sym_chars,
+        |  CAST(digit_chars AS BIGINT) AS digit_chars,
+        |  CAST(total_chars AS BIGINT) AS total_chars,
+        |  CAST(n_code_like AS DOUBLE) / CAST(n_docs AS DOUBLE) AS code_share
+        |FROM g
+        |ORDER BY source""".stripMargin,
+    "q_woe_iv" ->
+      """WITH cells AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS g,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END) AS b
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT sum(g) AS gt, sum(b) AS bt, count(*) AS k FROM cells
+        |), t AS (
+        |  SELECT bin, g, b,
+        |    CAST(g + 1 AS DOUBLE) / CAST(gt + k AS DOUBLE) AS pg,
+        |    CAST(b + 1 AS DOUBLE) / CAST(bt + k AS DOUBLE) AS pb
+        |  FROM cells, tot
+        |), u AS (
+        |  SELECT bin, g AS n_good, b AS n_bad,
+        |    round(ln(pg / pb), 6) AS woe,
+        |    round((pg - pb) * ln(pg / pb), 6) AS iv_term,
+        |    CAST(round((pg - pb) * ln(pg / pb) * 1000000, 0) AS BIGINT) AS tu
+        |  FROM t
+        |)
+        |SELECT bin, CAST(n_good AS BIGINT) AS n_good, CAST(n_bad AS BIGINT) AS n_bad,
+        |  woe, iv_term,
+        |  CAST(sum(tu) OVER () AS DOUBLE) / 1000000 AS iv_total
+        |FROM u
+        |ORDER BY bin""".stripMargin,
+    "q_psi" ->
+      """WITH mid AS (
+        |  SELECT CAST((min(epoch_us(ts)) + max(epoch_us(ts))
+        |    - (min(epoch_us(ts)) + max(epoch_us(ts))) % 2) / 2 AS BIGINT) AS mid
+        |  FROM events
+        |), cells AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+        |    sum(CASE WHEN epoch_us(ts) < mid THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN epoch_us(ts) >= mid THEN 1 ELSE 0 END) AS cb
+        |  FROM events, mid WHERE value IS NOT NULL GROUP BY 1
+        |), tot AS (SELECT sum(ca) AS na, sum(cb) AS nb, count(*) AS k FROM cells
+        |), p AS (
+        |  SELECT na, nb, k, round(sum(
+        |    (CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE)
+        |      - CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + k AS DOUBLE))
+        |       / (CAST(cb + 1 AS DOUBLE) / CAST(nb + k AS DOUBLE)))
+        |  ), 6) AS psi
+        |  FROM cells, tot GROUP BY na, nb, k
+        |)
+        |SELECT CAST(na AS BIGINT) AS n_first_half, CAST(nb AS BIGINT) AS n_second_half,
+        |  CAST(k AS BIGINT) AS n_bins, psi, psi > 0.2 AS drift_alert
+        |FROM p""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -1061,6 +1061,80 @@ object Stats {
       when(sst > 0, ssb / sst).as("eta_sq"))
   }
 
+  /** Weight-of-Evidence / Information-Value screen of the value-bin
+    * feature against a binary target (event type = `goodType`) —
+    * the credit-scoring-born feature-selection standard: per bin,
+    * WoE = ln(pct_good/pct_bad) says direction, and IV = Σ(pg−pb)·WoE
+    * grades the whole feature (<0.02 useless, >0.3 strong). Laplace
+    * smoothing over the occupied-bin grid keeps empty arms finite
+    * (the [[klDivergence]] convention). Counts are exact longs; each
+    * bin's WoE/IV term is one IEEE chain; the IV total sums the
+    * per-bin terms AS round(t·1e6) exact micro-longs over the
+    * bounded bin axis (a raw float window-sum would be
+    * order-dependent), surfaced on every row.
+    */
+  def woeIv(events: DataFrame, goodType: String = "purchase", width: Double = 50.0,
+            key: String = "event_type", v: String = "value"): DataFrame = {
+    require(width > 0, s"bin width must be positive: $width")
+    val cells = events
+      .filter(col(v).isNotNull)
+      .groupBy(floor(col(v) / width).cast("long").as("bin"))
+      .agg(
+        sum(when(col(key) === goodType, 1L).otherwise(0L)).as("g"),
+        sum(when(col(key) === goodType, 0L).otherwise(1L)).as("b"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("g")).as("gt"), sum(col("b")).as("bt"),
+      count(lit(1)).as("k"))
+    val pg  = (col("g") + 1).cast("double") / (col("gt") + col("k")).cast("double")
+    val pb  = (col("b") + 1).cast("double") / (col("bt") + col("k")).cast("double")
+    val woe = log(pg / pb)
+    val term = (pg - pb) * woe
+    val withTerm = cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("g").as("n_good"), col("b").as("n_bad"),
+        round(woe, 6).as("woe"),
+        round(term, 6).as("iv_term"),
+        round(term * 1000000, 0).cast("long").as("tu"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    withTerm
+      .withColumn("iv_total", sum(col("tu")).over(w).cast("double") / 1000000)
+      .drop("tu")
+  }
+
+  /** Population Stability Index between the first and second halves
+    * of the time range — the production-ML drift gate (PSI < 0.1
+    * stable, > 0.2 investigate): PSI = Σ(p₁−p₂)·ln(p₁/p₂) over
+    * value bins. The temporal split point is the exact integer
+    * midpoint of the epoch-micro range (broadcast scalar, no
+    * quantile sort); bin counts are one conditional-aggregate scan;
+    * Laplace smoothing over occupied bins ([[klDivergence]]); the
+    * bounded ≤bins term sum rounds at 6dp. One row out.
+    */
+  def psi(events: DataFrame, width: Double = 50.0,
+          ts: String = "ts", v: String = "value"): DataFrame = {
+    require(width > 0, s"bin width must be positive: $width")
+    val us = unix_micros(col(ts))
+    val mid = events.agg(
+      ((min(us) + max(us)) - pmod(min(us) + max(us), lit(2L))).divide(lit(2L)).cast("long")
+        .as("mid"))
+    val cells = events.filter(col(v).isNotNull).crossJoin(broadcast(mid))
+      .groupBy(floor(col(v) / width).cast("long").as("bin"))
+      .agg(
+        sum(when(us < col("mid"), 1L).otherwise(0L)).as("ca"),
+        sum(when(us >= col("mid"), 1L).otherwise(0L)).as("cb"))
+      .localCheckpoint()
+    val tot = cells.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"),
+      count(lit(1)).as("k"))
+    val pa = (col("ca") + 1).cast("double") / (col("na") + col("k")).cast("double")
+    val pb = (col("cb") + 1).cast("double") / (col("nb") + col("k")).cast("double")
+    cells.crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"), col("k"), ((pa - pb) * log(pa / pb)).as("t"))
+      .groupBy(col("na"), col("nb"), col("k"))
+      .agg(round(sum(col("t")), 6).as("psi"))
+      .select(col("na").as("n_first_half"), col("nb").as("n_second_half"),
+        col("k").as("n_bins"), col("psi"),
+        (col("psi") > 0.2).as("drift_alert"))
+  }
+
   /** Grubbs outlier statistic per event type: the most extreme
     * value's studentized distance G = max|x−mean|/sd — the one-look
     * screen that says WHICH group hides a single gross outlier

@@ -730,4 +730,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_terms"),
         (col("s").cast("double") / col("n_terms") / 1000000.0).as("novelty"))
   }
+
+  /** Code-likeness screen per source — the pretraining-mix triage
+    * that says how much of each source is code rather than prose
+    * (route to the code pipeline, or drop, BEFORE tokenization).
+    * Per-doc signal is all integer character accounting in the scan
+    * stage: counts of code-symbol characters ({}[]();=<>#) and
+    * digits via length-minus-stripped (regexp_replace with the
+    * identical pattern both engines, 'g' semantics), flagged
+    * code-like by the cross-multiplied integer compare
+    * 20·symbols > chars (a 5% symbol density — no float threshold).
+    * One groupBy(source); exact counts, one IEEE share, UNROUNDED.
+    */
+  def codeDetect(docs: DataFrame, densityPct: Int = 5): DataFrame = {
+    val chars = length(col("text"))
+    val syms  = chars - length(regexp_replace(col("text"), "[{}\\[\\]();=<>#]", ""))
+    val digs  = chars - length(regexp_replace(col("text"), "[0-9]", ""))
+    val flagged = docs
+      .select(col("source"), chars.cast("long").as("n_chars"),
+        syms.cast("long").as("n_sym"), digs.cast("long").as("n_dig"))
+      .withColumn("code_like", col("n_sym") * (100 / densityPct) > col("n_chars"))
+    flagged.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("code_like").cast("long")).as("n_code_like"),
+        sum(col("n_sym")).as("sym_chars"),
+        sum(col("n_dig")).as("digit_chars"),
+        sum(col("n_chars")).as("total_chars"))
+      .withColumn("code_share",
+        col("n_code_like").cast("double") / col("n_docs").cast("double"))
+  }
 }

@@ -528,6 +528,52 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(math.abs(f1 - want) / want < 1e-6, s"F $f1 vs textbook $want")
   }
 
+  test("woe/iv: proportional bins read exactly 0; a separating feature reads signed WoE and large IV") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex.map { case ((t, x), i) =>
+      (i.toLong, t, x)
+    }.toDF("event_id", "event_type", "value")
+    // proportional: every bin has the same good:bad ratio (1:1) ->
+    // pg = pb exactly under smoothing, all terms exactly 0
+    val prop = (0 until 40).map(i =>
+      (if (i % 2 == 0) "purchase" else "view", ((i / 2) % 4) * 50.0 + 10))
+    val g0 = graft.operators.Stats.woeIv(ev(prop)).collect()
+    assert(g0.nonEmpty)
+    g0.foreach { r =>
+      assert(r.getAs[Double]("woe") === 0.0 && r.getAs[Double]("iv_term") === 0.0)
+      assert(r.getAs[Double]("iv_total") === 0.0)
+    }
+    // separating: goods live in bin 0, bads in bin 1
+    val sep = (0 until 20).map(i =>
+      if (i % 2 == 0) ("purchase", 10.0) else ("view", 60.0))
+    val g1 = graft.operators.Stats.woeIv(ev(sep)).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(g1(0L).getAs[Double]("woe") > 0, "the all-good bin has positive WoE")
+    assert(g1(1L).getAs[Double]("woe") < 0)
+    assert(g1(0L).getAs[Double]("iv_total") > 0.3, "a perfect separator is a strong feature")
+  }
+
+  test("psi: mirrored halves read exactly 0; a shifted second half trips the drift alert") {
+    import spark.implicits._
+    def ev(rows: Seq[(Long, Double)]) = rows.zipWithIndex.map { case ((t, x), i) =>
+      (i.toLong, t, x)
+    }.toDF("event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+      .withColumn("event_type", lit("view"))
+    // first half t in [0, 100), second in [100, 200): identical value
+    // histograms -> ca = cb per bin -> every term exactly 0
+    val stable = (0 until 50).flatMap(i =>
+      Seq((i.toLong, (i % 5) * 50.0 + 5), (100L + i, (i % 5) * 50.0 + 5)))
+    val r0 = graft.operators.Stats.psi(ev(stable)).head()
+    assert(r0.getAs[Double]("psi") === 0.0 && !r0.getAs[Boolean]("drift_alert"))
+    assert(r0.getAs[Long]("n_first_half") === 50L && r0.getAs[Long]("n_second_half") === 50L)
+    // shifted: second half moves 200 value units up
+    val shifted = (0 until 50).flatMap(i =>
+      Seq((i.toLong, (i % 5) * 50.0 + 5), (100L + i, (i % 5) * 50.0 + 205)))
+    val r1 = graft.operators.Stats.psi(ev(shifted)).head()
+    assert(r1.getAs[Double]("psi") > 0.2 && r1.getAs[Boolean]("drift_alert"))
+  }
+
   test("grubbs: a planted gross outlier is the suspect with the textbook G; clean group reads small") {
     import spark.implicits._
     val base = (0 until 20).map(i => ("a", 50.0 + (i % 5)))

@@ -361,4 +361,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(got(4L) - idf1) < 1e-9)
     assert(got(4L) > got(1L))
   }
+
+  test("code detect: symbol-dense text flags code-like, prose does not, counts exact") {
+    import spark.implicits._
+    val code  = "def f(x) { return x[0] + g(y); } # inline <T> = 42;"
+    val prose = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, code, "en", "gh"), (2L, prose, "en", "web"),
+      (3L, prose, "en", "gh")).toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.TextAnalysis.codeDetect(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val gh = got("gh")
+    assert(gh.getAs[Long]("n_docs") === 2L && gh.getAs[Long]("n_code_like") === 1L)
+    val expectedSyms = code.count("{}[]();=<>#".contains(_)).toLong
+    assert(gh.getAs[Long]("sym_chars") === expectedSyms + 0L)
+    assert(gh.getAs[Double]("code_share") === 0.5)
+    val web = got("web")
+    assert(web.getAs[Long]("n_code_like") === 0L && web.getAs[Double]("code_share") === 0.0)
+  }
 }
