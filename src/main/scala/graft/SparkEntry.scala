@@ -521,6 +521,13 @@ object SparkEntry {
       Stats.woeIv(Tables.events(s, dir)).orderBy("bin")),
     "q_psi" -> ((s, dir) =>
       Stats.psi(Tables.events(s, dir))),
+    "q_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.langConfusion(Tables.documents(s, dir))
+        .orderBy("lang", "lang_pred")),
+    "q_dedup_sim_histogram" -> ((s, dir) =>
+      Dedup.dedupSimHistogram(Tables.documents(s, dir)).orderBy("bucket")),
+    "q_streaks" -> ((s, dir) =>
+      TimeSeries.streaks(Tables.events(s, dir)).orderBy("user_id")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4674,6 +4681,110 @@ object SparkEntry {
         |SELECT CAST(na AS BIGINT) AS n_first_half, CAST(nb AS BIGINT) AS n_second_half,
         |  CAST(k AS BIGINT) AS n_bins, psi, psi > 0.2 AS drift_alert
         |FROM p""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of'))) AS hits_en,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','y','de'))) AS hits_es,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','les','et','des'))) AS hits_fr,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','von'))) AS hits_de,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('de5','shi4','le5','zai4'))) AS hits_zh
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_zh AND hits_en > 0 THEN 'en'
+        |      WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh AND hits_es > 0 THEN 'es'
+        |      WHEN hits_fr >= hits_de AND hits_fr >= hits_zh AND hits_fr > 0 THEN 'fr'
+        |      WHEN hits_de >= hits_zh AND hits_de > 0 THEN 'de'
+        |      WHEN hits_zh > 0 THEN 'zh'
+        |      ELSE 'und'
+        |    END AS lang_pred
+        |  FROM h
+        |), m AS (
+        |  SELECT d.lang, p.lang_pred, count(*) AS n_docs
+        |  FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2
+        |), rt AS (SELECT lang, sum(n_docs) AS t FROM m GROUP BY 1)
+        |SELECT m.lang, m.lang_pred, CAST(m.n_docs AS BIGINT) AS n_docs,
+        |  m.lang = m.lang_pred AS correct,
+        |  CAST(m.n_docs AS DOUBLE) / CAST(rt.t AS DOUBLE) AS share_of_lang
+        |FROM m JOIN rt ON rt.lang = m.lang
+        |ORDER BY 1, 2""".stripMargin,
+    "q_dedup_sim_histogram" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 0)),
+        |      i -> array_to_string(string_split(lower(text), ' ')[i:i+2], ' '))) AS s
+        |  FROM documents
+        |), hs AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) AS h1,
+        |    CAST('0x' || substr(md5(s), 9, 8) AS BIGINT) AS h2
+        |  FROM sh
+        |), mh AS (
+        |  SELECT doc_id, j, min((h1 + j * h2) % 4294967296) AS m
+        |  FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) js
+        |  GROUP BY doc_id, j
+        |), sig AS (
+        |  SELECT doc_id, j // 2 AS band,
+        |    concat(min(CASE WHEN j % 2 = 0 THEN m END), ':', min(CASE WHEN j % 2 = 1 THEN m END)) AS sig
+        |  FROM mh GROUP BY doc_id, j // 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        |), inter AS (
+        |  SELECT c.da, c.db, count(*) AS i
+        |  FROM cand c JOIN sh a ON a.doc_id = c.da JOIN sh b ON b.doc_id = c.db AND b.s = a.s
+        |  GROUP BY c.da, c.db
+        |), scored AS (
+        |  SELECT c.da, c.db, coalesce(inter.i, 0) AS i, x.n AS na, y.n AS nb
+        |  FROM cand c
+        |  LEFT JOIN inter ON inter.da = c.da AND inter.db = c.db
+        |  JOIN sz x ON c.da = x.doc_id JOIN sz y ON c.db = y.doc_id
+        |), hst AS (
+        |  SELECT (10 * i) // (na + nb - i) AS bucket, count(*) AS n_pairs
+        |  FROM scored GROUP BY 1
+        |), t AS (SELECT sum(n_pairs) AS tt FROM hst)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_pairs AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+        |FROM hst, t
+        |ORDER BY bucket""".stripMargin,
+    "q_streaks" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day, close,
+        |    lag(close) OVER (PARTITION BY user_id ORDER BY day) AS prev
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CAST(floor((close / prev - 1) * 1000000) AS BIGINT) AS mk
+        |  FROM r0 WHERE prev IS NOT NULL AND prev != 0
+        |), s AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN mk > 0 THEN 1 WHEN mk < 0 THEN -1 ELSE 0 END AS s
+        |  FROM r
+        |), f AS (
+        |  SELECT user_id, day, s,
+        |    CASE WHEN lag(s) OVER w IS NULL OR s != lag(s) OVER w THEN 1 ELSE 0 END AS chg
+        |  FROM s WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), g0 AS (
+        |  SELECT user_id, day, s,
+        |    sum(chg) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM f
+        |), g AS (
+        |  SELECT user_id, sid, count(*) AS len, max(s) AS sgn FROM g0 GROUP BY 1, 2
+        |), mxt AS (SELECT user_id, max(sid) AS mx FROM g GROUP BY 1)
+        |SELECT g.user_id,
+        |  CAST(coalesce(max(CASE WHEN sgn = 1 THEN len END), 0) AS BIGINT) AS longest_up,
+        |  CAST(coalesce(max(CASE WHEN sgn = -1 THEN len END), 0) AS BIGINT) AS longest_down,
+        |  CAST(max(CASE WHEN sid = mx THEN sgn * len END) AS BIGINT) AS current_streak
+        |FROM g JOIN mxt ON mxt.user_id = g.user_id
+        |GROUP BY g.user_id
+        |ORDER BY 1""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -479,6 +479,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Similarity histogram of the LSH candidate pairs — the
+    * threshold-tuning curve every dedup rollout needs BEFORE
+    * committing to 0.8: decile counts of exact n-gram Jaccard over
+    * the banded candidates (the same candidate set the production
+    * [[ngramJaccardPairsBanded]] path verifies, INCLUDING its
+    * zero-overlap false positives, which land in bucket 0 and
+    * measure the banding's precision). The bucket is the exact
+    * integer division (10·∩) div ∪ — no float decile boundary —
+    * so bucket 10 is exact duplicates. Counts exact longs; shares
+    * one IEEE division off a broadcast total.
+    */
+  def dedupSimHistogram(documents: DataFrame, n: Int = 3): DataFrame = {
+    val cand = minhashLshCandidatesFast(documents)
+    val docsets = shingles(documents, n).groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
+    val hist = cand
+      .join(docsets.select(col("doc_id").as("da"), col("arr").as("arr_a"), col("n_sh").as("na")), "da")
+      .join(docsets.select(col("doc_id").as("db"), col("arr").as("arr_b"), col("n_sh").as("nb")), "db")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("bucket", expr("(10 * inter) div (na + nb - inter)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    val tot = hist.agg(sum(col("n_pairs")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_pairs"),
+        (col("n_pairs").cast("double") / col("t").cast("double")).as("share"))
+  }
+
   /** End-to-end curation pipeline composition: normalize text,
     * chunk it, then exact-dedup the CHUNKS corpus-wide — the shape
     * of a real pretraining-data pass (boilerplate chunks collapse

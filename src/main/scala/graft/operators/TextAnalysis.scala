@@ -731,6 +731,27 @@ object TextAnalysis {
         (col("s").cast("double") / col("n_terms") / 1000000.0).as("novelty"))
   }
 
+  /** Language-ID confusion matrix: the n-gram classifier
+    * ([[langId]]) evaluated against the corpus's labeled `lang`
+    * column — per (actual, predicted) cell counts plus the
+    * within-language share, the standard eval readout that says
+    * WHICH languages the heuristic confuses before anyone trusts
+    * its routing. One classifier scan + one bounded-grid aggregate
+    * (≤langs² cells); counts exact, shares one IEEE division each,
+    * UNROUNDED.
+    */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val m = documents.select(col("doc_id"), col("lang"))
+      .join(langId(documents), "doc_id")
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val rt = m.groupBy(col("lang")).agg(sum(col("n_docs")).as("t"))
+    m.join(rt, "lang")
+      .select(col("lang"), col("lang_pred"), col("n_docs"),
+        (col("lang") === col("lang_pred")).as("correct"),
+        (col("n_docs").cast("double") / col("t").cast("double")).as("share_of_lang"))
+  }
+
   /** Code-likeness screen per source — the pretraining-mix triage
     * that says how much of each source is code rather than prose
     * (route to the code pipeline, or drop, BEFORE tokenization).

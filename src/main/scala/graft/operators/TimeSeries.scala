@@ -2388,6 +2388,40 @@ object TimeSeries {
         .as("vi_diff"))
   }
 
+  /** Win/loss streak statistics per key: longest up-streak, longest
+    * down-streak, and the CURRENT signed streak — the
+    * momentum-regime readout ([[runsTest]] scores randomness, this
+    * reports the actual extremes). Entirely integer: signs of
+    * micro-returns, streak ids from a running sum of sign-change
+    * flags, lengths as counts — all off the one (key, day) sort.
+    * Zero-return days are sign-0 streaks: they break both up and
+    * down runs, as a flat day should. Current streak is signed
+    * (+len up, −len down, 0 flat).
+    */
+  def streaks(events: DataFrame,
+              key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val wSeq = Window.partitionBy(key).orderBy("day")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, 0)
+    val s    = signum(col("mk")).cast("long")
+    val base = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+      .withColumn("s", s)
+      .withColumn("chg",
+        when(lag(col("s"), 1).over(wSeq).isNull ||
+          col("s") =!= lag(col("s"), 1).over(wSeq), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("chg")).over(wRun))
+    val groups = base.groupBy(col(key), col("sid"))
+      .agg(count(lit(1)).cast("long").as("len"), max(col("s")).as("sgn"))
+    val wk = Window.partitionBy(key)
+    groups
+      .withColumn("mx", max(col("sid")).over(wk))
+      .groupBy(col(key))
+      .agg(
+        coalesce(max(when(col("sgn") === 1L, col("len"))), lit(0L)).as("longest_up"),
+        coalesce(max(when(col("sgn") === -1L, col("len"))), lit(0L)).as("longest_down"),
+        max(when(col("sid") === col("mx"), col("sgn") * col("len"))).as("current_streak"))
+  }
+
   /** Chande Momentum Oscillator (14): 100·(Σgains − Σlosses)/(Σgains
     * + Σlosses) over the window — RSI's unsmoothed cousin, bounded
     * ±100, zero-centered. Gains/losses are integer micro-returns

@@ -974,4 +974,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(flags.getOrElse(1, 0L) > 0, "batch has new docs")
     assert(flags.getOrElse(0, 0L) >= 5, "re-ingested registry docs flagged as duplicates")
   }
+
+  test("sim histogram: buckets in 0..10, shares sum to 1, tail >= 8 equals the banded 0.8 pair count") {
+    import TestSession.spark
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSession.sf)
+    val hist = graft.operators.Dedup.dedupSimHistogram(docs).collect()
+    assert(hist.nonEmpty)
+    hist.foreach { r =>
+      val b = r.getLong(0)
+      assert(b >= 0 && b <= 10, s"decile bucket out of range: $b")
+    }
+    assert(math.abs(hist.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    // the exact tie to the production path: candidates with
+    // (10*i) div u >= 8 are precisely the jaccard >= 0.8 pairs
+    val tail = hist.filter(_.getLong(0) >= 8).map(_.getAs[Long]("n_pairs")).sum
+    val banded = graft.operators.Dedup.ngramJaccardPairsBanded(docs, 3, 0.8).count()
+    assert(tail === banded,
+      s"histogram tail $tail must equal the banded >=0.8 pair count $banded")
+  }
 }

@@ -678,6 +678,20 @@ class IndicatorSpec extends AnyFunSuite {
     assert(q > 20.0, "near-perfect negative rho_1 must reject white noise loudly")
   }
 
+  test("streaks: longest up/down runs and the signed current streak are exact") {
+    // signs: + + - + + + 0 -  -> longest_up 3, longest_down 1, current -1
+    val closes = Seq(100.0, 150.0, 225.0, 112.5, 168.75, 253.125, 379.6875,
+      379.6875, 189.84375)
+    val got = TimeSeries.streaks(closesDf(Seq(1L -> closes))).head()
+    assert(got.getAs[Long]("longest_up") === 3L)
+    assert(got.getAs[Long]("longest_down") === 1L)
+    assert(got.getAs[Long]("current_streak") === -1L)
+    // all-up series: current = longest = n returns
+    val up = TimeSeries.streaks(closesDf(Seq(1L -> Seq(1.0, 2.0, 4.0, 8.0)))).head()
+    assert(up.getAs[Long]("longest_up") === 3L && up.getAs[Long]("current_streak") === 3L)
+    assert(up.getAs[Long]("longest_down") === 0L)
+  }
+
   test("cmo: monotone rising reads exactly +100, falling -100, flat null") {
     val rising  = (0 until 20).map(i => 100.0 * math.pow(1.01, i))
     val falling = (0 until 20).map(i => 100.0 * math.pow(0.99, i))

@@ -362,6 +362,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) > got(1L))
   }
 
+  test("lang confusion: correct and confused cells land with exact counts and shares") {
+    import spark.implicits._
+    val en = "the cat and the dog of the house"
+    val fr = "le chat et les chiens des maisons"
+    val docs = Seq(
+      (1L, en, "en", "w"), (2L, en, "en", "w"),   // correctly english
+      (3L, en, "fr", "w"),                        // labeled fr, reads en
+      (4L, fr, "fr", "w")                         // correctly french
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("en", "en")).getAs[Long]("n_docs") === 2L)
+    assert(got(("en", "en")).getAs[Boolean]("correct"))
+    assert(got(("en", "en")).getAs[Double]("share_of_lang") === 1.0)
+    assert(got(("fr", "en")).getAs[Long]("n_docs") === 1L)
+    assert(!got(("fr", "en")).getAs[Boolean]("correct"))
+    assert(got(("fr", "en")).getAs[Double]("share_of_lang") === 0.5)
+    assert(got(("fr", "fr")).getAs[Double]("share_of_lang") === 0.5)
+  }
+
   test("code detect: symbol-dense text flags code-like, prose does not, counts exact") {
     import spark.implicits._
     val code  = "def f(x) { return x[0] + g(y); } # inline <T> = 42;"
