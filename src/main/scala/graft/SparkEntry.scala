@@ -528,6 +528,12 @@ object SparkEntry {
       Dedup.dedupSimHistogram(Tables.documents(s, dir)).orderBy("bucket")),
     "q_streaks" -> ((s, dir) =>
       TimeSeries.streaks(Tables.events(s, dir)).orderBy("user_id")),
+    "q_adx" -> ((s, dir) =>
+      TimeSeries.adx(Tables.events(s, dir), 14).orderBy("user_id", "day")),
+    "q_trix" -> ((s, dir) =>
+      TimeSeries.trix(Tables.events(s, dir), 15).orderBy("user_id", "day")),
+    "q_heikin_ashi" -> ((s, dir) =>
+      TimeSeries.heikinAshi(Tables.events(s, dir)).orderBy("user_id", "day")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4785,6 +4791,121 @@ object SparkEntry {
         |FROM g JOIN mxt ON mxt.user_id = g.user_id
         |GROUP BY g.user_id
         |ORDER BY 1""".stripMargin,
+    "q_adx" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id, bar_start,
+        |    CAST(floor(CASE WHEN (high - lag(high) OVER w) > (lag(low) OVER w - low)
+        |        AND (high - lag(high) OVER w) > 0
+        |      THEN high - lag(high) OVER w ELSE 0.0 END * 1000000) AS BIGINT) AS dmp,
+        |    CAST(floor(CASE WHEN (lag(low) OVER w - low) > (high - lag(high) OVER w)
+        |        AND (lag(low) OVER w - low) > 0
+        |      THEN lag(low) OVER w - low ELSE 0.0 END * 1000000) AS BIGINT) AS dmn,
+        |    CAST(floor(greatest(high - low,
+        |      abs(high - lag(close) OVER w),
+        |      abs(low - lag(close) OVER w)) * 1000000) AS BIGINT) AS tru,
+        |    lag(high) OVER w IS NOT NULL AS has_prev
+        |  FROM bars WINDOW w AS (PARTITION BY user_id ORDER BY bar_start)
+        |  QUALIFY has_prev
+        |), m AS (
+        |  SELECT user_id, bar_start, count(*) OVER wn AS cnt,
+        |    sum(dmp) OVER wn AS sp, sum(dmn) OVER wn AS sn, sum(tru) OVER wn AS st
+        |  FROM t
+        |  WINDOW wn AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), d AS (
+        |  SELECT *,
+        |    CASE WHEN cnt = 14 AND st > 0 AND (sp + sn) > 0
+        |      THEN CAST(floor(100.0 * CAST(abs(sp - sn) AS DOUBLE) / CAST(sp + sn AS DOUBLE) * 1000000) AS BIGINT)
+        |    END AS dxu
+        |  FROM m
+        |), f AS (
+        |  SELECT *, count(dxu) OVER wn AS dx_cnt, sum(dxu) OVER wn AS dx_sum
+        |  FROM d
+        |  WINDOW wn AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS day,
+        |  CASE WHEN cnt = 14 AND st > 0 THEN 100.0 * CAST(sp AS DOUBLE) / CAST(st AS DOUBLE) END AS di_plus,
+        |  CASE WHEN cnt = 14 AND st > 0 THEN 100.0 * CAST(sn AS DOUBLE) / CAST(st AS DOUBLE) END AS di_minus,
+        |  CAST(dxu AS DOUBLE) / 1000000.0 AS dx,
+        |  CASE WHEN dx_cnt = 14 THEN CAST(dx_sum AS DOUBLE) / 14000000.0 END AS adx
+        |FROM f
+        |ORDER BY user_id, day""".stripMargin,
+    "q_trix" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id, list(close ORDER BY day) AS xs, list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), r1 AS (
+        |  SELECT user_id, xs, ds, unnest(generate_series(1, len(xs))) AS rn FROM l0
+        |), v1 AS (
+        |  -- each EMA stage is the seeded strict left fold of the
+        |  -- recurrence y = (1-a)*y + a*x, mirroring Spark's
+        |  -- aggregate() HOF bit-for-bit
+        |  SELECT user_id, ds, rn,
+        |    list_reduce(xs[1:rn], (y, x) -> (1 - 2.0/16) * y + (2.0/16) * x) AS e1
+        |  FROM r1
+        |), l1 AS (SELECT user_id, any_value(ds) AS ds, list(e1 ORDER BY rn) AS e1s FROM v1 GROUP BY user_id
+        |), v2 AS (
+        |  SELECT user_id, ds, e1s, unnest(generate_series(1, len(e1s))) AS rn FROM l1
+        |), w2 AS (
+        |  SELECT user_id, ds, rn,
+        |    list_reduce(e1s[1:rn], (y, x) -> (1 - 2.0/16) * y + (2.0/16) * x) AS e2
+        |  FROM v2
+        |), l2 AS (SELECT user_id, any_value(ds) AS ds, list(e2 ORDER BY rn) AS e2s FROM w2 GROUP BY user_id
+        |), v3 AS (
+        |  SELECT user_id, ds, e2s, unnest(generate_series(1, len(e2s))) AS rn FROM l2
+        |), w3 AS (
+        |  SELECT user_id, ds, e2s, rn,
+        |    list_reduce(e2s[1:rn], (y, x) -> (1 - 2.0/16) * y + (2.0/16) * x) AS e3
+        |  FROM v3
+        |), p AS (
+        |  SELECT user_id, ds[rn] AS day, e3,
+        |    lag(e3) OVER (PARTITION BY user_id ORDER BY rn) AS prev
+        |  FROM w3
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  e3 AS triple_ema,
+        |  CASE WHEN prev != 0 THEN (e3 / prev - 1) * 100 END AS trix
+        |FROM p
+        |ORDER BY user_id, day""".stripMargin,
+    "q_heikin_ashi" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS bar_start,
+        |    min_by(value, ts) AS open, max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), o AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bar_start) - 1 AS rn,
+        |    (((open + high) + low) + close) / 4 AS ha_close
+        |  FROM bars
+        |), z AS (
+        |  SELECT *, CASE WHEN rn = 0 THEN (open + close) / 2
+        |    ELSE lag(ha_close) OVER (PARTITION BY user_id ORDER BY bar_start) END AS zv
+        |  FROM o
+        |), g AS (
+        |  SELECT *, CASE WHEN rn = 0 THEN zv ELSE 0.5 * zv * pow(0.5, -rn) END AS gv
+        |  FROM z
+        |), l AS (
+        |  SELECT user_id, list(gv ORDER BY rn) AS gl FROM g GROUP BY user_id
+        |), e AS (
+        |  -- strictly-sequential prefix fold: DuckDB's windowed running
+        |  -- SUM pairwise-reorders doubles (ulp drift vs Spark's
+        |  -- sequential frame fold); list_reduce fixes the op order
+        |  SELECT g.*, pow(0.5, g.rn) * list_reduce(l.gl[1:g.rn+1], (a, b) -> a + b) AS ha_open
+        |  FROM g JOIN l ON l.user_id = g.user_id
+        |)
+        |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS day,
+        |  ha_open,
+        |  greatest(high, ha_open, ha_close) AS ha_high,
+        |  least(low, ha_open, ha_close) AS ha_low,
+        |  ha_close,
+        |  ha_close > ha_open AS ha_bull
+        |FROM e
+        |ORDER BY user_id, day""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

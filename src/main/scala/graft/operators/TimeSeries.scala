@@ -2422,6 +2422,151 @@ object TimeSeries {
         max(when(col("sid") === col("mx"), col("sgn") * col("len"))).as("current_streak"))
   }
 
+  /** Average Directional Index family (n, SMA-smoothing variant like
+    * [[atr]]): +DM/−DM from Wilder's directional-movement rule (the
+    * LARGER of the up/down moves wins the bar, the other reads 0),
+    * ±DI = 100·ΣDM/ΣTR over the trailing n bars, DX =
+    * 100·|ΣDM⁺−ΣDM⁻|/(ΣDM⁺+ΣDM⁻) — the TR denominators cancel so DX
+    * is a ratio of the SAME two exact sums — and ADX as the n-bar
+    * mean of DX. Determinism: every per-row movement quantizes to
+    * integer micro-units via floor off IEEE-identical doubles (the
+    * [[vortex]] recipe), so all window sums are exact longs; DX
+    * additionally quantizes to micro-units before the ADX window so
+    * the final mean is Σlong/(n·10⁶) — one IEEE chain, UNROUNDED,
+    * engine- and partition-order-invariant. One shuffle on key; the
+    * bar aggregate and all windows share the (key, bar) sort.
+    */
+  def adx(events: DataFrame, n: Int = 14,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"adx window must be >= 2: $n")
+    val bars = Relational.ohlcResample(events)
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    val wN   = wSeq.rowsBetween(-(n - 1), 0)
+    val hPrev = lag(col("high"), 1).over(wSeq)
+    val lPrev = lag(col("low"), 1).over(wSeq)
+    val cPrev = lag(col("close"), 1).over(wSeq)
+    val up    = col("high") - hPrev
+    val down  = lPrev - col("low")
+    val withT = bars
+      .withColumn("has_prev", hPrev.isNotNull)
+      .withColumn("dmp", floor(when(up > down && up > 0, up).otherwise(lit(0.0)) * 1000000).cast("long"))
+      .withColumn("dmn", floor(when(down > up && down > 0, down).otherwise(lit(0.0)) * 1000000).cast("long"))
+      .withColumn("tru", floor(greatest(
+        col("high") - col("low"),
+        abs(col("high") - cPrev),
+        abs(col("low") - cPrev)) * 1000000).cast("long"))
+      .filter(col("has_prev"))
+    val m = withT
+      .withColumn("cnt", count(lit(1)).over(wN))
+      .withColumn("sp", sum(col("dmp")).over(wN))
+      .withColumn("sn", sum(col("dmn")).over(wN))
+      .withColumn("st", sum(col("tru")).over(wN))
+    val full  = col("cnt") === n && col("st") > 0
+    val dxu   = when(full && (col("sp") + col("sn")) > 0,
+      floor(lit(100.0) * abs(col("sp") - col("sn")).cast("double") /
+        (col("sp") + col("sn")).cast("double") * 1000000).cast("long"))
+    val m2 = m.withColumn("dxu", dxu)
+      .withColumn("dx_cnt", count(col("dxu")).over(wN))
+      .withColumn("dx_sum", sum(col("dxu")).over(wN))
+    m2.select(col(key), date_format(col("bar_start"), "yyyy-MM-dd").as("day"),
+      when(full, lit(100.0) * col("sp").cast("double") / col("st").cast("double")).as("di_plus"),
+      when(full, lit(100.0) * col("sn").cast("double") / col("st").cast("double")).as("di_minus"),
+      (col("dxu").cast("double") / 1000000.0).as("dx"),
+      when(col("dx_cnt") === n,
+        col("dx_sum").cast("double") / (n * 1000000.0)).as("adx"))
+  }
+
+  /** TRIX(span): 1-bar rate of change of the TRIPLE-smoothed EMA of
+    * the daily close — the momentum oscillator whose three nested
+    * smoothings filter noise that a single EMA lets through.
+    * Determinism: the single-EMA closed form does NOT survive three
+    * nestings cross-engine — Catalyst's projection collapse
+    * re-associates the inlined e1/e2 chains differently at different
+    * consumer sites (measured ±1.4e-14 at rn≈20), while 6dp rounding
+    * breaks on the exact half-boundary values the early-rn halving
+    * quotients of 2dp prices produce (…46875, three hits at sf0.1).
+    * So each stage is the RECURRENCE y_t = (1−a)·y_{t−1} + a·x_t as
+    * a strict left fold — Spark's `aggregate` HOF over the per-key
+    * prefix, DuckDB's seeded `list_reduce` — giving bit-identical
+    * doubles by construction, no overflow horizon, UNROUNDED
+    * outputs. DECLARED BOUNDED-GROUP QUADRATIC like [[theilsen]]:
+    * days²/2 folds per key, days calendar-bounded, embarrassingly
+    * parallel across keys; one groupBy shuffle, no windows.
+    */
+  def trix(events: DataFrame, span: Int = 15,
+           key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(span >= 1, s"trix span must be positive: $span")
+    val a   = 2.0 / (span + 1)
+    val oma = 1 - a
+    // ONE aggregate() per stage that grows the output array as it
+    // folds (y appended per step) — NOT a transform-of-prefix-folds,
+    // whose per-element slice(src, …) re-evaluates the whole
+    // upstream array expression per element (measured 106s vs 7s on
+    // the gate fixture)
+    def emaSeries(src: Column): Column =
+      aggregate(
+        slice(src, lit(2), greatest(size(src) - 1, lit(0))),
+        array(element_at(src, 1)),
+        (acc, x) => concat(acc, array(lit(oma) * element_at(acc, -1) + lit(a) * x)))
+    val g = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("day"), col("close")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("e1", emaSeries(transform(col("arr"), x => x.getField("close"))))
+      .withColumn("e2", emaSeries(col("e1")))
+      .withColumn("e3", emaSeries(col("e2")))
+    val prev = when(col("rn") > 0, element_at(col("e3"), col("rn")))
+    g.select(col(key), col("days"), col("e3"),
+        posexplode(col("e3")).as(Seq("rn", "e3v")))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 1), "yyyy-MM-dd").as("day"),
+        col("e3v").as("triple_ema"),
+        when(prev =!= 0, (col("e3v") / prev - 1) * 100).as("trix"))
+  }
+
+  /** Heikin-Ashi bar transform: haClose = OHLC mean of the RAW bar,
+    * haOpen the recursive midpoint o_t = (o_{t−1} + haClose_{t−1})/2
+    * — which is exactly an adjust=False EMA with α = 1/2 over the
+    * series (rawMid₀, haClose₀, haClose₁, …), so it rides the same
+    * closed form as [[ema]] (powers of two are EXACT doubles; the
+    * horizon guard still applies), haHigh/haLow the envelope of the
+    * raw extremes and both HA anchors. The trend-smoothing bar
+    * rewrite charting stacks use — a down day inside an up-trend
+    * often stays an HA-up bar. One bar aggregate + windows on one
+    * (key, bar) sort. Outputs are deliberately UNROUNDED (the
+    * seasonal_decompose recipe): every op in the chain is an exact
+    * power-of-two scaling (IEEE exponent shift) or an addition both
+    * engines perform in the same order, so the doubles are
+    * bit-identical — while 6dp rounding would land exactly on
+    * half-boundaries (halving quotients of 2dp prices terminate on
+    * …5: measured ha_open 31.1934375 = 619/3200 in this fixture)
+    * where Spark's HALF_UP and DuckDB's multiply-then-nearbyint
+    * disagree.
+    */
+  def heikinAshi(events: DataFrame,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val a    = 0.5
+    val wSeq = Window.partitionBy(key).orderBy("bar_start")
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, 0)
+    val bars = Relational.ohlcResample(events)
+      .withColumn("rn", row_number().over(wSeq) - 1)
+      .withColumn("ha_close",
+        (((col("open") + col("high")) + col("low")) + col("close")) / 4)
+    val z = when(col("rn") === 0, (col("open") + col("close")) / 2)
+      .otherwise(lag(col("ha_close"), 1).over(wSeq))
+    val withO = bars
+      .withColumn("g", when(col("rn") === 0, z).otherwise(lit(a) * z * pow(lit(1 - a), -col("rn"))))
+      .withColumn("ha_open", pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun))
+    withO.select(col(key), date_format(col("bar_start"), "yyyy-MM-dd").as("day"),
+      closedFormGuard(col("ha_open"), a).as("ha_open"),
+      closedFormGuard(greatest(col("high"), col("ha_open"), col("ha_close")), a).as("ha_high"),
+      closedFormGuard(least(col("low"), col("ha_open"), col("ha_close")), a).as("ha_low"),
+      col("ha_close").as("ha_close"),
+      (col("ha_close") > col("ha_open")).as("ha_bull"))
+  }
+
   /** Chande Momentum Oscillator (14): 100·(Σgains − Σlosses)/(Σgains
     * + Σlosses) over the window — RSI's unsmoothed cousin, bounded
     * ±100, zero-centered. Gains/losses are integer micro-returns

@@ -692,6 +692,43 @@ class IndicatorSpec extends AnyFunSuite {
     assert(up.getAs[Long]("longest_down") === 0L)
   }
 
+  test("adx: a monotone rise reads di_plus 100 / di_minus 0 / adx 100, flat bars read null") {
+    // one print per day: up-move = +1 each bar, down-move = -1 -> +DM=1e6, -DM=0, TR=1e6
+    val rising = (0 until 10).map(i => 100.0 + i)
+    val rows = TimeSeries.adx(closesDf(Seq(1L -> rising)), 3).orderBy("day").collect()
+    val last = rows.last
+    assert(last.getAs[Double]("di_plus") === 100.0)
+    assert(last.getAs[Double]("di_minus") === 0.0)
+    assert(last.getAs[Double]("dx") === 100.0)
+    assert(last.getAs[Double]("adx") === 100.0)
+    // warmup rows carry nulls, never zeros: first DM row has cnt < n
+    assert(rows.head.isNullAt(rows.head.fieldIndex("adx")))
+    // a flat series has zero true range -> all outputs null (0/0 guarded)
+    val flat = TimeSeries.adx(closesDf(Seq(1L -> Seq.fill(8)(50.0))), 3).collect()
+    assert(flat.forall(r => r.isNullAt(r.fieldIndex("di_plus")) && r.isNullAt(r.fieldIndex("adx"))))
+  }
+
+  test("trix: constant series reads exactly 0; the 2-bar fold matches the hand recurrence") {
+    val const = TimeSeries.trix(closesDf(Seq(1L -> Seq.fill(6)(42.0))), 15).orderBy("day").collect()
+    assert(const.forall(_.getAs[Double]("triple_ema") === 42.0))
+    assert(const.tail.forall(_.getAs[Double]("trix") === 0.0))
+    assert(const.head.isNullAt(const.head.fieldIndex("trix")))
+    // closes [1, 2]: e1 = [1, 1.125], e2 = [1, 1.015625], e3 = [1, 1.001953125]
+    val two = TimeSeries.trix(closesDf(Seq(1L -> Seq(1.0, 2.0))), 15).orderBy("day").collect()
+    assert(two(1).getAs[Double]("triple_ema") === 1.001953125)
+    assert(two(1).getAs[Double]("trix") === 0.1953125)
+  }
+
+  test("heikin ashi: the recursive open halves exactly and the bull flag follows the anchors") {
+    // single print per day => ha_close = close; opens fold (2,4,8) -> (2, 2, 3)
+    val got = TimeSeries.heikinAshi(closesDf(Seq(1L -> Seq(2.0, 4.0, 8.0)))).orderBy("day").collect()
+    assert(got.map(_.getAs[Double]("ha_open")).toSeq === Seq(2.0, 2.0, 3.0))
+    assert(got.map(_.getAs[Double]("ha_close")).toSeq === Seq(2.0, 4.0, 8.0))
+    assert(got.map(_.getAs[Double]("ha_high")).toSeq === Seq(2.0, 4.0, 8.0))
+    assert(got.map(_.getAs[Double]("ha_low")).toSeq === Seq(2.0, 2.0, 3.0))
+    assert(got.map(_.getAs[Boolean]("ha_bull")).toSeq === Seq(false, true, true))
+  }
+
   test("cmo: monotone rising reads exactly +100, falling -100, flat null") {
     val rising  = (0 until 20).map(i => 100.0 * math.pow(1.01, i))
     val falling = (0 until 20).map(i => 100.0 * math.pow(0.99, i))
