@@ -534,6 +534,12 @@ object SparkEntry {
       TimeSeries.trix(Tables.events(s, dir), 15).orderBy("user_id", "day")),
     "q_heikin_ashi" -> ((s, dir) =>
       TimeSeries.heikinAshi(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_pacf" -> ((s, dir) =>
+      TimeSeries.pacf(Tables.events(s, dir)).orderBy("user_id")),
+    "q_market_timing" -> ((s, dir) =>
+      TimeSeries.marketTiming(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_bootstrap_ci" -> ((s, dir) =>
+      Stats.bootstrapCi(Tables.events(s, dir)).orderBy("event_type")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -4906,6 +4912,133 @@ object SparkEntry {
         |  ha_close > ha_open AS ha_bull
         |FROM e
         |ORDER BY user_id, day""".stripMargin,
+    "q_pacf" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), l AS (
+        |  SELECT user_id, ret,
+        |    lag(ret, 1) OVER w AS l1, lag(ret, 2) OVER w AS l2, lag(ret, 3) OVER w AS l3
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), u AS (
+        |  SELECT user_id, 1 AS lag_k, ret, l1 AS ret_lag FROM l
+        |  UNION ALL SELECT user_id, 2, ret, l2 FROM l
+        |  UNION ALL SELECT user_id, 3, ret, l3 FROM l
+        |), a AS (
+        |  SELECT user_id, lag_k,
+        |    round(CASE WHEN var_samp(ret) != 0 AND var_samp(ret_lag) != 0
+        |      THEN corr(ret, ret_lag) END, 6) AS acf
+        |  FROM u WHERE ret_lag IS NOT NULL
+        |  GROUP BY user_id, lag_k
+        |), p AS (
+        |  SELECT user_id,
+        |    count(CASE WHEN acf IS NOT NULL THEN 1 END) AS k_present,
+        |    max(CASE WHEN lag_k = 1 THEN acf END) AS r1,
+        |    max(CASE WHEN lag_k = 2 THEN acf END) AS r2,
+        |    max(CASE WHEN lag_k = 3 THEN acf END) AS r3
+        |  FROM a GROUP BY 1
+        |), q AS (
+        |  SELECT *, 1.0 - r1 * r1 AS v1,
+        |    (r2 - r1 * r1) / (1.0 - r1 * r1) AS p2
+        |  FROM p
+        |), q2 AS (
+        |  SELECT *, r1 - p2 * r1 AS p21, v1 * (1.0 - p2 * p2) AS v2 FROM q
+        |)
+        |SELECT user_id, r1, r2, r3,
+        |  CASE WHEN k_present = 3 THEN r1 END AS pacf1,
+        |  CASE WHEN k_present = 3 AND v1 != 0 THEN p2 END AS pacf2,
+        |  CASE WHEN k_present = 3 AND v1 != 0 AND v2 != 0
+        |    THEN (r3 - p21 * r2 - p2 * r1) / v2 END AS pacf3
+        |FROM q2
+        |ORDER BY user_id""".stripMargin,
+    "q_market_timing" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), b AS (SELECT day, ret AS bench_ret FROM r WHERE user_id = 0
+        |), j AS (
+        |  SELECT r.user_id,
+        |    CAST(CAST(floor(r.ret * 1000000) AS BIGINT) AS HUGEINT) AS ru,
+        |    CAST(CAST(floor(b.bench_ret * 1000000) AS BIGINT) AS HUGEINT) AS mu
+        |  FROM r JOIN b USING (day) WHERE r.user_id != 0
+        |), m AS (
+        |  SELECT user_id, count(*) AS n,
+        |    sum(mu) AS sm1, sum(mu * mu) AS sm2, sum(mu * mu * mu) AS sm3,
+        |    sum(mu * mu * mu * mu) AS sm4,
+        |    sum(ru) AS t0, sum(ru * mu) AS t1, sum(ru * mu * mu) AS t2
+        |  FROM j GROUP BY 1
+        |), d AS (
+        |  SELECT user_id, n, CAST(n AS DOUBLE) AS s0,
+        |    CASE WHEN sm1 < 0 THEN -(CAST(abs(sm1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sm1) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(sm1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sm1 % 9007199254740992 AS DOUBLE) END AS s1,
+        |    CASE WHEN sm2 < 0 THEN -(CAST(abs(sm2) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sm2) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(sm2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sm2 % 9007199254740992 AS DOUBLE) END AS s2,
+        |    CASE WHEN sm3 < 0 THEN -(CAST(abs(sm3) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sm3) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(sm3 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sm3 % 9007199254740992 AS DOUBLE) END AS s3,
+        |    CASE WHEN sm4 < 0 THEN -(CAST(abs(sm4) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sm4) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(sm4 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sm4 % 9007199254740992 AS DOUBLE) END AS s4,
+        |    CASE WHEN t0 < 0 THEN -(CAST(abs(t0) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(t0) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(t0 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(t0 % 9007199254740992 AS DOUBLE) END AS u0,
+        |    CASE WHEN t1 < 0 THEN -(CAST(abs(t1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(t1) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(t1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(t1 % 9007199254740992 AS DOUBLE) END AS u1,
+        |    CASE WHEN t2 < 0 THEN -(CAST(abs(t2) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(t2) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(t2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(t2 % 9007199254740992 AS DOUBLE) END AS u2
+        |  FROM m
+        |), c AS (
+        |  SELECT user_id, n,
+        |    s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2) AS det,
+        |    u0 * (s2 * s4 - s3 * s3) - s1 * (u1 * s4 - s3 * u2) + s2 * (u1 * s3 - s2 * u2) AS det_a,
+        |    s0 * (u1 * s4 - s3 * u2) - u0 * (s1 * s4 - s3 * s2) + s2 * (s1 * u2 - u1 * s2) AS det_b,
+        |    s0 * (s2 * u2 - u1 * s3) - s1 * (s1 * u2 - u1 * s2) + u0 * (s1 * s3 - s2 * s2) AS det_c
+        |  FROM d
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n,
+        |  round(CASE WHEN n >= 3 AND det != 0 THEN det_a / det / 1000000.0 END, 6) AS alpha,
+        |  round(CASE WHEN n >= 3 AND det != 0 THEN det_b / det END, 6) AS beta,
+        |  round(CASE WHEN n >= 3 AND det != 0 THEN det_c / det * 1000000.0 END, 6) AS gamma
+        |FROM c
+        |ORDER BY user_id""".stripMargin,
+    "q_bootstrap_ci" -> {
+      val reps  = 0 until 32
+      val conds = reps.map(i =>
+        s"sum(CASE WHEN (h & ${1L << i}) != 0 THEN vu END) AS s$i, count(CASE WHEN (h & ${1L << i}) != 0 THEN 1 END) AS c$i").mkString(",\n    ")
+      def sd(x: String) =
+        s"CASE WHEN $x < 0 THEN -(CAST(abs($x) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs($x) % 9007199254740992 AS DOUBLE)) " +
+        s"ELSE CAST($x // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST($x % 9007199254740992 AS DOUBLE) END"
+      val meanList = reps.map(i => s"${sd(s"s$i")} / CAST(c$i AS DOUBLE)").mkString(", ")
+      val minc     = reps.map(i => s"c$i").mkString(", ")
+      s"""WITH base AS (
+         |  SELECT event_type,
+         |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h,
+         |    CAST(CAST(floor(value * 1000000) AS BIGINT) AS HUGEINT) AS vu
+         |  FROM events WHERE value IS NOT NULL
+         |), a AS (
+         |  SELECT event_type, sum(vu) AS st, count(*) AS ct,
+         |    $conds
+         |  FROM base GROUP BY event_type
+         |), m AS (
+         |  SELECT event_type, st, ct,
+         |    list_sort([$meanList]) AS ms,
+         |    least($minc) AS minc
+         |  FROM a
+         |)
+         |SELECT event_type, CAST(ct AS BIGINT) AS n,
+         |  ${sd("st")} / CAST(ct AS DOUBLE) / 1000000.0 AS mean,
+         |  CASE WHEN minc > 0 THEN (ms[1] + (ms[2] - ms[1]) * 0.775) / 1000000.0 END AS ci_lo,
+         |  CASE WHEN minc > 0 THEN (ms[31] + (ms[32] - ms[31]) * 0.225) / 1000000.0 END AS ci_hi
+         |FROM m
+         |ORDER BY event_type""".stripMargin
+    },
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

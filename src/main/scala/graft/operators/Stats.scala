@@ -1135,6 +1135,51 @@ object Stats {
         (col("psi") > 0.2).as("drift_alert"))
   }
 
+  /** Deterministic hash-replicate confidence interval for the mean
+    * value per event type — the uncertainty bar a know-your-data
+    * report should carry beside every point estimate. Replicate b
+    * (b < 32) is the HALF-SAMPLE whose rows have bit b of a 32-bit
+    * md5 hash set — 32 deterministic, overlapping ~n/2 subsamples
+    * whose mean spread estimates the sampling distribution (a
+    * random-multiplier bootstrap without randomness: engine- and
+    * cluster-size-invariant, reproducible forever). ONE scan with 64
+    * conditional aggregates (map-side combine — no 32× row blowup at
+    * 100 TB); values quantize to micro-longs so every replicate sum
+    * is exact, each mean one IEEE division; the 2.5%/97.5% bounds
+    * interpolate EXPLICITLY over the array_sort'd 32 means (no
+    * engine percentile-formula dependence), UNROUNDED.
+    */
+  def bootstrapCi(events: DataFrame, v: String = "value"): DataFrame = {
+    val b   = 32
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val h  = conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10).cast("long")
+    val vu = floor(col(v) * 1000000).cast("long").cast(dec)
+    val base = events.filter(col(v).isNotNull)
+      .select(col("event_type"), h.as("h"), vu.as("vu"))
+    val aggs =
+      sum(col("vu")).as("st") +: count(lit(1)).as("ct") +:
+      (0 until b).flatMap { i =>
+        val in = col("h").bitwiseAND(lit(1L << i)) =!= 0
+        Seq(sum(when(in, col("vu"))).as(s"s$i"), count(when(in, 1)).as(s"c$i"))
+      }
+    val aggd = base.groupBy(col("event_type")).agg(aggs.head, aggs.tail: _*)
+    val means  = array((0 until b).map(i =>
+      splitDouble(col(s"s$i")) / col(s"c$i").cast("double")): _*)
+    val minC   = (0 until b).map(i => col(s"c$i")).reduce((x, y) => least(x, y))
+    val sorted = array_sort(means)
+    // explicit linear interpolation at ranks (B-1)*0.025 = 0.775 and
+    // (B-1)*0.975 = 30.225 over the 32 sorted replicate means
+    val lo = (element_at(sorted, 1) +
+      (element_at(sorted, 2) - element_at(sorted, 1)) * lit(0.775)) / 1000000.0
+    val hi = (element_at(sorted, 31) +
+      (element_at(sorted, 32) - element_at(sorted, 31)) * lit(0.225)) / 1000000.0
+    val ok = minC > 0
+    aggd.select(col("event_type"), col("ct").as("n"),
+      (splitDouble(col("st")) / col("ct").cast("double") / 1000000.0).as("mean"),
+      when(ok, lo).as("ci_lo"),
+      when(ok, hi).as("ci_hi"))
+  }
+
   /** Grubbs outlier statistic per event type: the most extreme
     * value's studentized distance G = max|x−mean|/sd — the one-look
     * screen that says WHICH group hides a single gross outlier

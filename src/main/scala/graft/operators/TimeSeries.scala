@@ -2349,6 +2349,85 @@ object TimeSeries {
       when(col("k_present") === maxLag && col("n_obs") > maxLag + 1, q).as("ljung_box_q"))
   }
 
+  /** Partial autocorrelation (Durbin–Levinson, lags 1–3): the AR
+    * order-identification readout — PACF cuts off after lag p for an
+    * AR(p) where the raw ACF only decays. Rides [[acf]]'s
+    * 6dp-deterministic ρ₁..ρ₃ exactly like [[ljungBox]]; the three
+    * recursion steps (φ₁₁=ρ₁, φ₂₂=(ρ₂−ρ₁²)/(1−ρ₁²),
+    * φ₃₃=(ρ₃−φ₂₁ρ₂−φ₂₂ρ₁)/v₂) are one IEEE chain per output over
+    * those identical inputs, UNROUNDED — each output column is a
+    * single expression tree mirrored verbatim by the oracle.
+    * Degenerate denominators (|ρ₁|=1 etc.) read null, never NaN.
+    */
+  def pacf(events: DataFrame,
+           key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val piv = acf(events, 3, key, ts, v)
+      .groupBy(col(key))
+      .agg(
+        count(when(col("acf").isNotNull, 1)).as("k_present"),
+        max(when(col("lag_k") === 1, col("acf"))).as("r1"),
+        max(when(col("lag_k") === 2, col("acf"))).as("r2"),
+        max(when(col("lag_k") === 3, col("acf"))).as("r3"))
+    val v1  = lit(1.0) - col("r1") * col("r1")
+    val p2  = (col("r2") - col("r1") * col("r1")) / v1
+    val p21 = col("r1") - p2 * col("r1")
+    val v2  = v1 * (lit(1.0) - p2 * p2)
+    val p3  = (col("r3") - p21 * col("r2") - p2 * col("r1")) / v2
+    val ok  = col("k_present") === 3
+    piv.select(col(key), col("r1"), col("r2"), col("r3"),
+      when(ok, col("r1")).as("pacf1"),
+      when(ok && v1 =!= 0, p2).as("pacf2"),
+      when(ok && v1 =!= 0 && v2 =!= 0, p3).as("pacf3"))
+  }
+
+  /** Treynor–Mazuy market-timing regression per key: r = α + β·m +
+    * γ·m² — γ>0 means the key loads up on market exposure BEFORE
+    * up-moves (timing skill), γ<0 the reverse; the quadratic term is
+    * what [[alphaBeta]]'s linear CAPM cannot see. Determinism at any
+    * scale: both return series quantize to integer micro-units, the
+    * seven normal-equation moments (Σm..Σm⁴, Σr, Σrm, Σrm²)
+    * accumulate as EXACT decimal(38,0) products of micro-longs
+    * (m_u⁴ ≈ 10²¹ overflows int64 — hugeint/decimal on both
+    * engines), and the 3×3 Cramer solve is one IEEE chain over the
+    * [[Stats.splitDouble]] portable double casts of those exact sums
+    * (a direct wide-decimal cast double-rounds differently across
+    * engines past 2^53), rounded 6dp at the output. One benchmark
+    * broadcast join, one aggregate per key.
+    */
+  def marketTiming(events: DataFrame, benchmarkKey: Long,
+                   key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets  = dailyCloseReturns(events, key, ts, v)
+    val bench = broadcast(
+      rets.filter(col(key) === benchmarkKey).select(col("day"), col("ret").as("bench_ret")))
+    val big = org.apache.spark.sql.types.DecimalType(38, 0)
+    val j = rets.filter(col(key) =!= benchmarkKey).join(bench, "day")
+      .withColumn("ru", floor(col("ret") * 1000000).cast("long").cast(big))
+      .withColumn("mu", floor(col("bench_ret") * 1000000).cast("long").cast(big))
+    val agg = j.groupBy(col(key)).agg(
+      count(lit(1)).as("n"),
+      sum(col("mu")).as("sm1"),
+      sum(col("mu") * col("mu")).as("sm2"),
+      sum(col("mu") * col("mu") * col("mu")).as("sm3"),
+      sum(col("mu") * col("mu") * col("mu") * col("mu")).as("sm4"),
+      sum(col("ru")).as("t0"),
+      sum(col("ru") * col("mu")).as("t1"),
+      sum(col("ru") * col("mu") * col("mu")).as("t2"))
+    val S0 = col("n").cast("double")
+    val S1 = Stats.splitDouble(col("sm1")); val S2 = Stats.splitDouble(col("sm2"))
+    val S3 = Stats.splitDouble(col("sm3")); val S4 = Stats.splitDouble(col("sm4"))
+    val T0 = Stats.splitDouble(col("t0")); val T1 = Stats.splitDouble(col("t1"))
+    val T2 = Stats.splitDouble(col("t2"))
+    val det  = S0 * (S2 * S4 - S3 * S3) - S1 * (S1 * S4 - S3 * S2) + S2 * (S1 * S3 - S2 * S2)
+    val detA = T0 * (S2 * S4 - S3 * S3) - S1 * (T1 * S4 - S3 * T2) + S2 * (T1 * S3 - S2 * T2)
+    val detB = S0 * (T1 * S4 - S3 * T2) - T0 * (S1 * S4 - S3 * S2) + S2 * (S1 * T2 - T1 * S2)
+    val detC = S0 * (S2 * T2 - T1 * S3) - S1 * (S1 * T2 - T1 * S2) + T0 * (S1 * S3 - S2 * S2)
+    val ok = col("n") >= 3 && det =!= 0
+    agg.select(col(key), col("n"),
+      round(when(ok, detA / det / 1000000.0), 6).as("alpha"),
+      round(when(ok, detB / det), 6).as("beta"),
+      round(when(ok, detC / det * 1000000.0), 6).as("gamma"))
+  }
+
   /** Vortex indicator (14): VI+ = Σ|high−low₋₁| / ΣTR and VI− =
     * Σ|low−high₋₁| / ΣTR over the window — the crossover pair that
     * dates trend reversals. Every per-row term (the two vortex

@@ -692,6 +692,37 @@ class IndicatorSpec extends AnyFunSuite {
     assert(up.getAs[Long]("longest_down") === 0L)
   }
 
+  test("pacf: lag-1 pacf equals acf(1) and the lag-2/3 recursions match the hand chain") {
+    val rets = Seq(0.05, -0.03, 0.11, 0.02, -0.08, 0.07, -0.01, 0.04, -0.05, 0.09,
+      0.03, -0.06, 0.08, -0.02, 0.01)
+    val closes = rets.scanLeft(100.0)((c, r) => c * (1 + r))
+    val row = TimeSeries.pacf(closesDf(Seq(1L -> closes))).head()
+    val (r1, r2, r3) = (row.getAs[Double]("r1"), row.getAs[Double]("r2"), row.getAs[Double]("r3"))
+    assert(row.getAs[Double]("pacf1") === r1)
+    val v1 = 1.0 - r1 * r1
+    val p2 = (r2 - r1 * r1) / v1
+    assert(row.getAs[Double]("pacf2") === p2)
+    val p21 = r1 - p2 * r1
+    val v2  = v1 * (1.0 - p2 * p2)
+    assert(row.getAs[Double]("pacf3") === (r3 - p21 * r2 - p2 * r1) / v2)
+  }
+
+  test("market timing: an exact quadratic exposure recovers alpha/beta/gamma") {
+    // bench returns to 2dp; key returns r = 0.001 + 0.5 m + 2 m^2 land on exact micros
+    val ms = Seq(0.02, -0.01, 0.03, -0.04, 0.01, 0.05, -0.03, 0.02, -0.02, 0.04)
+    val rs = ms.map(m => 0.001 + 0.5 * m + 2.0 * m * m)
+    val bench = ms.scanLeft(100.0)((c, r) => c * (1 + r))
+    val fund  = rs.scanLeft(50.0)((c, r) => c * (1 + r))
+    val got = TimeSeries.marketTiming(closesDf(Seq(0L -> bench, 1L -> fund)), 0L).head()
+    // micro-quantization of the recovered returns leaves <= 1-unit noise per row
+    assert(math.abs(got.getAs[Double]("alpha") - 0.001) < 1e-3)
+    assert(math.abs(got.getAs[Double]("beta") - 0.5) < 5e-2)
+    assert(math.abs(got.getAs[Double]("gamma") - 2.0) < 1.5)
+    // too-short series reads null
+    val short = TimeSeries.marketTiming(closesDf(Seq(0L -> bench.take(3), 1L -> fund.take(3))), 0L).head()
+    assert(short.isNullAt(short.fieldIndex("gamma")))
+  }
+
   test("adx: a monotone rise reads di_plus 100 / di_minus 0 / adx 100, flat bars read null") {
     // one print per day: up-move = +1 each bar, down-move = -1 -> +DM=1e6, -DM=0, TR=1e6
     val rising = (0 until 10).map(i => 100.0 + i)

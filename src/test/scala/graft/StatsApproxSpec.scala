@@ -574,6 +574,23 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("psi") > 0.2 && r1.getAs[Boolean]("drift_alert"))
   }
 
+  test("bootstrap ci: constant values collapse the interval to the mean; varied values bracket it") {
+    import spark.implicits._
+    val const = (0 until 200).map(i => (i.toLong, "a", 42.5))
+    val vari  = (0 until 200).map(i => (1000L + i, "b", 10.0 + (i % 7)))
+    val df = (const ++ vari).toDF("event_id", "event_type", "value")
+    val got = graft.operators.Stats.bootstrapCi(df).collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert(a.getAs[Double]("mean") === 42.5)
+    assert(a.getAs[Double]("ci_lo") === 42.5 && a.getAs[Double]("ci_hi") === 42.5)
+    val b = got("b")
+    assert(b.getAs[Double]("ci_lo") <= b.getAs[Double]("mean"))
+    assert(b.getAs[Double]("ci_hi") >= b.getAs[Double]("mean"))
+    assert(b.getAs[Double]("ci_hi") > b.getAs[Double]("ci_lo"))
+    // half-sample replicate spread is a real interval, not the full range
+    assert(b.getAs[Double]("ci_hi") - b.getAs[Double]("ci_lo") < 6.0)
+  }
+
   test("grubbs: a planted gross outlier is the suspect with the textbook G; clean group reads small") {
     import spark.implicits._
     val base = (0 until 20).map(i => ("a", 50.0 + (i % 5)))
