@@ -540,6 +540,12 @@ object SparkEntry {
       TimeSeries.marketTiming(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_bootstrap_ci" -> ((s, dir) =>
       Stats.bootstrapCi(Tables.events(s, dir)).orderBy("event_type")),
+    "q_hits" -> ((s, dir) =>
+      Similarity.hitsKnn(Tables.embeddings(s, dir), 5, 3).orderBy("node")),
+    "q_degree_hist" -> ((s, dir) =>
+      Similarity.degreeHist(Tables.embeddings(s, dir), 5).orderBy("degree")),
+    "q_label_prop" -> ((s, dir) =>
+      Similarity.labelPropagation(Tables.embeddings(s, dir), 5, 3).orderBy("node")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -5038,6 +5044,123 @@ object SparkEntry {
          |  CASE WHEN minc > 0 THEN (ms[31] + (ms[32] - ms[31]) * 0.225) / 1000000.0 END AS ci_hi
          |FROM m
          |ORDER BY event_type""".stripMargin
+    },
+    "q_hits" -> {
+      val edgeHead =
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), pairs AS (
+          |  SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+          |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+          |  WHERE a.nn * b.nn != 0
+          |), edges AS (
+          |  SELECT src, dst FROM (
+          |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+          |    FROM pairs
+          |  ) WHERE rnk <= 5
+          |), nodes AS (SELECT vec_id AS node FROM embeddings),
+          |p AS (SELECT 1000000000000 // count(*) AS s0 FROM nodes),
+          |h0 AS (SELECT node, (SELECT s0 FROM p) AS h FROM nodes)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""ar$i AS (
+           |  SELECT e2.dst AS node, sum(h.h) AS a FROM edges e2
+           |  JOIN h${i - 1} h ON h.node = e2.src GROUP BY 1
+           |), at$i AS (SELECT sum(a) AS t FROM ar$i),
+           |a$i AS (
+           |  SELECT nd.node,
+           |    CAST(coalesce(x.a, 0) AS HUGEINT) * 1000000000000 // (SELECT t FROM at$i) AS a
+           |  FROM nodes nd LEFT JOIN ar$i x ON nd.node = x.node
+           |), hr$i AS (
+           |  SELECT e2.src AS node, sum(a.a) AS h FROM edges e2
+           |  JOIN a$i a ON a.node = e2.dst GROUP BY 1
+           |), ht$i AS (SELECT sum(h) AS t FROM hr$i),
+           |h$i AS (
+           |  SELECT nd.node,
+           |    CAST(coalesce(x.h, 0) AS HUGEINT) * 1000000000000 // (SELECT t FROM ht$i) AS h
+           |  FROM nodes nd LEFT JOIN hr$i x ON nd.node = x.node
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$edgeHead,
+         |$rounds
+         |SELECT h3.node, CAST(h3.h AS BIGINT) AS hub_units, CAST(a3.a AS BIGINT) AS auth_units,
+         |  CAST(h3.h AS DOUBLE) / 1000000000000 AS hub,
+         |  CAST(a3.a AS DOUBLE) / 1000000000000 AS authority
+         |FROM h3 JOIN a3 USING (node)
+         |ORDER BY node""".stripMargin
+    },
+    "q_degree_hist" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |    FROM pairs
+        |  ) WHERE rnk <= 5
+        |), mut AS (
+        |  SELECT a.src, a.dst FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+        |  WHERE a.src < a.dst
+        |), ends AS (
+        |  SELECT src AS node FROM mut UNION ALL SELECT dst FROM mut
+        |), dg AS (SELECT node, count(*) AS degree FROM ends GROUP BY 1
+        |), f AS (
+        |  SELECT nd.vec_id AS node, coalesce(dg.degree, 0) AS degree
+        |  FROM embeddings nd LEFT JOIN dg ON dg.node = nd.vec_id
+        |), hist AS (SELECT degree, count(*) AS n_nodes FROM f GROUP BY 1
+        |), t AS (SELECT sum(n_nodes) AS tt FROM hist)
+        |SELECT CAST(degree AS BIGINT) AS degree, CAST(n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(n_nodes AS DOUBLE) / CAST(tt AS DOUBLE) AS share
+        |FROM hist, t
+        |ORDER BY degree""".stripMargin,
+    "q_label_prop" -> {
+      val head =
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), pairs AS (
+          |  SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+          |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+          |  WHERE a.nn * b.nn != 0
+          |), edges AS (
+          |  SELECT src, dst FROM (
+          |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+          |    FROM pairs
+          |  ) WHERE rnk <= 5
+          |), mut AS (
+          |  SELECT a.src, a.dst FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+          |  WHERE a.src < a.dst
+          |), ws AS (
+          |  SELECT src AS node, dst AS nbr FROM mut
+          |  UNION ALL SELECT dst, src FROM mut
+          |  UNION ALL SELECT vec_id, vec_id FROM embeddings
+          |), l0 AS (SELECT vec_id AS node, vec_id AS community FROM embeddings)""".stripMargin
+      val rounds = (1 to 3).map { i =>
+        s"""v$i AS (
+           |  SELECT w.node, l.community, count(*) AS cnt
+           |  FROM ws w JOIN l${i - 1} l ON l.node = w.nbr GROUP BY 1, 2
+           |), l$i AS (
+           |  SELECT node, community FROM (
+           |    SELECT node, community,
+           |      row_number() OVER (PARTITION BY node ORDER BY cnt DESC, community ASC) AS rr
+           |    FROM v$i
+           |  ) WHERE rr = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT node, community FROM l3
+         |ORDER BY node""".stripMargin
     },
     "q_markov_stationary" ->
       """WITH seq AS (

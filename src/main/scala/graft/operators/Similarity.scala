@@ -1040,4 +1040,128 @@ object Similarity {
       .select(col("qid"), col("q_label"), col("label").as("predicted_label"), col("votes"),
         (col("label") === col("q_label")).as("correct"))
   }
+
+  /** HITS hubs & authorities over the DIRECTED top-k kNN graph
+    * (Kleinberg): a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each
+    * side L1-renormalized per round. On an embedding graph the
+    * authority score surfaces the vectors many neighborhoods POINT
+    * AT (canonical cluster centers worth keeping in a dedup pass)
+    * while hubs are the in-between vectors whose edges span
+    * clusters. ALL-INTEGER fixed point like [[pageRankKnn]]:
+    * contributions are exact long sums, the renormalization is
+    * score·scale div total in 128-bit decimal (the product
+    * overflows int64) — bit-identical at any partition count where
+    * float HITS drifts. Edge build is [[knnGraph]]'s head (declared
+    * quadratic at gate scale; IVF/LSH candidate edges at 100 TB);
+    * each round is two co-partitioned join+aggregate passes over
+    * the k·n edge frame with localCheckpoint lineage truncation.
+    */
+  def hitsKnn(embeddings: DataFrame, k: Int = 5, iters: Int = 3,
+              scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && k >= 1, s"iters/k must be positive: iters=$iters, k=$k")
+    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val dir = pairs
+      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
+      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
+    val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
+    val edges = dir
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("dst"))
+      .localCheckpoint() // the n² sweep runs once; every round re-reads this
+    val nodes = embeddings.select(col("vec_id").as("node")).localCheckpoint()
+    val n  = nodes.count()
+    val s0 = scale / n
+    def renorm(raw: DataFrame, c: String): DataFrame = {
+      val tot = raw.agg(sum(col(c)).as("t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"CAST(coalesce($c, 0) AS DECIMAL(38,0)) * $scale div t").as(c))
+        .localCheckpoint()
+    }
+    var hub  = nodes.withColumn("h", lit(s0))
+    var auth = nodes.withColumn("a", lit(s0))
+    for (_ <- 1 to iters) {
+      val araw = edges
+        .join(hub.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("h"))
+        .groupBy(col("node")).agg(sum(col("h")).as("a"))
+      auth = renorm(araw, "a")
+      val hraw = edges
+        .join(auth.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("a"))
+        .groupBy(col("node")).agg(sum(col("a")).as("h"))
+      hub = renorm(hraw, "h")
+    }
+    hub.join(auth, "node")
+      .select(col("node"), col("h").as("hub_units"), col("a").as("auth_units"),
+        (col("h").cast("double") / scale).as("hub"),
+        (col("a").cast("double") / scale).as("authority"))
+  }
+
+  /** Degree distribution of the MUTUAL kNN graph: node count and
+    * share per degree (0..k) — the one-glance topology audit that
+    * says whether an embedding space is clumped (mass at degree k),
+    * frayed (mass at 0: nothing reciprocates), or healthy, BEFORE
+    * trusting graph-based dedup/cluster passes on it. Zero-degree
+    * nodes are included via a left join of the node scan against
+    * the reduced degree frame. Counts exact longs, one IEEE share
+    * division off a broadcast total. Edge build shares
+    * [[knnGraph]]'s head.
+    */
+  def degreeHist(embeddings: DataFrame, k: Int = 5): DataFrame = {
+    val und = knnGraph(embeddings, k)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val ends = und.select(col("src").as("node"))
+      .unionByName(und.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).cast("long").as("degree"))
+    val deg = embeddings.select(col("vec_id").as("node"))
+      .join(ends, Seq("node"), "left")
+      .select(coalesce(col("degree"), lit(0L)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).cast("long").as("n_nodes"))
+    val tot  = hist.agg(sum(col("n_nodes")).as("t"))
+    hist.crossJoin(broadcast(tot))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") / col("t").cast("double")).as("share"))
+  }
+
+  /** Majority-label propagation over the MUTUAL kNN graph (LPA
+    * community detection, synchronous rounds): every node starts as
+    * its own community (label = node id) and each round adopts the
+    * most frequent label among self + neighbors, ties to the
+    * SMALLEST label — communities emerge where [[Dedup.clusters]]'s
+    * min-label components would glue everything reachable together.
+    * ALL-INTEGER (counts + min tie-break ⇒ bit-identical at any
+    * partition count, no float voting weights); each round is one
+    * co-partitioned neighbor join + two aggregates over the ≤(k+1)·n
+    * frame, localCheckpoint truncating lineage. Edge build shares
+    * [[knnGraph]]'s head.
+    */
+  def labelPropagation(embeddings: DataFrame, k: Int = 5, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be positive: $iters")
+    val und = knnGraph(embeddings, k)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val nbrs = und.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(und.select(col("dst").as("node"), col("src").as("nbr")))
+    val nodes = embeddings.select(col("vec_id").as("node")).localCheckpoint()
+    val withSelf = nbrs.unionByName(nodes.select(col("node"), col("node").as("nbr")))
+      .localCheckpoint()
+    var labels = nodes.withColumn("community", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = withSelf
+        .join(labels.select(col("node").as("nbr"), col("community")), "nbr")
+        .groupBy(col("node"), col("community"))
+        .agg(count(lit(1)).cast("long").as("cnt"))
+      labels = votes
+        .groupBy(col("node"))
+        .agg(max_by(col("community"), struct(col("cnt"), -col("community"))).as("community"))
+        .localCheckpoint()
+    }
+    labels
+  }
 }

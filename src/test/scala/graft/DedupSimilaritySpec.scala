@@ -868,6 +868,51 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(am === bm, "pagerank must be bit-identical across runs")
   }
 
+  test("hits: both sides renormalize to scale within floor loss, runs are bit-identical") {
+    val emb   = Tables.embeddings(spark, sf)
+    val scale = 1000000000000L
+    val a = Similarity.hitsKnn(emb, 5, 3, scale).collect()
+    assert(a.length.toLong === emb.count())
+    val hubTot  = a.map(_.getAs[Long]("hub_units")).sum
+    val authTot = a.map(_.getAs[Long]("auth_units")).sum
+    // each renormalization floors once per node: loss < n units of 1e12
+    assert(hubTot <= scale && hubTot >= scale - a.length,
+      s"hub mass $hubTot outside [scale-n, scale]")
+    assert(authTot <= scale && authTot >= scale - a.length)
+    assert(a.forall(_.getAs[Long]("auth_units") >= 0L))
+    val b = Similarity.hitsKnn(emb, 5, 3, scale).collect()
+    assert(a.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap ===
+      b.map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap,
+      "hits must be bit-identical across runs")
+  }
+
+  test("degree hist: shares sum to 1 and degree mass equals twice the mutual edge count") {
+    val emb  = Tables.embeddings(spark, sf)
+    val hist = Similarity.degreeHist(emb, 5).collect()
+    assert(math.abs(hist.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+    assert(hist.forall { r => val d = r.getAs[Long]("degree"); d >= 0 && d <= 5 })
+    val mass = hist.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    val mutualEdges = Similarity.knnGraph(emb, 5)
+      .filter(col("mutual") && col("src") < col("dst")).count()
+    assert(mass === 2 * mutualEdges)
+  }
+
+  test("label prop: every node labeled once, isolated nodes keep their own id, runs reproduce") {
+    val emb = Tables.embeddings(spark, sf)
+    val lp  = Similarity.labelPropagation(emb, 5, 3).collect()
+    assert(lp.length.toLong === emb.count())
+    assert(lp.map(_.getLong(0)).distinct.length === lp.length)
+    val comm = lp.map(r => r.getLong(0) -> r.getAs[Long]("community")).toMap
+    // zero-degree nodes only ever see their self-vote
+    val und = Similarity.knnGraph(emb, 5).filter(col("mutual")).select("src").collect().map(_.getLong(0)).toSet
+    comm.keys.filterNot(und.contains).foreach { n =>
+      assert(comm(n) === n, s"isolated node $n must keep its own community")
+    }
+    val again = Similarity.labelPropagation(emb, 5, 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("community")).toMap
+    assert(comm === again)
+  }
+
   test("pq ADC search matches a local reimplementation over the same codes") {
     import spark.implicits._
     import graft.operators.Embedding
