@@ -546,6 +546,12 @@ object SparkEntry {
       Similarity.degreeHist(Tables.embeddings(s, dir), 5).orderBy("degree")),
     "q_label_prop" -> ((s, dir) =>
       Similarity.labelPropagation(Tables.embeddings(s, dir), 5, 3).orderBy("node")),
+    "q_anomaly_days" -> ((s, dir) =>
+      EventAnalytics.anomalyDays(Tables.events(s, dir)).orderBy("event_type", "day")),
+    "q_funnel_windowed" -> ((s, dir) =>
+      EventAnalytics.funnelWindowed(Tables.events(s, dir), 72)),
+    "q_template_prefixes" -> ((s, dir) =>
+      TextAnalysis.templatePrefixes(Tables.documents(s, dir), 2).orderBy("source", "rnk")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -5162,6 +5168,74 @@ object SparkEntry {
          |SELECT node, community FROM l3
          |ORDER BY node""".stripMargin
     },
+    "q_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), st AS (
+        |  SELECT event_type, count(*) AS days,
+        |    sum(CAST(n AS HUGEINT)) AS s1, sum(CAST(n AS HUGEINT) * n) AS s2
+        |  FROM daily GROUP BY 1
+        |), d AS (
+        |  SELECT event_type, days, CAST(days AS DOUBLE) AS nd,
+        |    CASE WHEN s1 < 0 THEN -(CAST(abs(s1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s1) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s1 % 9007199254740992 AS DOUBLE) END AS d1,
+        |    CASE WHEN s2 < 0 THEN -(CAST(abs(s2) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s2) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s2 % 9007199254740992 AS DOUBLE) END AS d2
+        |  FROM st
+        |), c AS (
+        |  SELECT event_type, days, d1 / nd AS mean, (d2 - d1 * d1 / nd) / (nd - 1) AS vr
+        |  FROM d
+        |)
+        |SELECT dl.event_type, strftime(dl.day, '%Y-%m-%d') AS day, CAST(dl.n AS BIGINT) AS n,
+        |  CASE WHEN c.days >= 2 AND c.vr > 0
+        |    THEN (CAST(dl.n AS DOUBLE) - c.mean) / sqrt(c.vr) END AS z,
+        |  CASE WHEN c.days >= 2 AND c.vr > 0
+        |    THEN abs((CAST(dl.n AS DOUBLE) - c.mean) / sqrt(c.vr)) > 3.0 END AS anomaly
+        |FROM daily dl JOIN c ON c.event_type = dl.event_type
+        |ORDER BY 1, 2""".stripMargin,
+    "q_funnel_windowed" ->
+      """WITH ff AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_from
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), cv AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_to
+        |  FROM events e JOIN ff ON ff.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(e.ts) >= ff.t_from
+        |    AND epoch_us(e.ts) <= ff.t_from + 259200000000
+        |  GROUP BY 1
+        |), j AS (
+        |  SELECT ff.user_id, ff.t_from, cv.t_to FROM ff LEFT JOIN cv ON cv.user_id = ff.user_id
+        |), s AS (
+        |  SELECT count(*) AS ne, count(t_to) AS nc,
+        |    sum(CAST(t_to - t_from AS HUGEINT)) AS sl
+        |  FROM j
+        |)
+        |SELECT CAST(ne AS BIGINT) AS n_entered, CAST(nc AS BIGINT) AS n_converted,
+        |  CAST(nc AS DOUBLE) / CAST(ne AS DOUBLE) AS conv_rate,
+        |  (CASE WHEN sl < 0 THEN -(CAST(abs(sl) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(sl) % 9007199254740992 AS DOUBLE))
+        |    ELSE CAST(sl // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sl % 9007199254740992 AS DOUBLE) END)
+        |    / CAST(nc AS DOUBLE) / 60000000.0 AS mean_lag_min
+        |FROM s""".stripMargin,
+    "q_template_prefixes" ->
+      """WITH toks AS (
+        |  SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+        |), pf AS (
+        |  SELECT source, array_to_string(tk[1:2], ' ') AS prefix FROM toks WHERE len(tk) >= 2
+        |), c AS (
+        |  SELECT source, prefix, count(*) AS n_docs FROM pf GROUP BY 1, 2 HAVING count(*) >= 2
+        |), t AS (SELECT source, count(*) AS src_docs FROM documents GROUP BY 1
+        |), r AS (
+        |  SELECT source, prefix, n_docs,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_docs DESC, prefix ASC) AS rnk
+        |  FROM c
+        |)
+        |SELECT r.source, CAST(r.rnk AS BIGINT) AS rnk, r.prefix, CAST(r.n_docs AS BIGINT) AS n_docs,
+        |  CAST(r.n_docs AS DOUBLE) / CAST(t.src_docs AS DOUBLE) AS share_of_source
+        |FROM r JOIN t ON t.source = r.source
+        |WHERE r.rnk <= 5
+        |ORDER BY r.source, rnk""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

@@ -621,4 +621,69 @@ object EventAnalytics {
         col("h_cond_bits"), col("h_next_bits"),
         round(col("h_next_bits") - col("h_cond_bits"), 6).as("info_gain_bits"))
   }
+
+  /** Daily volume anomaly flags per event type: each day's event
+    * count z-scored against that type's own daily-count
+    * distribution — the pager alert behind every ingestion dashboard
+    * (a collapsed feed or a bot flood shows up as \|z\| > 3 the same
+    * day). Counts are exact longs so the per-type moments are exact
+    * 128-bit decimal sums (grubbs/welch recipe, splitDouble for
+    * >2^53 casts); z is one IEEE chain, UNROUNDED, and the flag
+    * compares that bit-identical z. Two aggregates + one
+    * co-partitioned join on event_type — scan-shaped at any scale.
+    */
+  def anomalyDays(events: DataFrame, zThresh: Double = 3.0): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("days"),
+        sum(col("n").cast(dec)).as("s1"),
+        sum(col("n").cast(dec) * col("n")).as("s2"))
+    val nd   = col("days").cast("double")
+    val d1   = Stats.splitDouble(col("s1"))
+    val d2   = Stats.splitDouble(col("s2"))
+    val mean = d1 / nd
+    val vr   = (d2 - d1 * d1 / nd) / (nd - 1)
+    val z    = (col("n").cast("double") - mean) / sqrt(vr)
+    val ok   = col("days") >= 2 && vr > 0
+    daily.join(stats, "event_type")
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"),
+        when(ok, z).as("z"),
+        when(ok, abs(z) > zThresh).as("anomaly"))
+  }
+
+  /** Windowed conversion funnel (view → purchase within `horizonH`
+    * hours of the FIRST view): the bounded-patience variant of
+    * [[funnel]] — an unbounded funnel credits a purchase weeks
+    * later, which says nothing about the flow being measured.
+    * Exact integer micro-second arithmetic end to end: entered /
+    * converted counts are longs, the rate one division, the mean
+    * lag Σlag_us/n/6e7 minutes — both UNROUNDED single chains.
+    * Same two co-partitioned user-keyed aggregates as
+    * [[timeToConversion]]; the horizon predicate rides the join
+    * filter, so late conversions never reach the aggregate.
+    */
+  def funnelWindowed(events: DataFrame, horizonH: Int = 72,
+                     fromType: String = "view", toType: String = "purchase"): DataFrame = {
+    require(horizonH >= 1, s"horizon must be positive: $horizonH")
+    val horizonUs = horizonH * 3600L * 1000000L
+    val firstFrom = events.filter(col("event_type") === fromType)
+      .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t_from"))
+    val conv = events.filter(col("event_type") === toType)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"))
+      .join(firstFrom, "user_id")
+      .filter(col("t_us") >= col("t_from") && col("t_us") <= col("t_from") + horizonUs)
+      .groupBy(col("user_id")).agg(min(col("t_us")).as("t_to"))
+    val j = firstFrom.join(conv, Seq("user_id"), "left")
+    j.agg(
+      count(lit(1)).cast("long").as("n_entered"),
+      count(col("t_to")).cast("long").as("n_converted"),
+      (count(col("t_to")).cast("double") / count(lit(1)).cast("double")).as("conv_rate"),
+      (Stats.splitDouble(sum((col("t_to") - col("t_from"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))) /
+        count(col("t_to")).cast("double") / 60000000.0).as("mean_lag_min"))
+  }
 }

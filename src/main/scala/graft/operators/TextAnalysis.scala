@@ -752,6 +752,39 @@ object TextAnalysis {
         (col("n_docs").cast("double") / col("t").cast("double")).as("share_of_lang"))
   }
 
+  /** Template/boilerplate prefix audit per source: the top-k most
+    * repeated leading-`nTok`-token prefixes with doc counts and the
+    * share of the source they open — the detector for injected
+    * headers, cookie banners and scraper templates that
+    * whole-document dedup misses (documents differ, their OPENINGS
+    * don't). One scan-stage prefix projection + two reduced
+    * aggregates; the top-k rank windows over the per-source prefix
+    * frame (vocabulary-sized, never corpus-sized rows per group);
+    * ties break on the prefix string. Exact longs, one IEEE share,
+    * UNROUNDED. Only prefixes seen ≥2× surface — a unique opening
+    * is not a template.
+    */
+  def templatePrefixes(documents: DataFrame, nTok: Int = 3, topK: Int = 5): DataFrame = {
+    require(nTok >= 1 && topK >= 1, s"nTok/topK must be positive: $nTok/$topK")
+    val toks   = split(lower(col("text")), " ")
+    val prefix = array_join(slice(toks, 1, nTok), " ")
+    val docs = documents
+      .filter(size(toks) >= nTok)
+      .select(col("source"), prefix.as("prefix"))
+    val counts = docs.groupBy(col("source"), col("prefix"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val totals = documents.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("src_docs"))
+    val w = Window.partitionBy("source").orderBy(col("n_docs").desc, col("prefix").asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .join(totals, "source")
+      .select(col("source"), col("rnk"), col("prefix"), col("n_docs"),
+        (col("n_docs").cast("double") / col("src_docs").cast("double")).as("share_of_source"))
+  }
+
   /** Code-likeness screen per source — the pretraining-mix triage
     * that says how much of each source is code rather than prose
     * (route to the code pipeline, or drop, BEFORE tokenization).

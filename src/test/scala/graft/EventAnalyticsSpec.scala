@@ -11,6 +11,44 @@ class EventAnalyticsSpec extends AnyFunSuite {
   private def ts(day: Int, hour: Int = 1) =
     timestamp_micros(lit(1704067200000000L + day * 86400000000L + hour * 3600000000L))
 
+  test("anomaly days: a planted volume spike trips the flag, steady days stay quiet") {
+    import spark.implicits._
+    // type a: 12 steady days of 10 events + one day of 200
+    val steady = (0 until 12).flatMap(d => (0 until 10).map(i => (d, "a", d * 100 + i)))
+    val spike  = (0 until 200).map(i => (12, "a", 2000 + i))
+    val ev = (steady ++ spike).zipWithIndex.map { case ((d, t, _), i) => (i.toLong, t, d) }
+      .toDF("event_id", "event_type", "d")
+      .select($"event_id", $"event_type",
+        timestamp_micros(lit(1704067200000000L) + $"d" * 86400000000L).as("ts"))
+    val got = EventAnalytics.anomalyDays(ev).collect()
+      .map(r => r.getString(1) -> r).toMap
+    assert(got("2024-01-13").getAs[Boolean]("anomaly"), "the 20x day must flag")
+    assert(!got("2024-01-01").getAs[Boolean]("anomaly"))
+    // z matches the textbook recompute off exact counts
+    val ns   = Seq.fill(12)(10.0) :+ 200.0
+    val mean = ns.sum / ns.length
+    val vr   = ns.map(x => (x - mean) * (x - mean)).sum / (ns.length - 1)
+    assert(math.abs(got("2024-01-13").getAs[Double]("z") - (200.0 - mean) / math.sqrt(vr)) < 1e-9)
+  }
+
+  test("funnel windowed: only conversions inside the horizon count, mean lag exact") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "view", 0L), (1L, "purchase", 3600000000L),            // 60 min: inside 72h
+      (2L, "view", 0L), (2L, "purchase", 100L * 3600000000L),     // 100h: outside
+      (3L, "view", 0L)                                            // never converts
+    )
+    val ev = rows.zipWithIndex.map { case ((u, t, off), i) => (i.toLong, u, t, off) }
+      .toDF("event_id", "user_id", "event_type", "off")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros(lit(1704067200000000L) + $"off").as("ts"))
+    val got = EventAnalytics.funnelWindowed(ev, 72).head()
+    assert(got.getAs[Long]("n_entered") === 3L)
+    assert(got.getAs[Long]("n_converted") === 1L)
+    assert(got.getAs[Double]("conv_rate") === 1.0 / 3.0)
+    assert(got.getAs[Double]("mean_lag_min") === 60.0)
+  }
+
   test("cohort retention matches a hand-built matrix") {
     import spark.implicits._
     // user 1 first on day 0, active days 0,1,3; user 2 first day 0,

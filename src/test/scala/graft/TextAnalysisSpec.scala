@@ -382,6 +382,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(("fr", "fr")).getAs[Double]("share_of_lang") === 0.5)
   }
 
+  test("template prefixes: shared openings surface with exact counts, unique ones don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cookie notice please accept our terms", "w"),
+      (2L, "cookie notice please read this", "w"),
+      (3L, "cookie notice please go away", "w"),
+      (4L, "a unique opening entirely", "w"),
+      (5L, "hello world again and again", "x"),
+      (6L, "hello world once more", "x")
+    ).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+    val got = graft.operators.TextAnalysis.templatePrefixes(docs, 3, 5).collect()
+      .map(r => (r.getString(0), r.getAs[String]("prefix")) -> r).toMap
+    assert(got(("w", "cookie notice please")).getAs[Long]("n_docs") === 3L)
+    assert(got(("w", "cookie notice please")).getAs[Double]("share_of_source") === 0.75)
+    assert(got.keys.count(_._1 == "w") === 1, "the unique opening must not surface")
+    // the x prefixes differ at token 3 -> no >=2 cluster at nTok=3
+    assert(!got.keys.exists(_._1 == "x"))
+    // at nTok=2 the x docs share "hello world"
+    val two = graft.operators.TextAnalysis.templatePrefixes(docs, 2, 5).collect()
+      .map(r => (r.getString(0), r.getAs[String]("prefix")) -> r.getAs[Long]("n_docs")).toMap
+    assert(two(("x", "hello world")) === 2L)
+  }
+
   test("code detect: symbol-dense text flags code-like, prose does not, counts exact") {
     import spark.implicits._
     val code  = "def f(x) { return x[0] + g(y); } # inline <T> = 42;"
