@@ -552,6 +552,12 @@ object SparkEntry {
       EventAnalytics.funnelWindowed(Tables.events(s, dir), 72)),
     "q_template_prefixes" -> ((s, dir) =>
       TextAnalysis.templatePrefixes(Tables.documents(s, dir), 2).orderBy("source", "rnk")),
+    "q_cvar" -> ((s, dir) =>
+      TimeSeries.cvar(Tables.events(s, dir), 0.05).orderBy("user_id")),
+    "q_mmr_rerank" -> ((s, dir) =>
+      Similarity.mmrRerank(Tables.embeddings(s, dir), 0L, 20, 5).orderBy("sel_rank")),
+    "q_stickiness" -> ((s, dir) =>
+      EventAnalytics.stickiness(Tables.events(s, dir), 28).orderBy("day")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -5236,6 +5242,84 @@ object SparkEntry {
         |FROM r JOIN t ON t.source = r.source
         |WHERE r.rnk <= 5
         |ORDER BY r.source, rnk""".stripMargin,
+    "q_cvar" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), o AS (
+        |  SELECT user_id, ret,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ret ASC, day ASC) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS n
+        |  FROM r
+        |), f AS (
+        |  SELECT *, CAST(ceil(n * 0.05) AS BIGINT) AS k FROM o
+        |), t AS (SELECT * FROM f WHERE rn <= k)
+        |SELECT user_id,
+        |  max(CASE WHEN rn = k THEN ret END) AS var_ret,
+        |  CAST(sum(CAST(floor(ret * 1000000) AS BIGINT)) AS DOUBLE) / CAST(max(k) AS DOUBLE) / 1000000.0 AS cvar,
+        |  max(k) AS k, CAST(max(n) AS BIGINT) AS n
+        |FROM t GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+    "q_mmr_rerank" -> {
+      val head =
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), q AS (SELECT v AS qv, nn AS qnn FROM n WHERE vec_id = 0
+          |), sc AS (
+          |  SELECT n.vec_id, list_dot_product(q.qv, n.v) / (q.qnn * n.nn) AS qsim
+          |  FROM n, q WHERE n.vec_id != 0 AND q.qnn * n.nn != 0
+          |), pool AS (
+          |  SELECT vec_id, qsim FROM (
+          |    SELECT *, row_number() OVER (ORDER BY qsim DESC, vec_id ASC) AS rnk FROM sc
+          |  ) WHERE rnk <= 20
+          |), pv AS (SELECT n.vec_id, n.v, n.nn, p.qsim FROM n JOIN pool p ON p.vec_id = n.vec_id
+          |), sims AS (
+          |  SELECT a.vec_id AS pa, b.vec_id AS pb,
+          |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS sim
+          |  FROM pv a JOIN pv b ON a.vec_id != b.vec_id AND a.nn * b.nn != 0
+          |), sel1 AS (
+          |  SELECT vec_id, qsim, qsim AS mmr_score, 1 AS sel_rank
+          |  FROM pool ORDER BY qsim DESC, vec_id LIMIT 1
+          |)""".stripMargin
+      val rounds = (2 to 5).map { r =>
+        s"""p$r AS (
+           |  SELECT p.vec_id, p.qsim,
+           |    0.7::DOUBLE * p.qsim - (1::DOUBLE - 0.7::DOUBLE) * m.msim AS mmr_score, $r AS sel_rank
+           |  FROM pool p
+           |  JOIN (SELECT pa, max(sim) AS msim FROM sims
+           |        WHERE pb IN (SELECT vec_id FROM sel${r - 1}) GROUP BY pa) m ON m.pa = p.vec_id
+           |  WHERE p.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  ORDER BY mmr_score DESC, p.vec_id LIMIT 1
+           |), sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT CAST(sel_rank AS BIGINT) AS sel_rank, vec_id, qsim, mmr_score
+         |FROM sel5
+         |ORDER BY sel_rank""".stripMargin
+    },
+    "q_stickiness" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+        |), grid AS (SELECT DISTINCT day AS gday FROM ud
+        |), mau AS (
+        |  SELECT gday, count(DISTINCT user_id) AS mau
+        |  FROM ud JOIN grid
+        |    ON datediff('day', day, gday) >= 0 AND datediff('day', day, gday) < 28
+        |  GROUP BY 1
+        |), dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day,
+        |  CAST(d.dau AS BIGINT) AS dau, CAST(m.mau AS BIGINT) AS mau,
+        |  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN mau m ON m.gday = d.day
+        |ORDER BY day""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

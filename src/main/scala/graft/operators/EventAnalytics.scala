@@ -622,6 +622,31 @@ object EventAnalytics {
         round(col("h_next_bits") - col("h_cond_bits"), 6).as("info_gain_bits"))
   }
 
+  /** DAU/MAU stickiness per day: daily actives over trailing-28-day
+    * actives — the engagement ratio product dashboards live on
+    * (≈1 = users return daily, ≈1/28 = once-a-month drive-bys).
+    * Sliding DISTINCT cannot decompose over window frames, so the
+    * q_dau_wau shape applies: the corpus reduces to the distinct
+    * (user, day) frame ONCE, the trailing window is a join against
+    * the BROADCAST day grid (bounded by the date span, never data
+    * volume), and each grid day re-distincts its ≤window·actives
+    * slice. Exact longs, one IEEE ratio, UNROUNDED.
+    */
+  def stickiness(events: DataFrame, window: Int = 28): DataFrame = {
+    require(window >= 1, s"window must be positive: $window")
+    val ud   = events.select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val grid = broadcast(ud.select(col("day").as("gday")).distinct())
+    val mau = ud.join(grid,
+        datediff(col("gday"), col("day")) >= 0 && datediff(col("gday"), col("day")) < window)
+      .groupBy(col("gday"))
+      .agg(countDistinct(col("user_id")).cast("long").as("mau"))
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("user_id")).cast("long").as("dau"))
+    dau.join(mau, col("day") === col("gday"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("mau"),
+        (col("dau").cast("double") / col("mau").cast("double")).as("stickiness"))
+  }
+
   /** Daily volume anomaly flags per event type: each day's event
     * count z-scored against that type's own daily-count
     * distribution — the pager alert behind every ingestion dashboard

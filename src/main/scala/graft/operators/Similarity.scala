@@ -1041,6 +1041,54 @@ object Similarity {
         (col("label") === col("q_label")).as("correct"))
   }
 
+  /** Maximal Marginal Relevance re-rank (Carbonell–Goldstein): from
+    * the query's top-`poolK` cosine candidates, greedily pick k
+    * results maximizing λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s) —
+    * the RAG retrieval step that stops a context window filling
+    * with five copies of the same paragraph ([[bruteForceTopK]]
+    * optimizes pure relevance; MMR trades it against novelty).
+    * Scale shape: ONE corpus scan ranks the pool (broadcast query),
+    * then everything else — the poolK² pairwise sims and k greedy
+    * argmax rounds — runs on bounded poolK-row frames; the greedy
+    * loop never touches the corpus again. Determinism: cosines are
+    * element-order sequential dots (bit-identical cross-engine),
+    * the score chain λ·q − (1−λ)·m is mirrored literally (including
+    * 1−0.7's IEEE value), ties break (score desc, vec_id asc).
+    */
+  def mmrRerank(embeddings: DataFrame, queryId: Long = 0L, poolK: Int = 20, k: Int = 5,
+                lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && poolK >= k, s"need poolK >= k >= 1: poolK=$poolK, k=$k")
+    val pool = bruteForceTopK(embeddings, Seq(queryId), poolK)
+      .select(col("vec_id"), col("cos").as("qsim"))
+      .localCheckpoint()
+    val pv = withVecNorm(embeddings).join(pool, "vec_id")
+      .select(col("vec_id"), col("v"), col("nrm"), col("qsim"))
+      .localCheckpoint()
+    val sims = pv.as("a").join(pv.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("pa"), col("b.vec_id").as("pb"),
+        when(col("a.nrm") * col("b.nrm") =!= 0,
+          dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("sim"))
+      .localCheckpoint()
+    var selected = pool
+      .orderBy(col("qsim").desc, col("vec_id").asc).limit(1)
+      .select(col("vec_id"), col("qsim"), col("qsim").as("mmr_score"), lit(1L).as("sel_rank"))
+      .localCheckpoint()
+    for (r <- 2 to k) {
+      val selIds = selected.select(col("vec_id").as("sid"))
+      val maxSim = sims
+        .join(broadcast(selIds.withColumnRenamed("sid", "pb")), "pb")
+        .groupBy(col("pa")).agg(max(col("sim")).as("msim"))
+      val pick = pool
+        .join(selIds, col("vec_id") === col("sid"), "left_anti")
+        .join(maxSim, col("vec_id") === col("pa"))
+        .withColumn("mmr_score", lit(lambda) * col("qsim") - lit(1 - lambda) * col("msim"))
+        .orderBy(col("mmr_score").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("qsim"), col("mmr_score"), lit(r.toLong).as("sel_rank"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("sel_rank"), col("vec_id"), col("qsim"), col("mmr_score"))
+  }
+
   /** HITS hubs & authorities over the DIRECTED top-k kNN graph
     * (Kleinberg): a(v) = Σ_{u→v} h(u), h(u) = Σ_{u→v} a(v), each
     * side L1-renormalized per round. On an embedding graph the

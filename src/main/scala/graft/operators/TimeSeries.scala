@@ -807,6 +807,34 @@ object TimeSeries {
       .select(col(key), col("ret").as("var_ret"), col("rn").cast("long").as("k"), col("n"))
   }
 
+  /** Conditional VaR / expected shortfall per key: the MEAN of the
+    * worst α-tail of daily returns, beside the [[varHistorical]]
+    * cut point — VaR says where the tail starts, CVaR says how bad
+    * it is on average once crossed (the Basel/FRTB successor
+    * measure, coherent where VaR is not). Same discrete order
+    * statistic as VaR (k = ⌈n·α⌉, no interpolation formula to
+    * disagree on); the tail mean folds floor-quantized micro-longs
+    * so Σ is exact at any partition count, one IEEE chain out,
+    * UNROUNDED. One (key, ret) sort shared by rank and count.
+    */
+  def cvar(df: DataFrame, alpha: Double = 0.05,
+           key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val wP = Window.partitionBy(key)
+    dailyCloseReturns(df, key, ts, v)
+      .withColumn("rn", row_number().over(wP.orderBy(col("ret").asc, col("day").asc)))
+      .withColumn("n", count(lit(1)).over(wP))
+      .withColumn("k", ceil(col("n") * alpha).cast("long"))
+      .filter(col("rn") <= col("k"))
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+      .groupBy(col(key))
+      .agg(
+        max(when(col("rn") === col("k"), col("ret"))).as("var_ret"),
+        (sum(col("mk")).cast("double") / max(col("k")).cast("double") / 1000000.0).as("cvar"),
+        max(col("k")).as("k"),
+        max(col("n")).cast("long").as("n"))
+  }
+
   /** Day-of-week return profile (calendar-effects panel): average
     * daily return and observation count per (key, weekday). Rounding
     * convention as [[metricsSummary]]: the mean is a non-terminating

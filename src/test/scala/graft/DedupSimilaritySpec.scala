@@ -868,6 +868,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(am === bm, "pagerank must be bit-identical across runs")
   }
 
+  test("mmr: rank 1 is the pure top hit, scores never increase, a duplicate gets displaced") {
+    import TestSession.spark
+    import spark.implicits._
+    val got = Similarity.mmrRerank(Tables.embeddings(spark, sf), 0L, 20, 5).collect()
+      .sortBy(_.getAs[Long]("sel_rank"))
+    val top = Similarity.bruteForceTopK(Tables.embeddings(spark, sf), Seq(0L), 1).head()
+    assert(got.head.getLong(1) === top.getAs[Long]("vec_id"), "rank 1 must be the pure top hit")
+    assert(got.map(_.getLong(1)).distinct.length === 5)
+    val scores = got.map(_.getAs[Double]("mmr_score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "greedy scores never increase")
+    // diversity: with an exact duplicate of the top hit in the pool, a
+    // diversity-weighted lambda picks the different doc second
+    val toy = Seq(
+      (0L, Array(1.0f, 0.0f)),       // query
+      (1L, Array(0.99f, 0.1f)),      // top hit
+      (2L, Array(0.99f, 0.1f)),      // its exact duplicate
+      (3L, Array(0.5f, 0.5f))        // the different doc
+    ).toDF("vec_id", "embedding").withColumn("label", lit("x"))
+    val sel = Similarity.mmrRerank(toy, 0L, 3, 2, 0.3).collect().sortBy(_.getAs[Long]("sel_rank"))
+    assert(sel(0).getLong(1) === 1L)
+    assert(sel(1).getLong(1) === 3L, "the duplicate must be displaced by the diverse doc")
+  }
+
   test("hits: both sides renormalize to scale within floor loss, runs are bit-identical") {
     val emb   = Tables.embeddings(spark, sf)
     val scale = 1000000000000L

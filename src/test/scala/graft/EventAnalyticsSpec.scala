@@ -11,6 +11,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
   private def ts(day: Int, hour: Int = 1) =
     timestamp_micros(lit(1704067200000000L + day * 86400000000L + hour * 3600000000L))
 
+  test("stickiness: dau over trailing-window actives matches the hand grid") {
+    import spark.implicits._
+    // user 1 active days 0-3, user 2 only day 0; window = 2 days
+    val rows = Seq((1L, 0), (1L, 1), (1L, 2), (1L, 3), (2L, 0))
+    val ev = rows.zipWithIndex.map { case ((u, d), i) => (i.toLong, u, d) }
+      .toDF("event_id", "user_id", "d")
+      .select($"event_id", $"user_id",
+        timestamp_micros(lit(1704067200000000L) + $"d" * 86400000000L).as("ts"))
+    val got = EventAnalytics.stickiness(ev, 2).orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got === Array(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-02", 1L, 2L, 0.5),
+      ("2024-01-03", 1L, 1L, 1.0),
+      ("2024-01-04", 1L, 1L, 1.0)))
+  }
+
   test("anomaly days: a planted volume spike trips the flag, steady days stay quiet") {
     import spark.implicits._
     // type a: 12 steady days of 10 events + one day of 200

@@ -692,6 +692,18 @@ class IndicatorSpec extends AnyFunSuite {
     assert(up.getAs[Long]("longest_down") === 0L)
   }
 
+  test("cvar: the tail mean sits below the VaR cut and matches the hand average") {
+    val tail  = Seq(-0.10, -0.08, -0.06, -0.04, -0.02)
+    val rest  = Seq.fill(15)(0.01)
+    val rets  = tail ++ rest
+    val closes = rets.scanLeft(100.0)((c, r) => c * (1 + r))
+    val got = TimeSeries.cvar(closesDf(Seq(1L -> closes)), 0.25).head()
+    assert(got.getAs[Long]("k") === 5L && got.getAs[Long]("n") === 20L)
+    assert(math.abs(got.getAs[Double]("var_ret") - (-0.02)) < 1e-9)
+    assert(math.abs(got.getAs[Double]("cvar") - (-0.06)) < 1e-5)
+    assert(got.getAs[Double]("cvar") <= got.getAs[Double]("var_ret"))
+  }
+
   test("pacf: lag-1 pacf equals acf(1) and the lag-2/3 recursions match the hand chain") {
     val rets = Seq(0.05, -0.03, 0.11, 0.02, -0.08, 0.07, -0.01, 0.04, -0.05, 0.09,
       0.03, -0.06, 0.08, -0.02, 0.01)
