@@ -558,6 +558,14 @@ object SparkEntry {
       Similarity.mmrRerank(Tables.embeddings(s, dir), 0L, 20, 5).orderBy("sel_rank")),
     "q_stickiness" -> ((s, dir) =>
       EventAnalytics.stickiness(Tables.events(s, dir), 28).orderBy("day")),
+    "q_fk_integrity" -> ((s, dir) =>
+      Relational.fkIntegrity(Tables.orders(s, dir), Tables.lineitem(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.part(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir)).orderBy("relation")),
+    "q_seasonal_index" -> ((s, dir) =>
+      Relational.seasonalIndex(Tables.orders(s, dir)).orderBy("month")),
+    "q_lang_mix" -> ((s, dir) =>
+      TextAnalysis.langMix(Tables.documents(s, dir)).orderBy("source", "lang_pred")),
     "q_volume_profile" -> ((s, dir) =>
       TimeSeries.volumeProfile(Tables.events(s, dir), 10).orderBy("user_id", "bin")),
     "q_cross_sectional_rank" -> ((s, dir) =>
@@ -5320,6 +5328,61 @@ object SparkEntry {
         |  CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE) AS stickiness
         |FROM dau d JOIN mau m ON m.gday = d.day
         |ORDER BY day""".stripMargin,
+    "q_fk_integrity" -> {
+      val rels = Seq(
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      rels.map { case (name, child, ck, parent, pk) =>
+        s"""SELECT '$name' AS relation, CAST(count(*) AS BIGINT) AS child_rows,
+           |  CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS BIGINT) AS orphan_rows,
+           |  CAST(count(DISTINCT CASE WHEN p.k IS NULL THEN c.$ck END) AS BIGINT) AS orphan_keys,
+           |  CAST(count(CASE WHEN p.k IS NULL THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS orphan_rate
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parent) p ON p.k = c.$ck""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+    },
+    "q_seasonal_index" ->
+      """WITH m AS (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS month, count(*) AS n_orders,
+        |    sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS rev
+        |  FROM orders GROUP BY 1
+        |), t AS (SELECT sum(rev) AS t, count(*) AS k FROM m)
+        |SELECT month, CAST(n_orders AS BIGINT) AS n_orders,
+        |  CAST(rev AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(rev AS DOUBLE) * CAST(k AS DOUBLE) / CAST(t AS DOUBLE) AS seasonal_index
+        |FROM m, t
+        |ORDER BY month""".stripMargin,
+    "q_lang_mix" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('the','a','and','of'))) AS hits_en,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('el','la','y','de'))) AS hits_es,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('le','les','et','des'))) AS hits_fr,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('der','die','und','von'))) AS hits_de,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x IN ('de5','shi4','le5','zai4'))) AS hits_zh
+        |  FROM documents
+        |), p AS (
+        |  SELECT doc_id, source,
+        |    CASE
+        |      WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en >= hits_de AND hits_en >= hits_zh AND hits_en > 0 THEN 'en'
+        |      WHEN hits_es >= hits_fr AND hits_es >= hits_de AND hits_es >= hits_zh AND hits_es > 0 THEN 'es'
+        |      WHEN hits_fr >= hits_de AND hits_fr >= hits_zh AND hits_fr > 0 THEN 'fr'
+        |      WHEN hits_de >= hits_zh AND hits_de > 0 THEN 'de'
+        |      WHEN hits_zh > 0 THEN 'zh'
+        |      ELSE 'und'
+        |    END AS lang_pred
+        |  FROM h
+        |), m AS (
+        |  SELECT source, lang_pred, count(*) AS n_docs FROM p GROUP BY 1, 2
+        |), rt AS (SELECT source, sum(n_docs) AS t FROM m GROUP BY 1)
+        |SELECT m.source, m.lang_pred, CAST(m.n_docs AS BIGINT) AS n_docs,
+        |  CAST(m.n_docs AS DOUBLE) / CAST(rt.t AS DOUBLE) AS share_of_source
+        |FROM m JOIN rt ON rt.source = m.source
+        |ORDER BY 1, 2""".stripMargin,
     "q_markov_stationary" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

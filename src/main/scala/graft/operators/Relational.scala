@@ -1374,4 +1374,67 @@ object Relational {
       round(lit(1.0) - exp(col("lsum").cast("double") / lit(1e9) / nd2) / mean, 6)
         .as("atkinson_1"))
   }
+
+  /** Referential-integrity audit across the whole warehouse: one
+    * row per FK relation with child rows, orphan rows, distinct
+    * orphan keys and the orphan rate — the nightly-load sign-off
+    * that catches a truncated dim or an out-of-order load before
+    * any join silently drops (inner) or nulls (left) the orphans.
+    * Each relation is ONE pass: a left join against the parent's
+    * distinct-key projection (broadcast for dims; the orders-side
+    * check co-partitions on the key at scale) with conditional
+    * counts — never a second scan for the orphan side. Exact longs,
+    * one IEEE rate, UNROUNDED.
+    */
+  def fkIntegrity(orders: DataFrame, lineitem: DataFrame, customer: DataFrame,
+                  supplier: DataFrame, part: DataFrame, nation: DataFrame,
+                  region: DataFrame): DataFrame = {
+    def check(name: String, child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame = {
+      val pk = parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("__hit", lit(1))
+      child.select(col(childKey))
+        .join(pk, Seq(childKey), "left")
+        .agg(
+          count(lit(1)).cast("long").as("child_rows"),
+          count(when(col("__hit").isNull, 1)).cast("long").as("orphan_rows"),
+          countDistinct(when(col("__hit").isNull, col(childKey))).cast("long")
+            .as("orphan_keys"))
+        .select(lit(name).as("relation"), col("child_rows"), col("orphan_rows"),
+          col("orphan_keys"),
+          (col("orphan_rows").cast("double") / col("child_rows").cast("double"))
+            .as("orphan_rate"))
+    }
+    Seq(
+      check("lineitem.l_orderkey->orders", lineitem, "l_orderkey", orders, "o_orderkey"),
+      check("lineitem.l_partkey->part", lineitem, "l_partkey", part, "p_partkey"),
+      check("lineitem.l_suppkey->supplier", lineitem, "l_suppkey", supplier, "s_suppkey"),
+      check("orders.o_custkey->customer", orders, "o_custkey", customer, "c_custkey"),
+      check("customer.c_nationkey->nation", customer, "c_nationkey", nation, "n_nationkey"),
+      check("supplier.s_nationkey->nation", supplier, "s_nationkey", nation, "n_nationkey"),
+      check("nation.n_regionkey->region", nation, "n_regionkey", region, "r_regionkey")
+    ).reduce(_ unionByName _)
+  }
+
+  /** Monthly seasonal index of order revenue: each calendar month's
+    * revenue against the mean observed month — is December really
+    * 2x, or is the year just growing? The classical decomposition's
+    * seasonal factor on the commerce grain ([[Relational]]'s analog
+    * of the events-side q_seasonal_decompose). Revenue sums exact
+    * cents; the index is revenue·months/total — spelled as one
+    * integer-exact cross-multiplied IEEE chain off a broadcast
+    * one-row total, UNROUNDED.
+    */
+  def seasonalIndex(orders: DataFrame): DataFrame = {
+    val monthly = orders
+      .withColumn("cents", floor(col("o_totalprice") * 100).cast("long"))
+      .groupBy(month(col("o_orderdate")).cast("long").as("month"))
+      .agg(count(lit(1)).cast("long").as("n_orders"), sum(col("cents")).as("rev"))
+    val tot = monthly.agg(sum(col("rev")).as("t"), count(lit(1)).as("k"))
+    monthly.crossJoin(broadcast(tot))
+      .select(col("month"), col("n_orders"),
+        (col("rev").cast("double") / 100.0).as("revenue"),
+        (col("rev").cast("double") * col("k").cast("double") / col("t").cast("double"))
+          .as("seasonal_index"))
+  }
 }

@@ -731,6 +731,25 @@ object TextAnalysis {
         (col("s").cast("double") / col("n_terms") / 1000000.0).as("novelty"))
   }
 
+  /** Language routing mix per source: predicted-language doc counts
+    * and shares per feed — the mix report that routes each crawl's
+    * slices to per-language pipelines and flags a feed whose 'en'
+    * share suddenly halves (extractor broke or the feed changed).
+    * One [[langId]] classifier scan + one bounded-grid aggregate
+    * (≤ sources·langs cells); exact longs, one IEEE share each,
+    * UNROUNDED.
+    */
+  def langMix(documents: DataFrame): DataFrame = {
+    val m = documents.select(col("doc_id"), col("source"))
+      .join(langId(documents), "doc_id")
+      .groupBy(col("source"), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val rt = m.groupBy(col("source")).agg(sum(col("n_docs")).as("t"))
+    m.join(rt, "source")
+      .select(col("source"), col("lang_pred"), col("n_docs"),
+        (col("n_docs").cast("double") / col("t").cast("double")).as("share_of_source"))
+  }
+
   /** Language-ID confusion matrix: the n-gram classifier
     * ([[langId]]) evaluated against the corpus's labeled `lang`
     * column — per (actual, predicted) cell counts plus the

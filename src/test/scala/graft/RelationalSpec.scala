@@ -76,6 +76,45 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("skew_ratio") - 90.0 / (100.0 / 11)) < 1e-9)
   }
 
+  test("fk integrity: a planted orphan is counted, clean relations read zero") {
+    import TestSession.spark.implicits._
+    import graft.operators.Relational
+    val orders = Seq((1L, 10L, "O", 100.0, java.sql.Date.valueOf("2024-01-05"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    // two lines reference order 1; two lines reference the MISSING order 99
+    val lineitem = Seq((1L, 5L, 7L), (1L, 5L, 7L), (99L, 5L, 7L), (99L, 6L, 7L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val customer = Seq((10L, 100L)).toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((7L, 100L)).toDF("s_suppkey", "s_nationkey")
+    val part     = Seq(5L, 6L).toDF("p_partkey")
+    val nation   = Seq((100L, 200L)).toDF("n_nationkey", "n_regionkey")
+    val region   = Seq(200L).toDF("r_regionkey")
+    val got = Relational.fkIntegrity(orders, lineitem, customer, supplier, part, nation, region)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val bad = got("lineitem.l_orderkey->orders")
+    assert(bad.getAs[Long]("child_rows") === 4L)
+    assert(bad.getAs[Long]("orphan_rows") === 2L)
+    assert(bad.getAs[Long]("orphan_keys") === 1L)
+    assert(bad.getAs[Double]("orphan_rate") === 0.5)
+    assert(got("lineitem.l_partkey->part").getAs[Long]("orphan_rows") === 0L)
+    assert(got("nation.n_regionkey->region").getAs[Long]("orphan_rows") === 0L)
+    assert(got.size === 7)
+  }
+
+  test("seasonal index: two observed months at 100 and 300 read exactly 0.5 and 1.5") {
+    import TestSession.spark.implicits._
+    import graft.operators.Relational
+    val orders = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-05"), 100.0),
+      (2L, java.sql.Date.valueOf("2024-02-05"), 200.0),
+      (3L, java.sql.Date.valueOf("2024-02-20"), 100.0)
+    ).toDF("o_orderkey", "o_orderdate", "o_totalprice")
+    val got = Relational.seasonalIndex(orders).orderBy("month").collect()
+    assert(got.map(_.getAs[Long]("month")).toSeq === Seq(1L, 2L))
+    assert(got.map(_.getAs[Double]("revenue")).toSeq === Seq(100.0, 300.0))
+    assert(got.map(_.getAs[Double]("seasonal_index")).toSeq === Seq(0.5, 1.5))
+  }
+
   test("reconcile: identical tables fully match; planted drift is counted exactly") {
     import spark.implicits._
     val a = (1L to 100L).map(i => (i, i * 2, s"t$i")).toDF("id", "v", "s")

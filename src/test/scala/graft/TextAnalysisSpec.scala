@@ -362,6 +362,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) > got(1L))
   }
 
+  test("lang mix: per-source predicted shares are exact") {
+    import spark.implicits._
+    val en = "the cat and the dog of the house"
+    val fr = "le chat et les chiens des maisons"
+    val docs = Seq(
+      (1L, en, "en", "w"), (2L, en, "en", "w"), (3L, fr, "fr", "w"),
+      (4L, fr, "fr", "x")
+    ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.TextAnalysis.langMix(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got(("w", "en")).getAs[Long]("n_docs") === 2L)
+    assert(math.abs(got(("w", "en")).getAs[Double]("share_of_source") - 2.0 / 3.0) < 1e-15)
+    assert(got(("w", "fr")).getAs[Long]("n_docs") === 1L)
+    assert(got(("x", "fr")).getAs[Double]("share_of_source") === 1.0)
+  }
+
   test("lang confusion: correct and confused cells land with exact counts and shares") {
     import spark.implicits._
     val en = "the cat and the dog of the house"
