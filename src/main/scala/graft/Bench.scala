@@ -210,7 +210,12 @@ object Bench {
     // r11 fourth session: the bloom-split incremental dedup (scan-
     // shaped claim), the prefix-sum Pareto rank, and the bounded-dim
     // source overlap — the three new ops with distinct scale shapes
-    "q_incremental_dedup", "q_power_users", "q_source_overlap")
+    "q_incremental_dedup", "q_power_users", "q_source_overlap",
+    // r11 seventh session: the 64-aggregate single-scan bootstrap
+    // (no 32x replicate blowup), the micro-long directional system,
+    // the bounded-pool MMR re-rank (one corpus scan then poolK-row
+    // frames), and the broadcast-day-grid stickiness
+    "q_bootstrap_ci", "q_adx", "q_mmr_rerank", "q_stickiness")
 
   /** Headliners whose x10 ratio is superlinear BY DECLARED SEMANTICS
     * (q_corr_matrix: O(keys²) pair space; q_ngram_jaccard: exact

@@ -80,7 +80,14 @@ object Explain {
         "q_anova", "q_grubbs", "q_knn_classify", "q_ljung_box",
         "q_entropy_rate", "q_inequality", "q_vortex", "q_cointegration",
         "q_pq_distortion", "q_cmo", "q_ultimate_osc", "q_assortativity",
-        "q_code_detect", "q_woe_iv", "q_psi")
+        "q_code_detect", "q_woe_iv", "q_psi",
+        "q_lang_confusion", "q_dedup_sim_histogram", "q_streaks",
+        "q_adx", "q_trix", "q_heikin_ashi",
+        "q_pacf", "q_market_timing", "q_bootstrap_ci",
+        "q_hits", "q_degree_hist", "q_label_prop",
+        "q_anomaly_days", "q_funnel_windowed", "q_template_prefixes",
+        "q_cvar", "q_mmr_rerank", "q_stickiness",
+        "q_fk_integrity", "q_seasonal_index", "q_lang_mix")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

@@ -527,4 +527,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!k.contains("CartesianProduct") && !k.contains("BroadcastNestedLoopJoin"),
       s"q_kendall_trend's day-pair join must ride the user_id equi-key:\n$k")
   }
+
+  test("bootstrap CI is one scan with no replicate blowup; stickiness broadcasts the day grid") {
+    val b = planOf("q_bootstrap_ci")
+    assert(!b.contains("Generate"),
+      s"q_bootstrap_ci grew an explode — the 32 replicates must be conditional aggregates, not a 32x row blowup:\n$b")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(b).length
+    assert(exchanges <= 1,
+      s"q_bootstrap_ci must pay at most the one event_type aggregate shuffle, found $exchanges:\n$b")
+    val s = planOf("q_stickiness")
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"),
+      s"q_stickiness' trailing-window join must broadcast the bounded day grid:\n$s")
+  }
+
+  test("fk integrity broadcasts its dim parents; mean-lag funnel join stays user-equi-keyed") {
+    val f = planOf("q_fk_integrity")
+    assert(f.contains("BroadcastHashJoin"),
+      s"q_fk_integrity's dim-parent membership joins stopped broadcasting:\n$f")
+    val w = planOf("q_funnel_windowed")
+    assert(!w.contains("CartesianProduct") && !w.contains("BroadcastNestedLoopJoin"),
+      s"q_funnel_windowed's horizon predicate must ride the user_id equi-join, not a product:\n$w")
+  }
 }
