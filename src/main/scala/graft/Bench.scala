@@ -233,8 +233,11 @@ object Bench {
     // cancel-safe quadratic slices, not inside the linear budget
     // q_bfs_layers and q_intrinsic_dim ride the same knnGraph
     // exact-sweep head
+    // q_hits / q_label_prop / q_degree_hist (r11 seventh session)
+    // ride the same knnGraph exact-sweep head
     Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank",
-      "q_triangle_count", "q_bfs_layers", "q_intrinsic_dim")
+      "q_triangle_count", "q_bfs_layers", "q_intrinsic_dim",
+      "q_hits", "q_label_prop", "q_degree_hist")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next
