@@ -382,6 +382,26 @@ object SparkEntry {
         .ema(Tables.events(s, dir), 20)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ema"))
         .orderBy("user_id", "ts_us")),
+    "q_wma" -> ((s, dir) =>
+      TimeSeries
+        .wma(Tables.events(s, dir), 10)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("wma"))
+        .orderBy("user_id", "ts_us")),
+    "q_hma" -> ((s, dir) =>
+      TimeSeries
+        .hma(Tables.events(s, dir), 16)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("hma"))
+        .orderBy("user_id", "ts_us")),
+    "q_roc" -> ((s, dir) =>
+      TimeSeries
+        .roc(Tables.events(s, dir), 10)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("roc"))
+        .orderBy("user_id", "ts_us")),
+    "q_dpo" -> ((s, dir) =>
+      TimeSeries
+        .dpo(Tables.events(s, dir), 10)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("dpo"))
+        .orderBy("user_id", "ts_us")),
     // sketch estimates are engine-specific, so the query surface is
     // the checked twin: exact values hash-matched, sketch quality as
     // engine-deterministic within-bound booleans (oracle says TRUE)
@@ -2273,6 +2293,69 @@ object SparkEntry {
       """SELECT user_id,
         |  round(list_reduce(list(value ORDER BY ts), (y, x) -> (2.0/21)*x + (1 - 2.0/21)*y), 6) AS ema_final
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // exact-integer weighted numerator, ONE final IEEE division of
+    // exact operands -> bit-identical doubles, UNROUNDED
+    "q_wma" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), l AS (
+        |  SELECT user_id, ts,
+        |    10*lag(qu,0) OVER w + 9*lag(qu,1) OVER w + 8*lag(qu,2) OVER w
+        |    + 7*lag(qu,3) OVER w + 6*lag(qu,4) OVER w + 5*lag(qu,5) OVER w
+        |    + 4*lag(qu,6) OVER w + 3*lag(qu,7) OVER w + 2*lag(qu,8) OVER w
+        |    + 1*lag(qu,9) OVER w AS wsum
+        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(wsum AS DOUBLE) / 55000000.0 AS wma
+        |FROM l ORDER BY user_id, ts_us""".stripMargin,
+    // HMA(16): d = 68*WMA8num - 9*WMA16num over common denominator
+    // 1224; outer WMA4 of d_num; single division by 10*1224*1e6
+    "q_hma" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), l AS (
+        |  SELECT user_id, ts,
+        |    68*(8*lag(qu,0) OVER w + 7*lag(qu,1) OVER w + 6*lag(qu,2) OVER w
+        |        + 5*lag(qu,3) OVER w + 4*lag(qu,4) OVER w + 3*lag(qu,5) OVER w
+        |        + 2*lag(qu,6) OVER w + 1*lag(qu,7) OVER w)
+        |    - 9*(16*lag(qu,0) OVER w + 15*lag(qu,1) OVER w + 14*lag(qu,2) OVER w
+        |        + 13*lag(qu,3) OVER w + 12*lag(qu,4) OVER w + 11*lag(qu,5) OVER w
+        |        + 10*lag(qu,6) OVER w + 9*lag(qu,7) OVER w + 8*lag(qu,8) OVER w
+        |        + 7*lag(qu,9) OVER w + 6*lag(qu,10) OVER w + 5*lag(qu,11) OVER w
+        |        + 4*lag(qu,12) OVER w + 3*lag(qu,13) OVER w + 2*lag(qu,14) OVER w
+        |        + 1*lag(qu,15) OVER w) AS d_num
+        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), h AS (
+        |  SELECT user_id, ts,
+        |    4*lag(d_num,0) OVER w2 + 3*lag(d_num,1) OVER w2
+        |    + 2*lag(d_num,2) OVER w2 + 1*lag(d_num,3) OVER w2 AS hsum
+        |  FROM l WINDOW w2 AS (PARTITION BY user_id ORDER BY ts)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(hsum AS DOUBLE) / 12240000000.0 AS hma
+        |FROM h ORDER BY user_id, ts_us""".stripMargin,
+    "q_roc" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), l AS (
+        |  SELECT user_id, ts, qu, lag(qu, 10) OVER (PARTITION BY user_id ORDER BY ts) AS lq
+        |  FROM q
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us,
+        |  CASE WHEN lq <> 0 THEN CAST((qu - lq) * 100 AS DOUBLE) / CAST(lq AS DOUBLE) END AS roc
+        |FROM l ORDER BY user_id, ts_us""".stripMargin,
+    "q_dpo" ->
+      """WITH q AS (
+        |  SELECT user_id, ts, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), l AS (
+        |  SELECT user_id, ts,
+        |    10*lag(qu,6) OVER w
+        |    - (lag(qu,0) OVER w + lag(qu,1) OVER w + lag(qu,2) OVER w + lag(qu,3) OVER w
+        |       + lag(qu,4) OVER w + lag(qu,5) OVER w + lag(qu,6) OVER w + lag(qu,7) OVER w
+        |       + lag(qu,8) OVER w + lag(qu,9) OVER w) AS num
+        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, CAST(num AS DOUBLE) / 10000000.0 AS dpo
+        |FROM l ORDER BY user_id, ts_us""".stripMargin,
     "q_trend_flag" ->
       """SELECT user_id, epoch_us(ts) AS ts_us,
         |  CAST(value > lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS INT) AS uptrend

@@ -2831,4 +2831,94 @@ object TimeSeries {
       (mp / 1000000).as("mae_persist"),
       when(col("se_persist") > 0, mae / mp).as("mase"))
   }
+
+  /** Micro-quantized observation: floor(v·1e6) as a long — the
+    * integer domain the deterministic TA chains below fold in. */
+  private def microQ(v: String): Column = floor(col(v) * 1000000).cast("long")
+
+  /** Linearly-Weighted Moving Average over the trailing n
+    * observations (weight n for the newest, 1 for the oldest) — the
+    * denoiser charting stacks pair with SMA when lag matters.
+    * Determinism: the weighted numerator is an EXACT long
+    * (Σ(n−i)·lag(qu,i) of micro-quantized values; integer adds are
+    * order-free), and the output is that single integer divided by
+    * the constant Σw·1e6 — ONE IEEE division of exact operands, so
+    * the doubles are bit-identical cross-engine, UNROUNDED. Null
+    * until the window is full (lag-null propagation, no count
+    * column). One per-key window shuffle, scan-stage math.
+    */
+  def wma(df: DataFrame, n: Int = 10,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"wma window must be positive: $n")
+    val w  = wk(key, ts)
+    val qu = microQ(v)
+    val wsum = (0 until n).map(i => lit(n - i) * lag(qu, i).over(w)).reduce(_ + _)
+    val den  = n.toLong * (n + 1) / 2 * 1000000.0
+    df.withColumn("wma", wsum.cast("double") / lit(den))
+  }
+
+  /** Hull Moving Average HMA(n) = WMA_√n(2·WMA_{n/2} − WMA_n) — the
+    * low-lag smoother. All-integer to the last op: the two inner
+    * WMAs stay as exact long numerators over the COMMON denominator
+    * lcm(Σw_half, Σw_full)·1e6, the de-lagged series d = 2·WMA_h −
+    * WMA_f is one integer combination of them, and the outer √n-WMA
+    * is again an exact integer sum — ONE final IEEE division, no
+    * intermediate rounding anywhere (the q_hma answer to the nested
+    * closed-form EMA determinism trap [[trix]] documents). Null
+    * until n+√n−2 observations exist via lag-null propagation.
+    */
+  def hma(df: DataFrame, n: Int = 16,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 4 && n % 2 == 0, s"hma window must be even and >= 4: $n")
+    val half  = n / 2
+    val sqrtN = math.sqrt(n.toDouble).round.toInt
+    val w  = wk(key, ts)
+    val qu = microQ(v)
+    def wsumExpr(m: Int): Column =
+      (0 until m).map(i => lit(m - i) * lag(qu, i).over(w)).reduce(_ + _)
+    val swH = half.toLong * (half + 1) / 2
+    val swF = n.toLong * (n + 1) / 2
+    val lcm = {
+      @annotation.tailrec def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+      swH / gcd(swH, swF) * swF
+    }
+    // d_t numerator over denominator lcm: 2·WMA_h − WMA_f
+    val dNum = lit(2L * (lcm / swH)) * wsumExpr(half) - lit(lcm / swF) * wsumExpr(n)
+    val d    = df.withColumn("d_num", dNum)
+    val hsum = (0 until sqrtN).map(j => lit(sqrtN - j) * lag(col("d_num"), j).over(w)).reduce(_ + _)
+    val denOut = (sqrtN.toLong * (sqrtN + 1) / 2 * lcm).toDouble * 1000000.0
+    d.withColumn("hma", hsum.cast("double") / lit(denOut)).drop("d_num")
+  }
+
+  /** n-period Rate of Change: 100·(x_t − x_{t−n})/x_{t−n} — the raw
+    * momentum percentage under every ROC-family oscillator. The
+    * numerator is the exact long (qu_t − qu_{t−n})·100; the output
+    * is one IEEE division of two exact integers (values are > 0 in
+    * this domain, but a 0 lag still guards to NULL), UNROUNDED.
+    */
+  def roc(df: DataFrame, n: Int = 10,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1, s"roc lag must be positive: $n")
+    val qu = microQ(v)
+    val l  = lag(qu, n).over(wk(key, ts))
+    df.withColumn("roc",
+      when(l =!= 0, ((qu - l) * 100).cast("double") / l.cast("double")))
+  }
+
+  /** Detrended Price Oscillator DPO(n) = x_{t−(n/2+1)} − SMA_n(t):
+    * price displaced past the window's center minus the trailing
+    * mean, the cycle isolator that strips the trend a plain SMA
+    * keeps. Numerator n·lag(qu, n/2+1) − Σlag(qu,i) is an exact
+    * long; one final IEEE division by n·1e6. Null until both the
+    * displaced lag and the full SMA window exist.
+    */
+  def dpo(df: DataFrame, n: Int = 10,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 2, s"dpo window must be >= 2: $n")
+    val w    = wk(key, ts)
+    val qu   = microQ(v)
+    val smas = (0 until n).map(i => lag(qu, i).over(w)).reduce(_ + _)
+    val num  = lit(n.toLong) * lag(qu, n / 2 + 1).over(w) - smas
+    df.withColumn("dpo", num.cast("double") / lit(n * 1000000.0))
+  }
 }

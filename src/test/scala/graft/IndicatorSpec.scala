@@ -565,6 +565,35 @@ class IndicatorSpec extends AnyFunSuite {
     assert(got(1)._1 === 2L && math.abs(got(1)._2.get - 1.0) < 1e-6)
   }
 
+  test("wma/roc/dpo: hand-checked integer chains, warmup rows null") {
+    val df = closesDf(Seq(1L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0)))
+    val w = TimeSeries.wma(df, 3).orderBy("ts").collect()
+    assert(w.take(2).forall(_.isNullAt(w.head.fieldIndex("wma"))), "first n-1 rows warm up")
+    // (3x_t + 2x_{t-1} + x_{t-2}) / 6 — exact integer numerators
+    // (IEEE division is correctly rounded, so 14e6/6e6 == 14.0/6.0 bitwise)
+    assert(w.drop(2).map(_.getAs[Double]("wma")).toSeq ===
+      Seq(14.0 / 6.0, 20.0 / 6.0, 26.0 / 6.0))
+    val r = TimeSeries.roc(closesDf(Seq(1L -> Seq(100.0, 110.0, 99.0))), 1).orderBy("ts").collect()
+    assert(r.head.isNullAt(r.head.fieldIndex("roc")))
+    assert(r.drop(1).map(_.getAs[Double]("roc")).toSeq === Seq(10.0, -10.0))
+    val d = TimeSeries.dpo(df, 4).orderBy("ts").collect()
+    // x_{t-3} - SMA4: ramp gives a constant -1.5 once warm
+    assert(d.take(3).forall(_.isNullAt(d.head.fieldIndex("dpo"))))
+    assert(d.drop(3).map(_.getAs[Double]("dpo")).toSeq === Seq(-1.5, -1.5))
+  }
+
+  test("hma: zero lag on a linear ramp, identity on a constant, odd n rejected") {
+    // HMA of a linear ramp IS the ramp (the zero-lag selling point):
+    // WMA2(2*WMA2 - WMA4) telescopes exactly in the integer domain
+    val ramp = TimeSeries.hma(closesDf(Seq(1L -> Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))), 4)
+      .orderBy("ts").collect()
+    assert(ramp.take(4).forall(_.isNullAt(ramp.head.fieldIndex("hma"))))
+    assert(ramp.drop(4).map(_.getAs[Double]("hma")).toSeq === Seq(5.0, 6.0))
+    val const = TimeSeries.hma(closesDf(Seq(1L -> Seq.fill(7)(42.0))), 4).orderBy("ts").collect()
+    assert(const.drop(4).forall(_.getAs[Double]("hma") === 42.0))
+    intercept[IllegalArgumentException] { TimeSeries.hma(closesDf(Nil), 5) }
+  }
+
   private def closesDf(series: Seq[(Long, Seq[Double])]) = {
     import spark.implicits._
     series.flatMap { case (uid, cs) =>
