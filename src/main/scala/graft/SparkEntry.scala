@@ -513,6 +513,12 @@ object SparkEntry {
       TimeSeries.forecastBacktest(Tables.events(s, dir)).orderBy("user_id")),
     "q_anova" -> ((s, dir) =>
       Stats.anovaF(Tables.events(s, dir))),
+    "q_kruskal" -> ((s, dir) =>
+      Stats.kruskalWallis(Tables.events(s, dir)).orderBy("event_type")),
+    "q_levene" -> ((s, dir) =>
+      Stats.levene(Tables.events(s, dir)).orderBy("event_type")),
+    "q_fdr_bh" -> ((s, dir) =>
+      Stats.fdrBh(Tables.events(s, dir)).orderBy("user_id")),
     "q_grubbs" -> ((s, dir) =>
       Stats.grubbs(Tables.events(s, dir)).orderBy("event_type")),
     "q_knn_classify" -> ((s, dir) =>
@@ -4369,6 +4375,176 @@ object SparkEntry {
         |    THEN (ssb / (kd - 1)) / (ssw / (nd - kd)) END AS f_stat,
         |  CASE WHEN sst > 0 THEN ssb / sst END AS eta_sq
         |FROM d""".stripMargin,
+    // doubled mid-ranks off the bounded value axis are exact ints;
+    // T_j^2/n_g folds through exact hugeint floor division; H is one
+    // IEEE chain via the split-limb rebuild, UNROUNDED
+    "q_kruskal" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), c AS (
+        |  SELECT event_type, qu, count(*) AS cnt FROM q GROUP BY 1, 2
+        |), ax AS (
+        |  SELECT qu, sum(cnt) AS t FROM c GROUP BY 1
+        |), rk AS (
+        |  SELECT qu, t,
+        |    coalesce(sum(t) OVER (ORDER BY qu ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c0
+        |  FROM ax
+        |), r2 AS (
+        |  SELECT qu, 2*c0 + t + 1 AS r2 FROM rk
+        |), g AS (
+        |  SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n_g, CAST(sum(cnt * r2.r2) AS BIGINT) AS t_j
+        |  FROM c JOIN r2 USING (qu) GROUP BY 1
+        |), gq AS (
+        |  SELECT event_type, n_g, t_j,
+        |    (CAST(t_j AS HUGEINT)*t_j - (CAST(t_j AS HUGEINT)*t_j) % n_g) // n_g AS q_j
+        |  FROM g
+        |), m AS (
+        |  SELECT CAST(sum(n_g) AS BIGINT) AS n_total, sum(q_j) AS s_all,
+        |    count(*) AS k_groups
+        |  FROM gq
+        |), tt AS (
+        |  SELECT sum(CAST(t AS HUGEINT)*t*t - t) AS t3 FROM ax
+        |), b AS (
+        |  SELECT m.n_total, m.k_groups, tt.t3,
+        |    CAST(n_total AS DOUBLE) AS ntd,
+        |    CASE WHEN s_all < 0
+        |      THEN -(CAST(abs(s_all) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s_all) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s_all // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s_all % 9007199254740992 AS DOUBLE) END AS sD,
+        |    CASE WHEN t3 < 0
+        |      THEN -(CAST(abs(t3) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(t3) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(t3 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(t3 % 9007199254740992 AS DOUBLE) END AS t3d
+        |  FROM m, tt
+        |), h AS (
+        |  SELECT n_total, k_groups,
+        |    3.0 * sD / (ntd * (ntd + 1.0)) - 3.0 * (ntd + 1.0) AS h_stat,
+        |    1.0 - t3d / (ntd * ntd * ntd - ntd) AS ctie
+        |  FROM b
+        |)
+        |SELECT g.event_type, g.n_g,
+        |  CAST(t_j AS DOUBLE) / (2.0 * CAST(n_g AS DOUBLE)) AS mean_rank,
+        |  h.n_total, CAST(h.k_groups AS BIGINT) AS k_groups,
+        |  CASE WHEN h.k_groups > 1 THEN h_stat END AS h_stat,
+        |  CASE WHEN h.k_groups > 1 AND ctie > 0 THEN h_stat / ctie END AS h_tie_adj
+        |FROM gq g, h ORDER BY event_type""".stripMargin,
+    // doubled-median order statistics keep z integer; the F chain is
+    // byte-for-byte the q_anova oracle over z
+    "q_levene" ->
+      """WITH q AS (
+        |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), o AS (
+        |  SELECT event_type, qu,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY qu) AS BIGINT) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM q
+        |), med AS (
+        |  SELECT event_type,
+        |    sum(CASE WHEN rn = (n + 1) // 2 THEN qu END)
+        |    + sum(CASE WHEN rn = (n + 2) // 2 THEN qu END) AS m2
+        |  FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1
+        |), z AS (
+        |  SELECT q.event_type, abs(2 * qu - m2) AS zv FROM q JOIN med USING (event_type)
+        |), g AS (
+        |  SELECT event_type, count(*) AS n_g,
+        |    sum(CAST(zv AS HUGEINT)) AS s_g,
+        |    sum(CAST(zv AS HUGEINT) * zv) AS ss_g
+        |  FROM z GROUP BY 1
+        |), gs AS (
+        |  SELECT *, CASE WHEN s_g < 0
+        |      THEN -(CAST(abs(s_g) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s_g) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s_g // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s_g % 9007199254740992 AS DOUBLE) END AS sdg
+        |  FROM g
+        |), t AS (
+        |  SELECT event_type, n_g, s_g, ss_g,
+        |    CAST(floor((sdg * sdg / CAST(n_g AS DOUBLE)) / 1000000.0) AS BIGINT) AS tq
+        |  FROM gs
+        |), m AS (
+        |  SELECT count(*) AS k_groups, sum(n_g) AS n_total,
+        |    sum(s_g) AS s_all, sum(ss_g) AS q_all, sum(tq) AS t_all
+        |  FROM t
+        |), bb AS (
+        |  SELECT k_groups, n_total,
+        |    CAST(n_total AS DOUBLE) AS nd, CAST(k_groups AS DOUBLE) AS kd,
+        |    CASE WHEN s_all < 0
+        |      THEN -(CAST(abs(s_all) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(s_all) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s_all // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(s_all % 9007199254740992 AS DOUBLE) END AS sD,
+        |    (CASE WHEN q_all < 0
+        |      THEN -(CAST(abs(q_all) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(q_all) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(q_all // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(q_all % 9007199254740992 AS DOUBLE) END) / 1000000.0 AS qD,
+        |    CAST(t_all AS DOUBLE) AS tD
+        |  FROM m
+        |), cc AS (
+        |  SELECT k_groups, n_total, nd, kd, tD, qD,
+        |    (sD * sD / nd) / 1000000.0 AS cf
+        |  FROM bb
+        |), dd AS (
+        |  SELECT k_groups, n_total, nd, kd,
+        |    tD - cf AS ssb, qD - tD AS ssw, qD - cf AS sst
+        |  FROM cc
+        |), f AS (
+        |  SELECT CAST(k_groups AS BIGINT) AS k_groups, CAST(n_total AS BIGINT) AS n_total,
+        |    CASE WHEN k_groups > 1 AND ssw > 0
+        |      THEN (ssb / (kd - 1)) / (ssw / (nd - kd)) END AS bf_stat,
+        |    CASE WHEN sst > 0 THEN ssb / sst END AS eta_sq
+        |  FROM dd
+        |), pg AS (
+        |  SELECT z.event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(max(med.m2) AS DOUBLE) / 2000000.0 AS median_value,
+        |    CAST(sum(CAST(zv AS HUGEINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 2000000.0) AS mean_absdev
+        |  FROM z JOIN med USING (event_type) GROUP BY 1
+        |)
+        |SELECT pg.event_type, pg.n_g, pg.median_value, pg.mean_absdev,
+        |  f.k_groups, f.n_total, f.bf_stat, f.eta_sq
+        |FROM pg, f ORDER BY event_type""".stripMargin,
+    // exact 128-bit A/B moments; Chebyshev p-bound is a pure IEEE
+    // chain (no t-CDF, which no two engines agree on bitwise); the
+    // BH reject set compares bit-identical doubles
+    "q_fdr_bh" ->
+      """WITH q AS (
+        |  SELECT user_id, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events
+        |), g AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(qu AS HUGEINT)) AS s1,
+        |    sum(CAST(qu AS HUGEINT) * qu) AS s2
+        |  FROM q GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS n_all, sum(s1) AS s_all,
+        |    CAST(count(*) AS BIGINT) AS m
+        |  FROM g
+        |), w AS (
+        |  SELECT g.*, tot.n_all, tot.m,
+        |    CAST(n_all AS HUGEINT) * s1 - CAST(n AS HUGEINT) * s_all AS a,
+        |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS b
+        |  FROM g, tot
+        |), d AS (
+        |  SELECT *, CASE WHEN a < 0
+        |      THEN -(CAST(abs(a) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(a) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(a // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(a % 9007199254740992 AS DOUBLE) END AS a_sd,
+        |    CASE WHEN b < 0
+        |      THEN -(CAST(abs(b) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(abs(b) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(b // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(b % 9007199254740992 AS DOUBLE) END AS b_sd
+        |  FROM w
+        |), t AS (
+        |  SELECT *, CASE WHEN b > 0 AND n > 1
+        |    THEN CAST(n - 1 AS DOUBLE) * ((a_sd / CAST(n_all AS DOUBLE)) * (a_sd / CAST(n_all AS DOUBLE))) / b_sd
+        |    END AS t2
+        |  FROM d
+        |), p AS (
+        |  SELECT *, CASE WHEN t2 IS NULL THEN 1.0::DOUBLE
+        |    WHEN t2 = 0 THEN 1.0::DOUBLE
+        |    ELSE least(1.0::DOUBLE, 1.0::DOUBLE / t2) END AS p_cheb
+        |  FROM t
+        |), r AS (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY p_cheb, user_id) AS BIGINT) AS bh_rank
+        |  FROM p
+        |), o AS (
+        |  SELECT *, p_cheb <= 0.05::DOUBLE * CAST(bh_rank AS DOUBLE) / CAST(m AS DOUBLE) AS ok
+        |  FROM r
+        |), km AS (
+        |  SELECT *, max(CASE WHEN ok THEN bh_rank END) OVER () AS k_max FROM o
+        |)
+        |SELECT user_id, n, t2, p_cheb, bh_rank, m,
+        |  coalesce(bh_rank <= k_max, false) AS rejected
+        |FROM km ORDER BY user_id""".stripMargin,
     "q_grubbs" ->
       """WITH q AS (
         |  SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS qu FROM events

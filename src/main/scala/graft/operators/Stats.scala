@@ -1029,10 +1029,18 @@ object Stats {
     * F and η² are unit-free IEEE chains from those integers,
     * UNROUNDED. Single scan + one bounded-cardinality aggregate.
     */
-  def anovaF(events: DataFrame, key: String = "event_type", v: String = "value"): DataFrame = {
+  def anovaF(events: DataFrame, key: String = "event_type", v: String = "value"): DataFrame =
+    anovaFromQu(events.withColumn("qu_int", floor(col(v) * 1000000).cast("long")), key, "qu_int")
+
+  /** anovaF's exact arithmetic over an ALREADY-integer observation
+    * column (shared with [[levene]], whose observations are integer
+    * doubled absolute deviations — same moment chain, same
+    * micro²-quantized between-group fold, byte-for-byte the ops
+    * [[anovaF]] always ran). */
+  private def anovaFromQu(events: DataFrame, key: String, quCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val g = events
-      .withColumn("qu", floor(col(v) * 1000000).cast("long").cast(dec))
+      .withColumn("qu", col(quCol).cast(dec))
       .groupBy(col(key))
       .agg(count(lit(1)).cast("long").as("n_g"),
         sum(col("qu")).as("s_g"),
@@ -1215,5 +1223,142 @@ object Stats {
       when(gOk, when(devHi >= devLo, col("mx")).otherwise(col("mn")).cast("double") / 1000000)
         .as("suspect_value"),
       when(gOk, devHi >= devLo).as("suspect_is_max"))
+  }
+
+  /** Kruskal–Wallis H across event types — the rank-based k-sample
+    * test beside [[anovaF]] (means) when normality is off the table.
+    * Rank determinism without a global sort of N rows: observations
+    * quantize to micro-longs, counts collapse onto the BOUNDED value
+    * axis (2dp domain ⇒ ≤49k distinct micros at any SF), and the
+    * doubled mid-rank of a tie group is the INTEGER 2·c+t+1 off a
+    * cumulative count over that bounded axis. Per-group doubled rank
+    * sums T_j are exact longs; Σ T_j²/n_j folds each group through
+    * the exact pmod floor-division in decimal(38,0) (remainder < 1
+    * rank-unit² discarded — defined semantics, no float drift); the
+    * tie correction Σ(t³−t) is an exact integer off the same axis.
+    * H and H/C are fixed IEEE chains from those integers via
+    * splitDouble, UNROUNDED. Shuffles: one (key, value-cell)
+    * aggregate + one bounded-axis aggregate; the rank table
+    * broadcasts back.
+    */
+  def kruskalWallis(events: DataFrame, key: String = "event_type", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val cells = events
+      .withColumn("qu", floor(col(v) * 1000000).cast("long"))
+      .groupBy(col(key), col("qu"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .localCheckpoint()
+    val axis = cells.groupBy(col("qu")).agg(sum(col("cnt")).as("t"))
+    val wAxis = org.apache.spark.sql.expressions.Window
+      .orderBy("qu").rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rk = axis
+      .withColumn("c0", coalesce(sum(col("t")).over(wAxis), lit(0L)))
+      .withColumn("r2", lit(2L) * col("c0") + col("t") + 1)
+      .localCheckpoint()
+    val g = cells.join(broadcast(rk.select(col("qu"), col("r2"))), "qu")
+      .groupBy(col(key))
+      .agg(sum(col("cnt")).as("n_g"), sum(col("cnt") * col("r2")).as("t_j"))
+      // exact floor of T², n_g in 128-bit decimal: q_j = (T² - T² mod n) / n
+      .withColumn("tsq", col("t_j").cast(dec) * col("t_j"))
+      .withColumn("q_j", ((col("tsq") - pmod(col("tsq"), col("n_g").cast(dec))) / col("n_g").cast(dec)).cast(dec))
+    val m = g.agg(sum(col("n_g")).as("n_total"), sum(col("q_j")).as("s_all"),
+      count(lit(1)).cast("long").as("k_groups"))
+    val ties = axis.agg(sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("t3"))
+    val nTd = col("n_total").cast("double")
+    val h   = lit(3.0) * splitDouble(col("s_all")) / (nTd * (nTd + 1.0)) - lit(3.0) * (nTd + 1.0)
+    val cTie = lit(1.0) - splitDouble(col("t3")) / (nTd * nTd * nTd - nTd)
+    g.select(col(key), col("n_g"),
+        (col("t_j").cast("double") / (lit(2.0) * col("n_g").cast("double"))).as("mean_rank"))
+      .crossJoin(broadcast(m.select(col("n_total"), col("k_groups"), col("s_all"))))
+      .crossJoin(broadcast(ties))
+      .select(col(key), col("n_g"), col("mean_rank"), col("n_total"), col("k_groups"),
+        when(col("k_groups") > 1, h).as("h_stat"),
+        when(col("k_groups") > 1 && cTie > 0, h / cTie).as("h_tie_adj"))
+  }
+
+  /** Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    * screen across event types — the gate in front of [[anovaF]],
+    * whose F assumes equal spreads. The per-group center is the
+    * MEDIAN as two order statistics off the micro-quantized values
+    * (m2 = qu@⌈n/2⌉ + qu@⌈(n+1)/2⌉, the DOUBLED median — an exact
+    * long, no halving float), the observation is the integer doubled
+    * absolute deviation z = |2·qu − m2|, and the F statistic is
+    * byte-for-byte [[anovaF]]'s exact-moment chain over z (shared
+    * [[anovaFromQu]]). One per-key sort for the order statistics
+    * (broadcast back, ≤k rows), then the anova single scan.
+    */
+  def levene(events: DataFrame, key: String = "event_type", v: String = "value"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(key)).orderBy(col("qu"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(key))
+    val q = events.withColumn("qu", floor(col(v) * 1000000).cast("long"))
+    // INTEGER division for the order-statistic positions (Column `/`
+    // would be double division and 2.5 never equals an int rank)
+    val lo = expr("(n + 1) div 2")
+    val hi = expr("(n + 2) div 2")
+    val med = q
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col(key))
+      .agg((sum(when(col("rn") === lo, col("qu"))) +
+        sum(when(col("rn") === hi, col("qu")))).as("m2"))
+    val z = q.join(broadcast(med), Seq(key))
+      .withColumn("z", abs(lit(2L) * col("qu") - col("m2")))
+    val f = anovaFromQu(z, key, "z")
+      .select(col("k_groups"), col("n_total"), col("f_stat").as("bf_stat"), col("eta_sq"))
+    val perGroup = z.groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n_g"), max(col("m2")).as("m2"), sum(col("z")).as("sz"))
+      .select(col(key), col("n_g"),
+        (col("m2").cast("double") / 2000000.0).as("median_value"),
+        (col("sz").cast("double") / (col("n_g").cast("double") * 2000000.0)).as("mean_absdev"))
+    perGroup.crossJoin(broadcast(f))
+  }
+
+  /** Benjamini–Hochberg FDR screen over per-user mean-shift
+    * hypotheses: for each user, does their mean event value differ
+    * from the global mean? The per-hypothesis statistic is the
+    * one-sample t² from EXACT decimal moments (A = N·s_j − n_j·S and
+    * B = n_j·ss_j − s_j² never leave 128-bit integers), surfaced as
+    * the distribution-free Chebyshev p-bound p = min(1, 1/t²) — a
+    * pure IEEE chain cross-engine (no erf/t-CDF, which no two
+    * engines agree on bitwise). BH then ranks p ascending (user id
+    * tie-break) and rejects ranks ≤ argmax{k: p_(k) ≤ q·k/m} — every
+    * comparison is between bit-identical doubles, so the reject set
+    * is engine-exact, UNROUNDED. One scan for moments; the m
+    * hypotheses (the user axis) are the output itself, so the BH
+    * rank rides a bounded single-partition window.
+    */
+  def fdrBh(events: DataFrame, alpha: Double = 0.05,
+            key: String = "user_id", v: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = events
+      .withColumn("qu", floor(col(v) * 1000000).cast("long"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("qu").cast(dec)).as("s1"),
+        sum(col("qu").cast(dec) * col("qu")).as("s2"))
+      .localCheckpoint()
+    val tot = g.agg(sum(col("n")).as("n_all"), sum(col("s1")).as("s_all"),
+      count(lit(1)).cast("long").as("m"))
+    val a  = col("n_all").cast(dec) * col("s1") - col("n").cast(dec) * col("s_all")
+    val b  = col("n").cast(dec) * col("s2") - col("s1") * col("s1")
+    val ad = splitDouble(a) / col("n_all").cast("double")
+    val t2 = when(b > 0 && col("n") > 1,
+      (col("n") - 1).cast("double") * (ad * ad) / splitDouble(b))
+    val withP = g.crossJoin(broadcast(tot))
+      .withColumn("t2", t2)
+      .withColumn("p_cheb",
+        when(col("t2").isNull, lit(1.0))
+          .when(col("t2") === 0.0, lit(1.0))
+          .otherwise(least(lit(1.0), lit(1.0) / col("t2"))))
+    val wRank = org.apache.spark.sql.expressions.Window.orderBy(col("p_cheb"), col(key))
+    val wAll  = org.apache.spark.sql.expressions.Window.partitionBy()
+    withP
+      .withColumn("bh_rank", row_number().over(wRank).cast("long"))
+      .withColumn("ok", col("p_cheb") <= lit(alpha) * col("bh_rank").cast("double") / col("m").cast("double"))
+      .withColumn("k_max", max(when(col("ok"), col("bh_rank"))).over(wAll))
+      .select(col(key), col("n"), col("t2"), col("p_cheb"), col("bh_rank"), col("m"),
+        coalesce(col("bh_rank") <= col("k_max"), lit(false)).as("rejected"))
   }
 }

@@ -528,6 +528,62 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(math.abs(f1 - want) / want < 1e-6, s"F $f1 vs textbook $want")
   }
 
+  test("kruskal-wallis: tie-free textbook H recomputes; all-tied data reads H=0 and a null tie adjustment") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, x), i) => (i.toLong, t, x) }
+        .toDF("event_id", "event_type", "value")
+    // disjoint groups 1-3 / 4-6 / 7-9: ranks are 1..9, H = 7.2 exactly
+    val sep = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0, "b" -> 5.0,
+      "b" -> 6.0, "c" -> 7.0, "c" -> 8.0, "c" -> 9.0)
+    val got = graft.operators.Stats.kruskalWallis(mk(sep)).orderBy("event_type").collect()
+    assert(got.map(_.getAs[Double]("mean_rank")).toSeq === Seq(2.0, 5.0, 8.0))
+    assert(math.abs(got.head.getAs[Double]("h_stat") - 7.2) < 1e-9)
+    assert(math.abs(got.head.getAs[Double]("h_tie_adj") - 7.2) < 1e-9, "no ties: C = 1")
+    // every observation identical: one giant tie, H = 0, C = 0 -> adj null
+    val tied = (0 until 12).map(i => s"g${i % 3}" -> 42.0)
+    val t0 = graft.operators.Stats.kruskalWallis(mk(tied)).head()
+    assert(math.abs(t0.getAs[Double]("h_stat")) < 1e-9)
+    assert(t0.isNullAt(t0.fieldIndex("h_tie_adj")), "C = 1 - (N^3-N)/(N^3-N) = 0 guards to null")
+  }
+
+  test("levene/brown-forsythe: hand-computed F on doubled deviations; equal spreads read ~0") {
+    import spark.implicits._
+    def mk(rows: Seq[(String, Double)]) =
+      rows.zipWithIndex.map { case ((t, x), i) => (i.toLong, t, x) }
+        .toDF("event_id", "event_type", "value")
+    // medians 2 / 6; |dev| = (1,0,1) vs (2,0,2): textbook BF F = 0.8
+    val two = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 4.0, "b" -> 6.0, "b" -> 8.0)
+    val got = graft.operators.Stats.levene(mk(two)).orderBy("event_type").collect()
+    assert(got.map(_.getAs[Double]("median_value")).toSeq === Seq(2.0, 6.0))
+    assert(math.abs(got(0).getAs[Double]("mean_absdev") - 2.0 / 3) < 1e-9)
+    assert(math.abs(got(1).getAs[Double]("mean_absdev") - 4.0 / 3) < 1e-9)
+    assert(math.abs(got.head.getAs[Double]("bf_stat") - 0.8) < 1e-6)
+    // same spread in both groups: zero between-group deviation variance
+    val same = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "b" -> 11.0, "b" -> 12.0, "b" -> 13.0)
+    assert(math.abs(graft.operators.Stats.levene(mk(same)).head().getAs[Double]("bf_stat")) < 1e-6)
+  }
+
+  test("fdr-bh: a lone mean-shifted user is rank 1 and rejected; identical users reject nothing") {
+    import spark.implicits._
+    def mk(rows: Seq[(Long, Double)]) =
+      rows.zipWithIndex.map { case ((u, x), i) => (i.toLong, u, x) }
+        .toDF("event_id", "user_id", "value")
+    val base = (1L to 10L).flatMap(u => Seq(u -> 10.0, u -> 11.0, u -> 12.0))
+    val shifted = base ++ Seq(11L -> 99.0, 11L -> 100.0, 11L -> 101.0)
+    val got = graft.operators.Stats.fdrBh(mk(shifted)).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got(11L).getAs[Long]("bh_rank") === 1L, "the outlier has the smallest Chebyshev p")
+    assert(got(11L).getAs[Boolean]("rejected"))
+    // BH rejections are a prefix of the p-sorted order
+    val byRank = got.values.toSeq.sortBy(_.getAs[Long]("bh_rank"))
+    val flags  = byRank.map(_.getAs[Boolean]("rejected"))
+    assert(!flags.dropWhile(identity).contains(true), "rejected set must be a rank prefix")
+    // exactly identical users: every t2 = 0, p = 1, nothing rejected
+    val flat = graft.operators.Stats.fdrBh(mk(base)).collect()
+    assert(flat.forall(r => r.getAs[Double]("p_cheb") === 1.0 && !r.getAs[Boolean]("rejected")))
+  }
+
   test("woe/iv: proportional bins read exactly 0; a separating feature reads signed WoE and large IV") {
     import spark.implicits._
     def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex.map { case ((t, x), i) =>
