@@ -237,7 +237,8 @@ object Bench {
     // ride the same knnGraph exact-sweep head
     Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank",
       "q_triangle_count", "q_bfs_layers", "q_intrinsic_dim",
-      "q_hits", "q_label_prop", "q_degree_hist")
+      "q_hits", "q_label_prop", "q_degree_hist",
+      "q_resource_alloc", "q_kcore")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next

@@ -509,6 +509,10 @@ object SparkEntry {
         .orderBy("lang", "source", "len_bucket")),
     "q_common_neighbors" -> ((s, dir) =>
       Similarity.commonNeighbors(Tables.embeddings(s, dir)).orderBy("a", "b")),
+    "q_resource_alloc" -> ((s, dir) =>
+      Similarity.resourceAllocation(Tables.embeddings(s, dir)).orderBy("a", "b")),
+    "q_kcore" -> ((s, dir) =>
+      Similarity.kCore(Tables.embeddings(s, dir)).orderBy("node")),
     "q_forecast_backtest" -> ((s, dir) =>
       TimeSeries.forecastBacktest(Tables.events(s, dir)).orderBy("user_id")),
     "q_anova" -> ((s, dir) =>
@@ -5400,6 +5404,82 @@ object SparkEntry {
         |  CAST(n_nodes AS DOUBLE) / CAST(tt AS DOUBLE) AS share
         |FROM hist, t
         |ORDER BY degree""".stripMargin,
+    // wedge-center contributions are exact floor divisions 1e12//deg;
+    // the pair sum is an order-free long, one IEEE division surfaced
+    "q_resource_alloc" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), pairs AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |    FROM pairs
+        |  ) WHERE rnk <= 5
+        |), mut AS (
+        |  SELECT a.src, a.dst FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+        |  WHERE a.src < a.dst
+        |), nb AS (
+        |  SELECT src AS node, dst AS nbr FROM mut UNION ALL SELECT dst, src FROM mut
+        |), dg AS (SELECT node, count(*) AS deg FROM nb GROUP BY 1
+        |), w AS (
+        |  SELECT x.nbr AS a, y.nbr AS b, d.deg
+        |  FROM nb x JOIN nb y ON x.node = y.node AND x.nbr < y.nbr
+        |  JOIN dg d ON d.node = x.node
+        |), ra AS (
+        |  SELECT a, b, count(*) AS n_common, sum(1000000000000 // deg) AS ra_micro
+        |  FROM w GROUP BY 1, 2
+        |)
+        |SELECT a, b, CAST(n_common AS BIGINT) AS n_common, CAST(ra_micro AS BIGINT) AS ra_micro,
+        |  CAST(ra_micro AS DOUBLE) / 1000000000000.0 AS ra_score
+        |FROM ra WHERE n_common >= 2 ORDER BY a, b""".stripMargin,
+    // synchronous peel, 8 unrolled rounds (spec asserts convergence
+    // well inside); membership + degrees all-integer
+    "q_kcore" -> {
+      val head =
+        """WITH e AS (
+          |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+          |), n AS (
+          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), pairs AS (
+          |  SELECT a.vec_id AS src, b.vec_id AS dst,
+          |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+          |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+          |  WHERE a.nn * b.nn != 0
+          |), edges AS (
+          |  SELECT src, dst FROM (
+          |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+          |    FROM pairs
+          |  ) WHERE rnk <= 5
+          |), mut AS MATERIALIZED (
+          |  SELECT a.src, a.dst FROM edges a JOIN edges b ON a.src = b.dst AND a.dst = b.src
+          |  WHERE a.src < a.dst
+          |), e0 AS MATERIALIZED (SELECT src, dst FROM mut)""".stripMargin
+      // every CTE is MATERIALIZED: each round references its
+      // predecessor twice, and inlining would expand the quadratic
+      // edge head 2^rounds times (measured: "too many open files")
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT node, count(*) AS deg FROM (
+           |    SELECT src AS node FROM e${i - 1} UNION ALL SELECT dst FROM e${i - 1}
+           |  ) GROUP BY 1 HAVING count(*) >= 2
+           |), e$i AS MATERIALIZED (
+           |  SELECT m.src, m.dst FROM mut m
+           |  JOIN d$i a ON a.node = m.src JOIN d$i b ON b.node = m.dst
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$rounds
+         |SELECT emb.vec_id AS node, d8.deg IS NOT NULL AS in_core,
+         |  CAST(d8.deg AS BIGINT) AS core_degree
+         |FROM embeddings emb LEFT JOIN d8 ON d8.node = emb.vec_id
+         |ORDER BY node""".stripMargin
+    },
     "q_label_prop" -> {
       val head =
         """WITH e AS (

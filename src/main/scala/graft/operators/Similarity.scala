@@ -1212,4 +1212,79 @@ object Similarity {
     }
     labels
   }
+
+  /** Resource-Allocation link prediction over the MUTUAL kNN graph:
+    * score(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z) — Adamic-Adar's
+    * integer-friendly sibling (1/deg, not 1/log deg) and the
+    * top performer of the classic local link-prediction indices.
+    * ALL-INTEGER: each common neighbor contributes the exact long
+    * 1e12 div deg(z) (floor division both engines), so the pair
+    * score sum is order-free; the surfaced ra_score is ONE IEEE
+    * division by 1e12, bit-identical. Pair space is wedge-bounded,
+    * not corpus²: mutual degree ≤ k by construction, so the
+    * center-join volume is ≤ n·k² at any SF. Edge build shares
+    * [[knnGraph]]'s head (IVF/LSH candidate edges are the 100 TB
+    * path, same tail).
+    */
+  def resourceAllocation(embeddings: DataFrame, k: Int = 5, minCommon: Int = 2): DataFrame = {
+    val und = knnGraph(embeddings, k)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    val nb = und.select(col("src").as("node"), col("dst").as("nbr"))
+      .unionByName(und.select(col("dst").as("node"), col("src").as("nbr")))
+    val deg = nb.groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+    val nbd = nb.join(broadcast(deg), "node")
+    val wedges = nbd.select(col("node"), col("nbr").as("a"), col("deg"))
+      .join(nbd.select(col("node"), col("nbr").as("b")), "node")
+      .filter(col("a") < col("b"))
+    wedges
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        sum(expr("1000000000000 div deg")).as("ra_micro"))
+      .filter(col("n_common") >= minCommon)
+      .select(col("a"), col("b"), col("n_common"), col("ra_micro"),
+        (col("ra_micro").cast("double") / 1000000000000.0).as("ra_score"))
+  }
+
+  /** k-core decomposition of the MUTUAL kNN graph by synchronous
+    * peeling: drop every node whose degree in the surviving subgraph
+    * is < k, recompute, repeat — the standard density filter that
+    * separates a graph's cohesive core from its tree-like fringe
+    * (chains and leaves that LPA/dedup clustering glue on). FIXED
+    * `rounds` synchronous iterations (the [[labelPropagation]] /
+    * HITS unrolled-round convention — the spec asserts the fixture
+    * converges well inside them, and mutual degree ≤ k_nn bounds
+    * peel depth); ALL-INTEGER (membership + counts). Each round is
+    * two semi-joins of the edge frame against the shrinking node
+    * set + one aggregate, lineage truncated per round. Zero-degree
+    * nodes surface as in_core=false via the node-scan left join.
+    */
+  def kCore(embeddings: DataFrame, k: Int = 2, knn: Int = 5, rounds: Int = 8): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"k and rounds must be positive: $k, $rounds")
+    val und = knnGraph(embeddings, knn)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .localCheckpoint()
+    var edges = und
+    var degs: DataFrame = null
+    for (_ <- 1 to rounds) {
+      degs = edges.select(col("src").as("node"))
+        .unionByName(edges.select(col("dst").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
+        .filter(col("deg") >= k)
+        .localCheckpoint()
+      val act = degs.select(col("node"))
+      edges = und
+        .join(act.select(col("node").as("src")), "src")
+        .join(act.select(col("node").as("dst")), "dst")
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+    }
+    // final membership = nodes still meeting the bar in the last
+    // surviving subgraph; their core degree is the degree there
+    embeddings.select(col("vec_id").as("node"))
+      .join(degs.select(col("node"), col("deg").as("core_degree")), Seq("node"), "left")
+      .select(col("node"), col("core_degree").isNotNull.as("in_core"), col("core_degree"))
+  }
 }

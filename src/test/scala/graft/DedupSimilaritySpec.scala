@@ -936,6 +936,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(comm === again)
   }
 
+  test("resource allocation: scores match a local adjacency recompute exactly") {
+    val emb = Tables.embeddings(spark, sf)
+    val und = Similarity.knnGraph(emb, 5)
+      .filter(col("mutual") && col("src") < col("dst"))
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    und.foreach { case (a, b) => adj(a) = adj(a) + b; adj(b) = adj(b) + a }
+    val want = (for {
+      (a, na) <- adj.toSeq; (b, nb) <- adj.toSeq if a < b
+      common = na.intersect(nb) if common.size >= 2
+    } yield (a, b) -> (common.size.toLong, common.toSeq.map(z => 1000000000000L / adj(z).size).sum)).toMap
+    val got = Similarity.resourceAllocation(emb, 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("n_common"), r.getAs[Long]("ra_micro"))).toMap
+    assert(got === want, "RA must equal the exact integer recompute")
+  }
+
+  test("k-core: fixture converges inside the unrolled rounds; members carry degree >= k") {
+    val emb = Tables.embeddings(spark, sf)
+    val r8 = Similarity.kCore(emb, 2, 5, 8).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getAs[java.lang.Long]("core_degree")))).toMap
+    val r7 = Similarity.kCore(emb, 2, 5, 7).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), Option(r.getAs[java.lang.Long]("core_degree")))).toMap
+    assert(r8 === r7, "the peel must have converged before the last unrolled round")
+    assert(r8.values.forall { case (in, d) => if (in) d.exists(_ >= 2L) else d.isEmpty })
+    // the 2-core is a subset of nodes with mutual degree >= 2
+    val deg2 = Similarity.degreeHist(emb, 5) // reuse only for a sanity count
+    val mutDeg = Similarity.knnGraph(emb, 5).filter(col("mutual"))
+      .groupBy("src").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    r8.foreach { case (n, (in, _)) =>
+      if (in) assert(mutDeg.getOrElse(n, 0L) >= 2L, s"core node $n has mutual degree < 2")
+    }
+    assert(deg2.count() > 0)
+  }
+
   test("pq ADC search matches a local reimplementation over the same codes") {
     import spark.implicits._
     import graft.operators.Embedding
