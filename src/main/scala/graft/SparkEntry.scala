@@ -580,6 +580,8 @@ object SparkEntry {
       EventAnalytics.anomalyDays(Tables.events(s, dir)).orderBy("event_type", "day")),
     "q_funnel_windowed" -> ((s, dir) =>
       EventAnalytics.funnelWindowed(Tables.events(s, dir), 72)),
+    "q_attribution" -> ((s, dir) =>
+      EventAnalytics.attribution(Tables.events(s, dir)).orderBy("channel")),
     "q_template_prefixes" -> ((s, dir) =>
       TextAnalysis.templatePrefixes(Tables.documents(s, dir), 2).orderBy("source", "rnk")),
     "q_cvar" -> ((s, dir) =>
@@ -5571,6 +5573,41 @@ object SparkEntry {
         |    ELSE CAST(sl // 9007199254740992 AS DOUBLE) * 9.007199254740992e15 + CAST(sl % 9007199254740992 AS DOUBLE) END)
         |    / CAST(nc AS DOUBLE) / 60000000.0 AS mean_lag_min
         |FROM s""".stripMargin,
+    // every conversion distributes exactly 1e6 integer micro-credits
+    // (floor share + remainder to the last touch) -> order-free sums
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, event_id AS conv_id, epoch_us(ts) AS conv_us
+        |  FROM events WHERE event_type = 'purchase'
+        |), touch AS (
+        |  SELECT user_id, event_id AS touch_id, event_type AS channel, epoch_us(ts) AS touch_us
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT conv.conv_id, touch.touch_id, touch.channel, touch.touch_us
+        |  FROM conv JOIN touch USING (user_id)
+        |  WHERE touch_us <= conv_us AND touch_us >= conv_us - 604800000000
+        |), j2 AS (
+        |  SELECT *, count(*) OVER (PARTITION BY conv_id) AS k,
+        |    row_number() OVER (PARTITION BY conv_id ORDER BY touch_us DESC, touch_id DESC) AS rn
+        |  FROM j
+        |), credited AS (
+        |  SELECT channel, conv_id,
+        |    1000000 // k + CASE WHEN rn = 1 THEN 1000000 % k ELSE 0 END AS credit_u
+        |  FROM j2
+        |), bc AS (
+        |  SELECT channel, CAST(count(*) AS BIGINT) AS n_touch_events,
+        |    CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |    CAST(sum(credit_u) AS BIGINT) AS credit_micro
+        |  FROM credited GROUP BY 1
+        |), direct AS (
+        |  SELECT '(direct)' AS channel, CAST(0 AS BIGINT) AS n_touch_events,
+        |    CAST(count(*) AS BIGINT) AS n_conversions,
+        |    CAST(count(*) * 1000000 AS BIGINT) AS credit_micro
+        |  FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM j)
+        |), u AS (SELECT * FROM bc UNION ALL SELECT * FROM direct)
+        |SELECT channel, n_touch_events, n_conversions, credit_micro,
+        |  CAST(credit_micro AS DOUBLE) / 1000000.0 AS credit
+        |FROM u ORDER BY channel""".stripMargin,
     "q_template_prefixes" ->
       """WITH toks AS (
         |  SELECT source, string_split(lower(text), ' ') AS tk FROM documents

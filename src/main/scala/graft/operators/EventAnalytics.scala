@@ -711,4 +711,54 @@ object EventAnalytics {
           .cast(org.apache.spark.sql.types.DecimalType(38, 0)))) /
         count(col("t_to")).cast("double") / 60000000.0).as("mean_lag_min"))
   }
+
+  /** Linear multi-touch attribution: every conversion (purchase)
+    * splits ONE unit of credit equally across all its touches (view/
+    * click by the same user inside the lookback window), so channel
+    * totals sum exactly to the conversion count — the report
+    * marketing mix models start from. INTEGER credit: each touch
+    * gets 1e6 div k micro-units and the 1e6 mod k remainder goes to
+    * the LAST touch ((ts, event_id) max — deterministic), so every
+    * conversion distributes exactly 1e6 units, sums are order-free
+    * longs, and the surfaced credit is one IEEE division.
+    * Conversions with no touch in window credit a "(direct)" row in
+    * full. Scale: one user-keyed equi-join with the lookback
+    * predicate riding the join filter (per-user volume is bounded),
+    * two aggregates; no windows over the join.
+    */
+  def attribution(events: DataFrame, lookbackH: Int = 168,
+                  convType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("view", "click")): DataFrame = {
+    require(lookbackH >= 1, s"lookback must be positive: $lookbackH")
+    val lookUs = lookbackH * 3600L * 1000000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        unix_micros(col("ts")).as("conv_us"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("event_type").as("channel"), unix_micros(col("ts")).as("touch_us"))
+    val j = conv.join(touch, Seq("user_id"))
+      .filter(col("touch_us") <= col("conv_us") &&
+        col("touch_us") >= col("conv_us") - lookUs)
+    val perConv = j.groupBy(col("conv_id"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        max(struct(col("touch_us"), col("touch_id"))).as("last_t"))
+    val credited = j.join(perConv, "conv_id")
+      .withColumn("credit_u",
+        expr("1000000 div k") +
+          when(col("touch_id") === col("last_t.touch_id"), expr("1000000 % k")).otherwise(lit(0L)))
+    val byChannel = credited.groupBy(col("channel"))
+      .agg(count(lit(1)).cast("long").as("n_touch_events"),
+        countDistinct(col("conv_id")).cast("long").as("n_conversions"),
+        sum(col("credit_u")).as("credit_micro"))
+    val direct = conv.join(j.select(col("conv_id").as("cid")).distinct(),
+        col("conv_id") === col("cid"), "left_anti")
+      .agg(lit(0L).as("n_touch_events"),
+        count(lit(1)).cast("long").as("n_conversions"),
+        (count(lit(1)) * lit(1000000L)).as("credit_micro"))
+      .select(lit("(direct)").as("channel"), col("n_touch_events"),
+        col("n_conversions"), col("credit_micro"))
+    byChannel.unionByName(direct)
+      .withColumn("credit", col("credit_micro").cast("double") / 1000000.0)
+  }
 }

@@ -48,6 +48,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(got("2024-01-13").getAs[Double]("z") - (200.0 - mean) / math.sqrt(vr)) < 1e-9)
   }
 
+  test("attribution: credit conserves exactly and the remainder lands on the last touch") {
+    import spark.implicits._
+    val h = 3600000000L
+    val rows = Seq(
+      // user 1: three touches then a purchase -> 1e6/3 each, +1 to the click (last)
+      (1L, "view", 0L), (1L, "view", 1L * h), (1L, "click", 2L * h), (1L, "purchase", 3L * h),
+      // user 2: one touch OUTSIDE the 168h lookback -> (direct)
+      (2L, "view", 0L), (2L, "purchase", 200L * h),
+      // user 3: purchase with no touches at all -> (direct)
+      (3L, "purchase", 5L * h))
+    val ev = rows.zipWithIndex.map { case ((u, t, off), i) => (i.toLong, u, t, off) }
+      .toDF("event_id", "user_id", "event_type", "off")
+      .select($"event_id", $"user_id", $"event_type",
+        timestamp_micros(lit(1704067200000000L) + $"off").as("ts"))
+    val got = EventAnalytics.attribution(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("view").getAs[Long]("credit_micro") === 666666L, "two floor shares of 1e6/3")
+    assert(got("click").getAs[Long]("credit_micro") === 333334L, "floor share + remainder (last touch)")
+    assert(got("(direct)").getAs[Long]("n_conversions") === 2L)
+    assert(got("(direct)").getAs[Long]("credit_micro") === 2000000L)
+    // conservation: total micro-credit == 1e6 x conversions, exactly
+    assert(got.values.map(_.getAs[Long]("credit_micro")).sum === 3L * 1000000L)
+  }
+
   test("funnel windowed: only conversions inside the horizon count, mean lag exact") {
     import spark.implicits._
     val rows = Seq(
