@@ -967,6 +967,8 @@ object SparkEntry {
       Similarity.ivfSearch(emb, cents, Seq(0L, 1L, 2L, 3L, 4L), 5, nprobe = 4)
         .orderBy("qid", "rnk")
     }),
+    "q_kmeans_step" -> ((s, dir) =>
+      Similarity.kmeansStep(Tables.embeddings(s, dir)).orderBy("cell", "dim")),
     "q_ivf_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.ivfTrain(emb, nlist = 16, iters = 0)
@@ -3846,6 +3848,43 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rnk <= 5
         |ORDER BY qid, rnk""".stripMargin,
+    // micro-quantized per-cell sums are exact; the new mean is one
+    // int/int IEEE division and drift one subtraction — no
+    // cross-dimension float sums (the (cell,dim) grid IS the output)
+    "q_kmeans_step" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < 16
+        |), d AS (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), assigned AS (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM d QUALIFY rn = 1
+        |), x0 AS (
+        |  SELECT cell, unnest(list_zip(v, generate_series(1, len(v)))) AS z FROM assigned
+        |), x AS (
+        |  SELECT cell, z[2] - 1 AS dim, CAST(floor(z[1] * 1000000) AS BIGINT) AS qu FROM x0
+        |), g AS (
+        |  SELECT cell, dim, CAST(count(*) AS BIGINT) AS n_cell, CAST(sum(qu) AS BIGINT) AS s
+        |  FROM x GROUP BY 1, 2
+        |), o0 AS (
+        |  SELECT cell, unnest(list_zip(c, generate_series(1, len(c)))) AS z FROM cents
+        |), o AS (
+        |  SELECT cell, z[2] - 1 AS dim, z[1] AS mean_old FROM o0
+        |)
+        |SELECT CAST(g.cell AS INT) AS cell, CAST(g.dim AS INT) AS dim, n_cell,
+        |  CAST(s AS DOUBLE) / (CAST(n_cell AS DOUBLE) * 1000000.0) AS mean_new,
+        |  o.mean_old,
+        |  CAST(s AS DOUBLE) / (CAST(n_cell AS DOUBLE) * 1000000.0) - o.mean_old AS delta
+        |FROM g JOIN o ON o.cell = g.cell AND o.dim = g.dim
+        |ORDER BY cell, dim""".stripMargin,
     "q_ewma_vol" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close

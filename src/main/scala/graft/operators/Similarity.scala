@@ -1213,6 +1213,40 @@ object Similarity {
     labels
   }
 
+  /** One deterministic Lloyd (k-means) refinement step over the IVF
+    * seed cells, surfaced per (cell, dimension): the new centroid
+    * component, the seed component, and their drift — the
+    * index-maintenance query an ANN deployment runs to decide when
+    * to retrain ([[ivfTrain]]'s float avg() is fine for building an
+    * index, but auditing drift cross-engine needs exact arithmetic).
+    * Components quantize to micro-longs at the scan ⇒ per-cell sums
+    * are exact at any partition count; the new mean is ONE IEEE
+    * division of exact integers (bit-identical, UNROUNDED) and the
+    * drift one further subtraction of bit-identical doubles. No
+    * cross-dimension float sums anywhere — the (cell, dim) grid IS
+    * the output. Scale: assignment is the codegen'd
+    * [[assignCells]] scan; one (cell, dim) aggregate (nlist·dim
+    * cells); the seed table broadcasts.
+    */
+  def kmeansStep(embeddings: DataFrame, nlist: Int = 16): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val cents = ivfTrain(embeddings, nlist, iters = 0)
+    val e = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val g = assignCells(e, cents)
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .withColumn("qu", floor(col("x") * 1000000).cast("long"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).cast("long").as("n_cell"), sum(col("qu")).as("s"))
+    val old = cents.flatMap { case (cid, arr) =>
+      arr.zipWithIndex.map { case (x, i) => (cid, i, x) }
+    }.toSeq.toDF("cell", "dim", "mean_old")
+    val mn = col("s").cast("double") / (col("n_cell").cast("double") * lit(1000000.0))
+    g.join(broadcast(old), Seq("cell", "dim"))
+      .select(col("cell"), col("dim"), col("n_cell"),
+        mn.as("mean_new"), col("mean_old"), (mn - col("mean_old")).as("delta"))
+  }
+
   /** Resource-Allocation link prediction over the MUTUAL kNN graph:
     * score(a,b) = Σ_{z ∈ Γ(a)∩Γ(b)} 1/deg(z) — Adamic-Adar's
     * integer-friendly sibling (1/deg, not 1/log deg) and the

@@ -936,6 +936,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(comm === again)
   }
 
+  test("kmeans step: cell masses partition the corpus and one cell's mean matches a local recompute") {
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.kmeansStep(emb, 8).collect()
+    val byCell = got.groupBy(_.getInt(0))
+    // every cell reports the same n_cell on all dims, masses sum to the corpus
+    byCell.values.foreach(rs => assert(rs.map(_.getAs[Long]("n_cell")).distinct.length === 1))
+    assert(byCell.map(_._2.head.getAs[Long]("n_cell")).sum === emb.count())
+    // local recompute of cell 0's dim-0 mean from the same assignment
+    val cents = Similarity.ivfTrain(emb, 8, iters = 0)
+    val assigned = Similarity.assignCells(
+      emb.select(col("vec_id"), graft.functions.VectorFunctions.toDouble(col("embedding")).as("v")), cents)
+      .filter(col("cell") === 0).select("v").collect()
+      .map(_.getSeq[Double](0).head)
+    val want = assigned.map(x => math.floor(x * 1e6).toLong).sum.toDouble /
+      (assigned.length.toDouble * 1e6)
+    val row0 = got.find(r => r.getInt(0) === 0 && r.getInt(1) === 0).get
+    assert(row0.getAs[Double]("mean_new") === want)
+    assert(row0.getAs[Double]("delta") === want - row0.getAs[Double]("mean_old"))
+  }
+
   test("resource allocation: scores match a local adjacency recompute exactly") {
     val emb = Tables.embeddings(spark, sf)
     val und = Similarity.knnGraph(emb, 5)
