@@ -402,6 +402,8 @@ object SparkEntry {
         .dpo(Tables.events(s, dir), 10)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("dpo"))
         .orderBy("user_id", "ts_us")),
+    "q_tsi" -> ((s, dir) =>
+      TimeSeries.tsi(Tables.events(s, dir)).orderBy("user_id", "day")),
     // sketch estimates are engine-specific, so the query surface is
     // the checked twin: exact values hash-matched, sketch quality as
     // engine-deterministic within-bound booleans (oracle says TRUE)
@@ -5208,6 +5210,44 @@ object SparkEntry {
         |  e3 AS triple_ema,
         |  CASE WHEN prev != 0 THEN (e3 / prev - 1) * 100 END AS trix
         |FROM p
+        |ORDER BY user_id, day""".stripMargin,
+    // four nested EMA recurrences as seeded strict left folds (the
+    // q_trix determinism finding); TSI = one IEEE division of
+    // bit-identical doubles, UNROUNDED
+    "q_tsi" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id, list(close ORDER BY day) AS xs, list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), m AS (
+        |  SELECT user_id, ds,
+        |    list_transform(generate_series(2, len(xs)), i -> xs[i] - xs[i-1]) AS ms
+        |  FROM l0 WHERE len(xs) >= 2
+        |), r1 AS (
+        |  SELECT user_id, ds, ms, unnest(generate_series(1, len(ms))) AS rn FROM m
+        |), v1 AS (
+        |  SELECT user_id, ds, rn,
+        |    list_reduce(ms[1:rn], (y, x) -> (1 - 2.0/26) * y + (2.0/26) * x) AS e1,
+        |    list_reduce(list_transform(ms[1:rn], z -> abs(z)),
+        |      (y, x) -> (1 - 2.0/26) * y + (2.0/26) * x) AS e1a
+        |  FROM r1
+        |), l1 AS (
+        |  SELECT user_id, any_value(ds) AS ds,
+        |    list(e1 ORDER BY rn) AS e1s, list(e1a ORDER BY rn) AS e1as
+        |  FROM v1 GROUP BY user_id
+        |), r2 AS (
+        |  SELECT user_id, ds, e1s, e1as, unnest(generate_series(1, len(e1s))) AS rn FROM l1
+        |), v2 AS (
+        |  SELECT user_id, ds, rn,
+        |    list_reduce(e1s[1:rn], (y, x) -> (1 - 2.0/14) * y + (2.0/14) * x) AS e2,
+        |    list_reduce(e1as[1:rn], (y, x) -> (1 - 2.0/14) * y + (2.0/14) * x) AS e2a
+        |  FROM r2
+        |)
+        |SELECT user_id, strftime(ds[rn + 1], '%Y-%m-%d') AS day,
+        |  CASE WHEN e2a != 0 THEN 100.0 * e2 / e2a END AS tsi
+        |FROM v2
         |ORDER BY user_id, day""".stripMargin,
     "q_heikin_ashi" ->
       """WITH bars AS (

@@ -2603,18 +2603,8 @@ object TimeSeries {
   def trix(events: DataFrame, span: Int = 15,
            key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
     require(span >= 1, s"trix span must be positive: $span")
-    val a   = 2.0 / (span + 1)
-    val oma = 1 - a
-    // ONE aggregate() per stage that grows the output array as it
-    // folds (y appended per step) — NOT a transform-of-prefix-folds,
-    // whose per-element slice(src, …) re-evaluates the whole
-    // upstream array expression per element (measured 106s vs 7s on
-    // the gate fixture)
-    def emaSeries(src: Column): Column =
-      aggregate(
-        slice(src, lit(2), greatest(size(src) - 1, lit(0))),
-        array(element_at(src, 1)),
-        (acc, x) => concat(acc, array(lit(oma) * element_at(acc, -1) + lit(a) * x)))
+    val a = 2.0 / (span + 1)
+    def emaSeries(src: Column): Column = emaRecurrenceSeries(src, a)
     val g = events
       .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
       .agg(max_by(col(v), col(ts)).as("close"))
@@ -2836,6 +2826,22 @@ object TimeSeries {
     * integer domain the deterministic TA chains below fold in. */
   private def microQ(v: String): Column = floor(col(v) * 1000000).cast("long")
 
+  /** Full EMA series of an array as the seeded strict left fold of
+    * the recurrence y = (1−a)·y + a·x — ONE aggregate() that grows
+    * the output array as it folds (NOT a transform-of-prefix-folds,
+    * whose per-element slice(src, …) re-evaluates the whole upstream
+    * array expression per element: measured 106s vs 7s on the gate).
+    * Mirrors DuckDB's seeded list_reduce bit-for-bit — the
+    * engine-portable form of nested smoothings ([[trix]] notes why
+    * the closed form is not). */
+  private def emaRecurrenceSeries(src: Column, a: Double): Column = {
+    val oma = 1 - a
+    aggregate(
+      slice(src, lit(2), greatest(size(src) - 1, lit(0))),
+      array(element_at(src, 1)),
+      (acc, x) => concat(acc, array(lit(oma) * element_at(acc, -1) + lit(a) * x)))
+  }
+
   /** Linearly-Weighted Moving Average over the trailing n
     * observations (weight n for the newest, 1 for the oldest) — the
     * denoiser charting stacks pair with SMA when lag matters.
@@ -2920,5 +2926,46 @@ object TimeSeries {
     val smas = (0 until n).map(i => lag(qu, i).over(w)).reduce(_ + _)
     val num  = lit(n.toLong) * lag(qu, n / 2 + 1).over(w) - smas
     df.withColumn("dpo", num.cast("double") / lit(n * 1000000.0))
+  }
+
+  /** True Strength Index TSI(25,13) = 100 · E13(E25(mom)) /
+    * E13(E25(|mom|)) over daily-close momentum — the double-smoothed
+    * momentum oscillator whose sign survives noise a raw ROC flips
+    * on. FOUR nested EMA recurrences: each stage is the strict left
+    * fold [[emaRecurrenceSeries]] (the [[trix]] determinism finding
+    * — nested closed forms do NOT survive cross-engine), mirrored by
+    * DuckDB's seeded list_reduce, so numerator and denominator are
+    * bit-identical doubles and TSI is one IEEE division, UNROUNDED.
+    * Momentum itself is a single subtraction of identical doubles —
+    * no quantization needed. DECLARED BOUNDED-GROUP QUADRATIC like
+    * [[trix]] (oracle prefix folds; the Spark side is one linear
+    * array pass per stage); one groupBy shuffle, no windows.
+    */
+  def tsi(events: DataFrame, longSpan: Int = 25, shortSpan: Int = 13,
+          key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(longSpan >= 1 && shortSpan >= 1, s"spans must be positive: $longSpan, $shortSpan")
+    val aL = 2.0 / (longSpan + 1)
+    val aS = 2.0 / (shortSpan + 1)
+    val g = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("day"), col("close")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("xs", transform(col("arr"), x => x.getField("close")))
+      .withColumn("ms", zip_with(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        slice(col("xs"), lit(1), greatest(size(col("xs")) - 1, lit(0))),
+        (a, b) => a - b))
+      .filter(size(col("ms")) >= 1)
+      .withColumn("e2",  emaRecurrenceSeries(emaRecurrenceSeries(col("ms"), aL), aS))
+      .withColumn("e2a", emaRecurrenceSeries(
+        emaRecurrenceSeries(transform(col("ms"), abs(_)), aL), aS))
+    g.select(col(key), col("days"), col("e2a"),
+        posexplode(col("e2")).as(Seq("rn", "num")))
+      .withColumn("den", element_at(col("e2a"), col("rn") + 1))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 2), "yyyy-MM-dd").as("day"),
+        when(col("den") =!= 0, lit(100.0) * col("num") / col("den")).as("tsi"))
   }
 }

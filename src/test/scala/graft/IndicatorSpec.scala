@@ -791,6 +791,21 @@ class IndicatorSpec extends AnyFunSuite {
     assert(two(1).getAs[Double]("trix") === 0.1953125)
   }
 
+  test("tsi: constant steps read exactly +-100, a flat series guards to null") {
+    // constant +1 momentum: every EMA stage is a fixed point at 1 -> TSI = 100 exactly
+    val rising  = (0 until 8).map(i => 10.0 + i)
+    val falling = (0 until 8).map(i => 50.0 - i)
+    val flat    = Seq.fill(8)(30.0)
+    val got = TimeSeries.tsi(closesDf(Seq(1L -> rising, 2L -> falling, 3L -> flat)))
+      .collect().groupBy(_.getLong(0))
+    assert(got(1L).forall(_.getAs[Double]("tsi") === 100.0))
+    assert(got(2L).forall(_.getAs[Double]("tsi") === -100.0))
+    assert(got(3L).forall(_.isNullAt(2)), "zero momentum: 0/0 guards to null")
+    // two-step hand fold: moms [1, 3] -> e1 = [1, 1 + (2/26)*2], same for |.|, ratio 1
+    val two = TimeSeries.tsi(closesDf(Seq(1L -> Seq(1.0, 2.0, 5.0)))).collect()
+    assert(two.forall(_.getAs[Double]("tsi") === 100.0), "positive moms: num == den")
+  }
+
   test("heikin ashi: the recursive open halves exactly and the bull flag follows the anchors") {
     // single print per day => ha_close = close; opens fold (2,4,8) -> (2, 2, 3)
     val got = TimeSeries.heikinAshi(closesDf(Seq(1L -> Seq(2.0, 4.0, 8.0)))).orderBy("day").collect()
