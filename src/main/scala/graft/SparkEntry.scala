@@ -802,6 +802,8 @@ object SparkEntry {
     // repeated spans struck everywhere but the first holder
     "q_strip_spans" -> ((s, dir) =>
       Dedup.stripRepeatedSpans(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunks(Tables.documents(s, dir)).orderBy("source")),
     // asymmetric containment near-dup: subset/quote-inclusion pairs
     // Jaccard misses; stop-shingle df cap bounds the posting lists
     "q_containment" -> ((s, dir) =>
@@ -3405,6 +3407,50 @@ object SparkEntry {
         |  CAST(len(ts) AS BIGINT) AS n_toks,
         |  CAST(len(ts) - len(ks) AS BIGINT) AS n_removed
         |FROM kept ORDER BY doc_id""".stripMargin,
+    // gear-hash CDC: the rolling cut state is an exact-integer
+    // struct fold (seeded from the first char — list_reduce has no
+    // init), mirrored element-for-element
+    "q_cdc_chunks" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    list_transform(generate_series(1, length(text)), i -> unicode(text[i])) AS codes
+        |  FROM documents
+        |), el AS (
+        |  -- state rides a FLAT BIGINT list [h, pos, last, cut...]:
+        |  -- DuckDB 1.0's list_reduce evaluates struct-field lambdas
+        |  -- inconsistently (minimal repro: conditional list_append
+        |  -- in one field sees a different iteration's state)
+        |  SELECT doc_id, source, text,
+        |    list_transform(codes, c -> [(CAST(c AS BIGINT) * 2654435761) % 4294967296, 1, 0]) AS els
+        |  FROM d
+        |), f AS (
+        |  SELECT doc_id, source, text,
+        |    list_reduce(els, (a, x) ->
+        |      CASE WHEN (a[2] + 1 - a[3] >= 16) AND ((a[1]*2 + x[1]) % 4294967296) % 64 = 0
+        |           THEN list_concat([0, a[2] + 1, a[2] + 1], list_concat(a[4:], [a[2] + 1]))
+        |           ELSE list_concat([(a[1]*2 + x[1]) % 4294967296, a[2] + 1, a[3]], a[4:]) END) AS st
+        |  FROM el
+        |), bb AS (
+        |  SELECT doc_id, source, text,
+        |    list_prepend(0, st[4:]) AS starts,
+        |    list_append(st[4:], CAST(length(text) AS BIGINT)) AS ends
+        |  FROM f
+        |), ch0 AS (
+        |  SELECT doc_id, source, text,
+        |    unnest(list_transform(generate_series(1, len(starts)),
+        |      i -> {'s': starts[i], 'e': ends[i]})) AS se
+        |  FROM bb
+        |), ch AS (
+        |  SELECT doc_id, source, CAST(se.e - se.s AS BIGINT) AS chunk_len,
+        |    md5(substr(text, se.s + 1, se.e - se.s)) AS chunk_md5
+        |  FROM ch0 WHERE se.e > se.s
+        |)
+        |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT chunk_md5) AS BIGINT) AS n_unique,
+        |  CAST(count(*) - count(DISTINCT chunk_md5) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio,
+        |  CAST(sum(chunk_len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chunk_len
+        |FROM ch GROUP BY 1 ORDER BY source""".stripMargin,
     // integer overlap / min-size ratio — one IEEE division, exact on
     // both engines; sizes computed AFTER the df cap on both sides
     "q_containment" ->

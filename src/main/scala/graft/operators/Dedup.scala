@@ -969,4 +969,72 @@ object Dedup {
         (col("inter").cast("double") /
           least(col("n_a"), col("n_b")).cast("double")).as("containment"))
   }
+
+  /** Content-Defined Chunking dedup audit (the FastCDC/gear-hash
+    * family): every document splits at positions where a rolling
+    * gear hash hits a boundary mask, so an insertion early in a
+    * shared passage SHIFTS chunk boundaries with the content instead
+    * of breaking every fixed-width window downstream — the chunking
+    * storage dedup and incremental-sync pipelines run before
+    * hashing. Per source: chunk count, distinct chunk count, dup
+    * ratio, mean chunk length. ALL-INTEGER rolling state: gear
+    * g(c) = c·2654435761 mod 2³², roll h = (2h + g(c)) mod 2³², cut
+    * when h mod `mask` == 0 and ≥ `minLen` chars since the last cut
+    * (then h resets) — exact long arithmetic both engines, seeded
+    * from the first char (the [[TimeSeries.trix]] seeded-fold
+    * convention, since DuckDB's list_reduce has no init). Chunk
+    * identity is md5 of the substring. One scan + one linear fold
+    * per doc (state is O(cuts)); per-source aggregate. The oracle
+    * mirrors the fold as a struct-element list_reduce.
+    */
+  def cdcChunks(documents: DataFrame, mask: Long = 64L, minLen: Int = 16): DataFrame = {
+    require(mask >= 2 && minLen >= 1, s"mask/minLen out of range: $mask, $minLen")
+    val gearMul = 2654435761L
+    val m32     = 4294967296L
+    def gear(c: Column): Column = (c.cast("long") * gearMul) % m32
+    val codes = transform(
+      sequence(lit(1), length(col("text"))),
+      i => ascii(col("text").substr(i, lit(1))))
+    // fold state: (h, pos, last-cut position, cut positions)
+    val zero = struct(
+      gear(element_at(col("codes"), 1)).as("h"),
+      lit(1).as("pos"), lit(0).as("last"),
+      array().cast("array<int>").as("bounds"))
+    val folded = aggregate(
+      slice(col("codes"), lit(2), greatest(size(col("codes")) - 1, lit(0))),
+      zero,
+      (acc, c) => {
+        val h2   = (acc.getField("h") * 2 + gear(c)) % m32
+        val pos2 = acc.getField("pos") + 1
+        val cut  = (pos2 - acc.getField("last") >= minLen) && (h2 % mask === 0)
+        struct(
+          when(cut, lit(0L)).otherwise(h2).as("h"),
+          pos2.as("pos"),
+          when(cut, pos2).otherwise(acc.getField("last")).as("last"),
+          when(cut, concat(acc.getField("bounds"), array(pos2)))
+            .otherwise(acc.getField("bounds")).as("bounds"))
+      })
+    val b = documents
+      .withColumn("codes", codes)
+      .withColumn("bounds", folded.getField("bounds"))
+      .withColumn("starts", concat(array(lit(0)), col("bounds")))
+      .withColumn("ends", concat(col("bounds"), array(length(col("text")))))
+    val chunks = b
+      .select(col("doc_id"), col("source"), col("text"),
+        posexplode(zip_with(col("starts"), col("ends"),
+          (s, e) => struct(s.as("s"), e.as("e")))).as(Seq("idx", "se")))
+      .filter(col("se.e") > col("se.s"))
+      .select(col("doc_id"), col("source"),
+        (col("se.e") - col("se.s")).cast("long").as("chunk_len"),
+        md5(expr("substring(text, se.s + 1, se.e - se.s)")).as("chunk_md5"))
+    chunks.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_chunks"),
+        countDistinct(col("chunk_md5")).cast("long").as("n_unique"),
+        sum(col("chunk_len")).as("total_chars"))
+      .select(col("source"), col("n_docs"), col("n_chunks"), col("n_unique"),
+        ((col("n_chunks") - col("n_unique")).cast("double") /
+          col("n_chunks").cast("double")).as("dup_ratio"),
+        (col("total_chars").cast("double") / col("n_chunks").cast("double")).as("avg_chunk_len"))
+  }
 }

@@ -936,6 +936,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(comm === again)
   }
 
+  test("cdc chunks: identical twins read dup_ratio 0.5; a shifted twin still resyncs shared chunks") {
+    import spark.implicits._
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value",
+      "part", "hash", "merge", "batch", "spark", "line", "sort", "window")
+    val t = (0 until 120)
+      .map(i => words((i * i + i) % 16) + words((i * 13 + 5) % 16) + (i % 10)).mkString(" ")
+    def cdc(rows: (Long, String)*) =
+      Dedup.cdcChunks(rows.map { case (id, tx) => (id, tx, "s") }.toDF("doc_id", "text", "source")).head()
+    val s1 = cdc(1L -> t)
+    val s2 = cdc(1L -> ("zz " + t))
+    // exact twins: the unique-chunk set is exactly one doc's
+    val twin = cdc(1L -> t, 2L -> t)
+    assert(twin.getAs[Long]("n_chunks") === 2 * s1.getAs[Long]("n_chunks"))
+    assert(twin.getAs[Long]("n_unique") === s1.getAs[Long]("n_unique"))
+    // a 3-char prefix insertion shifts every byte, but the rolling
+    // window resyncs: content-defined boundaries recover shared
+    // chunks where fixed-width windows would share none
+    val pair = cdc(1L -> t, 2L -> ("zz " + t))
+    assert(pair.getAs[Long]("n_unique") <
+      s1.getAs[Long]("n_unique") + s2.getAs[Long]("n_unique"),
+      "shifted twin must share resynced chunks")
+  }
+
   test("kmeans step: cell masses partition the corpus and one cell's mean matches a local recompute") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.kmeansStep(emb, 8).collect()
