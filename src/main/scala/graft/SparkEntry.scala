@@ -404,6 +404,12 @@ object SparkEntry {
         .orderBy("user_id", "ts_us")),
     "q_tsi" -> ((s, dir) =>
       TimeSeries.tsi(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_force_index" -> ((s, dir) =>
+      TimeSeries.forceIndex(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_elder_ray" -> ((s, dir) =>
+      TimeSeries.elderRay(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_adl_chaikin" -> ((s, dir) =>
+      TimeSeries.adlChaikin(Tables.events(s, dir)).orderBy("user_id", "day")),
     // sketch estimates are engine-specific, so the query surface is
     // the checked twin: exact values hash-matched, sketch quality as
     // engine-deterministic within-bound booleans (oracle says TRUE)
@@ -5295,6 +5301,82 @@ object SparkEntry {
         |  CASE WHEN e2a != 0 THEN 100.0 * e2 / e2a END AS tsi
         |FROM v2
         |ORDER BY user_id, day""".stripMargin,
+    // raw FI is the exact long Δqc·vol over constant 1e6; the EMA(13)
+    // is the seeded strict-left-fold recurrence (q_trix finding),
+    // bit-identical to Spark's aggregate() fold — UNROUNDED
+    "q_force_index" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id,
+        |    list(CAST(floor(close * 1000000) AS BIGINT) ORDER BY day) AS qcs,
+        |    list(volume ORDER BY day) AS vols,
+        |    list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), m AS (
+        |  SELECT user_id, ds,
+        |    list_transform(generate_series(2, len(qcs)),
+        |      i -> CAST((qcs[i] - qcs[i-1]) * vols[i] AS DOUBLE)) AS fis
+        |  FROM l0 WHERE len(qcs) >= 2
+        |), r AS (
+        |  SELECT user_id, ds, fis, unnest(generate_series(1, len(fis))) AS rn FROM m
+        |)
+        |SELECT user_id, strftime(ds[rn + 1], '%Y-%m-%d') AS day,
+        |  fis[rn] / 1000000 AS force_raw,
+        |  list_reduce(fis[1:rn], (y, x) -> (1 - 2.0/14) * y + (2.0/14) * x) / 1000000 AS force_ema
+        |FROM r ORDER BY user_id, day""".stripMargin,
+    // bull/bear power = exact bar double minus the EMA(13) strict
+    // left fold over raw closes — one subtraction, UNROUNDED
+    "q_elder_ray" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id,
+        |    list(high ORDER BY day) AS hs, list(low ORDER BY day) AS ls,
+        |    list(close ORDER BY day) AS cs, list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), r AS (
+        |  SELECT user_id, ds, hs, ls, cs, unnest(generate_series(1, len(cs))) AS rn FROM l0
+        |)
+        |SELECT user_id, strftime(ds[rn], '%Y-%m-%d') AS day,
+        |  hs[rn] - list_reduce(cs[1:rn], (y, x) -> (1 - 2.0/14) * y + (2.0/14) * x) AS bull_power,
+        |  ls[rn] - list_reduce(cs[1:rn], (y, x) -> (1 - 2.0/14) * y + (2.0/14) * x) AS bear_power
+        |FROM r ORDER BY user_id, day""".stripMargin,
+    // mfv is one fixed IEEE chain per bar; ADL is the strict-left
+    // cumsum fold (windowed running SUM over doubles is not engine-
+    // portable — DuckDB tree-aggregates); both smoothings fold the
+    // SAME adl list — all UNROUNDED
+    "q_adl_chaikin" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close,
+        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id,
+        |    list(CASE WHEN high != low
+        |         THEN ((close - low) - (high - close)) / (high - low) * CAST(volume AS DOUBLE)
+        |         ELSE 0.0 END ORDER BY day) AS mfvs,
+        |    list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), a AS (
+        |  SELECT user_id, ds,
+        |    list_transform(generate_series(1, len(mfvs)),
+        |      i -> list_reduce(mfvs[1:i], (y, x) -> y + x)) AS adls
+        |  FROM l0 WHERE len(mfvs) >= 1
+        |), r AS (
+        |  SELECT user_id, ds, adls, unnest(generate_series(1, len(adls))) AS rn FROM a
+        |)
+        |SELECT user_id, strftime(ds[rn], '%Y-%m-%d') AS day,
+        |  adls[rn] AS adl,
+        |  list_reduce(adls[1:rn], (y, x) -> (1 - 2.0/4) * y + (2.0/4) * x)
+        |    - list_reduce(adls[1:rn], (y, x) -> (1 - 2.0/11) * y + (2.0/11) * x) AS chaikin_osc
+        |FROM r ORDER BY user_id, day""".stripMargin,
     "q_heikin_ashi" ->
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS bar_start,

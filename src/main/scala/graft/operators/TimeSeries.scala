@@ -2968,4 +2968,140 @@ object TimeSeries {
         date_format(element_at(col("days"), col("rn") + 2), "yyyy-MM-dd").as("day"),
         when(col("den") =!= 0, lit(100.0) * col("num") / col("den")).as("tsi"))
   }
+
+  /** Cumulative-sum series as the seeded strict left fold of y += x
+    * — the running-sum sibling of [[emaRecurrenceSeries]], mirrored
+    * by DuckDB's seeded list_reduce so the partial sums accumulate
+    * in IDENTICAL order (a windowed running SUM over doubles is NOT
+    * portable: DuckDB tree-aggregates larger frames, the r11
+    * q_heikin_ashi finding). */
+  private def cumSumSeries(src: Column): Column =
+    aggregate(
+      slice(src, lit(2), greatest(size(src) - 1, lit(0))),
+      array(element_at(src, 1)),
+      (acc, x) => concat(acc, array(element_at(acc, -1) + x)))
+
+  /** Elder's Force Index: FI_t = (close_t − close_{t−1}) · volume_t
+    * on daily bars, smoothed with EMA(span) — the price-move ×
+    * participation gauge under the reference's indicator-chart
+    * family (app.py:470-475 analog). Determinism: closes micro-
+    * quantize so every raw FI is the EXACT long Δqc·vol (surfaced as
+    * that integer over the constant 1e6 — one IEEE division of exact
+    * operands), and the smoothing is the strict left fold
+    * [[emaRecurrenceSeries]] over those exact doubles, mirrored by
+    * DuckDB's seeded list_reduce — bit-identical, UNROUNDED, no
+    * overflow horizon. DECLARED BOUNDED-GROUP (per-key day count is
+    * calendar-bounded) like [[tsi]]; one bar aggregate + one groupBy
+    * shuffle, no windows.
+    */
+  def forceIndex(events: DataFrame, span: Int = 13,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(span >= 1, s"span must be positive: $span")
+    val a   = 2.0 / (span + 1)
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    val g = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("day"), col("close"), col("volume")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("qcs",  transform(col("arr"), x => floor(x.getField("close") * 1000000).cast("long")))
+      .withColumn("vols", transform(col("arr"), x => x.getField("volume")))
+      // FI_i = (qc_i − qc_{i−1}) · vol_i for i = 2..n — exact longs
+      .withColumn("fis", zip_with(
+        slice(col("qcs"), lit(2), greatest(size(col("qcs")) - 1, lit(0))),
+        zip_with(
+          slice(col("qcs"), lit(1), greatest(size(col("qcs")) - 1, lit(0))),
+          slice(col("vols"), lit(2), greatest(size(col("vols")) - 1, lit(0))),
+          (prev, vl) => struct(prev.as("p"), vl.as("v"))),
+        (cur, pv) => ((cur - pv.getField("p")) * pv.getField("v")).cast("double")))
+      .filter(size(col("fis")) >= 1)
+      .withColumn("ema", emaRecurrenceSeries(col("fis"), a))
+    g.select(col(key), col("days"), col("fis"),
+        posexplode(col("ema")).as(Seq("rn", "fe")))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 2), "yyyy-MM-dd").as("day"),
+        (element_at(col("fis"), col("rn") + 1) / 1000000).as("force_raw"),
+        (col("fe") / 1000000).as("force_ema"))
+  }
+
+  /** Elder-Ray bull/bear power on daily OHLC bars: bull = high −
+    * EMA(span, close), bear = low − EMA(span, close) — how far the
+    * day's extremes push past consensus value. The EMA is the strict
+    * left fold over RAW closes (bit-identical to DuckDB's seeded
+    * list_reduce, the [[trix]] determinism finding), and each power
+    * is ONE subtraction of an exact bar double from that fold double
+    * — deterministic cross-engine, UNROUNDED. Same bounded-group
+    * fold shape as [[tsi]].
+    */
+  def elderRay(events: DataFrame, span: Int = 13,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(span >= 1, s"span must be positive: $span")
+    val a = 2.0 / (span + 1)
+    val g = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max(col(v)).as("high"), min(col(v)).as("low"),
+        max_by(col(v), col(ts)).as("close"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(
+        struct(col("day"), col("high"), col("low"), col("close")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("hs",   transform(col("arr"), x => x.getField("high")))
+      .withColumn("ls",   transform(col("arr"), x => x.getField("low")))
+      .withColumn("ema",  emaRecurrenceSeries(
+        transform(col("arr"), x => x.getField("close")), a))
+    g.select(col(key), col("days"), col("hs"), col("ls"),
+        posexplode(col("ema")).as(Seq("rn", "e")))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 1), "yyyy-MM-dd").as("day"),
+        (element_at(col("hs"), col("rn") + 1) - col("e")).as("bull_power"),
+        (element_at(col("ls"), col("rn") + 1) - col("e")).as("bear_power"))
+  }
+
+  /** Accumulation/Distribution Line + Chaikin oscillator on daily
+    * OHLC+volume bars: per-bar money-flow volume mfv = vol ·
+    * ((close−low)−(high−close))/(high−low) (flat bar → 0, the
+    * [[cmf]] convention), ADL = running sum of mfv, Chaikin =
+    * EMA(fast, ADL) − EMA(slow, ADL). Every mfv is ONE fixed IEEE
+    * chain over exact 2dp bar doubles; the running sum is the
+    * strict left fold [[cumSumSeries]] (windowed running SUM over
+    * doubles is not engine-portable — DuckDB tree-aggregates), and
+    * both smoothings are [[emaRecurrenceSeries]] folds of the SAME
+    * adl array — all bit-identical to the DuckDB list_reduce
+    * mirror, UNROUNDED. Bounded-group fold shape, one bar aggregate
+    * + one groupBy shuffle.
+    */
+  def adlChaikin(events: DataFrame, fast: Int = 3, slow: Int = 10,
+                 key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(fast >= 1 && slow > fast, s"spans must satisfy 1 <= fast < slow: $fast, $slow")
+    val aF  = 2.0 / (fast + 1)
+    val aS  = 2.0 / (slow + 1)
+    val vol = get_json_object(col("props"), "$.k").cast("long")
+    val g = events
+      .withColumn("vol", coalesce(vol, lit(0L)))
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max(col(v)).as("high"), min(col(v)).as("low"),
+        max_by(col(v), col(ts)).as("close"), sum(col("vol")).as("volume"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(
+        col("day"), col("high"), col("low"), col("close"), col("volume")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("mfvs", transform(col("arr"), x => {
+        val h = x.getField("high"); val l = x.getField("low"); val c = x.getField("close")
+        when(h =!= l,
+          ((c - l) - (h - c)) / (h - l) * x.getField("volume").cast("double"))
+          .otherwise(lit(0.0))
+      }))
+      .filter(size(col("mfvs")) >= 1)
+      .withColumn("adls", cumSumSeries(col("mfvs")))
+      .withColumn("ef", emaRecurrenceSeries(col("adls"), aF))
+      .withColumn("es", emaRecurrenceSeries(col("adls"), aS))
+    g.select(col(key), col("days"), col("es"),
+        posexplode_outer(arrays_zip(col("adls"), col("ef"))).as(Seq("rn", "z")))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 1), "yyyy-MM-dd").as("day"),
+        col("z").getField("adls").as("adl"),
+        (col("z").getField("ef") - element_at(col("es"), col("rn") + 1)).as("chaikin_osc"))
+  }
 }

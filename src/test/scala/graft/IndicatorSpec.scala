@@ -806,6 +806,76 @@ class IndicatorSpec extends AnyFunSuite {
     assert(two.forall(_.getAs[Double]("tsi") === 100.0), "positive moms: num == den")
   }
 
+  test("force index: raw FI is the exact integer price-move x volume; EMA matches the left fold") {
+    import spark.implicits._
+    val closes = Vector(10.0, 12.0, 11.0, 15.0)
+    val vols   = Vector(2L, 3L, 4L, 5L)
+    val df = closes.zip(vols).zipWithIndex.map { case ((c, k), i) =>
+      (1L, i.toLong, i.toLong, c, s"""{"k":$k}""") }
+      .toDF("user_id", "event_id", "d", "value", "props")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L)).drop("d")
+    val got = TimeSeries.forceIndex(df).orderBy("day").collect()
+    assert(got.length === 3, "first day has no previous close")
+    // (12-10)*3, (11-12)*4, (15-11)*5 — exact at the 2dp price scale
+    assert(got.map(_.getAs[Double]("force_raw")).toSeq === Seq(6.0, -4.0, 20.0))
+    val a = 2.0 / 14
+    val fiMicro = (1 until 4).map(i =>
+      ((math.floor(closes(i) * 1e6).toLong - math.floor(closes(i - 1) * 1e6).toLong) * vols(i)).toDouble)
+    val folds = fiMicro.tail.scanLeft(fiMicro.head)((y, x) => (1 - a) * y + a * x)
+    assert(got.map(_.getAs[Double]("force_ema")).toSeq === folds.map(_ / 1000000))
+  }
+
+  test("elder ray: constant series reads exactly zero power; powers match the hand EMA fold") {
+    val got0 = TimeSeries.elderRay(closesDf(Seq(1L -> Seq.fill(6)(25.0)))).collect()
+    assert(got0.length === 6)
+    assert(got0.forall(r =>
+      r.getAs[Double]("bull_power") === 0.0 && r.getAs[Double]("bear_power") === 0.0),
+      "EMA of a constant is a fixed point: both powers exactly 0")
+    val cs  = Seq(2.0, 4.0, 8.0)
+    val got = TimeSeries.elderRay(closesDf(Seq(1L -> cs))).orderBy("day").collect()
+    val a   = 2.0 / 14
+    val ema = cs.tail.scanLeft(cs.head)((y, x) => (1 - a) * y + a * x)
+    got.zipWithIndex.foreach { case (r, i) =>
+      // single-tick bars: high == low == close, so both powers are close - ema
+      assert(r.getAs[Double]("bull_power") === cs(i) - ema(i), s"row $i bull")
+      assert(r.getAs[Double]("bear_power") === cs(i) - ema(i), s"row $i bear")
+    }
+  }
+
+  test("adl/chaikin: ADL is the cumsum fold of money-flow volume; first-bar oscillator is exactly 0") {
+    import spark.implicits._
+    val hi   = Vector(11.0, 12.0, 10.0, 14.0, 12.0)
+    val lo   = Vector(10.0, 10.5, 10.0, 11.0, 9.0)
+    val cl   = Vector(10.5, 11.0, 10.0, 13.0, 10.0)
+    val vols = Vector(4L, 6L, 3L, 8L, 5L)
+    val rows = (0 until 5).flatMap { d =>
+      val base = d.toLong * 86400L + 3600L
+      Seq((1L, d * 10L + 0L, base, lo(d), s"""{"k":${vols(d) - 2}}"""),
+        (1L, d * 10L + 1L, base + 60L, hi(d), s"""{"k":1}"""),
+        (1L, d * 10L + 2L, base + 120L, cl(d), s"""{"k":1}"""))
+    }
+    val df = rows.toDF("user_id", "event_id", "t_s", "value", "props")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = TimeSeries.adlChaikin(df).orderBy("day").collect()
+    val mfv = (0 until 5).map { d =>
+      val h = math.max(hi(d), math.max(lo(d), cl(d)))
+      val l = math.min(lo(d), math.min(hi(d), cl(d)))
+      val c = cl(d)
+      if (h == l) 0.0 else ((c - l) - (h - c)) / (h - l) * vols(d).toDouble
+    }
+    val adl = mfv.tail.scanLeft(mfv.head)(_ + _)
+    val aF  = 2.0 / 4
+    val aS  = 2.0 / 11
+    val ef  = adl.tail.scanLeft(adl.head)((y, x) => (1 - aF) * y + aF * x)
+    val es  = adl.tail.scanLeft(adl.head)((y, x) => (1 - aS) * y + aS * x)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("adl") === adl(i), s"row $i adl")
+      assert(r.getAs[Double]("chaikin_osc") === ef(i) - es(i), s"row $i chaikin")
+    }
+    assert(got.head.getAs[Double]("chaikin_osc") === 0.0, "both folds seed at adl[1]")
+    assert(mfv(2) === 0.0, "the flat bar contributes zero money flow")
+  }
+
   test("heikin ashi: the recursive open halves exactly and the bull flag follows the anchors") {
     // single print per day => ha_close = close; opens fold (2,4,8) -> (2, 2, 3)
     val got = TimeSeries.heikinAshi(closesDf(Seq(1L -> Seq(2.0, 4.0, 8.0)))).orderBy("day").collect()
