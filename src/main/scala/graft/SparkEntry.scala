@@ -1209,6 +1209,12 @@ object SparkEntry {
         .orderBy("o_orderpriority")),
     "q_runs_test" -> ((s, dir) =>
       Stats.runsTest(Tables.events(s, dir)).orderBy("user_id")),
+    "q_sign_test" -> ((s, dir) =>
+      Stats.signTest(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_wilcoxon_signed" -> ((s, dir) =>
+      Stats.wilcoxonSigned(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_perm_entropy" -> ((s, dir) =>
+      Stats.permutationEntropy(Tables.events(s, dir)).orderBy("user_id")),
     "q_discount_elasticity" -> ((s, dir) =>
       Relational.discountElasticity(Tables.lineitem(s, dir), Tables.part(s, dir))
         .orderBy("p_brand")),
@@ -7799,6 +7805,105 @@ object SparkEntry {
         |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
         |    AS z_runs
         |FROM h ORDER BY user_id""".stripMargin,
+    // everything up to z is exact integer counts (micro-return
+    // comparison, ties drop); z one IEEE chain, UNROUNDED
+    "q_sign_test" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, day, CAST(floor(ret * 1000000) AS BIGINT) AS mk FROM r0
+        |), b AS (
+        |  SELECT day, mk AS mb FROM r WHERE user_id = 0
+        |), j AS (
+        |  SELECT r.user_id, r.mk, b.mb FROM r JOIN b USING (day) WHERE r.user_id != 0
+        |), g AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN mk > mb THEN 1 ELSE 0 END) AS BIGINT) AS n_plus,
+        |    CAST(sum(CASE WHEN mk < mb THEN 1 ELSE 0 END) AS BIGINT) AS n_minus
+        |  FROM j GROUP BY 1
+        |)
+        |SELECT user_id, n_plus, n_minus,
+        |  CASE WHEN n_plus + n_minus > 0
+        |    THEN CAST(n_plus - n_minus AS DOUBLE) / sqrt(CAST(n_plus + n_minus AS DOUBLE))
+        |  END AS sign_z
+        |FROM g ORDER BY user_id""".stripMargin,
+    // tie blocks reduce per (key, |d|); doubled average rank
+    // 2·cum(t)−t+1, doubled mean n(n+1)/2 and 48σ² are exact longs;
+    // z = (W2−m2)·√(12/S) one IEEE chain, UNROUNDED
+    "q_wilcoxon_signed" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, day, CAST(floor(ret * 1000000) AS BIGINT) AS mk FROM r0
+        |), b AS (
+        |  SELECT day, mk AS mb FROM r WHERE user_id = 0
+        |), j AS (
+        |  SELECT r.user_id, r.mk - b.mb AS d FROM r JOIN b USING (day) WHERE r.user_id != 0
+        |), jd AS (
+        |  SELECT user_id, d, abs(d) AS ad FROM j WHERE d != 0
+        |), blocks AS (
+        |  SELECT user_id, ad, CAST(count(*) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        |  FROM jd GROUP BY 1, 2
+        |), rb AS (
+        |  SELECT user_id, t, tp,
+        |    CAST(2 * sum(t) OVER (PARTITION BY user_id ORDER BY ad ROWS UNBOUNDED PRECEDING)
+        |      - t + 1 AS BIGINT) AS dr
+        |  FROM blocks
+        |), a AS (
+        |  SELECT user_id, CAST(sum(t) AS BIGINT) AS n_days,
+        |    CAST(sum(tp * dr) AS BIGINT) AS w2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie3
+        |  FROM rb GROUP BY 1
+        |)
+        |SELECT user_id, n_days, w2 / 2.0 AS w_plus,
+        |  CASE WHEN 2 * n_days * (n_days + 1) * (2 * n_days + 1) - tie3 > 0
+        |    THEN CAST(w2 - (n_days * (n_days + 1)) // 2 AS DOUBLE)
+        |      * sqrt(12.0 / CAST(2 * n_days * (n_days + 1) * (2 * n_days + 1) - tie3 AS DOUBLE))
+        |  END AS wilcoxon_z
+        |FROM a ORDER BY user_id""".stripMargin,
+    // ordinal pattern ids are exact integer arithmetic over two lags
+    // of the micro close (lexicographic (value, idx) ranks); counts
+    // exact longs on a <=6-row grid; entropy a bounded 6-term sum, 6dp
+    "q_perm_entropy" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), x AS (
+        |  SELECT user_id, day,
+        |    CAST(floor(close * 1000000) AS BIGINT) AS x2,
+        |    lag(CAST(floor(close * 1000000) AS BIGINT), 2) OVER w AS x0,
+        |    lag(CAST(floor(close * 1000000) AS BIGINT), 1) OVER w AS x1
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY x0 IS NOT NULL
+        |), p AS (
+        |  SELECT user_id,
+        |    (CASE WHEN x1 < x0 THEN 1 ELSE 0 END + CASE WHEN x2 < x0 THEN 1 ELSE 0 END) * 9
+        |    + (CASE WHEN x0 <= x1 THEN 1 ELSE 0 END + CASE WHEN x2 < x1 THEN 1 ELSE 0 END) * 3
+        |    + (CASE WHEN x0 <= x2 THEN 1 ELSE 0 END + CASE WHEN x1 <= x2 THEN 1 ELSE 0 END) AS pid
+        |  FROM x
+        |), c AS (
+        |  SELECT user_id, pid, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY 1, 2
+        |), n AS (
+        |  SELECT user_id, pid, c, sum(c) OVER (PARTITION BY user_id) AS n_tr FROM c
+        |)
+        |SELECT user_id, CAST(max(n_tr) AS BIGINT) AS n_triples,
+        |  CAST(count(*) AS BIGINT) AS n_patterns,
+        |  round(-sum((CAST(c AS DOUBLE) / CAST(n_tr AS DOUBLE))
+        |    * ln(CAST(c AS DOUBLE) / CAST(n_tr AS DOUBLE))) / ln(6), 6) AS perm_entropy
+        |FROM n GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_discount_elasticity" ->
       """WITH m AS (
         |  SELECT p_brand, count(*) AS n,

@@ -1361,4 +1361,118 @@ object Stats {
       .select(col(key), col("n"), col("t2"), col("p_cheb"), col("bh_rank"), col("m"),
         coalesce(col("bh_rank") <= col("k_max"), lit(false)).as("rejected"))
   }
+
+  /** Paired sign test of every key's daily returns vs the benchmark
+    * key: on the matched day grid, n₊ = days the key beat the
+    * benchmark, n₋ = days it lost (integer micro-return comparison;
+    * ties carry no information and drop — the classical convention),
+    * z = (n₊ − n₋)/√(n₊+n₋) under H0 p = ½. The distribution-free
+    * median-drift companion of [[welchTTest]] (means) and the
+    * Wilcoxon ([[wilcoxonSigned]], magnitudes): everything up to z
+    * is exact integer counts, z ONE IEEE chain, UNROUNDED. The
+    * benchmark is one key ⇒ broadcast; one aggregate, no windows.
+    */
+  def signTest(events: DataFrame, benchmarkId: Long = 0L,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = graft.operators.TimeSeries.dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    val bench = broadcast(rets.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mk").as("mb")))
+    rets.filter(col(key) =!= benchmarkId)
+      .join(bench, Seq("day"))
+      .groupBy(col(key))
+      .agg(
+        sum(when(col("mk") > col("mb"), 1L).otherwise(0L)).as("n_plus"),
+        sum(when(col("mk") < col("mb"), 1L).otherwise(0L)).as("n_minus"))
+      .withColumn("sign_z",
+        when(col("n_plus") + col("n_minus") > 0,
+          (col("n_plus") - col("n_minus")).cast("double") /
+            sqrt((col("n_plus") + col("n_minus")).cast("double"))))
+  }
+
+  /** Wilcoxon signed-rank test of every key's daily returns vs the
+    * benchmark: rank |d| (d = micro-return difference, zeros drop)
+    * with AVERAGE ranks on ties, W⁺ = rank sum over positive d,
+    * z = (W⁺ − n(n+1)/4)/σ with the tie-corrected σ² = n(n+1)(2n+1)/
+    * 24 − Σ(t³−t)/48. Rank determinism without per-row windows: tie
+    * BLOCKS reduce per (key, |d|) first (t members, t⁺ positive),
+    * the block's doubled average rank is the exact integer
+    * 2·cum(t) − t + 1 off one bounded per-key prefix window, so
+    * W2 = Σ t⁺·dr (doubled W⁺), the doubled mean n(n+1)/2, and
+    * 48σ² = 2n(n+1)(2n+1) − Σ(t³−t) are ALL exact longs — z is the
+    * single IEEE chain (W2 − m2)·√(12/S), UNROUNDED (the
+    * [[mannWhitney]] doubled-half-rank recipe on the paired axis).
+    */
+  def wilcoxonSigned(events: DataFrame, benchmarkId: Long = 0L,
+                     key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = graft.operators.TimeSeries.dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    val bench = broadcast(rets.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mk").as("mb")))
+    val blocks = rets.filter(col(key) =!= benchmarkId)
+      .join(bench, Seq("day"))
+      .withColumn("d", col("mk") - col("mb"))
+      .filter(col("d") =!= 0L)
+      .groupBy(col(key), abs(col("d")).as("ad"))
+      .agg(count(lit(1)).cast("long").as("t"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("tp"))
+    val wc = Window.partitionBy(key).orderBy("ad")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val agg = blocks
+      .withColumn("dr", lit(2L) * sum(col("t")).over(wc) - col("t") + 1L)
+      .groupBy(col(key))
+      .agg(sum(col("t")).as("n_days"),
+        sum(col("tp") * col("dr")).as("w2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("tie3"))
+    val n  = col("n_days")
+    val m2 = n * (n + 1L) / lit(2L)
+    val s48 = lit(2L) * n * (n + 1L) * (lit(2L) * n + 1L) - col("tie3")
+    agg.select(col(key), col("n_days"),
+      (col("w2").cast("double") / 2.0).as("w_plus"),
+      when(s48 > 0,
+        (col("w2") - m2).cast("double") * sqrt(lit(12.0) / s48.cast("double")))
+        .as("wilcoxon_z"))
+  }
+
+  /** Permutation entropy (order 3, normalized) per key over daily
+    * closes — the model-free series-complexity score (0 = perfectly
+    * predictable ordinal structure, 1 = all six up/down/flat-shape
+    * patterns equally likely), the ordinal companion of the Markov
+    * [[graft.operators.EventAnalytics.entropyRate]]. Each day's
+    * ordinal pattern id is EXACT integer arithmetic over two lags of
+    * the micro-quantized close (ties break by time index —
+    * lexicographic (value, idx) rank, so every triple maps to one of
+    * the 6 permutations deterministically); pattern counts are exact
+    * longs on a ≤6-row per-key grid, and the entropy is a bounded
+    * 6-term sum at 6dp (the chi²/mutual-info float recipe). One lag
+    * window + two bounded aggregates on the same per-key sort.
+    */
+  def permutationEntropy(events: DataFrame,
+                         key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w  = Window.partitionBy(key).orderBy("day")
+    val qc = floor(col("close") * 1000000).cast("long")
+    val t = graft.operators.TimeSeries.dailyClose(events, key, ts, v)
+      .withColumn("x2", qc)
+      .withColumn("x0", lag(qc, 2).over(w))
+      .withColumn("x1", lag(qc, 1).over(w))
+      .filter(col("x0").isNotNull)
+    // lexicographic (value, index) ranks: r_i = #{j : (x_j, j) < (x_i, i)}
+    val r0 = when(col("x1") < col("x0"), 1L).otherwise(0L) +
+      when(col("x2") < col("x0"), 1L).otherwise(0L)
+    val r1 = when(col("x0") <= col("x1"), 1L).otherwise(0L) +
+      when(col("x2") < col("x1"), 1L).otherwise(0L)
+    val r2 = when(col("x0") <= col("x2"), 1L).otherwise(0L) +
+      when(col("x1") <= col("x2"), 1L).otherwise(0L)
+    val counts = t
+      .withColumn("pid", r0 * 9L + r1 * 3L + r2)
+      .groupBy(col(key), col("pid"))
+      .agg(count(lit(1)).cast("long").as("c"))
+    val share = col("c").cast("double") / col("n_tr").cast("double")
+    counts
+      .withColumn("n_tr", sum(col("c")).over(Window.partitionBy(key)))
+      .groupBy(col(key))
+      .agg(max(col("n_tr")).as("n_triples"),
+        count(lit(1)).cast("long").as("n_patterns"),
+        round(-sum(share * log(share)) / math.log(6.0), 6).as("perm_entropy"))
+  }
 }

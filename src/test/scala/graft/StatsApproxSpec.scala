@@ -466,6 +466,84 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(r2.getAs[Double]("z_runs") < -3.0, s"streaks must read as deficit runs: $r2")
   }
 
+  test("sign test: a dominating key reads z = sqrt(n); an identical key is all ties (null z)") {
+    import spark.implicits._
+    def geo(uid: Long, r: Double, n: Int) = (0 until n)
+      .map(i => (uid, uid * 1000 + i.toLong, i.toLong, 100.0 * math.pow(1 + r, i)))
+    val df = (geo(0L, 0.01, 11) ++ geo(1L, 0.02, 11) ++ geo(2L, 0.01, 11))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = Stats.signTest(df, 0L).orderBy("user_id").collect()
+    assert(got.length === 2, "the benchmark key is excluded")
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_plus") === 10L && r1.getAs[Long]("n_minus") === 0L)
+    assert(r1.getAs[Double]("sign_z") === 10.0 / math.sqrt(10.0))
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_plus") === 0L && r2.getAs[Long]("n_minus") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("sign_z")), "all ties carry no information")
+  }
+
+  test("wilcoxon signed-rank: average tie ranks and the tie-corrected z match a local recompute") {
+    import spark.implicits._
+    // flat benchmark (mb = 0 every day) so d = the key's micro return
+    val rets   = Seq(0.02, -0.01, 0.02, -0.03, 0.01)
+    val closes = rets.scanLeft(100.0)((c, r) => c * (1 + r))
+    def rows(uid: Long, cs: Seq[Double]) = cs.zipWithIndex
+      .map { case (c, i) => (uid, uid * 1000 + i.toLong, i.toLong, c) }
+    val df = (rows(0L, Seq.fill(6)(100.0)) ++ rows(1L, closes))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = Stats.wilcoxonSigned(df, 0L).collect()
+    assert(got.length === 1)
+    // local recompute with the same micro quantization + average ranks
+    val mks = closes.sliding(2).map { case Seq(p, c) => math.floor((c / p - 1) * 1e6).toLong }.toSeq
+    val d   = mks.filter(_ != 0L)
+    val byAbs  = d.groupBy(math.abs).toSeq.sortBy(_._1)
+    var cum    = 0L
+    var w2     = 0L
+    var tie3   = 0L
+    byAbs.foreach { case (_, block) =>
+      val t = block.length.toLong
+      cum += t
+      val dr = 2 * cum - t + 1
+      w2 += block.count(_ > 0) * dr
+      tie3 += t * t * t - t
+    }
+    val n  = d.length.toLong
+    val s  = 2 * n * (n + 1) * (2 * n + 1) - tie3
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_days") === n)
+    assert(r1.getAs[Double]("w_plus") === w2 / 2.0)
+    assert(r1.getAs[Double]("wilcoxon_z") ===
+      (w2 - n * (n + 1) / 2).toDouble * math.sqrt(12.0 / s))
+    // the two equal up-moves must actually tie, or the fixture is not testing ties
+    assert(tie3 > 0, s"fixture must contain a tie block: $byAbs")
+  }
+
+  test("permutation entropy: monotone series reads exactly 0; a 2-cycle reads ln2/ln6") {
+    import spark.implicits._
+    def rows(uid: Long, cs: Seq[Double]) = cs.zipWithIndex
+      .map { case (c, i) => (uid, uid * 1000 + i.toLong, i.toLong, c) }
+    val rising = (0 until 10).map(i => 100.0 + i)
+    val cycle  = (0 until 10).map(i => if (i % 2 == 0) 100.0 else 110.0)
+    val df = (rows(1L, rising) ++ rows(2L, cycle))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = Stats.permutationEntropy(df).orderBy("user_id").collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_triples") === 8L)
+    assert(r1.getAs[Long]("n_patterns") === 1L, "monotone series has one ordinal pattern")
+    assert(r1.getAs[Double]("perm_entropy") === 0.0)
+    val r2 = got(1)
+    assert(r2.getAs[Long]("n_patterns") === 2L, "a 2-cycle alternates between two patterns")
+    // 8 triples split 4/4: entropy = ln2/ln6 normalized
+    assert(r2.getAs[Double]("perm_entropy") ===
+      BigDecimal(math.log(2.0) / math.log(6.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("benford: digit extraction exact across magnitudes, shares sum to 1, law recovered on 10^U data") {
     import spark.implicits._
     // hand magnitudes: leading digit must survive decimals, tiny and
