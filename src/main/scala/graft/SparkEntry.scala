@@ -1241,7 +1241,13 @@ object SparkEntry {
     "q_char_composition" -> ((s, dir) =>
       TextAnalysis.charComposition(Tables.documents(s, dir)).orderBy("source")),
     "q_encoding_anomalies" -> ((s, dir) =>
-      TextAnalysis.encodingAnomalies(Tables.documents(s, dir)).orderBy("doc_id"))
+      TextAnalysis.encodingAnomalies(Tables.documents(s, dir)).orderBy("doc_id")),
+    "q_heaps_law" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(Tables.documents(s, dir)).orderBy("cp")),
+    "q_js_divergence" -> ((s, dir) =>
+      TextAnalysis.jsDivergence(Tables.documents(s, dir)).orderBy("source")),
+    "q_token_gini" -> ((s, dir) =>
+      TextAnalysis.tokenGini(Tables.documents(s, dir)).orderBy("source"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -8167,6 +8173,86 @@ object SparkEntry {
         |  CAST(regexp_matches(text, '[\x00-\x08\x0B\x0C\x0E-\x1F]') AS INT) AS has_control,
         |  CAST(contains(text, '�') AS INT) AS has_replacement,
         |  CAST(regexp_matches(text, '\S{200,}') AS INT) AS has_long_run
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // bands by exact integer ceil-division; cumulative sums over the
+    // 10-row checkpoint grid only — everything exact longs
+    "q_heaps_law" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0
+        |), tb AS (
+        |  SELECT greatest(1, (doc_id * 10 + max_id - 1) // max_id) AS cp, count(*) AS tok_band
+        |  FROM tf, mx GROUP BY 1
+        |), vb AS (
+        |  SELECT greatest(1, (first_id * 10 + max_id - 1) // max_id) AS cp, count(*) AS vocab_band
+        |  FROM (SELECT tok, min(doc_id) AS first_id FROM tf GROUP BY tok), mx GROUP BY 1
+        |), db AS (
+        |  SELECT greatest(1, (doc_id * 10 + max_id - 1) // max_id) AS cp, count(*) AS doc_band
+        |  FROM documents, mx GROUP BY 1
+        |), allb AS (
+        |  SELECT cp, coalesce(doc_band, 0) AS d, coalesce(tok_band, 0) AS t,
+        |    coalesce(vocab_band, 0) AS v
+        |  FROM db FULL OUTER JOIN tb USING (cp) FULL OUTER JOIN vb USING (cp)
+        |)
+        |SELECT CAST(cp AS BIGINT) AS cp,
+        |  CAST(sum(d) OVER wc AS BIGINT) AS n_docs,
+        |  CAST(sum(t) OVER wc AS BIGINT) AS n_tokens,
+        |  CAST(sum(v) OVER wc AS BIGINT) AS vocab
+        |FROM allb WINDOW wc AS (ORDER BY cp ROWS UNBOUNDED PRECEDING)
+        |ORDER BY cp""".stripMargin,
+    // per-token terms fold through floor(term*1e12) exact longs (the
+    // anova cross-group recipe); the absent tail closes as
+    // ln2*(1 - cov) with cov an exact integer quotient; 6dp
+    "q_js_divergence" ->
+      """WITH tf AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0
+        |), corpus AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM tf GROUP BY tok
+        |), tot AS (SELECT CAST(sum(ct) AS BIGINT) AS n_all FROM corpus),
+        |src AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cs FROM tf GROUP BY 1, 2
+        |), stot AS (
+        |  SELECT source, CAST(sum(cs) AS BIGINT) AS n_s, count(*) AS vocab_s
+        |  FROM src GROUP BY source
+        |), terms AS (
+        |  SELECT src.source, stot.n_s, stot.vocab_s, corpus.ct, tot.n_all,
+        |    CAST(cs AS DOUBLE) / CAST(n_s AS DOUBLE) AS p,
+        |    CAST(ct AS DOUBLE) / CAST(n_all AS DOUBLE) AS q
+        |  FROM src JOIN corpus USING (tok) JOIN stot USING (source), tot
+        |)
+        |SELECT source, max(n_s) AS n_tokens, CAST(max(vocab_s) AS BIGINT) AS vocab,
+        |  round((CAST(sum(CAST(floor((p * ln(p) + q * ln(q) - (p + q) * ln((p + q) / 2)) * 1e12)
+        |      AS BIGINT)) AS DOUBLE) / 1e12
+        |    + ln(2) * (1.0 - CAST(sum(ct) AS DOUBLE) / CAST(max(n_all) AS DOUBLE))) / 2,
+        |  6) AS js_nats
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // rank-sum identity over per-source vocab rows; rank_sum rides
+    // 128-bit decimal and converts via the splitDouble recipe; 6dp
+    "q_token_gini" ->
+      """WITH tf AS (
+        |  SELECT source, tok FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+        |  WHERE len(tok) > 0
+        |), c AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2
+        |), r AS (
+        |  SELECT source, cnt,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY cnt, tok) AS BIGINT) AS rnk
+        |  FROM c
+        |), a AS (
+        |  SELECT source, count(*) AS vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    sum(CAST(rnk AS HUGEINT) * CAST(cnt AS HUGEINT)) AS rank_sum
+        |  FROM r GROUP BY source
+        |)
+        |SELECT source, CAST(vocab AS BIGINT) AS vocab, n_tokens,
+        |  round(2.0 * (CAST(rank_sum // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(rank_sum % 9007199254740992 AS DOUBLE))
+        |    / (CAST(vocab AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        |    - CAST(vocab + 1 AS DOUBLE) / CAST(vocab AS DOUBLE), 6) AS token_gini
+        |FROM a ORDER BY source""".stripMargin
   )
 }

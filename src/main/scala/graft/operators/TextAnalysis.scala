@@ -832,4 +832,123 @@ object TextAnalysis {
       .withColumn("code_share",
         col("n_code_like").cast("double") / col("n_docs").cast("double"))
   }
+
+  /** Heaps-law vocabulary growth audit: cumulative docs, token
+    * volume, and DISTINCT vocabulary at `nCheckpoints` doc-id
+    * checkpoints — the does-vocab-saturate curve that sizes a
+    * tokenizer's vocab budget before training. Each doc lands in
+    * band ceil(n·id/max_id) by EXACT integer arithmetic (no float
+    * near a band edge); a token's vocabulary contribution counts
+    * once at the band of its FIRST doc (one min aggregate per token
+    * — the only big shuffle, keyed on the token axis); band totals
+    * are exact-long counts on an n-row grid and the cumulative sums
+    * are windows over those n rows only — never over data. Output:
+    * one row per non-empty checkpoint, everything exact integers.
+    */
+  def heapsLaw(documents: DataFrame, nCheckpoints: Int = 10): DataFrame = {
+    require(nCheckpoints >= 1, s"need at least one checkpoint: $nCheckpoints")
+    val maxDf = broadcast(documents.agg(max(col("doc_id")).as("max_id")))
+    // exact integer ceil-division (Spark's `/` on longs is DOUBLE
+    // division — `div` keeps the band edge float-free)
+    def band(idName: String) = greatest(lit(1L),
+      expr(s"($idName * ${nCheckpoints.toLong} + max_id - 1) div max_id"))
+    val toks = documents
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tokBands = toks.crossJoin(maxDf)
+      .groupBy(band("doc_id").as("cp"))
+      .agg(count(lit(1)).as("tok_band"))
+    val vocabBands = toks
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_id"))
+      .crossJoin(maxDf)
+      .groupBy(band("first_id").as("cp"))
+      .agg(count(lit(1)).as("vocab_band"))
+    val docBands = documents.crossJoin(maxDf)
+      .groupBy(band("doc_id").as("cp"))
+      .agg(count(lit(1)).as("doc_band"))
+    val w = Window.orderBy("cp").rowsBetween(Window.unboundedPreceding, 0)
+    docBands
+      .join(tokBands, Seq("cp"), "full_outer")
+      .join(vocabBands, Seq("cp"), "full_outer")
+      .select(col("cp"),
+        sum(coalesce(col("doc_band"), lit(0L))).over(w).as("n_docs"),
+        sum(coalesce(col("tok_band"), lit(0L))).over(w).as("n_tokens"),
+        sum(coalesce(col("vocab_band"), lit(0L))).over(w).as("vocab"))
+  }
+
+  /** Jensen–Shannon divergence (nats) of every source's token
+    * distribution vs the whole corpus — the feed-drift tripwire
+    * (q_vocab_shift ranks individual tokens; this is the one-number
+    * panel). Only tokens PRESENT in the source need rows: for the
+    * absent tail, p = 0 collapses the JS integrand to q·ln2, so
+    * JS_s = ½·[Σ_{t∈s}(p·ln p + q·ln q − (p+q)·ln((p+q)/2)) +
+    * ln2·(1 − cov)] where cov = Σ_{t∈s} C_t / N is an EXACT integer
+    * quotient. Per-token terms are one fixed IEEE chain each and
+    * fold through floor(term·1e12) EXACT longs (the q_anova
+    * cross-group recipe) so the vocab-sized sum is order-independent
+    * at any partition count; the closing chain is fixed, 6dp. One
+    * token-keyed co-partitioned join (source counts ⋈ corpus
+    * counts); source totals broadcast (sources are a bounded dim).
+    */
+  def jsDivergence(documents: DataFrame): DataFrame = {
+    val toks = documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val corpus = toks.groupBy(col("tok")).agg(count(lit(1)).as("ct"))
+    val tot    = broadcast(corpus.agg(sum(col("ct")).as("n_all")))
+    val src    = toks.groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cs"))
+    val stot   = broadcast(src.groupBy(col("source"))
+      .agg(sum(col("cs")).as("n_s"), count(lit(1)).as("vocab_s")))
+    val p = col("cs").cast("double") / col("n_s").cast("double")
+    val q = col("ct").cast("double") / col("n_all").cast("double")
+    val term = p * log(p) + q * log(q) - (p + q) * log((p + q) / 2)
+    src.join(corpus, "tok")
+      .join(stot, "source")
+      .crossJoin(tot)
+      .groupBy(col("source"))
+      .agg(
+        max(col("n_s")).as("n_tokens"),
+        max(col("vocab_s")).as("vocab"),
+        sum(floor(term * 1e12).cast("long")).as("tsum"),
+        sum(col("ct")).as("cov_ct"),
+        max(col("n_all")).as("n_all"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(
+          (col("tsum").cast("double") / 1e12 +
+            lit(math.log(2.0)) * (lit(1.0) - col("cov_ct").cast("double") / col("n_all").cast("double"))) / 2,
+          6).as("js_nats"))
+  }
+
+  /** Token-frequency Gini per source: how concentrated is each
+    * feed's token mass (0 = uniform usage, →1 = a handful of tokens
+    * dominate) — boilerplate and template feeds read high before
+    * any dedup runs. The rank-sum identity 2Σr·x/(V·Σx) − (V+1)/V
+    * over counts ascending: ranks are a per-SOURCE window over the
+    * source's VOCABULARY rows (already reduced — never the token
+    * stream; deterministic (cnt, tok) order), Σr·x accumulates in
+    * 128-bit decimal (rank·count products pass 2^53 at corpus
+    * vocab), and G is one IEEE chain at 6dp via the splitDouble
+    * portable conversion.
+    */
+  def tokenGini(documents: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val counts = documents
+      .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("source").orderBy(col("cnt").asc, col("tok").asc)
+    counts
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        sum(col("cnt")).as("n_tokens"),
+        sum(col("rnk").cast(dec) * col("cnt").cast(dec)).as("rank_sum"))
+      .select(col("source"), col("vocab"), col("n_tokens"),
+        round(
+          lit(2.0) * Stats.splitDouble(col("rank_sum")) /
+            (col("vocab").cast("double") * col("n_tokens").cast("double")) -
+            (col("vocab") + 1).cast("double") / col("vocab").cast("double"),
+          6).as("token_gini"))
+  }
 }

@@ -438,4 +438,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     val web = got("web")
     assert(web.getAs[Long]("n_code_like") === 0L && web.getAs[Double]("code_share") === 0.0)
   }
+
+  test("heaps law: vocabulary counts once at its first doc's band; all counts cumulative and exact") {
+    import spark.implicits._
+    // ids 0..9, 2 checkpoints: ceil(2*id/9) puts ids 0-4 in band 1, 5-9 in band 2;
+    // token c first appears at doc 5 -> vocab grows 2 -> 3
+    val docs = (0L until 10L).map(i => (i, if (i < 5) "a b" else "a c"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.heapsLaw(docs, 2).orderBy("cp").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("n_docs") === 5L && got(1).getAs[Long]("n_docs") === 10L)
+    assert(got(0).getAs[Long]("n_tokens") === 10L && got(1).getAs[Long]("n_tokens") === 20L)
+    assert(got(0).getAs[Long]("vocab") === 2L && got(1).getAs[Long]("vocab") === 3L)
+  }
+
+  test("js divergence: a source matching the corpus mix reads exactly 0; disjoint halves match hand JS") {
+    import spark.implicits._
+    val same = Seq((1L, "a b", "s1"), (2L, "a b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got0 = graft.operators.TextAnalysis.jsDivergence(same).collect()
+    assert(got0.length === 2)
+    assert(got0.forall(_.getAs[Double]("js_nats") === 0.0),
+      "p == q collapses every term and the absent tail to zero")
+    // disjoint equal halves: corpus q = 1/2 for both tokens
+    val disj = Seq((1L, "a a a a", "s1"), (2L, "b b b b", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got1 = graft.operators.TextAnalysis.jsDivergence(disj).collect()
+    val term = 1.0 * math.log(1.0) + 0.5 * math.log(0.5) - 1.5 * math.log(1.5 / 2)
+    val js   = (math.floor(term * 1e12) / 1e12 + math.log(2.0) * (1.0 - 0.5)) / 2
+    val want = BigDecimal(js).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got1.forall(_.getAs[Double]("js_nats") === want), s"want $want, got ${got1.toSeq}")
+  }
+
+  test("token gini: uniform counts read exactly 0; the 1,1,1,97 hand case reads exactly 0.72") {
+    import spark.implicits._
+    val uniform = Seq((1L, "a b c d", "u")).toDF("doc_id", "text", "source")
+    val skew = Seq((2L, ("d " * 97).trim + " a b c", "s")).toDF("doc_id", "text", "source")
+    val got = graft.operators.TextAnalysis.tokenGini(uniform.union(skew)).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("u").getAs[Double]("token_gini") === 0.0)
+    assert(got("u").getAs[Long]("vocab") === 4L && got("u").getAs[Long]("n_tokens") === 4L)
+    // ranks (1,2,3,4) on counts (1,1,1,97): G = 2*394/(4*100) - 5/4 = 0.72
+    assert(got("s").getAs[Double]("token_gini") === 0.72)
+  }
 }
