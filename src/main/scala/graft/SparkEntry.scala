@@ -1244,6 +1244,12 @@ object SparkEntry {
       TextAnalysis.encodingAnomalies(Tables.documents(s, dir)).orderBy("doc_id")),
     "q_heaps_law" -> ((s, dir) =>
       TextAnalysis.heapsLaw(Tables.documents(s, dir)).orderBy("cp")),
+    "q_dispersion" -> ((s, dir) =>
+      EventAnalytics.dispersionIndex(Tables.events(s, dir)).orderBy("event_type")),
+    "q_changepoint" -> ((s, dir) =>
+      Stats.changepoint(Tables.events(s, dir)).orderBy("user_id")),
+    "q_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaAudit(Tables.embeddings(s, dir)).orderBy("label")),
     "q_js_divergence" -> ((s, dir) =>
       TextAnalysis.jsDivergence(Tables.documents(s, dir)).orderBy("source")),
     "q_token_gini" -> ((s, dir) =>
@@ -8174,6 +8180,89 @@ object SparkEntry {
         |  CAST(contains(text, '�') AS INT) AS has_replacement,
         |  CAST(regexp_matches(text, '\S{200,}') AS INT) AS has_long_run
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // empty hours count as zero via the bounded type x hour grid;
+    // D = (n·Σc² − (Σc)²)/((n−1)·Σc) — one IEEE division of exact
+    // longs, UNROUNDED
+    "q_dispersion" ->
+      """WITH b AS (
+        |  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+        |  FROM events
+        |), grid AS (
+        |  SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b
+        |), ty AS (SELECT DISTINCT event_type FROM events),
+        |cnt AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), g AS (
+        |  SELECT ty.event_type, coalesce(cnt.c, 0) AS c
+        |  FROM ty CROSS JOIN grid
+        |  LEFT JOIN cnt ON cnt.event_type = ty.event_type AND cnt.hour = grid.hour
+        |), a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |    CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(c * c) AS BIGINT) AS s2
+        |  FROM g GROUP BY 1
+        |)
+        |SELECT event_type, n_hours, n_events,
+        |  CASE WHEN n_hours > 1 AND n_events > 0
+        |    THEN CAST(n_hours * s2 - n_events * n_events AS DOUBLE)
+        |      / CAST((n_hours - 1) * n_events AS DOUBLE) END AS fano,
+        |  CASE WHEN n_hours > 1 AND n_events > 0
+        |    THEN CAST(n_hours * s2 - n_events * n_events AS DOUBLE)
+        |      / CAST(n_events AS DOUBLE) END AS chi2_stat
+        |FROM a ORDER BY event_type""".stripMargin,
+    // D_t = n·P_t − t·T is an exact long so argmax + earliest-day
+    // tie-break are deterministic; the magnitude is one IEEE
+    // division of exact integers, UNROUNDED
+    "q_changepoint" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), w AS (
+        |  SELECT user_id, day, CAST(floor(close * 1000000) AS BIGINT) AS qc FROM dc
+        |), s AS (
+        |  SELECT user_id, day,
+        |    CAST(count(*) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS rn,
+        |    CAST(sum(qc)   OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pre,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(qc)   OVER (PARTITION BY user_id) AS BIGINT) AS tot
+        |  FROM w
+        |), d AS (
+        |  SELECT user_id, day, n, abs(n * pre - rn * tot) AS abs_d
+        |  FROM s WHERE rn < n
+        |), r AS (
+        |  SELECT user_id, day, n, abs_d,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY abs_d DESC, day) AS rk
+        |  FROM d
+        |)
+        |SELECT user_id, n AS n_days, strftime(day, '%Y-%m-%d') AS cp_day,
+        |  CAST(abs_d AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS cusum_stat
+        |FROM r WHERE rk = 1 ORDER BY user_id""".stripMargin,
+    // prefix/full dots are index-order folds; shares quantize once
+    // to DECIMAL(18,6) so per-label sums are exact; means 6dp
+    "q_matryoshka" ->
+      """WITH b AS (
+        |  SELECT label,
+        |    list_dot_product(list_transform(embedding, x -> x::DOUBLE),
+        |                     list_transform(embedding, x -> x::DOUBLE)) AS f,
+        |    list_dot_product(list_transform(embedding[1:8], x -> x::DOUBLE),
+        |                     list_transform(embedding[1:8], x -> x::DOUBLE)) AS p8,
+        |    list_dot_product(list_transform(embedding[1:16], x -> x::DOUBLE),
+        |                     list_transform(embedding[1:16], x -> x::DOUBLE)) AS p16,
+        |    list_dot_product(list_transform(embedding[1:32], x -> x::DOUBLE),
+        |                     list_transform(embedding[1:32], x -> x::DOUBLE)) AS p32
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT label, CASE WHEN f = 0 THEN 1 ELSE 0 END AS is_zero,
+        |    CASE WHEN f != 0 THEN CAST(p8  / f AS DECIMAL(18,6)) END AS q8,
+        |    CASE WHEN f != 0 THEN CAST(p16 / f AS DECIMAL(18,6)) END AS q16,
+        |    CASE WHEN f != 0 THEN CAST(p32 / f AS DECIMAL(18,6)) END AS q32
+        |  FROM b
+        |)
+        |SELECT label, count(*) AS n_vecs, CAST(sum(is_zero) AS BIGINT) AS n_zero,
+        |  round(CAST(sum(q8)  AS DOUBLE) / CAST(count(q8)  AS DOUBLE), 6) AS mean_nf_8,
+        |  round(CAST(sum(q16) AS DOUBLE) / CAST(count(q16) AS DOUBLE), 6) AS mean_nf_16,
+        |  round(CAST(sum(q32) AS DOUBLE) / CAST(count(q32) AS DOUBLE), 6) AS mean_nf_32
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
     // bands by exact integer ceil-division; cumulative sums over the
     // 10-row checkpoint grid only — everything exact longs
     "q_heaps_law" ->

@@ -761,4 +761,42 @@ object EventAnalytics {
     byChannel.unionByName(direct)
       .withColumn("credit", col("credit_micro").cast("double") / 1000000.0)
   }
+
+  /** Fano dispersion index per event type over HOURLY arrival counts
+    * — the Poisson-ness gate under every rate-based alert: D =
+    * s²/mean reads 1 for a Poisson feed, >1 for bursty arrivals
+    * (q_burstiness scores users; this scores the FEED), with the
+    * chi-square statistic (n−1)·D as the significance handle. Empty
+    * hours COUNT AS ZERO — the grid is the corpus hour span
+    * (one-row broadcast bounds, exploded sequence) crossed with the
+    * bounded type dim, so the count frame is grid-sized, never
+    * corpus-sized. With exact-long (n, Σc, Σc²), D collapses to
+    * (n·Σc² − (Σc)²)/((n−1)·Σc) — ONE IEEE division of exact
+    * integers, UNROUNDED, order-independent at any partition count.
+    */
+  def dispersionIndex(events: DataFrame): DataFrame = {
+    val bounds = broadcast(events.agg(
+      date_trunc("hour", min(col("ts"))).as("h0"),
+      date_trunc("hour", max(col("ts"))).as("h1")))
+    val grid = bounds.select(
+      explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("hour"))
+    val types = events.select(col("event_type")).distinct()
+    val counts = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("c"))
+    val g = types.crossJoin(grid)
+      .join(counts, Seq("event_type", "hour"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("c")).as("n_events"),
+        sum(col("c") * col("c")).as("s2"))
+    val num = col("n_hours") * col("s2") - col("n_events") * col("n_events")
+    g.select(col("event_type"), col("n_hours"), col("n_events"),
+      when(col("n_hours") > 1 && col("n_events") > 0,
+        num.cast("double") / ((col("n_hours") - 1) * col("n_events")).cast("double"))
+        .as("fano"),
+      when(col("n_hours") > 1 && col("n_events") > 0,
+        num.cast("double") / col("n_events").cast("double")).as("chi2_stat"))
+  }
 }

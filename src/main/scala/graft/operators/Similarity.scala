@@ -1321,4 +1321,39 @@ object Similarity {
       .join(degs.select(col("node"), col("deg").as("core_degree")), Seq("node"), "left")
       .select(col("node"), col("core_degree").isNotNull.as("in_core"), col("core_degree"))
   }
+
+  /** Matryoshka-readiness audit: per label, the mean share of vector
+    * ENERGY (‖v[:d]‖²/‖v‖²) captured by each prefix width — the
+    * can-we-truncate panel before shipping shortened embeddings
+    * (a matryoshka-trained space front-loads energy; a flat profile
+    * means truncation destroys geometry). Per-row shares are one
+    * fixed IEEE chain each (prefix and full dots are index-order
+    * folds, the [[embedNorms]] determinism recipe), quantize ONCE to
+    * DECIMAL(18,6) so per-label sums are exact and order-independent
+    * (welch recipe), and each mean is one IEEE division at 6dp.
+    * Zero vectors carry no share and report separately. Scan-shaped:
+    * no join, no window, nothing corpus-wide.
+    */
+  def matryoshkaAudit(embeddings: DataFrame, dims: Seq[Int] = Seq(8, 16, 32)): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1), s"prefix widths must be positive: $dims")
+    val dec  = org.apache.spark.sql.types.DecimalType(18, 6)
+    val v    = toDouble(col("embedding"))
+    val full = dot(v, v)
+    val qCols = dims.map { d =>
+      val p = slice(v, 1, d)
+      when(full =!= 0.0, (dot(p, p) / full).cast(dec)).as(s"q_$d")
+    }
+    val base = embeddings.select(
+      (col("label") +: (full === 0.0).cast("long").as("is_zero") +: qCols): _*)
+    val aggs =
+      sum(col("is_zero")).as("n_zero") +:
+        dims.map(d => sum(col(s"q_$d")).as(s"s_$d")) ++:
+        dims.map(d => count(col(s"q_$d")).as(s"c_$d"))
+    val outs = dims.map(d =>
+      round(col(s"s_$d").cast("double") / col(s"c_$d").cast("double"), 6)
+        .as(s"mean_nf_$d"))
+    base.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), aggs: _*)
+      .select((col("label") +: col("n_vecs") +: col("n_zero") +: outs): _*)
+  }
 }

@@ -1475,4 +1475,38 @@ object Stats {
         count(lit(1)).cast("long").as("n_patterns"),
         round(-sum(share * log(share)) / math.log(6.0), 6).as("perm_entropy"))
   }
+
+  /** CUSUM changepoint per key over daily closes: the day t
+    * maximizing |Σ_{i≤t} x_i − t·x̄| — where the running sum departs
+    * farthest from the global-mean line, the single most likely
+    * mean-shift point (the offline screen ahead of q_cusum's online
+    * alert). INTEGER-EXACT argmax: with micro closes, D_t = n·P_t −
+    * t·T (P prefix sum, T total) is an exact long, so the argmax and
+    * the tie-break (earliest day) are deterministic at any partition
+    * count — no float enters until the REPORTED magnitude
+    * max|S_t| = |D|/(n·1e6), one IEEE division of exact integers,
+    * UNROUNDED. The last day (D_n = 0 identically) is excluded. One
+    * per-key sort shared by the prefix/rank windows + one aggregate.
+    */
+  def changepoint(events: DataFrame,
+                  key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w    = Window.partitionBy(key).orderBy("day")
+    val wAll = Window.partitionBy(key)
+    val qc = floor(col("close") * 1000000).cast("long")
+    val t = graft.operators.TimeSeries.dailyClose(events, key, ts, v)
+      .withColumn("qc", qc)
+      .withColumn("rn",  count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("pre", sum(col("qc")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n",   count(lit(1)).over(wAll))
+      .withColumn("tot", sum(col("qc")).over(wAll))
+      .filter(col("rn") < col("n"))
+      .withColumn("abs_d", abs(col("n") * col("pre") - col("rn") * col("tot")))
+    val pick = Window.partitionBy(key).orderBy(col("abs_d").desc, col("day").asc)
+    t.withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col(key), col("n").as("n_days"),
+        date_format(col("day"), "yyyy-MM-dd").as("cp_day"),
+        (col("abs_d").cast("double") / (col("n") * 1000000L).cast("double"))
+          .as("cusum_stat"))
+  }
 }

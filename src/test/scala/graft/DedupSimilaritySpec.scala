@@ -1138,4 +1138,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(tail === banded,
       s"histogram tail $tail must equal the banded >=0.8 pair count $banded")
   }
+
+  test("matryoshka audit: front-loaded energy reads 1.0 at width 8; uniform reads exact dyadic shares") {
+    import spark.implicits._
+    val front = Array.fill(8)(1f) ++ Array.fill(56)(0f)
+    val flat  = Array.fill(64)(1f)
+    val zero  = Array.fill(64)(0f)
+    val emb = Seq((1L, front, 1), (2L, flat, 2), (3L, zero, 2))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.matryoshkaAudit(emb).collect()
+      .map(r => r.getAs[Int]("label") -> r).toMap
+    val a = got(1)
+    assert(a.getAs[Double]("mean_nf_8") === 1.0 && a.getAs[Double]("mean_nf_32") === 1.0)
+    assert(a.getAs[Long]("n_zero") === 0L)
+    val b = got(2)
+    assert(b.getAs[Long]("n_vecs") === 2L && b.getAs[Long]("n_zero") === 1L,
+      "the zero vector reports separately")
+    assert(b.getAs[Double]("mean_nf_8") === 0.125, "8/64 of uniform energy")
+    assert(b.getAs[Double]("mean_nf_16") === 0.25)
+    assert(b.getAs[Double]("mean_nf_32") === 0.5)
+  }
 }

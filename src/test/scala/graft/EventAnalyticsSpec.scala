@@ -454,4 +454,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       s"marginal entropy must be ~log2(3), got $hNext")
     assert(r.getAs[Double]("info_gain_bits") === hNext)
   }
+
+  test("dispersion index: a metronome feed reads fano exactly 0, a one-hour burst reads the hand D") {
+    import spark.implicits._
+    // corpus spans hours 0..4; steady = 1 event/hour, burst = 10 events all in hour 0
+    val steady = (0 until 5).map(h => (1L, h.toLong, h.toLong * 3600L + 60L, "steady"))
+    val burst  = (0 until 10).map(i => (2L, 100L + i, 120L + i, "burst"))
+    val df = (steady ++ burst).toDF("user_id", "event_id", "t_s", "event_type")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = EventAnalytics.dispersionIndex(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = got("steady")
+    assert(s.getAs[Long]("n_hours") === 5L && s.getAs[Long]("n_events") === 5L)
+    assert(s.getAs[Double]("fano") === 0.0, "constant hourly counts have zero variance")
+    val b = got("burst")
+    // counts (10,0,0,0,0): D = (5*100 - 100) / (4*10) = 10 exactly
+    assert(b.getAs[Long]("n_hours") === 5L, "empty hours must count as zeros")
+    assert(b.getAs[Double]("fano") === 10.0)
+    assert(b.getAs[Double]("chi2_stat") === 40.0)
+  }
 }

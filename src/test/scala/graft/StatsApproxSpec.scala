@@ -741,4 +741,21 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(math.abs(a.getAs[Double]("grubbs_g") - wantG) < 1e-6)
     assert(got("b").getAs[Double]("grubbs_g") < 2.0, "a uniform group hides no gross outlier")
   }
+
+  test("changepoint: a clean level shift pins the CUSUM argmax at the shift day, magnitude exact") {
+    import spark.implicits._
+    // 10,10,10,20,20,20: |D_t| peaks at t=3 (the last pre-shift day);
+    // max|S| = |6*30e6 - 3*90e6| / (6*1e6) = 15 exactly
+    val closes = Seq(10.0, 10.0, 10.0, 20.0, 20.0, 20.0)
+    val df = closes.zipWithIndex.map { case (c, i) => (1L, i.toLong, i.toLong, c) }
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L))
+      .drop("d")
+    val got = Stats.changepoint(df).collect()
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("n_days") === 6L)
+    assert(r.getAs[String]("cp_day") === "1970-01-03")
+    assert(r.getAs[Double]("cusum_stat") === 15.0)
+  }
 }
