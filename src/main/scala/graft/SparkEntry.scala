@@ -406,6 +406,15 @@ object SparkEntry {
       TimeSeries.tsi(Tables.events(s, dir)).orderBy("user_id", "day")),
     "q_force_index" -> ((s, dir) =>
       TimeSeries.forceIndex(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_stoch_rsi" -> ((s, dir) =>
+      TimeSeries.stochRsi(Tables.events(s, dir))
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("rsi"), col("stoch_rsi"), col("stoch_rsi_d"))
+        .orderBy("user_id", "ts_us")),
+    "q_mass_index" -> ((s, dir) =>
+      TimeSeries.massIndex(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_coppock" -> ((s, dir) =>
+      TimeSeries.coppock(Tables.events(s, dir)).orderBy("user_id", "day")),
     "q_elder_ray" -> ((s, dir) =>
       TimeSeries.elderRay(Tables.events(s, dir)).orderBy("user_id", "day")),
     "q_adl_chaikin" -> ((s, dir) =>
@@ -5318,6 +5327,104 @@ object SparkEntry {
         |SELECT user_id, strftime(ds[rn + 1], '%Y-%m-%d') AS day,
         |  CASE WHEN e2a != 0 THEN 100.0 * e2 / e2a END AS tsi
         |FROM v2
+        |ORDER BY user_id, day""".stripMargin,
+    // builds on q_rsi's 6dp chain: window min/max PICK existing
+    // doubles, %K one fixed chain at 6dp, %D the stochastic recipe
+    "q_stoch_rsi" ->
+      """WITH d AS (
+        |  SELECT user_id, ts,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY ts) AS delta
+        |  FROM events
+        |  QUALIFY delta IS NOT NULL
+        |), o AS (
+        |  SELECT user_id, ts, delta,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) - 1 AS rn
+        |  FROM d
+        |), g AS (
+        |  SELECT *,
+        |    CASE WHEN rn = 0 THEN greatest(delta, 0) ELSE (1.0/14) * greatest(delta, 0) * pow(1 - 1.0/14, -rn) END AS gg,
+        |    CASE WHEN rn = 0 THEN greatest(-delta, 0) ELSE (1.0/14) * greatest(-delta, 0) * pow(1 - 1.0/14, -rn) END AS gl
+        |  FROM o
+        |), s AS (
+        |  SELECT user_id, ts,
+        |    pow(1 - 1.0/14, rn) * sum(gg) OVER wr AS avg_gain,
+        |    pow(1 - 1.0/14, rn) * sum(gl) OVER wr AS avg_loss
+        |  FROM g
+        |  WINDOW wr AS (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), r AS (
+        |  SELECT user_id, ts,
+        |    round(CASE WHEN avg_loss != 0 THEN 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) ELSE 100.0 END, 6) AS rsi
+        |  FROM s
+        |), k AS (
+        |  SELECT user_id, ts, rsi,
+        |    min(rsi) OVER wn AS lo, max(rsi) OVER wn AS hi
+        |  FROM r
+        |  WINDOW wn AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), k2 AS (
+        |  SELECT user_id, ts, rsi,
+        |    round(CASE WHEN hi != lo THEN (rsi - lo) / (hi - lo) * 100 END, 6) AS stoch_rsi
+        |  FROM k
+        |)
+        |SELECT user_id, epoch_us(ts) AS ts_us, rsi, stoch_rsi,
+        |  avg(stoch_rsi) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS stoch_rsi_d
+        |FROM k2 ORDER BY user_id, ts_us""".stripMargin,
+    // both smoothings are seeded strict left folds; the rolling
+    // 25-sum is a seeded slice fold — identical accumulation order
+    // cross-engine, UNROUNDED
+    "q_mass_index" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max(value) - min(value) AS rng
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id, list(rng ORDER BY day) AS rs, list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), e1t AS (
+        |  SELECT user_id, ds,
+        |    list_transform(generate_series(1, len(rs)),
+        |      i -> list_reduce(rs[1:i], (y, x) -> (1 - 2.0/10) * y + (2.0/10) * x)) AS e1
+        |  FROM l0
+        |), e2t AS (
+        |  SELECT user_id, ds, e1,
+        |    list_transform(generate_series(1, len(e1)),
+        |      i -> list_reduce(e1[1:i], (y, x) -> (1 - 2.0/10) * y + (2.0/10) * x)) AS e2
+        |  FROM e1t
+        |), rt AS (
+        |  SELECT user_id, ds,
+        |    list_transform(generate_series(1, len(e1)),
+        |      i -> CASE WHEN e2[i] != 0 THEN e1[i] / e2[i] END) AS ratios
+        |  FROM e2t
+        |), rr AS (
+        |  SELECT user_id, ds, ratios, unnest(generate_series(1, len(ratios))) AS rn FROM rt
+        |)
+        |SELECT user_id, strftime(ds[rn], '%Y-%m-%d') AS day,
+        |  ratios[rn] AS ema_ratio,
+        |  CASE WHEN rn >= 25 THEN list_reduce(ratios[rn-24:rn], (a, b) -> a + b) END AS mass_index
+        |FROM rr ORDER BY user_id, day""".stripMargin,
+    // each ROC is one IEEE division of exact micro-longs; the
+    // weighted sum is an explicit left-associated lag chain (never a
+    // windowed float SUM), one constant division — UNROUNDED
+    "q_coppock" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), q AS (
+        |  SELECT user_id, day, CAST(floor(close * 1000000) AS BIGINT) AS qc FROM dc
+        |), r AS (
+        |  SELECT user_id, day,
+        |    (CASE WHEN lag(qc, 14) OVER w != 0
+        |      THEN CAST((qc - lag(qc, 14) OVER w) * 100 AS DOUBLE) / CAST(lag(qc, 14) OVER w AS DOUBLE) END)
+        |    + (CASE WHEN lag(qc, 11) OVER w != 0
+        |      THEN CAST((qc - lag(qc, 11) OVER w) * 100 AS DOUBLE) / CAST(lag(qc, 11) OVER w AS DOUBLE) END) AS roc_sum
+        |  FROM q WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  (10.0 * roc_sum + 9.0 * lag(roc_sum, 1) OVER w2 + 8.0 * lag(roc_sum, 2) OVER w2
+        |   + 7.0 * lag(roc_sum, 3) OVER w2 + 6.0 * lag(roc_sum, 4) OVER w2
+        |   + 5.0 * lag(roc_sum, 5) OVER w2 + 4.0 * lag(roc_sum, 6) OVER w2
+        |   + 3.0 * lag(roc_sum, 7) OVER w2 + 2.0 * lag(roc_sum, 8) OVER w2
+        |   + 1.0 * lag(roc_sum, 9) OVER w2) / 55.0 AS coppock
+        |FROM r WINDOW w2 AS (PARTITION BY user_id ORDER BY day)
         |ORDER BY user_id, day""".stripMargin,
     // raw FI is the exact long Δqc·vol over constant 1e6; the EMA(13)
     // is the seeded strict-left-fold recurrence (q_trix finding),

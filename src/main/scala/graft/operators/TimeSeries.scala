@@ -3104,4 +3104,97 @@ object TimeSeries {
         col("z").getField("adls").as("adl"),
         (col("z").getField("ef") - element_at(col("es"), col("rn") + 1)).as("chaikin_osc"))
   }
+
+  /** Stochastic RSI: %K = (RSI − min_n RSI)/(max_n RSI − min_n RSI)
+    * · 100 with %D = SMA(dN) of %K — the oscillator-of-an-oscillator
+    * that re-normalizes RSI to its own recent range (RSI can sit at
+    * 60 forever; StochRSI says where 60 sits in its window). Builds
+    * on [[rsi]]'s 6dp-deterministic output: window min/max PICK
+    * existing doubles, %K is one fixed IEEE chain at 6dp, %D
+    * averages ≤ dN of those in frame order (the [[stochastic]] %D
+    * recipe). A flat RSI window (max == min) has no defined %K —
+    * null. All windows share the one (key, ts) sort.
+    */
+  def stochRsi(events: DataFrame, n: Int = 14, dN: Int = 3,
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(n >= 1 && dN >= 1, s"window sizes must be positive: n=$n, dN=$dN")
+    val base = rsi(events, n, key, ts, v)
+    val wN = Window.partitionBy(key).orderBy(ts).rowsBetween(-(n - 1), 0)
+    val wD = Window.partitionBy(key).orderBy(ts).rowsBetween(-(dN - 1), 0)
+    val lo = min(col("rsi")).over(wN)
+    val hi = max(col("rsi")).over(wN)
+    base
+      .withColumn("stoch_rsi",
+        round(when(hi =!= lo, (col("rsi") - lo) / (hi - lo) * 100), 6))
+      // UNROUNDED: the <=dN-term average is the same sequential chain
+      // in both engines, and rounding it would re-introduce the 6dp
+      // half-boundary trap ((a+0)/2 is exactly representable — hit on
+      // the gate fixture)
+      .withColumn("stoch_rsi_d", avg(col("stoch_rsi")).over(wD))
+  }
+
+  /** Mass Index (span, sumN): Σ over the trailing sumN bars of
+    * EMA(span, high−low) / EMA(span, EMA(span, high−low)) — Dorsey's
+    * range-expansion detector (the "reversal bulge" trips when the
+    * 25-sum crosses 27). Both smoothings are strict left folds over
+    * the exact bar ranges ([[trix]] recurrence machinery), the ratio
+    * is one IEEE division of bit-identical folds, and the rolling
+    * sum is a SEEDED slice fold in array land — identical
+    * accumulation order cross-engine, UNROUNDED. Null until sumN
+    * ratios exist and on a degenerate zero denominator (an all-flat
+    * prefix). Bounded-group fold shape, one bar aggregate + one
+    * groupBy shuffle, no windows.
+    */
+  def massIndex(events: DataFrame, span: Int = 9, sumN: Int = 25,
+                key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(span >= 1 && sumN >= 1, s"spans must be positive: $span, $sumN")
+    val a = 2.0 / (span + 1)
+    val g = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg((max(col(v)) - min(col(v))).as("rng"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("day"), col("rng")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("e1", emaRecurrenceSeries(
+        transform(col("arr"), x => x.getField("rng")), a))
+      .withColumn("e2", emaRecurrenceSeries(col("e1"), a))
+      .withColumn("ratios", zip_with(col("e1"), col("e2"),
+        (x, y) => when(y =!= 0.0, x / y)))
+    g.select(col(key), col("days"), col("ratios"),
+        posexplode(col("ratios")).as(Seq("rn", "ratio")))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 1), "yyyy-MM-dd").as("day"),
+        col("ratio").as("ema_ratio"),
+        when(col("rn") + 1 >= sumN,
+          aggregate(slice(col("ratios"), col("rn") + 2 - sumN, lit(sumN)),
+            lit(0.0), (acc, x) => acc + x)).as("mass_index"))
+  }
+
+  /** Coppock curve on daily closes: WMA(wN) of ROC(n1) + ROC(n2)
+    * (classic 10/14/11 on the month grain; here the day grain — the
+    * long-horizon momentum bottom-finder). Each ROC is ONE IEEE
+    * division of exact micro-longs; the weighted sum is an EXPLICIT
+    * lag chain summed in fixed expression order (never a windowed
+    * float SUM — the engine-portability rule), divided once by the
+    * constant Σw — deterministic cross-engine, UNROUNDED. Null
+    * until all wN lags of both ROCs exist. One (key, day) sort.
+    */
+  def coppock(events: DataFrame, wN: Int = 10, n1: Int = 14, n2: Int = 11,
+              key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(wN >= 1 && n1 >= 1 && n2 >= 1, s"windows must be positive: $wN, $n1, $n2")
+    val w  = Window.partitionBy(key).orderBy("day")
+    val qc = floor(col("close") * 1000000).cast("long")
+    def rocN(m: Int): Column = {
+      val l = lag(qc, m).over(w)
+      when(l =!= 0, ((qc - l) * 100).cast("double") / l.cast("double"))
+    }
+    val withRoc = dailyClose(events, key, ts, v)
+      .withColumn("roc_sum", rocN(n1) + rocN(n2))
+    val wsum = (0 until wN)
+      .map(i => lit((wN - i).toDouble) * lag(col("roc_sum"), i).over(w))
+      .reduce(_ + _)
+    withRoc
+      .withColumn("coppock", wsum / lit((wN.toLong * (wN + 1) / 2).toDouble))
+      .select(col(key), date_format(col("day"), "yyyy-MM-dd").as("day"), col("coppock"))
+  }
 }

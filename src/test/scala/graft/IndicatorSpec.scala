@@ -876,6 +876,55 @@ class IndicatorSpec extends AnyFunSuite {
     assert(mfv(2) === 0.0, "the flat bar contributes zero money flow")
   }
 
+  test("stoch rsi: a pinned-at-100 RSI window is flat (null %K); a fresh low reads exactly 0") {
+    // 15 strict up-moves pin RSI at 100 (flat window -> null %K);
+    // three down days then make the latest RSI the window minimum -> %K = 0
+    val closes = (0 until 15).map(i => 100.0 * math.pow(1.01, i)) ++
+      Seq(110.0, 105.0, 100.0)
+    val got = TimeSeries.stochRsi(closesDf(Seq(1L -> closes))).orderBy("ts").collect()
+    val ks = got.map(r => Option(r.getAs[java.lang.Double]("stoch_rsi")).map(_.doubleValue))
+    assert(ks.take(14).forall(_.isEmpty), "a constant-100 RSI window has no defined %K")
+    assert(ks.last.contains(0.0), "the latest RSI is the window min: %K exactly 0")
+    ks.flatten.foreach(k => assert(k >= 0.0 && k <= 100.0, s"%K out of range: $k"))
+  }
+
+  test("mass index: constant-range bars read exactly sumN; partial windows are null") {
+    import spark.implicits._
+    // two ticks per day, 2 apart: rng = 2 -> e1 = e2 = 2 -> ratio = 1 -> 25-sum = 25
+    val rows = (0 until 30).flatMap { d =>
+      val base = d.toLong * 86400L + 3600L
+      Seq((1L, d * 10L + 0L, base, 10.0), (1L, d * 10L + 1L, base + 60L, 12.0))
+    }
+    val df = rows.toDF("user_id", "event_id", "t_s", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = TimeSeries.massIndex(df).orderBy("day").collect()
+    assert(got.length === 30)
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("ema_ratio") === 1.0, s"row $i ratio")
+      if (i < 24) assert(r.isNullAt(r.fieldIndex("mass_index")), s"row $i partial window")
+      else assert(r.getAs[Double]("mass_index") === 25.0, s"row $i mass")
+    }
+  }
+
+  test("coppock: flat series reads exactly 0 after warm-up; a linear ramp matches the local recompute") {
+    val flat = TimeSeries.coppock(closesDf(Seq(1L -> Seq.fill(30)(50.0)))).orderBy("day").collect()
+    val full = flat.filter(!_.isNullAt(2))
+    assert(full.length === 30 - 23, "ROC(14) + 9 more WMA lags gate the first defined row")
+    assert(full.forall(_.getAs[Double]("coppock") === 0.0))
+    val ramp = (0 until 30).map(i => 100.0 + i)
+    val got  = TimeSeries.coppock(closesDf(Seq(1L -> ramp))).orderBy("day").collect()
+    val qc   = ramp.map(c => math.floor(c * 1e6).toLong)
+    def roc(i: Int, m: Int): Double = ((qc(i) - qc(i - m)) * 100).toDouble / qc(i - m).toDouble
+    got.zipWithIndex.foreach { case (r, i) =>
+      if (i >= 23) {
+        val chain = (0 until 10)
+          .map(j => (10 - j).toDouble * (roc(i - j, 14) + roc(i - j, 11)))
+          .reduce(_ + _)
+        assert(r.getAs[Double]("coppock") === chain / 55.0, s"row $i")
+      } else assert(r.isNullAt(2), s"row $i must be null in warm-up")
+    }
+  }
+
   test("heikin ashi: the recursive open halves exactly and the bull flag follows the anchors") {
     // single print per day => ha_close = close; opens fold (2,4,8) -> (2, 2, 3)
     val got = TimeSeries.heikinAshi(closesDf(Seq(1L -> Seq(2.0, 4.0, 8.0)))).orderBy("day").collect()
