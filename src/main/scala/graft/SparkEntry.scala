@@ -1220,6 +1220,14 @@ object SparkEntry {
       Stats.runsTest(Tables.events(s, dir)).orderBy("user_id")),
     "q_sign_test" -> ((s, dir) =>
       Stats.signTest(Tables.events(s, dir), 0L).orderBy("user_id")),
+    "q_friedman" -> ((s, dir) =>
+      Stats.friedman(Tables.events(s, dir))),
+    "q_importance_weights" -> ((s, dir) =>
+      Sampling.importanceWeights(Tables.documents(s, dir)).orderBy("source", "lang")),
+    "q_supplier_hhi" -> ((s, dir) =>
+      Relational.supplierHhi(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))
+        .orderBy("n_name")),
     "q_wilcoxon_signed" -> ((s, dir) =>
       Stats.wilcoxonSigned(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_perm_entropy" -> ((s, dir) =>
@@ -7924,6 +7932,90 @@ object SparkEntry {
         |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
         |    AS z_runs
         |FROM h ORDER BY user_id""".stripMargin,
+    // per-cell doubled medians (levene recipe), within-day ranks on
+    // bounded <=k-row windows, tie-robust Q a ratio of exact longs —
+    // one IEEE division, UNROUNDED
+    "q_friedman" ->
+      """WITH q AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day,
+        |    CAST(floor(value * 1000000) AS BIGINT) AS qu
+        |  FROM events
+        |), o AS (
+        |  SELECT event_type, day, qu,
+        |    row_number() OVER (PARTITION BY day, event_type ORDER BY qu) AS rn,
+        |    count(*) OVER (PARTITION BY day, event_type) AS n
+        |  FROM q
+        |), cells AS (
+        |  SELECT day, event_type,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN qu END)
+        |      + sum(CASE WHEN rn = (n + 2) // 2 THEN qu END) AS BIGINT) AS m2
+        |  FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY 1, 2
+        |), kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k FROM events),
+        |fb AS (
+        |  SELECT cells.day, cells.event_type, cells.m2, kk.k FROM cells, kk
+        |  QUALIFY count(*) OVER (PARTITION BY day) = k
+        |), ranked AS (
+        |  SELECT day, event_type, k,
+        |    2 * rank() OVER (PARTITION BY day ORDER BY m2)
+        |      + count(*) OVER (PARTITION BY day, m2) - 1 AS dr
+        |  FROM fb
+        |), pt AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks,
+        |    CAST(sum(dr) AS BIGINT) AS r2, CAST(sum(dr * dr) AS BIGINT) AS dr2,
+        |    CAST(max(k) AS BIGINT) AS k
+        |  FROM ranked GROUP BY 1
+        |), a AS (
+        |  SELECT CAST(max(k) AS BIGINT) AS k_types, CAST(max(n_blocks) AS BIGINT) AS n_blocks,
+        |    CAST(sum((r2 - n_blocks * (k + 1)) * (r2 - n_blocks * (k + 1))) AS BIGINT) AS st4,
+        |    CAST(sum(dr2) AS BIGINT) AS sum_dr2
+        |  FROM pt
+        |)
+        |SELECT k_types, n_blocks,
+        |  CASE WHEN sum_dr2 - n_blocks * k_types * (k_types + 1) * (k_types + 1) > 0
+        |    THEN CAST((k_types - 1) * st4 AS DOUBLE)
+        |      / CAST(sum_dr2 - n_blocks * k_types * (k_types + 1) * (k_types + 1) AS DOUBLE)
+        |  END AS friedman_q
+        |FROM a""".stripMargin,
+    // w = (c_lang·n_source)/(n·c_cell): cross-multiplied exact longs,
+    // one IEEE division — never a ratio of rounded shares
+    "q_importance_weights" ->
+      """WITH cell AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_cell
+        |  FROM documents GROUP BY 1, 2
+        |), s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM documents GROUP BY 1),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)
+        |SELECT cell.source, cell.lang, n_cell,
+        |  CAST(n_lang * n_source AS DOUBLE) / CAST(n_total * n_cell AS DOUBLE) AS weight,
+        |  CAST(n_lang * n_source AS DOUBLE) / CAST(n_total * n_cell AS DOUBLE) > 10.0 AS clipped
+        |FROM cell JOIN s USING (source) JOIN l USING (lang), t
+        |ORDER BY source, lang""".stripMargin,
+    // HHI = Σc²/(Σc)²: exact 128-bit sums via the splitDouble
+    // conversion, one IEEE division each — UNROUNDED
+    "q_supplier_hhi" ->
+      """WITH ps AS (
+        |  SELECT n_name, s_suppkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY 1, 2
+        |), a AS (
+        |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    sum(CAST(c AS HUGEINT)) AS s1, sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2
+        |  FROM ps GROUP BY 1
+        |), d AS (
+        |  SELECT n_name, n_suppliers, CAST(s1 AS BIGINT) AS n_lines,
+        |    CAST(s1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(s1 % 9007199254740992 AS DOUBLE) AS s1d,
+        |    CAST(s2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(s2 % 9007199254740992 AS DOUBLE) AS s2d
+        |  FROM a
+        |)
+        |SELECT n_name, n_suppliers, n_lines,
+        |  s2d / (s1d * s1d) AS hhi,
+        |  (s1d * s1d) / s2d AS effective_suppliers
+        |FROM d ORDER BY n_name""".stripMargin,
     // everything up to z is exact integer counts (micro-return
     // comparison, ties drop); z one IEEE chain, UNROUNDED
     "q_sign_test" ->

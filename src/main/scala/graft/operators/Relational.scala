@@ -1437,4 +1437,36 @@ object Relational {
         (col("rev").cast("double") * col("k").cast("double") / col("t").cast("double"))
           .as("seasonal_index"))
   }
+
+  /** Supplier-concentration Herfindahl per nation: HHI = Σshare²
+    * of each supplier's line count among the nation's suppliers
+    * (1/n_suppliers = perfectly even, →1 = single-supplier risk) —
+    * the procurement-concentration screen beside q_concentration's
+    * within-key value version. Share squares never materialize:
+    * HHI = Σc²/(Σc)² is a ratio of EXACT sums (line counts as
+    * 128-bit decimals — c² passes 2^53 at warehouse scale) converted
+    * via the splitDouble recipe — ONE IEEE division, UNROUNDED.
+    * Effective supplier count 1/HHI is the readable twin, one more
+    * division of the same operands. One fact aggregate (supplier ⋈
+    * nation dims broadcast), then a bounded nation rollup.
+    */
+  def supplierHhi(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perSupp = lineitem
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    val agg = perSupp.groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c").cast(dec)).as("s1"),
+        sum(col("c").cast(dec) * col("c").cast(dec)).as("s2"))
+    val s1d = graft.operators.Stats.splitDouble(col("s1"))
+    val s2d = graft.operators.Stats.splitDouble(col("s2"))
+    agg.select(col("n_name"), col("n_suppliers"), col("s1").cast("long").as("n_lines"),
+      (s2d / (s1d * s1d)).as("hhi"),
+      ((s1d * s1d) / s2d).as("effective_suppliers"))
+  }
 }

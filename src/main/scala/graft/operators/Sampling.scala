@@ -286,4 +286,29 @@ object Sampling {
         (col("class_size") < k).as("at_risk"),
         (col("class_size").cast("double") / col("total").cast("double")).as("corpus_share"))
   }
+
+  /** Importance-reweighting table per (source, lang): the sampling
+    * weight that rebalances each feed's language mix back to the
+    * CORPUS mix — w = corpus_share(lang) / source_share(source,
+    * lang), the domain-rebalancing multiplier a mixture-controlled
+    * training run applies per cell (w > 1: the feed under-delivers
+    * that language, oversample it). Everything is exact integer
+    * counts until w = (c_lang · n_source)/(n · c_cell) — cross-
+    * multiplied EXACT LONG products, ONE IEEE division, UNROUNDED
+    * (never a ratio of two rounded shares). Weights above `clipW`
+    * flag for clipping (the variance-control step). Three bounded
+    * aggregates off one scan; the lang and total tables broadcast.
+    */
+  def importanceWeights(docs: DataFrame, clipW: Double = 10.0): DataFrame = {
+    val cell = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_cell"))
+    val bySrc  = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    val byLang = broadcast(docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang")))
+    val total  = broadcast(docs.agg(count(lit(1)).as("n_total")))
+    val w = (col("n_lang") * col("n_source")).cast("double") /
+      (col("n_total") * col("n_cell")).cast("double")
+    cell.join(bySrc, "source").join(byLang, "lang").crossJoin(total)
+      .select(col("source"), col("lang"), col("n_cell"),
+        w.as("weight"), (w > clipW).as("clipped"))
+  }
 }

@@ -1509,4 +1509,64 @@ object Stats {
         (col("abs_d").cast("double") / (col("n") * 1000000L).cast("double"))
           .as("cusum_stat"))
   }
+
+  /** Friedman test across event types BLOCKED BY DAY — the
+    * repeated-measures k-sample test completing [[anovaF]] (means) /
+    * [[kruskalWallis]] (pooled ranks): does any type's level differ
+    * when each day serves as its own control? Per-(day, type) cell
+    * statistic is the DOUBLED MEDIAN (two order statistics on micro
+    * longs — the [[levene]] recipe, exact where a per-cell mean is a
+    * non-comparable rational); only COMPLETE blocks (all k types
+    * present) enter, per the classical design. Within-day ranks ride
+    * bounded ≤k-row windows with average ties as the exact integer
+    * dr = 2·rank + t − 1, and the tie-robust statistic
+    * Q = (k−1)·Σ_j(R2_j − n(k+1))² / (Σ_{ij}dr² − n·k·(k+1)²)
+    * is a ratio of EXACT LONGS — one IEEE division, UNROUNDED
+    * (all-tied blocks everywhere null the denominator cleanly).
+    */
+  def friedman(events: DataFrame,
+               key: String = "event_type", ts: String = "ts", v: String = "value"): DataFrame = {
+    val q = events
+      .withColumn("day", date_trunc("day", col(ts)))
+      .withColumn("qu", floor(col(v) * 1000000).cast("long"))
+    val wCell    = Window.partitionBy(col("day"), col(key)).orderBy(col("qu"))
+    val wCellAll = Window.partitionBy(col("day"), col(key))
+    val lo = expr("(n + 1) div 2")
+    val hi = expr("(n + 2) div 2")
+    val cells = q
+      .withColumn("rn", row_number().over(wCell).cast("long"))
+      .withColumn("n", count(lit(1)).over(wCellAll))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col("day"), col(key))
+      .agg((sum(when(col("rn") === lo, col("qu"))) +
+        sum(when(col("rn") === hi, col("qu")))).as("m2"))
+    val kDf = broadcast(events.select(col(key)).distinct()
+      .agg(count(lit(1)).cast("long").as("k")))
+    val dayCnt = cells.groupBy(col("day")).agg(count(lit(1)).as("c"))
+    val full = cells.join(dayCnt, "day").crossJoin(kDf)
+      .filter(col("c") === col("k"))
+    val wDay = Window.partitionBy(col("day")).orderBy(col("m2"))
+    val wTie = Window.partitionBy(col("day"), col("m2"))
+    val ranked = full
+      .withColumn("rmin", rank().over(wDay).cast("long"))
+      .withColumn("t", count(lit(1)).over(wTie))
+      .withColumn("dr", lit(2L) * col("rmin") + col("t") - 1L)
+    val perType = ranked.groupBy(col(key))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("dr")).as("r2"),
+        sum(col("dr") * col("dr")).as("dr2"),
+        max(col("k")).as("k"))
+    val dev = col("r2") - col("n_blocks") * (col("k") + 1L)
+    val res = perType.agg(
+      max(col("k")).as("k_types"),
+      max(col("n_blocks")).as("n_blocks"),
+      sum(dev * dev).as("st4"),
+      sum(col("dr2")).as("sum_dr2"))
+    val se4 = col("sum_dr2") -
+      col("n_blocks") * col("k_types") * (col("k_types") + 1L) * (col("k_types") + 1L)
+    res.select(col("k_types"), col("n_blocks"),
+      when(se4 > 0,
+        ((col("k_types") - 1L) * col("st4")).cast("double") / se4.cast("double"))
+        .as("friedman_q"))
+  }
 }

@@ -553,4 +553,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(math.abs(got.getAs[Double]("theil_t") - theil) < 1e-6)
     assert(math.abs(got.getAs[Double]("atkinson_1") - atk) < 1e-6)
   }
+
+  test("supplier hhi: even split reads 1/n exactly; a dominant supplier reads the hand 0.9412") {
+    import spark.implicits._
+    val nation = Seq((1L, "EVEN"), (2L, "SKEW")).toDF("n_nationkey", "n_name")
+    val supplier = (1 to 4).map(i => (i.toLong, 1L)) ++ (5 to 8).map(i => (i.toLong, 2L))
+    val supDf = supplier.toDF("s_suppkey", "s_nationkey")
+    // EVEN: 25 lines per supplier; SKEW: 1,1,1,97
+    val lines = (1 to 4).flatMap(sk => Seq.fill(25)(sk.toLong)) ++
+      Seq(5L, 6L, 7L) ++ Seq.fill(97)(8L)
+    val li = lines.zipWithIndex.map { case (sk, i) => (i.toLong, sk) }
+      .toDF("l_orderkey", "l_suppkey")
+    val got = graft.operators.Relational.supplierHhi(li, supDf, nation).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val even = got("EVEN")
+    assert(even.getAs[Long]("n_suppliers") === 4L && even.getAs[Long]("n_lines") === 100L)
+    assert(even.getAs[Double]("hhi") === 0.25)
+    assert(even.getAs[Double]("effective_suppliers") === 4.0)
+    val skew = got("SKEW")
+    assert(skew.getAs[Double]("hhi") === 9412.0 / 10000.0)
+    assert(skew.getAs[Double]("effective_suppliers") === 10000.0 / 9412.0)
+  }
 }

@@ -178,4 +178,20 @@ class SamplingSpec extends AnyFunSuite {
     assert(big.getAs[Double]("corpus_share") === 5.0 / 7)
     assert(small.getAs[Double]("corpus_share") === 2.0 / 7)
   }
+
+  test("importance weights: cross-multiplied exact ratios rebalance a skewed feed to the corpus mix") {
+    import spark.implicits._
+    // s1: 3 en + 1 zh, s2: 1 en + 3 zh -> corpus is 50/50
+    val docs = (
+      (1 to 3).map(i => (i.toLong, "t", "en", "s1")) ++ Seq((4L, "t", "zh", "s1")) ++
+        Seq((5L, "t", "en", "s2")) ++ (6 to 8).map(i => (i.toLong, "t", "zh", "s2"))
+      ).toDF("doc_id", "text", "lang", "source")
+    val got = graft.operators.Sampling.importanceWeights(docs).collect()
+      .map(r => (r.getString(r.fieldIndex("source")), r.getString(r.fieldIndex("lang"))) -> r).toMap
+    assert(got(("s1", "en")).getAs[Double]("weight") === 16.0 / 24.0)
+    assert(got(("s1", "zh")).getAs[Double]("weight") === 2.0, "under-delivered lang oversamples")
+    assert(got(("s2", "en")).getAs[Double]("weight") === 2.0)
+    assert(got(("s2", "zh")).getAs[Double]("weight") === 16.0 / 24.0)
+    assert(got.values.forall(!_.getAs[Boolean]("clipped")))
+  }
 }

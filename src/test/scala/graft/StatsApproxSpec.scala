@@ -742,6 +742,31 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(got("b").getAs[Double]("grubbs_g") < 2.0, "a uniform group hides no gross outlier")
   }
 
+  test("friedman: perfectly consistent rankings read the textbook n(k-1); all-tied blocks null") {
+    import spark.implicits._
+    // 3 complete day-blocks, types a<b<c every day, plus one
+    // INCOMPLETE day (only a, b) that must not count as a block
+    def ev(d: Int, t: String, x: Double, id: Long) =
+      (id, 1L, d.toLong * 86400L + 3600L, t, x)
+    val rows = (0 until 3).flatMap { d =>
+      Seq(ev(d, "a", 1.0 + d, d * 10L), ev(d, "b", 2.0 + d, d * 10L + 1),
+        ev(d, "c", 3.0 + d, d * 10L + 2))
+    } ++ Seq(ev(3, "a", 1.0, 90L), ev(3, "b", 2.0, 91L))
+    val df = rows.toDF("event_id", "user_id", "t_s", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = Stats.friedman(df).head()
+    assert(got.getAs[Long]("k_types") === 3L)
+    assert(got.getAs[Long]("n_blocks") === 3L, "the incomplete day must drop")
+    assert(got.getAs[Double]("friedman_q") === 6.0, "perfect consistency: Q = n(k-1)")
+    // all-tied: every type identical each day -> zero denominator -> null
+    val tied = (0 until 3).flatMap(d =>
+      Seq(ev(d, "a", 5.0, d * 10L), ev(d, "b", 5.0, d * 10L + 1), ev(d, "c", 5.0, d * 10L + 2)))
+      .toDF("event_id", "user_id", "t_s", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val g2 = Stats.friedman(tied).head()
+    assert(g2.isNullAt(g2.fieldIndex("friedman_q")))
+  }
+
   test("changepoint: a clean level shift pins the CUSUM argmax at the shift day, magnitude exact") {
     import spark.implicits._
     // 10,10,10,20,20,20: |D_t| peaks at t=3 (the last pre-shift day);
