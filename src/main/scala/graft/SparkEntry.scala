@@ -1222,6 +1222,10 @@ object SparkEntry {
       Stats.signTest(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_friedman" -> ((s, dir) =>
       Stats.friedman(Tables.events(s, dir))),
+    "q_wasserstein" -> ((s, dir) =>
+      Stats.wasserstein1(Tables.events(s, dir), "view", "click")),
+    "q_knn_outliers" -> ((s, dir) =>
+      Similarity.knnOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_importance_weights" -> ((s, dir) =>
       Sampling.importanceWeights(Tables.documents(s, dir)).orderBy("source", "lang")),
     "q_supplier_hhi" -> ((s, dir) =>
@@ -7932,6 +7936,59 @@ object SparkEntry {
         |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
         |    AS z_runs
         |FROM h ORDER BY user_id""".stripMargin,
+    // each segment is |cumA·nB − cumB·nA|·Δv in exact 128-bit
+    // decimals; W1 = S/(nA·nB·1e6) via splitDouble — one IEEE
+    // division, UNROUNDED
+    "q_wasserstein" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(value * 1000000) AS BIGINT) AS xq,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+        |), t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM f),
+        |c AS (
+        |  SELECT xq,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+        |    lead(xq) OVER (ORDER BY xq) AS nxt
+        |  FROM f WINDOW w AS (ORDER BY xq ROWS UNBOUNDED PRECEDING)
+        |), s AS (
+        |  SELECT max(t.na) AS n_a, max(t.nb) AS n_b,
+        |    sum(abs(CAST(c.cuma AS HUGEINT) * t.nb - CAST(c.cumb AS HUGEINT) * t.na)
+        |      * CAST(c.nxt - c.xq AS HUGEINT)) AS sg
+        |  FROM c, t WHERE c.nxt IS NOT NULL
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (CAST(sg // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(sg % 9007199254740992 AS DOUBLE))
+        |    / CAST(n_a * n_b * 1000000 AS DOUBLE)
+        |  END AS w1
+        |FROM s""".stripMargin,
+    // score = cos at rnk=k over the brute-force graph; threshold is
+    // the exact interpolating percentile; the flag compares
+    // bit-identical unrounded doubles
+    "q_knn_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), edges AS (
+        |  SELECT a.vec_id AS src, b.vec_id AS dst,
+        |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
+        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  WHERE a.nn * b.nn != 0
+        |), top AS (
+        |  SELECT src, cos,
+        |    row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rnk
+        |  FROM edges
+        |  QUALIFY rnk = 5
+        |), sc AS (
+        |  SELECT src AS vec_id, cos AS kth_cos FROM top
+        |), th AS (SELECT quantile_cont(kth_cos, 0.05) AS thr FROM sc)
+        |SELECT vec_id, kth_cos, round(thr, 6) AS thr,
+        |  CAST(kth_cos < thr AS INT) AS is_outlier
+        |FROM sc, th ORDER BY vec_id""".stripMargin,
     // per-cell doubled medians (levene recipe), within-day ranks on
     // bounded <=k-row windows, tie-robust Q a ratio of exact longs —
     // one IEEE division, UNROUNDED

@@ -1322,6 +1322,31 @@ object Similarity {
       .select(col("node"), col("core_degree").isNotNull.as("in_core"), col("core_degree"))
   }
 
+  /** kNN-distance outlier screen: each vector's cosine to its kth
+    * nearest neighbor, flagged when it falls below the corpus
+    * p-quantile — the isolation detector (mislabeled, corrupted, or
+    * genuinely novel points sit far from everything; LOF's cheap,
+    * distributed cousin). Rides [[knnGraph]]'s edge frame (declared-
+    * quadratic exact sweep at gate scale; IVF/LSH candidate edges at
+    * 100 TB), so the score is one rnk = k filter; the threshold is
+    * the exact interpolating percentile over the n-row score frame
+    * (broadcast back one row — the adaptiveQualityGate shape), and
+    * the flag compares UNROUNDED doubles that are bit-identical by
+    * the cosine chain's determinism. Zero-norm vectors have no
+    * edges and drop (they are [[embedNorms]]'s n_zero).
+    */
+  def knnOutliers(embeddings: DataFrame, k: Int = 5, p: Double = 0.05): DataFrame = {
+    require(k >= 1 && p > 0 && p < 1, s"need k >= 1 and p in (0,1): $k, $p")
+    val scores = knnGraph(embeddings, k)
+      .filter(col("rnk") === k)
+      .select(col("src").as("vec_id"), col("cos").as("kth_cos"))
+    val thr = broadcast(scores.agg(percentile(col("kth_cos"), lit(p)).as("thr")))
+    scores.crossJoin(thr)
+      .select(col("vec_id"), col("kth_cos"),
+        round(col("thr"), 6).as("thr"),
+        (col("kth_cos") < col("thr")).cast("int").as("is_outlier"))
+  }
+
   /** Matryoshka-readiness audit: per label, the mean share of vector
     * ENERGY (‖v[:d]‖²/‖v‖²) captured by each prefix width — the
     * can-we-truncate panel before shipping shortened embeddings

@@ -1510,6 +1510,66 @@ object Stats {
           .as("cusum_stat"))
   }
 
+  /** Wasserstein-1 (earth-mover) distance between two event types'
+    * value distributions: W1 = ∫|F_A − F_B| dv — the metric that
+    * SEES HOW FAR mass moved where [[ksTest]] sees only the largest
+    * gap and the KL tripwire only information. FULLY EXACT until one
+    * division: on the micro-quantized value axis, each segment
+    * contributes |cumA·n_B − cumB·n_A| · Δv — exact 128-bit decimal
+    * products summed order-independently — and W1 = S/(n_A·n_B·1e6)
+    * via the splitDouble conversion, ONE IEEE division, UNROUNDED.
+    * The global prefix sums ride the [[ksTest]] distributed recipe
+    * (range partitions, local cumsum, broadcast offsets — never a
+    * global window over data); each partition's last segment takes
+    * its Δv from the NEXT partition's first value via the same
+    * nBuckets-row offsets frame.
+    */
+  def wasserstein1(events: DataFrame, typeA: String, typeB: String,
+                   key: String = "event_type", v: String = "value",
+                   nBuckets: Int = 32): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = events
+      .filter(col(key).isin(typeA, typeB))
+      .select(floor(col(v) * 1000000).cast("long").as("xq"),
+        when(col(key) === typeA, 1L).otherwise(0L).as("ia"),
+        when(col(key) === typeB, 1L).otherwise(0L).as("ib"))
+      .groupBy(col("xq"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .repartitionByRange(nBuckets, col("xq"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("pid").orderBy("xq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeq  = Window.partitionBy("pid").orderBy("xq")
+    val wOff  = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy("pid")
+    val offsets = d.groupBy(col("pid"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), min(col("xq")).as("minx"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("ta")).over(wOff), lit(0L)).as("offa"),
+        coalesce(sum(col("tb")).over(wOff), lit(0L)).as("offb"),
+        lead(col("minx"), 1).over(wNext).as("next_min"))
+    val totals = d.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    // the cross-products go through 128-bit decimal BEFORE the
+    // multiply: cum·n would overflow int64 at petabyte counts
+    val dfn = (col("offa") + col("la")).cast(dec) * col("nb").cast(dec) -
+      (col("offb") + col("lb")).cast(dec) * col("na").cast(dec)
+    val gap = coalesce(lead(col("xq"), 1).over(wSeq), col("next_min")) - col("xq")
+    val agg = d
+      .withColumn("la", sum(col("ca")).over(wLocal))
+      .withColumn("lb", sum(col("cb")).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(totals))
+      .withColumn("term",
+        when(gap.isNotNull, abs(dfn) * gap.cast(dec)).otherwise(lit(0L).cast(dec)))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("term")).as("s"))
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        splitDouble(col("s")) /
+          (col("n_a") * col("n_b") * lit(1000000L)).cast("double")).as("w1"))
+  }
+
   /** Friedman test across event types BLOCKED BY DAY — the
     * repeated-measures k-sample test completing [[anovaF]] (means) /
     * [[kruskalWallis]] (pooled ranks): does any type's level differ

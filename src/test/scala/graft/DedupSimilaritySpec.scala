@@ -1139,6 +1139,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"histogram tail $tail must equal the banded >=0.8 pair count $banded")
   }
 
+  test("knn outliers: the orthogonal vector is the single flagged point; the boundary score is safe") {
+    import spark.implicits._
+    // 20 near-parallel vectors + 1 orthogonal: only the orthogonal
+    // one sits below the 5% threshold (which lands ON the 2nd-lowest
+    // score — strict < keeps the boundary point)
+    val pack = (0 until 20).map(i => (i.toLong, Array(1f, 0.01f * i, 0f, 0f), 1))
+    val far  = Seq((99L, Array(0f, 0f, 1f, 0f), 2))
+    val got = Similarity.knnOutliers((pack ++ far).toDF("vec_id", "embedding", "label"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.size === 21)
+    val outliers = got.values.filter(_.getAs[Int]("is_outlier") === 1).toSeq
+    assert(outliers.map(_.getLong(0)) === Seq(99L), s"only the orthogonal vector flags: $outliers")
+    assert(got(99L).getAs[Double]("kth_cos") < 0.1)
+    got.values.foreach(r => assert(r.getAs[Double]("kth_cos") <= 1.0 + 1e-9))
+  }
+
   test("matryoshka audit: front-loaded energy reads 1.0 at width 8; uniform reads exact dyadic shares") {
     import spark.implicits._
     val front = Array.fill(8)(1f) ++ Array.fill(56)(0f)

@@ -742,6 +742,23 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(got("b").getAs[Double]("grubbs_g") < 2.0, "a uniform group hides no gross outlier")
   }
 
+  test("wasserstein-1: a unit shift reads exactly 1.0, identical samples 0.0, bucket-count invariant") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
+      .map { case ((t, x), i) => (i.toLong, 1L, t, x) }
+      .toDF("event_id", "user_id", "event_type", "value")
+    val shifted = ev(Seq(("view", 1.0), ("view", 2.0), ("view", 3.0),
+      ("click", 2.0), ("click", 3.0), ("click", 4.0)))
+    val r1 = Stats.wasserstein1(shifted, "view", "click").head()
+    assert(r1.getAs[Long]("n_a") === 3L && r1.getAs[Long]("n_b") === 3L)
+    assert(r1.getAs[Double]("w1") === 1.0, "every unit of mass moves exactly 1")
+    // partition-boundary safety: 2 buckets vs 32 buckets, same exact answer
+    val r2 = Stats.wasserstein1(shifted, "view", "click", nBuckets = 2).head()
+    assert(r2.getAs[Double]("w1") === 1.0, "the cross-partition gap must not drop")
+    val same = ev(Seq(("view", 5.0), ("view", 7.0), ("click", 5.0), ("click", 7.0)))
+    assert(Stats.wasserstein1(same, "view", "click").head().getAs[Double]("w1") === 0.0)
+  }
+
   test("friedman: perfectly consistent rankings read the textbook n(k-1); all-tied blocks null") {
     import spark.implicits._
     // 3 complete day-blocks, types a<b<c every day, plus one
