@@ -1224,6 +1224,10 @@ object SparkEntry {
       Stats.friedman(Tables.events(s, dir))),
     "q_wasserstein" -> ((s, dir) =>
       Stats.wasserstein1(Tables.events(s, dir), "view", "click")),
+    "q_cochran_q" -> ((s, dir) =>
+      Stats.cochranQ(Tables.events(s, dir))),
+    "q_turning_points" -> ((s, dir) =>
+      Stats.turningPoints(Tables.events(s, dir)).orderBy("user_id")),
     "q_knn_outliers" -> ((s, dir) =>
       Similarity.knnOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
     "q_importance_weights" -> ((s, dir) =>
@@ -7936,6 +7940,79 @@ object SparkEntry {
         |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
         |    AS z_runs
         |FROM h ORDER BY user_id""".stripMargin,
+    // binary outcomes from the exact 2c > m2 compare on the complete
+    // day grid; Q a ratio of exact longs — one IEEE division
+    "q_cochran_q" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1
+        |  FROM events
+        |), grid AS (
+        |  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b
+        |), ty AS (SELECT DISTINCT event_type FROM events),
+        |cnt AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2
+        |), cells AS (
+        |  SELECT ty.event_type, grid.day, coalesce(cnt.c, 0) AS c
+        |  FROM ty CROSS JOIN grid
+        |  LEFT JOIN cnt ON cnt.event_type = ty.event_type AND cnt.day = grid.day
+        |), o AS (
+        |  SELECT event_type, day, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM cells
+        |), med AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN rn = (n + 1) // 2 THEN c END)
+        |      + sum(CASE WHEN rn = (n + 2) // 2 THEN c END) AS BIGINT) AS m2
+        |  FROM o WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY 1
+        |), x AS (
+        |  SELECT cells.event_type, cells.day,
+        |    CASE WHEN 2 * cells.c > med.m2 THEN 1 ELSE 0 END AS x
+        |  FROM cells JOIN med USING (event_type)
+        |), bt AS (
+        |  SELECT event_type, CAST(sum(x) AS BIGINT) AS cj FROM x GROUP BY 1
+        |), bd AS (
+        |  SELECT day, CAST(sum(x) AS BIGINT) AS ri FROM x GROUP BY 1
+        |), ta AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(cj) AS BIGINT) AS nn,
+        |    CAST(sum(cj * cj) AS BIGINT) AS sc2
+        |  FROM bt
+        |), da AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_days, CAST(sum(ri * ri) AS BIGINT) AS sr2
+        |  FROM bd
+        |)
+        |SELECT k AS k_types, n_days, nn AS n_success,
+        |  CASE WHEN k * nn - sr2 > 0
+        |    THEN CAST((k - 1) * (k * sc2 - nn * nn) AS DOUBLE) / CAST(k * nn - sr2 AS DOUBLE)
+        |  END AS cochran_q
+        |FROM ta, da""".stripMargin,
+    // strict integer compares on micro closes; z one fixed IEEE
+    // chain over exact longs — UNROUNDED
+    "q_turning_points" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), t AS (
+        |  SELECT user_id,
+        |    CAST(floor(close * 1000000) AS BIGINT) AS cur,
+        |    lag(CAST(floor(close * 1000000) AS BIGINT), 1) OVER w AS prev,
+        |    lead(CAST(floor(close * 1000000) AS BIGINT), 1) OVER w AS nxt
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |), a AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+        |      AND ((cur > prev AND cur > nxt) OR (cur < prev AND cur < nxt))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT user_id, n_days, n_turning,
+        |  CASE WHEN n_days >= 3
+        |    THEN CAST(3 * n_turning - 2 * (n_days - 2) AS DOUBLE) / 3.0
+        |      * sqrt(90.0 / CAST(16 * n_days - 29 AS DOUBLE))
+        |  END AS tp_z
+        |FROM a ORDER BY user_id""".stripMargin,
     // each segment is |cumA·nB − cumB·nA|·Δv in exact 128-bit
     // decimals; W1 = S/(nA·nB·1e6) via splitDouble — one IEEE
     // division, UNROUNDED

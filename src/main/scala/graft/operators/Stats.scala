@@ -1510,6 +1510,90 @@ object Stats {
           .as("cusum_stat"))
   }
 
+  /** Cochran's Q across event types on BINARY high-activity-day
+    * outcomes — the dichotomous member of the blocked k-sample
+    * family ([[friedman]] ranks levels; this tests whether
+    * above-median activity days are equally likely across types).
+    * Outcome x_{day,type} = 1 iff the type's event count that day
+    * strictly exceeds its own median daily count, over the COMPLETE
+    * day×type grid (empty cells count 0 — the [[graft.operators.EventAnalytics.dispersionIndex]]
+    * grid move), with the median as the doubled order statistic
+    * (2c > m2, an exact integer compare — no float near the
+    * boundary). Q = (k−1)(k·ΣC_j² − N²)/(k·N − ΣR_i²) is a ratio of
+    * EXACT LONGS — one IEEE division, UNROUNDED; the degenerate
+    * denominator (every day all-0 or all-1) nulls cleanly.
+    */
+  def cochranQ(events: DataFrame,
+               key: String = "event_type", ts: String = "ts"): DataFrame = {
+    val bounds = broadcast(events.agg(
+      date_trunc("day", min(col(ts))).as("d0"),
+      date_trunc("day", max(col(ts))).as("d1")))
+    val grid  = bounds.select(
+      explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val types = events.select(col(key)).distinct()
+    val counts = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val cells = types.crossJoin(grid)
+      .join(counts, Seq(key, "day"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val wT    = Window.partitionBy(col(key)).orderBy(col("c"))
+    val wTAll = Window.partitionBy(col(key))
+    val lo = expr("(n + 1) div 2")
+    val hi = expr("(n + 2) div 2")
+    val med = cells
+      .withColumn("rn", row_number().over(wT).cast("long"))
+      .withColumn("n", count(lit(1)).over(wTAll))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col(key))
+      .agg((sum(when(col("rn") === lo, col("c"))) +
+        sum(when(col("rn") === hi, col("c")))).as("m2"))
+    val x = cells.join(broadcast(med), Seq(key))
+      .withColumn("x", (lit(2L) * col("c") > col("m2")).cast("long"))
+    val byType = x.groupBy(col(key)).agg(sum(col("x")).as("cj"))
+    val byDay  = x.groupBy(col("day")).agg(sum(col("x")).as("ri"))
+    val tAgg = byType.agg(count(lit(1)).as("k"), sum(col("cj")).as("nn"),
+      sum(col("cj") * col("cj")).as("sc2"))
+    val dAgg = byDay.agg(count(lit(1)).as("n_days"), sum(col("ri") * col("ri")).as("sr2"))
+    val den = col("k") * col("nn") - col("sr2")
+    tAgg.crossJoin(dAgg)
+      .select(col("k").as("k_types"), col("n_days"), col("nn").as("n_success"),
+        when(den > 0,
+          ((col("k") - 1L) * (col("k") * col("sc2") - col("nn") * col("nn"))).cast("double") /
+            den.cast("double")).as("cochran_q"))
+  }
+
+  /** Turning-point test per key on daily closes: count strict local
+    * maxima/minima in the series — a random i.i.d. sequence turns at
+    * 2/3 of interior points, trending series turn less, oscillating
+    * series more (the shape-free randomness screen beside
+    * [[runsTest]]'s sign version). Turns are exact integer compares
+    * of micro closes (ties break NO turn, strict), E[T] = 2(n−2)/3
+    * and Var = (16n−29)/90 enter as one fixed IEEE chain over the
+    * exact longs 3T − 2(n−2) and 16n − 29 — UNROUNDED. One lag
+    * window + one aggregate on the same per-key sort.
+    */
+  def turningPoints(events: DataFrame,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val w  = Window.partitionBy(key).orderBy("day")
+    val qc = floor(col("close") * 1000000).cast("long")
+    val t = graft.operators.TimeSeries.dailyClose(events, key, ts, v)
+      .withColumn("cur",  qc)
+      .withColumn("prev", lag(qc, 1).over(w))
+      .withColumn("nxt",  lead(qc, 1).over(w))
+    val isTurn = (col("cur") > col("prev") && col("cur") > col("nxt")) ||
+      (col("cur") < col("prev") && col("cur") < col("nxt"))
+    val agg = t.groupBy(col(key))
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("prev").isNotNull && col("nxt").isNotNull && isTurn, 1L)
+          .otherwise(0L)).as("n_turning"))
+    val num = lit(3L) * col("n_turning") - lit(2L) * (col("n_days") - 2L)
+    agg.select(col(key), col("n_days"), col("n_turning"),
+      when(col("n_days") >= 3,
+        num.cast("double") / 3.0 *
+          sqrt(lit(90.0) / (lit(16L) * col("n_days") - 29L).cast("double"))).as("tp_z"))
+  }
+
   /** Wasserstein-1 (earth-mover) distance between two event types'
     * value distributions: W1 = ∫|F_A − F_B| dv — the metric that
     * SEES HOW FAR mass moved where [[ksTest]] sees only the largest

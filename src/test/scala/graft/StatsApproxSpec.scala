@@ -742,6 +742,44 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(got("b").getAs[Double]("grubbs_g") < 2.0, "a uniform group hides no gross outlier")
   }
 
+  test("cochran q: hand-built binary activity matrix reads exactly 0.5; outcomes split on 2c > m2") {
+    import spark.implicits._
+    // daily counts per type over 4 days: a=(1,9,9,1), b=(9,1,1,9),
+    // c=(1,1,1,9) -> outcomes (0110),(1001),(0001) -> Q = 0.5 exactly
+    val counts = Map("a" -> Seq(1, 9, 9, 1), "b" -> Seq(9, 1, 1, 9), "c" -> Seq(1, 1, 1, 9))
+    val rows = counts.toSeq.flatMap { case (t, cs) =>
+      cs.zipWithIndex.flatMap { case (c, d) =>
+        (0 until c).map(j => (t.hashCode.toLong * 1000 + d * 100 + j, 1L,
+          d.toLong * 86400L + 3600L + j, t))
+      }
+    }
+    val df = rows.toDF("event_id", "user_id", "t_s", "event_type")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = Stats.cochranQ(df).head()
+    assert(got.getAs[Long]("k_types") === 3L)
+    assert(got.getAs[Long]("n_days") === 4L)
+    assert(got.getAs[Long]("n_success") === 5L)
+    assert(got.getAs[Double]("cochran_q") === 0.5)
+  }
+
+  test("turning points: an alternating series turns at every interior point, a ramp never") {
+    import spark.implicits._
+    def mk(uid: Long, closes: Seq[Double]) = closes.zipWithIndex
+      .map { case (c, i) => (uid, uid * 1000 + i.toLong, i.toLong, c) }
+    val alt  = Seq(1.0, 3.0, 1.0, 3.0, 1.0, 3.0, 1.0)
+    val ramp = (0 until 7).map(i => 10.0 + i)
+    val df = (mk(1L, alt) ++ mk(2L, ramp))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L)).drop("d")
+    val got = Stats.turningPoints(df).orderBy("user_id").collect()
+    val a = got(0)
+    assert(a.getAs[Long]("n_turning") === 5L, "every interior point of an alternation turns")
+    assert(a.getAs[Double]("tp_z") === (3.0 * 5 - 2 * 5) / 3.0 * math.sqrt(90.0 / (16 * 7 - 29)))
+    val r = got(1)
+    assert(r.getAs[Long]("n_turning") === 0L)
+    assert(r.getAs[Double]("tp_z") < -1.0, "a ramp is maximally turn-free")
+  }
+
   test("wasserstein-1: a unit shift reads exactly 1.0, identical samples 0.0, bucket-count invariant") {
     import spark.implicits._
     def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
