@@ -1226,6 +1226,12 @@ object SparkEntry {
       Stats.wasserstein1(Tables.events(s, dir), "view", "click")),
     "q_cochran_q" -> ((s, dir) =>
       Stats.cochranQ(Tables.events(s, dir))),
+    "q_garch_filter" -> ((s, dir) =>
+      TimeSeries.garchFilter(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_kupiec_pof" -> ((s, dir) =>
+      TimeSeries.kupiecPof(Tables.events(s, dir)).orderBy("user_id")),
+    "q_hodges_lehmann" -> ((s, dir) =>
+      Stats.hodgesLehmann(Tables.events(s, dir), 0L).orderBy("user_id")),
     "q_turning_points" -> ((s, dir) =>
       Stats.turningPoints(Tables.events(s, dir)).orderBy("user_id")),
     "q_knn_outliers" -> ((s, dir) =>
@@ -7940,6 +7946,108 @@ object SparkEntry {
         |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
         |    AS z_runs
         |FROM h ORDER BY user_id""".stripMargin,
+    // the recurrence is a prepended-seed list_reduce mirroring the
+    // Spark strict left fold — bit-identical, UNROUNDED; constants
+    // carry ::DOUBLE casts (DuckDB decimal-folds bare literals)
+    "q_garch_filter" ->
+      """WITH bars AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), l0 AS (
+        |  SELECT user_id, list(close ORDER BY day) AS xs, list(day ORDER BY day) AS ds
+        |  FROM bars GROUP BY user_id
+        |), m AS (
+        |  SELECT user_id, ds,
+        |    list_transform(generate_series(2, len(xs)),
+        |      i -> CASE WHEN xs[i-1] != 0 THEN xs[i] / xs[i-1] - 1 END) AS rs
+        |  FROM l0 WHERE len(xs) >= 2
+        |), r AS (
+        |  SELECT user_id, ds, rs, unnest(generate_series(1, len(rs))) AS rn FROM m
+        |), v AS (
+        |  SELECT user_id, ds, rs, rn,
+        |    list_reduce(list_prepend(rs[1] * rs[1], rs[1:rn-1]),
+        |      (y, x) -> 0.000001::DOUBLE + 0.08::DOUBLE * x * x + 0.9::DOUBLE * y) AS sigma2
+        |  FROM r
+        |)
+        |SELECT user_id, strftime(ds[rn + 1], '%Y-%m-%d') AS day,
+        |  rs[rn] AS ret, sigma2, sqrt(sigma2) AS sigma
+        |FROM v ORDER BY user_id, day""".stripMargin,
+    // train-half VaR threshold as a discrete order statistic; exact
+    // violation counts; LR one fixed ln chain at 6dp (libm last-ulp
+    // is not a cross-engine contract)
+    "q_kupiec_pof" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), rets AS (
+        |  SELECT user_id, day,
+        |    CAST(floor(ret * 1000000) AS BIGINT) AS mk,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS drn,
+        |    count(*) OVER (PARTITION BY user_id) AS n_all
+        |  FROM r0
+        |), thr AS (
+        |  SELECT user_id, mk AS thr_mk, n_tr FROM (
+        |    SELECT user_id, mk, day,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY mk, day) AS rn,
+        |      count(*) OVER (PARTITION BY user_id) AS n_tr
+        |    FROM rets WHERE drn <= n_all // 2)
+        |  WHERE rn = CAST(ceil(n_tr * 0.05) AS BIGINT)
+        |), a AS (
+        |  SELECT r.user_id, CAST(max(t.n_tr) AS BIGINT) AS n_train,
+        |    CAST(count(*) AS BIGINT) AS n_test,
+        |    CAST(sum(CASE WHEN r.mk < t.thr_mk THEN 1 ELSE 0 END) AS BIGINT) AS n_viol,
+        |    CAST(max(t.thr_mk) AS BIGINT) AS thr_mk
+        |  FROM rets r JOIN thr t USING (user_id)
+        |  WHERE r.drn > r.n_all // 2
+        |  GROUP BY 1
+        |)
+        |SELECT user_id, n_train, n_test, n_viol,
+        |  CAST(thr_mk AS DOUBLE) / 1000000.0 AS var_threshold,
+        |  round(-2.0 * (CAST(n_test - n_viol AS DOUBLE) * ln(0.95) + CAST(n_viol AS DOUBLE) * ln(0.05)
+        |    - CASE WHEN n_viol > 0 AND n_viol < n_test
+        |        THEN CAST(n_test - n_viol AS DOUBLE)
+        |          * ln(1.0 - CAST(n_viol AS DOUBLE) / CAST(n_test AS DOUBLE))
+        |          + CAST(n_viol AS DOUBLE) * ln(CAST(n_viol AS DOUBLE) / CAST(n_test AS DOUBLE))
+        |        ELSE 0.0 END), 6) AS kupiec_lr
+        |FROM a ORDER BY user_id""".stripMargin,
+    // Walsh numerators are exact micro longs; the pseudo-median is a
+    // doubled order statistic over the bounded-series pair frame;
+    // HL = m2s/4e6 one IEEE division, UNROUNDED
+    "q_hodges_lehmann" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, day, CAST(floor(ret * 1000000) AS BIGINT) AS mk FROM r0
+        |), b AS (
+        |  SELECT day, mk AS mb FROM r WHERE user_id = 0
+        |), d AS (
+        |  SELECT r.user_id, r.day, r.mk - b.mb AS d
+        |  FROM r JOIN b USING (day) WHERE r.user_id != 0
+        |), w AS (
+        |  SELECT a.user_id, a.d + b.d AS s, a.day AS da, b.day AS db
+        |  FROM d a JOIN d b ON a.user_id = b.user_id AND a.day <= b.day
+        |), o AS (
+        |  SELECT user_id, s,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY s, da, db) AS rn,
+        |    count(*) OVER (PARTITION BY user_id) AS np
+        |  FROM w
+        |)
+        |SELECT user_id, CAST(max(np) AS BIGINT) AS n_pairs,
+        |  CAST(sum(CASE WHEN rn = (np + 1) // 2 THEN s END)
+        |    + sum(CASE WHEN rn = (np + 2) // 2 THEN s END) AS DOUBLE) / 4000000.0 AS hl_shift
+        |FROM o WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // binary outcomes from the exact 2c > m2 compare on the complete
     // day grid; Q a ratio of exact longs — one IEEE division
     "q_cochran_q" ->

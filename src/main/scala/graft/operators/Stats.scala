@@ -1510,6 +1510,48 @@ object Stats {
           .as("cusum_stat"))
   }
 
+  /** Hodges–Lehmann pseudo-median of each key's daily return edge
+    * vs the benchmark: the median of all pairwise Walsh averages
+    * (d_i + d_j)/2 — the robust LOCATION estimate that pairs with
+    * [[wilcoxonSigned]]'s test (the test says IS there a shift;
+    * HL says HOW BIG, immune to the fat tails that drag a mean).
+    * Walsh numerators d_i + d_j are exact micro longs, the median
+    * is the doubled order statistic over the pair frame (two
+    * row_number picks — no interpolation), and HL = m2s/4e6 is ONE
+    * IEEE division of exact integers, UNROUNDED. DECLARED
+    * bounded-series pair join (pairs/key fixed by the calendar —
+    * the kendallTauTrend shape, linear in keys, plan red-barred
+    * non-cartesian).
+    */
+  def hodgesLehmann(events: DataFrame, benchmarkId: Long = 0L,
+                    key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    val rets = graft.operators.TimeSeries.dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    val bench = broadcast(rets.filter(col(key) === benchmarkId)
+      .select(col("day"), col("mk").as("mb")))
+    val d = rets.filter(col(key) =!= benchmarkId)
+      .join(bench, Seq("day"))
+      .select(col(key), col("day"), (col("mk") - col("mb")).as("d"))
+    val a = d.select(col(key), col("day").as("da"), col("d").as("x"))
+    val b = d.select(col(key), col("day").as("db"), col("d").as("y"))
+    val walsh = a.join(b, Seq(key)).filter(col("da") <= col("db"))
+      .select(col(key), (col("x") + col("y")).as("s"), col("da"), col("db"))
+    val wS   = Window.partitionBy(key).orderBy(col("s").asc, col("da").asc, col("db").asc)
+    val wAll = Window.partitionBy(key)
+    val lo = expr("(np + 1) div 2")
+    val hi = expr("(np + 2) div 2")
+    walsh
+      .withColumn("rn", row_number().over(wS).cast("long"))
+      .withColumn("np", count(lit(1)).over(wAll))
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col(key))
+      .agg(max(col("np")).as("n_pairs"),
+        (sum(when(col("rn") === lo, col("s"))) +
+          sum(when(col("rn") === hi, col("s")))).as("m2s"))
+      .select(col(key), col("n_pairs"),
+        (col("m2s").cast("double") / 4000000.0).as("hl_shift"))
+  }
+
   /** Cochran's Q across event types on BINARY high-activity-day
     * outcomes — the dichotomous member of the blocked k-sample
     * family ([[friedman]] ranks levels; this tests whether

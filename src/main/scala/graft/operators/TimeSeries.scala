@@ -3170,6 +3170,94 @@ object TimeSeries {
             lit(0.0), (acc, x) => acc + x)).as("mass_index"))
   }
 
+  /** GARCH(1,1) volatility filter with declared parameters:
+    * σ²_t = ω + α·r²_{t−1} + β·σ²_{t−1} seeded at σ²_1 = r²_1 — the
+    * conditional-heteroskedasticity upgrade of [[ewmaVol]] (which is
+    * the ω=0, α+β=1 special case): variance mean-reverts to
+    * ω/(1−α−β) instead of wandering. Parameters are DECLARED inputs
+    * (estimation is a solver problem, not a query); the recurrence
+    * is the strict left fold [[emaRecurrenceSeries]] machinery
+    * mirrored by DuckDB's prepended-seed list_reduce, so every σ² is
+    * bit-identical cross-engine, UNROUNDED, no overflow horizon.
+    * Returns are the raw double chain close/prev − 1 (identical in
+    * both engines). Bounded-group fold shape, one groupBy shuffle.
+    */
+  def garchFilter(events: DataFrame, omega: Double = 1e-6,
+                  alphaG: Double = 0.08, betaG: Double = 0.9,
+                  key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(omega >= 0 && alphaG >= 0 && betaG >= 0 && alphaG + betaG < 1,
+      s"need a stationary filter: omega=$omega alpha=$alphaG beta=$betaG")
+    val g = events
+      .groupBy(col(key), date_trunc("day", col(ts)).as("day"))
+      .agg(max_by(col(v), col(ts)).as("close"))
+      .groupBy(col(key))
+      .agg(array_sort(collect_list(struct(col("day"), col("close")))).as("arr"))
+      .withColumn("days", transform(col("arr"), x => x.getField("day")))
+      .withColumn("xs", transform(col("arr"), x => x.getField("close")))
+      .withColumn("rs", zip_with(
+        slice(col("xs"), lit(2), greatest(size(col("xs")) - 1, lit(0))),
+        slice(col("xs"), lit(1), greatest(size(col("xs")) - 1, lit(0))),
+        (c, p) => when(p =!= 0, c / p - 1)))
+      .filter(size(col("rs")) >= 1)
+      .withColumn("sg", aggregate(
+        slice(col("rs"), lit(1), greatest(size(col("rs")) - 1, lit(0))),
+        array(element_at(col("rs"), 1) * element_at(col("rs"), 1)),
+        (acc, x) => concat(acc, array(
+          lit(omega) + lit(alphaG) * x * x + lit(betaG) * element_at(acc, -1)))))
+    g.select(col(key), col("days"), col("rs"),
+        posexplode(col("sg")).as(Seq("rn", "sigma2")))
+      .select(col(key),
+        date_format(element_at(col("days"), col("rn") + 2), "yyyy-MM-dd").as("day"),
+        element_at(col("rs"), col("rn") + 1).as("ret"),
+        col("sigma2"),
+        sqrt(col("sigma2")).as("sigma"))
+  }
+
+  /** Kupiec proportion-of-failures VaR backtest per key: estimate
+    * historical VaR on the FIRST half of the series (the
+    * [[varHistorical]] discrete order statistic — an actual observed
+    * return, no interpolation), count out-of-sample violations on
+    * the SECOND half with exact micro-return compares, and report
+    * the POF likelihood ratio LR = −2[(n−x)ln(1−p) + x·ln p −
+    * (n−x)ln(1−x/n) − x·ln(x/n)] (~χ²₁ under a correct model) — the
+    * does-the-VaR-hold-up validation beside q_var_historical. All
+    * counts exact longs; LR is one fixed ln chain, UNROUNDED; the
+    * x = 0 / x = n corners collapse their ln(0)·0 terms to 0 as the
+    * statistic prescribes. Two rank windows + one co-partitioned
+    * per-key join.
+    */
+  def kupiecPof(events: DataFrame, alpha: Double = 0.05,
+                key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1): $alpha")
+    val wP = Window.partitionBy(key)
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+      .withColumn("drn", row_number().over(wP.orderBy("day")))
+      .withColumn("n_all", count(lit(1)).over(wP))
+    val thr = rets.filter(col("drn") <= expr("n_all div 2"))
+      .withColumn("rn", row_number().over(wP.orderBy(col("mk").asc, col("day").asc)))
+      .withColumn("n_tr", count(lit(1)).over(wP))
+      .filter(col("rn") === ceil(col("n_tr") * alpha).cast("long"))
+      .select(col(key), col("mk").as("thr_mk"), col("n_tr"))
+    val agg = rets.filter(col("drn") > expr("n_all div 2"))
+      .join(thr, Seq(key))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("mk") < col("thr_mk"), 1L).otherwise(0L)).as("n_viol"),
+        max(col("thr_mk")).as("thr_mk"),
+        max(col("n_tr")).as("n_train"))
+    val n = col("n_test").cast("double")
+    val x = col("n_viol").cast("double")
+    val term0 = (n - x) * lit(math.log(1 - alpha)) + x * lit(math.log(alpha))
+    val termHat = when(col("n_viol") > 0 && col("n_viol") < col("n_test"),
+      (n - x) * log(lit(1.0) - x / n) + x * log(x / n)).otherwise(lit(0.0))
+    // 6dp: the ln() constants are libm calls whose last ulp is not a
+    // cross-engine contract (the perplexity/pmi convention)
+    agg.select(col(key), col("n_train"), col("n_test"), col("n_viol"),
+      (col("thr_mk").cast("double") / 1000000.0).as("var_threshold"),
+      round(lit(-2.0) * (term0 - termHat), 6).as("kupiec_lr"))
+  }
+
   /** Coppock curve on daily closes: WMA(wN) of ROC(n1) + ROC(n2)
     * (classic 10/14/11 on the month grain; here the day grain — the
     * long-horizon momentum bottom-finder). Each ROC is ONE IEEE

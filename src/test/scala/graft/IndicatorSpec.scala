@@ -876,6 +876,41 @@ class IndicatorSpec extends AnyFunSuite {
     assert(mfv(2) === 0.0, "the flat bar contributes zero money flow")
   }
 
+  test("garch filter: flat series relaxes toward omega/(1-beta); fold matches the local recompute") {
+    val flat = TimeSeries.garchFilter(closesDf(Seq(1L -> Seq.fill(20)(100.0)))).orderBy("day").collect()
+    val sig2 = flat.map(_.getAs[Double]("sigma2"))
+    assert(sig2.head === 0.0, "zero first return seeds sigma2 at 0")
+    assert(sig2.zip(sig2.tail).forall { case (a, b) => b > a }, "omega pulls variance up")
+    assert(sig2.last < 1e-6 / 0.1, "bounded by the stationary level omega/(1-beta)")
+    // arbitrary series: the output IS the strict left fold of the recurrence
+    val closes = Seq(100.0, 102.0, 99.0, 104.0, 101.0)
+    val got = TimeSeries.garchFilter(closesDf(Seq(1L -> closes))).orderBy("day").collect()
+    val rs = closes.sliding(2).map { case Seq(p0, c) => c / p0 - 1 }.toSeq
+    // sigma2_t consumes the PREVIOUS return: fold over rs.init
+    val want = rs.init.scanLeft(rs.head * rs.head)((y, x) => 1e-6 + 0.08 * x * x + 0.9 * y)
+    assert(got.map(_.getAs[Double]("sigma2")).toSeq === want)
+    assert(got.map(_.getAs[Double]("ret")).toSeq === rs)
+  }
+
+  test("kupiec pof: out-of-sample violations counted against the train-half VaR, LR matches hand") {
+    import spark.implicits._
+    // 20 returns: train half has one -10% day -> VaR threshold = -10%;
+    // test half has two worse days -> x = 2 of n = 10
+    val trainR = Seq(-0.10) ++ Seq.fill(9)(0.01)
+    val testR  = Seq(-0.20, 0.01, 0.01, -0.25, 0.01, 0.01, 0.01, 0.01, 0.01, 0.01)
+    val closes = (trainR ++ testR).scanLeft(100.0)((c, r) => c * (1 + r))
+    val got = TimeSeries.kupiecPof(closesDf(Seq(1L -> closes))).head()
+    assert(got.getAs[Long]("n_train") === 10L && got.getAs[Long]("n_test") === 10L)
+    assert(got.getAs[Long]("n_viol") === 2L)
+    // threshold is the train minimum's QUANTIZED return
+    val mks = closes.sliding(2).map { case Seq(p0, c) => math.floor((c / p0 - 1) * 1e6).toLong }.toSeq
+    assert(got.getAs[Double]("var_threshold") === mks.take(10).min.toDouble / 1e6)
+    val lr = -2.0 * (8 * math.log(0.95) + 2 * math.log(0.05)
+      - (8 * math.log(1.0 - 0.2) + 2 * math.log(0.2)))
+    val want = BigDecimal(lr).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("kupiec_lr") === want)
+  }
+
   test("stoch rsi: a pinned-at-100 RSI window is flat (null %K); a fresh low reads exactly 0") {
     // 15 strict up-moves pin RSI at 100 (flat window -> null %K);
     // three down days then make the latest RSI the window minimum -> %K = 0

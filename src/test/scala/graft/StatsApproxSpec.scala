@@ -742,6 +742,25 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(got("b").getAs[Double]("grubbs_g") < 2.0, "a uniform group hides no gross outlier")
   }
 
+  test("hodges-lehmann: the pseudo-median of Walsh averages matches the hand sort") {
+    import spark.implicits._
+    // flat benchmark; key returns ~ (+2%, -1%, +3%): walsh sums sort to
+    // (-2,1,2,4,5,6)e4 -> doubled median = (2+4)e4 -> HL = 0.015
+    val rets   = Seq(0.02, -0.01, 0.03)
+    val closes = rets.scanLeft(100.0)((c, r) => c * (1 + r))
+    def rows(uid: Long, cs: Seq[Double]) = cs.zipWithIndex
+      .map { case (c, i) => (uid, uid * 1000 + i.toLong, i.toLong, c) }
+    val df = (rows(0L, Seq.fill(4)(100.0)) ++ rows(1L, closes))
+      .toDF("user_id", "event_id", "d", "value")
+      .withColumn("ts", timestamp_micros(($"d" * 86400L + 3600L) * 1000000L)).drop("d")
+    val got = Stats.hodgesLehmann(df, 0L).head()
+    assert(got.getAs[Long]("n_pairs") === 6L)
+    val mks = closes.sliding(2).map { case Seq(p0, c) => math.floor((c / p0 - 1) * 1e6).toLong }.toSeq
+    val walsh = (for (i <- mks.indices; j <- i until mks.length) yield mks(i) + mks(j)).sorted
+    val m2s = walsh(2) + walsh(3)
+    assert(got.getAs[Double]("hl_shift") === m2s.toDouble / 4000000.0)
+  }
+
   test("cochran q: hand-built binary activity matrix reads exactly 0.5; outcomes split on 2c > m2") {
     import spark.implicits._
     // daily counts per type over 4 days: a=(1,9,9,1), b=(9,1,1,9),
