@@ -1236,6 +1236,10 @@ object SparkEntry {
       Stats.turningPoints(Tables.events(s, dir)).orderBy("user_id")),
     "q_knn_outliers" -> ((s, dir) =>
       Similarity.knnOutliers(Tables.embeddings(s, dir)).orderBy("vec_id")),
+    "q_isotropy" -> ((s, dir) =>
+      Similarity.isotropy(Tables.embeddings(s, dir))),
+    "q_dim_variance" -> ((s, dir) =>
+      Similarity.dimVariance(Tables.embeddings(s, dir)).orderBy("dim")),
     "q_importance_weights" -> ((s, dir) =>
       Sampling.importanceWeights(Tables.documents(s, dir)).orderBy("source", "lang")),
     "q_supplier_hhi" -> ((s, dir) =>
@@ -8150,6 +8154,67 @@ object SparkEntry {
         |    / CAST(n_a * n_b * 1000000 AS DOUBLE)
         |  END AS w1
         |FROM s""".stripMargin,
+    // mean pairwise cos = (||S||^2 - n)/(n(n-1)) — one aggregate, no
+    // pair sweep; exact integers through splitDouble, one division
+    "q_isotropy" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), n0 AS (
+        |  SELECT v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), c AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |    CAST(sum(CASE WHEN nn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |  FROM n0
+        |), q0 AS (
+        |  SELECT v, nn, unnest(generate_series(1, len(v))) AS dim FROM n0 WHERE nn != 0
+        |), q AS (
+        |  SELECT dim, CAST(floor(v[dim] / nn * 1000000) AS BIGINT) AS qx FROM q0
+        |), d AS (
+        |  SELECT dim, CAST(sum(qx) AS BIGINT) AS sd FROM q GROUP BY dim
+        |), s AS (
+        |  SELECT sum(CAST(sd AS HUGEINT) * CAST(sd AS HUGEINT)) AS ss FROM d
+        |)
+        |SELECT n_vecs, n_zero,
+        |  CASE WHEN n_vecs - n_zero > 1 THEN
+        |    (CAST((ss - (n_vecs - n_zero)::HUGEINT * 1000000000000) // 9007199254740992 AS DOUBLE)
+        |       * 9.007199254740992e15
+        |     + CAST((ss - (n_vecs - n_zero)::HUGEINT * 1000000000000) % 9007199254740992 AS DOUBLE))
+        |    / CAST((n_vecs - n_zero) * (n_vecs - n_zero - 1) * 1000000000000 AS DOUBLE)
+        |  END AS mean_pairwise_cos
+        |FROM c, s""".stripMargin,
+    // per-dim exact 128-bit moments (welch recipe on the dim axis);
+    // the dead flag compares the exact integer variance numerator
+    "q_dim_variance" ->
+      """WITH e AS (
+        |  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+        |), q0 AS (
+        |  SELECT v, unnest(generate_series(1, len(v))) AS i FROM e
+        |), q AS (
+        |  SELECT i - 1 AS dim, CAST(floor(v[i] * 1000000) AS BIGINT) AS qx FROM q0
+        |), g AS (
+        |  SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(qx AS HUGEINT)) AS s1,
+        |    sum(CAST(qx AS HUGEINT) * CAST(qx AS HUGEINT)) AS s2
+        |  FROM q GROUP BY dim
+        |), d AS (
+        |  SELECT dim, n, s1, n * s2 - s1 * s1 AS vn FROM g
+        |), f AS (
+        |  SELECT dim, n,
+        |    CASE WHEN s1 < 0
+        |      THEN -(CAST(abs(s1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |        + CAST(abs(s1) % 9007199254740992 AS DOUBLE))
+        |      ELSE CAST(s1 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |        + CAST(s1 % 9007199254740992 AS DOUBLE) END AS s1d,
+        |    CAST(vn // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(vn % 9007199254740992 AS DOUBLE) AS vnd,
+        |    vn
+        |  FROM d
+        |)
+        |SELECT dim, n,
+        |  s1d / CAST(n AS DOUBLE) / 1e6 AS mean,
+        |  vnd / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12 AS variance,
+        |  CAST(vnd < 0.000001::DOUBLE * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12 AS INT) AS is_dead
+        |FROM f ORDER BY dim""".stripMargin,
     // score = cos at rnk=k over the brute-force graph; threshold is
     // the exact interpolating percentile; the flag compares
     // bit-identical unrounded doubles

@@ -1322,6 +1322,72 @@ object Similarity {
       .select(col("node"), col("core_degree").isNotNull.as("in_core"), col("core_degree"))
   }
 
+  /** Anisotropy audit: the mean pairwise cosine of the embedding
+    * cloud — the is-cosine-meaningful number (an isotropic space
+    * reads ~0; a common-direction space reads high, and then cosine
+    * mostly measures that direction, not meaning). NO pair sweep:
+    * with unit vectors, mean pairwise cos = (‖Σv̂‖² − n)/(n(n−1)),
+    * so ONE aggregate suffices. Coordinates of v̂ floor-quantize to
+    * micro longs, per-dimension sums are exact longs, Σ(sd²) is an
+    * exact 128-bit decimal on the d-row frame, and the score is
+    * (Σsd² − n·1e12)/(n(n−1)·1e12) — exact integers through the
+    * splitDouble conversion, ONE IEEE division, UNROUNDED. Zero
+    * vectors are excluded and counted.
+    */
+  def isotropy(embeddings: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val v   = toDouble(col("embedding"))
+    val nrm = norm(v)
+    val base = embeddings
+      .select(nrm.as("nn"), v.as("v"))
+      .withColumn("is_zero", (col("nn") === 0.0).cast("long"))
+    val counts = base.agg(count(lit(1)).as("n_vecs"), sum(col("is_zero")).as("n_zero"))
+    val byDim = base.filter(col("nn") =!= 0.0)
+      .select(posexplode(transform(col("v"), x => floor(x / col("nn") * 1000000).cast("long")))
+        .as(Seq("dim", "qx")))
+      .groupBy(col("dim"))
+      .agg(sum(col("qx")).as("sd"))
+    val s2 = byDim.agg(sum(col("sd").cast(dec) * col("sd").cast(dec)).as("ss"))
+    counts.crossJoin(s2)
+      .select(col("n_vecs"), col("n_zero"),
+        when(col("n_vecs") - col("n_zero") > 1, {
+          val nu = col("n_vecs") - col("n_zero")
+          graft.operators.Stats.splitDouble(
+            col("ss") - nu.cast(dec) * lit(1000000000000L).cast(dec)) /
+            (nu * (nu - 1L) * lit(1000000000000L)).cast("double")
+        }).as("mean_pairwise_cos"))
+  }
+
+  /** Per-dimension variance profile of the embedding cloud — the
+    * dead-dimension detector (a dimension whose variance is ~0
+    * carries no information but still costs index space and
+    * bandwidth; a variance spike marks a dominant axis the
+    * [[topPrincipalComponent]] will find). Coordinates quantize
+    * ONCE to micro longs so per-dim (n, Σx, Σx²) are exact 128-bit
+    * decimals (the welch recipe on the dimension axis); mean and
+    * population variance are fixed IEEE chains via splitDouble,
+    * UNROUNDED; the dead flag compares the exact integer numerator
+    * n·Σx² − (Σx)² against the declared threshold — no float near
+    * the boundary. One posexplode aggregate onto the d-row grid.
+    */
+  def dimVariance(embeddings: DataFrame, deadVar: Double = 1e-6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = embeddings
+      .select(posexplode(transform(toDouble(col("embedding")),
+        x => floor(x * 1000000).cast("long"))).as(Seq("dim", "qx")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qx").cast(dec)).as("s1"),
+        sum(col("qx").cast(dec) * col("qx").cast(dec)).as("s2"))
+    val nd   = col("n").cast("double")
+    val varN = col("n").cast(dec) * col("s2") - col("s1") * col("s1")
+    g.select(col("dim"), col("n"),
+        (graft.operators.Stats.splitDouble(col("s1")) / nd / 1e6).as("mean"),
+        (graft.operators.Stats.splitDouble(varN) / (nd * nd) / 1e12).as("variance"),
+        (graft.operators.Stats.splitDouble(varN) <
+          lit(deadVar) * nd * nd * lit(1e12)).cast("int").as("is_dead"))
+  }
+
   /** kNN-distance outlier screen: each vector's cosine to its kth
     * nearest neighbor, flagged when it falls below the corpus
     * p-quantile — the isolation detector (mislabeled, corrupted, or

@@ -1139,6 +1139,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"histogram tail $tail must equal the banded >=0.8 pair count $banded")
   }
 
+  test("isotropy: identical directions read exactly 1, an orthogonal basis exactly 0") {
+    import spark.implicits._
+    val same = (0 until 3).map(i => (i.toLong, Array(2f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.isotropy(same).head()
+    assert(r1.getAs[Long]("n_vecs") === 3L && r1.getAs[Long]("n_zero") === 0L)
+    assert(r1.getAs[Double]("mean_pairwise_cos") === 1.0)
+    val ortho = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 1), (2L, Array(0f, 1f, 0f, 0f), 1),
+      (3L, Array(0f, 0f, 1f, 0f), 1), (4L, Array(0f, 0f, 0f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.isotropy(ortho).head()
+    assert(r2.getAs[Long]("n_zero") === 1L, "the zero vector is excluded and counted")
+    assert(r2.getAs[Double]("mean_pairwise_cos") === 0.0)
+  }
+
+  test("dim variance: a constant dimension flags dead with variance exactly 0; moments match hand") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(1f, 5f), 1), (2L, Array(3f, 5f), 1), (3L, Array(5f, 5f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimVariance(emb).orderBy("dim").collect()
+    assert(got.length === 2)
+    val d0 = got(0)
+    assert(d0.getAs[Double]("mean") === 3.0)
+    assert(d0.getAs[Double]("variance") === 24e12 / (3.0 * 3.0) / 1e12, "pop var 8/3 via the chain")
+    assert(d0.getAs[Int]("is_dead") === 0)
+    val d1 = got(1)
+    assert(d1.getAs[Double]("variance") === 0.0)
+    assert(d1.getAs[Int]("is_dead") === 1, "a constant dimension is dead")
+  }
+
   test("knn outliers: the orthogonal vector is the single flagged point; the boundary score is safe") {
     import spark.implicits._
     // 20 near-parallel vectors + 1 orthogonal: only the orthogonal
