@@ -548,4 +548,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!w.contains("CartesianProduct") && !w.contains("BroadcastNestedLoopJoin"),
       s"q_funnel_windowed's horizon predicate must ride the user_id equi-join, not a product:\n$w")
   }
+
+  test("wasserstein rides pid-local windows with broadcast offsets; walsh pair join stays equi-keyed") {
+    val p = planOf("q_wasserstein")
+    // the ksTest distributed-prefix-sum shape: local cumsum keyed on
+    // the frozen pid + broadcast offsets — a regression to a global
+    // data window would drop the pid partitioning
+    assert(p.contains("hashpartitioning(pid"),
+      s"q_wasserstein lost its pid-partitioned local cumsum:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"q_wasserstein's offsets stopped broadcasting:\n$p")
+    val h = planOf("q_hodges_lehmann")
+    assert(!h.contains("BroadcastNestedLoopJoin"),
+      s"q_hodges_lehmann's Walsh pair join must stay a key equi-join:\n$h")
+    assert(h.contains("hashpartitioning(user_id") || h.contains("SortMergeJoin"),
+      s"q_hodges_lehmann lost its user_id-keyed pair join:\n$h")
+  }
+
+  test("heaps law shuffles once on the token axis; isotropy never plans a pair join") {
+    val p = planOf("q_heaps_law")
+    assert(p.contains("hashpartitioning(tok"),
+      s"q_heaps_law's first-occurrence aggregate must key on the token axis:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q_heaps_law grew a product:\n$p")
+    val i = planOf("q_isotropy")
+    // (||S||^2 - n)/(n(n-1)) needs NO pair frame: a join between two
+    // corpus-sized sides would mean the identity regressed to a sweep
+    assert(!i.contains("SortMergeJoin") && !i.contains("ShuffledHashJoin"),
+      s"q_isotropy must not join corpus-sized sides:\n$i")
+  }
 }
