@@ -1281,6 +1281,12 @@ object SparkEntry {
       TextAnalysis.heapsLaw(Tables.documents(s, dir)).orderBy("cp")),
     "q_dispersion" -> ((s, dir) =>
       EventAnalytics.dispersionIndex(Tables.events(s, dir)).orderBy("event_type")),
+    "q_lorenz_curve" -> ((s, dir) =>
+      EventAnalytics.lorenzCurve(Tables.events(s, dir)).orderBy("decile")),
+    "q_activation_lag" -> ((s, dir) =>
+      EventAnalytics.activationLag(Tables.events(s, dir))),
+    "q_peak_concurrency" -> ((s, dir) =>
+      EventAnalytics.peakConcurrency(Tables.events(s, dir)).orderBy("day")),
     "q_changepoint" -> ((s, dir) =>
       Stats.changepoint(Tables.events(s, dir)).orderBy("user_id")),
     "q_matryoshka" -> ((s, dir) =>
@@ -8179,7 +8185,7 @@ object SparkEntry {
         |    (CAST((ss - (n_vecs - n_zero)::HUGEINT * 1000000000000) // 9007199254740992 AS DOUBLE)
         |       * 9.007199254740992e15
         |     + CAST((ss - (n_vecs - n_zero)::HUGEINT * 1000000000000) % 9007199254740992 AS DOUBLE))
-        |    / CAST((n_vecs - n_zero) * (n_vecs - n_zero - 1) * 1000000000000 AS DOUBLE)
+        |    / (CAST(n_vecs - n_zero AS DOUBLE) * CAST(n_vecs - n_zero - 1 AS DOUBLE) * 1e12)
         |  END AS mean_pairwise_cos
         |FROM c, s""".stripMargin,
     // per-dim exact 128-bit moments (welch recipe on the dim axis);
@@ -8686,6 +8692,77 @@ object SparkEntry {
         |  CAST(contains(text, '�') AS INT) AS has_replacement,
         |  CAST(regexp_matches(text, '\S{200,}') AS INT) AS has_long_run
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // ranks/cumsums via the distributed prefix sum; deciles by exact
+    // integer ceil-division; one share division per decile row
+    "q_lorenz_curve" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n_events) AS BIGINT) AS total_events,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM c
+        |), r AS (
+        |  SELECT user_id, n_events,
+        |    row_number() OVER (ORDER BY n_events, user_id) AS rank,
+        |    CAST(sum(n_events) OVER (ORDER BY n_events, user_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c
+        |)
+        |SELECT CAST((rank * 10 + n_users - 1) // n_users AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users_in,
+        |  CAST(max(cum) AS BIGINT) AS cum_events,
+        |  CAST(max(cum) AS DOUBLE) / CAST(max(total_events) AS DOUBLE) AS cum_share
+        |FROM r, t GROUP BY 1 ORDER BY decile""".stripMargin,
+    // per-user endpoints as conditional mins on one rank window;
+    // exact interpolating percentiles over exact micro lags
+    "q_activation_lag" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS tu,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), p AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN rn = 1 THEN tu END) AS t1,
+        |    min(CASE WHEN rn = 10 THEN tu END) AS tn
+        |  FROM o WHERE rn = 1 OR rn = 10 GROUP BY 1
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(count(tn) AS BIGINT) AS n_activated,
+        |  CAST(count(tn) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS activation_rate,
+        |  quantile_cont(tn - t1, 0.5) / 1e6 AS p50_lag_s,
+        |  quantile_cont(tn - t1, 0.9) / 1e6 AS p90_lag_s,
+        |  CAST(max(tn - t1) AS DOUBLE) / 1e6 AS max_lag_s
+        |FROM p""".stripMargin,
+    // +1/-1 change points collapse per timestamp (order-free), the
+    // running concurrency is the distributed prefix sum over time;
+    // integer end to end
+    "q_peak_concurrency" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        |  FROM events
+        |), y AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM x
+        |), z AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM y
+        |), s AS (
+        |  SELECT user_id, session_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
+        |  FROM z GROUP BY user_id, session_id
+        |), pts AS (
+        |  SELECT t, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT start_us AS t, 1 AS d FROM s
+        |    UNION ALL
+        |    SELECT end_us + 1 AS t, -1 AS d FROM s
+        |  ) GROUP BY t
+        |), r AS (
+        |  SELECT t, CAST(sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM pts
+        |)
+        |SELECT strftime(date_trunc('day', make_timestamp(t)), '%Y-%m-%d') AS day,
+        |  CAST(max(conc) AS BIGINT) AS peak_concurrency,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM r GROUP BY 1 ORDER BY day""".stripMargin,
     // empty hours count as zero via the bounded type x hour grid;
     // D = (n·Σc² − (Σc)²)/((n−1)·Σc) — one IEEE division of exact
     // longs, UNROUNDED

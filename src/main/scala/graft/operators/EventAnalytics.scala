@@ -762,6 +762,118 @@ object EventAnalytics {
       .withColumn("credit", col("credit_micro").cast("double") / 1000000.0)
   }
 
+  /** Lorenz curve of activity concentration at decile grain: for
+    * each user decile (by ascending event count), the cumulative
+    * share of all events — the full curve behind [[gini]]'s one
+    * number (the classic "bottom 50% of users produce X% of
+    * events" panel). Ranks and cumulative sums ride the
+    * [[powerUsers]] distributed prefix-sum shape (range partitions,
+    * local windows, broadcast offsets — never a single-partition
+    * window over the user population); the decile id is EXACT
+    * integer ceil-division of the rank, and every output cell is
+    * exact longs with one IEEE share division per decile row.
+    */
+  def lorenzCurve(events: DataFrame, nDeciles: Int = 10, nBuckets: Int = 32): DataFrame = {
+    require(nDeciles >= 2, s"need at least 2 deciles: $nDeciles")
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("n_events").asc, col("user_id").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val counts = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .repartitionByRange(nBuckets, col("n_events").asc, col("user_id").asc)
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = counts.groupBy(col("pid"))
+      .agg(sum(col("n_events")).as("t"), count(lit(1)).as("c"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("t")).over(wOff), lit(0L)).as("off_events"),
+        coalesce(sum(col("c")).over(wOff), lit(0L)).as("off_rank"))
+    val total = counts.agg(sum(col("n_events")).as("total_events"),
+      count(lit(1)).as("n_users"))
+    counts
+      .withColumn("l_events", sum(col("n_events")).over(wLocal))
+      .withColumn("l_rank", count(lit(1)).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(total))
+      .withColumn("rank", col("off_rank") + col("l_rank"))
+      .withColumn("cum", col("off_events") + col("l_events"))
+      .withColumn("decile", expr(s"(rank * $nDeciles + n_users - 1) div n_users"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_users_in"),
+        max(col("cum")).as("cum_events"),
+        max(col("total_events")).as("total_events"))
+      .select(col("decile"), col("n_users_in"), col("cum_events"),
+        (col("cum_events").cast("double") / col("total_events").cast("double"))
+          .as("cum_share"))
+  }
+
+  /** Activation-lag panel: time from each user's FIRST event to
+    * their `nth` — the time-to-habit metric growth teams watch (how
+    * long until a user is really using the product), with the
+    * activation rate for users who never get there. Per-user
+    * endpoints are two conditional mins over one rank window (exact
+    * epoch micros); the corpus panel is ONE aggregate with exact
+    * interpolating percentiles over those exact longs (the
+    * ship_lag recipe) — one row out, nothing corpus-wide after the
+    * user reduce.
+    */
+  def activationLag(events: DataFrame, nth: Int = 10): DataFrame = {
+    require(nth >= 2, s"nth must be >= 2: $nth")
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val perUser = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 || col("rn") === nth)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("rn") === 1, unix_micros(col("ts")))).as("t1"),
+        min(when(col("rn") === nth, unix_micros(col("ts")))).as("tn"))
+    val lag_us = col("tn") - col("t1")
+    perUser.agg(
+      count(lit(1)).as("n_users"),
+      count(col("tn")).as("n_activated"),
+      (count(col("tn")).cast("double") / count(lit(1)).cast("double"))
+        .as("activation_rate"),
+      (percentile(lag_us, lit(0.5)) / 1e6).as("p50_lag_s"),
+      (percentile(lag_us, lit(0.9)) / 1e6).as("p90_lag_s"),
+      (max(lag_us).cast("double") / 1e6).as("max_lag_s"))
+  }
+
+  /** Peak session concurrency per day: how many gap-timeout sessions
+    * overlap at the busiest instant — the capacity-planning panel
+    * ([[sessionStats]] counts sessions; this counts them AT ONCE).
+    * Each session contributes +1 at its start and −1 just after its
+    * end; equal-timestamp deltas collapse in one aggregate
+    * (order-free), and the running concurrency is the ksTest
+    * distributed prefix sum over the TIME axis (range partitions,
+    * local cumsum, broadcast offsets — never one global window over
+    * the change points). Max concurrency is attained at a change
+    * point by construction, so the per-day max over points is
+    * exact; everything is integer arithmetic end to end.
+    */
+  def peakConcurrency(events: DataFrame, gapMin: Int = 30, nBuckets: Int = 32): DataFrame = {
+    val sess = graft.streaming.Streams.sessionizeBatch(events, gapMin)
+    val pts = sess.select(col("start_us").as("t"), lit(1L).as("d"))
+      .unionByName(sess.select((col("end_us") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+      .repartitionByRange(nBuckets, col("t"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("pid").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy(col("pid")).agg(sum(col("d")).as("td"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("td")).over(wOff), lit(0L)).as("off"))
+    pts
+      .withColumn("l", sum(col("d")).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .withColumn("conc", col("off") + col("l"))
+      .groupBy(date_format(date_trunc("day", timestamp_micros(col("t"))), "yyyy-MM-dd").as("day"))
+      .agg(max(col("conc")).as("peak_concurrency"),
+        count(lit(1)).as("n_points"))
+  }
+
   /** Fano dispersion index per event type over HOURLY arrival counts
     * — the Poisson-ness gate under every rate-based alert: D =
     * s²/mean reads 1 for a Poisson feed, >1 for bursty arrivals

@@ -1352,9 +1352,11 @@ object Similarity {
       .select(col("n_vecs"), col("n_zero"),
         when(col("n_vecs") - col("n_zero") > 1, {
           val nu = col("n_vecs") - col("n_zero")
+          // denominator multiplies as DOUBLES: n(n-1)·1e12 passes
+          // 2^63 at ~20k vectors (hit by the x10 audit as a long)
           graft.operators.Stats.splitDouble(
             col("ss") - nu.cast(dec) * lit(1000000000000L).cast(dec)) /
-            (nu * (nu - 1L) * lit(1000000000000L)).cast("double")
+            (nu.cast("double") * (nu - 1L).cast("double") * 1e12)
         }).as("mean_pairwise_cos"))
   }
 

@@ -455,6 +455,57 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("info_gain_bits") === hNext)
   }
 
+  test("lorenz curve: counts 1..10 give the exact triangular cumulative shares") {
+    import spark.implicits._
+    // user u emits u events: decile d holds exactly user d, cum = d(d+1)/2 of 55
+    val rows = (1 to 10).flatMap(u => (0 until u).map(j =>
+      (u.toLong, u.toLong * 100 + j, u.toLong * 3600 + j * 60L, "e")))
+    val df = rows.toDF("user_id", "event_id", "t_s", "event_type")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = EventAnalytics.lorenzCurve(df).orderBy("decile").collect()
+    assert(got.length === 10)
+    got.zipWithIndex.foreach { case (r, i) =>
+      val d = i + 1
+      assert(r.getAs[Long]("n_users_in") === 1L, s"decile $d")
+      assert(r.getAs[Long]("cum_events") === d.toLong * (d + 1) / 2, s"decile $d cum")
+      assert(r.getAs[Double]("cum_share") === (d.toLong * (d + 1) / 2).toDouble / 55.0, s"decile $d share")
+    }
+  }
+
+  test("activation lag: endpoints exact, the never-activated user counted, percentiles interpolate") {
+    import spark.implicits._
+    // A: 12 events 1 min apart (t10 - t1 = 540 s); B: 5 events (never
+    // activates); C: 10 events 1 h apart (t10 - t1 = 32400 s)
+    val rows = (0 until 12).map(j => (1L, 100L + j, j * 60L, "e")) ++
+      (0 until 5).map(j => (2L, 200L + j, j * 60L, "e")) ++
+      (0 until 10).map(j => (3L, 300L + j, j * 3600L, "e"))
+    val df = rows.toDF("user_id", "event_id", "t_s", "event_type")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L)).drop("t_s")
+    val got = EventAnalytics.activationLag(df).head()
+    assert(got.getAs[Long]("n_users") === 3L && got.getAs[Long]("n_activated") === 2L)
+    assert(got.getAs[Double]("activation_rate") === 2.0 / 3.0)
+    assert(got.getAs[Double]("p50_lag_s") === (540.0 + 32400.0) / 2)
+    assert(got.getAs[Double]("max_lag_s") === 32400.0)
+  }
+
+  test("peak concurrency: overlapping sessions count at once; the off-day reads its own peak") {
+    import spark.implicits._
+    // three sessions on day 1: [10:00,10:10], [10:05,10:15], [10:12,10:20]
+    // -> peak 2; one session on day 2 -> peak 1
+    def sess(uid: Long, d: Int, h0: Int, m0: Int, m1: Int) =
+      Seq((uid, uid * 10, d * 86400L + h0 * 3600L + m0 * 60L, "e"),
+        (uid, uid * 10 + 1, d * 86400L + h0 * 3600L + m1 * 60L, "e"))
+    val rows = sess(1L, 1, 10, 0, 10) ++ sess(2L, 1, 10, 5, 15) ++
+      sess(3L, 1, 10, 12, 20) ++ sess(4L, 2, 9, 0, 30)
+    val df = rows.toDF("user_id", "event_id", "t_s", "event_type")
+      .withColumn("ts", timestamp_micros($"t_s" * 1000000L))
+      .withColumn("value", lit(1.0)).drop("t_s")
+    val got = EventAnalytics.peakConcurrency(df).orderBy("day").collect()
+    assert(got.length === 2)
+    assert(got(0).getAs[Long]("peak_concurrency") === 2L, "two sessions overlap on day 1")
+    assert(got(1).getAs[Long]("peak_concurrency") === 1L)
+  }
+
   test("dispersion index: a metronome feed reads fano exactly 0, a one-hour burst reads the hand D") {
     import spark.implicits._
     // corpus spans hours 0..4; steady = 1 event/hour, burst = 10 events all in hour 0
