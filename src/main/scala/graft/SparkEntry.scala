@@ -1228,6 +1228,10 @@ object SparkEntry {
       Stats.cochranQ(Tables.events(s, dir))),
     "q_garch_filter" -> ((s, dir) =>
       TimeSeries.garchFilter(Tables.events(s, dir)).orderBy("user_id", "day")),
+    "q_vol_cones" -> ((s, dir) =>
+      TimeSeries.volCones(Tables.events(s, dir)).orderBy("horizon")),
+    "q_effective_sample_size" -> ((s, dir) =>
+      Sampling.effectiveSampleSize(Tables.documents(s, dir)).orderBy("source")),
     "q_kupiec_pof" -> ((s, dir) =>
       TimeSeries.kupiecPof(Tables.events(s, dir)).orderBy("user_id")),
     "q_hodges_lehmann" -> ((s, dir) =>
@@ -7956,6 +7960,81 @@ object SparkEntry {
         |      / sqrt((2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))) END, 6)
         |    AS z_runs
         |FROM h ORDER BY user_id""".stripMargin,
+    // per-window variance numerators are exact longs; cone cuts are
+    // exact interpolating percentiles; vol one fixed sqrt chain with
+    // ::DOUBLE-cast constants — UNROUNDED
+    "q_vol_cones" ->
+      """WITH dc AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, max_by(value, ts) AS close
+        |  FROM events GROUP BY 1, 2
+        |), r0 AS (
+        |  SELECT user_id, day,
+        |    CASE WHEN lag(close) OVER w != 0 THEN close / lag(close) OVER w - 1 END AS ret
+        |  FROM dc WINDOW w AS (PARTITION BY user_id ORDER BY day)
+        |  QUALIFY ret IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, day, CAST(floor(ret * 1000000) AS BIGINT) AS mk FROM r0
+        |), w5h AS (
+        |  SELECT 5::HUGEINT * sum(mk::HUGEINT * mk::HUGEINT) OVER w
+        |      - sum(mk::HUGEINT) OVER w * sum(mk::HUGEINT) OVER w AS vnh,
+        |    count(*) OVER w AS cnt
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        |), w5 AS (
+        |  SELECT CAST(vnh // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |    + CAST(vnh % 9007199254740992 AS DOUBLE) AS vn, cnt
+        |  FROM w5h
+        |), w21h AS (
+        |  SELECT 21::HUGEINT * sum(mk::HUGEINT * mk::HUGEINT) OVER w
+        |      - sum(mk::HUGEINT) OVER w * sum(mk::HUGEINT) OVER w AS vnh,
+        |    count(*) OVER w AS cnt
+        |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
+        |), w21 AS (
+        |  SELECT CAST(vnh // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |    + CAST(vnh % 9007199254740992 AS DOUBLE) AS vn, cnt
+        |  FROM w21h
+        |)
+        |SELECT 5 AS horizon, CAST(count(*) AS BIGINT) AS n_windows,
+        |  sqrt(quantile_cont(vn, 0.1) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS vol_p10,
+        |  sqrt(quantile_cont(vn, 0.5) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS vol_p50,
+        |  sqrt(quantile_cont(vn, 0.9) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS vol_p90
+        |FROM w5 WHERE cnt = 5
+        |UNION ALL
+        |SELECT 21 AS horizon, CAST(count(*) AS BIGINT) AS n_windows,
+        |  sqrt(quantile_cont(vn, 0.1) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS vol_p10,
+        |  sqrt(quantile_cont(vn, 0.5) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS vol_p50,
+        |  sqrt(quantile_cont(vn, 0.9) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS vol_p90
+        |FROM w21 WHERE cnt = 21
+        |ORDER BY horizon""".stripMargin,
+    // ESS = (Σn·qw)²/Σn·qw² over floor-quantized micro weights —
+    // exact integers through splitDouble, one IEEE division
+    "q_effective_sample_size" ->
+      """WITH cell AS (
+        |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_cell
+        |  FROM documents GROUP BY 1, 2
+        |), s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM documents GROUP BY 1),
+        |l AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+        |w AS (
+        |  SELECT cell.source, n_cell,
+        |    CAST(floor(CAST(n_lang * n_source AS DOUBLE) / CAST(n_total * n_cell AS DOUBLE)
+        |      * 1000000) AS BIGINT) AS qw
+        |  FROM cell JOIN s USING (source) JOIN l USING (lang), t
+        |), a AS (
+        |  SELECT source, CAST(sum(n_cell) AS BIGINT) AS n_docs,
+        |    sum(CAST(n_cell AS HUGEINT) * qw) AS s1,
+        |    sum(CAST(n_cell AS HUGEINT) * qw * qw) AS s2
+        |  FROM w GROUP BY 1
+        |), d AS (
+        |  SELECT source, n_docs,
+        |    CAST((s1 * s1) // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST((s1 * s1) % 9007199254740992 AS DOUBLE) AS s1sq,
+        |    CAST(s2 // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(s2 % 9007199254740992 AS DOUBLE) AS s2d
+        |  FROM a
+        |)
+        |SELECT source, n_docs, s1sq / s2d AS ess,
+        |  s1sq / s2d / CAST(n_docs AS DOUBLE) AS ess_ratio
+        |FROM d ORDER BY source""".stripMargin,
     // the recurrence is a prepended-seed list_reduce mirroring the
     // Spark strict left fold — bit-identical, UNROUNDED; constants
     // carry ::DOUBLE casts (DuckDB decimal-folds bare literals)

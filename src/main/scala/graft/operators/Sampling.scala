@@ -311,4 +311,30 @@ object Sampling {
       .select(col("source"), col("lang"), col("n_cell"),
         w.as("weight"), (w > clipW).as("clipped"))
   }
+
+  /** Effective sample size under the [[importanceWeights]]
+    * reweighting, per source: ESS = (Σw)²/Σw² over the source's docs
+    * — the variance cost of rebalancing (ESS ≈ n means the weights
+    * are nearly uniform; ESS ≪ n means a few heavy cells dominate
+    * and the rebalanced mix behaves like far fewer documents).
+    * Weights quantize ONCE to micro longs (floor — mirrored
+    * exactly), per-source Σn·qw is an exact long and Σn·qw² an exact
+    * 128-bit decimal, and ESS is one IEEE division of splitDouble
+    * images — UNROUNDED. Rides the same three bounded aggregates as
+    * the weight table; nothing per-doc ever materializes.
+    */
+  def effectiveSampleSize(docs: DataFrame): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val wts = importanceWeights(docs)
+      .withColumn("qw", floor(col("weight") * 1000000).cast("long"))
+    val agg = wts.groupBy(col("source"))
+      .agg(sum(col("n_cell")).as("n_docs"),
+        sum(col("n_cell") * col("qw")).as("s1"),
+        sum(col("n_cell").cast(dec) * col("qw").cast(dec) * col("qw").cast(dec)).as("s2"))
+    val ess = graft.operators.Stats.splitDouble(col("s1").cast(dec) * col("s1").cast(dec)) /
+      graft.operators.Stats.splitDouble(col("s2"))
+    agg.select(col("source"), col("n_docs"),
+      ess.as("ess"),
+      (ess / col("n_docs").cast("double")).as("ess_ratio"))
+  }
 }

@@ -546,6 +546,42 @@ object TimeSeries {
       .select(col(key), col("day"), col("roll_vol"), col("roll_corr"))
   }
 
+  /** Volatility cones: the corpus-wide distribution (p10/p50/p90) of
+    * rolling annualized volatility at each horizon — the where-does-
+    * current-vol-sit-historically panel vol desks read before
+    * pricing. Per-window variance NUMERATORS m·Σx² − (Σx)² are EXACT
+    * LONGS (micro-return window sums are order-free integer adds),
+    * the cone cuts are exact interpolating percentiles over those
+    * longs, and each vol is ONE fixed chain sqrt(q·252/(m(m−1)))/1e6
+    * — deterministic cross-engine, UNROUNDED. One per-key window
+    * shuffle per horizon; the percentile reduce is corpus-global but
+    * over one exact long per window row.
+    */
+  def volCones(events: DataFrame, horizons: Seq[Int] = Seq(5, 21),
+               key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 2), s"horizons must be >= 2: $horizons")
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val rets = dailyCloseReturns(events, key, ts, v)
+      .withColumn("mk", floor(col("ret") * 1000000).cast("long"))
+    horizons.map { m =>
+      val w = Window.partitionBy(key).orderBy("day").rowsBetween(-(m - 1), 0)
+      // exact 128-bit numerator (mk² passes int64 on pathological
+      // fixture returns), imaged per row via the portable splitDouble
+      val vn = lit(m.toLong).cast(dec) * sum(col("mk").cast(dec) * col("mk").cast(dec)).over(w) -
+        sum(col("mk").cast(dec)).over(w) * sum(col("mk").cast(dec)).over(w)
+      val wins = rets
+        .withColumn("cnt", count(lit(1)).over(w))
+        .withColumn("vnd", graft.operators.Stats.splitDouble(vn))
+        .filter(col("cnt") === m)
+      val k252 = 252.0 / (m.toDouble * (m - 1))
+      def vol(p: Double) = sqrt(percentile(col("vnd"), lit(p)) * lit(k252)) / 1e6
+      wins.agg(
+        lit(m).as("horizon"),
+        count(lit(1)).as("n_windows"),
+        vol(0.1).as("vol_p10"), vol(0.5).as("vol_p50"), vol(0.9).as("vol_p90"))
+    }.reduce(_ unionByName _)
+  }
+
   case class SeriesVec(k: Long, slots: Array[Long], vals: Array[Double])
   /** Thresholded correlated-pairs twin of [[correlationMatrix]] —
     * the SCALE default when the ask is "pairs with |corr| >= t", not

@@ -876,6 +876,27 @@ class IndicatorSpec extends AnyFunSuite {
     assert(mfv(2) === 0.0, "the flat bar contributes zero money flow")
   }
 
+  test("vol cones: a constant-return key reads exactly zero at every cut; both horizons emit") {
+    // doubling closes: close/prev - 1 is EXACTLY 1.0 every day (power-
+    // of-2 division is exact), so every window variance numerator is 0
+    // (a 1.01-ratio series floats to mk 9999/10000 wobble)
+    val closes = (0 until 31).map(i => 100.0 * math.pow(2.0, i))
+    val got = TimeSeries.volCones(closesDf(Seq(1L -> closes))).orderBy("horizon").collect()
+    assert(got.map(_.getAs[Int]("horizon")).toSeq === Seq(5, 21))
+    got.foreach { r =>
+      assert(r.getAs[Double]("vol_p10") === 0.0, s"horizon ${r.get(0)}")
+      assert(r.getAs[Double]("vol_p50") === 0.0)
+      assert(r.getAs[Double]("vol_p90") === 0.0)
+    }
+    assert(got(0).getAs[Long]("n_windows") === 26L, "30 returns - 4 warmup rows")
+    assert(got(1).getAs[Long]("n_windows") === 10L)
+    // an alternating key pushes the upper cuts strictly positive
+    val mixed = (0 until 31).map(i => if (i % 2 == 0) 100.0 else 102.0)
+    val g2 = TimeSeries.volCones(closesDf(Seq(1L -> closes, 2L -> mixed)))
+      .orderBy("horizon").collect()
+    g2.foreach(r => assert(r.getAs[Double]("vol_p90") > 0.0))
+  }
+
   test("garch filter: flat series relaxes toward omega/(1-beta); fold matches the local recompute") {
     val flat = TimeSeries.garchFilter(closesDf(Seq(1L -> Seq.fill(20)(100.0)))).orderBy("day").collect()
     val sig2 = flat.map(_.getAs[Double]("sigma2"))

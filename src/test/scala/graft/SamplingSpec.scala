@@ -194,4 +194,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(got(("s2", "zh")).getAs[Double]("weight") === 16.0 / 24.0)
     assert(got.values.forall(!_.getAs[Boolean]("clipped")))
   }
+
+  test("effective sample size: uniform weights read ESS = n exactly; reweighting shrinks it") {
+    import spark.implicits._
+    val uni = (1 to 6).map(i => (i.toLong, "t", "en", if (i <= 3) "s1" else "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val g1 = graft.operators.Sampling.effectiveSampleSize(uni).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(g1("s1").getAs[Double]("ess") === 3.0, "single-lang corpus: every weight is 1")
+    assert(g1("s1").getAs[Double]("ess_ratio") === 1.0)
+    // skewed: s1 = 3 en + 1 zh gets weights (2/3, 2) -> ESS < 4
+    val skew = ((1 to 3).map(i => (i.toLong, "t", "en", "s1")) ++ Seq((4L, "t", "zh", "s1")) ++
+      Seq((5L, "t", "en", "s2")) ++ (6 to 8).map(i => (i.toLong, "t", "zh", "s2")))
+      .toDF("doc_id", "text", "lang", "source")
+    val g2 = graft.operators.Sampling.effectiveSampleSize(skew).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val r = g2("s1")
+    assert(r.getAs[Long]("n_docs") === 4L)
+    assert(r.getAs[Double]("ess") < 4.0 && r.getAs[Double]("ess") > 1.0)
+    // local recompute with the same floor quantization
+    val qw23 = math.floor(16.0 / 24.0 * 1e6).toLong
+    val qw2  = math.floor(2.0 * 1e6).toLong
+    val s1 = 3 * qw23 + qw2
+    val s2 = 3.0 * qw23 * qw23 + 1.0 * qw2 * qw2
+    assert(math.abs(r.getAs[Double]("ess") - s1.toDouble * s1 / s2) < 1e-9)
+  }
 }
