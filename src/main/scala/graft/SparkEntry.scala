@@ -1224,6 +1224,10 @@ object SparkEntry {
       Stats.friedman(Tables.events(s, dir))),
     "q_wasserstein" -> ((s, dir) =>
       Stats.wasserstein1(Tables.events(s, dir), "view", "click")),
+    "q_energy_distance" -> ((s, dir) =>
+      Stats.energyDistance(Tables.events(s, dir), "view", "click")),
+    "q_median_test" -> ((s, dir) =>
+      Stats.medianTest(Tables.events(s, dir), "view", "click")),
     "q_cochran_q" -> ((s, dir) =>
       Stats.cochranQ(Tables.events(s, dir))),
     "q_garch_filter" -> ((s, dir) =>
@@ -8210,6 +8214,74 @@ object SparkEntry {
         |      * sqrt(90.0 / CAST(16 * n_days - 29 AS DOUBLE))
         |  END AS tp_z
         |FROM a ORDER BY user_id""".stripMargin,
+    // segment sums over the same axis as wasserstein: Σ|x−y| and the
+    // within-sample sums are exact 128-bit decimals; E is one fixed
+    // chain over three splitDouble images, UNROUNDED
+    "q_energy_distance" ->
+      """WITH f AS (
+        |  SELECT CAST(floor(value * 1000000) AS BIGINT) AS xq,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM events WHERE event_type IN ('view', 'click') GROUP BY 1
+        |), t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM f),
+        |c AS (
+        |  SELECT xq,
+        |    CAST(sum(ca) OVER w AS BIGINT) AS cuma,
+        |    CAST(sum(cb) OVER w AS BIGINT) AS cumb,
+        |    lead(xq) OVER (ORDER BY xq) AS nxt
+        |  FROM f WINDOW w AS (ORDER BY xq ROWS UNBOUNDED PRECEDING)
+        |), s AS (
+        |  SELECT max(t.na) AS n_a, max(t.nb) AS n_b,
+        |    sum(CAST(c.nxt - c.xq AS HUGEINT)
+        |      * (CAST(c.cuma AS HUGEINT) * (t.nb - c.cumb)
+        |        + CAST(c.cumb AS HUGEINT) * (t.na - c.cuma))) AS sxy,
+        |    sum(CAST(c.nxt - c.xq AS HUGEINT) * CAST(c.cuma AS HUGEINT) * (t.na - c.cuma)) AS sxx,
+        |    sum(CAST(c.nxt - c.xq AS HUGEINT) * CAST(c.cumb AS HUGEINT) * (t.nb - c.cumb)) AS syy
+        |  FROM c, t WHERE c.nxt IS NOT NULL
+        |)
+        |SELECT n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    (2.0 * (CAST(sxy // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |        + CAST(sxy % 9007199254740992 AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |     - 2.0 * (CAST(sxx // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |        + CAST(sxx % 9007199254740992 AS DOUBLE))
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+        |     - 2.0 * (CAST(syy // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |        + CAST(syy % 9007199254740992 AS DOUBLE))
+        |      / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE))) / 1e6
+        |  END AS energy_dist
+        |FROM s""".stripMargin,
+    // outcomes split on an exactly-representable doubled median from
+    // the distributed interpolating percentile; chi2 one IEEE
+    // division of exact integers, UNROUNDED
+    "q_median_test" ->
+      """WITH q AS (
+        |  SELECT event_type AS k, CAST(floor(value * 1000000) AS BIGINT) AS qu
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), med AS (
+        |  SELECT quantile_cont(qu, 0.5) * 2 AS m2 FROM q
+        |), cts AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN k = 'view'  AND CAST(qu AS DOUBLE) * 2 > m2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN k = 'view'  AND CAST(qu AS DOUBLE) * 2 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN k = 'click' AND CAST(qu AS DOUBLE) * 2 > m2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN k = 'click' AND CAST(qu AS DOUBLE) * 2 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM q, med WHERE CAST(qu AS DOUBLE) * 2 != m2
+        |)
+        |SELECT a AS n_a_above, b AS n_a_below, c AS n_b_above, d AS n_b_below,
+        |  CASE WHEN (a + b)::HUGEINT * (c + d) * (a + c) * (b + d) > 0 THEN
+        |    CAST(a + b + c + d AS DOUBLE)
+        |    * (CAST(((a::HUGEINT * d - b::HUGEINT * c) * (a::HUGEINT * d - b::HUGEINT * c))
+        |          // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(((a::HUGEINT * d - b::HUGEINT * c) * (a::HUGEINT * d - b::HUGEINT * c))
+        |          % 9007199254740992 AS DOUBLE))
+        |    / (CAST(((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
+        |          // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |      + CAST(((a + b)::HUGEINT * (c + d) * (a + c) * (b + d))
+        |          % 9007199254740992 AS DOUBLE))
+        |  END AS median_chi2
+        |FROM cts""".stripMargin,
     // each segment is |cumA·nB − cumB·nA|·Δv in exact 128-bit
     // decimals; W1 = S/(nA·nB·1e6) via splitDouble — one IEEE
     // division, UNROUNDED

@@ -1552,6 +1552,115 @@ object Stats {
         (col("m2s").cast("double") / 4000000.0).as("hl_shift"))
   }
 
+  /** Energy distance between two event types' value distributions:
+    * E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the rotation-free two-sample
+    * metric that completes [[ksTest]] (sup), [[wasserstein1]] (mass
+    * transport) and the KL tripwire (information): zero iff the
+    * distributions are equal, sensitive everywhere. In 1-D every
+    * expectation reduces to SEGMENT sums on the same micro-quantized
+    * value axis as [[wasserstein1]]: Σ|x−y| = Σ_seg gap·[cumA·(nB−
+    * cumB) + cumB·(nA−cumA)] and Σ|x−x'| = 2Σ_seg gap·cumA·(nA−cumA)
+    * — ALL exact 128-bit decimal products summed order-free, then
+    * ONE fixed IEEE chain over three splitDouble images and integer
+    * denominators, UNROUNDED. Same distributed prefix-sum scale
+    * shape (range partitions, broadcast offsets, next-partition Δv).
+    */
+  def energyDistance(events: DataFrame, typeA: String, typeB: String,
+                     key: String = "event_type", v: String = "value",
+                     nBuckets: Int = 32): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = events
+      .filter(col(key).isin(typeA, typeB))
+      .select(floor(col(v) * 1000000).cast("long").as("xq"),
+        when(col(key) === typeA, 1L).otherwise(0L).as("ia"),
+        when(col(key) === typeB, 1L).otherwise(0L).as("ib"))
+      .groupBy(col("xq"))
+      .agg(sum(col("ia")).as("ca"), sum(col("ib")).as("cb"))
+      .repartitionByRange(nBuckets, col("xq"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("pid").orderBy("xq")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSeq  = Window.partitionBy("pid").orderBy("xq")
+    val wOff  = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = Window.orderBy("pid")
+    val offsets = d.groupBy(col("pid"))
+      .agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"), min(col("xq")).as("minx"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("ta")).over(wOff), lit(0L)).as("offa"),
+        coalesce(sum(col("tb")).over(wOff), lit(0L)).as("offb"),
+        lead(col("minx"), 1).over(wNext).as("next_min"))
+    val totals = d.agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val cumA = (col("offa") + col("la")).cast(dec)
+    val cumB = (col("offb") + col("lb")).cast(dec)
+    val gap  = (coalesce(lead(col("xq"), 1).over(wSeq), col("next_min")) - col("xq")).cast(dec)
+    val sxy  = gap * (cumA * (col("nb").cast(dec) - cumB) + cumB * (col("na").cast(dec) - cumA))
+    val sxx  = gap * cumA * (col("na").cast(dec) - cumA)
+    val syy  = gap * cumB * (col("nb").cast(dec) - cumB)
+    val z    = lit(0L).cast(dec)
+    val agg = d
+      .withColumn("la", sum(col("ca")).over(wLocal))
+      .withColumn("lb", sum(col("cb")).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(totals))
+      // window-bearing terms materialize BEFORE the aggregate
+      // (window functions cannot nest inside sum())
+      .withColumn("t_xy", when(gap.isNotNull, sxy).otherwise(z))
+      .withColumn("t_xx", when(gap.isNotNull, sxx).otherwise(z))
+      .withColumn("t_yy", when(gap.isNotNull, syy).otherwise(z))
+      .groupBy(col("na").as("n_a"), col("nb").as("n_b"))
+      .agg(sum(col("t_xy")).as("sxy"),
+        sum(col("t_xx")).as("sxx"),
+        sum(col("t_yy")).as("syy"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        (lit(2.0) * splitDouble(col("sxy")) / (naD * nbD) -
+          lit(2.0) * splitDouble(col("sxx")) / (naD * naD) -
+          lit(2.0) * splitDouble(col("syy")) / (nbD * nbD)) / 1e6)
+        .as("energy_dist"))
+  }
+
+  /** Mood's median test between two event types: split both samples
+    * on the POOLED median (doubled order statistic — exact integer
+    * compares, values AT the median excluded as the classical test
+    * prescribes) and read the 2×2 association χ² =
+    * n(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) — the crude-but-assumption-free
+    * two-sample location test beside [[mannWhitney]] (which uses
+    * full ranks). Everything up to χ² is exact integer counts and
+    * 128-bit products; ONE IEEE division, UNROUNDED; a degenerate
+    * margin nulls cleanly.
+    */
+  def medianTest(events: DataFrame, typeA: String, typeB: String,
+                 key: String = "event_type", v: String = "value"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = events.filter(col(key).isin(typeA, typeB))
+      .select(col(key).as("k"), floor(col(v) * 1000000).cast("long").as("qu"))
+    // doubled pooled median = 2·(interpolating percentile at 0.5),
+    // which is EXACTLY lo+hi (or 2·mid) — an exactly-representable
+    // double over micro longs, so every 2·qu compare is exact; the
+    // percentile aggregate is distributed (no global sort window)
+    val med = broadcast(q.agg((percentile(col("qu"), lit(0.5)) * 2).as("m2")))
+    val two = col("qu").cast("double") * 2
+    val cts = q.crossJoin(med)
+      .filter(two =!= col("m2"))
+      .groupBy(lit(1).as("g"))
+      .agg(
+        sum(when(col("k") === typeA && two > col("m2"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("k") === typeA && two < col("m2"), 1L).otherwise(0L)).as("b"),
+        sum(when(col("k") === typeB && two > col("m2"), 1L).otherwise(0L)).as("c"),
+        sum(when(col("k") === typeB && two < col("m2"), 1L).otherwise(0L)).as("d"))
+    val n   = col("a") + col("b") + col("c") + col("d")
+    val det = col("a").cast(dec) * col("d").cast(dec) - col("b").cast(dec) * col("c").cast(dec)
+    val den = (col("a") + col("b")).cast(dec) * (col("c") + col("d")).cast(dec) *
+      (col("a") + col("c")).cast(dec) * (col("b") + col("d")).cast(dec)
+    cts.select(col("a").as("n_a_above"), col("b").as("n_a_below"),
+      col("c").as("n_b_above"), col("d").as("n_b_below"),
+      when(den > 0,
+        n.cast("double") * splitDouble(det * det) / splitDouble(den)).as("median_chi2"))
+  }
+
   /** Cochran's Q across event types on BINARY high-activity-day
     * outcomes — the dichotomous member of the blocked k-sample
     * family ([[friedman]] ranks levels; this tests whether

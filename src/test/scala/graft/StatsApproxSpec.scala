@@ -761,6 +761,34 @@ class StatsApproxSpec extends AnyFunSuite {
     assert(got.getAs[Double]("hl_shift") === m2s.toDouble / 4000000.0)
   }
 
+  test("energy distance: identical samples read exactly 0, a unit shift exactly 1") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
+      .map { case ((t, x), i) => (i.toLong, 1L, t, x) }
+      .toDF("event_id", "user_id", "event_type", "value")
+    val same = ev(Seq(("view", 1.0), ("view", 2.0), ("click", 1.0), ("click", 2.0)))
+    assert(Stats.energyDistance(same, "view", "click").head().getAs[Double]("energy_dist") === 0.0)
+    // A={1,2}, B={2,3}: 2*1 - 0.5 - 0.5 = 1 in value units, exact dyadics
+    val shift = ev(Seq(("view", 1.0), ("view", 2.0), ("click", 2.0), ("click", 3.0)))
+    val r = Stats.energyDistance(shift, "view", "click").head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("energy_dist") === 1.0)
+  }
+
+  test("median test: the 2x2 split on the pooled median reads the exact hand chi2") {
+    import spark.implicits._
+    def ev(rows: Seq[(String, Double)]) = rows.zipWithIndex
+      .map { case ((t, x), i) => (i.toLong, 1L, t, x) }
+      .toDF("event_id", "user_id", "event_type", "value")
+    // pooled 1..10 -> median 5.5; A above/below = 1/4, B = 4/1 -> chi2 = 3.6
+    val df = ev(Seq(1.0, 2.0, 3.0, 4.0, 10.0).map(("view", _)) ++
+      Seq(6.0, 7.0, 8.0, 9.0, 5.0).map(("click", _)))
+    val r = Stats.medianTest(df, "view", "click").head()
+    assert(r.getAs[Long]("n_a_above") === 1L && r.getAs[Long]("n_a_below") === 4L)
+    assert(r.getAs[Long]("n_b_above") === 4L && r.getAs[Long]("n_b_below") === 1L)
+    assert(r.getAs[Double]("median_chi2") === 3.6)
+  }
+
   test("cochran q: hand-built binary activity matrix reads exactly 0.5; outcomes split on 2c > m2") {
     import spark.implicits._
     // daily counts per type over 4 days: a=(1,9,9,1), b=(9,1,1,9),
