@@ -2,6 +2,9 @@
 """Local stand-in for the driver's correctness gate: read Verify's
 parquet dumps, run each oracle SQL in DuckDB over the same sf dir,
 sort columns by name, and diff values exactly and with 1e-9 rtol.
+Float columns are additionally compared BITWISE (int64 view), because
+the driver hashes bytes: value-equal but bit-different outputs
+(e.g. -0.0 vs +0.0) fail there.
 
 Usage: python3 scripts/compare.py <sfdir> <outdir>
 """
@@ -9,6 +12,7 @@ import json
 import sys
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = [
@@ -35,6 +39,20 @@ def main() -> int:
         try:
             got = pd.read_parquet(f"{outdir}/{name}")
             want = con.execute(sql).df()
+            # HUGEINT guard: DuckDB sum(BIGINT) returns int128, which
+            # pandas renders as float64/object — Spark can never emit
+            # that type, so the driver's byte hash will mismatch even
+            # when values agree. Force oracles to CAST(... AS BIGINT).
+            desc = con.execute(
+                "DESCRIBE SELECT * FROM ("
+                + sql.rstrip().rstrip(";") + ") LIMIT 0").df()
+            hug = [r["column_name"] for _, r in desc.iterrows()
+                   if "HUGEINT" in str(r["column_type"])]
+            if hug:
+                print(f"FAIL {name}: oracle emits HUGEINT cols {hug} "
+                      "(add CAST(... AS BIGINT))")
+                n_bad += 1
+                continue
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
             n_bad += 1
@@ -51,7 +69,20 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(
                 got_n, want_n, check_dtype=False, check_exact=True)
-            print(f"OK   {name} ({len(got_n)} rows, exact)")
+            bit_bad = []
+            for c in got_n.columns:
+                g, w = got_n[c], want_n[c]
+                if g.dtype == np.float64 or w.dtype == np.float64:
+                    gb = g.astype(np.float64).to_numpy().view(np.int64)
+                    wb = w.astype(np.float64).to_numpy().view(np.int64)
+                    nd = int((gb != wb).sum())
+                    if nd:
+                        bit_bad.append(f"{c}:{nd}")
+            if bit_bad:
+                print(f"FAIL {name}: value-exact but BIT-differ {','.join(bit_bad)}")
+                n_bad += 1
+            else:
+                print(f"OK   {name} ({len(got_n)} rows, bit-exact)")
         except AssertionError:
             try:
                 pd.testing.assert_frame_equal(

@@ -1444,8 +1444,8 @@ object SparkEntry {
         |ORDER BY segment""".stripMargin,
     "q_ship_priority_classes" ->
       """SELECT l.l_returnflag,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_count,
-        |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_count
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_count
         |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1998-01-01'
         |GROUP BY l.l_returnflag
@@ -2666,7 +2666,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), s AS (
         |  SELECT user_id, day, close, volume,
@@ -2677,7 +2677,7 @@ object SparkEntry {
         |  WINDOW ws AS (PARTITION BY user_id ORDER BY day)
         |)
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, close, volume,
-        |  sum(sv) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS obv
+        |  CAST(sum(sv) OVER (PARTITION BY user_id ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
         |FROM s
         |ORDER BY user_id, day""".stripMargin,
     "q_donchian" ->
@@ -2706,7 +2706,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), m AS (
         |  SELECT user_id, day, volume,
@@ -2715,9 +2715,9 @@ object SparkEntry {
         |  FROM bars
         |)
         |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, volume,
-        |  round(mfv, 6) AS mfv,
+        |  round(mfv, 6) + 0.0 AS mfv,
         |  round(CASE WHEN sum(volume) OVER w != 0
-        |    THEN sum(mfv) OVER w / CAST(sum(volume) OVER w AS DOUBLE) END, 6) AS cmf
+        |    THEN sum(mfv) OVER w / CAST(sum(volume) OVER w AS DOUBLE) END, 6) + 0.0 AS cmf
         |FROM m
         |WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin,
@@ -4033,7 +4033,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), r AS (
         |  SELECT user_id, close / lag(close) OVER ws - 1 AS ret,
@@ -4154,7 +4154,7 @@ object SparkEntry {
         |      / ((rt * ct) / CAST(tot.n AS DOUBLE)) AS chi_term
         |  FROM grid CROSS JOIN tot
         |)
-        |SELECT n, round(sum(mi_term), 6) AS mi_bits,
+        |SELECT CAST(n AS BIGINT) AS n, round(sum(mi_term), 6) AS mi_bits,
         |  round(sqrt(sum(chi_term) / CAST(n * least(nr - 1, nc - 1) AS DOUBLE)), 6) AS cramers_v
         |FROM terms GROUP BY n, nr, nc""".stripMargin,
     "q_kl_divergence" ->
@@ -5397,12 +5397,13 @@ object SparkEntry {
         |  FROM s
         |), k AS (
         |  SELECT user_id, ts, rsi,
-        |    min(rsi) OVER wn AS lo, max(rsi) OVER wn AS hi
+        |    min(rsi) OVER wn AS lo, max(rsi) OVER wn AS hi,
+        |    count(rsi) OVER wn AS nw
         |  FROM r
         |  WINDOW wn AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         |), k2 AS (
         |  SELECT user_id, ts, rsi,
-        |    round(CASE WHEN hi != lo THEN (rsi - lo) / (hi - lo) * 100 END, 6) AS stoch_rsi
+        |    round(CASE WHEN nw = 14 AND hi != lo THEN (rsi - lo) / (hi - lo) * 100 END, 6) AS stoch_rsi
         |  FROM k
         |)
         |SELECT user_id, epoch_us(ts) AS ts_us, rsi, stoch_rsi,
@@ -5473,7 +5474,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), l0 AS (
         |  SELECT user_id,
@@ -5520,7 +5521,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), l0 AS (
         |  SELECT user_id,
@@ -6278,7 +6279,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), rng AS (
         |  SELECT user_id, min(close) AS lo, max(close) AS hi FROM bars GROUP BY user_id
@@ -6289,7 +6290,7 @@ object SparkEntry {
         |    b.close, b.volume
         |  FROM bars b JOIN rng r USING (user_id)
         |), prof AS (
-        |  SELECT user_id, bin, count(*) AS n_days, sum(volume) AS volume,
+        |  SELECT user_id, bin, count(*) AS n_days, CAST(sum(volume) AS BIGINT) AS volume,
         |    min(close) AS px_lo, max(close) AS px_hi
         |  FROM binned GROUP BY 1, 2
         |)
@@ -6386,7 +6387,7 @@ object SparkEntry {
         |SELECT e.event_type, count(*) AS n,
         |  round(max(f.q1), 6) AS q1, round(max(f.q3), 6) AS q3,
         |  round(max(f.lo), 6) AS fence_lo, round(max(f.hi), 6) AS fence_hi,
-        |  sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS n_outliers,
+        |  CAST(sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
         |  sum(CASE WHEN e.value < f.lo OR e.value > f.hi THEN 1 ELSE 0 END)
         |    / CAST(count(*) AS DOUBLE) AS outlier_rate
         |FROM events e JOIN f USING (event_type)
@@ -6475,7 +6476,7 @@ object SparkEntry {
         |FROM agg""".stripMargin,
     "q_key_skew" ->
       """WITH k AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
-        |SELECT count(*) AS n_keys, sum(n) AS n_rows, max(n) AS max_per_key,
+        |SELECT count(*) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows, max(n) AS max_per_key,
         |  quantile_cont(n, 0.5) AS p50, quantile_cont(n, 0.9) AS p90,
         |  quantile_cont(n, 0.99) AS p99,
         |  CAST(sum(n) AS DOUBLE) / count(*) AS mean_per_key,
@@ -6500,12 +6501,12 @@ object SparkEntry {
         |  FROM bsrc
         |)
         |SELECT
-        |  sum(CASE WHEN fp_a IS NOT NULL THEN 1 ELSE 0 END) AS n_a,
-        |  sum(CASE WHEN fp_b IS NOT NULL THEN 1 ELSE 0 END) AS n_b,
-        |  sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NULL THEN 1 ELSE 0 END) AS only_a,
-        |  sum(CASE WHEN fp_a IS NULL AND fp_b IS NOT NULL THEN 1 ELSE 0 END) AS only_b,
-        |  sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS n_match,
-        |  sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL AND fp_a != fp_b THEN 1 ELSE 0 END) AS n_diff
+        |  CAST(sum(CASE WHEN fp_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN fp_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+        |  CAST(sum(CASE WHEN fp_a IS NULL AND fp_b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+        |  CAST(sum(CASE WHEN fp_a = fp_b THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |  CAST(sum(CASE WHEN fp_a IS NOT NULL AND fp_b IS NOT NULL AND fp_a != fp_b THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
         |FROM a FULL OUTER JOIN b USING (event_id)""".stripMargin,
     "q_top_paths" ->
       """WITH ranked AS (
@@ -6579,7 +6580,8 @@ object SparkEntry {
         |    sum(CASE WHEN event_type = 'click' AND value > 100.0 THEN 1 ELSE 0 END) AS sb
         |  FROM events WHERE event_type IN ('view', 'click')
         |)
-        |SELECT na, nb, sa, sb,
+        |SELECT CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(sa AS BIGINT) AS sa, CAST(sb AS BIGINT) AS sb,
         |  round(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE), 6) AS p_a,
         |  round(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE), 6) AS p_b,
         |  round(CASE WHEN na > 0 AND nb > 0
@@ -6934,8 +6936,9 @@ object SparkEntry {
         |    epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
         |  FROM z GROUP BY user_id, session_id
         |)
-        |SELECT user_id, count(*) AS n_sessions, sum(n_events) AS total_events,
-        |  max(n_events) AS max_session_events, sum(end_us - start_us) AS total_session_us
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS total_events,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(end_us - start_us) AS BIGINT) AS total_session_us
         |FROM sess GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "q_top_transitions" ->
@@ -7050,7 +7053,7 @@ object SparkEntry {
         |)
         |SELECT user_id, strftime(bar_start, '%Y-%m-%d') AS bar_start,
         |  round(CASE WHEN max(high) OVER w != min(low) OVER w
-        |    THEN (max(high) OVER w - close) / (max(high) OVER w - min(low) OVER w) * -100 END, 6) AS pct_r
+        |    THEN (max(high) OVER w - close) / (max(high) OVER w - min(low) OVER w) * -100 END, 6) + 0.0 AS pct_r
         |FROM bars
         |WINDOW w AS (PARTITION BY user_id ORDER BY bar_start ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, bar_start""".stripMargin,
@@ -7058,7 +7061,7 @@ object SparkEntry {
       """WITH bars AS (
         |  SELECT user_id, date_trunc('day', ts) AS day,
         |    max(value) AS high, min(value) AS low, max_by(value, ts) AS close,
-        |    sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS volume
+        |    CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS volume
         |  FROM events GROUP BY 1, 2
         |), t AS (
         |  SELECT user_id, day, volume, (high + low + close) / 3 AS tp FROM bars
@@ -7178,7 +7181,7 @@ object SparkEntry {
         |    sum(t * t * t - t) AS ties
         |  FROM r
         |)
-        |SELECT na AS n_a, nb AS n_b,
+        |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |  CAST(r2a - na * (na + 1) AS DOUBLE) / 2 AS u_stat,
         |  round((CAST(r2a - na * (na + 1) AS DOUBLE) / 2 - CAST(na AS DOUBLE) * nb / 2) /
         |    sqrt(CAST(na AS DOUBLE) * nb / 12 *
@@ -7207,8 +7210,8 @@ object SparkEntry {
         |  SELECT user_id, min(d) AS first_d FROM ud GROUP BY 1
         |)
         |SELECT strftime(d, '%Y-%m-%d') AS d,
-        |  sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS new_users,
-        |  sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS returning_users,
+        |  CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+        |  CAST(sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
         |  CAST(sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS DOUBLE) /
         |    CAST(sum(CASE WHEN d = first_d THEN 1 ELSE 0 END) + sum(CASE WHEN d > first_d THEN 1 ELSE 0 END) AS DOUBLE) AS returning_share
         |FROM ud JOIN fs USING (user_id)
@@ -7365,7 +7368,7 @@ object SparkEntry {
         |    FROM edges e2 JOIN deg d ON e2.src = d.src JOIN it4 r ON r.node = e2.src
         |    GROUP BY e2.dst) x ON nd.node = x.node
         |)
-        |SELECT node, r AS rank_units, CAST(r AS DOUBLE) / 1000000000000 AS pr
+        |SELECT node, CAST(r AS BIGINT) AS rank_units, CAST(r AS DOUBLE) / 1000000000000 AS pr
         |FROM it5 ORDER BY node""".stripMargin,
     // the q_ann_ivf coarse probe composed with the q_pq_search ADC
     "q_ivfpq_search" -> {
@@ -7546,8 +7549,8 @@ object SparkEntry {
         |SELECT wm.user_id, count(*) AS n,
         |  round(min(wm.med), 6) AS median,
         |  round(min(mad.mad), 6) AS mad,
-        |  coalesce(sum(CASE WHEN abs(CASE WHEN mad.mad != 0.0
-        |      THEN 0.6745 * (wm.value - wm.med) / mad.mad END) > 3.5 THEN 1 ELSE 0 END), 0) AS n_outliers,
+        |  CAST(coalesce(sum(CASE WHEN abs(CASE WHEN mad.mad != 0.0
+        |      THEN 0.6745 * (wm.value - wm.med) / mad.mad END) > 3.5 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_outliers,
         |  round(max(abs(CASE WHEN mad.mad != 0.0
         |      THEN 0.6745 * (wm.value - wm.med) / mad.mad END)), 6) AS max_abs_z
         |FROM wm JOIN mad ON wm.user_id = mad.user_id
@@ -7610,7 +7613,7 @@ object SparkEntry {
         |), t AS (
         |  SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS tot FROM c
         |)
-        |SELECT user_id, sum(c) AS n_events, count(*) AS n_types,
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events, count(*) AS n_types,
         |  round(-sum((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) *
         |    log2(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy_bits
         |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
@@ -7642,7 +7645,7 @@ object SparkEntry {
         |  FROM events
         |), g AS (
         |  SELECT CAST(d AS INT) AS digit, count(*) AS n_obs FROM d WHERE d != '' GROUP BY 1
-        |), t AS (SELECT sum(n_obs) AS n_sample FROM g)
+        |), t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_sample FROM g)
         |SELECT digit, n_obs, n_sample,
         |  round(CAST(n_obs AS DOUBLE) / CAST(n_sample AS DOUBLE), 6) AS obs_share,
         |  round(log10(1 + 1.0 / digit), 6) AS exp_share,
@@ -7654,11 +7657,11 @@ object SparkEntry {
         |  count(DISTINCT event_type) AS n_event_types,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max,
-        |  sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS value_nulls,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
         |  round(min(value), 6) AS value_min,
         |  round(max(value), 6) AS value_max,
-        |  sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_nulls,
-        |  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS vol_key_missing
+        |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS props_nulls,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS vol_key_missing
         |FROM events""".stripMargin,
     "q_power_users" ->
       """WITH c AS (
@@ -7667,7 +7670,7 @@ object SparkEntry {
         |r AS (
         |  SELECT user_id, n_events,
         |    row_number() OVER (ORDER BY n_events DESC, user_id ASC) AS rank,
-        |    sum(n_events) OVER (ORDER BY n_events DESC, user_id ASC ROWS UNBOUNDED PRECEDING) AS cum_events
+        |    CAST(sum(n_events) OVER (ORDER BY n_events DESC, user_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
         |  FROM c
         |)
         |SELECT user_id, n_events, rank, cum_events,
@@ -7682,7 +7685,7 @@ object SparkEntry {
         |), e AS (SELECT date_trunc('day', max(ts)) AS corpus_end FROM events)
         |SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
         |  count(*) AS n_users,
-        |  sum(CASE WHEN date_diff('day', last_day, corpus_end) >= 1 THEN 1 ELSE 0 END) AS n_churned,
+        |  CAST(sum(CASE WHEN date_diff('day', last_day, corpus_end) >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
         |  round(CAST(sum(CASE WHEN date_diff('day', last_day, corpus_end) >= 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / CAST(count(*) AS DOUBLE), 6) AS churn_rate
         |FROM pu, e GROUP BY cohort_week ORDER BY cohort_week""".stripMargin,
@@ -7766,7 +7769,7 @@ object SparkEntry {
         |  SELECT label, nrm, CAST(nrm AS DECIMAL(18,6)) AS qn FROM n
         |), m AS (
         |  SELECT label, count(*) AS n,
-        |    sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS n_zero,
+        |    CAST(sum(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
         |    sum(qn) AS s1, sum(qn * qn) AS s2,
         |    round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
         |  FROM q GROUP BY label
@@ -7831,7 +7834,7 @@ object SparkEntry {
         |), h AS (SELECT lifespan, count(*) AS n FROM life GROUP BY 1),
         |t AS (SELECT count(*) AS n_total FROM life)
         |SELECT lifespan AS day_offset, n AS n_exact,
-        |  sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS n_alive,
+        |  CAST(sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_alive,
         |  round(CAST(sum(n) OVER (ORDER BY lifespan DESC ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |    / CAST(n_total AS DOUBLE), 6) AS survival_rate
         |FROM h, t ORDER BY day_offset""".stripMargin,
@@ -7984,8 +7987,8 @@ object SparkEntry {
         |    count(*) OVER w AS cnt
         |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
         |), w5 AS (
-        |  SELECT CAST(vnh // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
-        |    + CAST(vnh % 9007199254740992 AS DOUBLE) AS vn, cnt
+        |  SELECT sqrt((CAST(vnh // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |    + CAST(vnh % 9007199254740992 AS DOUBLE)) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS volr, cnt
         |  FROM w5h
         |), w21h AS (
         |  SELECT 21::HUGEINT * sum(mk::HUGEINT * mk::HUGEINT) OVER w
@@ -7993,20 +7996,20 @@ object SparkEntry {
         |    count(*) OVER w AS cnt
         |  FROM r WINDOW w AS (PARTITION BY user_id ORDER BY day ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
         |), w21 AS (
-        |  SELECT CAST(vnh // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
-        |    + CAST(vnh % 9007199254740992 AS DOUBLE) AS vn, cnt
+        |  SELECT sqrt((CAST(vnh // 9007199254740992 AS DOUBLE) * 9.007199254740992e15
+        |    + CAST(vnh % 9007199254740992 AS DOUBLE)) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS volr, cnt
         |  FROM w21h
         |)
         |SELECT 5 AS horizon, CAST(count(*) AS BIGINT) AS n_windows,
-        |  sqrt(quantile_cont(vn, 0.1) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS vol_p10,
-        |  sqrt(quantile_cont(vn, 0.5) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS vol_p50,
-        |  sqrt(quantile_cont(vn, 0.9) * (252.0::DOUBLE / (5 * 4)::DOUBLE)) / 1e6 AS vol_p90
+        |  quantile_cont(volr, 0.1) AS vol_p10,
+        |  quantile_cont(volr, 0.5) AS vol_p50,
+        |  quantile_cont(volr, 0.9) AS vol_p90
         |FROM w5 WHERE cnt = 5
         |UNION ALL
         |SELECT 21 AS horizon, CAST(count(*) AS BIGINT) AS n_windows,
-        |  sqrt(quantile_cont(vn, 0.1) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS vol_p10,
-        |  sqrt(quantile_cont(vn, 0.5) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS vol_p50,
-        |  sqrt(quantile_cont(vn, 0.9) * (252.0::DOUBLE / (21 * 20)::DOUBLE)) / 1e6 AS vol_p90
+        |  quantile_cont(volr, 0.1) AS vol_p10,
+        |  quantile_cont(volr, 0.5) AS vol_p50,
+        |  quantile_cont(volr, 0.9) AS vol_p90
         |FROM w21 WHERE cnt = 21
         |ORDER BY horizon""".stripMargin,
     // ESS = (Σn·qw)²/Σn·qw² over floor-quantized micro weights —
@@ -8259,15 +8262,19 @@ object SparkEntry {
       """WITH q AS (
         |  SELECT event_type AS k, CAST(floor(value * 1000000) AS BIGINT) AS qu
         |  FROM events WHERE event_type IN ('view', 'click')
+        |), rk AS (
+        |  SELECT qu, row_number() OVER (ORDER BY qu) AS rn, count(*) OVER () AS n FROM q
         |), med AS (
-        |  SELECT quantile_cont(qu, 0.5) * 2 AS m2 FROM q
+        |  SELECT sum(CASE WHEN rn = (n + 1) // 2 THEN qu::HUGEINT ELSE 0 END)
+        |       + sum(CASE WHEN rn = (n + 2) // 2 THEN qu::HUGEINT ELSE 0 END) AS m2
+        |  FROM rk
         |), cts AS (
         |  SELECT
-        |    CAST(sum(CASE WHEN k = 'view'  AND CAST(qu AS DOUBLE) * 2 > m2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
-        |    CAST(sum(CASE WHEN k = 'view'  AND CAST(qu AS DOUBLE) * 2 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
-        |    CAST(sum(CASE WHEN k = 'click' AND CAST(qu AS DOUBLE) * 2 > m2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
-        |    CAST(sum(CASE WHEN k = 'click' AND CAST(qu AS DOUBLE) * 2 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS d
-        |  FROM q, med WHERE CAST(qu AS DOUBLE) * 2 != m2
+        |    CAST(sum(CASE WHEN k = 'view'  AND qu::HUGEINT * 2 > m2 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN k = 'view'  AND qu::HUGEINT * 2 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        |    CAST(sum(CASE WHEN k = 'click' AND qu::HUGEINT * 2 > m2 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN k = 'click' AND qu::HUGEINT * 2 < m2 THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM q, med WHERE qu::HUGEINT * 2 != m2
         |)
         |SELECT a AS n_a_above, b AS n_a_below, c AS n_b_above, d AS n_b_below,
         |  CASE WHEN (a + b)::HUGEINT * (c + d) * (a + c) * (b + d) > 0 THEN
@@ -8610,7 +8617,7 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY n_events ASC, user_id ASC) AS rank
         |  FROM c
         |)
-        |SELECT count(*) AS n_users, sum(n_events) AS total_events,
+        |SELECT count(*) AS n_users, CAST(sum(n_events) AS BIGINT) AS total_events,
         |  round(2.0 * CAST(sum(rank * n_events) AS DOUBLE)
         |      / (CAST(count(*) AS DOUBLE) * CAST(sum(n_events) AS DOUBLE))
         |    - CAST(count(*) + 1 AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS gini
@@ -8744,7 +8751,7 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs,
         |  count(DISTINCT f.fp) AS n_unique,
         |  count(*) - count(DISTINCT f.fp) AS n_dup_within,
-        |  sum(CASE WHEN s.n_sources >= 2 THEN 1 ELSE 0 END) AS n_shared_cross,
+        |  CAST(sum(CASE WHEN s.n_sources >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_cross,
         |  round(CAST(count(*) - count(DISTINCT f.fp) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
         |    AS dup_rate
         |FROM fps f JOIN spread s ON f.fp = s.fp
@@ -8900,11 +8907,21 @@ object SparkEntry {
         |), s AS (
         |  SELECT user_id, session_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us
         |  FROM z GROUP BY user_id, session_id
+        |), bnd AS (
+        |  SELECT min(start_us) AS t0, max(end_us + 1) AS t1 FROM s
+        |), mid AS (
+        |  SELECT epoch_us(unnest(generate_series(
+        |    date_trunc('day', make_timestamp(t0)),
+        |    date_trunc('day', make_timestamp(t1)),
+        |    INTERVAL 1 DAY))) AS t, 0 AS d
+        |  FROM bnd
         |), pts AS (
         |  SELECT t, CAST(sum(d) AS BIGINT) AS d FROM (
         |    SELECT start_us AS t, 1 AS d FROM s
         |    UNION ALL
         |    SELECT end_us + 1 AS t, -1 AS d FROM s
+        |    UNION ALL
+        |    SELECT t, d FROM mid
         |  ) GROUP BY t
         |), r AS (
         |  SELECT t, CAST(sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
@@ -8961,7 +8978,9 @@ object SparkEntry {
         |    CAST(sum(qc)   OVER (PARTITION BY user_id) AS BIGINT) AS tot
         |  FROM w
         |), d AS (
-        |  SELECT user_id, day, n, abs(n * pre - rn * tot) AS abs_d
+        |  SELECT user_id, day, n,
+        |    abs(CAST(n AS HUGEINT) * CAST(pre AS HUGEINT)
+        |      - CAST(rn AS HUGEINT) * CAST(tot AS HUGEINT)) AS abs_d
         |  FROM s WHERE rn < n
         |), r AS (
         |  SELECT user_id, day, n, abs_d,

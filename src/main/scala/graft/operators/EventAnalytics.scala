@@ -847,14 +847,29 @@ object EventAnalytics {
     * (order-free), and the running concurrency is the ksTest
     * distributed prefix sum over the TIME axis (range partitions,
     * local cumsum, broadcast offsets — never one global window over
-    * the change points). Max concurrency is attained at a change
-    * point by construction, so the per-day max over points is
-    * exact; everything is integer arithmetic end to end.
+    * the change points). A synthetic delta-0 point at every midnight
+    * in the span carries the prior day's closing concurrency into
+    * each day's max — without it, a day whose busiest instant is a
+    * session running over from the previous midnight under-reports,
+    * and days with no session boundary at all are absent. With the
+    * carry points, max over a day's points IS the day's true peak
+    * (concurrency is constant between points); everything is integer
+    * arithmetic end to end. n_points counts boundary points plus the
+    * one midnight marker.
     */
   def peakConcurrency(events: DataFrame, gapMin: Int = 30, nBuckets: Int = 32): DataFrame = {
     val sess = graft.streaming.Streams.sessionizeBatch(events, gapMin)
+    val bounds = broadcast(sess.agg(
+      min(col("start_us")).as("t0"), max(col("end_us") + 1L).as("t1")))
+    val midnights = bounds.select(
+      explode(sequence(
+        date_trunc("day", timestamp_micros(col("t0"))),
+        date_trunc("day", timestamp_micros(col("t1"))),
+        expr("interval 1 day"))).as("dts"))
+      .select(unix_micros(col("dts")).as("t"), lit(0L).as("d"))
     val pts = sess.select(col("start_us").as("t"), lit(1L).as("d"))
       .unionByName(sess.select((col("end_us") + 1L).as("t"), lit(-1L).as("d")))
+      .unionByName(midnights)
       .groupBy(col("t")).agg(sum(col("d")).as("d"))
       .repartitionByRange(nBuckets, col("t"))
       .withColumn("pid", spark_partition_id())

@@ -1481,9 +1481,10 @@ object Stats {
     * farthest from the global-mean line, the single most likely
     * mean-shift point (the offline screen ahead of q_cusum's online
     * alert). INTEGER-EXACT argmax: with micro closes, D_t = n·P_t −
-    * t·T (P prefix sum, T total) is an exact long, so the argmax and
-    * the tie-break (earliest day) are deterministic at any partition
-    * count — no float enters until the REPORTED magnitude
+    * t·T (P prefix sum, T total) is exact in 128-bit decimal (the
+    * cross-products pass 2^63 on long large-value series), so the
+    * argmax and the tie-break (earliest day) are deterministic at
+    * any partition count — no float enters until the REPORTED magnitude
     * max|S_t| = |D|/(n·1e6), one IEEE division of exact integers,
     * UNROUNDED. The last day (D_n = 0 identically) is excluded. One
     * per-key sort shared by the prefix/rank windows + one aggregate.
@@ -1500,7 +1501,16 @@ object Stats {
       .withColumn("n",   count(lit(1)).over(wAll))
       .withColumn("tot", sum(col("qc")).over(wAll))
       .filter(col("rn") < col("n"))
-      .withColumn("abs_d", abs(col("n") * col("pre") - col("rn") * col("tot")))
+      // 128-bit cross-multiplication (the volCones recipe): with
+      // large micro closes n·pre passes 2^63 (~4e15 per day over a
+      // few years), where int64 would silently wrap on Spark while
+      // DuckDB BIGINT raises — so both engines compute D_t exactly
+      // in decimal/HUGEINT and the argmax stays integer-exact.
+      .withColumn("abs_d", {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        abs(col("n").cast(dec) * col("pre").cast(dec) -
+          col("rn").cast(dec) * col("tot").cast(dec))
+      })
     val pick = Window.partitionBy(key).orderBy(col("abs_d").desc, col("day").asc)
     t.withColumn("rk", row_number().over(pick))
       .filter(col("rk") === 1)
@@ -1633,16 +1643,45 @@ object Stats {
     * margin nulls cleanly.
     */
   def medianTest(events: DataFrame, typeA: String, typeB: String,
-                 key: String = "event_type", v: String = "value"): DataFrame = {
+                 key: String = "event_type", v: String = "value",
+                 nBuckets: Int = 32): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val q = events.filter(col(key).isin(typeA, typeB))
       .select(col(key).as("k"), floor(col(v) * 1000000).cast("long").as("qu"))
-    // doubled pooled median = 2·(interpolating percentile at 0.5),
-    // which is EXACTLY lo+hi (or 2·mid) — an exactly-representable
-    // double over micro longs, so every 2·qu compare is exact; the
-    // percentile aggregate is distributed (no global sort window)
-    val med = broadcast(q.agg((percentile(col("qu"), lit(0.5)) * 2).as("m2")))
-    val two = col("qu").cast("double") * 2
+    // pooled doubled median as the EXACT integer doubled order
+    // statistic (the friedman/cochranQ recipe, made distributed): a
+    // value histogram range-partitioned by qu, local cumulative
+    // counts + broadcast per-partition offsets give each distinct
+    // value its global rank interval (prev, cum]; the lo/hi order
+    // statistics ((n+1) div 2, (n+2) div 2) are read off the
+    // intervals containing them and summed, so m2 = qu_lo + qu_hi is
+    // an exact integer and the tie-exclusion compare 2·qu != m2 is
+    // exact at ANY magnitude — the former percentile()·2 doubled
+    // median was only exactly representable while |lo+hi| < 2^53.
+    val hist = q.groupBy(col("qu")).agg(count(lit(1)).as("c"))
+      .repartitionByRange(nBuckets, col("qu"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val wLocal = Window.partitionBy("pid").orderBy("qu")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wOff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist.groupBy(col("pid")).agg(sum(col("c")).as("tc"))
+      .select(col("pid").as("opid"),
+        coalesce(sum(col("tc")).over(wOff), lit(0L)).as("off"))
+    val tot = q.agg(count(lit(1)).as("n"))
+    val med = broadcast(hist
+      .withColumn("l", sum(col("c")).over(wLocal))
+      .join(broadcast(offsets), col("pid") === col("opid"))
+      .crossJoin(broadcast(tot))
+      .withColumn("cum", col("off") + col("l"))
+      .withColumn("prev", col("cum") - col("c"))
+      .withColumn("lo", expr("(n + 1) div 2"))
+      .withColumn("hi", expr("(n + 2) div 2"))
+      .agg((sum(when(col("prev") < col("lo") && col("lo") <= col("cum"),
+          col("qu").cast(dec)).otherwise(lit(0L).cast(dec))) +
+        sum(when(col("prev") < col("hi") && col("hi") <= col("cum"),
+          col("qu").cast(dec)).otherwise(lit(0L).cast(dec)))).as("m2")))
+    val two = col("qu").cast(dec) * 2
     val cts = q.crossJoin(med)
       .filter(two =!= col("m2"))
       .groupBy(lit(1).as("g"))

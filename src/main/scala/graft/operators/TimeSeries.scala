@@ -131,9 +131,10 @@ object TimeSeries {
     * horizon-free recursive fold (graft_ema_series, a
     * TypedImperativeAggregate emitting the full per-row series) —
     * same answer bit-for-bit after the shared 6-dp rounding, no
-    * caller change, no loud failure to work around. Both paths ride
-    * the SAME per-key shuffle (the count deciding the route is a
-    * window over the partition the closed form already needs).
+    * caller change, no loud failure to work around. The route is
+    * decided by a cheap key-column pre-scan (scalar max per-key
+    * count), so in the common all-short case the submitted plan is
+    * exactly the one-scan, one-shuffle closed form.
     * Output schema is fixed: (key, ts, v, rn, ema).
     *
     * [[closedFormGuard]] stays on the short path as the backstop for
@@ -146,30 +147,43 @@ object TimeSeries {
     val safeRn = (700.0 / -math.log1p(-a)).toLong
     val w      = wk(key, ts)
     val wRun   = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // Route on a PRE-AGGREGATED per-key count joined back, not a
-    // whole-partition count window: the window formulation buffered
-    // every partition twice AND blocked filter pushdown, so the
-    // (usually empty) long branch re-ran the full windowed lineage
-    // before discarding it (q_ema 0.78s -> 1.15s in the r11 sweep).
-    // As a key-dim join, each branch prunes BEFORE any window, and
-    // AQE's empty-relation propagation skips the long branch's scan
-    // outright when no key exceeds the horizon.
-    val cnts      = df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
-    val shortKeys = cnts.filter(col("__cnt") <= safeRn).select(col(key))
-    val longKeys  = cnts.filter(col("__cnt") > safeRn).select(col(key))
-    val short = df.join(shortKeys, Seq(key))
+    def closedForm(src: DataFrame): DataFrame = src
       .withColumn("rn", row_number().over(w) - 1)
       .withColumn("g", when(col("rn") === 0, col(v)).otherwise(lit(a) * col(v) * pow(lit(1 - a), -col("rn"))))
       .withColumn("ema", closedFormGuard(round(pow(lit(1 - a), col("rn")) * sum(col("g")).over(wRun), 6), a))
       .select(col(key), col(ts), col(v), col("rn"), col("ema"))
-    graft.plans.GraftFunctions.register(df.sparkSession)
-    val longRows = df.join(longKeys, Seq(key))
-      .groupBy(col(key))
-      .agg(expr(s"graft_ema_series($ts, $v, $span)").as("sv"))
-      .select(col(key), posexplode(col("sv")).as(Seq("rn", "e")))
-      .select(col(key), timestamp_micros(col("e.ts_us")).as(ts), col("e.value").as(v),
-        col("rn"), round(col("e.ema"), 6).as("ema"))
-    short.unionByName(longRows)
+    // Adaptive plan SELECTION, not per-key plan branching: a cheap
+    // pre-scan (key column only, map-side combined — column pruning
+    // makes this a fraction of the fact read even at 100 TB) decides
+    // which plan Catalyst ever sees. The r11 join-routing shape ran
+    // THREE fact scans when the long branch was empty (cnts + both
+    // key-dim joins; q_ema 0.71s -> 1.69s in the r11 sweep), and the
+    // earlier whole-partition count window double-buffered every
+    // partition (0.78s -> 1.15s). When no key exceeds the closed
+    // form's horizon — the overwhelmingly common case — the query is
+    // the plain one-scan, one-shuffle closed form, byte-identical to
+    // the unrouted r10 plan; only when a key genuinely overflows do
+    // we pay the two-branch routing, and then the fold is the cost
+    // that matters, not the extra scans.
+    val mx = df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      .agg(max(col("__cnt"))).head()
+    val maxCnt = if (mx.isNullAt(0)) 0L else mx.getLong(0)
+    if (maxCnt <= safeRn) {
+      closedForm(df)
+    } else {
+      val cnts      = df.groupBy(col(key)).agg(count(lit(1)).as("__cnt"))
+      val shortKeys = cnts.filter(col("__cnt") <= safeRn).select(col(key))
+      val longKeys  = cnts.filter(col("__cnt") > safeRn).select(col(key))
+      val short     = closedForm(df.join(shortKeys, Seq(key)))
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      val longRows = df.join(longKeys, Seq(key))
+        .groupBy(col(key))
+        .agg(expr(s"graft_ema_series($ts, $v, $span)").as("sv"))
+        .select(col(key), posexplode(col("sv")).as(Seq("rn", "e")))
+        .select(col(key), timestamp_micros(col("e.ts_us")).as(ts), col("e.value").as(v),
+          col("rn"), round(col("e.ema"), 6).as("ema"))
+      short.unionByName(longRows)
+    }
   }
 
   /** MACD(fast, slow, signal): EMA(fast) − EMA(slow), the signal
@@ -549,13 +563,17 @@ object TimeSeries {
   /** Volatility cones: the corpus-wide distribution (p10/p50/p90) of
     * rolling annualized volatility at each horizon — the where-does-
     * current-vol-sit-historically panel vol desks read before
-    * pricing. Per-window variance NUMERATORS m·Σx² − (Σx)² are EXACT
-    * LONGS (micro-return window sums are order-free integer adds),
-    * the cone cuts are exact interpolating percentiles over those
-    * longs, and each vol is ONE fixed chain sqrt(q·252/(m(m−1)))/1e6
-    * — deterministic cross-engine, UNROUNDED. One per-key window
-    * shuffle per horizon; the percentile reduce is corpus-global but
-    * over one exact long per window row.
+    * pricing. Per-window variance NUMERATORS m·Σx² − (Σx)² are exact
+    * 128-bit integers (micro-return window sums are order-free
+    * integer adds), each window's vol is ONE fixed IEEE chain
+    * sqrt(vn·252/(m(m−1)))/1e6 over the numerator's exact-decimal
+    * image, and the cone cuts are interpolating percentiles of that
+    * per-window VOL column — annualize first, THEN cut: sqrt does
+    * not commute with linear interpolation, so percentiles of the
+    * numerator would bias interpolated cuts high. Deterministic
+    * cross-engine, UNROUNDED. One per-key window shuffle per
+    * horizon; the percentile reduce is corpus-global but over one
+    * double per window row.
     */
   def volCones(events: DataFrame, horizons: Seq[Int] = Seq(5, 21),
                key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
@@ -569,12 +587,19 @@ object TimeSeries {
       // fixture returns), imaged per row via the portable splitDouble
       val vn = lit(m.toLong).cast(dec) * sum(col("mk").cast(dec) * col("mk").cast(dec)).over(w) -
         sum(col("mk").cast(dec)).over(w) * sum(col("mk").cast(dec)).over(w)
+      val k252 = 252.0 / (m.toDouble * (m - 1))
+      // annualize per WINDOW, then take percentiles of the vol
+      // column itself: sqrt does not commute with the percentile's
+      // linear interpolation, so interpolated cuts over the variance
+      // numerator would be biased high vs the conventional vol-cone
+      // definition. volr is still one fixed IEEE chain per row
+      // (exact-decimal image → ·k → sqrt → /1e6), engine-identical.
       val wins = rets
         .withColumn("cnt", count(lit(1)).over(w))
         .withColumn("vnd", graft.operators.Stats.splitDouble(vn))
         .filter(col("cnt") === m)
-      val k252 = 252.0 / (m.toDouble * (m - 1))
-      def vol(p: Double) = sqrt(percentile(col("vnd"), lit(p)) * lit(k252)) / 1e6
+        .withColumn("volr", sqrt(col("vnd") * lit(k252)) / 1e6)
+      def vol(p: Double) = percentile(col("volr"), lit(p))
       wins.agg(
         lit(m).as("horizon"),
         count(lit(1)).as("n_windows"),
@@ -1288,7 +1313,11 @@ object TimeSeries {
         when(sum(col("volume")).over(wN) =!= 0L,
           sum(col("mfv")).over(wN) / sum(col("volume")).over(wN).cast("double")))
       .select(col(key), col("day"), col("volume"),
-        round(col("mfv"), 6).as("mfv"), round(col("cmf"), 6).as("cmf"))
+        // + 0.0 canonicalizes IEEE -0.0 to +0.0 (identity otherwise):
+        // zero-volume bars yield mfm * 0.0 = -0.0 when mfm < 0, and the
+        // driver's byte-level hash distinguishes the two zeros.
+        (round(col("mfv"), 6) + lit(0.0)).as("mfv"),
+        (round(col("cmf"), 6) + lit(0.0)).as("cmf"))
   }
 
   /** Parkinson range volatility per key: sqrt( sum(ln(high/low)^2) /
@@ -1332,7 +1361,10 @@ object TimeSeries {
     bars
       .withColumn("pct_r",
         when(highN =!= lowN, (highN - col("close")) / (highN - lowN) * -100))
-      .select(col(key), col("bar_start"), round(col("pct_r"), 6).as("pct_r"))
+      // + 0.0 canonicalizes IEEE -0.0 (close == highestHigh rows) to
+      // +0.0; byte-level hashes distinguish the two zeros.
+      .select(col(key), col("bar_start"),
+        (round(col("pct_r"), 6) + lit(0.0)).as("pct_r"))
   }
 
   /** Money Flow Index MFI(n) on daily OHLC+volume bars — the
@@ -3149,7 +3181,11 @@ object TimeSeries {
     * existing doubles, %K is one fixed IEEE chain at 6dp, %D
     * averages ≤ dN of those in frame order (the [[stochastic]] %D
     * recipe). A flat RSI window (max == min) has no defined %K —
-    * null. All windows share the one (key, ts) sort.
+    * null — and so are the first n−1 warm-up rows, where the
+    * lookback holds fewer than n RSI values (classical StochRSI
+    * leaves them undefined rather than normalizing over a short
+    * window; the [[massIndex]] partial-window convention). All
+    * windows share the one (key, ts) sort.
     */
   def stochRsi(events: DataFrame, n: Int = 14, dN: Int = 3,
                key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
@@ -3161,7 +3197,8 @@ object TimeSeries {
     val hi = max(col("rsi")).over(wN)
     base
       .withColumn("stoch_rsi",
-        round(when(hi =!= lo, (col("rsi") - lo) / (hi - lo) * 100), 6))
+        round(when(count(col("rsi")).over(wN) === n && hi =!= lo,
+          (col("rsi") - lo) / (hi - lo) * 100), 6))
       // UNROUNDED: the <=dN-term average is the same sequential chain
       // in both engines, and rounding it would re-introduce the 6dp
       // half-boundary trap ((a+0)/2 is exactly representable — hit on
