@@ -113,6 +113,14 @@ object Bench {
     val (streaming, streamingCompact) =
       if (runStreaming) streamingBench(spark, sfDir) else ("{}", "{}")
     val (scale, scaleRatios) = if (runScale) scaleBench(spark, sfDir, results.toMap) else ("{}", "{}")
+    // pipeline rehearsal LAST: it generates/reads the x30 replica,
+    // so its page-cache footprint must not precede the scale section
+    val runPipeline = sys.env.get("SPARK_GRAFT_PIPELINE") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      => only.isEmpty
+    }
+    val pipeline = if (runPipeline) pipelineBench(spark, sfDir) else "{}"
     val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmtD(v) }.mkString("{", ",", "}")
     val sweepRepJson = names.map { n =>
       "\"" + n + "\":[" + raw(n).map(r => fmtD(r._1)).mkString(",") + "]"
@@ -121,7 +129,7 @@ object Bench {
       "\"" + n + "\":[" + raw(n).map(_._2.toString).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total   = results.map(_._2).filter(_ >= 0).sum
-    val line    = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","queries":$qs,"sweep_reps":$sweepRepJson,"sweep_gc_ms":$sweepGcJson,"skew":$skew,"ivf":$ivf,"streaming":$streaming,"scale":$scale,"sf":"$sfDir"}"""
+    val line    = s"""{"metric":"total","value":${fmtD(total)},"unit":"sec","queries":$qs,"sweep_reps":$sweepRepJson,"sweep_gc_ms":$sweepGcJson,"skew":$skew,"ivf":$ivf,"streaming":$streaming,"scale":$scale,"pipeline":$pipeline,"sf":"$sfDir"}"""
     println(line)
     // self-contained artifact: the stdout capture has been truncated
     // mid-JSON by the harness before — the on-disk copy is the
@@ -252,6 +260,88 @@ object Bench {
     * failure mode (the same one the sweep already uses). Emits
     * per-query base/scaled/ratio + reps.
     */
+  /** End-to-end curation-pipeline rehearsal — the 100 TB-shape run
+    * the per-stage gates never time as a whole: clean (codegen'd
+    * text normalizer) → quality gate (Gopher-family filters) →
+    * incremental Bloom-registry dedup → domain mix (deterministic
+    * md5 quotas) → sequence packing, with every stage boundary
+    * PERSISTED parquet (the production shape — each stage is its own
+    * scan → work → write job, so its time is honest and restart-able)
+    * at the base fixture and at the x30 GenScale replica. The
+    * artifact carries per-stage base/x30 seconds, row counts, and
+    * the ratio — a stage that scales super-linearly at x30 is the
+    * stage that dies first at 100 TB.
+    */
+  private def pipelineBench(spark: SparkSession, baseDir: String): String = {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions._
+    val factor   = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FACTOR", "30").toInt
+    val scaleDir = s"testdata_x$factor"
+    try GenScale.ensure(spark, baseDir, scaleDir, factor)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pipeline scale generation failed: ${e.getMessage}")
+        return "{}"
+    }
+    graft.plans.GraftFunctions.register(spark)
+    def runAt(dir: String, outRoot: String): Seq[(String, Double, Long)] = {
+      val res = scala.collection.mutable.ArrayBuffer[(String, Double, Long)]()
+      def stage(name: String, df: => DataFrame): DataFrame = {
+        val out = s"$outRoot/$name"
+        val t0  = System.nanoTime()
+        df.write.mode("overwrite").parquet(out)
+        val took = (System.nanoTime() - t0) / 1e9
+        val back = spark.read.parquet(out)
+        res += ((name, took, back.count()))
+        back
+      }
+      val docs = Tables.documents(spark, dir)
+      val cleaned = stage("clean",
+        docs.select(col("doc_id"), expr("graft_clean_text(text)").as("text"), col("source")))
+      val gated = stage("gate",
+        cleaned.join(
+          graft.operators.TextAnalysis.qualityGate(cleaned)
+            .filter(col("keep") === 1).select("doc_id"),
+          Seq("doc_id")))
+      // registry = the quarter of the gated corpus that "already
+      // shipped"; the batch dedups against its Bloom bitset — the
+      // ingest-cycle shape
+      val reg = gated.filter(pmod(col("doc_id"), lit(4L)) === 0)
+      val inc = gated.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+      val deduped = stage("dedup",
+        inc.join(
+          graft.operators.Dedup.incrementalDedup(reg, inc)
+            .filter(col("is_new") === 1).select("doc_id"),
+          Seq("doc_id")))
+      val mixed = stage("mix",
+        graft.operators.Sampling.domainMix(deduped,
+          Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 75)))
+      stage("pack", graft.operators.TextAnalysis.packSequences(mixed, 256))
+      res.toSeq
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    try {
+      val base = runAt(baseDir, s"$tmp/base")
+      val x30  = runAt(scaleDir, s"$tmp/x$factor")
+      val stages = base.zip(x30).map { case ((n, tb, rb), (_, ts, rs)) =>
+        val ratio = if (tb > 0) ts / tb else -1.0
+        s""""$n":{"base":${fmtD(tb)},"x$factor":${fmtD(ts)},"ratio":${fmtD(ratio)},"rows_base":$rb,"rows_x$factor":$rs}"""
+      }.mkString("{", ",", "}")
+      s"""{"factor":$factor,"stages":$stages}"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
+        "{}"
+    } finally {
+      // the x30 stage dumps are ~0.5 GB — reclaim them
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   private def scaleBench(spark: SparkSession, baseDir: String, baseTimes: Map[String, Double]): (String, String) = {
     // factor and dir are env-tunable so a second scale point (x30
     // extrapolation check) can reuse the section verbatim; the

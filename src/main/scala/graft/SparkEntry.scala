@@ -3874,12 +3874,27 @@ object SparkEntry {
     "q_knn_graph" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), top AS (
         |  SELECT src, dst, cos,
@@ -4440,12 +4455,27 @@ object SparkEntry {
     "q_common_neighbors" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), top AS (
         |  SELECT src, dst,
@@ -4751,15 +4781,30 @@ object SparkEntry {
     "q_knn_classify" ->
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.label, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, label, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, label, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), q AS (
-        |  SELECT vec_id AS qid, label AS q_label, v AS qv, nn AS qn
+        |  SELECT vec_id AS qid, label AS q_label, v AS qv, nn AS qn, cell
         |  FROM n WHERE vec_id % 20 = 0
         |), s AS (
         |  SELECT q.qid, q.q_label, c.vec_id, c.label,
         |    list_dot_product(q.qv, c.v) / (q.qn * c.nn) AS cos
-        |  FROM n c JOIN q ON q.qn * c.nn != 0
+        |  FROM n c JOIN q ON q.cell = c.cell AND q.qn * c.nn != 0
         |  WHERE c.vec_id % 20 != 0
         |), t AS (
         |  SELECT qid, q_label, label,
@@ -5047,12 +5092,27 @@ object SparkEntry {
     "q_assortativity" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), top AS (
         |  SELECT src, dst,
@@ -5707,12 +5767,27 @@ object SparkEntry {
       val edgeHead =
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-          |), n AS (
-          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), nl AS (
+          |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+          |), cents AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+          |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+          |), celld AS MATERIALIZED (
+          |  SELECT e.vec_id, e.v, cents.cell,
+          |    list_dot_product(
+          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+          |  FROM e CROSS JOIN cents
+          |), acell AS MATERIALIZED (
+          |  SELECT vec_id, v, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+          |  FROM celld QUALIFY rn = 1
+          |), n AS MATERIALIZED (
+          |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
           |), pairs AS (
           |  SELECT a.vec_id AS src, b.vec_id AS dst,
           |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-          |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+          |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
           |  WHERE a.nn * b.nn != 0
           |), edges AS (
           |  SELECT src, dst FROM (
@@ -5752,12 +5827,27 @@ object SparkEntry {
     "q_degree_hist" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), edges AS (
         |  SELECT src, dst FROM (
@@ -5784,12 +5874,27 @@ object SparkEntry {
     "q_resource_alloc" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), edges AS (
         |  SELECT src, dst FROM (
@@ -5819,12 +5924,27 @@ object SparkEntry {
       val head =
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-          |), n AS (
-          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), nl AS (
+          |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+          |), cents AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+          |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+          |), celld AS MATERIALIZED (
+          |  SELECT e.vec_id, e.v, cents.cell,
+          |    list_dot_product(
+          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+          |  FROM e CROSS JOIN cents
+          |), acell AS MATERIALIZED (
+          |  SELECT vec_id, v, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+          |  FROM celld QUALIFY rn = 1
+          |), n AS MATERIALIZED (
+          |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
           |), pairs AS (
           |  SELECT a.vec_id AS src, b.vec_id AS dst,
           |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-          |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+          |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
           |  WHERE a.nn * b.nn != 0
           |), edges AS (
           |  SELECT src, dst FROM (
@@ -5859,12 +5979,27 @@ object SparkEntry {
       val head =
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-          |), n AS (
-          |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+          |), nl AS (
+          |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+          |), cents AS (
+          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+          |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+          |), celld AS MATERIALIZED (
+          |  SELECT e.vec_id, e.v, cents.cell,
+          |    list_dot_product(
+          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+          |  FROM e CROSS JOIN cents
+          |), acell AS MATERIALIZED (
+          |  SELECT vec_id, v, cell,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+          |  FROM celld QUALIFY rn = 1
+          |), n AS MATERIALIZED (
+          |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
           |), pairs AS (
           |  SELECT a.vec_id AS src, b.vec_id AS dst,
           |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-          |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+          |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
           |  WHERE a.nn * b.nn != 0
           |), edges AS (
           |  SELECT src, dst FROM (
@@ -6450,13 +6585,28 @@ object SparkEntry {
     "q_intrinsic_dim" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), d AS (
         |  SELECT a.vec_id AS p, b.vec_id AS q,
         |    a.nn * a.nn + b.nn * b.nn
         |      - 2.0 * (list_dot_product(a.v, b.v) / (a.nn * b.nn)) * a.nn * b.nn AS d2
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), r AS (
         |  SELECT p, q, d2,
@@ -6678,12 +6828,27 @@ object SparkEntry {
     "q_bfs_layers" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), top AS (
         |  SELECT src, dst,
@@ -7316,12 +7481,27 @@ object SparkEntry {
     "q_pagerank" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), edges AS (
         |  SELECT src, dst FROM (
@@ -7727,12 +7907,27 @@ object SparkEntry {
     "q_triangle_count" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), top AS (
         |  SELECT src, dst,
@@ -8385,12 +8580,27 @@ object SparkEntry {
     "q_knn_outliers" ->
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), n AS (
-        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn FROM e
+        |), nl AS (
+        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |), cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
+        |), celld AS MATERIALIZED (
+        |  SELECT e.vec_id, e.v, cents.cell,
+        |    list_dot_product(
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
+        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
+        |  FROM e CROSS JOIN cents
+        |), acell AS MATERIALIZED (
+        |  SELECT vec_id, v, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        |  FROM celld QUALIFY rn = 1
+        |), n AS MATERIALIZED (
+        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
         |), edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
-        |  FROM n a JOIN n b ON a.vec_id != b.vec_id
+        |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
         |  WHERE a.nn * b.nn != 0
         |), top AS (
         |  SELECT src, cos,

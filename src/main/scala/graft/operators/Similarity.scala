@@ -405,25 +405,49 @@ object Similarity {
     sweepBlockPairs(pairsOfBlocks, threshold)
   }
 
+  /** The graph family's DEFAULT candidate-pair builder: all in-cell
+    * pairs under a deterministic seed quantizer (the first nlist
+    * vectors by vec_id — [[ivfTrain]] iters=0, the oracle-mirrorable
+    * q_semantic_dedup quantizer) with CORPUS-ADAPTIVE nlist =
+    * max(16, ceil(n/cellTarget)). Holding per-cell occupancy at
+    * ~cellTarget makes candidate volume ~n·cellTarget — LINEAR in
+    * the corpus where the exact sweep is n² — and the codegen'd
+    * assignment costs n·nlist·dim flops (measured 78x the
+    * interpreted fold). Scores are bit-equal to the exact sweep
+    * (same block kernel), and every celled pair IS an exact pair —
+    * the subset invariant GraphCandidateSpec pins. A cell count n
+    * pre-scan (count + nlist-row collect) picks nlist per corpus.
+    */
+  def knnCandidatePairs(embeddings: DataFrame, cellTarget: Int = 256): DataFrame = {
+    val nVec  = embeddings.count()
+    val nlist = math.max(16L, (nVec + cellTarget - 1) / cellTarget.toLong).toInt
+    val cents = ivfTrain(embeddings, nlist, iters = 0)
+    ivfNearDupPairs(embeddings, -2.0, cents)
+  }
+
   /** Mutual k-nearest-neighbor graph: for every vector its top-k
     * cosine neighbors, flagged `mutual` when the reverse edge is
     * also in the neighbor's own top-k — the symmetrized kNN graph
     * that graph-based dedup/cluster stages consume. Scores come from
-    * the exact blocked pair sweep ([[cosineNearDupPairs]] at
-    * threshold -2, i.e. all nonzero-norm pairs; dots bit-equal to
-    * the SQL oracle), symmetrized by a cheap union of the reduced
-    * pair frame, ranked per source (one shuffle on src), and the
-    * mutual flag is a self left-join of the k·n-row edge frame on
-    * the reversed key — never a second sweep.
+    * the celled candidate sweep ([[knnCandidatePairs]], the DEFAULT:
+    * in-cell pairs under the adaptive seed quantizer, linear
+    * candidate volume; dots bit-equal to the SQL oracle),
+    * symmetrized by a cheap union of the reduced pair frame, ranked
+    * per source (one shuffle on src), and the mutual flag is a self
+    * left-join of the k·n-row edge frame on the reversed key — never
+    * a second sweep.
     *
-    * Quadratic in vectors by declared semantics (the exact graph a
-    * bounded corpus slice wants; [[ivfNearDupPairs]] /
-    * [[lshNearDupPairs]] are the open-ended candidate paths — at
-    * scale, run the same rank+mutual tail over their candidate
-    * edges). `graft.pairSweep.maxKeys` guards the sweep.
+    * `exact = true` opts into the declared-quadratic exact sweep
+    * ([[cosineNearDupPairs]] at threshold -2, all nonzero-norm
+    * pairs) for bounded corpus slices that want the true kNN graph;
+    * `graft.pairSweep.maxKeys` guards it. Celled top-k edges are a
+    * subset of the exact pair space with identical scores
+    * (spec-asserted), trading cross-cell neighbors for the linear
+    * candidate volume every 100 TB graph build needs.
     */
-  def knnGraph(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val pairs = cosineNearDupPairs(embeddings, -2.0)
+  def knnGraph(embeddings: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+    val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
+                else knnCandidatePairs(embeddings)
     val edges = pairs
       .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
       .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
@@ -453,10 +477,11 @@ object Similarity {
     * partition count; duplicate points (r1 = 0) are excluded as the
     * estimator prescribes. One-row output.
     */
-  def intrinsicDim(embeddings: DataFrame): DataFrame = {
+  def intrinsicDim(embeddings: DataFrame, exact: Boolean = false): DataFrame = {
     val nrm = embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nn", norm(col("v"))).select(col("vec_id"), col("nn"))
-    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
+                else knnCandidatePairs(embeddings)
     val dir = pairs.select(col("va").as("p"), col("vb").as("q"), col("cos"))
       .unionByName(pairs.select(col("vb").as("p"), col("va").as("q"), col("cos")))
     val d = dir
@@ -579,11 +604,11 @@ object Similarity {
     * scale; IVF/LSH candidate edges at 100 TB — the BFS itself is
     * linear in edges either way).
     */
-  def bfsLayers(embeddings: DataFrame, seeds: Seq[Long], k: Int = 5, maxDepth: Int = 3): DataFrame = {
+  def bfsLayers(embeddings: DataFrame, seeds: Seq[Long], k: Int = 5, maxDepth: Int = 3, exact: Boolean = false): DataFrame = {
     require(seeds.nonEmpty && maxDepth >= 0, s"need seeds and maxDepth >= 0: $seeds, $maxDepth")
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val edges = knnGraph(embeddings, k).select(col("src"), col("dst")).localCheckpoint()
+    val edges = knnGraph(embeddings, k, exact).select(col("src"), col("dst")).localCheckpoint()
     var reached = seeds.toDF("vec_id").withColumn("depth", lit(0L)).localCheckpoint()
     var frontier = reached
     for (d <- 1 to maxDepth) {
@@ -650,9 +675,10 @@ object Similarity {
     * (the [[Dedup.clusters]] loop discipline).
     */
   def pageRankKnn(embeddings: DataFrame, k: Int = 5, iters: Int = 5,
-                  scale: Long = 1000000000000L): DataFrame = {
+                  scale: Long = 1000000000000L, exact: Boolean = false): DataFrame = {
     require(iters >= 1 && k >= 1, s"iters/k must be positive: iters=$iters, k=$k")
-    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
+                else knnCandidatePairs(embeddings)
     val dir = pairs
       .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
       .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
@@ -709,8 +735,8 @@ object Similarity {
     * exact sweep at gate scale; IVF/LSH candidate edges at 100 TB).
     * Counts exact longs; the coefficient is one division at 6dp.
     */
-  def triangleStats(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val und = knnGraph(embeddings, k)
+  def triangleStats(embeddings: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+    val und = knnGraph(embeddings, k, exact)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint() // three self-join reads; the n² sweep must run once
@@ -955,9 +981,9 @@ object Similarity {
     * declared-quadratic exact sweep at gate scale (IVF/LSH candidate
     * edges are the 100 TB path, same tail).
     */
-  def commonNeighbors(embeddings: DataFrame, k: Int = 5, maxIn: Int = 256,
+  def commonNeighbors(embeddings: DataFrame, k: Int = 5, maxIn: Int = 256, exact: Boolean = false,
                       minCommon: Int = 2): DataFrame = {
-    val top = knnGraph(embeddings, k).select(col("src"), col("dst")).localCheckpoint()
+    val top = knnGraph(embeddings, k, exact).select(col("src"), col("dst")).localCheckpoint()
     val deg = top.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
     val ok  = top.groupBy(col("dst")).agg(count(lit(1)).as("indeg"))
       .filter(col("indeg") <= maxIn).select(col("dst"))
@@ -986,8 +1012,8 @@ object Similarity {
     * and r is one IEEE chain, UNROUNDED. Two equi-joins of the k·n
     * edge frame against the tiny degree table.
     */
-  def degreeAssortativity(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val top = knnGraph(embeddings, k).select(col("src"), col("dst")).localCheckpoint()
+  def degreeAssortativity(embeddings: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+    val top = knnGraph(embeddings, k, exact).select(col("src"), col("dst")).localCheckpoint()
     val deg = top.groupBy(col("src")).agg(count(lit(1)).cast("long").as("deg"))
     val m = top
       .join(deg.select(col("src"), col("deg").as("dx")), Seq("src"))
@@ -1017,15 +1043,29 @@ object Similarity {
     * tie-break. At billion-vector scale the identical vote tail runs
     * over [[ivfSearch]] candidates instead of the exact scan.
     */
-  def knnClassify(embeddings: DataFrame, holdout: Long = 20L, k: Int = 5): DataFrame = {
+  def knnClassify(embeddings: DataFrame, holdout: Long = 20L, k: Int = 5,
+                  exact: Boolean = false): DataFrame = {
+    // celled default: queries score only same-cell candidates under
+    // the adaptive seed quantizer — the classify twin of
+    // [[knnCandidatePairs]]' linear candidate volume; exact = true
+    // restores the full broadcast-queries x corpus scan
+    val cellOf: Column =
+      if (exact) lit(0)
+      else {
+        val nVec  = embeddings.count()
+        val nlist = math.max(16L, (nVec + 255L) / 256L).toInt
+        ivfAssignCol(toDouble(col("embedding")), ivfTrain(embeddings, nlist, iters = 0))
+      }
     val e = embeddings
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"),
+        cellOf.as("cell"))
       .withColumn("nrm", norm(col("v")))
     val q = broadcast(e.filter(pmod(col("vec_id"), lit(holdout)) === 0)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
-        col("v").as("qv"), col("nrm").as("qnrm")))
+        col("v").as("qv"), col("nrm").as("qnrm"), col("cell")))
     val scored = e.filter(pmod(col("vec_id"), lit(holdout)) =!= 0)
-      .join(q, col("qnrm") * col("nrm") =!= 0)
+      .join(q, Seq("cell"))
+      .filter(col("qnrm") * col("nrm") =!= 0)
       .withColumn("cos", dot(col("qv"), col("v")) / (col("qnrm") * col("nrm")))
     val wTop  = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     val votes = scored
@@ -1105,9 +1145,10 @@ object Similarity {
     * the k·n edge frame with localCheckpoint lineage truncation.
     */
   def hitsKnn(embeddings: DataFrame, k: Int = 5, iters: Int = 3,
-              scale: Long = 1000000000000L): DataFrame = {
+              scale: Long = 1000000000000L, exact: Boolean = false): DataFrame = {
     require(iters >= 1 && k >= 1, s"iters/k must be positive: iters=$iters, k=$k")
-    val pairs = cosineNearDupPairs(embeddings, -2.0)
+    val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
+                else knnCandidatePairs(embeddings)
     val dir = pairs
       .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
       .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
@@ -1158,8 +1199,8 @@ object Similarity {
     * division off a broadcast total. Edge build shares
     * [[knnGraph]]'s head.
     */
-  def degreeHist(embeddings: DataFrame, k: Int = 5): DataFrame = {
-    val und = knnGraph(embeddings, k)
+  def degreeHist(embeddings: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
+    val und = knnGraph(embeddings, k, exact)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint()
@@ -1188,9 +1229,9 @@ object Similarity {
     * frame, localCheckpoint truncating lineage. Edge build shares
     * [[knnGraph]]'s head.
     */
-  def labelPropagation(embeddings: DataFrame, k: Int = 5, iters: Int = 3): DataFrame = {
+  def labelPropagation(embeddings: DataFrame, k: Int = 5, iters: Int = 3, exact: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive: $iters")
-    val und = knnGraph(embeddings, k)
+    val und = knnGraph(embeddings, k, exact)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint()
@@ -1260,8 +1301,8 @@ object Similarity {
     * [[knnGraph]]'s head (IVF/LSH candidate edges are the 100 TB
     * path, same tail).
     */
-  def resourceAllocation(embeddings: DataFrame, k: Int = 5, minCommon: Int = 2): DataFrame = {
-    val und = knnGraph(embeddings, k)
+  def resourceAllocation(embeddings: DataFrame, k: Int = 5, minCommon: Int = 2, exact: Boolean = false): DataFrame = {
+    val und = knnGraph(embeddings, k, exact)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint()
@@ -1294,9 +1335,9 @@ object Similarity {
     * set + one aggregate, lineage truncated per round. Zero-degree
     * nodes surface as in_core=false via the node-scan left join.
     */
-  def kCore(embeddings: DataFrame, k: Int = 2, knn: Int = 5, rounds: Int = 8): DataFrame = {
+  def kCore(embeddings: DataFrame, k: Int = 2, knn: Int = 5, rounds: Int = 8, exact: Boolean = false): DataFrame = {
     require(k >= 1 && rounds >= 1, s"k and rounds must be positive: $k, $rounds")
-    val und = knnGraph(embeddings, knn)
+    val und = knnGraph(embeddings, knn, exact)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint()
@@ -1403,9 +1444,9 @@ object Similarity {
     * the cosine chain's determinism. Zero-norm vectors have no
     * edges and drop (they are [[embedNorms]]'s n_zero).
     */
-  def knnOutliers(embeddings: DataFrame, k: Int = 5, p: Double = 0.05): DataFrame = {
+  def knnOutliers(embeddings: DataFrame, k: Int = 5, p: Double = 0.05, exact: Boolean = false): DataFrame = {
     require(k >= 1 && p > 0 && p < 1, s"need k >= 1 and p in (0,1): $k, $p")
-    val scores = knnGraph(embeddings, k)
+    val scores = knnGraph(embeddings, k, exact)
       .filter(col("rnk") === k)
       .select(col("src").as("vec_id"), col("cos").as("kth_cos"))
     val thr = broadcast(scores.agg(percentile(col("kth_cos"), lit(p)).as("thr")))

@@ -1178,7 +1178,7 @@ class DedupSimilaritySpec extends AnyFunSuite {
     // score — strict < keeps the boundary point)
     val pack = (0 until 20).map(i => (i.toLong, Array(1f, 0.01f * i, 0f, 0f), 1))
     val far  = Seq((99L, Array(0f, 0f, 1f, 0f), 2))
-    val got = Similarity.knnOutliers((pack ++ far).toDF("vec_id", "embedding", "label"))
+    val got = Similarity.knnOutliers((pack ++ far).toDF("vec_id", "embedding", "label"), exact = true)
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(got.size === 21)
     val outliers = got.values.filter(_.getAs[Int]("is_outlier") === 1).toSeq

@@ -235,7 +235,7 @@ class RagSearchSpec extends AnyFunSuite {
         .groupBy(r => labels(r.getLong(1))).view.mapValues(_.length).toMap
       qid -> votes.toSeq.sortBy { case (l, v) => (-v, l) }.head._1
     }
-    val got = graft.operators.Similarity.knnClassify(emb, 20L, 5).collect()
+    val got = graft.operators.Similarity.knnClassify(emb, 20L, 5, exact = true).collect()
       .map(r => r.getLong(0) -> r).toMap
     assert(got.keySet === wantPred.keySet)
     got.foreach { case (qid, r) =>
