@@ -3936,7 +3936,7 @@ object SparkEntry {
         |  FROM (SELECT unnest(generate_series(0, 7)) AS j)
         |)
         |SELECT e.vec_id, dirs.j,
-        |  round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), dirs.d), 6) AS p
+        |  round(list_dot_product(list_transform(e.embedding, x -> x::DOUBLE), dirs.d), 6) + 0.0 AS p
         |FROM embeddings e CROSS JOIN dirs
         |ORDER BY vec_id, j""".stripMargin,
     // mirrors ivfSearch exactly: seed quantizer = first 16 vectors
@@ -7816,7 +7816,7 @@ object SparkEntry {
         |  FROM dc
         |)
         |SELECT a.user_id, count(*) AS n_pairs,
-        |  round(quantile_cont((b.close - a.close) / (b.idx - a.idx), 0.5), 6) AS ts_slope
+        |  round(quantile_cont((b.close - a.close) / (b.idx - a.idx), 0.5), 6) + 0.0 AS ts_slope
         |FROM i a JOIN i b ON a.user_id = b.user_id AND b.idx > a.idx
         |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
     "q_benford" ->

@@ -109,7 +109,9 @@ object Embedding {
       .select(col("vec_id"),
         explode(array((0 until r).map(j =>
           struct(lit(j.toLong).as("j"),
-            round(dot(v, array(signs(j).map(lit).toSeq: _*)), 6).as("p"))): _*)).as("q"))
+            // + 0.0: a ±1-sign dot can land on IEEE -0.0 and the
+            // engines disagree on the rounded zero's sign bit
+            (round(dot(v, array(signs(j).map(lit).toSeq: _*)), 6) + lit(0.0)).as("p"))): _*)).as("q"))
       .select(col("vec_id"), col("q.j").as("j"), col("q.p").as("p"))
   }
 

@@ -1637,7 +1637,9 @@ object TimeSeries {
       .groupBy(col(key))
       .agg(
         count(lit(1)).as("n_pairs"),
-        round(percentile(col("slope"), lit(0.5)), 6).as("ts_slope"))
+        // + 0.0 canonicalizes a -0.0 median slope (flat series
+        // interpolating across a sign boundary) to +0.0
+        (round(percentile(col("slope"), lit(0.5)), 6) + lit(0.0)).as("ts_slope"))
   }
 
   /** Additive seasonal decomposition per (key, day) — STL-lite:

@@ -56,4 +56,26 @@ class ByteStabilitySpec extends AnyFunSuite {
   test("q_reconcile is byte-stable across shuffle/scan partitioning") {
     assertStable("q_reconcile")
   }
+
+  // the rest of the migration sign-off panel: corpus/dataset health
+  // summaries someone diffs against the legacy system before cutover
+  test("q_metrics_summary is byte-stable across shuffle/scan partitioning") {
+    assertStable("q_metrics_summary")
+  }
+
+  test("q_corpus_stats is byte-stable across shuffle/scan partitioning") {
+    assertStable("q_corpus_stats")
+  }
+
+  test("q_fk_integrity is byte-stable across shuffle/scan partitioning") {
+    assertStable("q_fk_integrity")
+  }
+
+  test("q_dedup_exact is byte-stable across shuffle/scan partitioning") {
+    assertStable("q_dedup_exact")
+  }
+
+  test("q_distinct_counts is byte-stable across shuffle/scan partitioning") {
+    assertStable("q_distinct_counts")
+  }
 }
