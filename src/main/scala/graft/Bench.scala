@@ -235,18 +235,14 @@ object Bench {
     * headliner ran, and the official artifact reported 10 skips.
     */
   private val ScaleQuadratic =
-    // q_knn_graph / q_pagerank / q_triangle_count run the declared-
-    // quadratic exact sweep at gate scale (their 100 TB path swaps
-    // in IVF/LSH candidate edges); at x10 they belong on the
-    // cancel-safe quadratic slices, not inside the linear budget
-    // q_bfs_layers and q_intrinsic_dim ride the same knnGraph
-    // exact-sweep head
-    // q_hits / q_label_prop / q_degree_hist (r11 seventh session)
-    // ride the same knnGraph exact-sweep head
-    Set("q_corr_matrix", "q_ngram_jaccard", "q_knn_graph", "q_pagerank",
-      "q_triangle_count", "q_bfs_layers", "q_intrinsic_dim",
-      "q_hits", "q_label_prop", "q_degree_hist",
-      "q_resource_alloc", "q_kcore")
+    // declared-quadratic by OUTPUT or algorithmic contract:
+    // q_corr_matrix emits keys² cells (banded twin is the scale
+    // default), q_ngram_jaccard is the bounded-corpus exact PPJoin
+    // (banded twin likewise). The kNN-graph family left this set in
+    // r12: its default edge builder is the celled candidate sweep
+    // (linear volume; exact=true is the quadratic opt-in), measured
+    // 1.0-2.1x at the x10 audit.
+    Set("q_corr_matrix", "q_ngram_jaccard")
 
   /** Throughput-scaling check against a x10 deterministic replication
     * of the bench fixture (GenScale; generated once and cached next
