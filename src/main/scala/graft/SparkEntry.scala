@@ -1078,6 +1078,10 @@ object SparkEntry {
         .toDF()
         .orderBy("media_id")
     }),
+    "q_wav_stats" -> ((s, dir) =>
+      Multimodal
+        .wavStats(Multimodal.wavFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_binary_entropy" -> ((s, dir) =>
       Multimodal
         .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7132,6 +7136,29 @@ object SparkEntry {
     // the corpus is pure ASCII (octet_length == strlen for every
     // doc, asserted in MultimodalSpec), so DuckDB's char functions
     // see exactly the bytes Spark's binary expression sees
+    // independent derivation: the oracle re-derives the expected
+    // waveform from TEXT (one sample per leading char), never seeing
+    // the WAV bytes — so a wrong header offset or endianness in the
+    // Spark parser hash-mismatches; the header constants assert the
+    // parsed fmt fields
+    "q_wav_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(generate_series(1, least(96, length(text))),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1)) % 128 * 257 - 16384) AS smp
+        |  FROM documents
+        |)
+        |SELECT media_id,
+        |  TRUE AS valid, 8000 AS sample_rate, 1 AS n_channels, 16 AS bits,
+        |  CAST(len(smp) AS BIGINT) AS n_samples,
+        |  CASE WHEN len(smp) > 0
+        |    THEN CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) END AS peak_abs,
+        |  CASE WHEN len(smp) > 0
+        |    THEN CAST(list_sum(smp) AS DOUBLE) / CAST(len(smp) AS DOUBLE) END AS mean_sample,
+        |  CASE WHEN len(smp) > 0
+        |    THEN sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+        |              / CAST(len(smp) AS DOUBLE)) END AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
     "q_binary_entropy" ->
       """WITH b AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS byte

@@ -84,6 +84,67 @@ object Multimodal {
     }
   }
 
+  /** Wrap text documents as VALID RIFF/WAVE PCM16 mono payloads
+    * (8 kHz, one sample per leading character: s_i = (c_i & 0x7f)·257
+    * − 16384, the ASCII-derived deterministic waveform an oracle can
+    * re-derive from the text without touching bytes). Unlike the
+    * [[StubCodec]] fakes these are REAL media files — the JDK's own
+    * javax.sound parser reads them (spec-asserted) — so the decode
+    * stage downstream is genuine format parsing, not plumbing.
+    */
+  def wavFromDocuments(documents: DataFrame, maxSamples: Int = 96): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "wav", wavBytes(text, maxSamples))
+    }
+  }
+
+  /** Minimal canonical-layout WAV writer (44-byte header + LE16 PCM). */
+  private[graft] def wavBytes(text: String, maxSamples: Int): Array[Byte] = {
+    val n  = math.min(maxSamples, text.length)
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 2 * n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1)             // PCM, mono
+    bb.putInt(8000).putInt(16000)          // sample rate, byte rate
+    bb.putShort(2).putShort(16)            // block align, bits
+    bb.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    var i = 0
+    while (i < n) {
+      bb.putShort((((text.charAt(i) & 0x7f) * 257) - 16384).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL (non-stub) audio decode: strict RIFF/WAVE PCM16 header
+    * parse + exact integer sample moments via the codegen'd
+    * [[graft.plans.WavPcmStats]] expression — one linear pass per
+    * payload inside the scan stage, no codec library (PCM-WAV is
+    * byte math; compressed formats remain the DECLARED stub).
+    * Output: header fields as parsed (the oracle asserts them
+    * independently), exact n/peak, and mean/rms as ONE IEEE
+    * division (+sqrt) over exact integer moments — the house
+    * determinism recipe. Malformed payloads report valid=false.
+    */
+  def wavStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("ws.n_samples")
+    media
+      .select(col(idCol), expr(s"graft_wav_stats($payloadCol)").as("ws"))
+      .select(col(idCol),
+        col("ws.valid").as("valid"),
+        col("ws.sample_rate").as("sample_rate"),
+        col("ws.n_channels").as("n_channels"),
+        col("ws.bits").as("bits"),
+        n.as("n_samples"),
+        when(n > 0, col("ws.peak_abs")).as("peak_abs"),
+        when(n > 0, col("ws.sum_s").cast("double") / n.cast("double")).as("mean_sample"),
+        when(n > 0, sqrt(col("ws.sum_sq").cast("double") / n.cast("double"))).as("rms"))
+  }
+
   /** REAL (non-stub) binary compute: per-payload byte-histogram
     * profile — size, distinct byte values, modal byte + count, and
     * Shannon entropy in bits/byte — via the codegen'd

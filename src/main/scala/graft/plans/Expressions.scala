@@ -330,6 +330,56 @@ object GraftHashOps {
     * cancellation-free form whose per-bin terms are exact functions
     * of integer counts, folded in a deterministic order.
     */
+  /** REAL (non-stub) RIFF/WAVE PCM decode for [[WavPcmStats]]: strict
+    * header parse (RIFF/WAVE/fmt /data magics, PCM format code 1,
+    * 16-bit mono layout checks) followed by one linear pass over the
+    * little-endian int16 samples accumulating EXACT integers — count,
+    * peak |s|, Σs, Σs² (s² ≤ 2^30, so Σs² stays far inside int64 for
+    * any realistic clip). Malformed payloads return valid=false with
+    * zeroed fields instead of null, keeping the expression total and
+    * codegen-friendly. WAV-PCM is decodable with no codec library —
+    * the honest line between this and the declared compressed-format
+    * stubs.
+    */
+  def wavPcmStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def magic(o: Int, s: String): Boolean =
+      payload.length >= o + 4 && s.indices.forall(i => payload(o + i) == s.charAt(i).toByte)
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0, 0L, 0, 0L, 0L))
+    if (payload.length < 44 ||
+      !magic(0, "RIFF") || !magic(8, "WAVE") || !magic(12, "fmt ") || !magic(36, "data"))
+      return bad
+    val fmtSize    = le32(16)
+    val audioFmt   = le16(20)
+    val nChannels  = le16(22)
+    val sampleRate = le32(24).toInt
+    val blockAlign = le16(32)
+    val bits       = le16(34)
+    val dataSize   = le32(40)
+    if (fmtSize != 16L || audioFmt != 1 || bits != 16 ||
+      nChannels < 1 || blockAlign != nChannels * 2 ||
+      dataSize % 2 != 0 || 44L + dataSize > payload.length) return bad
+    val n = (dataSize / 2).toInt
+    var i = 0
+    var peak = 0
+    var s    = 0L
+    var sq   = 0L
+    while (i < n) {
+      val v = le16(44 + 2 * i).toShort.toInt
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      s += v
+      sq += v.toLong * v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, sampleRate, nChannels, bits, n.toLong, peak, s, sq))
+  }
+
   def byteStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val counts = new Array[Long](256)
     var i = 0
@@ -555,6 +605,35 @@ object ByteHistStats {
     StructField("entropy", DoubleType, nullable = false)))
 }
 
+/** REAL RIFF/WAVE PCM16 header parse + exact sample moments in one
+  * scan-stage pass (see [[GraftHashOps.wavPcmStats]]). Total
+  * function: malformed payloads yield valid=false, never null.
+  */
+case class WavPcmStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WavPcmStats.schema
+  override def prettyName: String = "graft_wav_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.wavPcmStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.wavPcmStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WavPcmStats = copy(child = newChild)
+}
+
+object WavPcmStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_channels", IntegerType, nullable = false),
+    StructField("bits", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("sum_s", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+}
+
 /** Runtime registration (Verify/Bench path) and a
   * SparkSessionExtensions hook for cluster deployments
   * (--conf spark.sql.extensions=graft.plans.GraftExtensions).
@@ -578,6 +657,8 @@ object GraftFunctions {
     }, "returns the nearest IVF cell id of an embedding against a literal centroid table"),
     ("graft_byte_stats", (es: Seq[Expression]) => ByteHistStats(es.head),
       "returns struct(n_bytes, distinct_bytes, top_byte, top_count, entropy) of a binary payload"),
+    ("graft_wav_stats", (es: Seq[Expression]) => WavPcmStats(es.head),
+      "returns struct(valid, sample_rate, n_channels, bits, n_samples, peak_abs, sum_s, sum_sq) of a RIFF/WAVE PCM16 payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

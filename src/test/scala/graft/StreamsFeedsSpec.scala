@@ -529,6 +529,50 @@ class StreamsFeedsSpec extends AnyFunSuite {
     assert(math.abs(row.getDouble(5) - BigDecimal(href).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("wav decode: the JDK's own javax.sound parser agrees with WavPcmStats on generated payloads") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val wav  = Multimodal.wavFromDocuments(docs).collect()
+    assert(wav.nonEmpty)
+    wav.foreach { rec =>
+      val in  = new java.io.ByteArrayInputStream(rec.payload)
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+      val fmt = ais.getFormat
+      assert(fmt.getSampleRate === 8000f, s"media ${rec.media_id}")
+      assert(fmt.getChannels === 1 && fmt.getSampleSizeInBits === 16)
+      assert(!fmt.isBigEndian, "canonical WAV PCM is little-endian")
+      val frames = ais.getFrameLength
+      // JDK-decoded samples must match our parser's exact moments
+      val buf = ais.readAllBytes()
+      val jdk = (0 until frames.toInt).map { i =>
+        ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+      }
+      val row = graft.plans.GraftHashOps.wavPcmStats(rec.payload)
+      assert(row.getBoolean(0), "parser rejected a JDK-valid WAV")
+      assert(row.getLong(4) === frames)
+      if (jdk.nonEmpty) {
+        assert(row.getInt(5) === jdk.map(math.abs).max)
+        assert(row.getLong(6) === jdk.map(_.toLong).sum)
+        assert(row.getLong(7) === jdk.map(s => s.toLong * s).sum)
+      }
+    }
+  }
+
+  test("wav decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.wavBytes("hello world", 96)
+    assert(graft.plans.GraftHashOps.wavPcmStats(ok).getBoolean(0))
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(43),                                      // truncated header
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },     // wrong RIFF magic
+      { val b = ok.clone(); b(20) = 3; b },             // non-PCM format code
+      { val b = ok.clone(); b(34) = 8; b },             // 8-bit (unsupported layout)
+      { val b = ok.clone(); b(40) = (b(40) + 64).toByte; b }) // dataSize past payload
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.wavPcmStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
   test("binary chunkDedupStats: counts bounded by payload size, exact dups share every chunk") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)
