@@ -1082,6 +1082,10 @@ object SparkEntry {
       Multimodal
         .wavStats(Multimodal.wavFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_bmp_stats" -> ((s, dir) =>
+      Multimodal
+        .bmpStats(Multimodal.bmpFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_binary_entropy" -> ((s, dir) =>
       Multimodal
         .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7159,6 +7163,31 @@ object SparkEntry {
         |    THEN sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
         |              / CAST(len(smp) AS DOUBLE)) END AS rms
         |FROM s ORDER BY media_id""".stripMargin,
+    // independent derivation: expected pixels come from TEXT (the
+    // top-down generation rule), never from the BMP bytes — the
+    // on-disk image is bottom-up BGR with padded rows, so a parser
+    // that misses the channel swap or the row stride cannot agree
+    "q_bmp_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, least(96, length(text)) AS l, text,
+        |    unnest(generate_series(0, 27)) AS p
+        |  FROM documents
+        |), chv AS (
+        |  SELECT media_id,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p) % l AS INT) + 1, 1)) % 128 END AS r,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p+1) % l AS INT) + 1, 1)) % 128 END AS g,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p+2) % l AS INT) + 1, 1)) % 128 END AS b
+        |  FROM px
+        |)
+        |SELECT media_id, TRUE AS valid, 7 AS width, 4 AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(max(greatest(r, g, b)) AS INT) AS peak,
+        |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_r,
+        |  CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_g,
+        |  CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_b,
+        |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
+        |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
+        |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
     "q_binary_entropy" ->
       """WITH b AS (
         |  SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS byte

@@ -119,6 +119,77 @@ object Multimodal {
     bb.array()
   }
 
+  /** Wrap text documents as VALID uncompressed 24 bpp BMP images
+    * (7x4 px — the odd width forces a 3-byte row pad, the classic
+    * decode bug): pixel (x, y) top-down takes channel values
+    * r,g,b = (c_j & 0x7f) for j = 3·(y·7+x)+ch cycled over the text's
+    * leading characters, so an oracle re-derives every pixel from
+    * the TEXT while the bytes on disk are bottom-up BGR with padded
+    * rows. The JDK's ImageIO reads these (spec-asserted).
+    */
+  def bmpFromDocuments(documents: DataFrame, maxChars: Int = 96): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "bmp", bmpBytes(text, maxChars))
+    }
+  }
+
+  /** Minimal canonical 24 bpp bottom-up BMP writer (54-byte header). */
+  private[graft] def bmpBytes(text: String, maxChars: Int): Array[Byte] = {
+    val (w, h) = (7, 4)
+    val l      = math.min(maxChars, text.length)
+    val stride = ((w * 3 + 3) / 4) * 4
+    val size   = 54 + stride * h
+    val bb = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(size)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    def ch(j: Int): Byte = if (l == 0) 0 else (text.charAt(j % l) & 0x7f).toByte
+    var yDisk = 0
+    while (yDisk < h) {
+      val y = h - 1 - yDisk // disk rows are bottom-up
+      var x = 0
+      while (x < w) {
+        val j = 3 * (y * w + x)
+        bb.put(ch(j + 2)).put(ch(j + 1)).put(ch(j)) // BGR on disk
+        x += 1
+      }
+      var p = w * 3
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      yDisk += 1
+    }
+    bb.array()
+  }
+
+  /** REAL (non-stub) image decode: strict uncompressed-BMP (24 bpp)
+    * header parse + exact integer pixel moments via the codegen'd
+    * [[graft.plans.BmpPixelStats]] expression — one linear pass per
+    * payload in the scan stage honoring BGR order and row padding,
+    * no codec library (uncompressed BMP is byte math; compressed
+    * formats remain the DECLARED stub). Channel means and luma are
+    * ONE IEEE division over exact integer sums. Malformed payloads
+    * report valid=false.
+    */
+  def bmpStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("bs.n_px")
+    media
+      .select(col(idCol), expr(s"graft_bmp_stats($payloadCol)").as("bs"))
+      .select(col(idCol),
+        col("bs.valid").as("valid"),
+        col("bs.width").as("width"),
+        col("bs.height").as("height"),
+        n.as("n_px"),
+        when(n > 0, col("bs.peak")).as("peak"),
+        when(n > 0, col("bs.sum_r").cast("double") / n.cast("double")).as("mean_r"),
+        when(n > 0, col("bs.sum_g").cast("double") / n.cast("double")).as("mean_g"),
+        when(n > 0, col("bs.sum_b").cast("double") / n.cast("double")).as("mean_b"),
+        when(n > 0, col("bs.sum_luma_milli").cast("double") / (n * 1000L).cast("double"))
+          .as("mean_luma"))
+  }
+
   /** REAL (non-stub) audio decode: strict RIFF/WAVE PCM16 header
     * parse + exact integer sample moments via the codegen'd
     * [[graft.plans.WavPcmStats]] expression — one linear pass per

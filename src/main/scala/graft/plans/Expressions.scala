@@ -380,6 +380,60 @@ object GraftHashOps {
       Array[Any](true, sampleRate, nChannels, bits, n.toLong, peak, s, sq))
   }
 
+  /** REAL (non-stub) uncompressed-BMP (24 bpp) decode for
+    * [[BmpPixelStats]]: strict BITMAPFILEHEADER/BITMAPINFOHEADER
+    * parse (magic, 54-byte data offset, header size 40, 1 plane,
+    * 24 bpp, BI_RGB, bounds), then one pass over the pixel array
+    * honoring the format's two classic traps — BGR channel order and
+    * 4-byte row padding (bottom-up row order is sum-invariant but
+    * the stride is not) — accumulating EXACT integers: per-channel
+    * sums, channel peak, and the Σ(299R+587G+114B) luma numerator
+    * (milli-units, one final IEEE division downstream). Malformed
+    * payloads return valid=false, keeping the expression total.
+    */
+  def bmpPixelStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0L, 0L, 0L, 0L, 0, 0L))
+    if (payload.length < 54 || payload(0) != 'B'.toByte || payload(1) != 'M'.toByte)
+      return bad
+    val dataOff = le32(10)
+    val hdrSize = le32(14)
+    val width   = le32(18).toInt
+    val height  = le32(22).toInt
+    val planes  = le16(26)
+    val bpp     = le16(28)
+    val compr   = le32(30)
+    if (dataOff != 54L || hdrSize != 40L || planes != 1 || bpp != 24 || compr != 0L ||
+      width <= 0 || height <= 0) return bad
+    val stride = ((width * 3 + 3) / 4) * 4
+    if (54L + stride.toLong * height > payload.length) return bad
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + y * stride
+      var x = 0
+      while (x < width) {
+        val o = rowOff + 3 * x
+        val b = payload(o) & 0xff       // BGR on disk
+        val g = payload(o + 1) & 0xff
+        val r = payload(o + 2) & 0xff
+        sr += r; sg += g; sb += b
+        if (r > peak) peak = r
+        if (g > peak) peak = g
+        if (b > peak) peak = b
+        luma += 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, width, height, width.toLong * height, sr, sg, sb, peak, luma))
+  }
+
   def byteStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val counts = new Array[Long](256)
     var i = 0
@@ -605,6 +659,36 @@ object ByteHistStats {
     StructField("entropy", DoubleType, nullable = false)))
 }
 
+/** REAL uncompressed-BMP (24 bpp) header parse + exact pixel moments
+  * in one scan-stage pass (see [[GraftHashOps.bmpPixelStats]]).
+  * Total function: malformed payloads yield valid=false, never null.
+  */
+case class BmpPixelStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixelStats.schema
+  override def prettyName: String = "graft_bmp_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.bmpPixelStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.bmpPixelStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BmpPixelStats = copy(child = newChild)
+}
+
+object BmpPixelStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("sum_luma_milli", LongType, nullable = false)))
+}
+
 /** REAL RIFF/WAVE PCM16 header parse + exact sample moments in one
   * scan-stage pass (see [[GraftHashOps.wavPcmStats]]). Total
   * function: malformed payloads yield valid=false, never null.
@@ -659,6 +743,8 @@ object GraftFunctions {
       "returns struct(n_bytes, distinct_bytes, top_byte, top_count, entropy) of a binary payload"),
     ("graft_wav_stats", (es: Seq[Expression]) => WavPcmStats(es.head),
       "returns struct(valid, sample_rate, n_channels, bits, n_samples, peak_abs, sum_s, sum_sq) of a RIFF/WAVE PCM16 payload"),
+    ("graft_bmp_stats", (es: Seq[Expression]) => BmpPixelStats(es.head),
+      "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an uncompressed 24bpp BMP payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

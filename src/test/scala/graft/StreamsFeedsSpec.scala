@@ -558,6 +558,47 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("bmp decode: the JDK's own ImageIO agrees with BmpPixelStats on generated payloads") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val bmp  = Multimodal.bmpFromDocuments(docs).collect()
+    assert(bmp.nonEmpty)
+    bmp.foreach { rec =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))
+      assert(img != null, s"ImageIO rejected media ${rec.media_id}")
+      assert(img.getWidth === 7 && img.getHeight === 4)
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+      for (y <- 0 until 4; x <- 0 until 7) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        peak = math.max(peak, math.max(r, math.max(g, b)))
+        luma += 299L * r + 587L * g + 114L * b
+      }
+      val row = graft.plans.GraftHashOps.bmpPixelStats(rec.payload)
+      assert(row.getBoolean(0), "parser rejected an ImageIO-valid BMP")
+      assert(row.getInt(1) === 7 && row.getInt(2) === 4 && row.getLong(3) === 28L)
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"channel sums disagree with ImageIO on media ${rec.media_id} (BGR/stride bug?)")
+      assert(row.getInt(7) === peak && row.getLong(8) === luma)
+    }
+  }
+
+  test("bmp decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.bmpBytes("hello world bmp fixture", 96)
+    assert(graft.plans.GraftHashOps.bmpPixelStats(ok).getBoolean(0))
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(53),                                      // truncated header
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },     // wrong magic
+      { val b = ok.clone(); b(28) = 32; b },            // 32 bpp (unsupported here)
+      { val b = ok.clone(); b(30) = 1; b },             // RLE compression
+      { val b = ok.clone(); b(22) = 100.toByte; b })    // height overruns payload
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.bmpPixelStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
   test("wav decode: malformed payloads report valid=false, never throw or lie") {
     val ok = Multimodal.wavBytes("hello world", 96)
     assert(graft.plans.GraftHashOps.wavPcmStats(ok).getBoolean(0))
