@@ -3883,7 +3883,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -4464,7 +4465,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -4790,7 +4792,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -5101,7 +5104,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -5776,7 +5780,8 @@ object SparkEntry {
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
           |), nl AS (
-          |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+          |  SELECT CASE WHEN count(*) <= 512 THEN 1
+          |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
           |), cents AS (
           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
           |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -5836,7 +5841,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -5883,7 +5889,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -5933,7 +5940,8 @@ object SparkEntry {
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
           |), nl AS (
-          |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+          |  SELECT CASE WHEN count(*) <= 512 THEN 1
+          |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
           |), cents AS (
           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
           |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -5988,7 +5996,8 @@ object SparkEntry {
         """WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
           |), nl AS (
-          |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+          |  SELECT CASE WHEN count(*) <= 512 THEN 1
+          |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
           |), cents AS (
           |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
           |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -6594,7 +6603,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -6837,7 +6847,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -7538,7 +7549,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -7964,7 +7976,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
@@ -8637,7 +8650,8 @@ object SparkEntry {
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
         |), nl AS (
-        |  SELECT greatest(16, (count(*) + 255) // 256) AS nlist FROM e
+        |  SELECT CASE WHEN count(*) <= 512 THEN 1
+        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
         |), cents AS (
         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
         |  FROM e QUALIFY cell < (SELECT nlist FROM nl)

@@ -417,13 +417,29 @@ object Similarity {
     * (same block kernel), and every celled pair IS an exact pair —
     * the subset invariant GraphCandidateSpec pins. A cell count n
     * pre-scan (count + nlist-row collect) picks nlist per corpus.
+    *
+    * Corpora at or under 2·cellTarget take nlist = 1 — one cell IS
+    * the exact sweep (identical plan shape, zero recall loss), and
+    * celling a corpus that small would only shrink each vector's
+    * candidate pool for no volume win (a 15-vector corpus would even
+    * fail ivfTrain's n >= nlist seed requirement at the 16-cell
+    * minimum). The oracle mirrors the same nlist formula.
     */
   def knnCandidatePairs(embeddings: DataFrame, cellTarget: Int = 256): DataFrame = {
-    val nVec  = embeddings.count()
-    val nlist = math.max(16L, (nVec + cellTarget - 1) / cellTarget.toLong).toInt
+    val nVec = embeddings.count()
+    if (nVec == 0) return cosineNearDupPairs(embeddings, -2.0) // nothing to seed a quantizer with
+    val nlist = knnNlist(nVec, cellTarget)
     val cents = ivfTrain(embeddings, nlist, iters = 0)
     ivfNearDupPairs(embeddings, -2.0, cents)
   }
+
+  /** The graph family's shared adaptive cell count (mirrored into
+    * every celled oracle): 1 below the celling floor, else
+    * max(16, ceil(n / cellTarget)).
+    */
+  private[graft] def knnNlist(nVec: Long, cellTarget: Int = 256): Int =
+    if (nVec <= 2L * cellTarget) 1
+    else math.max(16L, (nVec + cellTarget - 1) / cellTarget.toLong).toInt
 
   /** Mutual k-nearest-neighbor graph: for every vector its top-k
     * cosine neighbors, flagged `mutual` when the reverse edge is
@@ -1052,9 +1068,12 @@ object Similarity {
     val cellOf: Column =
       if (exact) lit(0)
       else {
-        val nVec  = embeddings.count()
-        val nlist = math.max(16L, (nVec + 255L) / 256L).toInt
-        ivfAssignCol(toDouble(col("embedding")), ivfTrain(embeddings, nlist, iters = 0))
+        val nVec = embeddings.count()
+        // below the celling floor (or empty) one cell == the full
+        // corpus scan — same shape, no ivfTrain seed requirement
+        if (nVec <= 512) lit(0)
+        else ivfAssignCol(toDouble(col("embedding")),
+          ivfTrain(embeddings, knnNlist(nVec), iters = 0))
       }
     val e = embeddings
       .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"),

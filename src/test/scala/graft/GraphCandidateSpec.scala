@@ -20,8 +20,13 @@ class GraphCandidateSpec extends AnyFunSuite {
   private lazy val emb = Tables.embeddings(spark, sf)
 
   test("celled candidate pairs are a subset of the exact sweep with bit-equal scores") {
-    val celled = Similarity.knnCandidatePairs(emb).select(col("va"), col("vb"), col("cos").as("cc"))
-    val exact  = Similarity.cosineNearDupPairs(emb, -2.0).select(col("va"), col("vb"), col("cos").as("ce"))
+    // explicit 8-cell quantizer: the fixture (50 vectors) sits below
+    // knnCandidatePairs' celling floor, so the genuinely-celled
+    // invariants are pinned against ivfNearDupPairs directly
+    val cents  = Similarity.ivfTrain(emb, nlist = 8, iters = 0)
+    val celled = Similarity.ivfNearDupPairs(emb, -2.0, cents)
+      .select(col("va"), col("vb"), col("cos").as("cc"))
+    val exact = Similarity.cosineNearDupPairs(emb, -2.0).select(col("va"), col("vb"), col("cos").as("ce"))
     val nC = celled.count()
     val nE = exact.count()
     assert(nC > 0, "celled builder produced no candidate pairs")
@@ -30,6 +35,17 @@ class GraphCandidateSpec extends AnyFunSuite {
     assert(joined.count() === nC, "a celled pair is missing from the exact sweep")
     val drift = joined.filter(col("cc") =!= col("ce")).count()
     assert(drift === 0, "celled scores drift from the exact kernel")
+  }
+
+  test("below the celling floor knnCandidatePairs IS the exact sweep (nlist = 1)") {
+    val celled = Similarity.knnCandidatePairs(emb).select(col("va"), col("vb"), col("cos"))
+    val exact  = Similarity.cosineNearDupPairs(emb, -2.0).select(col("va"), col("vb"), col("cos"))
+    assert(emb.count() <= 512, "fixture grew past the floor: move this test to a smaller slice")
+    assert(celled.exceptAll(exact).count() === 0 && exact.exceptAll(celled).count() === 0,
+      "floor corpora must lose zero recall")
+    // and a corpus too small to seed 16 cells must not throw
+    val tiny = emb.limit(5)
+    assert(Similarity.knnGraph(tiny, 2).count() > 0)
   }
 
   test("exact=true restores the k-regular kNN graph and dominates the celled graph per edge rank") {
