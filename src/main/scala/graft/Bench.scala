@@ -329,12 +329,19 @@ object Bench {
         System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
         "{}"
     } finally {
-      // the x30 stage dumps are ~0.5 GB — reclaim them
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
+      // the x30 stage dumps are ~0.5 GB — reclaim them; cleanup must
+      // never mask the pipeline's own outcome (listFiles() is null on
+      // unreadable dirs, delete can raise SecurityException)
+      try {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] pipeline tmp cleanup failed: ${e.getMessage}")
       }
-      rm(new java.io.File(tmp))
     }
   }
 

@@ -1323,6 +1323,44 @@ object SparkEntry {
     base + ("q_dedup_clusters_bigstar" -> base("q_dedup_clusters"))
   }
 
+  /** The celled-quantizer oracle prelude, emitted ONCE and
+    * interpolated into every graph-family oracle so the nlist
+    * formula and the assignment tie-break cannot desynchronize
+    * between copies — they MUST mirror
+    * [[graft.operators.Similarity.knnNlist]] and the codegen'd
+    * IvfAssign exactly, and a celled oracle with a drifted copy
+    * would cost a gate round. `margin` matches the enclosing
+    * stripMargin literal; `cols` threads extra per-vector columns
+    * (label for the classify oracle) through the assignment CTEs.
+    * CTEs are MATERIALIZED: DuckDB re-inlines referenced CTEs, and
+    * inside iterative oracles the assignment cross-join explodes
+    * combinatorially without it.
+    */
+  private def celledCtes(margin: String, cols: Seq[String] = Nil): String = {
+    val ecols = cols.map(c => s"e.$c, ").mkString
+    val bcols = cols.map(c => s"$c, ").mkString
+    Seq(
+      "), nl AS (",
+      "  SELECT CASE WHEN count(*) <= 512 THEN 1",
+      "    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e",
+      "), cents AS (",
+      "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c",
+      "  FROM e QUALIFY cell < (SELECT nlist FROM nl)",
+      "), celld AS MATERIALIZED (",
+      s"  SELECT e.vec_id, ${ecols}e.v, cents.cell,",
+      "    list_dot_product(",
+      "      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),",
+      "      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2",
+      "  FROM e CROSS JOIN cents",
+      "), acell AS MATERIALIZED (",
+      s"  SELECT vec_id, ${bcols}v, cell,",
+      "    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn",
+      "  FROM celld QUALIFY rn = 1",
+      "), n AS MATERIALIZED (",
+      s"  SELECT vec_id, ${bcols}cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell",
+      ")").map(l => margin + "|" + l).mkString("\n")
+  }
+
   private def oracleSqlBase: Map[String, String] = Map(
     "q_agg_pushdown" ->
       """SELECT l_returnflag, l_linestatus,
@@ -3880,27 +3918,9 @@ object SparkEntry {
     // edge scores are the same sequential dots as q_ann_bruteforce;
     // the mutual flag is a pure self-join of the ranked edge set
     "q_knn_graph" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), edges AS (
+        ${celledCtes("        ")}, edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -4462,27 +4482,9 @@ object SparkEntry {
         |FROM g, t
         |ORDER BY lang, source, len_bucket""".stripMargin,
     "q_common_neighbors" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), edges AS (
+        ${celledCtes("        ")}, edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -4789,27 +4791,9 @@ object SparkEntry {
         |FROM d
         |ORDER BY event_type""".stripMargin,
     "q_knn_classify" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.label, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, label, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, label, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), q AS (
+        ${celledCtes("        ", Seq("label"))}, q AS (
         |  SELECT vec_id AS qid, label AS q_label, v AS qv, nn AS qn, cell
         |  FROM n WHERE vec_id % 20 = 0
         |), s AS (
@@ -5101,27 +5085,9 @@ object SparkEntry {
         |FROM m
         |ORDER BY user_id, day""".stripMargin,
     "q_assortativity" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), edges AS (
+        ${celledCtes("        ")}, edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -5777,27 +5743,9 @@ object SparkEntry {
     },
     "q_hits" -> {
       val edgeHead =
-        """WITH e AS (
+        s"""WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-          |), nl AS (
-          |  SELECT CASE WHEN count(*) <= 512 THEN 1
-          |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-          |), cents AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-          |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-          |), celld AS MATERIALIZED (
-          |  SELECT e.vec_id, e.v, cents.cell,
-          |    list_dot_product(
-          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-          |  FROM e CROSS JOIN cents
-          |), acell AS MATERIALIZED (
-          |  SELECT vec_id, v, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-          |  FROM celld QUALIFY rn = 1
-          |), n AS MATERIALIZED (
-          |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-          |), pairs AS (
+          ${celledCtes("          ")}, pairs AS (
           |  SELECT a.vec_id AS src, b.vec_id AS dst,
           |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
           |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -5838,27 +5786,9 @@ object SparkEntry {
          |ORDER BY node""".stripMargin
     },
     "q_degree_hist" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), pairs AS (
+        ${celledCtes("        ")}, pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -5886,27 +5816,9 @@ object SparkEntry {
     // wedge-center contributions are exact floor divisions 1e12//deg;
     // the pair sum is an order-free long, one IEEE division surfaced
     "q_resource_alloc" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), pairs AS (
+        ${celledCtes("        ")}, pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -5937,27 +5849,9 @@ object SparkEntry {
     // well inside); membership + degrees all-integer
     "q_kcore" -> {
       val head =
-        """WITH e AS (
+        s"""WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-          |), nl AS (
-          |  SELECT CASE WHEN count(*) <= 512 THEN 1
-          |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-          |), cents AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-          |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-          |), celld AS MATERIALIZED (
-          |  SELECT e.vec_id, e.v, cents.cell,
-          |    list_dot_product(
-          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-          |  FROM e CROSS JOIN cents
-          |), acell AS MATERIALIZED (
-          |  SELECT vec_id, v, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-          |  FROM celld QUALIFY rn = 1
-          |), n AS MATERIALIZED (
-          |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-          |), pairs AS (
+          ${celledCtes("          ")}, pairs AS (
           |  SELECT a.vec_id AS src, b.vec_id AS dst,
           |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
           |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -5993,27 +5887,9 @@ object SparkEntry {
     },
     "q_label_prop" -> {
       val head =
-        """WITH e AS (
+        s"""WITH e AS (
           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-          |), nl AS (
-          |  SELECT CASE WHEN count(*) <= 512 THEN 1
-          |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-          |), cents AS (
-          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-          |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-          |), celld AS MATERIALIZED (
-          |  SELECT e.vec_id, e.v, cents.cell,
-          |    list_dot_product(
-          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-          |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-          |  FROM e CROSS JOIN cents
-          |), acell AS MATERIALIZED (
-          |  SELECT vec_id, v, cell,
-          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-          |  FROM celld QUALIFY rn = 1
-          |), n AS MATERIALIZED (
-          |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-          |), pairs AS (
+          ${celledCtes("          ")}, pairs AS (
           |  SELECT a.vec_id AS src, b.vec_id AS dst,
           |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
           |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -6600,27 +6476,9 @@ object SparkEntry {
         |FROM x GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
     "q_intrinsic_dim" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), d AS (
+        ${celledCtes("        ")}, d AS (
         |  SELECT a.vec_id AS p, b.vec_id AS q,
         |    a.nn * a.nn + b.nn * b.nn
         |      - 2.0 * (list_dot_product(a.v, b.v) / (a.nn * b.nn)) * a.nn * b.nn AS d2
@@ -6844,27 +6702,9 @@ object SparkEntry {
     // layers unioned, min(depth) per node — path fan-out is bounded
     // by |seeds| * k^depth
     "q_bfs_layers" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), edges AS (
+        ${celledCtes("        ")}, edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -7546,27 +7386,9 @@ object SparkEntry {
     // exact integral divisions, damping is (85*s) // 100, teleport
     // ((scale // n) * 15) // 100 — bit-identical to the Spark loop
     "q_pagerank" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), pairs AS (
+        ${celledCtes("        ")}, pairs AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -7973,27 +7795,9 @@ object SparkEntry {
         |       ELSE 'very_difficult' END AS band
         |FROM f ORDER BY doc_id""".stripMargin,
     "q_triangle_count" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), edges AS (
+        ${celledCtes("        ")}, edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id
@@ -8525,7 +8329,7 @@ object SparkEntry {
     "q_median_test" ->
       """WITH q AS (
         |  SELECT event_type AS k, CAST(floor(value * 1000000) AS BIGINT) AS qu
-        |  FROM events WHERE event_type IN ('view', 'click')
+        |  FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
         |), rk AS (
         |  SELECT qu, row_number() OVER (ORDER BY qu) AS rn, count(*) OVER () AS n FROM q
         |), med AS (
@@ -8647,27 +8451,9 @@ object SparkEntry {
     // the exact interpolating percentile; the flag compares
     // bit-identical unrounded doubles
     "q_knn_outliers" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-        |), nl AS (
-        |  SELECT CASE WHEN count(*) <= 512 THEN 1
-        |    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e
-        |), cents AS (
-        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
-        |  FROM e QUALIFY cell < (SELECT nlist FROM nl)
-        |), celld AS MATERIALIZED (
-        |  SELECT e.vec_id, e.v, cents.cell,
-        |    list_dot_product(
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),
-        |      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2
-        |  FROM e CROSS JOIN cents
-        |), acell AS MATERIALIZED (
-        |  SELECT vec_id, v, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        |  FROM celld QUALIFY rn = 1
-        |), n AS MATERIALIZED (
-        |  SELECT vec_id, cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell
-        |), edges AS (
+        ${celledCtes("        ")}, edges AS (
         |  SELECT a.vec_id AS src, b.vec_id AS dst,
         |    list_dot_product(a.v, b.v) / (a.nn * b.nn) AS cos
         |  FROM n a JOIN n b ON a.cell = b.cell AND a.vec_id != b.vec_id

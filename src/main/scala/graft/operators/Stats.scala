@@ -1648,6 +1648,11 @@ object Stats {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val q = events.filter(col(key).isin(typeA, typeB))
       .select(col(key).as("k"), floor(col(v) * 1000000).cast("long").as("qu"))
+      // NULL values are OUTSIDE the test (the replaced percentile()
+      // ignored them on both engines); without this filter Spark's
+      // range-partition sort ranks nulls FIRST while DuckDB's
+      // row_number ranks them LAST, shifting the pooled median
+      .filter(col("qu").isNotNull)
     // pooled doubled median as the EXACT integer doubled order
     // statistic (the friedman/cochranQ recipe, made distributed): a
     // value histogram range-partitioned by qu, local cumulative

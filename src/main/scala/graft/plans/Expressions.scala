@@ -360,8 +360,11 @@ object GraftHashOps {
     val blockAlign = le16(32)
     val bits       = le16(34)
     val dataSize   = le32(40)
+    // mono only, as documented: interleaved multi-channel frames
+    // would silently double n_samples and mix channels into the
+    // moments — reject rather than mislead
     if (fmtSize != 16L || audioFmt != 1 || bits != 16 ||
-      nChannels < 1 || blockAlign != nChannels * 2 ||
+      nChannels != 1 || blockAlign != nChannels * 2 ||
       dataSize % 2 != 0 || 44L + dataSize > payload.length) return bad
     val n = (dataSize / 2).toInt
     var i = 0
@@ -409,8 +412,13 @@ object GraftHashOps {
     val compr   = le32(30)
     if (dataOff != 54L || hdrSize != 40L || planes != 1 || bpp != 24 || compr != 0L ||
       width <= 0 || height <= 0) return bad
-    val stride = ((width * 3 + 3) / 4) * 4
-    if (54L + stride.toLong * height > payload.length) return bad
+    // stride in 64-bit: width near Int.MaxValue wraps 32-bit width*3
+    // to a tiny positive stride that passes the bounds check and the
+    // pixel loop then reads past the array — the documented contract
+    // is valid=false, never a throw
+    val strideL = ((width.toLong * 3 + 3) / 4) * 4
+    if (54L + strideL * height > payload.length) return bad
+    val stride = strideL.toInt
     var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
     var y = 0
     while (y < height) {

@@ -67,13 +67,28 @@ class GraphCandidateSpec extends AnyFunSuite {
       "a celled edge outranks the exact graph at the same rank")
   }
 
-  test("celled knnClassify votes only come from the query's own cell") {
-    // structural: with the exact flag the candidate pool is the full
-    // corpus, so accuracy can only go up or stay equal in vote count
-    val celled = Similarity.knnClassify(emb)
-    val exact  = Similarity.knnClassify(emb, exact = true)
-    assert(celled.count() > 0)
-    assert(celled.count() === exact.count(),
-      "query slice must be identical under both candidate policies")
+  test("celled knnClassify votes only come from the query's own cell (constructed geometry)") {
+    // 602 vectors (above the celling floor): a 2-member cluster A
+    // (label 1: the vec_id 0 query + a mate at id 17, deliberately
+    // OUTSIDE the 16 seed ids so it assigns to the query's centroid
+    // rather than becoming its own cell) far from 600 B vectors
+    // (label 2). The A query's cell then holds ONLY the A mate. The
+    // exact k=5 classifier must pull 4 B neighbors and predict 2;
+    // the celled one is restricted to the A cell and predicts 1 —
+    // only the cell restriction can produce that split.
+    val spark2 = TestSession.spark
+    import spark2.implicits._
+    def vecA(seed: Int) = Array.tabulate(8)(d => 10f + 0.01f * seed + d)
+    def vecB(seed: Int) = Array.tabulate(8)(d => -10f - 0.01f * seed - d)
+    val rows =
+      Seq((0L, vecA(0), 1), (17L, vecA(1), 1)) ++
+        ((1 until 17) ++ (18 until 602)).map(i => (i.toLong, vecB(i), 2))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val celled = Similarity.knnClassify(df).filter(col("qid") === 0L).head()
+    val exact  = Similarity.knnClassify(df, exact = true).filter(col("qid") === 0L).head()
+    assert(celled.getAs[Int]("predicted_label") === 1,
+      "celled classifier must vote only inside the A cell")
+    assert(exact.getAs[Int]("predicted_label") === 2,
+      "exact classifier must see the 4 nearest B vectors outvote the A mate")
   }
 }
