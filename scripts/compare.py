@@ -73,9 +73,15 @@ def main() -> int:
             for c in got_n.columns:
                 g, w = got_n[c], want_n[c]
                 if g.dtype == np.float64 or w.dtype == np.float64:
-                    gb = g.astype(np.float64).to_numpy().view(np.int64)
-                    wb = w.astype(np.float64).to_numpy().view(np.int64)
-                    nd = int((gb != wb).sum())
+                    gf = g.astype(np.float64).to_numpy()
+                    wf = w.astype(np.float64).to_numpy()
+                    gb = gf.view(np.int64)
+                    wb = wf.view(np.int64)
+                    # NaN payload bits are not a contract: value-equal
+                    # NaNs (which assert_frame_equal already accepted)
+                    # must not fail the bit view
+                    both_nan = np.isnan(gf) & np.isnan(wf)
+                    nd = int(((gb != wb) & ~both_nan).sum())
                     if nd:
                         bit_bad.append(f"{c}:{nd}")
             if bit_bad:

@@ -260,7 +260,8 @@ object Bench {
     * the per-stage gates never time as a whole: clean (codegen'd
     * text normalizer) → quality gate (Gopher-family filters) →
     * incremental Bloom-registry dedup → domain mix (deterministic
-    * md5 quotas) → sequence packing, with every stage boundary
+    * md5 quotas) → sequence packing → feature-hash embed → two-level
+    * celled kNN edges → semantic dedup, with every stage boundary
     * PERSISTED parquet (the production shape — each stage is its own
     * scan → work → write job, so its time is honest and restart-able)
     * at the base fixture and at the x30 GenScale replica. The
@@ -313,6 +314,21 @@ object Bench {
         graft.operators.Sampling.domainMix(deduped,
           Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 75)))
       stage("pack", graft.operators.TextAnalysis.packSequences(mixed, 256))
+      // embedding leg (r13): the graph family's scale story measured
+      // IN COMPOSITION — feature-hash embed (codegen'd, scan-shaped)
+      // → two-level celled kNN candidate edges (the knnCandidatePairs
+      // default; at x30 the quantizer genuinely engages: ~235 fine
+      // cells behind 16 coarse seeds) → semantic dedup consuming the
+      // persisted edge frame (drop the higher doc_id of every
+      // in-cell pair above the cosine bar)
+      val embedded = stage("embed",
+        mixed.select(col("doc_id").as("vec_id"), expr("graft_fh_embed(text, 64)").as("embedding")))
+      val pairs = stage("knn",
+        graft.operators.Similarity.knnCandidatePairs(embedded))
+      stage("semdedup",
+        mixed.join(
+          pairs.filter(col("cos") >= 0.92).select(col("vb").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
       res.toSeq
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
@@ -453,6 +469,15 @@ object Bench {
         var timedOut = false
         var stop     = false
         var rep      = 0
+        // cell hygiene: r12's per-round bench read q_dau_wau at 20.7x
+        // while the full audit (same code, longer run) read 2.69x —
+        // reps [17.6, 43.6] vs [2.9, 2.0], i.e. accumulated cached
+        // blocks + un-collected heap from the preceding cells, not
+        // the query. Clear both before every cell so the short
+        // headliner run measures what the long audit measures.
+        spark.catalog.clearCache()
+        System.gc()
+        val cellGc0 = gcMillis()
         while (rep < scaleReps && !stop) {
           val rem = if (isQuad) quadSlice - (elapsed - cellT0) else budget - elapsed
           if (rem <= 0) stop = true
@@ -464,7 +489,8 @@ object Bench {
           rep += 1
         }
         val good     = times.filter(_ > 0)
-        val repsJson = ",\"reps\":[" + times.map(fmtD).mkString(",") + "]"
+        val repsJson = ",\"reps\":[" + times.map(fmtD).mkString(",") +
+          "],\"gc_ms\":" + (gcMillis() - cellGc0)
         if (timedOut)
           (name, "\"" + name + "\":{\"base\":" + fmtD(base) + ",\"timed_out_after_sec\":" + fmtD(lastLimit) + orphan + quadTag + "}",
             "\"" + name + "\":\"timeout\"")
@@ -693,7 +719,11 @@ object Bench {
         ("aqe_tuned_skewed", () => work(skewed.join(dim, col("k") === col("dk"))), aqeTuned),
         ("salted_skewed", () => work(graft.operators.Relational.saltedJoin(skewed, dim, "k", "dk", "rowkey", 16)), Map.empty),
         ("plain_uniform", () => work(uniform.join(dim, col("k") === col("dk"))), Map.empty),
-        ("salted_uniform", () => work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16)), Map.empty))
+        ("salted_uniform", () => work(graft.operators.Relational.saltedJoin(uniform, dim, "k", "dk", "rowkey", 16)), Map.empty),
+        // the auto router must land near plain on uniform keys and
+        // near salted on the hot key — its probe cost rides the cell
+        ("auto_skewed", () => work(graft.operators.Relational.saltedJoinAuto(skewed, dim, "k", "dk", "rowkey", 16)), Map.empty),
+        ("auto_uniform", () => work(graft.operators.Relational.saltedJoinAuto(uniform, dim, "k", "dk", "rowkey", 16)), Map.empty))
       // rep-major order: every rep visits every cell before any cell
       // sees its next rep, so a transient slowdown is spread across
       // cells instead of poisoning one cell's entire min-of-N

@@ -1086,6 +1086,10 @@ object SparkEntry {
       Multimodal
         .bmpStats(Multimodal.bmpFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_png_stats" -> ((s, dir) =>
+      Multimodal
+        .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_binary_entropy" -> ((s, dir) =>
       Multimodal
         .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
@@ -1324,38 +1328,62 @@ object SparkEntry {
   }
 
   /** The celled-quantizer oracle prelude, emitted ONCE and
-    * interpolated into every graph-family oracle so the nlist
-    * formula and the assignment tie-break cannot desynchronize
-    * between copies — they MUST mirror
-    * [[graft.operators.Similarity.knnNlist]] and the codegen'd
-    * IvfAssign exactly, and a celled oracle with a drifted copy
-    * would cost a gate round. `margin` matches the enclosing
-    * stripMargin literal; `cols` threads extra per-vector columns
-    * (label for the classify oracle) through the assignment CTEs.
+    * interpolated into every graph-family oracle so the nlist/
+    * ncoarse/fpc formulas and both argmin tie-breaks cannot
+    * desynchronize between copies — they MUST mirror
+    * [[graft.operators.Similarity.knnAssignCells]] (TWO-LEVEL:
+    * coarse argmin over the first ncoarse = ceil(√nlist) vectors by
+    * vec_id, then fine argmin over that coarse cell's first
+    * fpc = ceil(nlist/ncoarse) members; cell = ccell·fpc + fidx;
+    * both levels tie to the lowest id, matching the codegen'd
+    * IvfAssign/IvfAssignNested strict-< scans) exactly, and a celled
+    * oracle with a drifted copy would cost a gate round. `margin`
+    * matches the enclosing stripMargin literal; `cols` threads extra
+    * per-vector columns (label for the classify oracle) through the
+    * assignment CTEs.
     * CTEs are MATERIALIZED: DuckDB re-inlines referenced CTEs, and
     * inside iterative oracles the assignment cross-join explodes
     * combinatorially without it.
     */
   private def celledCtes(margin: String, cols: Seq[String] = Nil): String = {
     val ecols = cols.map(c => s"e.$c, ").mkString
+    val vcols = cols.map(c => s"vc.$c, ").mkString
     val bcols = cols.map(c => s"$c, ").mkString
     Seq(
       "), nl AS (",
-      "  SELECT CASE WHEN count(*) <= 512 THEN 1",
-      "    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e",
-      "), cents AS (",
-      "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS c",
-      "  FROM e QUALIFY cell < (SELECT nlist FROM nl)",
-      "), celld AS MATERIALIZED (",
-      s"  SELECT e.vec_id, ${ecols}e.v, cents.cell,",
+      "  SELECT nlist,",
+      "    CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS ncoarse,",
+      "    (nlist + CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) - 1)",
+      "      // CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS fpc",
+      "  FROM (SELECT CASE WHEN count(*) <= 512 THEN 1",
+      "    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e)",
+      "), coarse AS (",
+      "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ccell, v AS cc",
+      "  FROM e QUALIFY ccell < (SELECT ncoarse FROM nl)",
+      "), cd AS MATERIALIZED (",
+      s"  SELECT e.vec_id, ${ecols}e.v, coarse.ccell,",
       "    list_dot_product(",
-      "      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i]),",
-      "      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - cents.c[i])) AS d2",
-      "  FROM e CROSS JOIN cents",
+      "      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - coarse.cc[i]),",
+      "      list_transform(generate_series(1, len(e.v)), i -> e.v[i] - coarse.cc[i])) AS d2",
+      "  FROM e CROSS JOIN coarse",
+      "), vc AS MATERIALIZED (",
+      s"  SELECT vec_id, ${bcols}v, ccell,",
+      "    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ccell ASC) AS rn",
+      "  FROM cd QUALIFY rn = 1",
+      "), fcents AS MATERIALIZED (",
+      "  SELECT ccell, row_number() OVER (PARTITION BY ccell ORDER BY vec_id) - 1 AS fidx,",
+      "    v AS fc",
+      "  FROM vc QUALIFY fidx < (SELECT fpc FROM nl)",
+      "), fd AS MATERIALIZED (",
+      s"  SELECT vc.vec_id, ${vcols}vc.v, vc.ccell, f.fidx,",
+      "    list_dot_product(",
+      "      list_transform(generate_series(1, len(vc.v)), i -> vc.v[i] - f.fc[i]),",
+      "      list_transform(generate_series(1, len(vc.v)), i -> vc.v[i] - f.fc[i])) AS d2",
+      "  FROM vc JOIN fcents f ON vc.ccell = f.ccell",
       "), acell AS MATERIALIZED (",
-      s"  SELECT vec_id, ${bcols}v, cell,",
-      "    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn",
-      "  FROM celld QUALIFY rn = 1",
+      s"  SELECT vec_id, ${bcols}v, ccell * (SELECT fpc FROM nl) + fidx AS cell,",
+      "    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, fidx ASC) AS rn",
+      "  FROM fd QUALIFY rn = 1",
       "), n AS MATERIALIZED (",
       s"  SELECT vec_id, ${bcols}cell, v, sqrt(list_dot_product(v, v)) AS nn FROM acell",
       ")").map(l => margin + "|" + l).mkString("\n")
@@ -7031,6 +7059,33 @@ object SparkEntry {
         |  FROM px
         |)
         |SELECT media_id, TRUE AS valid, 7 AS width, 4 AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(max(greatest(r, g, b)) AS INT) AS peak,
+        |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_r,
+        |  CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_g,
+        |  CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_b,
+        |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
+        |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
+        |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, PNG twin: expected pixels come from
+    // TEXT (the top-down generation rule over 35 px), never from the
+    // PNG bytes — the on-disk image is zlib-compressed with a
+    // DIFFERENT filter per row (all five types), so a decoder with
+    // any defilter, inflate framing, or CRC handling wrong cannot
+    // agree on a single document
+    "q_png_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, least(105, length(text)) AS l, text,
+        |    unnest(generate_series(0, 34)) AS p
+        |  FROM documents
+        |), chv AS (
+        |  SELECT media_id,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p) % l AS INT) + 1, 1)) % 128 END AS r,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p+1) % l AS INT) + 1, 1)) % 128 END AS g,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p+2) % l AS INT) + 1, 1)) % 128 END AS b
+        |  FROM px
+        |)
+        |SELECT media_id, TRUE AS valid, 7 AS width, 5 AS height,
         |  CAST(count(*) AS BIGINT) AS n_px,
         |  CAST(max(greatest(r, g, b)) AS INT) AS peak,
         |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_r,

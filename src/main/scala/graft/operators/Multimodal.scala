@@ -163,6 +163,118 @@ object Multimodal {
     bb.array()
   }
 
+  /** Wrap text documents as VALID compressed PNG images (7x5 px,
+    * RGB8 truecolor, non-interlaced): pixel (x, y) top-down takes
+    * channel values r,g,b = (c_j & 0x7f) for j = 3·(y·7+x)+ch cycled
+    * over the text's leading characters — the same pixel rule as the
+    * BMP twin (over 35 px instead of 28), so an oracle re-derives
+    * every pixel from the TEXT. Row y is filtered with type y % 5,
+    * so every image exercises ALL FIVE PNG filters (None/Sub/Up/
+    * Average/Paeth) before zlib compression — a decoder with any
+    * defilter wrong cannot agree. The JDK's ImageIO reads these
+    * (spec-asserted).
+    */
+  def pngFromDocuments(documents: DataFrame, maxChars: Int = 105): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "png", pngBytes(text, maxChars))
+    }
+  }
+
+  /** Minimal canonical PNG writer: signature + IHDR + one IDAT
+    * (zlib via java.util.zip.Deflater over per-row-filtered
+    * scanlines, filter type y % 5) + IEND, CRC-32 per chunk.
+    */
+  private[graft] def pngBytes(text: String, maxChars: Int): Array[Byte] = {
+    val (w, h) = (7, 5)
+    val l      = math.min(maxChars, text.length)
+    def ch(j: Int): Int = if (l == 0) 0 else text.charAt(j % l) & 0x7f
+    // raw scanlines, top-down RGB
+    val rowBytes = 3 * w
+    val raw = Array.tabulate(h, rowBytes) { (y, x) => ch(3 * (y * w) + x).toByte }
+    // filtered stream: 1 filter-type byte + filtered row, type y % 5
+    val filt = new Array[Byte](h * (1 + rowBytes))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      filt(y * (1 + rowBytes)) = ft.toByte
+      var x = 0
+      while (x < rowBytes) {
+        val cur = raw(y)(x) & 0xff
+        val a   = if (x >= 3) raw(y)(x - 3) & 0xff else 0
+        val b   = if (y > 0) raw(y - 1)(x) & 0xff else 0
+        val c   = if (x >= 3 && y > 0) raw(y - 1)(x - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ =>
+            val p  = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        filt(y * (1 + rowBytes) + 1 + x) = (cur - pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(filt)
+    defl.finish()
+    val zBuf = new Array[Byte](filt.length + 64)
+    var zLen = 0
+    while (!defl.finished()) zLen += defl.deflate(zBuf, zLen, zBuf.length - zLen)
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), 0, 8)
+    def chunk(typ: String, data: Array[Byte], dataLen: Int): Unit = {
+      val bb = java.nio.ByteBuffer.allocate(12 + dataLen)
+      bb.putInt(dataLen).put(typ.getBytes("US-ASCII")).put(data, 0, dataLen)
+      val crc = new java.util.zip.CRC32()
+      crc.update(bb.array(), 4, 4 + dataLen)
+      bb.putInt(crc.getValue.toInt)
+      out.write(bb.array(), 0, 12 + dataLen)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array(), 13)
+    chunk("IDAT", zBuf, zLen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    out.toByteArray
+  }
+
+  /** REAL (non-stub) compressed-image decode: strict PNG (RGB8,
+    * non-interlaced) container parse + CRC verification + JDK zlib
+    * inflate + all-five-filter scanline reconstruction + exact
+    * integer pixel moments via the codegen'd
+    * [[graft.plans.PngPixelStats]] expression — one pass per payload
+    * in the scan stage. The first COMPRESSED format past the
+    * declared stub line (the zlib layer is java.util.zip.Inflater;
+    * everything PNG-specific is implemented, not imported). Channel
+    * means and luma are ONE IEEE division over exact integer sums.
+    * Malformed payloads report valid=false.
+    */
+  def pngStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("ps.n_px")
+    media
+      .select(col(idCol), expr(s"graft_png_stats($payloadCol)").as("ps"))
+      .select(col(idCol),
+        col("ps.valid").as("valid"),
+        col("ps.width").as("width"),
+        col("ps.height").as("height"),
+        n.as("n_px"),
+        when(n > 0, col("ps.peak")).as("peak"),
+        when(n > 0, col("ps.sum_r").cast("double") / n.cast("double")).as("mean_r"),
+        when(n > 0, col("ps.sum_g").cast("double") / n.cast("double")).as("mean_g"),
+        when(n > 0, col("ps.sum_b").cast("double") / n.cast("double")).as("mean_b"),
+        when(n > 0, col("ps.sum_luma_milli").cast("double") / (n * 1000L).cast("double"))
+          .as("mean_luma"))
+  }
+
   /** REAL (non-stub) image decode: strict uncompressed-BMP (24 bpp)
     * header parse + exact integer pixel moments via the codegen'd
     * [[graft.plans.BmpPixelStats]] expression — one linear pass per

