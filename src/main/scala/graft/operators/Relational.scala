@@ -617,8 +617,13 @@ object Relational {
       .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
       .agg(max(col("__c")).as("cmax"), sum(col("__c")).as("ctot"))
       .head()
+    // threshold = min(0.5, skewFactor/parts): proportional to the
+    // fair per-reducer share, but a key holding half the rows is
+    // ALWAYS a straggler worth salting — without the cap, small
+    // partition counts would demand an impossible >100% share
+    val threshold = math.min(0.5, skewFactor / parts)
     val skewed = !probe.isNullAt(0) && probe.getLong(1) > 0 &&
-      probe.getLong(0).toDouble * parts > skewFactor * probe.getLong(1).toDouble
+      probe.getLong(0).toDouble > threshold * probe.getLong(1).toDouble
     if (skewed) saltedJoin(fact, dim, factKey, dimKey, saltSource, nSalts)
     else fact.join(dim, col(factKey) === col(dimKey))
   }

@@ -430,8 +430,10 @@ object Similarity {
     * ~n·cellTarget — LINEAR in the corpus where the exact sweep is
     * n² — and the two-level assignment (coarse argmin over
     * ncoarse = ceil(√nlist) driver-collected seeds, then fine argmin
-    * over that coarse cell's ≤ fpc = ceil(nlist/ncoarse) join-side
-    * centroids) costs O(n·√nlist·dim) flops — NOT the O(n·nlist·dim)
+    * over that coarse cell's fpc_c = ceil(nlist·|cell|/n) join-side
+    * centroids — PROPORTIONAL allocation, so occupancy holds at
+    * ~cellTarget under coarse skew) costs O(n·√nlist·dim) flops on
+    * balanced data — NOT the O(n·nlist·dim)
     * = O(n²/cellTarget) a flat argmin would hide under the linear
     * candidate volume. Driver/broadcast state is capped at the
     * coarse table (√(n/cellTarget) vectors); the fine centroids (the
@@ -455,11 +457,12 @@ object Similarity {
 
   /** Two-level celled assignment shared by [[knnCandidatePairs]] and
     * [[knnClassify]]: returns (vec_id, cols..., v, cell) where cell
-    * = ccell·fpc + fidx. Level 1: argmin over the ncoarse coarse
-    * seeds (the globally-first ncoarse vectors by vec_id — the only
-    * driver-collected state, gathered in the SAME single pass that
-    * counts the corpus). Level 2: argmin over the coarse cell's fine
-    * centroids — its first fpc members by vec_id, built with a
+    * = ccell·(nlist+1) + fidx. Level 1: argmin over the ncoarse
+    * coarse seeds (the globally-first ncoarse vectors by vec_id —
+    * the only driver-collected state, gathered in the SAME single
+    * pass that counts the corpus). Level 2: argmin over the coarse
+    * cell's fine centroids — its first fpc_c = ceil(nlist·|cell|/n)
+    * members by vec_id (proportional to cell size), built with a
     * distributed window and joined back as array data (broadcast at
     * small scale, shuffle-join on ccell at 100 TB; either way the
     * quantizer is never a plan literal). Below the celling floor
@@ -475,23 +478,35 @@ object Similarity {
     val nlist = if (nVec == 0) 1 else knnNlist(nVec, cellTarget)
     if (nlist == 1) return e.withColumn("cell", lit(0L))
     val ncoarse = knnNcoarse(nlist)
-    val fpc     = knnFpc(nlist)
     require(ncoarse <= seeds.length,
       s"two-level assignment needs $ncoarse coarse seeds but the single-pass prefix holds " +
         s"${seeds.length} (corpus past ~${cellTarget.toLong * KnnSeedCap * KnnSeedCap} vectors): " +
         "train a sampled quantizer (ivfTrain) and use ivfNearDupPairs directly")
     val coarse = seeds.take(ncoarse).zipWithIndex.map { case (v, i) => (i, v) }
     val vc = e.withColumn("ccell", ivfAssignCol(col("v"), coarse))
+    // PROPORTIONAL fine-centroid allocation: coarse cell c gets
+    // fpc_c = ceil(nlist * |c| / n) fine centroids (its first fpc_c
+    // members by vec_id), so fine-cell occupancy stays ~cellTarget
+    // under ANY coarse skew — a uniform fpc starves hot coarse cells
+    // (clustery corpora measured 8x the balanced pair volume at x30
+    // with uniform allocation). The count window rides the SAME
+    // ccell shuffle as the rank — no extra pass. `div`, not `/`:
+    // Spark's `/` on longs is double division and a true-integer
+    // quotient can round below itself, desyncing from DuckDB's `//`.
     val wSeed = Window.partitionBy("ccell").orderBy("vec_id")
+    val wCnt  = Window.partitionBy("ccell")
     val fcents = vc.select(col("ccell"), col("vec_id"), col("v"))
       .withColumn("fidx", row_number().over(wSeed) - 1)
-      .filter(col("fidx") < fpc)
+      .withColumn("cnt", count(lit(1)).over(wCnt))
+      .filter(expr(s"fidx < ((${nlist}L * cnt + ${nVec - 1}L) div ${nVec}L)"))
       .groupBy(col("ccell"))
       .agg(sort_array(collect_list(struct(col("fidx"), col("v")))).as("fs"))
       .select(col("ccell"), transform(col("fs"), s => s("v")).as("fcs"))
+    // cell id = ccell*(nlist+1) + fidx: fpc_c <= nlist (a coarse
+    // cell holding the whole corpus), so the stride never collides
     vc.join(fcents, Seq("ccell"))
       .withColumn("cell",
-        col("ccell").cast("long") * fpc + ivfAssignNestedCol(col("v"), col("fcs")).cast("long"))
+        col("ccell").cast("long") * (nlist + 1L) + ivfAssignNestedCol(col("v"), col("fcs")).cast("long"))
       .drop("ccell", "fcs")
   }
 
@@ -534,13 +549,13 @@ object Similarity {
   private[graft] def knnNcoarse(nlist: Int): Int =
     math.ceil(math.sqrt(nlist.toDouble)).toInt
 
-  /** Fine centroids per coarse cell: ceil(nlist/ncoarse), so
-    * ncoarse·fpc ≥ nlist and occupancy stays ~cellTarget.
+  /** Fine centroids allocated to a coarse cell of size cnt out of n:
+    * ceil(nlist·cnt/n) — proportional, so Σ fpc_c ∈ [nlist,
+    * nlist + ncoarse] and fine-cell occupancy stays ~cellTarget
+    * under any coarse skew. Mirrored into every celled oracle.
     */
-  private[graft] def knnFpc(nlist: Int): Int = {
-    val nc = knnNcoarse(nlist)
-    (nlist + nc - 1) / nc
-  }
+  private[graft] def knnFpcOf(nlist: Int, cnt: Long, n: Long): Long =
+    (nlist.toLong * cnt + n - 1) / n
 
   /** The graph family's shared adaptive cell count (mirrored into
     * every celled oracle): 1 below the celling floor, else

@@ -633,6 +633,176 @@ object GraftHashOps {
       Array[Any](true, width, height, width.toLong * height, sr, sg, sb, peak, luma))
   }
 
+  /** REAL GIF decode for [[GifPixelStats]] — the LZW layer is
+    * implemented HERE (no JDK codec does GIF-LZW): variable-width
+    * codes (LSB-first bit order), CLEAR/EOI handling, dictionary
+    * growth to the 12-bit ceiling with the standard
+    * code==nextCode self-reference case — plus the GIF container
+    * (header, logical screen descriptor, global and/or local color
+    * table, extension-block skipping, image-data sub-block
+    * reassembly). Strict scope: single image at origin covering the
+    * logical screen; interlace is ACCEPTED — it only permutes row
+    * order, and every accumulated moment here is
+    * row-permutation-invariant (ImageIO's own writer interlaces by
+    * default). The decoded index stream
+    * must have exactly width·height pixels, every index inside the
+    * active palette. Total function: malformed payloads return
+    * valid=false, never a throw. Accumulates the same exact integer
+    * moments as the BMP/PNG twins over palette-resolved RGB.
+    */
+  def gifPixelStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0L, 0L, 0L, 0L, 0, 0L))
+    def u8(o: Int): Int  = payload(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    if (payload.length < 14) return bad
+    val hdr = new String(payload, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return bad
+    val width  = le16(6)
+    val height = le16(8)
+    if (width <= 0 || height <= 0 || width.toLong * height > 67108864L / 4) return bad
+    val lsdPacked = u8(10)
+    var off = 13
+    var gct: Array[Byte] = null
+    if ((lsdPacked & 0x80) != 0) {
+      val n = 1 << ((lsdPacked & 7) + 1)
+      if (off + 3 * n > payload.length) return bad
+      gct = java.util.Arrays.copyOfRange(payload, off, off + 3 * n)
+      off += 3 * n
+    }
+    // walk blocks to the (single) image descriptor, skipping
+    // extensions; a trailer before any image is malformed
+    while (off < payload.length && u8(off) == 0x21) {
+      off += 2 // introducer + label
+      var blk = if (off < payload.length) u8(off) else return bad
+      while (blk != 0) {
+        off += 1 + blk
+        if (off >= payload.length) return bad
+        blk = u8(off)
+      }
+      off += 1 // the terminating 0 byte
+    }
+    if (off + 10 > payload.length || u8(off) != 0x2c) return bad
+    if (le16(off + 1) != 0 || le16(off + 3) != 0 ||
+      le16(off + 5) != width || le16(off + 7) != height) return bad
+    val idPacked = u8(off + 9)
+    // interlace (bit 6) only PERMUTES row order — every accumulated
+    // moment here (sums, peak, luma) is row-permutation-invariant,
+    // so interlaced images (ImageIO's default output) decode to
+    // identical stats and are accepted
+    off += 10
+    var pal = gct
+    if ((idPacked & 0x80) != 0) {
+      val n = 1 << ((idPacked & 7) + 1)
+      if (off + 3 * n > payload.length) return bad
+      pal = java.util.Arrays.copyOfRange(payload, off, off + 3 * n)
+      off += 3 * n
+    }
+    if (pal == null) return bad
+    val palSize = pal.length / 3
+    if (off >= payload.length) return bad
+    val mcs = u8(off); off += 1
+    if (mcs < 2 || mcs > 8) return bad
+    // reassemble the LZW stream from length-prefixed sub-blocks
+    val lzwBuf = new java.io.ByteArrayOutputStream()
+    var blk = if (off < payload.length) u8(off) else return bad
+    while (blk != 0) {
+      if (off + 1 + blk > payload.length) return bad
+      lzwBuf.write(payload, off + 1, blk)
+      off += 1 + blk
+      if (off >= payload.length) return bad
+      blk = u8(off)
+    }
+    val lzw  = lzwBuf.toByteArray
+    val nPix = width * height
+    val out  = new Array[Byte](nPix)
+    // ---- LZW decode (the real algorithm, 12-bit ceiling) ----
+    val clear = 1 << mcs
+    val eoi   = clear + 1
+    // dictionary as (prefix code, suffix byte); entries < clear are
+    // literals. seqBuf materializes one entry back-to-front.
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val seqBuf = new Array[Byte](4096)
+    var codeW    = mcs + 1
+    var nextCode = eoi + 1
+    var prev     = -1
+    var bitPos   = 0L
+    var nOut     = 0
+    val totalBits = lzw.length.toLong * 8
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c
+    }
+    var done = false
+    while (!done) {
+      if (bitPos + codeW > totalBits) return bad // ran out mid-code
+      // LSB-first variable-width read over the REASSEMBLED stream
+      val byteAt = (bitPos >> 3).toInt
+      val shift  = (bitPos & 7).toInt
+      var acc = (lzw(byteAt) & 0xff) >> shift
+      var got = 8 - shift
+      var bi  = byteAt + 1
+      while (got < codeW) { acc |= (lzw(bi) & 0xff) << got; got += 8; bi += 1 }
+      val code = acc & ((1 << codeW) - 1)
+      bitPos += codeW
+      if (code == clear) {
+        codeW = mcs + 1; nextCode = eoi + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev == -1) {
+        if (code >= clear || code >= palSize) return bad
+        if (nOut >= nPix) return bad
+        out(nOut) = code.toByte; nOut += 1
+        prev = code
+      } else {
+        var seqLen = 0
+        if (code < nextCode) {
+          if (code < clear && code >= palSize) return bad
+          var c = code
+          while (c >= clear) { seqBuf(seqLen) = suffix(c); seqLen += 1; c = prefix(c) }
+          if (c >= palSize) return bad
+          seqBuf(seqLen) = c.toByte; seqLen += 1
+        } else if (code == nextCode && nextCode < 4096) {
+          // the KwKwK self-reference case: seq(prev) + first(prev)
+          var c = prev
+          seqBuf(seqLen) = firstOf(prev).toByte; seqLen += 1
+          while (c >= clear) { seqBuf(seqLen) = suffix(c); seqLen += 1; c = prefix(c) }
+          seqBuf(seqLen) = c.toByte; seqLen += 1
+        } else return bad
+        if (nOut + seqLen > nPix) return bad
+        var i = seqLen - 1
+        while (i >= 0) { out(nOut) = seqBuf(i); nOut += 1; i -= 1 }
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev
+          suffix(nextCode) = seqBuf(seqLen - 1) // first byte of this entry
+          nextCode += 1
+          if (nextCode == (1 << codeW) && codeW < 12) codeW += 1
+        }
+        prev = code
+      }
+    }
+    if (nOut != nPix) return bad
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+    var p = 0
+    while (p < nPix) {
+      val idx = out(p) & 0xff
+      if (idx >= palSize) return bad
+      val r = pal(3 * idx) & 0xff
+      val g = pal(3 * idx + 1) & 0xff
+      val b = pal(3 * idx + 2) & 0xff
+      sr += r; sg += g; sb += b
+      if (r > peak) peak = r
+      if (g > peak) peak = g
+      if (b > peak) peak = b
+      luma += 299L * r + 587L * g + 114L * b
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, width, height, nPix.toLong, sr, sg, sb, peak, luma))
+  }
+
   def byteStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
     val counts = new Array[Long](256)
     var i = 0
@@ -944,6 +1114,26 @@ case class PngPixelStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PngPixelStats = copy(child = newChild)
 }
 
+/** REAL GIF decode + exact pixel moments in one scan-stage pass —
+  * the LZW layer is implemented in-repo (variable-width codes,
+  * dictionary growth, KwKwK case; see [[GraftHashOps.gifPixelStats]])
+  * since no JDK utility exposes GIF-LZW. Total function: malformed
+  * payloads yield valid=false, never null. Same output schema as
+  * the BMP/PNG twins.
+  */
+case class GifPixelStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixelStats.schema
+  override def prettyName: String = "graft_gif_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.gifPixelStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.gifPixelStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GifPixelStats = copy(child = newChild)
+}
+
 /** REAL RIFF/WAVE PCM16 header parse + exact sample moments in one
   * scan-stage pass (see [[GraftHashOps.wavPcmStats]]). Total
   * function: malformed payloads yield valid=false, never null.
@@ -1002,6 +1192,8 @@ object GraftFunctions {
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an uncompressed 24bpp BMP payload"),
     ("graft_png_stats", (es: Seq[Expression]) => PngPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an RGB8 non-interlaced PNG payload"),
+    ("graft_gif_stats", (es: Seq[Expression]) => GifPixelStats(es.head),
+      "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a single-image non-interlaced GIF payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

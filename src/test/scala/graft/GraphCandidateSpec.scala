@@ -68,29 +68,35 @@ class GraphCandidateSpec extends AnyFunSuite {
   }
 
   test("celled knnClassify votes only come from the query's own cell (constructed geometry)") {
-    // 602 vectors (above the celling floor → nlist 16, ncoarse 4,
-    // fpc 4). Coarse seeds are ids 0..3: the A-cluster query (id 0,
-    // label 1) plus three B seeds. All A-ish vectors coarse-assign
-    // to cell 0: the query, three label-2 DECOYS at ids 4..6 (offset
-    // +2 on distinct dims — they fill coarse cell 0's fpc=4 fine-
-    // centroid slots together with the query), and the A mate at
-    // id 601 (label 1, offset +0.1 — too late by vec_id to become a
-    // fine centroid, and strictly nearest the QUERY's fine centroid,
-    // so it lands in the query's fine cell). The query's cell then
-    // holds ONLY the mate → the celled classifier predicts 1; the
-    // exact classifier sees mate + 3 decoys + a B in its top-5 and
+    // 602 vectors (above the celling floor → nlist 16, ncoarse 4).
+    // Coarse seeds are ids 0..3: the A-cluster query (id 0, label 1)
+    // plus three B seeds. The A-ish coarse cell holds 115 members
+    // (query + 3 decoys + 110 fillers + the mate), so PROPORTIONAL
+    // allocation gives it fpc_0 = ceil(16·115/602) = 4 fine
+    // centroids — the first four members by vec_id: the query and
+    // the three label-2 DECOYS (offset +2 on distinct dims). The
+    // fillers sit next to decoy 1 (they fine-assign there), and the
+    // A mate at id 601 (label 1, offset +0.1 — too late by vec_id to
+    // become a fine centroid, strictly nearest the QUERY's centroid)
+    // lands in the query's fine cell. That cell then holds ONLY the
+    // mate → the celled classifier predicts 1; the exact classifier
+    // sees mate + 4 label-2 A-ish neighbors in its top-5 and
     // predicts 2 — only the cell restriction produces that split.
     val spark2 = TestSession.spark
     import spark2.implicits._
     def vecA(): Array[Float] = Array.tabulate(8)(d => 10f + d)
     def mate(): Array[Float] = { val a = vecA(); a(0) += 0.1f; a }
     def decoy(j: Int): Array[Float] = { val a = vecA(); a(j) += 2f; a }
+    def filler(i: Int): Array[Float] = {
+      val a = vecA(); a(1) += 2f; a(4) += 0.25f * ((i % 3) + 1); a
+    }
     def vecB(seed: Int) = Array.tabulate(8)(d => -10f - 0.01f * seed - d)
     val rows =
       Seq((0L, vecA(), 1)) ++
         (1 to 3).map(i => (i.toLong, vecB(i), 2)) ++
         (4 to 6).map(j => (j.toLong, decoy(j - 3), 2)) ++
-        (7 until 601).map(i => (i.toLong, vecB(i), 2)) ++
+        (7 to 116).map(i => (i.toLong, filler(i), 2)) ++
+        (117 until 601).map(i => (i.toLong, vecB(i), 2)) ++
         Seq((601L, mate(), 1))
     val df = rows.toDF("vec_id", "embedding", "label")
     val celled = Similarity.knnClassify(df).filter(col("qid") === 0L).head()
@@ -125,18 +131,27 @@ class GraphCandidateSpec extends AnyFunSuite {
       "two-level celled scores drift from the exact kernel")
   }
 
-  test("two-level assignment is partition-invariant and lands inside the ncoarse*fpc id space") {
+  test("two-level assignment is partition-invariant, proportional, and lands inside the id space") {
     val df = bigFixture
     val nlist   = Similarity.knnNlist(600L)
     val ncoarse = Similarity.knnNcoarse(nlist)
-    val fpc     = Similarity.knnFpc(nlist)
-    assert(ncoarse.toLong * fpc >= nlist, "ncoarse*fpc must cover nlist")
+    // proportional-allocation arithmetic pins
+    assert(Similarity.knnFpcOf(nlist, 600L, 600L) === nlist.toLong,
+      "a coarse cell holding the corpus gets all nlist fine centroids")
+    assert(Similarity.knnFpcOf(nlist, 1L, 600L) === 1L,
+      "a singleton coarse cell still gets one fine centroid")
     val a = Similarity.knnAssignCells(df.repartition(7)).select("vec_id", "cell")
     val b = Similarity.knnAssignCells(df.repartition(3)).select("vec_id", "cell")
     assert(a.count() === 600L, "two-level assignment dropped rows")
     assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
       "two-level assignment is partition-dependent")
-    val outOfRange = a.filter(col("cell") < 0 || col("cell") >= ncoarse.toLong * fpc).count()
-    assert(outOfRange === 0, "a cell id escaped [0, ncoarse*fpc)")
+    val outOfRange = a.filter(col("cell") < 0 ||
+      col("cell") >= ncoarse.toLong * (nlist + 1L)).count()
+    assert(outOfRange === 0, "a cell id escaped [0, ncoarse*(nlist+1))")
+    // sum of proportional allocations is bounded: nlist rounding-up
+    // once per coarse cell
+    val nCells = a.select("cell").distinct().count()
+    assert(nCells <= nlist.toLong + ncoarse,
+      s"$nCells fine cells exceed the nlist+ncoarse allocation bound")
   }
 }

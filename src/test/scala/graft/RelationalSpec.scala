@@ -47,6 +47,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(salted.exceptAll(plain).count() === 0 && plain.exceptAll(salted).count() === 0)
   }
 
+  test("auto-routed salted join: hot keys take the salted plan, uniform keys the plain one, rows identical") {
+    import spark.implicits._
+    // hot: ~90% of 4000 rows on key 0; uniform: 4000 rows over 100 keys
+    val hot = (0 until 4000).map(i => (i.toLong, if (i % 10 < 9) 0L else i.toLong % 100))
+      .toDF("row_id", "k")
+    val uni = (0 until 4000).map(i => (i.toLong, i.toLong % 100)).toDF("row_id", "k")
+    val dim = spark.range(0, 100).select($"id".as("dk"), ($"id" * 7).as("w"))
+    def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    val autoHot = Relational.saltedJoinAuto(hot, dim, "k", "dk", "row_id", 8)
+    val autoUni = Relational.saltedJoinAuto(uni, dim, "k", "dk", "row_id", 8)
+    // routing: the salted plan carries the __salt join key, the
+    // plain one must not
+    assert(planOf(autoHot).contains("__salt"), "hot-key frame must route to the salted join")
+    assert(!planOf(autoUni).contains("__salt"), "uniform frame must keep the plain join")
+    // results: both routes are row-identical to the plain join —
+    // the property that makes a sampled router safe
+    val plainHot = hot.join(dim, $"k" === $"dk").select($"row_id", $"w")
+    val plainUni = uni.join(dim, $"k" === $"dk").select($"row_id", $"w")
+    assert(autoHot.select($"row_id", $"w").exceptAll(plainHot).count() === 0 &&
+      plainHot.exceptAll(autoHot.select($"row_id", $"w")).count() === 0)
+    assert(autoUni.select($"row_id", $"w").exceptAll(plainUni).count() === 0 &&
+      plainUni.exceptAll(autoUni.select($"row_id", $"w")).count() === 0)
+  }
+
   test("abc classes: shares sum to 1, parts conserve, classes ordered by construction") {
     import spark.implicits._
     val got = Relational.abcClasses(Tables.lineitem(spark, sf)).collect()

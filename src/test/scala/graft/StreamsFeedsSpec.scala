@@ -677,6 +677,81 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("gif decode: the JDK's own ImageIO agrees with GifPixelStats on generated payloads") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val gif  = Multimodal.gifFromDocuments(docs).collect()
+    assert(gif.nonEmpty)
+    gif.foreach { rec =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))
+      assert(img != null, s"ImageIO rejected media ${rec.media_id}")
+      assert(img.getWidth === 7 && img.getHeight === 5)
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+      for (y <- 0 until 5; x <- 0 until 7) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+        sr += r; sg += g; sb += b
+        peak = math.max(peak, math.max(r, math.max(g, b)))
+        luma += 299L * r + 587L * g + 114L * b
+      }
+      val row = graft.plans.GraftHashOps.gifPixelStats(rec.payload)
+      assert(row.getBoolean(0), "parser rejected an ImageIO-valid GIF")
+      assert(row.getInt(1) === 7 && row.getInt(2) === 5 && row.getLong(3) === 35L)
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"channel sums disagree with ImageIO on media ${rec.media_id} (LZW/palette bug?)")
+      assert(row.getInt(7) === peak && row.getLong(8) === luma)
+    }
+  }
+
+  test("gif decode: ImageIO's own REAL-LZW encoder round-trips through the in-repo decoder") {
+    // the generated corpus uses the fixed-width uncompressed-LZW
+    // trick; this fixture forces the REAL decode paths — dictionary
+    // growth past 9/10/11 bits and compressed multi-byte entries —
+    // from an INDEPENDENT encoder (the JDK's GIF writer) on a 64x32
+    // noisy indexed image
+    val img = new java.awt.image.BufferedImage(64, 32, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val v = (x * 31 + y * 17 + (x * y) % 13) % 216
+      img.setRGB(x, y, img.getColorModel.asInstanceOf[java.awt.image.IndexColorModel].getRGB(v))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos), "JDK has no GIF writer?")
+    val payload = bos.toByteArray
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val rgb = back.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      sr += r; sg += g; sb += b
+      peak = math.max(peak, math.max(r, math.max(g, b)))
+      luma += 299L * r + 587L * g + 114L * b
+    }
+    val row = graft.plans.GraftHashOps.gifPixelStats(payload)
+    assert(row.getBoolean(0), "decoder rejected an ImageIO-written GIF")
+    assert(row.getInt(1) === 64 && row.getInt(2) === 32 && row.getLong(3) === 2048L)
+    assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+      "channel sums disagree with ImageIO on its own GIF (dictionary-growth bug?)")
+    assert(row.getInt(7) === peak && row.getLong(8) === luma)
+  }
+
+  test("gif decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.gifBytes("hello world gif fixture", 35)
+    assert(graft.plans.GraftHashOps.gifPixelStats(ok).getBoolean(0))
+    // layout: LSD packed at 10, GCT 13..780, image-descriptor packed
+    // at 790, LZW min-code-size at 791
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(10),                                       // truncated LSD
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },      // wrong magic
+      { val b = ok.clone(); b(10) = (b(10) & 0x7f).toByte; b }, // GCT flag off → no palette
+      { val b = ok.clone(); b(786) = 8.toByte; b },      // image width lies vs logical screen
+      { val b = ok.clone(); b(791) = 1.toByte; b },      // LZW min code size out of range
+      ok.take(ok.length - 10))                           // truncated LZW stream
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.gifPixelStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
   test("wav decode: malformed payloads report valid=false, never throw or lie") {
     val ok = Multimodal.wavBytes("hello world", 96)
     assert(graft.plans.GraftHashOps.wavPcmStats(ok).getBoolean(0))
