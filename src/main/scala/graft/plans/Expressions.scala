@@ -432,6 +432,93 @@ object GraftHashOps {
       Array[Any](true, sampleRate, nChannels, bits, n.toLong, peak, s, sq))
   }
 
+  /** ITU-T G.711 µ-law byte -> 16-bit linear PCM (the canonical
+    * CCITT expansion: complement, 3-bit exponent segment, 4-bit
+    * mantissa, 0x84 bias). Output range ±32124. Pure integer math —
+    * the SQL oracle re-derives the identical value per sample with
+    * bitwise arithmetic, so the decode itself is oracle-checked.
+    */
+  def mulawToLinear(u: Int): Int = {
+    val x = ~u & 0xff
+    var t = ((x & 0x0f) << 3) + 0x84
+    t <<= (x & 0x70) >> 4
+    if ((x & 0x80) != 0) 0x84 - t else t - 0x84
+  }
+
+  /** ITU-T G.711 A-law byte -> 16-bit linear PCM (the canonical
+    * CCITT expansion: XOR 0x55 toggle-mask, segment/mantissa split,
+    * segment-0/1 special cases). Output range ±32256, sign bit SET
+    * means positive (the A-law convention, opposite of µ-law).
+    */
+  def alawToLinear(a: Int): Int = {
+    val x   = (a ^ 0x55) & 0xff
+    val seg = (x & 0x70) >> 4
+    var t   = (x & 0x0f) << 4
+    if (seg == 0) t += 8
+    else if (seg == 1) t += 0x108
+    else t = (t + 0x108) << (seg - 1)
+    if ((x & 0x80) != 0) t else -t
+  }
+
+  /** REAL (non-stub) COMPRESSED-audio decode for [[WavG711Stats]]:
+    * strict RIFF/WAVE parse of the canonical non-PCM layout (18-byte
+    * fmt chunk with cbSize=0, a fact chunk whose sample count must
+    * agree with the data size, 8-bit mono at block align 1), format
+    * tag 7 (µ-law) or 6 (A-law), then ONE linear pass expanding each
+    * log-companded byte through the G.711 tables above and
+    * accumulating EXACT integers — count, peak |s|, Σs, Σs²
+    * (|s| ≤ 32256 so Σs² stays far inside int64). G.711 is a real
+    * ITU codec (2:1 telephony compression) decodable with zero codec
+    * libraries — the first compressed AUDIO format past the declared
+    * stub line. Malformed payloads return valid=false with zeroed
+    * fields; the expression is total and codegen-friendly.
+    */
+  def g711Stats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    def magic(o: Int, s: String): Boolean =
+      payload.length >= o + 4 && s.indices.forall(i => payload(o + i) == s.charAt(i).toByte)
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0L, 0, 0L, 0L))
+    if (payload.length < 58 ||
+      !magic(0, "RIFF") || !magic(8, "WAVE") || !magic(12, "fmt ") ||
+      !magic(38, "fact") || !magic(50, "data")) return bad
+    val fmtSize    = le32(16)
+    val fmtTag     = le16(20)
+    val nChannels  = le16(22)
+    val sampleRate = le32(24).toInt
+    val blockAlign = le16(32)
+    val bits       = le16(34)
+    val cbSize     = le16(36)
+    val factSize   = le32(42)
+    val factN      = le32(46)
+    val dataSize   = le32(54)
+    // one code byte per sample, mono: any other layout would fold
+    // channels into the moments — reject rather than mislead
+    if (fmtSize != 18L || (fmtTag != 7 && fmtTag != 6) || nChannels != 1 ||
+      bits != 8 || blockAlign != 1 || cbSize != 0 || factSize != 4L ||
+      factN != dataSize || 58L + dataSize > payload.length) return bad
+    val n = dataSize.toInt
+    var i = 0
+    var peak = 0
+    var s    = 0L
+    var sq   = 0L
+    while (i < n) {
+      val v =
+        if (fmtTag == 7) mulawToLinear(payload(58 + i) & 0xff)
+        else alawToLinear(payload(58 + i) & 0xff)
+      val a = math.abs(v)
+      if (a > peak) peak = a
+      s += v
+      sq += v.toLong * v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, fmtTag, sampleRate, n.toLong, peak, s, sq))
+  }
+
   /** REAL (non-stub) uncompressed-BMP (24 bpp) decode for
     * [[BmpPixelStats]]: strict BITMAPFILEHEADER/BITMAPINFOHEADER
     * parse (magic, 54-byte data offset, header size 40, 1 plane,
@@ -631,6 +718,217 @@ object GraftHashOps {
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](true, width, height, width.toLong * height, sr, sg, sb, peak, luma))
+  }
+
+  /** REAL QOI decode for [[QoiPixelStats]] — the whole codec is
+    * implemented HERE (the JDK has no QOI support): the 14-byte
+    * header (magic, big-endian dims, channels, colorspace), then the
+    * chunk stream per the published QOI spec — OP_RGB/OP_RGBA full
+    * literals, OP_INDEX against the 64-entry running hash cache
+    * (hash = (3r+5g+7b+11a) mod 64), OP_DIFF 2-bit wrapping deltas,
+    * OP_LUMA green-anchored 6/4/4-bit deltas, OP_RUN up to 62 — with
+    * the cache updated after every decoded chunk exactly as the
+    * reference decoder does. Strict scope: the stream must produce
+    * exactly width·height pixels and be followed by exactly the
+    * 8-byte end marker at payload end; a run crossing the pixel
+    * count, a truncated chunk, or trailing bytes are malformed.
+    * Total function: valid=false, never a throw. Accumulates the
+    * same exact integer moments as the BMP/PNG/GIF twins (alpha
+    * participates in the cache hash but not the moments).
+    */
+  def qoiPixelStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0L, 0L, 0L, 0L, 0, 0L))
+    def u8(o: Int): Int = payload(o) & 0xff
+    if (payload.length < 14 + 8) return bad
+    if (u8(0) != 'q' || u8(1) != 'o' || u8(2) != 'i' || u8(3) != 'f') return bad
+    def be32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    val w = be32(4)
+    val h = be32(8)
+    val channels   = u8(12)
+    val colorspace = u8(13)
+    if (w <= 0 || h <= 0 || (channels != 3 && channels != 4) || colorspace > 1) return bad
+    if (h > 16777216L / w) return bad // pixel-count cap before any work
+    val nPix = (w * h).toInt
+    // running state: previous pixel and the 64-entry RGBA hash cache
+    var pr = 0; var pg = 0; var pb = 0; var pa = 255
+    val idx = new Array[Int](256) // 64 entries x 4 channels, flat
+    var off  = 14
+    var nOut = 0
+    var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0; var luma = 0L
+    def acc(n: Int): Unit = {
+      sr += pr.toLong * n; sg += pg.toLong * n; sb += pb.toLong * n
+      if (pr > peak) peak = pr
+      if (pg > peak) peak = pg
+      if (pb > peak) peak = pb
+      luma += (299L * pr + 587L * pg + 114L * pb) * n
+    }
+    while (nOut < nPix) {
+      if (off >= payload.length - 8) return bad // chunk would eat the end marker
+      val b0 = u8(off)
+      if (b0 == 0xfe) { // OP_RGB
+        if (off + 4 > payload.length - 8) return bad
+        pr = u8(off + 1); pg = u8(off + 2); pb = u8(off + 3)
+        off += 4; acc(1); nOut += 1
+      } else if (b0 == 0xff) { // OP_RGBA
+        if (off + 5 > payload.length - 8) return bad
+        pr = u8(off + 1); pg = u8(off + 2); pb = u8(off + 3); pa = u8(off + 4)
+        off += 5; acc(1); nOut += 1
+      } else (b0 >> 6) match {
+        case 0 => // OP_INDEX
+          val i = (b0 & 0x3f) * 4
+          pr = idx(i); pg = idx(i + 1); pb = idx(i + 2); pa = idx(i + 3)
+          off += 1; acc(1); nOut += 1
+        case 1 => // OP_DIFF, 2-bit deltas biased by 2, wrapping
+          pr = (pr + ((b0 >> 4) & 3) - 2) & 0xff
+          pg = (pg + ((b0 >> 2) & 3) - 2) & 0xff
+          pb = (pb + (b0 & 3) - 2) & 0xff
+          off += 1; acc(1); nOut += 1
+        case 2 => // OP_LUMA, green-anchored deltas, wrapping
+          if (off + 2 > payload.length - 8) return bad
+          val dg = (b0 & 0x3f) - 32
+          val b1 = u8(off + 1)
+          pr = (pr + dg + ((b1 >> 4) & 0xf) - 8) & 0xff
+          pg = (pg + dg) & 0xff
+          pb = (pb + dg + (b1 & 0xf) - 8) & 0xff
+          off += 2; acc(1); nOut += 1
+        case _ => // OP_RUN: 1..62 repeats of the previous pixel
+          val run = (b0 & 0x3f) + 1
+          if (run > 62 || nOut + run > nPix) return bad
+          off += 1; acc(run); nOut += run
+      }
+      // reference-decoder cache update after every chunk
+      val hp = ((3 * pr + 5 * pg + 7 * pb + 11 * pa) & 0x3f) * 4
+      idx(hp) = pr; idx(hp + 1) = pg; idx(hp + 2) = pb; idx(hp + 3) = pa
+    }
+    // exactly the 8-byte end marker (7x00, 01) and nothing after it
+    if (off != payload.length - 8) return bad
+    var i = 0
+    while (i < 7) { if (u8(off + i) != 0) return bad; i += 1 }
+    if (u8(off + 7) != 1) return bad
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, w.toInt, h.toInt, w * h, sr, sg, sb, peak, luma))
+  }
+
+  /** REAL ZIP archive decode for [[ZipArchiveStats]] — the container
+    * is implemented HERE per the published PKWARE APPNOTE layout
+    * (the raw-deflate layer is `java.util.zip.Inflater(nowrap)`):
+    * end-of-central-directory discovery by backward scan with the
+    * comment-length consistency rule, central-directory walk with
+    * exact framing (the walker must land on the EOCD's recorded
+    * size), per-entry local-header parse, and STREAMING-MODE
+    * correctness — sizes and CRC are taken from the CENTRAL
+    * directory, never the local header, because general-purpose
+    * bit 3 writers (the JDK's own ZipOutputStream among them) leave
+    * local sizes zeroed and append data descriptors. Each entry is
+    * fully decompressed (stored and deflate methods), must inflate
+    * to EXACTLY the recorded size from EXACTLY the recorded
+    * compressed bytes, and must match its recorded CRC-32. Per-entry
+    * and total size caps (16 MiB / 64 MiB) bound hostile zip bombs
+    * before allocation. Total function: valid=false, never a throw.
+    * Accumulates exact integers: entry count, total uncompressed
+    * bytes, Σ byte values (unsigned) over all decompressed content,
+    * and the largest entry.
+    */
+  def zipStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0L, 0L, 0L))
+    def u8(o: Int): Int = payload(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def le32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    if (payload.length < 22) return bad
+    // EOCD: backward scan; a candidate is real when its comment
+    // length runs exactly to payload end (APPNOTE 4.3.16)
+    var eocd = -1
+    var scan = payload.length - 22
+    val scanFloor = math.max(0, payload.length - 22 - 65535)
+    while (eocd < 0 && scan >= scanFloor) {
+      if (u8(scan) == 0x50 && u8(scan + 1) == 0x4b && u8(scan + 2) == 0x05 && u8(scan + 3) == 0x06 &&
+        scan + 22 + le16(scan + 20) == payload.length) eocd = scan
+      scan -= 1
+    }
+    if (eocd < 0) return bad
+    val nHere  = le16(eocd + 8)
+    val nTotal = le16(eocd + 10)
+    val cdSize = le32(eocd + 12)
+    val cdOff  = le32(eocd + 16)
+    // single-disk archives only; the central directory must end
+    // exactly where the EOCD begins (canonical layout)
+    if (le16(eocd + 4) != 0 || le16(eocd + 6) != 0 || nHere != nTotal ||
+      cdOff < 0 || cdSize < 0 || cdOff + cdSize != eocd) return bad
+    var off = cdOff.toInt
+    val cdEnd = (cdOff + cdSize).toInt
+    var n = 0
+    var totalBytes = 0L
+    var sumBytes   = 0L
+    var maxEntry   = 0L
+    val crc = new java.util.zip.CRC32()
+    while (n < nTotal) {
+      if (off + 46 > cdEnd) return bad
+      if (le32(off) != 0x02014b50L) return bad
+      val method   = le16(off + 10)
+      val wantCrc  = le32(off + 16)
+      val csize    = le32(off + 20)
+      val usize    = le32(off + 24)
+      val nameLen  = le16(off + 28)
+      val extraLen = le16(off + 30)
+      val cmtLen   = le16(off + 32)
+      val diskNo   = le16(off + 34)
+      val localOff = le32(off + 42)
+      // ZIP64 marker values are out of scope — reject, don't guess
+      if (diskNo != 0 || csize == 0xffffffffL || usize == 0xffffffffL ||
+        localOff == 0xffffffffL) return bad
+      if (usize > 16777216L || totalBytes + usize > 67108864L) return bad
+      if (method != 0 && method != 8) return bad
+      if (method == 0 && csize != usize) return bad
+      // local header: sig + its OWN name/extra lengths locate the
+      // data; sizes/CRC there are untrustworthy under bit 3
+      if (localOff < 0 || localOff + 30 > eocd) return bad
+      val lo = localOff.toInt
+      if (le32(lo) != 0x04034b50L) return bad
+      val dataOff = lo + 30 + le16(lo + 26) + le16(lo + 28)
+      if (dataOff + csize > eocd) return bad
+      val out = new Array[Byte](usize.toInt)
+      if (method == 0) {
+        System.arraycopy(payload, dataOff, out, 0, usize.toInt)
+      } else {
+        val inf = new java.util.zip.Inflater(true)
+        try {
+          inf.setInput(payload, dataOff, csize.toInt)
+          var got = 0
+          while (got < usize.toInt && !inf.finished()) {
+            val k = inf.inflate(out, got, usize.toInt - got)
+            if (k == 0 && (inf.needsInput() || inf.needsDictionary())) return bad
+            got += k
+          }
+          if (got != usize.toInt) return bad
+          // the stream must end exactly at the recorded sizes: a
+          // longer plaintext or unconsumed compressed bytes mean the
+          // directory lies
+          val probe = new Array[Byte](1)
+          if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return bad
+          if (inf.getBytesRead != csize) return bad
+        } catch {
+          case _: java.util.zip.DataFormatException => return bad
+        } finally inf.end()
+      }
+      crc.reset()
+      crc.update(out, 0, out.length)
+      if (crc.getValue != wantCrc) return bad
+      totalBytes += usize
+      if (usize > maxEntry) maxEntry = usize
+      var i = 0
+      while (i < out.length) { sumBytes += out(i) & 0xff; i += 1 }
+      off += 46 + nameLen + extraLen + cmtLen
+      n += 1
+    }
+    if (off != cdEnd) return bad // framing: the walk must consume the directory exactly
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, nTotal, totalBytes, sumBytes, maxEntry))
   }
 
   /** REAL GIF decode for [[GifPixelStats]] — the LZW layer is
@@ -1114,6 +1412,56 @@ case class PngPixelStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PngPixelStats = copy(child = newChild)
 }
 
+/** REAL ZIP archive decode + exact content moments in one scan-stage
+  * pass — EOCD discovery, central-directory walk, local-header
+  * parse, stored + raw-deflate entries, per-entry CRC-32
+  * verification, streaming-mode (bit 3) correctness (see
+  * [[GraftHashOps.zipStats]]). Total function: malformed payloads
+  * yield valid=false, never null.
+  */
+case class ZipArchiveStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ZipArchiveStats.schema
+  override def prettyName: String = "graft_zip_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.zipStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.zipStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ZipArchiveStats = copy(child = newChild)
+}
+
+object ZipArchiveStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_entries", IntegerType, nullable = false),
+    StructField("total_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("max_entry_bytes", LongType, nullable = false)))
+}
+
+/** REAL QOI decode + exact pixel moments in one scan-stage pass —
+  * the ENTIRE codec (header, OP_RGB/RGBA/INDEX/DIFF/LUMA/RUN chunk
+  * stream, 64-entry running hash cache, end-marker framing) is
+  * implemented in-repo per the published QOI spec; the JDK has no
+  * QOI support (see [[GraftHashOps.qoiPixelStats]]). Total function:
+  * malformed payloads yield valid=false, never null. Same output
+  * schema as the BMP/PNG/GIF twins.
+  */
+case class QoiPixelStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixelStats.schema
+  override def prettyName: String = "graft_qoi_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.qoiPixelStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.qoiPixelStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): QoiPixelStats = copy(child = newChild)
+}
+
 /** REAL GIF decode + exact pixel moments in one scan-stage pass —
   * the LZW layer is implemented in-repo (variable-width codes,
   * dictionary growth, KwKwK case; see [[GraftHashOps.gifPixelStats]])
@@ -1163,6 +1511,38 @@ object WavPcmStats {
     StructField("sum_sq", LongType, nullable = false)))
 }
 
+/** REAL ITU-T G.711 (µ-law fmt 7 / A-law fmt 6) compressed-audio
+  * decode + exact sample moments in one scan-stage pass (see
+  * [[GraftHashOps.g711Stats]]). The companding expansion is pure
+  * integer math, so the SQL oracle re-derives every decoded sample
+  * bitwise — the decode itself is oracle-checked, not just the
+  * container parse. Total function: malformed payloads yield
+  * valid=false, never null.
+  */
+case class WavG711Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = WavG711Stats.schema
+  override def prettyName: String = "graft_g711_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.g711Stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.g711Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WavG711Stats = copy(child = newChild)
+}
+
+object WavG711Stats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("fmt_tag", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak_abs", IntegerType, nullable = false),
+    StructField("sum_s", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false)))
+}
+
 /** Runtime registration (Verify/Bench path) and a
   * SparkSessionExtensions hook for cluster deployments
   * (--conf spark.sql.extensions=graft.plans.GraftExtensions).
@@ -1188,12 +1568,18 @@ object GraftFunctions {
       "returns struct(n_bytes, distinct_bytes, top_byte, top_count, entropy) of a binary payload"),
     ("graft_wav_stats", (es: Seq[Expression]) => WavPcmStats(es.head),
       "returns struct(valid, sample_rate, n_channels, bits, n_samples, peak_abs, sum_s, sum_sq) of a RIFF/WAVE PCM16 payload"),
+    ("graft_g711_stats", (es: Seq[Expression]) => WavG711Stats(es.head),
+      "returns struct(valid, fmt_tag, sample_rate, n_samples, peak_abs, sum_s, sum_sq) of a RIFF/WAVE G.711 mu-law/A-law payload"),
     ("graft_bmp_stats", (es: Seq[Expression]) => BmpPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an uncompressed 24bpp BMP payload"),
     ("graft_png_stats", (es: Seq[Expression]) => PngPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an RGB8 non-interlaced PNG payload"),
     ("graft_gif_stats", (es: Seq[Expression]) => GifPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a single-image non-interlaced GIF payload"),
+    ("graft_qoi_stats", (es: Seq[Expression]) => QoiPixelStats(es.head),
+      "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a QOI payload"),
+    ("graft_zip_stats", (es: Seq[Expression]) => ZipArchiveStats(es.head),
+      "returns struct(valid, n_entries, total_bytes, sum_bytes, max_entry_bytes) of a ZIP archive payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

@@ -767,6 +767,283 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("zip decode: the JDK's own ZipInputStream agrees with ZipArchiveStats on generated payloads") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val recs = Multimodal.zipFromDocuments(docs).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { rec =>
+      val zis = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(rec.payload))
+      var n = 0; var total = 0L; var sum = 0L; var maxE = 0L
+      var e = zis.getNextEntry
+      val names = scala.collection.mutable.ArrayBuffer[String]()
+      while (e != null) {
+        val content = zis.readAllBytes()
+        names += e.getName
+        n += 1; total += content.length; maxE = math.max(maxE, content.length.toLong)
+        content.foreach(b => sum += b & 0xff)
+        e = zis.getNextEntry
+      }
+      assert(names.toSeq === Seq("a.txt", "b.txt"))
+      val row = graft.plans.GraftHashOps.zipStats(rec.payload)
+      assert(row.getBoolean(0), s"parser rejected a JDK-valid ZIP on media ${rec.media_id}")
+      assert(row.getInt(1) === n)
+      assert(row.getLong(2) === total, s"total bytes disagree on media ${rec.media_id}")
+      assert(row.getLong(3) === sum, s"content byte-sum disagrees on media ${rec.media_id}")
+      assert(row.getLong(4) === maxE)
+    }
+  }
+
+  test("zip decode: stored-method entries decode through the uncompressed path") {
+    val content = "stored entry content, no deflate".getBytes("US-ASCII")
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    val e   = new java.util.zip.ZipEntry("s.txt")
+    e.setMethod(java.util.zip.ZipEntry.STORED)
+    e.setSize(content.length)
+    e.setCompressedSize(content.length)
+    val crc = new java.util.zip.CRC32(); crc.update(content)
+    e.setCrc(crc.getValue)
+    e.setTime(0L)
+    zos.putNextEntry(e); zos.write(content); zos.closeEntry(); zos.close()
+    val row = graft.plans.GraftHashOps.zipStats(bos.toByteArray)
+    assert(row.getBoolean(0), "rejected a stored-method archive")
+    assert(row.getInt(1) === 1 && row.getLong(2) === content.length.toLong)
+    assert(row.getLong(3) === content.map(b => (b & 0xff).toLong).sum)
+  }
+
+  test("zip decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.zipBytes("hello world zip fixture with enough text to split", 256)
+    assert(graft.plans.GraftHashOps.zipStats(ok).getBoolean(0))
+    // first entry's data offset from ITS local header (30 + name + extra)
+    def le16(b: Array[Byte], o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    val dataOff = 30 + le16(ok, 26) + le16(ok, 28)
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(ok.length - 3),                                // truncated EOCD
+      { val b = ok.clone(); b(dataOff + 2) = (b(dataOff + 2) ^ 0x55).toByte; b }, // flipped data byte -> CRC/inflate fail
+      { val b = ok.clone(); b(b.length - 12) = 9; b },       // EOCD entry count lies
+      { val b = ok.clone(); b(b.length - 6) = (b(b.length - 6) + 1).toByte; b }) // CD offset lies
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.zipStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+    // an unsupported compression method in the central directory is
+    // rejected, not guessed at: find the first CD header and poke it
+    val sig = Array[Byte](0x50, 0x4b, 1, 2)
+    val cd  = ok.indices.find(i => i + 4 <= ok.length && sig.indices.forall(k => ok(i + k) == sig(k))).get
+    val badMethod = ok.clone(); badMethod(cd + 10) = 99.toByte
+    assert(!graft.plans.GraftHashOps.zipStats(badMethod).getBoolean(0), "accepted method 99")
+    // a usize lie in the central directory fails the exact-size rule
+    val badSize = ok.clone(); badSize(cd + 24) = (badSize(cd + 24) + 1).toByte
+    assert(!graft.plans.GraftHashOps.zipStats(badSize).getBoolean(0), "accepted a lying usize")
+  }
+
+  test("qoi decode: round-trips the reference-algorithm encoder on generated payloads, all op types exercised") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(200)
+    val recs = Multimodal.qoiFromDocuments(docs).collect()
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(recs.nonEmpty)
+    // walk the chunk stream to census op types (chunk lengths are
+    // fully determined by the tag byte)
+    val ops = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    recs.foreach { rec =>
+      var off = 14
+      while (off < rec.payload.length - 8) {
+        val b0 = rec.payload(off) & 0xff
+        if (b0 == 0xfe) { ops("rgb") += 1; off += 4 }
+        else if (b0 == 0xff) { ops("rgba") += 1; off += 5 }
+        else (b0 >> 6) match {
+          case 0 => ops("index") += 1; off += 1
+          case 1 => ops("diff") += 1; off += 1
+          case 2 => ops("luma") += 1; off += 2
+          case _ => ops("run") += 1; off += 1
+        }
+      }
+      assert(off === rec.payload.length - 8, s"chunk walk misaligned on media ${rec.media_id}")
+      // decoded moments must equal the text-derived expectation
+      val text = texts(rec.media_id)
+      val l = math.min(120, text.length)
+      def ch(j: Int): Int = if (l == 0) 0 else text.charAt(j % l) & 0x7f
+      var sr = 0L; var sg = 0L; var sb = 0L; var peak = 0
+      (0 until 40).foreach { p =>
+        val r = ch(3 * p); val g = ch(3 * p + 1); val b = ch(3 * p + 2)
+        sr += r; sg += g; sb += b
+        peak = math.max(peak, math.max(r, math.max(g, b)))
+      }
+      val row = graft.plans.GraftHashOps.qoiPixelStats(rec.payload)
+      assert(row.getBoolean(0), s"decoder rejected its own encoder on media ${rec.media_id}")
+      assert(row.getInt(1) === 8 && row.getInt(2) === 5 && row.getLong(3) === 40L)
+      assert(row.getLong(4) === sr && row.getLong(5) === sg && row.getLong(6) === sb,
+        s"channel sums disagree with the text rule on media ${rec.media_id}")
+      assert(row.getInt(7) === peak)
+    }
+    // real text must drive the stateful encoder paths: index hits
+    // (recurring colors), green-anchored deltas, literals. RUN and
+    // DIFF need consecutive triples equal / within ±2 per channel —
+    // rare in natural text — so those paths get constructed fixtures
+    // below.
+    Seq("index", "luma", "rgb").foreach { k =>
+      assert(ops(k) > 0, s"op $k never emitted across the corpus — encoder not exercising the decoder")
+    }
+    def census(payload: Array[Byte]): Map[String, Int] = {
+      val m = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      var off = 14
+      while (off < payload.length - 8) {
+        val b0 = payload(off) & 0xff
+        if (b0 == 0xfe) { m("rgb") += 1; off += 4 }
+        else if (b0 == 0xff) { m("rgba") += 1; off += 5 }
+        else (b0 >> 6) match {
+          case 0 => m("index") += 1; off += 1
+          case 1 => m("diff") += 1; off += 1
+          case 2 => m("luma") += 1; off += 2
+          case _ => m("run") += 1; off += 1
+        }
+      }
+      m.toMap.withDefaultValue(0)
+    }
+    // ascending triples "AAABBBCCC...": every step is (+1,+1,+1) -> OP_DIFF
+    val diffPayload = Multimodal.qoiBytes((0 until 40).flatMap(p => Seq.fill(3)(('A' + p).toChar)).mkString, 120)
+    assert(census(diffPayload)("diff") === 39, "ascending-triple image must be 39 DIFF ops")
+    val drow = graft.plans.GraftHashOps.qoiPixelStats(diffPayload)
+    assert(drow.getBoolean(0) && drow.getLong(4) === (0 until 40).map(p => ('A' + p).toLong).sum)
+    // single-char text: every pixel is (97,97,97) -> one literal,
+    // then a 39-pixel run; decode must agree exactly
+    val runPayload = Multimodal.qoiBytes("a", 120)
+    assert(census(runPayload)("run") > 0, "single-char image must emit OP_RUN")
+    val rrow = graft.plans.GraftHashOps.qoiPixelStats(runPayload)
+    assert(rrow.getBoolean(0) && rrow.getLong(4) === 97L * 40 && rrow.getInt(7) === 97)
+  }
+
+  test("qoi decode: hand-built vector exercises OP_RGBA and the alpha-keyed hash cache") {
+    // 2x2 RGBA image: RGB(10,20,30) -> RGBA(10,20,30,128) ->
+    // INDEX(slot of the FIRST pixel, alpha 255) -> LUMA delta.
+    // hash(10,20,30,255) = (30+100+210+2805) & 63 = 9
+    // hash(10,20,30,128) = (30+100+210+1408) & 63 = 20
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write("qoif".getBytes("US-ASCII"), 0, 4)
+    Seq(0, 0, 0, 2, 0, 0, 0, 2).foreach(bos.write) // 2x2 BE dims
+    bos.write(4); bos.write(0)                     // RGBA, sRGB
+    Seq(0xfe, 10, 20, 30).foreach(bos.write)       // OP_RGB
+    Seq(0xff, 10, 20, 30, 128).foreach(bos.write)  // OP_RGBA (alpha change)
+    bos.write(9)                                   // OP_INDEX -> (10,20,30,255)
+    bos.write(0x80 | (5 + 32)); bos.write(((2 + 8) << 4) | (7 + 8)) // LUMA dg=5 dr=7 db=12
+    (0 until 7).foreach(_ => bos.write(0)); bos.write(1)
+    val row = graft.plans.GraftHashOps.qoiPixelStats(bos.toByteArray)
+    assert(row.getBoolean(0), "rejected a spec-valid RGBA stream")
+    assert(row.getInt(1) === 2 && row.getInt(2) === 2)
+    // pixels: (10,20,30) x3, then (17,25,42)
+    assert(row.getLong(4) === 10L * 3 + 17)
+    assert(row.getLong(5) === 20L * 3 + 25)
+    assert(row.getLong(6) === 30L * 3 + 42)
+    assert(row.getInt(7) === 42)
+  }
+
+  test("qoi decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.qoiBytes("hello world qoi fixture text", 120)
+    assert(graft.plans.GraftHashOps.qoiPixelStats(ok).getBoolean(0))
+    def tiny(ops: Seq[Int], w: Int = 2, h: Int = 2, marker: Boolean = true): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write("qoif".getBytes("US-ASCII"), 0, 4)
+      Seq(0, 0, 0, w, 0, 0, 0, h).foreach(bos.write)
+      bos.write(3); bos.write(0)
+      ops.foreach(bos.write)
+      if (marker) { (0 until 7).foreach(_ => bos.write(0)); bos.write(1) }
+      bos.toByteArray
+    }
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(13),                                      // truncated header
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },     // wrong magic
+      { val b = ok.clone(); b(12) = 2; b },             // channels=2
+      { val b = ok.clone(); b(b.length - 1) = 2; b },   // wrong end marker
+      ok ++ Array(0.toByte),                            // trailing byte
+      tiny(Seq(0xc0 | 61)),                             // run 62 overflows 4 px
+      tiny(Seq(0xfe, 1, 2)),                            // truncated RGB chunk
+      tiny(Seq(0xfe, 1, 2, 3)),                         // stream ends at 1 of 4 px
+      tiny(Seq(0xfe, 1, 2, 3, 0xc0 | 3)))               // 5 px for a 4 px image
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.qoiPixelStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+    // a zero dimension is malformed even with an empty stream
+    assert(!graft.plans.GraftHashOps.qoiPixelStats(tiny(Seq.empty, w = 0, h = 2)).getBoolean(0))
+  }
+
+  test("g711 decode: expansion tables hit the published ITU anchor values") {
+    import graft.plans.GraftHashOps.{alawToLinear, mulawToLinear}
+    // µ-law: 0x00 is max negative, 0x80 max positive, 0x7F/0xFF both zero
+    assert(mulawToLinear(0x00) === -32124)
+    assert(mulawToLinear(0x80) === 32124)
+    assert(mulawToLinear(0x7f) === 0)
+    assert(mulawToLinear(0xff) === 0)
+    // A-law: 0x55 is -8 (smallest magnitude), 0x2A max negative 32256
+    assert(alawToLinear(0x55) === -8)
+    assert(alawToLinear(0xd5) === 8)
+    assert(alawToLinear(0x2a) === -32256)
+    assert(alawToLinear(0xaa) === 32256)
+    // both expansions are odd-symmetric under their sign-bit flip
+    (0 until 128).foreach { i =>
+      assert(mulawToLinear(i) === -mulawToLinear(i | 0x80), s"mu $i")
+      assert(alawToLinear(i | 0x80) === -alawToLinear(i), s"a $i")
+    }
+  }
+
+  test("g711 decode: the JDK's own ULAW/ALAW converters agree with WavG711Stats") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    Seq("mulaw" -> 7, "alaw" -> 6).foreach { case (law, tag) =>
+      val recs = Multimodal.g711FromDocuments(docs, law).collect()
+      assert(recs.nonEmpty)
+      recs.foreach { rec =>
+        val in  = new java.io.ByteArrayInputStream(rec.payload)
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(in)
+        val fmt = ais.getFormat
+        val expEnc =
+          if (law == "mulaw") javax.sound.sampled.AudioFormat.Encoding.ULAW
+          else javax.sound.sampled.AudioFormat.Encoding.ALAW
+        assert(fmt.getEncoding === expEnc, s"media ${rec.media_id}")
+        assert(fmt.getSampleRate === 8000f && fmt.getChannels === 1 && fmt.getSampleSizeInBits === 8)
+        // JDK-converted linear PCM must match our expansion exactly
+        val pcmFmt = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+        val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(pcmFmt, ais)
+        val buf = pcm.readAllBytes()
+        val jdk = (0 until buf.length / 2).map { i =>
+          ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+        }
+        val row = graft.plans.GraftHashOps.g711Stats(rec.payload)
+        assert(row.getBoolean(0), s"parser rejected a JDK-valid $law WAV")
+        assert(row.getInt(1) === tag)
+        assert(row.getLong(3) === jdk.length.toLong)
+        if (jdk.nonEmpty) {
+          assert(row.getInt(4) === jdk.map(math.abs).max, s"$law peak disagrees with the JDK codec")
+          assert(row.getLong(5) === jdk.map(_.toLong).sum, s"$law sum disagrees with the JDK codec")
+          assert(row.getLong(6) === jdk.map(s => s.toLong * s).sum, s"$law sumsq disagrees")
+        }
+      }
+    }
+  }
+
+  test("g711 decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.g711Bytes("hello world g711 fixture", 96, 7)
+    assert(graft.plans.GraftHashOps.g711Stats(ok).getBoolean(0))
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(57),                                      // truncated header
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },     // wrong RIFF magic
+      { val b = ok.clone(); b(20) = 1; b },             // PCM tag in the non-PCM layout
+      { val b = ok.clone(); b(34) = 16; b },            // 16-bit (G.711 is 8)
+      { val b = ok.clone(); b(22) = 2; b },             // stereo
+      { val b = ok.clone(); b(46) = (b(46) + 1).toByte; b }, // fact count != data size
+      { val b = ok.clone(); b(54) = (b(54) + 64).toByte; b }) // dataSize past payload
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.g711Stats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+    // a PCM16 WAV is not a G.711 WAV and vice versa
+    assert(!graft.plans.GraftHashOps.g711Stats(Multimodal.wavBytes("hello", 96)).getBoolean(0))
+    assert(!graft.plans.GraftHashOps.wavPcmStats(ok).getBoolean(0))
+  }
+
   test("binary chunkDedupStats: counts bounded by payload size, exact dups share every chunk") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf)
