@@ -1090,6 +1090,10 @@ object SparkEntry {
       Multimodal
         .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_targz_stats" -> ((s, dir) =>
+      Multimodal
+        .targzStats(Multimodal.targzFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_zip_stats" -> ((s, dir) =>
       Multimodal
         .zipStats(Multimodal.zipFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7115,6 +7119,25 @@ object SparkEntry {
         |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
         |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
         |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, tar.gz: the oracle re-derives chunk
+    // count (100-char parts over the leading 256 chars, one empty
+    // part for empty text), sizes, and the content byte-sum from
+    // TEXT — the bytes on disk are an in-repo USTAR archive behind
+    // the JDK's gzip, so a decoder with the octal fields, header
+    // checksum, block padding, or RFC 1952 trailer handling wrong
+    // cannot agree
+    "q_targz_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(256, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid,
+        |  CASE WHEN n = 0 THEN 1 ELSE CAST(ceil(n / 100.0) AS INT) END AS n_entries,
+        |  CAST(n AS BIGINT) AS total_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(least(n, 100) AS BIGINT) AS max_entry_bytes
+        |FROM s ORDER BY media_id""".stripMargin,
     // independent derivation, ZIP: the oracle re-derives entry
     // count, uncompressed sizes, and the content byte-sum from TEXT
     // (two entries split at n/2 over the leading 256 chars; the

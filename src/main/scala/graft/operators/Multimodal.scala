@@ -409,6 +409,90 @@ object Multimodal {
         col("zs.max_entry_bytes").as("max_entry_bytes"))
   }
 
+  /** Wrap text documents as VALID gzipped USTAR archives
+    * (.tar.gz): the leading `maxChars` characters split into
+    * 100-char chunk files ("part0.txt", "part1.txt", ... — one
+    * empty part for empty text), written by the in-repo ustar
+    * writer (octal fields, header checksums, 512-byte blocking, two
+    * zero-block terminator) and compressed by the JDK's own
+    * GZIPOutputStream — an INDEPENDENT gzip encoder, so the decoder's
+    * RFC 1952 layer is exercised against bytes it did not produce.
+    * The oracle re-derives chunk count, sizes, and the content
+    * byte-sum from the TEXT.
+    */
+  def targzFromDocuments(documents: DataFrame, maxChars: Int = 256): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "targz", targzBytes(text, maxChars))
+    }
+  }
+
+  /** In-repo USTAR writer (the decoder's independent counterpart is
+    * the JDK's gzip layer; no JDK tar utility exists) + JDK gzip.
+    */
+  private[graft] def targzBytes(text: String, maxChars: Int): Array[Byte] = {
+    val n = math.min(maxChars, text.length)
+    val chunks: Seq[String] =
+      if (n == 0) Seq("")
+      else (0 until n by 100).map(o => text.substring(o, math.min(o + 100, n)))
+    val tar = new java.io.ByteArrayOutputStream()
+    chunks.zipWithIndex.foreach { case (content, ci) =>
+      val hdr = new Array[Byte](512)
+      def putStr(o: Int, s: String): Unit = {
+        val b = s.getBytes("US-ASCII"); System.arraycopy(b, 0, hdr, o, b.length)
+      }
+      def putOctal(o: Int, len: Int, v: Long): Unit =
+        putStr(o, ("%0" + (len - 1) + "o").format(v)) // NUL-terminated by the zero fill
+      putStr(0, s"part$ci.txt")
+      putOctal(100, 8, 420)                 // mode 0644
+      putOctal(108, 8, 0); putOctal(116, 8, 0) // uid/gid
+      putOctal(124, 12, content.length.toLong)
+      putOctal(136, 12, 0L)                 // mtime
+      java.util.Arrays.fill(hdr, 148, 156, ' '.toByte) // chksum as spaces first
+      hdr(156) = '0'.toByte                 // regular file
+      putStr(257, "ustar"); putStr(263, "00")
+      var s = 0L
+      hdr.foreach(b => s += b & 0xff)
+      putStr(148, "%06o".format(s))         // "%06o\0 " layout
+      hdr(154) = 0; hdr(155) = ' '.toByte
+      tar.write(hdr, 0, 512)
+      val data = content.getBytes("US-ASCII")
+      tar.write(data, 0, data.length)
+      val pad = (512 - data.length % 512) % 512
+      tar.write(new Array[Byte](pad), 0, pad)
+    }
+    tar.write(new Array[Byte](1024), 0, 1024) // two-zero-block terminator
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz  = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(tar.toByteArray)
+    gz.close()
+    bos.toByteArray
+  }
+
+  /** REAL (non-stub) layered-container decode: RFC 1952 gzip member
+    * parse (magic/flags, optional-field skipping, CRC-32 + ISIZE
+    * trailer verification against the decompressed bytes) + strict
+    * USTAR tar walk (octal fields, header-checksum verification,
+    * block padding, two-zero-block terminator) via the codegen'd
+    * [[graft.plans.TarGzStats]] expression — one pass per payload in
+    * the scan stage. The .tar.gz shard is THE delivery format of
+    * web-scale text corpora; the decode is oracle-checked through
+    * text-derived chunk sizes and content byte-sums. Malformed
+    * payloads report valid=false.
+    */
+  def targzStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_targz_stats($payloadCol)").as("ts"))
+      .select(col(idCol),
+        col("ts.valid").as("valid"),
+        col("ts.n_entries").as("n_entries"),
+        col("ts.total_bytes").as("total_bytes"),
+        col("ts.sum_bytes").as("sum_bytes"),
+        col("ts.max_entry_bytes").as("max_entry_bytes"))
+  }
+
   /** Wrap text documents as VALID QOI images (8x5 px, RGB, alpha
     * 255): pixel (x, y) top-down takes channel values r,g,b =
     * (c_j & 0x7f) for j = 3·(y·8+x)+ch cycled over the text's

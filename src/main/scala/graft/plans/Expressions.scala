@@ -931,6 +931,152 @@ object GraftHashOps {
       Array[Any](true, nTotal, totalBytes, sumBytes, maxEntry))
   }
 
+  /** REAL tar.gz decode for [[TarGzStats]] — both container layers
+    * implemented HERE (the raw-deflate core is
+    * `java.util.zip.Inflater(nowrap)`): the GZIP member format per
+    * RFC 1952 — magic, CM=8, FLG bit handling with proper skipping
+    * of the OPTIONAL FEXTRA/FNAME/FCOMMENT/FHCRC fields, then the
+    * deflate body, then the 8-byte trailer whose CRC-32 and ISIZE
+    * are both VERIFIED against the decompressed bytes (single
+    * member, nothing after the trailer) — and the USTAR tar format —
+    * 512-byte headers with octal size fields, the header CHECKSUM
+    * verified (sum over the header with the checksum field read as
+    * spaces), regular-file entries only, content padded to block
+    * size, terminated by two zero blocks at exactly the archive end.
+    * A 64 MiB decompressed cap bounds hostile bombs before
+    * allocation. Total function: valid=false, never a throw. Same
+    * output shape as the ZIP twin: entry count, total content bytes,
+    * Σ byte values, largest entry.
+    */
+  def targzStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0L, 0L, 0L))
+    def u8(o: Int): Int = payload(o) & 0xff
+    if (payload.length < 18) return bad // header 10 + empty deflate + trailer 8
+    if (u8(0) != 0x1f || u8(1) != 0x8b || u8(2) != 8) return bad
+    val flg = u8(3)
+    if ((flg & 0xe0) != 0) return bad // reserved FLG bits must be zero (RFC 1952)
+    var off = 10
+    if ((flg & 4) != 0) { // FEXTRA: 2-byte LE length + payload
+      if (off + 2 > payload.length) return bad
+      off += 2 + (u8(off) | (u8(off + 1) << 8))
+    }
+    if ((flg & 8) != 0) { // FNAME: NUL-terminated
+      while (off < payload.length && payload(off) != 0) off += 1
+      off += 1
+    }
+    if ((flg & 16) != 0) { // FCOMMENT: NUL-terminated
+      while (off < payload.length && payload(off) != 0) off += 1
+      off += 1
+    }
+    if ((flg & 2) != 0) off += 2 // FHCRC: 2-byte header CRC (presence-checked only)
+    if (off >= payload.length - 8) return bad
+    // inflate the deflate body with a bounded growing buffer
+    val inf = new java.util.zip.Inflater(true)
+    var tar: Array[Byte] = null
+    var tarLen = 0
+    try {
+      inf.setInput(payload, off, payload.length - off)
+      var buf = new Array[Byte](math.min(1 << 16, 67108864))
+      while (!inf.finished()) {
+        if (tarLen == buf.length) {
+          if (buf.length >= 67108864) return bad // decompressed cap
+          buf = java.util.Arrays.copyOf(buf, math.min(buf.length * 2, 67108864))
+        }
+        val k = inf.inflate(buf, tarLen, buf.length - tarLen)
+        if (k == 0 && !inf.finished()) {
+          if (inf.needsInput() || inf.needsDictionary()) return bad // truncated body
+          if (tarLen < buf.length) return bad // zero progress with space left — refuse to spin
+        }
+        tarLen += k
+      }
+      // the trailer must be EXACTLY the 8 bytes after the deflate
+      // stream: CRC-32 then ISIZE, both over the decompressed bytes
+      val trailerAt = off + inf.getBytesRead.toInt
+      if (trailerAt + 8 != payload.length) return bad
+      val crc = new java.util.zip.CRC32()
+      crc.update(buf, 0, tarLen)
+      def le32at(o: Int): Long =
+        (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      if (crc.getValue != le32at(trailerAt)) return bad
+      if ((tarLen & 0xffffffffL) != le32at(trailerAt + 4)) return bad
+      tar = buf
+    } catch {
+      case _: java.util.zip.DataFormatException => return bad
+    } finally inf.end()
+    // ---- USTAR walk over the decompressed archive ----
+    if (tarLen % 512 != 0 || tarLen < 1024) return bad
+    def zeroBlock(o: Int): Boolean = {
+      var i = 0
+      while (i < 512) { if (tar(o + i) != 0) return false; i += 1 }
+      true
+    }
+    def octal(o: Int, len: Int): Long = {
+      // NUL/space-terminated octal per POSIX; reject non-octal junk
+      var v = 0L
+      var i = o
+      val end = o + len
+      while (i < end && (tar(i) == ' '.toByte)) i += 1
+      var any = false
+      while (i < end && tar(i) != 0 && tar(i) != ' '.toByte) {
+        val c = tar(i) - '0'.toByte
+        if (c < 0 || c > 7) return -1L
+        v = v * 8 + c
+        any = true
+        i += 1
+      }
+      if (!any) -1L else v
+    }
+    var to = 0
+    var n = 0
+    var totalBytes = 0L
+    var sumBytes   = 0L
+    var maxEntry   = 0L
+    var ended = false
+    while (!ended) {
+      if (to + 512 > tarLen) return bad
+      if (zeroBlock(to)) {
+        // terminator: a SECOND zero block and then exactly EOF
+        if (to + 1024 != tarLen || !zeroBlock(to + 512)) return bad
+        ended = true
+      } else {
+        // header checksum: unsigned byte sum with the chksum field
+        // (148..155) read as ASCII spaces
+        val want = octal(to + 148, 8)
+        if (want < 0) return bad
+        var s = 0L
+        var i = 0
+        while (i < 512) {
+          s += (if (i >= 148 && i < 156) 32 else tar(to + i) & 0xff)
+          i += 1
+        }
+        if (s != want) return bad
+        val typeflag = tar(to + 156)
+        if (typeflag != '0'.toByte && typeflag != 0) return bad // regular files only
+        // ustar magic ("ustar\0" at 257) — strict, we only emit ustar
+        if (tar(to + 257) != 'u'.toByte || tar(to + 258) != 's'.toByte ||
+          tar(to + 259) != 't'.toByte || tar(to + 260) != 'a'.toByte ||
+          tar(to + 261) != 'r'.toByte || tar(to + 262) != 0) return bad
+        val size = octal(to + 124, 12)
+        if (size < 0 || size > 16777216L) return bad
+        val dataAt = to + 512
+        val padded = ((size + 511) / 512) * 512
+        if (dataAt + padded > tarLen) return bad
+        var j = 0
+        while (j < size.toInt) { sumBytes += tar(dataAt + j) & 0xff; j += 1 }
+        // padding must be zero — a lying size field cannot hide there
+        while (j < padded.toInt) { if (tar(dataAt + j) != 0) return bad; j += 1 }
+        totalBytes += size
+        if (size > maxEntry) maxEntry = size
+        n += 1
+        to = dataAt + padded.toInt
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, n, totalBytes, sumBytes, maxEntry))
+  }
+
   /** REAL GIF decode for [[GifPixelStats]] — the LZW layer is
     * implemented HERE (no JDK codec does GIF-LZW): variable-width
     * codes (LSB-first bit order), CLEAR/EOI handling, dictionary
@@ -1441,6 +1587,27 @@ object ZipArchiveStats {
     StructField("max_entry_bytes", LongType, nullable = false)))
 }
 
+/** REAL tar.gz decode + exact content moments in one scan-stage
+  * pass — RFC 1952 gzip member parse (optional-field skipping,
+  * CRC-32 + ISIZE trailer verification) over `Inflater(nowrap)`,
+  * then a strict USTAR walk with header-checksum verification (see
+  * [[GraftHashOps.targzStats]]). Total function: malformed payloads
+  * yield valid=false, never null. Same output schema as the ZIP
+  * twin.
+  */
+case class TarGzStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ZipArchiveStats.schema
+  override def prettyName: String = "graft_targz_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.targzStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.targzStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TarGzStats = copy(child = newChild)
+}
+
 /** REAL QOI decode + exact pixel moments in one scan-stage pass —
   * the ENTIRE codec (header, OP_RGB/RGBA/INDEX/DIFF/LUMA/RUN chunk
   * stream, 64-entry running hash cache, end-marker framing) is
@@ -1580,6 +1747,8 @@ object GraftFunctions {
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a QOI payload"),
     ("graft_zip_stats", (es: Seq[Expression]) => ZipArchiveStats(es.head),
       "returns struct(valid, n_entries, total_bytes, sum_bytes, max_entry_bytes) of a ZIP archive payload"),
+    ("graft_targz_stats", (es: Seq[Expression]) => TarGzStats(es.head),
+      "returns struct(valid, n_entries, total_bytes, sum_bytes, max_entry_bytes) of a gzipped USTAR archive payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

@@ -767,6 +767,100 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("targz decode: the JDK's own gzip reader agrees with TarGzStats on generated payloads") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf).limit(20)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val recs  = Multimodal.targzFromDocuments(docs).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { rec =>
+      // gzip layer cross-check: the JDK reader must accept the
+      // payload and yield a block-aligned tar
+      val gis = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(rec.payload))
+      val tar = gis.readAllBytes()
+      assert(tar.length % 512 === 0 && tar.length >= 1024)
+      val text = texts(rec.media_id)
+      val n = math.min(256, text.length)
+      val expEntries = if (n == 0) 1 else (n + 99) / 100
+      val row = graft.plans.GraftHashOps.targzStats(rec.payload)
+      assert(row.getBoolean(0), s"parser rejected its own archive on media ${rec.media_id}")
+      assert(row.getInt(1) === expEntries)
+      assert(row.getLong(2) === n.toLong)
+      assert(row.getLong(3) === text.take(n).map(c => (c & 0xff).toLong).sum,
+        s"content byte-sum disagrees on media ${rec.media_id}")
+      assert(row.getLong(4) === (if (n == 0) 0L else math.min(n, 100).toLong))
+    }
+  }
+
+  test("targz decode: RFC 1952 optional header fields are skipped correctly") {
+    val plain = Multimodal.targzBytes("optional gzip fields fixture text", 256)
+    val tar   = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(plain)).readAllBytes()
+    // rebuild the member with FEXTRA+FNAME+FCOMMENT+FHCRC all set
+    val bos = new java.io.ByteArrayOutputStream()
+    val hdr = new java.io.ByteArrayOutputStream()
+    Seq(0x1f, 0x8b, 8, 2 | 4 | 8 | 16, 0, 0, 0, 0, 0, 255).foreach(hdr.write)
+    hdr.write(3); hdr.write(0); hdr.write('x'); hdr.write('y'); hdr.write('z') // FEXTRA len 3
+    "name.tar".getBytes("US-ASCII").foreach(b => hdr.write(b)); hdr.write(0)   // FNAME
+    "a comment".getBytes("US-ASCII").foreach(b => hdr.write(b)); hdr.write(0)  // FCOMMENT
+    val hcrc = new java.util.zip.CRC32(); hcrc.update(hdr.toByteArray)
+    hdr.write((hcrc.getValue & 0xff).toInt); hdr.write(((hcrc.getValue >> 8) & 0xff).toInt) // FHCRC
+    bos.write(hdr.toByteArray)
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    defl.setInput(tar); defl.finish()
+    val zb = new Array[Byte](tar.length + 64)
+    var zl = 0
+    while (!defl.finished()) zl += defl.deflate(zb, zl, zb.length - zl)
+    defl.end()
+    bos.write(zb, 0, zl)
+    val crc = new java.util.zip.CRC32(); crc.update(tar)
+    def le32(v: Long): Unit = (0 until 4).foreach(k => bos.write(((v >> (8 * k)) & 0xff).toInt))
+    le32(crc.getValue); le32(tar.length.toLong)
+    val row  = graft.plans.GraftHashOps.targzStats(bos.toByteArray)
+    val base = graft.plans.GraftHashOps.targzStats(plain)
+    assert(row.getBoolean(0), "rejected a member with optional fields")
+    (1 to 4).foreach(i => assert(row.get(i, null) === base.get(i, null)))
+  }
+
+  test("targz decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.targzBytes("hello world targz fixture with enough text", 256)
+    assert(graft.plans.GraftHashOps.targzStats(ok).getBoolean(0))
+    // tamper INSIDE the tar, then re-gzip with a CONSISTENT trailer:
+    // the gzip layer passes and the tar checks must catch it
+    def regz(mutate: Array[Byte] => Unit): Array[Byte] = {
+      val tar = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(ok)).readAllBytes()
+      mutate(tar)
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz  = new java.util.zip.GZIPOutputStream(bos)
+      gz.write(tar); gz.close()
+      bos.toByteArray
+    }
+    // re-sign a mutated header so the MUTATED field (not the
+    // checksum) is what the decoder has to catch
+    def resign(t: Array[Byte]): Unit = {
+      java.util.Arrays.fill(t, 148, 156, ' '.toByte)
+      var s = 0L
+      (0 until 512).foreach(i => s += t(i) & 0xff)
+      System.arraycopy("%06o".format(s).getBytes("US-ASCII"), 0, t, 148, 6)
+      t(154) = 0; t(155) = ' '.toByte
+    }
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(ok.length - 3),                                  // truncated trailer
+      { val b = ok.clone(); b(0) = 'X'.toByte; b },            // wrong magic
+      { val b = ok.clone(); b(3) = (b(3) | 0x20).toByte; b },  // reserved FLG bit
+      { val b = ok.clone(); b(12) = (b(12) ^ 0x55).toByte; b }, // flipped deflate byte -> CRC fail
+      { val b = ok.clone(); b(b.length - 2) = (b(b.length - 2) + 1).toByte; b }, // ISIZE lies
+      regz(t => t(148) = (t(148) + 1).toByte),                 // tar header checksum lies
+      regz { t => t(126) = '7'.toByte; resign(t) },            // tar size field lies (re-signed)
+      regz { t => t(257) = 'X'.toByte; resign(t) },            // not ustar (re-signed)
+      regz { t => t(156) = '5'.toByte; resign(t) })            // directory entry (re-signed)
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.targzStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
   test("zip decode: the JDK's own ZipInputStream agrees with ZipArchiveStats on generated payloads") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf).limit(20)
