@@ -1090,6 +1090,10 @@ object SparkEntry {
       Multimodal
         .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_deflate_stats" -> ((s, dir) =>
+      Multimodal
+        .deflateStats(Multimodal.deflateFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_targz_stats" -> ((s, dir) =>
       Multimodal
         .targzStats(Multimodal.targzFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7119,6 +7123,24 @@ object SparkEntry {
         |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
         |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
         |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, raw deflate: the oracle re-derives the
+    // decompressed length/byte-sum/max from TEXT — the bytes on disk
+    // are JDK-Deflater streams at per-doc levels (stored, fastest,
+    // best), and the Spark side decompresses them with the IN-REPO
+    // RFC 1951 inflate, so a Huffman-construction, extra-bits, or
+    // back-reference bug cannot agree on a single document
+    "q_deflate_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(512, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(coalesce(list_max(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS INT) AS max_byte
+        |FROM s ORDER BY media_id""".stripMargin,
     // independent derivation, tar.gz: the oracle re-derives chunk
     // count (100-char parts over the leading 256 chars, one empty
     // part for empty text), sizes, and the content byte-sum from

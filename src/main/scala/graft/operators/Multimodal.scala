@@ -409,6 +409,60 @@ object Multimodal {
         col("zs.max_entry_bytes").as("max_entry_bytes"))
   }
 
+  /** Wrap text documents as raw RFC 1951 deflate streams of their
+    * leading `maxChars` characters. The compression LEVEL cycles
+    * with doc_id (0 = stored blocks, 1 = fastest, 9 = best), so the
+    * corpus exercises stored AND compressed block shapes while the
+    * decoded output — and therefore the oracle — is level-invariant.
+    * The compressor is the JDK's Deflater: an INDEPENDENT encoder
+    * for the in-repo RFC 1951 inflate to be judged against.
+    */
+  def deflateFromDocuments(documents: DataFrame, maxChars: Int = 512): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val level = (id % 3) match { case 0 => 0; case 1 => 1; case _ => 9 }
+      MediaRecord(id, "deflate", deflateBytes(text, maxChars, level.toInt))
+    }
+  }
+
+  /** One exact raw (nowrap) deflate stream at the given level. */
+  private[graft] def deflateBytes(text: String, maxChars: Int, level: Int): Array[Byte] = {
+    val n    = math.min(maxChars, text.length)
+    val data = text.substring(0, n).getBytes("US-ASCII")
+    val defl = new java.util.zip.Deflater(level, true)
+    defl.setInput(data)
+    defl.finish()
+    val buf = new Array[Byte](data.length + 64)
+    var len = 0
+    while (!defl.finished()) len += defl.deflate(buf, len, buf.length - len)
+    defl.end()
+    java.util.Arrays.copyOf(buf, len)
+  }
+
+  /** REAL (non-stub) decompression: the RFC 1951 inflate ALGORITHM
+    * implemented in-repo (bit reader, stored/fixed/dynamic Huffman
+    * blocks, canonical code construction, LZ77 back-reference
+    * copies) via the codegen'd [[graft.plans.DeflateStats]]
+    * expression — one pass per payload in the scan stage. This is
+    * the layer every other compressed decode here borrows from the
+    * JDK; implementing it closes the loop: the library now contains
+    * a complete, oracle-checked decompressor stack with zero codec
+    * libraries. Spec-checked byte-equal against java.util.zip
+    * .Inflater on the corpus and on adversarial hand-built streams.
+    * Malformed payloads report valid=false.
+    */
+  def deflateStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_deflate_stats($payloadCol)").as("ds"))
+      .select(col(idCol),
+        col("ds.valid").as("valid"),
+        col("ds.n_bytes").as("n_bytes"),
+        col("ds.sum_bytes").as("sum_bytes"),
+        col("ds.max_byte").as("max_byte"))
+  }
+
   /** Wrap text documents as VALID gzipped USTAR archives
     * (.tar.gz): the leading `maxChars` characters split into
     * 100-char chunk files ("part0.txt", "part1.txt", ... — one

@@ -931,6 +931,227 @@ object GraftHashOps {
       Array[Any](true, nTotal, totalBytes, sumBytes, maxEntry))
   }
 
+  /** REAL DEFLATE decompressor implemented from RFC 1951 — the
+    * in-repo answer to the one layer the other decoders borrow from
+    * the JDK. LSB-first bit reader; all three block types (stored
+    * with the ones'-complement LEN/NLEN check, fixed Huffman,
+    * dynamic Huffman with the 19-symbol code-length code and its
+    * 16/17/18 repeat operators); canonical Huffman decoding from
+    * code lengths (per-length first-code/offset arrays — the
+    * classic construction); the full length/distance alphabets with
+    * their extra-bits tables; LZ77 back-reference copies straight
+    * off the output buffer (overlapping copies byte-by-byte, the
+    * RLE-through-history case). Strict: oversubscribed or
+    * incomplete-but-used codes, reserved block type 3, symbols
+    * 286/287, distances reaching before output start, truncated
+    * streams, and outputs past `cap` all return null (malformed).
+    * Returns the decompressed bytes, or null.
+    */
+  def inflateRaw(payload: Array[Byte], from: Int, cap: Int): Array[Byte] = {
+    // ---- bit reader ----
+    var bitPos = from.toLong * 8
+    val totalBits = payload.length.toLong * 8
+    def bits(n: Int): Int = {
+      if (bitPos + n > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val b = (payload((bitPos >> 3).toInt) >> (bitPos & 7).toInt) & 1
+        v |= b << i
+        bitPos += 1
+        i += 1
+      }
+      v
+    }
+    var out = new Array[Byte](math.min(1 << 12, cap))
+    var outLen = 0
+    def ensure(n: Int): Boolean = {
+      if (outLen + n > cap) return false
+      while (outLen + n > out.length)
+        out = java.util.Arrays.copyOf(out, math.min(out.length * 2, cap))
+      true
+    }
+    // canonical Huffman: decode one symbol by walking code lengths
+    // 1..15 against first-code/count tables built from `lens`
+    def buildDec(lens: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
+      // returns (countPerLen, firstSymIdxPerLen, symbolsSortedByLenThenOrder)
+      val maxLen = 15
+      val cnt = new Array[Int](maxLen + 1)
+      lens.foreach(l => if (l > 0) cnt(l) += 1)
+      // over-subscription check: Kraft sum must not exceed 1
+      var kraft = 0L
+      var l = 1
+      while (l <= maxLen) { kraft += cnt(l).toLong << (maxLen - l); l += 1 }
+      if (kraft > (1L << maxLen)) return null
+      val firstIdx = new Array[Int](maxLen + 2)
+      l = 1
+      while (l <= maxLen) { firstIdx(l + 1) = firstIdx(l) + cnt(l); l += 1 }
+      val syms = new Array[Int](firstIdx(maxLen + 1))
+      val fill = firstIdx.clone()
+      var s = 0
+      while (s < lens.length) {
+        if (lens(s) > 0) { syms(fill(lens(s))) = s; fill(lens(s)) += 1 }
+        s += 1
+      }
+      (cnt, firstIdx, syms)
+    }
+    def decodeSym(dec: (Array[Int], Array[Int], Array[Int])): Int = {
+      val (cnt, firstIdx, syms) = dec
+      var code = 0
+      var first = 0
+      var idx = 0
+      var l = 1
+      while (l <= 15) {
+        val b = bits(1)
+        if (b < 0) return -1
+        code = (code << 1) | b
+        val c = cnt(l)
+        if (code - first < c) return syms(idx + (code - first))
+        idx += c
+        first = (first + c) << 1
+        l += 1
+      }
+      -1
+    }
+    val lenBase  = Array(3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+      35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+    val lenExtra = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2,
+      3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+    val distBase  = Array(1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129, 193,
+      257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145, 8193, 12289, 16385, 24577)
+    val distExtra = Array(0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6,
+      7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+    // fixed-Huffman tables (RFC 1951 §3.2.6)
+    val fixedLit  = Array.tabulate(288)(i => if (i < 144) 8 else if (i < 256) 9 else if (i < 280) 7 else 8)
+    val fixedDist = Array.fill(30)(5)
+    var fin = false
+    while (!fin) {
+      val bf = bits(1)
+      if (bf < 0) return null
+      fin = bf == 1
+      bits(2) match {
+        case 0 => // stored: align, LEN/NLEN, raw copy
+          bitPos = (bitPos + 7) & ~7L
+          val bo = (bitPos >> 3).toInt
+          if (bo + 4 > payload.length) return null
+          val len  = (payload(bo) & 0xff) | ((payload(bo + 1) & 0xff) << 8)
+          val nlen = (payload(bo + 2) & 0xff) | ((payload(bo + 3) & 0xff) << 8)
+          if ((len ^ 0xffff) != nlen) return null
+          if (bo + 4 + len > payload.length) return null
+          if (!ensure(len)) return null
+          System.arraycopy(payload, bo + 4, out, outLen, len)
+          outLen += len
+          bitPos = (bo + 4 + len).toLong * 8
+        case t if t == 1 || t == 2 =>
+          var litDec: (Array[Int], Array[Int], Array[Int]) = null
+          var distDec: (Array[Int], Array[Int], Array[Int]) = null
+          if (t == 1) {
+            litDec = buildDec(fixedLit); distDec = buildDec(fixedDist)
+          } else {
+            val hlit  = bits(5); val hdist = bits(5); val hclen = bits(4)
+            if (hlit < 0 || hdist < 0 || hclen < 0) return null
+            val nLit = hlit + 257
+            val nDist = hdist + 1
+            if (nLit > 286 || nDist > 30) return null
+            val clOrder = Array(16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+            val clLens = new Array[Int](19)
+            var i = 0
+            while (i < hclen + 4) {
+              val v = bits(3)
+              if (v < 0) return null
+              clLens(clOrder(i)) = v
+              i += 1
+            }
+            val clDec = buildDec(clLens)
+            if (clDec == null) return null
+            val lens = new Array[Int](nLit + nDist)
+            var k = 0
+            while (k < lens.length) {
+              val sym = decodeSym(clDec)
+              if (sym < 0) return null
+              if (sym < 16) { lens(k) = sym; k += 1 }
+              else if (sym == 16) {
+                if (k == 0) return null
+                val r = bits(2); if (r < 0) return null
+                val v = lens(k - 1)
+                var j = 0
+                while (j < r + 3) { if (k >= lens.length) return null; lens(k) = v; k += 1; j += 1 }
+              } else if (sym == 17) {
+                val r = bits(3); if (r < 0) return null
+                var j = 0
+                while (j < r + 3) { if (k >= lens.length) return null; lens(k) = 0; k += 1; j += 1 }
+              } else {
+                val r = bits(7); if (r < 0) return null
+                var j = 0
+                while (j < r + 11) { if (k >= lens.length) return null; lens(k) = 0; k += 1; j += 1 }
+              }
+            }
+            litDec = buildDec(java.util.Arrays.copyOfRange(lens, 0, nLit))
+            distDec = buildDec(java.util.Arrays.copyOfRange(lens, nLit, nLit + nDist))
+          }
+          if (litDec == null || distDec == null) return null
+          var end = false
+          while (!end) {
+            val sym = decodeSym(litDec)
+            if (sym < 0) return null
+            if (sym < 256) {
+              if (!ensure(1)) return null
+              out(outLen) = sym.toByte
+              outLen += 1
+            } else if (sym == 256) {
+              end = true
+            } else {
+              if (sym > 285) return null
+              val li = sym - 257
+              val eb = bits(lenExtra(li)); if (eb < 0) return null
+              val length = lenBase(li) + eb
+              val dsym = decodeSym(distDec)
+              if (dsym < 0 || dsym > 29) return null
+              val db = bits(distExtra(dsym)); if (db < 0) return null
+              val dist = distBase(dsym) + db
+              if (dist > outLen) return null // reaches before output start
+              if (!ensure(length)) return null
+              var j = 0
+              while (j < length) { // overlapping copies are byte-serial by design
+                out(outLen) = out(outLen - dist)
+                outLen += 1
+                j += 1
+              }
+            }
+          }
+        case _ => return null // reserved block type 3 (or truncated)
+      }
+    }
+    // the stream must END here: trailing bytes beyond the final
+    // block's last bit (padding to the byte boundary aside) mean the
+    // payload is not one exact deflate stream
+    if (((bitPos + 7) >> 3).toInt != payload.length) return null
+    java.util.Arrays.copyOf(out, outLen)
+  }
+
+  /** [[DeflateStats]] eval: in-repo RFC 1951 inflate of a raw
+    * deflate payload + exact byte moments. The payload must be ONE
+    * complete deflate stream with no trailing bytes (the consumed
+    * bit position, rounded up, must land at payload end).
+    */
+  def deflateStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0L, 0L, 0))
+    val data = inflateRaw(payload, 0, 67108864)
+    if (data == null) return bad
+    var sum = 0L
+    var peak = 0
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      sum += b
+      if (b > peak) peak = b
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, data.length.toLong, sum, peak))
+  }
+
   /** REAL tar.gz decode for [[TarGzStats]] — both container layers
     * implemented HERE (the raw-deflate core is
     * `java.util.zip.Inflater(nowrap)`): the GZIP member format per
@@ -1587,6 +1808,36 @@ object ZipArchiveStats {
     StructField("max_entry_bytes", LongType, nullable = false)))
 }
 
+/** REAL RFC 1951 DEFLATE decompression + exact byte moments in one
+  * scan-stage pass — the inflate algorithm itself is in-repo (bit
+  * reader, stored/fixed/dynamic blocks, canonical Huffman
+  * construction, LZ77 back-references; see
+  * [[GraftHashOps.inflateRaw]]), spec-checked for byte-equality
+  * against `java.util.zip.Inflater` on corpus and adversarial
+  * streams. Total function: malformed payloads yield valid=false,
+  * never null.
+  */
+case class DeflateStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DeflateStats.schema
+  override def prettyName: String = "graft_deflate_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.deflateStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.deflateStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateStats = copy(child = newChild)
+}
+
+object DeflateStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("max_byte", IntegerType, nullable = false)))
+}
+
 /** REAL tar.gz decode + exact content moments in one scan-stage
   * pass — RFC 1952 gzip member parse (optional-field skipping,
   * CRC-32 + ISIZE trailer verification) over `Inflater(nowrap)`,
@@ -1749,6 +2000,8 @@ object GraftFunctions {
       "returns struct(valid, n_entries, total_bytes, sum_bytes, max_entry_bytes) of a ZIP archive payload"),
     ("graft_targz_stats", (es: Seq[Expression]) => TarGzStats(es.head),
       "returns struct(valid, n_entries, total_bytes, sum_bytes, max_entry_bytes) of a gzipped USTAR archive payload"),
+    ("graft_deflate_stats", (es: Seq[Expression]) => DeflateStats(es.head),
+      "returns struct(valid, n_bytes, sum_bytes, max_byte) of a raw RFC 1951 deflate payload via the in-repo inflate"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

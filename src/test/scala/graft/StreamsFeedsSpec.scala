@@ -767,6 +767,113 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("deflate decode: in-repo inflate is byte-equal to the JDK Inflater on corpus and adversarial streams") {
+    import spark.implicits._
+    def jdkInflate(p: Array[Byte]): Array[Byte] = {
+      val inf = new java.util.zip.Inflater(true)
+      inf.setInput(p)
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0 && inf.needsInput()) throw new IllegalStateException("truncated")
+        bos.write(buf, 0, k)
+      }
+      inf.end()
+      bos.toByteArray
+    }
+    // corpus at all three levels (stored / fastest / best)
+    val texts = Tables.documents(spark, sf).select($"text").as[String].take(100)
+    texts.foreach { t =>
+      Seq(0, 1, 9).foreach { level =>
+        val p = Multimodal.deflateBytes(t, 512, level)
+        val ours = graft.plans.GraftHashOps.inflateRaw(p, 0, 1 << 20)
+        assert(ours != null, s"rejected a JDK level-$level stream")
+        assert(java.util.Arrays.equals(ours, jdkInflate(p)), s"byte mismatch at level $level")
+      }
+    }
+    // adversarial: long overlapping LZ77 matches, high-entropy bytes,
+    // and block-type mixes from a deterministic PRNG
+    val rnd = new java.util.Random(20260816L)
+    (0 until 50).foreach { i =>
+      val data: Array[Byte] = i % 3 match {
+        case 0 => ("abc" * (1 + rnd.nextInt(2000))).getBytes("US-ASCII") // dist-3 overlap runs
+        case 1 => { val b = new Array[Byte](1 + rnd.nextInt(6000)); rnd.nextBytes(b); b } // stored-leaning
+        case _ => (0 until 1 + rnd.nextInt(3000)).map(k => ('a' + (k % 7)).toChar).mkString.getBytes("US-ASCII")
+      }
+      val defl = new java.util.zip.Deflater(rnd.nextInt(10), true)
+      defl.setInput(data); defl.finish()
+      val zb = new Array[Byte](data.length + 128)
+      var zl = 0
+      while (!defl.finished()) zl += defl.deflate(zb, zl, zb.length - zl)
+      defl.end()
+      val p = java.util.Arrays.copyOf(zb, zl)
+      val ours = graft.plans.GraftHashOps.inflateRaw(p, 0, 1 << 24)
+      assert(ours != null && java.util.Arrays.equals(ours, data), s"mismatch on adversarial case $i")
+    }
+  }
+
+  test("deflate decode: hand-built RFC 1951 vectors (fixed Huffman, stored, malformed)") {
+    import graft.plans.GraftHashOps.inflateRaw
+    // LSB-first bit writer; Huffman codes enter MSB-of-code first
+    class BitW {
+      val bos = new java.io.ByteArrayOutputStream()
+      var acc = 0; var nb = 0
+      def bit(b: Int): Unit = { acc |= (b & 1) << nb; nb += 1; if (nb == 8) { bos.write(acc); acc = 0; nb = 0 } }
+      def bits(v: Int, n: Int): Unit = (0 until n).foreach(i => bit((v >> i) & 1))      // field: LSB first
+      def code(v: Int, n: Int): Unit = (n - 1 to 0 by -1).foreach(i => bit((v >> i) & 1)) // code: MSB first
+      def done(): Array[Byte] = { if (nb > 0) { bos.write(acc) }; bos.toByteArray }
+    }
+    def fixedLit(sym: Int): (Int, Int) =
+      if (sym < 144) (0x30 + sym, 8)
+      else if (sym < 256) (0x190 + sym - 144, 9)
+      else if (sym < 280) (sym - 256, 7)
+      else (0xc0 + sym - 280, 8)
+    // fixed-Huffman block: "AB" + a length-3 distance-2 match -> "ABABA"
+    val w = new BitW
+    w.bits(1, 1); w.bits(1, 2) // BFINAL, BTYPE=01
+    Seq('A'.toInt, 'B'.toInt).foreach { s => val (c, n) = fixedLit(s); w.code(c, n) }
+    val (l257, n257) = fixedLit(257) // length 3, no extra bits
+    w.code(l257, n257)
+    w.code(1, 5)                 // distance symbol 1 = distance 2
+    val (eob, neob) = fixedLit(256)
+    w.code(eob, neob)
+    val got = inflateRaw(w.done(), 0, 1 << 10)
+    assert(got != null && new String(got, "US-ASCII") === "ABABA",
+      "fixed-Huffman + overlapping back-reference must yield ABABA")
+    // stored block with the ones'-complement check
+    val sw = new BitW
+    sw.bits(1, 1); sw.bits(0, 2)
+    val sb = sw.done() // aligns to byte
+    val stored = sb ++ Array[Byte](3, 0, (~3 & 0xff).toByte, 0xff.toByte, 'x'.toByte, 'y'.toByte, 'z'.toByte)
+    val sgot = inflateRaw(stored, 0, 1 << 10)
+    assert(sgot != null && new String(sgot, "US-ASCII") === "xyz")
+    // malformed: NLEN lie
+    val badNlen = stored.clone(); badNlen(3) = 7
+    assert(inflateRaw(badNlen, 0, 1 << 10) == null, "accepted a lying NLEN")
+    // malformed: reserved block type 3
+    val rw = new BitW; rw.bits(1, 1); rw.bits(3, 2); rw.bits(0, 5)
+    assert(inflateRaw(rw.done(), 0, 1 << 10) == null, "accepted BTYPE=3")
+    // malformed: distance reaching before output start
+    val dw = new BitW
+    dw.bits(1, 1); dw.bits(1, 2)
+    dw.code(l257, n257) // length 3 as the FIRST symbol
+    dw.code(0, 5)       // distance 1 with no output yet
+    dw.code(eob, neob)
+    assert(inflateRaw(dw.done(), 0, 1 << 10) == null, "accepted a pre-start distance")
+    // malformed: truncated mid-stream and trailing garbage
+    val full = Multimodal.deflateBytes("truncation fixture text for deflate", 512, 9)
+    assert(inflateRaw(java.util.Arrays.copyOf(full, full.length - 2), 0, 1 << 10) == null)
+    assert(inflateRaw(full ++ Array[Byte](0x55), 0, 1 << 10) == null, "accepted trailing garbage")
+    assert(inflateRaw(Array.emptyByteArray, 0, 1 << 10) == null)
+    // oversubscribed dynamic code: 19 code-length entries all length 1
+    val ow = new BitW
+    ow.bits(1, 1); ow.bits(2, 2)       // BFINAL, BTYPE=10
+    ow.bits(0, 5); ow.bits(0, 5); ow.bits(15, 4) // HLIT=257, HDIST=1, HCLEN=19
+    (0 until 19).foreach(_ => ow.bits(1, 3))     // every CL code length 1 -> Kraft > 1
+    assert(inflateRaw(ow.done(), 0, 1 << 10) == null, "accepted an oversubscribed code")
+  }
+
   test("targz decode: the JDK's own gzip reader agrees with TarGzStats on generated payloads") {
     import spark.implicits._
     val docs  = Tables.documents(spark, sf).limit(20)
