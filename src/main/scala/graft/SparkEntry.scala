@@ -1090,6 +1090,14 @@ object SparkEntry {
       Multimodal
         .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_utf8_stats" -> ((s, dir) =>
+      Multimodal
+        .utf8Stats(Multimodal.utf8FromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
+    "q_base64_stats" -> ((s, dir) =>
+      Multimodal
+        .base64Stats(Multimodal.base64FromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_deflate_stats" -> ((s, dir) =>
       Multimodal
         .deflateStats(Multimodal.deflateFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7123,6 +7131,66 @@ object SparkEntry {
         |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
         |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
         |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, UTF-8: the oracle re-derives every
+    // byte-class count and the max codepoint from TEXT through the
+    // fixed mapping rule (vowels 2-byte, digits 3-byte, uppercase
+    // 4-byte astral) — the bytes on disk are JDK-encoder UTF-8, so a
+    // validator with the continuation, overlong, or length rules
+    // wrong cannot agree
+    "q_utf8_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS media_id, i,
+        |    ascii(substr(text, CAST(i AS INT), 1)) % 128 AS a,
+        |    substr(text, CAST(i AS INT), 1) AS c
+        |  FROM documents, unnest(generate_series(1, least(200, length(text)))) AS u(i)
+        |), cls AS (
+        |  SELECT media_id,
+        |    CASE WHEN c IN ('a','e','i','o','u') THEN 2
+        |         WHEN a BETWEEN 48 AND 57 THEN 3
+        |         WHEN a BETWEEN 65 AND 90 THEN 4
+        |         ELSE 1 END AS nb,
+        |    CASE WHEN c IN ('a','e','i','o','u') THEN 256 + a
+        |         WHEN a BETWEEN 48 AND 57 THEN 8192 + a
+        |         WHEN a BETWEEN 65 AND 90 THEN 65536 + a
+        |         ELSE a END AS cp
+        |  FROM ch
+        |), agg AS (
+        |  SELECT media_id,
+        |    CAST(sum(nb) AS BIGINT) AS n_bytes,
+        |    CAST(count(*) AS BIGINT) AS n_codepoints,
+        |    CAST(sum(CASE WHEN nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ascii,
+        |    CAST(sum(CASE WHEN nb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2byte,
+        |    CAST(sum(CASE WHEN nb = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3byte,
+        |    CAST(sum(CASE WHEN nb = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_4byte,
+        |    CAST(max(cp) AS INT) AS max_cp
+        |  FROM cls GROUP BY media_id
+        |)
+        |SELECT d.doc_id AS media_id, TRUE AS valid,
+        |  coalesce(a.n_bytes, 0) AS n_bytes,
+        |  coalesce(a.n_codepoints, 0) AS n_codepoints,
+        |  coalesce(a.n_ascii, 0) AS n_ascii,
+        |  coalesce(a.n_2byte, 0) AS n_2byte,
+        |  coalesce(a.n_3byte, 0) AS n_3byte,
+        |  coalesce(a.n_4byte, 0) AS n_4byte,
+        |  coalesce(a.max_cp, 0) AS max_cp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.media_id
+        |ORDER BY media_id""".stripMargin,
+    // independent derivation, Base64: the oracle re-derives the
+    // decoded length/byte-sum/max from TEXT — the bytes on disk are
+    // JDK-encoder Base64, so an alphabet, padding, or bit-packing
+    // bug in the strict decoder cannot agree
+    "q_base64_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(256, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(coalesce(list_max(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS INT) AS max_byte
+        |FROM s ORDER BY media_id""".stripMargin,
     // independent derivation, raw deflate: the oracle re-derives the
     // decompressed length/byte-sum/max from TEXT — the bytes on disk
     // are JDK-Deflater streams at per-doc levels (stored, fastest,

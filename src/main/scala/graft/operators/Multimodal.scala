@@ -409,6 +409,100 @@ object Multimodal {
         col("zs.max_entry_bytes").as("max_entry_bytes"))
   }
 
+  /** Wrap text documents as UTF-8 payloads with REAL multi-byte
+    * content: each of the leading `maxChars` characters maps to a
+    * codepoint by a fixed SQL-replicable rule — vowels to U+0100+c
+    * (2-byte), digits to U+2000+c (3-byte), uppercase to U+10000+c
+    * (4-byte, astral plane), everything else stays ASCII — and the
+    * JDK's own charset encoder (an INDEPENDENT implementation)
+    * writes the bytes. The oracle re-derives every class count and
+    * the max codepoint from the TEXT through the same rule, so a
+    * continuation/overlong/length bug in the validator cannot agree.
+    */
+  def utf8FromDocuments(documents: DataFrame, maxChars: Int = 200): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "utf8", utf8Bytes(text, maxChars))
+    }
+  }
+
+  /** Codepoint-mapping rule + JDK UTF-8 encoder. */
+  private[graft] def utf8Bytes(text: String, maxChars: Int): Array[Byte] = {
+    val n  = math.min(maxChars, text.length)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i) & 0x7f
+      val cp =
+        if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') 0x0100 + c
+        else if (c >= '0' && c <= '9') 0x2000 + c
+        else if (c >= 'A' && c <= 'Z') 0x10000 + c
+        else c
+      sb.appendCodePoint(cp)
+      i += 1
+    }
+    sb.toString.getBytes("UTF-8")
+  }
+
+  /** STRICT UTF-8 validation + codepoint census — the first gate of
+    * every text-ingest pipeline: mojibake, truncated multi-byte
+    * tails, overlongs, and surrogates must be caught before any
+    * tokenizer sees the bytes. RFC 3629 rules implemented in the
+    * codegen'd [[graft.plans.Utf8Stats]] expression, one linear
+    * pass per payload in the scan stage. Malformed payloads report
+    * valid=false.
+    */
+  def utf8Stats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_utf8_stats($payloadCol)").as("us"))
+      .select(col(idCol),
+        col("us.valid").as("valid"),
+        col("us.n_bytes").as("n_bytes"),
+        col("us.n_codepoints").as("n_codepoints"),
+        col("us.n_ascii").as("n_ascii"),
+        col("us.n_2byte").as("n_2byte"),
+        col("us.n_3byte").as("n_3byte"),
+        col("us.n_4byte").as("n_4byte"),
+        col("us.max_cp").as("max_cp"))
+  }
+
+  /** Wrap text documents as Base64 payloads of their leading
+    * `maxChars` characters, written by the JDK's own encoder — an
+    * INDEPENDENT RFC 4648 implementation for the strict in-repo
+    * decoder to be judged against.
+    */
+  def base64FromDocuments(documents: DataFrame, maxChars: Int = 256): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val n = math.min(maxChars, text.length)
+      MediaRecord(id, "b64",
+        java.util.Base64.getEncoder.encode(text.substring(0, n).getBytes("US-ASCII")))
+    }
+  }
+
+  /** STRICT RFC 4648 Base64 decode (standard alphabet, canonical
+    * padding, no trailing data) + exact byte moments via the
+    * codegen'd [[graft.plans.Base64Stats]] expression — one linear
+    * pass per payload in the scan stage. Base64-wrapped fields are
+    * everywhere in crawled/exported data (JSON blobs, data URIs,
+    * message envelopes); strictness matters because sloppy decoders
+    * accept non-canonical padding and alias distinct payloads.
+    * Malformed payloads report valid=false.
+    */
+  def base64Stats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_b64_stats($payloadCol)").as("bs"))
+      .select(col(idCol),
+        col("bs.valid").as("valid"),
+        col("bs.n_bytes").as("n_bytes"),
+        col("bs.sum_bytes").as("sum_bytes"),
+        col("bs.max_byte").as("max_byte"))
+  }
+
   /** Wrap text documents as raw RFC 1951 deflate streams of their
     * leading `maxChars` characters. The compression LEVEL cycles
     * with doc_id (0 = stored blocks, 1 = fastest, 9 = best), so the

@@ -931,6 +931,116 @@ object GraftHashOps {
       Array[Any](true, nTotal, totalBytes, sumBytes, maxEntry))
   }
 
+  /** STRICT UTF-8 validation + codepoint census for [[Utf8Stats]],
+    * implemented from RFC 3629: continuation-byte checks, the
+    * OVERLONG-encoding rejections per class (2-byte < U+0080,
+    * 3-byte < U+0800, 4-byte < U+10000), the surrogate-range
+    * rejection (U+D800..U+DFFF), the U+10FFFF ceiling, and lead
+    * bytes 0xF8..0xFF rejected outright. UTF-8 validation is the
+    * first gate of every text-ingest pipeline at corpus scale —
+    * mojibake and truncated multi-byte tails must be caught before
+    * any tokenizer sees the bytes. One linear pass accumulating
+    * exact integers: total bytes, codepoints, per-class counts
+    * (ASCII/2/3/4-byte), and the max codepoint. Malformed payloads
+    * return valid=false with the class counts zeroed; total
+    * function, never a throw.
+    */
+  def utf8Stats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, payload.length.toLong, 0L, 0L, 0L, 0L, 0L, 0))
+    var i = 0
+    var n1 = 0L; var n2 = 0L; var n3 = 0L; var n4 = 0L
+    var maxCp = 0
+    def cont(o: Int): Int =
+      if (o >= payload.length || (payload(o) & 0xc0) != 0x80) -1 else payload(o) & 0x3f
+    while (i < payload.length) {
+      val b0 = payload(i) & 0xff
+      if (b0 < 0x80) {
+        if (b0 > maxCp) maxCp = b0
+        n1 += 1; i += 1
+      } else if (b0 < 0xc0) {
+        return bad // stray continuation byte as lead
+      } else if (b0 < 0xe0) {
+        val c1 = cont(i + 1); if (c1 < 0) return bad
+        val cp = ((b0 & 0x1f) << 6) | c1
+        if (cp < 0x80) return bad // overlong 2-byte
+        if (cp > maxCp) maxCp = cp
+        n2 += 1; i += 2
+      } else if (b0 < 0xf0) {
+        val c1 = cont(i + 1); val c2 = cont(i + 2)
+        if (c1 < 0 || c2 < 0) return bad
+        val cp = ((b0 & 0x0f) << 12) | (c1 << 6) | c2
+        if (cp < 0x800) return bad                  // overlong 3-byte
+        if (cp >= 0xd800 && cp <= 0xdfff) return bad // surrogate range
+        if (cp > maxCp) maxCp = cp
+        n3 += 1; i += 3
+      } else if (b0 < 0xf8) {
+        val c1 = cont(i + 1); val c2 = cont(i + 2); val c3 = cont(i + 3)
+        if (c1 < 0 || c2 < 0 || c3 < 0) return bad
+        val cp = ((b0 & 0x07) << 18) | (c1 << 12) | (c2 << 6) | c3
+        if (cp < 0x10000 || cp > 0x10ffff) return bad // overlong 4-byte / past Unicode
+        if (cp > maxCp) maxCp = cp
+        n4 += 1; i += 4
+      } else {
+        return bad // 0xF8..0xFF were never valid UTF-8 leads
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, payload.length.toLong, n1 + n2 + n3 + n4, n1, n2, n3, n4, maxCp))
+  }
+
+  /** STRICT RFC 4648 Base64 decode for [[Base64Stats]]: the standard
+    * alphabet only, length a multiple of 4, padding only in the
+    * final quantum ('=' or '==', with the mandated zero low bits in
+    * the preceding symbol so every decode has exactly one canonical
+    * encoding), nothing after the padding. One linear pass
+    * accumulating exact integers over the DECODED bytes: count,
+    * Σ values, max. Malformed payloads return valid=false; total
+    * function, never a throw.
+    */
+  def base64Stats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0L, 0L, 0))
+    def dec(b: Int): Int =
+      if (b >= 'A' && b <= 'Z') b - 'A'
+      else if (b >= 'a' && b <= 'z') b - 'a' + 26
+      else if (b >= '0' && b <= '9') b - '0' + 52
+      else if (b == '+') 62
+      else if (b == '/') 63
+      else -1
+    if (payload.length % 4 != 0) return bad
+    var n = 0L
+    var sum = 0L
+    var peak = 0
+    def acc(v: Int): Unit = { n += 1; sum += v; if (v > peak) peak = v }
+    var i = 0
+    while (i < payload.length) {
+      val isLast = i + 4 == payload.length
+      val b0 = payload(i) & 0xff; val b1 = payload(i + 1) & 0xff
+      val b2 = payload(i + 2) & 0xff; val b3 = payload(i + 3) & 0xff
+      val d0 = dec(b0); val d1 = dec(b1)
+      if (d0 < 0 || d1 < 0) return bad
+      if (b3 == '=' && b2 == '=') {
+        // xx== : one byte; the 4 low bits of d1 must be zero
+        // (canonical encoding) and this must be the final quantum
+        if (!isLast || (d1 & 0x0f) != 0) return bad
+        acc((d0 << 2) | (d1 >> 4))
+      } else if (b3 == '=') {
+        // xxx= : two bytes; 2 low bits of d2 must be zero
+        val d2 = dec(b2)
+        if (!isLast || d2 < 0 || (d2 & 0x03) != 0) return bad
+        acc((d0 << 2) | (d1 >> 4)); acc(((d1 & 0x0f) << 4) | (d2 >> 2))
+      } else {
+        val d2 = dec(b2); val d3 = dec(b3)
+        if (d2 < 0 || d3 < 0) return bad
+        acc((d0 << 2) | (d1 >> 4)); acc(((d1 & 0x0f) << 4) | (d2 >> 2)); acc(((d2 & 0x03) << 6) | d3)
+      }
+      i += 4
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, n, sum, peak))
+  }
+
   /** REAL DEFLATE decompressor implemented from RFC 1951 — the
     * in-repo answer to the one layer the other decoders borrow from
     * the JDK. LSB-first bit reader; all three block types (stored
@@ -1808,6 +1918,54 @@ object ZipArchiveStats {
     StructField("max_entry_bytes", LongType, nullable = false)))
 }
 
+/** STRICT UTF-8 validation + codepoint census in one scan-stage
+  * pass — RFC 3629 with overlong/surrogate/range rejection (see
+  * [[GraftHashOps.utf8Stats]]). Total function: malformed payloads
+  * yield valid=false, never null.
+  */
+case class Utf8Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Utf8Stats.schema
+  override def prettyName: String = "graft_utf8_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.utf8Stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.utf8Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Utf8Stats = copy(child = newChild)
+}
+
+object Utf8Stats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_codepoints", LongType, nullable = false),
+    StructField("n_ascii", LongType, nullable = false),
+    StructField("n_2byte", LongType, nullable = false),
+    StructField("n_3byte", LongType, nullable = false),
+    StructField("n_4byte", LongType, nullable = false),
+    StructField("max_cp", IntegerType, nullable = false)))
+}
+
+/** STRICT RFC 4648 Base64 decode + exact byte moments in one
+  * scan-stage pass — standard alphabet, canonical padding, no
+  * trailing data (see [[GraftHashOps.base64Stats]]). Total function:
+  * malformed payloads yield valid=false, never null.
+  */
+case class Base64Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DeflateStats.schema
+  override def prettyName: String = "graft_b64_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.base64Stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.base64Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Base64Stats = copy(child = newChild)
+}
+
 /** REAL RFC 1951 DEFLATE decompression + exact byte moments in one
   * scan-stage pass — the inflate algorithm itself is in-repo (bit
   * reader, stored/fixed/dynamic blocks, canonical Huffman
@@ -2002,6 +2160,10 @@ object GraftFunctions {
       "returns struct(valid, n_entries, total_bytes, sum_bytes, max_entry_bytes) of a gzipped USTAR archive payload"),
     ("graft_deflate_stats", (es: Seq[Expression]) => DeflateStats(es.head),
       "returns struct(valid, n_bytes, sum_bytes, max_byte) of a raw RFC 1951 deflate payload via the in-repo inflate"),
+    ("graft_utf8_stats", (es: Seq[Expression]) => Utf8Stats(es.head),
+      "returns struct(valid, n_bytes, n_codepoints, n_ascii, n_2byte, n_3byte, n_4byte, max_cp) of a UTF-8 payload under strict RFC 3629 validation"),
+    ("graft_b64_stats", (es: Seq[Expression]) => Base64Stats(es.head),
+      "returns struct(valid, n_bytes, sum_bytes, max_byte) of a strict RFC 4648 Base64 payload"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),

@@ -767,6 +767,82 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("utf8 decode: strict validator agrees with the JDK charset decoder and the mapping rule") {
+    import spark.implicits._
+    val docs  = Tables.documents(spark, sf).limit(100)
+    val texts = docs.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    val recs  = Multimodal.utf8FromDocuments(docs).collect()
+    assert(recs.nonEmpty)
+    recs.foreach { rec =>
+      // JDK strict decode must succeed and agree on codepoint count
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val s = dec.decode(java.nio.ByteBuffer.wrap(rec.payload)).toString
+      val row = graft.plans.GraftHashOps.utf8Stats(rec.payload)
+      assert(row.getBoolean(0), s"validator rejected JDK-valid UTF-8 on media ${rec.media_id}")
+      assert(row.getLong(2) === s.codePointCount(0, s.length).toLong)
+      // class counts per the text mapping rule
+      val t = texts(rec.media_id).take(200)
+      val vow = t.count(c => "aeiou".contains(c))
+      val dig = t.count(c => c >= '0' && c <= '9')
+      val upp = t.count(c => c >= 'A' && c <= 'Z')
+      assert(row.getLong(4) === vow.toLong && row.getLong(5) === dig.toLong && row.getLong(6) === upp.toLong,
+        s"class counts disagree on media ${rec.media_id}")
+      assert(row.getLong(1) === rec.payload.length.toLong)
+    }
+  }
+
+  test("utf8 decode: RFC 3629 malformed vectors are each rejected") {
+    import graft.plans.GraftHashOps.utf8Stats
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    assert(utf8Stats(b('o', 'k')).getBoolean(0))
+    assert(utf8Stats(b(0xf4, 0x8f, 0xbf, 0xbf)).getBoolean(0), "U+10FFFF itself is valid")
+    val cases = Seq(
+      "stray continuation lead" -> b(0x80),
+      "overlong 2-byte C0 80"   -> b(0xc0, 0x80),
+      "overlong 2-byte C1 BF"   -> b(0xc1, 0xbf),
+      "overlong 3-byte E0 80 80" -> b(0xe0, 0x80, 0x80),
+      "surrogate ED A0 80"      -> b(0xed, 0xa0, 0x80),
+      "past Unicode F4 90 80 80" -> b(0xf4, 0x90, 0x80, 0x80),
+      "invalid lead F8"         -> b(0xf8, 0x80, 0x80, 0x80, 0x80),
+      "truncated 2-byte tail"   -> b('a', 0xc3),
+      "truncated 4-byte tail"   -> b(0xf0, 0x9f, 0x98),
+      "bad continuation byte"   -> b(0xc3, 0x41))
+    cases.foreach { case (name, p) =>
+      assert(!utf8Stats(p).getBoolean(0), s"accepted: $name")
+    }
+  }
+
+  test("base64 decode: strict decoder round-trips the JDK encoder and rejects non-canonical forms") {
+    import graft.plans.GraftHashOps.base64Stats
+    val rnd = new java.util.Random(64L)
+    (0 until 60).foreach { i =>
+      val data = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(data)
+      val enc = java.util.Base64.getEncoder.encode(data)
+      val row = base64Stats(enc)
+      assert(row.getBoolean(0), s"rejected a JDK encoding (case $i)")
+      assert(row.getLong(1) === data.length.toLong)
+      assert(row.getLong(2) === data.map(b => (b & 0xff).toLong).sum)
+      assert(row.getInt(3) === (if (data.isEmpty) 0 else data.map(_ & 0xff).max))
+    }
+    def s(x: String) = x.getBytes("US-ASCII")
+    val badCases = Seq(
+      "length not multiple of 4" -> s("QUJD QQ"),
+      "bad alphabet char"        -> s("QUJ-"),
+      "padding mid-stream"       -> s("QQ==QUJD"),
+      "all padding"              -> s("===="),
+      "non-canonical low bits ==" -> s("QR=="), // R=17, low 4 bits nonzero
+      "non-canonical low bits ="  -> s("QUF="), // F=5, low 2 bits nonzero
+      "pad in third slot only"    -> s("QU=B"))
+    badCases.foreach { case (name, p) =>
+      assert(!base64Stats(p).getBoolean(0), s"accepted: $name")
+    }
+    // canonical forms of the same prefixes ARE accepted
+    assert(base64Stats(s("QQ==")).getBoolean(0) && base64Stats(s("QUE=")).getBoolean(0))
+  }
+
   test("deflate decode: in-repo inflate is byte-equal to the JDK Inflater on corpus and adversarial streams") {
     import spark.implicits._
     def jdkInflate(p: Array[Byte]): Array[Byte] = {
