@@ -527,9 +527,15 @@ object Multimodal {
     val defl = new java.util.zip.Deflater(level, true)
     defl.setInput(data)
     defl.finish()
-    val buf = new Array[Byte](data.length + 64)
+    // worst-case deflate expansion is ~5 bytes per 16K block + a
+    // constant, but grow rather than assume — a too-small fixed
+    // buffer would spin the loop on deflate()==0 forever
+    var buf = new Array[Byte](data.length + 64)
     var len = 0
-    while (!defl.finished()) len += defl.deflate(buf, len, buf.length - len)
+    while (!defl.finished()) {
+      if (len == buf.length) buf = java.util.Arrays.copyOf(buf, buf.length * 2)
+      len += defl.deflate(buf, len, buf.length - len)
+    }
     defl.end()
     java.util.Arrays.copyOf(buf, len)
   }
