@@ -7140,7 +7140,7 @@ object SparkEntry {
     "q_utf8_stats" ->
       """WITH ch AS (
         |  SELECT doc_id AS media_id, i,
-        |    ascii(substr(text, CAST(i AS INT), 1)) % 128 AS a,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS a,
         |    substr(text, CAST(i AS INT), 1) AS c
         |  FROM documents, unnest(generate_series(1, least(200, length(text)))) AS u(i)
         |), cls AS (
@@ -7148,7 +7148,9 @@ object SparkEntry {
         |    CASE WHEN c IN ('a','e','i','o','u') THEN 2
         |         WHEN a BETWEEN 48 AND 57 THEN 3
         |         WHEN a BETWEEN 65 AND 90 THEN 4
-        |         ELSE 1 END AS nb,
+        |         WHEN a < 128 THEN 1
+        |         WHEN a < 2048 THEN 2
+        |         ELSE 3 END AS nb,
         |    CASE WHEN c IN ('a','e','i','o','u') THEN 256 + a
         |         WHEN a BETWEEN 48 AND 57 THEN 8192 + a
         |         WHEN a BETWEEN 65 AND 90 THEN 65536 + a

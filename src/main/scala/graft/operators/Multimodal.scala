@@ -427,18 +427,28 @@ object Multimodal {
     }
   }
 
-  /** Codepoint-mapping rule + JDK UTF-8 encoder. */
+  /** Codepoint-mapping rule + JDK UTF-8 encoder. Classification is
+    * on the RAW character — the same test the SQL oracle applies —
+    * so a non-ASCII corpus character can never alias into the vowel/
+    * digit/uppercase buckets via low-bit collision (U+00E1 is NOT
+    * 'a'); it passes through as its own codepoint, and the oracle's
+    * ELSE branch sizes it by the UTF-8 length of that codepoint.
+    * PRECONDITION (same as the zip twin): the corpus is BMP text
+    * with no surrogate pairs — `charAt` walks UTF-16 units, so a
+    * supplementary character would be seen as two surrogates and
+    * rejected by the strict decoder downstream.
+    */
   private[graft] def utf8Bytes(text: String, maxChars: Int): Array[Byte] = {
     val n  = math.min(maxChars, text.length)
     val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < n) {
-      val c = text.charAt(i) & 0x7f
+      val c = text.charAt(i)
       val cp =
         if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') 0x0100 + c
         else if (c >= '0' && c <= '9') 0x2000 + c
         else if (c >= 'A' && c <= 'Z') 0x10000 + c
-        else c
+        else c.toInt
       sb.appendCodePoint(cp)
       i += 1
     }

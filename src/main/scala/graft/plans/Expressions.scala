@@ -497,9 +497,14 @@ object GraftHashOps {
     val dataSize   = le32(54)
     // one code byte per sample, mono: any other layout would fold
     // channels into the moments — reject rather than mislead
+    // strict end-of-payload framing, like the QOI/deflate/targz
+    // twins: the data chunk must END the file (no trailing garbage),
+    // and the RIFF chunk size at offset 4 must account for every
+    // byte after the 8-byte RIFF header
     if (fmtSize != 18L || (fmtTag != 7 && fmtTag != 6) || nChannels != 1 ||
       bits != 8 || blockAlign != 1 || cbSize != 0 || factSize != 4L ||
-      factN != dataSize || 58L + dataSize > payload.length) return bad
+      factN != dataSize || 58L + dataSize != payload.length ||
+      le32(4) != payload.length - 8L) return bad
     val n = dataSize.toInt
     var i = 0
     var peak = 0
@@ -663,9 +668,14 @@ object GraftHashOps {
       }
       if (got != rawLen) return bad
       // the stream must END here: a longer plaintext means the IHDR
-      // dimensions lie about the pixel data
+      // dimensions lie about the pixel data, and a TRUNCATED stream
+      // (right byte count but the final-block end-of-stream symbol
+      // never reached) is equally invalid — the probe advances the
+      // inflater to EOS when the marker is next, so finished() must
+      // hold afterwards
       val probe = new Array[Byte](1)
       if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return bad
+      if (!inf.finished()) return bad
     } catch {
       case _: java.util.zip.DataFormatException => return bad
     } finally inf.end()
@@ -908,9 +918,13 @@ object GraftHashOps {
           if (got != usize.toInt) return bad
           // the stream must end exactly at the recorded sizes: a
           // longer plaintext or unconsumed compressed bytes mean the
-          // directory lies
+          // directory lies. The probe advances the inflater to EOS
+          // when the end-of-stream symbol is next; requiring
+          // finished() afterwards rejects TRUNCATED streams that
+          // yielded the right byte count but never terminated
           val probe = new Array[Byte](1)
           if (!inf.finished() && inf.inflate(probe, 0, 1) != 0) return bad
+          if (!inf.finished()) return bad
           if (inf.getBytesRead != csize) return bad
         } catch {
           case _: java.util.zip.DataFormatException => return bad
@@ -1300,7 +1314,15 @@ object GraftHashOps {
       while (off < payload.length && payload(off) != 0) off += 1
       off += 1
     }
-    if ((flg & 2) != 0) off += 2 // FHCRC: 2-byte header CRC (presence-checked only)
+    if ((flg & 2) != 0) { // FHCRC: CRC-16 over the header bytes so far,
+      // VERIFIED per RFC 1952 §2.3.1 — the low 16 bits of the CRC-32
+      // of everything from the magic up to (not including) this field
+      if (off + 2 > payload.length) return bad
+      val hcrc = new java.util.zip.CRC32()
+      hcrc.update(payload, 0, off)
+      if ((hcrc.getValue & 0xffffL) != (u8(off) | (u8(off + 1) << 8)).toLong) return bad
+      off += 2
+    }
     if (off >= payload.length - 8) return bad
     // inflate the deflate body with a bounded growing buffer
     val inf = new java.util.zip.Inflater(true)
