@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -474,15 +474,31 @@ object Similarity {
                                     cellTarget: Int = 256): DataFrame = {
     val e = embeddings.select(
       (col("vec_id") +: cols.map(col)) :+ toDouble(col("embedding")).as("v"): _*)
-    val (nVec, seeds) = countAndCoarseSeeds(e)
+    val cap = knnSeedCap(e.sparkSession)
+    val (nVec, seeds) = countAndCoarseSeeds(e, cap)
     val nlist = if (nVec == 0) 1 else knnNlist(nVec, cellTarget)
     if (nlist == 1) return e.withColumn("cell", lit(0L))
     val ncoarse = knnNcoarse(nlist)
-    require(ncoarse <= seeds.length,
-      s"two-level assignment needs $ncoarse coarse seeds but the single-pass prefix holds " +
-        s"${seeds.length} (corpus past ~${cellTarget.toLong * KnnSeedCap * KnnSeedCap} vectors): " +
-        "train a sampled quantizer (ivfTrain) and use ivfNearDupPairs directly")
-    val coarse = seeds.take(ncoarse).zipWithIndex.map { case (v, i) => (i, v) }
+    // ROUTING LADDER (every rung total — no rung throws):
+    //   1. n <= 2*cellTarget           -> one cell, the exact sweep.
+    //   2. ncoarse <= seed cap         -> deterministic PREFIX seeds
+    //      from the single-pass treeAggregate above (zero extra
+    //      actions; the common case up to ~cellTarget*cap^2 vectors).
+    //   3. ncoarse >  seed cap         -> SAMPLED seed quantizer:
+    //      the ncoarse corpus vectors smallest by (xxhash64(vec_id),
+    //      vec_id) — a deterministic pseudo-random sample gathered
+    //      with ONE bounded TakeOrdered action. Driver state is
+    //      O(ncoarse*dim), the same order as the coarse broadcast
+    //      the assignment needs anyway, so the rung adds no new
+    //      asymptotic driver cost; and unlike a k-means-refined
+    //      quantizer (ivfTrain on a sample — available manually for
+    //      recall tuning via ivfNearDupPairs) the sampled seeds stay
+    //      BIT-DETERMINISTIC and partition-invariant, preserving the
+    //      family's subset-of-exact oracle contract on the 100 TB
+    //      tier where this rung is the default.
+    val coarse =
+      if (ncoarse <= seeds.length) seeds.take(ncoarse).zipWithIndex.map { case (v, i) => (i, v) }
+      else sampledCoarseSeeds(e, ncoarse)
     val vc = e.withColumn("ccell", ivfAssignCol(col("v"), coarse))
     // PROPORTIONAL fine-centroid allocation: coarse cell c gets
     // fpc_c = ceil(nlist * |c| / n) fine centroids (its first fpc_c
@@ -512,18 +528,45 @@ object Similarity {
 
   /** Upper bound on the coarse seed prefix kept by the single-pass
     * sizing scan: ncoarse ≤ √(n/cellTarget) stays under 4096 up to
-    * ~4.3e9 vectors at the default cellTarget — past that, train a
-    * sampled quantizer instead of the deterministic prefix seeds.
+    * ~4.3e9 vectors at the default cellTarget — past that,
+    * [[knnAssignCells]] auto-routes to the hash-sampled seed
+    * quantizer (routing rung 3) instead of failing.
     */
   private val KnnSeedCap = 4096
 
-  /** ONE action over the corpus: (row count, the ≤ KnnSeedCap
+  /** Session conf overriding [[KnnSeedCap]] — the per-task/driver
+    * bound of the prefix-seed rung. Tests set it tiny to force the
+    * sampled-quantizer rung on fixture-sized corpora.
+    */
+  private[graft] val KnnSeedCapConf = "graft.knn.seedCap"
+
+  private def knnSeedCap(spark: SparkSession): Int =
+    spark.conf.getOption(KnnSeedCapConf).map(_.toInt).getOrElse(KnnSeedCap)
+
+  /** Routing rung 3 of [[knnAssignCells]]: coarse seeds for corpora
+    * whose ncoarse exceeds the prefix cap — the ncoarse vectors
+    * globally smallest by (xxhash64(vec_id), vec_id). One bounded
+    * TakeOrdered action; deterministic and partition-invariant by
+    * construction (total order on ids, no floating-point averaging),
+    * so the subset-of-exact and invariance specs hold on this rung
+    * exactly as on the prefix rung. Seed INDEX follows the hash
+    * order, which is what makes the assignment reproducible.
+    */
+  private def sampledCoarseSeeds(e: DataFrame, ncoarse: Int): Array[(Int, Array[Double])] =
+    e.select(col("vec_id"), col("v"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(ncoarse)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+
+  /** ONE action over the corpus: (row count, the ≤ cap
     * globally-smallest (vec_id, v) rows in ascending vec_id order).
     * A bounded max-heap per partition (seqOp) and a tree-merged
-    * combine keep every task and the driver at O(KnnSeedCap·dim)
+    * combine keep every task and the driver at O(cap·dim)
     * memory — the verdict-flagged linear seed collect is gone.
     */
-  private def countAndCoarseSeeds(e: DataFrame): (Long, Array[Array[Double]]) = {
+  private def countAndCoarseSeeds(e: DataFrame, cap: Int): (Long, Array[Array[Double]]) = {
     val spark = e.sparkSession
     import spark.implicits._
     val ord = Ordering.by[(Long, Array[Double]), Long](_._1)
@@ -531,12 +574,12 @@ object Similarity {
     val zero: Acc = (0L, scala.collection.mutable.PriorityQueue.empty[(Long, Array[Double])](ord))
     val seqOp: (Acc, (Long, Seq[Double])) => Acc = { case ((c, h), (id, v)) =>
       h.enqueue((id, v.toArray))
-      if (h.size > KnnSeedCap) h.dequeue()
+      if (h.size > cap) h.dequeue()
       (c + 1, h)
     }
     val combOp: (Acc, Acc) => Acc = { case ((c1, h1), (c2, h2)) =>
       h1 ++= h2
-      while (h1.size > KnnSeedCap) h1.dequeue()
+      while (h1.size > cap) h1.dequeue()
       (c1 + c2, h1)
     }
     val (n, q) = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])].rdd
