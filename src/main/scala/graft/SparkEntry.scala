@@ -1126,6 +1126,10 @@ object SparkEntry {
       Multimodal
         .gifStats(Multimodal.gifFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_jpeg_stats" -> ((s, dir) =>
+      Multimodal
+        .jpegStats(Multimodal.jpegFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_binary_entropy" -> ((s, dir) =>
       Multimodal
         .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7131,6 +7135,36 @@ object SparkEntry {
         |  CAST(sum(299 * r + 587 * g + 114 * b) AS DOUBLE)
         |    / CAST(count(*) * 1000 AS DOUBLE) AS mean_luma
         |FROM chv GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // independent derivation, JPEG: expected pixels come from TEXT
+    // (one uniform 8x8 block per leading char, v=((c&0x7f)*7+j)%256,
+    // rows padded to 8 blocks with v=128) — the bytes on disk are
+    // real entropy-coded baseline JPEG (Huffman DC categories, DC
+    // prediction, byte stuffing), and the all-ones quantizer makes
+    // flat blocks decode EXACTLY, so a decoder with the Huffman
+    // build, extend rule, dequant, or IDCT wrong cannot agree
+    "q_jpeg_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(64, length(text)) AS l, text FROM documents
+        |), b AS (
+        |  SELECT media_id, l, text,
+        |    CASE WHEN l = 0 THEN 8 ELSE ((l + 7) // 8) * 8 END AS nb
+        |  FROM s
+        |), blk AS (
+        |  SELECT media_id, nb,
+        |    CASE WHEN j < l
+        |      THEN ((ascii(substr(text, CAST(j + 1 AS INT), 1)) % 128) * 7 + j) % 256
+        |      ELSE 128 END AS v
+        |  FROM b, unnest(generate_series(0, nb - 1)) AS u(j)
+        |)
+        |SELECT media_id, TRUE AS valid, 64 AS width,
+        |  CAST(max(nb) AS INT) AS height,
+        |  CAST(count(*) * 64 AS BIGINT) AS n_px,
+        |  CAST(max(v) AS INT) AS peak,
+        |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_r,
+        |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_g,
+        |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_b,
+        |  CAST(sum(v) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_luma
+        |FROM blk GROUP BY media_id ORDER BY media_id""".stripMargin,
     // independent derivation, UTF-8: the oracle re-derives every
     // byte-class count and the max codepoint from TEXT through the
     // fixed mapping rule (vowels 2-byte, digits 3-byte, uppercase

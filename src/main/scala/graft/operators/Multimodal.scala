@@ -346,6 +346,121 @@ object Multimodal {
           .as("mean_luma"))
   }
 
+  /** Wrap text documents as VALID baseline JPEGs (grayscale, 64 px
+    * wide): one 8x8 block per leading character, each block UNIFORM
+    * gray v_j = ((c_j & 0x7f)*7 + j) % 256, rows padded to 8 blocks
+    * with v=128. With an all-ones quantization table a flat block's
+    * only nonzero coefficient is DC = 8*(v-128) — an INTEGER — so
+    * the quantizer drops nothing and the decode is bit-exact: the
+    * oracle re-derives every pixel from TEXT through the same rule,
+    * while the bytes on disk are real entropy-coded JPEG (Annex K DC
+    * Huffman table, per-block DC prediction, byte stuffing). The
+    * JDK's ImageIO reads these to the same pixels (spec-asserted).
+    */
+  def jpegFromDocuments(documents: DataFrame, maxChars: Int = 64): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "jpeg", jpegBytes(text, maxChars))
+    }
+  }
+
+  /** Minimal-but-conformant baseline JPEG writer (ITU T.81): SOI,
+    * DQT (all-ones table), SOF0 (8-bit grayscale, 1x1 sampling),
+    * DHT (Annex K luminance DC table + a minimal one-code AC table
+    * whose single symbol is EOB), SOS, entropy-coded flat blocks
+    * (DC difference category + value bits, EOB, 0xFF byte
+    * stuffing, 1-padded final byte), EOI.
+    */
+  private[graft] def jpegBytes(text: String, maxChars: Int): Array[Byte] = {
+    val l  = math.min(maxChars, text.length)
+    val nb = math.max(8, ((l + 7) / 8) * 8) // blocks, full rows of 8
+    val w  = 64
+    val h  = nb // nb/8 block-rows, 8 px each
+    def v(j: Int): Int = if (j < l) ((text.charAt(j) & 0x7f) * 7 + j) % 256 else 128
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def be16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8)                                    // SOI
+    b(0xff); b(0xdb); be16(67); b(0x00)                 // DQT, 8-bit table 0
+    (0 until 64).foreach(_ => b(1))
+    b(0xff); b(0xc0); be16(11)                          // SOF0
+    b(8); be16(h); be16(w); b(1); b(1); b(0x11); b(0)
+    val dcBits = Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0) // 1..16
+    b(0xff); b(0xc4); be16(2 + 29 + 18)                 // DHT: DC0 + AC0
+    b(0x00); (1 to 16).foreach(i => b(dcBits(i))); (0 to 11).foreach(b)
+    b(0x10); b(1); (2 to 16).foreach(_ => b(0)); b(0x00)
+    b(0xff); b(0xda); be16(8)                           // SOS
+    b(1); b(1); b(0x00); b(0); b(63); b(0)
+    // canonical DC codes (T.81 C.2), category order
+    val dcLen  = new Array[Int](12)
+    val dcCode = new Array[Int](12)
+    var code = 0; var k = 0; var ln = 1
+    while (ln <= 16) {
+      var c = 0
+      while (c < dcBits(ln)) { dcLen(k) = ln; dcCode(k) = code; code += 1; k += 1; c += 1 }
+      code <<= 1; ln += 1
+    }
+    var acc = 0; var nbits = 0
+    def putBits(value: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((value >>> i) & 1); nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var j = 0
+    while (j < nb) {
+      val s    = 8 * (v(j) - 128) // the exact DC of a flat block at Q=1
+      val diff = s - pred
+      pred = s
+      val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      putBits(dcCode(cat), dcLen(cat))
+      if (cat > 0) putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 1) // EOB: the minimal AC table's single 1-bit code
+      j += 1
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // 1-pad to byte
+    b(0xff); b(0xd9)                                    // EOI
+    out.toByteArray
+  }
+
+  /** REAL (non-stub) lossy-format decode: full baseline-JPEG
+    * entropy decode + dequantization + IDCT + color convert and
+    * exact integer pixel moments via the codegen'd
+    * [[graft.plans.JpegPixelStats]] expression — one pass per
+    * payload in the scan stage. The generated corpus is flat-block
+    * grayscale at an all-ones quantizer, which makes the usually-
+    * lossy format LOSSLESS here (DC-only blocks reconstruct
+    * exactly), so the oracle stays text-derived and bit-exact while
+    * the decoder exercises the real coding layers (Huffman, DC
+    * prediction, byte stuffing, IDCT). Malformed payloads report
+    * valid=false.
+    */
+  def jpegStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    val n = col("js.n_px")
+    media
+      .select(col(idCol), expr(s"graft_jpeg_stats($payloadCol)").as("js"))
+      .select(col(idCol),
+        col("js.valid").as("valid"),
+        col("js.width").as("width"),
+        col("js.height").as("height"),
+        n.as("n_px"),
+        when(n > 0, col("js.peak")).as("peak"),
+        when(n > 0, col("js.sum_r").cast("double") / n.cast("double")).as("mean_r"),
+        when(n > 0, col("js.sum_g").cast("double") / n.cast("double")).as("mean_g"),
+        when(n > 0, col("js.sum_b").cast("double") / n.cast("double")).as("mean_b"),
+        when(n > 0, col("js.sum_luma_milli").cast("double") / (n * 1000L).cast("double"))
+          .as("mean_luma"))
+  }
+
   /** Wrap text documents as VALID ZIP archives, two deflated entries
     * per document ("a.txt" = the first half of the leading
     * `maxChars` characters, "b.txt" = the rest). The encoder is the

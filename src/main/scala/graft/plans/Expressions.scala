@@ -1623,6 +1623,398 @@ object GraftHashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](n, distinct, top, topCount, entropy))
   }
+
+  // ---------------------------------------------------------------
+  // Baseline JPEG (ITU T.81) decode — implemented HERE, no codec
+  // library: segment walk, DQT/DHT/SOF0/SOS/DRI parse, canonical
+  // Huffman decode (the F.16 DECODE procedure with a Kraft check),
+  // DC prediction + AC run/size entropy decode with FF00 unstuffing
+  // and RSTn handling, dequantization through the zigzag map, a
+  // double-precision separable IDCT, and JFIF YCbCr->RGB. Scope is
+  // baseline SEQUENTIAL with 1x1 sampling (grayscale or 4:4:4
+  // color) — progressive, subsampled, 12-bit, arithmetic-coded and
+  // hierarchical streams report valid=false rather than a guess.
+  // ---------------------------------------------------------------
+
+  /** Zigzag-order position k -> natural (row-major, v*8+u) index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cosT(x)(u) = C(u)/2 * cos((2x+1)*u*pi/16): one axis of the
+    * separable 8-point IDCT. A DC-only block reconstructs to its
+    * flat value EXACTLY (the 1e-14 residue of sqrt(0.5)^2 rounds
+    * away), which is what makes the flat-block fixture lossless.
+    */
+  private val JpegIdctCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    val c = if (u == 0) math.sqrt(0.5) else 1.0
+    0.5 * c * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Canonical Huffman decode table per T.81 F.16: mincode/maxcode/
+    * valptr per code length, built from the DHT BITS counts. `ok`
+    * is false when the counts overflow the code space (Kraft) or
+    * disagree with the value count — a malformed table must fail the
+    * PARSE, not produce garbage symbols.
+    */
+  private final class JpegHuff(bits: Array[Int], val vals: Array[Byte]) {
+    val maxcode = new Array[Int](17)
+    val mincode = new Array[Int](17)
+    val valptr  = new Array[Int](17)
+    var ok = true
+    locally {
+      var code = 0
+      var k    = 0
+      var l    = 1
+      while (l <= 16) {
+        if (bits(l) == 0) maxcode(l) = -1
+        else {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l); k += bits(l)
+          maxcode(l) = code - 1
+        }
+        if (code > (1 << l)) ok = false
+        code <<= 1
+        l += 1
+      }
+      if (k != vals.length || k == 0 || k > 256) ok = false
+    }
+  }
+
+  /** Decoded image: cropped dimensions plus one plane per component
+    * (values 0..255 as bytes, natural row-major order over the
+    * PADDED block grid — stride = padW). 1 plane = grayscale,
+    * 3 planes = RGB (already converted from YCbCr).
+    */
+  private[graft] final class JpegImage(val width: Int, val height: Int,
+                                       val padW: Int, val planes: Array[Array[Byte]])
+
+  /** Full baseline-JPEG decode; null on ANY malformation (total
+    * function — the callers turn null into valid=false). See the
+    * section comment above for scope. Caps: dimensions >= 1,
+    * width*height <= 4,194,304 px before any plane allocation.
+    */
+  private[graft] def jpegDecode(payload: Array[Byte]): JpegImage = {
+    if (payload.length < 4) return null
+    def u8(o: Int): Int = payload(o) & 0xff
+    def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (u8(0) != 0xff || u8(1) != 0xd8) return null // SOI
+    val qtabs  = new Array[Array[Int]](4)   // zigzag order, as stored
+    val dcTabs = new Array[JpegHuff](4)
+    val acTabs = new Array[JpegHuff](4)
+    var width = 0; var height = 0
+    var ncomp = 0
+    var dri   = 0
+    val compTq = new Array[Int](3)
+    val compId = new Array[Int](3)
+    val compTd = new Array[Int](3)
+    val compTa = new Array[Int](3)
+    var sofSeen = false
+    var off = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      if (off + 4 > payload.length) return null
+      if (u8(off) != 0xff) return null
+      val m   = u8(off + 1)
+      val len = be16(off + 2)
+      if (len < 2 || off + 2 + len > payload.length) return null
+      val end = off + 2 + len
+      m match {
+        case 0xdb => // DQT: one or more tables per segment
+          var p = off + 4
+          while (p < end) {
+            val pq = u8(p) >> 4
+            val tq = u8(p) & 15
+            if (pq != 0 || tq > 3 || p + 65 > end) return null // 8-bit tables only
+            val t = new Array[Int](64)
+            var i = 0
+            while (i < 64) { t(i) = u8(p + 1 + i); if (t(i) == 0) return null; i += 1 }
+            qtabs(tq) = t
+            p += 65
+          }
+          if (p != end) return null
+        case 0xc4 => // DHT: one or more tables per segment
+          var p = off + 4
+          while (p < end) {
+            if (p + 17 > end) return null
+            val tc = u8(p) >> 4
+            val th = u8(p) & 15
+            if (tc > 1 || th > 3) return null
+            val bits = new Array[Int](17)
+            var total = 0
+            var l = 1
+            while (l <= 16) { bits(l) = u8(p + l); total += bits(l); l += 1 }
+            if (p + 17 + total > end) return null
+            val vals = java.util.Arrays.copyOfRange(payload, p + 17, p + 17 + total)
+            val h = new JpegHuff(bits, vals)
+            if (!h.ok) return null
+            if (tc == 0) dcTabs(th) = h else acTabs(th) = h
+            p += 17 + total
+          }
+          if (p != end) return null
+        case 0xc0 => // SOF0: baseline sequential
+          if (sofSeen) return null
+          sofSeen = true
+          if (u8(off + 4) != 8) return null // 8-bit precision only
+          height = be16(off + 5)
+          width  = be16(off + 7)
+          ncomp  = u8(off + 9)
+          if (width < 1 || height < 1 ||
+            width.toLong * height > 4194304L) return null // bomb cap
+          if (ncomp != 1 && ncomp != 3) return null
+          if (len != 8 + 3 * ncomp) return null
+          var c = 0
+          while (c < ncomp) {
+            compId(c) = u8(off + 10 + 3 * c)
+            if (u8(off + 11 + 3 * c) != 0x11) return null // 1x1 sampling only (4:4:4 scope)
+            compTq(c) = u8(off + 12 + 3 * c)
+            if (compTq(c) > 3) return null
+            c += 1
+          }
+        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
+          return null // extended/progressive/lossless/arithmetic/differential: out of scope
+        case 0xdd => // DRI
+          if (len != 4) return null
+          dri = be16(off + 4)
+        case 0xda => // SOS
+          if (!sofSeen) return null
+          if (u8(off + 4) != ncomp || len != 6 + 2 * ncomp) return null
+          var c = 0
+          while (c < ncomp) {
+            if (u8(off + 5 + 2 * c) != compId(c)) return null // interleaved, SOF order
+            compTd(c) = u8(off + 6 + 2 * c) >> 4
+            compTa(c) = u8(off + 6 + 2 * c) & 15
+            if (compTd(c) > 3 || compTa(c) > 3) return null
+            c += 1
+          }
+          // baseline single full scan: Ss=0, Se=63, Ah=Al=0
+          if (u8(end - 3) != 0 || u8(end - 2) != 63 || u8(end - 1) != 0) return null
+          sosAt = end
+        case x if x >= 0xe0 && x <= 0xef => // APPn
+        case 0xfe                         => // COM
+        case _                            => return null
+      }
+      off = end
+    }
+    var c = 0
+    while (c < ncomp) {
+      if (qtabs(compTq(c)) == null || dcTabs(compTd(c)) == null || acTabs(compTa(c)) == null)
+        return null
+      c += 1
+    }
+    // ---- entropy-coded data: bit reader with FF00 unstuffing ----
+    var pos    = sosAt
+    var bitBuf = 0
+    var bitCnt = 0
+    var hitEoi = false
+    var eoiAt  = -1
+    def fillByte(): Boolean = {
+      if (hitEoi || pos >= payload.length) return false
+      val b = u8(pos)
+      if (b == 0xff) {
+        if (pos + 1 >= payload.length) return false
+        val mm = u8(pos + 1)
+        if (mm == 0x00) { pos += 2; bitBuf = (bitBuf << 8) | 0xff; bitCnt += 8; true }
+        else if (mm == 0xd9) { hitEoi = true; eoiAt = pos; false }
+        else false // a marker where entropy bits were needed: truncated scan
+      } else { pos += 1; bitBuf = (bitBuf << 8) | b; bitCnt += 8; true }
+    }
+    def nextBit(): Int = {
+      if (bitCnt == 0 && !fillByte()) return -1
+      bitCnt -= 1
+      (bitBuf >>> bitCnt) & 1
+    }
+    def decodeSym(h: JpegHuff): Int = {
+      var code = nextBit(); if (code < 0) return -1
+      var l = 1
+      while (code > h.maxcode(l)) {
+        if (l == 16) return -1
+        val b = nextBit(); if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      h.vals(h.valptr(l) + code - h.mincode(l)) & 0xff
+    }
+    def receive(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) { val b = nextBit(); if (b < 0) return Int.MinValue; v = (v << 1) | b; i += 1 }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    val mcusX = (width + 7) / 8
+    val mcusY = (height + 7) / 8
+    val padW  = mcusX * 8
+    val padH  = mcusY * 8
+    val planes = Array.fill(ncomp)(new Array[Byte](padW * padH))
+    val preds  = new Array[Int](ncomp)
+    val coef   = new Array[Int](64)
+    val pix    = new Array[Int](64)
+    def idct(): Unit = {
+      // rows (u axis) then columns (v axis); coef is natural order
+      val t = new Array[Double](64)
+      var v = 0
+      while (v < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var u = 0
+          while (u < 8) { s += JpegIdctCos(x)(u) * coef(v * 8 + u); u += 1 }
+          t(v * 8 + x) = s
+          x += 1
+        }
+        v += 1
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var vv = 0
+          while (vv < 8) { s += JpegIdctCos(y)(vv) * t(vv * 8 + x); vv += 1 }
+          val p = math.rint(s).toInt + 128
+          pix(y * 8 + x) = if (p < 0) 0 else if (p > 255) 255 else p
+          x += 1
+        }
+        y += 1
+      }
+    }
+    var mcu    = 0
+    var rstIdx = 0
+    val mcus   = mcusX * mcusY
+    while (mcu < mcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        // restart: discard pad bits, expect RSTn in sequence, reset preds
+        bitCnt = 0
+        if (pos + 2 > payload.length || u8(pos) != 0xff) return null
+        val mm = u8(pos + 1)
+        if (mm != 0xd0 + (rstIdx % 8)) return null
+        pos += 2
+        rstIdx += 1
+        java.util.Arrays.fill(preds, 0)
+      }
+      val bx = (mcu % mcusX) * 8
+      val by = (mcu / mcusX) * 8
+      var ci = 0
+      while (ci < ncomp) {
+        java.util.Arrays.fill(coef, 0)
+        val q  = qtabs(compTq(ci))
+        val s0 = decodeSym(dcTabs(compTd(ci)))
+        if (s0 < 0 || s0 > 11) return null
+        val dv =
+          if (s0 == 0) 0
+          else { val r = receive(s0); if (r == Int.MinValue) return null; extend(r, s0) }
+        preds(ci) += dv
+        coef(0) = preds(ci) * q(0)
+        var k = 1
+        var eob = false
+        while (!eob && k <= 63) {
+          val rs = decodeSym(acTabs(compTa(ci)))
+          if (rs < 0) return null
+          val run = rs >> 4
+          val sz  = rs & 15
+          if (sz == 0) {
+            if (rs == 0x00) eob = true
+            else if (rs == 0xf0) { k += 16; if (k > 64) return null }
+            else return null
+          } else {
+            k += run
+            if (k > 63) return null
+            val rv = receive(sz); if (rv == Int.MinValue) return null
+            coef(JpegZigzag(k)) = extend(rv, sz) * q(k)
+            k += 1
+          }
+        }
+        idct()
+        val plane = planes(ci)
+        var yy = 0
+        while (yy < 8) {
+          var xx = 0
+          while (xx < 8) {
+            plane((by + yy) * padW + bx + xx) = pix(yy * 8 + xx).toByte
+            xx += 1
+          }
+          yy += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    // strict framing, like the other decoders: pad bits end the last
+    // entropy byte, then EOI, then the payload ENDS
+    if (hitEoi) { if (eoiAt + 2 != payload.length) return null }
+    else {
+      if (pos + 2 != payload.length || u8(pos) != 0xff || u8(pos + 1) != 0xd9) return null
+    }
+    if (ncomp == 3) {
+      // JFIF YCbCr -> RGB in place (planes become R, G, B)
+      val py = planes(0); val pcb = planes(1); val pcr = planes(2)
+      var i = 0
+      val n = padW * padH
+      while (i < n) {
+        val y  = py(i) & 0xff
+        val cb = (pcb(i) & 0xff) - 128
+        val cr = (pcr(i) & 0xff) - 128
+        def cl(d: Double): Byte = {
+          val r = math.rint(d).toInt
+          (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+        }
+        py(i) = cl(y + 1.402 * cr)
+        pcb(i) = cl(y - 0.344136 * cb - 0.714136 * cr)
+        pcr(i) = cl(y + 1.772 * cb)
+        i += 1
+      }
+    }
+    new JpegImage(width, height, padW, planes)
+  }
+
+  /** REAL baseline-JPEG decode for [[JpegPixelStats]]: full
+    * [[jpegDecode]] (entropy decode + dequant + IDCT + color
+    * convert), then exact integer pixel moments over the CROPPED
+    * image — same output shape as the BMP/PNG/GIF/QOI twins.
+    * Total function: malformed/out-of-scope payloads report
+    * valid=false, never a throw.
+    */
+  def jpegStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0, 0L, 0L, 0L, 0L, 0, 0L))
+    val img =
+      try jpegDecode(payload)
+      catch { case _: RuntimeException => null }
+    if (img == null) return bad
+    val gray = img.planes.length == 1
+    val pr = img.planes(0)
+    val pg = if (gray) pr else img.planes(1)
+    val pb = if (gray) pr else img.planes(2)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var peak = 0
+    var luma = 0L
+    var y = 0
+    while (y < img.height) {
+      var x = 0
+      while (x < img.width) {
+        val o = y * img.padW + x
+        val r = pr(o) & 0xff; val g = pg(o) & 0xff; val b = pb(o) & 0xff
+        sr += r; sg += g; sb += b
+        val m = if (r > g) { if (r > b) r else b } else { if (g > b) g else b }
+        if (m > peak) peak = m
+        luma += 299L * r + 587L * g + 114L * b
+        x += 1
+      }
+      y += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, img.width, img.height, img.width.toLong * img.height,
+        sr, sg, sb, peak, luma))
+  }
 }
 
 /** One-pass clean/normalize (see GraftHashOps.cleanText): the
@@ -1911,6 +2303,27 @@ case class PngPixelStats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PngPixelStats = copy(child = newChild)
 }
 
+/** REAL baseline-JPEG (ITU T.81) decode + exact pixel moments in one
+  * scan-stage pass — segment walk, canonical Huffman entropy decode,
+  * dequantization, double-precision IDCT, and JFIF YCbCr->RGB, all
+  * in [[GraftHashOps.jpegDecode]] (no codec library; scope is
+  * baseline sequential at 1x1 sampling — grayscale or 4:4:4). Total
+  * function: malformed or out-of-scope payloads yield valid=false,
+  * never null. Same output schema as the BMP/PNG/GIF/QOI twins.
+  */
+case class JpegPixelStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BmpPixelStats.schema
+  override def prettyName: String = "graft_jpeg_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.jpegStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.jpegStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): JpegPixelStats = copy(child = newChild)
+}
+
 /** REAL ZIP archive decode + exact content moments in one scan-stage
   * pass — EOCD discovery, central-directory walk, local-header
   * parse, stored + raw-deflate entries, per-entry CRC-32
@@ -2174,6 +2587,8 @@ object GraftFunctions {
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of an RGB8 non-interlaced PNG payload"),
     ("graft_gif_stats", (es: Seq[Expression]) => GifPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a single-image non-interlaced GIF payload"),
+    ("graft_jpeg_stats", (es: Seq[Expression]) => JpegPixelStats(es.head),
+      "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a baseline-sequential 1x1-sampled JPEG payload"),
     ("graft_qoi_stats", (es: Seq[Expression]) => QoiPixelStats(es.head),
       "returns struct(valid, width, height, n_px, sum_r, sum_g, sum_b, peak, sum_luma_milli) of a QOI payload"),
     ("graft_zip_stats", (es: Seq[Expression]) => ZipArchiveStats(es.head),

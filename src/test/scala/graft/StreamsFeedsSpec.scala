@@ -752,6 +752,97 @@ class StreamsFeedsSpec extends AnyFunSuite {
     }
   }
 
+  test("jpeg decode: ImageIO agrees pixel-exact on generated flat-block payloads, stats match the text rule") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf).limit(20)
+    val recs = Multimodal.jpegFromDocuments(docs).collect()
+    val texts = docs.select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+    assert(recs.nonEmpty)
+    recs.foreach { rec =>
+      val text = texts(rec.media_id)
+      val l    = math.min(64, text.length)
+      val nb   = math.max(8, ((l + 7) / 8) * 8)
+      def v(j: Int): Int = if (j < l) ((text.charAt(j) & 0x7f) * 7 + j) % 256 else 128
+      // independent decoder: the JDK's ImageIO must reconstruct the
+      // exact flat-block pixels (DC-only blocks are IDCT-exact)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rec.payload))
+      assert(img != null, s"ImageIO rejected media ${rec.media_id}")
+      assert(img.getWidth === 64 && img.getHeight === nb)
+      // raster samples, not getRGB: getRGB pushes TYPE_BYTE_GRAY
+      // through a gray->sRGB colorspace conversion
+      for (j <- 0 until nb; yy <- 0 until 2; xx <- 0 until 2) {
+        val px = img.getRaster.getSample((j % 8) * 8 + xx * 7, (j / 8) * 8 + yy * 7, 0)
+        assert(px === v(j),
+          s"ImageIO pixel disagrees with the flat-block rule at block $j on media ${rec.media_id}")
+      }
+      // the in-repo decoder's exact moments vs the text rule
+      val row = graft.plans.GraftHashOps.jpegStats(rec.payload)
+      assert(row.getBoolean(0), s"parser rejected its own encoder on media ${rec.media_id}")
+      assert(row.getInt(1) === 64 && row.getInt(2) === nb)
+      assert(row.getLong(3) === 64L * nb)
+      val vs = (0 until nb).map(v)
+      assert(row.getLong(4) === 64L * vs.sum, s"sum_r disagrees on media ${rec.media_id}")
+      assert(row.getLong(5) === row.getLong(4) && row.getLong(6) === row.getLong(4))
+      assert(row.getInt(7) === vs.max)
+      assert(row.getLong(8) === 64L * 1000L * vs.sum)
+    }
+  }
+
+  test("jpeg decode: ImageIO's own REAL encoder (quantizer + AC coefficients) round-trips within IDCT rounding") {
+    // the generated corpus is DC-only; this fixture forces the full
+    // coding layers — multi-category DC, real AC run/size symbols,
+    // ZRL, a non-trivial quantization table, Annex-K-style Huffman
+    // tables — from an INDEPENDENT encoder (the JDK's JPEG writer)
+    // on a noisy 64x32 grayscale image. Both decoders then see the
+    // identical coefficients, so any disagreement beyond IDCT
+    // rounding (+-2/px) is an entropy/dequant bug
+    val img = new java.awt.image.BufferedImage(64, 32, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val v = (x * 31 + y * 17 + (x * y) % 29) % 256
+      img.getRaster.setSample(x, y, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JDK has no JPEG writer?")
+    val payload = bos.toByteArray
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    val dec  = graft.plans.GraftHashOps.jpegDecode(payload)
+    assert(dec != null, "decoder rejected an ImageIO-written baseline JPEG")
+    assert(dec.width === 64 && dec.height === 32 && dec.planes.length === 1)
+    var worst = 0
+    var sumAbs = 0L
+    for (y <- 0 until 32; x <- 0 until 64) {
+      val a = back.getRaster.getSample(x, y, 0) // raw sample, no gray->sRGB
+      val b = dec.planes(0)(y * dec.padW + x) & 0xff
+      val d = math.abs(a - b)
+      worst = math.max(worst, d)
+      sumAbs += d
+    }
+    assert(worst <= 2, s"per-pixel drift $worst exceeds IDCT rounding (entropy/dequant bug)")
+    assert(sumAbs.toDouble / (64 * 32) < 0.6, s"mean abs drift ${sumAbs.toDouble / 2048} too high")
+  }
+
+  test("jpeg decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.jpegBytes("hello world jpeg fixture", 64)
+    assert(graft.plans.GraftHashOps.jpegStats(ok).getBoolean(0))
+    // generated layout: SOI(0) DQT(2, entries at 7..70) SOF0(71:
+    // marker 71-72, len 73-74, P 75, H 76-77, W 78-79, Nf 80,
+    // comp 81-83) DHT(84) SOS(135) entropy(145..)
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.take(60),                                        // truncated mid-DQT
+      ok.take(ok.length - 3),                             // truncated entropy + EOI
+      { val b = ok.clone(); b(1) = 0xd0.toByte; b },      // not SOI
+      { val b = ok.clone(); b(72) = 0xc2.toByte; b },     // progressive SOF2: out of scope
+      { val b = ok.clone(); b(77) = 0.toByte; b(76) = 0.toByte; b }, // height 0
+      { val b = ok.clone(); b(82) = 0x22.toByte; b },     // 2x2 subsampling: out of scope
+      { val b = ok.clone(); b(7) = 0.toByte; b },         // zero quant entry
+      ok :+ 0.toByte,                                     // trailing garbage after EOI
+      { val b = ok.clone(); b(76) = 0.toByte; b(77) = 16.toByte; b }) // height lies: entropy/framing desync
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.jpegStats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
   test("wav decode: malformed payloads report valid=false, never throw or lie") {
     val ok = Multimodal.wavBytes("hello world", 96)
     assert(graft.plans.GraftHashOps.wavPcmStats(ok).getBoolean(0))
