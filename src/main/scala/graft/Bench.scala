@@ -35,6 +35,17 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // CHILD MODE: the scale/streaming/pipeline sections run in a
+    // forked fresh JVM (see forkSection) — r13's graded artifact
+    // disagreed with the controlled fresh-JVM audit by up to 30x on
+    // the same query because one long JVM ran the 377-query sweep
+    // and THEN the sections, and per-cell clearCache+GC could not
+    // shed the accumulated state. A child measures each section the
+    // way the audit does.
+    sys.env.get("SPARK_GRAFT_SECTION") match {
+      case Some(section) => runSectionChild(section, sfDir, cpus); return
+      case None          => ()
+    }
     val spark = Session.local(cpus)
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
@@ -111,8 +122,30 @@ object Bench {
       case None      => only.isEmpty
     }
     val (streaming, streamingCompact) =
-      if (runStreaming) streamingBench(spark, sfDir) else ("{}", "{}")
-    val (scale, scaleRatios) = if (runScale) scaleBench(spark, sfDir, results.toMap) else ("{}", "{}")
+      if (!runStreaming) ("{}", "{}")
+      else forkSection("streaming", Map.empty) match {
+        case Some((f, c)) => (tagForked(f, forked = true), c)
+        case None =>
+          System.err.println("[bench] streaming: in-process fallback (timings may carry JVM wear)")
+          val (f, c) = streamingBench(spark, sfDir)
+          (tagForked(f, forked = false), c)
+      }
+    val (scale, scaleRatios) =
+      if (!runScale) ("{}", "{}")
+      else {
+        // base times cross the process boundary as a plain file
+        val btF = java.nio.file.Files.createTempFile("graft_base_times", ".txt")
+        java.nio.file.Files.write(btF,
+          results.map { case (n, v) => s"$n $v" }.mkString("\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        forkSection("scale", Map("SPARK_GRAFT_BASE_TIMES" -> btF.toString)) match {
+          case Some((f, c)) => (tagForked(f, forked = true), c)
+          case None =>
+            System.err.println("[bench] scale: in-process fallback (timings may carry JVM wear)")
+            val (f, c) = scaleBench(spark, sfDir, results.toMap)
+            (tagForked(f, forked = false), c)
+        }
+      }
     // pipeline rehearsal LAST: it generates/reads the x30 replica,
     // so its page-cache footprint must not precede the scale section
     val runPipeline = sys.env.get("SPARK_GRAFT_PIPELINE") match {
@@ -120,7 +153,14 @@ object Bench {
       case Some(_)   => true
       case None      => only.isEmpty
     }
-    val pipeline = if (runPipeline) pipelineBench(spark, sfDir) else "{}"
+    val pipeline =
+      if (!runPipeline) "{}"
+      else forkSection("pipeline", Map.empty) match {
+        case Some((f, _)) => tagForked(f, forked = true)
+        case None =>
+          System.err.println("[bench] pipeline: in-process fallback (timings may carry JVM wear)")
+          tagForked(pipelineBench(spark, sfDir), forked = false)
+      }
     val qs      = results.map { case (k, v) => "\"" + k + "\":" + fmtD(v) }.mkString("{", ",", "}")
     val sweepRepJson = names.map { n =>
       "\"" + n + "\":[" + raw(n).map(r => fmtD(r._1)).mkString(",") + "]"
@@ -179,6 +219,100 @@ object Bench {
     println(compact)
     spark.stop()
   }
+
+  /** CHILD-MODE entry: run exactly one section in this fresh JVM,
+    * write its (full, compact) JSON fragments to
+    * SPARK_GRAFT_SECTION_OUT (one per line), and exit. A small
+    * warmup query runs first so the section's first timed unit
+    * doesn't absorb session/JIT startup — the same protocol as the
+    * parent's sweep and the controlled fresh-JVM audit.
+    */
+  private def runSectionChild(section: String, sfDir: String, cpus: Int): Unit = {
+    val spark = Session.local(cpus)
+    try SparkEntry.queries("q_agg_pushdown")(spark, sfDir).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    val (full, compact) = section match {
+      case "streaming" => streamingBench(spark, sfDir)
+      case "scale" =>
+        val baseTimes = sys.env.get("SPARK_GRAFT_BASE_TIMES")
+          .map(readBaseTimes).getOrElse(Map.empty[String, Double])
+        scaleBench(spark, sfDir, baseTimes)
+      case "pipeline" => (pipelineBench(spark, sfDir), "{}")
+      case other      => (s"""{"error":"unknown section $other"}""", "{}")
+    }
+    sys.env.get("SPARK_GRAFT_SECTION_OUT").foreach { p =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        (full + "\n" + compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.stop()
+  }
+
+  /** Parse the parent's sweep times ("name seconds" per line). */
+  private def readBaseTimes(path: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)).asScala.toSeq
+      .filter(_.nonEmpty)
+      .map { l => val a = l.split(' '); a(0) -> a(1).toDouble }
+      .toMap
+  }
+
+  /** Run one bench section in a forked FRESH JVM (same java binary,
+    * same JVM flags, same classpath, environment inherited) and
+    * collect its two JSON fragments. Returns None on any failure —
+    * the caller falls back to the in-process section so the
+    * artifact is never silently missing, and tags the fragment with
+    * `"forked":false` so a reader knows which protocol produced it.
+    * Child stdout goes to a temp log (it must not interleave with
+    * the parent's final JSON lines); stderr is inherited so section
+    * progress stays visible. SPARK_GRAFT_FORK=0 forces in-process.
+    */
+  private def forkSection(section: String, extraEnv: Map[String, String]): Option[(String, String)] = {
+    if (sys.env.get("SPARK_GRAFT_FORK").contains("0")) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val outF = java.nio.file.Files.createTempFile(s"graft_bench_$section", ".json")
+      val logF = java.nio.file.Files.createTempFile(s"graft_bench_$section", ".log")
+      val cmd  = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_SECTION", section)
+      pb.environment().put("SPARK_GRAFT_SECTION_OUT", outF.toString)
+      extraEnv.foreach { case (k, v) => pb.environment().put(k, v) }
+      pb.redirectOutput(logF.toFile)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_SECTION_TIMEOUT", "5400").toLong
+      System.err.println(s"[bench] forking $section section into a fresh JVM")
+      val p    = pb.start()
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        p.destroyForcibly()
+        System.err.println(s"[bench] $section child timed out after ${timeoutSec}s")
+        return None
+      }
+      if (p.exitValue() != 0) {
+        System.err.println(s"[bench] $section child exited ${p.exitValue()} (stdout log: $logF)")
+        return None
+      }
+      val lines = java.nio.file.Files.readAllLines(outF).asScala.toSeq.filter(_.trim.nonEmpty)
+      if (lines.isEmpty) {
+        System.err.println(s"[bench] $section child produced no output")
+        None
+      } else Some((lines.head, if (lines.size > 1) lines(1) else "{}"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] fork $section failed: ${e.getMessage}")
+        None
+    }
+  }
+
+  /** Tag a section fragment with the protocol that produced it. */
+  private def tagForked(json: String, forked: Boolean): String =
+    if (json == "{}") s"""{"forked":$forked}"""
+    else if (json.startsWith("{")) s"""{"forked":$forked,""" + json.tail
+    else json
 
   /** The queries the scale section re-times at x10: the most
     * expensive of the sweep plus the two AQE-join headliners. The
@@ -274,6 +408,7 @@ object Bench {
     import org.apache.spark.sql.functions._
     val factor   = sys.env.getOrElse("SPARK_GRAFT_PIPELINE_FACTOR", "30").toInt
     val scaleDir = s"testdata_x$factor"
+    val cpus     = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     try GenScale.ensure(spark, baseDir, scaleDir, factor)
     catch {
       case e: Throwable =>
@@ -281,65 +416,111 @@ object Bench {
         return "{}"
     }
     graft.plans.GraftFunctions.register(spark)
-    def runAt(dir: String, outRoot: String): Seq[(String, Double, Long)] = {
-      val res = scala.collection.mutable.ArrayBuffer[(String, Double, Long)]()
-      def stage(name: String, df: => DataFrame): DataFrame = {
+    // stage graph with EXPLICIT parquet-handoff inputs: each leg
+    // reads only the persisted outputs of earlier legs (plus the raw
+    // dir), never a live DataFrame — which is what lets the
+    // fresh-session protocol below run a leg in a brand-new
+    // SparkContext. Registry = the quarter of the gated corpus that
+    // "already shipped"; the batch dedups against its Bloom bitset
+    // (the ingest-cycle shape). The embedding leg measures the graph
+    // family's scale story IN COMPOSITION: feature-hash embed →
+    // two-level celled kNN edges → semantic dedup over the persisted
+    // edge frame.
+    def stages(dir: String, outRoot: String): Seq[(String, SparkSession => DataFrame)] = {
+      def rd(s: SparkSession, name: String): DataFrame = s.read.parquet(s"$outRoot/$name")
+      Seq(
+        ("clean", (s: SparkSession) =>
+          Tables.documents(s, dir)
+            .select(col("doc_id"), expr("graft_clean_text(text)").as("text"), col("source"))),
+        ("gate", (s: SparkSession) => {
+          val cleaned = rd(s, "clean")
+          cleaned.join(
+            graft.operators.TextAnalysis.qualityGate(cleaned)
+              .filter(col("keep") === 1).select("doc_id"),
+            Seq("doc_id"))
+        }),
+        ("dedup", (s: SparkSession) => {
+          val gated = rd(s, "gate")
+          val reg   = gated.filter(pmod(col("doc_id"), lit(4L)) === 0)
+          val inc   = gated.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
+          inc.join(
+            graft.operators.Dedup.incrementalDedup(reg, inc)
+              .filter(col("is_new") === 1).select("doc_id"),
+            Seq("doc_id"))
+        }),
+        ("mix", (s: SparkSession) =>
+          graft.operators.Sampling.domainMix(rd(s, "dedup"),
+            Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 75))),
+        ("pack", (s: SparkSession) =>
+          graft.operators.TextAnalysis.packSequences(rd(s, "mix"), 256)),
+        ("embed", (s: SparkSession) =>
+          rd(s, "mix").select(col("doc_id").as("vec_id"), expr("graft_fh_embed(text, 64)").as("embedding"))),
+        ("knn", (s: SparkSession) =>
+          graft.operators.Similarity.knnCandidatePairs(rd(s, "embed"))),
+        ("semdedup", (s: SparkSession) =>
+          rd(s, "mix").join(
+            rd(s, "knn").filter(col("cos") >= 0.92).select(col("vb").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")))
+    }
+    def runAt(dir: String, outRoot: String): Seq[(String, Double, Long)] =
+      stages(dir, outRoot).map { case (name, build) =>
         val out = s"$outRoot/$name"
         val t0  = System.nanoTime()
-        df.write.mode("overwrite").parquet(out)
+        build(spark).write.mode("overwrite").parquet(out)
         val took = (System.nanoTime() - t0) / 1e9
-        val back = spark.read.parquet(out)
-        res += ((name, took, back.count()))
-        back
+        (name, took, spark.read.parquet(out).count())
       }
-      val docs = Tables.documents(spark, dir)
-      val cleaned = stage("clean",
-        docs.select(col("doc_id"), expr("graft_clean_text(text)").as("text"), col("source")))
-      val gated = stage("gate",
-        cleaned.join(
-          graft.operators.TextAnalysis.qualityGate(cleaned)
-            .filter(col("keep") === 1).select("doc_id"),
-          Seq("doc_id")))
-      // registry = the quarter of the gated corpus that "already
-      // shipped"; the batch dedups against its Bloom bitset — the
-      // ingest-cycle shape
-      val reg = gated.filter(pmod(col("doc_id"), lit(4L)) === 0)
-      val inc = gated.filter(pmod(col("doc_id"), lit(4L)) =!= 0)
-      val deduped = stage("dedup",
-        inc.join(
-          graft.operators.Dedup.incrementalDedup(reg, inc)
-            .filter(col("is_new") === 1).select("doc_id"),
-          Seq("doc_id")))
-      val mixed = stage("mix",
-        graft.operators.Sampling.domainMix(deduped,
-          Map("src0" -> 10, "src1" -> 25, "src2" -> 50, "src3" -> 75)))
-      stage("pack", graft.operators.TextAnalysis.packSequences(mixed, 256))
-      // embedding leg (r13): the graph family's scale story measured
-      // IN COMPOSITION — feature-hash embed (codegen'd, scan-shaped)
-      // → two-level celled kNN candidate edges (the knnCandidatePairs
-      // default; at x30 the quantizer genuinely engages: ~235 fine
-      // cells behind 16 coarse seeds) → semantic dedup consuming the
-      // persisted edge frame (drop the higher doc_id of every
-      // in-cell pair above the cosine bar)
-      val embedded = stage("embed",
-        mixed.select(col("doc_id").as("vec_id"), expr("graft_fh_embed(text, 64)").as("embedding")))
-      val pairs = stage("knn",
-        graft.operators.Similarity.knnCandidatePairs(embedded))
-      stage("semdedup",
-        mixed.join(
-          pairs.filter(col("cos") >= 0.92).select(col("vb").as("doc_id")).distinct(),
-          Seq("doc_id"), "left_anti"))
-      res.toSeq
+    // fresh-session legs: a 100 TB pipeline RESTARTS between stages,
+    // so stage costs must not lean on cached lineage, shuffle files,
+    // or blocks from the producing stage. Each leg gets a brand-new
+    // SparkContext (created BEFORE t0, so the wall is the stage's,
+    // not the JVM's) reading only the parquet handoff. Default-on in
+    // the forked child; SPARK_GRAFT_PIPELINE_FRESH=1/0 overrides —
+    // the in-process fallback must not stop a caller's session.
+    val freshLegs = sys.env.get("SPARK_GRAFT_PIPELINE_FRESH") match {
+      case Some("0") => false
+      case Some(_)   => true
+      case None      => sys.env.contains("SPARK_GRAFT_SECTION")
+    }
+    def runFresh(dir: String, outRoot: String): Seq[(String, Double, Long)] = {
+      spark.stop()
+      stages(dir, outRoot).map { case (name, build) =>
+        val s = Session.local(cpus)
+        graft.plans.GraftFunctions.register(s)
+        val out = s"$outRoot/$name"
+        val t0  = System.nanoTime()
+        build(s).write.mode("overwrite").parquet(out)
+        val took = (System.nanoTime() - t0) / 1e9
+        val n = s.read.parquet(out).count()
+        s.stop()
+        (name, took, n)
+      }
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
     try {
       val base = runAt(baseDir, s"$tmp/base")
       val x30  = runAt(scaleDir, s"$tmp/x$factor")
-      val stages = base.zip(x30).map { case ((n, tb, rb), (_, ts, rs)) =>
+      val (baseF, x30F) =
+        if (freshLegs) (runFresh(baseDir, s"$tmp/basef"), runFresh(scaleDir, s"$tmp/xf$factor"))
+        else (Seq.empty[(String, Double, Long)], Seq.empty[(String, Double, Long)])
+      val fmB = baseF.map(t => t._1 -> t).toMap
+      val fmX = x30F.map(t => t._1 -> t).toMap
+      val stagesJson = base.zip(x30).map { case ((n, tb, rb), (_, ts, rs)) =>
         val ratio = if (tb > 0) ts / tb else -1.0
-        s""""$n":{"base":${fmtD(tb)},"x$factor":${fmtD(ts)},"ratio":${fmtD(ratio)},"rows_base":$rb,"rows_x$factor":$rs}"""
+        val fresh =
+          if (!freshLegs) ""
+          else {
+            val (_, fb, frB) = fmB.getOrElse(n, (n, -1.0, -1L))
+            val (_, fx, frX) = fmX.getOrElse(n, (n, -1.0, -1L))
+            if (frB != rb || frX != rs)
+              System.err.println(s"[bench] pipeline $n: fresh-leg row counts drifted ($frB vs $rb / $frX vs $rs)")
+            s""","base_fresh":${fmtD(fb)},"x${factor}_fresh":${fmtD(fx)}""" +
+              s""","fresh_over_warm_base":${fmtD(if (tb > 0 && fb > 0) fb / tb else -1.0)}""" +
+              s""","fresh_over_warm_x$factor":${fmtD(if (ts > 0 && fx > 0) fx / ts else -1.0)}"""
+          }
+        s""""$n":{"base":${fmtD(tb)},"x$factor":${fmtD(ts)},"ratio":${fmtD(ratio)}$fresh,"rows_base":$rb,"rows_x$factor":$rs}"""
       }.mkString("{", ",", "}")
-      s"""{"factor":$factor,"stages":$stages}"""
+      s"""{"factor":$factor,"fresh_legs":$freshLegs,"stages":$stagesJson}"""
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] pipeline failed: ${e.getMessage}")
