@@ -509,18 +509,42 @@ object Similarity {
     // ccell shuffle as the rank — no extra pass. `div`, not `/`:
     // Spark's `/` on longs is double division and a true-integer
     // quotient can round below itself, desyncing from DuckDB's `//`.
+    //
+    // The rank/count windows run on a SLIM (ccell, vec_id) frame —
+    // 16 bytes/row instead of dragging the full vector through the
+    // ccell exchange and its per-partition sort (the r13 x30 audit
+    // priced that drag at up to 9.2x constants for 30x rows); the
+    // Σfpc <= nlist+ncoarse winners then fetch their vectors with a
+    // broadcast join against a plain corpus scan (no assignment
+    // recompute, no shuffle of the corpus side).
     val wSeed = Window.partitionBy("ccell").orderBy("vec_id")
     val wCnt  = Window.partitionBy("ccell")
-    val fcents = vc.select(col("ccell"), col("vec_id"), col("v"))
+    // the winner set and the fine-centroid table both hold
+    // nlist+ncoarse entries — their sizes are EXACT at build time
+    // (nlist, ncoarse, dim all known), so the broadcast decision is
+    // a static gate, not an estimator's guess; past the threshold
+    // both joins fall back to the shuffles the 100 TB tier wants
+    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    val nFine = nlist.toLong + ncoarse
+    val picked = vc.select(col("ccell"), col("vec_id"))
       .withColumn("fidx", row_number().over(wSeed) - 1)
       .withColumn("cnt", count(lit(1)).over(wCnt))
       .filter(expr(s"fidx < ((${nlist}L * cnt + ${nVec - 1}L) div ${nVec}L)"))
+      .select(col("ccell"), col("vec_id"), col("fidx"))
+    val pickedSized = if (nFine * 24L < (64L << 20)) broadcast(picked) else picked
+    val fcents = e.select(col("vec_id"), col("v"))
+      .join(pickedSized, Seq("vec_id"))
       .groupBy(col("ccell"))
       .agg(sort_array(collect_list(struct(col("fidx"), col("v")))).as("fs"))
       .select(col("ccell"), transform(col("fs"), s => s("v")).as("fcs"))
     // cell id = ccell*(nlist+1) + fidx: fpc_c <= nlist (a coarse
-    // cell holding the whole corpus), so the stride never collides
-    vc.join(fcents, Seq("ccell"))
+    // cell holding the whole corpus), so the stride never collides.
+    // fcents is ncoarse rows carrying ~(nlist+ncoarse)*dim doubles
+    // total: broadcast it while that payload is provably small so
+    // the corpus side never exchanges on ccell.
+    val fcentsSized =
+      if (nFine * dim * 8L < (64L << 20)) broadcast(fcents) else fcents
+    vc.join(fcentsSized, Seq("ccell"))
       .withColumn("cell",
         col("ccell").cast("long") * (nlist + 1L) + ivfAssignNestedCol(col("v"), col("fcs")).cast("long"))
       .drop("ccell", "fcs")

@@ -380,7 +380,27 @@ object TextAnalysis {
     * ln(N/df). Two key-partitioned aggregations (term counts per doc,
     * then document frequency over the already-distinct (doc, term)
     * rows) + the corpus size as a broadcast 1-row frame — no driver
-    * collect, no second corpus scan.
+    * collect, no second corpus scan; top-k rides Spark's
+    * WindowGroupLimit partial heaps, and AQE broadcasts the (t, df)
+    * registry when the vocabulary is small, falling back to SMJ when
+    * it is not.
+    *
+    * MEASURED COST MODEL (r14, x10 audit): the wall ratio at the x10
+    * replica is ~4.3x — but the unit of work here is DISTINCT
+    * (doc, term) rows, and the replica's token jitter grows those
+    * 14.1x (116k → 1.64M) while docs grow 10x; per (doc, term) row
+    * the op is SUBLINEAR (0.31x/row). Two rejected "fixes", both
+    * measured: localCheckpoint'ing the tf frame to kill the
+    * duplicated subtree made x10 WORSE (7.0s → 14.1s — materializing
+    * the full frame costs more than recomputing the codegen'd
+    * scan+explode+agg), and deriving df via a window over t was
+    * 2.3x faster HERE (1.8s vs 5.1s at x10) but is the wrong 100 TB
+    * shape: count().over(partitionBy(t)) puts every document
+    * containing a hot term ("the") into ONE window task with no
+    * partial aggregation — a skew cliff the groupBy+broadcast shape
+    * structurally cannot hit. Corpus-LEVEL term frequency at scale
+    * has the CMS sketch twin (q_heavy_hitters); per-document top-k
+    * is already linear in its input rows.
     */
   def tfidfTopTerms(documents: DataFrame, k: Int = 5): DataFrame = {
     val tf = documents
