@@ -159,6 +159,20 @@ def main():
 
     merge(TAIL)
     merge(QUAD, replace_timeouts=True)
+    # queries that LANDED AFTER the full pass (q_utf16_stats,
+    # q_punycode_stats): their cells come wholesale from a dedicated
+    # same-protocol run, flagged so the provenance is readable
+    try:
+        extra = json.load(open("bench_newdec_r14.json"))
+        escale = extra["scale"]
+        assert escale.get("forked", False)
+        for k, tv in escale["queries"].items():
+            if k not in qs and isinstance(tv, dict) and tv.get("ratio", -1) > 0:
+                tv = dict(tv)
+                tv["post_full_pass"] = True
+                qs[k] = tv
+    except FileNotFoundError:
+        pass
     ratios = {k: v["ratio"] for k, v in qs.items()
               if isinstance(v, dict) and v.get("ratio", -1) > 0}
     med = statistics.median(ratios.values())

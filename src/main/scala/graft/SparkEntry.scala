@@ -1094,6 +1094,14 @@ object SparkEntry {
       Multimodal
         .utf8Stats(Multimodal.utf8FromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_utf16_stats" -> ((s, dir) =>
+      Multimodal
+        .utf16Stats(Multimodal.utf16FromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
+    "q_punycode_stats" -> ((s, dir) =>
+      Multimodal
+        .punycodeStats(Multimodal.punycodeFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_base64_stats" -> ((s, dir) =>
       Multimodal
         .base64Stats(Multimodal.base64FromDocuments(Tables.documents(s, dir)).toDF())
@@ -7209,6 +7217,83 @@ object SparkEntry {
         |  coalesce(a.n_3byte, 0) AS n_3byte,
         |  coalesce(a.n_4byte, 0) AS n_4byte,
         |  coalesce(a.max_cp, 0) AS max_cp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.media_id
+        |ORDER BY media_id""".stripMargin,
+    // independent derivation, UTF-16: same mapping rule as the UTF-8
+    // twin but sized in UTF-16 units — vowels/digits are BMP (2
+    // bytes), uppercase is ASTRAL (a surrogate PAIR, 4 bytes) — and
+    // the bytes on disk alternate big-/little-endian by doc parity,
+    // so a validator with the BOM, byte order, or pairing rules
+    // wrong cannot agree
+    "q_utf16_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS media_id, i,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS a,
+        |    substr(text, CAST(i AS INT), 1) AS c
+        |  FROM documents, unnest(generate_series(1, least(200, length(text)))) AS u(i)
+        |), cls AS (
+        |  SELECT media_id,
+        |    CASE WHEN a BETWEEN 65 AND 90 THEN 1 ELSE 0 END AS supp,
+        |    CASE WHEN c IN ('a','e','i','o','u') THEN 256 + a
+        |         WHEN a BETWEEN 48 AND 57 THEN 8192 + a
+        |         WHEN a BETWEEN 65 AND 90 THEN 65536 + a
+        |         ELSE a END AS cp
+        |  FROM ch
+        |), agg AS (
+        |  SELECT media_id,
+        |    CAST(2 + sum(2 + 2 * supp) AS BIGINT) AS n_bytes,
+        |    CAST(count(*) AS BIGINT) AS n_codepoints,
+        |    CAST(sum(1 - supp) AS BIGINT) AS n_bmp,
+        |    CAST(sum(supp) AS BIGINT) AS n_supplementary,
+        |    CAST(max(cp) AS INT) AS max_cp,
+        |    CAST(sum(cp) AS BIGINT) AS sum_cp
+        |  FROM cls GROUP BY media_id
+        |)
+        |SELECT d.doc_id AS media_id, TRUE AS valid,
+        |  coalesce(a.n_bytes, 2) AS n_bytes,
+        |  coalesce(a.n_codepoints, 0) AS n_codepoints,
+        |  coalesce(a.n_bmp, 0) AS n_bmp,
+        |  coalesce(a.n_supplementary, 0) AS n_supplementary,
+        |  coalesce(a.max_cp, 0) AS max_cp,
+        |  coalesce(a.sum_cp, 0) AS sum_cp
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.media_id
+        |ORDER BY media_id""".stripMargin,
+    // independent derivation, Punycode: the oracle re-derives the
+    // codepoint census from TEXT through the shared mapping rule —
+    // the bytes on disk are the RFC 3492 DELTA STREAM (bias state
+    // machine, variable-length integers), so a decoder with the
+    // digit alphabet, bias adaptation, or insertion order wrong
+    // cannot agree on a single document
+    "q_punycode_stats" ->
+      """WITH ch AS (
+        |  SELECT doc_id AS media_id, i,
+        |    ascii(substr(text, CAST(i AS INT), 1)) AS a,
+        |    substr(text, CAST(i AS INT), 1) AS c
+        |  FROM documents, unnest(generate_series(1, least(128, length(text)))) AS u(i)
+        |), cls AS (
+        |  SELECT media_id,
+        |    CASE WHEN c IN ('a','e','i','o','u') OR a BETWEEN 48 AND 57
+        |              OR a BETWEEN 65 AND 90 THEN 1 ELSE 0 END AS ext,
+        |    CASE WHEN c IN ('a','e','i','o','u') THEN 256 + a
+        |         WHEN a BETWEEN 48 AND 57 THEN 8192 + a
+        |         WHEN a BETWEEN 65 AND 90 THEN 65536 + a
+        |         ELSE a END AS cp
+        |  FROM ch
+        |), agg AS (
+        |  SELECT media_id,
+        |    CAST(count(*) AS BIGINT) AS n_codepoints,
+        |    CAST(sum(1 - ext) AS BIGINT) AS n_basic,
+        |    CAST(sum(ext) AS BIGINT) AS n_extended,
+        |    CAST(max(cp) AS INT) AS max_cp,
+        |    CAST(sum(cp) AS BIGINT) AS sum_cp
+        |  FROM cls GROUP BY media_id
+        |)
+        |SELECT d.doc_id AS media_id, TRUE AS valid,
+        |  coalesce(a.n_codepoints, 0) AS n_codepoints,
+        |  coalesce(a.n_basic, 0) AS n_basic,
+        |  coalesce(a.n_extended, 0) AS n_extended,
+        |  coalesce(a.max_cp, 0) AS max_cp,
+        |  coalesce(a.sum_cp, 0) AS sum_cp
         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.media_id
         |ORDER BY media_id""".stripMargin,
     // independent derivation, Base64: the oracle re-derives the

@@ -628,6 +628,131 @@ object Multimodal {
         col("bs.max_byte").as("max_byte"))
   }
 
+  /** Wrap text documents as BOM-prefixed UTF-16 of the SAME mapped
+    * codepoints as the UTF-8 twin (vowels → U+0100+c, digits →
+    * U+2000+c, uppercase → ASTRAL U+10000+c — the astral class is
+    * what forces real surrogate PAIRS onto the wire), written by the
+    * JDK's own charset encoder (independent). Endianness cycles with
+    * doc_id (even = big-endian FE FF, odd = little-endian FF FE) so
+    * the corpus exercises BOTH byte orders while the stats — and
+    * therefore the oracle — are endianness-invariant.
+    */
+  def utf16FromDocuments(documents: DataFrame, maxChars: Int = 200): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "utf16", utf16Bytes(text, maxChars, le = id % 2 == 1))
+    }
+  }
+
+  /** Codepoint-mapping rule (identical to [[utf8Bytes]]) + JDK
+    * UTF-16 encoder + explicit BOM. Same ASCII-corpus precondition
+    * as the UTF-8 twin.
+    */
+  private[graft] def utf16Bytes(text: String, maxChars: Int, le: Boolean): Array[Byte] = {
+    val n  = math.min(maxChars, text.length)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val cp =
+        if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') 0x0100 + c
+        else if (c >= '0' && c <= '9') 0x2000 + c
+        else if (c >= 'A' && c <= 'Z') 0x10000 + c
+        else c.toInt
+      sb.appendCodePoint(cp)
+      i += 1
+    }
+    val body = sb.toString.getBytes(if (le) "UTF-16LE" else "UTF-16BE")
+    val out  = new Array[Byte](body.length + 2)
+    if (le) { out(0) = 0xff.toByte; out(1) = 0xfe.toByte }
+    else { out(0) = 0xfe.toByte; out(1) = 0xff.toByte }
+    System.arraycopy(body, 0, out, 2, body.length)
+    out
+  }
+
+  /** STRICT UTF-16 validation + codepoint census — the wide-char
+    * sibling of [[utf8Stats]]: required BOM (mojibake guard),
+    * surrogate-pair enforcement, stray-low rejection, via the
+    * codegen'd [[graft.plans.Utf16Stats]] expression, one linear
+    * pass per payload in the scan stage. UTF-16 shows up in crawled
+    * data wherever Windows/Java systems exported text; a validator
+    * that misses unpaired surrogates poisons every downstream
+    * transcode. Malformed payloads report valid=false.
+    */
+  def utf16Stats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_utf16_stats($payloadCol)").as("us"))
+      .select(col(idCol),
+        col("us.valid").as("valid"),
+        col("us.n_bytes").as("n_bytes"),
+        col("us.n_codepoints").as("n_codepoints"),
+        col("us.n_bmp").as("n_bmp"),
+        col("us.n_supplementary").as("n_supplementary"),
+        col("us.max_cp").as("max_cp"),
+        col("us.sum_cp").as("sum_cp"))
+  }
+
+  /** Wrap text documents as RFC 3492 Punycode `xn--` labels over the
+    * SAME mapped codepoints as the UTF-8/UTF-16 twins — the encoder
+    * is the in-repo §6.3 algorithm
+    * ([[graft.plans.GraftHashOps.punycodeEncode]], spec-checked
+    * against the JDK's IDN/IDNA encoder and the RFC's own sample
+    * strings). Punycode is how internationalized domain names reach
+    * DNS — URL/domain columns in crawled corpora are full of it, and
+    * a non-strict decoder aliases distinct labels.
+    */
+  def punycodeFromDocuments(documents: DataFrame, maxChars: Int = 128): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "puny", punycodeBytes(text, maxChars))
+    }
+  }
+
+  /** Codepoint-mapping rule (identical to [[utf8Bytes]]) + in-repo
+    * RFC 3492 encode, `xn--`-prefixed ASCII bytes.
+    */
+  private[graft] def punycodeBytes(text: String, maxChars: Int): Array[Byte] = {
+    val n   = math.min(maxChars, text.length)
+    val cps = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      cps(i) =
+        if (c == 'a' || c == 'e' || c == 'i' || c == 'o' || c == 'u') 0x0100 + c
+        else if (c >= '0' && c <= '9') 0x2000 + c
+        else if (c >= 'A' && c <= 'Z') 0x10000 + c
+        else c.toInt
+      i += 1
+    }
+    ("xn--" + graft.plans.GraftHashOps.punycodeEncode(cps)).getBytes("US-ASCII")
+  }
+
+  /** STRICT RFC 3492 Punycode decode + codepoint census via the
+    * codegen'd [[graft.plans.PunycodeStats]] expression — the §6.2
+    * state machine with overflow checks AND canonical-form
+    * enforcement (the decoded sequence must re-encode to the exact
+    * input bytes: RFC 3492 encodings are unique, so a non-canonical
+    * spelling aliases a distinct label — the dedup hazard the strict
+    * Base64 decoder also closes). One linear pass + the bounded
+    * re-encode per payload in the scan stage. Malformed payloads
+    * report valid=false.
+    */
+  def punycodeStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_punycode_stats($payloadCol)").as("ps"))
+      .select(col(idCol),
+        col("ps.valid").as("valid"),
+        col("ps.n_codepoints").as("n_codepoints"),
+        col("ps.n_basic").as("n_basic"),
+        col("ps.n_extended").as("n_extended"),
+        col("ps.max_cp").as("max_cp"),
+        col("ps.sum_cp").as("sum_cp"))
+  }
+
   /** Wrap text documents as raw RFC 1951 deflate streams of their
     * leading `maxChars` characters. The compression LEVEL cycles
     * with doc_id (0 = stored blocks, 1 = fastest, 9 = best), so the

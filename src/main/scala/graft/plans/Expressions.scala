@@ -1003,6 +1003,228 @@ object GraftHashOps {
       Array[Any](true, payload.length.toLong, n1 + n2 + n3 + n4, n1, n2, n3, n4, maxCp))
   }
 
+  /** STRICT UTF-16 validation + codepoint census for [[Utf16Stats]]:
+    * a BOM is REQUIRED (FE FF big-endian or FF FE little-endian —
+    * BOM-less UTF-16 is the classic mojibake source), the byte count
+    * after it must be even, every high surrogate must be followed by
+    * a low surrogate, and stray low surrogates are rejected. One
+    * linear pass accumulating exact integers: bytes, codepoints,
+    * BMP vs supplementary counts, max codepoint, Σ codepoints.
+    * Malformed payloads return valid=false; total function.
+    */
+  def utf16Stats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, payload.length.toLong, 0L, 0L, 0L, 0, 0L))
+    if (payload.length < 2 || (payload.length & 1) != 0) return bad
+    val b0 = payload(0) & 0xff
+    val b1 = payload(1) & 0xff
+    val be =
+      if (b0 == 0xfe && b1 == 0xff) true
+      else if (b0 == 0xff && b1 == 0xfe) false
+      else return bad
+    def unit(o: Int): Int =
+      if (be) ((payload(o) & 0xff) << 8) | (payload(o + 1) & 0xff)
+      else ((payload(o + 1) & 0xff) << 8) | (payload(o) & 0xff)
+    var i = 2
+    var nBmp = 0L
+    var nSupp = 0L
+    var maxCp = 0
+    var sumCp = 0L
+    while (i < payload.length) {
+      val u = unit(i)
+      if (u >= 0xd800 && u < 0xdc00) { // high surrogate: pair required
+        if (i + 4 > payload.length) return bad
+        val lo = unit(i + 2)
+        if (lo < 0xdc00 || lo >= 0xe000) return bad
+        val cp = 0x10000 + ((u - 0xd800) << 10) + (lo - 0xdc00)
+        if (cp > maxCp) maxCp = cp
+        sumCp += cp
+        nSupp += 1
+        i += 4
+      } else if (u >= 0xdc00 && u < 0xe000) {
+        return bad // stray low surrogate
+      } else {
+        if (u > maxCp) maxCp = u
+        sumCp += u
+        nBmp += 1
+        i += 2
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, payload.length.toLong, nBmp + nSupp, nBmp, nSupp, maxCp, sumCp))
+  }
+
+  /** RFC 3492 §6.1 bias adaptation, shared by the Punycode encoder
+    * ([[graft.operators.Multimodal.punycodeEncode]]) and decoder.
+    */
+  def punycodeAdapt(delta0: Long, numPoints: Long, firstTime: Boolean): Long = {
+    var delta = if (firstTime) delta0 / 700 else delta0 / 2
+    delta += delta / numPoints
+    var k = 0L
+    while (delta > ((36 - 1) * 26) / 2) { delta /= 36 - 1; k += 36 }
+    k + (36 - 1 + 1) * delta / (delta + 38)
+  }
+
+  /** RFC 3492 §6.3 Punycode ENCODE: basic codepoints + delimiter +
+    * delta stream under the same bias state machine as the decoder.
+    * Returns null on overflow or an out-of-range codepoint. Used by
+    * the corpus wrapper ([[graft.operators.Multimodal]]) and by the
+    * decoder's canonical-form re-encode check.
+    */
+  def punycodeEncode(cps: Array[Int]): String = {
+    val sb = new java.lang.StringBuilder()
+    var nBasic = 0
+    var i = 0
+    while (i < cps.length) {
+      val cp = cps(i)
+      if (cp < 0 || cp > 0x10ffff || (cp >= 0xd800 && cp <= 0xdfff)) return null
+      if (cp < 0x80) { sb.append(cp.toChar); nBasic += 1 }
+      i += 1
+    }
+    if (nBasic > 0) sb.append('-')
+    var n = 128L
+    var delta = 0L
+    var bias = 72L
+    var h = nBasic.toLong
+    while (h < cps.length) {
+      var m = Long.MaxValue
+      i = 0
+      while (i < cps.length) { if (cps(i) >= n && cps(i) < m) m = cps(i).toLong; i += 1 }
+      delta += (m - n) * (h + 1)
+      if (delta > Int.MaxValue) return null
+      n = m
+      i = 0
+      while (i < cps.length) {
+        val c = cps(i)
+        if (c < n) {
+          delta += 1
+          if (delta > Int.MaxValue) return null
+        } else if (c == n) {
+          var q = delta
+          var k = 36L
+          var done = false
+          while (!done) {
+            val t = if (k <= bias) 1L else if (k >= bias + 26) 26L else k - bias
+            if (q < t) {
+              sb.append(punyDigit(q.toInt))
+              done = true
+            } else {
+              sb.append(punyDigit((t + (q - t) % (36 - t)).toInt))
+              q = (q - t) / (36 - t)
+              k += 36
+            }
+          }
+          bias = punycodeAdapt(delta, h + 1, h == nBasic)
+          delta = 0
+          h += 1
+        }
+        i += 1
+      }
+      delta += 1
+      n += 1
+    }
+    sb.toString
+  }
+
+  private def punyDigit(d: Int): Char =
+    if (d < 26) ('a' + d).toChar else ('0' + d - 26).toChar
+
+  /** STRICT RFC 3492 Punycode decode for [[PunycodeStats]]: the
+    * payload is an ASCII `xn--`-prefixed label; after the prefix the
+    * basic codepoints run to the LAST hyphen delimiter, then the
+    * generalized-variable-length-integer deltas reconstruct the
+    * extended codepoints through the §6.2 state machine (bias
+    * adaptation, overflow checks at every addition/multiplication,
+    * surrogate/ceiling rejection on n). CANONICALITY is enforced —
+    * the decoded sequence is RE-ENCODED and must byte-equal the
+    * input (RFC 3492 encodings are unique, so a non-canonical but
+    * decodable spelling aliases a distinct label: the same dedup
+    * hazard the strict Base64 decoder closes). Uppercase anywhere in
+    * the payload is rejected (canonical lowercase form). One pass +
+    * the re-encode; exact integer stats: codepoints, basic/extended
+    * counts, max and Σ codepoints. Malformed → valid=false; total.
+    */
+  def punycodeStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0L, 0L, 0L, 0, 0L))
+    if (payload.length < 4) return bad
+    if (payload(0) != 'x' || payload(1) != 'n' || payload(2) != '-' || payload(3) != '-') return bad
+    val s = new Array[Int](payload.length - 4)
+    var i = 0
+    while (i < s.length) {
+      val b = payload(4 + i) & 0xff
+      if (b >= 0x80 || (b >= 'A' && b <= 'Z')) return bad // ASCII, canonical lowercase only
+      s(i) = b
+      i += 1
+    }
+    // basic codepoints: up to the LAST delimiter '-'; none if absent
+    var delim = -1
+    i = s.length - 1
+    while (delim < 0 && i >= 0) { if (s(i) == '-') delim = i; i -= 1 }
+    val out = new java.util.ArrayList[Integer]()
+    var p = 0
+    if (delim >= 0) {
+      while (p < delim) { out.add(s(p)); p += 1 }
+      p = delim + 1
+    }
+    var n = 128L
+    var idx = 0L
+    var bias = 72L
+    def digit(c: Int): Int =
+      if (c >= 'a' && c <= 'z') c - 'a'
+      else if (c >= '0' && c <= '9') c - '0' + 26
+      else -1
+    while (p < s.length) {
+      val oldi = idx
+      var w = 1L
+      var k = 36L
+      var done = false
+      while (!done) {
+        if (p >= s.length) return bad // truncated integer
+        val d = digit(s(p)); p += 1
+        if (d < 0) return bad
+        idx += d * w
+        if (idx > Int.MaxValue) return bad // overflow
+        val t = if (k <= bias) 1L else if (k >= bias + 26) 26L else k - bias
+        if (d < t) done = true
+        else {
+          w *= 36 - t
+          if (w > Int.MaxValue) return bad
+          k += 36
+        }
+      }
+      val np = out.size + 1L
+      bias = punycodeAdapt(idx - oldi, np, oldi == 0)
+      n += idx / np
+      if (n > 0x10ffffL || (n >= 0xd800L && n <= 0xdfffL)) return bad
+      idx %= np
+      out.add(idx.toInt, n.toInt)
+      idx += 1
+    }
+    // canonical-form enforcement: re-encode and require byte equality
+    val cps = new Array[Int](out.size)
+    i = 0
+    while (i < cps.length) { cps(i) = out.get(i); i += 1 }
+    val re = punycodeEncode(cps)
+    if (re == null || re.length != s.length) return bad
+    i = 0
+    while (i < s.length) { if (re.charAt(i) != s(i)) return bad; i += 1 }
+    var nBasic = 0L
+    var nExt = 0L
+    var maxCp = 0
+    var sumCp = 0L
+    i = 0
+    while (i < cps.length) {
+      val cp = cps(i)
+      if (cp < 0x80) nBasic += 1 else nExt += 1
+      if (cp > maxCp) maxCp = cp
+      sumCp += cp
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, nBasic + nExt, nBasic, nExt, maxCp, sumCp))
+  }
+
   /** STRICT RFC 4648 Base64 decode for [[Base64Stats]]: the standard
     * alphabet only, length a multiple of 4, padding only in the
     * final quantum ('=' or '==', with the mandated zero low bits in
@@ -2383,6 +2605,64 @@ object Utf8Stats {
     StructField("max_cp", IntegerType, nullable = false)))
 }
 
+/** STRICT UTF-16 validation + codepoint census in one scan-stage
+  * pass — required BOM (BE or LE), surrogate pairing, stray-low
+  * rejection (see [[GraftHashOps.utf16Stats]]). Total function:
+  * malformed payloads yield valid=false, never null.
+  */
+case class Utf16Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Utf16Stats.schema
+  override def prettyName: String = "graft_utf16_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.utf16Stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.utf16Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Utf16Stats = copy(child = newChild)
+}
+
+object Utf16Stats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("n_codepoints", LongType, nullable = false),
+    StructField("n_bmp", LongType, nullable = false),
+    StructField("n_supplementary", LongType, nullable = false),
+    StructField("max_cp", IntegerType, nullable = false),
+    StructField("sum_cp", LongType, nullable = false)))
+}
+
+/** STRICT RFC 3492 Punycode decode + codepoint census in one
+  * scan-stage pass — xn-- label form, the §6.2 state machine with
+  * overflow checks, and CANONICAL-form enforcement via re-encode
+  * (see [[GraftHashOps.punycodeStats]]). Total function: malformed
+  * payloads yield valid=false, never null.
+  */
+case class PunycodeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = PunycodeStats.schema
+  override def prettyName: String = "graft_punycode_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.punycodeStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.punycodeStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PunycodeStats = copy(child = newChild)
+}
+
+object PunycodeStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_codepoints", LongType, nullable = false),
+    StructField("n_basic", LongType, nullable = false),
+    StructField("n_extended", LongType, nullable = false),
+    StructField("max_cp", IntegerType, nullable = false),
+    StructField("sum_cp", LongType, nullable = false)))
+}
+
 /** STRICT RFC 4648 Base64 decode + exact byte moments in one
   * scan-stage pass — standard alphabet, canonical padding, no
   * trailing data (see [[GraftHashOps.base64Stats]]). Total function:
@@ -2599,6 +2879,10 @@ object GraftFunctions {
       "returns struct(valid, n_bytes, sum_bytes, max_byte) of a raw RFC 1951 deflate payload via the in-repo inflate"),
     ("graft_utf8_stats", (es: Seq[Expression]) => Utf8Stats(es.head),
       "returns struct(valid, n_bytes, n_codepoints, n_ascii, n_2byte, n_3byte, n_4byte, max_cp) of a UTF-8 payload under strict RFC 3629 validation"),
+    ("graft_utf16_stats", (es: Seq[Expression]) => Utf16Stats(es.head),
+      "returns struct(valid, n_bytes, n_codepoints, n_bmp, n_supplementary, max_cp, sum_cp) of a BOM-required UTF-16 payload under strict surrogate-pairing validation"),
+    ("graft_punycode_stats", (es: Seq[Expression]) => PunycodeStats(es.head),
+      "returns struct(valid, n_codepoints, n_basic, n_extended, max_cp, sum_cp) of a strict canonical RFC 3492 Punycode xn-- label"),
     ("graft_b64_stats", (es: Seq[Expression]) => Base64Stats(es.head),
       "returns struct(valid, n_bytes, sum_bytes, max_byte) of a strict RFC 4648 Base64 payload"),
     ("graft_ema", (es: Seq[Expression]) =>

@@ -133,6 +133,86 @@ class StrictFramingSpec extends AnyFunSuite {
       "accepted a lying RIFF chunk size")
   }
 
+  test("utf16 decode: the JDK's BOM-aware strict decoder agrees on generated payloads, both endiannesses") {
+    import java.nio.charset.CodingErrorAction
+    for (le <- Seq(false, true)) {
+      val payload = Multimodal.utf16Bytes("Hello 42 utf16!", 200, le)
+      val dec = java.nio.charset.Charset.forName("UTF-16").newDecoder()
+        .onMalformedInput(CodingErrorAction.REPORT)
+        .onUnmappableCharacter(CodingErrorAction.REPORT)
+      val s = dec.decode(java.nio.ByteBuffer.wrap(payload)).toString
+      val cps = s.codePoints().toArray
+      val row = graft.plans.GraftHashOps.utf16Stats(payload)
+      assert(row.getBoolean(0), s"rejected a JDK-valid payload (le=$le)")
+      assert(row.getLong(1) === payload.length.toLong)
+      assert(row.getLong(2) === cps.length.toLong, "codepoint count disagrees with the JDK")
+      assert(row.getLong(4) === cps.count(_ >= 0x10000).toLong, "supplementary count")
+      assert(row.getInt(5) === cps.max, "max codepoint")
+      assert(row.getLong(6) === cps.map(_.toLong).sum, "sum of codepoints")
+      // 'H' is uppercase -> astral -> a surrogate pair must be on the wire
+      assert(row.getLong(4) > 0, "fixture must exercise surrogate pairs")
+    }
+  }
+
+  test("utf16 decode: malformed payloads report valid=false, never throw or lie") {
+    val ok = Multimodal.utf16Bytes("Hi 7", 200, le = false)
+    assert(graft.plans.GraftHashOps.utf16Stats(ok).getBoolean(0))
+    val highOnly = Array[Byte](0xfe.toByte, 0xff.toByte, 0xd8.toByte, 0x01) // unpaired high at end
+    val strayLow = Array[Byte](0xfe.toByte, 0xff.toByte, 0xdc.toByte, 0x01) // stray low
+    val highThenBmp = Array[Byte](0xfe.toByte, 0xff.toByte, 0xd8.toByte, 0x01, 0x00, 0x41) // high + non-low
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      ok.drop(2),             // BOM missing
+      ok.take(ok.length - 1), // odd byte count
+      highOnly, strayLow, highThenBmp)
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.utf16Stats(p).getBoolean(0), s"accepted ${p.length} bytes")
+    }
+  }
+
+  test("punycode: the in-repo RFC 3492 encoder matches the JDK's IDN encoder on classic IDN labels") {
+    // java.net.IDN wraps an INDEPENDENT punycode implementation; on
+    // plain lowercase IDNA-safe labels its ToASCII output is exactly
+    // xn-- + RFC 3492 encode
+    for (label <- Seq("bücher", "mañana", "münchen", "καλημερα")) {
+      val ours = "xn--" + graft.plans.GraftHashOps.punycodeEncode(label.codePoints().toArray)
+      assert(ours === java.net.IDN.toASCII(label),
+        s"encoder disagrees with the JDK on '$label'")
+      // and the strict decoder round-trips it
+      val row = graft.plans.GraftHashOps.punycodeStats(ours.getBytes("US-ASCII"))
+      assert(row.getBoolean(0), s"decoder rejected its own canonical encoding of '$label'")
+      val cps = label.codePoints().toArray
+      assert(row.getLong(1) === cps.length.toLong)
+      assert(row.getLong(5) === cps.map(_.toLong).sum)
+    }
+  }
+
+  test("punycode decode: strict canonical form — malformed and non-canonical payloads report valid=false") {
+    val ok = Multimodal.punycodeBytes("Hello world 42", 128)
+    assert(graft.plans.GraftHashOps.punycodeStats(ok).getBoolean(0))
+    // the RFC 3492 §7.1 Russian sample carries a mixed-case
+    // annotation ("...baDot..."): case is presentation metadata, not
+    // content — the CANONICAL lowercase form decodes, the mixed-case
+    // spelling is rejected rather than silently aliased
+    val russianMixed = "xn--b1abfaaepdrnnbgefbaDotcwatmq2g4l".getBytes("US-ASCII")
+    assert(!graft.plans.GraftHashOps.punycodeStats(russianMixed).getBoolean(0),
+      "accepted a mixed-case spelling")
+    val russianLower = "xn--b1abfaaepdrnnbgefbadotcwatmq2g4l".getBytes("US-ASCII")
+    assert(graft.plans.GraftHashOps.punycodeStats(russianLower).getBoolean(0),
+      "rejected the canonical lowercase form of the RFC sample")
+    val cases = Seq[Array[Byte]](
+      Array.empty,
+      "bcher-kva".getBytes("US-ASCII"),      // missing xn-- prefix
+      "xn--bcher-kv!".getBytes("US-ASCII"),  // invalid digit
+      "xn--bcher-kv".getBytes("US-ASCII"),   // truncated mid-integer
+      "xn--99999999999999".getBytes("US-ASCII"), // overflow
+      ("xn--" + "z" * 40).getBytes("US-ASCII"))  // runaway continuation digits
+    cases.foreach { p =>
+      assert(!graft.plans.GraftHashOps.punycodeStats(p).getBoolean(0),
+        s"accepted '${new String(p, "US-ASCII")}'")
+    }
+  }
+
   test("utf8 wrapper: classification is on the RAW char — no low-7-bit aliasing into vowel buckets") {
     // U+00E1 has low 7 bits == 'a'; the wrapper must NOT map it to
     // the vowel codepoint 0x161 but pass it through as itself
