@@ -571,7 +571,13 @@ object Bench {
     // exhausted budget drops second reps from the most expensive
     // cells first (reported via shorter reps arrays), never a cell
     val budget    = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET", "450").toDouble
-    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    // default 3 (was 2): this host's ambient noise arrives in
+    // multi-second bursts that can poison two consecutive reps of a
+    // ~1s cell — r14's full pass measured the same cell at 21.9x and
+    // 1.16x in two same-protocol runs. Min-of-3 is the cheapest
+    // protocol that usually straddles a burst; the reps arrays keep
+    // every sample disclosed either way.
+    val scaleReps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
     // each declared-quadratic headliner gets its OWN trailing slice,
     // outside the shared linear budget: expected cost is base x ~40
     // for q_corr_matrix (declared O(keys²): x10 keys = x100 pairs),
@@ -733,10 +739,11 @@ object Bench {
       case i: java.time.Instant  => i
       case other => throw new IllegalStateException(s"unexpected ts type: ${other.getClass}")
     }
-    def drive[T](name: String, mode: String, mem: MemoryStream[T], out: DataFrame,
-                 mkChunk: Array[Row] => Seq[T]): (String, String) = {
+    case class StreamCell(name: String, rows: Long, wall: Double, rps: Double, batches: String)
+    def drive[T](name: String, rep: Int, mode: String, mem: MemoryStream[T], out: DataFrame,
+                 mkChunk: Array[Row] => Seq[T]): StreamCell = {
       val q = out.writeStream.format("memory")
-        .queryName(s"bench_stream_$name").outputMode(mode).start()
+        .queryName(s"bench_stream_${name}_$rep").outputMode(mode).start()
       val batches = scala.collection.mutable.ArrayBuffer.empty[String]
       var seen    = Set.empty[Long]
       var total   = 0L
@@ -766,31 +773,48 @@ object Bench {
       } finally q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       val rps  = if (wall > 0 && total > 0) total / wall else -1.0
-      (s""""$name":{"rows":$total,"wall_sec":${fmtD(wall)},"rows_per_sec":${fmtD(rps)},"batches":[${batches.mkString(",")}]}""",
-        s""""$name":${fmtD(rps)}""")
+      StreamCell(name, total, wall, rps, "[" + batches.mkString(",") + "]")
     }
     def sev(ch: Array[Row]): Seq[Streams.SEv] =
       ch.map(r => Streams.SEv(r.getAs[Long]("user_id"), inst(r), r.getAs[Double]("value"))).toSeq
-    val mEma   = MemoryStream[Streams.SEv]
-    val mSess  = MemoryStream[Streams.SEv]
-    val mVwap  = MemoryStream[VwEv]
-    val mDedup = MemoryStream[DeEv]
-    val mBloom = MemoryStream[Streams.KeyedEv]
-    val mCms   = MemoryStream[CmsIn]
-    val cells = Seq(
-      drive("ema", "update", mEma, Streams.emaStream(mEma.toDS(), 20).toDF(), sev),
-      drive("sessionize", "append", mSess, Streams.sessionizeStream(mSess.toDS(), 30).toDF(), sev),
-      drive("vwap", "append", mVwap, Streams.vwapStream(mVwap.toDF()),
-        ch => ch.map(r => VwEv(r.getAs[Long]("user_id"), inst(r),
-          r.getAs[Double]("value"), r.getAs[String]("props"))).toSeq),
-      drive("dedup", "append", mDedup, Streams.dedupStream(mDedup.toDF()),
-        ch => ch.map(r => DeEv(r.getAs[Long]("event_id"), inst(r))).toSeq),
-      drive("bloom_dedup", "append", mBloom,
-        Streams.bloomDedupStream(mBloom.toDS()).toDF(),
-        ch => ch.map(r => Streams.KeyedEv(r.getAs[Long]("event_id").toString, inst(r),
-          r.getAs[Double]("value"))).toSeq),
-      drive("cms", "complete", mCms, Streams.cmsStream(mCms.toDF(), "v"),
-        ch => ch.map(r => CmsIn(r.getAs[Long]("user_id"))).toSeq))
+    // max-of-N reps per twin (throughput's analog of the sweep's
+    // min-of-N): a single drive sits inside one ~10s window, and
+    // this host's ambient noise arrives in bursts of exactly that
+    // length — r14 measured the same twin at 17.9k and 4.9k rows/s
+    // in two same-protocol runs. Fresh MemoryStreams per rep; every
+    // rep's rows/s is disclosed next to the kept best.
+    def oneRep(rep: Int): Seq[StreamCell] = {
+      val mEma   = MemoryStream[Streams.SEv]
+      val mSess  = MemoryStream[Streams.SEv]
+      val mVwap  = MemoryStream[VwEv]
+      val mDedup = MemoryStream[DeEv]
+      val mBloom = MemoryStream[Streams.KeyedEv]
+      val mCms   = MemoryStream[CmsIn]
+      Seq(
+        drive("ema", rep, "update", mEma, Streams.emaStream(mEma.toDS(), 20).toDF(), sev),
+        drive("sessionize", rep, "append", mSess, Streams.sessionizeStream(mSess.toDS(), 30).toDF(), sev),
+        drive("vwap", rep, "append", mVwap, Streams.vwapStream(mVwap.toDF()),
+          ch => ch.map(r => VwEv(r.getAs[Long]("user_id"), inst(r),
+            r.getAs[Double]("value"), r.getAs[String]("props"))).toSeq),
+        drive("dedup", rep, "append", mDedup, Streams.dedupStream(mDedup.toDF()),
+          ch => ch.map(r => DeEv(r.getAs[Long]("event_id"), inst(r))).toSeq),
+        drive("bloom_dedup", rep, "append", mBloom,
+          Streams.bloomDedupStream(mBloom.toDS()).toDF(),
+          ch => ch.map(r => Streams.KeyedEv(r.getAs[Long]("event_id").toString, inst(r),
+            r.getAs[Double]("value"))).toSeq),
+        drive("cms", rep, "complete", mCms, Streams.cmsStream(mCms.toDF(), "v"),
+          ch => ch.map(r => CmsIn(r.getAs[Long]("user_id"))).toSeq))
+    }
+    val streamReps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "2").toInt
+    val reps  = (1 to streamReps).map(oneRep)
+    val names = reps.head.map(_.name)
+    val cells = names.map { n =>
+      val rs   = reps.map(_.find(_.name == n).get)
+      val best = rs.maxBy(_.rps)
+      val arr  = rs.map(c => fmtD(c.rps)).mkString("[", ",", "]")
+      (s""""$n":{"rows":${best.rows},"wall_sec":${fmtD(best.wall)},"rows_per_sec":${fmtD(best.rps)},"reps_rows_per_sec":$arr,"batches":${best.batches}}""",
+        s""""$n":${fmtD(best.rps)}""")
+    }
     (cells.map(_._1).mkString("{", ",", "}"), cells.map(_._2).mkString("{", ",", "}"))
   }
 
