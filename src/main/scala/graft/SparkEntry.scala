@@ -7192,7 +7192,8 @@ object SparkEntry {
         |         WHEN a BETWEEN 65 AND 90 THEN 4
         |         WHEN a < 128 THEN 1
         |         WHEN a < 2048 THEN 2
-        |         ELSE 3 END AS nb,
+        |         WHEN a < 65536 THEN 3
+        |         ELSE 4 END AS nb,
         |    CASE WHEN c IN ('a','e','i','o','u') THEN 256 + a
         |         WHEN a BETWEEN 48 AND 57 THEN 8192 + a
         |         WHEN a BETWEEN 65 AND 90 THEN 65536 + a

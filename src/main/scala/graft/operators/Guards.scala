@@ -41,10 +41,18 @@ object Guards {
     * emit a row until the check has passed, so an over-cap universe
     * dies on its first block instead of running O(keys²).
     */
-  def withPairKeyCap(downstream: DataFrame, perKey: DataFrame, op: String): DataFrame =
-    capOf(downstream) match {
+  def withPairKeyCap(downstream: DataFrame, perKey: DataFrame, op: String,
+                     defaultCap: Option[Long] = None): DataFrame =
+    capOf(downstream).orElse(defaultCap) match {
       case None => downstream
       case Some(cap) =>
+        // when the session conf is set it WINS over any operator
+        // default (capOf first) — callers who sized their panel keep
+        // full control; the default exists so a 100x caller cannot
+        // reach the O(keys^2) cliff without an explicit opt-in
+        val src =
+          if (capOf(downstream).isDefined) s"$PairSweepMaxKeys=$cap"
+          else s"the operator's default cap of $cap (override with $PairSweepMaxKeys or exact=true)"
         val nk = perKey.agg(count(lit(1)).as("_graft_nk"))
         downstream
           .crossJoin(broadcast(nk))
@@ -53,9 +61,9 @@ object Guards {
               raise_error(concat(
                 lit(s"$op is O(keys^2) by declared semantics and its key universe holds "),
                 col("_graft_nk"),
-                lit(s" keys, exceeding $PairSweepMaxKeys=$cap: this looks like an open-ended " +
+                lit(s" keys, exceeding $src: this looks like an open-ended " +
                   "key stream routed into a bounded-panel operator. Use the LSH/banded " +
-                  s"candidate paths for unbounded universes, or raise/unset $PairSweepMaxKeys")))
+                  s"candidate paths for unbounded universes, or raise/unset the cap")))
                 .cast("boolean")))
           .drop("_graft_nk")
     }

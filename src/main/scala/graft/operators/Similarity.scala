@@ -524,7 +524,11 @@ object Similarity {
     // (nlist, ncoarse, dim all known), so the broadcast decision is
     // a static gate, not an estimator's guess; past the threshold
     // both joins fall back to the shuffles the 100 TB tier wants
-    val dim = seeds.headOption.map(_.length).getOrElse(0)
+    // dim from the coarse array actually in use: routing rung 3
+    // replaces the prefix seeds, and a tiny seed cap could leave
+    // `seeds` empty — deriving dim=0 from it would let the fcents
+    // broadcast gate below trivially pass on an unbounded frame
+    val dim = coarse.headOption.map(_._2.length).getOrElse(0)
     val nFine = nlist.toLong + ncoarse
     val picked = vc.select(col("ccell"), col("vec_id"))
       .withColumn("fidx", row_number().over(wSeed) - 1)
@@ -565,7 +569,21 @@ object Similarity {
   private[graft] val KnnSeedCapConf = "graft.knn.seedCap"
 
   private def knnSeedCap(spark: SparkSession): Int =
-    spark.conf.getOption(KnnSeedCapConf).map(_.toInt).getOrElse(KnnSeedCap)
+    spark.conf.getOption(KnnSeedCapConf) match {
+      case None => KnnSeedCap
+      case Some(s) =>
+        // validate loudly and clamp to >= 1: a 0/negative cap would
+        // empty the seed prefix and (before the `coarse`-derived dim
+        // fix) starve the broadcast sizing gate; a non-numeric value
+        // should name the conf instead of surfacing as a bare
+        // NumberFormatException deep in a job
+        val v = try s.toInt catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"$KnnSeedCapConf must be a positive integer, got '$s'")
+        }
+        math.max(1, v)
+    }
 
   /** Routing rung 3 of [[knnAssignCells]]: coarse seeds for corpora
     * whose ncoarse exceeds the prefix cap — the ncoarse vectors

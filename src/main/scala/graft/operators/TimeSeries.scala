@@ -741,6 +741,13 @@ object TimeSeries {
 
   case class CorrCell(ka: Long, kb: Long, corr_ret: Option[Double])
 
+  /** Default-on keys ceiling for [[correlationMatrix]]'s declared
+    * O(keys²) sweep: 20k keys ≈ 2·10⁸ output cells, the edge of a
+    * sane instrument panel. The x10 audit replica (15k keys) stays
+    * measurable; a 100x caller refuses instead of hitting the cliff.
+    */
+  val CorrMatrixDefaultMaxKeys = 20000L
+
   /** Pairwise return-correlation matrix over all keys (fund-
     * comparison heatmap analog), as a blocked pair sweep: each key's
     * day-aligned return series becomes ONE sorted sparse vector, key
@@ -755,11 +762,16 @@ object TimeSeries {
     * mirror Spark's round() (HALF_UP).
     *
     * Quadratic in KEYS by declared semantics — a bounded instrument
-    * panel, not an open-ended key stream. Set
-    * `graft.pairSweep.maxKeys` to enforce that contract loudly
-    * ([[Guards.withPairKeyCap]]).
+    * panel, not an open-ended key stream. The contract is enforced BY
+    * DEFAULT at [[CorrMatrixDefaultMaxKeys]] keys (refuse loudly via
+    * [[Guards.withPairKeyCap]] — 20k keys is already 2·10⁸ output
+    * cells; a 100 TB key stream routed here should die on its first
+    * block, not run O(keys²)): pass `exact = true` for a deliberately
+    * larger panel, or set `graft.pairSweep.maxKeys`, which always
+    * wins over the default. [[corrPairsBanded]] is the scale-default
+    * twin for unbounded universes.
     */
-  def correlationMatrix(df: DataFrame, blockSize: Int = 64, key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
+  def correlationMatrix(df: DataFrame, blockSize: Int = 64, key: String = "user_id", ts: String = "ts", v: String = "value", exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val rets = dailyCloseReturns(df, key, ts, v)
@@ -777,7 +789,8 @@ object TimeSeries {
     val blocks = Guards.withPairKeyCap(
       vecs.groupBy("blk")
         .agg(collect_list(struct(col("k"), col("slots"), col("vals"))).as("vs")),
-      vecs.select(col("k")), "correlationMatrix")
+      vecs.select(col("k")), "correlationMatrix",
+      defaultCap = if (exact) None else Some(CorrMatrixDefaultMaxKeys))
     val pairsOfBlocks = blocks.as("x")
       .join(blocks.as("y"), col("x.blk") <= col("y.blk"))
       .select(col("x.vs").as("avs"), col("y.vs").as("bvs"))

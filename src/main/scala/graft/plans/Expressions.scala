@@ -2147,6 +2147,11 @@ object GraftHashOps {
             if (rs == 0x00) eob = true
             else if (rs == 0xf0) { k += 16; if (k > 64) return null }
             else return null
+          } else if (sz > 10) {
+            // T.81 F.1.2.2.1: AC magnitude categories run 1..10 only
+            // (DC alone reaches 11) — an SSSS of 11-15 is an
+            // out-of-spec stream, rejected like the s0 > 11 DC check
+            return null
           } else {
             k += run
             if (k > 63) return null
