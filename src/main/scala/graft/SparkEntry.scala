@@ -852,6 +852,13 @@ object SparkEntry {
     "q_pack_sequences" -> ((s, dir) =>
       TextAnalysis.packSequences(Tables.documents(s, dir), 256, 8)
         .orderBy("doc_id")),
+    // tokenizer APPLY (greedy BPE over the in-repo merge table) —
+    // the real-token stage the word-count twins approximate
+    "q_bpe_encode" -> ((s, dir) =>
+      TextAnalysis.bpeEncodeStats(Tables.documents(s, dir)).orderBy("source")),
+    "q_pack_sequences_bpe" -> ((s, dir) =>
+      TextAnalysis.packSequencesBpe(Tables.documents(s, dir), 256, 8)
+        .orderBy("doc_id")),
 
     "q_redact_pii" -> ((s, dir) => {
       import graft.functions.ParseFunctions.redactPii
@@ -1372,8 +1379,104 @@ object SparkEntry {
     val base = oracleSqlBase
     // big-star emits the identical (doc_id, cluster_id) contract as
     // min-label propagation — one oracle, two implementations checked
-    base + ("q_dedup_clusters_bigstar" -> base("q_dedup_clusters"))
+    base +
+      ("q_dedup_clusters_bigstar" -> base("q_dedup_clusters")) +
+      ("q_bpe_encode" -> bpeEncodeOracle) +
+      ("q_pack_sequences_bpe" -> packSequencesBpeOracle)
   }
+
+  /** The BPE-apply fold as DuckDB SQL, GENERATED from the same
+    * in-repo merge table the engine compiles in
+    * ([[graft.plans.GraftHashOps.BpeMerges]] — shared DATA, like a
+    * decoder's quant table; the fold ALGORITHM here is an
+    * independent re-implementation). Symbols ride a '/'-delimited
+    * string; each merge is one list_reduce pass whose lambda merges
+    * `x = b` into an accumulator whose LAST symbol is `a` — the
+    * identical greedy left-to-right single-pass semantics as
+    * GraftHashOps.bpeTokenizeWord. `w` is the word column in scope.
+    */
+  /** One MATERIALIZED CTE per merge (nesting the 79 folds into one
+    * expression hits DuckDB's binder recursion cap at 128, and a
+    * non-materialized chain gets re-inlined right back into that
+    * nesting). The chain starts from CTE `dw(w)` and ends in
+    * `s<nMerges>(w, sym)`; the distinct word set is tiny, so 79
+    * materializations are free.
+    */
+  private def bpeFoldCtes: String = {
+    val init = "array_to_string(list_transform(generate_series(1, length(w)), i -> w[i]), '/')"
+    val first = s"s0 AS MATERIALIZED (\n  SELECT w, $init AS sym FROM dw\n)"
+    val steps = graft.plans.GraftHashOps.BpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      val pass = s"list_reduce(string_split(sym, '/'), (acc, x) -> " +
+        s"CASE WHEN x = '$b' AND (acc = '$a' OR ends_with(acc, '/$a')) " +
+        s"THEN substr(acc, 1, length(acc) - ${a.length}) || '$a$b' " +
+        s"ELSE acc || '/' || x END)"
+      s"s${i + 1} AS MATERIALIZED (\n  SELECT w, $pass AS sym FROM s$i\n)"
+    }
+    (first +: steps).mkString(", ")
+  }
+
+  private def bpeFoldLast: String = s"s${graft.plans.GraftHashOps.BpeMerges.length}"
+
+  private def bpeVocabSql: String =
+    (graft.plans.GraftHashOps.BpeBaseSingles.map(c => s"'$c'") ++
+      graft.plans.GraftHashOps.BpeMerges.map { case (a, b) => s"'$a$b'" })
+      .distinct.mkString("[", ", ", "]")
+
+  // independent derivation, BPE: the fold runs over the DISTINCT
+  // word set (the corpus repeats words massively), then joins back —
+  // counts are exact integers, the two rates one IEEE division each
+  private def bpeEncodeOracle: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |), dw AS (
+       |  SELECT DISTINCT w FROM w0
+       |), $bpeFoldCtes, enc AS (
+       |  SELECT w, string_split(sym, '/') AS toks FROM $bpeFoldLast
+       |), wt AS (
+       |  SELECT w, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(toks, t -> NOT list_contains($bpeVocabSql, t))) AS BIGINT) AS n_oov
+       |  FROM enc
+       |), sums AS (
+       |  SELECT w0.source,
+       |    CAST(count(*) AS BIGINT) AS n_words,
+       |    CAST(sum(wt.n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(wt.n_oov) AS BIGINT) AS n_oov
+       |  FROM w0 JOIN wt USING (w) GROUP BY 1
+       |), docs AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+       |)
+       |SELECT d.source, d.n_docs,
+       |  coalesce(s.n_words, 0) AS n_words,
+       |  coalesce(s.n_tokens, 0) AS n_tokens,
+       |  coalesce(s.n_oov, 0) AS n_oov,
+       |  CAST(s.n_tokens AS DOUBLE) / CAST(s.n_words AS DOUBLE) AS tokens_per_word,
+       |  CAST(s.n_oov AS DOUBLE) / CAST(s.n_tokens AS DOUBLE) AS oov_rate
+       |FROM docs d LEFT JOIN sums s USING (source) ORDER BY source""".stripMargin
+
+  private def packSequencesBpeOracle: String =
+    s"""WITH w0 AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents
+       |), dw AS (
+       |  SELECT DISTINCT w FROM w0
+       |), $bpeFoldCtes, enc AS (
+       |  SELECT w, CAST(len(string_split(sym, '/')) AS BIGINT) AS n_toks FROM $bpeFoldLast
+       |), dt AS (
+       |  SELECT d.doc_id, d.doc_id % 8 AS shard, CAST(coalesce(s.n, 0) AS BIGINT) AS n_tokens
+       |  FROM documents d LEFT JOIN (
+       |    SELECT w0.doc_id, sum(enc.n_toks) AS n FROM w0 JOIN enc USING (w) GROUP BY 1
+       |  ) s USING (doc_id)
+       |), c AS (
+       |  SELECT doc_id, shard, n_tokens,
+       |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM dt
+       |)
+       |SELECT doc_id, shard, n_tokens,
+       |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
+       |  cum_before % 256 AS offset_in_bin
+       |FROM c ORDER BY doc_id""".stripMargin
 
   /** The celled-quantizer oracle prelude, emitted ONCE and
     * interpolated into every graph-family oracle so the nlist/

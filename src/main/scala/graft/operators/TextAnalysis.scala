@@ -165,6 +165,52 @@ object TextAnalysis {
         (col("cum_before") % window).as("offset_in_bin"))
   }
 
+  /** Tokenizer-apply census (the pretraining-pipeline stage the
+    * word-count twins approximate): greedy BPE against the
+    * deterministic in-repo merge table
+    * ([[graft.plans.GraftHashOps.BpeMerges]]), via the codegen'd
+    * graft_bpe_stats expression — one scan-stage pass per document,
+    * no token explode, then ONE per-source aggregate. Rates are a
+    * single IEEE division of exact integer sums, so the oracle's
+    * quotients are bit-identical.
+    */
+  def bpeEncodeStats(documents: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    documents
+      .select(col("source"), expr("graft_bpe_stats(text)").as("bs"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("bs.n_words").as("n_words"),
+        sum("bs.n_tokens").as("n_tokens"),
+        sum("bs.n_oov").as("n_oov"))
+      .withColumn("tokens_per_word", col("n_tokens").cast("double") / col("n_words").cast("double"))
+      .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tokens").cast("double"))
+  }
+
+  /** [[packSequences]] with REAL tokenizer costs: the per-document
+    * token count comes from the BPE-apply expression instead of the
+    * whitespace-split approximation — the packing recipe (sharded
+    * running sum, window/bin assignment) is unchanged, so the two
+    * twins differ only in the cost column.
+    */
+  def packSequencesBpe(documents: DataFrame, window: Int = 256, nShards: Int = -1): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val shards =
+      if (nShards > 0) nShards
+      else documents.sparkSession.sparkContext.defaultParallelism * 4
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        expr("graft_bpe_stats(text).n_tokens").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / lit(window.toDouble)).cast("long").as("bin"),
+        (col("cum_before") % window).as("offset_in_bin"))
+  }
+
   /** Repetition signal (pretraining-corpus quality filter in the
     * Gopher/C4 family): the fraction of duplicated words and word
     * bigrams per document — high values flag boilerplate and spam.

@@ -2242,6 +2242,162 @@ object GraftHashOps {
       Array[Any](true, img.width, img.height, img.width.toLong * img.height,
         sr, sg, sb, peak, luma))
   }
+
+  // ---- BPE tokenizer apply (q_bpe_encode) ---------------------------
+
+  /** Ordered BPE merge table — the deterministic in-repo "learned"
+    * vocabulary the tokenizer-apply operator runs against (every
+    * real pretraining pipeline tokenizes; this is the apply stage
+    * with a bounded merges table, the shape of sentencepiece/BPE
+    * inference). Order IS the priority: merges are applied first to
+    * last, each as ONE greedy left-to-right pass (see
+    * [[bpeTokenizeWord]]). Later merges may consume outputs of
+    * earlier ones, exactly like a learned table.
+    */
+  val BpeMerges: Array[(String, String)] = Array(
+    ("t", "h"), ("th", "e"), ("a", "n"), ("i", "n"), ("e", "r"), ("a", "r"),
+    ("o", "r"), ("s", "t"), ("a", "t"), ("r", "o"), ("l", "o"), ("t", "o"),
+    ("o", "w"), ("l", "e"), ("s", "c"), ("sc", "an"), ("j", "o"), ("jo", "in"),
+    ("h", "a"), ("ha", "s"), ("has", "h"), ("ro", "w"), ("b", "at"),
+    ("bat", "c"), ("batc", "h"), ("c", "u"), ("st", "o"), ("c", "o"),
+    ("co", "l"), ("u", "m"), ("col", "um"), ("colum", "n"), ("f", "i"),
+    ("fi", "l"), ("fil", "t"), ("filt", "er"), ("s", "m"), ("sm", "a"),
+    ("sma", "l"), ("s", "lo"), ("m", "er"), ("or", "d"), ("v", "e"),
+    ("d", "at"), ("dat", "a"), ("t", "a"), ("v", "a"), ("va", "l"),
+    ("val", "u"), ("valu", "e"), ("k", "e"), ("ke", "y"), ("st", "r"),
+    ("str", "e"), ("w", "in"), ("win", "d"), ("wind", "ow"), ("s", "p"),
+    ("sp", "ar"), ("spar", "k"), ("g", "ro"), ("gro", "u"), ("grou", "p"),
+    ("p", "ar"), ("par", "t"), ("b", "i"), ("bi", "g"), ("s", "or"),
+    ("sor", "t"), ("q", "u"), ("qu", "er"), ("quer", "y"), ("f", "a"),
+    ("fa", "st"), ("d", "u"), ("du", "p"), ("l", "in"), ("lin", "e"),
+    ("a", "g"), ("ag", "g"))
+
+  /** Single-character base vocabulary: the common letters. A single
+    * char OUTSIDE this set that survives all merges is an OOV token
+    * (the WordPiece-unk analog); every multi-char token is some
+    * merge's output and therefore in-vocab by construction.
+    */
+  val BpeBaseSingles: String = "aeiourstln"
+
+  private val bpeVocab: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    BpeBaseSingles.foreach(c => s.add(c.toString))
+    BpeMerges.foreach { case (a, b) => s.add(a + b) }
+    s
+  }
+
+  /** Apply the merge table to one word: start from characters; for
+    * each merge (a,b) in order, ONE greedy left-to-right fold pass
+    * replaces each adjacent (a,b) whose left side is the fold's
+    * CURRENT last symbol — i.e. a freshly-merged "ab" does not
+    * immediately re-merge as the `a` of the next position. One pass
+    * per pair reaches that pair's fixpoint (the merged symbol a+b
+    * can never equal its own right side b, since a is non-empty).
+    * The oracle re-implements the identical fold as a DuckDB
+    * list_reduce over a '/'-delimited symbol string.
+    */
+  def bpeTokenizeWord(word: String): Array[String] = {
+    var syms = new java.util.ArrayList[String](word.length)
+    var i = 0
+    while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }
+    var mi = 0
+    while (mi < BpeMerges.length && syms.size > 1) {
+      val a = BpeMerges(mi)._1
+      val b = BpeMerges(mi)._2
+      val out = new java.util.ArrayList[String](syms.size)
+      out.add(syms.get(0))
+      var j = 1
+      while (j < syms.size) {
+        val x = syms.get(j)
+        if (x == b && out.get(out.size - 1) == a) out.set(out.size - 1, a + b)
+        else out.add(x)
+        j += 1
+      }
+      syms = out
+      mi += 1
+    }
+    val arr = new Array[String](syms.size)
+    syms.toArray(arr)
+    arr
+  }
+
+  /** Per-thread word -> (n_tokens, n_oov) memo: a pretraining corpus
+    * repeats words massively, and the stats only need counts. The
+    * cap bounds task memory on an open 100 TB vocabulary; an evicted
+    * (never-cached) word just recomputes — output is identical
+    * either way.
+    */
+  private val bpeMemo = new ThreadLocal[java.util.HashMap[String, Array[Long]]] {
+    override def initialValue(): java.util.HashMap[String, Array[Long]] =
+      new java.util.HashMap[String, Array[Long]]()
+  }
+  private val BpeMemoCap = 1 << 16
+
+  private def bpeWordCounts(word: String): Array[Long] = {
+    val memo = bpeMemo.get()
+    val hit  = memo.get(word)
+    if (hit != null) return hit
+    val toks = bpeTokenizeWord(word)
+    var nOov = 0L
+    var k = 0
+    while (k < toks.length) {
+      if (!bpeVocab.contains(toks(k))) nOov += 1
+      k += 1
+    }
+    val v = Array(toks.length.toLong, nOov)
+    if (memo.size < BpeMemoCap) memo.put(word, v)
+    v
+  }
+
+  /** Scan-stage BPE-apply census of one document: words are maximal
+    * [a-z]+ runs of the lowercased text; per document the token and
+    * OOV-token counts are summed. Exact integers only — the
+    * per-source rates divide once at the aggregate.
+    */
+  def bpeStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var nWords, nTokens, nOov = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        var j = i + 1
+        while (j < n && s.charAt(j) >= 'a' && s.charAt(j) <= 'z') j += 1
+        val wc = bpeWordCounts(s.substring(i, j))
+        nWords += 1; nTokens += wc(0); nOov += wc(1)
+        i = j
+      } else i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nWords, nTokens, nOov))
+  }
+}
+
+/** Greedy BPE-apply census against the deterministic in-repo merge
+  * table (see [[GraftHashOps.bpeTokenizeWord]]): per document, the
+  * word / token / OOV-token counts of tokenizing every [a-z]+ word.
+  * One codegen'd pass in the scan stage — the 100 TB corpus never
+  * explodes to token rows; rates divide once at the aggregate.
+  */
+case class BpeStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BpeStats.schema
+  override def prettyName: String = "graft_bpe_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.bpeStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.bpeStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeStats = copy(child = newChild)
+}
+
+object BpeStats {
+  val schema: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false)))
 }
 
 /** One-pass clean/normalize (see GraftHashOps.cleanText): the
@@ -2890,6 +3046,8 @@ object GraftFunctions {
       "returns struct(valid, n_codepoints, n_basic, n_extended, max_cp, sum_cp) of a strict canonical RFC 3492 Punycode xn-- label"),
     ("graft_b64_stats", (es: Seq[Expression]) => Base64Stats(es.head),
       "returns struct(valid, n_bytes, sum_bytes, max_byte) of a strict RFC 4648 Base64 payload"),
+    ("graft_bpe_stats", (es: Seq[Expression]) => BpeStats(es.head),
+      "returns struct(n_words, n_tokens, n_oov) of greedy-BPE-tokenizing a text against the in-repo merge table"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),
