@@ -1117,6 +1117,10 @@ object SparkEntry {
       Multimodal
         .deflateStats(Multimodal.deflateFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_lz4_stats" -> ((s, dir) =>
+      Multimodal
+        .lz4Stats(Multimodal.lz4FromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_targz_stats" -> ((s, dir) =>
       Multimodal
         .targzStats(Multimodal.targzFromDocuments(Tables.documents(s, dir)).toDF())
@@ -7428,6 +7432,26 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT media_id, TRUE AS valid,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(coalesce(list_max(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS INT) AS max_byte
+        |FROM s ORDER BY media_id""".stripMargin,
+    // independent derivation, LZ4: the oracle re-derives the block
+    // count (256-byte frame chunking), decoded length, byte-sum and
+    // max from TEXT, never seeing the frame — the bytes on disk are
+    // the in-repo greedy compressor's sequences behind XXH32-signed
+    // framing, so a decoder with the token/extension/offset rules,
+    // the HC/block/content checksums, or strict end-of-payload wrong
+    // cannot agree
+    "q_lz4_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(512, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE ceil(n / 256.0) END AS INT) AS n_blocks,
         |  CAST(n AS BIGINT) AS n_bytes,
         |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
         |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,

