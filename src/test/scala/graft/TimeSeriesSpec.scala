@@ -115,6 +115,42 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(!folded.isNullAt(1) && !folded.getDouble(1).isNaN && !folded.getDouble(1).isInfinite)
   }
 
+  test("correlationMatrix refuses a >20k-key universe BY DEFAULT, names the opt-outs") {
+    import spark.implicits._
+    // a 100x caller must not reach the O(keys^2) cliff without an
+    // explicit opt-in: the default cap (no conf set) fires on its own
+    // action, before the pair sweep runs. 20,001 keys x 2 days is a
+    // 40k-row frame — the refusal must land in milliseconds-of-work,
+    // not after 2*10^8 pairs.
+    val base = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val wide = spark.range(0, (operators.TimeSeries.CorrMatrixDefaultMaxKeys + 1) * 2)
+      .select(
+        (col("id") / 2).cast("long").as("user_id"),
+        when(col("id") % 2 === 0, lit(java.sql.Timestamp.from(base)))
+          .otherwise(lit(java.sql.Timestamp.from(base.plusSeconds(86400)))).as("ts"),
+        (col("id") % 7 + 1).cast("double").as("value"))
+    val t = intercept[Throwable] {
+      operators.TimeSeries.correlationMatrix(wide).collect()
+    }
+    val msg = Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("correlationMatrix") && msg.contains("O(keys^2)"), msg)
+    assert(msg.contains("default cap") && msg.contains("exact=true"), msg)
+    // exact=true bypasses the default (small frame: trivially runs)
+    val small = Tables.events(spark, sf)
+    assert(operators.TimeSeries.correlationMatrix(small, exact = true).limit(1).count() >= 0)
+    // an explicit session conf WINS over the default in both directions
+    try {
+      spark.conf.set(operators.Guards.PairSweepMaxKeys, "3")
+      val t2 = intercept[Throwable] {
+        operators.TimeSeries.correlationMatrix(small).collect()
+      }
+      val msg2 = Iterator.iterate(t2)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+      assert(msg2.contains(operators.Guards.PairSweepMaxKeys), msg2)
+    } finally spark.conf.unset(operators.Guards.PairSweepMaxKeys)
+  }
+
   test("corrPairsBanded is a subset of the exact matrix with identical values, and finds planted pairs") {
     import spark.implicits._
     // subset-of-exact on the real fixture: every banded pair appears
