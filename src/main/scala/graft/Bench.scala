@@ -305,7 +305,15 @@ object Bench {
         // ambient-noise seconds it can shave, which scales with the
         // cell's own magnitude, so sub-1s cells go first and a slow
         // host degrades smoothly instead of dropping rep 2 whole.
-        val slack = budgetLeft - reserve
+        // the picker spends ACTUAL seconds against rep-1 ESTIMATES; on
+        // a noisy host rep 2 of a cell routinely costs more than rep
+        // 1's min, and with no margin that overrun is exported to the
+        // trailing sections (the r15 HEAD rehearsal starved the whole
+        // streaming section by ~9s of its 130s floor this way). Spend
+        // at most slack/1.15 — the same estimate-error factor the
+        // whole-rep branch applies — so the overrun stays inside the
+        // sweep's own slice.
+        val slack = math.max(0.0, (budgetLeft - reserve) / 1.15)
         val byCost = names.filter(n => rawBuf.get(n).exists(_.head._1 > 0))
           .sortBy(n => -rawBuf(n).head._1)
         val pick = scala.collection.mutable.LinkedHashSet.empty[String]
