@@ -859,6 +859,10 @@ object SparkEntry {
     "q_pack_sequences_bpe" -> ((s, dir) =>
       TextAnalysis.packSequencesBpe(Tables.documents(s, dir), 256, 8)
         .orderBy("doc_id")),
+    // tokenizer TRAIN: one BPE learn iteration — frequency-weighted
+    // adjacent-pair census over the current tokenization, top-20
+    "q_bpe_train" -> ((s, dir) =>
+      TextAnalysis.bpeTrainStep(Tables.documents(s, dir), 20)),
 
     "q_redact_pii" -> ((s, dir) => {
       import graft.functions.ParseFunctions.redactPii
@@ -1386,7 +1390,8 @@ object SparkEntry {
     base +
       ("q_dedup_clusters_bigstar" -> base("q_dedup_clusters")) +
       ("q_bpe_encode" -> bpeEncodeOracle) +
-      ("q_pack_sequences_bpe" -> packSequencesBpeOracle)
+      ("q_pack_sequences_bpe" -> packSequencesBpeOracle) +
+      ("q_bpe_train" -> bpeTrainOracle)
   }
 
   /** The BPE-apply fold as DuckDB SQL, GENERATED from the same
@@ -1481,6 +1486,31 @@ object SparkEntry {
        |  CAST(floor(cum_before / 256.0) AS BIGINT) AS bin,
        |  cum_before % 256 AS offset_in_bin
        |FROM c ORDER BY doc_id""".stripMargin
+
+  // independent derivation, BPE train step: same distinct-word fold
+  // as the apply oracle, then every adjacent pair of each word's
+  // token sequence unnests with its 1-based index and aggregates
+  // weighted by the word's corpus frequency; top-20 under the same
+  // total order (count DESC, lhs, rhs) as the engine's TakeOrdered
+  private def bpeTrainOracle: String =
+    s"""WITH w0 AS (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents
+       |), wf AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM w0 GROUP BY 1
+       |), dw AS (
+       |  SELECT w FROM wf
+       |), $bpeFoldCtes, enc AS (
+       |  SELECT w, string_split(sym, '/') AS toks FROM $bpeFoldLast
+       |), pr AS (
+       |  SELECT wf.w, wf.freq, enc.toks[t.i] AS lhs, enc.toks[t.i + 1] AS rhs
+       |  FROM wf JOIN enc USING (w)
+       |  CROSS JOIN UNNEST(generate_series(1, CAST(len(enc.toks) - 1 AS BIGINT))) AS t(i)
+       |)
+       |SELECT lhs, rhs,
+       |  CAST(sum(freq) AS BIGINT) AS pair_count,
+       |  CAST(count(DISTINCT w) AS BIGINT) AS n_words
+       |FROM pr GROUP BY 1, 2
+       |ORDER BY pair_count DESC, lhs, rhs LIMIT 20""".stripMargin
 
   /** The celled-quantizer oracle prelude, emitted ONCE and
     * interpolated into every graph-family oracle so the nlist/

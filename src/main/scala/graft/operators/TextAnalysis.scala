@@ -211,6 +211,37 @@ object TextAnalysis {
         (col("cum_before") % window).as("offset_in_bin"))
   }
 
+  /** One BPE TRAINING iteration (the learn-side twin of
+    * [[bpeEncodeStats]]): tokenize the corpus under the CURRENT
+    * merge table and emit the top-k adjacent-token-pair merge
+    * candidates by frequency-weighted count — the inner step every
+    * BPE/WordPiece learner loops (Sennrich et al. 2016, public
+    * algorithm). Scale shape: the corpus aggregates to (word, freq)
+    * FIRST (one shuffle of word rows with partial aggregation), the
+    * codegen'd graft_bpe_tokens expression runs on the DISTINCT word
+    * set only, pairs explode from that bounded vocabulary, and the
+    * global top-k is a TakeOrdered — no token-level corpus explode,
+    * no unbounded window. Ties break on (lhs, rhs), so the top-k set
+    * is total-order deterministic and bit-exact against the oracle's
+    * identical fold.
+    */
+  def bpeTrainStep(documents: DataFrame, topK: Int = 20): DataFrame = {
+    graft.plans.GraftFunctions.register(documents.sparkSession)
+    val words = documents
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    words
+      .select(col("w"), col("freq"), expr("graft_bpe_tokens(w)").as("toks"))
+      .filter(size(col("toks")) > 1)
+      .select(col("w"), col("freq"), explode(
+        expr("transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS l, toks[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+      .agg(sum("freq").as("pair_count"), countDistinct("w").as("n_words"))
+      .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+      .limit(topK)
+  }
+
   /** Repetition signal (pretraining-corpus quality filter in the
     * Gopher/C4 family): the fraction of duplicated words and word
     * bigrams per document — high values flag boilerplate and spam.

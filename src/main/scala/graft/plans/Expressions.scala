@@ -2373,6 +2373,21 @@ object GraftHashOps {
       Array[Any](nWords, nTokens, nOov))
   }
 
+  /** Token SEQUENCE of one word under the current merge table — the
+    * training-side companion of [[bpeStats]]: a BPE training
+    * iteration needs the adjacent pairs of the CURRENT tokenization,
+    * so this one is meant to run AFTER the per-word frequency
+    * aggregation (distinct words only — the 100 TB corpus never
+    * explodes to token rows; see TextAnalysis.bpeTrainStep).
+    */
+  def bpeTokens(word: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val toks = bpeTokenizeWord(word.toString)
+    val out  = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // ---- LZ4 frame + block decode (q_lz4_stats) -----------------------
 
   private val XxP1 = 0x9E3779B1 // 2654435761
@@ -2656,6 +2671,26 @@ object BpeStats {
     StructField("n_words", LongType, nullable = false),
     StructField("n_tokens", LongType, nullable = false),
     StructField("n_oov", LongType, nullable = false)))
+}
+
+/** BPE-apply token sequence of ONE word (see
+  * [[GraftHashOps.bpeTokens]]): the training-side companion of
+  * [[BpeStats]] — a train iteration counts adjacent pairs of the
+  * current tokenization, so it needs the sequence, not the census.
+  * Meant to run on the DISTINCT word set after a frequency
+  * aggregation, never on raw corpus rows.
+  */
+case class BpeTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_tokens"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.bpeTokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.bpeTokens($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens = copy(child = newChild)
 }
 
 /** One-pass clean/normalize (see GraftHashOps.cleanText): the
@@ -3306,6 +3341,8 @@ object GraftFunctions {
       "returns struct(valid, n_bytes, sum_bytes, max_byte) of a strict RFC 4648 Base64 payload"),
     ("graft_bpe_stats", (es: Seq[Expression]) => BpeStats(es.head),
       "returns struct(n_words, n_tokens, n_oov) of greedy-BPE-tokenizing a text against the in-repo merge table"),
+    ("graft_bpe_tokens", (es: Seq[Expression]) => BpeTokens(es.head),
+      "returns the greedy-BPE token sequence of one word under the in-repo merge table (train-side: run on distinct words)"),
     ("graft_lz4_stats", (es: Seq[Expression]) => Lz4Stats(es.head),
       "returns struct(valid, n_blocks, n_bytes, sum_bytes, max_byte) of a strict LZ4 frame via the in-repo block decode + XXH32"),
     ("graft_ema", (es: Seq[Expression]) =>

@@ -119,4 +119,52 @@ class BpeSpec extends AnyFunSuite {
     val diff = out.join(ws, "doc_id").filter(col("n_tokens") =!= col("ws_tokens"))
     assert(diff.count() > 0)
   }
+
+  test("bpeTrainStep: hand-derived pair census on a tiny corpus") {
+    import spark.implicits._
+    // the: [the] (no pair); vector: [ve,c,t,or] x2; merge: [mer,g,e] x3
+    val docs = Seq("the vector merge", "vector merge merge").toDF("text")
+    val got = TextAnalysis.bpeTrainStep(docs, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("g", "e", 3L, 1L), ("mer", "g", 3L, 1L),
+      ("c", "t", 2L, 1L), ("t", "or", 2L, 1L), ("ve", "c", 2L, 1L)))
+  }
+
+  test("bpeTrainStep counts a pair repeated WITHIN one word per occurrence") {
+    import spark.implicits._
+    // ananana -> [an, an, an, a]: (an,an) twice per occurrence
+    val docs = Seq("ananana", "ananana x").toDF("text")
+    val got = TextAnalysis.bpeTrainStep(docs, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq(("an", "an", 4L, 1L), ("an", "a", 2L, 1L)))
+  }
+
+  test("bpeTrainStep top-20 agrees with an independent per-word recomputation on the fixture") {
+    val docs = Tables.documents(spark, sf)
+    val got = TextAnalysis.bpeTrainStep(docs, 20).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // independent counting path: word frequencies + pair multiset in
+    // plain Scala over the same public per-word tokenizer
+    val freq = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.select("text").collect().foreach { r =>
+      "[a-z]+".r.findAllIn(r.getString(0).toLowerCase(java.util.Locale.ROOT))
+        .foreach(w => freq(w) = freq.getOrElse(w, 0L) + 1L)
+    }
+    val cnt   = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val nDist = scala.collection.mutable.HashMap.empty[(String, String), Set[String]]
+    freq.foreach { case (w, f) =>
+      val toks = GraftHashOps.bpeTokenizeWord(w)
+      toks.sliding(2).filter(_.length == 2).foreach { p =>
+        val k = (p(0), p(1))
+        cnt(k) = cnt.getOrElse(k, 0L) + f
+        nDist(k) = nDist.getOrElse(k, Set.empty) + w
+      }
+    }
+    val want = cnt.toSeq
+      .map { case (k, c) => (k._1, k._2, c, nDist(k).size.toLong) }
+      .sortBy { case (l, r, c, _) => (-c, l, r) }
+      .take(20)
+    assert(got === want)
+  }
 }
