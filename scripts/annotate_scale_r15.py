@@ -156,6 +156,20 @@ def main():
 
     merge(TAIL)
     merge(QUAD, replace_timeouts=True)
+    # queries that LANDED AFTER the full pass (r15: q_bpe_train):
+    # their cells come wholesale from a dedicated same-protocol run,
+    # flagged so the provenance is readable (the r14 convention)
+    try:
+        extra = json.load(open("bench_new_r15.json"))
+        escale = extra["scale"]
+        assert escale.get("forked", False)
+        for k, tv in escale["queries"].items():
+            if k not in qs and isinstance(tv, dict) and tv.get("ratio", -1) > 0:
+                tv = dict(tv)
+                tv["post_full_pass"] = True
+                qs[k] = tv
+    except FileNotFoundError:
+        pass
     ratios = {k: v["ratio"] for k, v in qs.items()
               if isinstance(v, dict) and v.get("ratio", -1) > 0}
     med = statistics.median(ratios.values())
@@ -183,10 +197,11 @@ def main():
         "r15: same forked-fresh-JVM protocol as r14 for every pass "
         "(full 383-cell run + optional min-of-N tail/quad re-measures, "
         "all disclosed per cell as ratio_full_run/ratio_remeasure). "
-        "All three r15 queries (q_bpe_encode, q_pack_sequences_bpe, "
-        "q_lz4_stats) are in the full pass - no post-pass wholesale "
-        "merge this round. Both medians embedded; min-of-N per cell is "
-        "the merge rule."
+        "q_bpe_encode / q_pack_sequences_bpe / q_lz4_stats are in the "
+        "full pass; q_bpe_train landed after it and its cell comes "
+        "wholesale from a dedicated same-protocol run, flagged "
+        "post_full_pass (the r14 convention). Both medians embedded; "
+        "min-of-N per cell is the merge rule."
     )
     # r14/r15 x30 comparison for the graph family
     try:
