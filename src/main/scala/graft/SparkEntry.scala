@@ -1121,6 +1121,10 @@ object SparkEntry {
       Multimodal
         .deflateStats(Multimodal.deflateFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_snappy_stats" -> ((s, dir) =>
+      Multimodal
+        .snappyStats(Multimodal.snappyFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_lz4_stats" -> ((s, dir) =>
       Multimodal
         .lz4Stats(Multimodal.lz4FromDocuments(Tables.documents(s, dir)).toDF())
@@ -7475,6 +7479,26 @@ object SparkEntry {
     // framing, so a decoder with the token/extension/offset rules,
     // the HC/block/content checksums, or strict end-of-payload wrong
     // cannot agree
+    // independent derivation, Snappy: the oracle re-derives data-chunk
+    // count (256-byte segments of the leading 512 chars), decoded
+    // length, byte-sum and max from TEXT — the bytes on disk are the
+    // in-repo framing writer signed with the JDK's INDEPENDENT
+    // CRC32C, so a decoder with the tag parsing, uvarint preamble,
+    // overlap copies, chunk framing, or the Castagnoli table wrong
+    // cannot agree
+    "q_snappy_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(512, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid,
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE ceil(n / 256.0) END AS INT) AS n_chunks,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(coalesce(list_max(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS INT) AS max_byte
+        |FROM s ORDER BY media_id""".stripMargin,
     "q_lz4_stats" ->
       """WITH s AS (
         |  SELECT doc_id AS media_id, least(512, length(text)) AS n, text

@@ -2617,6 +2617,203 @@ object GraftHashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](true, nBlocks, out.len.toLong, sum, maxB))
   }
+
+  // ---- Snappy framing + block decode (q_snappy_stats) ---------------
+
+  /** Clean-room CRC-32C (Castagnoli, reversed poly 0x82F63B78) —
+    * the checksum the Snappy framing format masks and carries per
+    * chunk. Table-driven, byte at a time; the table is built once
+    * from the bitwise definition. Spec vectors ("123456789" →
+    * 0xE3069283) and the JDK's independent java.util.zip.CRC32C
+    * cross-check both live in SnappySpec — and the corpus writer
+    * SIGNS chunks with the JDK implementation, so production decode
+    * verifies clean-room-vs-JDK on every row.
+    */
+  private val Crc32cTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var n = 0
+    while (n < 256) {
+      var c = n
+      var k = 0
+      while (k < 8) {
+        c = if ((c & 1) != 0) 0x82F63B78 ^ (c >>> 1) else c >>> 1
+        k += 1
+      }
+      t(n) = c
+      n += 1
+    }
+    t
+  }
+
+  def crc32c(data: Array[Byte], off: Int, len: Int): Int = {
+    var c = 0xffffffff
+    var i = off
+    val end = off + len
+    while (i < end) {
+      c = Crc32cTable((c ^ data(i)) & 0xff) ^ (c >>> 8)
+      i += 1
+    }
+    c ^ 0xffffffff
+  }
+
+  /** The framing format's CRC mask: rotate right 15, add the magic
+    * constant (uint32 wrap) — so a CRC of the CRC field itself can
+    * never accidentally verify.
+    */
+  def crc32cMask(crc: Int): Int =
+    ((crc >>> 15) | (crc << 17)) + 0xa282ead8
+
+  /** Strict RAW Snappy block decode (public format: uvarint32
+    * preamble with the decompressed length, then tagged elements —
+    * 00 literal with 0-4 extra length bytes, 01 copy with 3-bit
+    * length 4-11 and 11-bit offset, 10 copy with 2-byte offset,
+    * 11 copy with 4-byte offset; copies may overlap). Appends into
+    * `out`; false on any malformation: uvarint past 32 bits or
+    * truncated, preamble over the bomb cap (checked BEFORE any
+    * allocation-driving copy), literal overrun, offset 0 or
+    * reaching before `base` (this block's own start), input ending
+    * mid-element, or a decoded length different from the preamble.
+    */
+  private[graft] def snappyDecodeRaw(src: Array[Byte], srcOff: Int, srcLen: Int,
+                                     out: Lz4Out): Boolean = {
+    var pos = srcOff
+    val end = srcOff + srcLen
+    // uvarint32 preamble
+    var declared = 0L
+    var shift = 0
+    var more = true
+    while (more) {
+      if (pos >= end || shift > 28) return false
+      val b = src(pos) & 0xff
+      if (shift == 28 && (b & 0xf0) != 0) return false // > 32 bits
+      declared |= (b & 0x7fL) << shift
+      shift += 7
+      pos += 1
+      more = (b & 0x80) != 0
+    }
+    val base = out.len
+    if (declared > out.cap - base || !out.ensure(base + declared)) return false
+    while (pos < end) {
+      val tag = src(pos) & 0xff
+      pos += 1
+      if ((tag & 3) == 0) { // literal
+        var litLen = (tag >>> 2).toLong
+        if (litLen >= 60) {
+          val nExtra = (litLen - 59).toInt // 1..4 length bytes
+          if (pos + nExtra > end) return false
+          litLen = 0L
+          var i = 0
+          while (i < nExtra) { litLen |= (src(pos + i) & 0xffL) << (8 * i); i += 1 }
+          pos += nExtra
+        }
+        litLen += 1
+        if (pos + litLen > end || !out.ensure(out.len + litLen)) return false
+        System.arraycopy(src, pos, out.buf, out.len, litLen.toInt)
+        out.len += litLen.toInt; pos += litLen.toInt
+      } else {
+        var matchLen = 0L
+        var offset = 0L
+        (tag & 3) match {
+          case 1 =>
+            if (pos + 1 > end) return false
+            matchLen = ((tag >>> 2) & 0x7) + 4L
+            offset = (((tag >>> 5) & 0x7) << 8 | (src(pos) & 0xff)).toLong
+            pos += 1
+          case 2 =>
+            if (pos + 2 > end) return false
+            matchLen = (tag >>> 2) + 1L
+            offset = ((src(pos) & 0xff) | ((src(pos + 1) & 0xff) << 8)).toLong
+            pos += 2
+          case _ =>
+            if (pos + 4 > end) return false
+            matchLen = (tag >>> 2) + 1L
+            offset = (src(pos) & 0xffL) | ((src(pos + 1) & 0xffL) << 8) |
+              ((src(pos + 2) & 0xffL) << 16) | ((src(pos + 3) & 0xffL) << 24)
+            pos += 4
+        }
+        if (offset == 0 || offset > out.len - base) return false
+        if (!out.ensure(out.len + matchLen)) return false
+        var m = 0L
+        var from = out.len - offset.toInt
+        while (m < matchLen) {
+          out.buf(out.len) = out.buf(from); out.len += 1; from += 1; m += 1
+        }
+      }
+    }
+    out.len - base == declared // strict: decode exactly the preamble
+  }
+
+  private val SnappyMagic: Array[Byte] = "sNaPpY".getBytes("US-ASCII")
+
+  /** STRICT Snappy FRAMING walk + raw block decode + CRC-32C
+    * verification in one scan-stage pass (public framing format):
+    * leading stream-identifier chunk (0xff, length 6, "sNaPpY" —
+    * re-validated on every later occurrence), compressed (0x00) and
+    * uncompressed (0x01) data chunks each carrying the MASKED
+    * CRC-32C of their uncompressed bytes, padding (0xfe) and
+    * reserved-skippable (0x80-0xfd) chunks skipped, reserved
+    * UNSKIPPABLE types (0x02-0x7f) rejected, data chunks bounded by
+    * the spec's 65536-byte uncompressed limit, END-OF-PAYLOAD
+    * exactness. Total function: any malformation yields
+    * valid=false, never a throw.
+    */
+  def snappyStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0L, 0L, 0))
+    if (payload == null || payload.length < 10) return bad
+    def u8(p: Int): Int = payload(p) & 0xff
+    def chunkLen(p: Int): Int = u8(p) | (u8(p + 1) << 8) | (u8(p + 2) << 16)
+    def isStreamId(p: Int): Boolean = {
+      var i = 0
+      while (i < 6) { if (payload(p + i) != SnappyMagic(i)) return false; i += 1 }
+      true
+    }
+    if (u8(0) != 0xff || chunkLen(1) != 6 || !isStreamId(4)) return bad
+    var pos = 10
+    val out = new Lz4Out(payload.length * 4, Lz4MaxOut)
+    var nChunks = 0
+    while (pos < payload.length) {
+      if (pos + 4 > payload.length) return bad
+      val typ = u8(pos)
+      val len = chunkLen(pos + 1)
+      pos += 4
+      if (pos + len > payload.length) return bad
+      typ match {
+        case 0xff => // repeated stream identifier: must re-validate
+          if (len != 6 || !isStreamId(pos)) return bad
+        case 0x00 | 0x01 => // compressed / uncompressed data
+          if (len < 4) return bad
+          val want = (u8(pos) | (u8(pos + 1) << 8) | (u8(pos + 2) << 16) |
+            (u8(pos + 3) << 24))
+          val before = out.len
+          if (typ == 0x01) {
+            val dlen = len - 4
+            if (dlen > 65536 || !out.ensure(out.len.toLong + dlen)) return bad
+            System.arraycopy(payload, pos + 4, out.buf, out.len, dlen)
+            out.len += dlen
+          } else {
+            if (!snappyDecodeRaw(payload, pos + 4, len - 4, out)) return bad
+            if (out.len - before > 65536) return bad
+          }
+          if (crc32cMask(crc32c(out.buf, before, out.len - before)) != want) return bad
+          nChunks += 1
+        case t if t >= 0x02 && t <= 0x7f => return bad // reserved unskippable
+        case _ => () // padding (0xfe) / reserved skippable (0x80-0xfd)
+      }
+      pos += len
+    }
+    var sum = 0L
+    var maxB = 0
+    var i = 0
+    while (i < out.len) {
+      val v = out.buf(i) & 0xff
+      sum += v
+      if (v > maxB) maxB = v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, nChunks, out.len.toLong, sum, maxB))
+  }
 }
 
 /** STRICT LZ4 frame + block decode with XXH32 verification (see
@@ -2636,6 +2833,34 @@ case class Lz4Stats(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.lz4Stats($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Lz4Stats = copy(child = newChild)
+}
+
+/** STRICT Snappy framing + raw block decode with CRC-32C
+  * verification (see [[GraftHashOps.snappyStats]]) — the other
+  * storage-tier codec next to LZ4, implemented in-repo with zero
+  * codec libraries (the JDK has CRC32C but no Snappy). Total
+  * function: malformed payloads yield valid=false, never null.
+  */
+case class SnappyStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = SnappyStats.schema
+  override def prettyName: String = "graft_snappy_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.snappyStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.snappyStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SnappyStats = copy(child = newChild)
+}
+
+object SnappyStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_chunks", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("max_byte", IntegerType, nullable = false)))
 }
 
 object Lz4Stats {
@@ -3345,6 +3570,8 @@ object GraftFunctions {
       "returns the greedy-BPE token sequence of one word under the in-repo merge table (train-side: run on distinct words)"),
     ("graft_lz4_stats", (es: Seq[Expression]) => Lz4Stats(es.head),
       "returns struct(valid, n_blocks, n_bytes, sum_bytes, max_byte) of a strict LZ4 frame via the in-repo block decode + XXH32"),
+    ("graft_snappy_stats", (es: Seq[Expression]) => SnappyStats(es.head),
+      "returns struct(valid, n_chunks, n_bytes, sum_bytes, max_byte) of a strict Snappy framing stream via the in-repo raw decode + CRC-32C"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),
