@@ -1125,6 +1125,10 @@ object SparkEntry {
       Multimodal
         .snappyStats(Multimodal.snappyFromDocuments(Tables.documents(s, dir)).toDF())
         .orderBy("media_id")),
+    "q_proto_stats" -> ((s, dir) =>
+      Multimodal
+        .protoStats(Multimodal.protoFromDocuments(Tables.documents(s, dir)).toDF())
+        .orderBy("media_id")),
     "q_lz4_stats" -> ((s, dir) =>
       Multimodal
         .lz4Stats(Multimodal.lz4FromDocuments(Tables.documents(s, dir)).toDF())
@@ -7486,6 +7490,29 @@ object SparkEntry {
     // CRC32C, so a decoder with the tag parsing, uvarint preamble,
     // overlap copies, chunk framing, or the Castagnoli table wrong
     // cannot agree
+    // independent derivation, protobuf: the oracle re-derives the
+    // field census (4 required fields + one repeated varint per
+    // 64-byte segment + the id-cycled marker/unknown fields), byte
+    // count, byte-sum and max from TEXT and doc_id alone — a walker
+    // with the tag/varint/bounds/skip rules or the internal
+    // fixed32/fixed64/segment-sum cross-checks wrong cannot agree
+    "q_proto_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id, least(512, length(text)) AS n, text
+        |  FROM documents
+        |)
+        |SELECT media_id, TRUE AS valid,
+        |  CAST(4 + CASE WHEN n = 0 THEN 0 ELSE ceil(n / 64.0) END
+        |     + CASE WHEN media_id % 5 = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN media_id % 7 = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN media_id % 11 = 0 THEN 1 ELSE 0 END
+        |     + CASE WHEN media_id % 13 = 0 THEN 1 ELSE 0 END AS INT) AS n_fields,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sum_bytes,
+        |  CAST(coalesce(list_max(list_transform(generate_series(1, n),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1)))), 0) AS INT) AS max_byte
+        |FROM s ORDER BY media_id""".stripMargin,
     "q_snappy_stats" ->
       """WITH s AS (
         |  SELECT doc_id AS media_id, least(512, length(text)) AS n, text

@@ -941,6 +941,95 @@ object Multimodal {
         col("ls.max_byte").as("max_byte"))
   }
 
+  /** Wrap text documents as VALID protobuf wire-format messages
+    * (Google's public encoding — the serialization binary telemetry
+    * columns speak): field 1 varint doc_id, field 2 length-delimited
+    * payload (the leading `maxChars` chars), field 3 fixed32 = byte
+    * sum of the payload (mod 2^32), field 4 fixed64 = payload
+    * length, repeated field 5 varint = per-64-byte-segment byte sums
+    * (multi-byte varints on every full segment), and — cycling with
+    * doc_id so production rows exercise the decoder's skip paths —
+    * field 6 fixed32 marker on ids % 5 == 0, plus UNKNOWN fields the
+    * walker must skip by wire type: varint field 15 (ids % 7 == 0),
+    * length-delimited field 16 (ids % 11 == 0), fixed64 field 17
+    * (ids % 13 == 0). Fields 3/4/5 are internal checksums the
+    * decoder re-derives from field 2 — a walker with the varint,
+    * tag, or bounds rules wrong cannot agree with the oracle.
+    */
+  def protoFromDocuments(documents: DataFrame, maxChars: Int = 512): Dataset[MediaRecord] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      MediaRecord(id, "proto", protoMessageBytes(text, maxChars, id))
+    }
+  }
+
+  private[graft] def protoMessageBytes(text: String, maxChars: Int, id: Long): Array[Byte] = {
+    val n    = math.min(maxChars, text.length)
+    val data = text.substring(0, n).getBytes("US-ASCII")
+    val out  = new java.io.ByteArrayOutputStream()
+    def uvarint(v: Long): Unit = {
+      var x = v
+      var more = true
+      while (more) {
+        val b = (x & 0x7f).toInt
+        x = x >>> 7
+        more = x != 0
+        out.write(if (more) b | 0x80 else b)
+      }
+    }
+    def tag(field: Int, wire: Int): Unit = uvarint((field.toLong << 3) | wire)
+    def fixed32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >>> 8) & 0xff).toInt)
+      out.write(((v >>> 16) & 0xff).toInt); out.write(((v >>> 24) & 0xff).toInt)
+    }
+    def fixed64(v: Long): Unit = {
+      var i = 0
+      while (i < 8) { out.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+    }
+    tag(1, 0); uvarint(id)
+    tag(2, 2); uvarint(data.length.toLong); out.write(data, 0, data.length)
+    var sum = 0L
+    data.foreach(b => sum += b & 0xff)
+    tag(3, 5); fixed32(sum & 0xffffffffL)
+    tag(4, 1); fixed64(data.length.toLong)
+    var off = 0
+    while (off < data.length) {
+      val seg = math.min(64, data.length - off)
+      var segSum = 0L
+      var j = 0
+      while (j < seg) { segSum += data(off + j) & 0xff; j += 1 }
+      tag(5, 0); uvarint(segSum)
+      off += seg
+    }
+    if (id % 5 == 0) { tag(6, 5); fixed32(graft.plans.GraftHashOps.ProtoMarker) }
+    if (id % 7 == 0) { tag(15, 0); uvarint(id) }
+    if (id % 11 == 0) {
+      val pad = "pad".getBytes("US-ASCII")
+      tag(16, 2); uvarint(pad.length.toLong); out.write(pad, 0, pad.length)
+    }
+    if (id % 13 == 0) { tag(17, 1); fixed64(id) }
+    out.toByteArray
+  }
+
+  /** REAL (non-stub) protobuf wire-format walk: strict tag/varint/
+    * bounds rules, unknown-field skipping, and internal-checksum
+    * verification via the codegen'd [[graft.plans.ProtoStats]]
+    * expression — one pass per payload in the scan stage. Malformed
+    * payloads report valid=false.
+    */
+  def protoStats(media: DataFrame, idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    graft.plans.GraftFunctions.register(media.sparkSession)
+    media
+      .select(col(idCol), expr(s"graft_proto_stats($payloadCol)").as("ps"))
+      .select(col(idCol),
+        col("ps.valid").as("valid"),
+        col("ps.n_fields").as("n_fields"),
+        col("ps.n_bytes").as("n_bytes"),
+        col("ps.sum_bytes").as("sum_bytes"),
+        col("ps.max_byte").as("max_byte"))
+  }
+
   /** Wrap text documents as VALID Snappy FRAMING streams (the
     * storage-tier codec next to LZ4): the leading `maxChars`
     * characters split into 256-byte segments, each a data chunk —

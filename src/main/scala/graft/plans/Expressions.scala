@@ -2814,6 +2814,144 @@ object GraftHashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](true, nChunks, out.len.toLong, sum, maxB))
   }
+
+  // ---- Protobuf wire-format walk (q_proto_stats) --------------------
+
+  /** The fixed32 marker value the corpus writer stamps into field 6
+    * on ids % 5 == 0 (unsigned). A present field 6 with any other
+    * value is a malformed message.
+    */
+  private[graft] val ProtoMarker = 0x9E3779B9L & 0xffffffffL
+
+  /** Max repeated field-5 entries accepted before rejecting — a bomb
+    * cap: the legitimate writer emits at most ceil(512/64) = 8.
+    */
+  private val ProtoMaxSegs = 4096
+
+  /** STRICT protobuf wire-format walk (public encoding: Google's
+    * protobuf wire format — tag uvarint of (field_no << 3 | wire_type),
+    * wire types 0 varint / 1 fixed64-LE / 2 length-delimited /
+    * 5 fixed32-LE; 3 and 4 are the deprecated group markers and 6-7
+    * reserved, all four rejected) over the corpus writer's message
+    * shape: field 1 varint doc_id, field 2 bytes payload, field 3
+    * fixed32 = byte sum of field 2 (mod 2^32), field 4 fixed64 =
+    * field-2 length, repeated field 5 varint = per-64-byte-segment
+    * byte sums, optional field 6 fixed32 = the marker constant.
+    * Unknown field numbers are SKIPPED by wire type (the proto
+    * contract) but counted in n_fields. Strictness teeth: uvarints
+    * capped at 64 bits (10th byte's high bits rejected), tag field
+    * number in 1..2^29-1, length-delimited bounds-checked against
+    * the remaining payload before any cursor move, duplicate known
+    * fields rejected, required fields 1-4 all present, field 3 / 4 /
+    * every field 5 re-derived from the field-2 bytes and compared,
+    * message ends EXACTLY at the payload's last byte. Total
+    * function: malformed yields valid=false, never a throw.
+    */
+  def protoStats(payload: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val bad = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](false, 0, 0L, 0L, 0))
+    if (payload == null) return bad
+    val end = payload.length
+    var pos = 0
+    var failed = false
+    // strict uvarint64: at most 10 bytes, the 10th (shift 63) may
+    // only carry the final bit — anything wider is > 64 bits
+    def uvarint(): Long = {
+      var v = 0L
+      var shift = 0
+      while (true) {
+        if (pos >= end || shift > 63) { failed = true; return 0L }
+        val b = payload(pos) & 0xff
+        if (shift == 63 && (b & 0xfe) != 0) { failed = true; return 0L }
+        v |= (b & 0x7fL) << shift
+        pos += 1
+        if ((b & 0x80) == 0) return v
+        shift += 7
+      }
+      0L
+    }
+    var nFields = 0
+    var seen1 = false
+    var dataOff = -1
+    var dataLen = 0
+    var seen3 = false; var sumF3 = 0L
+    var seen4 = false; var lenF4 = 0L
+    var seen6 = false; var f6 = 0L
+    val segs = new Array[Long](8)
+    var segsWide: Array[Long] = segs
+    var nSeg = 0
+    while (pos < end) {
+      val tag = uvarint()
+      if (failed) return bad
+      val fieldNo = tag >>> 3
+      val wire = (tag & 7L).toInt
+      if (fieldNo == 0L || fieldNo > 536870911L) return bad
+      nFields += 1
+      wire match {
+        case 0 =>
+          val v = uvarint()
+          if (failed) return bad
+          if (fieldNo == 1L) { if (seen1) return bad; seen1 = true }
+          else if (fieldNo == 5L) {
+            if (nSeg >= ProtoMaxSegs) return bad
+            if (nSeg >= segsWide.length)
+              segsWide = java.util.Arrays.copyOf(segsWide, segsWide.length * 2)
+            segsWide(nSeg) = v; nSeg += 1
+          }
+        case 1 =>
+          if (pos + 8 > end) return bad
+          var v = 0L
+          var i = 0
+          while (i < 8) { v |= (payload(pos + i) & 0xffL) << (8 * i); i += 1 }
+          pos += 8
+          if (fieldNo == 4L) { if (seen4) return bad; seen4 = true; lenF4 = v }
+        case 2 =>
+          val l = uvarint()
+          if (failed) return bad
+          if (l < 0L || l > (end - pos).toLong) return bad
+          if (fieldNo == 2L) {
+            if (dataOff >= 0) return bad
+            dataOff = pos; dataLen = l.toInt
+          }
+          pos += l.toInt
+        case 5 =>
+          if (pos + 4 > end) return bad
+          val v = (payload(pos) & 0xffL) | ((payload(pos + 1) & 0xffL) << 8) |
+            ((payload(pos + 2) & 0xffL) << 16) | ((payload(pos + 3) & 0xffL) << 24)
+          pos += 4
+          if (fieldNo == 3L) { if (seen3) return bad; seen3 = true; sumF3 = v }
+          else if (fieldNo == 6L) { if (seen6) return bad; seen6 = true; f6 = v }
+        case _ => return bad // 3/4 group markers, 6/7 reserved
+      }
+    }
+    if (!seen1 || dataOff < 0 || !seen3 || !seen4) return bad
+    // re-derive the internal checksums from the field-2 bytes
+    var sum = 0L
+    var maxB = 0
+    var i = 0
+    while (i < dataLen) {
+      val v = payload(dataOff + i) & 0xff
+      sum += v
+      if (v > maxB) maxB = v
+      i += 1
+    }
+    if ((sum & 0xffffffffL) != sumF3) return bad
+    if (lenF4 != dataLen.toLong) return bad
+    if (nSeg != (dataLen + 63) / 64) return bad
+    var off = 0
+    var s = 0
+    while (off < dataLen) {
+      val segLen = math.min(64, dataLen - off)
+      var segSum = 0L
+      var j = 0
+      while (j < segLen) { segSum += payload(dataOff + off + j) & 0xff; j += 1 }
+      if (segsWide(s) != segSum) return bad
+      s += 1; off += segLen
+    }
+    if (seen6 && f6 != ProtoMarker) return bad
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](true, nFields, dataLen.toLong, sum, maxB))
+  }
 }
 
 /** STRICT LZ4 frame + block decode with XXH32 verification (see
@@ -2858,6 +2996,34 @@ object SnappyStats {
   val schema: StructType = StructType(Seq(
     StructField("valid", BooleanType, nullable = false),
     StructField("n_chunks", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_bytes", LongType, nullable = false),
+    StructField("max_byte", IntegerType, nullable = false)))
+}
+
+/** STRICT protobuf wire-format walk (see
+  * [[GraftHashOps.protoStats]]) — the serialization every binary
+  * telemetry column at 100 TB speaks, walked in-repo with zero
+  * protobuf libraries. Total function: malformed payloads yield
+  * valid=false, never null.
+  */
+case class ProtoStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ProtoStats.schema
+  override def prettyName: String = "graft_proto_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.protoStats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.protoStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ProtoStats = copy(child = newChild)
+}
+
+object ProtoStats {
+  val schema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_fields", IntegerType, nullable = false),
     StructField("n_bytes", LongType, nullable = false),
     StructField("sum_bytes", LongType, nullable = false),
     StructField("max_byte", IntegerType, nullable = false)))
@@ -3572,6 +3738,8 @@ object GraftFunctions {
       "returns struct(valid, n_blocks, n_bytes, sum_bytes, max_byte) of a strict LZ4 frame via the in-repo block decode + XXH32"),
     ("graft_snappy_stats", (es: Seq[Expression]) => SnappyStats(es.head),
       "returns struct(valid, n_chunks, n_bytes, sum_bytes, max_byte) of a strict Snappy framing stream via the in-repo raw decode + CRC-32C"),
+    ("graft_proto_stats", (es: Seq[Expression]) => ProtoStats(es.head),
+      "returns struct(valid, n_fields, n_bytes, sum_bytes, max_byte) of a strict protobuf wire-format message walk with internal-checksum verification"),
     ("graft_ema", (es: Seq[Expression]) =>
       EmaAggregate(es(0), es(1), es(2).eval().asInstanceOf[Number].intValue(),
         maxBufferRows = EmaAggregate.confMaxBufferRows),
