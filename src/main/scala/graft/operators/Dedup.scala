@@ -989,34 +989,15 @@ object Dedup {
     */
   def cdcChunks(documents: DataFrame, mask: Long = 64L, minLen: Int = 16): DataFrame = {
     require(mask >= 2 && minLen >= 1, s"mask/minLen out of range: $mask, $minLen")
-    val gearMul = 2654435761L
-    val m32     = 4294967296L
-    def gear(c: Column): Column = (c.cast("long") * gearMul) % m32
-    val codes = transform(
-      sequence(lit(1), length(col("text"))),
-      i => ascii(col("text").substr(i, lit(1))))
-    // fold state: (h, pos, last-cut position, cut positions)
-    val zero = struct(
-      gear(element_at(col("codes"), 1)).as("h"),
-      lit(1).as("pos"), lit(0).as("last"),
-      array().cast("array<int>").as("bounds"))
-    val folded = aggregate(
-      slice(col("codes"), lit(2), greatest(size(col("codes")) - 1, lit(0))),
-      zero,
-      (acc, c) => {
-        val h2   = (acc.getField("h") * 2 + gear(c)) % m32
-        val pos2 = acc.getField("pos") + 1
-        val cut  = (pos2 - acc.getField("last") >= minLen) && (h2 % mask === 0)
-        struct(
-          when(cut, lit(0L)).otherwise(h2).as("h"),
-          pos2.as("pos"),
-          when(cut, pos2).otherwise(acc.getField("last")).as("last"),
-          when(cut, concat(acc.getField("bounds"), array(pos2)))
-            .otherwise(acc.getField("bounds")).as("bounds"))
-      })
+    // the fold runs in the codegen'd CdcBounds kernel (one static
+    // call per row inside the scan stage); cdcBoundsHof below is the
+    // composed-plan form it replaced, kept so the equivalence stays
+    // spec-pinned (the interpreted HOF measured a 4.4 s single-task
+    // stage on the sf0.1 corpus — ~3 us/char of per-char struct
+    // allocation vs a long-register loop)
+    graft.plans.GraftFunctions.register(documents.sparkSession)
     val b = documents
-      .withColumn("codes", codes)
-      .withColumn("bounds", folded.getField("bounds"))
+      .withColumn("bounds", expr(s"graft_cdc_bounds(text, ${mask}L, $minLen)"))
       .withColumn("starts", concat(array(lit(0)), col("bounds")))
       .withColumn("ends", concat(col("bounds"), array(length(col("text")))))
     val chunks = b
@@ -1036,5 +1017,41 @@ object Dedup {
         ((col("n_chunks") - col("n_unique")).cast("double") /
           col("n_chunks").cast("double")).as("dup_ratio"),
         (col("total_chars").cast("double") / col("n_chunks").cast("double")).as("avg_chunk_len"))
+  }
+
+  /** The composed Catalyst-HOF form of the CDC gear fold that
+    * [[cdcChunks]] shipped through r15's build phase — an interpreted
+    * per-char aggregate over a transform(sequence(...)) codes array.
+    * Kept ONLY as the equivalence reference for the codegen'd
+    * graft_cdc_bounds kernel (DedupSimilaritySpec pins them equal,
+    * unicode and empty-text edges included); production paths must
+    * use the kernel.
+    */
+  private[graft] def cdcBoundsHof(text: Column, mask: Long, minLen: Int): Column = {
+    val gearMul = 2654435761L
+    val m32     = 4294967296L
+    def gear(c: Column): Column = (c.cast("long") * gearMul) % m32
+    val codes = transform(
+      sequence(lit(1), length(text)),
+      i => ascii(text.substr(i, lit(1))))
+    // fold state: (h, pos, last-cut position, cut positions)
+    def folded(cs: Column): Column = aggregate(
+      slice(cs, lit(2), greatest(size(cs) - 1, lit(0))),
+      struct(
+        gear(element_at(cs, 1)).as("h"),
+        lit(1).as("pos"), lit(0).as("last"),
+        array().cast("array<int>").as("bounds")),
+      (acc, c) => {
+        val h2   = (acc.getField("h") * 2 + gear(c)) % m32
+        val pos2 = acc.getField("pos") + 1
+        val cut  = (pos2 - acc.getField("last") >= minLen) && (h2 % mask === 0)
+        struct(
+          when(cut, lit(0L)).otherwise(h2).as("h"),
+          pos2.as("pos"),
+          when(cut, pos2).otherwise(acc.getField("last")).as("last"),
+          when(cut, concat(acc.getField("bounds"), array(pos2)))
+            .otherwise(acc.getField("bounds")).as("bounds"))
+      })
+    folded(codes).getField("bounds")
   }
 }

@@ -959,6 +959,30 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "shifted twin must share resynced chunks")
   }
 
+  test("cdc bounds kernel: codegen'd fold is bit-identical to the composed HOF on edge inputs") {
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    val words = Seq("key", "agg", "row", "scan", "slow", "fast", "table", "value")
+    val long  = (0 until 400).map(i => words((i * 7 + 3) % 8) + (i % 10)).mkString(" ")
+    val texts = Seq(
+      "", "a", "ab", "abcdefghijklmnop", long,
+      "café naïve 中文文档 mixed", // 2- and 3-byte UTF-8
+      new String(Character.toChars(0x1F600)) + " astral " + new String(Character.toChars(0x10348)),
+      "x" * 100, // constant run: h cycles, mask hits depend on exact mod chain
+      (0 until 300).map(i => ('a' + i % 26).toChar).mkString)
+    for ((mask, minLen) <- Seq((64L, 16), (2L, 1), (4L, 2), (16L, 5))) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val got = df.select(col("doc_id"),
+          expr(s"graft_cdc_bounds(text, ${mask}L, $minLen)").as("b"),
+          Dedup.cdcBoundsHof(col("text"), mask, minLen).as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Int](1) === r.getSeq[Int](2),
+          s"mask=$mask minLen=$minLen doc=${r.getLong(0)}: kernel ${r.getSeq[Int](1)} != HOF ${r.getSeq[Int](2)}")
+      }
+    }
+  }
+
   test("kmeans step: cell masses partition the corpus and one cell's mean matches a local recompute") {
     val emb = Tables.embeddings(spark, sf)
     val got = Similarity.kmeansStep(emb, 8).collect()
