@@ -924,6 +924,13 @@ object Similarity {
     val n      = nodes.count()
     val r0     = scale / n
     val tele   = r0 * 15L / 100L
+    // the rank chain is LINEAR (ranks_i feeds only ranks_{i+1}), so
+    // no per-iteration checkpoint: one action runs the whole unrolled
+    // DAG — at 5 iters the plan stays small and the bench measured a
+    // per-iteration eager localCheckpoint as ~4 driver round-trips
+    // per round (AQE stage jobs + checkpoint job + planning gap) for
+    // zero recompute saved. ed/nodes (re-read every round) keep
+    // theirs.
     var ranks = nodes.withColumn("r", lit(r0))
     for (_ <- 1 to iters) {
       val inSum = ed
@@ -934,7 +941,6 @@ object Similarity {
         .join(inSum, Seq("node"), "left")
         .select(col("node"),
           (lit(tele) + expr("coalesce(s, 0L) * 85L div 100L")).as("r"))
-        .localCheckpoint()
     }
     ranks.select(col("node"), col("r").as("rank_units"),
       (col("r").cast("double") / scale).as("pr"))
@@ -1015,13 +1021,20 @@ object Similarity {
     var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     for (_ <- 1 to iters) {
       val vLit = array(v.toSeq.map(lit): _*)
-      val w = x
-        .select(dot(col("v"), vLit).as("dt"), posexplode(col("v")).as(Seq("pos", "xi")))
-        .groupBy(col("pos"))
-        .agg(sum((col("dt") * col("xi")).cast(dec)).as("w"))
-        .orderBy(col("pos"))
-        .collect()
-        .map(_.getDecimal(1).doubleValue())
+      // ONE single-row aggregate of d exact-decimal sums — the same
+      // per-dimension terms (dt*x_i quantized to DECIMAL(18,6)) the
+      // posexplode + groupBy(pos) shape reduced, minus the n·d row
+      // explode and its shuffle (guide: aggregate before you
+      // shuffle); decimal sums are order-independent, so the rewrite
+      // is exact. Only the d-column row reaches the driver.
+      val row = x
+        .select(dot(col("v"), vLit).as("dt"), col("v"))
+        .agg(
+          sum((col("dt") * element_at(col("v"), 1)).cast(dec)).as("w0"),
+          (1 until d).map(i =>
+            sum((col("dt") * element_at(col("v"), i + 1)).cast(dec)).as(s"w$i")): _*)
+        .head()
+      val w    = Array.tabulate(d)(i => row.getDecimal(i).doubleValue())
       val norm = math.sqrt(w.map(t => t * t).sum)
       v = w.map(_ / norm)
     }
@@ -1457,13 +1470,17 @@ object Similarity {
     */
   def labelPropagation(embeddings: DataFrame, k: Int = 5, iters: Int = 3, exact: Boolean = false): DataFrame = {
     require(iters >= 1, s"iters must be positive: $iters")
+    // ONE checkpoint — withSelf, the frame every round re-reads (it
+    // holds the knnGraph sweep, which must run once). und feeds only
+    // withSelf and the label chain is linear, so neither needs its
+    // own checkpoint; per-round eager checkpoints measured as pure
+    // driver round-trips (the q_pagerank pattern).
     val und = knnGraph(embeddings, k, exact)
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
-      .localCheckpoint()
     val nbrs = und.select(col("src").as("node"), col("dst").as("nbr"))
       .unionByName(und.select(col("dst").as("node"), col("src").as("nbr")))
-    val nodes = embeddings.select(col("vec_id").as("node")).localCheckpoint()
+    val nodes = embeddings.select(col("vec_id").as("node"))
     val withSelf = nbrs.unionByName(nodes.select(col("node"), col("node").as("nbr")))
       .localCheckpoint()
     var labels = nodes.withColumn("community", col("node"))
@@ -1475,7 +1492,6 @@ object Similarity {
       labels = votes
         .groupBy(col("node"))
         .agg(max_by(col("community"), struct(col("cnt"), -col("community"))).as("community"))
-        .localCheckpoint()
     }
     labels
   }

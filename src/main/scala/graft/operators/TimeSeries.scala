@@ -2939,7 +2939,18 @@ object TimeSeries {
     * Mirrors DuckDB's seeded list_reduce bit-for-bit — the
     * engine-portable form of nested smoothings ([[trix]] notes why
     * the closed form is not). */
-  private def emaRecurrenceSeries(src: Column, a: Double): Column = {
+  private[graft] def emaRecurrenceSeries(src: Column, a: Double): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.plans.EmaArrSeries(
+        org.apache.spark.sql.graftshim.GraftShim.expression(src), a))
+
+  /** The interpreted HOF fold [[emaRecurrenceSeries]] replaced — kept
+    * ONLY as the equivalence reference (TimeSeriesSpec pins the
+    * codegen'd kernel bit-identical, null poisoning included). The
+    * HOF is interpreted AND quadratic (concat copies the prefix per
+    * element); production paths must use the kernel.
+    */
+  private[graft] def emaRecurrenceSeriesHof(src: Column, a: Double): Column = {
     val oma = 1 - a
     aggregate(
       slice(src, lit(2), greatest(size(src) - 1, lit(0))),
@@ -3080,7 +3091,15 @@ object TimeSeries {
     * in IDENTICAL order (a windowed running SUM over doubles is NOT
     * portable: DuckDB tree-aggregates larger frames, the r11
     * q_heikin_ashi finding). */
-  private def cumSumSeries(src: Column): Column =
+  private[graft] def cumSumSeries(src: Column): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.plans.CumSumArrSeries(
+        org.apache.spark.sql.graftshim.GraftShim.expression(src)))
+
+  /** HOF form of [[cumSumSeries]], kept as the spec equivalence
+    * reference only (see [[emaRecurrenceSeriesHof]]).
+    */
+  private[graft] def cumSumSeriesHof(src: Column): Column =
     aggregate(
       slice(src, lit(2), greatest(size(src) - 1, lit(0))),
       array(element_at(src, 1)),

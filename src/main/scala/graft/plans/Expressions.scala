@@ -124,6 +124,86 @@ object GraftHashOps {
     UnsafeArrayData.fromPrimitiveArray(bounds.result())
   }
 
+  /** EMA(adjust=False) series fold (see EmaArrSeries): one linear
+    * pass, prev carried as a nullable box so a null element poisons
+    * the tail exactly like the HOF's null arithmetic.
+    */
+  def emaArrSeries(src: ArrayData, a: Double): ArrayData = {
+    val n = src.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "graft_ema_arr: empty series (the HOF fold's seed indexes element 1)")
+    val oma = 1 - a
+    val out = new Array[Any](n)
+    var prevNull = src.isNullAt(0)
+    var prev     = if (prevNull) 0.0 else src.getDouble(0)
+    out(0) = if (prevNull) null else java.lang.Double.valueOf(prev)
+    var i = 1
+    while (i < n) {
+      if (prevNull || src.isNullAt(i)) { prevNull = true; out(i) = null }
+      else {
+        prev = oma * prev + a * src.getDouble(i)
+        out(i) = java.lang.Double.valueOf(prev)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Cumulative-sum series fold (see CumSumArrSeries): y += x in
+    * element order, null-poisoning like the HOF.
+    */
+  def cumSumSeries(src: ArrayData): ArrayData = {
+    val n = src.numElements()
+    if (n == 0)
+      throw new IllegalArgumentException(
+        "graft_cumsum_arr: empty series (the HOF fold's seed indexes element 1)")
+    val out = new Array[Any](n)
+    var prevNull = src.isNullAt(0)
+    var prev     = if (prevNull) 0.0 else src.getDouble(0)
+    out(0) = if (prevNull) null else java.lang.Double.valueOf(prev)
+    var i = 1
+    while (i < n) {
+      if (prevNull || src.isNullAt(i)) { prevNull = true; out(i) = null }
+      else {
+        prev = prev + src.getDouble(i)
+        out(i) = java.lang.Double.valueOf(prev)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Sequential-fold dot product over two ArrayData; null (boxed)
+    * exactly where the zip_with/aggregate HOF chain is null — length
+    * mismatch or a null element (see DotProduct). `mode` encodes the
+    * RESOLVED element types so each path reproduces the HOF's
+    * arithmetic exactly: 0 = double·double (double multiply), 1 =
+    * long·long (exact long multiply, widened into the double
+    * accumulator; overflow throws loudly — Spark 4 runs ANSI mode,
+    * where the HOF's `times` raises ARITHMETIC_OVERFLOW), 2 = left
+    * long · right double, 3 = left double · right long (the mixed
+    * sides widen to double before the multiply, Catalyst's implicit
+    * promotion).
+    */
+  def dotSeq(a: ArrayData, b: ArrayData, mode: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += (mode match {
+        case 0 => a.getDouble(i) * b.getDouble(i)
+        case 1 => Math.multiplyExact(a.getLong(i), b.getLong(i)).toDouble
+        case 2 => a.getLong(i).toDouble * b.getDouble(i)
+        case _ => a.getDouble(i) * b.getLong(i).toDouble
+      })
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+
   /** MinHash signature with ONE md5 per distinct shingle: the 128-bit
     * digest provides two 32-bit lanes (h1, h2) and permutation j's
     * value is (h1 + j*h2) mod 2^32 — the classic Carter–Wegman
@@ -3140,6 +3220,97 @@ case class BpeTokens(child: Expression) extends UnaryExpression {
   * chain — bit-identical output (spec-asserted), one linear byte
   * pass, no java.util.regex.
   */
+/** EMA(adjust=False) series over an array<double> — bit-identical to
+  * the seeded strict-left-fold HOF it replaces,
+  * aggregate(slice(src,2,n-1), array(src[0]),
+  *           (acc,x) => concat(acc, array(oma*acc[-1] + a*x))):
+  * e(0) = src(0), e(i) = (1-a)*e(i-1) + a*src(i) with the SAME IEEE
+  * operand order ((oma*prev) + (a*x)), null elements poisoning the
+  * tail exactly like the HOF (null*k = null, and every later term
+  * folds the null forward). TimeSeriesSpec pins the equivalence. The
+  * HOF shape is interpreted AND quadratic (concat copies the prefix
+  * array per element): a 500-day per-key series paid ~125k array
+  * copies per smoothing — trix/tsi chain three to four of them.
+  */
+case class EmaArrSeries(child: Expression, a: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean  = true
+  override def prettyName: String = "graft_ema_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.emaArrSeries(input.asInstanceOf[ArrayData], a)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.emaArrSeries($c, $a)")
+
+  override protected def withNewChildInternal(newChild: Expression): EmaArrSeries = copy(child = newChild)
+}
+
+/** Cumulative-sum series over an array<double> — the running-sum
+  * sibling of [[EmaArrSeries]], bit-identical to the seeded strict
+  * left fold y += x (see GraftHashOps.cumSumSeries).
+  */
+case class CumSumArrSeries(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def nullable: Boolean  = true
+  override def prettyName: String = "graft_cumsum_arr"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.cumSumSeries(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.cumSumSeries($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CumSumArrSeries = copy(child = newChild)
+}
+
+/** Sequential dot product of two array<double> columns — bit-identical
+  * to the interpreted HOF chain it replaces,
+  * aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,x) => acc+x):
+  * the same left-to-right IEEE sequence acc = acc + a(i)*b(i) seeded
+  * at 0.0, null when either side is null, when the lengths differ
+  * (zip_with pads the short side with null, poisoning the fold), or
+  * when any element is null. VectorFunctionsSpec pins the equivalence
+  * on every edge. Exists because HigherOrderFunction is
+  * CodegenFallback: every per-row dot in the similarity family was
+  * paying interpreted per-element lambda dispatch.
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean  = true
+  override def prettyName: String = "graft_dot"
+
+  private def elemType(e: Expression): DataType = e.dataType match {
+    case ArrayType(t, _) => t
+    case other => throw new IllegalArgumentException(
+      s"graft_dot needs array inputs, got $other")
+  }
+
+  // resolved element types -> the GraftHashOps.dotSeq arithmetic mode
+  // (each reproduces the HOF chain's implicit-promotion arithmetic)
+  private lazy val mode: Int = (elemType(left), elemType(right)) match {
+    case (DoubleType, DoubleType) => 0
+    case (LongType, LongType)     => 1
+    case (LongType, DoubleType)   => 2
+    case (DoubleType, LongType)   => 3
+    case (l, r) => throw new IllegalArgumentException(
+      s"graft_dot supports array<double|long> elements, got ($l, $r)")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    GraftHashOps.dotSeq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |Object dotRes = graft.plans.GraftHashOps.dotSeq($a, $b, $mode);
+      |if (dotRes == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ((Double) dotRes).doubleValue(); }
+      |""".stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Gear-hash CDC cut positions of a text (see GraftHashOps.cdcBounds
   * for the exact fold semantics and the HOF it replaces).
   */

@@ -8,6 +8,48 @@ import graft.operators.TimeSeries
 class TimeSeriesSpec extends AnyFunSuite {
   import TestSession._
 
+  test("ema/cumsum array kernels: bit-identical to the seeded HOF folds, null poisoning included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val series: Seq[Seq[java.lang.Double]] = Seq(
+      Seq(42.0),
+      Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      (0 until 500).map(_ => java.lang.Double.valueOf(rnd.nextDouble() * 1e6 - 5e5)),
+      Seq[java.lang.Double](null, 1.0, 2.0),       // null head poisons everything
+      Seq[java.lang.Double](1.0, null, 2.0, 3.0),  // mid null poisons the tail
+      Seq(1e300, 1e300, -1e300, 0.5))
+    val df = series.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "xs")
+    for (a <- Seq(2.0 / 16, 0.5, 2.0 / 26)) {
+      val rows = df.select(col("id"),
+          TimeSeries.emaRecurrenceSeries(col("xs"), a).as("k"),
+          TimeSeries.emaRecurrenceSeriesHof(col("xs"), a).as("h"))
+        .collect()
+      rows.foreach { r =>
+        val k = r.getSeq[java.lang.Double](1); val h = r.getSeq[java.lang.Double](2)
+        assert(k.length === h.length, s"a=$a id=${r.getLong(0)}: lengths differ")
+        k.zip(h).zipWithIndex.foreach { case ((x, y), j) =>
+          assert((x == null) === (y == null), s"a=$a id=${r.getLong(0)} [$j]: null-ness differs")
+          if (x != null)
+            assert(java.lang.Double.doubleToRawLongBits(x) === java.lang.Double.doubleToRawLongBits(y),
+              s"a=$a id=${r.getLong(0)} [$j]: $x != $y")
+        }
+      }
+    }
+    val cs = df.select(col("id"),
+        TimeSeries.cumSumSeries(col("xs")).as("k"),
+        TimeSeries.cumSumSeriesHof(col("xs")).as("h"))
+      .collect()
+    cs.foreach { r =>
+      val k = r.getSeq[java.lang.Double](1); val h = r.getSeq[java.lang.Double](2)
+      assert(k.length === h.length)
+      k.zip(h).foreach { case (x, y) =>
+        assert((x == null) === (y == null), s"cumsum id=${r.getLong(0)}: null-ness differs")
+        if (x != null)
+          assert(java.lang.Double.doubleToRawLongBits(x) === java.lang.Double.doubleToRawLongBits(y))
+      }
+    }
+  }
+
   test("compoundFromReturns agrees with telescoped cumulativeReturns") {
     import spark.implicits._
     val ev   = Tables.events(spark, sf)
