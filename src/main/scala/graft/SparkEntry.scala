@@ -883,8 +883,14 @@ object SparkEntry {
           lit(" contact user"), (kid % 97).cast("string"), lit("@mail"), (kid % 7).cast("string"), lit(".com"),
           lit(" ph +"), (kid % 9 + 1).cast("string"), lit("-"), (kid % 900 + 100).cast("string"), lit("-"), (kid % 9000 + 1000).cast("string"),
           lit(" acct "), (kid * 137 + 10000000).cast("string")).as("contact"))
-      messy.select(k, col("contact"), redactPii(col("contact")).as("redacted"))
-        .orderBy("o_orderkey")
+      // sort FIRST, scrub AFTER: a projection under an orderBy is
+      // evaluated twice (the range partitioner's bounds-sampling job
+      // runs the exchange's whole child, then the real pass runs it
+      // again — two ~1.5 s single-task regex stages at sf0.1), and
+      // the post-sort position also runs the scrub on the RANGE
+      // partitions instead of the unsplit scan task
+      messy.orderBy("o_orderkey")
+        .select(k, col("contact"), redactPii(col("contact")).as("redacted"))
     }),
     "q_rag_pipeline" -> ((s, dir) =>
       Embedding.ragRetrieve(Tables.documents(s, dir), "fast spark query join merge")
@@ -1085,90 +1091,89 @@ object SparkEntry {
     "q_multimodal_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       Multimodal
-        .extractFeatures(Multimodal.mediaFromDocuments(Tables.documents(s, dir)))
+        .extractFeatures(Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")))
         .toDF()
-        .orderBy("media_id")
     }),
     "q_wav_stats" -> ((s, dir) =>
       Multimodal
-        .wavStats(Multimodal.wavFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .wavStats(Multimodal.wavFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_bmp_stats" -> ((s, dir) =>
       Multimodal
-        .bmpStats(Multimodal.bmpFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .bmpStats(Multimodal.bmpFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_png_stats" -> ((s, dir) =>
       Multimodal
-        .pngStats(Multimodal.pngFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .pngStats(Multimodal.pngFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_utf8_stats" -> ((s, dir) =>
       Multimodal
-        .utf8Stats(Multimodal.utf8FromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .utf8Stats(Multimodal.utf8FromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_utf16_stats" -> ((s, dir) =>
       Multimodal
-        .utf16Stats(Multimodal.utf16FromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .utf16Stats(Multimodal.utf16FromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_punycode_stats" -> ((s, dir) =>
       Multimodal
-        .punycodeStats(Multimodal.punycodeFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .punycodeStats(Multimodal.punycodeFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_base64_stats" -> ((s, dir) =>
       Multimodal
-        .base64Stats(Multimodal.base64FromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .base64Stats(Multimodal.base64FromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_deflate_stats" -> ((s, dir) =>
       Multimodal
-        .deflateStats(Multimodal.deflateFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .deflateStats(Multimodal.deflateFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_snappy_stats" -> ((s, dir) =>
       Multimodal
-        .snappyStats(Multimodal.snappyFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .snappyStats(Multimodal.snappyFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_proto_stats" -> ((s, dir) =>
       Multimodal
-        .protoStats(Multimodal.protoFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .protoStats(Multimodal.protoFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_lz4_stats" -> ((s, dir) =>
       Multimodal
-        .lz4Stats(Multimodal.lz4FromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .lz4Stats(Multimodal.lz4FromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_targz_stats" -> ((s, dir) =>
       Multimodal
-        .targzStats(Multimodal.targzFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .targzStats(Multimodal.targzFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_zip_stats" -> ((s, dir) =>
       Multimodal
-        .zipStats(Multimodal.zipFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .zipStats(Multimodal.zipFromDocuments(Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_qoi_stats" -> ((s, dir) =>
       Multimodal
-        .qoiStats(Multimodal.qoiFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .qoiStats(Multimodal.qoiFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_mulaw_stats" -> ((s, dir) =>
       Multimodal
-        .g711Stats(Multimodal.g711FromDocuments(Tables.documents(s, dir), "mulaw").toDF())
-        .orderBy("media_id")),
+        .g711Stats(Multimodal.g711FromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id"), "mulaw").toDF())),
     "q_alaw_stats" -> ((s, dir) =>
       Multimodal
-        .g711Stats(Multimodal.g711FromDocuments(Tables.documents(s, dir), "alaw").toDF())
-        .orderBy("media_id")),
+        .g711Stats(Multimodal.g711FromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id"), "alaw").toDF())),
     "q_gif_stats" -> ((s, dir) =>
       Multimodal
-        .gifStats(Multimodal.gifFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .gifStats(Multimodal.gifFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_jpeg_stats" -> ((s, dir) =>
       Multimodal
-        .jpegStats(Multimodal.jpegFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .jpegStats(Multimodal.jpegFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_binary_entropy" -> ((s, dir) =>
       Multimodal
-        .byteStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .byteStats(Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_binary_chunks" -> ((s, dir) =>
       Multimodal
-        .chunkDedupStats(Multimodal.mediaFromDocuments(Tables.documents(s, dir)).toDF())
-        .orderBy("media_id")),
+        .chunkDedupStats(Multimodal.mediaFromDocuments(
+          Tables.documents(s, dir).orderBy("doc_id")).toDF())),
     "q_binary_magic" -> ((s, dir) =>
       Multimodal
         .sniffFormat(Multimodal.mediaWithHeaders(Tables.documents(s, dir)))
