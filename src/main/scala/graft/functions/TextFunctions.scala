@@ -30,17 +30,26 @@ object TextFunctions {
     when(p + n > 0, (p - n) / (p + n)).otherwise(lit(0.0))
   }
 
-  /** Space-joined word n-grams as a per-row array, built by zipping
-    * the token array against its k-shifted slices. The lambda bodies
-    * reference ONLY lambda variables, so the token expression
-    * evaluates once per row in argument position — the
-    * transform(sequence(...), i => slice(toks, i, n)) formulation
-    * embeds the tokenizer inside the lambda and re-evaluates it per
-    * ELEMENT (O(tokens²) per row; it measured 5x slower on the
-    * bigram corpus sweep). zip_with null-pads the shorter side; the
-    * trailing partial grams are filtered out.
+  /** Space-joined word n-grams as a per-row array — the codegen'd
+    * [[graft.plans.WordNgrams]] kernel (one pass per row), bit-
+    * identical to the zip_with/filter HOF chain kept below as
+    * [[ngramsHof]] (TextAnalysisSpec pins the equivalence). The HOF
+    * chain is interpreted per element and fed every shingle scan of
+    * the dedup family.
     */
   def ngrams(toks: Column, n: Int): Column =
+    org.apache.spark.sql.graftshim.GraftShim.column(
+      graft.plans.WordNgrams(
+        org.apache.spark.sql.graftshim.GraftShim.expression(toks), n))
+
+  /** The composed HOF form [[ngrams]] replaced: n-1 zip_with passes
+    * against k-shifted slices (lambda bodies reference only lambda
+    * variables, so the token expression evaluates once per row — the
+    * transform(sequence(...)) formulation re-evaluates it per
+    * ELEMENT, measured 5x slower). Kept ONLY as the equivalence
+    * reference for the kernel; production paths must use [[ngrams]].
+    */
+  private[graft] def ngramsHof(toks: Column, n: Int): Column =
     (2 to n).foldLeft(toks) { (acc, k) =>
       val shifted = slice(toks, lit(k), greatest(size(toks) - (k - 1), lit(0)))
       filter(

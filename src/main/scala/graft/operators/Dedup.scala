@@ -48,8 +48,13 @@ object Dedup {
                        maxDf: Int = 50): DataFrame = {
     val sh   = shingles(documents, n)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    // keyed feeds THREE consumers (both self-join sides + sizes);
+    // without the checkpoint each gets its own differently-pruned
+    // copy of the explode+df-cap subtree — the sf0.1 plan ran three
+    // concurrent single-task shingle scans and codegen'd each copy
     val keyed = sh.join(freq.filter(col("df") <= maxDf), "s")
       .select(col("doc_id"), md5(col("s")).as("fp"))
+      .localCheckpoint()
     val sizes = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairs = keyed.as("a")
       .join(keyed.as("b"),
@@ -280,10 +285,12 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame, n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the explode+distinct feeds three subtrees (docsets, freq,
-    // prefix); its distinct() shuffle is identical in all three, so
-    // ReusedExchange shares it — no persist (a library operator must
-    // not pin executor storage for the session lifetime)
-    val sh = shingles(documents, n)
+    // prefix) — checkpointed: column pruning specializes each copy's
+    // scan (s-only vs doc_id+s), so their exchanges stop being
+    // canonically identical and ReusedExchange does NOT in fact share
+    // them (the sf0.1 plan ran three concurrent copies of the shingle
+    // explode and codegen'd each)
+    val sh = shingles(documents, n).localCheckpoint()
     // one row per doc: sorted shingle set + its size (verification side)
     val docsets = sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("s"))).as("arr"), count(lit(1)).as("n_sh"))
@@ -951,9 +958,12 @@ object Dedup {
   }
 
   def sourceOverlap(documents: DataFrame, n: Int = 3): DataFrame = {
+    // checkpointed: sh feeds sizes + both self-join sides, and the
+    // three copies prune differently (see ngramJaccardPairs)
     val sh = shingles(documents, n)
       .join(documents.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), col("s")).distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.select(col("s"), col("source").as("sa"))
       .join(sh.select(col("s"), col("source").as("sb")), "s")

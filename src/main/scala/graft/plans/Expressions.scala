@@ -124,6 +124,34 @@ object GraftHashOps {
     UnsafeArrayData.fromPrimitiveArray(bounds.result())
   }
 
+  /** Word n-gram join (see WordNgrams): one pass building each
+    * window with a shared byte builder; null-token windows dropped.
+    */
+  def wordNgrams(toks: ArrayData, n: Int): ArrayData = {
+    if (n == 1) return toks
+    val len = toks.numElements()
+    val out = new java.util.ArrayList[UTF8String](math.max(len - n + 1, 0))
+    var i = 0
+    while (i + n <= len) {
+      var ok = true
+      var j = i
+      while (ok && j < i + n) { if (toks.isNullAt(j)) ok = false; j += 1 }
+      if (ok) {
+        var g = toks.getUTF8String(i)
+        var k = i + 1
+        while (k < i + n) {
+          g = UTF8String.concat(g, SpaceUtf8, toks.getUTF8String(k))
+          k += 1
+        }
+        out.add(g)
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  private val SpaceUtf8 = UTF8String.fromString(" ")
+
   /** EMA(adjust=False) series fold (see EmaArrSeries): one linear
     * pass, prev carried as a nullable box so a null element poisons
     * the tail exactly like the HOF's null arithmetic.
@@ -3220,6 +3248,32 @@ case class BpeTokens(child: Expression) extends UnaryExpression {
   * chain — bit-identical output (spec-asserted), one linear byte
   * pass, no java.util.regex.
   */
+/** Space-joined word n-grams over a token array — bit-identical to
+  * the zip_with/filter HOF chain in TextFunctions.ngramsHof: window i
+  * (0-based) joins toks[i..i+n-1] with single spaces, windows
+  * containing a null token are dropped (the HOF's
+  * when(isNotNull, ...) + filter), n = 1 returns the input array
+  * unchanged (the HOF's empty fold). TextAnalysisSpec pins the
+  * equivalence. The HOF chain is interpreted (n-1 zip_with passes +
+  * filters per row) and fed the shingle scans of the whole dedup
+  * family — q_containment's plan ran three concurrent copies of it
+  * at ~2.8 s each on the sf0.1 corpus.
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"ngrams n must be positive: $n")
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean  = true
+  override def prettyName: String = "graft_word_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    GraftHashOps.wordNgrams(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHashOps.wordNgrams($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams = copy(child = newChild)
+}
+
 /** EMA(adjust=False) series over an array<double> — bit-identical to
   * the seeded strict-left-fold HOF it replaces,
   * aggregate(slice(src,2,n-1), array(src[0]),

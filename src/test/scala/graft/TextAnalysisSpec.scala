@@ -9,6 +9,38 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends AnyFunSuite {
   import TestSession._
 
+  test("ngrams kernel: bit-identical to the zip_with/filter HOF chain on edge inputs") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val rnd = new scala.util.Random(11)
+    val toksets: Seq[Seq[String]] = Seq(
+      Seq(),                    // empty
+      Seq("solo"),              // shorter than n
+      Seq("a", "b"),
+      Seq("a", "b", "c", "d", "e"),
+      Seq("", "x", ""),         // empty tokens (split artifacts)
+      (0 until 300).map(_ => ('a' + rnd.nextInt(26)).toChar.toString * (1 + rnd.nextInt(3))),
+      Seq("café", "中文", "naïve", "ascii"))
+    val df = toksets.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val rows = df.select(col("id"),
+          TextFunctions.ngrams(col("toks"), n).as("k"),
+          TextFunctions.ngramsHof(col("toks"), n).as("h"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}: kernel ${r.getSeq[String](1)} != HOF ${r.getSeq[String](2)}")
+      }
+    }
+    // null-token windows drop in both forms (n >= 2)
+    val nulls = Seq((0L, Seq[String]("a", null, "b", "c"))).toDF("id", "toks")
+    val nr = nulls.select(
+        TextFunctions.ngrams(col("toks"), 2).as("k"),
+        TextFunctions.ngramsHof(col("toks"), 2).as("h"))
+      .head()
+    assert(nr.getSeq[String](0) === nr.getSeq[String](1))
+  }
+
   test("packSequences tiles each shard's token stream exactly") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
