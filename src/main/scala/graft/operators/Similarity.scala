@@ -673,9 +673,7 @@ object Similarity {
   def knnGraph(embeddings: DataFrame, k: Int = 5, exact: Boolean = false): DataFrame = {
     val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
                 else knnCandidatePairs(embeddings)
-    val edges = pairs
-      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
+    val edges = symmetrized(pairs)
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
     val top = edges
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -689,6 +687,21 @@ object Similarity {
       .select(col("src"), col("dst"), col("cos"), col("rnk"),
         col("m_src").isNotNull.as("mutual"))
   }
+
+  /** Both directions of a (va, vb, cos) pair frame as ONE pass —
+    * explode of a two-struct array per row. The
+    * select-union-reversed-select form it replaces evaluated the
+    * ENTIRE candidate sweep once per union branch (a union's branches
+    * are separate subtrees below the first exchange), i.e. every
+    * graph query ran its pair sweep twice. Row multiset is identical,
+    * so every window rank downstream is unchanged (total order
+    * tie-breaks).
+    */
+  private def symmetrized(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(
+        struct(col("va").as("src"), col("vb").as("dst"), col("cos")),
+        struct(col("vb").as("src"), col("va").as("dst"), col("cos")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.cos"))
 
   /** TwoNN intrinsic-dimension estimate (Facco et al. 2017): the
     * manifold dimension the embeddings actually live on, from
@@ -712,8 +725,8 @@ object Similarity {
       .withColumn("nn", norm(col("v"))).select(col("vec_id"), col("nn"))
     val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
                 else knnCandidatePairs(embeddings)
-    val dir = pairs.select(col("va").as("p"), col("vb").as("q"), col("cos"))
-      .unionByName(pairs.select(col("vb").as("p"), col("va").as("q"), col("cos")))
+    val dir = symmetrized(pairs)
+      .select(col("src").as("p"), col("dst").as("q"), col("cos"))
     val d = dir
       .join(nrm.select(col("vec_id").as("p"), col("nn").as("np")), "p")
       .join(nrm.select(col("vec_id").as("q"), col("nn").as("nq")), "q")
@@ -909,11 +922,8 @@ object Similarity {
     require(iters >= 1 && k >= 1, s"iters/k must be positive: iters=$iters, k=$k")
     val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
                 else knnCandidatePairs(embeddings)
-    val dir = pairs
-      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
-    val edges = dir
+    val edges = symmetrized(pairs)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"))
@@ -1388,11 +1398,8 @@ object Similarity {
     require(iters >= 1 && k >= 1, s"iters/k must be positive: iters=$iters, k=$k")
     val pairs = if (exact) cosineNearDupPairs(embeddings, -2.0)
                 else knnCandidatePairs(embeddings)
-    val dir = pairs
-      .select(col("va").as("src"), col("vb").as("dst"), col("cos"))
-      .unionByName(pairs.select(col("vb").as("src"), col("va").as("dst"), col("cos")))
     val w = Window.partitionBy("src").orderBy(col("cos").desc, col("dst").asc)
-    val edges = dir
+    val edges = symmetrized(pairs)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("src"), col("dst"))
@@ -1583,11 +1590,17 @@ object Similarity {
       .filter(col("mutual") && col("src") < col("dst"))
       .select(col("src"), col("dst"))
       .localCheckpoint()
+    // degs keeps its checkpoint (each round references it TWICE — the
+    // src and dst activity joins — so an unmaterialized degs subtree
+    // would double per round); edges is LINEAR (only the next round's
+    // degs reads it), so its per-round checkpoint was pure driver
+    // round-trips and is gone.
     var edges = und
     var degs: DataFrame = null
     for (_ <- 1 to rounds) {
-      degs = edges.select(col("src").as("node"))
-        .unionByName(edges.select(col("dst").as("node")))
+      // explode, not union-of-two-selects: a union references the
+      // unmaterialized edges subtree once per branch
+      degs = edges.select(explode(array(col("src"), col("dst"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).cast("long").as("deg"))
         .filter(col("deg") >= k)
         .localCheckpoint()
@@ -1596,7 +1609,6 @@ object Similarity {
         .join(act.select(col("node").as("src")), "src")
         .join(act.select(col("node").as("dst")), "dst")
         .select(col("src"), col("dst"))
-        .localCheckpoint()
     }
     // final membership = nodes still meeting the bar in the last
     // surviving subgraph; their core degree is the degree there
