@@ -202,9 +202,15 @@ object Dedup {
     */
   def bloomDecontaminate(documents: DataFrame, knownSources: Seq[String], n: Int = 3,
                          mBits: Int = 1 << 16, k: Int = 5): DataFrame = {
+    // checkpointed: sh feeds the known side (which is itself read
+    // twice — the bitset-build ACTION and the exact-confirm
+    // broadcast) and the probe side; unmaterialized, the shingle
+    // explode ran three times per query
     val sh = shingles(documents, n)
       .join(documents.select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint()
     val known = sh.filter(col("source").isin(knownSources: _*)).select(col("s")).distinct()
+      .localCheckpoint()
     val bits  = bloomBitset(known, "s", mBits, k)
     val probes = sh.filter(!col("source").isin(knownSources: _*))
       .join(broadcast(known.withColumn("hit", lit(1))), Seq("s"), "left")

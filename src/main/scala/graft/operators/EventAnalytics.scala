@@ -858,7 +858,9 @@ object EventAnalytics {
     * one midnight marker.
     */
   def peakConcurrency(events: DataFrame, gapMin: Int = 30, nBuckets: Int = 32): DataFrame = {
-    val sess = graft.streaming.Streams.sessionizeBatch(events, gapMin)
+    // checkpointed: sess feeds bounds + both delta-point branches —
+    // three copies of the sessionize window otherwise
+    val sess = graft.streaming.Streams.sessionizeBatch(events, gapMin).localCheckpoint()
     val bounds = broadcast(sess.agg(
       min(col("start_us")).as("t0"), max(col("end_us") + 1L).as("t1")))
     val midnights = bounds.select(

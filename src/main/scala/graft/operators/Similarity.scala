@@ -602,32 +602,25 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
 
-  /** ONE action over the corpus: (row count, the ≤ cap
+  /** Corpus sizing for the celled assignment: (row count, the ≤ cap
     * globally-smallest (vec_id, v) rows in ascending vec_id order).
-    * A bounded max-heap per partition (seqOp) and a tree-merged
-    * combine keep every task and the driver at O(cap·dim)
-    * memory — the verdict-flagged linear seed collect is gone.
+    * Two small codegen'd actions — a metadata-served count() (parquet
+    * answers it from footer statistics; no data pages move) and a
+    * TakeOrderedAndProject for the bounded seed prefix (per-partition
+    * top-cap heap inside whole-stage codegen, O(cap·dim) at the
+    * driver). Replaces a boxed-RDD treeAggregate that deserialized
+    * every corpus vector into Scala objects to do the same bounded
+    * work — one fewer FULL interpreted pass at any scale; the seed
+    * prefix is unchanged (first `cap` rows by vec_id).
     */
   private def countAndCoarseSeeds(e: DataFrame, cap: Int): (Long, Array[Array[Double]]) = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val ord = Ordering.by[(Long, Array[Double]), Long](_._1)
-    type Acc = (Long, scala.collection.mutable.PriorityQueue[(Long, Array[Double])])
-    val zero: Acc = (0L, scala.collection.mutable.PriorityQueue.empty[(Long, Array[Double])](ord))
-    val seqOp: (Acc, (Long, Seq[Double])) => Acc = { case ((c, h), (id, v)) =>
-      h.enqueue((id, v.toArray))
-      if (h.size > cap) h.dequeue()
-      (c + 1, h)
-    }
-    val combOp: (Acc, Acc) => Acc = { case ((c1, h1), (c2, h2)) =>
-      h1 ++= h2
-      while (h1.size > cap) h1.dequeue()
-      (c1 + c2, h1)
-    }
-    val (n, q) = e.select(col("vec_id"), col("v")).as[(Long, Seq[Double])].rdd
-      .treeAggregate(zero)(seqOp, combOp)
-    val asc: Array[(Long, Array[Double])] = q.dequeueAll.toArray.reverse
-    (n, asc.map(_._2))
+    val n = e.count()
+    val seeds = e.select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id"))
+      .limit(cap)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    (n, seeds)
   }
 
   /** Coarse cell count of the two-level assignment: ceil(√nlist). */
