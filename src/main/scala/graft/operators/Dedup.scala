@@ -618,8 +618,12 @@ object Dedup {
     * output shape is identical.
     */
   def clusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("da").as("a"), col("db").as("b"))
-      .union(pairs.select(col("db").as("a"), col("da").as("b")))
+    // explode, not union-of-two-selects: a union evaluates the
+    // unmaterialized candidate-pair build once per branch
+    val edges = pairs.select(explode(array(
+        struct(col("da").as("a"), col("db").as("b")),
+        struct(col("db").as("a"), col("da").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint()
@@ -695,10 +699,15 @@ object Dedup {
     // iteration — but a node whose ONLY pairs are self-pairs must
     // still surface as a singleton (clusters() emits it; the output
     // contract is identical), so remember the full node set up front
-    val allNodes = pairs.select(col("da").as("node"))
-      .union(pairs.select(col("db").as("node")))
+    // ONE evaluation of the (possibly expensive) candidate-pair
+    // build: the slim pair frame checkpoints first, then the node set
+    // and the edge set both derive from the materialized copy (the
+    // previous two-selects-union + separate edge select ran the
+    // build three times)
+    val pe = pairs.select(col("da"), col("db")).localCheckpoint()
+    val allNodes = pe.select(explode(array(col("da"), col("db"))).as("node"))
       .distinct().localCheckpoint()
-    var edges = pairs.select(col("da").as("a"), col("db").as("b"))
+    var edges = pe.select(col("da").as("a"), col("db").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
     var edgeCount = edges.count()
     var iter = 0

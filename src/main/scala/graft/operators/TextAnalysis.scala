@@ -563,15 +563,20 @@ object TextAnalysis {
     * side is guarded explicitly rather than left to the lambda.
     */
   def bigramPerplexityScore(documents: DataFrame, cutoff: Double = 3.386): DataFrame = {
+    // bigrams via the codegen'd word-ngram kernel (split output is
+    // null-free, where the kernel and the interpreted
+    // transform(sequence...) form it replaced are identical);
+    // checkpointed because docBg feeds the pair census AND the score
+    // join with different prunings
     val docBg = documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .filter(size(col("ts")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(ts) - 1), i -> concat(element_at(ts, i), ' ', element_at(ts, i + 1)))"))
-        .as("bg"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.ngrams(col("ts"), 2)).as("bg"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
       .groupBy(col("doc_id"), col("bg"), col("w1"))
       .agg(count(lit(1)).as("occ"))
+      .localCheckpoint()
     val pair = docBg.groupBy(col("bg")).agg(sum(col("occ")).as("cnt_bg"))
     val ctx = pair.groupBy(substring_index(col("bg"), " ", 1).as("w1"))
       .agg(sum(col("cnt_bg")).as("cnt_w1"))
