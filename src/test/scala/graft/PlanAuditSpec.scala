@@ -196,13 +196,23 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("containment caps posting lists BEFORE the self-join and sizes live in the capped space") {
     val p = planOf("q_containment")
-    // the df-cap filter must exist, and not just once: the pair
-    // join's BOTH inputs and the size aggregates all consume the
-    // capped shingle stream — at least 3 capped branches, or the
-    // sizes are being computed in the uncapped space (ratio skew)
-    val caps = "df#\\d+L? <= 50".r.findAllIn(p).size
-    assert(caps >= 3,
-      s"expected the df<=50 cap on pair sides AND size branches, found $caps:\n$p")
+    // the df-cap filter must gate ALL THREE consumers of the shingle
+    // stream (both pair-join sides + the size aggregates), or the
+    // sizes are computed in the uncapped space (ratio skew). Two
+    // lawful shapes: (a) the cap filter replicated into each branch
+    // (>= 3 textual occurrences), or (b) the capped frame
+    // materialized ONCE via localCheckpoint and every branch reading
+    // that same ExistingRDD (>= 3 scans of it) — shape (b) is the
+    // optimized plan; the cap is upstream of the checkpoint by
+    // construction (Dedup.containmentPairs applies df<=maxDf before
+    // .localCheckpoint()), and DedupSimilaritySpec's containment
+    // fixtures pin the capped-space ratios numerically.
+    val caps  = "df#\\d+L? <= 50".r.findAllIn(p).size
+    val scans = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(caps >= 3 || scans >= 3,
+      s"expected the df<=50 cap on pair sides AND size branches " +
+        s"(3 cap filters or 3 reads of one materialized capped frame), " +
+        s"found caps=$caps scans=$scans:\n$p")
     // candidates must come from the fp equi-join, never a product
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"posting-list join lost its equi shape:\n$p")
