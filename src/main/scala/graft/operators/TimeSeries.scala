@@ -670,7 +670,11 @@ object TimeSeries {
     */
   def corrPairsBanded(df: DataFrame, minAbsCorr: Double = 0.3, bandWidth: Int = 6,
                       key: String = "user_id", ts: String = "ts", v: String = "value"): DataFrame = {
-    val rets = dailyCloseReturns(df, key, ts, v)
+    // rets feeds FIVE consumers (the sizing head(), the day grid, and
+    // the three reads of r below) — unmaterialized, the daily-close
+    // window subtree re-evaluates for each; one slim materialization
+    // runs it once
+    val rets = dailyCloseReturns(df, key, ts, v).localCheckpoint()
     val cnt = rets.agg(
       countDistinct(col(key)).as("nk"), countDistinct(col("day")).as("nd")).head()
     val (nKeys, nSlots) = (cnt.getLong(0), cnt.getLong(1))
@@ -695,8 +699,12 @@ object TimeSeries {
       }
     val days = broadcast(rets.select(col("day")).distinct()
       .withColumn("slot", row_number().over(Window.orderBy("day")).cast("long") - 1))
+    // r is consumed three times (signatures + both sides of the
+    // exact-verification join); it is three slim columns, so
+    // materializing it once beats re-running the day join per read
     val r = rets.join(days, "day")
       .select(col(key).as("k"), col("slot"), col("ret"))
+      .localCheckpoint()
     // sign pattern per (key, band): ascending-slot "slot:sign" string
     // md5'd — the slot list is part of the signature, so keys with
     // different day coverage inside a band never collide (they could
@@ -709,6 +717,9 @@ object TimeSeries {
       .select(col("k"), col("band"),
         md5(concat_ws(",", transform(col("sv"),
           s => concat_ws(":", s("slot").cast("string"), s("sgn").cast("string"))))).as("sig"))
+      // the self-join reads sigs twice; without materialization each
+      // side re-runs the collect_list aggregate
+      .localCheckpoint()
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -774,7 +785,9 @@ object TimeSeries {
   def correlationMatrix(df: DataFrame, blockSize: Int = 64, key: String = "user_id", ts: String = "ts", v: String = "value", exact: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rets = dailyCloseReturns(df, key, ts, v)
+    // rets feeds the day grid, the vector build, and (transitively)
+    // the guard's key count — materialize the window subtree once
+    val rets = dailyCloseReturns(df, key, ts, v).localCheckpoint()
     // global day -> slot index (the day universe is tiny: one row per
     // calendar day, broadcast)
     val days = broadcast(rets.select(col("day")).distinct()
@@ -786,10 +799,16 @@ object TimeSeries {
         transform(col("sv"), s => s("slot")).as("slots"),
         transform(col("sv"), s => s("ret")).as("vals"))
       .withColumn("blk", (col("k") / blockSize).cast("long"))
+    // blocks is keys/blockSize rows and self-joined below — without
+    // materialization BOTH sides re-run the per-key collect_list
+    // aggregate; the guard's key universe comes from the checkpointed
+    // rets (same distinct key set as vecs, one cheap distinct instead
+    // of a second aggregate pass)
     val blocks = Guards.withPairKeyCap(
       vecs.groupBy("blk")
-        .agg(collect_list(struct(col("k"), col("slots"), col("vals"))).as("vs")),
-      vecs.select(col("k")), "correlationMatrix",
+        .agg(collect_list(struct(col("k"), col("slots"), col("vals"))).as("vs"))
+        .localCheckpoint(),
+      rets.select(col(key).as("k")).distinct(), "correlationMatrix",
       defaultCap = if (exact) None else Some(CorrMatrixDefaultMaxKeys))
     val pairsOfBlocks = blocks.as("x")
       .join(blocks.as("y"), col("x.blk") <= col("y.blk"))
